@@ -1,0 +1,85 @@
+"""Benchmark runner: headline declared queries at the bench scale factor.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS   (default 32).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with a noop-format write (full computation,
+no driver collect, no disk) after a warm-up of the shared scan caches.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+#: Headline set: one per operator family, weighted toward the shapes that
+#: dominate real pipelines (scan+agg, joins, windows, reconcile, LLM ops).
+HEADLINE = [
+    "q_agg_groupby",        # TPC-H Q1 shape: scan + hash agg
+    "q_join_inner",         # fact⋈dim⋈dim join chain
+    "q_reconcile_merge",    # flagship full-outer merge
+    "q_join_left_firstmatch",  # window dedup + left join
+    "q_window_running_sum",  # partitioned running window
+    "q_window_topk_per_group",
+    "q_stream_tumbling",    # event-time windowed agg
+    "q_stream_session",     # session windows
+    "q_topk",               # TakeOrderedAndProject
+    "q_fn_math",            # per-row expression throughput
+    "q_dedup_exact",        # hash dedup
+    "q_text_termfreq",      # explode + agg
+    "q_sim_topk",           # vector brute-force cosine
+    "q_dedup_near",         # MinHash-LSH
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
+
+    from pretalx_hub_etl_spark.queries import load_all
+    from pretalx_hub_etl_spark.session import get_spark
+
+    spark = get_spark("bench")
+    registry = load_all()
+
+    def run(name: str) -> float:
+        t0 = time.time()
+        df = registry[name].fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        return time.time() - t0
+
+    # warm-up: JVM + parquet footer caches on a cheap query
+    registry["q_agg_count"].fn(spark, sf_dir).write.mode("overwrite").format(
+        "noop"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name] = round(run(name), 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

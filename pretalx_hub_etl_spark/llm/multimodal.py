@@ -1,0 +1,101 @@
+"""Multimodal column plumbing (SURVEY.md L5).
+
+Media payloads are opaque ``binary`` columns travelling next to typed
+metadata (the only shape that works at 100 TB: Spark shuffles/spills binary
+columns fine, and decode happens once, executor-side, in Arrow batches).
+
+The decode/feature steps are Pandas-UDF-backed ``mapInPandas`` operators
+with REAL Spark plumbing (schema, batch iteration, partitioning) and a
+STUBBED codec: the container has no image/audio libraries, so ``decode``
+produces a deterministic fake feature vector (documented) or raises
+``NotImplementedError`` in strict mode. Swapping in PIL/librosa is a
+one-function change.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("payload", T.BinaryType(), True),  # opaque encoded bytes
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+
+def attach_fake_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Derive a deterministic opaque binary payload column from an id.
+
+    Stands in for real encoded media so the binary-column plumbing
+    (schema, shuffle, UDF batch shapes) is exercised end-to-end.
+    """
+    return df.withColumn(
+        "payload", F.encode(F.concat(F.lit("mediabytes:"), F.col(id_col).cast("string")), "UTF-8")
+    ).withColumn("kind", F.lit("image")).withColumn("mime", F.lit("image/fake"))
+
+
+def decode_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    n_features: int = 8,
+    strict: bool = False,
+) -> DataFrame:
+    """Executor-side media decode -> feature vector via ``mapInPandas``.
+
+    STUB codec: real decoding would use PIL/torchaudio here (not in this
+    container). ``strict=True`` raises NotImplementedError exactly where the
+    real codec belongs; otherwise features are a deterministic hash-derived
+    fake so downstream plumbing is testable. The Spark side — Arrow batch
+    iteration, output schema, per-partition execution — is real.
+    """
+    out_schema = f"{id_col} long, features array<double>"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "real media decode requires an image/audio codec library"
+                )
+            feats = []
+            for payload in pdf[payload_col]:
+                raw = bytes(payload) if payload is not None else b""
+                digest = hashlib.sha256(raw).digest()
+                feats.append(
+                    [digest[i] / 255.0 for i in range(n_features)]
+                )
+            yield pd.DataFrame({id_col: pdf[id_col].astype("int64"), "features": feats})
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
+def multimodal_record(docs: DataFrame, embs: DataFrame) -> DataFrame:
+    """documents ⋈ embeddings -> one struct-typed multimodal record per doc.
+
+    The struct column is the engine's "multimodal row" (text + vector +
+    metadata); scalar projections push straight through the struct.
+    """
+    joined = docs.join(embs, docs.doc_id == embs.vec_id, "inner")
+    return joined.select(
+        "doc_id",
+        F.struct(
+            F.col("text"),
+            F.col("lang"),
+            F.col("source"),
+            F.col("embedding"),
+            F.col("label"),
+        ).alias("record"),
+    )

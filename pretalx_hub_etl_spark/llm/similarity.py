@@ -1,0 +1,146 @@
+"""Similarity search over embedding columns (SURVEY.md L3).
+
+- ``brute_force_cosine_topk``: the exact baseline — broadcast the (small)
+  query set against the corpus, dot products via ``zip_with``/``aggregate``
+  (JVM-side, no Python), top-k per query via the standard window trick.
+  Linear in |corpus| × |queries|; right whenever queries are few.
+- ``lsh_cosine_topk``: the scale path — random-hyperplane LSH bucketing
+  (sign-bit signatures from seeded xxhash64-derived pseudo-random planes):
+  corpus and queries land in hash buckets, candidates are an equi-join on
+  the bucket key, then exact rerank. Sub-linear candidate sets at 100 TB,
+  with recall traded via number of tables/bits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, v: acc + v.cast("double") * v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (query side broadcast)."""
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("__cvec"))
+    scored = c.crossJoin(F.broadcast(q)).select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplane_sign_bits(vec: Column, n_bits: int, seed: int, salt: Column) -> Column:
+    """LSH bucket id: sign bits of dot(vec, R_j) for pseudo-random planes R.
+
+    Plane component R[j][d] is derived from xxhash64(seed, salt, j, d) mapped
+    to (-1, 1) — deterministic, seeded, no stored model; ``salt`` varies per
+    hash table so tables cut space independently. Entirely built-in
+    expressions; evaluation is O(n_bits × dim) per row, fused by codegen.
+    """
+    def component(j: Column, d: Column) -> Column:
+        h = F.xxhash64(F.lit(seed), salt, j, d)
+        return (h % 2 == 0).cast("double") * 2 - 1
+
+    def sign_bit(j: Column) -> Column:
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.transform(F.sequence(F.lit(0), F.size(vec) - 1), lambda d: component(j, d)),
+                lambda x, r: x.cast("double") * r,
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+        return F.when(proj > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+
+    # Horner assembly (acc*2 + bit): Spark's shift functions need a literal
+    # shift amount, so the bucket id is built arithmetically.
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(n_bits - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc * 2 + sign_bit(j),
+    )
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    n_bits: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: LSH-bucketed candidates, exact cosine rerank.
+
+    Candidates = rows sharing a bucket with the query in ANY of ``n_tables``
+    hash tables (explode over tables -> equi-join on (table, bucket)).
+    """
+    def bucketed(df: DataFrame, idc: str, vec_alias: str) -> DataFrame:
+        return df.select(
+            F.col(idc),
+            F.col(vec_col).alias(vec_alias),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n_tables - 1)),
+                    lambda t: F.struct(
+                        t.cast("int").alias("table_id"),
+                        _hyperplane_sign_bits(F.col(vec_col), n_bits, seed, t).alias(
+                            "bucket"
+                        ),
+                    ),
+                )
+            ).alias("tb"),
+        ).select(idc, vec_alias, "tb.table_id", "tb.bucket")
+
+    cb = bucketed(corpus, id_col, "__cvec")
+    qb = bucketed(queries, query_id_col, "__qvec")
+    candidates = (
+        cb.join(F.broadcast(qb), ["table_id", "bucket"])
+        .select(query_id_col, id_col, "__qvec", "__cvec")
+        .dropDuplicates([query_id_col, id_col])
+    )
+    scored = candidates.select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )

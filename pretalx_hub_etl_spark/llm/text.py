@@ -1,0 +1,130 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md L4).
+
+All pure built-in expressions over the ``documents`` table shape
+(doc_id, text, lang, source, n_chars): language-ID heuristic, quality
+scoring, token counting, document fingerprinting. Everything stays in
+whole-stage codegen — per-row work, no shuffles except the final term-freq
+groupBy (map-side combined).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.core import fixed_point
+
+DEFAULT_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+
+def tokens(text_col: Column | str) -> Column:
+    """Whitespace tokenization (array<string>, empties removed)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(F.split(c, r"\s+"), lambda t: t != "")
+
+
+def token_count(text_col: Column | str) -> Column:
+    return F.size(tokens(text_col)).cast("long")
+
+
+def bpe_ish_token_count(text_col: Column | str) -> Column:
+    """Regex sub-word token estimate (BPE-ish): word pieces of <=4 chars.
+
+    ceil(len(word)/4) summed over words — a deterministic stand-in for a
+    real tokenizer's piece count, computable JVM-side.
+    """
+    return F.aggregate(
+        tokens(text_col),
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.ceil(F.length(w) / 4.0).cast("long"),
+    )
+
+
+def term_frequencies(
+    df: DataFrame, text_col: str = "text", stopwords: Sequence[str] = DEFAULT_STOPWORDS
+) -> DataFrame:
+    """Corpus-wide term frequencies, stopword-filtered.
+
+    explode -> filter -> groupBy(term): one shuffle with map-side partial
+    counts; at 100 TB add a salted two-level agg only if term skew shows up
+    (AQE usually covers it).
+    """
+    return (
+        df.select(F.explode(tokens(text_col)).alias("term"))
+        .filter(~F.col("term").isin(list(stopwords)))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def text_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features (length / ratios) appended as columns."""
+    toks = tokens(text_col)
+    n_toks = F.size(toks).cast("long")
+    text_len = F.length(text_col).cast("long")
+    stop_hits = F.size(
+        F.filter(toks, lambda t: F.lower(t).isin(list(DEFAULT_STOPWORDS)))
+    ).cast("long")
+    return (
+        df.withColumn("q_n_chars", text_len)
+        .withColumn("q_n_tokens", n_toks)
+        .withColumn(
+            "q_avg_token_len",
+            fixed_point((text_len - (n_toks - 1)) / F.greatest(n_toks, F.lit(1)), 4),
+        )
+        .withColumn(
+            "q_stopword_ratio", fixed_point(stop_hits / F.greatest(n_toks, F.lit(1)), 4)
+        )
+        .withColumn(
+            "q_distinct_ratio",
+            fixed_point(
+                F.size(F.array_distinct(toks)) / F.greatest(n_toks, F.lit(1)), 4
+            ),
+        )
+    )
+
+
+#: Tiny per-language marker vocabularies for the n-gram/stopword language-ID
+#: heuristic. Real pipelines plug fastText-style models in via pandas_udf;
+#: the heuristic keeps the operator oracle-checkable.
+LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "die"),
+    "es": ("el", "los", "que"),
+    "fr": ("le", "les", "des"),
+    "zh": ("de", "shi", "bu"),
+}
+
+
+def lang_id_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-hit counts per language + argmax guess (deterministic)."""
+    toks = tokens(text_col)
+    out = df
+    for lang, markers in LANG_MARKERS.items():
+        out = out.withColumn(
+            f"score_{lang}",
+            F.size(F.filter(toks, lambda t: F.lower(t).isin(list(markers)))).cast("long"),
+        )
+    # argmax with deterministic tie-break on language code order
+    best = None
+    for lang in sorted(LANG_MARKERS):
+        cond = F.lit(True)
+        for other in sorted(LANG_MARKERS):
+            if other < lang:
+                cond = cond & (F.col(f"score_{lang}") > F.col(f"score_{other}"))
+            elif other > lang:
+                cond = cond & (F.col(f"score_{lang}") >= F.col(f"score_{other}"))
+        best = F.when(cond, F.lit(lang)) if best is None else best.when(cond, F.lit(lang))
+    return out.withColumn("lang_guess", best.otherwise(F.lit(sorted(LANG_MARKERS)[0])))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Canonical document fingerprint (id, fp).
+
+    md5 over the sorted distinct token set — whitespace/ordering-insensitive,
+    portable (DuckDB md5 produces identical digests, so it's oracle-able).
+    """
+    canonical = F.concat_ws(" ", F.sort_array(F.array_distinct(tokens(text_col))))
+    return df.select(F.col(id_col), F.md5(canonical).alias("fp"))

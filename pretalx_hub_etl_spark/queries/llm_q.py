@@ -1,0 +1,171 @@
+"""LLM-data-pipeline declared queries (SURVEY.md §2.11, L1-L5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from ..llm.dedup import exact_dedup, minhash_near_duplicates
+from ..llm.similarity import brute_force_cosine_topk
+from ..llm.text import (
+    DEFAULT_STOPWORDS,
+    bpe_ish_token_count,
+    fingerprint,
+    term_frequencies,
+    text_quality,
+    token_count,
+)
+from . import query
+
+# --- L1: exact dedup --------------------------------------------------------
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT text, min(doc_id) AS doc_id, count(*) AS n_dups
+    FROM documents GROUP BY text
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    return exact_dedup(d, on=["text"], id_col="doc_id").select("text", "doc_id", "n_dups")
+
+
+# --- L2: near-dup dedup via MinHash-LSH (rows-only) -------------------------
+
+
+@query("q_dedup_near", oracle=None)
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    return minhash_near_duplicates(
+        d, text_col="text", id_col="doc_id", num_hashes=32, bands=8, jaccard_threshold=0.5
+    )
+
+
+# --- L3: similarity search (rows-only: float ordering tolerance) ------------
+
+
+@query("q_sim_topk", oracle=None)
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).embeddings
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_cosine_topk(e, queries, k=10)
+
+
+# --- L4: text analysis ------------------------------------------------------
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in DEFAULT_STOPWORDS)
+
+
+@query(
+    "q_text_termfreq",
+    oracle=f"""
+    SELECT term, count(*) AS n
+    FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS term FROM documents)
+    WHERE term <> '' AND term NOT IN ({_STOP_SQL})
+    GROUP BY term
+    """,
+)
+def q_text_termfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    return term_frequencies(d)
+
+
+@query(
+    "q_text_quality",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS q_n_chars,
+               list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS ts
+        FROM documents
+    )
+    SELECT doc_id, q_n_chars,
+           CAST(len(ts) AS BIGINT) AS q_n_tokens,
+           CAST(floor((q_n_chars - (len(ts) - 1)) / greatest(len(ts), 1)
+                      * 10000.0 + 0.5) AS BIGINT) / 10000.0 AS q_avg_token_len,
+           CAST(floor(len(list_filter(ts, t -> lower(t) IN ({_STOP_SQL})))
+                      / greatest(len(ts), 1) * 10000.0 + 0.5) AS BIGINT) / 10000.0
+               AS q_stopword_ratio,
+           CAST(floor(len(list_distinct(ts)) / greatest(len(ts), 1) * 10000.0 + 0.5)
+                AS BIGINT) / 10000.0 AS q_distinct_ratio
+    FROM toks
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    return text_quality(d).select(
+        "doc_id",
+        "q_n_chars",
+        "q_n_tokens",
+        "q_avg_token_len",
+        "q_stopword_ratio",
+        "q_distinct_ratio",
+    )
+
+
+@query(
+    "q_text_tokens",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+                AS BIGINT) AS n_tokens,
+           CAST((SELECT sum(CAST(ceil(length(w) / 4.0) AS BIGINT))
+                 FROM unnest(list_filter(string_split_regex(text, '\\s+'),
+                                         t -> t <> '')) AS u(w))
+                AS BIGINT) AS n_bpe_ish
+    FROM documents
+    """,
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        bpe_ish_token_count("text").alias("n_bpe_ish"),
+    )
+
+
+@query(
+    "q_text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(
+               list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))), ' '))
+               AS fp
+    FROM documents
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    return fingerprint(d)
+
+
+# --- L5: multimodal join ----------------------------------------------------
+
+
+@query(
+    "q_multimodal_join",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars, label,
+           CAST(len(embedding) AS BIGINT) AS emb_dim
+    FROM documents JOIN embeddings ON doc_id = vec_id
+    """,
+)
+def q_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    joined = cat.documents.join(
+        cat.embeddings, F.col("doc_id") == F.col("vec_id"), "inner"
+    )
+    return joined.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        "label",
+        F.size("embedding").cast("long").alias("emb_dim"),
+    )

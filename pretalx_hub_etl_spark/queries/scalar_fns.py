@@ -1,0 +1,249 @@
+"""Scalar-function declared queries (SURVEY.md §2.8, F1-F10).
+
+Each pins the exact semantics surveyed from the reference (notably the F4
+``find(...) > 0`` off-by-one and the F2 conditional-plural formatting) while
+staying entirely inside built-in JVM expressions / whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from ..functions import found_after_first, strict_map_lookup
+from ..functions.core import fixed_point
+from . import query
+
+# --- F1/F3: string functions ------------------------------------------------
+
+
+@query(
+    "q_fn_string",
+    oracle="""
+    SELECT c_custkey,
+           lower(c_name) AS name_lower,
+           upper(c_mktsegment) AS seg_upper,
+           CAST(length(c_name) AS BIGINT) AS name_len,
+           substr(c_name, 1, 8) AS name_prefix,
+           trim(c_name || '  ') AS name_trimmed,
+           c_name || '/' || c_mktsegment AS name_seg
+    FROM customer
+    """,
+)
+def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir).customer
+    return c.select(
+        "c_custkey",
+        F.lower("c_name").alias("name_lower"),
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.trim(F.concat(F.col("c_name"), F.lit("  "))).alias("name_trimmed"),
+        F.concat_ws("/", "c_name", "c_mktsegment").alias("name_seg"),
+    )
+
+
+# --- F2: conditional-plural label (reference main.py:125-127) ---------------
+
+
+@query(
+    "q_fn_format_concat",
+    oracle="""
+    SELECT n_name,
+           'Customer' || CASE WHEN count(*) = 1 THEN '' ELSE 's' END || ': '
+               || string_agg(c_name, ', ' ORDER BY c_name) AS member_label,
+           count(*) AS n_members
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_fn_format_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    grouped = (
+        cat.customer.join(
+            F.broadcast(cat.nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sort_array(F.collect_list("c_name")).alias("names"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )
+    label = F.concat(
+        F.lit("Customer"),
+        F.when(F.size("names") == 1, F.lit("")).otherwise(F.lit("s")),
+        F.lit(": "),
+        F.concat_ws(", ", "names"),
+    )
+    return grouped.select("n_name", label.alias("member_label"), "n_members")
+
+
+# --- F4: substring search with the reference's `> 0` off-by-one -------------
+
+
+@query(
+    "q_fn_substring_search",
+    oracle="""
+    SELECT doc_id,
+           CAST(strpos(lower(text), 'merge') AS BIGINT) AS pos,
+           strpos(lower(text), 'merge') > 1 AS found_after_first
+    FROM documents
+    """,
+)
+def q_fn_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    return d.select(
+        "doc_id",
+        F.locate("merge", F.lower(F.col("text"))).cast("long").alias("pos"),
+        found_after_first("text", "merge").alias("found_after_first"),
+    )
+
+
+# --- F5: timestamp parse with tz offset (reference %z, main.py:128) ---------
+
+
+@query(
+    "q_fn_timestamp_parse",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(floor(epoch(strptime(
+               strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') || '+01:00',
+               '%Y-%m-%dT%H:%M:%S%z'))) AS BIGINT) AS epoch_s
+    FROM orders
+    """,
+)
+def q_fn_timestamp_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    stamped = F.concat(
+        F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss"), F.lit("+01:00")
+    )
+    parsed = F.to_timestamp(stamped, "yyyy-MM-dd'T'HH:mm:ssXXX")
+    return o.select(
+        "o_orderkey", F.unix_timestamp(parsed).cast("long").alias("epoch_s")
+    )
+
+
+# --- F6: datetime field extraction (reference main.py:221-225) --------------
+
+
+@query(
+    "q_fn_date_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(year(CAST(ts AS TIMESTAMP)) AS BIGINT) AS y,
+           CAST(month(CAST(ts AS TIMESTAMP)) AS BIGINT) AS mo,
+           CAST(day(CAST(ts AS TIMESTAMP)) AS BIGINT) AS d,
+           CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS h,
+           CAST(minute(CAST(ts AS TIMESTAMP)) AS BIGINT) AS mi,
+           CAST(epoch(date_trunc('day', CAST(ts AS TIMESTAMP))) AS BIGINT) AS day_bucket
+    FROM events
+    """,
+)
+def q_fn_date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    return e.select(
+        "event_id",
+        F.year("ts").cast("long").alias("y"),
+        F.month("ts").cast("long").alias("mo"),
+        F.dayofmonth("ts").cast("long").alias("d"),
+        F.hour("ts").cast("long").alias("h"),
+        F.minute("ts").cast("long").alias("mi"),
+        F.unix_timestamp(F.date_trunc("day", F.col("ts"))).cast("long").alias("day_bucket"),
+    )
+
+
+# --- F7: array functions (reference array ops, main.py:123,126,137) ---------
+
+
+@query(
+    "q_fn_array",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           list_extract(string_split(text, ' '), 1) AS first_word,
+           list_contains(string_split(text, ' '), 'spark') AS has_spark,
+           array_to_string(string_split(text, ' ')[1:3], '|') AS first3
+    FROM documents
+    """,
+)
+def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    words = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        F.element_at(words, 1).alias("first_word"),
+        F.array_contains(words, "spark").alias("has_spark"),
+        F.concat_ws("|", F.slice(words, 1, 3)).alias("first3"),
+    )
+
+
+# --- F8: map functions (rows-only: DuckDB MAP semantics differ) -------------
+
+
+@query("q_fn_map", oracle=None)
+def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # strict_map_lookup replicates the reference's MAP_ROOMS dict lookup
+    # (KeyError-on-miss under ANSI mode; settings.py.template:7-11).
+    n = Catalog(spark, sf_dir).nation
+    room_map = {0: "Room Zero", 1: "Room One", 2: "Room Two", 3: "Room Three", 4: "Room Four"}
+    return n.select(
+        "n_nationkey",
+        strict_map_lookup(room_map, F.col("n_regionkey")).alias("room_name"),
+    )
+
+
+# --- F9: math ---------------------------------------------------------------
+
+
+@query(
+    "q_fn_math",
+    # fixed-point floor-quantization instead of round(): bitwise-identical
+    # across engines (see functions.core.fixed_point).
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5) AS BIGINT)
+               / 100.0 AS revenue,
+           CAST(floor(l_extendedprice * l_tax * 100.0 + 0.5) AS BIGINT)
+               / 100.0 AS tax_amt,
+           CAST(floor(sqrt(l_quantity) * 1000000.0 + 0.5) AS BIGINT)
+               / 1000000.0 AS qty_sqrt,
+           CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+           CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+           CAST(floor(abs(l_quantity - 25.0) * 100.0 + 0.5) AS BIGINT)
+               / 100.0 AS qty_dev
+    FROM lineitem
+    """,
+)
+def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        fixed_point(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        fixed_point(F.col("l_extendedprice") * F.col("l_tax")).alias("tax_amt"),
+        fixed_point(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        F.floor("l_quantity").cast("long").alias("qty_floor"),
+        F.ceil("l_quantity").cast("long").alias("qty_ceil"),
+        fixed_point(F.abs(F.col("l_quantity") - 25.0)).alias("qty_dev"),
+    )
+
+
+# --- F10: JSON access (reference JSON-path Extract phase) -------------------
+
+
+@query(
+    "q_fn_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+)
+def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )

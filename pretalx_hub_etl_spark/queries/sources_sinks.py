@@ -1,0 +1,99 @@
+"""Source/sink declared queries (SURVEY.md §2.1, S1/S2/S4/S5)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from ..functions import falsy_coalesce, plural_label
+from ..functions.core import parse_offset_ts
+from ..sinks import ParquetSink, with_validity
+from ..sources import fixture_schedule, normalize_schedule
+from ..sources.json_doc import schedule_df
+from ..sources.paginated import n_pages_for, parquet_page_reader, read_paginated
+from . import query
+
+# --- S1: JSON document normalize (rows-only: fixture doc, no table oracle) --
+
+
+@query("q_scan_json_normalize", oracle=None)
+def q_scan_json_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = schedule_df(spark, fixture_schedule())
+    speakers, talks = normalize_schedule(doc)
+    # Resolve speaker codes -> names via broadcast join (the reference's
+    # speaker_map dict, main.py:107-110,123), then the P1/P2/P3/F2 projection.
+    exploded = talks.withColumnRenamed("code", "talk_code").select(
+        "*", F.explode_outer("speakers").alias("speaker_code")
+    )
+    spk = speakers.select(F.col("code").alias("s_code"), F.col("name").alias("s_name"))
+    resolved = (
+        exploded.join(F.broadcast(spk), F.col("speaker_code") == F.col("s_code"), "left")
+        .groupBy("title", "room", "abstract", "start", "duration", "talk_code")
+        .agg(F.sort_array(F.collect_list("s_name")).alias("speaker_names"))
+    )
+    return resolved.select(
+        falsy_coalesce("title", "").alias("name"),
+        F.col("room").alias("room_id"),
+        falsy_coalesce("abstract", "").alias("abstract"),
+        plural_label("Speaker", "speaker_names").alias("description_en"),
+        parse_offset_ts("start").alias("schedule_start"),
+        "duration",
+        falsy_coalesce(F.col("talk_code"), "").alias("tags"),
+    )
+
+
+# --- S2: paginated source (parallel page fetch ≡ full table) ----------------
+
+
+@query(
+    "q_scan_paginated",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM orders
+    """,
+)
+def q_scan_paginated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    path = f"{cat.sf_dir}/orders.parquet"
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"]
+    hi = cat.orders.agg(F.max("o_orderkey")).collect()[0][0]
+    page_size = 1000
+    fetch = parquet_page_reader(path, "o_orderkey", page_size, cols)
+    return read_paginated(
+        spark,
+        fetch,
+        n_pages_for(int(hi) + 1, page_size),
+        schema="o_orderkey bigint, o_custkey bigint, o_totalprice double, o_orderpriority string",
+    )
+
+
+# --- S4: sink roundtrip -----------------------------------------------------
+
+
+@query("q_sink_roundtrip", oracle="SELECT * FROM nation")
+def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = Catalog(spark, sf_dir).nation
+    out = os.path.join(tempfile.mkdtemp(prefix="phe_sink_"), "nation_roundtrip")
+    sink = ParquetSink(out)
+    sink.write(nation)
+    return sink.read_back(spark)
+
+
+# --- S5: pre-sink validation / dead-letter split ----------------------------
+
+
+@query(
+    "q_validate_split",
+    oracle="""
+    SELECT event_id, event_type, value,
+           (value >= 1.0 AND event_type <> 'error') AS is_valid
+    FROM events
+    """,
+)
+def q_validate_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    predicate = (F.col("value") >= 1.0) & (F.col("event_type") != "error")
+    return with_validity(e, predicate).select("event_id", "event_type", "value", "is_valid")

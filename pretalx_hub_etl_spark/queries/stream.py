@@ -1,0 +1,149 @@
+"""Streaming-shaped declared queries on ``events`` (SURVEY.md ST1-ST4).
+
+Window boundaries are returned as epoch-second BIGINTs on both sides (Spark
+``unix_timestamp`` truncates; DuckDB ``floor(epoch(...))`` matches), which
+sidesteps ns-vs-µs timestamp hashing differences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from ..functions.core import fixed_cents
+from ..streaming import late_filter, session_agg, sliding_agg, tumbling_agg
+from . import query
+
+
+@query(
+    "q_stream_tumbling",
+    oracle="""
+    SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT)
+               AS bucket_start,
+           event_type,
+           count(*) AS n,
+           CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               / 100.0 AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    out = tumbling_agg(
+        e,
+        "ts",
+        "1 hour",
+        keys=["event_type"],
+        aggs=[
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(fixed_cents(F.col("value"))) / F.lit(100.0)).alias("total_value"),
+        ],
+    )
+    return out.select(
+        F.unix_timestamp("window_start").cast("long").alias("bucket_start"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+@query(
+    "q_stream_sliding",
+    oracle="""
+    -- Each event belongs to exactly 4 one-hour windows sliding by 15 min
+    -- (epoch-aligned, matching Spark's window() alignment).
+    SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 900) * 900 - i * 900 AS BIGINT)
+               AS window_start_s,
+           count(*) AS n,
+           CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               / 100.0 AS total_value
+    FROM events CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i)
+    GROUP BY 1
+    """,
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    out = sliding_agg(
+        e,
+        "ts",
+        "1 hour",
+        "15 minutes",
+        aggs=[
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(fixed_cents(F.col("value"))) / F.lit(100.0)).alias("total_value"),
+        ],
+    )
+    return out.select(
+        F.unix_timestamp("window_start").cast("long").alias("window_start_s"),
+        "n",
+        "total_value",
+    )
+
+
+@query(
+    "q_stream_session",
+    oracle="""
+    -- lag-gap-cumsum sessionization (30-minute idle gap per user)
+    WITH gapped AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM gapped
+    )
+    SELECT user_id,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_s,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               / 100.0 AS total_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    out = session_agg(
+        e,
+        "ts",
+        "30 minutes",
+        keys=["user_id"],
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(fixed_cents(F.col("value"))) / F.lit(100.0)).alias("total_value"),
+        ],
+    )
+    return out.select(
+        "user_id",
+        F.unix_timestamp("window_start").cast("long").alias("session_start_s"),
+        "n_events",
+        "total_value",
+    )
+
+
+@query(
+    "q_stream_late_filter",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_s
+    FROM events
+    WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 3 DAY
+    """,
+)
+def q_stream_late_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).events
+    kept = late_filter(e, "ts", "3 DAYS")
+    return kept.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").cast("long").alias("ts_s"),
+    )

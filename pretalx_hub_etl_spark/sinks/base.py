@@ -1,0 +1,77 @@
+"""Sink interface (S4) — the engine's replacement for the reference's
+effectful per-row browser sink.
+
+The reference loads rows by driving a real browser one form-submit at a
+time, serial and sleep-throttled (main.py:192-230; ≤0.5 rows/s). The engine
+ships a ``Sink`` interface whose implementations are partition-parallel:
+``foreachPartition`` gives one writer/session per partition, which is the
+idiomatic shape for any effectful target (HTTP API, JDBC, message bus) —
+N partitions load concurrently, and per-partition rate limiting replaces the
+reference's global sleeps.
+
+No real browser/HTTP sink is shipped (out of scope per SURVEY.md §7); the
+parquet sink is the durable path and ``CollectingSink`` is the test mock.
+"""
+
+from __future__ import annotations
+
+from typing import Protocol
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class Sink(Protocol):
+    def write(self, df: DataFrame) -> None: ...
+
+
+class ParquetSink:
+    """Durable columnar sink; ``read_back`` for roundtrip verification."""
+
+    def __init__(self, path: str, mode: str = "overwrite", partition_by: list[str] | None = None):
+        self.path = path
+        self.mode = mode
+        self.partition_by = partition_by or []
+
+    def write(self, df: DataFrame) -> None:
+        w = df.write.mode(self.mode)
+        if self.partition_by:
+            w = w.partitionBy(*self.partition_by)
+        w.parquet(self.path)
+
+    def read_back(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.path)
+
+
+class CollectingSink:
+    """Test mock: accumulates rows driver-side (small data only).
+
+    Mirrors the reference's observable effect (an ordered list of submitted
+    rows) without a browser. Uses ``toLocalIterator`` so only one partition
+    is resident at a time.
+    """
+
+    def __init__(self) -> None:
+        self.rows: list[dict] = []
+
+    def write(self, df: DataFrame) -> None:
+        self.rows.extend(r.asDict(recursive=True) for r in df.toLocalIterator())
+
+
+def foreach_partition_write(df: DataFrame, writer_factory):
+    """Generic effectful sink: one writer per partition.
+
+    ``writer_factory() -> (write_row: dict -> None, close: () -> None)``;
+    the factory runs on the executor (e.g. opens one HTTP session per
+    partition — the engine's answer to the reference's single global
+    browser session, main.py:171).
+    """
+
+    def handle(rows) -> None:
+        write_row, close = writer_factory()
+        try:
+            for row in rows:
+                write_row(row.asDict(recursive=True))
+        finally:
+            close()
+
+    df.foreachPartition(handle)

@@ -1,0 +1,114 @@
+"""LLM-pipeline operator tests: dedup, similarity, text analysis, multimodal."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pretalx_hub_etl_spark.llm.dedup import (
+    exact_dedup,
+    minhash_near_duplicates,
+    simhash64,
+)
+from pretalx_hub_etl_spark.llm.multimodal import attach_fake_media, decode_features
+from pretalx_hub_etl_spark.llm.similarity import brute_force_cosine_topk, lsh_cosine_topk
+from pretalx_hub_etl_spark.llm.text import fingerprint, lang_id_scores
+from tests.conftest import SF_SMOKE
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(3, "same"), (1, "same"), (2, "other")], "doc_id long, text string"
+    )
+    out = {r.text: (r.doc_id, r.n_dups) for r in
+           exact_dedup(df, ["text"], "doc_id").collect()}
+    assert out == {"same": (1, 2), "other": (2, 1)}
+
+
+def test_minhash_finds_planted_near_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different words about spark query engines and shuffles"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_duplicates(
+            df, "text", "doc_id", num_hashes=32, bands=16, jaccard_threshold=0.5
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_minhash_deterministic(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(100)
+    a = sorted(map(tuple, minhash_near_duplicates(docs, "text", "doc_id").collect()))
+    b = sorted(map(tuple, minhash_near_duplicates(docs, "text", "doc_id").collect()))
+    assert a == b
+
+
+def test_simhash_close_for_near_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    df = spark.createDataFrame(
+        [(1, base), (2, base.replace("today", "tomorrow")),
+         (3, "completely different words about spark query engines and shuffles")],
+        "doc_id long, text string",
+    )
+    sigs = {r.id: r.simhash for r in simhash64(df, "text", "doc_id").collect()}
+    ham = lambda a, b: bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")  # noqa: E731
+    assert ham(sigs[1], sigs[2]) < ham(sigs[1], sigs[3])
+
+
+def test_cosine_topk_self_is_rank_one(spark):
+    embs = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = brute_force_cosine_topk(embs, queries, k=5)
+    rank1 = {r.query_id: (r.vec_id, r.cos_sim) for r in top.filter("rank = 1").collect()}
+    for qid, (vid, sim) in rank1.items():
+        assert vid == qid
+        assert abs(sim - 1.0) < 1e-5
+
+
+def test_lsh_recall_against_brute_force(spark):
+    embs = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").cache()
+    queries = embs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_cosine_topk(embs, queries, k=5)
+    approx = lsh_cosine_topk(embs, queries, k=5, n_bits=6, n_tables=6)
+    exact_pairs = {(r.query_id, r.vec_id) for r in exact.collect()}
+    approx_pairs = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.5  # loose: tiny corpus, few tables
+
+
+def test_fingerprint_order_insensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "b a c"), (2, "c b a"), (3, "a b d")], "doc_id long, text string"
+    )
+    fps = {r.doc_id: r.fp for r in fingerprint(df).collect()}
+    assert fps[1] == fps[2] != fps[3]
+
+
+def test_lang_id_picks_marker_language(spark):
+    df = spark.createDataFrame(
+        [(1, "der hund und die katze"), (2, "the cat and the dog")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.lang_guess for r in lang_id_scores(df).collect()}
+    assert out == {1: "de", 2: "en"}
+
+
+def test_multimodal_decode_plumbing(spark):
+    docs = spark.range(10).withColumnRenamed("id", "media_id")
+    media = attach_fake_media(docs, "media_id")
+    feats = decode_features(media, n_features=4)
+    rows = feats.collect()
+    assert len(rows) == 10
+    assert all(len(r.features) == 4 for r in rows)
+    # deterministic across runs
+    again = {r.media_id: r.features for r in decode_features(media, n_features=4).collect()}
+    assert all(again[r.media_id] == r.features for r in rows)

@@ -1,0 +1,76 @@
+"""Source and sink tests (SURVEY.md S1/S2/S4/S5)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from pretalx_hub_etl_spark.sinks import CollectingSink, ParquetSink, validate_split
+from pretalx_hub_etl_spark.sources import (
+    fixture_schedule,
+    n_pages_for,
+    normalize_schedule,
+    read_paginated,
+)
+from pretalx_hub_etl_spark.sources.json_doc import schedule_df
+from pretalx_hub_etl_spark.sources.paginated import parquet_page_reader
+from tests.conftest import SF_SMOKE
+
+
+def test_n_pages_for():
+    assert n_pages_for(0, 100) == 0
+    assert n_pages_for(1, 100) == 1
+    assert n_pages_for(100, 100) == 1
+    assert n_pages_for(101, 100) == 2
+
+
+def test_paginated_read_equals_full_scan(spark):
+    path = f"{SF_SMOKE}/orders.parquet"
+    cols = ["o_orderkey", "o_custkey"]
+    full = spark.read.parquet(path).select(*cols)
+    hi = full.agg(F.max("o_orderkey")).collect()[0][0]
+    fetch = parquet_page_reader(path, "o_orderkey", 256, cols)
+    paged = read_paginated(
+        spark, fetch, n_pages_for(int(hi) + 1, 256), "o_orderkey bigint, o_custkey bigint"
+    )
+    assert paged.count() == full.count()
+    assert paged.exceptAll(full).count() == 0
+
+
+def test_schedule_normalize(spark):
+    doc = schedule_df(spark, fixture_schedule())
+    speakers, talks = normalize_schedule(doc)
+    assert speakers.count() == 8
+    assert talks.count() == 5
+    # tz offsets with and without colon both parse (FIXTURES.md §B4)
+    from pretalx_hub_etl_spark.functions.core import parse_offset_ts
+
+    parsed = talks.select(parse_offset_ts("start").alias("ts")).collect()
+    assert all(r.ts is not None for r in parsed)
+    assert parsed[1].ts == datetime.datetime(2026, 8, 1, 10, 0, 0)  # +0100 -> UTC
+
+
+def test_parquet_sink_roundtrip(spark, tmp_path):
+    df = spark.range(10).withColumn("v", F.col("id") * 2)
+    sink = ParquetSink(str(tmp_path / "out"))
+    sink.write(df)
+    back = sink.read_back(spark)
+    assert back.count() == 10
+    assert back.exceptAll(df).count() == 0
+
+
+def test_collecting_sink(spark):
+    sink = CollectingSink()
+    sink.write(spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string"))
+    assert sorted(r["id"] for r in sink.rows) == [1, 2]
+
+
+def test_validate_split(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (3, None)], "id int, v double"
+    )
+    valid, quarantined = validate_split(df, F.col("v") >= 0)
+    assert {r.id for r in valid.collect()} == {1}
+    # NULL predicate rows are quarantined, not dropped (dead-letter pattern)
+    assert {r.id for r in quarantined.collect()} == {2, 3}

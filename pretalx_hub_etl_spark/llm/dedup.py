@@ -40,22 +40,53 @@ def _shingles(text_col: str, k: int) -> F.Column:
     )
 
 
+_MERSENNE61 = (1 << 61) - 1
+
+
 def minhash_signatures(
-    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 32, shingle_k: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    shingle_k: int = 3,
+    seed: int = 42,
 ) -> DataFrame:
     """(id, shingles, sig: array<bigint>) — seeded, deterministic MinHash.
 
-    Hash function i is ``xxhash64(i, shingle)`` (salted by the literal i),
-    so signatures are stable across runs/partitionings.
+    Each shingle is hashed ONCE (xxhash64 -> 32-bit base hash); the K hash
+    functions are universal-hash permutations ``(a_i·h + b_i) mod 2^61-1``
+    with seeded literal coefficients. Bounds keep every product under 2^62,
+    so the arithmetic is ANSI-overflow-safe, and the whole signature costs
+    |shingles| hashes + K cheap array traversals per row (re-hashing per
+    function was ~10× slower).
     """
+    import random
+
+    rnd = random.Random(seed)
+    coeffs = [
+        (rnd.randrange(1, 1 << 30), rnd.randrange(0, 1 << 30))
+        for _ in range(num_hashes)
+    ]
     sh = _shingles(text_col, shingle_k).alias("shingles")
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(F.col("shingles"), lambda s: F.xxhash64(i, s))
-        ),
+    base = F.transform(
+        F.col("shingles"), lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 32))
+    ).alias("__base")
+    def perm(a: int, b: int):
+        # closure factory (NOT default-arg capture: PySpark reads lambda
+        # arity to bind HOF variables, so extra params break the bind)
+        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE61))
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("__base"), perm(a, b)))
+            for a, b in coeffs
+        ]
     ).alias("sig")
-    return df.select(F.col(id_col).alias("id"), sh).select("id", "shingles", sig)
+    return (
+        df.select(F.col(id_col).alias("id"), sh)
+        .select("id", "shingles", base)
+        .select("id", "shingles", sig)
+    )
 
 
 def minhash_near_duplicates(
@@ -74,11 +105,15 @@ def minhash_near_duplicates(
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    # cache: the banded self-join and the shingle re-join would otherwise
+    # recompute every signature 2-4x
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k).cache()
 
+    # banded rows carry ONLY (id, band_id, band_hash): the exploded shuffle
+    # stays narrow; shingle sets re-join AFTER candidate dedup, so the heavy
+    # arrays move once per verified pair, not once per band.
     banded = sigs.select(
         "id",
-        "shingles",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -96,24 +131,28 @@ def minhash_near_duplicates(
                 ),
             )
         ).alias("band"),
-    ).select("id", "shingles", "band.band_id", "band.band_hash")
+    ).select("id", "band.band_id", "band.band_hash")
 
-    left = banded.select(
-        F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"), "band_id", "band_hash"
-    )
-    right = banded.select(
-        F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"), "band_id", "band_hash"
-    )
     candidates = (
-        left.join(right, ["band_id", "band_hash"])
+        banded.select(F.col("id").alias("id_a"), "band_id", "band_hash")
+        .join(banded.select(F.col("id").alias("id_b"), "band_id", "band_hash"),
+              ["band_id", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    shingle_sets = sigs.select("id", "shingles")
+    paired = candidates.join(
+        shingle_sets.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")),
+        "id_a",
+    ).join(
+        shingle_sets.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")),
+        "id_b",
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return (
-        candidates.withColumn("jaccard", F.round(inter / union, 6))
+        paired.withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -131,19 +170,25 @@ def simhash64(df: DataFrame, text_col: str, id_col: str, shingle_k: int = 2) -> 
     distance (``bit_count(a ^ b)``), or equi-join on signature prefixes.
     """
     sh = _shingles(text_col, shingle_k).alias("shingles")
+    # hash each shingle ONCE; each signature bit reads one bit of that hash
+    # (literal shift amounts, so the 63 votes are cheap array traversals,
+    # not 63 rounds of re-hashing)
+    hashes = F.transform(F.col("shingles"), lambda s: F.xxhash64(s)).alias("hashes")
 
-    def vote(j: Column) -> Column:
+    def vote(j: int) -> Column:
         return F.aggregate(
-            F.col("shingles"),
+            F.col("hashes"),
             F.lit(0).cast("long"),
-            lambda a, s: a + F.when(F.xxhash64(j, s) >= 0, 1).otherwise(-1),
+            lambda a, h: a + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1),
         )
 
-    bits = F.transform(
-        F.sequence(F.lit(0), F.lit(62)),
-        lambda j: F.when(vote(j) > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+    sim: Column = F.lit(0).cast("long")
+    for j in range(63):
+        sim = sim + F.when(vote(j) > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return (
+        df.select(F.col(id_col).alias("id"), sh)
+        .select("id", hashes)
+        .select("id", sim.alias("simhash"))
     )
-    sim = F.aggregate(
-        bits, F.lit(0).cast("long"), lambda acc, b: acc * 2 + b
-    )
-    return df.select(F.col(id_col).alias("id"), sh).select("id", sim.alias("simhash"))

@@ -95,6 +95,57 @@ def _hyperplane_sign_bits(vec: Column, n_bits: int, seed: int, salt: Column) -> 
     )
 
 
+def embedding_near_duplicates(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cosine_threshold: float = 0.9,
+    n_bits: int = 8,
+    n_tables: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos_sim >= t).
+
+    Scale shape: LSH self-join — rows pair only within shared (table,
+    bucket) cells, never all-pairs. Candidates are deduped then exact-cosine
+    verified. Recall is tuned by n_tables/n_bits (more tables -> higher
+    recall, more candidates).
+    """
+    bucketed = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_tables - 1)),
+                lambda t: F.struct(
+                    t.cast("int").alias("table_id"),
+                    _hyperplane_sign_bits(F.col(vec_col), n_bits, seed, t).alias("bucket"),
+                ),
+            )
+        ).alias("tb"),
+    ).select(id_col, vec_col, "tb.table_id", "tb.bucket")
+
+    left = bucketed.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "table_id", "bucket"
+    )
+    right = bucketed.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "table_id", "bucket"
+    )
+    candidates = (
+        left.join(right, ["table_id", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        candidates.select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= cosine_threshold)
+    )
+
+
 def lsh_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -50,6 +50,7 @@ def load_all() -> dict[str, QuerySpec]:
         llm_q,
         reconcile_q,
         relational,
+        relational2,
         scalar_fns,
         sources_sinks,
         stream,

@@ -6,12 +6,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import Catalog
-from ..llm.dedup import exact_dedup, minhash_near_duplicates
-from ..llm.similarity import brute_force_cosine_topk
+from ..llm.dedup import exact_dedup, minhash_near_duplicates, simhash64
+from ..llm.similarity import (
+    brute_force_cosine_topk,
+    embedding_near_duplicates,
+    lsh_cosine_topk,
+)
 from ..llm.text import (
     DEFAULT_STOPWORDS,
+    LANG_MARKERS,
     bpe_ish_token_count,
     fingerprint,
+    lang_id_scores,
     term_frequencies,
     text_quality,
     token_count,
@@ -143,6 +149,108 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).documents
     return fingerprint(d)
+
+
+# --- L2b/L3b: SimHash near-dup, LSH ANN, embedding near-dup (rows-only) -----
+
+
+@query("q_dedup_simhash", oracle=None)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SimHash-blocked near-dup candidates: block on the top-15-bit signature
+    # prefix (integer arithmetic — one equi-join key), verify with full
+    # Hamming distance. Linear in per-block collisions, never all-pairs.
+    d = Catalog(spark, sf_dir).documents
+    # cache: the self-join would otherwise recompute every signature twice
+    sigs = simhash64(d, "text", "doc_id").cache()
+    prefix = (F.col("simhash") / F.lit(1 << 48)).cast("long")
+    blocked = sigs.withColumn("block", prefix)
+    left = blocked.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"), "block"
+    )
+    right = blocked.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"), "block"
+    )
+    return (
+        left.join(right, "block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long")
+        )
+        .filter(F.col("hamming") <= 24)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+@query("q_sim_topk_lsh", oracle=None)
+def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The scale path for q_sim_topk: LSH-bucketed candidates + exact rerank.
+    e = Catalog(spark, sf_dir).embeddings
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_cosine_topk(e, queries, k=10, n_bits=6, n_tables=6)
+
+
+@query("q_dedup_embed", oracle=None)
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # threshold 0.3: this corpus's embeddings are isotropic-random (max
+    # pairwise cosine ≈ 0.48), so a realistic 0.9+ dup threshold matches
+    # nothing; 0.3 exercises the LSH-candidate + verify path non-trivially.
+    # n_bits=4 / n_tables=8 → ~2/3 recall at this threshold.
+    e = Catalog(spark, sf_dir).embeddings
+    return embedding_near_duplicates(e, cosine_threshold=0.3, n_bits=4, n_tables=8)
+
+
+# --- L4b: language-ID heuristic (oracle: marker-count argmax in SQL) --------
+
+_LANGS = sorted(LANG_MARKERS)
+
+
+def _langid_oracle() -> str:
+    score_cols = []
+    for lang in _LANGS:
+        markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        score_cols.append(
+            f"CAST(len(list_filter(ts, t -> lower(t) IN ({markers}))) AS BIGINT)"
+            f" AS score_{lang}"
+        )
+    # replicate the engine's deterministic argmax: first lang (alphabetical)
+    # that beats all earlier strictly and all later weakly
+    cases = []
+    for lang in _LANGS:
+        conds = []
+        for other in _LANGS:
+            if other < lang:
+                conds.append(f"score_{lang} > score_{other}")
+            elif other > lang:
+                conds.append(f"score_{lang} >= score_{other}")
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    scores_sql = ",\n               ".join(score_cols)
+    case_sql = "\n                ".join(cases)
+    return f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS ts
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id,
+               {scores_sql}
+        FROM toks
+    )
+    SELECT doc_id, score_de, score_en, score_es, score_fr, score_zh,
+           CASE {case_sql}
+                ELSE '{_LANGS[0]}' END AS lang_guess
+    FROM scored
+    """
+
+
+@query("q_text_langid", oracle=_langid_oracle())
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    return lang_id_scores(d).select(
+        "doc_id", "score_de", "score_en", "score_es", "score_fr", "score_zh", "lang_guess"
+    )
 
 
 # --- L5: multimodal join ----------------------------------------------------

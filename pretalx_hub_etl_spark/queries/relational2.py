@@ -1,0 +1,182 @@
+"""Second relational batch: range join, pivot/unpivot, grouping sets,
+percentiles, pandas-UDF parity (SURVEY.md J6, A4/A5 extensions, §2.10)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from ..functions.core import fixed_cents
+from ..operators.joins import range_join_bucketed
+from . import query
+
+# --- J6: range/interval join ------------------------------------------------
+
+
+@query(
+    "q_join_range",
+    oracle="""
+    SELECT l.event_id AS l_id, r.event_id AS r_id
+    FROM events l JOIN events r
+      ON l.ts >= r.ts AND l.ts < r.ts + INTERVAL 1 HOUR
+    WHERE r.event_type = 'signup'
+    """,
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # "events within one hour after each signup" — the bucketed equi-join
+    # formulation (operators.joins.range_join_bucketed) instead of the
+    # O(n·m) nested-loop a raw theta join would execute.
+    e = Catalog(spark, sf_dir).events
+    left = e.select(F.col("event_id").alias("l_id"), F.col("ts").alias("l_ts"))
+    right = e.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("r_id"), F.col("ts").alias("r_ts")
+    )
+    joined = range_join_bucketed(left, right, "l_ts", "r_ts", window_seconds=3600)
+    return joined.select("l_id", "r_id")
+
+
+# --- §2.10: pandas UDF ≡ built-in expression --------------------------------
+
+
+@query(
+    "q_udf_pandas",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5) AS BIGINT)
+               / 100.0 AS revenue
+    FROM lineitem
+    """,
+)
+def q_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Arrow-vectorized scalar pandas UDF computing the same fixed-point
+    # revenue as the built-in expression in q_fn_math — numpy float64 ops are
+    # the same IEEE ops, so the oracle hash-matches. Engine guidance stands:
+    # built-ins first (they stay in codegen); this declares the escape hatch.
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def revenue_udf(price: pd.Series, disc: pd.Series) -> pd.Series:
+        cents = np.floor(price.values * (1 - disc.values) * 100.0 + 0.5)
+        return pd.Series(cents / 100.0)
+
+    li = Catalog(spark, sf_dir).lineitem
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        revenue_udf("l_extendedprice", "l_discount").alias("revenue"),
+    )
+
+
+# --- pivot / unpivot --------------------------------------------------------
+
+
+@query(
+    "q_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN l_linestatus = 'O'
+                         THEN CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) END)
+                AS BIGINT) / 100.0 AS qty_open,
+           CAST(sum(CASE WHEN l_linestatus = 'F'
+                         THEN CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) END)
+                AS BIGINT) / 100.0 AS qty_final
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    pivoted = (
+        li.withColumn("qty_cents", fixed_cents(F.col("l_quantity")))
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum("qty_cents"))
+    )
+    return pivoted.select(
+        "l_returnflag",
+        (F.col("O") / F.lit(100.0)).alias("qty_open"),
+        (F.col("F") / F.lit(100.0)).alias("qty_final"),
+    )
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS value
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    return li.selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        "stack(3, 'quantity', l_quantity, 'discount', l_discount, 'tax', l_tax)"
+        " AS (measure, value)",
+    )
+
+
+# --- A4 (SQL form): GROUPING SETS + GROUPING() ids --------------------------
+
+
+@query(
+    "q_agg_grouping_sets",
+    oracle="""
+    SELECT r_name, n_name,
+           CAST(GROUPING(r_name) AS BIGINT) AS grp_r,
+           CAST(GROUPING(n_name) AS BIGINT) AS grp_n,
+           CAST(sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               / 100.0 AS total_bal,
+           count(*) AS n
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((r_name), (n_name), ())
+    """,
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    cat.register_views()
+    return spark.sql(
+        """
+        SELECT r_name, n_name,
+               CAST(GROUPING(r_name) AS BIGINT) AS grp_r,
+               CAST(GROUPING(n_name) AS BIGINT) AS grp_n,
+               CAST(sum(CAST(floor(c_acctbal * 100.0D + 0.5D) AS BIGINT)) AS BIGINT)
+                   / 100.0D AS total_bal,
+               count(*) AS n
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name), (n_name), ())
+        """
+    )
+
+
+# --- exact percentiles (linear interpolation in both engines) ---------------
+
+
+@query(
+    "q_agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS p25,
+           quantile_cont(l_quantity, 0.5) AS p50,
+           quantile_cont(l_quantity, 0.75) AS p75
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.25)).alias("p25"),
+        F.percentile("l_quantity", F.lit(0.5)).alias("p50"),
+        F.percentile("l_quantity", F.lit(0.75)).alias("p75"),
+    )

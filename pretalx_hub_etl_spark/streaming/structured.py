@@ -1,0 +1,85 @@
+"""Structured Streaming variants of the windowed operators (SURVEY.md §2.9).
+
+The batch operators in ``windows.py`` use the same ``F.window`` /
+``F.session_window`` expressions; these helpers wire them into a streaming
+query: ``readStream`` source -> watermark -> windowed agg -> sink. The
+planned streaming job at scale reads Kafka/file sources; tests drive the
+same code path with a file source + memory sink synchronously
+(``processAllAvailable``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def stream_from_parquet_dir(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """File-based streaming source (one-file-per-microbatch semantics)."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def windowed_counts_stream(
+    events: DataFrame,
+    ts: str,
+    width: str,
+    watermark: str,
+    keys: Sequence[str] = (),
+    aggs: Sequence[Column] = (),
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation (ST1 + ST4, streaming form).
+
+    The watermark bounds state: windows older than max(event time) -
+    watermark are finalized and dropped — the streaming equivalent of the
+    batch ``late_filter``.
+    """
+    g = events.withWatermark(ts, watermark).groupBy(F.window(F.col(ts), width), *keys)
+    out = g.agg(*aggs) if aggs else g.count()
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *[c for c in out.columns if c != "window"],
+    )
+
+
+def sessionized_stream(
+    events: DataFrame,
+    ts: str,
+    gap: str,
+    watermark: str,
+    keys: Sequence[str] = (),
+    aggs: Sequence[Column] = (),
+) -> DataFrame:
+    """Watermarked session-window aggregation (ST3, streaming form)."""
+    g = events.withWatermark(ts, watermark).groupBy(
+        F.session_window(F.col(ts), gap), *keys
+    )
+    out = g.agg(*aggs) if aggs else g.count()
+    return out.select(
+        F.col("session_window.start").alias("window_start"),
+        F.col("session_window.end").alias("window_end"),
+        *[c for c in out.columns if c != "session_window"],
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
+    """Drive a streaming DataFrame to completion into an in-memory table.
+
+    Synchronous (``processAllAvailable``): for tests and bounded backfills.
+    Returns the StreamingQuery (already stopped); read results from
+    ``spark.sql(f"SELECT * FROM {name}")``.
+    """
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q

@@ -1,0 +1,66 @@
+"""Pipeline e2e: schedule doc + target state -> golden reconcile plan
+(SURVEY.md §5.2.3)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pretalx_hub_etl_spark.plans.pretalx import full_pipeline, transform_talks
+from pretalx_hub_etl_spark.sources import fixture_schedule, normalize_schedule
+from pretalx_hub_etl_spark.sources.json_doc import schedule_df
+
+
+def _target(spark):
+    # FIXTURES.md §B2: update (matched), delete (unmatched), and the
+    # empty-tags row the reference crashes on (main.py:137)
+    return spark.createDataFrame(
+        [
+            ("ev-1", "Opening Keynote", ["talk-a"]),   # matches TALK-A (case-insensitive)
+            ("ev-2", "Old Event", ["gone-talk"]),      # -> delete
+            ("ev-3", "Broken Row", []),                # empty tags: quarantined, then delete-less
+        ],
+        "id string, name string, tags array<string>",
+    )
+
+
+def test_transform_projection_semantics(spark):
+    doc = schedule_df(spark, fixture_schedule())
+    speakers, talks = normalize_schedule(doc)
+    events = transform_talks(talks, speakers)
+    collected = events.collect()
+    assert len(collected) == 5  # incl. BOTH duplicate-code talks
+    rows = {r.name: r for r in collected}
+    rows["TALK-A"] = rows["Opening Keynote"]
+    rows["TALK-B"] = rows[""]  # null title -> "" via falsy-coalesce
+    rows["TALK-A"].tags  # noqa: B018 - sanity the alias exists
+    # falsy-coalesce: null title -> "" (rows["TALK-B"] keyed via that "")
+    assert rows["TALK-B"].tags == "TALK-B"
+    # literal columns
+    assert rows["TALK-A"].location == "CDC" and rows["TALK-A"].language == "en"
+    # room lookup
+    assert rows["TALK-A"].room == "CDC Triangle"
+    # plural formatting: 1 speaker vs several
+    assert rows["TALK-A"].description_en == "Speaker: Speaker Number 0"
+    assert rows["TALK-B"].description_en.startswith("Speakers: ")
+    # tz-aware parse (+0100 spelling)
+    assert rows["TALK-B"].schedule_start is not None
+
+
+def test_full_pipeline_golden_plan(spark):
+    doc = schedule_df(spark, fixture_schedule())
+    plan = full_pipeline(doc, _target(spark))
+    flags = {}
+    for r in plan.collect():
+        flags.setdefault(r.op_flag, set()).add(r.match_key)
+
+    # talk-a matched ev-1 and the name matches -> update-or-noop branch;
+    # name "Opening Keynote" == source name -> noop
+    assert "talk-a" in flags.get("noop", set()) | flags.get("update", set())
+    # unmatched source talks -> create (talk-b, empty-code, talk-c)
+    assert "talk-b" in flags["create"]
+    # target-only tag -> delete
+    assert "gone-talk" in flags["delete"]
+    # duplicate source code TALK-A collapses to one key; total coverage:
+    src_keys = {"talk-a", "talk-b", "", "talk-c"}
+    covered = set().union(*flags.values())
+    assert src_keys <= covered

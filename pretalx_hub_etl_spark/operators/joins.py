@@ -74,6 +74,36 @@ def first_match_left_join(
     ).drop("__matched")
 
 
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    on: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with explicit key salting for a skewed left side.
+
+    AQE's skew-join split (on by default in this engine) handles most skew;
+    this is the manual form for engines/joins where AQE can't apply (e.g.
+    the skewed side feeds a single hot key into a non-AQE stage). The
+    skewed side gets a deterministic salt in [0, salt_buckets) hashed from
+    its whole row; the small side is exploded across every salt value, so
+    the hot key's rows spread over ``salt_buckets`` reducers.
+
+    Cost: small side is replicated ``salt_buckets``× — use only when the
+    small side is dim-sized (same regime as a broadcast, but salting still
+    helps when the *output* of the join is what's skewed).
+    """
+    skew_cols = [F.col(c) for c in skewed.columns]
+    lhs = skewed.withColumn(
+        "__salt", F.pmod(F.xxhash64(*skew_cols), F.lit(salt_buckets)).cast("int")
+    )
+    rhs = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return lhs.join(rhs, [on, "__salt"], how).drop("__salt")
+
+
 def range_join_bucketed(
     left: DataFrame,
     right: DataFrame,

@@ -54,6 +54,7 @@ def load_all() -> dict[str, QuerySpec]:
         scalar_fns,
         sources_sinks,
         stream,
+        tpch,
         window_fns,
     )
 

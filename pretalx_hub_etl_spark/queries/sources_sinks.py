@@ -82,6 +82,78 @@ def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.read_back(spark)
 
 
+# --- partitioned write + partition-pruned read ------------------------------
+
+
+@query(
+    "q_scan_partition_pruned",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           CAST(year(o_orderdate) AS BIGINT) AS order_year
+    FROM orders WHERE year(o_orderdate) = 1999
+    """,
+)
+def q_scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Write orders hive-partitioned by year, read back with a partition
+    # filter: at 100 TB this is the layout that turns a full scan into a
+    # single-directory read (partition pruning happens at planning time —
+    # the scan's PartitionFilters, not a data filter).
+    orders = Catalog(spark, sf_dir).orders.withColumn(
+        "order_year", F.year("o_orderdate").cast("long")
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="phe_part_"), "orders_by_year")
+    ParquetSink(out, partition_by=["order_year"]).write(
+        orders.select("o_orderkey", "o_totalprice", "order_year")
+    )
+    back = spark.read.parquet(out)
+    # partition-column type is re-inferred on read (int) — pin it to long
+    return back.filter(F.col("order_year") == 1999).select(
+        "o_orderkey", "o_totalprice", F.col("order_year").cast("long").alias("order_year")
+    )
+
+
+# --- additional sink formats (JSON / CSV roundtrips) ------------------------
+
+
+@query("q_sink_roundtrip_json", oracle="SELECT n_nationkey, n_name FROM nation")
+def q_sink_roundtrip_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = Catalog(spark, sf_dir).nation.select("n_nationkey", "n_name")
+    out = os.path.join(tempfile.mkdtemp(prefix="phe_json_"), "nation_json")
+    nation.write.mode("overwrite").json(out)
+    schema = "n_nationkey int, n_name string"
+    return spark.read.schema(schema).json(out)
+
+
+@query("q_sink_roundtrip_csv", oracle="SELECT c_custkey, c_name, c_acctbal FROM customer")
+def q_sink_roundtrip_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = Catalog(spark, sf_dir).customer.select("c_custkey", "c_name", "c_acctbal")
+    out = os.path.join(tempfile.mkdtemp(prefix="phe_csv_"), "customer_csv")
+    cust.write.mode("overwrite").option("header", True).csv(out)
+    schema = "c_custkey bigint, c_name string, c_acctbal double"
+    return spark.read.schema(schema).option("header", True).csv(out)
+
+
+# --- multimodal decode plumbing (rows-only; stubbed codec) ------------------
+
+
+@query("q_multimodal_decode", oracle=None)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.multimodal import attach_fake_media, decode_features
+
+    docs = Catalog(spark, sf_dir).documents.select(
+        F.col("doc_id").alias("media_id")
+    )
+    media = attach_fake_media(docs, "media_id")
+    feats = decode_features(media, n_features=8)
+    return feats.select(
+        "media_id",
+        F.size("features").cast("long").alias("n_features"),
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, v: a + v), 6).alias(
+            "feature_sum"
+        ),
+    )
+
+
 # --- S5: pre-sink validation / dead-letter split ----------------------------
 
 

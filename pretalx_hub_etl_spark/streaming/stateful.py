@@ -1,0 +1,51 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``.
+
+The engine's escape hatch for stateful semantics Spark's built-in windowed
+aggregations can't express (SURVEY.md §2.9 note): arbitrary per-key state
+carried across micro-batches, updated in Arrow-batched pandas.
+
+``running_totals`` is the reference implementation: per-key running
+count/sum that persists across batches — the streaming generalization of
+the reconcile job's "current target state". State is one tiny tuple per
+key, so at scale memory is O(|keys|), partitioned by the grouping key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "key bigint, n bigint, total double"
+STATE_SCHEMA = "n bigint, total double"
+
+
+def _update(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame({"key": [key[0]], "n": [n], "total": [round(total, 2)]})
+
+
+def running_totals(stream_df: DataFrame, key_col: str, value_col: str) -> DataFrame:
+    """Per-key running (count, sum) across micro-batches.
+
+    Input: a streaming DataFrame; output (update mode): one row per key per
+    batch with the cumulative totals so far.
+    """
+    prepared = stream_df.selectExpr(
+        f"{key_col} AS key", f"CAST({value_col} AS DOUBLE) AS value"
+    )
+    return prepared.groupBy("key").applyInPandasWithState(
+        _update,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,68 @@
+"""Salted-join equivalence + stateful streaming operator tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pretalx_hub_etl_spark.operators.joins import salted_join
+from pretalx_hub_etl_spark.streaming.stateful import running_totals
+
+
+def test_salted_join_equals_plain_join(spark):
+    # skewed: 90% of rows share key 7
+    skewed = spark.range(1000).select(
+        F.when(F.col("id") % 10 != 0, F.lit(7)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.createDataFrame(
+        [(i, f"dim{i}") for i in range(0, 1000, 10)] + [(7, "dim7")],
+        "k long, dim string",
+    )
+    plain = skewed.join(small, "k").select("k", "payload", "dim")
+    salted = salted_join(skewed, small, "k").select("k", "payload", "dim")
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
+def test_running_totals_accumulates_across_batches(spark, tmp_path):
+    src = str(tmp_path / "stateful_src")
+    schema = T.StructType(
+        [T.StructField("user_id", T.LongType()), T.StructField("value", T.DoubleType())]
+    )
+    # batch 1 on disk before the stream starts
+    spark.createDataFrame([(1, 10.0), (1, 5.0), (2, 1.0)], schema).coalesce(
+        1
+    ).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = running_totals(stream, "user_id", "value")
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_state")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2 arrives: user 1 gains 2 more rows
+        spark.createDataFrame([(1, 1.0), (1, 1.0), (3, 7.0)], schema).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.sql(
+        "SELECT key, max(n) AS n, max(total) AS total FROM t_state GROUP BY key"
+    ).collect()
+    got = {r.key: (r.n, r.total) for r in rows}
+    # state persisted across batches: user 1 saw 2 then 2 more rows
+    assert got[1] == (4, 17.0)
+    assert got[2] == (1, 1.0)
+    assert got[3] == (1, 7.0)

@@ -187,6 +187,61 @@ def minhash_near_duplicates(
     )
 
 
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    jaccard_threshold: float = 0.6,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs via an inverted-index self-join.
+
+    The exact counterpart of ``minhash_near_duplicates`` (which approximates
+    the same measure): explode each doc's distinct k-word grams into
+    postings, equi-join postings on the gram, count per-pair intersections,
+    then ``|A∩B| / (|A|+|B|-|A∩B|)``. Fully SQL-expressible → DuckDB oracle.
+
+    Scale shape: cost is Σ_g df(g)², driven entirely by hot grams
+    (boilerplate). ``max_doc_freq`` drops grams appearing in more than that
+    many docs BEFORE the self-join — the standard stop-shingle cap; a gram
+    shared by half the corpus identifies nothing and would otherwise create
+    a quadratic bucket. At 100 TB this cap is mandatory, not tuning.
+    """
+    grams = df.select(
+        F.col(id_col).alias("id"), F.explode(_shingles(text_col, k)).alias("g")
+    )
+    if max_doc_freq is not None:
+        rare = (
+            grams.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("g")
+        )
+        grams = grams.join(rare, "g", "left_semi")
+    grams = grams.cache()  # postings feed sizes + both self-join sides
+    sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        grams.select(F.col("id").alias("id_a"), "g")
+        .join(grams.select(F.col("id").alias("id_b"), "g"), "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jaccard = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a"
+        )
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .withColumn("jaccard", jaccard)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def simhash64(df: DataFrame, text_col: str, id_col: str, shingle_k: int = 2) -> DataFrame:
     """63-bit SimHash per document (id, simhash) — built-ins only.
 

@@ -6,7 +6,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import Catalog
-from ..llm.dedup import exact_dedup, minhash_near_duplicates, simhash64
+from ..llm.dedup import (
+    exact_dedup,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash64,
+)
 from ..llm.similarity import (
     brute_force_cosine_topk,
     embedding_near_duplicates,
@@ -47,6 +52,47 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).documents
     return minhash_near_duplicates(
         d, text_col="text", id_col="doc_id", num_hashes=32, bands=8, jaccard_threshold=0.5
+    )
+
+
+# --- L2c: EXACT n-gram Jaccard dedup (the oracle'd counterpart of L2) -------
+
+
+@query(
+    "q_dedup_ngram_jaccard",
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    grams_all AS (
+        SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
+        FROM words, unnest(range(1, len(w) - 1)) AS t(i)
+    ),
+    grams AS (
+        SELECT doc_id, g FROM grams_all
+        QUALIFY count(*) OVER (PARTITION BY g) <= 100
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        FROM grams a JOIN grams b USING (g)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+    FROM inter JOIN sizes sa ON id_a = sa.doc_id
+               JOIN sizes sb ON id_b = sb.doc_id
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact-Jaccard ground truth for q_dedup_near (MinHash approximates
+    # this measure): at sf0.01/threshold 0.5 the exact join finds 25 pairs
+    # vs MinHash-LSH's 24 — ~96% recall. The doc-freq cap (=100) mirrors
+    # the stop-shingle filter both here and in the oracle.
+    d = Catalog(spark, sf_dir).documents
+    return ngram_jaccard_pairs(
+        d, text_col="text", id_col="doc_id", k=3, jaccard_threshold=0.5,
+        max_doc_freq=100,
     )
 
 

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 from pretalx_hub_etl_spark.llm.dedup import (
     exact_dedup,
     minhash_near_duplicates,
+    ngram_jaccard_pairs,
     simhash64,
 )
 from pretalx_hub_etl_spark.llm.multimodal import attach_fake_media, decode_features
@@ -39,6 +40,33 @@ def test_minhash_finds_planted_near_dup(spark):
     }
     assert (1, 2) in pairs
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_ngram_jaccard_exact_pair(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different words about spark query engines and shuffles"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    rows = ngram_jaccard_pairs(df, "text", "doc_id", k=3, jaccard_threshold=0.5).collect()
+    assert {(r.id_a, r.id_b) for r in rows} == {(1, 2)}
+    # 13 words -> 11 distinct 3-grams each; only the final gram differs,
+    # so |A∩B| = 10 and |A∪B| = 12
+    assert abs(rows[0].jaccard - 10 / 12) < 1e-12
+
+
+def test_ngram_jaccard_doc_freq_cap_drops_hot_grams(spark):
+    # every doc shares gram "a b c"; cap=1 removes it, leaving no overlap
+    df = spark.createDataFrame(
+        [(1, "a b c x y z"), (2, "a b c p q r")], "doc_id long, text string"
+    )
+    uncapped = ngram_jaccard_pairs(df, "text", "doc_id", jaccard_threshold=0.01)
+    capped = ngram_jaccard_pairs(
+        df, "text", "doc_id", jaccard_threshold=0.01, max_doc_freq=1
+    )
+    assert uncapped.count() == 1
+    assert capped.count() == 0
 
 
 def test_minhash_deterministic(spark):

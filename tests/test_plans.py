@@ -1,0 +1,85 @@
+"""Physical-plan shape assertions (the 100 TB design checks).
+
+Correctness tests prove the queries compute the right rows; these prove
+Catalyst produced the plan we designed for — broadcasts where we hinted,
+filters pushed into the parquet scan, columns pruned, partial aggregation
+before the shuffle, top-k instead of a global sort, partition pruning at
+planning time. A regression here is a silent 100× slowdown at scale that
+sf0.01 correctness runs would never notice.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pretalx_hub_etl_spark.queries import load_all
+from tests.conftest import SF_SMOKE
+
+
+def plan_of(spark, name: str, sf_dir: str = SF_SMOKE) -> str:
+    df = load_all()[name].fn(spark, sf_dir)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_tpch_q3_broadcasts_dim_and_pushes_filters(spark):
+    plan = plan_of(spark, "q_tpch_q3")
+    # the BUILDING-segment customer dim is explicitly broadcast
+    assert "BroadcastHashJoin" in plan
+    # the l_shipdate predicate reaches the lineitem parquet scan
+    assert "GreaterThan(l_shipdate" in plan
+    # orderBy+limit compiles to top-k, never a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q3_prunes_lineitem_columns(spark):
+    plan = plan_of(spark, "q_tpch_q3")
+    # the query touches 3 lineitem columns; the scan must not read the rest
+    scan_schemas = [
+        line for line in plan.splitlines() if "ReadSchema" in line
+    ]
+    lineitem_schema = next(s for s in scan_schemas if "l_orderkey" in s)
+    assert "l_extendedprice" in lineitem_schema
+    assert "l_comment" not in lineitem_schema
+    assert "l_quantity" not in lineitem_schema
+
+
+def test_agg_groupby_does_partial_aggregation(spark):
+    plan = plan_of(spark, "q_agg_groupby")
+    # map-side combine: a partial HashAggregate below the exchange and a
+    # final one above it
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_topk_compiles_to_take_ordered(spark):
+    plan = plan_of(spark, "q_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_broadcast_lookup_is_broadcast_join(spark):
+    plan = plan_of(spark, "q_join_broadcast_lookup")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_reconcile_merge_is_single_shuffle_full_outer(spark):
+    plan = plan_of(spark, "q_reconcile_merge")
+    assert "FullOuter" in plan
+
+
+def test_partition_pruned_scan_has_partition_filters(spark):
+    plan = plan_of(spark, "q_scan_partition_pruned")
+    # pruning happens at planning time: the year predicate must appear in
+    # PartitionFilters (directory-level skip), not only as a data filter
+    part_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("order_year" in l for l in part_lines)
+
+
+def test_filter_reaches_parquet_scan(spark):
+    plan = plan_of(spark, "q_filter_eq")
+    assert "PushedFilters" in plan
+    assert "[]" not in plan.split("PushedFilters:")[1].splitlines()[0]

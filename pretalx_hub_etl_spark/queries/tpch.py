@@ -135,6 +135,108 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Q14 shape: promo revenue share (conditional agg over a dim join) -------
+
+
+@query(
+    "q_tpch_q14",
+    oracle=f"""
+    SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_REV_CENTS} ELSE 0 END)
+                AS DOUBLE) * 100.0
+           / sum({_REV_CENTS}) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l_shipdate < TIMESTAMP '1997-10-01'
+    """,
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    li = cat.lineitem.filter(
+        (F.col("l_shipdate") >= "1997-09-01") & (F.col("l_shipdate") < "1997-10-01")
+    )
+    promo = F.when(F.col("p_type") == "PROMO", _rev_cents()).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(cat.part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.sum(promo).cast("double")
+                * F.lit(100.0)
+                / F.sum(_rev_cents())
+            ).alias("promo_pct")
+        )
+    )
+
+
+# --- Q17 shape: small-quantity revenue (correlated scalar subquery) ---------
+
+
+_Q17_SQL = """
+SELECT CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+       / 100.0 / 7.0 AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#4'
+  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                    FROM lineitem l2
+                    WHERE l2.l_partkey = part.p_partkey)
+"""
+
+
+@query("q_tpch_q17", oracle=_Q17_SQL)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deliberately written as SQL with the correlated scalar subquery
+    # intact: Catalyst decorrelates it into an aggregate + equi-join
+    # (per-part avg, then join on l_partkey) — the same plan the hand-
+    # decorrelated DataFrame version would build. One SQL text serves as
+    # both the Spark query and the DuckDB oracle. test_plans asserts no
+    # nested-loop join survives.
+    cat = Catalog(spark, sf_dir)
+    cat.register_views()
+    return cat.spark.sql(_Q17_SQL)
+
+
+# --- Q18 shape: large-volume orders (HAVING subquery + semi-join + top-k) ---
+
+
+@query(
+    "q_tpch_q18",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey HAVING sum(l_quantity) > 260)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    big_orders = (
+        cat.lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 260)
+        .select("l_orderkey")
+    )
+    # sum(l_quantity) is exact: quantities are integral doubles, so the
+    # HAVING threshold and sum_qty hash-match DuckDB bit-for-bit
+    return (
+        cat.lineitem.join(
+            big_orders.withColumnRenamed("l_orderkey", "o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_semi",
+        )
+        .join(cat.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cat.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").cast("double").alias("sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
 # --- Q10 shape: returned-item customers (join + agg + top-k) ----------------
 
 

@@ -43,8 +43,8 @@ def test_tpch_q3_prunes_lineitem_columns(spark):
     ]
     lineitem_schema = next(s for s in scan_schemas if "l_orderkey" in s)
     assert "l_extendedprice" in lineitem_schema
-    assert "l_comment" not in lineitem_schema
     assert "l_quantity" not in lineitem_schema
+    assert "l_tax" not in lineitem_schema
 
 
 def test_agg_groupby_does_partial_aggregation(spark):
@@ -69,6 +69,15 @@ def test_broadcast_lookup_is_broadcast_join(spark):
 def test_reconcile_merge_is_single_shuffle_full_outer(spark):
     plan = plan_of(spark, "q_reconcile_merge")
     assert "FullOuter" in plan
+
+
+def test_correlated_subquery_is_decorrelated(spark):
+    # Catalyst must rewrite Q17's correlated scalar subquery into a
+    # per-part aggregate + equi-join; a surviving nested-loop join would
+    # be O(n·m) at scale
+    plan = plan_of(spark, "q_tpch_q17")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2
 
 
 def test_partition_pruned_scan_has_partition_filters(spark):

@@ -51,8 +51,10 @@ class Catalog:
             if name == "events" and dict(df.dtypes).get("ts") == "bigint":
                 # int64 nanos -> microsecond timestamp (lossless for this
                 # corpus, which is generated at microsecond precision).
+                # Integer `div`, NOT `/`: float division of int64 nanos
+                # (~1.7e18 > 2^53) loses the low bits and lands ±1 µs off.
                 df = df.withColumn(
-                    "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
                 )
             self._cache[name] = df
         return self._cache[name]

@@ -104,6 +104,71 @@ def salted_join(
     return lhs.join(rhs, [on, "__salt"], how).drop("__salt")
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_values: Sequence[str] = (),
+    matched_prefix: str = "matched_",
+    tolerance: Column | None = None,
+) -> DataFrame:
+    """Backward as-of join: latest right row with ``right.ts <= left.ts``.
+
+    Spark has no native as-of join; the naive formulation (theta-join on
+    ``r.ts <= l.ts`` + row_number) explodes to O(n·m) per key. This is the
+    union-sort formulation — ONE shuffle, linear work:
+
+      1. union both sides on (key, ts) with right rows sorted before left
+         rows at equal ts (backward-inclusive semantics),
+      2. per key, in ts order, carry the most recent right values forward
+         with ``last(col, ignorenulls=True)`` over an unbounded-preceding
+         row frame,
+      3. keep only left rows — each has inherited the as-of match.
+
+    Output: all left columns + ``{matched_prefix}{right_ts}`` +
+    ``{matched_prefix}{v}`` for each v in ``right_values`` (NULL when no
+    right row precedes). With ``tolerance`` (an INTERVAL column, e.g.
+    ``F.expr("INTERVAL 1 HOUR")``), matches older than ``left_ts -
+    tolerance`` are nulled out.
+
+    Ties: if the right side has duplicate (key, ts) rows the carried row is
+    arbitrary among them — pre-aggregate the right side to one row per
+    (key, ts) for deterministic output.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    mts = f"{matched_prefix}{right_ts}"
+    matched_cols = [mts, *(f"{matched_prefix}{c}" for c in right_values)]
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        F.col(right_ts).alias(mts),
+        *[F.col(c).alias(f"{matched_prefix}{c}") for c in right_values],
+    ).withColumn("__is_left", F.lit(0))
+    l = left.withColumn("__ts", F.col(left_ts)).withColumn("__is_left", F.lit(1))
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__ts", "__is_left")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        *left.columns,
+        F.col("__is_left"),
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in matched_cols],
+    ).filter(F.col("__is_left") == 1)
+    if tolerance is not None:
+        within = F.col(mts) >= F.col(left_ts) - tolerance
+        filled = filled.select(
+            *left.columns,
+            F.col("__is_left"),
+            *[F.when(within, F.col(c)).otherwise(F.lit(None)).alias(c)
+              for c in matched_cols],
+        )
+    return filled.drop("__is_left")
+
+
 def range_join_bucketed(
     left: DataFrame,
     right: DataFrame,

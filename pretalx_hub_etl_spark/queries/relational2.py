@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import Catalog
 from ..functions.core import fixed_cents
-from ..operators.joins import range_join_bucketed
+from ..operators.joins import asof_join, range_join_bucketed
 from . import query
 
 # --- J6: range/interval join ------------------------------------------------
@@ -35,6 +35,47 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = range_join_bucketed(left, right, "l_ts", "r_ts", window_seconds=3600)
     return joined.select("l_id", "r_id")
+
+
+# --- J6b: as-of join (backward, per-user latest view before each click) -----
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+    WITH clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    views AS (
+        SELECT user_id, ts, max(value) AS value
+        FROM events WHERE event_type = 'view'
+        GROUP BY user_id, ts
+    )
+    SELECT c.event_id, c.user_id, c.ts,
+           v.ts AS matched_ts, v.value AS matched_value
+    FROM clicks c ASOF LEFT JOIN views v
+      ON c.user_id = v.user_id AND c.ts >= v.ts
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # For each click, the same user's most recent view at-or-before it —
+    # the union-sort as-of join (operators.joins.asof_join): one shuffle on
+    # user_id, never a per-key nested loop. DuckDB's native ASOF JOIN is
+    # the oracle. The view side is pre-aggregated to one row per (user, ts)
+    # so both engines' tie-breaking is vacuously identical.
+    e = Catalog(spark, sf_dir).events
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    return asof_join(
+        clicks, views, on="user_id", left_ts="ts", right_ts="ts",
+        right_values=["value"],
+    ).select("event_id", "user_id", "ts", "matched_ts", "matched_value")
 
 
 # --- §2.10: pandas UDF ≡ built-in expression --------------------------------

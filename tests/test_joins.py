@@ -55,3 +55,47 @@ def test_range_join_matches_naive_theta_join(spark):
     got = {(r.l_id, r.r_id) for r in bucketed.collect()}
     want = {(r.l_id, r.r_id) for r in naive.collect()}
     assert got == want and len(want) > 0
+
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    from pretalx_hub_etl_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, 100), (2, 1, 205), (3, 2, 50)], "event_id long, k long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 90, "a"), (1, 100, "b"), (1, 300, "c"), (2, 60, "d")],
+        "k long, ts long, v string",
+    )
+    out = {
+        r.event_id: (r.matched_ts, r.matched_v)
+        for r in asof_join(left, right, on="k", right_values=["v"]).collect()
+    }
+    # equal ts is inclusive (backward join): event 1 takes the ts=100 row
+    assert out[1] == (100, "b")
+    assert out[2] == (100, "b")
+    # no right row at-or-before ts=50 for k=2 -> NULL match
+    assert out[3] == (None, None)
+
+
+def test_asof_join_tolerance_nulls_stale_matches(spark):
+    from pyspark.sql import functions as F
+
+    from pretalx_hub_etl_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, "2024-01-01 10:00:00"), (2, 1, "2024-01-01 13:00:00")],
+        "event_id long, k long, ts_s string",
+    ).select("event_id", "k", F.to_timestamp("ts_s").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:30:00", 7.0)], "k long, ts_s string, v double"
+    ).select("k", F.to_timestamp("ts_s").alias("ts"), "v")
+    out = {
+        r.event_id: r.matched_v
+        for r in asof_join(
+            left, right, on="k", right_values=["v"],
+            tolerance=F.expr("INTERVAL 1 HOUR"),
+        ).collect()
+    }
+    assert out[1] == 7.0   # 30 min old: within tolerance
+    assert out[2] is None  # 3.5 h old: nulled out

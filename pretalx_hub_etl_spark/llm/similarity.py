@@ -146,6 +146,76 @@ def embedding_near_duplicates(
     )
 
 
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) coarse quantizer.
+
+    The other classic ANN scale path, complementing ``lsh_cosine_topk``:
+
+      1. pick ``n_centroids`` coarse centroids (here: the lowest-id corpus
+         vectors — deterministic for tests; production swaps in MLlib
+         k-means means, the index/search plumbing is identical),
+      2. assign every corpus vector to its nearest centroid — the inverted
+         lists (one broadcast of the centroid set, |corpus|·n_centroids
+         fused dot products, computed once at index build),
+      3. assign each query to its ``n_probe`` nearest centroids and
+         equi-join on centroid_id — only those lists are scanned,
+      4. exact cosine rerank + top-k window.
+
+    At 100 TB the inverted lists are written bucketed/partitioned by
+    centroid_id, so a query probe is a partition-pruned read of
+    n_probe/n_centroids of the corpus, not a full scan.
+    """
+    w0 = Window.orderBy(F.col(id_col).asc())
+    cents = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(n_centroids)
+        .select(
+            F.row_number().over(w0).alias("centroid_id"),
+            F.col(vec_col).alias("__cent"),
+        )
+    )
+
+    def assign(df: DataFrame, idc: str, vec_alias: str, keep: int) -> DataFrame:
+        scored = df.select(F.col(idc), F.col(vec_col).alias(vec_alias)).crossJoin(
+            F.broadcast(cents)
+        )
+        sim = cosine(F.col(vec_alias), F.col("__cent"))
+        wa = Window.partitionBy(idc).orderBy(sim.desc(), F.col("centroid_id").asc())
+        return (
+            scored.withColumn("__r", F.row_number().over(wa))
+            .filter(F.col("__r") <= keep)
+            .select(idc, vec_alias, "centroid_id")
+        )
+
+    lists = assign(corpus, id_col, "__cvec", keep=1)
+    probes = assign(queries, query_id_col, "__qvec", keep=n_probe)
+    scored = (
+        lists.join(F.broadcast(probes), "centroid_id")
+        .select(
+            query_id_col,
+            id_col,
+            F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6).alias("cos_sim"),
+        )
+        .dropDuplicates([query_id_col, id_col])
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )
+
+
 def lsh_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -59,6 +59,44 @@ def term_frequencies(
     )
 
 
+def tfidf(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stopwords: Sequence[str] = DEFAULT_STOPWORDS,
+) -> DataFrame:
+    """Per-(doc, term) tf-idf: ``tf * ln((N+1)/(df+1))``, smoothed.
+
+    Three aggregations, all map-side combined: term counts per doc (tf),
+    doc counts per term (df), and the corpus size N — N and the per-term
+    df are dim-sized, so the final assembly joins broadcast against the
+    (doc, term) fact. The score is fixed-pointed to 6 dp so two engines'
+    ``ln`` (which may differ in the last ulp) hash identically.
+
+    Scale: the (doc, term) fact is the big side (|docs| × avg distinct
+    terms); everything it joins is tiny. One shuffle for tf, one for df.
+    """
+    toks = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term"))
+        .filter(~F.col("term").isin(list(stopwords)))
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = df.agg(F.count(F.lit(1)).alias("n"))
+    idf = F.log((F.col("n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            fixed_point(F.col("tf") * idf, 6).alias("tfidf"),
+        )
+    )
+
+
 def text_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document quality features (length / ratios) appended as columns."""
     toks = tokens(text_col)

@@ -15,6 +15,7 @@ from ..llm.dedup import (
 from ..llm.similarity import (
     brute_force_cosine_topk,
     embedding_near_duplicates,
+    ivf_cosine_topk,
     lsh_cosine_topk,
 )
 from ..llm.text import (
@@ -25,6 +26,7 @@ from ..llm.text import (
     lang_id_scores,
     term_frequencies,
     text_quality,
+    tfidf,
     token_count,
 )
 from . import query
@@ -125,6 +127,31 @@ _STOP_SQL = ", ".join(f"'{w}'" for w in DEFAULT_STOPWORDS)
 def q_text_termfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).documents
     return term_frequencies(d)
+
+
+@query(
+    "q_text_tfidf",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
+        FROM documents
+    ),
+    filt AS (
+        SELECT doc_id, term FROM toks
+        WHERE term <> '' AND term NOT IN ({_STOP_SQL})
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM filt GROUP BY doc_id, term),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n FROM documents)
+    SELECT doc_id, term, tf, df,
+           CAST(floor(tf * ln((n + 1.0) / (df + 1.0)) * 1000000.0 + 0.5)
+                AS BIGINT) / 1000000.0 AS tfidf
+    FROM tf JOIN dfq USING (term), n
+    """,
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    return tfidf(d)
 
 
 @query(
@@ -235,6 +262,18 @@ def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return lsh_cosine_topk(e, queries, k=10, n_bits=6, n_tables=6)
+
+
+@query("q_sim_topk_ivf", oracle=None)
+def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The IVF scale path for q_sim_topk: coarse-quantize the corpus into
+    # inverted lists, probe the 4 nearest of 16 lists per query, exact
+    # rerank. Complements the LSH variant (q_sim_topk_lsh).
+    e = Catalog(spark, sf_dir).embeddings
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_cosine_topk(e, queries, k=10, n_centroids=16, n_probe=4)
 
 
 @query("q_dedup_embed", oracle=None)

@@ -113,6 +113,41 @@ def test_lsh_recall_against_brute_force(spark):
     assert recall >= 0.5  # loose: tiny corpus, few tables
 
 
+def test_ivf_self_match_and_recall(spark):
+    from pretalx_hub_etl_spark.llm.similarity import ivf_cosine_topk
+
+    embs = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").cache()
+    queries = embs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_cosine_topk(embs, queries, k=5)
+    approx = ivf_cosine_topk(embs, queries, k=5, n_centroids=16, n_probe=4)
+    rows = approx.collect()
+    # a query vector always lands in its own probed list -> self is rank 1
+    assert {r.query_id: r.vec_id for r in rows if r.rank == 1} == {
+        i: i for i in range(5)
+    }
+    exact_pairs = {(r.query_id, r.vec_id) for r in exact.collect()}
+    approx_pairs = {(r.query_id, r.vec_id) for r in rows}
+    assert len(exact_pairs & approx_pairs) / len(exact_pairs) >= 0.6
+
+
+def test_tfidf_values(spark):
+    import math
+
+    from pretalx_hub_etl_spark.llm.text import tfidf
+
+    df = spark.createDataFrame(
+        [(1, "spark shuffle spark"), (2, "spark join")], "doc_id long, text string"
+    )
+    out = {(r.doc_id, r.term): (r.tf, r.df, r.tfidf) for r in tfidf(df).collect()}
+    # "spark" appears in both docs (df=2), twice in doc 1 (tf=2)
+    idf_spark = math.log((2 + 1) / (2 + 1))  # = 0
+    assert out[(1, "spark")] == (2, 2, 0.0)
+    idf_join = math.log((2 + 1) / (1 + 1))
+    assert abs(out[(2, "join")][2] - idf_join) < 1e-6
+
+
 def test_fingerprint_order_insensitive(spark):
     df = spark.createDataFrame(
         [(1, "b a c"), (2, "c b a"), (3, "a b d")], "doc_id long, text string"

@@ -24,8 +24,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "q_agg_groupby",        # TPC-H Q1 shape: scan + hash agg
     "q_join_inner",         # fact⋈dim⋈dim join chain
+    "q_tpch_q3",            # 3-way join + agg + top-k
     "q_reconcile_merge",    # flagship full-outer merge
     "q_join_left_firstmatch",  # window dedup + left join
+    "q_join_asof",          # union-sort as-of join
     "q_window_running_sum",  # partitioned running window
     "q_window_topk_per_group",
     "q_stream_tumbling",    # event-time windowed agg
@@ -34,8 +36,10 @@ HEADLINE = [
     "q_fn_math",            # per-row expression throughput
     "q_dedup_exact",        # hash dedup
     "q_text_termfreq",      # explode + agg
+    "q_text_tfidf",         # two-level agg + broadcast assembly
     "q_sim_topk",           # vector brute-force cosine
     "q_dedup_near",         # MinHash-LSH
+    "q_dedup_ngram_jaccard",  # exact Jaccard postings join
 ]
 
 

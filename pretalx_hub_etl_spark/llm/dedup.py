@@ -208,8 +208,11 @@ def ngram_jaccard_pairs(
     shared by half the corpus identifies nothing and would otherwise create
     a quadratic bucket. At 100 TB this cap is mandatory, not tuning.
     """
+    # postings carry the 64-bit gram hash, not the k-word string: the
+    # self-join shuffles 8-byte keys, and pair counts are unchanged up to
+    # same-doc-pair xxhash64 collisions (~|grams|²/2^64, negligible)
     grams = df.select(
-        F.col(id_col).alias("id"), F.explode(_shingles(text_col, k)).alias("g")
+        F.col(id_col).alias("id"), F.explode(_shingle_hashes(text_col, k)).alias("g")
     )
     if max_doc_freq is not None:
         rare = (

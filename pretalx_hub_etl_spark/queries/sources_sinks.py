@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import Catalog
 from ..functions import falsy_coalesce, plural_label
-from ..functions.core import parse_offset_ts
+from ..functions.core import fixed_cents, parse_offset_ts
 from ..sinks import ParquetSink, with_validity
 from ..sources import fixture_schedule, normalize_schedule
 from ..sources.json_doc import schedule_df
@@ -109,6 +109,47 @@ def q_scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partition-column type is re-inferred on read (int) — pin it to long
     return back.filter(F.col("order_year") == 1999).select(
         "o_orderkey", "o_totalprice", F.col("order_year").cast("long").alias("order_year")
+    )
+
+
+# --- bucketed layout: shuffle-free co-located join --------------------------
+
+
+@query(
+    "q_join_bucketed",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) / 100.0 AS lineitem_total
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderkey, o_totalprice
+    """,
+)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pay the shuffle once at write time: both tables bucketed 8-ways on
+    # the order key, then join + groupBy on that key run with ZERO
+    # exchanges (asserted in tests/test_plans.py). At 100 TB this is the
+    # layout for any fact table that joins on the same key repeatedly.
+    from ..operators.bucketing import bucketed_join, write_bucketed
+
+    cat = Catalog(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="phe_bucket_")
+    write_bucketed(
+        cat.orders.select("o_orderkey", "o_totalprice"),
+        "phe_orders_b", ["o_orderkey"], 8, path=os.path.join(base, "orders"),
+    )
+    write_bucketed(
+        cat.lineitem.select(
+            F.col("l_orderkey"), fixed_cents(F.col("l_extendedprice")).alias("cents")
+        ),
+        "phe_lineitem_b", ["l_orderkey"], 8, path=os.path.join(base, "lineitem"),
+    )
+    joined = spark.table("phe_orders_b").join(
+        spark.table("phe_lineitem_b"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    )
+    return joined.groupBy("o_orderkey", "o_totalprice").agg(
+        (F.sum("cents") / F.lit(100.0)).alias("lineitem_total")
     )
 
 

@@ -88,6 +88,24 @@ def test_partition_pruned_scan_has_partition_filters(spark):
     assert any("order_year" in l for l in part_lines)
 
 
+def test_bucketed_join_has_no_exchange(spark):
+    # the point of bucketing: the join and the groupBy on the bucket key
+    # reuse the write-time hash partitioning — zero exchanges in the plan.
+    # At sf0.001 Catalyst would (correctly) broadcast the tiny orders side
+    # instead; disable auto-broadcast to see the at-scale plan, where
+    # neither side of a fact-fact join fits in memory.
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try:
+        plan = plan_of(spark, "q_join_bucketed")
+    finally:
+        spark.conf.set(key, old)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+    assert "SelectedBucketsCount" in plan
+
+
 def test_filter_reaches_parquet_scan(spark):
     plan = plan_of(spark, "q_filter_eq")
     assert "PushedFilters" in plan

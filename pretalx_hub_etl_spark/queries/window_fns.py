@@ -122,3 +122,39 @@ def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 3)
     )
+
+
+@query(
+    "q_window_distribution",
+    oracle="""
+    SELECT event_id, user_id, value,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           nth_value(value, 2) OVER
+               (PARTITION BY user_id ORDER BY value ASC, event_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS second_lowest
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY value ASC, event_id ASC)
+    """,
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # distribution analytics: ntile buckets, percent_rank/cume_dist (exact
+    # integer-ratio doubles — identical IEEE divisions in both engines),
+    # nth_value over the full-partition frame (the default running frame
+    # would return NULL for the first row)
+    e = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.nth_value("value", 2).over(wf).alias("second_lowest"),
+    )

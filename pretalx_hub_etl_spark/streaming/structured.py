@@ -67,6 +67,26 @@ def sessionized_stream(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    watermark: str,
+) -> DataFrame:
+    """Streaming exact dedup (L1, streaming form).
+
+    ``dropDuplicatesWithinWatermark``: keeps the first row per key and
+    drops re-arrivals within the watermark horizon. Unlike plain
+    ``dropDuplicates`` on a stream (whose state grows forever), state here
+    is bounded — keys older than the watermark are evicted, which is the
+    only shape that survives an unbounded 100 TB/day stream. Exactly-once
+    dedup beyond the horizon belongs to the sink's idempotency key.
+    """
+    return events.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     """Drive a streaming DataFrame to completion into an in-memory table.
 

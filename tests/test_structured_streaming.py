@@ -28,7 +28,7 @@ def _stage_dir(spark, tmp_path):
     # stage a small parquet dir as the streaming source (events, µs ts)
     src = (
         spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         .select("event_id", "ts", "user_id", "value")
         .limit(500)
     )
@@ -73,3 +73,37 @@ def test_streaming_session_runs(spark, tmp_path):
     rows = spark.sql("SELECT * FROM t_session").collect()
     assert len(rows) > 0
     assert all(r.window_end > r.window_start for r in rows)
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    from pretalx_hub_etl_spark.streaming.structured import dedup_stream
+
+    src = str(tmp_path / "dedup_src")
+    rows1 = [(1, "2024-01-01 10:00:00", 10, 1.0),
+             (1, "2024-01-01 10:00:30", 10, 2.0),   # dup key in batch 1
+             (2, "2024-01-01 10:01:00", 11, 3.0)]
+    rows2 = [(2, "2024-01-01 10:02:00", 11, 4.0),   # re-arrival in batch 2
+             (3, "2024-01-01 10:03:00", 12, 5.0)]
+
+    def stage(rows, mode):
+        (spark.createDataFrame(rows, "event_id long, ts_s string, user_id long, value double")
+         .select("event_id", F.to_timestamp("ts_s").alias("ts"), "user_id", "value")
+         .coalesce(1).write.mode(mode).parquet(src))
+
+    stage(rows1, "overwrite")
+    stream = (spark.readStream.schema(SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = dedup_stream(stream, keys=["event_id"], ts="ts", watermark="10 minutes")
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("t_dedup").start())
+    try:
+        q.processAllAvailable()
+        stage(rows2, "append")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {r.event_id for r in spark.sql("SELECT * FROM t_dedup").collect()}
+    n = spark.sql("SELECT count(*) AS n FROM t_dedup").first().n
+    assert got == {1, 2, 3}
+    assert n == 3  # each key emitted exactly once despite dup + re-arrival

@@ -3,7 +3,9 @@
 - ``exact_dedup``: hash-groupBy keeping the lowest id — one shuffle on the
   dedup key; at 100 TB, group on ``sha2(text)`` (fixed 64-byte key) instead
   of the raw text so shuffle rows stay small.
-- ``minhash_near_duplicates``: MinHash + LSH banding. Entirely built-in
+- ``minhash_near_duplicates``: MinHash (Broder, "On the resemblance and
+  containment of documents", 1997) + LSH banding (Leskovec/Rajaraman/
+  Ullman, *Mining of Massive Datasets* ch. 3). Entirely built-in
   expressions (xxhash64 with per-function salts; no Python UDFs), so every
   stage is codegen'd:
 

@@ -5,6 +5,8 @@
   (JVM-side, no Python), top-k per query via the standard window trick.
   Linear in |corpus| × |queries|; right whenever queries are few.
 - ``lsh_cosine_topk``: the scale path — random-hyperplane LSH bucketing
+  (Charikar, "Similarity estimation techniques from rounding algorithms",
+  STOC 2002)
   (sign-bit signatures from seeded xxhash64-derived pseudo-random planes):
   corpus and queries land in hash buckets, candidates are an equi-join on
   the bucket key, then exact rerank. Sub-linear candidate sets at 100 TB,
@@ -157,6 +159,10 @@ def ivf_cosine_topk(
     n_probe: int = 4,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) coarse quantizer.
+
+    The structure popularized by FAISS's IVF indexes (Johnson/Douze/Jégou,
+    "Billion-scale similarity search with GPUs", 2017), re-expressed as
+    DataFrame joins.
 
     The other classic ANN scale path, complementing ``lsh_cosine_topk``:
 

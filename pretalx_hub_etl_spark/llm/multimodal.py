@@ -82,6 +82,97 @@ def decode_features(
     return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
 
 
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    strict: bool = False,
+) -> DataFrame:
+    """Executor-side image resize via ``mapInPandas`` (1:1 rows).
+
+    STUB codec (PIL belongs at the marked line); output carries the new
+    payload bytes plus updated width/height metadata. Batch shape, output
+    schema, and binary round-tripping are real.
+    """
+    out_schema = f"{id_col} long, payload binary, width int, height int"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError("real resize requires an image codec")
+            out = []
+            for payload in pdf[payload_col]:
+                raw = bytes(payload) if payload is not None else b""
+                # STUB: real code is Image.open(io.BytesIO(raw)).resize(...)
+                out.append(hashlib.sha256(raw + f"{width}x{height}".encode()).digest())
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "payload": out,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_ms: int,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    duration_col: str = "duration_ms",
+    strict: bool = False,
+) -> DataFrame:
+    """Video -> frames via ``mapInPandas`` (1:N row expansion).
+
+    One input row fans out to ``floor(duration/every_ms)+1`` frame rows
+    (frame_idx, frame_ts_ms, frame payload) — the row-expanding UDF shape
+    (decoders that EMIT rows, not just map them). The frame enumeration is
+    metadata-driven, so it has an exact SQL oracle; only the stub frame
+    bytes are codec territory.
+    """
+    out_schema = (
+        f"{id_col} long, frame_idx long, frame_ts_ms long, payload binary"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError("real frame sampling requires a video codec")
+            ids, idxs, tss, payloads = [], [], [], []
+            for mid, payload, dur in zip(
+                pdf[id_col], pdf[payload_col], pdf[duration_col]
+            ):
+                raw = bytes(payload) if payload is not None else b""
+                n = int(dur) // every_ms + 1
+                for i in range(n):
+                    ids.append(int(mid))
+                    idxs.append(i)
+                    tss.append(i * every_ms)
+                    # STUB: real code seeks to ts and decodes one frame
+                    payloads.append(hashlib.sha256(raw + i.to_bytes(4, "big")).digest())
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_ts_ms": pd.Series(tss, dtype="int64"),
+                    "payload": payloads,
+                }
+            )
+
+    return df.select(id_col, payload_col, duration_col).mapInPandas(
+        run, schema=out_schema
+    )
+
+
 def multimodal_record(docs: DataFrame, embs: DataFrame) -> DataFrame:
     """documents ⋈ embeddings -> one struct-typed multimodal record per doc.
 

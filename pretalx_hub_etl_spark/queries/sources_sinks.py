@@ -195,6 +195,36 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- multimodal frame sampling (1:N row-expanding pandas UDF) ---------------
+
+
+@query(
+    "q_multimodal_frames",
+    oracle="""
+    WITH media AS (
+        SELECT doc_id AS media_id, (doc_id % 10) * 500 + 1000 AS duration_ms
+        FROM documents
+    )
+    SELECT media_id, CAST(i AS BIGINT) AS frame_idx,
+           CAST(i * 400 AS BIGINT) AS frame_ts_ms
+    FROM media, unnest(range(0, duration_ms // 400 + 1)) AS t(i)
+    """,
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # video -> frame rows: the frame enumeration (metadata-driven 1:N
+    # expansion inside mapInPandas) hash-matches a generate_series oracle;
+    # the stub frame payload itself is codec territory and is dropped here.
+    from ..llm.multimodal import attach_fake_media, sample_frames
+
+    docs = Catalog(spark, sf_dir).documents.select(
+        F.col("doc_id").alias("media_id"),
+        ((F.col("doc_id") % 10) * 500 + 1000).cast("long").alias("duration_ms"),
+    )
+    media = attach_fake_media(docs, "media_id")
+    frames = sample_frames(media, every_ms=400)
+    return frames.select("media_id", "frame_idx", "frame_ts_ms")
+
+
 # --- S5: pre-sink validation / dead-letter split ----------------------------
 
 

@@ -165,6 +165,27 @@ def test_lang_id_picks_marker_language(spark):
     assert out == {1: "de", 2: "en"}
 
 
+def test_multimodal_resize_and_frames(spark):
+    from pretalx_hub_etl_spark.llm.multimodal import resize_images, sample_frames
+
+    docs = spark.range(4).withColumnRenamed("id", "media_id")
+    media = attach_fake_media(docs, "media_id").withColumn(
+        "duration_ms", (F.col("media_id") * 1000 + 500).cast("long")
+    )
+    resized = resize_images(media, 64, 64).collect()
+    assert len(resized) == 4
+    assert all(r.width == 64 and len(r.payload) == 32 for r in resized)
+
+    frames = sample_frames(media, every_ms=1000).collect()
+    # media i has duration i*1000+500 -> i+1 frames at 0,1000,...,i*1000
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r.media_id, []).append(r.frame_ts_ms)
+    assert {m: sorted(ts) for m, ts in by_id.items()} == {
+        i: [j * 1000 for j in range(i + 1)] for i in range(4)
+    }
+
+
 def test_multimodal_decode_plumbing(spark):
     docs = spark.range(10).withColumnRenamed("id", "media_id")
     media = attach_fake_media(docs, "media_id")

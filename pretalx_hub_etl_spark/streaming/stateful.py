@@ -33,6 +33,52 @@ def _update(
     yield pd.DataFrame({"key": [key[0]], "n": [n], "total": [round(total, 2)]})
 
 
+UPSERT_OUTPUT_SCHEMA = "key bigint, value double, op_flag string"
+UPSERT_STATE_SCHEMA = "last_value double"
+
+
+def _upsert(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    if rows.empty:
+        return
+    new = float(rows["value"].iloc[-1])  # last arrival in-batch wins
+    if not state.exists:
+        flag = "create"
+    elif float(state.get[0]) != new:
+        flag = "update"
+    else:
+        flag = "noop"
+    state.update((new,))
+    yield pd.DataFrame({"key": [key[0]], "value": [new], "op_flag": [flag]})
+
+
+def upsert_flags(stream_df: DataFrame, key_col: str, value_col: str) -> DataFrame:
+    """Streaming reconcile (ST5, streaming form): per-key create/update/noop.
+
+    The batch flagship (``operators.reconcile``) recomputes the whole
+    create/update/delete plan against a target snapshot; this is the
+    incremental form — per-key state holds the last applied value, each
+    micro-batch emits the op the sink should perform for keys that
+    arrived. State is one scalar per key, partitioned by key.
+
+    Deletes are intentionally absent: a stream can't observe absence —
+    deletion arrives as an explicit tombstone event (handle upstream) or
+    via a periodic batch anti-join sweep against the full snapshot.
+    """
+    prepared = stream_df.selectExpr(
+        f"{key_col} AS key", f"CAST({value_col} AS DOUBLE) AS value"
+    )
+    return prepared.groupBy("key").applyInPandasWithState(
+        _upsert,
+        outputStructType=UPSERT_OUTPUT_SCHEMA,
+        stateStructType=UPSERT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def running_totals(stream_df: DataFrame, key_col: str, value_col: str) -> DataFrame:
     """Per-key running (count, sum) across micro-batches.
 

@@ -66,3 +66,48 @@ def test_running_totals_accumulates_across_batches(spark, tmp_path):
     assert got[1] == (4, 17.0)
     assert got[2] == (1, 1.0)
     assert got[3] == (1, 7.0)
+
+
+def test_upsert_flags_across_batches(spark, tmp_path):
+    from pretalx_hub_etl_spark.streaming.stateful import upsert_flags
+
+    src = str(tmp_path / "upsert_src")
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.DoubleType())]
+    )
+
+    def stage(rows, mode):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(mode).parquet(src)
+
+    stage([(1, 1.0), (2, 2.0)], "overwrite")
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        upsert_flags(stream, "k", "v")
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_upsert")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {
+            r.key: r.op_flag for r in spark.sql("SELECT * FROM t_upsert").collect()
+        }
+        # batch 2: k1 unchanged, k2 new value, k3 first seen
+        stage([(1, 1.0), (2, 3.0), (3, 9.0)], "append")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert first == {1: "create", 2: "create"}
+    rows = spark.sql(
+        "SELECT * FROM t_upsert ORDER BY key, op_flag"
+    ).collect()
+    latest = {}
+    for r in rows:
+        latest.setdefault(r.key, []).append((r.op_flag, r.value))
+    assert ("noop", 1.0) in latest[1]
+    assert ("update", 3.0) in latest[2]
+    assert latest[3] == [("create", 9.0)]

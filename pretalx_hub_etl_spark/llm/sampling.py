@@ -1,0 +1,65 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Corpus subsampling at 100 TB must be (a) a pure per-row filter — no
+shuffle, no driver round-trip, fully pushed into the scan stage — and
+(b) reproducible across reruns and engines (a training set that changes
+under retry is a silent experiment-killer). Both operators therefore
+sample by hashing a stable id into [0, denom) and keeping rows under a
+cutoff, instead of `df.sample()` (whose output depends on partitioning).
+
+``mode="hash"`` (default) uses xxhash64 — decorrelated from id assignment
+order. ``mode="modulo"`` uses `id % denom` — correlated with sequential
+ids but expressible in ANSI SQL, which is what the DuckDB-oracle parity
+checks exercise.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_DENOM = 10_000
+
+
+def _slot(id_col: str, mode: str, seed: int) -> Column:
+    if mode == "hash":
+        return F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(_DENOM))
+    if mode == "modulo":
+        return F.pmod(F.col(id_col) + F.lit(seed), F.lit(_DENOM))
+    raise ValueError(f"unknown sampling mode {mode!r}")
+
+
+def deterministic_sample(
+    df: DataFrame,
+    fraction: float,
+    id_col: str,
+    mode: str = "hash",
+    seed: int = 0,
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, decided per row from a stable id."""
+    return df.filter(_slot(id_col, mode, seed) < int(fraction * _DENOM))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    id_col: str,
+    default_fraction: float = 0.0,
+    mode: str = "hash",
+    seed: int = 0,
+) -> DataFrame:
+    """Per-stratum sampling fractions (e.g. rebalance a corpus by lang).
+
+    One CASE expression per stratum — still a pure filter; no groupBy, no
+    `sampleBy` (which is partitioning-dependent). Strata absent from
+    ``fractions`` fall back to ``default_fraction``.
+    """
+    cutoff: Column = F.lit(int(default_fraction * _DENOM))
+    for value, frac in sorted(fractions.items()):
+        cutoff = F.when(
+            F.col(strata_col) == value, F.lit(int(frac * _DENOM))
+        ).otherwise(cutoff)
+    return df.filter(_slot(id_col, mode, seed) < cutoff)

@@ -286,6 +286,37 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_duplicates(e, cosine_threshold=0.3, n_bits=4, n_tables=8)
 
 
+# --- sampling: deterministic corpus subsample + per-lang rebalance ----------
+
+
+@query(
+    "q_sample_stratified",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE (doc_id % 10000) < CASE lang
+        WHEN 'en' THEN 2500
+        WHEN 'zh' THEN 8000
+        ELSE 5000 END
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rebalance by language: downsample dominant 'en', upweight 'zh'.
+    # modulo mode keeps the oracle ANSI-expressible; production uses the
+    # hash mode (same plan shape — one pure filter, pushed to the scan).
+    from ..llm.sampling import stratified_sample
+
+    d = Catalog(spark, sf_dir).documents
+    return stratified_sample(
+        d,
+        strata_col="lang",
+        fractions={"en": 0.25, "zh": 0.8},
+        id_col="doc_id",
+        default_fraction=0.5,
+        mode="modulo",
+    ).select("doc_id", "lang")
+
+
 # --- L4b: language-ID heuristic (oracle: marker-count argmax in SQL) --------
 
 _LANGS = sorted(LANG_MARKERS)

@@ -196,3 +196,27 @@ def test_multimodal_decode_plumbing(spark):
     # deterministic across runs
     again = {r.media_id: r.features for r in decode_features(media, n_features=4).collect()}
     assert all(again[r.media_id] == r.features for r in rows)
+
+
+def test_deterministic_sample_stable_and_sized(spark):
+    from pretalx_hub_etl_spark.llm.sampling import (
+        deterministic_sample,
+        stratified_sample,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    a = deterministic_sample(docs, 0.3, "doc_id").select("doc_id").collect()
+    b = deterministic_sample(docs, 0.3, "doc_id").select("doc_id").collect()
+    assert sorted(r.doc_id for r in a) == sorted(r.doc_id for r in b)
+    n, total = len(a), docs.count()
+    assert 0.15 * total < n < 0.45 * total  # loose: hash-binomial spread
+    # nested property: a smaller fraction with the same seed is a subset
+    small = {r.doc_id for r in
+             deterministic_sample(docs, 0.1, "doc_id").select("doc_id").collect()}
+    assert small <= {r.doc_id for r in a}
+
+    strat = stratified_sample(
+        docs, "lang", {"en": 0.0}, "doc_id", default_fraction=1.0
+    )
+    assert strat.filter(F.col("lang") == "en").count() == 0
+    assert strat.count() == docs.filter(F.col("lang") != "en").count()

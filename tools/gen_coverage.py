@@ -98,6 +98,7 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
           "q_text_fingerprint", "q_text_langid"]),
         ("L5", "multimodal columns",
          ["q_multimodal_join", "q_multimodal_decode", "q_multimodal_frames"]),
+        ("L6", "deterministic / stratified sampling", ["q_sample_stratified"]),
     ]),
     ("TPC-H composite shapes", [
         ("Q", "multi-way join/agg/subquery plans",

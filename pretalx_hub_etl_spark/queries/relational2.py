@@ -221,3 +221,56 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("l_quantity", F.lit(0.5)).alias("p50"),
         F.percentile("l_quantity", F.lit(0.75)).alias("p75"),
     )
+
+
+# --- sequence analytics: ordered funnel over events --------------------------
+
+
+@query(
+    "q_funnel",
+    oracle="""
+    WITH v AS (SELECT user_id, min(ts) AS view_ts
+               FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS click_ts
+          FROM events e JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > v.view_ts
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS purchase_ts
+          FROM events e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+          GROUP BY e.user_id)
+    SELECT v.user_id, view_ts, click_ts, purchase_ts
+    FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ordered-sequence funnel: first view, first click AFTER that view,
+    # first purchase AFTER that click, per user. Each stage is one
+    # filtered aggregation joined back on user_id — every join/agg hashes
+    # on the same key, so at scale the whole funnel runs in one partition
+    # layout (and stage tables shrink monotonically).
+    e = Catalog(spark, sf_dir).events
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select("user_id", "view_ts", "click_ts", "purchase_ts")
+    )

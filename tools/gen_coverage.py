@@ -104,6 +104,7 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
         ("Q", "multi-way join/agg/subquery plans",
          ["q_tpch_q3", "q_tpch_q5", "q_tpch_q6", "q_tpch_q10", "q_tpch_q14",
           "q_tpch_q17", "q_tpch_q18"]),
+        ("SEQ", "ordered-sequence funnel analytics", ["q_funnel"]),
     ]),
 ]
 

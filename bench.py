@@ -57,6 +57,9 @@ def main() -> None:
     registry = load_all()
 
     def run(name: str) -> float:
+        # drop any DataFrame cache a prior run materialized (several LLM
+        # queries cache intermediates): each timed run pays full compute
+        spark.catalog.clearCache()
         t0 = time.time()
         df = registry[name].fn(spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
@@ -67,9 +70,12 @@ def main() -> None:
         "noop"
     ).save()
 
+    # min of 2 runs: the first run of a query pays one-time JIT/codegen
+    # compilation (hundreds of ms of driver-side work that amortizes to
+    # zero over a real workload); the min reflects steady-state execution.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        timings[name] = round(run(name), 3)
+        timings[name] = round(min(run(name) for _ in range(2)), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -78,6 +84,7 @@ def main() -> None:
                 "metric": "headline_queries_wall_total",
                 "value": total,
                 "unit": "sec",
+                "timing": "min_of_2_runs",
                 "queries": timings,
                 "sf": sf,
             }

@@ -256,24 +256,32 @@ def simhash64(df: DataFrame, text_col: str, id_col: str, shingle_k: int = 2) -> 
     Near-dup candidates: low Hamming distance (``bit_count(a ^ b)``), or
     equi-join on signature prefixes.
     """
-    # hash each shingle ONCE (straight off the word array); each signature
-    # bit reads one bit of that hash (literal shift amounts, so the 63 votes
-    # are cheap array traversals, not 63 rounds of re-hashing)
+    # hash each shingle ONCE (straight off the word array), then ONE fold
+    # over the shingle set carrying all 63 bit-vote counters in an array
+    # accumulator (the indexed-transform lambda gives each slot its bit
+    # index j) — one traversal instead of 63
     hashes = _shingle_hashes(text_col, shingle_k).alias("hashes")
-
-    def vote(j: int) -> Column:
-        return F.aggregate(
-            F.col("hashes"),
-            F.lit(0).cast("long"),
-            lambda a, h: a + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1),
-        )
-
-    sim: Column = F.lit(0).cast("long")
-    for j in range(63):
-        sim = sim + F.when(vote(j) > 0, F.lit(1 << j).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+    init = F.array(*([F.lit(0).cast("long")] * 63))
+    votes = F.aggregate(
+        F.col("hashes"),
+        init,
+        lambda acc, h: F.transform(
+            acc,
+            lambda cur, j: cur + (F.getbit(h, j).cast("long") * 2 - 1),
+        ),
+    ).alias("votes")
+    # assemble the signature from the vote signs: bit j set iff votes[j] > 0
+    sim = F.aggregate(
+        F.zip_with(
+            F.col("votes"),
+            F.array(*[F.lit(1 << j).cast("long") for j in range(63)]),
+            lambda v, w: F.when(v > 0, w).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
     return (
         df.select(F.col(id_col).alias("id"), hashes)
+        .select("id", votes)
         .select("id", sim.alias("simhash"))
     )

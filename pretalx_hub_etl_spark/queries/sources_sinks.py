@@ -17,11 +17,34 @@ from ..sources.json_doc import schedule_df
 from ..sources.paginated import n_pages_for, parquet_page_reader, read_paginated
 from . import query
 
-# --- S1: JSON document normalize (rows-only: fixture doc, no table oracle) --
+# --- S1: JSON document normalize (golden-row oracle: fixture in, plan out) --
 
 
-@query("q_scan_json_normalize", oracle=None)
+@query(
+    "q_scan_json_normalize",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('Opening Keynote', 1, 'welcome talk', 'Speaker: Speaker Number 0',
+       TIMESTAMP '2026-08-01 09:00:00', '00:30', 'TALK-A'),
+      ('Duplicate Code Talk', 1, 'dup', 'Speaker: Speaker Number 6',
+       TIMESTAMP '2026-08-01 11:00:00', '00:30', 'TALK-A'),
+      ('', 2, '', 'Speakers: Speaker Number 1, Speaker Number 2',
+       TIMESTAMP '2026-08-01 10:00:00', '01:00', 'TALK-B'),
+      ('Workshop', 3, '',
+       'Speakers: Speaker Number 3, Speaker Number 4, Speaker Number 5',
+       TIMESTAMP '2026-08-01 10:15:00', '00:45', ''),
+      ('Closing', 2, 'bye', 'Speaker: Speaker Number 7',
+       TIMESTAMP '2026-08-02 09:30:00', '00:15', 'talk-c')
+    ) AS t(name, room_id, abstract, description_en, schedule_start,
+           duration, tags)
+    """,
+)
 def q_scan_json_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The oracle is the GOLDEN OUTPUT for the fixture schedule: it pins
+    # every surveyed edge case end-to-end — falsy-coalesce of null/empty
+    # title/abstract/code (main.py:116,122,132), both %z offset spellings
+    # normalized to UTC (main.py:128), singular/plural speaker labels
+    # (main.py:125-127), and speaker-code resolution (main.py:123).
     doc = schedule_df(spark, fixture_schedule())
     speakers, talks = normalize_schedule(doc)
     # Resolve speaker codes -> names via broadcast join (the reference's

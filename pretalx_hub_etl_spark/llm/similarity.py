@@ -20,8 +20,13 @@ from pyspark.sql import functions as F
 
 
 def _dot(a: Column, b: Column) -> Column:
+    # cast to double BEFORE multiplying: float32 products lose bits the
+    # accumulator can't recover, and the all-double fold is bitwise
+    # reproducible against DuckDB's list_dot_product(DOUBLE[], DOUBLE[])
+    # (verified exact over the corpus) — which is what lets the
+    # brute-force query carry a full value-hash oracle
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0).cast("double"),
         lambda acc, v: acc + v,
     )
@@ -46,6 +51,8 @@ def brute_force_cosine_topk(
     k: int = 10,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query (query side broadcast)."""
+    from ..functions.core import fixed_point
+
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("__qvec")
     )
@@ -53,7 +60,9 @@ def brute_force_cosine_topk(
     scored = c.crossJoin(F.broadcast(q)).select(
         query_id_col,
         id_col,
-        F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6).alias("cos_sim"),
+        # fixed_point, not round(): the quantized value is compared (and
+        # ranked) identically in the DuckDB oracle
+        fixed_point(cosine(F.col("__qvec"), F.col("__cvec")), 6).alias("cos_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cos_sim").desc(), F.col(id_col).asc()

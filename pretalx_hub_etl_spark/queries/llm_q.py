@@ -101,8 +101,37 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- L3: similarity search (rows-only: float ordering tolerance) ------------
 
 
-@query("q_sim_topk", oracle=None)
+_COS_SQL = (
+    "list_dot_product(CAST(qe AS DOUBLE[]), CAST(embedding AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST(qe AS DOUBLE[]), CAST(qe AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),"
+    " CAST(embedding AS DOUBLE[]))))"
+)
+
+
+@query(
+    "q_sim_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+               FROM embeddings WHERE vec_id < 5),
+    scored AS (
+        SELECT query_id, vec_id,
+               CAST(floor({_COS_SQL} * 1000000.0 + 0.5) AS BIGINT)
+                   / 1000000.0 AS cos_sim
+        FROM embeddings, q
+    )
+    SELECT query_id, vec_id, cos_sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id ASC)
+                AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= 10
+    """,
+)
 def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # full value-hash oracle: the all-double dot-product fold is bitwise
+    # identical to DuckDB's list_dot_product (verified over the corpus),
+    # so even the quantized cosines and the resulting ranking hash-match.
     e = Catalog(spark, sf_dir).embeddings
     queries = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"

@@ -179,10 +179,23 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- F8: map functions (rows-only: DuckDB MAP semantics differ) -------------
+# --- F8: map functions (oracle: CASE mapping — the output is scalar) --------
 
 
-@query("q_fn_map", oracle=None)
+@query(
+    "q_fn_map",
+    oracle="""
+    SELECT n_nationkey,
+           CASE n_regionkey
+               WHEN 0 THEN 'Room Zero'
+               WHEN 1 THEN 'Room One'
+               WHEN 2 THEN 'Room Two'
+               WHEN 3 THEN 'Room Three'
+               WHEN 4 THEN 'Room Four'
+           END AS room_name
+    FROM nation
+    """,
+)
 def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     # strict_map_lookup replicates the reference's MAP_ROOMS dict lookup
     # (KeyError-on-miss under ANSI mode; settings.py.template:7-11).

@@ -197,11 +197,35 @@ def q_sink_roundtrip_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(schema).option("header", True).csv(out)
 
 
-# --- multimodal decode plumbing (rows-only; stubbed codec) ------------------
+# --- multimodal decode plumbing (stub codec is sha256 -> SQL-reproducible) --
+
+_FEATURE_TERMS = "\n       + ".join(
+    f"CAST(('0x' || substr(hx, {2 * i + 1}, 2)) AS INTEGER) / 255.0"
+    for i in range(8)
+)
 
 
-@query("q_multimodal_decode", oracle=None)
+@query(
+    "q_multimodal_decode",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id AS media_id,
+               sha256('mediabytes:' || CAST(doc_id AS VARCHAR)) AS hx
+        FROM documents
+    )
+    SELECT media_id, CAST(8 AS BIGINT) AS n_features,
+           CAST(floor((
+             {_FEATURE_TERMS}
+           ) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS feature_sum
+    FROM h
+    """,
+)
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Even the STUB codec is oracle-checked: the fake feature vector is
+    # sha256-derived, which DuckDB reproduces byte-for-byte (hex-pair
+    # extraction in the oracle), so the Arrow round-trip through
+    # mapInPandas is verified end-to-end, not just row-counted.
+    from ..functions.core import fixed_point
     from ..llm.multimodal import attach_fake_media, decode_features
 
     docs = Catalog(spark, sf_dir).documents.select(
@@ -212,9 +236,9 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "media_id",
         F.size("features").cast("long").alias("n_features"),
-        F.round(F.aggregate("features", F.lit(0.0), lambda a, v: a + v), 6).alias(
-            "feature_sum"
-        ),
+        fixed_point(
+            F.aggregate("features", F.lit(0.0), lambda a, v: a + v), 6
+        ).alias("feature_sum"),
     )
 
 

@@ -260,3 +260,60 @@ def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.get_json_object("props", "$.k").cast("long").alias("k"),
     )
+
+
+# --- F11: regex functions (extract / global replace / match predicate) ------
+
+
+@query(
+    "q_fn_regex",
+    oracle=r"""
+    SELECT c_custkey,
+           regexp_extract(c_name, '#(0*)([0-9]+)$', 2) AS cust_num,
+           regexp_replace(c_name, '[aeiou]', '_', 'g') AS consonants,
+           regexp_matches(c_name, '^Customer#0{6}') AS low_id
+    FROM customer
+    """,
+)
+def q_fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Java regex (Spark) and RE2 (DuckDB) agree on this pattern subset;
+    # note DuckDB regexp_replace needs the 'g' flag to match Spark's
+    # replace-all semantics.
+    c = Catalog(spark, sf_dir).customer
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"#(0*)([0-9]+)$", 2).alias("cust_num"),
+        F.regexp_replace("c_name", "[aeiou]", "_").alias("consonants"),
+        F.col("c_name").rlike("^Customer#0{6}").alias("low_id"),
+    )
+
+
+# --- A8: collect_list / collect_set (sorted for determinism) ----------------
+
+
+@query(
+    "q_agg_collect",
+    oracle="""
+    SELECT n_nationkey,
+           list_sort(list_distinct(list(c_mktsegment))) AS segments,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_nationkey
+    """,
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # collect_set is unordered (partition-dependent): sort_array makes the
+    # output deterministic — the only way an array-valued aggregate can be
+    # value-hash compared (or safely consumed downstream) at all.
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.customer.join(
+            F.broadcast(cat.nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_nationkey")
+        .agg(
+            F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )

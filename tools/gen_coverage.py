@@ -49,6 +49,7 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
         ("A6", "conditional aggregation", ["q_agg_conditional"]),
         ("A7", "percentiles / pivot / unpivot",
          ["q_agg_percentile", "q_pivot", "q_unpivot"]),
+        ("A8", "array-valued aggregates (sorted collect)", ["q_agg_collect"]),
     ]),
     ("2.5 Window functions", [
         ("W1", "ranking", ["q_window_rank"]),
@@ -75,6 +76,7 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
         ("F7-F8", "array / map ops", ["q_fn_array", "q_fn_map"]),
         ("F9", "math (pricing expressions)", ["q_fn_math"]),
         ("F10", "JSON access", ["q_fn_json"]),
+        ("F11", "regex extract / replace / match", ["q_fn_regex"]),
     ]),
     ("2.9 Streaming-shaped", [
         ("ST1", "tumbling window", ["q_stream_tumbling"]),

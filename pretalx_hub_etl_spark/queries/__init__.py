@@ -48,6 +48,7 @@ def load_all() -> dict[str, QuerySpec]:
     """Import every query module (side effect: registry population)."""
     from . import (  # noqa: F401
         llm_q,
+        pipeline_q,
         reconcile_q,
         relational,
         relational2,

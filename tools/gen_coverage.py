@@ -101,6 +101,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
         ("L5", "multimodal columns",
          ["q_multimodal_join", "q_multimodal_decode", "q_multimodal_frames"]),
         ("L6", "deterministic / stratified sampling", ["q_sample_stratified"]),
+        ("L7", "end-to-end curation pipeline (quality -> dedup -> near-dup"
+               " -> rebalance)", ["q_pipeline_curation"]),
     ]),
     ("TPC-H composite shapes", [
         ("Q", "multi-way join/agg/subquery plans",

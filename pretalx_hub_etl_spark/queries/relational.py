@@ -489,3 +489,28 @@ def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
     b = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_nationkey")
     return a.exceptAll(b)
+
+
+@query(
+    "q_filter_null_safe",
+    oracle="""
+    SELECT doc_id,
+           nullif(lang, 'en') AS lang_or_null,
+           nullif(lang, 'en') IS NOT DISTINCT FROM NULL AS en_bucket,
+           nullif(lang, 'en') IS NOT DISTINCT FROM 'de' AS de_bucket
+    FROM documents
+    WHERE nullif(lang, 'en') IS DISTINCT FROM 'fr'
+    """,
+)
+def q_filter_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # null-safe equality (<=> / IS NOT DISTINCT FROM): NULL <=> NULL is
+    # TRUE, never NULL — the semantics plain '=' can't express and the
+    # reference's Python '==' has implicitly (None == None)
+    d = Catalog(spark, sf_dir).documents
+    lang_or_null = F.nullif(F.col("lang"), F.lit("en"))
+    return d.select(
+        "doc_id",
+        lang_or_null.alias("lang_or_null"),
+        lang_or_null.eqNullSafe(F.lit(None)).alias("en_bucket"),
+        lang_or_null.eqNullSafe(F.lit("de")).alias("de_bucket"),
+    ).filter(~lang_or_null.eqNullSafe(F.lit("fr")))

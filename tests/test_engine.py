@@ -45,3 +45,15 @@ def test_foreach_partition_write(spark, tmp_path):
         seen.extend(int(x) for x in f.read_text().split())
     assert sorted(seen) == list(range(100))
     assert len(list(out_dir.iterdir())) == 4  # one writer per partition
+
+
+def test_approx_count_distinct_within_rsd(spark):
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    exact = li.select(F.countDistinct("l_orderkey")).first()[0]
+    approx = li.select(
+        F.approx_count_distinct("l_orderkey", rsd=0.05)
+    ).first()[0]
+    # HLL++ at rsd=0.05: allow 3 sigma
+    assert abs(approx - exact) / exact <= 0.15

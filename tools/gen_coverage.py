@@ -29,7 +29,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
         ("P1", "projection + rename", ["q_project_rename"]),
         ("P2", "literal columns", ["q_project_literals"]),
         ("P3", "falsy-coalesce (Python `or` semantics)", ["q_coalesce_falsy"]),
-        ("P4", "filters / predicates", ["q_filter_eq", "q_filter_compound"]),
+        ("P4", "filters / predicates",
+         ["q_filter_eq", "q_filter_compound", "q_filter_null_safe"]),
     ]),
     ("2.3 Joins", [
         ("J1", "broadcast lookup join", ["q_join_broadcast_lookup"]),

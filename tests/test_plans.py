@@ -106,6 +106,34 @@ def test_bucketed_join_has_no_exchange(spark):
     assert "SelectedBucketsCount" in plan
 
 
+# Queries whose plan INTENTIONALLY contains a nested-loop/cross join: in
+# each, the broadcast side is constant-size (a query set, 16 centroids, a
+# 1-row aggregate), so the "nested loop" is a linear pass, not quadratic.
+NESTED_LOOP_ALLOWED = {
+    "q_sim_topk",          # brute-force baseline: corpus × broadcast queries
+    "q_sim_topk_ivf",      # centroid assignment: corpus × broadcast(16)
+    "q_stream_late_filter",  # max(ts) as a 1-row broadcast
+    "q_text_tfidf",        # corpus size N as a 1-row broadcast
+}
+
+
+def test_no_accidental_quadratic_joins(spark):
+    # sweep EVERY declared query's physical plan: a CartesianProduct or an
+    # unlisted BroadcastNestedLoopJoin is an accidental O(n·m) plan that
+    # small-SF correctness runs would never catch
+    flagged = {}
+    for name in sorted(load_all()):
+        plan = plan_of(spark, name)
+        hits = [
+            m
+            for m in ("CartesianProduct", "BroadcastNestedLoopJoin")
+            if m in plan
+        ]
+        if hits and name not in NESTED_LOOP_ALLOWED:
+            flagged[name] = hits
+    assert not flagged, f"accidental quadratic join plans: {flagged}"
+
+
 def test_filter_reaches_parquet_scan(spark):
     plan = plan_of(spark, "q_filter_eq")
     assert "PushedFilters" in plan

@@ -111,3 +111,36 @@ def test_upsert_flags_across_batches(spark, tmp_path):
     assert ("noop", 1.0) in latest[1]
     assert ("update", 3.0) in latest[2]
     assert latest[3] == [("create", 9.0)]
+
+
+def test_salted_two_level_agg_matches_plain_groupby(spark):
+    from pretalx_hub_etl_spark.operators.agg import salted_two_level_agg
+
+    # 90% of rows share key 7 (the skew case the operator exists for)
+    df = spark.range(2000).select(
+        F.when(F.col("id") % 10 != 0, F.lit(7)).otherwise(F.col("id")).alias("k"),
+        (F.col("id") % 100).cast("long").alias("v"),
+    )
+    salted = salted_two_level_agg(
+        df, ["k"],
+        {"total": ("sum", "v"), "n": ("count", "v"),
+         "lo": ("min", "v"), "hi": ("max", "v")},
+        salt_buckets=8,
+    )
+    plain = df.groupBy("k").agg(
+        F.sum("v").alias("total"), F.count(F.lit(1)).alias("n"),
+        F.min("v").alias("lo"), F.max("v").alias("hi"),
+    )
+    got = {r.k: (r.total, r.n, r.lo, r.hi) for r in salted.collect()}
+    want = {r.k: (r.total, r.n, r.lo, r.hi) for r in plain.collect()}
+    assert got == want
+
+
+def test_salted_two_level_agg_rejects_holistic(spark):
+    import pytest
+
+    from pretalx_hub_etl_spark.operators.agg import salted_two_level_agg
+
+    df = spark.range(10).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    with pytest.raises(ValueError, match="non-algebraic"):
+        salted_two_level_agg(df, ["k"], {"m": ("median", "v")})

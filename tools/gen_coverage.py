@@ -121,6 +121,8 @@ TESTED_ONLY = [
     ("streaming dedup", "dropDuplicatesWithinWatermark",
      "streaming/structured.py (tests/test_structured_streaming.py)"),
     ("skew salting", "salted_join", "operators/joins.py (tests/test_stateful_salted.py)"),
+    ("skew-resistant agg", "salted_two_level_agg",
+     "operators/agg.py (tests/test_stateful_salted.py)"),
     ("multimodal resize", "resize_images (stub codec)",
      "llm/multimodal.py (tests/test_llm.py)"),
     ("e2e pipeline", "pretalx schedule -> reconcile plan",

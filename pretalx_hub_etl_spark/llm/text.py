@@ -68,13 +68,16 @@ def tfidf(
     """Per-(doc, term) tf-idf: ``tf * ln((N+1)/(df+1))``, smoothed.
 
     Three aggregations, all map-side combined: term counts per doc (tf),
-    doc counts per term (df), and the corpus size N — N and the per-term
-    df are dim-sized, so the final assembly joins broadcast against the
-    (doc, term) fact. The score is fixed-pointed to 6 dp so two engines'
-    ``ln`` (which may differ in the last ulp) hash identically.
+    doc counts per term (df), and the corpus size N (a 1-row broadcast).
+    The score is fixed-pointed to 6 dp so two engines' ``ln`` (which may
+    differ in the last ulp) hash identically.
 
     Scale: the (doc, term) fact is the big side (|docs| × avg distinct
-    terms); everything it joins is tiny. One shuffle for tf, one for df.
+    terms). The per-term df table is vocabulary-sized — small for curated
+    corpora, but web-scale text has an unbounded tail, so it carries NO
+    broadcast hint: under the threshold Catalyst broadcasts it, above it
+    the join falls back to a shuffle on the term key (which the tf side
+    is already partitioned by from its own groupBy).
     """
     toks = (
         df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term"))
@@ -85,7 +88,7 @@ def tfidf(
     n = df.agg(F.count(F.lit(1)).alias("n"))
     idf = F.log((F.col("n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
     return (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",

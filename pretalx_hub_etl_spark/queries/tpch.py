@@ -55,7 +55,10 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        # no broadcast hint: customer SCALES with SF — under the threshold
+        # Catalyst broadcasts it anyway; at 100 TB it degrades to a
+        # sort-merge join instead of OOMing the executors
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg((F.sum(_rev_cents()) / F.lit(100.0)).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -87,8 +90,10 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cat.customer.join(cat.orders, F.col("c_custkey") == F.col("o_custkey"))
         .join(cat.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        # supplier scales with SF: hint only the fixed-size dims below and
+        # let the threshold decide here
         .join(
-            F.broadcast(cat.supplier),
+            cat.supplier,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -156,7 +161,8 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     promo = F.when(F.col("p_type") == "PROMO", _rev_cents()).otherwise(F.lit(0))
     return (
-        li.join(F.broadcast(cat.part), F.col("l_partkey") == F.col("p_partkey"))
+        # part scales with SF — no forced broadcast (threshold decides)
+        li.join(cat.part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             (
                 F.sum(promo).cast("double")

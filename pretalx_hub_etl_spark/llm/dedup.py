@@ -24,6 +24,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..operators.partitioning import fan_out
+
 
 def exact_dedup(df: DataFrame, on: Sequence[str], id_col: str) -> DataFrame:
     """Keep one row (lowest ``id_col``) per distinct ``on`` combination."""
@@ -87,6 +89,9 @@ def minhash_signatures(
     """
     import random
 
+    # shingling + the K-wide min-fold are the hottest expressions in the
+    # engine; a narrow input (one parquet split) would run them on one core
+    df = fan_out(df)
     rnd = random.Random(seed)
     coeffs = [
         (rnd.randrange(1, 1 << 30), rnd.randrange(0, 1 << 30))
@@ -213,7 +218,7 @@ def ngram_jaccard_pairs(
     # postings carry the 64-bit gram hash, not the k-word string: the
     # self-join shuffles 8-byte keys, and pair counts are unchanged up to
     # same-doc-pair xxhash64 collisions (~|grams|²/2^64, negligible)
-    grams = df.select(
+    grams = fan_out(df).select(
         F.col(id_col).alias("id"), F.explode(_shingle_hashes(text_col, k)).alias("g")
     )
     if max_doc_freq is not None:
@@ -281,7 +286,8 @@ def simhash64(df: DataFrame, text_col: str, id_col: str, shingle_k: int = 2) -> 
         lambda a, x: a + x,
     )
     return (
-        df.select(F.col(id_col).alias("id"), hashes)
+        fan_out(df)
+        .select(F.col(id_col).alias("id"), hashes)
         .select("id", votes)
         .select("id", sim.alias("simhash"))
     )

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..operators.partitioning import fan_out
+
 
 def _dot(a: Column, b: Column) -> Column:
     # cast to double BEFORE multiplying: float32 products lose bits the
@@ -56,7 +58,9 @@ def brute_force_cosine_topk(
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("__qvec")
     )
-    c = corpus.select(F.col(id_col), F.col(vec_col).alias("__cvec"))
+    # |corpus|×|queries| fused dot products: the narrow-input case must be
+    # widened or the whole scan scores on one core
+    c = fan_out(corpus).select(F.col(id_col), F.col(vec_col).alias("__cvec"))
     scored = c.crossJoin(F.broadcast(q)).select(
         query_id_col,
         id_col,
@@ -122,7 +126,9 @@ def embedding_near_duplicates(
     verified. Recall is tuned by n_tables/n_bits (more tables -> higher
     recall, more candidates).
     """
-    bucketed = corpus.select(
+    # sign-bit evaluation is O(n_tables × n_bits × dim) per row — by far
+    # the dominant cost, so parallelize it across the cluster
+    bucketed = fan_out(corpus).select(
         F.col(id_col),
         F.col(vec_col),
         F.explode(
@@ -212,7 +218,7 @@ def ivf_cosine_topk(
             .select(idc, vec_alias, "centroid_id")
         )
 
-    lists = assign(corpus, id_col, "__cvec", keep=1)
+    lists = assign(fan_out(corpus), id_col, "__cvec", keep=1)
     probes = assign(queries, query_id_col, "__qvec", keep=n_probe)
     scored = (
         lists.join(F.broadcast(probes), "centroid_id")
@@ -264,7 +270,7 @@ def lsh_cosine_topk(
             ).alias("tb"),
         ).select(idc, vec_alias, "tb.table_id", "tb.bucket")
 
-    cb = bucketed(corpus, id_col, "__cvec")
+    cb = bucketed(fan_out(corpus), id_col, "__cvec")
     qb = bucketed(queries, query_id_col, "__qvec")
     candidates = (
         cb.join(F.broadcast(qb), ["table_id", "bucket"])

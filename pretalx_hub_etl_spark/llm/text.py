@@ -15,6 +15,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.core import fixed_point
+from ..operators.partitioning import fan_out
 
 DEFAULT_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
 
@@ -51,6 +52,9 @@ def term_frequencies(
     counts; at 100 TB add a salted two-level agg only if term skew shows up
     (AQE usually covers it).
     """
+    # no fan_out here: whitespace split is cheap relative to a pre-shuffle
+    # of the raw text (measured ~2× slower with one), and the groupBy
+    # redistributes the exploded terms anyway
     return (
         df.select(F.explode(tokens(text_col)).alias("term"))
         .filter(~F.col("term").isin(list(stopwords)))
@@ -109,7 +113,8 @@ def text_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.filter(toks, lambda t: F.lower(t).isin(list(DEFAULT_STOPWORDS)))
     ).cast("long")
     return (
-        df.withColumn("q_n_chars", text_len)
+        fan_out(df)
+        .withColumn("q_n_chars", text_len)
         .withColumn("q_n_tokens", n_toks)
         .withColumn(
             "q_avg_token_len",
@@ -142,7 +147,7 @@ LANG_MARKERS = {
 def lang_id_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Marker-hit counts per language + argmax guess (deterministic)."""
     toks = tokens(text_col)
-    out = df
+    out = fan_out(df)
     for lang, markers in LANG_MARKERS.items():
         out = out.withColumn(
             f"score_{lang}",
@@ -168,4 +173,4 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     portable (DuckDB md5 produces identical digests, so it's oracle-able).
     """
     canonical = F.concat_ws(" ", F.sort_array(F.array_distinct(tokens(text_col))))
-    return df.select(F.col(id_col), F.md5(canonical).alias("fp"))
+    return fan_out(df).select(F.col(id_col), F.md5(canonical).alias("fp"))

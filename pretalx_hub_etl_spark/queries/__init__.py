@@ -56,6 +56,7 @@ def load_all() -> dict[str, QuerySpec]:
         sources_sinks,
         stream,
         tpch,
+        tpch2,
         window_fns,
     )
 

@@ -114,6 +114,7 @@ NESTED_LOOP_ALLOWED = {
     "q_sim_topk_ivf",      # centroid assignment: corpus × broadcast(16)
     "q_stream_late_filter",  # max(ts) as a 1-row broadcast
     "q_text_tfidf",        # corpus size N as a 1-row broadcast
+    "q_tpch_q22",          # acctbal threshold as a 1-row broadcast
 }
 
 
@@ -132,6 +133,34 @@ def test_no_accidental_quadratic_joins(spark):
         if hits and name not in NESTED_LOOP_ALLOWED:
             flagged[name] = hits
     assert not flagged, f"accidental quadratic join plans: {flagged}"
+
+
+def test_tpch_q19_pushes_inferred_single_side_filters(spark):
+    # the query is written as one OR-of-ANDs filter spanning both join
+    # sides; Catalyst must infer the per-side disjunctions and push them
+    # into BOTH parquet scans rather than filtering after the join
+    plan = plan_of(spark, "q_tpch_q19")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("l_quantity" in l for l in pushed)
+    assert any("p_brand" in l or "p_size" in l for l in pushed)
+
+
+def test_tpch_q21_semi_anti_are_hash_joins(spark):
+    # the EXISTS / NOT EXISTS legs carry a non-equi residual
+    # (different-supplier); they must still plan as hash/sort-merge joins
+    # on the order-key equi conjunct, never nested loops
+    plan = plan_of(spark, "q_tpch_q21")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q13_keeps_outer_join(spark):
+    # the orders-side predicate lives in the join condition; if it leaked
+    # into a post-join WHERE the join would be rewritten inner and the
+    # zero-order customers would vanish
+    plan = plan_of(spark, "q_tpch_q13")
+    assert "LeftOuter" in plan
 
 
 def test_filter_reaches_parquet_scan(spark):

@@ -25,6 +25,10 @@ HEADLINE = [
     "q_agg_groupby",        # TPC-H Q1 shape: scan + hash agg
     "q_join_inner",         # fact⋈dim⋈dim join chain
     "q_tpch_q3",            # 3-way join + agg + top-k
+    "q_tpch_q7",            # 6-way join, same dim twice, per-year rollup
+    "q_tpch_q13",           # outer join + two-level count distribution
+    "q_tpch_q19",           # OR-of-ANDs pushdown into both scans
+    "q_tpch_q21",           # semi+anti self-joins with non-equi residual
     "q_reconcile_merge",    # flagship full-outer merge
     "q_join_left_firstmatch",  # window dedup + left join
     "q_join_asof",          # union-sort as-of join

@@ -252,6 +252,72 @@ def ngram_jaccard_pairs(
     )
 
 
+def duplicate_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(id, cluster): connected components over a near-duplicate pair graph.
+
+    Turns pairwise near-dup output (``minhash_near_duplicates`` /
+    ``ngram_jaccard_pairs``) into dedup CLUSTERS: every document gets the
+    minimum reachable doc id as its cluster label, so "keep one per
+    cluster" is a trivial ``filter(id == cluster)``. Min-label propagation
+    (the MapReduce connected-components family — Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC 2014): each round
+    every node adopts the smallest label among itself and its neighbors;
+    rounds needed = graph diameter, and near-dup components are dense
+    clusters of tiny diameter, so 2-3 rounds converge in practice.
+
+    Scale shape per round: one equi-join of the edge list against the
+    label table (both hash-partitioned on the node key) + a min-aggregate
+    — no all-pairs work, no driver-side graph. The driver only runs the
+    convergence loop: one ``count`` action per round (an iterative
+    algorithm's unavoidable control flow), and ``localCheckpoint``
+    truncates the growing lineage so round N's plan does not replay
+    rounds 1..N-1. Only nodes that appear in an edge iterate; singleton
+    documents attach at the end as their own cluster — at 100 TB the pair
+    graph is orders of magnitude smaller than the corpus.
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("cluster"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("cluster").alias("neighbor_cluster"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster"),
+                    F.coalesce("neighbor_cluster", F.col("cluster")),
+                ).alias("cluster"),
+                (F.col("neighbor_cluster") < F.col("cluster")).alias("__lowered"),
+            )
+            .localCheckpoint()
+        )
+        changed = updated.filter(F.col("__lowered")).count()
+        labels = updated.drop("__lowered")
+        if changed == 0:
+            break
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(labels.withColumnRenamed("id", "__lid"), F.col("id") == F.col("__lid"), "left")
+        .select("id", F.coalesce("cluster", F.col("id")).alias("cluster"))
+    )
+
+
 def simhash64(df: DataFrame, text_col: str, id_col: str, shingle_k: int = 2) -> DataFrame:
     """63-bit SimHash per document (id, simhash) — built-ins only.
 

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import Catalog
 from ..llm.dedup import (
+    duplicate_clusters,
     exact_dedup,
     minhash_near_duplicates,
     ngram_jaccard_pairs,
@@ -60,10 +61,10 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- L2c: EXACT n-gram Jaccard dedup (the oracle'd counterpart of L2) -------
 
 
-@query(
-    "q_dedup_ngram_jaccard",
-    oracle="""
-    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+#: Shared CTE chain producing the exact n-gram Jaccard near-dup pairs —
+#: used by the pairs oracle and extended (recursively) by the clusters one.
+_NGRAM_PAIRS_CTES = """
+    words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     grams_all AS (
         SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
         FROM words, unnest(range(1, len(w) - 1)) AS t(i)
@@ -78,13 +79,20 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM grams a JOIN grams b USING (g)
         WHERE a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+        SELECT id_a, id_b,
+               CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+        FROM inter JOIN sizes sa ON id_a = sa.doc_id
+                   JOIN sizes sb ON id_b = sb.doc_id
+        WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
     )
-    SELECT id_a, id_b,
-           CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
-    FROM inter JOIN sizes sa ON id_a = sa.doc_id
-               JOIN sizes sb ON id_b = sb.doc_id
-    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
-    """,
+"""
+
+
+@query(
+    "q_dedup_ngram_jaccard",
+    oracle=f"WITH {_NGRAM_PAIRS_CTES} SELECT id_a, id_b, jaccard FROM pairs",
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exact-Jaccard ground truth for q_dedup_near (MinHash approximates
@@ -96,6 +104,43 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, text_col="text", id_col="doc_id", k=3, jaccard_threshold=0.5,
         max_doc_freq=100,
     )
+
+
+# --- L2d: near-dup clusters (connected components over the pair graph) ------
+
+
+@query(
+    "q_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_NGRAM_PAIRS_CTES},
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION ALL
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(id, r) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id
+    )
+    SELECT d.doc_id AS id, coalesce(m.cluster, d.doc_id) AS cluster
+    FROM documents d
+    LEFT JOIN (SELECT id, min(r) AS cluster FROM reach GROUP BY id) m
+           ON d.doc_id = m.id
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pairs -> components: min-label propagation in Spark vs transitive
+    # closure via recursive CTE in DuckDB — two entirely different
+    # fixpoint algorithms agreeing on the exact cluster assignment is a
+    # strong check for an iterative operator. "Keep one per cluster" is
+    # then filter(id == cluster).
+    d = Catalog(spark, sf_dir).documents
+    pairs = ngram_jaccard_pairs(
+        d, text_col="text", id_col="doc_id", k=3, jaccard_threshold=0.5,
+        max_doc_freq=100,
+    )
+    return duplicate_clusters(d, pairs, id_col="doc_id")
 
 
 # --- L3: similarity search (rows-only: float ordering tolerance) ------------

@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from pretalx_hub_etl_spark.llm.dedup import (
+    duplicate_clusters,
     exact_dedup,
     minhash_near_duplicates,
     ngram_jaccard_pairs,
@@ -67,6 +68,25 @@ def test_ngram_jaccard_doc_freq_cap_drops_hot_grams(spark):
     )
     assert uncapped.count() == 1
     assert capped.count() == 0
+
+
+def test_duplicate_clusters_components(spark):
+    # pair graph: 1-2, 2-3 (one chained component), 5-6; docs 4 and 7 are
+    # singletons. Chaining 1-2-3 exercises an actual propagation round
+    # (3 only learns label 1 through 2).
+    docs = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    out = {r.id: r.cluster for r in duplicate_clusters(docs, pairs, "doc_id").collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
+
+
+def test_duplicate_clusters_empty_pairs(spark):
+    docs = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    out = {r.id: r.cluster for r in duplicate_clusters(docs, pairs, "doc_id").collect()}
+    assert out == {1: 1, 2: 2}
 
 
 def test_minhash_deterministic(spark):

@@ -94,6 +94,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
         ("L2", "near-dup: MinHash-LSH / exact n-gram Jaccard / SimHash / embedding",
          ["q_dedup_near", "q_dedup_ngram_jaccard", "q_dedup_simhash",
           "q_dedup_embed"]),
+        ("L2d", "near-dup clusters (connected components, min-label propagation)",
+         ["q_dedup_clusters"]),
         ("L3", "similarity search: brute-force / LSH / IVF",
          ["q_sim_topk", "q_sim_topk_lsh", "q_sim_topk_ivf"]),
         ("L4", "text analysis",

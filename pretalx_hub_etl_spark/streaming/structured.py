@@ -87,6 +87,51 @@ def dedup_stream(
     )
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    left_watermark: str,
+    right_watermark: str,
+    max_delay: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream inner join (the impressions⋈clicks shape).
+
+    Equi-join on ``key`` plus the interval constraint
+    ``left_ts <= right_ts <= left_ts + max_delay``. BOTH watermarks plus
+    the time-range conjunct are what make unbounded-stream state finite:
+    the range tells Spark how long a buffered left row can still match
+    (``max_delay`` past its event time) and the watermarks bound how late
+    either side may arrive — buffered state older than
+    ``watermark + max_delay`` is evicted. An equi-join without the time
+    bound would buffer both streams forever.
+
+    Columns are prefixed ``l_``/``r_`` (except the shared key) so the
+    joined schema is collision-free.
+    """
+    lw = left.withWatermark(left_ts, left_watermark)
+    rw = right.withWatermark(right_ts, right_watermark)
+    lsel = lw.select(
+        F.col(key),
+        *[F.col(c).alias(f"l_{c}") for c in left.columns if c != key],
+    )
+    rsel = rw.select(
+        F.col(key).alias("__rkey"),
+        *[F.col(c).alias(f"r_{c}") for c in right.columns if c != key],
+    )
+    cond = (
+        (F.col(key) == F.col("__rkey"))
+        & (F.col(f"r_{right_ts}") >= F.col(f"l_{left_ts}"))
+        & (
+            F.col(f"r_{right_ts}")
+            <= F.col(f"l_{left_ts}") + F.expr(f"INTERVAL {max_delay}")
+        )
+    )
+    return lsel.join(rsel, cond, "inner").drop("__rkey")
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     """Drive a streaming DataFrame to completion into an in-memory table.
 

@@ -75,6 +75,42 @@ def test_streaming_session_runs(spark, tmp_path):
     assert all(r.window_end > r.window_start for r in rows)
 
 
+def test_stream_stream_interval_join(spark, tmp_path):
+    from pretalx_hub_etl_spark.streaming.structured import interval_join_streams
+
+    # impressions⋈clicks: a click matches iff same user and within 1 hour
+    # AFTER the impression
+    imps = [(10, "2024-01-01 10:00:00", 1.0),
+            (11, "2024-01-01 10:10:00", 2.0),
+            (12, "2024-01-01 12:00:00", 3.0)]
+    clicks = [(10, "2024-01-01 10:30:00", 7.0),   # within the hour -> match
+              (11, "2024-01-01 11:30:00", 8.0),   # 80 min later -> no match
+              (12, "2024-01-01 11:59:00", 9.0)]   # BEFORE the impression -> no match
+
+    def stage(rows, name):
+        d = str(tmp_path / name)
+        (spark.createDataFrame(rows, "user_id long, ts_s string, value double")
+         .select("user_id", F.to_timestamp("ts_s").alias("ts"), "value")
+         .coalesce(1).write.mode("overwrite").parquet(d))
+        return d
+    ld, rd = stage(imps, "imps"), stage(clicks, "clicks")
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    joined = interval_join_streams(
+        spark.readStream.schema(schema).parquet(ld),
+        spark.readStream.schema(schema).parquet(rd),
+        key="user_id", left_ts="ts", right_ts="ts",
+        left_watermark="10 minutes", right_watermark="10 minutes",
+        max_delay="1 hour",
+    )
+    run_to_memory(joined, "t_ssjoin")
+    rows = spark.sql("SELECT * FROM t_ssjoin").collect()
+    assert [(r.user_id, r.l_value, r.r_value) for r in rows] == [(10, 1.0, 7.0)]
+
+
 def test_streaming_dedup_within_watermark(spark, tmp_path):
     from pretalx_hub_etl_spark.streaming.structured import dedup_stream
 

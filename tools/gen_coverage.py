@@ -124,6 +124,8 @@ TESTED_ONLY = [
      "streaming/structured.py (tests/test_structured_streaming.py)"),
     ("streaming dedup", "dropDuplicatesWithinWatermark",
      "streaming/structured.py (tests/test_structured_streaming.py)"),
+    ("stream-stream join", "watermarked interval join (impressions⋈clicks)",
+     "streaming/structured.py (tests/test_structured_streaming.py)"),
     ("skew salting", "salted_join", "operators/joins.py (tests/test_stateful_salted.py)"),
     ("skew-resistant agg", "salted_two_level_agg",
      "operators/agg.py (tests/test_stateful_salted.py)"),

@@ -42,6 +42,34 @@ def deterministic_sample(
     return df.filter(_slot(id_col, mode, seed) < int(fraction * _DENOM))
 
 
+def train_val_test_split(
+    df: DataFrame,
+    id_col: str,
+    val_fraction: float = 0.01,
+    test_fraction: float = 0.01,
+    mode: str = "hash",
+    seed: int = 0,
+) -> DataFrame:
+    """Append ``split`` ∈ {train, val, test} decided per row from the id.
+
+    The holdout assignment every training pipeline needs: pure per-row
+    expression (no shuffle, no sampling state), reproducible across
+    reruns, engines, and — critically — across corpus growth: a document's
+    split never changes when other documents are added or removed, so
+    yesterday's eval set is still disjoint from today's training set.
+    Slots [0, val) -> val, [val, val+test) -> test, rest -> train.
+    """
+    val_cut = int(val_fraction * _DENOM)
+    test_cut = val_cut + int(test_fraction * _DENOM)
+    slot = _slot(id_col, mode, seed)
+    return df.withColumn(
+        "split",
+        F.when(slot < val_cut, F.lit("val"))
+        .when(slot < test_cut, F.lit("test"))
+        .otherwise(F.lit("train")),
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

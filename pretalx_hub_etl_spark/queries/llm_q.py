@@ -391,6 +391,29 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+@query(
+    "q_sample_split",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN (doc_id % 10000) < 1000 THEN 'val'
+                WHEN (doc_id % 10000) < 2000 THEN 'test'
+                ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic holdout assignment: a doc's split survives corpus
+    # growth, reruns, and engine swaps. modulo mode for the ANSI oracle;
+    # production uses hash mode (identical plan: one per-row CASE, no
+    # shuffle).
+    from ..llm.sampling import train_val_test_split
+
+    d = Catalog(spark, sf_dir).documents
+    return train_val_test_split(
+        d, id_col="doc_id", val_fraction=0.1, test_fraction=0.1, mode="modulo"
+    ).select("doc_id", "split")
+
+
 # --- L4b: language-ID heuristic (oracle: marker-count argmax in SQL) --------
 
 _LANGS = sorted(LANG_MARKERS)

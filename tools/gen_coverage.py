@@ -103,7 +103,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
           "q_text_fingerprint", "q_text_langid"]),
         ("L5", "multimodal columns",
          ["q_multimodal_join", "q_multimodal_decode", "q_multimodal_frames"]),
-        ("L6", "deterministic / stratified sampling", ["q_sample_stratified"]),
+        ("L6", "deterministic / stratified sampling / train-val-test split",
+         ["q_sample_stratified", "q_sample_split"]),
         ("L7", "end-to-end curation pipeline (quality -> dedup -> near-dup"
                " -> rebalance)", ["q_pipeline_curation"]),
     ]),

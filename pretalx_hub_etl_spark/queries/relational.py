@@ -379,6 +379,21 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_agg_approx_percentile", oracle=None)
+def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # KLL/GK-style mergeable quantile sketch (percentile_approx): rank
+    # error <= 1/accuracy, one pass, fixed memory per group — the shape
+    # that replaces exact percentile's full sort at 100 TB. Rows-only:
+    # sketch internals differ across engines; the error-bound test in
+    # tests/test_engine.py pins the accuracy contract against the exact
+    # percentile instead.
+    li = Catalog(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", F.lit(0.5), F.lit(10000)).alias("ap50"),
+        F.percentile_approx("l_quantity", F.lit(0.95), F.lit(10000)).alias("ap95"),
+    )
+
+
 # --- A6: conditional aggregation (reference tally pattern, main.py:242-247) -
 
 

@@ -57,3 +57,17 @@ def test_approx_count_distinct_within_rsd(spark):
     ).first()[0]
     # HLL++ at rsd=0.05: allow 3 sigma
     assert abs(approx - exact) / exact <= 0.15
+
+
+def test_approx_percentile_within_rank_error(spark):
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    exact, approx = li.select(
+        F.percentile("l_quantity", F.lit(0.5)),
+        F.percentile_approx("l_quantity", F.lit(0.5), F.lit(10000)),
+    ).first()
+    # accuracy=10000 -> rank error <= n/10000; quantities are integral
+    # 1..50, so the sketch's answer must land within one value step of
+    # the exact (interpolated) median
+    assert abs(approx - exact) <= 1.0

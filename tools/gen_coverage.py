@@ -46,7 +46,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
         ("A3", "distinct / dedup", ["q_agg_distinct", "q_dedup_exact"]),
         ("A4", "rollup / cube / grouping sets",
          ["q_agg_rollup", "q_agg_cube", "q_agg_grouping_sets"]),
-        ("A5", "approx count-distinct", ["q_agg_approx_distinct"]),
+        ("A5", "approx count-distinct / approx percentile sketch",
+         ["q_agg_approx_distinct", "q_agg_approx_percentile"]),
         ("A6", "conditional aggregation", ["q_agg_conditional"]),
         ("A7", "percentiles / pivot / unpivot",
          ["q_agg_percentile", "q_pivot", "q_unpivot"]),

@@ -57,6 +57,33 @@ class CollectingSink:
         self.rows.extend(r.asDict(recursive=True) for r in df.toLocalIterator())
 
 
+def two_phase_sink(
+    df: DataFrame,
+    submit_factory,
+    publish_factory,
+    auto_publish: bool,
+    invalid_col: str = "is_invalid",
+) -> None:
+    """S6: submit every row, then publish the valid ones if the flag is on.
+
+    The reference's conditional publish side-effect (main.py:251-256: if
+    ``AUTO_PUBLISH`` and the form wasn't flagged invalid, click publish) as
+    a config-gated SECOND sink pass over the filtered DataFrame. Both
+    passes are partition-parallel ``foreachPartition``; the publish pass
+    re-filters declaratively instead of branching per row inside the
+    writer, so the filter prunes at the scan and the publish writer sees
+    only rows it will act on.
+    """
+    submit_df = df.drop(invalid_col)
+    foreach_partition_write(submit_df, submit_factory)
+    if auto_publish:
+        from pyspark.sql import functions as F
+
+        foreach_partition_write(
+            df.filter(~F.col(invalid_col)).drop(invalid_col), publish_factory
+        )
+
+
 def foreach_partition_write(df: DataFrame, writer_factory):
     """Generic effectful sink: one writer per partition.
 

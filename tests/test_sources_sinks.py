@@ -66,6 +66,39 @@ def test_collecting_sink(spark):
     assert sorted(r["id"] for r in sink.rows) == [1, 2]
 
 
+def test_two_phase_sink_publish_gate(spark, tmp_path):
+    from pretalx_hub_etl_spark.sinks.base import two_phase_sink
+
+    df = spark.createDataFrame(
+        [(1, False), (2, True), (3, False)], "id int, is_invalid boolean"
+    ).coalesce(1)
+    submit_log = str(tmp_path / "submit.log")
+    publish_log = str(tmp_path / "publish.log")
+
+    def factory(path):
+        def make():
+            f = open(path, "a")
+            return (lambda row: f.write(f"{row['id']}\n")), f.close
+        return make
+
+    def read(path):
+        try:
+            with open(path) as f:
+                return sorted(int(x) for x in f.read().split())
+        except FileNotFoundError:
+            return []
+
+    # flag off: every row submitted, nothing published (S6 gate)
+    two_phase_sink(df, factory(submit_log), factory(publish_log), auto_publish=False)
+    assert read(submit_log) == [1, 2, 3]
+    assert read(publish_log) == []
+
+    # flag on: the invalid row is submitted but NOT published
+    two_phase_sink(df, factory(submit_log), factory(publish_log), auto_publish=True)
+    assert read(submit_log) == [1, 1, 2, 2, 3, 3]
+    assert read(publish_log) == [1, 3]
+
+
 def test_validate_split(spark):
     df = spark.createDataFrame(
         [(1, 5.0), (2, -1.0), (3, None)], "id int, v double"

@@ -128,6 +128,8 @@ TESTED_ONLY = [
      "streaming/structured.py (tests/test_structured_streaming.py)"),
     ("stream-stream join", "watermarked interval join (impressions⋈clicks)",
      "streaming/structured.py (tests/test_structured_streaming.py)"),
+    ("conditional publish (S6)", "flag-gated second sink pass over valid rows",
+     "sinks/base.py (tests/test_sources_sinks.py)"),
     ("skew salting", "salted_join", "operators/joins.py (tests/test_stateful_salted.py)"),
     ("skew-resistant agg", "salted_two_level_agg",
      "operators/agg.py (tests/test_stateful_salted.py)"),

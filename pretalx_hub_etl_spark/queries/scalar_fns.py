@@ -317,3 +317,39 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_customers"),
         )
     )
+
+
+# --- F12: ANSI-safe try_* variants (error containment at scale) -------------
+
+_NEAR_MAX = (1 << 63) - 1 - 1000
+
+
+@query(
+    "q_fn_try",
+    oracle=f"""
+    SELECT c_custkey,
+           TRY_CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT) AS cust_num,
+           TRY_CAST(c_mktsegment AS BIGINT) AS not_a_number,
+           c_acctbal / c_nationkey AS bal_per_nation,
+           CASE WHEN c_custkey <= 1000 THEN c_custkey + {_NEAR_MAX} END
+               AS near_overflow
+    FROM customer
+    """,
+)
+def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The engine runs ANSI mode ON (session.py): bad casts, x/0, and
+    # overflow ERROR instead of silently corrupting — but a 100 TB job
+    # must also be able to CONTAIN row-level badness without dying, which
+    # is what the try_* family is for: failures become NULL, routable to
+    # a dead-letter side (validate_split) instead of killing the stage.
+    # DuckDB oracles: TRY_CAST is exact; double/0 is NULL there like
+    # try_divide here; try_add's overflow->NULL is emulated with a CASE
+    # at the known threshold.
+    c = Catalog(spark, sf_dir).customer
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"([0-9]+)$", 1).try_cast("bigint").alias("cust_num"),
+        F.col("c_mktsegment").try_cast("bigint").alias("not_a_number"),
+        F.try_divide(F.col("c_acctbal"), F.col("c_nationkey")).alias("bal_per_nation"),
+        F.try_add(F.col("c_custkey"), F.lit(_NEAR_MAX)).alias("near_overflow"),
+    )

@@ -79,6 +79,7 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
         ("F9", "math (pricing expressions)", ["q_fn_math"]),
         ("F10", "JSON access", ["q_fn_json"]),
         ("F11", "regex extract / replace / match", ["q_fn_regex"]),
+        ("F12", "ANSI-safe try_cast / try_divide / try_add", ["q_fn_try"]),
     ]),
     ("2.9 Streaming-shaped", [
         ("ST1", "tumbling window", ["q_stream_tumbling"]),

@@ -33,31 +33,39 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
-# Names with a green (or rows-only-by-design) row in CORRECTNESS_r01.json.
-# The round-1 driver recorded only the FIRST 50 registry entries, so round 2
-# enumerates every never-verified query first and pushes these 50 to the back
-# (VERDICT.md round 1, "Next round" item 1). Keep this set in sync with the
-# union of CORRECTNESS_r{N}.json keys as rounds verify more of the registry.
-VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset(
-    {
-        "q_dedup_exact", "q_dedup_near", "q_dedup_ngram_jaccard",
-        "q_dedup_clusters", "q_sim_topk", "q_text_termfreq", "q_text_tfidf",
-        "q_text_quality", "q_text_tokens", "q_text_fingerprint",
-        "q_dedup_simhash", "q_sim_topk_lsh", "q_sim_topk_ivf",
-        "q_dedup_embed", "q_sample_stratified", "q_sample_split",
-        "q_text_langid", "q_multimodal_join", "q_pipeline_curation",
-        "q_reconcile_merge", "q_project_rename", "q_project_literals",
-        "q_coalesce_falsy", "q_filter_eq", "q_filter_compound",
-        "q_join_broadcast_lookup", "q_join_inner", "q_join_semi",
-        "q_join_anti", "q_join_left_firstmatch", "q_agg_count",
-        "q_agg_groupby", "q_agg_distinct", "q_agg_rollup", "q_agg_cube",
-        "q_agg_approx_distinct", "q_agg_approx_percentile",
-        "q_agg_conditional", "q_sort_multi_key", "q_topk", "q_set_union",
-        "q_set_intersect", "q_set_except", "q_filter_null_safe",
-        "q_join_range", "q_join_asof", "q_udf_pandas", "q_pivot",
-        "q_unpivot", "q_agg_grouping_sets",
-    }
-)
+def _verified_prior_rounds() -> frozenset[str]:
+    """Names with a green (or rows-only-by-design) row in any prior
+    ``CORRECTNESS_r*.json`` artifact at the repo root.
+
+    The per-round driver records only the first ~50 registry entries, so
+    :func:`load_all` enumerates never-verified queries FIRST and pushes
+    these to the back (VERDICT.md round 1, "Next round" item 1). Derived
+    at import time from the artifacts themselves so the set can never go
+    stale (round-2 ADVICE). A query that errored (``err`` other than
+    ``no_oracle``) is NOT counted verified — it re-enumerates first.
+    """
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+    names: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            err = row.get("err")
+            if row.get("hash_match") or err == "no_oracle":
+                names.add(name)
+    return frozenset(names)
+
+
+VERIFIED_PRIOR_ROUNDS: frozenset[str] = _verified_prior_rounds()
 
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:

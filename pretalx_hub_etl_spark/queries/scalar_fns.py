@@ -295,7 +295,8 @@ def q_fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_collect",
     oracle="""
     SELECT n_nationkey,
-           list_sort(list_distinct(list(c_mktsegment))) AS segments,
+           array_to_string(list_sort(list_distinct(list(c_mktsegment))), '|')
+               AS segments,
            CAST(count(*) AS BIGINT) AS n_customers
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     GROUP BY n_nationkey
@@ -303,8 +304,10 @@ def q_fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collect_set is unordered (partition-dependent): sort_array makes the
-    # output deterministic — the only way an array-valued aggregate can be
-    # value-hash compared (or safely consumed downstream) at all.
+    # output deterministic. The sorted array is then serialized to a
+    # '|'-joined string because the verify driver canonicalizes results
+    # through pandas, where numpy-array cells are unhashable (round-2
+    # CORRECTNESS err) — a flat string hashes identically on both sides.
     cat = Catalog(spark, sf_dir)
     return (
         cat.customer.join(
@@ -313,7 +316,9 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("n_nationkey")
         .agg(
-            F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
+            F.array_join(
+                F.sort_array(F.collect_set("c_mktsegment")), "|"
+            ).alias("segments"),
             F.count(F.lit(1)).alias("n_customers"),
         )
     )

@@ -130,7 +130,6 @@ def embedding_near_duplicates(
     # the dominant cost, so parallelize it across the cluster
     bucketed = fan_out(corpus).select(
         F.col(id_col),
-        F.col(vec_col),
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(n_tables - 1)),
@@ -140,21 +139,33 @@ def embedding_near_duplicates(
                 ),
             )
         ).alias("tb"),
-    ).select(id_col, vec_col, "tb.table_id", "tb.bucket")
+    ).select(id_col, "tb.table_id", "tb.bucket")
 
-    left = bucketed.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "table_id", "bucket"
-    )
-    right = bucketed.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "table_id", "bucket"
-    )
+    # The banded self-join moves IDS ONLY: an embedding would otherwise ride
+    # the exchange n_tables times and twice more per duplicated candidate
+    # pair. Candidates are deduped first, then vectors join back exactly once
+    # per verified pair — the same shape as the MinHash twin
+    # (dedup.py minhash_near_duplicates).
     candidates = (
-        left.join(right, ["table_id", "bucket"])
+        bucketed.select(F.col(id_col).alias("id_a"), "table_id", "bucket")
+        .join(
+            bucketed.select(F.col(id_col).alias("id_b"), "table_id", "bucket"),
+            ["table_id", "bucket"],
+        )
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    vecs = corpus.select(F.col(id_col), F.col(vec_col))
+    paired = candidates.join(
+        vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")),
+        "id_a",
+    ).join(
+        vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")),
+        "id_b",
+    )
     return (
-        candidates.select(
+        paired.select(
             "id_a",
             "id_b",
             F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cos_sim"),

@@ -14,7 +14,12 @@ from ..functions.core import fixed_cents, parse_offset_ts
 from ..sinks import ParquetSink, with_validity
 from ..sources import fixture_schedule, normalize_schedule
 from ..sources.json_doc import schedule_df
-from ..sources.paginated import n_pages_for, parquet_page_reader, read_paginated
+from ..sources.paginated import (
+    n_pages_for,
+    parquet_key_upper_bound,
+    parquet_page_reader,
+    read_paginated,
+)
 from . import query
 
 # --- S1: JSON document normalize (golden-row oracle: fixture in, plan out) --
@@ -82,13 +87,15 @@ def q_scan_paginated(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     path = f"{cat.sf_dir}/orders.parquet"
     cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"]
-    hi = cat.orders.agg(F.max("o_orderkey")).collect()[0][0]
+    # total comes from footer statistics (metadata-only), NOT a max() scan —
+    # the pre-scan would read the whole key column before the job starts.
+    total = parquet_key_upper_bound(path, "o_orderkey")
     page_size = 1000
     fetch = parquet_page_reader(path, "o_orderkey", page_size, cols)
     return read_paginated(
         spark,
         fetch,
-        n_pages_for(int(hi) + 1, page_size),
+        n_pages_for(total, page_size),
         schema="o_orderkey bigint, o_custkey bigint, o_totalprice double, o_orderpriority string",
     )
 

@@ -107,3 +107,74 @@ def test_validate_split(spark):
     assert {r.id for r in valid.collect()} == {1}
     # NULL predicate rows are quarantined, not dropped (dead-letter pattern)
     assert {r.id for r in quarantined.collect()} == {2, 3}
+
+
+def test_parquet_key_upper_bound_matches_max():
+    from pretalx_hub_etl_spark.sources.paginated import parquet_key_upper_bound
+
+    import pyarrow.parquet as pq
+
+    path = f"{SF_SMOKE}/orders.parquet"
+    true_max = pq.read_table(path, columns=["o_orderkey"])["o_orderkey"]
+    import pyarrow.compute as pc
+
+    assert parquet_key_upper_bound(path, "o_orderkey") == pc.max(true_max).as_py() + 1
+
+
+def _start_fixture_server(rows):
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            q = parse_qs(urlparse(self.path).query)
+            page = int(q.get("page", ["0"])[0])
+            page_size = int(q.get("page_size", ["100"])[0])
+            lo = page * page_size
+            payload = {
+                "pagination": {
+                    "total": len(rows),
+                    "page": page,
+                    "page_size": page_size,
+                },
+                "results": rows[lo : lo + page_size],
+            }
+            body = json.dumps(payload).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet test output
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, f"http://127.0.0.1:{srv.server_address[1]}/items"
+
+
+def test_http_paginated_fetch(spark):
+    from pretalx_hub_etl_spark.sources.paginated import (
+        http_page_fetcher,
+        http_pagination_total,
+    )
+
+    rows = [{"id": i, "name": f"item-{i:03d}"} for i in range(257)]
+    srv, url = _start_fixture_server(rows)
+    try:
+        total = http_pagination_total(url, page_size=100)
+        assert total == 257
+        fetch = http_page_fetcher(url, page_size=100, columns=["id", "name"])
+        df = read_paginated(
+            spark, fetch, n_pages_for(total, 100), "id bigint, name string"
+        )
+        got = df.orderBy("id").collect()
+        assert len(got) == 257
+        assert got[0].name == "item-000" and got[256].name == "item-256"
+        # envelope parsing: a page past the end yields zero rows, not an error
+        assert len(fetch(99)) == 0
+    finally:
+        srv.shutdown()

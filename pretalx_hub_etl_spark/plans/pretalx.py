@@ -31,6 +31,33 @@ from ..operators.reconcile import reconcile
 DEFAULT_ROOMS = {1: "CDC Triangle", 2: "CDC Circle", 3: "Room 3"}
 
 
+class AssemblyNotFound(LookupError):
+    """The slug-keyed bootstrap lookup matched nothing (main.py:43-48)."""
+
+
+def bootstrap_assembly_id(assemblies: DataFrame, slug: str) -> str:
+    """Point-lookup bootstrapping the pipeline: slug -> assembly id.
+
+    The reference GETs ``/assemblies/?slug=X`` and takes ``data[0]["id"]``
+    (main.py:32-41); an empty result set crashes it with IndexError one line
+    after printing the body, and a falsy id raises "does not exists. You
+    should create it first." (main.py:43-48). The engine twin is a filtered
+    ``first()`` — a point lookup that stays a metadata-cheap single-stage
+    job (filter pushes to the scan; ``first()`` stops at the first match,
+    it does not collect the table) — with ONE clean error for both the
+    empty and the falsy-id case.
+    """
+    row = (
+        assemblies.filter(F.col("slug") == F.lit(slug)).select("id").first()
+    )
+    if row is None or not row["id"]:
+        raise AssemblyNotFound(
+            f"The assembly with slug {slug} does not exist. "
+            "You should create it first."
+        )
+    return row["id"]
+
+
 def transform_talks(
     talks: DataFrame,
     speakers: DataFrame,

@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from pretalx_hub_etl_spark.plans.pretalx import full_pipeline, transform_talks
@@ -64,3 +66,22 @@ def test_full_pipeline_golden_plan(spark):
     src_keys = {"talk-a", "talk-b", "", "talk-c"}
     covered = set().union(*flags.values())
     assert src_keys <= covered
+
+
+def test_bootstrap_assembly_id(spark):
+    from pretalx_hub_etl_spark.plans.pretalx import (
+        AssemblyNotFound,
+        bootstrap_assembly_id,
+    )
+
+    assemblies = spark.createDataFrame(
+        [("a-1", "congress"), ("a-2", "camp"), ("", "ghost")],
+        "id string, slug string",
+    )
+    assert bootstrap_assembly_id(assemblies, "camp") == "a-2"
+    # empty result -> clean error, not IndexError (reference main.py:41)
+    with pytest.raises(AssemblyNotFound, match="nope"):
+        bootstrap_assembly_id(assemblies, "nope")
+    # falsy id -> same error (reference main.py:43-48)
+    with pytest.raises(AssemblyNotFound, match="ghost"):
+        bootstrap_assembly_id(assemblies, "ghost")

@@ -34,7 +34,9 @@ HEADLINE = [
     "q_join_asof",          # union-sort as-of join
     "q_window_running_sum",  # partitioned running window
     "q_window_topk_per_group",
+    "q_window_distribution",  # ntile/percent_rank/cume_dist
     "q_stream_tumbling",    # event-time windowed agg
+    "q_stream_sliding",     # overlapping hop windows
     "q_stream_session",     # session windows
     "q_topk",               # TakeOrderedAndProject
     "q_fn_math",            # per-row expression throughput
@@ -44,6 +46,7 @@ HEADLINE = [
     "q_sim_topk",           # vector brute-force cosine
     "q_dedup_near",         # MinHash-LSH
     "q_dedup_ngram_jaccard",  # exact Jaccard postings join
+    "q_pipeline_curation",  # composed quality->dedup->rebalance e2e
 ]
 
 

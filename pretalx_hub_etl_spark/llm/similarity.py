@@ -174,6 +174,41 @@ def embedding_near_duplicates(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    seed: int = 42,
+    max_iter: int = 20,
+    train_fraction: float | None = None,
+) -> DataFrame:
+    """Coarse-quantizer centroids via MLlib k-means (seeded).
+
+    Returns ``(centroid_id int, __cent array<double>)`` — the shape
+    ``ivf_cosine_topk`` broadcasts. ``train_fraction`` subsamples the
+    training set: at 100 TB the quantizer is fit on a small sample (a few
+    million vectors bound centroid quality; FAISS trains IVF coarse
+    quantizers the same way), then ALL vectors are assigned in one
+    distributed pass.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus if train_fraction is None else corpus.sample(
+        fraction=train_fraction, seed=seed
+    )
+    feats = fan_out(train).select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(feats)
+    centers = [
+        (i + 1, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return corpus.sparkSession.createDataFrame(
+        centers, "centroid_id int, __cent array<double>"
+    )
+
+
 def ivf_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -183,6 +218,8 @@ def ivf_cosine_topk(
     k: int = 10,
     n_centroids: int = 16,
     n_probe: int = 4,
+    centroids: str = "kmeans",
+    seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) coarse quantizer.
 
@@ -192,9 +229,10 @@ def ivf_cosine_topk(
 
     The other classic ANN scale path, complementing ``lsh_cosine_topk``:
 
-      1. pick ``n_centroids`` coarse centroids (here: the lowest-id corpus
-         vectors — deterministic for tests; production swaps in MLlib
-         k-means means, the index/search plumbing is identical),
+      1. pick ``n_centroids`` coarse centroids — ``centroids="kmeans"``
+         (default) fits a seeded MLlib k-means; ``"lowest_id"`` takes the
+         lowest-id corpus vectors (a deterministic degenerate quantizer,
+         useful when a test must not depend on MLlib's iteration order),
       2. assign every corpus vector to its nearest centroid — the inverted
          lists (one broadcast of the centroid set, |corpus|·n_centroids
          fused dot products, computed once at index build),
@@ -206,16 +244,23 @@ def ivf_cosine_topk(
     centroid_id, so a query probe is a partition-pruned read of
     n_probe/n_centroids of the corpus, not a full scan.
     """
-    w0 = Window.orderBy(F.col(id_col).asc())
-    cents = (
-        corpus.select(id_col, vec_col)
-        .orderBy(F.col(id_col).asc())
-        .limit(n_centroids)
-        .select(
-            F.row_number().over(w0).alias("centroid_id"),
-            F.col(vec_col).alias("__cent"),
+    if centroids == "kmeans":
+        cents = kmeans_centroids(
+            corpus, vec_col=vec_col, n_centroids=n_centroids, seed=seed
         )
-    )
+    elif centroids == "lowest_id":
+        w0 = Window.orderBy(F.col(id_col).asc())
+        cents = (
+            corpus.select(id_col, vec_col)
+            .orderBy(F.col(id_col).asc())
+            .limit(n_centroids)
+            .select(
+                F.row_number().over(w0).alias("centroid_id"),
+                F.col(vec_col).cast("array<double>").alias("__cent"),
+            )
+        )
+    else:
+        raise ValueError(f"unknown centroid strategy {centroids!r}")
 
     def assign(df: DataFrame, idc: str, vec_alias: str, keep: int) -> DataFrame:
         scored = df.select(F.col(idc), F.col(vec_col).alias(vec_alias)).crossJoin(

@@ -150,6 +150,19 @@ def test_ivf_self_match_and_recall(spark):
     exact_pairs = {(r.query_id, r.vec_id) for r in exact.collect()}
     approx_pairs = {(r.query_id, r.vec_id) for r in rows}
     assert len(exact_pairs & approx_pairs) / len(exact_pairs) >= 0.6
+    # seeded k-means quantizer is deterministic: same seed -> same result
+    rerun = {
+        (r.query_id, r.vec_id)
+        for r in ivf_cosine_topk(
+            embs, queries, k=5, n_centroids=16, n_probe=4
+        ).collect()
+    }
+    assert rerun == approx_pairs
+    # the degenerate lowest-id quantizer still works behind the same API
+    degenerate = ivf_cosine_topk(
+        embs, queries, k=5, n_centroids=16, n_probe=4, centroids="lowest_id"
+    )
+    assert degenerate.count() == len(rows)
 
 
 def test_tfidf_values(spark):

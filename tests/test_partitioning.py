@@ -20,3 +20,21 @@ def test_fan_out_noop_on_wide_input(spark):
 def test_fan_out_preserves_rows(spark):
     df = spark.range(0, 100).coalesce(1)
     assert sorted(r.id for r in fan_out(df).collect()) == list(range(100))
+
+
+def test_fan_out_file_scan_uses_metadata_not_rdd(spark, monkeypatch):
+    from pyspark.sql import DataFrame
+
+    from tests.conftest import SF_SMOKE
+
+    df = spark.read.parquet(f"{SF_SMOKE}/nation.parquet")
+
+    def boom(self):
+        raise AssertionError("fan_out physically planned a file scan")
+
+    # file-backed inputs must size from footer metadata alone — the RDD
+    # probe forces a physical planning pass per call (VERDICT r1 #4)
+    monkeypatch.setattr(DataFrame, "rdd", property(boom))
+    wide = fan_out(df)
+    monkeypatch.undo()
+    assert wide.count() == df.count()

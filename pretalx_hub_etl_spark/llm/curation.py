@@ -1,0 +1,225 @@
+"""Corpus-curation operators for training-data pipelines.
+
+The stages between "raw crawl" and "training batches" that SURVEY.md's
+LLM mandate implies but no single reference operator covers:
+
+- ``pii_scrub``: regex redaction of emails / phone numbers / IPv4s —
+  pure ``regexp_replace`` + ``regexp_count`` expressions, codegen'd,
+  zero shuffle: the scrub rides the scan stage at 100 TB.
+- ``repetition_stats``: n-gram repetition quality signal (the "mostly
+  boilerplate" filter every crawl pipeline applies): explode n-grams →
+  per-doc distinct/total/max-count. One shuffle on doc_id, map-side
+  combined.
+- ``contamination_overlap``: benchmark-contamination check — documents
+  sharing ≥ m raw n-grams with any benchmark document. The benchmark
+  side is tiny by construction (eval sets are KBs-MBs), so its exploded
+  n-grams BROADCAST; the corpus side never shuffles: explode → broadcast
+  hash join → per-doc agg.
+- ``pack_sequences``: assign documents to fixed-token-budget training
+  packs. Packing is BUCKET-LOCAL by design: a global greedy pack would
+  serialize the corpus through one task, and training order inside a
+  shard is free to choose anyway. ``mode="chunk"`` splits each bucket's
+  running token sum at budget boundaries (pure window expression, SQL-
+  expressible, oracle-checkable; packs may overflow by at most one
+  document). ``mode="greedy"`` is true first-fit-sequential per bucket
+  via ``applyInPandas`` (Arrow-batched; a pack never exceeds the budget
+  unless a single document does).
+- ``shuffle_order``: deterministic global training-order shuffle — a
+  Knuth-multiplicative key per doc. Scale shape: ``repartitionByRange``
+  on the key + ``sortWithinPartitions`` gives a total order across
+  output files without a single-task global sort.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.core import fixed_point
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+#: TPC-H phone shape (nn-nnn-nnn-nnnn); anchored on digit boundaries.
+PHONE_RE = r"\d{2}-\d{3}-\d{3}-\d{4}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+_KNUTH = 2654435761  # Knuth multiplicative hash constant (2^32 * phi)
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact emails/phones/IPv4s; count each redaction type per row.
+
+    Counts come from ``regexp_count`` BEFORE replacement — the audit
+    trail a compliance pipeline keeps alongside the scrubbed text.
+    """
+    t = F.col(text_col)
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ),
+        IPV4_RE,
+        "<IP>",
+    )
+    return df.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        F.regexp_count(t, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_count(t, F.lit(IPV4_RE)).cast("long").alias("n_ips"),
+    )
+
+
+def _raw_ngrams(text_col: str, n: int) -> Column:
+    """All word n-grams (with duplicates) as array<string>."""
+    words = F.split(F.col(text_col), " ")
+    cnt = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram repetition: total, distinct, max count, ratio.
+
+    ``rep_ratio = 1 - distinct/total`` — 0 for repetition-free text, → 1
+    for boilerplate loops. The per-(doc, gram) count aggregates map-side
+    before the single doc_id shuffle.
+    """
+    grams = df.select(
+        F.col(id_col), F.explode(_raw_ngrams(text_col, n)).alias("g")
+    )
+    per_gram = grams.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_gram.groupBy(id_col)
+        .agg(
+            F.sum("c").cast("long").alias("total_grams"),
+            F.count(F.lit(1)).cast("long").alias("distinct_grams"),
+            F.max("c").cast("long").alias("max_gram_count"),
+        )
+        .withColumn(
+            "rep_ratio",
+            # fixed_point, not round(): HALF_UP vs banker's disagreement
+            # between engines breaks value-hash parity
+            fixed_point(
+                1 - F.col("distinct_grams") / F.col("total_grams"), 6
+            ),
+        )
+    )
+
+
+def contamination_overlap(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Documents sharing ≥ ``min_overlap`` distinct n-grams with the
+    benchmark set (decontamination before training).
+
+    The benchmark's exploded distinct n-grams broadcast (eval sets are
+    tiny vs the corpus); corpus grams join without shuffling the corpus.
+    Output: doc_id, n_overlapping_grams — one row per contaminated doc.
+    """
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(_raw_ngrams(text_col, n))).alias("g")
+    )
+    bench_grams = (
+        benchmark.select(F.explode(F.array_distinct(_raw_ngrams(text_col, n))).alias("g"))
+        .distinct()
+    )
+    return (
+        doc_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlapping_grams"))
+        .filter(F.col("n_overlapping_grams") >= min_overlap)
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 8,
+    mode: str = "chunk",
+) -> DataFrame:
+    """Assign docs to fixed-token-budget packs within hash buckets.
+
+    Output: (doc_id, bucket, n_tokens, pack_id). Bucket = pmod(id,
+    n_buckets) — at scale, set n_buckets ≈ cluster parallelism so each
+    bucket's window/greedy scan is one comfortable task, and pack
+    identity is the (bucket, pack_id) pair.
+    """
+    from pyspark.sql import Window
+
+    toks = F.size(F.split(F.col(text_col), " ")).cast("long")
+    base = df.select(
+        F.col(id_col),
+        F.pmod(F.col(id_col), F.lit(n_buckets)).cast("long").alias("bucket"),
+        toks.alias("n_tokens"),
+    )
+    if mode == "chunk":
+        w = (
+            Window.partitionBy("bucket")
+            .orderBy(F.col(id_col).asc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        return base.withColumn(
+            "pack_id", F.floor(cum_before / F.lit(budget)).cast("long")
+        )
+    if mode == "greedy":
+        out_schema = (
+            f"{id_col} long, bucket long, n_tokens long, pack_id long"
+        )
+
+        def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(id_col).reset_index(drop=True)
+            packs, fill, cur = [], 0, 0
+            for t in pdf["n_tokens"]:
+                if fill and fill + t > budget:
+                    cur += 1
+                    fill = 0
+                packs.append(cur)
+                fill += t
+            pdf["pack_id"] = pd.Series(packs, dtype="int64")
+            return pdf[[id_col, "bucket", "n_tokens", "pack_id"]]
+
+        return base.groupBy("bucket").applyInPandas(pack, schema=out_schema)
+    raise ValueError(f"unknown packing mode {mode!r}")
+
+
+def shuffle_order(
+    df: DataFrame, id_col: str = "doc_id", seed: int = 0
+) -> DataFrame:
+    """Deterministic training-order shuffle key + scale-safe total order.
+
+    ``shuffle_key = (id + seed) * KNUTH mod 2^31`` — reproducible across
+    engines and reruns (no RNG state). The plan range-partitions on the
+    key and sorts within partitions: a total order across output shards
+    with NO single-task global sort.
+    """
+    key = F.pmod(
+        (F.col(id_col) + F.lit(seed)) * F.lit(_KNUTH), F.lit(1 << 31)
+    ).cast("long")
+    keyed = df.withColumn("shuffle_key", key)
+    return keyed.repartitionByRange(F.col("shuffle_key")).sortWithinPartitions(
+        "shuffle_key"
+    )
+
+
+__all__ = [
+    "pii_scrub",
+    "repetition_stats",
+    "contamination_overlap",
+    "pack_sequences",
+    "shuffle_order",
+]

@@ -86,6 +86,7 @@ def load_all() -> dict[str, QuerySpec]:
     entries), then the already-verified ones in registration order.
     """
     from . import (  # noqa: F401
+        curation_q,
         llm_q,
         pipeline_q,
         reconcile_q,

@@ -1,0 +1,113 @@
+"""Curation operators: PII scrub, repetition, contamination, packing,
+deterministic shuffle (llm/curation.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pretalx_hub_etl_spark.llm.curation import (
+    contamination_overlap,
+    pack_sequences,
+    pii_scrub,
+    repetition_stats,
+    shuffle_order,
+)
+
+
+def test_pii_scrub_redacts_all_three_kinds(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@test.org and 12-345-678-9012 at 192.168.0.1 end"),
+            (2, "no pii here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in pii_scrub(df).collect()}
+    assert out[1].clean_text == "mail <EMAIL> and <PHONE> at <IP> end"
+    assert (out[1].n_emails, out[1].n_phones, out[1].n_ips) == (1, 1, 1)
+    assert out[2].clean_text == "no pii here"
+    assert (out[2].n_emails, out[2].n_phones, out[2].n_ips) == (0, 0, 0)
+
+
+def test_repetition_stats_boilerplate_vs_unique(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c a b c"),  # pure loop -> high ratio
+            (2, "one two three four five six"),  # all distinct -> 0
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_stats(df, n=3).collect()}
+    assert out[2].rep_ratio == 0.0
+    assert out[1].rep_ratio > 0.6
+    assert out[1].max_gram_count == 4  # "a b c" 4 times
+    assert out[1].total_grams == 10  # 12 words -> 10 trigrams
+
+
+def test_contamination_flags_only_overlapping_docs(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox sleeps"),  # shares 2 trigrams? no: 1
+            (2, "entirely different words here"),
+        ],
+        "doc_id long, text string",
+    )
+    hits = {
+        r.doc_id: r.n_overlapping_grams
+        for r in contamination_overlap(docs, bench, n=3, min_overlap=1).collect()
+    }
+    # doc 1 shares "the quick brown" and "quick brown fox"
+    assert hits == {1: 2}
+
+
+@pytest.mark.parametrize("mode", ["chunk", "greedy"])
+def test_pack_sequences_covers_every_doc_once(spark, mode):
+    df = spark.createDataFrame(
+        [(i, " ".join(["w"] * (10 + i % 7))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    out = pack_sequences(df, budget=50, n_buckets=4, mode=mode)
+    rows = out.collect()
+    assert sorted(r.doc_id for r in rows) == list(range(40))
+
+
+def test_pack_greedy_budget_invariant(spark):
+    df = spark.createDataFrame(
+        [(i, " ".join(["w"] * (10 + (i * 13) % 30))) for i in range(60)]
+        + [(99, " ".join(["w"] * 200))],  # oversize singleton
+        "doc_id long, text string",
+    )
+    out = pack_sequences(df, budget=64, n_buckets=4, mode="greedy").collect()
+    totals: dict[tuple, int] = {}
+    sizes: dict[tuple, int] = {}
+    for r in out:
+        totals[(r.bucket, r.pack_id)] = totals.get((r.bucket, r.pack_id), 0) + r.n_tokens
+        sizes[(r.bucket, r.pack_id)] = sizes.get((r.bucket, r.pack_id), 0) + 1
+    for key, tot in totals.items():
+        # a pack only exceeds the budget when a single oversize doc is alone
+        assert tot <= 64 or sizes[key] == 1
+    # true greedy property: a pack closes only because the NEXT doc (in id
+    # order) would not fit — no pack is lazily under-filled
+    by_bucket: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r.bucket, r.doc_id)):
+        by_bucket.setdefault(r.bucket, []).append(r)
+    for rows in by_bucket.values():
+        for prev, cur in zip(rows, rows[1:]):
+            if cur.pack_id != prev.pack_id:
+                assert totals[(prev.bucket, prev.pack_id)] + cur.n_tokens > 64
+
+
+def test_shuffle_order_deterministic_and_total(spark):
+    df = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    a = [r.doc_id for r in shuffle_order(df).select("doc_id").collect()]
+    b = [r.doc_id for r in shuffle_order(df).select("doc_id").collect()]
+    assert a == b  # reproducible across runs
+    assert a != list(range(100))  # actually shuffled
+    assert sorted(a) == list(range(100))
+    # keys are unique for distinct ids (KNUTH is odd -> bijective mod 2^31)
+    keys = [r.shuffle_key for r in shuffle_order(df).collect()]
+    assert len(set(keys)) == 100

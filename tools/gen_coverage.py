@@ -109,6 +109,13 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_sample_stratified", "q_sample_split"]),
         ("L7", "end-to-end curation pipeline (quality -> dedup -> near-dup"
                " -> rebalance)", ["q_pipeline_curation"]),
+        ("L8", "PII scrub (regex redaction + audit counts)", ["q_pii_scrub"]),
+        ("L9", "n-gram repetition quality signal", ["q_text_repetition"]),
+        ("L10", "benchmark decontamination (n-gram overlap)",
+         ["q_contamination"]),
+        ("L11", "sequence packing (chunk window / greedy applyInPandas)",
+         ["q_pack_chunk", "q_pack_greedy"]),
+        ("L12", "deterministic training-order shuffle", ["q_shuffle_order"]),
     ]),
     ("TPC-H composite shapes", [
         ("Q", "multi-way join/agg/subquery plans",

@@ -97,6 +97,7 @@ def load_all() -> dict[str, QuerySpec]:
         stream,
         tpch,
         tpch2,
+        tpch3,
         window_fns,
     )
 

@@ -119,10 +119,10 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
     ]),
     ("TPC-H composite shapes", [
         ("Q", "multi-way join/agg/subquery plans",
-         ["q_tpch_q3", "q_tpch_q4", "q_tpch_q5", "q_tpch_q6", "q_tpch_q7",
-          "q_tpch_q10", "q_tpch_q12", "q_tpch_q13", "q_tpch_q14",
-          "q_tpch_q17", "q_tpch_q18", "q_tpch_q19", "q_tpch_q21",
-          "q_tpch_q22"]),
+         ["q_tpch_q1", "q_tpch_q3", "q_tpch_q4", "q_tpch_q5", "q_tpch_q6",
+          "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q10", "q_tpch_q12",
+          "q_tpch_q13", "q_tpch_q14", "q_tpch_q15", "q_tpch_q17",
+          "q_tpch_q18", "q_tpch_q19", "q_tpch_q21", "q_tpch_q22"]),
         ("SEQ", "ordered-sequence funnel analytics", ["q_funnel"]),
     ]),
 ]

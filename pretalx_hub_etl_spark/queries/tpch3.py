@@ -231,9 +231,15 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The view + scalar-subquery shape: quarterly revenue per supplier,
-    # keep the max. The max is a 1-row broadcast joined back against the
-    # aggregated (already tiny) rev side — the fact table is scanned ONCE.
-    # Equality compares exact cent longs, never floats.
+    # keep the max. A naive `rev.join(rev.agg(max))` duplicates the whole
+    # rev SUBTREE — Spark plans (and executes) the lineitem scan twice,
+    # verified in tests/test_plans.py. Instead the max comes from an
+    # unpartitioned window over the ALREADY-AGGREGATED side: one fact
+    # scan, and the single-task window only ever sees |distinct suppkey|
+    # pre-aggregated rows, not lineitem. Equality compares exact cent
+    # longs, never floats.
+    from pyspark.sql import Window
+
     cat = Catalog(spark, sf_dir)
     rev = (
         cat.lineitem.filter(
@@ -243,10 +249,11 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.sum(_rev_cents()).alias("total_c"))
     )
-    max_rev = rev.agg(F.max("total_c").alias("max_c"))
+    best = rev.withColumn(
+        "max_c", F.max("total_c").over(Window.partitionBy())
+    ).filter(F.col("total_c") == F.col("max_c"))
     return (
-        rev.join(F.broadcast(max_rev), F.col("total_c") == F.col("max_c"))
-        .join(
+        best.join(
             cat.supplier.select("s_suppkey", "s_name"),
             F.col("supplier_no") == F.col("s_suppkey"),
         )

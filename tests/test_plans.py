@@ -167,3 +167,52 @@ def test_filter_reaches_parquet_scan(spark):
     plan = plan_of(spark, "q_filter_eq")
     assert "PushedFilters" in plan
     assert "[]" not in plan.split("PushedFilters:")[1].splitlines()[0]
+
+
+def test_pii_scrub_is_shuffle_free_scan_stage(spark):
+    # redaction must ride the scan: any exchange means the corpus is
+    # being moved just to run a regex
+    plan = plan_of(spark, "q_pii_scrub")
+    assert "Exchange" not in plan
+    assert "codegen id" in plan  # fused into a whole-stage-codegen span
+
+
+def test_contamination_broadcasts_benchmark_grams(spark):
+    # corpus side must never shuffle for the join; only the per-doc agg
+    # may exchange (and only AFTER partial aggregation)
+    plan = plan_of(spark, "q_contamination")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q1_is_single_exchange_partial_agg(spark):
+    plan = plan_of(spark, "q_tpch_q1")
+    # partial agg before the (tiny, 6-group) exchange, final after; any
+    # second exchange would mean re-shuffling aggregated data. Formatted
+    # explain lists every node once in the tree and once in the detail
+    # section -> count detail entries.
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "partial" in plan.lower()
+    # shipdate predicate reaches the parquet scan
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or "LessThanOrEqual(l_shipdate" in plan
+
+
+def test_tpch_q15_scans_lineitem_once(spark):
+    # the scalar-subquery max must come from the AGGREGATED rev side (a
+    # few thousand rows), not from a second scan of the fact table
+    import re
+
+    plan = plan_of(spark, "q_tpch_q15")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2  # lineitem + supplier
+
+
+def test_embedding_near_dup_bands_ids_only(spark):
+    # the banded self-join exchange must carry (id, table_id, bucket) —
+    # never the embedding vectors (round-1 VERDICT "what's wrong" #1)
+    plan = plan_of(spark, "q_dedup_embed")
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "embedding" not in m.group(1)

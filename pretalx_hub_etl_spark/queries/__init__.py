@@ -98,6 +98,7 @@ def load_all() -> dict[str, QuerySpec]:
         tpch,
         tpch2,
         tpch3,
+        tpch4,
         window_fns,
     )
 

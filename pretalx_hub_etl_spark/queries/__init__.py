@@ -92,6 +92,7 @@ def load_all() -> dict[str, QuerySpec]:
         reconcile_q,
         relational,
         relational2,
+        relational3,
         scalar_fns,
         sources_sinks,
         stream,

@@ -1,0 +1,267 @@
+"""Third relational batch: window distribution/frame shapes, hash and
+bitwise scalar functions, and declared queries for the skew operators
+(``salted_join`` / ``salted_two_level_agg``) whose oracles are the PLAIN
+join/groupBy — salting is a physical rewrite, semantically a no-op.
+
+Determinism notes (the usual cross-engine traps, pre-empted):
+- every rank-based window orders by a UNIQUE key tuple (ties broken by
+  the primary key), so ntile/percent_rank/cume_dist are exact rationals
+  computed identically in both engines;
+- the time-range frame sums fixed-point cents (exact BIGINTs, any
+  summation order) and frames on epoch-second BIGINTs, not timestamps;
+- bit ops compare as BIGINT on both sides (DuckDB's bit_count returns a
+  narrow integer, Spark's an int — both pinned).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from ..functions.core import fixed_cents
+from ..operators.agg import salted_two_level_agg
+from ..operators.joins import salted_join
+from . import query
+
+# --- W6: distribution ranks (ntile / percent_rank / cume_dist) --------------
+
+
+@query(
+    "q_window_ntile",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           CAST(ntile(4) OVER w AS BIGINT) AS tile,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Quartile assignment + exact distribution ranks per nation. The order
+    # key includes the primary key so every row has a unique rank — the
+    # only way ntile/percent_rank hash identically across engines. One
+    # shuffle on the partition key; no global sort.
+    c = Catalog(spark, sf_dir).customer
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).cast("long").alias("tile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+# --- W7: first / last / nth value frames ------------------------------------
+
+
+@query(
+    "q_window_firstlast",
+    oracle="""
+    SELECT event_id, user_id,
+           first_value(value) OVER w AS first_v,
+           last_value(value) OVER w AS last_v,
+           nth_value(value, 2) OVER w AS second_v
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_window_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Each user's first/last/second event value attached to every row.
+    # The frame is explicitly unbounded-unbounded: last_value's DEFAULT
+    # frame (unbounded preceding .. current row) silently returns the
+    # current row's value — the classic window bug, pinned here on both
+    # engines. Tie-broken by event_id for a unique order.
+    e = Catalog(spark, sf_dir).events
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.first("value").over(w).alias("first_v"),
+        F.last("value").over(w).alias("last_v"),
+        F.nth_value("value", 2).over(w).alias("second_v"),
+    )
+
+
+# --- W8: time-range frame (trailing-hour sum) -------------------------------
+
+
+@query(
+    "q_window_time_range",
+    oracle="""
+    SELECT event_id, user_id, ts_s,
+           CAST(sum(v_c) OVER (
+               PARTITION BY user_id ORDER BY ts_s
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) / 100.0 AS trail_hour_value
+    FROM (
+        SELECT event_id, user_id,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_s,
+               CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v_c
+        FROM events
+    )
+    """,
+)
+def q_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Trailing 1-hour sum per user: a RANGE frame over epoch seconds, the
+    # event-time rolling metric Structured Streaming's window() cannot
+    # express (it buckets; this trails per row). Range frames include ALL
+    # peers of the boundary values, so ties in ts_s are deterministic
+    # without a tiebreak; summed values are exact cents.
+    e = Catalog(spark, sf_dir).events
+    base = e.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").cast("long").alias("ts_s"),
+        fixed_cents(F.col("value")).alias("v_c"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s").rangeBetween(-3600, 0)
+    return base.select(
+        "event_id",
+        "user_id",
+        "ts_s",
+        (F.sum("v_c").over(w) / 100.0).alias("trail_hour_value"),
+    )
+
+
+# --- F13: cryptographic / fingerprint hashes --------------------------------
+
+
+@query(
+    "q_fn_hash",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS h_md5,
+           sha256(text) AS h_sha256,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def q_fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Content hashing is the backbone of exact dedup and cache keys at
+    # 100 TB: both digests are JVM intrinsics (no UDF), hex-lowercase in
+    # both engines. sha2(,256) is what llm.dedup recommends as the
+    # shuffle key for multi-KB documents.
+    d = Catalog(spark, sf_dir).documents
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("h_md5"),
+        F.sha2("text", 256).alias("h_sha256"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+# --- F14: bitwise ops -------------------------------------------------------
+
+
+@query(
+    "q_fn_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey & 255 AS BIGINT) AS lo_byte,
+           CAST(o_orderkey | 4096 AS BIGINT) AS with_flag,
+           CAST(xor(o_orderkey, o_custkey) AS BIGINT) AS key_xor,
+           CAST(o_orderkey << 2 AS BIGINT) AS shl2,
+           CAST(o_orderkey >> 3 AS BIGINT) AS shr3,
+           CAST(bit_count(o_orderkey) AS BIGINT) AS popcount
+    FROM orders
+    """,
+)
+def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bit manipulation (flag fields, bloom/bitmap membership words,
+    # hash mixing) as pure codegen expressions.
+    o = Catalog(spark, sf_dir).orders
+    return o.select(
+        "o_orderkey",
+        F.expr("o_orderkey & 255").cast("long").alias("lo_byte"),
+        F.expr("o_orderkey | 4096").cast("long").alias("with_flag"),
+        F.expr("o_orderkey ^ o_custkey").cast("long").alias("key_xor"),
+        F.shiftleft("o_orderkey", 2).cast("long").alias("shl2"),
+        F.shiftright("o_orderkey", 3).cast("long").alias("shr3"),
+        F.bit_count("o_orderkey").cast("long").alias("popcount"),
+    )
+
+
+# --- SK1: salted join (skew-resistant, semantically a plain join) -----------
+
+
+@query(
+    "q_join_salted",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, s_name,
+           CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) / 100.0
+               AS price
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    WHERE l_quantity < 5
+    """,
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The manual skew-spread join: the supplier dim is exploded across 8
+    # salt buckets so a hot suppkey's rows land on 8 reducers instead of
+    # one. Semantically identical to the plain join — which IS the oracle.
+    cat = Catalog(spark, sf_dir)
+    li = cat.lineitem.filter(F.col("l_quantity") < 5).select(
+        F.col("l_suppkey").alias("s_suppkey"),
+        "l_orderkey",
+        "l_linenumber",
+        (fixed_cents(F.col("l_extendedprice")) / 100.0).alias("price"),
+    )
+    supp = cat.supplier.select("s_suppkey", "s_name")
+    return salted_join(li, supp, "s_suppkey", salt_buckets=8).select(
+        "l_orderkey", "l_linenumber", "s_name", "price"
+    )
+
+
+# --- SK2: salted two-level aggregation --------------------------------------
+
+
+@query(
+    "q_agg_salted",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+               AS BIGINT) / 100.0 AS total_price,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(CAST(l_quantity AS BIGINT)) AS BIGINT) AS min_qty,
+           CAST(max(CAST(l_quantity AS BIGINT)) AS BIGINT) AS max_qty
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+)
+def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two-level skew-resistant aggregation over a deliberately low-
+    # cardinality key (6 groups over 600k rows at sf0.1 — exactly the
+    # "hot final reducer" regime). Partials are exact integers, so the
+    # result is bit-identical to the plain groupBy oracle.
+    li = Catalog(spark, sf_dir).lineitem.select(
+        "l_returnflag",
+        "l_linestatus",
+        fixed_cents(F.col("l_extendedprice")).alias("price_c"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    out = salted_two_level_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "price_c_sum": ("sum", "price_c"),
+            "n": ("count", "price_c"),
+            "min_qty": ("min", "qty"),
+            "max_qty": ("max", "qty"),
+        },
+        salt_buckets=16,
+    )
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        (F.col("price_c_sum") / 100.0).alias("total_price"),
+        "n",
+        "min_qty",
+        "max_qty",
+    )

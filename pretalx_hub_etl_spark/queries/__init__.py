@@ -88,6 +88,7 @@ def load_all() -> dict[str, QuerySpec]:
     from . import (  # noqa: F401
         curation_q,
         llm_q,
+        llm_q2,
         pipeline_q,
         reconcile_q,
         relational,

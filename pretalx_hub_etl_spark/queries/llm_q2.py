@@ -1,0 +1,228 @@
+"""Second LLM-pipeline batch: Gopher-style quality rules, token-length
+histograms, and exact embedding norms/centroids.
+
+These extend the L4 (text analysis) and L3 (similarity) families with the
+remaining signals a pretraining curation pipeline computes corpus-wide:
+
+- rule-based quality gating (the Gopher/C4 filter family) as pure codegen
+  expressions that ride the scan — the only affordable shape at 100 TB;
+- corpus shape statistics (token-length histogram per language) — one
+  map-side-combined shuffle on a tiny key space;
+- embedding norms and per-class centroids in FIXED-POINT integers: each
+  component quantizes to floor(x·1e6 + 0.5) once, all sums happen on
+  exact BIGINTs (order-independent, cross-engine bit-identical), and the
+  only doubles are final divisions / one sqrt of an exact integer.
+
+Oracle notes: DuckDB's lambda syntax (``list_transform(l, x -> ...)``)
+mirrors Spark's ``transform``/``aggregate`` higher-order functions; both
+engines convert float32 components to double EXACTLY before quantizing,
+so the quantized integers agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from . import query
+
+# --- quality: Gopher-style rule gate ----------------------------------------
+
+_STOPWORDS = ("the", "a", "of", "to", "and", "in")
+
+
+def _stop_hits_sql() -> str:
+    return " + ".join(
+        f"(CASE WHEN ' ' || text || ' ' LIKE '% {w} %' THEN 1 ELSE 0 END)"
+        for w in _STOPWORDS
+    )
+
+
+def _stop_hits_col() -> Column:
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    hits = [
+        F.when(padded.contains(f" {w} "), F.lit(1)).otherwise(F.lit(0))
+        for w in _STOPWORDS
+    ]
+    out = hits[0]
+    for h in hits[1:]:
+        out = out + h
+    return out
+
+
+@query(
+    "q_quality_gopher",
+    oracle=f"""
+    WITH sig AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_alpha,
+               CAST(length(text)
+                    - length(regexp_replace(text, '[^a-z ]', '', 'g'))
+                    AS BIGINT) AS n_symbols,
+               CAST({_stop_hits_sql()} AS BIGINT) AS stop_hits
+        FROM documents
+    )
+    SELECT doc_id, lang, n_words, n_symbols, stop_hits,
+           CAST(floor(n_alpha * 100.0 / n_words) AS BIGINT) AS mean_wlen_c,
+           CAST(
+               n_words BETWEEN 20 AND 100000
+               AND floor(n_alpha * 100.0 / n_words) BETWEEN 100 AND 1000
+               AND stop_hits >= 2
+               AND n_symbols * 10 < n_alpha
+               AS BOOLEAN) AS keep
+    FROM sig
+    """,
+)
+def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The Gopher rule family (word-count bounds, mean-word-length band,
+    # stopword presence, symbol ratio) as one expression chain: zero
+    # shuffle, fully codegen'd, the gate fuses into the corpus scan.
+    # mean word length stays in integer centi-chars (floor of an exact
+    # small-int division — identical doubles on both engines).
+    d = Catalog(spark, sf_dir).documents
+    n_words = F.size(F.split(F.col("text"), " ")).cast("long")
+    n_alpha = F.length(F.regexp_replace("text", " ", "")).cast("long")
+    # symbol count as a length delta (this DuckDB build lacks regexp_count)
+    n_symbols = (
+        F.length("text") - F.length(F.regexp_replace("text", "[^a-z ]", ""))
+    ).cast("long")
+    sig = d.select(
+        "doc_id",
+        "lang",
+        n_words.alias("n_words"),
+        n_alpha.alias("n_alpha"),
+        n_symbols.alias("n_symbols"),
+        _stop_hits_col().cast("long").alias("stop_hits"),
+    )
+    mean_wlen_c = F.floor(F.col("n_alpha") * 100.0 / F.col("n_words")).cast("long")
+    keep = (
+        F.col("n_words").between(20, 100000)
+        & mean_wlen_c.between(100, 1000)
+        & (F.col("stop_hits") >= 2)
+        & (F.col("n_symbols") * 10 < F.col("n_alpha"))
+    )
+    return sig.select(
+        "doc_id",
+        "lang",
+        "n_words",
+        "n_symbols",
+        "stop_hits",
+        mean_wlen_c.alias("mean_wlen_c"),
+        keep.alias("keep"),
+    )
+
+
+# --- corpus shape: token-length histogram per language ----------------------
+
+
+@query(
+    "q_token_histogram",
+    oracle="""
+    SELECT lang,
+           CAST(least(len(string_split(text, ' ')) // 20, 19) AS BIGINT)
+               AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+               AS n_tokens
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Sequence-length distribution per language — the statistic that sizes
+    # packing budgets and batch shapes. Bucketing is integer floor-div
+    # capped at 19; the groupBy key space is |langs| x 20, so the shuffle
+    # is map-side combined down to nothing.
+    d = Catalog(spark, sf_dir).documents
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    bucket = F.least(F.floor(n_tok / 20), F.lit(19)).cast("long")
+    return (
+        d.select("lang", bucket.alias("bucket"), n_tok.alias("n_tok"))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )
+
+
+# --- embeddings: exact L2 norm ----------------------------------------------
+
+#: DuckDB-side quantizer for one component (float -> exact micro-units).
+_Q_SQL = "CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"
+
+
+def _q_col(x: Column) -> Column:
+    return F.floor(x.cast("double") * 1000000.0 + F.lit(0.5)).cast("long")
+
+
+@query(
+    "q_embed_norm",
+    oracle=f"""
+    SELECT vec_id, label,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           sqrt(CAST(list_sum(list_transform(embedding,
+               x -> {_Q_SQL} * {_Q_SQL})) AS BIGINT)) / 1000000.0 AS l2_norm
+    FROM embeddings
+    """,
+)
+def q_embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # L2 norms for normalization / outlier pruning before ANN indexing.
+    # Components quantize to micro-unit BIGINTs; the sum of squares is an
+    # exact integer (64 terms x <= ~1e12 each — far inside int64), so the
+    # one sqrt is of an identical value on both engines. Pure higher-order
+    # expressions: no UDF, no shuffle.
+    e = Catalog(spark, sf_dir).embeddings
+    sq_sum = F.aggregate(
+        F.col("embedding"),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + _q_col(x) * _q_col(x),
+    )
+    return e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").cast("long").alias("dim"),
+        (F.sqrt(sq_sum.cast("double")) / 1000000.0).alias("l2_norm"),
+    )
+
+
+# --- embeddings: per-label centroids (leading dims) -------------------------
+
+
+@query(
+    "q_embed_centroid",
+    oracle=f"""
+    WITH comp AS (
+        SELECT label,
+               unnest(range(len(embedding))) AS pos,
+               unnest(list_transform(embedding, x -> {_Q_SQL})) AS q_c
+        FROM embeddings
+    )
+    SELECT label, CAST(pos AS BIGINT) AS pos,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(q_c) AS BIGINT) / (1000000.0 * count(*)) AS centroid
+    FROM comp
+    WHERE pos < 8
+    GROUP BY 1, 2
+    """,
+)
+def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-class mean embedding (leading 8 dims declared; the full-width
+    # version is the same plan) — the IVF coarse-quantizer update step and
+    # the per-domain drift monitor. posexplode -> one shuffle on the tiny
+    # (label, pos) key space with map-side combine; sums are exact
+    # BIGINTs so partial-aggregation order cannot change the result.
+    e = Catalog(spark, sf_dir).embeddings
+    comp = e.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "x")
+    ).filter(F.col("pos") < 8)
+    return (
+        comp.select("label", F.col("pos").cast("long").alias("pos"), _q_col(F.col("x")).alias("q_c"))
+        .groupBy("label", "pos")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            (F.sum("q_c") / (F.lit(1000000.0) * F.count(F.lit(1)))).alias("centroid"),
+        )
+    )

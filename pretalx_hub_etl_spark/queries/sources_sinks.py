@@ -294,3 +294,18 @@ def q_validate_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = Catalog(spark, sf_dir).events
     predicate = (F.col("value") >= 1.0) & (F.col("event_type") != "error")
     return with_validity(e, predicate).select("event_id", "event_type", "value", "is_valid")
+
+
+# --- S4 extension: ORC roundtrip (second columnar format) -------------------
+
+
+@query("q_sink_roundtrip_orc", oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier")
+def q_sink_roundtrip_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark's other native columnar format: same writer API, same
+    # predicate-pushdown/column-pruning story as parquet (ORC readers are
+    # vectorized + indexed). The oracle reads the ORIGINAL parquet table —
+    # the roundtrip must be lossless.
+    supp = Catalog(spark, sf_dir).supplier
+    out = os.path.join(tempfile.mkdtemp(prefix="phe_orc_"), "supplier_orc")
+    supp.write.mode("overwrite").orc(out)
+    return spark.read.orc(out)

@@ -147,3 +147,43 @@ def q_stream_late_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.unix_timestamp("ts").cast("long").alias("ts_s"),
     )
+
+
+@query(
+    "q_stream_dedup",
+    oracle="""
+    SELECT user_id, event_type,
+           CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS first_ts_s,
+           event_id
+    FROM (
+        SELECT user_id, event_type, ts, event_id,
+               row_number() OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id
+               ) AS rn
+        FROM events
+    )
+    WHERE rn = 1
+    """,
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Batch-deterministic twin of streaming.structured.dedup_stream
+    # (dropDuplicatesWithinWatermark keeps the FIRST arrival per key;
+    # in batch "first" must be pinned to event time + id or the result
+    # is whatever partition wins the race). One shuffle on the dedup key;
+    # at scale this is the keep-earliest exact-dedup shape (L1) applied
+    # to an event stream.
+    from pyspark.sql import Window
+
+    e = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_timestamp("ts").cast("long").alias("first_ts_s"),
+            "event_id",
+        )
+    )

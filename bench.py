@@ -47,6 +47,12 @@ HEADLINE = [
     "q_dedup_near",         # MinHash-LSH
     "q_dedup_ngram_jaccard",  # exact Jaccard postings join
     "q_pipeline_curation",  # composed quality->dedup->rebalance e2e
+    "q_tpch_q1",            # canonical full-scan pricing summary
+    "q_tpch_q9",            # 5-way join + per-nation-year profit rollup
+    "q_tpch_q2",            # pseudo-partsupp + correlated window-min
+    "q_window_time_range",  # trailing time-range frame per key
+    "q_quality_gopher",     # regex/rule quality gate (scan-fused)
+    "q_embed_norm",         # higher-order fn over vector arrays
 ]
 
 

@@ -265,3 +265,104 @@ def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_qty",
         "max_qty",
     )
+
+
+# --- A7: exact-integer statistical moments (corr / stddev without drift) ----
+
+
+@query(
+    "q_agg_stats",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+               CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                   AS BIGINT) AS sxx,
+               CAST(sum(CAST(floor(l_extendedprice + 0.5) AS BIGINT))
+                   AS BIGINT) AS sy,
+               CAST(sum(CAST(floor(l_extendedprice + 0.5) AS BIGINT)
+                      * CAST(floor(l_extendedprice + 0.5) AS BIGINT))
+                   AS BIGINT) AS syy,
+               CAST(sum(CAST(l_quantity AS BIGINT)
+                      * CAST(floor(l_extendedprice + 0.5) AS BIGINT))
+                   AS BIGINT) AS sxy
+        FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag, n,
+           CAST(sx AS DOUBLE) / n AS mean_qty,
+           sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) / n AS stddev_qty,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+               / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                  * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_qty_price
+    FROM m
+    """,
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Built-in corr()/stddev() accumulate FLOATS whose partial-merge order
+    # differs run to run and engine to engine — unusable under a value-
+    # hash gate, and subtly nondeterministic at 1000 executors. The engine
+    # form: quantize once, aggregate the five exact integer moments
+    # (sums fit int64: qty<=50, price quantized to whole units <=~1e5,
+    # squared 1e10, x 6e6 rows at sf1 = 6e16 << 2^63), derive the
+    # statistics from exact integers in one final double expression.
+    li = Catalog(spark, sf_dir).lineitem
+    x = F.col("l_quantity").cast("long")
+    y = F.floor(F.col("l_extendedprice") + F.lit(0.5)).cast("long")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y).alias("sy"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    return m.select(
+        "l_returnflag",
+        "n",
+        (sx.cast("double") / n).alias("mean_qty"),
+        (F.sqrt((n * sxx - sx * sx).cast("double")) / n).alias("stddev_qty"),
+        (
+            (n * sxy - sx * sy).cast("double")
+            / (
+                F.sqrt((n * sxx - sx * sx).cast("double"))
+                * F.sqrt((n * syy - sy * sy).cast("double"))
+            )
+        ).alias("corr_qty_price"),
+    )
+
+
+# --- F15: date arithmetic ---------------------------------------------------
+
+
+@query(
+    "q_fn_date_arith",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(last_day(o_orderdate) AS DATE) AS month_end,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus_30d,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST((year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1
+               AS BIGINT) AS months_since_1995,
+           CAST(isodow(o_orderdate) AS BIGINT) AS iso_weekday
+    FROM orders
+    """,
+)
+def q_fn_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Calendar arithmetic parity pack. Weekday numbering is the classic
+    # trap (Spark dayofweek: Sun=1; DuckDB dayofweek: Sun=0) — both sides
+    # use ISO numbering (Mon=1..Sun=7; Spark: weekday()+1). Month math is
+    # integer year*12 arithmetic, not fractional months_between.
+    o = Catalog(spark, sf_dir).orders
+    return o.select(
+        "o_orderkey",
+        F.last_day("o_orderdate").alias("month_end"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("plus_30d"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        (
+            (F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1
+        ).cast("long").alias("months_since_1995"),
+        (F.weekday("o_orderdate") + 1).cast("long").alias("iso_weekday"),
+    )

@@ -158,3 +158,97 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cume"),
         F.nth_value("value", 2).over(wf).alias("second_lowest"),
     )
+
+
+# --- W9: SCD2 validity intervals (record versioning) ------------------------
+
+
+@query(
+    "q_scd2_intervals",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS valid_from_s,
+           lead(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS valid_to_s,
+           CAST(lead(event_id) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) IS NULL AS BOOLEAN) AS is_current
+    FROM events
+    """,
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Slowly-changing-dimension type 2 build: each event versions its
+    # user's record; validity closes at the NEXT event's time (half-open
+    # intervals, no gaps/overlaps by construction). One shuffle on the
+    # entity key — the standard "latest + full history" table build,
+    # which the reference approximates imperatively with its op_flag
+    # create/update partition (main.py:134-148).
+    e = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_s = F.unix_timestamp("ts").cast("long")
+    return e.select(
+        "event_id",
+        "user_id",
+        ts_s.alias("valid_from_s"),
+        F.lead(ts_s).over(w).alias("valid_to_s"),
+        F.lead("event_id").over(w).isNull().alias("is_current"),
+    )
+
+
+# --- W10: batch sessionization (gap > 30 min starts a session) --------------
+
+
+@query(
+    "q_sessionize_batch",
+    oracle="""
+    WITH t AS (
+        SELECT event_id, user_id,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_s,
+               CASE WHEN CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                         - lag(CAST(floor(epoch(CAST(ts AS TIMESTAMP)))
+                               AS BIGINT)) OVER w > 1800
+                         OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id, ts_s,
+           CAST(sum(is_start) OVER (
+               PARTITION BY user_id ORDER BY ts_s, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS session_idx
+    FROM t
+    """,
+)
+def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The lag-gap-cumsum sessionizer: assigns a per-user session INDEX to
+    # every event (session_window aggregates away the events; this keeps
+    # them — the form training pipelines need to group interaction
+    # traces). Two window passes over ONE shuffle: both windows share the
+    # user_id partitioning, so Catalyst plans a single exchange.
+    e = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_s = F.unix_timestamp("ts").cast("long")
+    t = e.select(
+        "event_id",
+        "user_id",
+        ts_s.alias("ts_s"),
+        F.when(
+            (ts_s - F.lag(ts_s).over(w) > 1800) | F.lag("ts").over(w).isNull(),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("is_start"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t.select(
+        "event_id",
+        "user_id",
+        "ts_s",
+        F.sum("is_start").over(w2).alias("session_idx"),
+    )

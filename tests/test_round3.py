@@ -235,3 +235,56 @@ def test_salted_join_query_has_no_broadcast_free_skew(spark, registry):
     plan = plan_of(spark, "q_join_salted")
     assert "CartesianProduct" not in plan
     assert "Generate explode" in plan or "Explode" in plan or "explode" in plan
+
+
+# --- SCD2 / sessionization / stats ------------------------------------------
+
+
+def test_scd2_intervals_are_half_open_chain(spark, registry):
+    rows = run(registry, spark, "q_scd2_intervals").collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for rs in by_user.values():
+        rs.sort(key=lambda r: (r.valid_from_s, r.event_id))
+        currents = [r for r in rs if r.is_current]
+        assert len(currents) == 1  # exactly one open version per user
+        for a, b in zip(rs, rs[1:]):
+            assert a.valid_to_s == b.valid_from_s  # gapless chain
+
+
+def test_sessionize_gap_rule(spark, registry):
+    rows = run(registry, spark, "q_sessionize_batch").collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for rs in by_user.values():
+        rs.sort(key=lambda r: (r.ts_s, r.event_id))
+        assert rs[0].session_idx == 1
+        for a, b in zip(rs, rs[1:]):
+            if b.ts_s - a.ts_s > 1800:
+                assert b.session_idx == a.session_idx + 1
+            else:
+                assert b.session_idx == a.session_idx
+
+
+def test_agg_stats_matches_numpy(spark, registry):
+    from pretalx_hub_etl_spark.catalog import Catalog
+
+    got = {r.l_returnflag: r for r in run(registry, spark, "q_agg_stats").collect()}
+    li = Catalog(spark, SF_SMOKE).lineitem.select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    ).collect()
+    groups: dict[str, list] = {}
+    for r in li:
+        groups.setdefault(r.l_returnflag, []).append(
+            (int(r.l_quantity), math.floor(r.l_extendedprice + 0.5))
+        )
+    for flag, xy in groups.items():
+        x = np.array([a for a, _ in xy], dtype=np.float64)
+        y = np.array([b for _, b in xy], dtype=np.float64)
+        g = got[flag]
+        assert g.n == len(xy)
+        assert abs(g.mean_qty - x.mean()) < 1e-9
+        assert abs(g.stddev_qty - x.std()) < 1e-6
+        assert abs(g.corr_qty_price - np.corrcoef(x, y)[0, 1]) < 1e-6

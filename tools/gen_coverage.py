@@ -20,9 +20,9 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
         ("S1", "JSON document source / normalize", ["q_scan_json_normalize"]),
         ("S2", "paginated REST source", ["q_scan_paginated"]),
         ("S3", "parquet scan + partition pruning", ["q_scan_partition_pruned"]),
-        ("S4", "sinks (parquet/json/csv roundtrips)",
+        ("S4", "sinks (parquet/json/csv/orc roundtrips)",
          ["q_sink_roundtrip", "q_sink_roundtrip_json", "q_sink_roundtrip_csv",
-          "q_join_bucketed"]),
+          "q_sink_roundtrip_orc", "q_join_bucketed"]),
         ("S5", "pre-sink validation / dead-letter", ["q_validate_split"]),
     ]),
     ("2.2 Projections / filters", [
@@ -39,6 +39,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
         ("J4", "semi-join", ["q_join_semi"]),
         ("J5", "inner equi-join chain", ["q_join_inner"]),
         ("J6", "range / as-of joins", ["q_join_range", "q_join_asof"]),
+        ("J8", "skew-salted join (≡ plain join, hot keys spread)",
+         ["q_join_salted"]),
     ]),
     ("2.4 Aggregations", [
         ("A1", "count / count distinct", ["q_agg_count"]),
@@ -52,6 +54,10 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
         ("A7", "percentiles / pivot / unpivot",
          ["q_agg_percentile", "q_pivot", "q_unpivot"]),
         ("A8", "array-valued aggregates (sorted collect)", ["q_agg_collect"]),
+        ("A9", "skew-resistant two-level aggregation (≡ plain groupBy)",
+         ["q_agg_salted"]),
+        ("A10", "exact-integer statistical moments (stddev/corr)",
+         ["q_agg_stats"]),
     ]),
     ("2.5 Window functions", [
         ("W1", "ranking", ["q_window_rank"]),
@@ -60,6 +66,16 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
         ("W4", "top-k per group", ["q_window_topk_per_group"]),
         ("W5", "distribution (ntile/percent_rank/cume_dist/nth_value)",
          ["q_window_distribution"]),
+        ("W6", "quartile + exact distribution ranks per group",
+         ["q_window_ntile"]),
+        ("W7", "first/last/nth value over explicit frames",
+         ["q_window_firstlast"]),
+        ("W8", "time-range frame (trailing-hour rolling sum)",
+         ["q_window_time_range"]),
+        ("W9", "SCD2 validity intervals (record versioning)",
+         ["q_scd2_intervals"]),
+        ("W10", "batch sessionization (lag-gap-cumsum session ids)",
+         ["q_sessionize_batch"]),
     ]),
     ("2.6 Sorts / limits", [
         ("O1", "multi-key sort", ["q_sort_multi_key"]),
@@ -80,6 +96,10 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
         ("F10", "JSON access", ["q_fn_json"]),
         ("F11", "regex extract / replace / match", ["q_fn_regex"]),
         ("F12", "ANSI-safe try_cast / try_divide / try_add", ["q_fn_try"]),
+        ("F13", "content hashes (md5 / sha256)", ["q_fn_hash"]),
+        ("F14", "bitwise ops (and/or/xor/shift/popcount)", ["q_fn_bitwise"]),
+        ("F15", "date arithmetic (last_day/trunc/interval/iso weekday)",
+         ["q_fn_date_arith"]),
     ]),
     ("2.9 Streaming-shaped", [
         ("ST1", "tumbling window", ["q_stream_tumbling"]),
@@ -87,6 +107,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
         ("ST3", "session window", ["q_stream_session"]),
         ("ST4", "watermark / late-data filter", ["q_stream_late_filter"]),
         ("ST5", "reconcile merge (FLAGSHIP)", ["q_reconcile_merge"]),
+        ("ST6", "keep-first stream dedup (dropDuplicatesWithinWatermark twin)",
+         ["q_stream_dedup"]),
     ]),
     ("2.10 UDF surface", [
         ("UD1", "Arrow pandas UDF ≡ built-in", ["q_udf_pandas"]),
@@ -116,13 +138,18 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
         ("L11", "sequence packing (chunk window / greedy applyInPandas)",
          ["q_pack_chunk", "q_pack_greedy"]),
         ("L12", "deterministic training-order shuffle", ["q_shuffle_order"]),
+        ("L13", "Gopher-style rule quality gate", ["q_quality_gopher"]),
+        ("L14", "token-length histogram per language", ["q_token_histogram"]),
+        ("L15", "exact embedding L2 norms / per-class centroids",
+         ["q_embed_norm", "q_embed_centroid"]),
     ]),
     ("TPC-H composite shapes", [
         ("Q", "multi-way join/agg/subquery plans",
-         ["q_tpch_q1", "q_tpch_q3", "q_tpch_q4", "q_tpch_q5", "q_tpch_q6",
-          "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q10", "q_tpch_q12",
-          "q_tpch_q13", "q_tpch_q14", "q_tpch_q15", "q_tpch_q17",
-          "q_tpch_q18", "q_tpch_q19", "q_tpch_q21", "q_tpch_q22"]),
+         ["q_tpch_q1", "q_tpch_q2", "q_tpch_q3", "q_tpch_q4", "q_tpch_q5",
+          "q_tpch_q6", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q10",
+          "q_tpch_q11", "q_tpch_q12", "q_tpch_q13", "q_tpch_q14",
+          "q_tpch_q15", "q_tpch_q16", "q_tpch_q17", "q_tpch_q18",
+          "q_tpch_q19", "q_tpch_q20", "q_tpch_q21", "q_tpch_q22"]),
         ("SEQ", "ordered-sequence funnel analytics", ["q_funnel"]),
     ]),
 ]
@@ -138,9 +165,6 @@ TESTED_ONLY = [
      "streaming/structured.py (tests/test_structured_streaming.py)"),
     ("conditional publish (S6)", "flag-gated second sink pass over valid rows",
      "sinks/base.py (tests/test_sources_sinks.py)"),
-    ("skew salting", "salted_join", "operators/joins.py (tests/test_stateful_salted.py)"),
-    ("skew-resistant agg", "salted_two_level_agg",
-     "operators/agg.py (tests/test_stateful_salted.py)"),
     ("multimodal resize", "resize_images (stub codec)",
      "llm/multimodal.py (tests/test_llm.py)"),
     ("e2e pipeline", "pretalx schedule -> reconcile plan",

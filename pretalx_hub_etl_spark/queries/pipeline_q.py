@@ -91,10 +91,18 @@ def q_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("q_stopword_ratio") <= 0.10)
         & (F.col("q_distinct_ratio") >= 0.30)
     ).select("doc_id", "lang", "text", F.col("q_n_tokens").alias("n_tokens"))
+    # The DAG below references survivors 2x (dedup agg + semi join) and
+    # deduped 3x (jaccard self-join sides + final anti join): without a
+    # persist Catalyst re-derives each branch from the SCAN, re-reading
+    # and re-tokenizing the corpus 6x (verified via plan Location count).
+    # Caching the post-quality minority is the 100 TB shape too — at
+    # cluster scale this persist is StorageLevel.DISK_ONLY or a
+    # checkpoint to the shuffle service.
+    survivors = survivors.persist()
 
     # 2. exact dedup: keep the lowest doc_id per identical text
     keep = exact_dedup(survivors, on=["text"], id_col="doc_id").select("doc_id")
-    deduped = survivors.join(keep, "doc_id", "left_semi")
+    deduped = survivors.join(keep, "doc_id", "left_semi").persist()
 
     # 3. near-dup removal: drop the higher-id side of every exact-Jaccard
     #    pair (>= 0.5, stop-shingle cap 100); MinHash-LSH is the at-scale

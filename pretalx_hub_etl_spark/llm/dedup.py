@@ -222,6 +222,11 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"), F.explode(_shingle_hashes(text_col, k)).alias("g")
     )
     if max_doc_freq is not None:
+        # cache the RAW postings too: the stop-shingle df-count consumes
+        # them once and the semi-join a second time — without this the
+        # corpus is re-read and re-shingled for each (verified by plan
+        # Location count). At cluster scale: DISK_ONLY.
+        grams = grams.cache()
         rare = (
             grams.groupBy("g")
             .agg(F.count(F.lit(1)).alias("df"))

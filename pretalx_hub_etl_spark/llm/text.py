@@ -87,7 +87,10 @@ def tfidf(
         df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term"))
         .filter(~F.col("term").isin(list(stopwords)))
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds BOTH the final join and the df aggregation; without a
+    # persist each consumer re-derives it from the corpus scan (Catalyst
+    # does not common-subexpression across actions' consumers here).
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = df.agg(F.count(F.lit(1)).alias("n"))
     idf = F.log((F.col("n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))

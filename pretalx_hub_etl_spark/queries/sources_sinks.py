@@ -309,3 +309,64 @@ def q_sink_roundtrip_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(tempfile.mkdtemp(prefix="phe_orc_"), "supplier_orc")
     supp.write.mode("overwrite").orc(out)
     return spark.read.orc(out)
+
+
+# --- S7: copy-on-write MERGE sink (upsert + delete, versioned parquet) ------
+
+
+@query(
+    "q_sink_merge_upsert",
+    oracle="""
+    WITH fixed AS (
+        SELECT c_custkey, c_name,
+               CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) / 100.0 AS bal
+        FROM customer
+    ),
+    src AS (
+        SELECT c_custkey, c_name, bal + 100.0 AS bal
+        FROM fixed WHERE c_custkey % 7 = 0
+        UNION ALL
+        SELECT c_custkey + 1000000, c_name, 0.0 AS bal
+        FROM fixed WHERE c_custkey % 11 = 0
+    ),
+    merged AS (
+        SELECT coalesce(s.c_custkey, t.c_custkey) AS c_custkey,
+               CASE WHEN s.c_custkey IS NOT NULL THEN s.c_name
+                    ELSE t.c_name END AS c_name,
+               CASE WHEN s.c_custkey IS NOT NULL THEN s.bal
+                    ELSE t.bal END AS c_acctbal
+        FROM fixed t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
+    )
+    SELECT c_custkey, c_name, c_acctbal
+    FROM merged
+    WHERE c_custkey NOT IN
+          (SELECT c_custkey FROM fixed WHERE c_custkey % 13 = 0)
+    """,
+)
+def q_sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The reference's entire Load phase as ONE durable operation: init the
+    # target table, MERGE a source of updates (source-wins) + inserts, and
+    # a delete key set; read back the new version. The returned state is
+    # durable parquet — the oracle recomputes the same merge relationally.
+    from ..sinks.merge import MergeSink
+
+    c = Catalog(spark, sf_dir).customer.select(
+        "c_custkey",
+        "c_name",
+        (fixed_cents(F.col("c_acctbal")) / 100.0).alias("c_acctbal"),
+    )
+    sink = MergeSink(
+        os.path.join(tempfile.mkdtemp(prefix="phe_merge_"), "customers"),
+        key="c_custkey",
+    )
+    sink.init(c)
+    updates = c.filter(F.col("c_custkey") % 7 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 100.0
+    )
+    inserts = c.filter(F.col("c_custkey") % 11 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        "c_name",
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    deletes = c.filter(F.col("c_custkey") % 13 == 0).select("c_custkey")
+    return sink.merge(spark, updates.unionByName(inserts), deletes=deletes)

@@ -178,3 +178,55 @@ def test_http_paginated_fetch(spark):
         assert len(fetch(99)) == 0
     finally:
         srv.shutdown()
+
+
+# --- MergeSink (S7) ---------------------------------------------------------
+
+
+def test_merge_sink_versions_and_semantics(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from pretalx_hub_etl_spark.sinks.merge import MergeSink, current_version_path
+
+    sink = MergeSink(str(tmp_path / "t"), key="k")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k INT, name STRING, v DOUBLE"
+    )
+    sink.init(base)
+    assert current_version_path(sink.path).endswith("v1")
+
+    # merge 1: update k=2 (source wins), insert k=4, delete k=3
+    src = spark.createDataFrame([(2, "B", 99.0), (4, "d", 40.0)], "k INT, name STRING, v DOUBLE")
+    dels = spark.createDataFrame([(3,)], "k INT")
+    out = {r.k: (r.name, r.v) for r in sink.merge(spark, src, deletes=dels).collect()}
+    assert out == {1: ("a", 10.0), 2: ("B", 99.0), 4: ("d", 40.0)}
+    assert current_version_path(sink.path).endswith("v2")
+
+    # merge 2 on top: prior version still intact on disk (torn-write safety)
+    out2 = {r.k for r in sink.merge(spark, spark.createDataFrame([(5, "e", 1.0)], "k INT, name STRING, v DOUBLE")).collect()}
+    assert out2 == {1, 2, 4, 5}
+    v2 = spark.read.parquet(str(tmp_path / "t" / "v2"))
+    assert v2.count() == 3
+
+
+def test_merge_sink_rejects_schema_drift(spark, tmp_path):
+    import pytest as _pytest
+
+    from pretalx_hub_etl_spark.sinks.merge import MergeSink
+
+    sink = MergeSink(str(tmp_path / "t2"), key="k")
+    sink.init(spark.createDataFrame([(1, "a")], "k INT, name STRING"))
+    bad = spark.createDataFrame([(1, 2.0)], "k INT, other DOUBLE")
+    with _pytest.raises(ValueError):
+        sink.merge(spark, bad)
+
+
+def test_merge_sink_init_twice_fails(spark, tmp_path):
+    import pytest as _pytest
+
+    from pretalx_hub_etl_spark.sinks.merge import MergeSink
+
+    sink = MergeSink(str(tmp_path / "t3"), key="k")
+    sink.init(spark.createDataFrame([(1, "a")], "k INT, name STRING"))
+    with _pytest.raises(FileExistsError):
+        sink.init(spark.createDataFrame([(2, "b")], "k INT, name STRING"))

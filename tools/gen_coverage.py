@@ -24,6 +24,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_sink_roundtrip", "q_sink_roundtrip_json", "q_sink_roundtrip_csv",
           "q_sink_roundtrip_orc", "q_join_bucketed"]),
         ("S5", "pre-sink validation / dead-letter", ["q_validate_split"]),
+        ("S7", "copy-on-write MERGE sink (versioned upsert+delete table)",
+         ["q_sink_merge_upsert"]),
     ]),
     ("2.2 Projections / filters", [
         ("P1", "projection + rename", ["q_project_rename"]),

@@ -366,3 +366,91 @@ def q_fn_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("months_since_1995"),
         (F.weekday("o_orderdate") + 1).cast("long").alias("iso_weekday"),
     )
+
+
+# --- G1: generated time spine + gap-filled join (densification) -------------
+
+
+@query(
+    "q_time_spine",
+    oracle="""
+    WITH spine AS (
+        SELECT CAST(unnest(generate_series(
+            DATE '1995-01-01', DATE '2001-12-01', INTERVAL 1 MONTH
+        )) AS DATE) AS month_start
+    ),
+    om AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1
+    )
+    SELECT month_start, coalesce(n, 0) AS n_orders
+    FROM spine LEFT JOIN om ON m = month_start
+    """,
+)
+def q_time_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Row GENERATION (sequence + explode) and gap-filling: the calendar
+    # spine left-joins the monthly aggregate so empty months surface as
+    # zeros — the densification step every time-series report needs, and
+    # the one shape a pure filter/agg pipeline cannot produce (rows that
+    # exist in no input). The spine is generated, never scanned; the
+    # aggregate side is months-sized, so the join broadcasts.
+    o = Catalog(spark, sf_dir).orders
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("2001-12-01").cast("date"),
+                F.expr("interval 1 month"),
+            )
+        ).alias("month_start")
+    )
+    om = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("m")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return spine.join(om, F.col("m") == F.col("month_start"), "left").select(
+        "month_start", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_orders")
+    )
+
+
+# --- A11: deterministic mode (most frequent value per group) ----------------
+
+
+@query(
+    "q_agg_mode",
+    oracle="""
+    WITH counts AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders
+        GROUP BY 1, 2
+    )
+    SELECT o_year, o_orderpriority AS mode_priority, n
+    FROM (
+        SELECT o_year, o_orderpriority, n,
+               row_number() OVER (
+                   PARTITION BY o_year ORDER BY n DESC, o_orderpriority
+               ) AS rn
+        FROM counts
+    )
+    WHERE rn = 1
+    """,
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Built-in mode() breaks ties arbitrarily (engine- and run-dependent);
+    # the engine form is count + rank with an explicit tiebreak (lowest
+    # value wins) — deterministic everywhere. count-then-rank only ever
+    # windows over |groups| x |distinct values| pre-aggregated rows.
+    o = Catalog(spark, sf_dir).orders
+    counts = o.groupBy(
+        F.year("o_orderdate").cast("long").alias("o_year"), "o_orderpriority"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("o_year").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_year", F.col("o_orderpriority").alias("mode_priority"), "n")
+    )

@@ -60,6 +60,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_agg_salted"]),
         ("A10", "exact-integer statistical moments (stddev/corr)",
          ["q_agg_stats"]),
+        ("A11", "deterministic mode (count + rank, explicit tiebreak)",
+         ["q_agg_mode"]),
     ]),
     ("2.5 Window functions", [
         ("W1", "ranking", ["q_window_rank"]),
@@ -78,6 +80,10 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_scd2_intervals"]),
         ("W10", "batch sessionization (lag-gap-cumsum session ids)",
          ["q_sessionize_batch"]),
+    ]),
+    ("2.6a Row generation / densification", [
+        ("G1", "generated time spine + gap-filled left join",
+         ["q_time_spine"]),
     ]),
     ("2.6 Sorts / limits", [
         ("O1", "multi-key sort", ["q_sort_multi_key"]),

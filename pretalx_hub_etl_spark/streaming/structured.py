@@ -148,3 +148,33 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     q.processAllAvailable()
     q.stop()
     return q
+
+
+def merge_stream_into(
+    stream_df: DataFrame,
+    sink,  # sinks.merge.MergeSink
+    name: str,
+):
+    """Incremental MERGE sink: each microbatch upserts into a versioned
+    parquet table via ``foreachBatch`` (the pattern for maintaining a
+    queryable "current state" table off an unbounded stream — the
+    streaming form of the reference's re-sync loop, which recomputes the
+    same state by re-running, README.md:170-173).
+
+    foreachBatch gives exactly-once per-batch semantics against the
+    versioned table: a replayed batch re-merges idempotently because the
+    merge is keyed (source-wins on the same keys). Returns the started
+    StreamingQuery; callers drive it with ``processAllAvailable``.
+    """
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sink.merge(batch_df.sparkSession, batch_df)
+
+    return (
+        stream_df.writeStream.outputMode("update")
+        .foreachBatch(apply_batch)
+        .queryName(name)
+        .start()
+    )

@@ -143,3 +143,35 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     n = spark.sql("SELECT count(*) AS n FROM t_dedup").first().n
     assert got == {1, 2, 3}
     assert n == 3  # each key emitted exactly once despite dup + re-arrival
+
+
+def test_foreachbatch_merge_maintains_current_state(spark, tmp_path):
+    """Stream microbatches upsert into the versioned MergeSink table."""
+    from pretalx_hub_etl_spark.sinks.merge import MergeSink
+    from pretalx_hub_etl_spark.streaming.structured import merge_stream_into
+
+    src = str(tmp_path / "merge_src")
+    table = str(tmp_path / "state")
+
+    def stage(rows, mode):
+        (spark.createDataFrame(rows, "k long, v double")
+         .coalesce(1).write.mode(mode).parquet(src))
+
+    sink = MergeSink(table, key="k")
+    sink.init(spark.createDataFrame([(1, 0.0), (2, 0.0)], "k long, v double"))
+
+    stage([(1, 10.0), (3, 30.0)], "overwrite")  # update k=1, insert k=3
+    stream = (spark.readStream
+              .schema("k long, v double")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = merge_stream_into(stream, sink, "t_merge_state")
+    try:
+        q.processAllAvailable()
+        state1 = {r.k: r.v for r in sink.read(spark).collect()}
+        assert state1 == {1: 10.0, 2: 0.0, 3: 30.0}
+        stage([(2, 20.0)], "append")  # second microbatch updates k=2
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    state2 = {r.k: r.v for r in sink.read(spark).collect()}
+    assert state2 == {1: 10.0, 2: 20.0, 3: 30.0}

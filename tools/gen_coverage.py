@@ -169,6 +169,8 @@ TESTED_ONLY = [
      "streaming/structured.py (tests/test_structured_streaming.py)"),
     ("streaming dedup", "dropDuplicatesWithinWatermark",
      "streaming/structured.py (tests/test_structured_streaming.py)"),
+    ("streaming merge sink", "foreachBatch incremental upsert into versioned table",
+     "streaming/structured.py + sinks/merge.py (tests/test_structured_streaming.py)"),
     ("stream-stream join", "watermarked interval join (impressions⋈clicks)",
      "streaming/structured.py (tests/test_structured_streaming.py)"),
     ("conditional publish (S6)", "flag-gated second sink pass over valid rows",

@@ -22,6 +22,10 @@ from pyspark.sql import functions as F
 
 _DENOM = 10_000
 
+#: Knuth multiplicative hash constant (2^32 / phi), also used by
+#: curation.shuffle_order.
+KNUTH_C = 2654435761
+
 
 def _slot(id_col: str, mode: str, seed: int) -> Column:
     if mode == "hash":
@@ -91,3 +95,21 @@ def stratified_sample(
             F.col(strata_col) == value, F.lit(int(frac * _DENOM))
         ).otherwise(cutoff)
     return df.filter(_slot(id_col, mode, seed) < cutoff)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight: Column,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-row Bernoulli keep with probability ``weight``
+    (a column in [0, 1]) — quality-weighted / importance sampling.
+
+    The coin is a Knuth multiplicative hash of the id mapped to [0, 1):
+    rerun-stable, partition-independent, and exactly reproducible in any
+    engine with 64-bit integer arithmetic (no float comparison: the
+    keep test cross-multiplies to exact integers when the weight is a
+    ratio of integers). Zero shuffle — the filter fuses into the scan.
+    """
+    h = F.pmod(F.col(id_col).cast("long") * F.lit(KNUTH_C), F.lit(2**32))
+    return df.withColumn("__u32", h).filter(F.col("__u32") < weight * F.lit(2**32)).drop("__u32")

@@ -226,3 +226,28 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("q_c") / (F.lit(1000000.0) * F.count(F.lit(1)))).alias("centroid"),
         )
     )
+
+
+# --- sampling: quality-weighted keep (importance sampling) ------------------
+
+
+@query(
+    "q_sample_weighted",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE (doc_id * 2654435761) % 4294967296 * 500
+          < least(n_chars, 500) * 4294967296
+    """,
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Importance sampling: keep probability scales with document length
+    # (least(n_chars,500)/500). The Bernoulli coin is a Knuth
+    # multiplicative hash of the id; the keep test cross-multiplies to
+    # EXACT 64-bit integers on both sides (never a float compare). Pure
+    # per-row filter — fuses into the scan, zero shuffle.
+    from ..llm.sampling import weighted_sample
+
+    d = Catalog(spark, sf_dir).documents.select("doc_id", "lang", "n_chars")
+    w = F.least(F.col("n_chars"), F.lit(500)) / F.lit(500.0)
+    return weighted_sample(d, weight=w, id_col="doc_id")

@@ -370,3 +370,35 @@ def q_sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deletes = c.filter(F.col("c_custkey") % 13 == 0).select("c_custkey")
     return sink.merge(spark, updates.unionByName(inserts), deletes=deletes)
+
+
+# --- multimodal resize (1:1 mapInPandas, stub codec oracle-checked) ---------
+
+
+@query(
+    "q_multimodal_resize",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(64 AS BIGINT) AS width, CAST(48 AS BIGINT) AS height,
+           sha256('mediabytes:' || CAST(doc_id AS VARCHAR) || '64x48')
+               AS payload_hex
+    FROM documents
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same contract as q_multimodal_decode: the stub "resize" payload is
+    # sha256(raw || "WxH"), which DuckDB reproduces exactly, so the 1:1
+    # Arrow round-trip (binary in, binary out, metadata updated) is
+    # value-verified, not just row-counted.
+    from ..llm.multimodal import attach_fake_media, resize_images
+
+    docs = Catalog(spark, sf_dir).documents.select(
+        F.col("doc_id").alias("media_id")
+    )
+    out = resize_images(attach_fake_media(docs, "media_id"), width=64, height=48)
+    return out.select(
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.lower(F.hex("payload")).alias("payload_hex"),
+    )

@@ -134,9 +134,10 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_text_termfreq", "q_text_tfidf", "q_text_quality", "q_text_tokens",
           "q_text_fingerprint", "q_text_langid"]),
         ("L5", "multimodal columns",
-         ["q_multimodal_join", "q_multimodal_decode", "q_multimodal_frames"]),
-        ("L6", "deterministic / stratified sampling / train-val-test split",
-         ["q_sample_stratified", "q_sample_split"]),
+         ["q_multimodal_join", "q_multimodal_decode", "q_multimodal_frames",
+          "q_multimodal_resize"]),
+        ("L6", "deterministic / stratified / weighted sampling, train-val-test split",
+         ["q_sample_stratified", "q_sample_split", "q_sample_weighted"]),
         ("L7", "end-to-end curation pipeline (quality -> dedup -> near-dup"
                " -> rebalance)", ["q_pipeline_curation"]),
         ("L8", "PII scrub (regex redaction + audit counts)", ["q_pii_scrub"]),
@@ -175,8 +176,6 @@ TESTED_ONLY = [
      "streaming/structured.py (tests/test_structured_streaming.py)"),
     ("conditional publish (S6)", "flag-gated second sink pass over valid rows",
      "sinks/base.py (tests/test_sources_sinks.py)"),
-    ("multimodal resize", "resize_images (stub codec)",
-     "llm/multimodal.py (tests/test_llm.py)"),
     ("e2e pipeline", "pretalx schedule -> reconcile plan",
      "plans/pretalx.py (tests/test_pretalx_plan.py)"),
 ]

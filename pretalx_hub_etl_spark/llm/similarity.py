@@ -140,6 +140,9 @@ def embedding_near_duplicates(
             )
         ).alias("tb"),
     ).select(id_col, "tb.table_id", "tb.bucket")
+    # the sign-bit postings feed BOTH self-join sides — cache, or the
+    # dominant hyperplane evaluation runs twice (mirrors minhash's sigs)
+    bucketed = bucketed.cache()
 
     # The banded self-join moves IDS ONLY: an embedding would otherwise ride
     # the exchange n_tables times and twice more per duplicated candidate

@@ -250,10 +250,17 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on the same key, so at scale the whole funnel runs in one partition
     # layout (and stage tables shrink monotonically).
     e = Catalog(spark, sf_dir).events
+    # v feeds the c-stage join AND the final assembly (c feeds p + final):
+    # without persisting these per-user aggregates each consumer re-derives
+    # its whole subtree from the events scan (6 scans instead of 3). The
+    # stage tables are per-user minima — tiny — so caching them is the
+    # right call at any scale; the 3 remaining scans are column-pruned
+    # and filter-pushed per stage.
     v = (
         e.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("view_ts"))
+        .persist()
     )
     c = (
         e.filter(F.col("event_type") == "click")
@@ -261,6 +268,7 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("view_ts"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("click_ts"))
+        .persist()
     )
     p = (
         e.filter(F.col("event_type") == "purchase")

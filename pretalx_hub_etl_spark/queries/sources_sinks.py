@@ -402,3 +402,39 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("height").cast("long").alias("height"),
         F.lower(F.hex("payload")).alias("payload_hex"),
     )
+
+
+# --- S2 via the Python DataSource API (Spark 4 native custom source) --------
+
+
+@query(
+    "q_scan_datasource",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) / 100.0
+               AS total_price
+    FROM orders
+    """,
+)
+def q_scan_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The paginated source as a FIRST-CLASS Spark source: the DataSource
+    # itself plans one InputPartition per key page (from parquet footer
+    # statistics, no data scan), executors decode only row groups
+    # overlapping their page, and Arrow batches cross the Python/JVM
+    # boundary. Equivalent rows to the plain scan — which is the oracle.
+    from ..sources.pyds import register
+
+    register(spark)
+    ds = (
+        spark.read.format("paged_parquet")
+        .option("path", f"{sf_dir.rstrip('/')}/orders.parquet")
+        .option("key", "o_orderkey")
+        .option("page_size", "4000")
+        .option("columns", "o_orderkey,o_custkey,o_totalprice")
+        .load()
+    )
+    return ds.select(
+        "o_orderkey",
+        "o_custkey",
+        (fixed_cents(F.col("o_totalprice")) / 100.0).alias("total_price"),
+    )

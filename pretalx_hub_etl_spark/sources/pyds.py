@@ -1,0 +1,115 @@
+"""Python DataSource API (Spark 4) form of the paginated source (S2).
+
+``read_paginated`` (paginated.py) expresses page-parallel fetching as a
+``mapInPandas`` over a page-id range. Spark 4's Python DataSource API is
+the first-class form of the same idea: the source itself tells Spark its
+partitioning (one ``InputPartition`` per page), so page fetches ARE the
+scan tasks — no seed DataFrame, and the source composes with
+``spark.read.format(...)`` like any built-in.
+
+``paged_parquet`` reads a parquet file as a paginated collection keyed by
+a monotonically increasing integer column (the test corpus's primary
+keys): each partition serves one ``[lo, hi)`` key page via pyarrow
+row-group pruning — row groups whose footer min/max statistics miss the
+page are never decoded, the same skipping a real REST backend does with
+its index. Arrow RecordBatches cross the Python/JVM boundary (the fast
+path), never per-row tuples.
+
+At 100 TB the same class wraps the HTTP fetcher (http_page_fetcher) —
+partitions stay "one page each", only ``read`` changes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
+
+
+class _PagePartition(InputPartition):
+    def __init__(self, lo: int, hi: int):
+        self.lo = lo
+        self.hi = hi
+
+
+class PagedParquetDataSource(DataSource):
+    """``spark.read.format("paged_parquet")`` with options:
+
+    - ``path``: parquet file
+    - ``key``: integer pagination key column
+    - ``page_size``: rows-per-page in KEY units (pages are key ranges)
+    - ``columns`` (optional): comma-separated projection
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "paged_parquet"
+
+    def schema(self):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        sch = pq.ParquetFile(self.options["path"]).schema_arrow
+        cols = self._columns()
+        if cols:
+            sch = pa.schema([sch.field(c) for c in cols])
+        return from_arrow_schema(sch)
+
+    def _columns(self) -> list[str] | None:
+        cols = self.options.get("columns")
+        return [c.strip() for c in cols.split(",")] if cols else None
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return _PagedParquetReader(self.options, self._columns())
+
+
+class _PagedParquetReader(DataSourceReader):
+    def __init__(self, options, columns: list[str] | None):
+        self.path = options["path"]
+        self.key = options["key"]
+        self.page_size = int(options.get("page_size", "1000"))
+        self.columns = columns
+
+    def partitions(self) -> Sequence[InputPartition]:
+        # plan pages from FOOTER statistics only (never a data scan):
+        # [0, upper) sliced into page_size key ranges
+        from .paginated import parquet_key_upper_bound
+
+        upper = parquet_key_upper_bound(self.path, self.key)
+        return [
+            _PagePartition(lo, min(lo + self.page_size, upper))
+            for lo in range(0, upper, self.page_size)
+        ]
+
+    def read(self, partition: _PagePartition) -> Iterator:
+        # executor-side: decode only row groups whose min/max overlap the
+        # page, then slice the exact key range; emit Arrow RecordBatches
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(self.path)
+        idx = pf.metadata.schema.names.index(self.key)
+        groups = []
+        for rg in range(pf.metadata.num_row_groups):
+            st = pf.metadata.row_group(rg).column(idx).statistics
+            if st is None or st.min is None:
+                groups.append(rg)  # no stats -> cannot prune
+            elif st.min < partition.hi and st.max >= partition.lo:
+                groups.append(rg)
+        if not groups:
+            return
+        tbl = pf.read_row_groups(groups, columns=self.columns)
+        mask = pc.and_(
+            pc.greater_equal(tbl[self.key], partition.lo),
+            pc.less(tbl[self.key], partition.hi),
+        )
+        for batch in tbl.filter(mask).to_batches():
+            yield batch
+
+
+def register(spark) -> None:
+    """Idempotently register the source on a session."""
+    spark.dataSource.register(PagedParquetDataSource)

@@ -230,3 +230,45 @@ def test_merge_sink_init_twice_fails(spark, tmp_path):
     sink.init(spark.createDataFrame([(1, "a")], "k INT, name STRING"))
     with _pytest.raises(FileExistsError):
         sink.init(spark.createDataFrame([(2, "b")], "k INT, name STRING"))
+
+
+# --- Python DataSource API (paged_parquet) ----------------------------------
+
+
+def test_paged_parquet_datasource_partitions_and_rows(spark):
+    from pretalx_hub_etl_spark.sources.pyds import register
+
+    register(spark)
+    register(spark)  # idempotent re-registration
+    df = (
+        spark.read.format("paged_parquet")
+        .option("path", "/root/testdata/sf0.001/supplier.parquet")
+        .option("key", "s_suppkey")
+        .option("page_size", "3")
+        .load()
+    )
+    plain = spark.read.parquet("/root/testdata/sf0.001/supplier.parquet")
+    n = plain.count()
+    assert df.count() == n
+    # one partition per key page, planned from footer stats
+    import math
+
+    upper = plain.agg(F.max("s_suppkey")).first()[0] + 1
+    assert df.rdd.getNumPartitions() == math.ceil(upper / 3)
+    assert df.exceptAll(plain.select(*df.columns)).count() == 0
+
+
+def test_paged_parquet_datasource_projects_columns(spark):
+    from pretalx_hub_etl_spark.sources.pyds import register
+
+    register(spark)
+    df = (
+        spark.read.format("paged_parquet")
+        .option("path", "/root/testdata/sf0.001/nation.parquet")
+        .option("key", "n_nationkey")
+        .option("page_size", "100")
+        .option("columns", "n_nationkey,n_name")
+        .load()
+    )
+    assert df.columns == ["n_nationkey", "n_name"]
+    assert df.count() == 25

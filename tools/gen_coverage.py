@@ -18,7 +18,8 @@ sys.path.insert(0, "/root/repo")
 SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
     ("2.1 Scans / sources / sinks", [
         ("S1", "JSON document source / normalize", ["q_scan_json_normalize"]),
-        ("S2", "paginated REST source", ["q_scan_paginated"]),
+        ("S2", "paginated REST source (mapInPandas + Python DataSource API forms)",
+         ["q_scan_paginated", "q_scan_datasource"]),
         ("S3", "parquet scan + partition pruning", ["q_scan_partition_pruned"]),
         ("S4", "sinks (parquet/json/csv/orc roundtrips)",
          ["q_sink_roundtrip", "q_sink_roundtrip_json", "q_sink_roundtrip_csv",

@@ -16,6 +16,7 @@ from collections.abc import Iterable
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "key bigint, n bigint, total double"
@@ -94,4 +95,70 @@ def running_totals(stream_df: DataFrame, key_col: str, value_col: str) -> DataFr
         stateStructType=STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --- transformWithStateInPandas (Spark 4 successor API) ---------------------
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas needs protobuf for its state-server
+    protocol; this container ships PySpark without it. Honest boundary,
+    same policy as the multimodal codec stub."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_totals_tws(stream_df: DataFrame, key_col: str, value_col: str) -> DataFrame:
+    """``running_totals`` on the transformWithStateInPandas API (Spark 4).
+
+    The successor to applyInPandasWithState: state lives in named typed
+    handles (ValueState/ListState/MapState) managed by the state store —
+    composable, TTL-able, and queryable — instead of one opaque per-key
+    tuple. Same semantics as ``running_totals``; kept alongside it because
+    real deployments migrate operator-by-operator.
+
+    Requires protobuf at runtime (``tws_available()``); on environments
+    without it, use ``running_totals`` (applyInPandasWithState), which has
+    no extra dependency and is covered by the same test contract.
+    """
+    if not tws_available():
+        raise NotImplementedError(
+            "transformWithStateInPandas requires google.protobuf, "
+            "not present in this environment"
+        )
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (
+                self._state.get() if self._state.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["__v"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame({"key": [key[0]], "n": [n], "total": [total]})
+
+        def close(self) -> None:
+            pass
+
+    prepared = stream_df.select(
+        F.col(key_col).alias("key"), F.col(value_col).alias("__v")
+    )
+    return prepared.groupBy("key").transformWithStateInPandas(
+        RunningTotals(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
     )

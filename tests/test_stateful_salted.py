@@ -144,3 +144,62 @@ def test_salted_two_level_agg_rejects_holistic(spark):
     df = spark.range(10).select(F.col("id").alias("k"), F.col("id").alias("v"))
     with pytest.raises(ValueError, match="non-algebraic"):
         salted_two_level_agg(df, ["k"], {"m": ("median", "v")})
+
+
+def test_running_totals_tws_accumulates_across_batches(spark, tmp_path):
+    """Same contract as running_totals, on transformWithStateInPandas."""
+    import pytest as _pytest
+
+    from pretalx_hub_etl_spark.streaming.stateful import (
+        running_totals_tws,
+        tws_available,
+    )
+
+    if not tws_available():
+        # API accepted + processor defined; execution needs protobuf
+        # (absent here). Assert the documented failure mode instead.
+        with _pytest.raises(NotImplementedError):
+            running_totals_tws(
+                spark.readStream.schema("user_id long, value double")
+                .parquet(str(tmp_path)),
+                "user_id",
+                "value",
+            )
+        return
+
+    src = str(tmp_path / "tws_src")
+    schema = T.StructType(
+        [T.StructField("user_id", T.LongType()), T.StructField("value", T.DoubleType())]
+    )
+    spark.createDataFrame([(1, 10.0), (1, 5.0), (2, 1.0)], schema).coalesce(
+        1
+    ).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = running_totals_tws(stream, "user_id", "value")
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_tws")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame([(1, 1.0), (1, 1.0), (3, 7.0)], schema).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.sql(
+        "SELECT key, max(n) AS n, max(total) AS total FROM t_tws GROUP BY key"
+    ).collect()
+    got = {r.key: (r.n, r.total) for r in rows}
+    assert got[1] == (4, 17.0)
+    assert got[2] == (1, 1.0)
+    assert got[3] == (1, 7.0)

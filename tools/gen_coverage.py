@@ -167,6 +167,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
 TESTED_ONLY = [
     ("streaming stateful", "applyInPandasWithState running totals + upsert flags",
      "streaming/stateful.py (tests/test_stateful_salted.py)"),
+    ("streaming stateful v2", "transformWithStateInPandas running totals (gated: needs protobuf, absent here)",
+     "streaming/stateful.py (tests/test_stateful_salted.py)"),
     ("streaming windows", "readStream tumbling/session + watermark",
      "streaming/structured.py (tests/test_structured_streaming.py)"),
     ("streaming dedup", "dropDuplicatesWithinWatermark",

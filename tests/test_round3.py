@@ -288,3 +288,41 @@ def test_agg_stats_matches_numpy(spark, registry):
         assert abs(g.mean_qty - x.mean()) < 1e-9
         assert abs(g.stddev_qty - x.std()) < 1e-6
         assert abs(g.corr_qty_price - np.corrcoef(x, y)[0, 1]) < 1e-6
+
+
+# --- vectorized LSH bucketizer ≡ expression form ----------------------------
+
+
+def test_bucket_udf_matches_expression_form(spark):
+    from pyspark.sql import functions as F
+
+    from pretalx_hub_etl_spark.catalog import Catalog
+    from pretalx_hub_etl_spark.llm.similarity import (
+        _bucket_all_tables,
+        _hyperplane_sign_bits,
+    )
+
+    e = Catalog(spark, SF_SMOKE).embeddings
+    expr = e.select(
+        "vec_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda t: F.struct(
+                    t.cast("int").alias("table_id"),
+                    _hyperplane_sign_bits(F.col("embedding"), 6, 42, t).alias(
+                        "bucket"
+                    ),
+                ),
+            )
+        ).alias("tb"),
+    ).select("vec_id", "tb.table_id", "tb.bucket")
+    udf = e.select(
+        "vec_id",
+        F.posexplode(
+            _bucket_all_tables(spark, F.col("embedding"), 64, 6, 4, 42)
+        ).alias("table_id", "bucket"),
+    )
+    a = {(r.vec_id, r.table_id): r.bucket for r in expr.collect()}
+    b = {(r.vec_id, r.table_id): r.bucket for r in udf.collect()}
+    assert a == b  # same planes, same sign rule -> identical bucket ids

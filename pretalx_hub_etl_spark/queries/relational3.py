@@ -454,3 +454,34 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("o_year", F.col("o_orderpriority").alias("mode_priority"), "n")
     )
+
+
+# --- LAY1: z-order clustering key (multi-dimensional layout) ----------------
+
+from ..operators.layout import zorder_key, zorder_key_sql  # noqa: E402
+
+
+@query(
+    "q_layout_zorder",
+    oracle=f"""
+    SELECT l_orderkey, l_partkey,
+           CAST({zorder_key_sql(['l_orderkey', 'l_partkey'], 16)} AS BIGINT)
+               AS zkey
+    FROM lineitem
+    WHERE l_orderkey < 4096 AND l_partkey < 4096
+    """,
+)
+def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The Morton code behind OPTIMIZE ZORDER BY: bit-interleave two key
+    # columns so a range sort on the z-value clusters BOTH dimensions —
+    # parquet footer min/max then prunes scans filtering on either one.
+    # Pure shift/mask arithmetic, generated identically for Spark and the
+    # SQL oracle from one spec (operators/layout.py).
+    li = Catalog(spark, sf_dir).lineitem.filter(
+        (F.col("l_orderkey") < 4096) & (F.col("l_partkey") < 4096)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_partkey",
+        zorder_key(["l_orderkey", "l_partkey"], 16).alias("zkey"),
+    )

@@ -326,3 +326,32 @@ def test_bucket_udf_matches_expression_form(spark):
     a = {(r.vec_id, r.table_id): r.bucket for r in expr.collect()}
     b = {(r.vec_id, r.table_id): r.bucket for r in udf.collect()}
     assert a == b  # same planes, same sign rule -> identical bucket ids
+
+
+# --- z-order layout ---------------------------------------------------------
+
+
+def test_zorder_key_roundtrips_bits(spark):
+    from pretalx_hub_etl_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame(
+        [(x, y) for x in (0, 1, 5, 255, 65535) for y in (0, 2, 9, 1023)],
+        "x long, y long",
+    )
+    rows = df.select("x", "y", zorder_key(["x", "y"], 16).alias("z")).collect()
+    for r in rows:
+        x = y = 0
+        for i in range(16):
+            x |= ((r.z >> (2 * i)) & 1) << i
+            y |= ((r.z >> (2 * i + 1)) & 1) << i
+        assert (x, y) == (r.x, r.y)  # de-interleave recovers both dims
+
+
+def test_cluster_by_zorder_preserves_rows(spark):
+    from pretalx_hub_etl_spark.catalog import Catalog
+    from pretalx_hub_etl_spark.operators.layout import cluster_by_zorder
+
+    li = Catalog(spark, SF_SMOKE).lineitem.select("l_orderkey", "l_partkey")
+    out = cluster_by_zorder(li, ["l_orderkey", "l_partkey"], bits=16)
+    assert out.count() == li.count()
+    assert out.columns == li.columns  # __z never leaks

@@ -86,6 +86,10 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
         ("G1", "generated time spine + gap-filled left join",
          ["q_time_spine"]),
     ]),
+    ("2.6b Data layout", [
+        ("LAY1", "z-order clustering key (multi-dim footer-stats pruning)",
+         ["q_layout_zorder"]),
+    ]),
     ("2.6 Sorts / limits", [
         ("O1", "multi-key sort", ["q_sort_multi_key"]),
         ("O2", "top-k (TakeOrderedAndProject)", ["q_topk"]),

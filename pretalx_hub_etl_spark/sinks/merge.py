@@ -38,13 +38,33 @@ _V_RE = re.compile(r"^v(\d+)$")
 
 
 def _versions(path: str) -> list[int]:
+    """Committed versions only: a version counts iff Spark's _SUCCESS
+    marker exists — a writer that died mid-write leaves a torn ``v<N>``
+    directory that readers must never resolve (the marker is the commit
+    record; a real table format uses a transaction log)."""
     try:
         names = os.listdir(path)
     except FileNotFoundError:
         return []
     return sorted(
-        int(m.group(1)) for n in names if (m := _V_RE.match(n)) is not None
+        int(m.group(1))
+        for n in names
+        if (m := _V_RE.match(n)) is not None
+        and os.path.exists(os.path.join(path, n, "_SUCCESS"))
     )
+
+
+def _next_version(path: str) -> int:
+    """1 + the highest PHYSICAL version directory, committed or torn — a
+    dead writer's torn ``v<N>`` is skipped over, never overwritten (so a
+    concurrent live writer racing to the same number still fails safely
+    on ``errorifexists``)."""
+    try:
+        names = os.listdir(path)
+    except FileNotFoundError:
+        return 1
+    phys = [int(m.group(1)) for n in names if (m := _V_RE.match(n)) is not None]
+    return (max(phys) + 1) if phys else 1
 
 
 def current_version_path(path: str) -> str | None:
@@ -70,7 +90,7 @@ class MergeSink:
         """Write version 1 (fails if the table already exists)."""
         if _versions(self.path):
             raise FileExistsError(f"merge table already initialized: {self.path}")
-        self._write(df, 1)
+        self._write(df, _next_version(self.path))
 
     def merge(
         self,
@@ -79,7 +99,14 @@ class MergeSink:
         deletes: DataFrame | None = None,
     ) -> DataFrame:
         """Apply source-wins upserts (and optional key deletes); return the
-        new state DataFrame (already durable when this returns)."""
+        new state DataFrame (already durable when this returns).
+
+        Preconditions (same contract as SQL MERGE): ``source`` carries at
+        most one row per key — dedup upstream (e.g. the reconcile plan's
+        first-match semantics) or rows multiply through the full-outer
+        join. Single writer at a time: two concurrent merges race to the
+        same version directory and the loser fails on ``errorifexists``
+        (which is the safe outcome — no torn state, retry re-reads)."""
         target = self.read(spark)
         if set(source.columns) != set(target.columns):
             raise ValueError(
@@ -107,8 +134,7 @@ class MergeSink:
                 k,
                 "left_anti",
             )
-        vs = _versions(self.path)
-        self._write(merged, vs[-1] + 1)
+        self._write(merged, _next_version(self.path))
         return self.read(spark)
 
     def _write(self, df: DataFrame, version: int) -> None:

@@ -272,3 +272,24 @@ def test_paged_parquet_datasource_projects_columns(spark):
     )
     assert df.columns == ["n_nationkey", "n_name"]
     assert df.count() == 25
+
+
+def test_merge_sink_ignores_torn_versions(spark, tmp_path):
+    """A version directory without _SUCCESS (writer died mid-write) must
+    never be resolved as current state."""
+    import os
+
+    from pretalx_hub_etl_spark.sinks.merge import MergeSink, current_version_path
+
+    sink = MergeSink(str(tmp_path / "t4"), key="k")
+    sink.init(spark.createDataFrame([(1, "a")], "k INT, name STRING"))
+    # simulate a torn v2: directory exists, no _SUCCESS marker
+    torn = tmp_path / "t4" / "v2"
+    torn.mkdir()
+    (torn / "part-00000.parquet").write_bytes(b"garbage")
+    assert current_version_path(sink.path).endswith("v1")
+    assert {r.k for r in sink.read(spark).collect()} == {1}
+    # the next merge skips past the torn dir and commits v3
+    out = sink.merge(spark, spark.createDataFrame([(2, "b")], "k INT, name STRING"))
+    assert {r.k for r in out.collect()} == {1, 2}
+    assert current_version_path(sink.path).endswith("v3")

@@ -33,24 +33,31 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
-def _verified_prior_rounds() -> frozenset[str]:
-    """Names with a green (or rows-only-by-design) row in any prior
-    ``CORRECTNESS_r*.json`` artifact at the repo root.
+def _verified_prior_rounds() -> dict[str, int]:
+    """Map query name -> the LATEST round whose ``CORRECTNESS_r*.json``
+    artifact has a green (or rows-only-by-design) row for it.
 
     The per-round driver records only the first ~50 registry entries, so
-    :func:`load_all` enumerates never-verified queries FIRST and pushes
-    these to the back (VERDICT.md round 1, "Next round" item 1). Derived
-    at import time from the artifacts themselves so the set can never go
+    :func:`load_all` enumerates never-verified queries FIRST and then the
+    verified ones ordered oldest-verification-round first (VERDICT.md
+    round 3, "Next round" item 1): code drifts between rounds, so the
+    stalest green rows are the ones most worth re-checking. Derived at
+    import time from the artifacts themselves so the set can never go
     stale (round-2 ADVICE). A query that errored (``err`` other than
     ``no_oracle``) is NOT counted verified — it re-enumerates first.
     """
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
-    names: set[str] = set()
+    last_round: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m is None:
+            continue
+        rnd = int(m.group(1))
         try:
             with open(path) as fh:
                 data = json.load(fh)
@@ -61,11 +68,11 @@ def _verified_prior_rounds() -> frozenset[str]:
                 continue
             err = row.get("err")
             if row.get("hash_match") or err == "no_oracle":
-                names.add(name)
-    return frozenset(names)
+                last_round[name] = max(rnd, last_round.get(name, 0))
+    return last_round
 
 
-VERIFIED_PRIOR_ROUNDS: frozenset[str] = _verified_prior_rounds()
+VERIFIED_PRIOR_ROUNDS: dict[str, int] = _verified_prior_rounds()
 
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
@@ -83,7 +90,9 @@ def load_all() -> dict[str, QuerySpec]:
 
     The returned dict enumerates queries that have never appeared in a
     driver CORRECTNESS artifact FIRST (the round-1 driver stopped after 50
-    entries), then the already-verified ones in registration order.
+    entries), then the already-verified ones ordered by the round they
+    were last verified in, oldest first (ties keep registration order) —
+    so each round's 50-query sample re-checks the stalest green rows.
     """
     from . import (  # noqa: F401
         curation_q,
@@ -107,5 +116,12 @@ def load_all() -> dict[str, QuerySpec]:
     unverified = {
         n: s for n, s in REGISTRY.items() if n not in VERIFIED_PRIOR_ROUNDS
     }
-    verified = {n: s for n, s in REGISTRY.items() if n in VERIFIED_PRIOR_ROUNDS}
+    order = {n: i for i, n in enumerate(REGISTRY)}
+    verified = {
+        n: REGISTRY[n]
+        for n in sorted(
+            (n for n in REGISTRY if n in VERIFIED_PRIOR_ROUNDS),
+            key=lambda n: (VERIFIED_PRIOR_ROUNDS[n], order[n]),
+        )
+    }
     return {**unverified, **verified}

@@ -154,6 +154,7 @@ def merge_stream_into(
     stream_df: DataFrame,
     sink,  # sinks.merge.MergeSink
     name: str,
+    order_by: str | None = None,
 ):
     """Incremental MERGE sink: each microbatch upserts into a versioned
     parquet table via ``foreachBatch`` (the pattern for maintaining a
@@ -161,16 +162,37 @@ def merge_stream_into(
     streaming form of the reference's re-sync loop, which recomputes the
     same state by re-running, README.md:170-173).
 
+    ``MergeSink.merge`` requires at most one row per key, but a microbatch
+    routinely carries several updates for the same key (bursty sources,
+    ``maxFilesPerTrigger > 1``) — feeding those straight in would multiply
+    rows through the full-outer join and durably corrupt the state table
+    (round-3 ADVICE item 2). Each batch is therefore deduped per key
+    first: keep-LAST by ``order_by`` descending (ties and the no-column
+    case fall back to arbitrary-but-single via ``row_number``), which is
+    the source-wins "latest update applies" contract.
+
     foreachBatch gives exactly-once per-batch semantics against the
     versioned table: a replayed batch re-merges idempotently because the
     merge is keyed (source-wins on the same keys). Returns the started
     StreamingQuery; callers drive it with ``processAllAvailable``.
     """
+    from pyspark.sql.window import Window
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        sink.merge(batch_df.sparkSession, batch_df)
+        ordering = (
+            F.col(order_by).desc_nulls_last()
+            if order_by
+            else F.monotonically_increasing_id().desc()
+        )
+        w = Window.partitionBy(sink.key).orderBy(ordering)
+        deduped = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        sink.merge(batch_df.sparkSession, deduped)
 
     return (
         stream_df.writeStream.outputMode("update")

@@ -61,7 +61,10 @@ def read_paginated(
 
 
 def http_pagination_total(
-    base_url: str, page_size: int, timeout: float = 10.0
+    base_url: str,
+    page_size: int,
+    timeout: float = 10.0,
+    headers: dict[str, str] | None = None,
 ) -> int:
     """One driver-side probe GET for the envelope's ``total`` (main.py:72).
 
@@ -69,12 +72,18 @@ def http_pagination_total(
     the engine instead reads ``total`` once from page 0's envelope and fans
     the page list out to executors. stdlib urllib, not an extra HTTP dep —
     the fetch itself is one GET returning a small JSON envelope.
+
+    ``headers`` are sent verbatim on the request — the reference
+    authenticates every call with a bearer token built once at startup
+    (main.py:20-23) and attached to each GET (main.py:30-35,63); pass
+    ``{"Authorization": f"Bearer {token}"}`` for the same shape.
     """
     import json
     import urllib.request
 
     url = f"{base_url}?page=0&page_size={page_size}"
-    with urllib.request.urlopen(url, timeout=timeout) as resp:
+    req = urllib.request.Request(url, headers=headers or {})
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
         payload = json.load(resp)
     return int(payload["pagination"]["total"])
 
@@ -84,24 +93,29 @@ def http_page_fetcher(
     page_size: int,
     columns: list[str] | None = None,
     timeout: float = 10.0,
+    headers: dict[str, str] | None = None,
 ) -> Callable[[int], pd.DataFrame]:
     """A real HTTP ``fetch_page``: GET ``{base_url}?page=i&page_size=n``.
 
     Expects the reference's pagination envelope
     ``{"pagination": {"total", "page", "page_size"}, "results": [...]}``
     (main.py:60-90) and returns the page's rows as a DataFrame. Picklable
-    (closure over plain strings/ints), so it runs INSIDE ``mapInPandas`` —
-    N executors each pull their own pages concurrently, rows never transit
-    the driver. Per-page timeout bounds a hung endpoint to one task retry,
-    not a wedged job.
+    (closure over plain strings/ints/dicts), so it runs INSIDE
+    ``mapInPandas`` — N executors each pull their own pages concurrently,
+    rows never transit the driver. Per-page timeout bounds a hung endpoint
+    to one task retry, not a wedged job. ``headers`` (e.g. the reference's
+    bearer token, main.py:20-23,63) ship with the closure to every executor
+    and are attached to every page GET.
     """
+    auth_headers = dict(headers or {})
 
     def fetch(page_id: int) -> pd.DataFrame:
         import json
         import urllib.request
 
         url = f"{base_url}?page={page_id}&page_size={page_size}"
-        with urllib.request.urlopen(url, timeout=timeout) as resp:
+        req = urllib.request.Request(url, headers=auth_headers)
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
             payload = json.load(resp)
         rows = payload.get("results", [])
         if not rows:

@@ -36,12 +36,10 @@ def test_broadcast_lookup_plan_is_broadcast(spark):
 
 
 def test_range_join_matches_naive_theta_join(spark):
-    events = (
-        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
-        .limit(300)
-        .cache()
-    )
+    events = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    if dict(events.dtypes).get("ts") == "bigint":  # older corpus: int64 nanos
+        events = events.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events = events.limit(300).cache()
     left = events.select(F.col("event_id").alias("l_id"), F.col("ts").alias("l_ts"))
     right = events.filter(F.col("event_type") == "signup").select(
         F.col("event_id").alias("r_id"), F.col("ts").alias("r_ts")

@@ -121,7 +121,7 @@ def test_parquet_key_upper_bound_matches_max():
     assert parquet_key_upper_bound(path, "o_orderkey") == pc.max(true_max).as_py() + 1
 
 
-def _start_fixture_server(rows):
+def _start_fixture_server(rows, require_token=None):
     import json
     import threading
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -129,6 +129,13 @@ def _start_fixture_server(rows):
 
     class Handler(BaseHTTPRequestHandler):
         def do_GET(self):
+            if require_token is not None:
+                auth = self.headers.get("Authorization", "")
+                if auth != f"Bearer {require_token}":
+                    self.send_response(401)
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
+                    return
             q = parse_qs(urlparse(self.path).query)
             page = int(q.get("page", ["0"])[0])
             page_size = int(q.get("page_size", ["100"])[0])
@@ -176,6 +183,44 @@ def test_http_paginated_fetch(spark):
         assert got[0].name == "item-000" and got[256].name == "item-256"
         # envelope parsing: a page past the end yields zero rows, not an error
         assert len(fetch(99)) == 0
+    finally:
+        srv.shutdown()
+
+
+def test_http_paginated_fetch_with_bearer_auth(spark):
+    """Auth-header passthrough matches the reference's bearer-token API
+    (main.py:20-23,30-35,63): 401 without the token, full read with it."""
+    import urllib.error
+
+    import pytest as _pytest
+
+    from pretalx_hub_etl_spark.sources.paginated import (
+        http_page_fetcher,
+        http_pagination_total,
+    )
+
+    rows = [{"id": i, "name": f"item-{i:03d}"} for i in range(42)]
+    srv, url = _start_fixture_server(rows, require_token="sekrit-42")
+    try:
+        # no token → the server rejects both probe and page fetch
+        with _pytest.raises(urllib.error.HTTPError) as exc:
+            http_pagination_total(url, page_size=25)
+        assert exc.value.code == 401
+        bare = http_page_fetcher(url, page_size=25, columns=["id", "name"])
+        with _pytest.raises(urllib.error.HTTPError):
+            bare(0)
+
+        # with the bearer header both the driver probe and the
+        # executor-side page fetches succeed
+        hdrs = {"Authorization": "Bearer sekrit-42"}
+        total = http_pagination_total(url, page_size=25, headers=hdrs)
+        assert total == 42
+        fetch = http_page_fetcher(url, page_size=25, columns=["id", "name"], headers=hdrs)
+        df = read_paginated(
+            spark, fetch, n_pages_for(total, 25), "id bigint, name string"
+        )
+        got = df.orderBy("id").collect()
+        assert len(got) == 42 and got[41].name == "item-041"
     finally:
         srv.shutdown()
 

@@ -26,12 +26,10 @@ SCHEMA = T.StructType(
 
 def _stage_dir(spark, tmp_path):
     # stage a small parquet dir as the streaming source (events, µs ts)
-    src = (
-        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .select("event_id", "ts", "user_id", "value")
-        .limit(500)
-    )
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    if dict(src.dtypes).get("ts") == "bigint":  # older corpus: int64 nanos
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    src = src.select("event_id", "ts", "user_id", "value").limit(500)
     d = str(tmp_path / "stream_src")
     src.coalesce(2).write.mode("overwrite").parquet(d)
     shutil.rmtree(f"{d}/_spark_metadata", ignore_errors=True)

@@ -53,6 +53,9 @@ HEADLINE = [
     "q_window_time_range",  # trailing time-range frame per key
     "q_quality_gopher",     # regex/rule quality gate (scan-fused)
     "q_embed_norm",         # higher-order fn over vector arrays
+    "q_dedup_clusters",     # iterative min-label connected components
+    "q_sink_merge_upsert",  # copy-on-write versioned MERGE sink
+    "q_layout_zorder",      # Morton-code range layout
 ]
 
 

@@ -331,23 +331,31 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_sim_topk_lsh", oracle=None)
 def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The scale path for q_sim_topk: LSH-bucketed candidates + exact rerank.
+    # bits=4/tables=16 tuned for this isotropic-random corpus, where true
+    # top-10 cosines are ~0.1-0.2 and hyperplane buckets concentrate weakly:
+    # measured recall@10 = 0.96 vs q_sim_topk (floor-asserted in
+    # tests/test_llm.py::test_registered_ann_queries_recall_at_sf001).
+    # Real corpora with actual near-neighbors support higher bits (smaller
+    # candidate sets) at the same recall.
     e = Catalog(spark, sf_dir).embeddings
     queries = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_cosine_topk(e, queries, k=10, n_bits=6, n_tables=6)
+    return lsh_cosine_topk(e, queries, k=10, n_bits=4, n_tables=16)
 
 
 @query("q_sim_topk_ivf", oracle=None)
 def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The IVF scale path for q_sim_topk: coarse-quantize the corpus into
-    # inverted lists, probe the 4 nearest of 16 lists per query, exact
-    # rerank. Complements the LSH variant (q_sim_topk_lsh).
+    # inverted lists, probe the 6 nearest of 16 lists per query, exact
+    # rerank. Complements the LSH variant (q_sim_topk_lsh). n_probe=6 gives
+    # measured recall@10 = 0.82 on this isotropic corpus (floor-asserted in
+    # tests/test_llm.py::test_registered_ann_queries_recall_at_sf001).
     e = Catalog(spark, sf_dir).embeddings
     queries = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_cosine_topk(e, queries, k=10, n_centroids=16, n_probe=4)
+    return ivf_cosine_topk(e, queries, k=10, n_centroids=16, n_probe=6)
 
 
 @query("q_dedup_embed", oracle=None)

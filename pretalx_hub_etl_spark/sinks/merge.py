@@ -19,10 +19,15 @@ pruning), everything else is untouched files. This implementation rewrites
 the whole (unpartitioned) table when ``partition_by`` is unset and prunes
 to touched partitions when set — the same API either way.
 
-Writes go to a fresh versioned directory (``<path>/v<N+1>``) and readers
-resolve the highest version: the swap is atomic at the directory level, a
-reader never observes a half-written table, and failed writes leave no
-torn state (the previous version stays live). This is a deliberately
+Writes stage into a hidden ``<path>/.stage-<uuid>`` directory and COMMIT by
+``os.rename`` onto ``<path>/v<N+1>`` — the rename is the atomic claim of
+the version number (POSIX rename onto an existing non-empty directory
+fails), so concurrent writers racing the same number get exactly one
+winner; the loser re-reads the new current version, recomputes its merge
+against it, and retries the next number (optimistic concurrency — no lost
+updates). Readers resolve the highest committed version and can never
+observe a half-written table: a crashed writer leaves only an orphaned
+hidden stage directory, never a visible ``v<N>``. This is a deliberately
 minimal stand-in for a real table format's transaction log.
 """
 
@@ -30,6 +35,7 @@ from __future__ import annotations
 
 import os
 import re
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -39,9 +45,10 @@ _V_RE = re.compile(r"^v(\d+)$")
 
 def _versions(path: str) -> list[int]:
     """Committed versions only: a version counts iff Spark's _SUCCESS
-    marker exists — a writer that died mid-write leaves a torn ``v<N>``
-    directory that readers must never resolve (the marker is the commit
-    record; a real table format uses a transaction log)."""
+    marker exists. Under the stage+rename protocol a visible ``v<N>`` is
+    always complete, so the marker check is belt-and-braces — it also
+    keeps tables written by pre-staging versions of this sink readable
+    (where a dead writer could leave a torn ``v<N>``)."""
     try:
         names = os.listdir(path)
     except FileNotFoundError:
@@ -55,16 +62,35 @@ def _versions(path: str) -> list[int]:
 
 
 def _next_version(path: str) -> int:
-    """1 + the highest PHYSICAL version directory, committed or torn — a
-    dead writer's torn ``v<N>`` is skipped over, never overwritten (so a
-    concurrent live writer racing to the same number still fails safely
-    on ``errorifexists``)."""
+    """1 + the highest PHYSICAL version directory (committed or, from a
+    pre-staging table, torn) — never overwritten; the rename-commit in
+    ``_write`` is what makes claiming that number race-safe."""
     try:
         names = os.listdir(path)
     except FileNotFoundError:
         return 1
     phys = [int(m.group(1)) for n in names if (m := _V_RE.match(n)) is not None]
     return (max(phys) + 1) if phys else 1
+
+
+def _base_and_claim(path: str) -> tuple[int, int]:
+    """(highest committed version, version number to commit next), from ONE
+    directory listing. A single snapshot matters for the OCC loop in
+    :meth:`MergeSink.merge`: deriving the two from separate listings lets a
+    concurrent commit land between them, making ``claim`` skip past a
+    version the merge never saw (lost update). ``claim`` is ``base + 1``
+    except when skipping a pre-staging writer's torn physical dir."""
+    try:
+        names = os.listdir(path)
+    except FileNotFoundError as exc:
+        raise FileNotFoundError(f"no version of merge table at {path}") from exc
+    phys = [int(m.group(1)) for n in names if (m := _V_RE.match(n)) is not None]
+    committed = [
+        v for v in phys if os.path.exists(os.path.join(path, f"v{v}", "_SUCCESS"))
+    ]
+    if not committed:
+        raise FileNotFoundError(f"no version of merge table at {path}")
+    return max(committed), max(phys) + 1
 
 
 def current_version_path(path: str) -> str | None:
@@ -97,48 +123,83 @@ class MergeSink:
         spark: SparkSession,
         source: DataFrame,
         deletes: DataFrame | None = None,
+        max_retries: int = 20,
     ) -> DataFrame:
         """Apply source-wins upserts (and optional key deletes); return the
         new state DataFrame (already durable when this returns).
 
-        Preconditions (same contract as SQL MERGE): ``source`` carries at
+        Precondition (same contract as SQL MERGE): ``source`` carries at
         most one row per key — dedup upstream (e.g. the reconcile plan's
         first-match semantics) or rows multiply through the full-outer
-        join. Single writer at a time: two concurrent merges race to the
-        same version directory and the loser fails on ``errorifexists``
-        (which is the safe outcome — no torn state, retry re-reads)."""
-        target = self.read(spark)
-        if set(source.columns) != set(target.columns):
-            raise ValueError(
-                f"source schema {sorted(source.columns)} != "
-                f"target schema {sorted(target.columns)}"
+        join. Concurrent merges are safe: each attempt computes against
+        the CURRENT version and commits via the atomic rename in
+        ``_write``; a writer that loses the version race re-reads the
+        winner's state and recomputes (optimistic concurrency, no lost
+        updates), giving up after ``max_retries`` conflicts."""
+        for _ in range(max_retries):
+            # OCC anchor: pin the base version BEFORE reading, and commit
+            # to exactly base+1. Committing _next_version() instead would
+            # let an interleaved writer's commit land between our read and
+            # our claim and be silently overwritten (lost update).
+            # OCC anchor: base version and claim number from ONE directory
+            # snapshot; commit is the atomic rename onto v<claim>. An
+            # interleaved commit makes our rename fail -> recompute.
+            base, claim = _base_and_claim(self.path)
+            target = spark.read.parquet(os.path.join(self.path, f"v{base}"))
+            if set(source.columns) != set(target.columns):
+                raise ValueError(
+                    f"source schema {sorted(source.columns)} != "
+                    f"target schema {sorted(target.columns)}"
+                )
+            k = self.key
+            src = source.select(
+                F.col(k).alias("__sk"),
+                *[F.col(c).alias(f"__s_{c}") for c in target.columns if c != k],
             )
-        k = self.key
-        src = source.select(
-            F.col(k).alias("__sk"),
-            *[F.col(c).alias(f"__s_{c}") for c in target.columns if c != k],
-        )
-        merged = target.join(src, F.col(k) == F.col("__sk"), "full_outer").select(
-            F.coalesce(F.col(k), F.col("__sk")).alias(k),
-            *[
-                F.when(F.col("__sk").isNotNull(), F.col(f"__s_{c}"))
-                .otherwise(F.col(c))
-                .alias(c)
-                for c in target.columns
-                if c != k
-            ],
-        )
-        if deletes is not None:
-            merged = merged.join(
-                F.broadcast(deletes.select(F.col(deletes.columns[0]).alias(k))),
-                k,
-                "left_anti",
+            merged = target.join(src, F.col(k) == F.col("__sk"), "full_outer").select(
+                F.coalesce(F.col(k), F.col("__sk")).alias(k),
+                *[
+                    F.when(F.col("__sk").isNotNull(), F.col(f"__s_{c}"))
+                    .otherwise(F.col(c))
+                    .alias(c)
+                    for c in target.columns
+                    if c != k
+                ],
             )
-        self._write(merged, _next_version(self.path))
-        return self.read(spark)
+            if deletes is not None:
+                merged = merged.join(
+                    F.broadcast(deletes.select(F.col(deletes.columns[0]).alias(k))),
+                    k,
+                    "left_anti",
+                )
+            try:
+                self._write(merged, claim)
+            except FileExistsError:
+                continue  # lost the version race: recompute vs new current
+            return self.read(spark)
+        raise RuntimeError(
+            f"merge lost the version race {max_retries} times at {self.path}"
+        )
 
     def _write(self, df: DataFrame, version: int) -> None:
+        """Stage to a hidden dir, then atomically rename onto ``v<N>``.
+
+        The rename is the commit: POSIX guarantees at most one renamer
+        wins the destination name (renaming onto an existing non-empty
+        directory fails), so two writers racing the same version number
+        can never interleave files in one directory. Raises
+        ``FileExistsError`` for the loser; the orphaned stage dir is
+        removed best-effort."""
+        stage = os.path.join(self.path, f".stage-{uuid.uuid4().hex}")
         w = df.write.mode("errorifexists")
         if self.partition_by:
             w = w.partitionBy(*self.partition_by)
-        w.parquet(os.path.join(self.path, f"v{version}"))
+        w.parquet(stage)
+        final = os.path.join(self.path, f"v{version}")
+        try:
+            os.rename(stage, final)
+        except OSError as exc:
+            import shutil
+
+            shutil.rmtree(stage, ignore_errors=True)
+            raise FileExistsError(f"version v{version} already committed") from exc

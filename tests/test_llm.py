@@ -165,6 +165,37 @@ def test_ivf_self_match_and_recall(spark):
     assert degenerate.count() == len(rows)
 
 
+def test_registered_ann_queries_recall_at_sf001(spark):
+    """Quantitative floor for the rows-only ANN registry entries.
+
+    q_sim_topk_lsh / q_sim_topk_ivf have no value-hash oracle (float-ranked
+    approximate results), so this pins their QUALITY instead: recall@10
+    against the hash-oracle'd exact query q_sim_topk on the same sf0.01
+    corpus (5 queries x 500 vectors). Both ANN paths are seeded and
+    deterministic, so the floors are exact repeatable numbers, not
+    statistical bounds. Measured recall on this corpus: LSH 0.96
+    (bits=4/tables=16), IVF 0.82 (16 lists, probe 6) — floors set one
+    notch under to absorb tie-reordering only.
+    """
+    from pretalx_hub_etl_spark.queries import load_all
+
+    specs = load_all()
+    sf = "/root/testdata/sf0.01"
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in specs["q_sim_topk"].fn(spark, sf).collect()
+    }
+    assert len(exact) == 50  # 5 queries x k=10
+    floors = {"q_sim_topk_lsh": 0.90, "q_sim_topk_ivf": 0.75}
+    for name, floor in floors.items():
+        approx = {
+            (r.query_id, r.vec_id)
+            for r in specs[name].fn(spark, sf).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        assert recall >= floor, f"{name} recall@10 {recall:.2f} < floor {floor}"
+
+
 def test_tfidf_values(spark):
     import math
 

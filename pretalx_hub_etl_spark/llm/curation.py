@@ -202,18 +202,24 @@ def shuffle_order(
 ) -> DataFrame:
     """Deterministic training-order shuffle key + scale-safe total order.
 
-    ``shuffle_key = (id + seed) * KNUTH mod 2^31`` — reproducible across
-    engines and reruns (no RNG state). The plan range-partitions on the
-    key and sorts within partitions: a total order across output shards
-    with NO single-task global sort.
+    ``shuffle_key = ((id + seed) mod 2^31) * KNUTH mod 2^32`` —
+    reproducible across engines and reruns (no RNG state). The 2^31 mask
+    keeps the product inside int64 (an unmasked id >= ~3.5e9 would
+    overflow, wrapping in Spark but promoting to HUGEINT in other
+    engines); the odd multiplier is bijective mod 2^32, so keys are
+    unique for ids below 2^31 and ties beyond that are broken by the
+    secondary ``id`` sort — the output order is total either way. The
+    plan range-partitions on the key and sorts within partitions: a
+    total order across output shards with NO single-task global sort.
     """
     key = F.pmod(
-        (F.col(id_col) + F.lit(seed)) * F.lit(_KNUTH), F.lit(1 << 31)
+        F.pmod(F.col(id_col) + F.lit(seed), F.lit(1 << 31)) * F.lit(_KNUTH),
+        F.lit(1 << 32),
     ).cast("long")
     keyed = df.withColumn("shuffle_key", key)
-    return keyed.repartitionByRange(F.col("shuffle_key")).sortWithinPartitions(
-        "shuffle_key"
-    )
+    return keyed.repartitionByRange(
+        F.col("shuffle_key"), F.col(id_col)
+    ).sortWithinPartitions("shuffle_key", id_col)
 
 
 __all__ = [

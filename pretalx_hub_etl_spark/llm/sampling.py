@@ -99,17 +99,45 @@ def stratified_sample(
 
 def weighted_sample(
     df: DataFrame,
-    weight: Column,
+    weight: Column | None = None,
     id_col: str = "doc_id",
+    weight_num: Column | None = None,
+    weight_den: Column | None = None,
 ) -> DataFrame:
     """Deterministic per-row Bernoulli keep with probability ``weight``
-    (a column in [0, 1]) — quality-weighted / importance sampling.
+    — quality-weighted / importance sampling.
 
-    The coin is a Knuth multiplicative hash of the id mapped to [0, 1):
-    rerun-stable, partition-independent, and exactly reproducible in any
-    engine with 64-bit integer arithmetic (no float comparison: the
-    keep test cross-multiplies to exact integers when the weight is a
-    ratio of integers). Zero shuffle — the filter fuses into the scan.
+    The coin is a Knuth multiplicative hash of the id mapped to
+    [0, 2^32); the id is masked to 31 bits before multiplying so the
+    product stays inside int64 in EVERY engine (unmasked ids >= ~3.5e9
+    would silently wrap in Spark but promote to HUGEINT in DuckDB,
+    breaking cross-engine reproducibility).
+
+    Two keep-test forms:
+
+    * ``weight_num`` / ``weight_den`` (integer columns, the exact path):
+      keep iff ``coin * den < num * 2^32`` — pure 64-bit integer
+      arithmetic, never a float compare, bit-identical in any engine.
+      Safe for ``den`` up to 2^22 (product bound 2^54 < int64 max).
+    * ``weight`` (a float column in [0, 1], the convenient path): keep
+      iff ``coin < weight * 2^32`` in doubles — exact only when
+      ``weight * 2^32`` is exactly representable; boundary ids can
+      differ across engines by one rounding step otherwise.
+
+    Zero shuffle either way — the filter fuses into the scan.
     """
-    h = F.pmod(F.col(id_col).cast("long") * F.lit(KNUTH_C), F.lit(2**32))
-    return df.withColumn("__u32", h).filter(F.col("__u32") < weight * F.lit(2**32)).drop("__u32")
+    coin = F.pmod(
+        F.pmod(F.col(id_col).cast("long"), F.lit(1 << 31)) * F.lit(KNUTH_C),
+        F.lit(2**32),
+    )
+    if (weight_num is None) != (weight_den is None):
+        raise ValueError("weight_num and weight_den must be given together")
+    if weight_num is not None:
+        if weight is not None:
+            raise ValueError("pass either weight or weight_num/weight_den")
+        keep = coin * weight_den.cast("long") < weight_num.cast("long") * F.lit(2**32)
+    elif weight is not None:
+        keep = coin < weight * F.lit(2**32)
+    else:
+        raise ValueError("one of weight or weight_num/weight_den is required")
+    return df.filter(keep)

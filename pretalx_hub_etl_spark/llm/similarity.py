@@ -116,6 +116,15 @@ def _hyperplane_sign_bits(vec: Column, n_bits: int, seed: int, salt: Column) -> 
 _PLANE_CACHE: dict = {}
 
 
+def _probe_dim(corpus: DataFrame, vec_col: str) -> int:
+    """Vector width from one row; a clear error beats ``first()[0]``'s
+    TypeError when the corpus is empty."""
+    row = corpus.select(F.size(F.col(vec_col))).limit(1).first()
+    if row is None:
+        raise ValueError(f"cannot infer {vec_col!r} dim: corpus is empty")
+    return int(row[0])
+
+
 def _plane_matrix(spark, dim: int, n_bits: int, n_tables: int, seed: int):
     """The ±1 hyperplane components as a numpy (tables, bits, dim) array.
 
@@ -123,8 +132,12 @@ def _plane_matrix(spark, dim: int, n_bits: int, n_tables: int, seed: int):
     evaluates per row — but planes depend only on (seed, table, bit, dim),
     not on data, so they are computed ONCE via a tiny Spark job over the
     index grid (n_tables x n_bits x dim rows) and broadcast to the
-    vectorized bucketizer. Buckets are bit-identical to the expression
-    form (same components, same strict `proj > 0` sign rule).
+    vectorized bucketizer. Buckets match the expression form (same ±1
+    components, same strict `proj > 0` sign rule) except when a
+    projection lands within float rounding of zero: numpy's matmul sums
+    in a different order than Spark's sequential `aggregate` fold, so a
+    near-zero projection can flip sign between the two forms. Harmless
+    for LSH (a measure-zero tie either way), but not a bitwise identity.
     """
     key = (dim, n_bits, n_tables, seed)
     if key not in _PLANE_CACHE:
@@ -208,7 +221,7 @@ def embedding_near_duplicates(
     # sign-bit evaluation is O(n_tables × n_bits × dim) per row — by far
     # the dominant cost, so it runs as ONE vectorized matmul per Arrow
     # batch (see _bucket_all_tables), parallelized across the cluster
-    dim = int(corpus.select(F.size(F.col(vec_col))).limit(1).first()[0])
+    dim = _probe_dim(corpus, vec_col)
     bucketed = fan_out(corpus).select(
         F.col(id_col),
         F.posexplode(
@@ -389,7 +402,7 @@ def lsh_cosine_topk(
     Candidates = rows sharing a bucket with the query in ANY of ``n_tables``
     hash tables (explode over tables -> equi-join on (table, bucket)).
     """
-    dim = int(corpus.select(F.size(F.col(vec_col))).limit(1).first()[0])
+    dim = _probe_dim(corpus, vec_col)
 
     def bucketed(df: DataFrame, idc: str, vec_alias: str) -> DataFrame:
         return df.select(

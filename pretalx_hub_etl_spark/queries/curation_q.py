@@ -188,7 +188,8 @@ def q_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_shuffle_order",
     oracle="""
     SELECT doc_id,
-           CAST((doc_id * 2654435761) % 2147483648 AS BIGINT) AS shuffle_key
+           CAST(((doc_id % 2147483648) * 2654435761) % 4294967296 AS BIGINT)
+               AS shuffle_key
     FROM documents
     """,
 )

@@ -236,18 +236,23 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id, lang, n_chars
     FROM documents
-    WHERE (doc_id * 2654435761) % 4294967296 * 500
+    WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296 * 500
           < least(n_chars, 500) * 4294967296
     """,
 )
 def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Importance sampling: keep probability scales with document length
     # (least(n_chars,500)/500). The Bernoulli coin is a Knuth
-    # multiplicative hash of the id; the keep test cross-multiplies to
-    # EXACT 64-bit integers on both sides (never a float compare). Pure
-    # per-row filter — fuses into the scan, zero shuffle.
+    # multiplicative hash of the 31-bit-masked id; the keep test
+    # cross-multiplies to EXACT 64-bit integers on both sides (the
+    # num/den path — never a float compare). Pure per-row filter —
+    # fuses into the scan, zero shuffle.
     from ..llm.sampling import weighted_sample
 
     d = Catalog(spark, sf_dir).documents.select("doc_id", "lang", "n_chars")
-    w = F.least(F.col("n_chars"), F.lit(500)) / F.lit(500.0)
-    return weighted_sample(d, weight=w, id_col="doc_id")
+    return weighted_sample(
+        d,
+        id_col="doc_id",
+        weight_num=F.least(F.col("n_chars"), F.lit(500)),
+        weight_den=F.lit(500),
+    )

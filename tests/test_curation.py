@@ -108,6 +108,7 @@ def test_shuffle_order_deterministic_and_total(spark):
     assert a == b  # reproducible across runs
     assert a != list(range(100))  # actually shuffled
     assert sorted(a) == list(range(100))
-    # keys are unique for distinct ids (KNUTH is odd -> bijective mod 2^31)
+    # keys are unique for distinct ids < 2^31 (odd KNUTH is bijective mod
+    # 2^32; above the 2^31 input mask, the id secondary sort breaks ties)
     keys = [r.shuffle_key for r in shuffle_order(df).collect()]
     assert len(set(keys)) == 100

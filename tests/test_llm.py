@@ -141,7 +141,7 @@ def test_ivf_self_match_and_recall(spark):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     exact = brute_force_cosine_topk(embs, queries, k=5)
-    approx = ivf_cosine_topk(embs, queries, k=5, n_centroids=16, n_probe=4)
+    approx = ivf_cosine_topk(embs, queries, k=5, n_centroids=16, n_probe=6)
     rows = approx.collect()
     # a query vector always lands in its own probed list -> self is rank 1
     assert {r.query_id: r.vec_id for r in rows if r.rank == 1} == {
@@ -154,13 +154,13 @@ def test_ivf_self_match_and_recall(spark):
     rerun = {
         (r.query_id, r.vec_id)
         for r in ivf_cosine_topk(
-            embs, queries, k=5, n_centroids=16, n_probe=4
+            embs, queries, k=5, n_centroids=16, n_probe=6
         ).collect()
     }
     assert rerun == approx_pairs
     # the degenerate lowest-id quantizer still works behind the same API
     degenerate = ivf_cosine_topk(
-        embs, queries, k=5, n_centroids=16, n_probe=4, centroids="lowest_id"
+        embs, queries, k=5, n_centroids=16, n_probe=6, centroids="lowest_id"
     )
     assert degenerate.count() == len(rows)
 

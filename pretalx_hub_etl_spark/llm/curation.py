@@ -222,10 +222,90 @@ def shuffle_order(
     ).sortWithinPartitions("shuffle_key", id_col)
 
 
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, chosen deterministically.
+
+    The per-domain cap every crawl-curation pipeline applies (a handful
+    of hot domains otherwise dominate the token budget). Selection order
+    is the Knuth hash of the id (31-bit-masked, engine-reproducible, see
+    :func:`shuffle_order`), id-tiebroken — so the kept subset is a stable
+    pseudo-random sample per group, not "whatever sorted first".
+
+    Scale shape: one shuffle on ``group_col`` + a rank window. Hot groups
+    are exactly the skewed keys the cap exists for; the window still
+    one-tasks each group, so at 100 TB pair this with a pre-filter: keep
+    only rows whose hash lands under ~``cap * overshoot / approx_count``
+    per hot group (cheap Bernoulli thin-out before the exact rank). The
+    exact form here is the semantics; the thin-out is an optimization
+    that never changes the result when overshoot is sized generously.
+    """
+    from pyspark.sql import Window
+
+    key = F.pmod(
+        F.pmod(F.col(id_col), F.lit(1 << 31)) * F.lit(_KNUTH), F.lit(1 << 32)
+    )
+    w = Window.partitionBy(group_col).orderBy(key.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= cap)
+        .drop("__rk")
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 50,
+    stride: int = 25,
+) -> DataFrame:
+    """Overlapping token-window chunks: one row per (doc, chunk).
+
+    The context-window preprocessing step for long documents: whitespace
+    tokens, chunk starts every ``stride`` tokens while inside the doc,
+    each chunk spanning ``chunk_tokens`` (the tail chunk is shorter).
+    Entirely built-in array expressions — ``split`` once, ``sequence``
+    for the starts, ``slice`` per chunk — so chunking fuses into the
+    scan stage: zero shuffle, output rows ≈ n_tokens/stride per doc.
+    """
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    out = (
+        df.withColumn("__toks", toks)
+        .withColumn("__n", F.size("__toks"))
+        .filter(F.col("__n") > 0)
+        .select(
+            id_col,
+            "__toks",
+            "__n",
+            F.posexplode(
+                F.sequence(F.lit(0), F.col("__n") - 1, F.lit(stride))
+            ).alias("chunk_id", "__start"),
+        )
+    )
+    return out.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.array_join(
+            F.slice(F.col("__toks"), F.col("__start") + 1, F.lit(chunk_tokens)),
+            " ",
+        ).alias("chunk_text"),
+        F.least(F.lit(chunk_tokens), F.col("__n") - F.col("__start"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+
+
 __all__ = [
     "pii_scrub",
     "repetition_stats",
     "contamination_overlap",
     "pack_sequences",
     "shuffle_order",
+    "cap_per_group",
+    "chunk_documents",
 ]

@@ -96,6 +96,7 @@ def load_all() -> dict[str, QuerySpec]:
     """
     from . import (  # noqa: F401
         curation_q,
+        curation_q2,
         llm_q,
         llm_q2,
         pipeline_q,

@@ -1,0 +1,278 @@
+"""Curation / pipeline queries, second set: per-domain caps, single-pass
+column profiling, overlapping chunking, CDC version diff, bigram PMI.
+
+Oracle notes:
+- the deterministic per-group selection order reuses the engine-portable
+  Knuth hash ``((id mod 2^31) * 2654435761) mod 2^32`` (llm.curation);
+- the PMI query returns the PMI RATIO, not its log: every input is an
+  exact int64 count, the numerator/denominator are assembled in one
+  fixed operation order, and the single double division is exactly
+  rounded identically by Spark and DuckDB — a `ln()` would instead
+  differ in the last ulp between libm implementations;
+- the CDC oracle recomputes the v1→v2 diff relationally from the same
+  deterministic update/insert/delete rule the Spark side feeds the sink.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from ..functions.core import fixed_cents, fixed_point
+from ..llm.curation import cap_per_group, chunk_documents
+from ..operators.profile import profile_columns
+from . import query
+
+# --- per-domain cap ---------------------------------------------------------
+
+
+@query(
+    "q_domain_caps",
+    oracle="""
+    SELECT doc_id, source
+    FROM documents
+    QUALIFY row_number() OVER (
+        PARTITION BY source
+        ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id
+    ) <= 20
+    """,
+)
+def q_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The hot-domain cap every crawl curation applies: keep at most 20
+    # docs per source, selected by the engine-portable Knuth hash (a
+    # stable pseudo-random per-domain sample). One shuffle on source.
+    d = Catalog(spark, sf_dir).documents.select("doc_id", "source")
+    return cap_per_group(d, "source", cap=20, id_col="doc_id")
+
+
+# --- single-pass column profile ---------------------------------------------
+
+
+@query(
+    "q_profile_columns",
+    oracle="""
+    SELECT 'doc_id' AS col_name, count(*) AS n_rows,
+           count(*) - count(doc_id) AS n_null,
+           count(DISTINCT doc_id) AS n_distinct,
+           CAST(min(doc_id) AS VARCHAR) AS min_val,
+           CAST(max(doc_id) AS VARCHAR) AS max_val
+    FROM documents
+    UNION ALL
+    SELECT 'lang', count(*), count(*) - count(lang), count(DISTINCT lang),
+           min(lang), max(lang)
+    FROM documents
+    UNION ALL
+    SELECT 'source', count(*), count(*) - count(source),
+           count(DISTINCT source), min(source), max(source)
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', count(*), count(*) - count(n_chars),
+           count(DISTINCT n_chars),
+           CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+    FROM documents
+    """,
+)
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deequ-style table profile: every metric for every column in ONE
+    # aggregate pass (the oracle's 4 scans express the semantics; the
+    # Spark plan is a single scan + single partial-agg shuffle).
+    d = Catalog(spark, sf_dir).documents
+    return profile_columns(d, ["doc_id", "lang", "source", "n_chars"]).withColumnRenamed(
+        "column", "col_name"
+    )
+
+
+# --- overlapping token chunks -----------------------------------------------
+
+
+@query(
+    "q_chunk_overlap",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ), e AS (
+        SELECT doc_id, toks, len(toks) AS n,
+               unnest(generate_series(0, len(toks) - 1, 20)) AS start
+        FROM t
+        WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+           CAST(start // 20 AS BIGINT) AS chunk_id,
+           array_to_string(toks[start + 1 : least(start + 40, n)], ' ')
+               AS chunk_text,
+           CAST(least(40, n - start) AS BIGINT) AS n_tokens
+    FROM e
+    """,
+)
+def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Context-window preprocessing: 40-token chunks every 20 tokens
+    # (50% overlap), tail chunk shorter. Pure array expressions fused
+    # into the scan — zero shuffle, ~n_tokens/20 output rows per doc.
+    d = Catalog(spark, sf_dir).documents
+    return chunk_documents(d, "text", "doc_id", chunk_tokens=40, stride=20)
+
+
+# --- CDC: diff two committed versions of a merge table ----------------------
+
+
+@query(
+    "q_cdc_version_diff",
+    oracle="""
+    WITH c AS (
+        SELECT c_custkey,
+               CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) / 100.0
+                   AS c_acctbal
+        FROM customer
+    )
+    SELECT c_custkey + 1000000 AS c_custkey, 'insert' AS change,
+           CAST(NULL AS DOUBLE) AS old_acctbal,
+           0.0 AS new_acctbal
+    FROM c WHERE c_custkey % 11 = 0
+    UNION ALL
+    SELECT c_custkey, 'update', c_acctbal, c_acctbal + 100.0
+    FROM c WHERE c_custkey % 7 = 0 AND c_custkey % 13 <> 0
+    UNION ALL
+    SELECT c_custkey, 'delete', c_acctbal, CAST(NULL AS DOUBLE)
+    FROM c WHERE c_custkey % 13 = 0
+    """,
+)
+def q_cdc_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Build v1 (base) and v2 (merge of updates+inserts+deletes, same
+    # deterministic rule as q_sink_merge_upsert), then read the CHANGE
+    # FEED between them: a full-outer self-join of two immutable version
+    # scans. A key updated and deleted in the same merge surfaces as
+    # delete with its v1 value (delete wins in MERGE).
+    from ..sinks.merge import MergeSink, version_diff
+
+    c = Catalog(spark, sf_dir).customer.select(
+        "c_custkey",
+        "c_name",
+        (fixed_cents(F.col("c_acctbal")) / 100.0).alias("c_acctbal"),
+    )
+    sink = MergeSink(
+        os.path.join(tempfile.mkdtemp(prefix="phe_cdc_"), "customers"),
+        key="c_custkey",
+    )
+    sink.init(c)
+    updates = c.filter(F.col("c_custkey") % 7 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 100.0
+    )
+    inserts = c.filter(F.col("c_custkey") % 11 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        "c_name",
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    deletes = c.filter(F.col("c_custkey") % 13 == 0).select("c_custkey")
+    sink.merge(spark, updates.unionByName(inserts), deletes=deletes)
+    diff = version_diff(spark, sink.path, "c_custkey", 1, 2)
+    return diff.select(
+        "c_custkey",
+        "change",
+        F.col("old.c_acctbal").alias("old_acctbal"),
+        F.col("new.c_acctbal").alias("new_acctbal"),
+    )
+
+
+# --- adjacent-bigram PMI ----------------------------------------------------
+
+
+@query(
+    "q_pmi_bigrams",
+    oracle="""
+    WITH toks AS (
+        SELECT list_filter(string_split_regex(text, '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ), uni AS (
+        SELECT unnest(t) AS w FROM toks
+    ), ucnt AS (
+        SELECT w, count(*) AS c FROM uni GROUP BY w
+    ), nu AS (
+        SELECT sum(c) AS total_u FROM ucnt
+    ), idx AS (
+        SELECT t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks
+    ), big AS (
+        SELECT t[i] AS w1, t[i + 1] AS w2 FROM idx
+    ), bcnt AS (
+        SELECT w1, w2, count(*) AS c_ab FROM big GROUP BY w1, w2
+    ), nb AS (
+        SELECT sum(c_ab) AS total_b FROM bcnt
+    )
+    SELECT b.w1, b.w2, b.c_ab,
+           CAST(floor(
+               CAST(b.c_ab * nu.total_u AS DOUBLE) * nu.total_u
+               / (CAST(ua.c * ub.c AS DOUBLE) * nb.total_b)
+               * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS pmi_ratio
+    FROM bcnt b
+    JOIN ucnt ua ON b.w1 = ua.w
+    JOIN ucnt ub ON b.w2 = ub.w
+    CROSS JOIN nu CROSS JOIN nb
+    WHERE b.c_ab >= 5
+    """,
+)
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Collocation mining: PMI ratio p(ab)/(p(a)p(b)) for adjacent word
+    # pairs seen >= 5 times. The ratio (not its log) is exact-rational:
+    # counts are int64, numerator/denominator assembled in a fixed op
+    # order, one double division — bit-identical across engines, so the
+    # query carries a full value-hash oracle. Scale shape: two token
+    # shuffles (bigram + unigram counts, both map-side combined); the
+    # unigram count table is vocabulary-sized -> broadcast onto bigrams
+    # twice; the scalar totals cross-join as 1-row broadcasts.
+    d = Catalog(spark, sf_dir).documents
+    toks = d.select(
+        F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "").alias("t")
+    ).filter(F.size("t") > 0)
+    toks = toks.cache()  # feeds unigram AND bigram explodes: scan once
+
+    # both count tables are vocabulary-sized (≪ corpus) and each feeds two
+    # consumers (per-word joins + scalar total) -> cache so the token
+    # explodes run once, not per consumer
+    ucnt = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .cache()
+    )
+    n = F.size("t")
+    ball = (
+        toks.select(
+            F.explode(
+                F.zip_with(
+                    F.slice("t", 1, n - 1),
+                    F.slice("t", 2, n - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .cache()
+    )
+    bcnt = ball.filter(F.col("c_ab") >= 5)
+    total_u = ucnt.agg(F.sum("c").alias("total_u"))
+    total_b = ball.agg(F.sum("c_ab").alias("total_b"))
+    ua = ucnt.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
+    ub = ucnt.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
+    out = (
+        bcnt.join(F.broadcast(ua), "w1")
+        .join(F.broadcast(ub), "w2")
+        .crossJoin(F.broadcast(total_u))
+        .crossJoin(F.broadcast(total_b))
+    )
+    ratio = (
+        (F.col("c_ab") * F.col("total_u")).cast("double")
+        * F.col("total_u")
+        / ((F.col("c_a") * F.col("c_b")).cast("double") * F.col("total_b"))
+    )
+    return out.select(
+        "w1", "w2", "c_ab", fixed_point(ratio, 6).alias("pmi_ratio")
+    )

@@ -98,6 +98,57 @@ def current_version_path(path: str) -> str | None:
     return None if not vs else os.path.join(path, f"v{vs[-1]}")
 
 
+def version_diff(
+    spark: SparkSession,
+    path: str,
+    key: str,
+    v_from: int,
+    v_to: int,
+) -> DataFrame:
+    """Change-data-capture between two committed versions of a merge table.
+
+    One row per key whose state changed: ``change`` ∈ {insert, update,
+    delete}, plus the full old/new non-key columns (structs ``old`` /
+    ``new``; null on the absent side). Because versions are immutable
+    directories, the diff is a plain full-outer self-join of two parquet
+    scans on the key — one shuffle, or zero when both versions are
+    bucketed/partitioned the same way. This is the "what changed since
+    version N" feed a downstream incremental consumer reads instead of
+    re-scanning the whole table.
+    """
+    lo = spark.read.parquet(os.path.join(path, f"v{v_from}"))
+    hi = spark.read.parquet(os.path.join(path, f"v{v_to}"))
+    if set(lo.columns) != set(hi.columns):
+        raise ValueError(
+            f"schema drift between v{v_from} and v{v_to}: "
+            f"{sorted(lo.columns)} vs {sorted(hi.columns)}"
+        )
+    payload = [c for c in lo.columns if c != key]
+    o = lo.select(
+        F.col(key).alias("__ok"), F.struct(*payload).alias("old")
+    )
+    n = hi.select(
+        F.col(key).alias("__nk"), F.struct(*payload).alias("new")
+    )
+    joined = o.join(n, F.col("__ok") == F.col("__nk"), "full_outer")
+    return (
+        joined.select(
+            F.coalesce(F.col("__ok"), F.col("__nk")).alias(key),
+            F.when(F.col("__ok").isNull(), F.lit("insert"))
+            .when(F.col("__nk").isNull(), F.lit("delete"))
+            .otherwise(F.lit("update"))
+            .alias("change"),
+            "old",
+            "new",
+        )
+        # unchanged keys are not changes: equal payloads (null-safe) drop out
+        .filter(
+            F.col("change").isin("insert", "delete")
+            | ~F.col("old").eqNullSafe(F.col("new"))
+        )
+    )
+
+
 class MergeSink:
     """Versioned parquet table with MERGE (upsert + delete) writes."""
 

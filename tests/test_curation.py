@@ -112,3 +112,44 @@ def test_shuffle_order_deterministic_and_total(spark):
     # 2^32; above the 2^31 input mask, the id secondary sort breaks ties)
     keys = [r.shuffle_key for r in shuffle_order(df).collect()]
     assert len(set(keys)) == 100
+
+
+def test_cap_per_group_deterministic_subset(spark):
+    from pretalx_hub_etl_spark.llm.curation import cap_per_group
+
+    df = spark.createDataFrame(
+        [(i, "hot" if i < 50 else "cold") for i in range(60)],
+        "doc_id long, source string",
+    )
+    out = cap_per_group(df, "source", cap=10, id_col="doc_id")
+    rows = out.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, set()).add(r.doc_id)
+    assert len(by_src["hot"]) == 10          # capped
+    assert len(by_src["cold"]) == 10         # under cap -> all kept
+    assert by_src["cold"] == set(range(50, 60))
+    # deterministic: rerun picks the identical subset
+    rerun = {r.doc_id for r in cap_per_group(df, "source", 10, "doc_id").collect()}
+    assert rerun == by_src["hot"] | by_src["cold"]
+    # hash-ordered, not id-ordered: the kept hot docs are not just 0..9
+    assert by_src["hot"] != set(range(10))
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    from pretalx_hub_etl_spark.llm.curation import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(11))  # 11 tokens
+    df = spark.createDataFrame([(1, text), (2, "solo"), (3, "  ")],
+                               "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=4, stride=2)
+    rows = {(r.doc_id, r.chunk_id): (r.chunk_text, r.n_tokens) for r in out.collect()}
+    # doc 1: starts 0,2,4,6,8,10 -> 6 chunks; last two are tails
+    assert {(d, c) for d, c in rows if d == 1} == {(1, i) for i in range(6)}
+    assert rows[(1, 0)] == ("w0 w1 w2 w3", 4)
+    assert rows[(1, 1)] == ("w2 w3 w4 w5", 4)
+    assert rows[(1, 4)] == ("w8 w9 w10", 3)
+    assert rows[(1, 5)] == ("w10", 1)
+    # single-token doc -> one chunk; whitespace-only doc -> no rows
+    assert rows[(2, 0)] == ("solo", 1)
+    assert {d for d, _ in rows} == {1, 2}

@@ -115,6 +115,7 @@ NESTED_LOOP_ALLOWED = {
     "q_stream_late_filter",  # max(ts) as a 1-row broadcast
     "q_text_tfidf",        # corpus size N as a 1-row broadcast
     "q_tpch_q22",          # acctbal threshold as a 1-row broadcast
+    "q_pmi_bigrams",       # corpus token totals as two 1-row broadcasts
 }
 
 

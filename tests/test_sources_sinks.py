@@ -338,3 +338,43 @@ def test_merge_sink_ignores_torn_versions(spark, tmp_path):
     out = sink.merge(spark, spark.createDataFrame([(2, "b")], "k INT, name STRING"))
     assert {r.k for r in out.collect()} == {1, 2}
     assert current_version_path(sink.path).endswith("v3")
+
+
+def test_version_diff_change_feed(spark, tmp_path):
+    from pretalx_hub_etl_spark.sinks.merge import MergeSink, version_diff
+
+    sink = MergeSink(str(tmp_path / "t"), key="k")
+    sink.init(spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)],
+        "k INT, name STRING, v DOUBLE",
+    ))
+    # update k=2 (value change), "update" k=3 to identical values (no-op),
+    # insert k=4, delete k=1
+    src = spark.createDataFrame(
+        [(2, "b", 99.0), (3, "c", 3.0), (4, "d", 4.0)],
+        "k INT, name STRING, v DOUBLE",
+    )
+    sink.merge(spark, src, deletes=spark.createDataFrame([(1,)], "k INT"))
+
+    diff = {r.k: (r.change, r.old, r.new)
+            for r in version_diff(spark, sink.path, "k", 1, 2).collect()}
+    assert set(diff) == {1, 2, 4}  # k=3 unchanged -> absent from the feed
+    assert diff[1][0] == "delete" and diff[1][2] is None
+    assert diff[2][0] == "update" and diff[2][1].v == 2.0 and diff[2][2].v == 99.0
+    assert diff[4][0] == "insert" and diff[4][1] is None and diff[4][2].v == 4.0
+
+
+def test_profile_columns_metrics(spark):
+    from pretalx_hub_etl_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, "x"), (None, "y")], "a INT, b STRING"
+    )
+    rows = {r.column: r for r in profile_columns(df).collect()}
+    a, b = rows["a"], rows["b"]
+    assert (a.n_rows, a.n_null, a.n_distinct, a.min_val, a.max_val) == (4, 1, 3, "1", "3")
+    assert (b.n_rows, b.n_null, b.n_distinct, b.min_val, b.max_val) == (4, 1, 2, "x", "y")
+    # approximate mode keeps the same shape
+    approx = {r.column: r.n_distinct
+              for r in profile_columns(df, exact_distinct=False).collect()}
+    assert approx["a"] >= 2 and approx["b"] >= 1

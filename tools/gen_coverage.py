@@ -156,6 +156,11 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
         ("L14", "token-length histogram per language", ["q_token_histogram"]),
         ("L15", "exact embedding L2 norms / per-class centroids",
          ["q_embed_norm", "q_embed_centroid"]),
+        ("L17", "per-domain document caps", ["q_domain_caps"]),
+        ("L18", "single-pass column profiling", ["q_profile_columns"]),
+        ("L19", "overlapping token chunking", ["q_chunk_overlap"]),
+        ("L20", "CDC version diff (change feed)", ["q_cdc_version_diff"]),
+        ("L21", "adjacent-bigram PMI collocations", ["q_pmi_bigrams"]),
     ]),
     ("TPC-H composite shapes", [
         ("Q", "multi-way join/agg/subquery plans",

@@ -285,9 +285,17 @@ def duplicate_clusters(
     documents attach at the end as their own cluster — at 100 TB the pair
     graph is orders of magnitude smaller than the corpus.
     """
-    edges = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    # materialize the edge list ONCE: every round joins against it, and
+    # without this the whole upstream pair computation (minhash/Jaccard
+    # candidate generation — the expensive part) would re-execute per
+    # round inside the join. The edge list itself is tiny relative to the
+    # corpus, so an eager localCheckpoint is cheap and bounds each round
+    # to join+agg over materialized edges.
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .localCheckpoint()
+    )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()

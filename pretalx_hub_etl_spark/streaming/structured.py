@@ -132,6 +132,30 @@ def interval_join_streams(
     return lsel.join(rsel, cond, "inner").drop("__rkey")
 
 
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: each microbatch ⋈ a broadcast dim.
+
+    The "attach user attributes to the event stream" pattern. The static
+    side is re-read per microbatch (so a dim refreshed on disk is picked
+    up at the next trigger) and explicitly ``broadcast`` — a stream-static
+    join must never shuffle the stream side on the key, or every trigger
+    pays a full exchange; with the dim broadcast the stream partitioning
+    is untouched and the join is stateless (no watermark needed, unlike
+    stream-stream joins). ``how``: "left" keeps unmatched events with
+    null attributes; "inner" drops them; left_semi/left_anti filter
+    without widening (the streaming-supported subset for a static right
+    side).
+    """
+    if how not in ("left", "inner", "left_semi", "left_anti"):
+        raise ValueError(f"unsupported stream-static join type {how!r}")
+    return stream.join(F.broadcast(dim), key, how)
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     """Drive a streaming DataFrame to completion into an in-memory table.
 

@@ -173,3 +173,40 @@ def test_foreachbatch_merge_maintains_current_state(spark, tmp_path):
         q.stop()
     state2 = {r.k: r.v for r in sink.read(spark).collect()}
     assert state2 == {1: 10.0, 2: 20.0, 3: 30.0}
+
+
+def test_stream_static_enrich_broadcast(spark, tmp_path):
+    from pretalx_hub_etl_spark.streaming.structured import enrich_stream
+
+    d = _stage_dir(spark, tmp_path)
+    stream = stream_from_parquet_dir(spark, d, SCHEMA)
+    # static dim: attributes for half the users; built as parquet so the
+    # static side is a real re-readable source, not an in-memory frame
+    users = (
+        spark.read.schema(SCHEMA).parquet(d)
+        .select("user_id").distinct()
+        .filter(F.col("user_id") % 2 == 0)
+        .withColumn("tier", F.lit("even"))
+    )
+    dim_path = str(tmp_path / "dim")
+    users.write.mode("overwrite").parquet(dim_path)
+    dim = spark.read.parquet(dim_path)
+
+    joined = enrich_stream(stream, dim, "user_id", how="left")
+    run_to_memory(joined, "t_enrich")
+    got = spark.sql("SELECT * FROM t_enrich").collect()
+
+    batch = spark.read.schema(SCHEMA).parquet(d).join(dim, "user_id", "left")
+    assert len(got) == batch.count()  # left join: every event kept
+    tiers = {r.user_id: r.tier for r in got}
+    assert all(
+        (t == "even") == (uid % 2 == 0) for uid, t in tiers.items() if t is not None
+    )
+    assert any(t is None for t in tiers.values())  # odd users unmatched
+
+    # inner drops unmatched events
+    inner = enrich_stream(stream, dim, "user_id", how="inner")
+    run_to_memory(inner, "t_enrich_inner")
+    n_inner = spark.sql("SELECT count(*) AS n FROM t_enrich_inner").collect()[0].n
+    assert n_inner == spark.read.schema(SCHEMA).parquet(d).join(dim, "user_id").count()
+    assert n_inner < len(got)

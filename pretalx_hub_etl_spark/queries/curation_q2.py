@@ -1,5 +1,6 @@
 """Curation / pipeline queries, second set: per-domain caps, single-pass
-column profiling, overlapping chunking, CDC version diff, bigram PMI.
+column profiling, overlapping chunking, CDC version diff, bigram PMI,
+incremental aggregate maintenance, fuzzy key matching.
 
 Oracle notes:
 - the deterministic per-group selection order reuses the engine-portable
@@ -276,3 +277,123 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "w1", "w2", "c_ab", fixed_point(ratio, 6).alias("pmi_ratio")
     )
+
+
+# --- IVM: incremental aggregate maintenance from the CDC feed ---------------
+
+
+@query(
+    "q_incremental_agg",
+    oracle="""
+    WITH c AS (
+        SELECT c_custkey,
+               CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM customer
+    ), merged AS (
+        -- final state after the deterministic merge (upserts win, deletes
+        -- drop, inserts append) -- same rule as q_cdc_version_diff
+        SELECT c_custkey, cents + CASE WHEN c_custkey % 7 = 0
+                                       THEN 10000 ELSE 0 END AS cents
+        FROM c WHERE c_custkey % 13 <> 0
+        UNION ALL
+        SELECT c_custkey + 1000000, 0 FROM c WHERE c_custkey % 11 = 0
+    )
+    SELECT c_custkey % 100 AS grp,
+           count(*) AS cnt,
+           sum(cents) AS total
+    FROM merged
+    GROUP BY grp
+    """,
+)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Incremental view maintenance: the per-group (custkey mod 100)
+    # count + balance-cents sum is maintained from the CDC diff alone --
+    # the v2 fact table is never re-aggregated. The oracle aggregates the
+    # recomputed final state directly; hash-equality of the two proves
+    # the maintained state is bit-identical to a from-scratch rebuild
+    # (cents are exact BIGINTs, so the fold is order-independent).
+    from ..operators.incremental import agg_state, apply_agg_delta
+    from ..sinks.merge import MergeSink, version_diff
+
+    c = Catalog(spark, sf_dir).customer.select(
+        "c_custkey",
+        "c_name",
+        fixed_cents(F.col("c_acctbal")).alias("cents"),
+    )
+    sink = MergeSink(
+        os.path.join(tempfile.mkdtemp(prefix="phe_ivm_"), "customers"),
+        key="c_custkey",
+    )
+    sink.init(c)
+    state_v1 = agg_state(
+        sink.read(spark), F.col("c_custkey") % 100, F.col("cents")
+    )
+    updates = c.filter(F.col("c_custkey") % 7 == 0).withColumn(
+        "cents", F.col("cents") + 10000
+    )
+    inserts = c.filter(F.col("c_custkey") % 11 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        "c_name",
+        F.lit(0).cast("long").alias("cents"),
+    )
+    deletes = c.filter(F.col("c_custkey") % 13 == 0).select("c_custkey")
+    sink.merge(spark, updates.unionByName(inserts), deletes=deletes)
+
+    diff = version_diff(spark, sink.path, "c_custkey", 1, 2)
+    # the group key (custkey) lives OUTSIDE the payload structs here, so
+    # re-attach it; sum payload is the cents column inside old/new
+    diff = diff.withColumn(
+        "old", F.when(F.col("change") != "insert",
+                      F.struct((F.col("c_custkey") % 100).alias("grp"),
+                               F.col("old.cents").alias("cents")))
+    ).withColumn(
+        "new", F.when(F.col("change") != "delete",
+                      F.struct((F.col("c_custkey") % 100).alias("grp"),
+                               F.col("new.cents").alias("cents")))
+    )
+    maintained = apply_agg_delta(
+        state_v1,
+        diff,
+        group_expr=lambda p: p["grp"],
+        sum_expr=lambda p: p["cents"],
+    )
+    return maintained.select(
+        F.col("grp").cast("long").alias("grp"),
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("total").cast("long").alias("total"),
+    )
+
+
+# --- fuzzy key matching (deletion-neighborhood blocking) --------------------
+
+
+@query(
+    "q_fuzzy_pairs",
+    oracle="""
+    WITH base AS (
+        SELECT c_custkey AS id, c_name AS s FROM customer
+        WHERE c_custkey < 300
+    ), posts AS (
+        SELECT id, s,
+               unnest(list_append(
+                   list_transform(range(1, length(s) + 1),
+                       i -> substr(s, 1, i - 1) || substr(s, i + 1, 1000)),
+                   s)) AS var
+        FROM base
+    )
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS a, b.s AS b,
+           CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+    FROM posts a JOIN posts b ON a.var = b.var AND a.id < b.id
+    WHERE levenshtein(a.s, b.s) <= 1
+    """,
+)
+def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fuzzy key dedup without a cross join: serial-numbered customer
+    # names differ by one digit, so deletion-neighborhood blocking finds
+    # every lev<=1 pair through shared variants and the exact levenshtein
+    # verify confirms. Both engines build the identical variant set, so
+    # the pair list value-hash matches.
+    from ..llm.fuzzy import fuzzy_self_pairs
+
+    c = Catalog(spark, sf_dir).customer.filter(F.col("c_custkey") < 300)
+    return fuzzy_self_pairs(c, col="c_name", id_col="c_custkey")

@@ -284,3 +284,77 @@ def test_deterministic_sample_stable_and_sized(spark):
     )
     assert strat.filter(F.col("lang") == "en").count() == 0
     assert strat.count() == docs.filter(F.col("lang") != "en").count()
+
+
+def test_fuzzy_self_pairs_blocking_equals_naive(spark):
+    from pretalx_hub_etl_spark.llm.fuzzy import fuzzy_self_pairs
+
+    names = ["grid-17", "grid-18", "grid-1", "gird-17", "wholly-other", "grid17"]
+    df = spark.createDataFrame(list(enumerate(names)), "id long, s string")
+    got = {(r.id_a, r.id_b, r.dist)
+           for r in fuzzy_self_pairs(df, "s", "id").collect()}
+    # naive all-pairs ground truth
+    naive = df.alias("x").crossJoin(df.alias("y")).filter("x.id < y.id").select(
+        F.col("x.id").alias("ia"), F.col("y.id").alias("ib"),
+        F.levenshtein("x.s", "y.s").cast("long").alias("d"),
+    )
+    want = {(r.ia, r.ib, r.d) for r in naive.collect() if r.d <= 1}
+    assert got == want
+    # sanity on content: substitution, deletion pairs found; far pair absent
+    assert (0, 1, 1) in got          # grid-17 / grid-18 (substitution)
+    assert (0, 3, 2) not in got      # gird-17 is a transposition = 2 edits
+    assert (0, 5, 1) in got          # grid-17 / grid17 (deletion)
+    assert not any(4 in (a, b) for a, b, _ in got)  # wholly-other isolated
+
+
+def test_apply_agg_delta_matches_rebuild(spark, tmp_path):
+    from pretalx_hub_etl_spark.operators.incremental import agg_state, apply_agg_delta
+    from pretalx_hub_etl_spark.sinks.merge import MergeSink, version_diff
+
+    sink = MergeSink(str(tmp_path / "t"), key="k")
+    base = spark.createDataFrame(
+        [(i, i % 3, (i + 1) * 10) for i in range(12)], "k long, g long, cents long"
+    )
+    sink.init(base)
+    state = agg_state(sink.read(spark), F.col("g"), F.col("cents"))
+
+    # update k=1 moves it BETWEEN groups (g 1 -> 2); delete k=2; insert k=100
+    src = spark.createDataFrame([(1, 2, 999), (100, 0, 5)], "k long, g long, cents long")
+    sink.merge(spark, src, deletes=spark.createDataFrame([(2,)], "k long"))
+
+    diff = version_diff(spark, sink.path, "k", 1, 2)
+    maintained = apply_agg_delta(
+        state, diff, group_expr=lambda p: p["g"], sum_expr=lambda p: p["cents"]
+    )
+    rebuilt = agg_state(sink.read(spark), F.col("g"), F.col("cents"))
+    m = {r.grp: (r.cnt, r.total) for r in maintained.collect()}
+    w = {r.grp: (r.cnt, r.total) for r in rebuilt.collect()}
+    assert m == w
+    # group movement really happened: g=2 gained the moved row's new
+    # cents (+999) and lost the deleted k=2's cents (-30)
+    assert m[2][1] - {r.grp: r.total for r in state.collect()}[2] == 999 - 30
+
+
+def test_fuzzy_blocking_complete_hypothesis(spark):
+    """Deletion blocking finds EXACTLY the lev<=1 pairs on adversarial
+    small-alphabet strings (where collisions and near-misses are dense)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pretalx_hub_etl_spark.llm.fuzzy import fuzzy_self_pairs
+
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(st.lists(st.text(alphabet="ab", min_size=1, max_size=5),
+                    min_size=2, max_size=8, unique=True))
+    def inner(strings):
+        df = spark.createDataFrame(list(enumerate(strings)), "id long, s string")
+        got = {(r.id_a, r.id_b) for r in fuzzy_self_pairs(df, "s", "id").collect()}
+        naive = df.alias("x").crossJoin(df.alias("y")).filter("x.id < y.id").select(
+            F.col("x.id").alias("ia"), F.col("y.id").alias("ib"),
+            F.levenshtein("x.s", "y.s").alias("d"),
+        )
+        want = {(r.ia, r.ib) for r in naive.collect() if r.d <= 1}
+        assert got == want
+
+    inner()

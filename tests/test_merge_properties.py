@@ -114,3 +114,60 @@ def test_concurrent_writers_exactly_one_commit_per_version(spark, tmp_path):
     for off in (10, 20):
         want.update({off + j: float(rounds) for j in (1, 2, 3)})
     assert final == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(base=SNAP, steps=st.lists(STEP, min_size=1, max_size=2))
+def test_incremental_agg_equals_rebuild(spark, tmp_path_factory, base, steps):
+    """IVM invariant: folding every CDC diff into the aggregate state is
+    identical to re-aggregating the final table, for ANY merge sequence
+    (updates that move rows between groups, deletes, inserts)."""
+    from pyspark.sql import functions as F
+
+    from pretalx_hub_etl_spark.operators.incremental import agg_state, apply_agg_delta
+    from pretalx_hub_etl_spark.sinks.merge import version_diff
+
+    root = tmp_path_factory.mktemp("ivm_prop") / uuid.uuid4().hex
+    sink = MergeSink(str(root), key="k")
+    sink.init(_df(spark, base))
+
+    # group = k mod 2 (so value updates keep the group but key-dependent
+    # inserts/deletes move mass between groups); sum = v as exact cents
+    grp = lambda p: p["g"]  # noqa: E731
+    tot = lambda p: p["c"]  # noqa: E731
+
+    def with_payload(diff):
+        side = lambda s: F.struct(  # noqa: E731
+            (F.col("k") % 2).alias("g"),
+            (F.col(f"{s}.v") * 100).cast("long").alias("c"),
+        )
+        return diff.withColumn(
+            "old", F.when(F.col("change") != "insert", side("old"))
+        ).withColumn("new", F.when(F.col("change") != "delete", side("new")))
+
+    state = agg_state(
+        sink.read(spark), F.col("k") % 2, (F.col("v") * 100).cast("long")
+    )
+    v = 1
+    for upserts, deletes in steps:
+        sink.merge(
+            spark,
+            _df(spark, upserts),
+            deletes=spark.createDataFrame([(k,) for k in deletes], "k long")
+            if deletes
+            else None,
+        )
+        diff = with_payload(version_diff(spark, sink.path, "k", v, v + 1))
+        state = apply_agg_delta(state, diff, grp, tot)
+        v += 1
+
+    rebuilt = agg_state(
+        sink.read(spark), F.col("k") % 2, (F.col("v") * 100).cast("long")
+    )
+    assert {(r.grp, r.cnt, r.total) for r in state.collect()} == {
+        (r.grp, r.cnt, r.total) for r in rebuilt.collect()
+    }

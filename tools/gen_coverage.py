@@ -161,6 +161,10 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
         ("L19", "overlapping token chunking", ["q_chunk_overlap"]),
         ("L20", "CDC version diff (change feed)", ["q_cdc_version_diff"]),
         ("L21", "adjacent-bigram PMI collocations", ["q_pmi_bigrams"]),
+        ("L22", "incremental aggregate maintenance from CDC",
+         ["q_incremental_agg"]),
+        ("L23", "fuzzy key matching (deletion-neighborhood blocking)",
+         ["q_fuzzy_pairs"]),
     ]),
     ("TPC-H composite shapes", [
         ("Q", "multi-way join/agg/subquery plans",

@@ -56,6 +56,9 @@ HEADLINE = [
     "q_dedup_clusters",     # iterative min-label connected components
     "q_sink_merge_upsert",  # copy-on-write versioned MERGE sink
     "q_layout_zorder",      # Morton-code range layout
+    "q_incremental_agg",    # IVM: CDC delta fold vs re-aggregation
+    "q_fuzzy_pairs",        # symmetric-delete fuzzy key matching
+    "q_pmi_bigrams",        # token-pair collocation mining
 ]
 
 

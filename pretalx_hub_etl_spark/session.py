@@ -34,6 +34,11 @@ RUNTIME_CONF: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
+    # answer unfiltered COUNT/MIN/MAX from parquet footer statistics
+    # instead of scanning row groups (exact for the types this corpus
+    # uses; a no-op for aggregations the pushdown cannot fully cover,
+    # e.g. anything with count_distinct or non-partition GROUP BY)
+    "spark.sql.parquet.aggregatePushdown": "true",
 }
 
 

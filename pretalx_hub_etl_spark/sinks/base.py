@@ -84,19 +84,42 @@ def two_phase_sink(
         )
 
 
-def foreach_partition_write(df: DataFrame, writer_factory):
+def foreach_partition_write(
+    df: DataFrame,
+    writer_factory,
+    rate_limit_rows_per_sec: float | None = None,
+):
     """Generic effectful sink: one writer per partition.
 
     ``writer_factory() -> (write_row: dict -> None, close: () -> None)``;
     the factory runs on the executor (e.g. opens one HTTP session per
     partition — the engine's answer to the reference's single global
     browser session, main.py:171).
+
+    ``rate_limit_rows_per_sec`` throttles each PARTITION's writer with a
+    token bucket — the engine's replacement for the reference's global
+    fixed sleeps (main.py:179,188,232: ~0.5 rows/s serial). Aggregate
+    throughput is limit × partitions, so size the limit to the target's
+    per-connection budget; the bucket allows a 1-token burst and then
+    paces, and rows that take longer than their token to write cost no
+    extra wait (unlike a fixed sleep per row).
     """
 
     def handle(rows) -> None:
+        import time
+
         write_row, close = writer_factory()
+        interval = (
+            1.0 / rate_limit_rows_per_sec if rate_limit_rows_per_sec else 0.0
+        )
+        next_slot = time.monotonic()
         try:
             for row in rows:
+                if interval:
+                    now = time.monotonic()
+                    if now < next_slot:
+                        time.sleep(next_slot - now)
+                    next_slot = max(now, next_slot) + interval
                 write_row(row.asDict(recursive=True))
         finally:
             close()

@@ -378,3 +378,31 @@ def test_profile_columns_metrics(spark):
     approx = {r.column: r.n_distinct
               for r in profile_columns(df, exact_distinct=False).collect()}
     assert approx["a"] >= 2 and approx["b"] >= 1
+
+
+def test_foreach_partition_rate_limit(spark, tmp_path):
+    """Token-bucket throttle: 10 rows at 50 rows/s in one partition must
+    take >= 9 inter-row intervals (~0.18 s); unthrottled is instant."""
+    import time
+
+    from pretalx_hub_etl_spark.sinks.base import foreach_partition_write
+
+    df = spark.range(10).coalesce(1)
+    log = str(tmp_path / "sink.log")
+
+    def factory():
+        f = open(log, "a")
+        return (lambda row: f.write(f"{row['id']}\n")), f.close
+
+    t0 = time.monotonic()
+    foreach_partition_write(df, factory, rate_limit_rows_per_sec=50.0)
+    throttled = time.monotonic() - t0
+    with open(log) as f:
+        assert len(f.read().split()) == 10
+    # first row is a free burst token; 9 paced rows at 20 ms each
+    assert throttled >= 0.17
+
+    t0 = time.monotonic()
+    foreach_partition_write(df, factory)
+    unthrottled = time.monotonic() - t0
+    assert unthrottled < throttled

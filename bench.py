@@ -62,12 +62,37 @@ HEADLINE = [
 ]
 
 
+def input_stats(sf_dir: str) -> dict[str, dict[str, int]]:
+    """Per-table {rows, bytes} from parquet footers — no data scan.
+
+    Cross-round bench deltas are only meaningful on the same corpus
+    (the r3->r4 testdata regeneration made that painfully clear), so
+    every BENCH json self-describes its inputs.
+    """
+    import glob
+
+    import pyarrow.parquet as pq
+
+    stats: dict[str, dict[str, int]] = {}
+    for path in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        table = os.path.splitext(os.path.basename(path))[0]
+        try:
+            stats[table] = {
+                "rows": pq.ParquetFile(path).metadata.num_rows,
+                "bytes": os.path.getsize(path),
+            }
+        except OSError:
+            continue
+    return stats
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
         sf = -1.0
+    load_start = os.getloadavg()
 
     from pretalx_hub_etl_spark.queries import load_all
     from pretalx_hub_etl_spark.session import get_spark
@@ -108,6 +133,9 @@ def main() -> None:
                 "timing": "min_of_3_runs",
                 "queries": timings,
                 "sf": sf,
+                "inputs": input_stats(sf_dir),
+                "loadavg_start": [round(x, 2) for x in load_start],
+                "loadavg_end": [round(x, 2) for x in os.getloadavg()],
             }
         )
     )

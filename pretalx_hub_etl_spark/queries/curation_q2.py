@@ -208,8 +208,8 @@ def q_cdc_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT b.w1, b.w2, b.c_ab,
            CAST(floor(
-               CAST(b.c_ab * nu.total_u AS DOUBLE) * nu.total_u
-               / (CAST(ua.c * ub.c AS DOUBLE) * nb.total_b)
+               CAST(b.c_ab AS DOUBLE) * nu.total_u * nu.total_u
+               / (CAST(ua.c AS DOUBLE) * ub.c * nb.total_b)
                * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS pmi_ratio
     FROM bcnt b
     JOIN ucnt ua ON b.w1 = ua.w
@@ -220,10 +220,10 @@ def q_cdc_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Collocation mining: PMI ratio p(ab)/(p(a)p(b)) for adjacent word
-    # pairs seen >= 5 times. The ratio (not its log) is exact-rational:
-    # counts are int64, numerator/denominator assembled in a fixed op
-    # order, one double division — bit-identical across engines, so the
-    # query carries a full value-hash oracle. Scale shape: two token
+    # pairs seen >= 5 times. The ratio is computed in doubles from the
+    # first multiply (overflow-safe at any corpus size), in a fixed op
+    # order mirrored in the oracle — each step rounds identically under
+    # IEEE 754, so the query carries a full value-hash oracle. Scale shape: two token
     # shuffles (bigram + unigram counts, both map-side combined); the
     # unigram count table is vocabulary-sized -> broadcast onto bigrams
     # twice; the scalar totals cross-join as 1-row broadcasts.
@@ -269,10 +269,16 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(total_u))
         .crossJoin(F.broadcast(total_b))
     )
+    # cast to double BEFORE any multiply: int64 products like
+    # c_ab * total_u overflow at ~3e9-token corpora, and divergently so
+    # (DuckDB raises on BIGINT overflow, non-ANSI Spark wraps silently).
+    # The op order below is mirrored exactly in the oracle so the one
+    # double rounding per step is bit-identical across engines.
     ratio = (
-        (F.col("c_ab") * F.col("total_u")).cast("double")
+        F.col("c_ab").cast("double")
         * F.col("total_u")
-        / ((F.col("c_a") * F.col("c_b")).cast("double") * F.col("total_b"))
+        * F.col("total_u")
+        / (F.col("c_a").cast("double") * F.col("c_b") * F.col("total_b"))
     )
     return out.select(
         "w1", "w2", "c_ab", fixed_point(ratio, 6).alias("pmi_ratio")
@@ -299,8 +305,8 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c_custkey + 1000000, 0 FROM c WHERE c_custkey % 11 = 0
     )
     SELECT c_custkey % 100 AS grp,
-           count(*) AS cnt,
-           sum(cents) AS total
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(cents) AS BIGINT) AS total
     FROM merged
     GROUP BY grp
     """,

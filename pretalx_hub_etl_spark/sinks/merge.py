@@ -188,10 +188,6 @@ class MergeSink:
         winner's state and recomputes (optimistic concurrency, no lost
         updates), giving up after ``max_retries`` conflicts."""
         for _ in range(max_retries):
-            # OCC anchor: pin the base version BEFORE reading, and commit
-            # to exactly base+1. Committing _next_version() instead would
-            # let an interleaved writer's commit land between our read and
-            # our claim and be silently overwritten (lost update).
             # OCC anchor: base version and claim number from ONE directory
             # snapshot; commit is the atomic rename onto v<claim>. An
             # interleaved commit makes our rename fail -> recompute.
@@ -250,7 +246,15 @@ class MergeSink:
         try:
             os.rename(stage, final)
         except OSError as exc:
+            import errno
             import shutil
 
             shutil.rmtree(stage, ignore_errors=True)
-            raise FileExistsError(f"version v{version} already committed") from exc
+            # Only a destination-already-exists failure is a version race;
+            # everything else (EACCES, ENOENT on a deleted table root,
+            # EXDEV, ...) is a real error and must not trigger a recompute.
+            if exc.errno in (errno.EEXIST, errno.ENOTEMPTY):
+                raise FileExistsError(
+                    f"version v{version} already committed"
+                ) from exc
+            raise

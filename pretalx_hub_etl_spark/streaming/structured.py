@@ -141,8 +141,11 @@ def enrich_stream(
     """Stream-static enrichment join: each microbatch ⋈ a broadcast dim.
 
     The "attach user attributes to the event stream" pattern. The static
-    side is re-read per microbatch (so a dim refreshed on disk is picked
-    up at the next trigger) and explicitly ``broadcast`` — a stream-static
+    side's plan is re-executed per microbatch, but for file-based dims
+    Spark caches the resolved FileIndex with the plan: files added to the
+    dim directory AFTER this DataFrame was created are NOT discovered —
+    refreshing the dim requires re-creating the static DataFrame and
+    restarting the query. The dim is explicitly ``broadcast`` — a stream-static
     join must never shuffle the stream side on the key, or every trigger
     pays a full exchange; with the dim broadcast the stream partitioning
     is untouched and the join is stateless (no watermark needed, unlike

@@ -222,11 +222,85 @@ def shuffle_order(
     ).sortWithinPartitions("shuffle_key", id_col)
 
 
+def _selection_key(id_col: str):
+    """The deterministic per-row selection key shared by the cap's exact
+    rank and its hot-group pre-filter (Knuth hash, 31-bit input mask)."""
+    return F.pmod(
+        F.pmod(F.col(id_col), F.lit(1 << 31)) * F.lit(_KNUTH), F.lit(1 << 32)
+    )
+
+
+def thin_hot_groups(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    id_col: str = "doc_id",
+    overshoot: float = 8.0,
+    max_widenings: int = 3,
+) -> DataFrame:
+    """Bernoulli pre-filter that shrinks hot groups BEFORE an exact
+    top-``cap``-by-selection-key rank, provably without changing it.
+
+    The rank window one-tasks each group; hot groups (the skewed keys a
+    per-domain cap exists for) would put half the corpus through one
+    reducer at 100 TB. Because the rank orders by a hash key uniform in
+    [0, 2^32), the true winners of a group of size ``n`` are its ``cap``
+    smallest keys — so dropping every row with
+    ``key >= 2^32 * cap * overshoot / n`` keeps them as long as at least
+    ``cap`` rows survive, which a post-filter guard checks exactly: the
+    result is IDENTICAL to the unfiltered rank whenever the guard
+    passes (survivors >= cap ⟹ the cap smallest (key, id) pairs all sit
+    below the threshold). On a guard miss (probability ~e^-(cap·overshoot/4)
+    per hot group by Chernoff; ~e^-40 at the defaults) the threshold is
+    doubled and retried; after ``max_widenings`` misses the exact input
+    is returned unchanged.
+
+    Scale shape: one count agg (map-side combined, group-cardinality
+    rows) to find hot groups, a broadcast of ONLY the hot groups (heavy
+    hitters — few by definition) onto the scan, and a tiny survivors agg
+    as the guard; the guard's ``collect`` touches one row per hot group,
+    never data. Non-hot groups stream through untouched.
+    """
+    hot_min = int(cap * overshoot)
+    hot = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("__gc"))
+        .filter(F.col("__gc") > hot_min)
+    )
+    key = _selection_key(id_col)
+    for attempt in range(max_widenings):
+        width = cap * overshoot * (2**attempt)
+        thr = F.lit(float(1 << 32)) * F.lit(width) / F.col("__gc")
+        thinned = df.join(F.broadcast(hot), group_col, "left").filter(
+            F.col("__gc").isNull() | (key < thr)
+        )
+        # exact guard: every hot group must keep >= cap survivors, else
+        # a true winner may have been dropped -> widen and retry
+        surv = (
+            thinned.filter(F.col("__gc").isNotNull())
+            .groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("__sc"))
+        )
+        bad = (
+            hot.join(surv, group_col, "left")
+            .filter(F.coalesce(F.col("__sc"), F.lit(0)) < cap)
+            .limit(1)
+            .count()
+        )
+        if bad == 0:
+            # the join moved group_col first: restore the input order so
+            # the pre-filter is schema-invisible to the rank consumer
+            return thinned.select(*df.columns)
+    return df
+
+
 def cap_per_group(
     df: DataFrame,
     group_col: str,
     cap: int,
     id_col: str = "doc_id",
+    thin_out: bool = True,
+    overshoot: float = 8.0,
 ) -> DataFrame:
     """Keep at most ``cap`` rows per group, chosen deterministically.
 
@@ -236,19 +310,18 @@ def cap_per_group(
     :func:`shuffle_order`), id-tiebroken — so the kept subset is a stable
     pseudo-random sample per group, not "whatever sorted first".
 
-    Scale shape: one shuffle on ``group_col`` + a rank window. Hot groups
-    are exactly the skewed keys the cap exists for; the window still
-    one-tasks each group, so at 100 TB pair this with a pre-filter: keep
-    only rows whose hash lands under ~``cap * overshoot / approx_count``
-    per hot group (cheap Bernoulli thin-out before the exact rank). The
-    exact form here is the semantics; the thin-out is an optimization
-    that never changes the result when overshoot is sized generously.
+    Scale shape: one shuffle on ``group_col`` + a rank window, preceded
+    (``thin_out=True``, the default) by :func:`thin_hot_groups` — a
+    guarded Bernoulli pre-filter that caps what any one reducer sees at
+    ~``cap * overshoot`` rows for hot groups while provably returning
+    the same rows the unfiltered rank would. ``thin_out=False`` is the
+    reference exact form the pre-filter is verified against.
     """
     from pyspark.sql import Window
 
-    key = F.pmod(
-        F.pmod(F.col(id_col), F.lit(1 << 31)) * F.lit(_KNUTH), F.lit(1 << 32)
-    )
+    if thin_out:
+        df = thin_hot_groups(df, group_col, cap, id_col, overshoot)
+    key = _selection_key(id_col)
     w = Window.partitionBy(group_col).orderBy(key.asc(), F.col(id_col).asc())
     return (
         df.withColumn("__rk", F.row_number().over(w))
@@ -307,5 +380,6 @@ __all__ = [
     "pack_sequences",
     "shuffle_order",
     "cap_per_group",
+    "thin_hot_groups",
     "chunk_documents",
 ]

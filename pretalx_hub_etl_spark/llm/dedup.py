@@ -271,9 +271,12 @@ def duplicate_clusters(
     cluster" is a trivial ``filter(id == cluster)``. Min-label propagation
     (the MapReduce connected-components family — Kiveris et al.,
     "Connected Components in MapReduce and Beyond", SoCC 2014): each round
-    every node adopts the smallest label among itself and its neighbors;
-    rounds needed = graph diameter, and near-dup components are dense
-    clusters of tiny diameter, so 2-3 rounds converge in practice.
+    every node adopts the smallest label among itself, its neighbors, AND
+    its current label's label (pointer doubling). Rounds needed =
+    ~1.44·log2(diameter)+O(1) thanks to the shortcutting — 12 rounds for
+    a 1000-node path, the adversarial worst case — and near-dup
+    components are dense clusters of tiny diameter, so 2-3 rounds
+    converge in practice.
 
     Scale shape per round: one equi-join of the edge list against the
     label table (both hash-partitioned on the node key) + a min-aggregate
@@ -308,15 +311,34 @@ def duplicate_clusters(
             .groupBy("src")
             .agg(F.min("cluster").alias("neighbor_cluster"))
         )
+        # pointer doubling (Shiloach–Vishkin shortcutting): also adopt my
+        # LABEL's label from the same snapshot. Neighbor-min alone moves a
+        # component's min one hop per round (diameter rounds — a planted
+        # path graph is the worst case); with shortcutting the distance
+        # covered compounds geometrically, converging in
+        # ~1.44·log2(diameter)+O(1) rounds (measured: 12 rounds for a
+        # 1000-node path, 16 for 10000 — see tests/test_cluster_properties).
+        label_of_label = labels.select(
+            F.col("id").alias("__pid"), F.col("cluster").alias("__pcluster")
+        )
         updated = (
             labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .join(label_of_label, F.col("cluster") == F.col("__pid"), "left")
             .select(
                 "id",
                 F.least(
                     F.col("cluster"),
                     F.coalesce("neighbor_cluster", F.col("cluster")),
-                ).alias("cluster"),
-                (F.col("neighbor_cluster") < F.col("cluster")).alias("__lowered"),
+                    F.coalesce("__pcluster", F.col("cluster")),
+                ).alias("__new_cluster"),
+                F.col("cluster").alias("__old_cluster"),
+            )
+            .select(
+                "id",
+                F.col("__new_cluster").alias("cluster"),
+                (F.col("__new_cluster") < F.col("__old_cluster")).alias(
+                    "__lowered"
+                ),
             )
             .localCheckpoint()
         )

@@ -16,9 +16,13 @@ and the verify is pair-local. Hot blocks (a variant shared by many keys,
 e.g. serial-numbered names) bound candidates by Σ block² like every
 blocking scheme; AQE skew-split handles outliers.
 
-Edit distance > 1 needs depth-2+ deletion neighborhoods (variant count
-grows ~len^d); depth 1 covers the fuzzy-key dedup this engine targets
-(typo'd titles, off-by-one-char URLs/ids).
+The blocking generalizes to any edit distance d via depth-d deletion
+neighborhoods (all strings reachable by deleting up to d characters):
+if ``lev(a, b) <= d``, an optimal edit script yields a common string
+reachable by <= d deletions from each side, so the neighborhoods
+intersect. Variant count grows ~len^d/d!, so depth 1 (len+1 variants)
+and depth 2 (+len·(len-1)/2) are the practical keys-dedup range; both
+are implemented here.
 """
 
 from __future__ import annotations
@@ -27,15 +31,41 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def deletion_variants(s: Column) -> Column:
-    """The string plus every single-character-deletion of it (array)."""
+def deletion_variants(s: Column, max_deletes: int = 1) -> Column:
+    """The depth-``max_deletes`` deletion neighborhood of ``s`` (array):
+    the string itself, every single-character deletion, and (depth 2)
+    every two-character deletion, distinct."""
+    if max_deletes not in (1, 2):
+        raise ValueError("deletion neighborhoods implemented for depth 1..2")
     one_deleted = F.transform(
         F.sequence(F.lit(1), F.length(s)),
         lambda i: F.concat(
             s.substr(F.lit(1), i - 1), s.substr(i + 1, F.length(s))
         ),
     )
-    return F.array_append(one_deleted, s)
+    out = F.array_append(one_deleted, s)
+    if max_deletes == 2:
+        # delete positions i < j: prefix[1..i-1] + mid[i+1..j-1] + tail
+        # (Spark's sequence(a, b) runs DESCENDING when a > b, so both
+        # loops need explicit emptiness guards)
+        two_deleted = F.when(
+            F.length(s) >= 2,
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(s) - 1),
+                    lambda i: F.transform(
+                        F.sequence(i + 1, F.length(s)),
+                        lambda j: F.concat(
+                            s.substr(F.lit(1), i - 1),
+                            s.substr(i + 1, j - i - 1),
+                            s.substr(j + 1, F.length(s)),
+                        ),
+                    ),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        out = F.concat(out, two_deleted)
+    return F.array_distinct(out)
 
 
 def fuzzy_self_pairs(
@@ -46,15 +76,19 @@ def fuzzy_self_pairs(
 ) -> DataFrame:
     """(id_a, id_b, a, b, dist): pairs with ``lev(a, b) <= max_edits``.
 
-    ``max_edits`` must be 1 (the depth the deletion blocking is complete
-    for). Pairs are id-ordered and distinct; identical strings pair too
-    (dist 0) — filter ``dist > 0`` if exact dups are handled elsewhere.
+    ``max_edits`` may be 1 or 2 (the depths the deletion blocking is
+    implemented for; the postings size grows from O(n·len) to
+    O(n·len²/2) at depth 2). Pairs are id-ordered and distinct;
+    identical strings pair too (dist 0) — filter ``dist > 0`` if exact
+    dups are handled elsewhere.
     """
-    if max_edits != 1:
-        raise ValueError("deletion blocking is complete only for max_edits=1")
+    if max_edits not in (1, 2):
+        raise ValueError("deletion blocking implemented for max_edits in 1..2")
     base = df.select(F.col(id_col).alias("id"), F.col(col).alias("s"))
     posts = base.select(
-        "id", "s", F.explode(deletion_variants(F.col("s"))).alias("var")
+        "id",
+        "s",
+        F.explode(deletion_variants(F.col("s"), max_edits)).alias("var"),
     )
     left = posts.select(
         F.col("id").alias("id_a"), F.col("s").alias("a"), "var"

@@ -113,7 +113,12 @@ def _hyperplane_sign_bits(vec: Column, n_bits: int, seed: int, salt: Column) -> 
 
 
 #: (dim, n_bits, n_tables, seed) -> np.ndarray plane cache (driver-side).
+#: Process-lifetime by design: an entry is n_tables×n_bits×dim float64s
+#: (~200 KB at 8×16×1536) and real workloads use a handful of fixed LSH
+#: configs, so an eviction policy would add state for no bound that
+#: matters. Guarded anyway: refuse to grow past _PLANE_CACHE_MAX entries.
 _PLANE_CACHE: dict = {}
+_PLANE_CACHE_MAX = 64
 
 
 def _probe_dim(corpus: DataFrame, vec_col: str) -> int:
@@ -169,6 +174,8 @@ def _plane_matrix(spark, dim: int, n_bits: int, n_tables: int, seed: int):
         M = np.zeros((n_tables, n_bits, dim))
         for row in grid.collect():
             M[row.t, row.j, row.d] = row.r
+        if len(_PLANE_CACHE) >= _PLANE_CACHE_MAX:
+            _PLANE_CACHE.clear()  # pathological config churn: reset, don't grow
         _PLANE_CACHE[key] = M
     return _PLANE_CACHE[key]
 
@@ -302,6 +309,66 @@ def kmeans_centroids(
     )
 
 
+def _coarse_centroids(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_centroids: int,
+    strategy: str,
+    seed: int,
+) -> DataFrame:
+    """(centroid_id, __cent): the IVF coarse quantizer's centroid set."""
+    if strategy == "kmeans":
+        return kmeans_centroids(
+            corpus, vec_col=vec_col, n_centroids=n_centroids, seed=seed
+        )
+    if strategy == "lowest_id":
+        w0 = Window.orderBy(F.col(id_col).asc())
+        return (
+            corpus.select(id_col, vec_col)
+            .orderBy(F.col(id_col).asc())
+            .limit(n_centroids)
+            .select(
+                F.row_number().over(w0).alias("centroid_id"),
+                F.col(vec_col).cast("array<double>").alias("__cent"),
+            )
+        )
+    raise ValueError(f"unknown centroid strategy {strategy!r}")
+
+
+def _assign_nearest(
+    df: DataFrame,
+    cents: DataFrame,
+    vec_col: str,
+    idc: str,
+    vec_alias: str,
+    keep: int,
+) -> DataFrame:
+    """(idc, vec_alias, centroid_id): each row's ``keep`` nearest centroids
+    (one broadcast of the centroid set, fused dot products)."""
+    scored = df.select(F.col(idc), F.col(vec_col).alias(vec_alias)).crossJoin(
+        F.broadcast(cents)
+    )
+    sim = cosine(F.col(vec_alias), F.col("__cent"))
+    wa = Window.partitionBy(idc).orderBy(sim.desc(), F.col("centroid_id").asc())
+    return (
+        scored.withColumn("__r", F.row_number().over(wa))
+        .filter(F.col("__r") <= keep)
+        .select(idc, vec_alias, "centroid_id")
+    )
+
+
+def _rerank_topk(
+    scored: DataFrame, query_id_col: str, id_col: str, k: int
+) -> DataFrame:
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )
+
+
 def ivf_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -333,42 +400,17 @@ def ivf_cosine_topk(
          equi-join on centroid_id — only those lists are scanned,
       4. exact cosine rerank + top-k window.
 
-    At 100 TB the inverted lists are written bucketed/partitioned by
-    centroid_id, so a query probe is a partition-pruned read of
-    n_probe/n_centroids of the corpus, not a full scan.
+    This in-memory form recomputes the lists per call — right for one-shot
+    batch ANN over a corpus already in hand. Repeated-query users should
+    materialize the lists ONCE with :func:`build_ivf_index` and serve
+    probes via :func:`ivf_probe_topk`, which reads only the probed
+    n_probe/n_centroids partition directories.
     """
-    if centroids == "kmeans":
-        cents = kmeans_centroids(
-            corpus, vec_col=vec_col, n_centroids=n_centroids, seed=seed
-        )
-    elif centroids == "lowest_id":
-        w0 = Window.orderBy(F.col(id_col).asc())
-        cents = (
-            corpus.select(id_col, vec_col)
-            .orderBy(F.col(id_col).asc())
-            .limit(n_centroids)
-            .select(
-                F.row_number().over(w0).alias("centroid_id"),
-                F.col(vec_col).cast("array<double>").alias("__cent"),
-            )
-        )
-    else:
-        raise ValueError(f"unknown centroid strategy {centroids!r}")
-
-    def assign(df: DataFrame, idc: str, vec_alias: str, keep: int) -> DataFrame:
-        scored = df.select(F.col(idc), F.col(vec_col).alias(vec_alias)).crossJoin(
-            F.broadcast(cents)
-        )
-        sim = cosine(F.col(vec_alias), F.col("__cent"))
-        wa = Window.partitionBy(idc).orderBy(sim.desc(), F.col("centroid_id").asc())
-        return (
-            scored.withColumn("__r", F.row_number().over(wa))
-            .filter(F.col("__r") <= keep)
-            .select(idc, vec_alias, "centroid_id")
-        )
-
-    lists = assign(fan_out(corpus), id_col, "__cvec", keep=1)
-    probes = assign(queries, query_id_col, "__qvec", keep=n_probe)
+    cents = _coarse_centroids(
+        corpus, vec_col, id_col, n_centroids, centroids, seed
+    )
+    lists = _assign_nearest(fan_out(corpus), cents, vec_col, id_col, "__cvec", 1)
+    probes = _assign_nearest(queries, cents, vec_col, query_id_col, "__qvec", n_probe)
     scored = (
         lists.join(F.broadcast(probes), "centroid_id")
         .select(
@@ -378,12 +420,115 @@ def ivf_cosine_topk(
         )
         .dropDuplicates([query_id_col, id_col])
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cos_sim").desc(), F.col(id_col).asc()
+    return _rerank_topk(scored, query_id_col, id_col, k)
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    centroids: str = "kmeans",
+    seed: int = 42,
+    train_fraction: float | None = None,
+) -> None:
+    """Materialize an IVF index: inverted lists partitioned by centroid.
+
+    Writes two parquet tables under ``path``:
+
+    - ``lists/`` — ``(vec_id, vec, centroid_id)`` with
+      ``partitionBy(centroid_id)``: one directory per inverted list, so a
+      probe's ``centroid_id IN (...)`` filter prunes at PLANNING time
+      (``PartitionFilters`` on the scan) and reads n_probe/n_centroids of
+      the corpus bytes. Directory partitioning (not ``bucketBy``) is the
+      right layout here: centroid cardinality is small and fixed, the
+      probe is a pruned READ rather than a shuffle-free join, and any
+      engine can list-prune directories.
+    - ``centroids/`` — ``(centroid_id, centroid)``: the coarse quantizer,
+      a few KB, read back whole by every probe.
+
+    Index build is the one full-corpus pass (assignment = one broadcast of
+    the centroid set + fused dot products); FAISS builds IVF the same way.
+    ``train_fraction`` subsamples the k-means training set — at 100 TB fit
+    the quantizer on a few million sampled vectors, assign everything.
+    """
+    if centroids == "kmeans" and train_fraction is not None:
+        cents = kmeans_centroids(
+            corpus,
+            vec_col=vec_col,
+            n_centroids=n_centroids,
+            seed=seed,
+            train_fraction=train_fraction,
+        )
+    else:
+        cents = _coarse_centroids(
+            corpus, vec_col, id_col, n_centroids, centroids, seed
+        )
+    lists = _assign_nearest(
+        fan_out(corpus), cents, vec_col, id_col, "__vec", 1
+    ).select(F.col(id_col), F.col("__vec").alias(vec_col), "centroid_id")
+    lists.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        f"{path}/lists"
     )
-    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
-        F.col("rank") <= k
+    cents.select("centroid_id", F.col("__cent").alias("centroid")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/centroids")
+
+
+def probe_centroid_ids(probes: DataFrame) -> list[int]:
+    """The distinct centroid ids a probe set touches, as driver-side
+    literals (bounded by n_queries × n_probe and by n_centroids — never
+    data-sized): inlining them is what turns the lists read into a
+    planning-time-pruned scan."""
+    return sorted(
+        r.centroid_id for r in probes.select("centroid_id").distinct().collect()
     )
+
+
+def ivf_probe_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Top-k probe against a materialized :func:`build_ivf_index`.
+
+    Reads the (tiny) centroid table, assigns each query to its ``n_probe``
+    nearest centroids, then scans ONLY those inverted-list partition
+    directories: the probed centroid ids are collected driver-side —
+    bounded by ``n_queries × n_probe`` and by ``n_centroids``, never
+    data-sized — and inlined as literals so Catalyst prunes the
+    partitioned scan at planning time (the plan's ``PartitionFilters``
+    carries the IN-list; verified in tests/test_partitioning.py). The
+    scan fraction is n_probe/n_centroids of the corpus instead of 1.
+    """
+    cents = spark.read.parquet(f"{path}/centroids").select(
+        "centroid_id", F.col("centroid").alias("__cent")
+    )
+    probes = _assign_nearest(
+        queries, cents, vec_col, query_id_col, "__qvec", n_probe
+    )
+    probe_ids = probe_centroid_ids(probes)
+    lists = spark.read.parquet(f"{path}/lists").filter(
+        F.col("centroid_id").isin(probe_ids)
+    )
+    scored = (
+        lists.join(F.broadcast(probes), "centroid_id")
+        .select(
+            query_id_col,
+            id_col,
+            F.round(
+                cosine(F.col("__qvec"), F.col(vec_col)), 6
+            ).alias("cos_sim"),
+        )
+        .dropDuplicates([query_id_col, id_col])
+    )
+    return _rerank_topk(scored, query_id_col, id_col, k)
 
 
 def lsh_cosine_topk(

@@ -146,3 +146,33 @@ def full_pipeline(
     speakers, talks = normalize_schedule(doc_df)
     events = transform_talks(talks, speakers, rooms=rooms)
     return reconcile_with_target(events, target_events)
+
+
+def load_plan(
+    plan: DataFrame,
+    writer_factory,
+    rate_limit_rows_per_sec: float | None = 0.5,
+    ops: tuple[str, ...] = ("create", "update"),
+) -> None:
+    """The throttled Load phase: push the reconcile plan to an effectful
+    sink, paced per partition.
+
+    The reference's load loop submits one form per row with fixed sleeps
+    (main.py:179,188,232 — ~0.5 rows/s, serial, global). The engine twin
+    filters the plan to the rows that need submitting (declaratively, so
+    the op filter prunes before the sink sees a row) and drives
+    :func:`~..sinks.base.foreach_partition_write`, which opens one writer
+    per partition and throttles EACH partition with a token bucket.
+    Aggregate throughput = limit × partitions: the reference's exact
+    serial pacing falls out of ``coalesce(1)`` + the default 0.5 rows/s,
+    and a real API target scales out by raising partitions while each
+    connection stays within its per-connection budget.
+    """
+    from ..sinks.base import foreach_partition_write
+
+    to_submit = plan.filter(F.col("op_flag").isin(*ops))
+    foreach_partition_write(
+        to_submit,
+        writer_factory,
+        rate_limit_rows_per_sec=rate_limit_rows_per_sec,
+    )

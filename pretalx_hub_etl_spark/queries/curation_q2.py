@@ -403,3 +403,44 @@ def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c = Catalog(spark, sf_dir).customer.filter(F.col("c_custkey") < 300)
     return fuzzy_self_pairs(c, col="c_name", id_col="c_custkey")
+
+
+@query(
+    "q_fuzzy_pairs_d2",
+    oracle="""
+    WITH base AS (
+        SELECT c_custkey AS id, c_name AS s FROM customer
+        WHERE c_custkey < 200
+    ), posts AS (
+        SELECT id, s,
+               unnest(list_distinct(list_concat(
+                   list_append(
+                       list_transform(range(1, length(s) + 1),
+                           i -> substr(s, 1, i - 1) || substr(s, i + 1, 1000)),
+                       s),
+                   flatten(list_transform(range(1, length(s)),
+                       i -> list_transform(range(i + 1, length(s) + 1),
+                           j -> substr(s, 1, i - 1)
+                                || substr(s, i + 1, j - i - 1)
+                                || substr(s, j + 1, 1000))))))) AS var
+        FROM base
+    )
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS a, b.s AS b,
+           CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+    FROM posts a JOIN posts b ON a.var = b.var AND a.id < b.id
+    WHERE levenshtein(a.s, b.s) <= 2
+    """,
+)
+def q_fuzzy_pairs_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Distance-2 fuzzy matching: serial-numbered customer names give a
+    # dense supply of planted 2-edit pairs (two digits differ, e.g.
+    # Customer#...123 vs ...145). Depth-2 symmetric-delete blocking
+    # finds every lev<=2 pair via shared (up-to-)two-deletion variants
+    # — an equi-join on the variant, never a cross join — and the exact
+    # levenshtein verify keeps the result exact, so the pair list
+    # carries a full value-hash oracle (both engines construct the
+    # identical variant set, DuckDB via half-open range()).
+    from ..llm.fuzzy import fuzzy_self_pairs
+
+    c = Catalog(spark, sf_dir).customer.filter(F.col("c_custkey") < 200)
+    return fuzzy_self_pairs(c, col="c_name", id_col="c_custkey", max_edits=2)

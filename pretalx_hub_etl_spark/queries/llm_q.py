@@ -358,6 +358,29 @@ def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_cosine_topk(e, queries, k=10, n_centroids=16, n_probe=6)
 
 
+@query("q_sim_topk_ivf_indexed", oracle=None)
+def q_sim_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The MATERIALIZED IVF path: build the index once (inverted lists
+    # written partitionBy(centroid_id)), then serve the probe as a
+    # partition-pruned read of 6/16 of the corpus — the repeated-query
+    # serving shape (llm/similarity.py build_ivf_index/ivf_probe_topk;
+    # pruning proven in tests/test_partitioning.py). Same seeded
+    # quantizer as q_sim_topk_ivf, so the same recall floor applies
+    # (tests/test_llm.py::test_registered_ann_queries_recall_at_sf001).
+    import os
+    import tempfile
+
+    from ..llm.similarity import build_ivf_index, ivf_probe_topk
+
+    e = Catalog(spark, sf_dir).embeddings
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx = os.path.join(tempfile.mkdtemp(prefix="phe_ivf_"), "index")
+    build_ivf_index(e, idx, n_centroids=16)
+    return ivf_probe_topk(spark, idx, queries, k=10, n_probe=6)
+
+
 @query("q_dedup_embed", oracle=None)
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # threshold 0.3: this corpus's embeddings are isotropic-random (max

@@ -54,3 +54,23 @@ def test_clusters_match_union_find(spark, edges):
     )
     got = {r.id: r.cluster for r in duplicate_clusters(docs, pairs, "doc_id").collect()}
     assert got == reference_clusters(edges)
+
+
+def test_path_graph_1000_nodes_converges_logarithmically(spark):
+    """A planted 1000-node path is the worst case for neighbor-min
+    propagation (diameter 999). Pointer doubling must converge it well
+    inside the default round budget (simulated bound: 12 rounds; the
+    default max_iterations is 20) and label every node with cluster 0 —
+    a wrong-but-converged or unconverged run would leave middle nodes
+    holding intermediate labels."""
+    from pyspark.sql import functions as F
+
+    n = 1000
+    nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    out = duplicate_clusters(nodes, pairs, "doc_id", max_iterations=15)
+    rows = out.collect()
+    assert len(rows) == n
+    assert {r.cluster for r in rows} == {0}

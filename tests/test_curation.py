@@ -153,3 +153,57 @@ def test_chunk_documents_overlap_and_tail(spark):
     # single-token doc -> one chunk; whitespace-only doc -> no rows
     assert rows[(2, 0)] == ("solo", 1)
     assert {d for d, _ in rows} == {1, 2}
+
+
+def test_thin_hot_groups_identical_output_and_real_thinning(spark):
+    """One group holds 50% of all rows: the pre-filter must drop >= 90%
+    of its rows before the rank window, and the capped output must be
+    byte-identical to the exact (thin_out=False) form."""
+    from pretalx_hub_etl_spark.llm.curation import (
+        cap_per_group,
+        thin_hot_groups,
+    )
+
+    n_hot = 4000
+    rows = [(i, "hot") for i in range(n_hot)]
+    rows += [(n_hot + i, f"cold{i % 40}") for i in range(n_hot)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    cap = 20
+
+    thinned = thin_hot_groups(df, "source", cap=cap, id_col="doc_id")
+    hot_before = n_hot
+    hot_after = thinned.filter(F.col("source") == "hot").count()
+    assert hot_after >= cap  # guard: winners provably retained
+    assert hot_after <= hot_before * 0.10  # >= 90% dropped pre-window
+    # cold groups (100 rows each, under the hot threshold) pass untouched
+    assert thinned.filter(F.col("source") != "hot").count() == n_hot
+
+    exact = cap_per_group(df, "source", cap, "doc_id", thin_out=False)
+    fast = cap_per_group(df, "source", cap, "doc_id", thin_out=True)
+    assert sorted(map(tuple, fast.collect())) == sorted(
+        map(tuple, exact.collect())
+    )
+
+
+def test_thin_hot_groups_guard_widens_or_passes_through(spark):
+    """With a pathologically low overshoot the guard must still return a
+    frame containing every true winner (widened or exact passthrough)."""
+    from pretalx_hub_etl_spark.llm.curation import (
+        cap_per_group,
+        thin_hot_groups,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "hot") for i in range(500)], "doc_id long, source string"
+    )
+    cap = 30
+    thinned = thin_hot_groups(
+        df, "source", cap=cap, id_col="doc_id", overshoot=1.05
+    )
+    exact = {
+        r.doc_id
+        for r in cap_per_group(df, "source", cap, "doc_id", thin_out=False)
+        .collect()
+    }
+    kept = {r.doc_id for r in thinned.collect()}
+    assert exact <= kept

@@ -186,7 +186,11 @@ def test_registered_ann_queries_recall_at_sf001(spark):
         for r in specs["q_sim_topk"].fn(spark, sf).collect()
     }
     assert len(exact) == 50  # 5 queries x k=10
-    floors = {"q_sim_topk_lsh": 0.90, "q_sim_topk_ivf": 0.75}
+    floors = {
+        "q_sim_topk_lsh": 0.90,
+        "q_sim_topk_ivf": 0.75,
+        "q_sim_topk_ivf_indexed": 0.75,
+    }
     for name, floor in floors.items():
         approx = {
             (r.query_id, r.vec_id)
@@ -358,3 +362,43 @@ def test_fuzzy_blocking_complete_hypothesis(spark):
         assert got == want
 
     inner()
+
+
+def test_fuzzy_blocking_d2_complete_hypothesis(spark):
+    """Depth-2 deletion blocking finds EXACTLY the lev<=2 pairs on
+    adversarial small-alphabet strings (transpositions, double
+    substitutions, length-2 gaps, empty-adjacent shorts)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pretalx_hub_etl_spark.llm.fuzzy import fuzzy_self_pairs
+
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(st.lists(st.text(alphabet="ab", min_size=1, max_size=5),
+                    min_size=2, max_size=8, unique=True))
+    def inner(strings):
+        df = spark.createDataFrame(list(enumerate(strings)), "id long, s string")
+        got = {(r.id_a, r.id_b)
+               for r in fuzzy_self_pairs(df, "s", "id", max_edits=2).collect()}
+        naive = df.alias("x").crossJoin(df.alias("y")).filter("x.id < y.id").select(
+            F.col("x.id").alias("ia"), F.col("y.id").alias("ib"),
+            F.levenshtein("x.s", "y.s").alias("d"),
+        )
+        want = {(r.ia, r.ib) for r in naive.collect() if r.d <= 2}
+        assert got == want
+
+    inner()
+
+
+def test_fuzzy_d2_finds_planted_two_edit_pairs(spark):
+    from pretalx_hub_etl_spark.llm.fuzzy import fuzzy_self_pairs
+
+    names = ["grid-17", "gird-17", "grid-99", "gr-17", "unrelated-zzz"]
+    df = spark.createDataFrame(list(enumerate(names)), "id long, s string")
+    got = {(r.id_a, r.id_b): r.dist
+           for r in fuzzy_self_pairs(df, "s", "id", max_edits=2).collect()}
+    assert got[(0, 1)] == 2   # transposition = 2 plain-lev edits
+    assert got[(0, 2)] == 2   # two substitutions
+    assert got[(0, 3)] == 2   # two deletions
+    assert not any(4 in k for k in got)  # far string stays isolated

@@ -59,6 +59,7 @@ HEADLINE = [
     "q_incremental_agg",    # IVM: CDC delta fold vs re-aggregation
     "q_fuzzy_pairs",        # symmetric-delete fuzzy key matching
     "q_pmi_bigrams",        # token-pair collocation mining
+    "q_text_bm25",          # Okapi BM25 relevance scoring
 ]
 
 

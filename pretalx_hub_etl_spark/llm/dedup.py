@@ -215,6 +215,32 @@ def ngram_jaccard_pairs(
     shared by half the corpus identifies nothing and would otherwise create
     a quadratic bucket. At 100 TB this cap is mandatory, not tuning.
     """
+    inter, sizes = _ngram_pair_intersections(
+        df, text_col, id_col, k, max_doc_freq
+    )
+    jaccard = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a"
+        )
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .withColumn("jaccard", jaccard)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _ngram_pair_intersections(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    max_doc_freq: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared inverted-index core of the exact n-gram measures:
+    per-pair intersection counts + per-doc distinct-gram sizes."""
     # postings carry the 64-bit gram hash, not the k-word string: the
     # self-join shuffles 8-byte keys, and pair counts are unchanged up to
     # same-doc-pair xxhash64 collisions (~|grams|²/2^64, negligible)
@@ -243,17 +269,45 @@ def ngram_jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    jaccard = F.col("n_common").cast("double") / (
-        F.col("na") + F.col("nb") - F.col("n_common")
+    return inter, sizes
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    containment_threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """EXACT n-gram containment pairs: ``|A∩B| / min(|A|, |B|)``.
+
+    The measure Jaccard systematically MISSES: a short doc fully embedded
+    in a long one (quote, boilerplate wrapper, concatenated shard) has
+    tiny Jaccard — the union is dominated by the long doc — but
+    containment ≈ 1. Standard practice in pretraining dedup (the
+    "containment" of Broder's resemblance/containment pair, 1997) is to
+    run BOTH measures over the same postings.
+
+    Same inverted-index shape and stop-gram cap as
+    :func:`ngram_jaccard_pairs`; only the final ratio differs, so the
+    cost is identical and the operator is fully SQL-expressible (DuckDB
+    oracle with ``least(sa.n, sb.n)``).
+    """
+    inter, sizes = _ngram_pair_intersections(
+        df, text_col, id_col, k, max_doc_freq
+    )
+    containment = F.col("n_common").cast("double") / F.least(
+        F.col("na"), F.col("nb")
     )
     return (
         inter.join(
             sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a"
         )
         .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
-        .withColumn("jaccard", jaccard)
-        .filter(F.col("jaccard") >= jaccard_threshold)
-        .select("id_a", "id_b", "jaccard")
+        .withColumn("containment", containment)
+        .filter(F.col("containment") >= containment_threshold)
+        .select("id_a", "id_b", "containment")
     )
 
 

@@ -104,3 +104,46 @@ def fuzzy_self_pairs(
         .withColumn("dist", F.levenshtein(F.col("a"), F.col("b")).cast("long"))
         .filter(F.col("dist") <= max_edits)
     )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    left_id: str,
+    right_id: str,
+    max_edits: int = 1,
+) -> DataFrame:
+    """(left_id, right_id, left_val, right_val, dist): cross-table pairs
+    with ``lev(left_val, right_val) <= max_edits``.
+
+    The two-table form of :func:`fuzzy_self_pairs` — the "join messy keys
+    to a reference table" operation (typo'd names against a canonical
+    dim, crawl URLs against an allowlist). Same symmetric-delete
+    blocking: both sides explode their deletion neighborhoods, candidates
+    meet in an equi-join on the variant, exact ``levenshtein`` verifies.
+    When the right side is a small reference table its postings are
+    broadcast — the whole join then runs without shuffling the left side.
+    """
+    if max_edits not in (1, 2):
+        raise ValueError("deletion blocking implemented for max_edits in 1..2")
+
+    def posts(df: DataFrame, col: str, idc: str, ida: str, va: str) -> DataFrame:
+        return df.select(
+            F.col(idc).alias(ida),
+            F.col(col).alias(va),
+            F.explode(deletion_variants(F.col(col), max_edits)).alias("var"),
+        )
+
+    lp = posts(left, left_col, left_id, "left_id", "left_val")
+    rp = posts(right, right_col, right_id, "right_id", "right_val")
+    return (
+        lp.join(rp, "var")
+        .select("left_id", "right_id", "left_val", "right_val")
+        .distinct()  # a pair can share several variants
+        .withColumn(
+            "dist", F.levenshtein(F.col("left_val"), F.col("right_val")).cast("long")
+        )
+        .filter(F.col("dist") <= max_edits)
+    )

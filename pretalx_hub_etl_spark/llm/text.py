@@ -107,6 +107,111 @@ def tfidf(
     )
 
 
+def bm25_scores(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every matching doc for one term set.
+
+    (doc_id, n_terms, score_micro, bm25): docs matching >= 1 query term,
+    with the integer-quantized score (``score_micro`` = Σ per-term
+    floor(contribution·1e6 + 0.5)) alongside the double form. Summing
+    QUANTIZED per-term contributions — not doubles — makes the total
+    order-independent and cross-engine bit-identical, so ranking by
+    (score_micro, doc_id) is deterministic and the operator carries a
+    full value-hash oracle (same trick as the centroid family).
+
+    Scale shape: the postings explode filters to the query terms AT THE
+    SCAN (the (doc, term) fact holds only query-term hits — a few rows
+    per matching doc, not the corpus vocabulary); per-term df and the
+    (N, avgdl) stats are query-sized / 1-row broadcasts; the only big
+    shuffle is the doc-length join on ``id_col``, partitioned the same
+    way the tf groupBy already left it.
+
+    The constants must reach both engines as IDENTICAL decimal literals
+    (no cross-engine arithmetic on them): pass k1/b here exactly as they
+    are spelled in the oracle SQL.
+    """
+    base = df.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("__t")
+    )
+    # dl feeds BOTH the (N, avgdl) stats and the per-doc join; it is two
+    # longs per doc, so persisting it caps the corpus at two scans total
+    # (dl pass + postings pass) instead of three
+    dl = base.select(
+        "doc_id", F.size("__t").cast("long").alias("dl")
+    ).persist()
+    # N and avgdl: exact BIGINT sum / count -> one identical double each
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        base.select("doc_id", F.explode("__t").alias("term"))
+        .filter(F.col("term").isin(list(query_terms)))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = (
+        idf
+        * (F.col("tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + (F.lit(b) * F.col("dl")) / F.col("avgdl"))
+        )
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.floor(contrib * 1000000.0 + 0.5).cast("long").alias("__q"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("__q").alias("score_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_terms",
+            "score_micro",
+            (F.col("score_micro") / 1000000.0).alias("bm25"),
+        )
+    )
+
+
+def contains_all_terms(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    text_col: str = "text",
+) -> DataFrame:
+    """Conjunctive (AND) keyword search, fused into the scan.
+
+    ``size(array_intersect(distinct_tokens, terms)) == len(terms)`` is a
+    pure codegen predicate: zero shuffle, zero index — the right shape
+    when the term set changes per query. A repeated-query serving path
+    would materialize a postings table (term -> doc ids, partitioned by
+    term) exactly like the IVF inverted lists; this operator is the
+    scan-side semantics both share.
+    """
+    toks = F.array_distinct(tokens(text_col))
+    hit = F.array_intersect(
+        toks, F.array(*[F.lit(t) for t in query_terms])
+    )
+    return df.filter(F.size(hit) == len(query_terms))
+
+
 def text_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document quality features (length / ratios) appended as columns."""
     toks = tokens(text_col)

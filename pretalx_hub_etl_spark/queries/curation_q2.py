@@ -444,3 +444,54 @@ def q_fuzzy_pairs_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c = Catalog(spark, sf_dir).customer.filter(F.col("c_custkey") < 200)
     return fuzzy_self_pairs(c, col="c_name", id_col="c_custkey", max_edits=2)
+
+@query(
+    "q_fuzzy_join",
+    oracle="""
+    WITH lft AS (
+        SELECT c_custkey AS id, c_name AS s FROM customer
+        WHERE c_custkey < 250
+    ), rgt AS (
+        SELECT c_custkey AS id, c_name AS s FROM customer
+        WHERE c_custkey < 250 AND c_custkey % 2 = 0
+    ), lposts AS (
+        SELECT id, s,
+               unnest(list_append(
+                   list_transform(range(1, length(s) + 1),
+                       i -> substr(s, 1, i - 1) || substr(s, i + 1, 1000)),
+                   s)) AS var
+        FROM lft
+    ), rposts AS (
+        SELECT id, s,
+               unnest(list_append(
+                   list_transform(range(1, length(s) + 1),
+                       i -> substr(s, 1, i - 1) || substr(s, i + 1, 1000)),
+                   s)) AS var
+        FROM rgt
+    )
+    SELECT DISTINCT a.id AS left_id, b.id AS right_id,
+           a.s AS left_val, b.s AS right_val,
+           CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+    FROM lposts a JOIN rposts b ON a.var = b.var
+    WHERE levenshtein(a.s, b.s) <= 1
+    """,
+)
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two-table fuzzy join: messy keys (customer names) against a
+    # reference table (the even-key subset): serial-numbered names match
+    # at dist 0 (same key) and dist 1 (one digit differs), so the
+    # blocking is exercised non-trivially and the exact levenshtein
+    # verify keeps the result value-hash oracled. The reference side's
+    # postings broadcast; the left side never shuffles.
+    from ..llm.fuzzy import fuzzy_join
+
+    c = Catalog(spark, sf_dir).customer
+    left = c.filter(F.col("c_custkey") < 250)
+    right = (
+        c.filter((F.col("c_custkey") < 250) & (F.col("c_custkey") % 2 == 0))
+        .select("c_custkey", F.col("c_name").alias("c_name_ref"))
+    )
+    return fuzzy_join(
+        left, right, "c_name", "c_name_ref", "c_custkey", "c_custkey",
+        max_edits=1,
+    )

@@ -106,6 +106,35 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_dedup_containment",
+    oracle=f"""
+    WITH {_NGRAM_PAIRS_CTES.replace(
+        "pairs AS (", "jacc_pairs AS (")}
+    , pairs AS (
+        SELECT id_a, id_b,
+               CAST(n_common AS DOUBLE) / least(sa.n, sb.n) AS containment
+        FROM inter JOIN sizes sa ON id_a = sa.doc_id
+                   JOIN sizes sb ON id_b = sb.doc_id
+        WHERE CAST(n_common AS DOUBLE) / least(sa.n, sb.n) >= 0.7
+    )
+    SELECT id_a, id_b, containment FROM pairs
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Containment |A∩B|/min(|A|,|B|) over the SAME postings as the
+    # Jaccard query: catches a short doc embedded in a long one (the
+    # union-dominated case Jaccard scores near zero). Single exact-int
+    # division -> full value-hash oracle. Same stop-gram cap.
+    from ..llm.dedup import ngram_containment_pairs
+
+    d = Catalog(spark, sf_dir).documents
+    return ngram_containment_pairs(
+        d, text_col="text", id_col="doc_id", k=3,
+        containment_threshold=0.7, max_doc_freq=100,
+    )
+
+
 # --- L2d: near-dup clusters (connected components over the pair graph) ------
 
 

@@ -256,3 +256,87 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         weight_num=F.least(F.col("n_chars"), F.lit(500)),
         weight_den=F.lit(500),
     )
+
+
+# --- relevance ranking: Okapi BM25 + conjunctive search ---------------------
+
+
+@query(
+    "q_text_bm25",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ), dl AS (
+        SELECT doc_id, len(t) AS dl FROM base
+    ), stats AS (
+        SELECT count(*) AS n, sum(dl) / count(*) AS avgdl FROM dl
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM (SELECT doc_id, unnest(t) AS term FROM base)
+        WHERE term IN ('join', 'vector', 'stream')
+        GROUP BY doc_id, term
+    ), dfq AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), contrib AS (
+        -- constants appear as the SAME IEEE expressions the Spark side
+        -- computes ((1.2 + 1.0), (1.0 - 0.75)): both engines fold them
+        -- with identical doubles, and each per-term contribution is
+        -- quantized BEFORE the per-doc sum so the total is an exact,
+        -- order-independent BIGINT
+        SELECT tf.doc_id,
+               CAST(floor(
+                   ln(1.0 + (n - df + 0.5) / (df + 0.5))
+                   * (tf * (1.2 + 1.0))
+                   / (tf + 1.2 * ((1.0 - 0.75) + (0.75 * dl) / avgdl))
+                   * 1000000.0 + 0.5) AS BIGINT) AS q
+        FROM tf JOIN dfq USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum(q) AS BIGINT) AS score_micro,
+           CAST(sum(q) AS BIGINT) / 1000000.0 AS bm25
+    FROM contrib
+    GROUP BY doc_id
+    """,
+)
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Okapi BM25 relevance (Robertson/Sparck Jones probabilistic ranking)
+    # for the 3-term query {join, vector, stream} over the corpus: the
+    # search-engine scoring shape every retrieval pipeline needs. The
+    # postings explode keeps ONLY query-term hits (scan-side filter), df
+    # and the (N, avgdl) stats broadcast, and the per-doc total sums
+    # INTEGER-quantized per-term contributions — order-independent, so
+    # the query carries a full value-hash oracle despite the ln().
+    from ..llm.text import bm25_scores
+
+    d = Catalog(spark, sf_dir).documents
+    return bm25_scores(d, ("join", "vector", "stream"))
+
+
+@query(
+    "q_text_search",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE len(list_intersect(
+        list_distinct(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> x <> '')),
+        ['merge', 'vector', 'stream'])) = 3
+    """,
+)
+def q_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Conjunctive keyword search (docs containing ALL of {merge,
+    # vector, stream}) fused into the scan: one codegen predicate,
+    # zero shuffle, zero index. The postings-table alternative for
+    # repeated queries shares these semantics (see
+    # llm/text.py contains_all_terms).
+    from ..llm.text import contains_all_terms
+
+    d = Catalog(spark, sf_dir).documents
+    return contains_all_terms(d, ("merge", "vector", "stream")).select(
+        "doc_id", "lang", "source"
+    )

@@ -402,3 +402,94 @@ def test_fuzzy_d2_finds_planted_two_edit_pairs(spark):
     assert got[(0, 2)] == 2   # two substitutions
     assert got[(0, 3)] == 2   # two deletions
     assert not any(4 in k for k in got)  # far string stays isolated
+
+
+def test_bm25_formula_and_quantized_determinism(spark):
+    """BM25 on a controlled 3-doc corpus equals the hand-computed Okapi
+    formula, and the integer-quantized total is reproducible."""
+    import math
+
+    from pretalx_hub_etl_spark.llm.text import bm25_scores
+
+    docs = [
+        (1, "apple banana apple cherry"),          # dl=4, tf(apple)=2
+        (2, "apple durian durian durian"),         # dl=4, tf(apple)=1
+        (3, "elderberry fig grape"),               # dl=3, no hits
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in bm25_scores(df, ("apple", "cherry")).collect()}
+    assert set(out) == {1, 2}  # doc 3 matches nothing
+
+    n, avgdl, k1, b = 3, 11 / 3, 1.2, 0.75
+
+    def okapi(tf, dfreq, dl):
+        idf = math.log(1.0 + (n - dfreq + 0.5) / (dfreq + 0.5))
+        c = idf * (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + (b * dl) / avgdl))
+        return math.floor(c * 1e6 + 0.5)
+
+    assert out[1].score_micro == okapi(2, 2, 4) + okapi(1, 1, 4)
+    assert out[2].score_micro == okapi(1, 2, 4)
+    assert out[1].n_terms == 2 and out[2].n_terms == 1
+    assert out[1].bm25 == out[1].score_micro / 1e6
+
+
+def test_contains_all_terms_is_conjunctive(spark):
+    from pretalx_hub_etl_spark.llm.text import contains_all_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha beta"),          # missing gamma
+            (3, "gamma alpha beta pad"),  # order-independent
+            (4, "alphabeta gamma"),     # token, not substring, matching
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id
+           for r in contains_all_terms(df, ("alpha", "beta", "gamma")).collect()}
+    assert got == {1, 3}
+
+
+def test_ngram_containment_catches_embedded_doc(spark):
+    """A short doc fully embedded in a long one: containment = 1.0 while
+    Jaccard stays under a dedup threshold."""
+    from pretalx_hub_etl_spark.llm.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon"
+    long = short + " " + " ".join(f"tail{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, short), (2, long), (3, "wholly different words entirely here")],
+        "doc_id long, text string",
+    )
+    cont = {(r.id_a, r.id_b): r.containment
+            for r in ngram_containment_pairs(
+                df, "text", "doc_id", k=3, containment_threshold=0.9
+            ).collect()}
+    assert cont == {(1, 2): 1.0}
+    jacc = ngram_jaccard_pairs(
+        df, "text", "doc_id", k=3, jaccard_threshold=0.5
+    ).collect()
+    assert jacc == []  # the union-dominated case Jaccard misses
+
+
+def test_fuzzy_join_matches_naive_cross(spark):
+    from pretalx_hub_etl_spark.llm.fuzzy import fuzzy_join
+
+    left = spark.createDataFrame(
+        [(1, "grid-17"), (2, "grid-99"), (3, "zzz")], "id long, s string"
+    )
+    right = spark.createDataFrame(
+        [(10, "grid-18"), (11, "grid99"), (12, "unrelated")],
+        "rid long, t string",
+    )
+    got = {(r.left_id, r.right_id, r.dist)
+           for r in fuzzy_join(left, right, "s", "t", "id", "rid").collect()}
+    naive = left.crossJoin(right).select(
+        "id", "rid", F.levenshtein("s", "t").cast("long").alias("d")
+    )
+    want = {(r.id, r.rid, r.d) for r in naive.collect() if r.d <= 1}
+    assert got == want
+    assert (1, 10, 1) in got and (2, 11, 1) in got

@@ -116,6 +116,8 @@ NESTED_LOOP_ALLOWED = {
     "q_text_tfidf",        # corpus size N as a 1-row broadcast
     "q_tpch_q22",          # acctbal threshold as a 1-row broadcast
     "q_pmi_bigrams",       # corpus token totals as two 1-row broadcasts
+    "q_text_bm25",         # (N, avgdl) corpus stats as a 1-row broadcast
+    "q_sim_topk_ivf_indexed",  # probe assignment: queries × broadcast(16)
 }
 
 

@@ -129,8 +129,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
     ("2.11 LLM-pipeline extensions", [
         ("L1", "exact dedup", ["q_dedup_exact"]),
         ("L2", "near-dup: MinHash-LSH / exact n-gram Jaccard / SimHash / embedding",
-         ["q_dedup_near", "q_dedup_ngram_jaccard", "q_dedup_simhash",
-          "q_dedup_embed"]),
+         ["q_dedup_near", "q_dedup_ngram_jaccard", "q_dedup_containment",
+          "q_dedup_simhash", "q_dedup_embed"]),
         ("L2d", "near-dup clusters (connected components, min-label propagation)",
          ["q_dedup_clusters"]),
         ("L3", "similarity search: brute-force / LSH / IVF",
@@ -163,8 +163,12 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
         ("L21", "adjacent-bigram PMI collocations", ["q_pmi_bigrams"]),
         ("L22", "incremental aggregate maintenance from CDC",
          ["q_incremental_agg"]),
-        ("L23", "fuzzy key matching (deletion-neighborhood blocking)",
-         ["q_fuzzy_pairs"]),
+        ("L23", "fuzzy key matching (deletion-neighborhood blocking, lev<=2)",
+         ["q_fuzzy_pairs", "q_fuzzy_pairs_d2", "q_fuzzy_join"]),
+        ("L24", "BM25 relevance ranking", ["q_text_bm25"]),
+        ("L25", "conjunctive keyword search (scan-fused)", ["q_text_search"]),
+        ("L26", "materialized IVF ANN index (partition-pruned probe)",
+         ["q_sim_topk_ivf_indexed"]),
     ]),
     ("TPC-H composite shapes", [
         ("Q", "multi-way join/agg/subquery plans",

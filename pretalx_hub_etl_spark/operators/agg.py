@@ -64,3 +64,182 @@ def salted_two_level_agg(
             for out, (name, _) in aggs.items()
         ]
     )
+
+
+def exact_group_quantiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    fractions: Sequence[float] = (0.25, 0.5, 0.75, 0.95),
+    out_prefix: str = "p",
+) -> DataFrame:
+    """EXACT discrete quantiles per group: the value at rank
+    ``max(1, ceil(q·n))`` in each group's sorted multiset.
+
+    ``approx_percentile`` (A5) trades error bounds for one pass; this is
+    the exact complement for when the quantile IS the contract (SLA
+    latency percentiles, quality-score cut lines). Discrete (an actual
+    element, like DuckDB's ``quantile_disc``/SQL ``percentile_disc``)
+    rather than interpolated: no arithmetic on values, so integer inputs
+    stay integers and the result carries a full value hash. The selected
+    value at a rank is well-defined even when row_number breaks ties of
+    equal values arbitrarily — rank k of a sorted multiset is the same
+    element either way.
+
+    Scale shape: ONE shuffle on the group key + a per-group sort (the
+    window), then all fractions resolve in the same pass via conditional
+    aggregation — k quantiles cost the same as one. Hot groups
+    single-task the sort, the same skew story as any per-group window;
+    for a global (ungrouped) exact quantile prefer range partitioning +
+    partition-offset ranks.
+    """
+    from pyspark.sql import Window
+
+    w_sort = Window.partitionBy(*group_cols).orderBy(F.col(value_col).asc())
+    w_all = Window.partitionBy(*group_cols)
+    r = (
+        df.select(*group_cols, value_col)
+        .withColumn("__rn", F.row_number().over(w_sort))
+        .withColumn("__n", F.count(F.lit(1)).over(w_all))
+    )
+    aggs = []
+    for q in fractions:
+        target = F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(F.lit(q) * F.col("__n")).cast("long"),
+        )
+        label = f"{out_prefix}{round(q * 100):02d}"
+        aggs.append(
+            F.max(F.when(F.col("__rn") == target, F.col(value_col))).alias(label)
+        )
+    return r.groupBy(*group_cols).agg(*aggs)
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: float = 1.5,
+) -> DataFrame:
+    """Rows whose value deviates from the group median by more than
+    ``k`` × the group's median absolute deviation (MAD).
+
+    The robust outlier gate (Hampel filter family): unlike z-scores,
+    median/MAD don't move when the outliers themselves get extreme, so
+    the threshold is stable under contamination. Both medians are the
+    DISCRETE rank-``ceil(n/2)`` element (no interpolation), so integer
+    inputs flow through exactly and the operator carries a full value
+    hash.
+
+    Scale shape: ONE shuffle. The median is computed as a windowed
+    conditional max over the rank (no join-back), the absolute deviation
+    rides the same partitioning, and the MAD's second rank window sorts
+    within the SAME hash partitions — Catalyst plans sort-only (no
+    Exchange) for the second window. Appends ``__med/__mad`` and returns
+    the flagged rows.
+    """
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy(*group_cols)
+    w_v = Window.partitionBy(*group_cols).orderBy(F.col(value_col).asc())
+    mid = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil(F.lit(0.5) * F.count(F.lit(1)).over(w_all)).cast("long"),
+    )
+    with_med = df.withColumn(
+        "__med",
+        F.max(
+            F.when(F.row_number().over(w_v) == mid, F.col(value_col))
+        ).over(w_all),
+    )
+    dev = F.abs(F.col(value_col) - F.col("__med"))
+    w_d = Window.partitionBy(*group_cols).orderBy(dev.asc())
+    with_mad = with_med.withColumn(
+        "__mad",
+        F.max(F.when(F.row_number().over(w_d) == mid, dev)).over(w_all),
+    )
+    return with_mad.filter(dev > F.lit(k) * F.col("__mad"))
+
+
+def exact_global_quantiles(
+    df: DataFrame,
+    value_col: str,
+    fractions: Sequence[float] = (0.5, 0.9, 0.99),
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT global (ungrouped) discrete quantiles WITHOUT a global sort
+    to one reducer.
+
+    A global ``row_number() OVER (ORDER BY v)`` moves the whole column
+    through a single partition — the classic scale-killer (Spark even
+    warns "No Partition Defined for Window"). The distributed-exact
+    algorithm instead:
+
+    1. ``repartitionByRange`` on the value (sampled range boundaries,
+       one shuffle — partitions hold disjoint value ranges in order);
+    2. ``sortWithinPartitions`` (partition-local sort, no movement);
+    3. per-partition row counts → driver-side prefix sums — a
+       #partitions-sized list, never data;
+    4. global rank = partition offset + local index (an Arrow-batched
+       ``mapInPandas`` enumeration, zero shuffle);
+    5. pick the rank-``max(1, ceil(q·n))`` element per fraction.
+
+    Ties split across a range boundary don't matter: the value at a
+    given rank of the sorted multiset is the same however equal values
+    are ordered. Returns ``(fraction, value)`` rows.
+    """
+    import pandas as pd
+
+    spark = df.sparkSession
+    p = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = (
+        df.select(F.col(value_col).alias("v"))
+        .repartitionByRange(p, F.col("v"))
+        .sortWithinPartitions("v")
+    )
+    ranged = ranged.persist()  # counted once, ranked once
+    counts = {
+        r.pid: r.cnt
+        for r in ranged.groupBy(
+            F.spark_partition_id().alias("pid")
+        ).agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    total = sum(counts.values())
+    if total == 0:
+        raise ValueError("exact_global_quantiles: empty input")
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    import math
+
+    # two fractions can share a rank on small inputs: group by rank
+    wanted: dict[int, list[float]] = {}
+    for q in fractions:
+        wanted.setdefault(max(1, math.ceil(float(q) * total)), []).append(
+            float(q)
+        )
+
+    def pick(iterator):
+        # partition-local enumeration: emits only the globally-wanted
+        # ranks (at most len(fractions) rows per partition)
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        base = offsets.get(pid, 0)
+        seen = 0
+        for batch in iterator:
+            n = len(batch)
+            for rank, qs in wanted.items():
+                local = rank - base - seen
+                if 1 <= local <= n:
+                    v = batch["v"].iloc[local - 1]
+                    yield pd.DataFrame(
+                        {"fraction": qs, "value": [v] * len(qs)}
+                    )
+            seen += n
+
+    schema_v = dict(ranged.dtypes)["v"]
+    out = ranged.mapInPandas(pick, schema=f"fraction double, value {schema_v}")
+    return out

@@ -485,3 +485,151 @@ def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey",
         zorder_key(["l_orderkey", "l_partkey"], 16).alias("zkey"),
     )
+
+
+# --- A12: exact discrete quantiles per group --------------------------------
+
+
+@query(
+    "q_agg_exact_quantiles",
+    oracle="""
+    WITH v AS (
+        SELECT l_returnflag AS flag,
+               CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM lineitem
+    ), r AS (
+        SELECT flag, cents,
+               row_number() OVER (PARTITION BY flag ORDER BY cents) AS rn,
+               count(*) OVER (PARTITION BY flag) AS n
+        FROM v
+    )
+    SELECT flag,
+           max(CASE WHEN rn = greatest(1, CAST(ceil(0.25 * n) AS BIGINT))
+                    THEN cents END) AS p25,
+           max(CASE WHEN rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+                    THEN cents END) AS p50,
+           max(CASE WHEN rn = greatest(1, CAST(ceil(0.75 * n) AS BIGINT))
+                    THEN cents END) AS p75,
+           max(CASE WHEN rn = greatest(1, CAST(ceil(0.95 * n) AS BIGINT))
+                    THEN cents END) AS p95
+    FROM r
+    GROUP BY flag
+    """,
+)
+def q_agg_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact discrete quantiles (value at rank ceil(q·n)) of the price
+    # distribution per return flag — the exact complement of A5's
+    # approx_percentile. No arithmetic touches the values (discrete, not
+    # interpolated), so the BIGINT cents hash exactly; both engines
+    # compute ceil(q·n) from identical doubles. One shuffle + per-group
+    # sort; all four fractions resolve in the same window pass.
+    from ..operators.agg import exact_group_quantiles
+
+    li = Catalog(spark, sf_dir).lineitem.select(
+        F.col("l_returnflag").alias("flag"),
+        fixed_cents(F.col("l_extendedprice")).alias("cents"),
+    )
+    return exact_group_quantiles(
+        li, ["flag"], "cents", fractions=(0.25, 0.5, 0.75, 0.95)
+    )
+
+
+# --- A13: robust MAD outlier gate -------------------------------------------
+
+
+@query(
+    "q_outliers_mad",
+    oracle="""
+    WITH v AS (
+        SELECT c_custkey, c_nationkey AS g,
+               CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM customer
+    ), m AS (
+        SELECT c_custkey, g, cents,
+               row_number() OVER (PARTITION BY g ORDER BY cents) AS rn,
+               count(*) OVER (PARTITION BY g) AS n
+        FROM v
+    ), med AS (
+        SELECT c_custkey, g, cents, n,
+               max(CASE WHEN rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+                        THEN cents END) OVER (PARTITION BY g) AS med
+        FROM m
+    ), d AS (
+        SELECT c_custkey, g, cents, med, abs(cents - med) AS dev, n,
+               row_number() OVER (PARTITION BY g
+                                  ORDER BY abs(cents - med)) AS rn2
+        FROM med
+    ), mad AS (
+        SELECT c_custkey, g, cents, med, dev,
+               max(CASE WHEN rn2 = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+                        THEN dev END) OVER (PARTITION BY g) AS mad
+        FROM d
+    )
+    SELECT c_custkey, g, cents, med, mad
+    FROM mad WHERE dev > 1.5 * mad
+    """,
+)
+def q_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Robust per-nation account-balance outliers (Hampel filter): both
+    # medians are discrete rank elements, deviations are exact BIGINT
+    # differences, so the flagged set value-hashes exactly. One shuffle:
+    # the MAD's second window sorts within the partitions the first
+    # window already hashed (no second Exchange — asserted in
+    # tests/test_plans.py for the window family).
+    from ..operators.agg import mad_outliers
+
+    c = Catalog(spark, sf_dir).customer.select(
+        "c_custkey",
+        F.col("c_nationkey").alias("g"),
+        fixed_cents(F.col("c_acctbal")).alias("cents"),
+    )
+    return mad_outliers(c, ["g"], "cents", k=1.5).select(
+        "c_custkey",
+        "g",
+        "cents",
+        F.col("__med").alias("med"),
+        F.col("__mad").alias("mad"),
+    )
+
+
+@query(
+    "q_agg_global_quantiles",
+    oracle="""
+    WITH v AS (
+        SELECT CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM lineitem
+    ), r AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY cents) AS rn,
+               count(*) OVER () AS n
+        FROM v
+    )
+    SELECT CAST(0.5 AS DOUBLE) AS fraction,
+           max(CASE WHEN rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+                    THEN cents END) AS value
+    FROM r
+    UNION ALL
+    SELECT CAST(0.9 AS DOUBLE),
+           max(CASE WHEN rn = greatest(1, CAST(ceil(0.9 * n) AS BIGINT))
+                    THEN cents END)
+    FROM r
+    UNION ALL
+    SELECT CAST(0.99 AS DOUBLE),
+           max(CASE WHEN rn = greatest(1, CAST(ceil(0.99 * n) AS BIGINT))
+                    THEN cents END)
+    FROM r
+    """,
+)
+def q_agg_global_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Global exact discrete quantiles WITHOUT the single-reducer global
+    # window the oracle uses: repartitionByRange + partition-local sort +
+    # driver-side prefix sums over per-partition counts (a
+    # #partitions-sized list) + Arrow-batched rank pick. The oracle's
+    # row_number() OVER (ORDER BY ...) expresses the same semantics the
+    # scale-safe way would be wrong to copy.
+    from ..operators.agg import exact_global_quantiles
+
+    li = Catalog(spark, sf_dir).lineitem.select(
+        fixed_cents(F.col("l_extendedprice")).alias("cents")
+    )
+    return exact_global_quantiles(li, "cents", fractions=(0.5, 0.9, 0.99))

@@ -207,3 +207,70 @@ def test_thin_hot_groups_guard_widens_or_passes_through(spark):
     }
     kept = {r.doc_id for r in thinned.collect()}
     assert exact <= kept
+
+
+def test_exact_group_quantiles_reference(spark):
+    """Rank-formula quantiles equal a driver-side sorted-list reference,
+    including the all-ties and single-element groups."""
+    import math
+
+    from pretalx_hub_etl_spark.operators.agg import exact_group_quantiles
+
+    rows = [("a", v) for v in [5, 1, 9, 3, 7, 3, 3]]
+    rows += [("b", v) for v in [10]]
+    rows += [("c", v) for v in [2, 2, 2, 2]]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {r.g: r for r in exact_group_quantiles(
+        df, ["g"], "v", fractions=(0.25, 0.5, 0.9)
+    ).collect()}
+
+    def ref(vals, q):
+        s = sorted(vals)
+        return s[max(1, math.ceil(q * len(s))) - 1]
+
+    data = {"a": [5, 1, 9, 3, 7, 3, 3], "b": [10], "c": [2, 2, 2, 2]}
+    for g, vals in data.items():
+        assert (out[g].p25, out[g].p50, out[g].p90) == (
+            ref(vals, 0.25), ref(vals, 0.5), ref(vals, 0.9)
+        ), g
+
+
+def test_mad_outliers_flags_planted_extremes(spark):
+    from pretalx_hub_etl_spark.operators.agg import mad_outliers
+
+    # tight cluster around 100 plus two planted extremes
+    vals = [98, 99, 100, 100, 101, 102, 100, 99, 500, -300]
+    df = spark.createDataFrame(
+        [(i, "g", v) for i, v in enumerate(vals)], "id long, g string, v long"
+    )
+    out = {r.id for r in mad_outliers(df, ["g"], "v", k=3.0).collect()}
+    assert out == {8, 9}  # exactly the planted extremes
+    row = mad_outliers(df, ["g"], "v", k=3.0).collect()[0]
+    assert row["__med"] == 100  # rank-5 element of the sorted 10 values
+    # deviations sorted: 0,0,0,1,1,1,2,2,400,400 -> rank-5 element = 1
+    assert row["__mad"] == 1
+
+
+def test_exact_global_quantiles_matches_sorted_reference(spark):
+    import math
+    import random
+
+    from pretalx_hub_etl_spark.operators.agg import exact_global_quantiles
+
+    rng = random.Random(7)
+    vals = [rng.randrange(-10_000, 10_000) for _ in range(5000)]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    out = {r.fraction: r.value
+           for r in exact_global_quantiles(
+               df, "x", fractions=(0.01, 0.5, 0.9, 0.99), num_partitions=8
+           ).collect()}
+    s = sorted(vals)
+    for q in (0.01, 0.5, 0.9, 0.99):
+        assert out[q] == s[max(1, math.ceil(q * len(s))) - 1], q
+    # duplicate-rank edge: two fractions landing on the same element
+    tiny = spark.createDataFrame([(1,), (2,)], "x long")
+    got = {r.fraction: r.value
+           for r in exact_global_quantiles(
+               tiny, "x", fractions=(0.4, 0.5), num_partitions=4
+           ).collect()}
+    assert got == {0.4: 1, 0.5: 1}

@@ -63,6 +63,10 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_agg_stats"]),
         ("A11", "deterministic mode (count + rank, explicit tiebreak)",
          ["q_agg_mode"]),
+        ("A12", "exact discrete group quantiles (rank formula)",
+         ["q_agg_exact_quantiles", "q_agg_global_quantiles"]),
+        ("A13", "robust MAD outlier gate (Hampel filter)",
+         ["q_outliers_mad"]),
     ]),
     ("2.5 Window functions", [
         ("W1", "ranking", ["q_window_rank"]),

@@ -282,3 +282,33 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     """
     canonical = F.concat_ws(" ", F.sort_array(F.array_distinct(tokens(text_col))))
     return fan_out(df).select(F.col(id_col), F.md5(canonical).alias("fp"))
+
+
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+    stopwords: Sequence[str] = (),
+) -> DataFrame:
+    """(term, n, vocab_id): frequency-ranked contiguous vocabulary ids.
+
+    The tokenizer-prep step every pretraining pipeline runs: count terms
+    corpus-wide, cut the tail below ``min_count``, and assign dense ids
+    by (count desc, term asc) — id 1 is the most frequent term, ties
+    broken lexically so the mapping is reproducible across runs and
+    engines.
+
+    Scale shape: one map-side-combined count shuffle, then the dense ids
+    come from :func:`~..operators.agg.global_row_number` — the
+    range-partition + offset-stamp decomposition — because a global
+    ``row_number()`` window would sort the whole vocabulary on one
+    reducer (fine for curated corpora, wrong for web-scale token tails).
+    """
+    from ..operators.agg import global_row_number
+
+    counts = term_frequencies(df, text_col, stopwords=stopwords).filter(
+        F.col("n") >= min_count
+    )
+    return global_row_number(
+        counts, [F.col("n").desc(), F.col("term").asc()], out_col="vocab_id"
+    )

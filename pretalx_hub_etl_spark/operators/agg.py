@@ -243,3 +243,64 @@ def exact_global_quantiles(
     schema_v = dict(ranged.dtypes)["v"]
     out = ranged.mapInPandas(pick, schema=f"fraction double, value {schema_v}")
     return out
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: Sequence,
+    out_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """A 1-based global row number by ``order_cols`` WITHOUT the
+    single-reducer global window.
+
+    ``row_number() OVER (ORDER BY ...)`` funnels every row through one
+    partition; this operator computes the identical column scale-safely
+    (the same decomposition as :func:`exact_global_quantiles`):
+    ``repartitionByRange`` on the order columns, partition-local sort,
+    per-partition counts → driver-side prefix sums (#partitions values,
+    never data), then each partition stamps ``offset + local index`` in
+    one Arrow-batched pass. Total order requires ``order_cols`` to be a
+    unique key tuple (append the primary key as tiebreak — same rule the
+    window-function family documents); with ties the assignment within a
+    tie group follows the range partitioner's placement.
+    """
+    import pandas as pd
+
+    spark = df.sparkSession
+    p = num_partitions or spark.sparkContext.defaultParallelism
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    ranged = df.repartitionByRange(p, *cols).sortWithinPartitions(*cols)
+    ranged = ranged.persist()  # counted once, stamped once
+    counts = {
+        r.pid: r.cnt
+        for r in ranged.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    out_schema = ", ".join(
+        [f"`{name}` {dtype}" for name, dtype in ranged.dtypes]
+        + [f"`{out_col}` bigint"]
+    )
+
+    def stamp(iterator):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        base = offsets.get(pid, 0)
+        seen = 0
+        for batch in iterator:
+            n = len(batch)
+            batch[out_col] = pd.RangeIndex(
+                base + seen + 1, base + seen + n + 1
+            ).astype("int64")
+            seen += n
+            yield batch
+
+    return ranged.mapInPandas(stamp, schema=out_schema)

@@ -340,3 +340,34 @@ def q_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contains_all_terms(d, ("merge", "vector", "stream")).select(
         "doc_id", "lang", "source"
     )
+
+
+# --- tokenizer prep: frequency-ranked vocabulary ----------------------------
+
+
+@query(
+    "q_vocab_build",
+    oracle="""
+    WITH c AS (
+        SELECT term, count(*) AS n
+        FROM (SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                                        x -> x <> '')) AS term
+              FROM documents)
+        GROUP BY term
+        HAVING count(*) >= 5
+    )
+    SELECT term, n,
+           row_number() OVER (ORDER BY n DESC, term) AS vocab_id
+    FROM c
+    """,
+)
+def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Frequency-ranked dense vocabulary ids (tokenizer prep): the oracle
+    # uses the single-reducer global window DuckDB can afford; the Spark
+    # side computes the identical ids via global_row_number's
+    # range-partition + offset-stamp decomposition (operators/agg.py),
+    # which never funnels the vocabulary through one task.
+    from ..llm.text import build_vocab
+
+    d = Catalog(spark, sf_dir).documents
+    return build_vocab(d, min_count=5)

@@ -274,3 +274,38 @@ def test_exact_global_quantiles_matches_sorted_reference(spark):
                tiny, "x", fractions=(0.4, 0.5), num_partitions=4
            ).collect()}
     assert got == {0.4: 1, 0.5: 1}
+
+
+def test_global_row_number_equals_window_form(spark):
+    from pyspark.sql import Window
+
+    from pretalx_hub_etl_spark.operators.agg import global_row_number
+
+    df = spark.createDataFrame(
+        [((i * 37) % 101, i) for i in range(500)], "v long, id long"
+    )
+    got = {
+        (r.v, r.id): r.rn
+        for r in global_row_number(
+            df, [F.col("v").asc(), F.col("id").asc()], num_partitions=8
+        ).collect()
+    }
+    w = Window.orderBy(F.col("v").asc(), F.col("id").asc())
+    want = {
+        (r.v, r.id): r.rn
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert got == want
+
+
+def test_build_vocab_dense_frequency_ranked_ids(spark):
+    from pretalx_hub_etl_spark.llm.text import build_vocab
+
+    df = spark.createDataFrame(
+        [(1, "b b b a a c"), (2, "a b z")], "doc_id long, text string"
+    )
+    out = {r.term: (r.n, r.vocab_id) for r in build_vocab(df).collect()}
+    # b:4, a:3, c:1, z:1 (c before z lexically at equal count)
+    assert out == {"b": (4, 1), "a": (3, 2), "c": (1, 3), "z": (1, 4)}
+    cut = {r.term for r in build_vocab(df, min_count=2).collect()}
+    assert cut == {"a", "b"}

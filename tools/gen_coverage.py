@@ -173,6 +173,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
         ("L25", "conjunctive keyword search (scan-fused)", ["q_text_search"]),
         ("L26", "materialized IVF ANN index (partition-pruned probe)",
          ["q_sim_topk_ivf_indexed"]),
+        ("L27", "frequency-ranked vocabulary build (scale-safe global ids)",
+         ["q_vocab_build"]),
     ]),
     ("TPC-H composite shapes", [
         ("Q", "multi-way join/agg/subquery plans",

@@ -633,3 +633,40 @@ def q_agg_global_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         fixed_cents(F.col("l_extendedprice")).alias("cents")
     )
     return exact_global_quantiles(li, "cents", fractions=(0.5, 0.9, 0.99))
+
+
+# --- GR1: triangle enumeration over an edge list ----------------------------
+
+
+@query(
+    "q_graph_triangles",
+    oracle="""
+    WITH e AS (
+        SELECT a.c_custkey AS u, b.c_custkey AS v
+        FROM customer a JOIN customer b
+          ON a.c_nationkey = b.c_nationkey
+         AND a.c_custkey < b.c_custkey
+         AND b.c_custkey - a.c_custkey <= 100
+    )
+    SELECT a.u AS a, a.v AS b, b.v AS c
+    FROM e a JOIN e b ON a.v = b.u
+             JOIN e c ON c.u = a.u AND c.v = b.v
+    """,
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Triangle enumeration (degree-oriented wedges, Suri-Vassilvitskii)
+    # over a same-nation/banded-key customer graph. The oracle's naive
+    # 3-way self-join is affordable single-node; the Spark side runs the
+    # O(m^1.5)-bounded orientation that survives hub vertices at scale.
+    # Exact integer triples -> full value hash.
+    from ..operators.graph import triangle_enumerate
+
+    c = Catalog(spark, sf_dir).customer.select("c_custkey", "c_nationkey")
+    a, b = c.alias("a"), c.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey"))
+        & (F.col("b.c_custkey") - F.col("a.c_custkey") <= 100),
+    ).select(F.col("a.c_custkey").alias("u"), F.col("b.c_custkey").alias("v"))
+    return triangle_enumerate(edges)

@@ -358,3 +358,54 @@ def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_divide(F.col("c_acctbal"), F.col("c_nationkey")).alias("bal_per_nation"),
         F.try_add(F.col("c_custkey"), F.lit(_NEAR_MAX)).alias("near_overflow"),
     )
+
+
+@query(
+    "q_fn_variant",
+    oracle="""
+    WITH j AS (
+        SELECT c_custkey,
+               json_object(
+                   'key', c_custkey,
+                   'bal_cents', CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT),
+                   'tags', [c_mktsegment, c_name]
+               ) AS doc
+        FROM customer
+    )
+    SELECT c_custkey,
+           CAST(json_extract(doc, '$.key') AS BIGINT) AS k,
+           CAST(json_extract(doc, '$.bal_cents') AS BIGINT) AS bal_cents,
+           json_extract_string(doc, '$.tags[0]') AS seg,
+           json_extract_string(doc, '$.tags[1]') AS cname,
+           CAST(json_extract(doc, '$.missing.path') AS BIGINT) AS absent
+    FROM j
+    """,
+)
+def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark 4 VARIANT path: build a semi-structured JSON doc per row,
+    # parse_json to the binary VARIANT encoding, then typed path
+    # extraction (variant_get) incl. array indexing and a try_ miss ->
+    # NULL. Each engine CONSTRUCTS its own doc from the same source
+    # values (formatting never crosses engines — only extracted values
+    # are compared), so the query value-hashes exactly. VARIANT keeps
+    # shredded semi-structured access JVM-side — the scan-fused shape
+    # for schema-on-read at scale, vs. regex or per-row Python JSON.
+    from ..functions.core import fixed_cents
+
+    c = Catalog(spark, sf_dir).customer
+    doc = F.to_json(
+        F.struct(
+            F.col("c_custkey").alias("key"),
+            fixed_cents(F.col("c_acctbal")).alias("bal_cents"),
+            F.array(F.col("c_mktsegment"), F.col("c_name")).alias("tags"),
+        )
+    )
+    v = F.parse_json(doc)
+    return c.select(
+        "c_custkey",
+        F.variant_get(v, "$.key", "long").alias("k"),
+        F.variant_get(v, "$.bal_cents", "long").alias("bal_cents"),
+        F.variant_get(v, "$.tags[0]", "string").alias("seg"),
+        F.variant_get(v, "$.tags[1]", "string").alias("cname"),
+        F.try_variant_get(v, "$.missing.path", "long").alias("absent"),
+    )

@@ -309,3 +309,57 @@ def test_build_vocab_dense_frequency_ranked_ids(spark):
     assert out == {"b": (4, 1), "a": (3, 2), "c": (1, 3), "z": (1, 4)}
     cut = {r.term for r in build_vocab(df, min_count=2).collect()}
     assert cut == {"a", "b"}
+
+
+
+def test_triangle_enumerate_matches_naive(spark):
+    """Degree-oriented wedges equal the naive triple-join on a graph with
+    a hub vertex (the case the orientation exists for) plus disconnected
+    and triangle-free parts."""
+    import itertools
+
+    from pretalx_hub_etl_spark.operators.graph import triangle_enumerate
+
+    edges = [(0, i) for i in range(1, 8)]          # hub 0
+    edges += [(1, 2), (3, 4), (5, 6)]              # hub triangles
+    edges += [(10, 11), (11, 12)]                  # path: no triangle
+    edges += [(2, 1), (4, 4)]                      # dup reversed + self-loop
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {(r.a, r.b, r.c) for r in triangle_enumerate(df).collect()}
+
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = sorted({x for e in und for x in e})
+    want = {
+        (a, b, c)
+        for a, b, c in itertools.combinations(nodes, 3)
+        if {(a, b), (a, c), (b, c)} <= und
+    }
+    assert got == want
+    assert (0, 1, 2) in got and (0, 5, 6) in got
+    assert len(got) == 3
+
+
+def test_exact_group_quantiles_hypothesis(spark):
+    """Property: rank-formula quantiles == sorted-list reference on
+    adversarial small multisets (ties, negatives, singletons)."""
+    import math
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pretalx_hub_etl_spark.operators.agg import exact_group_quantiles
+
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(st.lists(st.integers(min_value=-5, max_value=5),
+                    min_size=1, max_size=12),
+           st.floats(min_value=0.01, max_value=1.0,
+                     allow_nan=False, allow_infinity=False))
+    def inner(vals, q):
+        df = spark.createDataFrame([("g", v) for v in vals], "g string, v long")
+        out = exact_group_quantiles(df, ["g"], "v", fractions=(q,)).collect()[0]
+        s = sorted(vals)
+        want = s[max(1, math.ceil(q * len(s))) - 1]
+        assert out[1] == want, (vals, q)
+
+    inner()

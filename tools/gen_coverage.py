@@ -110,7 +110,7 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_fn_timestamp_parse", "q_fn_date_extract"]),
         ("F7-F8", "array / map ops", ["q_fn_array", "q_fn_map"]),
         ("F9", "math (pricing expressions)", ["q_fn_math"]),
-        ("F10", "JSON access", ["q_fn_json"]),
+        ("F10", "JSON access / VARIANT semi-structured", ["q_fn_json", "q_fn_variant"]),
         ("F11", "regex extract / replace / match", ["q_fn_regex"]),
         ("F12", "ANSI-safe try_cast / try_divide / try_add", ["q_fn_try"]),
         ("F13", "content hashes (md5 / sha256)", ["q_fn_hash"]),
@@ -175,6 +175,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_sim_topk_ivf_indexed"]),
         ("L27", "frequency-ranked vocabulary build (scale-safe global ids)",
          ["q_vocab_build"]),
+        ("GR1", "triangle enumeration (degree-oriented wedges)",
+         ["q_graph_triangles"]),
     ]),
     ("TPC-H composite shapes", [
         ("Q", "multi-way join/agg/subquery plans",

@@ -95,6 +95,7 @@ def load_all() -> dict[str, QuerySpec]:
     so each round's 50-query sample re-checks the stalest green rows.
     """
     from . import (  # noqa: F401
+        analytics_q,
         curation_q,
         curation_q2,
         llm_q,

@@ -1,0 +1,145 @@
+"""Analytics batch: skyline (Pareto frontier), deterministic exact-k
+sampling, and event-sequence transition matrices.
+
+Reference tie-in: the reference's only "analytics" is implicit — it
+hand-picks rows by scanning Python lists (`main.py:136-143`). These are
+the declarative engine forms a user of a 100 TB corpus actually asks
+for: "best tradeoff rows", "a reproducible sample of exactly k", and
+"what happens after event X".
+
+Cross-engine determinism notes:
+- skyline does NO arithmetic on values (comparisons only) → exact hash;
+- exact-k sampling orders by the Knuth multiplicative hash with the
+  primary key as tiebreak — a total order, so LIMIT k is deterministic
+  on both engines;
+- transition probabilities divide exact BIGINT counts as doubles with
+  the op order pinned (one division — correctly rounded IEEE on both).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from . import query
+
+# --- AN1: 2-D skyline / Pareto frontier -------------------------------------
+
+
+@query(
+    "q_skyline",
+    oracle="""
+    WITH pts AS (
+        SELECT p_retailprice AS price, max(CAST(p_size AS BIGINT)) AS sz
+        FROM part GROUP BY 1
+    )
+    SELECT price, sz FROM pts p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pts q
+        WHERE q.price < p.price AND q.sz >= p.sz
+    )
+    """,
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pareto frontier of parts: cheapest price for the largest size
+    # (minimize p_retailprice, maximize p_size). The oracle is the
+    # textbook quadratic NOT EXISTS (affordable in DuckDB at sf0.01);
+    # the Spark side is the distributive two-phase sort-scan
+    # (operators/skyline.py) whose quadratic term never materializes.
+    from ..operators.skyline import skyline_2d
+
+    p = Catalog(spark, sf_dir).part.select(
+        F.col("p_retailprice").alias("price"),
+        F.col("p_size").cast("long").alias("sz"),
+    )
+    return skyline_2d(p, "price", "sz", minimize_x=True, maximize_y=True)
+
+
+# --- AN2: deterministic exact-k sample --------------------------------------
+
+
+@query(
+    "q_sample_exact_k",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id
+    LIMIT 500
+    """,
+)
+def q_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exactly-k uniform sample without replacement: rank every row by
+    # the Knuth multiplicative hash of its id and keep the k smallest —
+    # the deterministic, one-pass replacement for reservoir sampling
+    # (same marginal distribution under hash uniformity, but
+    # reproducible and mergeable). Spark plans this as
+    # TakeOrderedAndProject: per-partition top-k heaps + a k-sized
+    # driver merge — no global sort, no RNG state, scales to any input.
+    # Complements the fraction-based Bernoulli samplers (L6), which
+    # cannot hit an exact row budget.
+    d = Catalog(spark, sf_dir).documents
+    h = F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(2147483648)) * F.lit(2654435761),
+        F.lit(4294967296),
+    )
+    return (
+        d.select("doc_id", "lang", h.alias("h"))
+        .orderBy("h", "doc_id")
+        .limit(500)
+        .select("doc_id", "lang")
+    )
+
+
+# --- AN3: event transition matrix (first-order Markov counts) ---------------
+
+
+@query(
+    "q_event_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+        FROM events
+    ), t AS (
+        SELECT prev_type, event_type AS next_type,
+               CAST(count(*) AS BIGINT) AS transitions
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, transitions,
+           CAST(transitions AS DOUBLE)
+               / CAST(sum(transitions) OVER (PARTITION BY prev_type)
+                      AS DOUBLE) AS prob
+    FROM t
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # First-order Markov transition matrix over per-user event
+    # sequences: lag() within each user's timeline, then count (prev,
+    # next) pairs and normalize per source state. The lag window and
+    # the later per-prev_type window both hash on small keys; the heavy
+    # shuffle is the per-user window, keyed on user_id (high
+    # cardinality, no skew). The oracle orders by CAST(ts AS TIMESTAMP)
+    # — DuckDB truncates the stored nanos to Spark's microsecond
+    # precision, keeping tie-break (event_id) behavior identical.
+    e = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("transitions"))
+    )
+    wp = Window.partitionBy("prev_type")
+    return t.select(
+        "prev_type",
+        "next_type",
+        "transitions",
+        (
+            F.col("transitions").cast("double")
+            / F.sum("transitions").over(wp).cast("double")
+        ).alias("prob"),
+    )

@@ -177,6 +177,12 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_vocab_build"]),
         ("GR1", "triangle enumeration (degree-oriented wedges)",
          ["q_graph_triangles"]),
+        ("AN1", "2-D skyline / Pareto frontier (distributive sort-scan)",
+         ["q_skyline"]),
+        ("AN2", "deterministic exact-k sample (hash-rank top-k)",
+         ["q_sample_exact_k"]),
+        ("AN3", "event transition matrix (first-order Markov counts)",
+         ["q_event_transitions"]),
     ]),
     ("TPC-H composite shapes", [
         ("Q", "multi-way join/agg/subquery plans",

@@ -9,7 +9,7 @@ driver-side graph, no GraphX/RDD.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -78,3 +78,82 @@ def triangle_enumerate(
         tri.getItem(1).alias("b"),
         tri.getItem(2).alias("c"),
     )
+
+
+def _fdiv(a: Column, b: Column) -> Column:
+    # exact floor division for nonnegative integers: subtracting the
+    # remainder makes the numerator exactly divisible, so the double
+    # division is exact for any value < 2^53 (no float-rounding floor
+    # traps, unlike floor(a/b) at large magnitudes)
+    return ((a - F.pmod(a, b)) / b).cast("long")
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    iterations: int = 5,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list, in exact
+    integer arithmetic: ``(vertex, pr)`` with ``pr`` in ``scale`` units.
+
+    The float formulation is summation-order-nondeterministic (partial
+    aggregation merges in shuffle order), so a value-hash gate — or any
+    two runs on different partitionings — would disagree in the last
+    ulps. Integer ranks make every run and every engine bit-identical:
+
+        pr0(v)   = scale
+        contrib  = pr(u) // outdeg(u)          (exact floor division)
+        pr'(v)   = (15*scale)//100 + (85 * sum(contrib)) // 100
+
+    which is standard damping-0.85 PageRank with deterministic
+    truncation (each division loses < 1 unit = 1/scale of rank mass;
+    dangling vertices leak their mass, as in the uncorrected classic
+    formulation — document or add sink redistribution if that matters).
+
+    Shape per iteration: one join of the edge list against the rank
+    vector on the source key, one map-side-combined sum on the
+    destination key, one left join back to the vertex set — all hashing
+    on vertex ids. The edge list, vertex set, and out-degrees are
+    persisted once and reused by every iteration; iteration count is
+    fixed (no driver-side convergence reads). For deep iteration counts
+    add ``localCheckpoint`` every few rounds to bound lineage, as
+    ``llm.dedup.duplicate_clusters`` does.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    verts = (
+        e.select(F.col("u").alias("x"))
+        .union(e.select(F.col("v").alias("x")))
+        .distinct()
+        .persist()
+    )
+    outd = e.groupBy("u").agg(F.count(F.lit(1)).alias("d")).persist()
+    base = (15 * scale) // 100
+    ranks = verts.select("x", F.lit(scale).cast("long").alias("r"))
+    for _ in range(iterations):
+        contribs = (
+            e.join(ranks.withColumnRenamed("x", "u"), "u")
+            .join(outd, "u")
+            .select("v", _fdiv(F.col("r"), F.col("d")).alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = verts.join(
+            contribs.withColumnRenamed("v", "x"), "x", "left"
+        ).select(
+            "x",
+            (
+                F.lit(base)
+                + _fdiv(
+                    F.lit(85) * F.coalesce(F.col("s"), F.lit(0)),
+                    F.lit(100),
+                )
+            ).alias("r"),
+        )
+    return ranks.select(F.col("x").alias("vertex"), F.col("r").alias("pr"))

@@ -91,6 +91,127 @@ def q_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- AN4: grid-bucketed spatial distance join -------------------------------
+
+# synthetic fixed-point coordinates in a 10-degree box of micro-degrees
+# (0 .. 1e7), derived from the customer key via the Knuth multiplicative
+# hash (decorrelated lat/lon via a key offset) — both engines construct
+# the same values, so only exact integers cross the comparison
+_LAT_SQL = "(((c_custkey % 2147483648) * 2654435761) % 4294967296) % 10000000"
+_LON_SQL = (
+    "((((c_custkey + 999331) % 2147483648) * 2654435761) % 4294967296)"
+    " % 10000000"
+)
+_RADIUS = 250_000  # 0.25 degrees in micro-degrees
+
+
+@query(
+    "q_spatial_pairs",
+    oracle=f"""
+    WITH pts AS (
+        SELECT c_custkey AS id,
+               CAST({_LAT_SQL} AS BIGINT) AS lat,
+               CAST({_LON_SQL} AS BIGINT) AS lon
+        FROM customer
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST((a.lat - b.lat) * (a.lat - b.lat)
+              + (a.lon - b.lon) * (a.lon - b.lon) AS BIGINT) AS dist2
+    FROM pts a JOIN pts b ON a.id < b.id
+    WHERE (a.lat - b.lat) * (a.lat - b.lat)
+        + (a.lon - b.lon) * (a.lon - b.lon) <= {_RADIUS * _RADIUS}
+    """,
+)
+def q_spatial_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # proximity self-join: all point pairs within 0.25 degrees. The
+    # oracle runs the quadratic distance self-join DuckDB can afford at
+    # sf0.01; the Spark side buckets points into radius-sized grid
+    # cells and equi-joins the 3x3 neighborhood
+    # (operators/spatial.py) — the cross join never materializes.
+    # Integer micro-degree coords keep dist2 an exact BIGINT.
+    from ..operators.spatial import grid_distance_self_join
+
+    k = F.col("c_custkey")
+    lat = F.pmod(
+        F.pmod(F.pmod(k, F.lit(2147483648)) * F.lit(2654435761),
+               F.lit(4294967296)),
+        F.lit(10_000_000),
+    )
+    lon = F.pmod(
+        F.pmod(F.pmod(k + F.lit(999331), F.lit(2147483648))
+               * F.lit(2654435761), F.lit(4294967296)),
+        F.lit(10_000_000),
+    )
+    pts = Catalog(spark, sf_dir).customer.select(
+        k.alias("id"), lat.alias("lat"), lon.alias("lon")
+    )
+    return grid_distance_self_join(pts, "id", "lat", "lon", _RADIUS)
+
+
+# --- AN5: PageRank (fixed-iteration, exact integer arithmetic) --------------
+
+_PR_ITERATIONS = 5
+
+
+def _pagerank_oracle(iterations: int) -> str:
+    # the Spark side's iterative loop, unrolled into chained CTEs: DuckDB
+    # has no mutable state, so each iteration is one join/agg CTE pair.
+    # `//` is integer division — exact on the all-positive ranks, matching
+    # the engine's pmod-based exact floor division.
+    ctes = [
+        """e AS (
+        SELECT a.c_custkey AS u, b.c_custkey AS v
+        FROM customer a JOIN customer b
+          ON a.c_nationkey = b.c_nationkey
+         AND a.c_custkey < b.c_custkey
+         AND b.c_custkey - a.c_custkey <= 100
+    )""",
+        "verts AS (SELECT u AS x FROM e UNION SELECT v FROM e)",
+        "outd AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY u)",
+        "r0 AS (SELECT x, CAST(1000000 AS BIGINT) AS r FROM verts)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""s{i} AS (
+        SELECT e.v AS x, sum(r.r // o.d) AS s
+        FROM e JOIN r{i - 1} r ON r.x = e.u JOIN outd o ON o.u = e.u
+        GROUP BY e.v
+    )"""
+        )
+        ctes.append(
+            f"""r{i} AS (
+        SELECT verts.x,
+               CAST(150000 + COALESCE((85 * s{i}.s) // 100, 0) AS BIGINT) AS r
+        FROM verts LEFT JOIN s{i} ON s{i}.x = verts.x
+    )"""
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT x AS vertex, r AS pr FROM r{iterations}"
+    )
+
+
+@query("q_graph_pagerank", oracle=_pagerank_oracle(_PR_ITERATIONS))
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PageRank over the same banded same-nation customer graph as
+    # q_graph_triangles, directed low-key -> high-key (each nation's
+    # highest keys are dangling and leak mass, per the documented
+    # uncorrected formulation). Exact integer ranks (operators/graph.py
+    # pagerank) make the iterative result bit-identical to the oracle's
+    # unrolled-CTE replay — no float summation-order drift.
+    from ..operators.graph import pagerank
+
+    c = Catalog(spark, sf_dir).customer.select("c_custkey", "c_nationkey")
+    a, b = c.alias("a"), c.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey"))
+        & (F.col("b.c_custkey") - F.col("a.c_custkey") <= 100),
+    ).select(F.col("a.c_custkey").alias("u"), F.col("b.c_custkey").alias("v"))
+    return pagerank(edges, iterations=_PR_ITERATIONS)
+
+
 # --- AN3: event transition matrix (first-order Markov counts) ---------------
 
 

@@ -110,3 +110,63 @@ def test_transition_probs_sum_to_one(spark):
         .collect()
     )
     assert sums and all(abs(r.s - 1.0) < 1e-9 for r in sums)
+
+
+def test_grid_join_matches_naive(spark):
+    from pretalx_hub_etl_spark.operators.spatial import (
+        grid_distance_self_join,
+    )
+
+    import itertools
+
+    # clustered + scattered points, including exact-radius boundary and
+    # cross-cell neighbors
+    pts = [
+        (1, 0, 0),
+        (2, 5, 0),       # dist2 25
+        (3, 0, 5),       # dist2 25 from 1
+        (4, 100, 100),
+        (5, 104, 103),   # dist2 25 from 4
+        (6, 9, 9),       # cross-cell from 1 at radius 5? dist2 162 > 25
+        (7, 3, 4),       # dist2 25 from 1 (exact boundary)
+        (8, 1000, 1000),
+    ]
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    r = 5
+    got = sorted(
+        (row.id_a, row.id_b, row.dist2)
+        for row in grid_distance_self_join(df, "id", "x", "y", r).collect()
+    )
+    want = sorted(
+        (a[0], b[0], (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2)
+        for a, b in itertools.combinations(pts, 2)
+        if (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2 <= r * r
+    )
+    assert got == want and len(want) >= 4
+
+
+def test_pagerank_matches_reference(spark):
+    from pretalx_hub_etl_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1)]  # cycle + feeder
+    df = spark.createDataFrame(edges, "u long, v long")
+    scale, iters = 1_000_000, 5
+    got = {
+        r.vertex: r.pr for r in pagerank(df, iterations=iters).collect()
+    }
+
+    # driver-side integer replay
+    outd = {}
+    for u, v in edges:
+        outd[u] = outd.get(u, 0) + 1
+    verts = {x for e in edges for x in e}
+    ranks = {x: scale for x in verts}
+    base = (15 * scale) // 100
+    for _ in range(iters):
+        s = {x: 0 for x in verts}
+        for u, v in edges:
+            s[v] += ranks[u] // outd[u]
+        ranks = {x: base + (85 * s[x]) // 100 for x in verts}
+    assert got == ranks
+    # dangling vertex 4 receives nothing: floor(0.15 * scale)
+    assert got[4] == base

@@ -183,6 +183,10 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_sample_exact_k"]),
         ("AN3", "event transition matrix (first-order Markov counts)",
          ["q_event_transitions"]),
+        ("AN4", "grid-bucketed spatial distance join (exact integer dist2)",
+         ["q_spatial_pairs"]),
+        ("GR2", "PageRank (fixed-iteration, exact integer arithmetic)",
+         ["q_graph_pagerank"]),
     ]),
     ("TPC-H composite shapes", [
         ("Q", "multi-way join/agg/subquery plans",

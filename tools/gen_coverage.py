@@ -138,7 +138,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
         ("L2d", "near-dup clusters (connected components, min-label propagation)",
          ["q_dedup_clusters"]),
         ("L3", "similarity search: brute-force / LSH / IVF",
-         ["q_sim_topk", "q_sim_topk_lsh", "q_sim_topk_ivf"]),
+         ["q_sim_topk", "q_sim_topk_lsh", "q_sim_topk_ivf",
+          "q_sim_topk_pq"]),
         ("L4", "text analysis",
          ["q_text_termfreq", "q_text_tfidf", "q_text_quality", "q_text_tokens",
           "q_text_fingerprint", "q_text_langid"]),

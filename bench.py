@@ -60,6 +60,10 @@ HEADLINE = [
     "q_fuzzy_pairs",        # symmetric-delete fuzzy key matching
     "q_pmi_bigrams",        # token-pair collocation mining
     "q_text_bm25",          # Okapi BM25 relevance scoring
+    "q_skyline",            # distributive Pareto frontier
+    "q_spatial_pairs",      # grid-bucketed spatial distance join
+    "q_graph_pagerank",     # 5-iteration integer PageRank
+    "q_sim_topk_pq",        # product-quantization ANN + rerank
 ]
 
 

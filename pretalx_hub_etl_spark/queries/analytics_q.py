@@ -212,6 +212,100 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iterations=_PR_ITERATIONS)
 
 
+# --- L28: BPE tokenizer training (word counts -> merge table) ---------------
+
+
+@query("q_bpe_train", oracle=None)
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # BPE merge learning over the documents corpus (llm/bpe.py): the
+    # corpus-sized word count runs distributed; the merge loop runs on
+    # the vocab-sized aggregate, as every production trainer does.
+    # Deterministic (frequency then lexicographic tie-break) but not
+    # SQL-expressible -> rows-only; exactness is pinned by
+    # tests/test_bpe.py against a hand-derived reference corpus.
+    from ..llm.bpe import bpe_train, merge_table, word_counts
+
+    d = Catalog(spark, sf_dir).documents
+    wc = word_counts(d, min_count=2)
+    return merge_table(spark, bpe_train(wc, n_merges=200))
+
+
+# --- AN6: time-weighted average over irregular event series -----------------
+
+
+@query(
+    "q_twap",
+    oracle="""
+    WITH s AS (
+        SELECT event_type,
+               CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+               lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                   PARTITION BY event_type
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id) AS t_next
+        FROM events
+    ), w AS (
+        SELECT event_type, cents, (t_next - t) // 1000000 AS dur_s
+        FROM s WHERE t_next IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(CAST(sum(CAST(cents * dur_s AS DECIMAL(38,0)))
+                     AS DOUBLE)
+                / CAST(CAST(sum(CAST(dur_s AS DECIMAL(38,0)))
+                            AS DOUBLE) AS DOUBLE) AS DOUBLE) AS twap
+    FROM w GROUP BY event_type
+    """,
+)
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Time-weighted average price/value over an IRREGULARLY sampled
+    # series: each observation holds until the next one of the same key,
+    # so its weight is that interval's duration. Plain avg() is wrong on
+    # irregular series (burst periods dominate); TWAP is the standard
+    # fix (finance VWAP/TWAP family, monitoring rollups). Per-key lead()
+    # window + one exact-integer aggregation: value cents x whole-second
+    # durations accumulate in DECIMAL(38,0) (exact at any row count —
+    # int64 would saturate near 1e11 rows), one pinned double division
+    # at the end. Durations floor to whole seconds via exact integer
+    # division on both engines.
+    e = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    # the catalog's events.ts is TIMESTAMP_NTZ; the session is pinned
+    # UTC, so the cast to (ltz) TIMESTAMP for unix_micros is lossless
+    # and matches DuckDB's epoch_us
+    t = F.unix_micros(F.col("ts").cast("timestamp"))
+    s = (
+        e.select(
+            "event_type",
+            F.floor(F.col("value") * 100.0 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+            t.alias("t"),
+            F.lead(t).over(w).alias("t_next"),
+        )
+        .filter(F.col("t_next").isNotNull())
+        .withColumn(
+            "dur_s",
+            (
+                (F.col("t_next") - F.col("t"))
+                - F.pmod(F.col("t_next") - F.col("t"), F.lit(1_000_000))
+            )
+            / F.lit(1_000_000),
+        )
+        .withColumn("dur_s", F.col("dur_s").cast("long"))
+    )
+    return s.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        (
+            F.sum((F.col("cents") * F.col("dur_s")).cast("decimal(38,0)"))
+            .cast("double")
+            / F.sum(F.col("dur_s").cast("decimal(38,0)")).cast("double")
+        )
+        .cast("double")
+        .alias("twap"),
+    )
+
+
 # --- AN3: event transition matrix (first-order Markov counts) ---------------
 
 

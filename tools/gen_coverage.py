@@ -186,6 +186,10 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_event_transitions"]),
         ("AN4", "grid-bucketed spatial distance join (exact integer dist2)",
          ["q_spatial_pairs"]),
+        ("AN5", "time-weighted average over irregular series (TWAP)",
+         ["q_twap"]),
+        ("L28", "BPE tokenizer training (distributed counts + vocab-sized merges)",
+         ["q_bpe_train"]),
         ("GR2", "PageRank (fixed-iteration, exact integer arithmetic)",
          ["q_graph_pagerank"]),
     ]),

@@ -212,6 +212,106 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iterations=_PR_ITERATIONS)
 
 
+# --- AN7: equi-depth histogram (scale-safe global ranks) --------------------
+
+
+@query(
+    "q_histogram_equidepth",
+    oracle="""
+    WITH c AS (
+        SELECT CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents,
+               l_orderkey, l_linenumber
+        FROM lineitem
+    ), n AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM c),
+    r AS (
+        SELECT cents,
+               CAST(row_number() OVER (
+                   ORDER BY cents, l_orderkey, l_linenumber) - 1
+                    AS BIGINT) AS rn0
+        FROM c
+    )
+    SELECT CAST((rn0 * 8) // cnt AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           min(cents) AS lo, max(cents) AS hi
+    FROM r, n GROUP BY 1
+    """,
+)
+def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Equi-DEPTH histogram (quantile buckets: equal row counts, data-
+    # driven boundaries — the profile a cost optimizer or drift monitor
+    # wants, where equi-width bins collapse under skew). Bucket id is
+    # the explicit integer formula floor(rank0 * k / n) on BOTH engines
+    # — NOT ntile(), whose remainder placement differs from the formula
+    # — with the rank computed scale-safely via global_row_number
+    # (range partition + partition-offset stamp; the oracle affords the
+    # single-reducer window DuckDB-side). min/max/count per bucket are
+    # exact BIGINTs.
+    from ..operators.agg import global_row_number
+
+    li = Catalog(spark, sf_dir).lineitem.select(
+        F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    ranked = global_row_number(
+        li, ["cents", "l_orderkey", "l_linenumber"], out_col="rn"
+    )
+    total = li.agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    a = (F.col("rn") - 1) * 8
+    bucket = ((a - F.pmod(a, F.col("cnt"))) / F.col("cnt")).cast("long")
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .select(bucket.alias("bucket"), "cents")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("cents").alias("lo"),
+            F.max("cents").alias("hi"),
+        )
+    )
+
+
+# --- S8: schema-evolution merged read ---------------------------------------
+
+
+@query(
+    "q_schema_evolution",
+    oracle="""
+    SELECT c_custkey, c_name, CAST(NULL AS BIGINT) AS cents
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, c_name,
+           CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS cents
+    FROM customer
+    """,
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Schema drift is the steady state of a long-lived 100 TB table:
+    # old files lack columns newer files carry. The engine reads both
+    # generations in ONE scan with mergeSchema=true — parquet footers
+    # union into the widest schema, absent columns surface as NULL —
+    # instead of per-generation reads + unionByName (which re-plans per
+    # generation and defeats partition-level listing). The oracle is
+    # the explicit NULL-padded union of the same two projections.
+    import os
+    import tempfile
+
+    c = Catalog(spark, sf_dir).customer
+    root = tempfile.mkdtemp(prefix="phe_evo_")
+    v1, v2 = os.path.join(root, "gen=1"), os.path.join(root, "gen=2")
+    c.select("c_custkey", "c_name").write.mode("overwrite").parquet(v1)
+    c.select(
+        "c_custkey",
+        "c_name",
+        F.floor(F.col("c_acctbal") * 100.0 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    ).write.mode("overwrite").parquet(v2)
+    return spark.read.option("mergeSchema", "true").parquet(v1, v2)
+
+
 # --- L28: BPE tokenizer training (word counts -> merge table) ---------------
 
 

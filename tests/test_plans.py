@@ -118,6 +118,8 @@ NESTED_LOOP_ALLOWED = {
     "q_pmi_bigrams",       # corpus token totals as two 1-row broadcasts
     "q_text_bm25",         # (N, avgdl) corpus stats as a 1-row broadcast
     "q_sim_topk_ivf_indexed",  # probe assignment: queries × broadcast(16)
+    "q_sim_topk_pq",       # ADC scan: codes × broadcast(query dist tables)
+    "q_histogram_equidepth",  # total row count as a 1-row broadcast
 }
 
 

@@ -188,6 +188,10 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_spatial_pairs"]),
         ("AN5", "time-weighted average over irregular series (TWAP)",
          ["q_twap"]),
+        ("AN6", "equi-depth histogram (scale-safe global ranks)",
+         ["q_histogram_equidepth"]),
+        ("S8", "schema-evolution merged read (mergeSchema single scan)",
+         ["q_schema_evolution"]),
         ("L28", "BPE tokenizer training (distributed counts + vocab-sized merges)",
          ["q_bpe_train"]),
         ("GR2", "PageRank (fixed-iteration, exact integer arithmetic)",

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..operators.partitioning import fan_out
@@ -445,4 +445,103 @@ def simhash64(df: DataFrame, text_col: str, id_col: str, shingle_k: int = 2) -> 
         .select(F.col(id_col).alias("id"), hashes)
         .select("id", votes)
         .select("id", sim.alias("simhash"))
+    )
+
+
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    jaccard_threshold: float = 0.6,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """:func:`ngram_jaccard_pairs` with PREFIX FILTERING — identical
+    output, far fewer candidates.
+
+    The full postings self-join costs Σ_g df(g)² over EVERY gram. Prefix
+    filtering (Chaudhuri, Ganti & Kaushik, "A Primitive Operator for
+    Similarity Joins", ICDE 2006; Xiao et al., PPJoin, WWW 2008) proves
+    that for ``J(A,B) >= t`` the two docs must share a gram inside each
+    doc's PREFIX — its ``n - floor(t·n) + 1`` rarest grams under a
+    global canonical order (ascending document frequency, gram hash as
+    tiebreak). Pigeonhole: overlap >= ceil(t·n) elements can't all hide
+    in the suffix. (``floor`` rather than the tight ``ceil`` sidesteps
+    float-boundary ambiguity at the cost of a slightly longer prefix —
+    a superset of candidates, never a miss.)
+
+    So the quadratic term shrinks from Σ_g df(g)² to Σ_g df_prefix(g)²,
+    and the prefix is dominated by RARE grams — precisely the ones with
+    tiny df. At t=0.5 the prefix is ~half of each doc; the verify step
+    touches only surviving candidate pairs, joining their full gram
+    SETS (arrays bounded by doc length) for one JVM-side
+    ``array_intersect``. The stop-gram cap still applies first and
+    defines the same gram universe as the exact form, so outputs match
+    bit-for-bit (asserted in tests; same DuckDB oracle).
+
+    Measured at sf0.1 (5k docs): candidate pairs 1.13M → 419k (−63%),
+    but wall time 1.6s → 4.5s — the df-join, per-doc prefix window, and
+    set-verify stages cost more than the avoided join work while the
+    corpus fits one node. The crossover is corpus growth: Σ_g df(g)²
+    grows superlinearly (df scales with corpus for every gram under the
+    cap) while the added stages stay linear, so at pretraining scale
+    the plain join's shuffle explodes and this form is the one that
+    survives. Use the plain :func:`ngram_jaccard_pairs` below ~10⁵
+    docs; switch here above it.
+    """
+    grams = fan_out(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(_shingle_hashes(text_col, k)).alias("g"),
+    )
+    if max_doc_freq is not None:
+        grams = grams.cache()
+        rare = (
+            grams.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("g")
+        )
+        grams = grams.join(rare, "g", "left_semi")
+    grams = grams.cache()  # feeds dfreq, prefixes, and the verify sets
+    dfreq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("dfg"))
+    sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    wp = Window.partitionBy("id").orderBy("dfg", "g")
+    prefix_len = (
+        F.col("n")
+        - F.floor(F.lit(jaccard_threshold) * F.col("n")).cast("long")
+        + 1
+    )
+    prefix = (
+        grams.join(dfreq, "g")
+        .withColumn("rn", F.row_number().over(wp))
+        .join(sizes, "id")
+        .filter(F.col("rn") <= prefix_len)
+        .select("id", "g")
+    )
+    cands = (
+        prefix.select(F.col("id").alias("id_a"), "g")
+        .join(prefix.select(F.col("id").alias("id_b"), "g"), "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    gsets = grams.groupBy("id").agg(F.collect_set("g").alias("gs"))
+    jaccard = F.col("n_common").cast("double") / (
+        F.size("gsa") + F.size("gsb") - F.col("n_common")
+    )
+    return (
+        cands.join(
+            gsets.select(F.col("id").alias("id_a"), F.col("gs").alias("gsa")),
+            "id_a",
+        )
+        .join(
+            gsets.select(F.col("id").alias("id_b"), F.col("gs").alias("gsb")),
+            "id_b",
+        )
+        .withColumn(
+            "n_common", F.size(F.array_intersect("gsa", "gsb")).cast("long")
+        )
+        .withColumn("jaccard", jaccard)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
     )

@@ -107,6 +107,26 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_dedup_jaccard_prefix",
+    oracle=f"WITH {_NGRAM_PAIRS_CTES} SELECT id_a, id_b, jaccard FROM pairs",
+)
+def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PPJoin-style prefix filtering over the SAME measure/params/oracle
+    # as q_dedup_ngram_jaccard: only each doc's rarest
+    # n - floor(t*n) + 1 grams enter the self-join (candidates -63%
+    # measured at sf0.1), full gram sets verify survivors. Same output
+    # bit-for-bit; the scale rationale and the single-node crossover are
+    # documented at llm/dedup.py ngram_jaccard_pairs_prefix.
+    from ..llm.dedup import ngram_jaccard_pairs_prefix
+
+    d = Catalog(spark, sf_dir).documents
+    return ngram_jaccard_pairs_prefix(
+        d, text_col="text", id_col="doc_id", k=3, jaccard_threshold=0.5,
+        max_doc_freq=100,
+    )
+
+
+@query(
     "q_dedup_containment",
     oracle=f"""
     WITH {_NGRAM_PAIRS_CTES.replace(

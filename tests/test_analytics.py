@@ -170,3 +170,29 @@ def test_pagerank_matches_reference(spark):
     assert got == ranks
     # dangling vertex 4 receives nothing: floor(0.15 * scale)
     assert got[4] == base
+
+
+def test_prefix_jaccard_equals_exact(spark):
+    from pretalx_hub_etl_spark.catalog import Catalog
+    from pretalx_hub_etl_spark.llm.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    d = Catalog(spark, "/root/testdata/sf0.001").documents
+    kw = dict(
+        text_col="text",
+        id_col="doc_id",
+        k=3,
+        jaccard_threshold=0.5,
+        max_doc_freq=100,
+    )
+    exact = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in ngram_jaccard_pairs(d, **kw).collect()
+    }
+    prefix = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in ngram_jaccard_pairs_prefix(d, **kw).collect()
+    }
+    assert prefix == exact and len(exact) > 0

@@ -133,8 +133,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
     ("2.11 LLM-pipeline extensions", [
         ("L1", "exact dedup", ["q_dedup_exact"]),
         ("L2", "near-dup: MinHash-LSH / exact n-gram Jaccard / SimHash / embedding",
-         ["q_dedup_near", "q_dedup_ngram_jaccard", "q_dedup_containment",
-          "q_dedup_simhash", "q_dedup_embed"]),
+         ["q_dedup_near", "q_dedup_ngram_jaccard", "q_dedup_jaccard_prefix",
+          "q_dedup_containment", "q_dedup_simhash", "q_dedup_embed"]),
         ("L2d", "near-dup clusters (connected components, min-label propagation)",
          ["q_dedup_clusters"]),
         ("L3", "similarity search: brute-force / LSH / IVF",

@@ -273,6 +273,69 @@ def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- AN8: chi-square contingency (categorical association) ------------------
+
+
+@query(
+    "q_chi_square",
+    oracle="""
+    WITH obs AS (
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+        FROM documents GROUP BY lang, source
+    ), m AS (
+        SELECT lang, source, o,
+               CAST(sum(o) OVER (PARTITION BY lang) AS BIGINT) AS rt,
+               CAST(sum(o) OVER (PARTITION BY source) AS BIGINT) AS ct,
+               CAST(sum(o) OVER () AS BIGINT) AS n
+        FROM obs
+    )
+    SELECT lang, source, o,
+           CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE) AS expected,
+           (CAST(o AS DOUBLE)
+              - CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE))
+           * (CAST(o AS DOUBLE)
+              - CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE))
+           / (CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE)) AS chi2_term
+    FROM m
+    """,
+)
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Chi-square contingency analysis of two categoricals (lang x
+    # source): observed cell counts vs independence expectations, with
+    # the per-cell (O-E)^2/E terms whose sum is the test statistic —
+    # the feature-association profile a curation pipeline uses to spot
+    # source/language confounds. One groupBy over the corpus; the
+    # marginals come from windows OVER THE CELL TABLE (cardinality
+    # |lang|x|source|, never the data), so the corpus is scanned once.
+    # Counts stay exact BIGINTs; every double op is pinned to the same
+    # order in the oracle. NOTE df.stat.crosstab exists but collects a
+    # driver-sized pivot; this form stays distributed and composable.
+    d = Catalog(spark, sf_dir).documents
+    obs = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    rt = F.sum("o").over(Window.partitionBy("lang"))
+    ct = F.sum("o").over(Window.partitionBy("source"))
+    n = F.sum("o").over(Window.partitionBy())
+    m = obs.select(
+        "lang",
+        "source",
+        "o",
+        rt.alias("rt"),
+        ct.alias("ct"),
+        n.alias("n"),
+    )
+    expected = (F.col("rt") * F.col("ct")).cast("double") / F.col("n").cast(
+        "double"
+    )
+    diff = F.col("o").cast("double") - expected
+    return m.select(
+        "lang",
+        "source",
+        "o",
+        expected.alias("expected"),
+        (diff * diff / expected).alias("chi2_term"),
+    )
+
+
 # --- S8: schema-evolution merged read ---------------------------------------
 
 

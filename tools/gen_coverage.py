@@ -190,6 +190,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_twap"]),
         ("AN6", "equi-depth histogram (scale-safe global ranks)",
          ["q_histogram_equidepth"]),
+        ("AN8", "chi-square contingency (categorical association)",
+         ["q_chi_square"]),
         ("S8", "schema-evolution merged read (mergeSchema single scan)",
          ["q_schema_evolution"]),
         ("L28", "BPE tokenizer training (distributed counts + vocab-sized merges)",

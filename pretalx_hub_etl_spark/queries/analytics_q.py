@@ -273,6 +273,56 @@ def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- UD2: Spark 4 Python UDTF (table function, lateral-join form) -----------
+
+
+@query(
+    "q_fn_udtf",
+    oracle="""
+    WITH idx AS (
+        SELECT doc_id, n_chars,
+               unnest(range(0, CAST(ceil(n_chars / 200.0) AS BIGINT)))
+                   AS chunk_idx
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(least(200, n_chars - chunk_idx * 200) AS BIGINT) AS chunk_len
+    FROM idx
+    """,
+)
+def q_fn_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark 4's Python user-defined TABLE function (SPIP in 3.5,
+    # stable in 4.x): one input row expands to N output rows with a
+    # declared schema — the lateral-join form of mapInPandas, usable
+    # straight from SQL. The UDTF plans fixed-length chunk spans from
+    # n_chars alone (like the paged source plans from footer stats);
+    # DuckDB's generate_series lateral join is the oracle twin. The
+    # eval runs per row in Python — right for control-flow-heavy
+    # expansion logic; for bulk numeric paths prefer the Arrow-batched
+    # pandas UDF family (UD1).
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx bigint, chunk_len bigint")
+    class ChunkSpans:
+        def eval(self, n_chars: int, size: int):
+            if n_chars is None or n_chars <= 0:
+                return
+            full = (n_chars + size - 1) // size
+            for i in range(full):
+                yield i, min(size, n_chars - i * size)
+
+    spark.udtf.register("chunk_spans", ChunkSpans)
+    d = Catalog(spark, sf_dir).documents
+    d.createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.chunk_idx, s.chunk_len
+        FROM __udtf_docs d,
+             LATERAL chunk_spans(d.n_chars, 200) s
+        """
+    )
+
+
 # --- AN8: chi-square contingency (categorical association) ------------------
 
 

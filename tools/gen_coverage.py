@@ -129,6 +129,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
     ]),
     ("2.10 UDF surface", [
         ("UD1", "Arrow pandas UDF ≡ built-in", ["q_udf_pandas"]),
+        ("UD2", "Spark 4 Python UDTF (SQL LATERAL table function)",
+         ["q_fn_udtf"]),
     ]),
     ("2.11 LLM-pipeline extensions", [
         ("L1", "exact dedup", ["q_dedup_exact"]),

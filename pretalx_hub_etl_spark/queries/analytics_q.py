@@ -273,6 +273,35 @@ def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- L29: heavy hitters (Misra-Gries candidates + exact verify) -------------
+
+
+@query(
+    "q_heavy_hitters",
+    oracle=r"""
+    SELECT term AS value, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT unnest(string_split_regex(text, '\s+')) AS term
+          FROM documents)
+    WHERE term <> ''
+    GROUP BY term HAVING count(*) >= 200
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact heavy hitters WITHOUT the vocabulary-sized shuffle: per-
+    # partition Misra-Gries summaries propose a guaranteed-superset
+    # candidate set (counters x partitions rows), an exact recount of
+    # candidates only disposes (operators/heavy.py). The oracle is the
+    # plain GROUP BY ... HAVING — identical output, different plan
+    # class at scale.
+    from ..operators.heavy import heavy_hitters
+
+    d = Catalog(spark, sf_dir).documents
+    toks = d.select(
+        F.explode(F.split(F.col("text"), r"\s+")).alias("term")
+    ).filter(F.col("term") != "")
+    return heavy_hitters(toks, "term", min_count=200)
+
+
 # --- UD2: Spark 4 Python UDTF (table function, lateral-join form) -----------
 
 

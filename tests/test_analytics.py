@@ -196,3 +196,41 @@ def test_prefix_jaccard_equals_exact(spark):
         for r in ngram_jaccard_pairs_prefix(d, **kw).collect()
     }
     assert prefix == exact and len(exact) > 0
+
+
+def test_misra_gries_guarantee():
+    from pretalx_hub_etl_spark.operators.heavy import _misra_gries
+
+    # 'a' has freq 40 > 100/5=20 -> must hold a counter
+    stream = ["a"] * 40 + [f"x{i}" for i in range(60)]
+    got = _misra_gries(iter(stream), k=5)
+    assert "a" in got
+
+
+def test_heavy_hitters_exact(spark):
+    import random
+
+    from pretalx_hub_etl_spark.operators.heavy import heavy_hitters
+
+    rng = random.Random(7)
+    vals = (
+        ["hot"] * 300
+        + ["warm"] * 120
+        + ["cool"] * 99
+        + [f"tail{rng.randrange(5000)}" for _ in range(2000)]
+    )
+    rng.shuffle(vals)
+    df = spark.createDataFrame(
+        [(v,) for v in vals], "term string"
+    ).repartition(4)
+    got = {
+        (r.value, r.n)
+        for r in heavy_hitters(df, "term", min_count=100).collect()
+    }
+    from collections import Counter
+
+    want = {
+        (v, n) for v, n in Counter(vals).items() if n >= 100
+    }
+    assert got == want
+    assert ("hot", 300) in got and ("cool", 99) not in got

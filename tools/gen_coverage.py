@@ -198,6 +198,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_schema_evolution"]),
         ("L28", "BPE tokenizer training (distributed counts + vocab-sized merges)",
          ["q_bpe_train"]),
+        ("L29", "heavy hitters (Misra-Gries candidates + exact verify)",
+         ["q_heavy_hitters"]),
         ("GR2", "PageRank (fixed-iteration, exact integer arithmetic)",
          ["q_graph_pagerank"]),
     ]),

@@ -17,99 +17,129 @@ path), never per-row tuples.
 
 At 100 TB the same class wraps the HTTP fetcher (http_page_fetcher) —
 partitions stay "one page each", only ``read`` changes.
+
+SHIPPING CONSTRAINT (driver-contract, caught by plain-session
+emulation): Spark pickles the DataSource class — and later the reader —
+into dedicated Python workers (``create_data_source`` /
+``plan_data_source_read``), which do NOT share the driver's ``sys.path``
+additions. A module-level class pickles BY REFERENCE and those workers
+then fail with ModuleNotFoundError when the engine is used as a
+path-injected library rather than an installed package. The classes are
+therefore built inside :func:`build_paged_parquet_source` — local
+classes cloudpickle BY VALUE, and every helper they call is either
+inlined or imported from installed libraries (pyarrow, pyspark) at call
+time.
 """
 
 from __future__ import annotations
 
-from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
-from pyspark.sql.types import StructType
+def build_paged_parquet_source():
+    """The ``paged_parquet`` DataSource class, built as a LOCAL class so
+    cloudpickle ships it by value (see module docstring)."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+    from pyspark.sql.types import StructType
 
+    class _PagePartition(InputPartition):
+        def __init__(self, lo: int, hi: int):
+            self.lo = lo
+            self.hi = hi
 
-class _PagePartition(InputPartition):
-    def __init__(self, lo: int, hi: int):
-        self.lo = lo
-        self.hi = hi
+    class _PagedParquetReader(DataSourceReader):
+        def __init__(self, options, columns):
+            self.path = options["path"]
+            self.key = options["key"]
+            self.page_size = int(options.get("page_size", "1000"))
+            self.columns = columns
 
+        def partitions(self):
+            # plan pages from FOOTER statistics only (never a data
+            # scan): [0, upper) sliced into page_size key ranges. The
+            # upper-bound logic mirrors paginated.parquet_key_upper_bound,
+            # inlined because this method runs in the planning worker.
+            import pyarrow.parquet as pq
 
-class PagedParquetDataSource(DataSource):
-    """``spark.read.format("paged_parquet")`` with options:
+            meta = pq.ParquetFile(self.path).metadata
+            idx = meta.schema.names.index(self.key)
+            hi = None
+            for rg in range(meta.num_row_groups):
+                stats = meta.row_group(rg).column(idx).statistics
+                if stats is None or not stats.has_min_max:
+                    raise ValueError(
+                        f"no min/max statistics for {self.key!r}"
+                        f" in {self.path}"
+                    )
+                hi = stats.max if hi is None else max(hi, stats.max)
+            upper = 0 if hi is None else int(hi) + 1
+            return [
+                _PagePartition(lo, min(lo + self.page_size, upper))
+                for lo in range(0, upper, self.page_size)
+            ]
 
-    - ``path``: parquet file
-    - ``key``: integer pagination key column
-    - ``page_size``: rows-per-page in KEY units (pages are key ranges)
-    - ``columns`` (optional): comma-separated projection
-    """
+        def read(self, partition):
+            # executor-side: decode only row groups whose min/max
+            # overlap the page, then slice the exact key range; emit
+            # Arrow RecordBatches
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
 
-    @classmethod
-    def name(cls) -> str:
-        return "paged_parquet"
+            pf = pq.ParquetFile(self.path)
+            idx = pf.metadata.schema.names.index(self.key)
+            groups = []
+            for rg in range(pf.metadata.num_row_groups):
+                st = pf.metadata.row_group(rg).column(idx).statistics
+                if st is None or st.min is None:
+                    groups.append(rg)  # no stats -> cannot prune
+                elif st.min < partition.hi and st.max >= partition.lo:
+                    groups.append(rg)
+            if not groups:
+                return
+            tbl = pf.read_row_groups(groups, columns=self.columns)
+            mask = pc.and_(
+                pc.greater_equal(tbl[self.key], partition.lo),
+                pc.less(tbl[self.key], partition.hi),
+            )
+            for batch in tbl.filter(mask).to_batches():
+                yield batch
 
-    def schema(self):
-        import pyarrow as pa
-        import pyarrow.parquet as pq
+    class PagedParquetDataSource(DataSource):
+        """``spark.read.format("paged_parquet")`` with options:
 
-        from pyspark.sql.pandas.types import from_arrow_schema
+        - ``path``: parquet file
+        - ``key``: integer pagination key column
+        - ``page_size``: rows-per-page in KEY units (pages are key ranges)
+        - ``columns`` (optional): comma-separated projection
+        """
 
-        sch = pq.ParquetFile(self.options["path"]).schema_arrow
-        cols = self._columns()
-        if cols:
-            sch = pa.schema([sch.field(c) for c in cols])
-        return from_arrow_schema(sch)
+        @classmethod
+        def name(cls) -> str:
+            return "paged_parquet"
 
-    def _columns(self) -> list[str] | None:
-        cols = self.options.get("columns")
-        return [c.strip() for c in cols.split(",")] if cols else None
+        def schema(self):
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+            from pyspark.sql.pandas.types import from_arrow_schema
 
-    def reader(self, schema: StructType) -> DataSourceReader:
-        return _PagedParquetReader(self.options, self._columns())
+            sch = pq.ParquetFile(self.options["path"]).schema_arrow
+            cols = self._columns()
+            if cols:
+                sch = pa.schema([sch.field(c) for c in cols])
+            return from_arrow_schema(sch)
 
+        def _columns(self):
+            cols = self.options.get("columns")
+            return [c.strip() for c in cols.split(",")] if cols else None
 
-class _PagedParquetReader(DataSourceReader):
-    def __init__(self, options, columns: list[str] | None):
-        self.path = options["path"]
-        self.key = options["key"]
-        self.page_size = int(options.get("page_size", "1000"))
-        self.columns = columns
+        def reader(self, schema: StructType) -> DataSourceReader:
+            return _PagedParquetReader(self.options, self._columns())
 
-    def partitions(self) -> Sequence[InputPartition]:
-        # plan pages from FOOTER statistics only (never a data scan):
-        # [0, upper) sliced into page_size key ranges
-        from .paginated import parquet_key_upper_bound
-
-        upper = parquet_key_upper_bound(self.path, self.key)
-        return [
-            _PagePartition(lo, min(lo + self.page_size, upper))
-            for lo in range(0, upper, self.page_size)
-        ]
-
-    def read(self, partition: _PagePartition) -> Iterator:
-        # executor-side: decode only row groups whose min/max overlap the
-        # page, then slice the exact key range; emit Arrow RecordBatches
-        import pyarrow.compute as pc
-        import pyarrow.parquet as pq
-
-        pf = pq.ParquetFile(self.path)
-        idx = pf.metadata.schema.names.index(self.key)
-        groups = []
-        for rg in range(pf.metadata.num_row_groups):
-            st = pf.metadata.row_group(rg).column(idx).statistics
-            if st is None or st.min is None:
-                groups.append(rg)  # no stats -> cannot prune
-            elif st.min < partition.hi and st.max >= partition.lo:
-                groups.append(rg)
-        if not groups:
-            return
-        tbl = pf.read_row_groups(groups, columns=self.columns)
-        mask = pc.and_(
-            pc.greater_equal(tbl[self.key], partition.lo),
-            pc.less(tbl[self.key], partition.hi),
-        )
-        for batch in tbl.filter(mask).to_batches():
-            yield batch
+    return PagedParquetDataSource
 
 
 def register(spark) -> None:
     """Idempotently register the source on a session."""
-    spark.dataSource.register(PagedParquetDataSource)
+    spark.dataSource.register(build_paged_parquet_source())

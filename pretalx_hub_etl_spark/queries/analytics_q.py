@@ -273,6 +273,104 @@ def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- AN9: interval-union coverage (overlap-aware temporal sweep) ------------
+
+
+@query(
+    "q_interval_coverage",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS s,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 1000000
+                 + (CAST(floor(value * 100.0 + 0.5) AS BIGINT) % 7200) AS e
+        FROM events
+    ), sweep AS (
+        SELECT user_id, s, e,
+               max(e) OVER (
+                   PARTITION BY user_id ORDER BY s, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev_e
+        FROM iv
+    )
+    SELECT user_id,
+           CAST(sum(greatest(0, e - greatest(s, coalesce(prev_e, s))))
+                AS BIGINT) AS covered_s
+    FROM sweep GROUP BY user_id
+    """,
+)
+def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Union length of possibly-OVERLAPPING intervals per key (session
+    # coverage, SLA uptime, speaker-availability windows): naive
+    # sum(duration) double-counts overlaps. The plane-sweep as a
+    # window: order intervals by start, carry the running max end over
+    # PRECEDING rows, and each interval contributes only the part past
+    # that frontier — one window + one agg, both hashed on user_id (one
+    # Exchange total), all arithmetic in exact whole-second BIGINTs.
+    e = Catalog(spark, sf_dir).events
+    s = F.unix_micros(F.col("ts").cast("timestamp"))
+    s = ((s - F.pmod(s, F.lit(1_000_000))) / F.lit(1_000_000)).cast("long")
+    dur = F.pmod(
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long"),
+        F.lit(7200),
+    )
+    iv = e.select(
+        "user_id", "event_id", s.alias("s"), (s + dur).alias("e")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sweep = iv.withColumn("prev_e", F.max("e").over(w))
+    covered = F.greatest(
+        F.lit(0).cast("long"),
+        F.col("e")
+        - F.greatest(F.col("s"), F.coalesce(F.col("prev_e"), F.col("s"))),
+    )
+    return (
+        sweep.select("user_id", covered.alias("c"))
+        .groupBy("user_id")
+        .agg(F.sum("c").alias("covered_s"))
+    )
+
+
+# --- A14: bitmap-exact distinct counting (re-aggregatable) ------------------
+
+
+@query(
+    "q_distinct_bitmap",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def q_distinct_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # COUNT(DISTINCT) as a two-level BITMAP aggregation (Spark 4's
+    # bitmap_* family — the Snowflake/BigQuery pattern): bucket ids
+    # into 32k-bit bitmaps, OR-merge per group, sum the popcounts.
+    # Same exact answer as count(DISTINCT) — the oracle — but the
+    # partial state is a MERGEABLE fixed-width bitmap instead of a
+    # per-key hash set: partials combine map-side, roll up across
+    # grouping levels without re-expansion, and can be persisted as a
+    # re-aggregatable distinct "sketch" that is exact, not approximate.
+    # At 100 TB this is the difference between shuffling every distinct
+    # (group, user) pair and shuffling bounded bitmap pages.
+    e = Catalog(spark, sf_dir).events
+    pages = e.groupBy(
+        "event_type",
+        F.bitmap_bucket_number(F.col("user_id")).alias("bucket"),
+    ).agg(
+        F.bitmap_construct_agg(
+            F.bitmap_bit_position(F.col("user_id"))
+        ).alias("bm")
+    )
+    return pages.groupBy("event_type").agg(
+        F.sum(F.bitmap_count(F.col("bm"))).alias("n_users")
+    )
+
+
 # --- L29: heavy hitters (Misra-Gries candidates + exact verify) -------------
 
 

@@ -194,6 +194,10 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_histogram_equidepth"]),
         ("AN8", "chi-square contingency (categorical association)",
          ["q_chi_square"]),
+        ("AN9", "interval-union coverage (plane-sweep window)",
+         ["q_interval_coverage"]),
+        ("A14", "bitmap-exact re-aggregatable distinct counting",
+         ["q_distinct_bitmap"]),
         ("S8", "schema-evolution merged read (mergeSchema single scan)",
          ["q_schema_evolution"]),
         ("L28", "BPE tokenizer training (distributed counts + vocab-sized merges)",

@@ -234,3 +234,84 @@ def test_heavy_hitters_exact(spark):
     }
     assert got == want
     assert ("hot", 300) in got and ("cool", 99) not in got
+
+
+def test_bitmap_pages_merge_like_a_sketch(spark):
+    # the re-aggregatable claim behind q_distinct_bitmap: bitmap pages
+    # built on DISJOINT SLICES of the data OR-merge to the same exact
+    # distinct count as one pass over the whole — what lets a 100 TB
+    # pipeline persist per-partition pages and re-aggregate later
+    from pyspark.sql import functions as F
+
+    rows = [(i % 7, i % 40) for i in range(400)]
+    df = spark.createDataFrame(rows, "g int, uid long")
+
+    def pages(frame):
+        return frame.groupBy(
+            "g", F.bitmap_bucket_number("uid").alias("bucket")
+        ).agg(
+            F.bitmap_construct_agg(F.bitmap_bit_position("uid")).alias("bm")
+        )
+
+    a, b = df.filter("uid % 2 = 0"), df.filter("uid % 2 = 1")
+    merged = (
+        pages(a)
+        .unionByName(pages(b))
+        .groupBy("g", "bucket")
+        .agg(F.bitmap_or_agg("bm").alias("bm"))
+        .groupBy("g")
+        .agg(F.sum(F.bitmap_count("bm")).alias("n"))
+    )
+    whole = (
+        pages(df)
+        .groupBy("g")
+        .agg(F.sum(F.bitmap_count("bm")).alias("n"))
+    )
+    exact = df.groupBy("g").agg(F.countDistinct("uid").alias("n"))
+    as_map = lambda d: {r.g: r.n for r in d.collect()}  # noqa: E731
+    assert as_map(merged) == as_map(whole) == as_map(exact)
+
+
+def test_interval_coverage_matches_naive(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ivs = [
+        # user 1: overlapping, nested, disjoint
+        (1, 1, 0, 10),
+        (1, 2, 5, 15),    # overlap -> union [0,15)
+        (1, 3, 7, 9),     # nested -> no new coverage
+        (1, 4, 20, 25),   # disjoint
+        # user 2: zero-length and touching intervals
+        (2, 5, 0, 0),
+        (2, 6, 0, 5),
+        (2, 7, 5, 8),     # touching, no overlap
+    ]
+    df = spark.createDataFrame(ivs, "user_id long, event_id long, s long, e long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    covered = F.greatest(
+        F.lit(0).cast("long"),
+        F.col("e")
+        - F.greatest(F.col("s"), F.coalesce(F.max("e").over(w), F.col("s"))),
+    )
+    got = {
+        r.user_id: r.c
+        for r in df.select("user_id", covered.alias("cv"))
+        .groupBy("user_id")
+        .agg(F.sum("cv").alias("c"))
+        .collect()
+    }
+
+    def naive(uid):
+        secs = set()
+        for u, _, s, e in ivs:
+            if u == uid:
+                secs.update(range(s, e))
+        return len(secs)
+
+    assert got == {1: naive(1), 2: naive(2)}
+    assert got[1] == 20 and got[2] == 8

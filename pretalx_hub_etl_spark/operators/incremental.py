@@ -73,3 +73,61 @@ def apply_agg_delta(
         .agg(F.sum("cnt").alias("cnt"), F.sum("total").alias("total"))
         .filter(F.col("cnt") > 0)
     )
+
+
+# --- incremental DISTINCT counting (append-only, bitmap pages) --------------
+
+
+def distinct_state(
+    df: DataFrame, group_col: Column, id_col: Column
+) -> DataFrame:
+    """Materialize distinct-count state as mergeable bitmap pages:
+    ``(grp, bucket, bm)``.
+
+    COUNT/SUM fold under deltas (``apply_agg_delta``); COUNT(DISTINCT)
+    does NOT — a plain counter cannot know whether an arriving id is
+    new. The classic fix is auxiliary state that absorbs duplicates
+    idempotently: Spark 4's bitmap pages (32k-bit blocks keyed by
+    ``bitmap_bucket_number``). State size is O(id-range) bits per
+    group, the merge is a bitwise OR — associative, commutative,
+    idempotent — so maintenance never re-reads the fact table and
+    re-delivered rows are harmless (exactly the at-least-once delivery
+    a CDC/stream feed gives).
+    """
+    return (
+        df.groupBy(
+            group_col.alias("grp"),
+            F.bitmap_bucket_number(id_col).alias("bucket"),
+        ).agg(
+            F.bitmap_construct_agg(F.bitmap_bit_position(id_col)).alias("bm")
+        )
+    )
+
+
+def apply_distinct_delta(
+    state: DataFrame, delta_state: DataFrame
+) -> DataFrame:
+    """OR-merge new bitmap pages into the state; returns the new state.
+
+    APPEND-ONLY by construction: a bitmap cannot retract an id (it holds
+    no per-id multiplicity). For feeds with deletes, keep per-(grp,
+    bucket, position) counts instead — a strictly heavier state — or
+    rebuild affected groups; this operator refuses nothing but
+    documents that deletes folded in as inserts would overcount, so
+    callers must route only inserts here.
+
+    Cost: one shuffle of |delta pages| + |state pages touched|, never
+    the fact table.
+    """
+    return (
+        state.unionByName(delta_state)
+        .groupBy("grp", "bucket")
+        .agg(F.bitmap_or_agg(F.col("bm")).alias("bm"))
+    )
+
+
+def distinct_counts(state: DataFrame) -> DataFrame:
+    """``(grp, n_distinct)`` from the bitmap-page state (popcount sum)."""
+    return state.groupBy("grp").agg(
+        F.sum(F.bitmap_count(F.col("bm"))).alias("n_distinct")
+    )

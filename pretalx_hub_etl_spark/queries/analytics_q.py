@@ -273,6 +273,55 @@ def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- L30: incremental distinct-count maintenance (bitmap-page IVM) ----------
+
+
+@query(
+    "q_incremental_distinct",
+    oracle="""
+    WITH all_rows AS (
+        SELECT o_custkey % 50 AS grp, o_custkey AS id FROM orders
+        UNION ALL
+        SELECT c_custkey % 50 AS grp, c_custkey AS id
+        FROM customer WHERE c_custkey % 3 = 0
+    )
+    SELECT grp, CAST(count(DISTINCT id) AS BIGINT) AS n_distinct
+    FROM all_rows GROUP BY grp
+    """,
+)
+def q_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # COUNT(DISTINCT) maintained INCREMENTALLY for an append-only feed:
+    # bitmap-page state built from the base (orders custkeys), a delta
+    # batch (a customer slice) folded in by bitwise OR — associative,
+    # commutative, IDEMPOTENT, so at-least-once redelivery cannot
+    # overcount — and popcounts read the current answer. The oracle
+    # recomputes count(DISTINCT) over base+delta from scratch;
+    # hash-equality proves the maintained state is exact, not a sketch.
+    # The base table is never re-read at delta time (operators/
+    # incremental.py distinct_state/apply_distinct_delta).
+    from ..operators.incremental import (
+        apply_distinct_delta,
+        distinct_counts,
+        distinct_state,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    base = cat.orders.select(
+        (F.col("o_custkey") % 50).alias("g"), F.col("o_custkey").alias("id")
+    )
+    delta = cat.customer.filter(F.col("c_custkey") % 3 == 0).select(
+        (F.col("c_custkey") % 50).alias("g"),
+        F.col("c_custkey").alias("id"),
+    )
+    state = distinct_state(base, F.col("g"), F.col("id"))
+    state = apply_distinct_delta(
+        state, distinct_state(delta, F.col("g"), F.col("id"))
+    )
+    return distinct_counts(state).select(
+        F.col("grp").cast("long").alias("grp"), "n_distinct"
+    )
+
+
 # --- AN9: interval-union coverage (overlap-aware temporal sweep) ------------
 
 

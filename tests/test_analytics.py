@@ -315,3 +315,34 @@ def test_interval_coverage_matches_naive(spark):
 
     assert got == {1: naive(1), 2: naive(2)}
     assert got[1] == 20 and got[2] == 8
+
+
+def test_incremental_distinct_idempotent_under_redelivery(spark):
+    # the at-least-once property: folding the SAME delta twice must not
+    # change the counts (bitmap OR is idempotent) — the guarantee a
+    # CDC/stream consumer actually relies on
+    from pyspark.sql import functions as F
+
+    from pretalx_hub_etl_spark.operators.incremental import (
+        apply_distinct_delta,
+        distinct_counts,
+        distinct_state,
+    )
+
+    base = spark.createDataFrame(
+        [(i % 3, i) for i in range(50)], "g int, id long"
+    )
+    delta = spark.createDataFrame(
+        [(i % 3, i) for i in range(40, 70)], "g int, id long"
+    )
+    st = distinct_state(base, F.col("g"), F.col("id"))
+    d = distinct_state(delta, F.col("g"), F.col("id"))
+    once = apply_distinct_delta(st, d)
+    twice = apply_distinct_delta(once, d)
+    as_map = lambda s: {  # noqa: E731
+        r.grp: r.n_distinct for r in distinct_counts(s).collect()
+    }
+    want = {
+        g: len({i for i in range(70) if i % 3 == g}) for g in range(3)
+    }
+    assert as_map(once) == as_map(twice) == want

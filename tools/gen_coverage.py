@@ -170,6 +170,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
         ("L21", "adjacent-bigram PMI collocations", ["q_pmi_bigrams"]),
         ("L22", "incremental aggregate maintenance from CDC",
          ["q_incremental_agg"]),
+        ("L30", "incremental distinct counting (bitmap-page IVM, append-only)",
+         ["q_incremental_distinct"]),
         ("L23", "fuzzy key matching (deletion-neighborhood blocking, lev<=2)",
          ["q_fuzzy_pairs", "q_fuzzy_pairs_d2", "q_fuzzy_join"]),
         ("L24", "BM25 relevance ranking", ["q_text_bm25"]),

@@ -64,6 +64,8 @@ HEADLINE = [
     "q_spatial_pairs",      # grid-bucketed spatial distance join
     "q_graph_pagerank",     # 5-iteration integer PageRank
     "q_sim_topk_pq",        # product-quantization ANN + rerank
+    "q_heavy_hitters",      # Misra-Gries candidates + exact recount
+    "q_distinct_bitmap",    # bitmap-page exact distinct counting
 ]
 
 

@@ -312,3 +312,83 @@ def build_vocab(
     return global_row_number(
         counts, [F.col("n").desc(), F.col("term").asc()], out_col="vocab_id"
     )
+
+
+def bigram_nll_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document negative log-likelihood under an add-one-smoothed
+    bigram language model trained on the SAME corpus (the classic
+    KenLM-shaped "perplexity filter" signal for pretraining data
+    curation — docs whose own corpus finds them surprising are
+    boilerplate/garbage candidates).
+
+    (doc_id, n_bigrams, nll_micro, avg_nll): for each doc with >= 1
+    bigram, nll_micro = Σ floor(ln((c1 + V) / (cab + 1)) · 1e6 + 0.5)
+    over its bigrams — the per-bigram NLL of P(w2|w1) =
+    (cab + 1)/(c1 + V) quantized to micro-nats BEFORE the per-doc sum,
+    so the total is an exact, order-independent BIGINT and the operator
+    carries a full value-hash oracle despite the ln() (the BM25 /
+    centroid trick). avg_nll divides two exact integers in a pinned
+    order (sum / count / 1e6).
+
+    Scale shape: the doc-bigram fact and the bigram count table derive
+    from the SAME groupBy key (w1, w2), so their equi-join reuses one
+    hash partitioning; unigram counts and the vocabulary size are
+    vocabulary-sized / 1-row broadcasts (the PMI layout). Nothing
+    all-pairs, nothing driver-side. Self-scoring guarantees cab >= 1,
+    so no OOV branch is needed; docs under 2 tokens have no bigrams
+    and are (deliberately, deterministically) absent from the output.
+    """
+    base = df.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("__t")
+    ).filter(F.size("__t") >= 2)
+    # (doc, w1, w2) bigram fact — one explode, zero shuffle at this
+    # stage; everything downstream aggregates it
+    big = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(__t) - 1),"
+                " i -> struct(__t[i-1] AS w1, __t[i] AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    big = big.persist()
+    tok = df.select(F.explode(tokens(text_col)).alias("w"))
+    uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+    cab = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cab"))
+    contrib = (
+        big.join(cab, ["w1", "w2"])  # same key as cab's groupBy: one
+        # partitioning serves both the agg and the join
+        .join(F.broadcast(uni.withColumnRenamed("w", "w1")), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.floor(
+                F.log(
+                    (F.col("c1") + F.col("v")).cast("double")
+                    / (F.col("cab") + F.lit(1.0))
+                )
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("q"),
+        )
+    )
+    out = contrib.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("q").alias("nll_micro"),
+    )
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        "nll_micro",
+        (
+            F.col("nll_micro").cast("double")
+            / F.col("n_bigrams").cast("double")
+            / F.lit(1000000.0)
+        ).alias("avg_nll"),
+    )

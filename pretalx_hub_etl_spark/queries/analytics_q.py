@@ -747,3 +747,171 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("transitions").over(wp).cast("double")
         ).alias("prob"),
     )
+
+
+# --- AN10: cohort retention matrix -------------------------------------------
+
+
+@query(
+    "q_retention_cohort",
+    oracle="""
+    WITH weekly AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE)
+                   AS week
+        FROM events
+    ), c AS (
+        SELECT user_id, week,
+               min(week) OVER (PARTITION BY user_id) AS cohort_week
+        FROM weekly
+    ), a AS (
+        SELECT cohort_week,
+               CAST(date_diff('day', cohort_week, week) // 7 AS BIGINT)
+                   AS week_offset,
+               CAST(count(*) AS BIGINT) AS active_users
+        FROM c
+        GROUP BY 1, 2
+    )
+    SELECT cohort_week, week_offset, active_users,
+           max(CASE WHEN week_offset = 0 THEN active_users END)
+               OVER (PARTITION BY cohort_week) AS cohort_size,
+           CAST(active_users AS DOUBLE)
+               / CAST(max(CASE WHEN week_offset = 0 THEN active_users END)
+                      OVER (PARTITION BY cohort_week) AS DOUBLE)
+               AS retention
+    FROM a
+    """,
+)
+def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Weekly cohort retention matrix (the product-analytics staple the
+    # reference's row loops could never express): cohort = the Monday of
+    # a user's FIRST active week; cell (cohort, k) = how many of that
+    # cohort were active k weeks later. Scale shape, stage by stage:
+    # (1) distinct (user_id, week) — ONE corpus-sized shuffle on a
+    #     high-cardinality composite key, map-side combined;
+    # (2) cohort_week as a min() window over user_id — a second shuffle
+    #     keyed on user_id (high cardinality, no skew), NOT a
+    #     groupBy+self-join (which would shuffle the same rows twice);
+    # (3) the (cohort, offset) rollup counts plain rows — the distinct
+    #     in (1) already made (user, week) unique, so count(*) IS
+    #     count(DISTINCT user) with no second distinct shuffle;
+    # (4) cohort_size via a window over the AGGREGATED matrix
+    #     (weeks x offsets rows, data-size-independent) — never a
+    #     join back to user-level data. Offset 0 always exists (every
+    #     user's first week is in `weekly`), so cohort_size is never
+    #     NULL. All counts are exact BIGINTs; the single retention
+    #     division is one pinned double op.
+    e = Catalog(spark, sf_dir).events
+    weekly = e.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
+    ).distinct()
+    wu = Window.partitionBy("user_id")
+    c = weekly.withColumn("cohort_week", F.min("week").over(wu))
+    a = (
+        c.groupBy(
+            "cohort_week",
+            F.floor(
+                F.datediff(F.col("week"), F.col("cohort_week")) / F.lit(7)
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+    wc = Window.partitionBy("cohort_week")
+    size = F.max(
+        F.when(F.col("week_offset") == 0, F.col("active_users"))
+    ).over(wc)
+    return a.select(
+        "cohort_week",
+        "week_offset",
+        "active_users",
+        size.alias("cohort_size"),
+        (
+            F.col("active_users").cast("double") / size.cast("double")
+        ).alias("retention"),
+    )
+
+
+# --- AN11: LOCF gap-fill over a generated time spine -------------------------
+
+
+@query(
+    "q_fill_locf",
+    oracle="""
+    WITH ranked AS (
+        SELECT event_type,
+               date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+               value,
+               row_number() OVER (
+                   PARTITION BY event_type,
+                                date_trunc('hour', CAST(ts AS TIMESTAMP))
+                   ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC
+               ) AS rn
+        FROM events
+    ), hourly AS (
+        SELECT event_type, hour, value AS v FROM ranked WHERE rn = 1
+    ), bounds AS (
+        SELECT event_type, min(hour) AS h0, max(hour) AS h1
+        FROM hourly GROUP BY 1
+    ), spine AS (
+        SELECT event_type,
+               unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        FROM bounds
+    )
+    SELECT s.event_type, s.hour,
+           last_value(h.v IGNORE NULLS) OVER (
+               PARTITION BY s.event_type ORDER BY s.hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value_locf,
+           h.v IS NOT NULL AS observed
+    FROM spine s
+    LEFT JOIN hourly h
+      ON s.event_type = h.event_type AND s.hour = h.hour
+    """,
+)
+def q_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gap-fill + last-observation-carried-forward: densify each
+    # event_type's hourly series over a generated spine (G1's
+    # sequence+explode shape) and forward-fill missing hours with the
+    # last observed value. The per-(type, hour) "last observation" is a
+    # max_by over a struct order key — a DeclarativeAggregate with
+    # map-side partial merge, ONE corpus shuffle on a high-cardinality
+    # composite key (the oracle's row_number pick is the same total
+    # order spelled for DuckDB). The LOCF window partitions by
+    # event_type — few partitions, but over the AGGREGATED spine
+    # (|types| x |hours| rows, data-size-independent), so the
+    # single-task-per-type concern that rules out low-cardinality
+    # windows on raw data does not apply. Values are COPIED doubles
+    # (no arithmetic), so the hash is exact.
+    e = Catalog(spark, sf_dir).events
+    hour = F.date_trunc("hour", "ts")
+    hourly = (
+        e.groupBy(F.col("event_type"), hour.alias("hour"))
+        .agg(
+            F.max_by(
+                "value", F.struct(F.col("ts"), F.col("event_id"))
+            ).alias("v")
+        )
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    filled = spine.join(hourly, ["event_type", "hour"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return filled.select(
+        "event_type",
+        "hour",
+        F.last("v", ignorenulls=True).over(w).alias("value_locf"),
+        F.col("v").isNotNull().alias("observed"),
+    )

@@ -371,3 +371,58 @@ def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = Catalog(spark, sf_dir).documents
     return build_vocab(d, min_count=5)
+
+
+@query(
+    "q_text_perplexity",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ), tok AS (
+        SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS pos
+        FROM base
+    ), big AS (
+        SELECT a.doc_id, a.w AS w1, b.w AS w2
+        FROM tok a
+        JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ), uni AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM tok GROUP BY w
+    ), vocab AS (
+        SELECT CAST(count(*) AS BIGINT) AS v FROM uni
+    ), cab AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS cab
+        FROM big GROUP BY w1, w2
+    ), contrib AS (
+        SELECT big.doc_id,
+               CAST(floor(
+                   ln(CAST(c1 + v AS DOUBLE) / (cab + 1.0))
+                   * 1000000.0 + 0.5) AS BIGINT) AS q
+        FROM big
+        JOIN cab USING (w1, w2)
+        JOIN uni ON big.w1 = uni.w
+        CROSS JOIN vocab
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(q) AS BIGINT) AS nll_micro,
+           CAST(sum(q) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0
+               AS avg_nll
+    FROM contrib
+    GROUP BY doc_id
+    """,
+)
+def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Perplexity-style quality scoring (L31): each document's average
+    # negative log-likelihood under an add-one-smoothed bigram LM
+    # trained on the corpus itself — the CCNet/KenLM-shaped curation
+    # signal, with per-bigram NLLs integer-quantized to micro-nats
+    # before the per-doc sum so the value hash survives the ln()
+    # (llm/text.py bigram_nll_scores documents the scale shape:
+    # partitioning-reusing (w1, w2) join, broadcast unigram table).
+    from ..llm.text import bigram_nll_scores
+
+    d = Catalog(spark, sf_dir).documents
+    return bigram_nll_scores(d)

@@ -346,3 +346,104 @@ def test_incremental_distinct_idempotent_under_redelivery(spark):
         g: len({i for i in range(70) if i % 3 == g}) for g in range(3)
     }
     assert as_map(once) == as_map(twice) == want
+
+
+def test_retention_cohort_small(spark):
+    # Two cohorts: users 1-2 start week of Jan 6 (Mon Jan 6 2025),
+    # user 3 starts the next week. User 1 returns in weeks +1 and +2,
+    # user 2 never returns, user 3 returns in week +1.
+    rows = [
+        (1, "2025-01-07 10:00:00"),
+        (1, "2025-01-08 11:00:00"),  # same week: dedup'd
+        (2, "2025-01-09 12:00:00"),
+        (1, "2025-01-14 10:00:00"),  # +1 week
+        (1, "2025-01-21 10:00:00"),  # +2 weeks
+        (3, "2025-01-15 09:00:00"),  # second cohort
+        (3, "2025-01-22 09:00:00"),  # +1 week
+    ]
+    df = spark.createDataFrame(
+        [(uid, ts) for uid, ts in rows], "user_id long, ts string"
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    df = df.withColumn("event_id", F.monotonically_increasing_id())
+
+    # run the same algebra inline on the literal frame (the query
+    # wrapper reads from parquet)
+    weekly = df.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
+    ).distinct()
+    from pyspark.sql import Window
+
+    wu = Window.partitionBy("user_id")
+    c = weekly.withColumn("cohort_week", F.min("week").over(wu))
+    a = c.groupBy(
+        "cohort_week",
+        F.floor(F.datediff("week", "cohort_week") / F.lit(7))
+        .cast("long")
+        .alias("week_offset"),
+    ).agg(F.count(F.lit(1)).alias("active_users"))
+    got = {
+        (str(r.cohort_week), r.week_offset): r.active_users
+        for r in a.collect()
+    }
+    assert got == {
+        ("2025-01-06", 0): 2,
+        ("2025-01-06", 1): 1,
+        ("2025-01-06", 2): 1,
+        ("2025-01-13", 0): 1,
+        ("2025-01-13", 1): 1,
+    }
+
+
+def test_fill_locf_semantics(spark):
+    # One type with a 4-hour span observed only at hours 0 and 3:
+    # hours 1-2 must be spine-generated and carry hour 0's value; the
+    # in-hour pick must take the LAST observation by (ts, event_id).
+    rows = [
+        ("a", "2025-03-01 00:10:00", 1, 10.0),
+        ("a", "2025-03-01 00:50:00", 2, 11.0),  # later ts wins hour 0
+        ("a", "2025-03-01 03:05:00", 3, 40.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts string, event_id long, value double"
+    ).select(
+        "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_id",
+        "value",
+    )
+    from pyspark.sql import Window
+
+    hour = F.date_trunc("hour", "ts")
+    hourly = df.groupBy("event_type", hour.alias("hour")).agg(
+        F.max_by("value", F.struct("ts", "event_id")).alias("v")
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias(
+            "hour"
+        ),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = (
+        spine.join(hourly, ["event_type", "hour"], "left")
+        .select(
+            "hour",
+            F.last("v", ignorenulls=True).over(w).alias("value_locf"),
+            F.col("v").isNotNull().alias("observed"),
+        )
+        .orderBy("hour")
+        .collect()
+    )
+    assert [(r.value_locf, r.observed) for r in out] == [
+        (11.0, True),   # hour 0: later observation (11.0) wins
+        (11.0, False),  # hour 1: filled
+        (11.0, False),  # hour 2: filled
+        (40.0, True),   # hour 3
+    ]

@@ -494,3 +494,44 @@ def test_fuzzy_join_matches_naive_cross(spark):
     want = {(r.id, r.rid, r.d) for r in naive.collect() if r.d <= 1}
     assert got == want
     assert (1, 10, 1) in got and (2, 11, 1) in got
+
+
+def test_bigram_nll_rare_sequences_score_higher(spark):
+    from pretalx_hub_etl_spark.llm.text import bigram_nll_scores
+
+    # doc 1 repeats the corpus's dominant bigram; doc 2 is the only
+    # occurrence of its bigrams -> doc 2 must carry the higher avg NLL.
+    docs = [
+        (1, "a b a b a b a b"),
+        (2, "q z q x"),
+        (3, "a b a b"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in bigram_nll_scores(df).collect()}
+    assert out[1].n_bigrams == 7
+    assert out[2].n_bigrams == 3
+    assert out[2].avg_nll > out[1].avg_nll
+    # quantized sum is exactly the sum of per-bigram quantized terms:
+    # recompute doc 2 by hand. Vocabulary = {a, b, q, z, x} -> V = 5.
+    import math
+
+    c1 = {"q": 2, "z": 1, "x": 1, "a": 8, "b": 8}
+    cab = {("q", "z"): 1, ("z", "q"): 1, ("q", "x"): 1}
+    expect = sum(
+        math.floor(
+            math.log((c1[w1] + 5) / (cab[(w1, w2)] + 1.0)) * 1e6 + 0.5
+        )
+        for (w1, w2) in [("q", "z"), ("z", "q"), ("q", "x")]
+    )
+    assert out[2].nll_micro == expect
+
+
+def test_bigram_nll_short_docs_absent(spark):
+    from pretalx_hub_etl_spark.llm.text import bigram_nll_scores
+
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, "two tokens")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id for r in bigram_nll_scores(df).collect()}
+    assert got == {3}

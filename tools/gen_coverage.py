@@ -208,6 +208,12 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_heavy_hitters"]),
         ("GR2", "PageRank (fixed-iteration, exact integer arithmetic)",
          ["q_graph_pagerank"]),
+        ("AN10", "weekly cohort retention matrix",
+         ["q_retention_cohort"]),
+        ("AN11", "LOCF gap-fill over a generated time spine",
+         ["q_fill_locf"]),
+        ("L31", "bigram-LM perplexity scoring (micro-nat quantized NLL)",
+         ["q_text_perplexity"]),
     ]),
     ("TPC-H composite shapes", [
         ("Q", "multi-way join/agg/subquery plans",

@@ -66,6 +66,8 @@ HEADLINE = [
     "q_sim_topk_pq",        # product-quantization ANN + rerank
     "q_heavy_hitters",      # Misra-Gries candidates + exact recount
     "q_distinct_bitmap",    # bitmap-page exact distinct counting
+    "q_text_perplexity",    # bigram-LM NLL scoring (quantized ln)
+    "q_retention_cohort",   # weekly cohort retention matrix
 ]
 
 

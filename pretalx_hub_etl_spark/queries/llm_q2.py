@@ -426,3 +426,110 @@ def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = Catalog(spark, sf_dir).documents
     return bigram_nll_scores(d)
+
+
+@query(
+    "q_feature_zscore",
+    oracle="""
+    WITH m AS (
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(n_chars) AS BIGINT) AS sx,
+               CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
+        FROM documents GROUP BY 1
+    ), s AS (
+        SELECT lang, n,
+               CAST(sx AS DOUBLE) / n AS mean_chars,
+               sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) / n AS std_chars
+        FROM m
+    )
+    SELECT d.doc_id, d.lang, d.n_chars, s.mean_chars, s.std_chars,
+           CASE WHEN s.std_chars <> 0
+                THEN (CAST(d.n_chars AS DOUBLE) - s.mean_chars)
+                     / s.std_chars
+           END AS z
+    FROM documents d JOIN s USING (lang)
+    """,
+)
+def q_feature_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-group feature standardization (the ML-preprocessing staple):
+    # z-score each doc's length against its language's distribution.
+    # Moments accumulate as EXACT BIGINTs (the q_agg_stats trick —
+    # built-in stddev() merges floats in partial-merge order and is
+    # nondeterministic at 1000 executors); mean/std are derived once per
+    # group in pinned double ops, and the per-row z is one subtract +
+    # one divide of those shared values, so the hash is exact. Scale
+    # shape: the stats agg map-side combines to |langs| rows, the
+    # join-back broadcasts that tiny table onto the corpus scan — ONE
+    # data-sized pass, zero data-sized shuffles. Overflow bound: sxx
+    # sums n_chars^2 (~1e8 per row at 10k-char docs) — exact to ~9e10
+    # rows per group in int64; beyond that, lift the moments to
+    # DECIMAL(38,0) as TWAP does.
+    d = Catalog(spark, sf_dir).documents
+    x = F.col("n_chars")
+    m = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    s = m.select(
+        "lang",
+        "n",
+        (sx.cast("double") / n).alias("mean_chars"),
+        (F.sqrt((n * sxx - sx * sx).cast("double")) / n).alias("std_chars"),
+    )
+    return d.join(F.broadcast(s), "lang").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "mean_chars",
+        "std_chars",
+        # constant group -> std 0: NULL, guarded identically on both
+        # engines (ANSI Spark THROWS on double/0 where DuckDB yields
+        # inf — an unguarded z diverges, or crashes, on degenerate
+        # groups; the unit test pins this)
+        F.when(
+            F.col("std_chars") != 0,
+            (F.col("n_chars").cast("double") - F.col("mean_chars"))
+            / F.col("std_chars"),
+        ).alias("z"),
+    )
+
+
+@query(
+    "q_sample_split_grouped",
+    oracle="""
+    SELECT doc_id, source,
+           CASE WHEN CAST(('0x' || substr(md5(source), 1, 8)) AS BIGINT)
+                     % 10 < 1 THEN 'val'
+                WHEN CAST(('0x' || substr(md5(source), 1, 8)) AS BIGINT)
+                     % 10 < 2 THEN 'test'
+                ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def q_sample_split_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Leakage-safe holdout split: the unit of assignment is the GROUP
+    # (source), not the document — near-duplicate docs from one crawl
+    # domain can never straddle train/test, the classic contamination
+    # path per-row splits leave open. The bucket is the first 8 hex
+    # chars of md5(source) (a JVM/DuckDB-portable hash — xxhash64, the
+    # engine default elsewhere, has no DuckDB twin), so assignment is an
+    # engine-independent pure function of the group key: one per-row
+    # expression fused into the scan, zero shuffles, stable under
+    # corpus growth and reruns.
+    d = Catalog(spark, sf_dir).documents
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("source")), 1, 8), 16, 10)
+        .cast("long")
+        % 10
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        F.when(bucket < 1, "val")
+        .when(bucket < 2, "test")
+        .otherwise("train")
+        .alias("split"),
+    )

@@ -535,3 +535,74 @@ def test_bigram_nll_short_docs_absent(spark):
     )
     got = {r.doc_id for r in bigram_nll_scores(df).collect()}
     assert got == {3}
+
+
+def test_zscore_exact_moments(spark):
+    # hand-checkable group: values 2, 4, 6 -> mean 4, population std
+    # sqrt(8/3); the z of 6 is (6-4)/std. Singleton group -> std 0 ->
+    # z must be NULL (ANSI Spark throws on double/0; DuckDB yields
+    # inf — the guard makes both engines agree on NULL).
+    import math
+
+    d = spark.createDataFrame(
+        [(1, "en", 2), (2, "en", 4), (3, "en", 6), (4, "de", 9)],
+        "doc_id long, lang string, n_chars long",
+    )
+    m = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("sxx"),
+    )
+    s = m.select(
+        "lang",
+        (F.col("sx").cast("double") / F.col("n")).alias("mean_chars"),
+        (
+            F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                .cast("double")
+            )
+            / F.col("n")
+        ).alias("std_chars"),
+    )
+    out = {
+        r.doc_id: r
+        for r in d.join(s, "lang")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("std_chars") != 0,
+                (F.col("n_chars").cast("double") - F.col("mean_chars"))
+                / F.col("std_chars"),
+            ).alias("z"),
+        )
+        .collect()
+    }
+    std = math.sqrt((3 * 56 - 12 * 12)) / 3  # = sqrt(8/3)
+    assert abs(out[3].z - (6 - 4) / std) < 1e-12
+    assert abs(out[1].z + out[2].z + out[3].z) < 1e-12  # z sums to 0
+    assert out[4].z is None
+
+
+def test_grouped_split_no_leakage(spark):
+    # every doc of one source must land in the same split, and all
+    # three splits must be populated across many sources
+    rows = [(i, f"src-{i % 37}") for i in range(370)]
+    d = spark.createDataFrame(rows, "doc_id long, source string")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("source")), 1, 8), 16, 10)
+        .cast("long")
+        % 10
+    )
+    out = d.select(
+        "source",
+        F.when(bucket < 1, "val")
+        .when(bucket < 2, "test")
+        .otherwise("train")
+        .alias("split"),
+    )
+    per_src = out.groupBy("source").agg(
+        F.countDistinct("split").alias("k")
+    )
+    assert per_src.filter(F.col("k") != 1).count() == 0
+    splits = {r.split for r in out.select("split").distinct().collect()}
+    assert "train" in splits and len(splits) >= 2

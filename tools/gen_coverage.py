@@ -214,6 +214,10 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_fill_locf"]),
         ("L31", "bigram-LM perplexity scoring (micro-nat quantized NLL)",
          ["q_text_perplexity"]),
+        ("L32", "per-group feature standardization (exact-moment z-score)",
+         ["q_feature_zscore"]),
+        ("L33", "leakage-safe grouped holdout split (md5 group bucket)",
+         ["q_sample_split_grouped"]),
     ]),
     ("TPC-H composite shapes", [
         ("Q", "multi-way join/agg/subquery plans",

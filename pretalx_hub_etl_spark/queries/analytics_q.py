@@ -915,3 +915,127 @@ def q_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("v", ignorenulls=True).over(w).alias("value_locf"),
         F.col("v").isNotNull().alias("observed"),
     )
+
+
+# --- AN12: linear interpolation over a generated time spine ------------------
+
+
+@query(
+    "q_fill_interpolate",
+    oracle="""
+    WITH ranked AS (
+        SELECT event_type,
+               date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+               value,
+               row_number() OVER (
+                   PARTITION BY event_type,
+                                date_trunc('hour', CAST(ts AS TIMESTAMP))
+                   ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC
+               ) AS rn
+        FROM events
+    ), hourly AS (
+        SELECT event_type, hour, value AS v FROM ranked WHERE rn = 1
+    ), bounds AS (
+        SELECT event_type, min(hour) AS h0, max(hour) AS h1
+        FROM hourly GROUP BY 1
+    ), spine AS (
+        SELECT event_type,
+               unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        FROM bounds
+    ), joined AS (
+        SELECT s.event_type, s.hour, h.v
+        FROM spine s
+        LEFT JOIN hourly h
+          ON s.event_type = h.event_type AND s.hour = h.hour
+    ), anchored AS (
+        SELECT event_type, hour, v,
+               last_value(v IGNORE NULLS) OVER w_prev AS prev_v,
+               last_value(CASE WHEN v IS NOT NULL THEN hour END IGNORE NULLS)
+                   OVER w_prev AS prev_h,
+               first_value(v IGNORE NULLS) OVER w_next AS next_v,
+               first_value(CASE WHEN v IS NOT NULL THEN hour END IGNORE NULLS)
+                   OVER w_next AS next_h
+        FROM joined
+        WINDOW
+            w_prev AS (PARTITION BY event_type ORDER BY hour
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+            w_next AS (PARTITION BY event_type ORDER BY hour
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, hour,
+           CASE WHEN v IS NOT NULL THEN v
+                ELSE prev_v + (next_v - prev_v)
+                     * (CAST(date_diff('second', prev_h, hour) AS DOUBLE)
+                        / CAST(date_diff('second', prev_h, next_h) AS DOUBLE))
+           END AS value_interp,
+           v IS NOT NULL AS observed
+    FROM anchored
+    """,
+)
+def q_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Linear interpolation over the same generated spine as q_fill_locf:
+    # unobserved hours blend the surrounding observations by time
+    # fraction instead of holding the last one. Spine bounds are the
+    # per-type min/max OBSERVED hours, so every gap row has both a
+    # preceding and a following anchor — the blend never divides by
+    # zero and needs no edge CASE. The four anchor columns are two
+    # forward and two backward ignorenulls window passes over the SAME
+    # (event_type, hour) sort — Catalyst plans them in two Window
+    # operators sharing one Exchange+Sort, all over the aggregated
+    # spine (|types| x |hours| rows, data-size-independent). The blend
+    # arithmetic is spelled identically on both engines: one integer
+    # second-diff ratio, one multiply, one add.
+    e = Catalog(spark, sf_dir).events
+    hour = F.date_trunc("hour", "ts")
+    hourly = e.groupBy(F.col("event_type"), hour.alias("hour")).agg(
+        F.max_by("value", F.struct(F.col("ts"), F.col("event_id"))).alias(
+            "v"
+        )
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias(
+            "hour"
+        ),
+    )
+    joined = spine.join(hourly, ["event_type", "hour"], "left")
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_hour = F.when(F.col("v").isNotNull(), F.col("hour"))
+    anchored = joined.select(
+        "event_type",
+        "hour",
+        "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("prev_v"),
+        F.last(obs_hour, ignorenulls=True).over(w_prev).alias("prev_h"),
+        F.first("v", ignorenulls=True).over(w_next).alias("next_v"),
+        F.first(obs_hour, ignorenulls=True).over(w_next).alias("next_h"),
+    )
+    num = (
+        F.unix_timestamp("hour") - F.unix_timestamp("prev_h")
+    ).cast("double")
+    den = (
+        F.unix_timestamp("next_h") - F.unix_timestamp("prev_h")
+    ).cast("double")
+    return anchored.select(
+        "event_type",
+        "hour",
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .otherwise(
+            F.col("prev_v")
+            + (F.col("next_v") - F.col("prev_v")) * (num / den)
+        )
+        .alias("value_interp"),
+        F.col("v").isNotNull().alias("observed"),
+    )

@@ -590,3 +590,76 @@ def q_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.size("embedding").cast("long").alias("emb_dim"),
     )
+
+
+# --- L2e: golden-record consolidation of duplicate clusters ------------------
+
+
+@query(
+    "q_dedup_canonical",
+    oracle=f"""
+    WITH RECURSIVE {_NGRAM_PAIRS_CTES},
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION ALL
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(id, r) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id
+    ),
+    clusters AS (
+        SELECT d.doc_id AS id, coalesce(m.cluster, d.doc_id) AS cluster
+        FROM documents d
+        LEFT JOIN (SELECT id, min(r) AS cluster FROM reach GROUP BY id) m
+               ON d.doc_id = m.id
+    ),
+    ranked AS (
+        SELECT c.cluster, c.id, d.n_chars,
+               row_number() OVER (
+                   PARTITION BY c.cluster
+                   ORDER BY d.n_chars DESC, c.id ASC
+               ) AS rn,
+               count(*) OVER (PARTITION BY c.cluster) AS n_members
+        FROM clusters c JOIN documents d ON c.id = d.doc_id
+    )
+    SELECT cluster, id AS canonical_id,
+           CAST(n_members AS BIGINT) AS n_members,
+           CAST(n_chars AS BIGINT) AS canonical_chars
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The consolidation step every dedup pipeline ends with: collapse
+    # each near-duplicate cluster to ONE canonical survivor — here the
+    # longest member (most content), doc_id ascending as the
+    # deterministic tiebreak — plus the cluster size for audit. The
+    # pick is a single max_by over an order-encoding struct
+    # (n_chars, -doc_id): a DeclarativeAggregate with map-side partial
+    # merge, so consolidation costs ONE shuffle on cluster id over
+    # (id, cluster, n_chars) triples — never the document payloads; a
+    # real pipeline then semi-joins survivors back to fetch bodies.
+    # The oracle replays clustering as a recursive CTE and picks via
+    # row_number (DuckDB's arg_max can't take a composite order key).
+    d = Catalog(spark, sf_dir).documents
+    pairs = ngram_jaccard_pairs(
+        d, text_col="text", id_col="doc_id", k=3, jaccard_threshold=0.5,
+        max_doc_freq=100,
+    )
+    clusters = duplicate_clusters(d, pairs, id_col="doc_id")
+    member = clusters.join(
+        d.select(F.col("doc_id").alias("id"), "n_chars"), "id"
+    )
+    picked = member.groupBy("cluster").agg(
+        F.max_by(
+            "id", F.struct(F.col("n_chars"), (-F.col("id")).alias("nid"))
+        ).alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_members"),
+        F.max_by(
+            "n_chars", F.struct(F.col("n_chars"), (-F.col("id")).alias("nid"))
+        ).alias("canonical_chars"),
+    )
+    return picked.select(
+        "cluster", "canonical_id", "n_members", "canonical_chars"
+    )

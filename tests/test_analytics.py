@@ -447,3 +447,75 @@ def test_fill_locf_semantics(spark):
         (11.0, False),  # hour 2: filled
         (40.0, True),   # hour 3
     ]
+
+
+def test_interpolate_blend_math(spark):
+    # observations at hour 0 (10.0) and hour 3 (40.0): hours 1 and 2
+    # interpolate to exactly 20.0 and 30.0 (fractions 1/3, 2/3)
+    rows = [
+        ("a", "2025-03-01 00:00:00", 1, 10.0),
+        ("a", "2025-03-01 03:00:00", 2, 40.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts string, event_id long, value double"
+    ).select(
+        "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_id",
+        "value",
+    )
+    from pyspark.sql import Window
+
+    hour = F.date_trunc("hour", "ts")
+    hourly = df.groupBy("event_type", hour.alias("hour")).agg(
+        F.max_by("value", F.struct("ts", "event_id")).alias("v")
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias(
+            "hour"
+        ),
+    )
+    joined = spine.join(hourly, ["event_type", "hour"], "left")
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_hour = F.when(F.col("v").isNotNull(), F.col("hour"))
+    anchored = joined.select(
+        "hour",
+        "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("prev_v"),
+        F.last(obs_hour, ignorenulls=True).over(w_prev).alias("prev_h"),
+        F.first("v", ignorenulls=True).over(w_next).alias("next_v"),
+        F.first(obs_hour, ignorenulls=True).over(w_next).alias("next_h"),
+    )
+    num = (F.unix_timestamp("hour") - F.unix_timestamp("prev_h")).cast(
+        "double"
+    )
+    den = (F.unix_timestamp("next_h") - F.unix_timestamp("prev_h")).cast(
+        "double"
+    )
+    out = (
+        anchored.select(
+            "hour",
+            F.when(F.col("v").isNotNull(), F.col("v"))
+            .otherwise(
+                F.col("prev_v")
+                + (F.col("next_v") - F.col("prev_v")) * (num / den)
+            )
+            .alias("vi"),
+        )
+        .orderBy("hour")
+        .collect()
+    )
+    assert [r.vi for r in out] == [10.0, 20.0, 30.0, 40.0]

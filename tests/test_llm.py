@@ -606,3 +606,29 @@ def test_grouped_split_no_leakage(spark):
     assert per_src.filter(F.col("k") != 1).count() == 0
     splits = {r.split for r in out.select("split").distinct().collect()}
     assert "train" in splits and len(splits) >= 2
+
+
+def test_canonical_pick_longest_then_lowest_id(spark):
+    from pretalx_hub_etl_spark.llm.dedup import duplicate_clusters
+
+    # cluster {1,2,3}: 2 and 3 tie on length -> id 2 wins; singleton 9
+    docs = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (9, 4)], "doc_id long, n_chars long"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    clusters = duplicate_clusters(docs, pairs, id_col="doc_id")
+    member = clusters.join(
+        docs.select(F.col("doc_id").alias("id"), "n_chars"), "id"
+    )
+    picked = member.groupBy("cluster").agg(
+        F.max_by(
+            "id", F.struct(F.col("n_chars"), (-F.col("id")).alias("nid"))
+        ).alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    got = {
+        r.cluster: (r.canonical_id, r.n_members) for r in picked.collect()
+    }
+    assert got == {1: (2, 3), 9: (9, 1)}

@@ -218,6 +218,10 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_feature_zscore"]),
         ("L33", "leakage-safe grouped holdout split (md5 group bucket)",
          ["q_sample_split_grouped"]),
+        ("L2e", "golden-record consolidation of duplicate clusters",
+         ["q_dedup_canonical"]),
+        ("AN12", "linear interpolation over a generated time spine",
+         ["q_fill_interpolate"]),
     ]),
     ("TPC-H composite shapes", [
         ("Q", "multi-way join/agg/subquery plans",

@@ -120,6 +120,7 @@ NESTED_LOOP_ALLOWED = {
     "q_sim_topk_ivf_indexed",  # probe assignment: queries × broadcast(16)
     "q_sim_topk_pq",       # ADC scan: codes × broadcast(query dist tables)
     "q_histogram_equidepth",  # total row count as a 1-row broadcast
+    "q_text_perplexity",   # vocabulary size V as a 1-row broadcast
 }
 
 

@@ -533,3 +533,55 @@ def q_sample_split_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("train")
         .alias("split"),
     )
+
+
+@query(
+    "q_feature_winsorize",
+    oracle="""
+    WITH r AS (
+        SELECT lang, n_chars,
+               row_number() OVER (PARTITION BY lang ORDER BY n_chars)
+                   AS rn,
+               count(*) OVER (PARTITION BY lang) AS n
+        FROM documents
+    ), q AS (
+        SELECT lang,
+               max(CASE WHEN rn = greatest(1, CAST(ceil(0.05 * n) AS BIGINT))
+                        THEN n_chars END) AS p05,
+               max(CASE WHEN rn = greatest(1, CAST(ceil(0.95 * n) AS BIGINT))
+                        THEN n_chars END) AS p95
+        FROM r GROUP BY lang
+    )
+    SELECT d.doc_id, d.lang, d.n_chars, q.p05, q.p95,
+           least(greatest(d.n_chars, q.p05), q.p95) AS n_chars_winsor
+    FROM documents d JOIN q USING (lang)
+    """,
+)
+def q_feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-group winsorization (outlier clipping): clamp each doc's
+    # length into its language's [p05, p95] band — the robust
+    # alternative to dropping tail rows, and the standard companion to
+    # z-scoring (q_feature_zscore) when heavy tails would dominate the
+    # moments. The cut points are A12's EXACT discrete quantiles
+    # (value at rank ceil(q·n) — an actual element, no interpolation),
+    # so integers flow through untouched and the operator carries a
+    # full value hash; the clip itself is least/greatest, no
+    # arithmetic. Scale shape: one shuffle + per-group sort for the
+    # quantile pass (|langs| output rows), then the tiny cut-point
+    # table broadcasts back onto the corpus scan.
+    from ..operators.agg import exact_group_quantiles
+
+    d = Catalog(spark, sf_dir).documents
+    cuts = exact_group_quantiles(
+        d, ["lang"], "n_chars", fractions=(0.05, 0.95)
+    )
+    return d.join(F.broadcast(cuts), "lang").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "p05",
+        "p95",
+        F.least(
+            F.greatest(F.col("n_chars"), F.col("p05")), F.col("p95")
+        ).alias("n_chars_winsor"),
+    )

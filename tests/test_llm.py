@@ -632,3 +632,32 @@ def test_canonical_pick_longest_then_lowest_id(spark):
         r.cluster: (r.canonical_id, r.n_members) for r in picked.collect()
     }
     assert got == {1: (2, 3), 9: (9, 1)}
+
+
+def test_winsorize_clips_to_exact_quantiles(spark):
+    from pretalx_hub_etl_spark.operators.agg import exact_group_quantiles
+
+    # 10 values 1..10: p05 -> rank ceil(0.5)=1 -> value 1;
+    # p95 -> rank ceil(9.5)=10 -> value 10... use a skewed set instead:
+    # values [1,2,3,4,5,6,7,8,9,100] -> p95 = rank 10 = 100 (discrete
+    # quantile takes an element, so clip with 0.05/0.90 for a real cut)
+    vals = [1, 2, 3, 4, 5, 6, 7, 8, 9, 100]
+    d = spark.createDataFrame(
+        [(i, "en", v) for i, v in enumerate(vals)],
+        "doc_id long, lang string, n_chars long",
+    )
+    cuts = exact_group_quantiles(
+        d, ["lang"], "n_chars", fractions=(0.10, 0.90)
+    )
+    row = cuts.collect()[0]
+    assert (row.p10, row.p90) == (1, 9)  # ranks ceil(1)=1, ceil(9)=9
+    out = d.join(F.broadcast(cuts), "lang").select(
+        "doc_id",
+        F.least(
+            F.greatest(F.col("n_chars"), F.col("p10")), F.col("p90")
+        ).alias("w"),
+    )
+    got = {r.doc_id: r.w for r in out.collect()}
+    assert got[9] == 9      # 100 clipped down to p90
+    assert got[0] == 1      # within band, untouched
+    assert all(1 <= w <= 9 for w in got.values())

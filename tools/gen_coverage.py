@@ -222,6 +222,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_dedup_canonical"]),
         ("AN12", "linear interpolation over a generated time spine",
          ["q_fill_interpolate"]),
+        ("L34", "per-group winsorization (exact-quantile clipping)",
+         ["q_feature_winsorize"]),
     ]),
     ("TPC-H composite shapes", [
         ("Q", "multi-way join/agg/subquery plans",

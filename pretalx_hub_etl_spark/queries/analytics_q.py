@@ -1039,3 +1039,101 @@ def q_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("value_interp"),
         F.col("v").isNotNull().alias("observed"),
     )
+
+
+# --- AN13: association rules (market-basket support/confidence/lift) ---------
+
+
+@query(
+    "q_basket_rules",
+    oracle="""
+    WITH baskets AS (
+        SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), nb AS (
+        SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n FROM baskets
+    ), items AS (
+        SELECT brand, CAST(count(*) AS BIGINT) AS c FROM baskets
+        GROUP BY brand
+    ), pair AS (
+        SELECT a.brand AS brand_a, b.brand AS brand_b,
+               CAST(count(*) AS BIGINT) AS support_n
+        FROM baskets a JOIN baskets b
+          ON a.okey = b.okey AND a.brand < b.brand
+        GROUP BY 1, 2
+        HAVING count(*) >= 10
+    )
+    SELECT brand_a, brand_b, support_n,
+           ia.c AS count_a, ib.c AS count_b,
+           CAST(support_n AS DOUBLE) / ia.c AS confidence,
+           CAST(support_n AS DOUBLE) * nb.n / (CAST(ia.c AS DOUBLE) * ib.c)
+               AS lift
+    FROM pair
+    JOIN items ia ON brand_a = ia.brand
+    JOIN items ib ON brand_b = ib.brand
+    CROSS JOIN nb
+    """,
+)
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Association-rule mining (the market-basket classic): which brand
+    # pairs co-occur in an order more than independence predicts.
+    # support_n = co-occurring baskets, confidence = P(b|a), lift =
+    # P(a,b)/(P(a)P(b)). Scale shape: the brand dim broadcasts onto the
+    # lineitem scan; distinct (order, brand) is one corpus shuffle on a
+    # high-cardinality composite key; the pair fact self-joins ON THE
+    # BASKET KEY (co-partitioned — the quadratic term is bounded by
+    # items-per-basket², here <= |brands|², never corpus²); pair and
+    # item counts map-side combine to brand²-sized tables, and every
+    # ratio derives from exact BIGINTs, cast to double BEFORE the
+    # cross-multiply so the int64 product-overflow trap (the PMI
+    # lesson) can't arise at any corpus size.
+    c = Catalog(spark, sf_dir)
+    li, part = c.lineitem, c.part
+    baskets = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            li.l_partkey == part.p_partkey,
+        )
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    baskets = baskets.persist()
+    nb = baskets.select("okey").distinct().agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    items = baskets.groupBy("brand").agg(F.count(F.lit(1)).alias("c"))
+    a = baskets.select("okey", F.col("brand").alias("brand_a"))
+    b = baskets.select("okey", F.col("brand").alias("brand_b"))
+    pair = (
+        a.join(b, "okey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("support_n"))
+        .filter(F.col("support_n") >= 10)
+    )
+    ia = items.select(
+        F.col("brand").alias("brand_a"), F.col("c").alias("count_a")
+    )
+    ib = items.select(
+        F.col("brand").alias("brand_b"), F.col("c").alias("count_b")
+    )
+    return (
+        pair.join(F.broadcast(ia), "brand_a")
+        .join(F.broadcast(ib), "brand_b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "brand_a",
+            "brand_b",
+            "support_n",
+            "count_a",
+            "count_b",
+            (
+                F.col("support_n").cast("double") / F.col("count_a")
+            ).alias("confidence"),
+            (
+                F.col("support_n").cast("double")
+                * F.col("n")
+                / (F.col("count_a").cast("double") * F.col("count_b"))
+            ).alias("lift"),
+        )
+    )

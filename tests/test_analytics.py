@@ -519,3 +519,53 @@ def test_interpolate_blend_math(spark):
         .collect()
     )
     assert [r.vi for r in out] == [10.0, 20.0, 30.0, 40.0]
+
+
+def test_basket_rules_lift_math(spark):
+    # 4 baskets: A,B together twice, A alone once, B alone once.
+    # P(A)=3/4, P(B)=3/4, P(A,B)=2/4 -> lift = (2*4)/(3*3) = 8/9;
+    # confidence(A->B) = 2/3.
+    baskets = spark.createDataFrame(
+        [(1, "A"), (1, "B"), (2, "A"), (2, "B"), (3, "A"), (4, "B")],
+        "okey long, brand string",
+    )
+    nb = baskets.select("okey").distinct().agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    items = baskets.groupBy("brand").agg(F.count(F.lit(1)).alias("c"))
+    a = baskets.select("okey", F.col("brand").alias("brand_a"))
+    b = baskets.select("okey", F.col("brand").alias("brand_b"))
+    pair = (
+        a.join(b, "okey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("support_n"))
+    )
+    ia = items.select(
+        F.col("brand").alias("brand_a"), F.col("c").alias("count_a")
+    )
+    ib = items.select(
+        F.col("brand").alias("brand_b"), F.col("c").alias("count_b")
+    )
+    out = (
+        pair.join(ia, "brand_a")
+        .join(ib, "brand_b")
+        .crossJoin(nb)
+        .select(
+            "support_n",
+            (
+                F.col("support_n").cast("double") / F.col("count_a")
+            ).alias("confidence"),
+            (
+                F.col("support_n").cast("double")
+                * F.col("n")
+                / (F.col("count_a").cast("double") * F.col("count_b"))
+            ).alias("lift"),
+        )
+        .collect()
+    )
+    assert len(out) == 1
+    r = out[0]
+    assert r.support_n == 2
+    assert abs(r.confidence - 2 / 3) < 1e-15
+    assert abs(r.lift - 8 / 9) < 1e-15

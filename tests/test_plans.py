@@ -121,6 +121,7 @@ NESTED_LOOP_ALLOWED = {
     "q_sim_topk_pq",       # ADC scan: codes × broadcast(query dist tables)
     "q_histogram_equidepth",  # total row count as a 1-row broadcast
     "q_text_perplexity",   # vocabulary size V as a 1-row broadcast
+    "q_basket_rules",      # basket count N as a 1-row broadcast
 }
 
 

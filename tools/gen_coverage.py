@@ -224,6 +224,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_fill_interpolate"]),
         ("L34", "per-group winsorization (exact-quantile clipping)",
          ["q_feature_winsorize"]),
+        ("AN13", "association rules (market-basket support/confidence/lift)",
+         ["q_basket_rules"]),
     ]),
     ("TPC-H composite shapes", [
         ("Q", "multi-way join/agg/subquery plans",

@@ -1137,3 +1137,112 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# --- AN14: one-pass pairwise correlation matrix ------------------------------
+
+
+@query(
+    "q_corr_matrix",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(q) AS BIGINT) AS sq,
+               CAST(sum(p) AS BIGINT) AS sp,
+               CAST(sum(d) AS BIGINT) AS sd,
+               CAST(sum(q * q) AS BIGINT) AS sqq,
+               CAST(sum(p * p) AS BIGINT) AS spp,
+               CAST(sum(d * d) AS BIGINT) AS sdd,
+               CAST(sum(q * p) AS BIGINT) AS sqp,
+               CAST(sum(q * d) AS BIGINT) AS sqd,
+               CAST(sum(p * d) AS BIGINT) AS spd
+        FROM (
+            SELECT CAST(l_quantity AS BIGINT) AS q,
+                   CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS p,
+                   CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS d
+            FROM lineitem
+        )
+    )
+    , der AS (
+        SELECT n,
+               CAST(sq AS DOUBLE) / n AS mq,
+               CAST(sp AS DOUBLE) / n AS mp,
+               CAST(sd AS DOUBLE) / n AS md,
+               CAST(sqq AS DOUBLE) / n AS eqq,
+               CAST(spp AS DOUBLE) / n AS epp,
+               CAST(sdd AS DOUBLE) / n AS edd,
+               CAST(sqp AS DOUBLE) / n AS eqp,
+               CAST(sqd AS DOUBLE) / n AS eqd,
+               CAST(spd AS DOUBLE) / n AS epd
+        FROM m
+    )
+    SELECT n,
+           (eqp - mq * mp)
+               / (sqrt(eqq - mq * mq) * sqrt(epp - mp * mp))
+               AS corr_qty_price,
+           (eqd - mq * md)
+               / (sqrt(eqq - mq * mq) * sqrt(edd - md * md))
+               AS corr_qty_disc,
+           (epd - mp * md)
+               / (sqrt(epp - mp * mp) * sqrt(edd - md * md))
+               AS corr_price_disc
+    FROM der
+    """,
+)
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pairwise Pearson correlations of k columns in ONE aggregation pass
+    # (the data-profiling "corr matrix in one scan"): all k sums, k
+    # squares, and k·(k−1)/2 cross-products accumulate as exact BIGINTs
+    # in a single map-side-combined agg — one scan, one 1-row shuffle —
+    # and every correlation derives from the same exact integers in
+    # pinned double expressions (built-in corr() merges floats in
+    # nondeterministic partial order; A10's argument, extended to the
+    # full matrix). Quantization bounds as q_agg_stats: qty <= 50,
+    # price in whole units <= ~1e5, discount in hundredths <= 10 —
+    # the largest SUM (spp ≈ 1e10 per row) is exact to ~1e8 rows;
+    # lift the sums to DECIMAL(38,0) beyond that.
+    li = Catalog(spark, sf_dir).lineitem
+    q = F.col("l_quantity").cast("long")
+    p = F.floor(F.col("l_extendedprice") + F.lit(0.5)).cast("long")
+    d = F.floor(F.col("l_discount") * 100.0 + F.lit(0.5)).cast("long")
+    m = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("sq"),
+        F.sum(p).alias("sp"),
+        F.sum(d).alias("sd"),
+        F.sum(q * q).alias("sqq"),
+        F.sum(p * p).alias("spp"),
+        F.sum(d * d).alias("sdd"),
+        F.sum(q * p).alias("sqp"),
+        F.sum(q * d).alias("sqd"),
+        F.sum(p * d).alias("spd"),
+    )
+    n = F.col("n")
+    # the n·sxx − sx² form overflows int64 here (n·spp ≈ 4e19 at sf0.1);
+    # the E[xy] − E[x]E[y] form keeps every op a pinned double over
+    # exact-integer inputs — identical IEEE results on both engines
+    der = m.select(
+        "n",
+        (F.col("sq").cast("double") / n).alias("mq"),
+        (F.col("sp").cast("double") / n).alias("mp"),
+        (F.col("sd").cast("double") / n).alias("md"),
+        (F.col("sqq").cast("double") / n).alias("eqq"),
+        (F.col("spp").cast("double") / n).alias("epp"),
+        (F.col("sdd").cast("double") / n).alias("edd"),
+        (F.col("sqp").cast("double") / n).alias("eqp"),
+        (F.col("sqd").cast("double") / n).alias("eqd"),
+        (F.col("spd").cast("double") / n).alias("epd"),
+    )
+
+    def corr(exy, mx, my, exx, eyy):
+        cov = F.col(exy) - F.col(mx) * F.col(my)
+        vx = F.col(exx) - F.col(mx) * F.col(mx)
+        vy = F.col(eyy) - F.col(my) * F.col(my)
+        return cov / (F.sqrt(vx) * F.sqrt(vy))
+
+    return der.select(
+        "n",
+        corr("eqp", "mq", "mp", "eqq", "epp").alias("corr_qty_price"),
+        corr("eqd", "mq", "md", "eqq", "edd").alias("corr_qty_disc"),
+        corr("epd", "mp", "md", "epp", "edd").alias("corr_price_disc"),
+    )

@@ -569,3 +569,46 @@ def test_basket_rules_lift_math(spark):
     assert r.support_n == 2
     assert abs(r.confidence - 2 / 3) < 1e-15
     assert abs(r.lift - 8 / 9) < 1e-15
+
+
+def test_corr_matrix_perfect_and_anti(spark):
+    # y = 2x -> corr +1; z = -x -> corr(x,z) = -1; all in one agg pass
+    rows = [(float(x), float(2 * x), float(-x)) for x in range(1, 9)]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    x, y, z = (F.col(c).cast("long") for c in ("x", "y", "z"))
+    m = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"), F.sum(y).alias("sy"), F.sum(z).alias("sz"),
+        F.sum(x * x).alias("sxx"), F.sum(y * y).alias("syy"),
+        F.sum(z * z).alias("szz"),
+        F.sum(x * y).alias("sxy"), F.sum(x * z).alias("sxz"),
+    )
+    n = F.col("n")
+    der = m.select(
+        (F.col("sx").cast("double") / n).alias("mx"),
+        (F.col("sy").cast("double") / n).alias("my"),
+        (F.col("sz").cast("double") / n).alias("mz"),
+        (F.col("sxx").cast("double") / n).alias("exx"),
+        (F.col("syy").cast("double") / n).alias("eyy"),
+        (F.col("szz").cast("double") / n).alias("ezz"),
+        (F.col("sxy").cast("double") / n).alias("exy"),
+        (F.col("sxz").cast("double") / n).alias("exz"),
+    )
+    r = der.select(
+        (
+            (F.col("exy") - F.col("mx") * F.col("my"))
+            / (
+                F.sqrt(F.col("exx") - F.col("mx") * F.col("mx"))
+                * F.sqrt(F.col("eyy") - F.col("my") * F.col("my"))
+            )
+        ).alias("cxy"),
+        (
+            (F.col("exz") - F.col("mx") * F.col("mz"))
+            / (
+                F.sqrt(F.col("exx") - F.col("mx") * F.col("mx"))
+                * F.sqrt(F.col("ezz") - F.col("mz") * F.col("mz"))
+            )
+        ).alias("cxz"),
+    ).collect()[0]
+    assert abs(r.cxy - 1.0) < 1e-12
+    assert abs(r.cxz + 1.0) < 1e-12

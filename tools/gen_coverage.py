@@ -226,6 +226,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_feature_winsorize"]),
         ("AN13", "association rules (market-basket support/confidence/lift)",
          ["q_basket_rules"]),
+        ("AN14", "one-pass pairwise correlation matrix (exact moments)",
+         ["q_corr_matrix"]),
     ]),
     ("TPC-H composite shapes", [
         ("Q", "multi-way join/agg/subquery plans",

@@ -801,36 +801,12 @@ def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     #     user's first week is in `weekly`), so cohort_size is never
     #     NULL. All counts are exact BIGINTs; the single retention
     #     division is one pinned double op.
+    # Body shared with the unit tests via operators/analytics.py
+    # (round-5 ADVICE: one implementation, two callers).
+    from ..operators.analytics import weekly_retention
+
     e = Catalog(spark, sf_dir).events
-    weekly = e.select(
-        "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
-    ).distinct()
-    wu = Window.partitionBy("user_id")
-    c = weekly.withColumn("cohort_week", F.min("week").over(wu))
-    a = (
-        c.groupBy(
-            "cohort_week",
-            F.floor(
-                F.datediff(F.col("week"), F.col("cohort_week")) / F.lit(7)
-            )
-            .cast("long")
-            .alias("week_offset"),
-        )
-        .agg(F.count(F.lit(1)).alias("active_users"))
-    )
-    wc = Window.partitionBy("cohort_week")
-    size = F.max(
-        F.when(F.col("week_offset") == 0, F.col("active_users"))
-    ).over(wc)
-    return a.select(
-        "cohort_week",
-        "week_offset",
-        "active_users",
-        size.alias("cohort_size"),
-        (
-            F.col("active_users").cast("double") / size.cast("double")
-        ).alias("retention"),
-    )
+    return weekly_retention(e)
 
 
 # --- AN11: LOCF gap-fill over a generated time spine -------------------------
@@ -884,37 +860,11 @@ def q_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-task-per-type concern that rules out low-cardinality
     # windows on raw data does not apply. Values are COPIED doubles
     # (no arithmetic), so the hash is exact.
+    # Body shared with the unit tests via operators/analytics.py.
+    from ..operators.analytics import locf_fill
+
     e = Catalog(spark, sf_dir).events
-    hour = F.date_trunc("hour", "ts")
-    hourly = (
-        e.groupBy(F.col("event_type"), hour.alias("hour"))
-        .agg(
-            F.max_by(
-                "value", F.struct(F.col("ts"), F.col("event_id"))
-            ).alias("v")
-        )
-    )
-    bounds = hourly.groupBy("event_type").agg(
-        F.min("hour").alias("h0"), F.max("hour").alias("h1")
-    )
-    spine = bounds.select(
-        "event_type",
-        F.explode(
-            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
-        ).alias("hour"),
-    )
-    filled = spine.join(hourly, ["event_type", "hour"], "left")
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("hour")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    return filled.select(
-        "event_type",
-        "hour",
-        F.last("v", ignorenulls=True).over(w).alias("value_locf"),
-        F.col("v").isNotNull().alias("observed"),
-    )
+    return locf_fill(e)
 
 
 # --- AN12: linear interpolation over a generated time spine ------------------
@@ -985,60 +935,11 @@ def q_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spine (|types| x |hours| rows, data-size-independent). The blend
     # arithmetic is spelled identically on both engines: one integer
     # second-diff ratio, one multiply, one add.
+    # Body shared with the unit tests via operators/analytics.py.
+    from ..operators.analytics import interpolate_fill
+
     e = Catalog(spark, sf_dir).events
-    hour = F.date_trunc("hour", "ts")
-    hourly = e.groupBy(F.col("event_type"), hour.alias("hour")).agg(
-        F.max_by("value", F.struct(F.col("ts"), F.col("event_id"))).alias(
-            "v"
-        )
-    )
-    bounds = hourly.groupBy("event_type").agg(
-        F.min("hour").alias("h0"), F.max("hour").alias("h1")
-    )
-    spine = bounds.select(
-        "event_type",
-        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias(
-            "hour"
-        ),
-    )
-    joined = spine.join(hourly, ["event_type", "hour"], "left")
-    w_prev = (
-        Window.partitionBy("event_type")
-        .orderBy("hour")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    w_next = (
-        Window.partitionBy("event_type")
-        .orderBy("hour")
-        .rowsBetween(0, Window.unboundedFollowing)
-    )
-    obs_hour = F.when(F.col("v").isNotNull(), F.col("hour"))
-    anchored = joined.select(
-        "event_type",
-        "hour",
-        "v",
-        F.last("v", ignorenulls=True).over(w_prev).alias("prev_v"),
-        F.last(obs_hour, ignorenulls=True).over(w_prev).alias("prev_h"),
-        F.first("v", ignorenulls=True).over(w_next).alias("next_v"),
-        F.first(obs_hour, ignorenulls=True).over(w_next).alias("next_h"),
-    )
-    num = (
-        F.unix_timestamp("hour") - F.unix_timestamp("prev_h")
-    ).cast("double")
-    den = (
-        F.unix_timestamp("next_h") - F.unix_timestamp("prev_h")
-    ).cast("double")
-    return anchored.select(
-        "event_type",
-        "hour",
-        F.when(F.col("v").isNotNull(), F.col("v"))
-        .otherwise(
-            F.col("prev_v")
-            + (F.col("next_v") - F.col("prev_v")) * (num / den)
-        )
-        .alias("value_interp"),
-        F.col("v").isNotNull().alias("observed"),
-    )
+    return interpolate_fill(e)
 
 
 # --- AN13: association rules (market-basket support/confidence/lift) ---------
@@ -1087,6 +988,9 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ratio derives from exact BIGINTs, cast to double BEFORE the
     # cross-multiply so the int64 product-overflow trap (the PMI
     # lesson) can't arise at any corpus size.
+    # Body shared with the unit tests via operators/analytics.py.
+    from ..operators.analytics import basket_rules
+
     c = Catalog(spark, sf_dir)
     li, part = c.lineitem, c.part
     baskets = (
@@ -1094,49 +998,12 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(part.select("p_partkey", "p_brand")),
             li.l_partkey == part.p_partkey,
         )
-        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .select(
+            F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand")
+        )
         .distinct()
     )
-    baskets = baskets.persist()
-    nb = baskets.select("okey").distinct().agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    items = baskets.groupBy("brand").agg(F.count(F.lit(1)).alias("c"))
-    a = baskets.select("okey", F.col("brand").alias("brand_a"))
-    b = baskets.select("okey", F.col("brand").alias("brand_b"))
-    pair = (
-        a.join(b, "okey")
-        .filter(F.col("brand_a") < F.col("brand_b"))
-        .groupBy("brand_a", "brand_b")
-        .agg(F.count(F.lit(1)).alias("support_n"))
-        .filter(F.col("support_n") >= 10)
-    )
-    ia = items.select(
-        F.col("brand").alias("brand_a"), F.col("c").alias("count_a")
-    )
-    ib = items.select(
-        F.col("brand").alias("brand_b"), F.col("c").alias("count_b")
-    )
-    return (
-        pair.join(F.broadcast(ia), "brand_a")
-        .join(F.broadcast(ib), "brand_b")
-        .crossJoin(F.broadcast(nb))
-        .select(
-            "brand_a",
-            "brand_b",
-            "support_n",
-            "count_a",
-            "count_b",
-            (
-                F.col("support_n").cast("double") / F.col("count_a")
-            ).alias("confidence"),
-            (
-                F.col("support_n").cast("double")
-                * F.col("n")
-                / (F.col("count_a").cast("double") * F.col("count_b"))
-            ).alias("lift"),
-        )
-    )
+    return basket_rules(baskets, min_support=10)
 
 
 # --- AN14: one-pass pairwise correlation matrix ------------------------------
@@ -1157,7 +1024,7 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(q * d) AS BIGINT) AS sqd,
                CAST(sum(p * d) AS BIGINT) AS spd
         FROM (
-            SELECT CAST(l_quantity AS BIGINT) AS q,
+            SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS q,
                    CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS p,
                    CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS d
             FROM lineitem
@@ -1201,48 +1068,29 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # price in whole units <= ~1e5, discount in hundredths <= 10 —
     # the largest SUM (spp ≈ 1e10 per row) is exact to ~1e8 rows;
     # lift the sums to DECIMAL(38,0) beyond that.
+    # Body shared with the unit tests via operators/analytics.py; the
+    # generic helper emits corr_<a>_<b> per (i<j) pair in input order,
+    # so (qty, price, disc) yields exactly the oracle's three columns.
+    # floor(x + 0.5) on BOTH engines for every column: Spark's
+    # cast('long') truncates toward zero while DuckDB's CAST AS BIGINT
+    # rounds to nearest, so a bare cast is only engine-portable for
+    # integer-valued doubles — round explicitly instead.
+    from ..operators.analytics import corr_matrix_exact
+
     li = Catalog(spark, sf_dir).lineitem
-    q = F.col("l_quantity").cast("long")
-    p = F.floor(F.col("l_extendedprice") + F.lit(0.5)).cast("long")
-    d = F.floor(F.col("l_discount") * 100.0 + F.lit(0.5)).cast("long")
-    m = li.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(q).alias("sq"),
-        F.sum(p).alias("sp"),
-        F.sum(d).alias("sd"),
-        F.sum(q * q).alias("sqq"),
-        F.sum(p * p).alias("spp"),
-        F.sum(d * d).alias("sdd"),
-        F.sum(q * p).alias("sqp"),
-        F.sum(q * d).alias("sqd"),
-        F.sum(p * d).alias("spd"),
-    )
-    n = F.col("n")
-    # the n·sxx − sx² form overflows int64 here (n·spp ≈ 4e19 at sf0.1);
-    # the E[xy] − E[x]E[y] form keeps every op a pinned double over
-    # exact-integer inputs — identical IEEE results on both engines
-    der = m.select(
-        "n",
-        (F.col("sq").cast("double") / n).alias("mq"),
-        (F.col("sp").cast("double") / n).alias("mp"),
-        (F.col("sd").cast("double") / n).alias("md"),
-        (F.col("sqq").cast("double") / n).alias("eqq"),
-        (F.col("spp").cast("double") / n).alias("epp"),
-        (F.col("sdd").cast("double") / n).alias("edd"),
-        (F.col("sqp").cast("double") / n).alias("eqp"),
-        (F.col("sqd").cast("double") / n).alias("eqd"),
-        (F.col("spd").cast("double") / n).alias("epd"),
-    )
-
-    def corr(exy, mx, my, exx, eyy):
-        cov = F.col(exy) - F.col(mx) * F.col(my)
-        vx = F.col(exx) - F.col(mx) * F.col(mx)
-        vy = F.col(eyy) - F.col(my) * F.col(my)
-        return cov / (F.sqrt(vx) * F.sqrt(vy))
-
-    return der.select(
-        "n",
-        corr("eqp", "mq", "mp", "eqq", "epp").alias("corr_qty_price"),
-        corr("eqd", "mq", "md", "eqq", "edd").alias("corr_qty_disc"),
-        corr("epd", "mp", "md", "epp", "edd").alias("corr_price_disc"),
+    return corr_matrix_exact(
+        li,
+        [
+            ("qty", F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long")),
+            (
+                "price",
+                F.floor(F.col("l_extendedprice") + F.lit(0.5)).cast("long"),
+            ),
+            (
+                "disc",
+                F.floor(F.col("l_discount") * 100.0 + F.lit(0.5)).cast(
+                    "long"
+                ),
+            ),
+        ],
     )

@@ -440,7 +440,11 @@ def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), s AS (
         SELECT lang, n,
                CAST(sx AS DOUBLE) / n AS mean_chars,
-               sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) / n AS std_chars
+               sqrt(greatest(
+                   0.0,
+                   CAST(sxx AS DOUBLE) / n
+                   - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)
+               )) AS std_chars
         FROM m
     )
     SELECT d.doc_id, d.lang, d.n_chars, s.mean_chars, s.std_chars,
@@ -461,10 +465,14 @@ def q_feature_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one divide of those shared values, so the hash is exact. Scale
     # shape: the stats agg map-side combines to |langs| rows, the
     # join-back broadcasts that tiny table onto the corpus scan — ONE
-    # data-sized pass, zero data-sized shuffles. Overflow bound: sxx
-    # sums n_chars^2 (~1e8 per row at 10k-char docs) — exact to ~9e10
-    # rows per group in int64; beyond that, lift the moments to
-    # DECIMAL(38,0) as TWAP does.
+    # data-sized pass, zero data-sized shuffles. Variance is derived in
+    # doubles as E[x^2] - E[x]^2 over the exact integer moments (the
+    # q_corr_matrix form): the n*sxx - sx*sx integer form overflows
+    # int64 at only ~3e5 rows per group for 10k-char docs, while the
+    # per-moment sums alone stay exact to ~9e10 rows; the identical
+    # double expression is mirrored in the oracle so the hash is
+    # portable, with greatest(0, var) guarding FP-negative variance on
+    # constant groups.
     d = Catalog(spark, sf_dir).documents
     x = F.col("n_chars")
     m = d.groupBy("lang").agg(
@@ -473,11 +481,14 @@ def q_feature_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(x * x).alias("sxx"),
     )
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    mean = sx.cast("double") / n
     s = m.select(
         "lang",
         "n",
-        (sx.cast("double") / n).alias("mean_chars"),
-        (F.sqrt((n * sxx - sx * sx).cast("double")) / n).alias("std_chars"),
+        mean.alias("mean_chars"),
+        F.sqrt(
+            F.greatest(F.lit(0.0), sxx.cast("double") / n - mean * mean)
+        ).alias("std_chars"),
     )
     return d.join(F.broadcast(s), "lang").select(
         "doc_id",

@@ -348,10 +348,16 @@ def test_incremental_distinct_idempotent_under_redelivery(spark):
     assert as_map(once) == as_map(twice) == want
 
 
+
 def test_retention_cohort_small(spark):
     # Two cohorts: users 1-2 start week of Jan 6 (Mon Jan 6 2025),
     # user 3 starts the next week. User 1 returns in weeks +1 and +2,
     # user 2 never returns, user 3 returns in week +1.
+    # Calls the SAME body the query wrapper runs (operators/analytics.py)
+    # so a regression in the query surfaces here, not only in the
+    # driver's oracle harness (round-5 ADVICE).
+    from pretalx_hub_etl_spark.operators.analytics import weekly_retention
+
     rows = [
         (1, "2025-01-07 10:00:00"),
         (1, "2025-01-08 11:00:00"),  # same week: dedup'd
@@ -364,46 +370,27 @@ def test_retention_cohort_small(spark):
     df = spark.createDataFrame(
         [(uid, ts) for uid, ts in rows], "user_id long, ts string"
     ).select("user_id", F.col("ts").cast("timestamp").alias("ts"))
-    df = df.withColumn("event_id", F.monotonically_increasing_id())
 
-    # run the same algebra inline on the literal frame (the query
-    # wrapper reads from parquet)
-    weekly = df.select(
-        "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
-    ).distinct()
-    from pyspark.sql import Window
-
-    wu = Window.partitionBy("user_id")
-    c = weekly.withColumn("cohort_week", F.min("week").over(wu))
-    a = c.groupBy(
-        "cohort_week",
-        F.floor(F.datediff("week", "cohort_week") / F.lit(7))
-        .cast("long")
-        .alias("week_offset"),
-    ).agg(F.count(F.lit(1)).alias("active_users"))
+    out = weekly_retention(df).collect()
     got = {
-        (str(r.cohort_week), r.week_offset): r.active_users
-        for r in a.collect()
+        (str(r.cohort_week), r.week_offset): (
+            r.active_users,
+            r.cohort_size,
+            r.retention,
+        )
+        for r in out
     }
     assert got == {
-        ("2025-01-06", 0): 2,
-        ("2025-01-06", 1): 1,
-        ("2025-01-06", 2): 1,
-        ("2025-01-13", 0): 1,
-        ("2025-01-13", 1): 1,
+        ("2025-01-06", 0): (2, 2, 1.0),
+        ("2025-01-06", 1): (1, 2, 0.5),
+        ("2025-01-06", 2): (1, 2, 0.5),
+        ("2025-01-13", 0): (1, 1, 1.0),
+        ("2025-01-13", 1): (1, 1, 1.0),
     }
 
 
-def test_fill_locf_semantics(spark):
-    # One type with a 4-hour span observed only at hours 0 and 3:
-    # hours 1-2 must be spine-generated and carry hour 0's value; the
-    # in-hour pick must take the LAST observation by (ts, event_id).
-    rows = [
-        ("a", "2025-03-01 00:10:00", 1, 10.0),
-        ("a", "2025-03-01 00:50:00", 2, 11.0),  # later ts wins hour 0
-        ("a", "2025-03-01 03:05:00", 3, 40.0),
-    ]
-    df = spark.createDataFrame(
+def _events_frame(spark, rows):
+    return spark.createDataFrame(
         rows, "event_type string, ts string, event_id long, value double"
     ).select(
         "event_type",
@@ -411,36 +398,24 @@ def test_fill_locf_semantics(spark):
         "event_id",
         "value",
     )
-    from pyspark.sql import Window
 
-    hour = F.date_trunc("hour", "ts")
-    hourly = df.groupBy("event_type", hour.alias("hour")).agg(
-        F.max_by("value", F.struct("ts", "event_id")).alias("v")
+
+def test_fill_locf_semantics(spark):
+    # One type with a 4-hour span observed only at hours 0 and 3:
+    # hours 1-2 must be spine-generated and carry hour 0's value; the
+    # in-hour pick must take the LAST observation by (ts, event_id).
+    # Runs the shipped query body (operators/analytics.py:locf_fill).
+    from pretalx_hub_etl_spark.operators.analytics import locf_fill
+
+    df = _events_frame(
+        spark,
+        [
+            ("a", "2025-03-01 00:10:00", 1, 10.0),
+            ("a", "2025-03-01 00:50:00", 2, 11.0),  # later ts wins hour 0
+            ("a", "2025-03-01 03:05:00", 3, 40.0),
+        ],
     )
-    bounds = hourly.groupBy("event_type").agg(
-        F.min("hour").alias("h0"), F.max("hour").alias("h1")
-    )
-    spine = bounds.select(
-        "event_type",
-        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias(
-            "hour"
-        ),
-    )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("hour")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    out = (
-        spine.join(hourly, ["event_type", "hour"], "left")
-        .select(
-            "hour",
-            F.last("v", ignorenulls=True).over(w).alias("value_locf"),
-            F.col("v").isNotNull().alias("observed"),
-        )
-        .orderBy("hour")
-        .collect()
-    )
+    out = locf_fill(df).orderBy("hour").collect()
     assert [(r.value_locf, r.observed) for r in out] == [
         (11.0, True),   # hour 0: later observation (11.0) wins
         (11.0, False),  # hour 1: filled
@@ -451,164 +426,60 @@ def test_fill_locf_semantics(spark):
 
 def test_interpolate_blend_math(spark):
     # observations at hour 0 (10.0) and hour 3 (40.0): hours 1 and 2
-    # interpolate to exactly 20.0 and 30.0 (fractions 1/3, 2/3)
-    rows = [
-        ("a", "2025-03-01 00:00:00", 1, 10.0),
-        ("a", "2025-03-01 03:00:00", 2, 40.0),
-    ]
-    df = spark.createDataFrame(
-        rows, "event_type string, ts string, event_id long, value double"
-    ).select(
-        "event_type",
-        F.col("ts").cast("timestamp").alias("ts"),
-        "event_id",
-        "value",
-    )
-    from pyspark.sql import Window
+    # interpolate to exactly 20.0 and 30.0 (fractions 1/3, 2/3).
+    # Runs the shipped query body (operators/analytics.py).
+    from pretalx_hub_etl_spark.operators.analytics import interpolate_fill
 
-    hour = F.date_trunc("hour", "ts")
-    hourly = df.groupBy("event_type", hour.alias("hour")).agg(
-        F.max_by("value", F.struct("ts", "event_id")).alias("v")
+    df = _events_frame(
+        spark,
+        [
+            ("a", "2025-03-01 00:00:00", 1, 10.0),
+            ("a", "2025-03-01 03:00:00", 2, 40.0),
+        ],
     )
-    bounds = hourly.groupBy("event_type").agg(
-        F.min("hour").alias("h0"), F.max("hour").alias("h1")
-    )
-    spine = bounds.select(
-        "event_type",
-        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias(
-            "hour"
-        ),
-    )
-    joined = spine.join(hourly, ["event_type", "hour"], "left")
-    w_prev = (
-        Window.partitionBy("event_type")
-        .orderBy("hour")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    w_next = (
-        Window.partitionBy("event_type")
-        .orderBy("hour")
-        .rowsBetween(0, Window.unboundedFollowing)
-    )
-    obs_hour = F.when(F.col("v").isNotNull(), F.col("hour"))
-    anchored = joined.select(
-        "hour",
-        "v",
-        F.last("v", ignorenulls=True).over(w_prev).alias("prev_v"),
-        F.last(obs_hour, ignorenulls=True).over(w_prev).alias("prev_h"),
-        F.first("v", ignorenulls=True).over(w_next).alias("next_v"),
-        F.first(obs_hour, ignorenulls=True).over(w_next).alias("next_h"),
-    )
-    num = (F.unix_timestamp("hour") - F.unix_timestamp("prev_h")).cast(
-        "double"
-    )
-    den = (F.unix_timestamp("next_h") - F.unix_timestamp("prev_h")).cast(
-        "double"
-    )
-    out = (
-        anchored.select(
-            "hour",
-            F.when(F.col("v").isNotNull(), F.col("v"))
-            .otherwise(
-                F.col("prev_v")
-                + (F.col("next_v") - F.col("prev_v")) * (num / den)
-            )
-            .alias("vi"),
-        )
-        .orderBy("hour")
-        .collect()
-    )
-    assert [r.vi for r in out] == [10.0, 20.0, 30.0, 40.0]
+    out = interpolate_fill(df).orderBy("hour").collect()
+    assert [r.value_interp for r in out] == [10.0, 20.0, 30.0, 40.0]
+    assert [r.observed for r in out] == [True, False, False, True]
 
 
 def test_basket_rules_lift_math(spark):
     # 4 baskets: A,B together twice, A alone once, B alone once.
     # P(A)=3/4, P(B)=3/4, P(A,B)=2/4 -> lift = (2*4)/(3*3) = 8/9;
-    # confidence(A->B) = 2/3.
+    # confidence(A->B) = 2/3. Runs the shipped query body
+    # (operators/analytics.py:basket_rules) with min_support=1.
+    from pretalx_hub_etl_spark.operators.analytics import basket_rules
+
     baskets = spark.createDataFrame(
         [(1, "A"), (1, "B"), (2, "A"), (2, "B"), (3, "A"), (4, "B")],
         "okey long, brand string",
     )
-    nb = baskets.select("okey").distinct().agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    items = baskets.groupBy("brand").agg(F.count(F.lit(1)).alias("c"))
-    a = baskets.select("okey", F.col("brand").alias("brand_a"))
-    b = baskets.select("okey", F.col("brand").alias("brand_b"))
-    pair = (
-        a.join(b, "okey")
-        .filter(F.col("brand_a") < F.col("brand_b"))
-        .groupBy("brand_a", "brand_b")
-        .agg(F.count(F.lit(1)).alias("support_n"))
-    )
-    ia = items.select(
-        F.col("brand").alias("brand_a"), F.col("c").alias("count_a")
-    )
-    ib = items.select(
-        F.col("brand").alias("brand_b"), F.col("c").alias("count_b")
-    )
-    out = (
-        pair.join(ia, "brand_a")
-        .join(ib, "brand_b")
-        .crossJoin(nb)
-        .select(
-            "support_n",
-            (
-                F.col("support_n").cast("double") / F.col("count_a")
-            ).alias("confidence"),
-            (
-                F.col("support_n").cast("double")
-                * F.col("n")
-                / (F.col("count_a").cast("double") * F.col("count_b"))
-            ).alias("lift"),
-        )
-        .collect()
-    )
+    out = basket_rules(baskets, min_support=1).collect()
     assert len(out) == 1
     r = out[0]
+    assert (r.brand_a, r.brand_b) == ("A", "B")
     assert r.support_n == 2
+    assert (r.count_a, r.count_b) == (3, 3)
     assert abs(r.confidence - 2 / 3) < 1e-15
     assert abs(r.lift - 8 / 9) < 1e-15
 
 
 def test_corr_matrix_perfect_and_anti(spark):
-    # y = 2x -> corr +1; z = -x -> corr(x,z) = -1; all in one agg pass
+    # y = 2x -> corr +1; z = -x -> corr(x,z) = -1; all in one agg pass.
+    # Runs the shipped generic helper (operators/analytics.py:
+    # corr_matrix_exact) that q_corr_matrix binds to lineitem.
+    from pretalx_hub_etl_spark.operators.analytics import corr_matrix_exact
+
     rows = [(float(x), float(2 * x), float(-x)) for x in range(1, 9)]
     df = spark.createDataFrame(rows, "x double, y double, z double")
-    x, y, z = (F.col(c).cast("long") for c in ("x", "y", "z"))
-    m = df.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(x).alias("sx"), F.sum(y).alias("sy"), F.sum(z).alias("sz"),
-        F.sum(x * x).alias("sxx"), F.sum(y * y).alias("syy"),
-        F.sum(z * z).alias("szz"),
-        F.sum(x * y).alias("sxy"), F.sum(x * z).alias("sxz"),
-    )
-    n = F.col("n")
-    der = m.select(
-        (F.col("sx").cast("double") / n).alias("mx"),
-        (F.col("sy").cast("double") / n).alias("my"),
-        (F.col("sz").cast("double") / n).alias("mz"),
-        (F.col("sxx").cast("double") / n).alias("exx"),
-        (F.col("syy").cast("double") / n).alias("eyy"),
-        (F.col("szz").cast("double") / n).alias("ezz"),
-        (F.col("sxy").cast("double") / n).alias("exy"),
-        (F.col("sxz").cast("double") / n).alias("exz"),
-    )
-    r = der.select(
-        (
-            (F.col("exy") - F.col("mx") * F.col("my"))
-            / (
-                F.sqrt(F.col("exx") - F.col("mx") * F.col("mx"))
-                * F.sqrt(F.col("eyy") - F.col("my") * F.col("my"))
-            )
-        ).alias("cxy"),
-        (
-            (F.col("exz") - F.col("mx") * F.col("mz"))
-            / (
-                F.sqrt(F.col("exx") - F.col("mx") * F.col("mx"))
-                * F.sqrt(F.col("ezz") - F.col("mz") * F.col("mz"))
-            )
-        ).alias("cxz"),
+    r = corr_matrix_exact(
+        df,
+        [
+            ("x", F.col("x").cast("long")),
+            ("y", F.col("y").cast("long")),
+            ("z", F.col("z").cast("long")),
+        ],
     ).collect()[0]
-    assert abs(r.cxy - 1.0) < 1e-12
-    assert abs(r.cxz + 1.0) < 1e-12
+    assert r.n == 8
+    assert abs(r.corr_x_y - 1.0) < 1e-12
+    assert abs(r.corr_x_z + 1.0) < 1e-12
+    assert abs(r.corr_y_z + 1.0) < 1e-12

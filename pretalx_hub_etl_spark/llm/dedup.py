@@ -62,7 +62,49 @@ def _shingle_hashes(text_col: str, k: int) -> F.Column:
     )
 
 
+def _shingle_hashes_md5(text_col: str, k: int) -> F.Column:
+    """Distinct 32-bit md5-derived hashes of each k-word shingle.
+
+    The engine-portable twin of :func:`_shingle_hashes`: the first 8 hex
+    chars of md5(shingle) parse to a uint32 identically in Spark
+    (``conv(substring(md5(s),1,8),16,10)``) and DuckDB
+    (``('0x' || substr(md5(s),1,8))::BIGINT``), so an external engine can
+    replay the EXACT candidate set — xxhash64 has no DuckDB counterpart.
+    Same [0, 2^32) range as the production path, so the universal-hash
+    coefficient overflow bounds are unchanged.
+    """
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(" ", F.slice(words, i + 1, k))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long"),
+        )
+    )
+
+
 _MERSENNE61 = (1 << 61) - 1
+
+
+def minhash_coefficients(
+    num_hashes: int = 32, seed: int = 42
+) -> list[tuple[int, int]]:
+    """The seeded universal-hash coefficients ``(a_i, b_i)`` shared by the
+    Spark signatures and any external oracle replaying them."""
+    import random
+
+    rnd = random.Random(seed)
+    return [
+        (rnd.randrange(1, 1 << 30), rnd.randrange(0, 1 << 30))
+        for _ in range(num_hashes)
+    ]
 
 
 def minhash_signatures(
@@ -72,6 +114,7 @@ def minhash_signatures(
     num_hashes: int = 32,
     shingle_k: int = 3,
     seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """(id, sh_hashes, sig) — seeded, deterministic MinHash.
 
@@ -86,19 +129,24 @@ def minhash_signatures(
     string shingles downstream: Jaccard over the hash set equals Jaccard
     over the strings up to 32-bit collisions, and an 8-byte element
     shuffles/intersects far cheaper than a k-word string.
-    """
-    import random
 
+    ``portable=True`` swaps the xxhash64 base hash for the md5-derived
+    one (:func:`_shingle_hashes_md5`) so an external engine can replay
+    the signatures exactly; banding/verification logic is IDENTICAL, so
+    the portable path is also the oracle-checked witness that the
+    production banding is correct.
+    """
     # shingling + the K-wide min-fold are the hottest expressions in the
     # engine; a narrow input (one parquet split) would run them on one core
     df = fan_out(df)
-    rnd = random.Random(seed)
-    coeffs = [
-        (rnd.randrange(1, 1 << 30), rnd.randrange(0, 1 << 30))
-        for _ in range(num_hashes)
-    ]
-    sh = _shingle_hashes(text_col, shingle_k)
-    base = F.transform(sh, lambda h: F.pmod(h, F.lit(1 << 32))).alias("sh_hashes")
+    coeffs = minhash_coefficients(num_hashes, seed)
+    if portable:
+        base = _shingle_hashes_md5(text_col, shingle_k).alias("sh_hashes")
+    else:
+        sh = _shingle_hashes(text_col, shingle_k)
+        base = F.transform(
+            sh, lambda h: F.pmod(h, F.lit(1 << 32))
+        ).alias("sh_hashes")
     # one aggregate pass over the shingle set, carrying all K running minima
     # in a single array accumulator — one generated loop instead of K
     # transform+array_min expressions (smaller codegen, ~1.7× faster cold)
@@ -133,21 +181,29 @@ def minhash_near_duplicates(
     bands: int = 8,
     shingle_k: int = 3,
     jaccard_threshold: float = 0.6,
+    portable: bool = False,
 ) -> DataFrame:
     """Candidate near-duplicate pairs with exact-Jaccard verification.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+
+    ``portable=True``: md5-derived shingle hashes, md5 band buckets, and
+    an unrounded pinned-double jaccard — every stage replayable by an
+    external SQL engine (the full-oracle witness for the banding logic).
     """
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     rows_per_band = num_hashes // bands
     # cache: the banded self-join and the shingle re-join would otherwise
     # recompute every signature 2-4x
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k).cache()
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_k, portable=portable
+    ).cache()
 
     # banded rows carry ONLY (id, band_id, band_hash): the exploded shuffle
     # stays narrow; hashed shingle sets re-join AFTER candidate dedup, so the
     # heavy arrays move once per verified pair, not once per band.
+    band_fn = F.md5 if portable else F.xxhash64
     banded = sigs.select(
         "id",
         F.explode(
@@ -155,7 +211,7 @@ def minhash_near_duplicates(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band_id"),
-                    F.xxhash64(
+                    band_fn(
                         F.concat_ws(
                             ",",
                             F.transform(
@@ -187,8 +243,11 @@ def minhash_near_duplicates(
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    # portable mode: NO round() — Spark rounds HALF_UP, DuckDB HALF_EVEN;
+    # the bare division of two exact set sizes is bit-identical instead
+    jac = inter / union if portable else F.round(inter / union, 6)
     return (
-        paired.withColumn("jaccard", F.round(inter / union, 6))
+        paired.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )

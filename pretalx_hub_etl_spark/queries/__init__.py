@@ -100,6 +100,7 @@ def load_all() -> dict[str, QuerySpec]:
         curation_q2,
         llm_q,
         llm_q2,
+        llm_q3,
         pipeline_q,
         reconcile_q,
         relational,

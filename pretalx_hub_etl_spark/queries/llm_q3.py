@@ -1,0 +1,350 @@
+"""Third LLM-pipeline batch (round 6): exact substring-level dedup,
+source-mixture interleave, the portable-hash MinHash witness, and the
+batch≡streaming merge equivalence row.
+
+These close the four extension gaps the round-5 review ranked highest:
+
+- L2f ``q_dedup_substrings``: the Lee-et-al. repeated-span modality —
+  doc-level (L1) and near-dup (L2) dedup leave spans that repeat ACROSS
+  documents untouched; this finds and merges them (``llm/spans.py``).
+- L35 ``q_mixture_interleave``: per-domain target weights → deterministic
+  proportional keep → interleaved global training order, composing the
+  L16 weighted-sampling and L12 deterministic-shuffle pieces into one
+  user-callable operator.
+- L2g ``q_dedup_near_md5``: the SAME banding/verify code as
+  ``q_dedup_near`` with md5-derived hashes, so DuckDB replays the exact
+  candidate set — the full-oracle witness that the LSH banding logic is
+  correct (graduates the family from rows-only).
+- ST7 ``q_stream_merge_equiv``: the foreachBatch incremental MERGE
+  (``streaming/structured.py``) driven over a multi-batch file stream,
+  proven hash-equal to the one-shot batch answer — the first driver-gated
+  CORRECTNESS row for the streaming layer.
+
+Oracle notes: every hash here is md5 (the JVM/DuckDB-portable choice,
+per the q_sample_split_grouped precedent); no ``round()`` anywhere
+(HALF_UP vs HALF_EVEN); counts/positions are BIGINTs on both engines.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from . import query
+
+# --- L2f: exact substring-level dedup ---------------------------------------
+
+_SPAN_K = 8  # window tokens; docs in this corpus run ~55 tokens
+
+
+@query(
+    "q_dedup_substrings",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ), posting AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               md5(array_to_string(t[i:i+{_SPAN_K - 1}], ' ')) AS g
+        FROM base,
+             unnest(generate_series(1, greatest(len(t) - {_SPAN_K - 1}, 0)))
+                 AS u(i)
+    ), dup AS (
+        SELECT g FROM posting GROUP BY g
+        HAVING count(DISTINCT doc_id) >= 2
+    ), cand AS (
+        SELECT doc_id, pos AS s, pos + {_SPAN_K - 1} AS e
+        FROM posting WHERE g IN (SELECT g FROM dup)
+    ), flagged AS (
+        SELECT doc_id, s, e,
+               CASE WHEN max(e) OVER w IS NULL
+                         OR s > max(e) OVER w + 1
+                    THEN 1 ELSE 0 END AS new_island
+        FROM cand
+        WINDOW w AS (PARTITION BY doc_id ORDER BY s
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), isl AS (
+        SELECT doc_id, s, e,
+               sum(new_island) OVER (
+                   PARTITION BY doc_id ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS island
+        FROM flagged
+    )
+    SELECT doc_id,
+           CAST(min(s) AS BIGINT) AS span_start,
+           CAST(max(e) AS BIGINT) AS span_end,
+           CAST(max(e) - min(s) + 1 AS BIGINT) AS span_tokens,
+           CAST(count(*) AS BIGINT) AS n_windows
+    FROM isl GROUP BY doc_id, island
+    """,
+)
+def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact substring-level dedup (the Lee et al. repeated-span shape):
+    # maximal token spans whose k-gram windows occur in >= 2 distinct
+    # documents. Sliding md5 k-gram hashes built with transform+sequence
+    # (zero UDFs, fused into the scan); ONE posting shuffle keyed on the
+    # gram hash; duplicate marking is a semi-join (never all-pairs, the
+    # plan sweep enforces it); span merge is the q_interval_coverage
+    # island window, partitioned by doc_id. See llm/spans.py for the
+    # full scale argument. Reference counterpart: none (its texts pass
+    # through opaquely, main.py:116,122) — builder-brief extension.
+    from ..llm.spans import duplicate_spans
+
+    d = Catalog(spark, sf_dir).documents
+    return duplicate_spans(d, k=_SPAN_K, min_doc_freq=2)
+
+
+# --- L35: source-mixture interleave ------------------------------------------
+
+
+@query(
+    "q_mixture_interleave",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, source,
+               1 + CAST(('0x' || substr(md5(source), 1, 8)) AS BIGINT) % 8
+                   AS weight_tenths,
+               CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)),
+                                    1, 8)) AS BIGINT) AS bucket
+        FROM documents
+    ), kept AS (
+        SELECT doc_id, source, weight_tenths,
+               md5('ord:' || CAST(doc_id AS VARCHAR)) AS mix_key
+        FROM keyed
+        WHERE bucket * 10 < weight_tenths * 4294967296
+    )
+    SELECT doc_id, source, CAST(weight_tenths AS BIGINT) AS weight_tenths,
+           CAST(row_number() OVER (ORDER BY mix_key, doc_id) AS BIGINT)
+               AS interleave_rank
+    FROM kept
+    """,
+)
+def q_mixture_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Source-mixture interleave: the operator a pretraining dataloader
+    # actually consumes — per-domain target weights, a deterministic
+    # Bernoulli keep hitting each domain's proportion, and ONE
+    # interleaved global order (so a sequential reader sees domains
+    # blended at their target rates, not domain-sorted runs). Three
+    # engine-portable stages:
+    # (1) weight_tenths in 1..8 is a pure function of the domain name
+    #     (md5 bucket) — stands in for a user-supplied weights table; a
+    #     real pipeline would broadcast-join that table instead;
+    # (2) keep iff hash(doc) < weight: all-integer compare
+    #     (bucket·10 < w·2^32 — no float rounding at the boundary),
+    #     per-row, fused into the scan, zero shuffles, stable under
+    #     corpus growth and reruns (the L16 selection-key argument);
+    # (3) global interleave order by md5('ord:'||doc_id) — a
+    #     multiplicative-hash-style blend — ranked by global_row_number
+    #     (operators/agg.py): repartitionByRange + per-partition offsets,
+    #     NO single-reducer global window; (mix_key, doc_id) is unique so
+    #     the rank replays identically in the oracle's row_number.
+    from ..operators.agg import global_row_number
+
+    d = Catalog(spark, sf_dir).documents
+    w = (
+        F.lit(1)
+        + F.conv(F.substring(F.md5(F.col("source")), 1, 8), 16, 10).cast(
+            "long"
+        )
+        % 8
+    )
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    kept = (
+        d.select(
+            "doc_id",
+            "source",
+            w.cast("long").alias("weight_tenths"),
+            bucket.alias("bucket"),
+        )
+        .filter(
+            F.col("bucket") * 10
+            < F.col("weight_tenths") * F.lit(4294967296)
+        )
+        .select(
+            "doc_id",
+            "source",
+            "weight_tenths",
+            F.md5(
+                F.concat(F.lit("ord:"), F.col("doc_id").cast("string"))
+            ).alias("mix_key"),
+        )
+    )
+    ranked = global_row_number(
+        kept, ["mix_key", "doc_id"], out_col="interleave_rank"
+    )
+    return ranked.select(
+        "doc_id", "source", "weight_tenths", "interleave_rank"
+    )
+
+
+# --- L2g: portable-hash MinHash witness --------------------------------------
+
+
+def _minhash_md5_oracle(
+    shingle_k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.6,
+) -> str:
+    """DuckDB replay of the md5-portable MinHash path.
+
+    Embeds the SAME seeded universal-hash coefficients the Spark
+    signatures use (llm/dedup.py:minhash_coefficients), computes every
+    doc's 32 minima by unnest+min, takes pairs agreeing on any band's
+    minima (band-hash equality == minima-tuple equality, md5 collisions
+    aside), then verifies exact Jaccard over the md5 shingle-hash sets.
+    """
+    from ..llm.dedup import _MERSENNE61, minhash_coefficients
+
+    coeffs = minhash_coefficients(num_hashes)
+    mins = ",\n               ".join(
+        f"min((h * {a} + {b}) % {_MERSENNE61}) AS m{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    rpb = num_hashes // bands
+    band_eq = "\n           OR ".join(
+        "("
+        + " AND ".join(
+            f"a.m{b * rpb + j} = b.m{b * rpb + j}" for j in range(rpb)
+        )
+        + ")"
+        for b in range(bands)
+    )
+    return f"""
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(w) - {shingle_k}, 0) + 1),
+                   i -> CAST(('0x' || substr(md5(
+                            array_to_string(w[i:i+{shingle_k - 1}], ' ')
+                        ), 1, 8)) AS BIGINT)
+               )) AS hs
+        FROM base
+    ), shx AS (
+        SELECT doc_id, unnest(hs) AS h FROM sh
+    ), sig AS (
+        SELECT doc_id,
+               {mins}
+        FROM shx GROUP BY doc_id
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE {band_eq}
+    ), verified AS (
+        SELECT p.id_a, p.id_b,
+               CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+                   / len(list_distinct(list_concat(sa.hs, sb.hs)))
+                   AS jaccard
+        FROM pairs p
+        JOIN sh sa ON sa.doc_id = p.id_a
+        JOIN sh sb ON sb.doc_id = p.id_b
+    )
+    SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {threshold}
+    """
+
+
+@query("q_dedup_near_md5", oracle=_minhash_md5_oracle())
+def q_dedup_near_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MinHash-LSH near-dup with every hash engine-portable (md5 shingle
+    # base hashes, md5 band buckets, unrounded jaccard): byte-identical
+    # banding/verification CODE to the production q_dedup_near
+    # (portable=True only swaps the hash primitive), so this row's full
+    # hash match is the oracle-checked witness that the LSH candidate
+    # generation is correct — the production xxhash64 path keeps its
+    # (cheaper) JVM hash and its recall-floor tests. Scale shape
+    # unchanged: banded equi-join candidates, never all-pairs.
+    from ..llm.dedup import minhash_near_duplicates
+
+    d = Catalog(spark, sf_dir).documents
+    return minhash_near_duplicates(
+        d,
+        "text",
+        "doc_id",
+        num_hashes=32,
+        bands=8,
+        shingle_k=3,
+        jaccard_threshold=0.6,
+        portable=True,
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "jaccard",
+    )
+
+
+# --- ST7: batch ≡ streaming merge equivalence --------------------------------
+
+
+@query(
+    "q_stream_merge_equiv",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type, value FROM (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+               event_type, value,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC
+               ) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_stream_merge_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The streaming layer's first driver-gated CORRECTNESS row: replay
+    # the events table as a REAL multi-batch file stream (8 files, one
+    # microbatch each) through the foreachBatch incremental MERGE
+    # (streaming/structured.py:merge_stream_into), then return the final
+    # durable state table. Oracle = the one-shot batch answer (latest
+    # event per user by (ts, event_id)) — hash equality IS the
+    # batch≡streaming equivalence claim.
+    #
+    # Equivalence argument: each user's rows are co-located in ONE input
+    # file (repartition on the key), so the per-batch keep-last-by-ord
+    # dedup resolves every key within its single batch and the final
+    # state is independent of batch ARRIVAL ORDER — the property that
+    # makes the claim robust rather than an artifact of file listing
+    # order. At scale this is the standard CDC-compaction layout: route
+    # by key, merge per batch, OCC-rename commit (sinks/merge.py).
+    from ..sinks.merge import MergeSink
+    from ..streaming.structured import (
+        merge_stream_into,
+        stream_from_parquet_dir,
+    )
+
+    e = Catalog(spark, sf_dir).events.select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="phe_stream_equiv_")
+    src_dir = os.path.join(tmp, "in")
+    e.repartition(8, "user_id").write.parquet(src_dir)
+
+    stream = stream_from_parquet_dir(
+        spark, src_dir, e.schema, max_files_per_trigger=1
+    ).withColumn("ord", F.struct("ts", "event_id"))
+    sink = MergeSink(os.path.join(tmp, "state"), key="user_id")
+    sink.init(spark.createDataFrame([], stream.schema))
+    q = merge_stream_into(
+        stream, sink, name="q_stream_merge_equiv", order_by="ord"
+    )
+    q.processAllAvailable()
+    q.stop()
+    return sink.read(spark).select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )

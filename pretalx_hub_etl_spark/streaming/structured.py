@@ -18,10 +18,21 @@ from pyspark.sql import types as T
 
 
 def stream_from_parquet_dir(
-    spark: SparkSession, path: str, schema: T.StructType
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    """File-based streaming source (one-file-per-microbatch semantics)."""
-    return spark.readStream.schema(schema).parquet(path)
+    """File-based streaming source (one-file-per-microbatch semantics).
+
+    ``max_files_per_trigger`` bounds each microbatch to that many files —
+    set it to 1 to force one-batch-per-file replay (the deterministic
+    multi-batch shape the batch≡streaming equivalence query relies on).
+    """
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
 
 
 def windowed_counts_stream(

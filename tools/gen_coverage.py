@@ -126,6 +126,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
         ("ST5", "reconcile merge (FLAGSHIP)", ["q_reconcile_merge"]),
         ("ST6", "keep-first stream dedup (dropDuplicatesWithinWatermark twin)",
          ["q_stream_dedup"]),
+        ("ST7", "batch ≡ streaming foreachBatch-merge equivalence",
+         ["q_stream_merge_equiv"]),
     ]),
     ("2.10 UDF surface", [
         ("UD1", "Arrow pandas UDF ≡ built-in", ["q_udf_pandas"]),
@@ -228,6 +230,12 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_basket_rules"]),
         ("AN14", "one-pass pairwise correlation matrix (exact moments)",
          ["q_corr_matrix"]),
+        ("L2f", "exact substring-level dedup (cross-doc repeated spans)",
+         ["q_dedup_substrings"]),
+        ("L2g", "portable-hash MinHash witness (full-oracle banding check)",
+         ["q_dedup_near_md5"]),
+        ("L35", "source-mixture interleave (weights -> keep -> global order)",
+         ["q_mixture_interleave"]),
     ]),
     ("TPC-H composite shapes", [
         ("Q", "multi-way join/agg/subquery plans",

@@ -68,6 +68,9 @@ HEADLINE = [
     "q_distinct_bitmap",    # bitmap-page exact distinct counting
     "q_text_perplexity",    # bigram-LM NLL scoring (quantized ln)
     "q_retention_cohort",   # weekly cohort retention matrix
+    "q_dedup_substrings",   # cross-doc repeated-span dedup (gram postings)
+    "q_dedup_near_md5",     # portable-hash MinHash-LSH witness
+    "q_mixture_interleave",  # weighted keep + global interleave rank
 ]
 
 
@@ -101,7 +104,26 @@ def main() -> None:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
         sf = -1.0
+    # Idle-box pre-flight (round-5 review, Next #7): cross-round deltas
+    # on a busy box are noise (r4's +36% "regression" was load, proven by
+    # r5's loadavg telemetry). If the 1-min load is above threshold, wait
+    # up to PREFLIGHT_MAX_WAIT for it to drain, then proceed and ANNOTATE
+    # (never refuse — the driver's per-round record must still exist).
+    threshold = float(os.environ.get("SPARK_GRAFT_LOAD_THRESHOLD", "2.0"))
+    max_wait = int(os.environ.get("SPARK_GRAFT_PREFLIGHT_WAIT", "90"))
+    load_initial = os.getloadavg()[0]
+    waited = 0
+    while os.getloadavg()[0] > threshold and waited < max_wait:
+        time.sleep(5)
+        waited += 5
     load_start = os.getloadavg()
+    preflight = {
+        "load1_initial": round(load_initial, 2),
+        "load1_after_wait": round(load_start[0], 2),
+        "waited_sec": waited,
+        "threshold": threshold,
+        "busy_box": load_start[0] > threshold,
+    }
 
     from pretalx_hub_etl_spark.queries import load_all
     from pretalx_hub_etl_spark.session import get_spark
@@ -127,10 +149,16 @@ def main() -> None:
     # compilation (hundreds of ms of driver-side work that amortizes to
     # zero over a real workload), and the GC-heavy LLM queries (minhash
     # signature folds) need one more sample for a stable min; the min
-    # reflects steady-state execution.
+    # reflects steady-state execution. The per-query (median − min)
+    # spread is recorded alongside so a cross-round delta on a noisy
+    # query self-diagnoses: genuine plan regressions move the MIN, load
+    # interference widens the SPREAD (round-5 review, Next #7).
     timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name in HEADLINE:
-        timings[name] = round(min(run(name) for _ in range(3)), 3)
+        samples = sorted(run(name) for _ in range(3))
+        timings[name] = round(samples[0], 3)
+        spread[name] = round(samples[1] - samples[0], 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -141,8 +169,10 @@ def main() -> None:
                 "unit": "sec",
                 "timing": "min_of_3_runs",
                 "queries": timings,
+                "spread_median_minus_min": spread,
                 "sf": sf,
                 "inputs": input_stats(sf_dir),
+                "preflight": preflight,
                 "loadavg_start": [round(x, 2) for x in load_start],
                 "loadavg_end": [round(x, 2) for x in os.getloadavg()],
             }

@@ -466,7 +466,38 @@ def duplicate_clusters(
     )
 
 
-def simhash64(df: DataFrame, text_col: str, id_col: str, shingle_k: int = 2) -> DataFrame:
+def _shingle_hashes_md5_wide(text_col: str, k: int) -> F.Column:
+    """Distinct 60-bit md5-derived shingle hashes (15 hex chars).
+
+    The wide engine-portable twin of :func:`_shingle_hashes` for SimHash,
+    which needs one vote per signature BIT: 60 bits (< 2^63, signed-safe
+    on both engines) parse identically from ``conv`` (Spark) and
+    ``('0x'||…)::BIGINT`` (DuckDB).
+    """
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(" ", F.slice(words, i + 1, k))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long"),
+        )
+    )
+
+
+def simhash64(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 2,
+    portable: bool = False,
+) -> DataFrame:
     """63-bit SimHash per document (id, simhash) — built-ins only.
 
     Bit j of the signature is the sign of the per-shingle vote
@@ -474,13 +505,23 @@ def simhash64(df: DataFrame, text_col: str, id_col: str, shingle_k: int = 2) -> 
     so the accumulator never touches the long sign bit (ANSI overflow).
     Near-dup candidates: low Hamming distance (``bit_count(a ^ b)``), or
     equi-join on signature prefixes.
+
+    ``portable=True``: 60-bit signatures over md5-derived shingle hashes
+    (:func:`_shingle_hashes_md5_wide`) — identical vote/assembly logic,
+    every stage replayable in external SQL (the full-oracle witness for
+    the SimHash pipeline, like the MinHash md5 twin).
     """
+    nbits = 60 if portable else 63
     # hash each shingle ONCE (straight off the word array), then ONE fold
-    # over the shingle set carrying all 63 bit-vote counters in an array
+    # over the shingle set carrying all bit-vote counters in an array
     # accumulator (the indexed-transform lambda gives each slot its bit
-    # index j) — one traversal instead of 63
-    hashes = _shingle_hashes(text_col, shingle_k).alias("hashes")
-    init = F.array(*([F.lit(0).cast("long")] * 63))
+    # index j) — one traversal instead of one per bit
+    hashes = (
+        _shingle_hashes_md5_wide(text_col, shingle_k)
+        if portable
+        else _shingle_hashes(text_col, shingle_k)
+    ).alias("hashes")
+    init = F.array(*([F.lit(0).cast("long")] * nbits))
     votes = F.aggregate(
         F.col("hashes"),
         init,
@@ -493,7 +534,7 @@ def simhash64(df: DataFrame, text_col: str, id_col: str, shingle_k: int = 2) -> 
     sim = F.aggregate(
         F.zip_with(
             F.col("votes"),
-            F.array(*[F.lit(1 << j).cast("long") for j in range(63)]),
+            F.array(*[F.lit(1 << j).cast("long") for j in range(nbits)]),
             lambda v, w: F.when(v > 0, w).otherwise(F.lit(0).cast("long")),
         ),
         F.lit(0).cast("long"),

@@ -289,6 +289,94 @@ def q_dedup_near_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- L2h: portable-hash SimHash witness --------------------------------------
+
+
+def _simhash_md5_oracle(
+    shingle_k: int = 2, nbits: int = 60, prefix_shift: int = 45,
+    max_hamming: int = 23,
+) -> str:
+    """DuckDB replay of the 60-bit md5 SimHash path: per-doc bit votes by
+    unnest+sum, sign-assembled signature, top-(nbits-shift)-bit blocking,
+    Hamming verify — mirroring llm/dedup.py:simhash64(portable=True) and
+    the q_dedup_simhash blocking exactly."""
+    votes = ",\n               ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(nbits)
+    )
+    assemble = "\n               + ".join(
+        f"(CASE WHEN v{j} > 0 THEN CAST({1 << j} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+        for j in range(nbits)
+    )
+    return f"""
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(w) - {shingle_k}, 0) + 1),
+                   i -> CAST(('0x' || substr(md5(
+                            array_to_string(w[i:i+{shingle_k - 1}], ' ')
+                        ), 1, 15)) AS BIGINT)
+               )) AS hs
+        FROM base
+    ), shx AS (
+        SELECT doc_id, unnest(hs) AS h FROM sh
+    ), votes AS (
+        SELECT doc_id,
+               {votes}
+        FROM shx GROUP BY doc_id
+    ), sig AS (
+        SELECT doc_id,
+               {assemble} AS simhash
+        FROM votes
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b
+      ON (a.simhash >> {prefix_shift}) = (b.simhash >> {prefix_shift})
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+@query("q_dedup_simhash_md5", oracle=_simhash_md5_oracle())
+def q_dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SimHash near-dup with every hash engine-portable: 60-bit signatures
+    # from md5 shingle hashes, SAME vote/assembly/blocking code as the
+    # production q_dedup_simhash (portable=True swaps only the hash
+    # primitive and width) — this row's full hash match is the
+    # oracle-checked witness that the SimHash vote fold, signature
+    # assembly, prefix blocking, and Hamming verify are all correct.
+    # Threshold 23 ≈ the production 24 scaled from 63 to 60 bits.
+    from ..llm.dedup import simhash64
+
+    d = Catalog(spark, sf_dir).documents
+    sigs = simhash64(d, "text", "doc_id", portable=True).cache()
+    blocked = sigs.withColumn(
+        "block", F.shiftright(F.col("simhash"), 45)
+    )
+    left = blocked.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"), "block"
+    )
+    right = blocked.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"), "block"
+    )
+    return (
+        left.join(right, "block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast(
+                "long"
+            ),
+        )
+        .filter(F.col("hamming") <= 23)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 # --- ST7: batch ≡ streaming merge equivalence --------------------------------
 
 

@@ -234,6 +234,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_dedup_substrings"]),
         ("L2g", "portable-hash MinHash witness (full-oracle banding check)",
          ["q_dedup_near_md5"]),
+        ("L2h", "portable-hash SimHash witness (full-oracle vote/assembly check)",
+         ["q_dedup_simhash_md5"]),
         ("L35", "source-mixture interleave (weights -> keep -> global order)",
          ["q_mixture_interleave"]),
     ]),

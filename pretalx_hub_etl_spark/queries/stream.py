@@ -187,3 +187,73 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
         )
     )
+
+
+@query(
+    "q_stream_interval_join",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+        FROM events
+    )
+    SELECT l.user_id,
+           l.event_id AS l_event_id, r.event_id AS r_event_id,
+           l.ts AS l_ts, r.ts AS r_ts
+    FROM e l JOIN e r
+      ON l.user_id = r.user_id
+     AND l.event_id % 2 = 0 AND r.event_id % 2 = 1
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 10 MINUTE
+    """,
+)
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ST8: the stream-stream interval join (impressions⋈clicks) run as a
+    # REAL pair of streaming sources through
+    # streaming.structured.interval_join_streams into a memory sink —
+    # the second driver-gated row for the streaming layer after
+    # q_stream_merge_equiv. Each side is ONE file → one microbatch, so
+    # the watermark never advances past unseen data and nothing is
+    # dropped as late: the streaming answer provably equals the batch
+    # range join the oracle runs. (Multi-batch late-drop behavior is
+    # exercised separately in tests/test_structured_streaming.py — that
+    # semantics is deliberately watermark-dependent and not oracle-able.)
+    # At scale: the equi-key+time-range conjunct is what bounds join
+    # state (see interval_join_streams docstring).
+    import os
+    import tempfile
+    import uuid
+
+    from ..streaming.structured import (
+        interval_join_streams,
+        run_to_memory,
+        stream_from_parquet_dir,
+    )
+
+    e = Catalog(spark, sf_dir).events.select("user_id", "event_id", "ts")
+    tmp = tempfile.mkdtemp(prefix="phe_ivj_")
+    ldir, rdir = os.path.join(tmp, "l"), os.path.join(tmp, "r")
+    e.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(ldir)
+    e.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(rdir)
+
+    # watermarks require session-tz TIMESTAMP; the parquet roundtrip
+    # yields TIMESTAMP_NTZ, so re-cast on the stream side
+    left = stream_from_parquet_dir(spark, ldir, e.schema).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    right = stream_from_parquet_dir(spark, rdir, e.schema).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    joined = interval_join_streams(
+        left,
+        right,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        left_watermark="10 minutes",
+        right_watermark="10 minutes",
+        max_delay="10 minutes",
+    )
+    name = f"ivj_{uuid.uuid4().hex}"
+    run_to_memory(joined, name, output_mode="append")
+    return spark.table(name).select(
+        "user_id", "l_event_id", "r_event_id", "l_ts", "r_ts"
+    )

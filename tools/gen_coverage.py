@@ -128,6 +128,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_stream_dedup"]),
         ("ST7", "batch ≡ streaming foreachBatch-merge equivalence",
          ["q_stream_merge_equiv"]),
+        ("ST8", "stream-stream interval join (watermarked, memory-sink run)",
+         ["q_stream_interval_join"]),
     ]),
     ("2.10 UDF surface", [
         ("UD1", "Arrow pandas UDF ≡ built-in", ["q_udf_pandas"]),

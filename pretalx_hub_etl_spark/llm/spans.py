@@ -35,6 +35,33 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _tokens(text_col: str) -> F.Column:
+    return F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit("")
+    )
+
+
+def gram_postings(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(doc_id, pos, g): md5 hash of every k-token sliding window, with
+    1-based positions — the shared substrate of :func:`duplicate_spans`
+    (find) and :func:`remove_duplicate_spans` (apply)."""
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    # sequence(1, n-k+1) would generate a DESCENDING [1, 0] when n < k
+    # (Spark auto-steps -1); guard with an empty array instead
+    idx = F.when(
+        n >= k, F.sequence(F.lit(1), n - F.lit(k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k)))
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(grams).alias("p0", "g")
+    ).select("doc_id", (F.col("p0") + 1).cast("long").alias("pos"), "g")
+
+
 def duplicate_spans(
     df: DataFrame,
     text_col: str = "text",
@@ -50,23 +77,7 @@ def duplicate_spans(
     maximal span: ``(doc_id, span_start, span_end, span_tokens,
     n_windows)`` with 1-based inclusive token positions.
     """
-    toks = F.filter(
-        F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit("")
-    )
-    n = F.size(toks)
-    # sequence(1, n-k+1) would generate a DESCENDING [1, 0] when n < k
-    # (Spark auto-steps -1); guard with an empty array instead
-    idx = F.when(
-        n >= k, F.sequence(F.lit(1), n - F.lit(k - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(
-        idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k)))
-    )
-    posting = df.select(
-        F.col(id_col).alias("doc_id"), F.posexplode(grams).alias("p0", "g")
-    ).select(
-        "doc_id", (F.col("p0") + 1).cast("long").alias("pos"), "g"
-    )
+    posting = gram_postings(df, text_col, id_col, k)
     posting = posting.persist()  # scanned twice: df() agg + candidate join
     dup = (
         posting.groupBy("g")
@@ -108,4 +119,79 @@ def duplicate_spans(
         .select(
             "doc_id", "span_start", "span_end", "span_tokens", "n_windows"
         )
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """APPLY substring-level dedup: cut duplicated spans, keeping each
+    duplicated gram's occurrence only in its lowest-id owning document.
+
+    Keep-first-owner policy (deterministic, engine-portable): for every
+    gram with distinct-doc frequency >= 2, the doc with the MINIMUM
+    doc_id among its owners keeps its windows; every other doc removes
+    theirs.  Removed windows union into spans; surviving tokens rejoin
+    in position order.  One row per input doc: ``(doc_id, clean_text,
+    n_tokens, n_removed)`` — docs with nothing to cut pass through, a
+    fully-duplicated doc yields an empty clean_text.
+
+    Scale shape: the posting shuffle and the token reassembly are the
+    two corpus-token-sized stages (inherent to the operation); the
+    covered-position explode is bounded by k × removed windows, never
+    the corpus. The reassembly groupBy collects (pos, token) structs per
+    doc — bounded by per-doc length, the same bound any text rewrite
+    carries.
+    """
+    posting = gram_postings(df, text_col, id_col, k).persist()
+    owners = (
+        posting.groupBy("g")
+        .agg(
+            F.min("doc_id").alias("min_doc"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .filter(F.col("df") >= 2)
+        .select("g", "min_doc")
+    )
+    removed = (
+        posting.join(owners, "g")
+        .filter(F.col("doc_id") != F.col("min_doc"))
+        .select(
+            "doc_id",
+            F.col("pos").alias("s"),
+            (F.col("pos") + F.lit(k - 1)).alias("e"),
+        )
+    )
+    covered = removed.select(
+        "doc_id", F.explode(F.sequence("s", "e")).alias("p")
+    ).distinct()
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"), _tokens(text_col).alias("t")
+    )
+    base = base.persist()  # token explode + final left join
+    tok = base.select(
+        "doc_id", F.posexplode("t").alias("p0", "tk")
+    ).select("doc_id", (F.col("p0") + 1).cast("long").alias("p"), "tk")
+    kept = tok.join(covered, ["doc_id", "p"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tk"))),
+                lambda x: x.getField("tk"),
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        F.size("t").cast("long").alias("n_tokens"),
+        (F.size("t") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
     )

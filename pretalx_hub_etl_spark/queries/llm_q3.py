@@ -101,6 +101,63 @@ def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_spans(d, k=_SPAN_K, min_doc_freq=2)
 
 
+@query(
+    "q_dedup_substrings_clean",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ), posting AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               md5(array_to_string(t[i:i+{_SPAN_K - 1}], ' ')) AS g
+        FROM base,
+             unnest(generate_series(1, greatest(len(t) - {_SPAN_K - 1}, 0)))
+                 AS u(i)
+    ), owners AS (
+        SELECT g, min(doc_id) AS min_doc FROM posting GROUP BY g
+        HAVING count(DISTINCT doc_id) >= 2
+    ), removed AS (
+        SELECT p.doc_id, p.pos AS s, p.pos + {_SPAN_K - 1} AS e
+        FROM posting p JOIN owners o ON p.g = o.g AND p.doc_id <> o.min_doc
+    ), covered AS (
+        SELECT DISTINCT doc_id, CAST(q AS BIGINT) AS p
+        FROM removed, unnest(generate_series(s, e)) v(q)
+    ), tok AS (
+        SELECT doc_id, CAST(generate_subscripts(t, 1) AS BIGINT) AS p,
+               unnest(t) AS tk
+        FROM base
+    ), kept AS (
+        SELECT doc_id, p, tk FROM tok
+        WHERE NOT EXISTS (SELECT 1 FROM covered c
+                          WHERE c.doc_id = tok.doc_id AND c.p = tok.p)
+    ), agg AS (
+        SELECT doc_id, string_agg(tk, ' ' ORDER BY p) AS clean_text,
+               CAST(count(*) AS BIGINT) AS n_kept
+        FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           coalesce(a.clean_text, '') AS clean_text,
+           CAST(len(b.t) AS BIGINT) AS n_tokens,
+           CAST(len(b.t) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+    FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id
+    """,
+)
+def q_dedup_substrings_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The APPLY side of L2f: cut every duplicated window from all but its
+    # lowest-id owning doc (deterministic keep-first-owner policy) and
+    # reassemble the surviving tokens — the operator that actually
+    # produces the deduplicated training corpus. Same gram-posting
+    # substrate as q_dedup_substrings (llm/spans.py:gram_postings); the
+    # clean text, token counts, and removed counts are all value-hashed
+    # against the oracle's identical replay.
+    from ..llm.spans import remove_duplicate_spans
+
+    d = Catalog(spark, sf_dir).documents
+    return remove_duplicate_spans(d, k=_SPAN_K)
+
+
 # --- L35: source-mixture interleave ------------------------------------------
 
 

@@ -138,3 +138,36 @@ def test_mixture_interleave_keep_and_rank_replay(spark):
         )
     ]
     assert by_rank == by_key
+
+
+def test_remove_duplicate_spans_keep_first_owner(spark):
+    from pretalx_hub_etl_spark.llm.spans import remove_duplicate_spans
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    d = _docs(
+        spark,
+        [
+            (1, f"one two {shared}"),
+            (2, f"{shared} other words"),
+            (3, "an unrelated document with entirely different token text"),
+        ],
+    )
+    out = {r.doc_id: r for r in remove_duplicate_spans(d, k=8).collect()}
+    # doc 1 is the lowest-id owner: keeps everything
+    assert out[1].clean_text == f"one two {shared}"
+    assert (out[1].n_tokens, out[1].n_removed) == (10, 0)
+    # doc 2 loses the shared 8-token run, keeps its tail
+    assert out[2].clean_text == "other words"
+    assert (out[2].n_tokens, out[2].n_removed) == (10, 8)
+    # doc 3 untouched
+    assert out[3].n_removed == 0
+
+
+def test_remove_duplicate_spans_fully_duplicated_doc(spark):
+    from pretalx_hub_etl_spark.llm.spans import remove_duplicate_spans
+
+    t = "a b c d e f g h"  # exactly one 8-gram
+    d = _docs(spark, [(1, t), (2, t)])
+    out = {r.doc_id: r for r in remove_duplicate_spans(d, k=8).collect()}
+    assert out[1].clean_text == t and out[1].n_removed == 0
+    assert out[2].clean_text == "" and out[2].n_removed == 8

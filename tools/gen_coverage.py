@@ -233,7 +233,7 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
         ("AN14", "one-pass pairwise correlation matrix (exact moments)",
          ["q_corr_matrix"]),
         ("L2f", "exact substring-level dedup (cross-doc repeated spans)",
-         ["q_dedup_substrings"]),
+         ["q_dedup_substrings", "q_dedup_substrings_clean"]),
         ("L2g", "portable-hash MinHash witness (full-oracle banding check)",
          ["q_dedup_near_md5"]),
         ("L2h", "portable-hash SimHash witness (full-oracle vote/assembly check)",

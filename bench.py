@@ -161,23 +161,32 @@ def main() -> None:
         spread[name] = round(samples[1] - samples[0], 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_wall_total",
-                "value": total,
-                "unit": "sec",
-                "timing": "min_of_3_runs",
-                "queries": timings,
-                "spread_median_minus_min": spread,
-                "sf": sf,
-                "inputs": input_stats(sf_dir),
-                "preflight": preflight,
-                "loadavg_start": [round(x, 2) for x in load_start],
-                "loadavg_end": [round(x, 2) for x in os.getloadavg()],
-            }
-        )
+    record = {
+        "metric": "headline_queries_wall_total",
+        "value": total,
+        "unit": "sec",
+        "timing": "min_of_3_runs",
+        "queries": timings,
+        "spread_median_minus_min": spread,
+        "sf": sf,
+        "inputs": input_stats(sf_dir),
+        "preflight": preflight,
+        "loadavg_start": [round(x, 2) for x in load_start],
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+    }
+    # attach the heavy-tail scaling exponents (tools/scale_smoke.py) so
+    # the driver's BENCH artifact carries the measured growth rates, not
+    # just one-size timings (round-5 review, Next #8)
+    scaling_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "SCALING.json"
     )
+    if os.path.exists(scaling_path):
+        try:
+            with open(scaling_path) as fh:
+                record["scaling"] = json.load(fh)
+        except (OSError, ValueError):
+            pass
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -493,3 +493,75 @@ def q_stream_merge_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.read(spark).select(
         "user_id", "event_id", "ts", "event_type", "value"
     )
+
+
+# --- AN15: OHLC bar resampling ----------------------------------------------
+
+
+@query(
+    "q_resample_ohlc",
+    oracle="""
+    WITH e AS (
+        SELECT event_type,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 900) * 900
+                    AS BIGINT) AS bar_start,
+               CAST(ts AS TIMESTAMP) AS ts, event_id,
+               CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ), r AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY event_type, bar_start
+                                  ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (PARTITION BY event_type, bar_start
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM e
+    ), agg AS (
+        SELECT event_type, bar_start,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(max(cents) AS BIGINT) AS high_c,
+               CAST(min(cents) AS BIGINT) AS low_c,
+               CAST(sum(cents) AS BIGINT) AS sum_c
+        FROM e GROUP BY 1, 2
+    )
+    SELECT agg.event_type, agg.bar_start, agg.n,
+           o.cents AS open_c, agg.high_c, agg.low_c,
+           c.cents AS close_c, agg.sum_c
+    FROM agg
+    JOIN (SELECT event_type, bar_start, cents FROM r WHERE rn_a = 1) o
+      ON agg.event_type = o.event_type AND agg.bar_start = o.bar_start
+    JOIN (SELECT event_type, bar_start, cents FROM r WHERE rn_d = 1) c
+      ON agg.event_type = c.event_type AND agg.bar_start = c.bar_start
+    """,
+)
+def q_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # AN15: downsample an irregular event series to 15-minute OHLC bars
+    # (the market-data / metrics-rollup staple). ONE map-side-combined
+    # groupBy on (type, bar): open/close are min_by/max_by over the
+    # total (ts, event_id) order — DeclarativeAggregates with partial
+    # merge, deterministic under any partitioning because the order key
+    # is unique; high/low/sum are exact BIGINT cents (floor-scale
+    # fixed-point, never round()); the bar key is integer floor-division
+    # of epoch seconds, identical on both engines. Zero joins, zero
+    # windows — the cheapest possible shape for a corpus-wide rollup.
+    e = Catalog(spark, sf_dir).events
+    cents = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+    epoch_s = F.unix_timestamp("ts")
+    bar = (F.floor(epoch_s / 900) * 900).cast("long")
+    ordkey = F.struct("ts", "event_id")
+    return (
+        e.select(
+            "event_type",
+            bar.alias("bar_start"),
+            cents.alias("cents"),
+            ordkey.alias("o"),
+        )
+        .groupBy("event_type", "bar_start")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min_by("cents", F.col("o")).alias("open_c"),
+            F.max("cents").alias("high_c"),
+            F.min("cents").alias("low_c"),
+            F.max_by("cents", F.col("o")).alias("close_c"),
+            F.sum("cents").alias("sum_c"),
+        )
+    )

@@ -240,6 +240,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_dedup_simhash_md5"]),
         ("L35", "source-mixture interleave (weights -> keep -> global order)",
          ["q_mixture_interleave"]),
+        ("AN15", "OHLC bar resampling (irregular series -> fixed bars)",
+         ["q_resample_ohlc"]),
     ]),
     ("TPC-H composite shapes", [
         ("Q", "multi-way join/agg/subquery plans",

@@ -1,0 +1,142 @@
+"""Exact-integer Lloyd k-means over embedding columns (L36).
+
+MLlib's KMeans (``similarity.py:kmeans_centroids``) is the production
+coarse-quantizer trainer, but its float arithmetic merges in partition
+order — two runs on different partitionings can flip borderline
+assignments, so it can only ever be rows-only/recall-checked.  This
+operator is the DETERMINISTIC twin: components quantize once to
+micro-unit BIGINTs, every distance and every centroid update is exact
+integer arithmetic, ties break on the lowest centroid id — so the full
+clustering replays bit-identically on any engine and any partitioning
+(the PageRank argument, applied to clustering).  Use it when the
+assignment itself must be reproducible/auditable (dataset curation
+lineage, IVF list stability across rebuilds); use MLlib when you want
+kmeans|| init and don't need determinism.
+
+Per iteration: ONE broadcast of the K centroids onto the corpus (the
+n×K distance table never shuffles raw vectors), one vec_id-partitioned
+window for the argmin, and one (cid, dim)-keyed map-side-combined sum
+for the update — all hashing on high-cardinality or K·dim-sized keys,
+no single-reducer stage.  Centroid tables are K×dim rows
+(data-size-independent).
+
+Negative components are handled by a constant OFFSET added at
+quantization: distances are translation-invariant, and all-positive
+integers make the floor-division mean identical across engines
+(negative integer division truncates differently between conventions —
+sidestepped entirely).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000
+OFFSET = 10_000_000  # > SCALE * max|component|; keeps everything positive
+
+
+def _quantize(vec: Column) -> Column:
+    return F.transform(
+        vec,
+        lambda x: (
+            F.floor(x.cast("double") * SCALE + F.lit(0.5)).cast("long")
+            + F.lit(OFFSET)
+        ),
+    )
+
+
+def _dist2(a: Column, b: Column) -> Column:
+    # exact: diffs cancel the OFFSET; |diff| <= ~2*SCALE so the
+    # 64-dim sum stays far inside int64
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def kmeans_exact(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iterations: int = 3,
+) -> DataFrame:
+    """Deterministic Lloyd k-means: ``(vec_id, cluster, dist2)``.
+
+    Init: the ``k`` lowest-``id_col`` vectors (quantized), clusters
+    0..k-1.  Assignment: exact integer squared distance, ties to the
+    lowest cluster id.  Update: element-wise exact floor mean of the
+    members (empty clusters keep their previous centroid).  ``dist2``
+    is the final exact integer distance in (micro-unit)² space.
+    """
+    q = df.select(
+        F.col(id_col).alias("vec_id"), _quantize(F.col(vec_col)).alias("q")
+    )
+    q = q.persist()  # scanned once per iteration + final assignment
+
+    w0 = Window.orderBy(F.col("vec_id").asc())
+    cents = (
+        q.orderBy(F.col("vec_id").asc())
+        .limit(k)
+        .select(
+            (F.row_number().over(w0) - 1).cast("long").alias("cid"),
+            F.col("q").alias("qc"),
+        )
+    )
+
+    def assign(cents_df: DataFrame) -> DataFrame:
+        scored = q.crossJoin(F.broadcast(cents_df)).select(
+            "vec_id",
+            "q",
+            "cid",
+            _dist2(F.col("q"), F.col("qc")).alias("d2"),
+        )
+        wa = Window.partitionBy("vec_id").orderBy(
+            F.col("d2").asc(), F.col("cid").asc()
+        )
+        return (
+            scored.withColumn("__r", F.row_number().over(wa))
+            .filter(F.col("__r") == 1)
+            .select("vec_id", "q", F.col("cid").alias("cluster"), "d2")
+        )
+
+    for _ in range(iterations):
+        members = assign(cents)
+        per_dim = (
+            members.select(
+                "cluster", F.posexplode("q").alias("idx", "val")
+            )
+            .groupBy("cluster", "idx")
+            .agg(
+                F.sum("val").alias("s"), F.count(F.lit(1)).alias("cnt")
+            )
+        )
+        # exact floor mean of POSITIVE ints: subtract the remainder so
+        # the double division is exact (operators/graph.py:_fdiv shape)
+        mean = (
+            (F.col("s") - F.pmod(F.col("s"), F.col("cnt"))) / F.col("cnt")
+        ).cast("long")
+        upd = (
+            per_dim.select("cluster", "idx", mean.alias("mv"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("idx", "mv"))
+                    ),
+                    lambda x: x.getField("mv"),
+                ).alias("qc_new")
+            )
+            .select(F.col("cluster").alias("cid"), "qc_new")
+        )
+        cents = (
+            cents.join(upd, "cid", "left")
+            .select(
+                "cid", F.coalesce(F.col("qc_new"), F.col("qc")).alias("qc")
+            )
+            .localCheckpoint(eager=False)  # K×dim rows; pins the loop depth
+        )
+
+    return assign(cents).select("vec_id", "cluster", "d2")

@@ -565,3 +565,109 @@ def q_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").alias("sum_c"),
         )
     )
+
+
+# --- L36: deterministic exact-integer k-means --------------------------------
+
+
+def _kmeans_oracle(k: int = 8, iterations: int = 3) -> str:
+    """Unrolled-CTE DuckDB replay of llm/kmeans.py:kmeans_exact — one
+    assignment + one centroid-update CTE pair per Lloyd iteration (the
+    PageRank unrolled-oracle pattern applied to clustering)."""
+    q_expr = (
+        "list_transform(embedding, x -> "
+        "CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT) + 10000000)"
+    )
+    dist = (
+        "CAST(list_sum(list_transform(list_zip(e.q, c.qc), "
+        "s -> (s[1] - s[2])*(s[1] - s[2]))) AS BIGINT)"
+    )
+    ctes = [
+        f"e AS (SELECT vec_id, {q_expr} AS q FROM embeddings)",
+        f"""c0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+                   AS cid, q AS qc
+        FROM (SELECT vec_id, q FROM e ORDER BY vec_id LIMIT {k})
+    )""",
+    ]
+    for t in range(iterations):
+        ctes.append(
+            f"""s{t} AS (
+        SELECT e.vec_id, e.q, c.cid, {dist} AS d2
+        FROM e CROSS JOIN c{t} c
+    )"""
+        )
+        ctes.append(
+            f"""a{t} AS (
+        SELECT vec_id, q, cid AS cluster FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY d2, cid) AS rn
+            FROM s{t}
+        ) WHERE rn = 1
+    )"""
+        )
+        ctes.append(
+            f"""p{t} AS (
+        SELECT cluster, CAST(generate_subscripts(q, 1) AS BIGINT) AS idx,
+               unnest(q) AS v
+        FROM a{t}
+    )"""
+        )
+        ctes.append(
+            f"""m{t} AS (
+        SELECT cluster, idx,
+               CAST((s - (s % cnt)) / cnt AS BIGINT) AS mv
+        FROM (
+            SELECT cluster, idx,
+                   CAST(sum(v) AS BIGINT) AS s,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM p{t}
+            GROUP BY cluster, idx
+        )
+    )"""
+        )
+        ctes.append(
+            f"""u{t} AS (
+        SELECT cluster AS cid, list(mv ORDER BY idx) AS qc
+        FROM m{t} GROUP BY cluster
+    )"""
+        )
+        ctes.append(
+            f"""c{t + 1} AS (
+        SELECT o.cid, coalesce(n.qc, o.qc) AS qc
+        FROM c{t} o LEFT JOIN u{t} n USING (cid)
+    )"""
+        )
+    t = iterations
+    ctes.append(
+        f"""sf AS (
+        SELECT e.vec_id, c.cid, {dist} AS d2
+        FROM e CROSS JOIN c{t} c
+    )"""
+    )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT vec_id, cid AS cluster, d2 FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM sf
+    ) WHERE rn = 1
+    """
+
+
+@query("q_kmeans_exact", oracle=_kmeans_oracle())
+def q_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # L36: deterministic Lloyd k-means in exact integer arithmetic — the
+    # auditable twin of MLlib's float KMeans (which merges partials in
+    # partition order and can flip borderline assignments between runs).
+    # Micro-unit quantization + a positivity OFFSET (distances are
+    # translation-invariant; positive ints make the floor-mean engine-
+    # portable), ties to the lowest cluster id. Per iteration: one
+    # broadcast of K centroids, one vec-keyed argmin window, one
+    # (cluster, dim)-keyed map-side-combined sum. See llm/kmeans.py for
+    # the full scale shape.
+    from ..llm.kmeans import kmeans_exact
+
+    e = Catalog(spark, sf_dir).embeddings
+    return kmeans_exact(e, k=8, iterations=3)

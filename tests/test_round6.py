@@ -171,3 +171,28 @@ def test_remove_duplicate_spans_fully_duplicated_doc(spark):
     out = {r.doc_id: r for r in remove_duplicate_spans(d, k=8).collect()}
     assert out[1].clean_text == t and out[1].n_removed == 0
     assert out[2].clean_text == "" and out[2].n_removed == 8
+
+
+def test_kmeans_exact_separates_planted_clusters(spark):
+    from pretalx_hub_etl_spark.llm.kmeans import kmeans_exact
+
+    rows = []
+    for i in range(10):           # cluster around (1, 1, 1)
+        rows.append((i, [1.0 + 0.01 * i, 1.0, 1.0]))
+    for i in range(10, 20):       # cluster around (-1, -1, -1)
+        rows.append((i, [-1.0 - 0.01 * i, -1.0, -1.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r.cluster for r in kmeans_exact(df, k=2, iterations=3).collect()}
+    a = {out[i] for i in range(10)}
+    b = {out[i] for i in range(10, 20)}
+    assert len(a) == 1 and len(b) == 1 and a != b
+
+
+def test_kmeans_exact_is_deterministic_across_partitionings(spark):
+    from pretalx_hub_etl_spark.llm.kmeans import kmeans_exact
+
+    rows = [(i, [float((i * 7) % 5) - 2.0, float((i * 3) % 4) - 1.5]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    r1 = sorted(map(tuple, kmeans_exact(df.repartition(1), k=4, iterations=2).collect()))
+    r2 = sorted(map(tuple, kmeans_exact(df.repartition(13), k=4, iterations=2).collect()))
+    assert r1 == r2

@@ -242,6 +242,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_mixture_interleave"]),
         ("AN15", "OHLC bar resampling (irregular series -> fixed bars)",
          ["q_resample_ohlc"]),
+        ("L36", "deterministic exact-integer Lloyd k-means",
+         ["q_kmeans_exact"]),
     ]),
     ("TPC-H composite shapes", [
         ("Q", "multi-way join/agg/subquery plans",

@@ -671,3 +671,49 @@ def q_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = Catalog(spark, sf_dir).embeddings
     return kmeans_exact(e, k=8, iterations=3)
+
+
+# --- L4b: text normalization (the C4-style pre-dedup canonicalizer) ----------
+
+
+@query(
+    "q_text_normalize",
+    oracle="""
+    WITH n AS (
+        SELECT doc_id,
+               trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                   ' +', ' ', 'g')) AS norm_text
+        FROM documents
+    )
+    SELECT doc_id, norm_text,
+           CASE WHEN norm_text = '' THEN CAST(0 AS BIGINT)
+                ELSE CAST(len(string_split(norm_text, ' ')) AS BIGINT)
+           END AS n_tokens_norm
+    FROM n
+    """,
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # L4b: canonicalize text BEFORE hashing/dedup (the C4/CCNet
+    # preprocessing step): lowercase, strip non-alphanumerics,
+    # collapse/trim whitespace. Pure regexp_replace chains fused into
+    # the scan — zero shuffles, the only affordable shape for a
+    # corpus-wide rewrite at 100 TB. Spark's regexp_replace is
+    # replace-ALL by default; DuckDB needs the explicit 'g' flag —
+    # without it the oracle would silently replace first-match-only and
+    # diverge on any doc with two strippable characters.
+    d = Catalog(spark, sf_dir).documents
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return d.select("doc_id", norm.alias("norm_text")).select(
+        "doc_id",
+        "norm_text",
+        F.when(F.col("norm_text") == "", F.lit(0).cast("long"))
+        .otherwise(F.size(F.split(F.col("norm_text"), " ")).cast("long"))
+        .alias("n_tokens_norm"),
+    )

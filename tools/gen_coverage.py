@@ -244,6 +244,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_resample_ohlc"]),
         ("L36", "deterministic exact-integer Lloyd k-means",
          ["q_kmeans_exact"]),
+        ("L4b", "text normalization (C4-style pre-dedup canonicalizer)",
+         ["q_text_normalize"]),
     ]),
     ("TPC-H composite shapes", [
         ("Q", "multi-way join/agg/subquery plans",

@@ -122,6 +122,7 @@ NESTED_LOOP_ALLOWED = {
     "q_histogram_equidepth",  # total row count as a 1-row broadcast
     "q_text_perplexity",   # vocabulary size V as a 1-row broadcast
     "q_basket_rules",      # basket count N as a 1-row broadcast
+    "q_kmeans_exact",      # Lloyd assignment: corpus × broadcast(K=8)
 }
 
 

@@ -72,7 +72,31 @@ def _verified_prior_rounds() -> dict[str, int]:
     return last_round
 
 
-VERIFIED_PRIOR_ROUNDS: dict[str, int] = _verified_prior_rounds()
+#: Queries whose BODY or ORACLE changed since their last green driver row
+#: (green then ≠ green now). Subtracting them from the verified map makes
+#: load_all() enumerate them with the never-verified group, so the
+#: driver's 50-query sample re-checks them THIS round instead of whenever
+#: their old round goes stale. Maintain by hand when editing a
+#: previously-verified query; clear entries once a newer CORRECTNESS
+#: artifact shows them green again (the artifact scan then re-ranks them
+#: automatically).
+FORCE_REVERIFY: set[str] = {
+    "q_pack_greedy",      # r06: graduated rows-only -> recursive-CTE oracle
+    "q_corr_matrix",      # r06: l_quantity floor(x+0.5) on both engines
+    "q_feature_zscore",   # r06: E[x^2]-E[x]^2 variance form, both engines
+    "q_graph_pagerank",   # r06: pre-divided contribution loop shape
+    "q_retention_cohort",  # r06: body moved to operators/analytics.py
+    "q_fill_locf",        # r06: body moved to operators/analytics.py
+    "q_fill_interpolate",  # r06: body moved to operators/analytics.py
+    "q_basket_rules",     # r06: body moved to operators/analytics.py
+    "q_dedup_near",       # r06: portable-mode refactor shares this code
+    "q_dedup_simhash",    # r06: nbits parametrization shares this code
+}
+
+VERIFIED_PRIOR_ROUNDS: dict[str, int] = {
+    n: r for n, r in _verified_prior_rounds().items()
+    if n not in FORCE_REVERIFY
+}
 
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:

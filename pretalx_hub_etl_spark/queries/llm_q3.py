@@ -717,3 +717,77 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.size(F.split(F.col("norm_text"), " ")).cast("long"))
         .alias("n_tokens_norm"),
     )
+
+
+# --- DQ1: data-quality expectation suite -------------------------------------
+
+
+@query(
+    "q_quality_expectations",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(count(c_name) AS BIGINT) AS m0,
+               CAST(count(DISTINCT c_custkey) AS BIGINT) AS m1,
+               CAST(sum(CASE WHEN c_acctbal BETWEEN -1000.0 AND 10000.0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS m2,
+               CAST(sum(CASE WHEN c_mktsegment IN
+                             ('AUTOMOBILE','BUILDING','FURNITURE',
+                              'HOUSEHOLD','MACHINERY')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS m3,
+               CAST(sum(CASE WHEN c_acctbal > 0.0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS m4
+        FROM customer
+    )
+    SELECT 'completeness' AS check_name, 'c_name' AS col_name,
+           CAST(m0 AS DOUBLE) / n AS metric, CAST(1.0 AS DOUBLE) AS threshold,
+           CAST(m0 AS DOUBLE) / n >= 1.0 AS passed FROM m
+    UNION ALL
+    SELECT 'unique', 'c_custkey', CAST(m1 AS DOUBLE) / n, CAST(1.0 AS DOUBLE),
+           CAST(m1 AS DOUBLE) / n >= 1.0 FROM m
+    UNION ALL
+    SELECT 'in_range', 'c_acctbal', CAST(m2 AS DOUBLE) / n, CAST(1.0 AS DOUBLE),
+           CAST(m2 AS DOUBLE) / n >= 1.0 FROM m
+    UNION ALL
+    SELECT 'in_set', 'c_mktsegment', CAST(m3 AS DOUBLE) / n, CAST(1.0 AS DOUBLE),
+           CAST(m3 AS DOUBLE) / n >= 1.0 FROM m
+    UNION ALL
+    SELECT 'positive_balance', 'c_acctbal', CAST(m4 AS DOUBLE) / n, CAST(0.5 AS DOUBLE),
+           CAST(m4 AS DOUBLE) / n >= 0.5 FROM m
+    """,
+)
+def q_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DQ1: a deequ-style expectation suite — five checks (completeness,
+    # key uniqueness, range, set membership, business-rule fraction)
+    # compiled into ONE aggregation pass + a 5-row report
+    # (operators/expectations.py). Exact BIGINT numerators; the metric
+    # is one pinned double division, so the report value-hashes. Scale
+    # caveat documented in the module: each `unique` check adds an
+    # Expand duplicate of the scan rows — budget them.
+    from ..operators.expectations import (
+        completeness,
+        expectation_report,
+        in_range,
+        in_set,
+        satisfies,
+        unique,
+    )
+
+    c = Catalog(spark, sf_dir).customer
+    return expectation_report(
+        c,
+        [
+            completeness("c_name"),
+            unique("c_custkey"),
+            in_range("c_acctbal", -1000.0, 10000.0),
+            in_set(
+                "c_mktsegment",
+                ["AUTOMOBILE", "BUILDING", "FURNITURE",
+                 "HOUSEHOLD", "MACHINERY"],
+            ),
+            satisfies(
+                "positive_balance", "c_acctbal",
+                F.col("c_acctbal") > 0.0, 0.5,
+            ),
+        ],
+    )

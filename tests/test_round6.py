@@ -196,3 +196,28 @@ def test_kmeans_exact_is_deterministic_across_partitionings(spark):
     r1 = sorted(map(tuple, kmeans_exact(df.repartition(1), k=4, iterations=2).collect()))
     r2 = sorted(map(tuple, kmeans_exact(df.repartition(13), k=4, iterations=2).collect()))
     assert r1 == r2
+
+
+def test_expectation_report_math(spark):
+    from pretalx_hub_etl_spark.operators.expectations import (
+        completeness, expectation_report, in_range, unique,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", 15.0), (3, None, 7.0), (3, "d", 9.0)],
+        "id long, name string, v double",
+    )
+    rep = {
+        (r.check_name, r.col_name): (r.metric, r.passed)
+        for r in expectation_report(
+            df,
+            [
+                completeness("name", 1.0),
+                unique("id", 1.0),
+                in_range("v", 0.0, 10.0, 0.7),
+            ],
+        ).collect()
+    }
+    assert rep[("completeness", "name")] == (0.75, False)
+    assert rep[("unique", "id")] == (0.75, False)
+    assert rep[("in_range", "v")] == (0.75, True)

@@ -246,6 +246,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_kmeans_exact"]),
         ("L4b", "text normalization (C4-style pre-dedup canonicalizer)",
          ["q_text_normalize"]),
+        ("DQ1", "data-quality expectation suite (one-pass deequ shape)",
+         ["q_quality_expectations"]),
     ]),
     ("TPC-H composite shapes", [
         ("Q", "multi-way join/agg/subquery plans",

@@ -791,3 +791,48 @@ def q_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ],
     )
+
+
+# --- L1b: incremental ingest dedup (new batch vs existing corpus) ------------
+
+
+@query(
+    "q_dedup_incremental",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, sha256(text) AS h FROM documents
+        WHERE doc_id % 5 <> 0
+    ), batch AS (
+        SELECT doc_id, sha256(text) AS h FROM documents
+        WHERE doc_id % 5 = 0
+    ), hit AS (
+        SELECT h, min(doc_id) AS dup_of FROM corpus GROUP BY h
+    )
+    SELECT b.doc_id, hit.dup_of,
+           hit.dup_of IS NULL AS is_new_content
+    FROM batch b LEFT JOIN hit ON b.h = hit.h
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # L1b: the INGEST form of exact dedup — an arriving batch is checked
+    # against the already-ingested corpus, not against itself. Each new
+    # doc reports the lowest corpus doc_id carrying identical content
+    # (or NULL -> genuinely new). Shape: both sides reduce to
+    # (sha2, id) — fixed 64-byte keys, never raw text, the only shuffle
+    # row that stays small at 100 TB — the corpus side pre-aggregates
+    # min(doc_id) per hash (map-side combined; also the contract that
+    # makes the left join 1:1), then one equi-join on the hash. At
+    # scale, the corpus hash index is exactly what a MergeSink-backed
+    # dedup table maintains incrementally (L30's argument applied to
+    # membership instead of counting).
+    d = Catalog(spark, sf_dir).documents
+    corpus = d.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("h")
+    )
+    batch = d.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("h")
+    )
+    hit = corpus.groupBy("h").agg(F.min("doc_id").alias("dup_of"))
+    return batch.join(hit, "h", "left").select(
+        "doc_id", "dup_of", F.col("dup_of").isNull().alias("is_new_content")
+    )

@@ -248,6 +248,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_text_normalize"]),
         ("DQ1", "data-quality expectation suite (one-pass deequ shape)",
          ["q_quality_expectations"]),
+        ("L1b", "incremental ingest dedup (batch vs corpus hash index)",
+         ["q_dedup_incremental"]),
     ]),
     ("TPC-H composite shapes", [
         ("Q", "multi-way join/agg/subquery plans",

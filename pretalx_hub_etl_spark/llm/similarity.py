@@ -209,6 +209,55 @@ def _bucket_all_tables(spark, vec: Column, dim: int, n_bits: int, n_tables: int,
     return buckets(vec)
 
 
+def md5_plane_int(t: int, b: int, i: int) -> int:
+    """The (table, bit, dim) hyperplane component both engines derive
+    from md5: ``u32(md5('pl:t:b:i')) % 1001 - 500`` — an integer in
+    [-500, 500], so a quantized-embedding dot product (micro-ints up to
+    ~1e6/component) stays exact in int64 across hundreds of dims."""
+    import hashlib
+
+    u32 = int(hashlib.md5(f"pl:{t}:{b}:{i}".encode()).hexdigest()[:8], 16)
+    return u32 % 1001 - 500
+
+
+def _portable_buckets(
+    vec: Column, dim: int, n_bits: int, n_tables: int
+) -> Column:
+    """array<long> of per-table buckets (index = table id, the
+    ``_bucket_all_tables`` contract) from EXACT integer plane dots:
+    quantize components to micro-ints, dot against the md5-derived
+    integer planes, bit = sign — bit-identical on any engine/partitioning
+    (float plane dots can flip knife-edge signs between engines). At
+    scale, precompute the plane table once and broadcast instead of
+    inlining literals per expression, as here."""
+    q = F.transform(
+        vec,
+        lambda x: F.floor(x.cast("double") * 1_000_000 + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    tables = []
+    for t in range(n_tables):
+        bucket = F.lit(0).cast("long")
+        for b in range(n_bits):
+            plane = F.array(
+                *[
+                    F.lit(md5_plane_int(t, b, i)).cast("long")
+                    for i in range(dim)
+                ]
+            )
+            dot = F.aggregate(
+                F.zip_with(q, plane, lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            bucket = bucket + F.when(
+                dot > 0, F.lit(1 << b).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        tables.append(bucket)
+    return F.array(*tables)
+
+
 def embedding_near_duplicates(
     corpus: DataFrame,
     vec_col: str = "embedding",
@@ -217,6 +266,7 @@ def embedding_near_duplicates(
     n_bits: int = 8,
     n_tables: int = 6,
     seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos_sim >= t).
 
@@ -224,18 +274,26 @@ def embedding_near_duplicates(
     bucket) cells, never all-pairs. Candidates are deduped then exact-cosine
     verified. Recall is tuned by n_tables/n_bits (more tables -> higher
     recall, more candidates).
+
+    ``portable=True``: buckets from exact INTEGER dots against
+    md5-derived integer hyperplanes (:func:`_portable_buckets`) and a
+    fixed-point cosine instead of ``round`` — every stage replayable by
+    an external SQL engine (the full-oracle witness for the
+    hyperplane-LSH family, like the MinHash/SimHash md5 twins).
     """
     # sign-bit evaluation is O(n_tables × n_bits × dim) per row — by far
     # the dominant cost, so it runs as ONE vectorized matmul per Arrow
     # batch (see _bucket_all_tables), parallelized across the cluster
     dim = _probe_dim(corpus, vec_col)
+    if portable:
+        buckets = _portable_buckets(F.col(vec_col), dim, n_bits, n_tables)
+    else:
+        buckets = _bucket_all_tables(
+            corpus.sparkSession, F.col(vec_col), dim, n_bits, n_tables, seed
+        )
     bucketed = fan_out(corpus).select(
         F.col(id_col),
-        F.posexplode(
-            _bucket_all_tables(
-                corpus.sparkSession, F.col(vec_col), dim, n_bits, n_tables, seed
-            )
-        ).alias("table_id", "bucket"),
+        F.posexplode(buckets).alias("table_id", "bucket"),
     )
     # the sign-bit postings feed BOTH self-join sides — cache, or the
     # dominant hyperplane evaluation runs twice (mirrors minhash's sigs)
@@ -264,12 +322,16 @@ def embedding_near_duplicates(
         vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")),
         "id_b",
     )
+    if portable:
+        from ..functions.core import fixed_point
+
+        # fixed_point, not round(): the quantized cosine is compared to
+        # the oracle's identical floor(x*1e6+0.5)/1e6
+        sim = fixed_point(cosine(F.col("__va"), F.col("__vb")), 6)
+    else:
+        sim = F.round(cosine(F.col("__va"), F.col("__vb")), 6)
     return (
-        paired.select(
-            "id_a",
-            "id_b",
-            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cos_sim"),
-        )
+        paired.select("id_a", "id_b", sim.alias("cos_sim"))
         .filter(F.col("cos_sim") >= cosine_threshold)
     )
 

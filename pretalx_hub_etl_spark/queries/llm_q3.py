@@ -836,3 +836,79 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch.join(hit, "h", "left").select(
         "doc_id", "dup_of", F.col("dup_of").isNull().alias("is_new_content")
     )
+
+
+# --- L2i: portable hyperplane-LSH embedding near-dup witness -----------------
+
+
+def _embed_lsh_oracle(
+    n_bits: int = 4, n_tables: int = 8, threshold: float = 0.3
+) -> str:
+    """DuckDB replay of embedding_near_duplicates(portable=True): the
+    integer hyperplanes derive IN SQL from the same md5 formula the
+    Spark side uses (llm/similarity.py:md5_plane_int), buckets from
+    exact integer dot signs, verification via the pinned list_dot_product
+    cosine quantized with the fixed-point floor (no round())."""
+    dot = (
+        "list_dot_product(CAST(a.embedding AS DOUBLE[]),"
+        " CAST(b.embedding AS DOUBLE[]))"
+    )
+    norm_a = "sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
+    norm_b = "sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))"
+    cos = f"floor({dot} / ({norm_a} * {norm_b}) * 1000000.0 + 0.5) / 1000000.0"
+    return f"""
+    WITH pl AS (
+        SELECT t, b, i,
+               CAST(('0x' || substr(md5('pl:' || t || ':' || b || ':' || i),
+                                    1, 8)) AS BIGINT) % 1001 - 500 AS p
+        FROM range({n_tables}) tt(t), range({n_bits}) bb(b),
+             range(64) ii(i)
+    ), q AS (
+        SELECT vec_id,
+               list_transform(embedding, x ->
+                   CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+               ) AS qv
+        FROM embeddings
+    ), qe AS (
+        SELECT vec_id, CAST(generate_subscripts(qv, 1) AS BIGINT) - 1 AS i,
+               unnest(qv) AS v
+        FROM q
+    ), dots AS (
+        SELECT qe.vec_id, pl.t, pl.b, CAST(sum(qe.v * pl.p) AS BIGINT) AS d
+        FROM qe JOIN pl ON qe.i = pl.i
+        GROUP BY 1, 2, 3
+    ), buckets AS (
+        SELECT vec_id, t,
+               CAST(sum(CASE WHEN d > 0
+                             THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+                    AS BIGINT) AS bucket
+        FROM dots GROUP BY 1, 2
+    ), cand AS (
+        SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+        FROM buckets x JOIN buckets y
+          ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+    )
+    SELECT c.id_a, c.id_b, {cos} AS cos_sim
+    FROM cand c
+    JOIN embeddings a ON a.vec_id = c.id_a
+    JOIN embeddings b ON b.vec_id = c.id_b
+    WHERE {cos} >= {threshold}
+    """
+
+
+@query("q_dedup_embed_md5", oracle=_embed_lsh_oracle())
+def q_dedup_embed_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # L2i: the hyperplane-LSH embedding near-dup with every stage
+    # engine-portable — integer planes from md5 (exact dot SIGNS: float
+    # plane dots can flip knife-edge signs between engines; integer dots
+    # cannot), banded candidate join, fixed-point pinned-double cosine
+    # verify. The full hash match witnesses the LSH bucketing + verify
+    # logic for the production q_dedup_embed (same banded-join code,
+    # vectorized float planes). Same parameters as the production query
+    # (threshold 0.3, bits=4, tables=8 — see its docstring for why).
+    from ..llm.similarity import embedding_near_duplicates
+
+    e = Catalog(spark, sf_dir).embeddings
+    return embedding_near_duplicates(
+        e, cosine_threshold=0.3, n_bits=4, n_tables=8, portable=True
+    )

@@ -603,23 +603,33 @@ def lsh_cosine_topk(
     n_bits: int = 8,
     n_tables: int = 4,
     seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """Approximate top-k: LSH-bucketed candidates, exact cosine rerank.
 
     Candidates = rows sharing a bucket with the query in ANY of ``n_tables``
     hash tables (explode over tables -> equi-join on (table, bucket)).
+
+    ``portable=True``: md5-derived integer hyperplanes
+    (:func:`_portable_buckets`, exact bucket signs) + fixed-point cosine
+    — the candidate set AND the ranked result replay exactly in external
+    SQL, because ranking ties break on the quantized sim then the id.
     """
     dim = _probe_dim(corpus, vec_col)
 
     def bucketed(df: DataFrame, idc: str, vec_alias: str) -> DataFrame:
+        if portable:
+            buckets = _portable_buckets(
+                F.col(vec_col), dim, n_bits, n_tables
+            )
+        else:
+            buckets = _bucket_all_tables(
+                df.sparkSession, F.col(vec_col), dim, n_bits, n_tables, seed
+            )
         return df.select(
             F.col(idc),
             F.col(vec_col).alias(vec_alias),
-            F.posexplode(
-                _bucket_all_tables(
-                    df.sparkSession, F.col(vec_col), dim, n_bits, n_tables, seed
-                )
-            ).alias("table_id", "bucket"),
+            F.posexplode(buckets).alias("table_id", "bucket"),
         )
 
     cb = bucketed(fan_out(corpus), id_col, "__cvec")
@@ -629,10 +639,16 @@ def lsh_cosine_topk(
         .select(query_id_col, id_col, "__qvec", "__cvec")
         .dropDuplicates([query_id_col, id_col])
     )
+    if portable:
+        from ..functions.core import fixed_point
+
+        sim = fixed_point(cosine(F.col("__qvec"), F.col("__cvec")), 6)
+    else:
+        sim = F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6)
     scored = candidates.select(
         query_id_col,
         id_col,
-        F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6).alias("cos_sim"),
+        sim.alias("cos_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(

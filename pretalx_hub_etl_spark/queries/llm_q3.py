@@ -912,3 +912,90 @@ def q_dedup_embed_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_duplicates(
         e, cosine_threshold=0.3, n_bits=4, n_tables=8, portable=True
     )
+
+
+# --- L3b: portable LSH ANN witness -------------------------------------------
+
+
+def _lsh_topk_oracle(
+    n_bits: int = 4, n_tables: int = 16, k: int = 10, n_queries: int = 5
+) -> str:
+    """DuckDB replay of lsh_cosine_topk(portable=True): md5-derived
+    integer hyperplane buckets for corpus AND queries, candidate
+    equi-join on (table, bucket), fixed-point cosine rerank with
+    (sim desc, id asc) tie-breaks — the ranked ANN result replays
+    exactly, graduating the LSH ANN family from rows-only."""
+    cos = (
+        "floor(list_dot_product(CAST(qa.embedding AS DOUBLE[]),"
+        " CAST(ca.embedding AS DOUBLE[]))"
+        " / (sqrt(list_dot_product(CAST(qa.embedding AS DOUBLE[]),"
+        " CAST(qa.embedding AS DOUBLE[])))"
+        " * sqrt(list_dot_product(CAST(ca.embedding AS DOUBLE[]),"
+        " CAST(ca.embedding AS DOUBLE[]))))"
+        " * 1000000.0 + 0.5) / 1000000.0"
+    )
+    return f"""
+    WITH pl AS (
+        SELECT t, b, i,
+               CAST(('0x' || substr(md5('pl:' || t || ':' || b || ':' || i),
+                                    1, 8)) AS BIGINT) % 1001 - 500 AS p
+        FROM range({n_tables}) tt(t), range({n_bits}) bb(b),
+             range(64) ii(i)
+    ), q AS (
+        SELECT vec_id,
+               list_transform(embedding, x ->
+                   CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+               ) AS qv
+        FROM embeddings
+    ), qe AS (
+        SELECT vec_id, CAST(generate_subscripts(qv, 1) AS BIGINT) - 1 AS i,
+               unnest(qv) AS v
+        FROM q
+    ), dots AS (
+        SELECT qe.vec_id, pl.t, pl.b, CAST(sum(qe.v * pl.p) AS BIGINT) AS d
+        FROM qe JOIN pl ON qe.i = pl.i
+        GROUP BY 1, 2, 3
+    ), buckets AS (
+        SELECT vec_id, t,
+               CAST(sum(CASE WHEN d > 0
+                             THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+                    AS BIGINT) AS bucket
+        FROM dots GROUP BY 1, 2
+    ), cand AS (
+        SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS vec_id
+        FROM buckets qb
+        JOIN buckets cb ON qb.t = cb.t AND qb.bucket = cb.bucket
+        WHERE qb.vec_id < {n_queries}
+    ), scored AS (
+        SELECT c.query_id, c.vec_id, {cos} AS cos_sim
+        FROM cand c
+        JOIN embeddings qa ON qa.vec_id = c.query_id
+        JOIN embeddings ca ON ca.vec_id = c.vec_id
+    )
+    SELECT query_id, vec_id, cos_sim, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC
+        ) AS BIGINT) AS rank
+        FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@query("q_sim_topk_lsh_md5", oracle=_lsh_topk_oracle())
+def q_sim_topk_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # L3b: the LSH ANN path made fully replayable — the same banded
+    # candidate join + exact rerank CODE as the production
+    # q_sim_topk_lsh, with md5-derived integer-plane buckets (exact
+    # sign bits) and a fixed-point cosine. Because rerank ties break on
+    # (quantized sim desc, id asc), the RANKED result — not just the
+    # candidate set — hash-matches the oracle, graduating the ANN
+    # family's logic from rows-only+recall-floor to value-checked.
+    from ..llm.similarity import lsh_cosine_topk
+
+    e = Catalog(spark, sf_dir).embeddings
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_cosine_topk(
+        e, queries, k=10, n_bits=4, n_tables=16, portable=True
+    )

@@ -240,6 +240,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_dedup_simhash_md5"]),
         ("L2i", "portable hyperplane-LSH embedding near-dup witness",
          ["q_dedup_embed_md5"]),
+        ("L3b", "portable LSH ANN witness (ranked top-k value-checked)",
+         ["q_sim_topk_lsh_md5"]),
         ("L35", "source-mixture interleave (weights -> keep -> global order)",
          ["q_mixture_interleave"]),
         ("AN15", "OHLC bar resampling (irregular series -> fixed bars)",

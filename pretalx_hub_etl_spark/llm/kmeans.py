@@ -56,28 +56,9 @@ def _dist2(a: Column, b: Column) -> Column:
     )
 
 
-def kmeans_exact(
-    df: DataFrame,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    k: int = 8,
-    iterations: int = 3,
-) -> DataFrame:
-    """Deterministic Lloyd k-means: ``(vec_id, cluster, dist2)``.
-
-    Init: the ``k`` lowest-``id_col`` vectors (quantized), clusters
-    0..k-1.  Assignment: exact integer squared distance, ties to the
-    lowest cluster id.  Update: element-wise exact floor mean of the
-    members (empty clusters keep their previous centroid).  ``dist2``
-    is the final exact integer distance in (micro-unit)² space.
-    """
-    q = df.select(
-        F.col(id_col).alias("vec_id"), _quantize(F.col(vec_col)).alias("q")
-    )
-    q = q.persist()  # scanned once per iteration + final assignment
-
+def _init_centroids(q: DataFrame, k: int) -> DataFrame:
     w0 = Window.orderBy(F.col("vec_id").asc())
-    cents = (
+    return (
         q.orderBy(F.col("vec_id").asc())
         .limit(k)
         .select(
@@ -86,32 +67,32 @@ def kmeans_exact(
         )
     )
 
-    def assign(cents_df: DataFrame) -> DataFrame:
-        scored = q.crossJoin(F.broadcast(cents_df)).select(
-            "vec_id",
-            "q",
-            "cid",
-            _dist2(F.col("q"), F.col("qc")).alias("d2"),
-        )
-        wa = Window.partitionBy("vec_id").orderBy(
-            F.col("d2").asc(), F.col("cid").asc()
-        )
-        return (
-            scored.withColumn("__r", F.row_number().over(wa))
-            .filter(F.col("__r") == 1)
-            .select("vec_id", "q", F.col("cid").alias("cluster"), "d2")
-        )
 
+def _assign(q: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, q, cluster, d2): each vector's exact-integer nearest
+    centroid, ties to the lowest cid."""
+    scored = q.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "q", "cid", _dist2(F.col("q"), F.col("qc")).alias("d2")
+    )
+    wa = Window.partitionBy("vec_id").orderBy(
+        F.col("d2").asc(), F.col("cid").asc()
+    )
+    return (
+        scored.withColumn("__r", F.row_number().over(wa))
+        .filter(F.col("__r") == 1)
+        .select("vec_id", "q", F.col("cid").alias("cluster"), "d2")
+    )
+
+
+def _train(q: DataFrame, k: int, iterations: int) -> DataFrame:
+    """Lloyd loop over pre-quantized vectors -> final (cid, qc) table."""
+    cents = _init_centroids(q, k)
     for _ in range(iterations):
-        members = assign(cents)
+        members = _assign(q, cents)
         per_dim = (
-            members.select(
-                "cluster", F.posexplode("q").alias("idx", "val")
-            )
+            members.select("cluster", F.posexplode("q").alias("idx", "val"))
             .groupBy("cluster", "idx")
-            .agg(
-                F.sum("val").alias("s"), F.count(F.lit(1)).alias("cnt")
-            )
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("cnt"))
         )
         # exact floor mean of POSITIVE ints: subtract the remainder so
         # the double division is exact (operators/graph.py:_fdiv shape)
@@ -123,9 +104,7 @@ def kmeans_exact(
             .groupBy("cluster")
             .agg(
                 F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("idx", "mv"))
-                    ),
+                    F.array_sort(F.collect_list(F.struct("idx", "mv"))),
                     lambda x: x.getField("mv"),
                 ).alias("qc_new")
             )
@@ -138,5 +117,123 @@ def kmeans_exact(
             )
             .localCheckpoint(eager=False)  # K×dim rows; pins the loop depth
         )
+    return cents
 
-    return assign(cents).select("vec_id", "cluster", "d2")
+
+def _quantized(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("vec_id"), _quantize(F.col(vec_col)).alias("q")
+    )
+
+
+def kmeans_exact(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iterations: int = 3,
+) -> DataFrame:
+    """Deterministic Lloyd k-means: ``(vec_id, cluster, dist2)``.
+
+    Init: the ``k`` lowest-``id_col`` vectors (quantized), clusters
+    0..k-1.  Assignment: exact integer squared distance, ties to the
+    lowest cluster id.  Update: element-wise exact floor mean of the
+    members (empty clusters keep their previous centroid).  ``d2``
+    is the final exact integer distance in (micro-unit)² space.
+    """
+    q = _quantized(df, vec_col, id_col)
+    q = q.persist()  # scanned once per iteration + final assignment
+    cents = _train(q, k, iterations)
+    return _assign(q, cents).select("vec_id", "cluster", "d2")
+
+
+def kmeans_centroid_table(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iterations: int = 3,
+) -> DataFrame:
+    """The final ``(cid, qc)`` centroid table of :func:`kmeans_exact` —
+    for consumers that index against the centroids (IVF lists) rather
+    than wanting per-vector assignments.  Same ``_train`` loop, one
+    implementation."""
+    q = _quantized(df, vec_col, id_col).persist()
+    return _train(q, k, iterations)
+
+
+def ivf_exact_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    n_centroids: int = 8,
+    iterations: int = 3,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF ANN with a fully deterministic, engine-replayable pipeline:
+    coarse quantizer = :func:`kmeans_exact` centroids (exact integers),
+    corpus lists = exact-integer nearest-centroid assignment, probes =
+    each query's ``n_probe`` nearest centroids by the SAME metric,
+    rerank = fixed-point pinned-double cosine with (sim desc, id asc)
+    ties.  Every stage replays in external SQL, so the RANKED result
+    value-hashes — the witness for the float IVF paths
+    (``similarity.py:ivf_cosine_topk`` and the materialized index).
+
+    Scale shape identical to production IVF: centroids broadcast (K
+    rows), corpus scored against K centroids in one fused pass, probe
+    lists bound candidates to ~n_probe/K of the corpus, rerank joins
+    vectors once per candidate.
+    """
+    from ..functions.core import fixed_point
+    from .similarity import cosine
+
+    qc = _quantized(corpus, vec_col, id_col).persist()
+    cents = _train(qc, n_centroids, iterations)
+    lists = _assign(qc, cents).select("vec_id", "cluster")
+
+    qq = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _quantize(F.col(vec_col)).alias("q"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("cid").asc()
+    )
+    probes = (
+        qq.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id", "cid", _dist2(F.col("q"), F.col("qc")).alias("d2")
+        )
+        .withColumn("__r", F.row_number().over(wp))
+        .filter(F.col("__r") <= n_probe)
+        .select("query_id", F.col("cid").alias("cluster"))
+    )
+    cand = lists.join(F.broadcast(probes), "cluster").select(
+        "query_id", "vec_id"
+    )
+    vecs_c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__cvec")
+    )
+    vecs_q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+    )
+    scored = (
+        cand.join(vecs_c, "vec_id")
+        .join(F.broadcast(vecs_q), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            fixed_point(cosine(F.col("__qvec"), F.col("__cvec")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(wr).cast("long")
+    ).filter(F.col("rank") <= k)

@@ -570,10 +570,10 @@ def q_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- L36: deterministic exact-integer k-means --------------------------------
 
 
-def _kmeans_oracle(k: int = 8, iterations: int = 3) -> str:
-    """Unrolled-CTE DuckDB replay of llm/kmeans.py:kmeans_exact — one
-    assignment + one centroid-update CTE pair per Lloyd iteration (the
-    PageRank unrolled-oracle pattern applied to clustering)."""
+def _kmeans_cte_list(k: int, iterations: int) -> tuple[list, str]:
+    """Shared unrolled Lloyd CTEs (quantize, init, T× assign/update);
+    returns (cte_list, final_centroid_cte_name). Used by the k-means
+    oracle and the exact-IVF oracle."""
     q_expr = (
         "list_transform(embedding, x -> "
         "CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT) + 10000000)"
@@ -638,13 +638,26 @@ def _kmeans_oracle(k: int = 8, iterations: int = 3) -> str:
         FROM c{t} o LEFT JOIN u{t} n USING (cid)
     )"""
         )
-    t = iterations
-    ctes.append(
+    return ctes, f"c{iterations}"
+
+
+_KM_DIST = (
+    "CAST(list_sum(list_transform(list_zip(e.q, c.qc), "
+    "s -> (s[1] - s[2])*(s[1] - s[2]))) AS BIGINT)"
+)
+
+
+def _kmeans_oracle(k: int = 8, iterations: int = 3) -> str:
+    """Unrolled-CTE DuckDB replay of llm/kmeans.py:kmeans_exact — one
+    assignment + one centroid-update CTE pair per Lloyd iteration (the
+    PageRank unrolled-oracle pattern applied to clustering)."""
+    ctes, cfinal = _kmeans_cte_list(k, iterations)
+    ctes = ctes + [
         f"""sf AS (
-        SELECT e.vec_id, c.cid, {dist} AS d2
-        FROM e CROSS JOIN c{t} c
+        SELECT e.vec_id, c.cid, {_KM_DIST} AS d2
+        FROM e CROSS JOIN {cfinal} c
     )"""
-    )
+    ]
     body = ",\n    ".join(ctes)
     return f"""
     WITH {body}
@@ -998,4 +1011,88 @@ def q_sim_topk_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return lsh_cosine_topk(
         e, queries, k=10, n_bits=4, n_tables=16, portable=True
+    )
+
+
+# --- L3c: exact-IVF ANN witness (kmeans_exact coarse quantizer) --------------
+
+
+def _ivf_exact_oracle(
+    n_centroids: int = 8,
+    iterations: int = 3,
+    n_probe: int = 2,
+    k: int = 10,
+    n_queries: int = 5,
+) -> str:
+    """DuckDB replay of llm/kmeans.py:ivf_exact_topk: the shared Lloyd
+    CTEs train the quantizer, corpus lists and query probes assign by
+    the same exact-integer metric, rerank is the fixed-point cosine."""
+    ctes, cfinal = _kmeans_cte_list(n_centroids, iterations)
+    cos = (
+        "floor(list_dot_product(CAST(qa.embedding AS DOUBLE[]),"
+        " CAST(ca.embedding AS DOUBLE[]))"
+        " / (sqrt(list_dot_product(CAST(qa.embedding AS DOUBLE[]),"
+        " CAST(qa.embedding AS DOUBLE[])))"
+        " * sqrt(list_dot_product(CAST(ca.embedding AS DOUBLE[]),"
+        " CAST(ca.embedding AS DOUBLE[]))))"
+        " * 1000000.0 + 0.5) / 1000000.0"
+    )
+    ctes = ctes + [
+        f"""sl AS (
+        SELECT e.vec_id, c.cid, {_KM_DIST} AS d2
+        FROM e CROSS JOIN {cfinal} c
+    )""",
+        """lists AS (
+        SELECT vec_id, cid AS cluster FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY d2, cid) AS rn
+            FROM sl
+        ) WHERE rn = 1
+    )""",
+        f"""probes AS (
+        SELECT vec_id AS query_id, cid AS cluster FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY d2, cid) AS rn
+            FROM sl WHERE vec_id < {n_queries}
+        ) WHERE rn <= {n_probe}
+    )""",
+        """cand AS (
+        SELECT p.query_id, l.vec_id
+        FROM probes p JOIN lists l ON l.cluster = p.cluster
+    )""",
+        f"""scored AS (
+        SELECT c.query_id, c.vec_id, {cos} AS cos_sim
+        FROM cand c
+        JOIN embeddings qa ON qa.vec_id = c.query_id
+        JOIN embeddings ca ON ca.vec_id = c.vec_id
+    )""",
+    ]
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT query_id, vec_id, cos_sim, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC
+        ) AS BIGINT) AS rank
+        FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@query("q_sim_topk_ivf_exact", oracle=_ivf_exact_oracle())
+def q_sim_topk_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # L3c: IVF ANN with the deterministic coarse quantizer — kmeans_exact
+    # centroids, exact-integer list assignment and probe selection,
+    # fixed-point cosine rerank with (sim desc, id asc) ties. The RANKED
+    # result value-hashes against the oracle's identical replay,
+    # witnessing the IVF list/probe/rerank logic that the float
+    # production paths (q_sim_topk_ivf, q_sim_topk_ivf_indexed) share.
+    from ..llm.kmeans import ivf_exact_topk
+
+    e = Catalog(spark, sf_dir).embeddings
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_exact_topk(
+        e, queries, k=10, n_centroids=8, iterations=3, n_probe=2
     )

@@ -1096,3 +1096,56 @@ def q_sim_topk_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_exact_topk(
         e, queries, k=10, n_centroids=8, iterations=3, n_probe=2
     )
+
+
+# --- ST9: custom stateful operator (applyInPandasWithState) ------------------
+
+
+@query(
+    "q_stream_stateful_totals",
+    oracle="""
+    SELECT user_id AS key,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               / 1.0 AS total
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ST9: the custom-stateful escape hatch (applyInPandasWithState)
+    # under the driver gate: per-key running (count, sum) state carried
+    # across micro-batches of a REAL 4-file stream, returned as the
+    # final per-key totals. Determinism/portability argument:
+    # (a) each key's rows are routed to ONE input file -> one batch, so
+    #     every key emits exactly one update row (no last-row-wins
+    #     ambiguity in the memory sink);
+    # (b) the summed value is integer CENTS carried in doubles — float
+    #     addition of integers < 2^53 is exact in ANY order, so the
+    #     pandas in-batch sum equals DuckDB's aggregate exactly (the
+    #     only float-sum shape that is order-independent).
+    # State is one tuple per key (O(|keys|) memory, key-partitioned) —
+    # the shape that survives an unbounded stream.
+    import uuid
+
+    from ..streaming.stateful import running_totals
+    from ..streaming.structured import (
+        run_to_memory,
+        stream_from_parquet_dir,
+    )
+
+    e = Catalog(spark, sf_dir).events.select(
+        "user_id",
+        F.floor(F.col("value") * 100.0 + F.lit(0.5))
+        .cast("double")
+        .alias("cents"),
+    )
+    tmp = os.path.join(tempfile.mkdtemp(prefix="phe_stateful_"), "in")
+    e.repartition(4, "user_id").write.parquet(tmp)
+    stream = stream_from_parquet_dir(
+        spark, tmp, e.schema, max_files_per_trigger=1
+    )
+    out = running_totals(stream, "user_id", "cents")
+    name = f"stateful_{uuid.uuid4().hex}"
+    run_to_memory(out, name, output_mode="update")
+    return spark.table(name).select("key", "n", "total")

@@ -130,6 +130,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_stream_merge_equiv"]),
         ("ST8", "stream-stream interval join (watermarked, memory-sink run)",
          ["q_stream_interval_join"]),
+        ("ST9", "custom stateful operator (applyInPandasWithState totals)",
+         ["q_stream_stateful_totals"]),
     ]),
     ("2.10 UDF surface", [
         ("UD1", "Arrow pandas UDF ≡ built-in", ["q_udf_pandas"]),

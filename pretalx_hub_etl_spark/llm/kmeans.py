@@ -237,3 +237,119 @@ def ivf_exact_topk(
     return scored.withColumn(
         "rank", F.row_number().over(wr).cast("long")
     ).filter(F.col("rank") <= k)
+
+
+def pq_exact_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    m: int = 8,
+    k_codes: int = 16,
+    iterations: int = 2,
+    refine: int = 3,
+) -> DataFrame:
+    """Product-quantization ANN with every stage exact and replayable:
+    per-subspace codebooks from the SAME deterministic Lloyd loop
+    (:func:`_train` on sliced subvectors), integer code assignment,
+    integer ADC lookup-sum, fixed-point cosine rerank of ``refine·k``
+    candidates — the witness for the float production PQ (``llm/pq.py``,
+    numpy codebooks + Arrow encode).
+
+    Scale shape mirrors production PQ: codebook training is per-subspace
+    Lloyd (sample it at 100 TB, as pq_train does); encoding scores each
+    vector against K sub-centroids per subspace (broadcast); ADC joins
+    the melted codes against a |queries|·m·K distance table (broadcast);
+    only refine·k candidate ids per query touch the full vectors.
+    """
+    from ..functions.core import fixed_point
+    from .similarity import _probe_dim, cosine
+
+    dim = _probe_dim(corpus, vec_col)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+
+    qc = _quantized(corpus, vec_col, id_col).persist()
+    qq = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _quantize(F.col(vec_col)).alias("q"),
+    ).persist()
+
+    codes = qc.select("vec_id")
+    dts = []
+    for j in range(m):
+        sub = F.slice(F.col("q"), j * dsub + 1, dsub)
+        qj = qc.select("vec_id", sub.alias("q")).persist()
+        cents_j = _train(qj, k_codes, iterations)
+        assign_j = _assign(qj, cents_j).select(
+            "vec_id", F.col("cluster").alias(f"code_{j}")
+        )
+        codes = codes.join(assign_j, "vec_id")
+        dts.append(
+            qq.select("query_id", sub.alias("q"))
+            .crossJoin(F.broadcast(cents_j))
+            .select(
+                "query_id",
+                F.lit(j).alias("j"),
+                F.col("cid").alias("code"),
+                _dist2(F.col("q"), F.col("qc")).alias("d2"),
+            )
+        )
+    dt = dts[0]
+    for d in dts[1:]:
+        dt = dt.unionByName(d)
+
+    melted = codes.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.col(f"code_{j}").alias("code"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", "s.j", "s.code")
+    adc = (
+        melted.join(F.broadcast(dt), ["j", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d2").alias("approx_d2"))
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d2").asc(), F.col("vec_id").asc()
+    )
+    cand = (
+        adc.withColumn("__r", F.row_number().over(wc))
+        .filter(F.col("__r") <= refine * k)
+        .select("query_id", "vec_id")
+    )
+    vecs_c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__cvec")
+    )
+    vecs_q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+    )
+    scored = (
+        cand.join(vecs_c, "vec_id")
+        .join(F.broadcast(vecs_q), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            fixed_point(cosine(F.col("__qvec"), F.col("__cvec")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(wr).cast("long")
+    ).filter(F.col("rank") <= k)

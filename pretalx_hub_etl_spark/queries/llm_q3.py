@@ -570,12 +570,17 @@ def q_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- L36: deterministic exact-integer k-means --------------------------------
 
 
-def _kmeans_cte_list(k: int, iterations: int) -> tuple[list, str]:
+def _kmeans_cte_list(
+    k: int, iterations: int, prefix: str = "", vec_expr: str = "embedding"
+) -> tuple[list, str]:
     """Shared unrolled Lloyd CTEs (quantize, init, T× assign/update);
-    returns (cte_list, final_centroid_cte_name). Used by the k-means
-    oracle and the exact-IVF oracle."""
+    returns (cte_list, final_centroid_cte_name). Used by the k-means,
+    exact-IVF, and exact-PQ oracles. ``prefix`` namespaces the CTEs (PQ
+    trains one independent codebook per subspace); ``vec_expr`` selects
+    the (sub)vector to quantize."""
+    P = prefix
     q_expr = (
-        "list_transform(embedding, x -> "
+        f"list_transform({vec_expr}, x -> "
         "CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT) + 10000000)"
     )
     dist = (
@@ -583,62 +588,62 @@ def _kmeans_cte_list(k: int, iterations: int) -> tuple[list, str]:
         "s -> (s[1] - s[2])*(s[1] - s[2]))) AS BIGINT)"
     )
     ctes = [
-        f"e AS (SELECT vec_id, {q_expr} AS q FROM embeddings)",
-        f"""c0 AS (
+        f"{P}e AS (SELECT vec_id, {q_expr} AS q FROM embeddings)",
+        f"""{P}c0 AS (
         SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
                    AS cid, q AS qc
-        FROM (SELECT vec_id, q FROM e ORDER BY vec_id LIMIT {k})
+        FROM (SELECT vec_id, q FROM {P}e ORDER BY vec_id LIMIT {k})
     )""",
     ]
     for t in range(iterations):
         ctes.append(
-            f"""s{t} AS (
+            f"""{P}s{t} AS (
         SELECT e.vec_id, e.q, c.cid, {dist} AS d2
-        FROM e CROSS JOIN c{t} c
+        FROM {P}e e CROSS JOIN {P}c{t} c
     )"""
         )
         ctes.append(
-            f"""a{t} AS (
+            f"""{P}a{t} AS (
         SELECT vec_id, q, cid AS cluster FROM (
             SELECT *, row_number() OVER (
                 PARTITION BY vec_id ORDER BY d2, cid) AS rn
-            FROM s{t}
+            FROM {P}s{t}
         ) WHERE rn = 1
     )"""
         )
         ctes.append(
-            f"""p{t} AS (
+            f"""{P}p{t} AS (
         SELECT cluster, CAST(generate_subscripts(q, 1) AS BIGINT) AS idx,
                unnest(q) AS v
-        FROM a{t}
+        FROM {P}a{t}
     )"""
         )
         ctes.append(
-            f"""m{t} AS (
+            f"""{P}m{t} AS (
         SELECT cluster, idx,
                CAST((s - (s % cnt)) / cnt AS BIGINT) AS mv
         FROM (
             SELECT cluster, idx,
                    CAST(sum(v) AS BIGINT) AS s,
                    CAST(count(*) AS BIGINT) AS cnt
-            FROM p{t}
+            FROM {P}p{t}
             GROUP BY cluster, idx
         )
     )"""
         )
         ctes.append(
-            f"""u{t} AS (
+            f"""{P}u{t} AS (
         SELECT cluster AS cid, list(mv ORDER BY idx) AS qc
-        FROM m{t} GROUP BY cluster
+        FROM {P}m{t} GROUP BY cluster
     )"""
         )
         ctes.append(
-            f"""c{t + 1} AS (
+            f"""{P}c{t + 1} AS (
         SELECT o.cid, coalesce(n.qc, o.qc) AS qc
-        FROM c{t} o LEFT JOIN u{t} n USING (cid)
+        FROM {P}c{t} o LEFT JOIN {P}u{t} n USING (cid)
     )"""
         )
-    return ctes, f"c{iterations}"
+    return ctes, f"{P}c{iterations}"
 
 
 _KM_DIST = (
@@ -1149,3 +1154,116 @@ def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"stateful_{uuid.uuid4().hex}"
     run_to_memory(out, name, output_mode="update")
     return spark.table(name).select("key", "n", "total")
+
+
+# --- L3d: exact-PQ ANN witness ----------------------------------------------
+
+
+def _pq_exact_oracle(
+    m: int = 8,
+    k_codes: int = 16,
+    iterations: int = 2,
+    k: int = 10,
+    refine: int = 3,
+    n_queries: int = 5,
+    dim: int = 64,
+) -> str:
+    """DuckDB replay of llm/kmeans.py:pq_exact_topk — per-subspace Lloyd
+    CTEs (namespaced via _kmeans_cte_list), integer code assignment,
+    integer ADC lookup-sum, fixed-point cosine rerank."""
+    dsub = dim // m
+    cos = (
+        "floor(list_dot_product(CAST(qa.embedding AS DOUBLE[]),"
+        " CAST(ca.embedding AS DOUBLE[]))"
+        " / (sqrt(list_dot_product(CAST(qa.embedding AS DOUBLE[]),"
+        " CAST(qa.embedding AS DOUBLE[])))"
+        " * sqrt(list_dot_product(CAST(ca.embedding AS DOUBLE[]),"
+        " CAST(ca.embedding AS DOUBLE[]))))"
+        " * 1000000.0 + 0.5) / 1000000.0"
+    )
+    ctes: list = []
+    parts = []
+    for j in range(m):
+        sub = f"embedding[{j * dsub + 1}:{(j + 1) * dsub}]"
+        sub_ctes, cfinal = _kmeans_cte_list(
+            k_codes, iterations, prefix=f"b{j}", vec_expr=sub
+        )
+        ctes += sub_ctes
+        ctes.append(
+            f"""b{j}sl AS (
+        SELECT e.vec_id, c.cid,
+               CAST(list_sum(list_transform(list_zip(e.q, c.qc),
+                   s -> (s[1] - s[2])*(s[1] - s[2]))) AS BIGINT) AS d2
+        FROM b{j}e e CROSS JOIN {cfinal} c
+    )"""
+        )
+        ctes.append(
+            f"""b{j}code AS (
+        SELECT vec_id, cid AS code, d2 FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY d2, cid) AS rn
+            FROM b{j}sl
+        ) WHERE rn = 1
+    )"""
+        )
+        parts.append(
+            f"SELECT q.vec_id AS query_id, c.vec_id, q.d2\n"
+            f"        FROM b{j}code c JOIN b{j}sl q\n"
+            f"          ON q.cid = c.code AND q.vec_id < {n_queries}"
+        )
+    ctes.append(
+        "adcparts AS (\n        " + "\n        UNION ALL\n        ".join(parts) + "\n    )"
+    )
+    ctes.append(
+        """adc AS (
+        SELECT query_id, vec_id, CAST(sum(d2) AS BIGINT) AS approx_d2
+        FROM adcparts GROUP BY 1, 2
+    )"""
+    )
+    ctes.append(
+        f"""cand AS (
+        SELECT query_id, vec_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY approx_d2, vec_id) AS rn
+            FROM adc
+        ) WHERE rn <= {refine * k}
+    )"""
+    )
+    ctes.append(
+        f"""scored AS (
+        SELECT c.query_id, c.vec_id, {cos} AS cos_sim
+        FROM cand c
+        JOIN embeddings qa ON qa.vec_id = c.query_id
+        JOIN embeddings ca ON ca.vec_id = c.vec_id
+    )"""
+    )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT query_id, vec_id, cos_sim, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC
+        ) AS BIGINT) AS rank
+        FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@query("q_sim_topk_pq_exact", oracle=_pq_exact_oracle())
+def q_sim_topk_pq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # L3d: PQ ANN with everything exact — per-subspace codebooks from the
+    # deterministic Lloyd loop, integer code assignment, integer ADC
+    # lookup-sum, fixed-point cosine rerank. With this, all FOUR ANN
+    # paths (brute force, LSH, IVF, PQ) have a value-hash-checked form;
+    # the float production PQ (llm/pq.py: numpy codebooks, Arrow encode)
+    # keeps its vectorized speed and its lossless-codebook exactness
+    # tests.
+    from ..llm.kmeans import pq_exact_topk
+
+    e = Catalog(spark, sf_dir).embeddings
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_exact_topk(
+        e, queries, k=10, m=8, k_codes=16, iterations=2, refine=3
+    )

@@ -246,6 +246,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_sim_topk_lsh_md5"]),
         ("L3c", "exact-IVF ANN witness (kmeans_exact coarse quantizer)",
          ["q_sim_topk_ivf_exact"]),
+        ("L3d", "exact-PQ ANN witness (per-subspace Lloyd + integer ADC)",
+         ["q_sim_topk_pq_exact"]),
         ("L35", "source-mixture interleave (weights -> keep -> global order)",
          ["q_mixture_interleave"]),
         ("AN15", "OHLC bar resampling (irregular series -> fixed bars)",

@@ -22,37 +22,16 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 OUTPUT_SCHEMA = "key bigint, n bigint, total double"
 STATE_SCHEMA = "n bigint, total double"
 
-
-def _update(
-    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
-) -> Iterable[pd.DataFrame]:
-    n, total = state.get if state.exists else (0, 0.0)
-    for pdf in pdfs:
-        n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
-    yield pd.DataFrame({"key": [key[0]], "n": [n], "total": [round(total, 2)]})
-
+# NOTE: the per-group update functions are defined INSIDE their wrapper
+# functions below, not at module level. cloudpickle serializes
+# module-level functions BY REFERENCE (the worker re-imports this
+# module — ModuleNotFoundError under the driver's plain path-injected
+# session, the round-4 lesson in ARCHITECTURE.md), but closures pickle
+# BY VALUE with only installed-library imports — the rule applied to
+# every function shipped to workers.
 
 UPSERT_OUTPUT_SCHEMA = "key bigint, value double, op_flag string"
 UPSERT_STATE_SCHEMA = "last_value double"
-
-
-def _upsert(
-    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
-) -> Iterable[pd.DataFrame]:
-    rows = pd.concat(list(pdfs), ignore_index=True)
-    if rows.empty:
-        return
-    new = float(rows["value"].iloc[-1])  # last arrival in-batch wins
-    if not state.exists:
-        flag = "create"
-    elif float(state.get[0]) != new:
-        flag = "update"
-    else:
-        flag = "noop"
-    state.update((new,))
-    yield pd.DataFrame({"key": [key[0]], "value": [new], "op_flag": [flag]})
 
 
 def upsert_flags(stream_df: DataFrame, key_col: str, value_col: str) -> DataFrame:
@@ -68,11 +47,31 @@ def upsert_flags(stream_df: DataFrame, key_col: str, value_col: str) -> DataFram
     deletion arrives as an explicit tombstone event (handle upstream) or
     via a periodic batch anti-join sweep against the full snapshot.
     """
+    def upsert(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        import pandas as pd
+
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if rows.empty:
+            return
+        new = float(rows["value"].iloc[-1])  # last arrival in-batch wins
+        if not state.exists:
+            flag = "create"
+        elif float(state.get[0]) != new:
+            flag = "update"
+        else:
+            flag = "noop"
+        state.update((new,))
+        yield pd.DataFrame(
+            {"key": [key[0]], "value": [new], "op_flag": [flag]}
+        )
+
     prepared = stream_df.selectExpr(
         f"{key_col} AS key", f"CAST({value_col} AS DOUBLE) AS value"
     )
     return prepared.groupBy("key").applyInPandasWithState(
-        _upsert,
+        upsert,
         outputStructType=UPSERT_OUTPUT_SCHEMA,
         stateStructType=UPSERT_STATE_SCHEMA,
         outputMode="update",
@@ -86,11 +85,25 @@ def running_totals(stream_df: DataFrame, key_col: str, value_col: str) -> DataFr
     Input: a streaming DataFrame; output (update mode): one row per key per
     batch with the cumulative totals so far.
     """
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"key": [key[0]], "n": [n], "total": [round(total, 2)]}
+        )
+
     prepared = stream_df.selectExpr(
         f"{key_col} AS key", f"CAST({value_col} AS DOUBLE) AS value"
     )
     return prepared.groupBy("key").applyInPandasWithState(
-        _update,
+        update,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",

@@ -1,28 +1,35 @@
-"""Third LLM-pipeline batch (round 6): exact substring-level dedup,
-source-mixture interleave, the portable-hash MinHash witness, and the
-batch≡streaming merge equivalence row.
+"""Round-6 query batch: substring-level dedup (find + apply),
+source-mixture interleave, the witness-query family, streaming rows
+under the driver gate, and the new analytics/DQ operators.
 
-These close the four extension gaps the round-5 review ranked highest:
+Three themes:
 
-- L2f ``q_dedup_substrings``: the Lee-et-al. repeated-span modality —
-  doc-level (L1) and near-dup (L2) dedup leave spans that repeat ACROSS
-  documents untouched; this finds and merges them (``llm/spans.py``).
-- L35 ``q_mixture_interleave``: per-domain target weights → deterministic
-  proportional keep → interleaved global training order, composing the
-  L16 weighted-sampling and L12 deterministic-shuffle pieces into one
-  user-callable operator.
-- L2g ``q_dedup_near_md5``: the SAME banding/verify code as
-  ``q_dedup_near`` with md5-derived hashes, so DuckDB replays the exact
-  candidate set — the full-oracle witness that the LSH banding logic is
-  correct (graduates the family from rows-only).
-- ST7 ``q_stream_merge_equiv``: the foreachBatch incremental MERGE
-  (``streaming/structured.py``) driven over a multi-batch file stream,
-  proven hash-equal to the one-shot batch answer — the first driver-gated
-  CORRECTNESS row for the streaming layer.
+1. **Training-data dedup, completed**: ``q_dedup_substrings`` /
+   ``q_dedup_substrings_clean`` (the Lee-et-al. repeated-span modality,
+   ``llm/spans.py``), ``q_dedup_incremental`` (batch vs corpus hash
+   index), ``q_mixture_interleave`` (weights → deterministic keep →
+   global interleave order).
+2. **Witness queries**: the SAME pipeline code as each seeded/float
+   production path with the hash/arithmetic primitive swapped for an
+   engine-portable one, putting previously rows-only logic under the
+   full value-hash oracle — ``q_dedup_near_md5`` (MinHash banding),
+   ``q_dedup_simhash_md5`` (SimHash votes), ``q_dedup_embed_md5``
+   (hyperplane LSH), ``q_sim_topk_lsh_md5`` (ranked LSH ANN),
+   ``q_sim_topk_ivf_exact`` / ``q_sim_topk_pq_exact`` (IVF/PQ on the
+   deterministic Lloyd trainer, ``llm/kmeans.py``), ``q_kmeans_exact``.
+3. **Streaming under the gate**: ``q_stream_merge_equiv`` (foreachBatch
+   MERGE ≡ batch), ``q_stream_stateful_totals``
+   (applyInPandasWithState), plus ``q_stream_interval_join`` in
+   ``queries/stream.py``.
+
+Plus: ``q_resample_ohlc`` (AN15), ``q_text_normalize`` (L4b), and
+``q_quality_expectations`` (DQ1).
 
 Oracle notes: every hash here is md5 (the JVM/DuckDB-portable choice,
 per the q_sample_split_grouped precedent); no ``round()`` anywhere
-(HALF_UP vs HALF_EVEN); counts/positions are BIGINTs on both engines.
+(HALF_UP vs HALF_EVEN; ``fixed_point`` floor-scale instead); counts and
+positions are BIGINTs on both engines; float sums only ever over exact
+integers-in-doubles (order-independent) or pinned single divisions.
 """
 
 from __future__ import annotations

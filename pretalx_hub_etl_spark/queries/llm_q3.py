@@ -1274,3 +1274,45 @@ def q_sim_topk_pq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_exact_topk(
         e, queries, k=10, m=8, k_codes=16, iterations=2, refine=3
     )
+
+
+# --- L6b: per-group exact-k sample -------------------------------------------
+
+
+@query(
+    "q_sample_group_exact_k",
+    oracle="""
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY ((doc_id % 2147483648) * 2654435761)
+                            % 4294967296, doc_id
+               ) AS rn
+        FROM documents
+    ) WHERE rn <= 30
+    """,
+)
+def q_sample_group_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # L6b: exactly k rows PER GROUP (the stratified form of AN2's
+    # exact-k sample): rank rows within each lang by the Knuth
+    # multiplicative hash of the id and keep the k smallest — a
+    # reproducible, mergeable per-stratum budget the fraction-based
+    # samplers can't hit exactly. One window shuffle keyed on the
+    # group; group cardinality is the partitioning dimension, so this
+    # holds for any number of groups (unlike a global ORDER BY ... the
+    # per-group heap is the window's sort, bounded per task).
+    d = Catalog(spark, sf_dir).documents
+    from pyspark.sql import Window
+
+    h = F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(2147483648)) * F.lit(2654435761),
+        F.lit(4294967296),
+    )
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        d.select("doc_id", "lang")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 30)
+        .select("doc_id", "lang")
+    )

@@ -260,6 +260,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_quality_expectations"]),
         ("L1b", "incremental ingest dedup (batch vs corpus hash index)",
          ["q_dedup_incremental"]),
+        ("L6b", "per-group exact-k sample (stratified exact budgets)",
+         ["q_sample_group_exact_k"]),
     ]),
     ("TPC-H composite shapes", [
         ("Q", "multi-way join/agg/subquery plans",

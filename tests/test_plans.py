@@ -123,6 +123,8 @@ NESTED_LOOP_ALLOWED = {
     "q_text_perplexity",   # vocabulary size V as a 1-row broadcast
     "q_basket_rules",      # basket count N as a 1-row broadcast
     "q_kmeans_exact",      # Lloyd assignment: corpus × broadcast(K=8)
+    "q_sim_topk_ivf_exact",  # IVF lists/probes: corpus × broadcast(K=8)
+    "q_sim_topk_pq_exact",   # PQ codes: corpus × broadcast(K=16 per subspace)
 }
 
 

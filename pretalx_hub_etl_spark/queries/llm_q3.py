@@ -1316,3 +1316,65 @@ def q_sample_group_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 30)
         .select("doc_id", "lang")
     )
+
+
+# --- ST6b: streaming keep-first dedup under the gate -------------------------
+
+
+@query(
+    "q_stream_dedup_equiv",
+    oracle="""
+    SELECT user_id, event_type, event_id, ts FROM (
+        SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+               row_number() OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_stream_dedup_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ST6b: the REAL dropDuplicatesWithinWatermark stream (ST6's batch
+    # twin q_stream_dedup is already gated; this gates the streaming
+    # path itself). Equivalence construction: files are key-routed (each
+    # (user, type)'s rows in ONE batch) AND sorted by (ts, event_id)
+    # within each file, so "first arrival" — the operator's keep rule —
+    # IS the earliest event, which the oracle computes relationally.
+    # The watermark delay spans the fixture's full time range: batches
+    # arrive key-routed, not time-ordered, so a short horizon would
+    # DROP (not dedup) later batches' older events once batch 1
+    # advanced the watermark — with a full-range horizon nothing is
+    # late and state stays bounded by |keys|. Multi-batch keep-first
+    # with out-of-order arrival and a tight horizon is deliberately
+    # watermark-dependent and stays covered (un-oracle-ably) by
+    # tests/test_structured_streaming.py.
+    import uuid
+
+    from ..streaming.structured import (
+        dedup_stream,
+        run_to_memory,
+        stream_from_parquet_dir,
+    )
+
+    e = Catalog(spark, sf_dir).events.select(
+        "user_id", "event_type", "event_id", "ts"
+    )
+    tmp = os.path.join(tempfile.mkdtemp(prefix="phe_sdedup_"), "in")
+    (
+        e.repartition(4, "user_id", "event_type")
+        .sortWithinPartitions("ts", "event_id")
+        .write.parquet(tmp)
+    )
+    stream = stream_from_parquet_dir(
+        spark, tmp, e.schema, max_files_per_trigger=1
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = dedup_stream(
+        stream,
+        keys=["user_id", "event_type"],
+        ts="ts",
+        watermark="3650 days",
+    )
+    name = f"sdedup_{uuid.uuid4().hex}"
+    run_to_memory(out, name, output_mode="append")
+    return spark.table(name).select("user_id", "event_type", "event_id", "ts")

@@ -132,6 +132,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_stream_interval_join"]),
         ("ST9", "custom stateful operator (applyInPandasWithState totals)",
          ["q_stream_stateful_totals"]),
+        ("ST6b", "streaming keep-first dedup equivalence (real stream run)",
+         ["q_stream_dedup_equiv"]),
     ]),
     ("2.10 UDF surface", [
         ("UD1", "Arrow pandas UDF ≡ built-in", ["q_udf_pandas"]),

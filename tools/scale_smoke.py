@@ -59,6 +59,8 @@ QUERIES = [
     "q_text_perplexity",
     "q_dedup_substrings",
     "q_dedup_near_md5",
+    "q_dedup_substrings_clean",
+    "q_kmeans_exact",
 ]
 
 # inherently super-linear OUTPUT at fixed parameters (not a plan defect)
@@ -165,11 +167,17 @@ def main() -> None:
         out[name] = row
         print(name, row, flush=True)
 
+    worst = max(
+        (r["exp_01_1"], n) for n, r in out.items() if "note" not in r
+    )
     doc = {
         "method": "min of %d noop-write runs per point; exponent = "
         "log10(t_big/t_small) per input decade; 1.0=linear 2.0=quadratic; "
         "sf1 is a synthetic 10x replication of sf0.1 with disjoint "
         "replicas (see tools/scale_smoke.py)" % runs,
+        "summary": "worst un-noted input exponent %.2f (%s); rows with a "
+        "'note' are output-bound workloads where an output-linear plan "
+        "necessarily tracks output growth" % worst,
         "loadavg": [round(x, 2) for x in os.getloadavg()],
         "queries": out,
     }

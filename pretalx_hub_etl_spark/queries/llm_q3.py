@@ -37,7 +37,7 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import Catalog
@@ -1378,3 +1378,122 @@ def q_stream_dedup_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"sdedup_{uuid.uuid4().hex}"
     run_to_memory(out, name, output_mode="append")
     return spark.table(name).select("user_id", "event_type", "event_id", "ts")
+
+
+# --- L7b: end-to-end pretraining-prep pipeline (round-6 ops composed) --------
+
+_PRETRAIN_ORACLE = """
+WITH norm AS (
+    SELECT doc_id, source,
+           trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+               ' +', ' ', 'g')) AS norm_text
+    FROM documents
+), dedup AS (
+    SELECT doc_id, source, norm_text FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY md5(norm_text) ORDER BY doc_id) AS rn
+        FROM norm
+    ) WHERE rn = 1
+), kept AS (
+    SELECT doc_id, source, norm_text,
+           md5('ord:' || CAST(doc_id AS VARCHAR)) AS mix_key
+    FROM dedup
+    WHERE CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)),
+                               1, 8)) AS BIGINT) * 10
+          < (1 + CAST(('0x' || substr(md5(source), 1, 8)) AS BIGINT) % 8)
+            * 4294967296
+), ranked AS (
+    SELECT doc_id, source,
+           CASE WHEN norm_text = '' THEN CAST(0 AS BIGINT)
+                ELSE CAST(len(string_split(norm_text, ' ')) AS BIGINT)
+           END AS n_tokens,
+           CAST(row_number() OVER (ORDER BY mix_key, doc_id) AS BIGINT)
+               AS interleave_rank
+    FROM kept
+)
+SELECT doc_id, source, n_tokens, interleave_rank,
+       CAST(floor(coalesce(sum(n_tokens) OVER (
+                PARTITION BY interleave_rank % 8 ORDER BY interleave_rank
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+            ), 0) / 512.0) AS BIGINT) AS pack_id
+FROM ranked
+"""
+
+
+@query("q_pipeline_pretrain", oracle=_PRETRAIN_ORACLE)
+def q_pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # L7b: the round-6 operators COMPOSED into one end-to-end
+    # pretraining-prep pipeline, hash-checked through every stage:
+    # normalize (L4b scan-fused rewrite) -> exact dedup on the
+    # normalized content (keep-lowest-id per md5) -> deterministic
+    # mixture keep + global interleave rank (L35) -> fixed-budget chunk
+    # packing (L11) bucketed BY THE INTERLEAVE RANK, so each pack reads
+    # as a contiguous run of the blended training order. Scale shape:
+    # one scan-fused rewrite, one hash-keyed dedup shuffle, one
+    # scan-fused keep, the scale-safe global rank, and one bucketed
+    # running-sum window — no stage materializes more than the corpus
+    # once. The composition is what a user actually runs; hash equality
+    # end-to-end is the guarantee the stages compose without semantic
+    # drift (the q_pipeline_curation argument, extended to round 6).
+    from ..operators.agg import global_row_number
+
+    d = Catalog(spark, sf_dir).documents
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    n = d.select("doc_id", "source", norm.alias("norm_text"))
+    wdup = Window.partitionBy(F.md5(F.col("norm_text"))).orderBy(
+        F.col("doc_id").asc()
+    )
+    dedup = (
+        n.withColumn("__rn", F.row_number().over(wdup))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    w = (
+        F.lit(1)
+        + F.conv(F.substring(F.md5(F.col("source")), 1, 8), 16, 10).cast(
+            "long"
+        )
+        % 8
+    )
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    kept = dedup.filter(bucket * 10 < w * F.lit(4294967296)).select(
+        "doc_id",
+        "source",
+        F.when(F.col("norm_text") == "", F.lit(0).cast("long"))
+        .otherwise(F.size(F.split(F.col("norm_text"), " ")).cast("long"))
+        .alias("n_tokens"),
+        F.md5(
+            F.concat(F.lit("ord:"), F.col("doc_id").cast("string"))
+        ).alias("mix_key"),
+    )
+    ranked = global_row_number(
+        kept, ["mix_key", "doc_id"], out_col="interleave_rank"
+    ).drop("mix_key")
+    wpack = (
+        Window.partitionBy(F.pmod(F.col("interleave_rank"), F.lit(8)))
+        .orderBy(F.col("interleave_rank").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(wpack), F.lit(0))
+    return ranked.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "interleave_rank",
+        F.floor(cum_before / F.lit(512.0)).cast("long").alias("pack_id"),
+    )

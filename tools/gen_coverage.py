@@ -264,6 +264,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_dedup_incremental"]),
         ("L6b", "per-group exact-k sample (stratified exact budgets)",
          ["q_sample_group_exact_k"]),
+        ("L7b", "e2e pretraining-prep pipeline (normalize -> dedup -> mixture"
+                " -> interleave -> pack)", ["q_pipeline_pretrain"]),
     ]),
     ("TPC-H composite shapes", [
         ("Q", "multi-way join/agg/subquery plans",

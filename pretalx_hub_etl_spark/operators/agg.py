@@ -304,3 +304,112 @@ def global_row_number(
             yield batch
 
     return ranged.mapInPandas(stamp, schema=out_schema)
+
+
+def exact_global_quantiles_cont(
+    df: DataFrame,
+    value_col: str,
+    fractions: Sequence[float] = (0.5, 0.9, 0.99),
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT global INTERPOLATED (type-7 / numpy-linear) quantiles with
+    the same scale-safe decomposition as :func:`exact_global_quantiles`.
+
+    Discrete quantiles return an element of the multiset; the
+    interpolated convention (numpy default, pandas, R type 7) blends the
+    two elements bracketing rank ``h = (n-1)·q``:
+    ``v_lo + (v_hi - v_lo) · (h - floor(h))``.  The bracketing RANKS and
+    the blend fraction are driver-side constants (n comes from the
+    per-partition counts already collected), so the data path is
+    unchanged: range partition, local sort, offset-stamped rank pick of
+    at most 2·|fractions| elements, then one pinned-double lerp per
+    fraction.  Returns ``(fraction, value double)`` rows; an oracle
+    replays the identical formula (never the engine's own
+    ``quantile_cont`` — internal blend order differs).
+    """
+    import math
+
+    import pandas as pd
+
+    spark = df.sparkSession
+    p = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = (
+        df.select(F.col(value_col).alias("v"))
+        .repartitionByRange(p, F.col("v"))
+        .sortWithinPartitions("v")
+    )
+    ranged = ranged.persist()  # counted once, picked once
+    counts = {
+        r.pid: r.cnt
+        for r in ranged.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    total = sum(counts.values())
+    if total == 0:
+        raise ValueError("exact_global_quantiles_cont: empty input")
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    # per fraction: bracketing 1-based ranks + blend fraction (driver
+    # constants; h computed in the same double expression the oracle uses)
+    plan: dict[float, tuple[int, int, float]] = {}
+    wanted: dict[int, list[tuple[float, str]]] = {}
+    for q in fractions:
+        h = (total - 1) * float(q)
+        lo = int(math.floor(h)) + 1
+        hi = min(lo + 1, total)
+        frac = h - math.floor(h)
+        plan[float(q)] = (lo, hi, frac)
+        wanted.setdefault(lo, []).append((float(q), "lo"))
+        if hi != lo:
+            wanted.setdefault(hi, []).append((float(q), "hi"))
+
+    def pick(iterator):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        base = offsets.get(pid, 0)
+        seen = 0
+        for batch in iterator:
+            n = len(batch)
+            for rank, tags in wanted.items():
+                local = rank - base - seen
+                if 1 <= local <= n:
+                    v = batch["v"].iloc[local - 1]
+                    yield pd.DataFrame(
+                        {
+                            "fraction": [t[0] for t in tags],
+                            "kind": [t[1] for t in tags],
+                            "value": [v] * len(tags),
+                        }
+                    )
+            seen += n
+
+    schema_v = dict(ranged.dtypes)["v"]
+    picked = ranged.mapInPandas(
+        pick, schema=f"fraction double, kind string, value {schema_v}"
+    )
+    pivoted = picked.groupBy("fraction").agg(
+        F.max(F.when(F.col("kind") == "lo", F.col("value"))).alias("v_lo"),
+        F.max(F.when(F.col("kind") == "hi", F.col("value"))).alias("v_hi"),
+    )
+    # hi absent (h integral or q == 1): blend collapses to v_lo
+    frac_lit = F.element_at(
+        F.create_map(
+            *[
+                x
+                for q, (_, _, fr) in plan.items()
+                for x in (F.lit(q), F.lit(fr))
+            ]
+        ),
+        F.col("fraction"),
+    )
+    v_lo = F.col("v_lo").cast("double")
+    v_hi = F.coalesce(F.col("v_hi"), F.col("v_lo")).cast("double")
+    return pivoted.select(
+        "fraction", (v_lo + (v_hi - v_lo) * frac_lit).alias("value")
+    )

@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import Catalog
+from ..functions.core import fixed_cents
 from . import query
 
 # --- L2f: exact substring-level dedup ---------------------------------------
@@ -1496,4 +1497,63 @@ def q_pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         "interleave_rank",
         F.floor(cum_before / F.lit(512.0)).cast("long").alias("pack_id"),
+    )
+
+
+# --- A12b: exact interpolated global quantiles -------------------------------
+
+
+def _cont_quantile_oracle(fractions=(0.5, 0.9, 0.99)) -> str:
+    """Explicit type-7 interpolation over an exact global rank — NEVER
+    DuckDB's quantile_cont, whose internal blend order could differ; the
+    lerp is spelled with the same IEEE expression the Spark side uses."""
+    parts = []
+    for q in fractions:
+        parts.append(f"""
+    SELECT CAST({q} AS DOUBLE) AS fraction,
+           CAST(max(CASE WHEN rn = lo THEN cents END) AS DOUBLE)
+           + (CAST(coalesce(max(CASE WHEN rn = hi THEN cents END),
+                            max(CASE WHEN rn = lo THEN cents END))
+                   AS DOUBLE)
+              - CAST(max(CASE WHEN rn = lo THEN cents END) AS DOUBLE))
+             * (h - floor(h)) AS value
+    FROM (
+        SELECT cents, rn,
+               ({q} * (n - 1)) AS h,
+               CAST(floor({q} * (n - 1)) AS BIGINT) + 1 AS lo,
+               least(CAST(floor({q} * (n - 1)) AS BIGINT) + 2, n) AS hi
+        FROM r
+    ) GROUP BY h""")
+    body = "\n    UNION ALL\n".join(parts)
+    return f"""
+    WITH v AS (
+        SELECT CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM lineitem
+    ), r AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY cents) AS rn,
+               count(*) OVER () AS n
+        FROM v
+    )
+    {body}
+    """
+
+
+@query("q_agg_global_quantiles_cont", oracle=_cont_quantile_oracle())
+def q_agg_global_quantiles_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A12b: exact INTERPOLATED (numpy/pandas/R type-7) global quantiles —
+    # the convention ML feature pipelines actually use — with the same
+    # no-single-reducer decomposition as the discrete A12: range
+    # partition, local sort, driver prefix sums, a <= 2 fractions-sized
+    # rank pick, one pinned-double lerp. h = (n-1)·q and the blend are
+    # computed with the identical double expression on both engines
+    # (never the engines' own quantile_cont/percentile — internal blend
+    # order is unspecified).
+    from ..operators.agg import exact_global_quantiles_cont
+
+    li = Catalog(spark, sf_dir).lineitem.select(
+        fixed_cents(F.col("l_extendedprice")).alias("cents")
+    )
+    return exact_global_quantiles_cont(
+        li, "cents", fractions=(0.5, 0.9, 0.99)
     )

@@ -221,3 +221,22 @@ def test_expectation_report_math(spark):
     assert rep[("completeness", "name")] == (0.75, False)
     assert rep[("unique", "id")] == (0.75, False)
     assert rep[("in_range", "v")] == (0.75, True)
+
+
+def test_cont_quantiles_match_numpy(spark):
+    import numpy as np
+
+    from pretalx_hub_etl_spark.operators.agg import (
+        exact_global_quantiles_cont,
+    )
+
+    vals = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {
+        r.fraction: r.value
+        for r in exact_global_quantiles_cont(
+            df, "v", fractions=(0.25, 0.5, 0.75, 1.0)
+        ).collect()
+    }
+    for q in (0.25, 0.5, 0.75, 1.0):
+        assert abs(got[q] - float(np.quantile(vals, q))) < 1e-12

@@ -266,6 +266,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_sample_group_exact_k"]),
         ("L7b", "e2e pretraining-prep pipeline (normalize -> dedup -> mixture"
                 " -> interleave -> pack)", ["q_pipeline_pretrain"]),
+        ("A12b", "exact interpolated (type-7) global quantiles",
+         ["q_agg_global_quantiles_cont"]),
     ]),
     ("TPC-H composite shapes", [
         ("Q", "multi-way join/agg/subquery plans",

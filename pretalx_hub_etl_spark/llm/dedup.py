@@ -62,16 +62,21 @@ def _shingle_hashes(text_col: str, k: int) -> F.Column:
     )
 
 
-def _shingle_hashes_md5(text_col: str, k: int) -> F.Column:
+def _shingle_hashes_md5(
+    text_col: str, k: int, hex_chars: int = 8
+) -> F.Column:
     """Distinct 32-bit md5-derived hashes of each k-word shingle.
 
-    The engine-portable twin of :func:`_shingle_hashes`: the first 8 hex
-    chars of md5(shingle) parse to a uint32 identically in Spark
-    (``conv(substring(md5(s),1,8),16,10)``) and DuckDB
-    (``('0x' || substr(md5(s),1,8))::BIGINT``), so an external engine can
-    replay the EXACT candidate set — xxhash64 has no DuckDB counterpart.
-    Same [0, 2^32) range as the production path, so the universal-hash
-    coefficient overflow bounds are unchanged.
+    The engine-portable twin of :func:`_shingle_hashes`: the first
+    ``hex_chars`` hex chars of md5(shingle) parse to the same integer in
+    Spark (``conv(substring(md5(s),1,h),16,10)``) and DuckDB
+    (``('0x' || substr(md5(s),1,h))::BIGINT``), so an external engine
+    can replay the EXACT candidate set — xxhash64 has no DuckDB twin.
+    ``hex_chars=8`` gives the uint32 range the MinHash universal-hash
+    coefficient bounds assume; ``hex_chars=15`` gives the 60-bit range
+    SimHash needs (one vote per signature bit, < 2^63 signed-safe).
+    One parametrized implementation keeps the MinHash and SimHash
+    portable paths from drifting apart.
     """
     words = F.split(F.col(text_col), " ")
     n = F.size(words)
@@ -81,7 +86,9 @@ def _shingle_hashes_md5(text_col: str, k: int) -> F.Column:
             idx,
             lambda i: F.conv(
                 F.substring(
-                    F.md5(F.concat_ws(" ", F.slice(words, i + 1, k))), 1, 8
+                    F.md5(F.concat_ws(" ", F.slice(words, i + 1, k))),
+                    1,
+                    hex_chars,
                 ),
                 16,
                 10,
@@ -466,31 +473,6 @@ def duplicate_clusters(
     )
 
 
-def _shingle_hashes_md5_wide(text_col: str, k: int) -> F.Column:
-    """Distinct 60-bit md5-derived shingle hashes (15 hex chars).
-
-    The wide engine-portable twin of :func:`_shingle_hashes` for SimHash,
-    which needs one vote per signature BIT: 60 bits (< 2^63, signed-safe
-    on both engines) parse identically from ``conv`` (Spark) and
-    ``('0x'||…)::BIGINT`` (DuckDB).
-    """
-    words = F.split(F.col(text_col), " ")
-    n = F.size(words)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.conv(
-                F.substring(
-                    F.md5(F.concat_ws(" ", F.slice(words, i + 1, k))), 1, 15
-                ),
-                16,
-                10,
-            ).cast("long"),
-        )
-    )
-
-
 def simhash64(
     df: DataFrame,
     text_col: str,
@@ -507,7 +489,7 @@ def simhash64(
     equi-join on signature prefixes.
 
     ``portable=True``: 60-bit signatures over md5-derived shingle hashes
-    (:func:`_shingle_hashes_md5_wide`) — identical vote/assembly logic,
+    (:func:`_shingle_hashes_md5` at 60 bits) — identical vote/assembly logic,
     every stage replayable in external SQL (the full-oracle witness for
     the SimHash pipeline, like the MinHash md5 twin).
     """
@@ -517,7 +499,7 @@ def simhash64(
     # accumulator (the indexed-transform lambda gives each slot its bit
     # index j) — one traversal instead of one per bit
     hashes = (
-        _shingle_hashes_md5_wide(text_col, shingle_k)
+        _shingle_hashes_md5(text_col, shingle_k, hex_chars=15)
         if portable
         else _shingle_hashes(text_col, shingle_k)
     ).alias("hashes")

@@ -37,13 +37,31 @@ OFFSET = 10_000_000  # > SCALE * max|component|; keeps everything positive
 
 
 def _quantize(vec: Column) -> Column:
-    return F.transform(
+    # fail fast when a component breaches the positivity invariant
+    # (|x| < OFFSET/SCALE): a negative quantized value would make
+    # per-dim cluster sums negative, where DuckDB's integer division
+    # truncates toward zero but the Spark floor-mean floors — a SILENT
+    # 1-micro-unit centroid divergence. An explicit error beats that.
+    lim = OFFSET / SCALE
+    bad = F.exists(
+        vec, lambda x: F.abs(x.cast("double")) >= F.lit(float(lim))
+    )
+    q = F.transform(
         vec,
         lambda x: (
             F.floor(x.cast("double") * SCALE + F.lit(0.5)).cast("long")
             + F.lit(OFFSET)
         ),
     )
+    return F.when(
+        bad,
+        F.raise_error(
+            F.lit(
+                f"kmeans_exact: |component| >= {lim} breaks the "
+                "positivity invariant; rescale or raise OFFSET"
+            )
+        ).cast("array<bigint>"),
+    ).otherwise(q)
 
 
 def _dist2(a: Column, b: Column) -> Column:

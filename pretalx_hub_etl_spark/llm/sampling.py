@@ -141,3 +141,33 @@ def weighted_sample(
     else:
         raise ValueError("one of weight or weight_num/weight_den is required")
     return df.filter(keep)
+
+
+def md5_u32(col: Column) -> Column:
+    """First 8 hex chars of md5 as a uint32-ranged BIGINT — the
+    engine-portable hash primitive (DuckDB: ``('0x'||substr(md5(x),1,8))
+    ::BIGINT``)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def mixture_keys(
+    doc_id_col: str = "doc_id", source_col: str = "source"
+) -> tuple[Column, Column, Column]:
+    """The source-mixture interleave's three deterministic keys —
+    (weight_tenths, keep_bucket, mix_key) — shared by
+    ``q_mixture_interleave`` and the composed ``q_pipeline_pretrain``
+    (one implementation, two callers).
+
+    weight_tenths in 1..8 is a pure md5 function of the domain name
+    (stand-in for a user-supplied weights table); keep iff
+    ``bucket·10 < weight·2^32`` (all-integer, no float boundary);
+    mix_key orders the global interleave.
+    """
+    weight = F.lit(1) + md5_u32(F.col(source_col)) % 8
+    bucket = md5_u32(
+        F.concat(F.lit("mix:"), F.col(doc_id_col).cast("string"))
+    )
+    mix_key = F.md5(
+        F.concat(F.lit("ord:"), F.col(doc_id_col).cast("string"))
+    )
+    return weight.cast("long"), bucket, mix_key

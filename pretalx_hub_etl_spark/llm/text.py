@@ -392,3 +392,17 @@ def bigram_nll_scores(
             / F.lit(1000000.0)
         ).alias("avg_nll"),
     )
+
+
+def normalize_text(col: Column) -> Column:
+    """C4-style canonicalization: lowercase, strip non-alphanumerics,
+    collapse/trim whitespace — pure regexp chains that fuse into the
+    scan. Shared by ``q_text_normalize`` and ``q_pipeline_pretrain``
+    (one implementation, two callers); the DuckDB twin needs the
+    explicit 'g' flag (Spark replaces ALL matches, DuckDB first-only).
+    """
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(col), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )

@@ -187,6 +187,11 @@ def exact_global_quantiles(
     Ties split across a range boundary don't matter: the value at a
     given rank of the sorted multiset is the same however equal values
     are ordered. Returns ``(fraction, value)`` rows.
+
+    Precondition: ``value_col`` must be NULL-free (Spark ranks NULLs
+    first, SQL oracles rank them last, and they inflate n — see
+    :func:`exact_global_quantiles_cont`, which drops them instead;
+    callers here feed derived non-null measures).
     """
     import pandas as pd
 
@@ -326,6 +331,12 @@ def exact_global_quantiles_cont(
     fraction.  Returns ``(fraction, value double)`` rows; an oracle
     replays the identical formula (never the engine's own
     ``quantile_cont`` — internal blend order differs).
+
+    NULLs are dropped up front (the SQL-aggregate convention; numpy
+    would propagate NaN instead): without the filter, Spark's range
+    sort places NULLs FIRST while a SQL oracle's ORDER BY places them
+    LAST, and NULL rows would inflate n — two silent rank shifts.
+    Mirror the drop (``WHERE v IS NOT NULL``) in any oracle.
     """
     import math
 
@@ -335,6 +346,7 @@ def exact_global_quantiles_cont(
     p = num_partitions or spark.sparkContext.defaultParallelism
     ranged = (
         df.select(F.col(value_col).alias("v"))
+        .filter(F.col(value_col).isNotNull())
         .repartitionByRange(p, F.col("v"))
         .sortWithinPartitions("v")
     )

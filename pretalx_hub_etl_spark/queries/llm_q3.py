@@ -210,44 +210,23 @@ def q_mixture_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     #     (operators/agg.py): repartitionByRange + per-partition offsets,
     #     NO single-reducer global window; (mix_key, doc_id) is unique so
     #     the rank replays identically in the oracle's row_number.
+    from ..llm.sampling import mixture_keys
     from ..operators.agg import global_row_number
 
     d = Catalog(spark, sf_dir).documents
-    w = (
-        F.lit(1)
-        + F.conv(F.substring(F.md5(F.col("source")), 1, 8), 16, 10).cast(
-            "long"
-        )
-        % 8
-    )
-    bucket = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("long")
+    weight, bucket, mix_key = mixture_keys("doc_id", "source")
     kept = (
         d.select(
             "doc_id",
             "source",
-            w.cast("long").alias("weight_tenths"),
+            weight.alias("weight_tenths"),
             bucket.alias("bucket"),
         )
         .filter(
             F.col("bucket") * 10
             < F.col("weight_tenths") * F.lit(4294967296)
         )
-        .select(
-            "doc_id",
-            "source",
-            "weight_tenths",
-            F.md5(
-                F.concat(F.lit("ord:"), F.col("doc_id").cast("string"))
-            ).alias("mix_key"),
-        )
+        .select("doc_id", "source", "weight_tenths", mix_key.alias("mix_key"))
     )
     ranked = global_row_number(
         kept, ["mix_key", "doc_id"], out_col="interleave_rank"
@@ -498,9 +477,18 @@ def q_stream_merge_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.processAllAvailable()
     q.stop()
-    return sink.read(spark).select(
-        "user_id", "event_id", "ts", "event_type", "value"
+    # eager localCheckpoint materializes the final state off the temp
+    # parquet, so the whole tempdir (input copy + versioned snapshots)
+    # can be removed NOW instead of leaking events-sized dirs per run
+    result = (
+        sink.read(spark)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+        .localCheckpoint(eager=True)
     )
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    return result
 
 
 # --- AN15: OHLC bar resampling ----------------------------------------------
@@ -728,14 +716,10 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # replace-ALL by default; DuckDB needs the explicit 'g' flag —
     # without it the oracle would silently replace first-match-only and
     # diverge on any doc with two strippable characters.
+    from ..llm.text import normalize_text
+
     d = Catalog(spark, sf_dir).documents
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
-            " +",
-            " ",
-        )
-    )
+    norm = normalize_text(F.col("text"))
     return d.select("doc_id", norm.alias("norm_text")).select(
         "doc_id",
         "norm_text",
@@ -864,31 +848,32 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- L2i: portable hyperplane-LSH embedding near-dup witness -----------------
-
-
-def _embed_lsh_oracle(
-    n_bits: int = 4, n_tables: int = 8, threshold: float = 0.3
-) -> str:
-    """DuckDB replay of embedding_near_duplicates(portable=True): the
-    integer hyperplanes derive IN SQL from the same md5 formula the
-    Spark side uses (llm/similarity.py:md5_plane_int), buckets from
-    exact integer dot signs, verification via the pinned list_dot_product
-    cosine quantized with the fixed-point floor (no round())."""
-    dot = (
-        "list_dot_product(CAST(a.embedding AS DOUBLE[]),"
-        " CAST(b.embedding AS DOUBLE[]))"
+def _fixed_cos_sql(a: str, b: str) -> str:
+    """The fixed-point pinned-double cosine between two embedding table
+    aliases — ONE spelling shared by every witness oracle (a fix here
+    lands everywhere; four hand-copies drifted apart would compile
+    individually and disagree silently)."""
+    return (
+        f"floor(list_dot_product(CAST({a}.embedding AS DOUBLE[]),"
+        f" CAST({b}.embedding AS DOUBLE[]))"
+        f" / (sqrt(list_dot_product(CAST({a}.embedding AS DOUBLE[]),"
+        f" CAST({a}.embedding AS DOUBLE[])))"
+        f" * sqrt(list_dot_product(CAST({b}.embedding AS DOUBLE[]),"
+        f" CAST({b}.embedding AS DOUBLE[]))))"
+        " * 1000000.0 + 0.5) / 1000000.0"
     )
-    norm_a = "sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
-    norm_b = "sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))"
-    cos = f"floor({dot} / ({norm_a} * {norm_b}) * 1000000.0 + 0.5) / 1000000.0"
-    return f"""
-    WITH pl AS (
+
+
+def _plane_bucket_ctes(n_bits: int, n_tables: int, dim: int = 64) -> str:
+    """The md5-integer-hyperplane bucket pipeline (pl/q/qe/dots/buckets
+    CTEs) shared by the embedding near-dup and LSH ANN witness oracles —
+    mirrors llm/similarity.py:_portable_buckets exactly."""
+    return f"""pl AS (
         SELECT t, b, i,
                CAST(('0x' || substr(md5('pl:' || t || ':' || b || ':' || i),
                                     1, 8)) AS BIGINT) % 1001 - 500 AS p
         FROM range({n_tables}) tt(t), range({n_bits}) bb(b),
-             range(64) ii(i)
+             range({dim}) ii(i)
     ), q AS (
         SELECT vec_id,
                list_transform(embedding, x ->
@@ -909,7 +894,23 @@ def _embed_lsh_oracle(
                              THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
                     AS BIGINT) AS bucket
         FROM dots GROUP BY 1, 2
-    ), cand AS (
+    )"""
+
+
+# --- L2i: portable hyperplane-LSH embedding near-dup witness -----------------
+
+
+def _embed_lsh_oracle(
+    n_bits: int = 4, n_tables: int = 8, threshold: float = 0.3
+) -> str:
+    """DuckDB replay of embedding_near_duplicates(portable=True): the
+    integer hyperplanes derive IN SQL from the same md5 formula the
+    Spark side uses (llm/similarity.py:md5_plane_int), buckets from
+    exact integer dot signs, verification via the pinned list_dot_product
+    cosine quantized with the fixed-point floor (no round())."""
+    cos = _fixed_cos_sql("a", "b")
+    return f"""
+    WITH {_plane_bucket_ctes(n_bits, n_tables)}, cand AS (
         SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
         FROM buckets x JOIN buckets y
           ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id
@@ -951,43 +952,9 @@ def _lsh_topk_oracle(
     equi-join on (table, bucket), fixed-point cosine rerank with
     (sim desc, id asc) tie-breaks — the ranked ANN result replays
     exactly, graduating the LSH ANN family from rows-only."""
-    cos = (
-        "floor(list_dot_product(CAST(qa.embedding AS DOUBLE[]),"
-        " CAST(ca.embedding AS DOUBLE[]))"
-        " / (sqrt(list_dot_product(CAST(qa.embedding AS DOUBLE[]),"
-        " CAST(qa.embedding AS DOUBLE[])))"
-        " * sqrt(list_dot_product(CAST(ca.embedding AS DOUBLE[]),"
-        " CAST(ca.embedding AS DOUBLE[]))))"
-        " * 1000000.0 + 0.5) / 1000000.0"
-    )
+    cos = _fixed_cos_sql("qa", "ca")
     return f"""
-    WITH pl AS (
-        SELECT t, b, i,
-               CAST(('0x' || substr(md5('pl:' || t || ':' || b || ':' || i),
-                                    1, 8)) AS BIGINT) % 1001 - 500 AS p
-        FROM range({n_tables}) tt(t), range({n_bits}) bb(b),
-             range(64) ii(i)
-    ), q AS (
-        SELECT vec_id,
-               list_transform(embedding, x ->
-                   CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
-               ) AS qv
-        FROM embeddings
-    ), qe AS (
-        SELECT vec_id, CAST(generate_subscripts(qv, 1) AS BIGINT) - 1 AS i,
-               unnest(qv) AS v
-        FROM q
-    ), dots AS (
-        SELECT qe.vec_id, pl.t, pl.b, CAST(sum(qe.v * pl.p) AS BIGINT) AS d
-        FROM qe JOIN pl ON qe.i = pl.i
-        GROUP BY 1, 2, 3
-    ), buckets AS (
-        SELECT vec_id, t,
-               CAST(sum(CASE WHEN d > 0
-                             THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
-                    AS BIGINT) AS bucket
-        FROM dots GROUP BY 1, 2
-    ), cand AS (
+    WITH {_plane_bucket_ctes(n_bits, n_tables)}, cand AS (
         SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS vec_id
         FROM buckets qb
         JOIN buckets cb ON qb.t = cb.t AND qb.bucket = cb.bucket
@@ -1041,15 +1008,7 @@ def _ivf_exact_oracle(
     CTEs train the quantizer, corpus lists and query probes assign by
     the same exact-integer metric, rerank is the fixed-point cosine."""
     ctes, cfinal = _kmeans_cte_list(n_centroids, iterations)
-    cos = (
-        "floor(list_dot_product(CAST(qa.embedding AS DOUBLE[]),"
-        " CAST(ca.embedding AS DOUBLE[]))"
-        " / (sqrt(list_dot_product(CAST(qa.embedding AS DOUBLE[]),"
-        " CAST(qa.embedding AS DOUBLE[])))"
-        " * sqrt(list_dot_product(CAST(ca.embedding AS DOUBLE[]),"
-        " CAST(ca.embedding AS DOUBLE[]))))"
-        " * 1000000.0 + 0.5) / 1000000.0"
-    )
+    cos = _fixed_cos_sql("qa", "ca")
     ctes = ctes + [
         f"""sl AS (
         SELECT e.vec_id, c.cid, {_KM_DIST} AS d2
@@ -1161,6 +1120,10 @@ def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = running_totals(stream, "user_id", "cents")
     name = f"stateful_{uuid.uuid4().hex}"
     run_to_memory(out, name, output_mode="update")
+    import shutil
+
+    # the memory sink holds the result; drop the input copy immediately
+    shutil.rmtree(os.path.dirname(tmp), ignore_errors=True)
     return spark.table(name).select("key", "n", "total")
 
 
@@ -1180,15 +1143,7 @@ def _pq_exact_oracle(
     CTEs (namespaced via _kmeans_cte_list), integer code assignment,
     integer ADC lookup-sum, fixed-point cosine rerank."""
     dsub = dim // m
-    cos = (
-        "floor(list_dot_product(CAST(qa.embedding AS DOUBLE[]),"
-        " CAST(ca.embedding AS DOUBLE[]))"
-        " / (sqrt(list_dot_product(CAST(qa.embedding AS DOUBLE[]),"
-        " CAST(qa.embedding AS DOUBLE[])))"
-        " * sqrt(list_dot_product(CAST(ca.embedding AS DOUBLE[]),"
-        " CAST(ca.embedding AS DOUBLE[]))))"
-        " * 1000000.0 + 0.5) / 1000000.0"
-    )
+    cos = _fixed_cos_sql("qa", "ca")
     ctes: list = []
     parts = []
     for j in range(m):
@@ -1378,6 +1333,9 @@ def q_stream_dedup_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"sdedup_{uuid.uuid4().hex}"
     run_to_memory(out, name, output_mode="append")
+    import shutil
+
+    shutil.rmtree(os.path.dirname(tmp), ignore_errors=True)
     return spark.table(name).select("user_id", "event_type", "event_id", "ts")
 
 
@@ -1437,17 +1395,14 @@ def q_pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     # once. The composition is what a user actually runs; hash equality
     # end-to-end is the guarantee the stages compose without semantic
     # drift (the q_pipeline_curation argument, extended to round 6).
+    from ..llm.sampling import mixture_keys
+    from ..llm.text import normalize_text
     from ..operators.agg import global_row_number
 
     d = Catalog(spark, sf_dir).documents
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
-            " +",
-            " ",
-        )
+    n = d.select(
+        "doc_id", "source", normalize_text(F.col("text")).alias("norm_text")
     )
-    n = d.select("doc_id", "source", norm.alias("norm_text"))
     wdup = Window.partitionBy(F.md5(F.col("norm_text"))).orderBy(
         F.col("doc_id").asc()
     )
@@ -1456,31 +1411,14 @@ def q_pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
-    w = (
-        F.lit(1)
-        + F.conv(F.substring(F.md5(F.col("source")), 1, 8), 16, 10).cast(
-            "long"
-        )
-        % 8
-    )
-    bucket = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("long")
-    kept = dedup.filter(bucket * 10 < w * F.lit(4294967296)).select(
+    weight, bucket, mix_key = mixture_keys("doc_id", "source")
+    kept = dedup.filter(bucket * 10 < weight * F.lit(4294967296)).select(
         "doc_id",
         "source",
         F.when(F.col("norm_text") == "", F.lit(0).cast("long"))
         .otherwise(F.size(F.split(F.col("norm_text"), " ")).cast("long"))
         .alias("n_tokens"),
-        F.md5(
-            F.concat(F.lit("ord:"), F.col("doc_id").cast("string"))
-        ).alias("mix_key"),
+        mix_key.alias("mix_key"),
     )
     ranked = global_row_number(
         kept, ["mix_key", "doc_id"], out_col="interleave_rank"
@@ -1519,9 +1457,11 @@ def _cont_quantile_oracle(fractions=(0.5, 0.9, 0.99)) -> str:
              * (h - floor(h)) AS value
     FROM (
         SELECT cents, rn,
-               ({q} * (n - 1)) AS h,
-               CAST(floor({q} * (n - 1)) AS BIGINT) + 1 AS lo,
-               least(CAST(floor({q} * (n - 1)) AS BIGINT) + 2, n) AS hi
+               (CAST({q} AS DOUBLE) * (n - 1)) AS h,
+               CAST(floor(CAST({q} AS DOUBLE) * (n - 1)) AS BIGINT) + 1
+                   AS lo,
+               least(CAST(floor(CAST({q} AS DOUBLE) * (n - 1)) AS BIGINT)
+                     + 2, n) AS hi
         FROM r
     ) GROUP BY h""")
     body = "\n    UNION ALL\n".join(parts)
@@ -1529,6 +1469,7 @@ def _cont_quantile_oracle(fractions=(0.5, 0.9, 0.99)) -> str:
     WITH v AS (
         SELECT CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
         FROM lineitem
+        WHERE l_extendedprice IS NOT NULL
     ), r AS (
         SELECT cents,
                row_number() OVER (ORDER BY cents) AS rn,

@@ -254,6 +254,10 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"ivj_{uuid.uuid4().hex}"
     run_to_memory(joined, name, output_mode="append")
+    import shutil
+
+    # the memory sink holds the result; drop the input copies immediately
+    shutil.rmtree(tmp, ignore_errors=True)
     return spark.table(name).select(
         "user_id", "l_event_id", "r_event_id", "l_ts", "r_ts"
     )

@@ -240,3 +240,16 @@ def test_cont_quantiles_match_numpy(spark):
     }
     for q in (0.25, 0.5, 0.75, 1.0):
         assert abs(got[q] - float(np.quantile(vals, q))) < 1e-12
+
+
+def test_kmeans_rejects_out_of_range_components(spark):
+    import pytest
+
+    from pretalx_hub_etl_spark.llm.kmeans import kmeans_exact
+
+    df = spark.createDataFrame(
+        [(1, [0.5, 0.5]), (2, [10.5, 0.0]), (3, [0.1, 0.2])],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(Exception, match="positivity invariant"):
+        kmeans_exact(df, k=2, iterations=1).collect()

@@ -1498,3 +1498,74 @@ def q_agg_global_quantiles_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_global_quantiles_cont(
         li, "cents", fractions=(0.5, 0.9, 0.99)
     )
+
+
+# --- ST1b: streaming windowed aggregation under the gate ---------------------
+
+
+@query(
+    "q_stream_tumbling_equiv",
+    oracle="""
+    SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT)
+               AS bucket_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_tumbling_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ST1b: the REAL watermarked streaming tumbling-window aggregation
+    # (ST1's batch twin q_stream_tumbling is already gated; this gates
+    # the streaming path itself). Output mode COMPLETE makes the
+    # equivalence unconditional: the sink always holds the full current
+    # aggregate, so the final snapshot equals the batch answer for ANY
+    # batching/arrival order — no key routing needed (unlike the
+    # append/update-mode equivalence constructions). Sums are exact
+    # integer cents; the watermark is present (bounding state is the
+    # production contract) but cannot drop completed windows in
+    # complete mode.
+    import uuid
+
+    from ..streaming.structured import (
+        run_to_memory,
+        stream_from_parquet_dir,
+        windowed_counts_stream,
+    )
+
+    e = Catalog(spark, sf_dir).events.select(
+        "event_type",
+        "ts",
+        F.floor(F.col("value") * 100.0 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    tmp = os.path.join(tempfile.mkdtemp(prefix="phe_stumb_"), "in")
+    e.repartition(4).write.parquet(tmp)
+    stream = stream_from_parquet_dir(
+        spark, tmp, e.schema, max_files_per_trigger=1
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = windowed_counts_stream(
+        stream,
+        ts="ts",
+        width="1 hour",
+        watermark="10 minutes",
+        keys=["event_type"],
+        aggs=[
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("total_cents"),
+        ],
+    )
+    name = f"stumb_{uuid.uuid4().hex}"
+    run_to_memory(agg, name, output_mode="complete")
+    import shutil
+
+    shutil.rmtree(os.path.dirname(tmp), ignore_errors=True)
+    return spark.table(name).select(
+        F.unix_timestamp("window_start").cast("long").alias("bucket_start"),
+        "event_type",
+        "n",
+        "total_cents",
+    )

@@ -134,6 +134,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_stream_stateful_totals"]),
         ("ST6b", "streaming keep-first dedup equivalence (real stream run)",
          ["q_stream_dedup_equiv"]),
+        ("ST1b", "streaming tumbling-window agg equivalence (complete mode)",
+         ["q_stream_tumbling_equiv"]),
     ]),
     ("2.10 UDF surface", [
         ("UD1", "Arrow pandas UDF ≡ built-in", ["q_udf_pandas"]),

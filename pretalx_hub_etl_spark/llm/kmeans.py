@@ -160,9 +160,16 @@ def kmeans_exact(
     is the final exact integer distance in (micro-unit)² space.
     """
     q = _quantized(df, vec_col, id_col)
-    q = q.persist()  # scanned once per iteration + final assignment
-    cents = _train(q, k, iterations)
-    return _assign(q, cents).select("vec_id", "cluster", "d2")
+    q = q.persist()  # scanned once per iteration
+    # eager checkpoint of the K-row result releases the corpus cache
+    # immediately (round-6 advice: harness sessions accumulate persists);
+    # the final assignment re-derives q lazily — one extra scan+quantize,
+    # deterministic, instead of a corpus-sized cache pinned forever
+    cents = _train(q, k, iterations).localCheckpoint()
+    q.unpersist()
+    return _assign(_quantized(df, vec_col, id_col), cents).select(
+        "vec_id", "cluster", "d2"
+    )
 
 
 def kmeans_centroid_table(
@@ -177,7 +184,9 @@ def kmeans_centroid_table(
     than wanting per-vector assignments.  Same ``_train`` loop, one
     implementation."""
     q = _quantized(df, vec_col, id_col).persist()
-    return _train(q, k, iterations)
+    cents = _train(q, k, iterations).localCheckpoint()  # K×dim rows
+    q.unpersist()
+    return cents
 
 
 def ivf_exact_topk(
@@ -209,8 +218,14 @@ def ivf_exact_topk(
     from .similarity import cosine
 
     qc = _quantized(corpus, vec_col, id_col).persist()
-    cents = _train(qc, n_centroids, iterations)
-    lists = _assign(qc, cents).select("vec_id", "cluster")
+    # eager K-row checkpoint, then release the corpus cache (the list
+    # assignment below re-derives qc lazily — one extra deterministic
+    # scan instead of a forever-pinned corpus cache)
+    cents = _train(qc, n_centroids, iterations).localCheckpoint()
+    qc.unpersist()
+    lists = _assign(_quantized(corpus, vec_col, id_col), cents).select(
+        "vec_id", "cluster"
+    )
 
     qq = queries.select(
         F.col(query_id_col).alias("query_id"),
@@ -296,16 +311,28 @@ def pq_exact_topk(
         _quantize(F.col(vec_col)).alias("q"),
     ).persist()
 
-    codes = qc.select("vec_id")
+    # Per-subspace intermediates are EAGERLY checkpointed so their
+    # vec-sized caches can be released inside the loop (round-6 advice:
+    # the old shape persisted m+2 DataFrames per call and never
+    # unpersisted, accumulating cached partitions across a long-lived
+    # harness session). cents_j is k_codes×dsub rows; assign_j is one
+    # (vec_id, code) pair per corpus row — both are what the lazy plan
+    # would compute anyway, materialized once instead of cached forever.
+    codes = None
     dts = []
     for j in range(m):
         sub = F.slice(F.col("q"), j * dsub + 1, dsub)
         qj = qc.select("vec_id", sub.alias("q")).persist()
-        cents_j = _train(qj, k_codes, iterations)
-        assign_j = _assign(qj, cents_j).select(
-            "vec_id", F.col("cluster").alias(f"code_{j}")
+        cents_j = _train(qj, k_codes, iterations).localCheckpoint()
+        assign_j = (
+            _assign(qj, cents_j)
+            .select("vec_id", F.col("cluster").alias(f"code_{j}"))
+            .localCheckpoint()
         )
-        codes = codes.join(assign_j, "vec_id")
+        qj.unpersist()
+        codes = (
+            assign_j if codes is None else codes.join(assign_j, "vec_id")
+        )
         dts.append(
             qq.select("query_id", sub.alias("q"))
             .crossJoin(F.broadcast(cents_j))
@@ -319,6 +346,11 @@ def pq_exact_topk(
     dt = dts[0]
     for d in dts[1:]:
         dt = dt.unionByName(d)
+    # |queries|·m·k_codes rows (query-count-sized); materializing it
+    # releases the quantized corpus/query caches for good
+    dt = dt.localCheckpoint()
+    qc.unpersist()
+    qq.unpersist()
 
     melted = codes.select(
         "vec_id",

@@ -4,12 +4,21 @@ Media payloads are opaque ``binary`` columns travelling next to typed
 metadata (the only shape that works at 100 TB: Spark shuffles/spills binary
 columns fine, and decode happens once, executor-side, in Arrow batches).
 
-The decode/feature steps are Pandas-UDF-backed ``mapInPandas`` operators
-with REAL Spark plumbing (schema, batch iteration, partitioning) and a
-STUBBED codec: the container has no image/audio libraries, so ``decode``
-produces a deterministic fake feature vector (documented) or raises
-``NotImplementedError`` in strict mode. Swapping in PIL/librosa is a
-one-function change.
+Two codec tiers (round-6 review Next #3):
+
+- **Real PNG path** (``attach_png_media`` / ``decode_image`` /
+  ``resize_encoded_images``): actual encoded image bytes, decoded
+  executor-side. ``codec="pure"`` uses the stdlib-only PNG codec
+  (``png_codec.py``) and is fully deterministic/oracle-able;
+  ``codec="auto"`` prefers PIL when importable (a real cluster) and
+  falls back to pure; ``codec="pil"`` demands PIL. PNG covers the
+  lossless-image case end-to-end; JPEG/audio/video still need PIL/
+  ffmpeg-class libraries.
+- **Stub path** (``decode_features`` / ``resize_images`` /
+  ``sample_frames``): sha-derived deterministic fakes for payloads no
+  available codec can parse — the Arrow batch plumbing is real and the
+  stub bytes are themselves oracle-checked; ``strict=True`` raises
+  where the real codec belongs rather than faking.
 """
 
 from __future__ import annotations
@@ -20,6 +29,15 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+def _pil_image():
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -43,6 +61,155 @@ def attach_fake_media(df: DataFrame, id_col: str) -> DataFrame:
     return df.withColumn(
         "payload", F.encode(F.concat(F.lit("mediabytes:"), F.col(id_col).cast("string")), "UTF-8")
     ).withColumn("kind", F.lit("image")).withColumn("mime", F.lit("image/fake"))
+
+
+def attach_png_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Derive a REAL encoded PNG payload column from an id.
+
+    Deterministic fixture: an (8 + id%5) × (8 + id%7) grayscale gradient
+    with pixel(x, y) = (3x + 5y + id) mod 256 — every pixel value is a
+    closed-form function of (id, x, y), so decoded-pixel aggregates have
+    exact SQL oracles, and the gradient (plus the encoder's cycling
+    scanline filters) means a decoder that skips real unfiltering cannot
+    reproduce them.
+    """
+
+    @F.pandas_udf("binary")
+    def gen(ids: pd.Series) -> pd.Series:
+        from .png_codec import png_encode
+
+        out = []
+        for i in ids:
+            i = int(i)
+            w, h = 8 + i % 5, 8 + i % 7
+            px = bytes(
+                (3 * x + 5 * y + i) % 256
+                for y in range(h)
+                for x in range(w)
+            )
+            out.append(png_encode(px, w, h, "L"))
+        return pd.Series(out)
+
+    return (
+        df.withColumn("payload", gen(F.col(id_col)))
+        .withColumn("kind", F.lit("image"))
+        .withColumn("mime", F.lit("image/png"))
+    )
+
+
+def decode_image(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    codec: str = "pure",
+) -> DataFrame:
+    """REAL image decode -> metadata + pixel aggregate, via ``mapInPandas``.
+
+    ``(id, width, height, mode, n_bytes, pixel_sum)`` from actually
+    parsing the encoded bytes. ``codec="pure"`` (default) pins the
+    stdlib PNG decoder — deterministic on any cluster, so declared
+    queries stay engine-stable; ``"auto"`` prefers PIL when importable
+    (identical output for PNG inputs — the format is lossless — while
+    also accepting JPEG etc.); ``"pil"`` requires PIL.
+    """
+    out_schema = (
+        f"{id_col} long, width long, height long, mode string, "
+        "n_bytes long, pixel_sum long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        from .png_codec import png_decode
+
+        pil = _pil_image() if codec in ("auto", "pil") else None
+        if codec == "pil" and pil is None:
+            raise NotImplementedError("codec='pil' but PIL is not importable")
+        for pdf in batches:
+            ids, ws, hs, modes, nbs, sums = [], [], [], [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload)
+                if pil is not None:
+                    img = pil.open(io.BytesIO(raw))
+                    w, h = img.size
+                    mode, px = img.mode, img.tobytes()
+                else:
+                    w, h, mode, px = png_decode(raw)
+                ids.append(int(mid))
+                ws.append(w)
+                hs.append(h)
+                modes.append(mode)
+                nbs.append(len(px))
+                sums.append(sum(px))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int64"),
+                    "height": pd.Series(hs, dtype="int64"),
+                    "mode": modes,
+                    "n_bytes": pd.Series(nbs, dtype="int64"),
+                    "pixel_sum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
+def resize_encoded_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    codec: str = "pure",
+) -> DataFrame:
+    """REAL decode -> nearest-neighbor resize -> re-encode (1:1 rows).
+
+    Output payload is a valid PNG of the resized pixels. ``codec="pure"``
+    uses the pinned integer source formula ``src = (dst*src_size)//
+    dst_size`` (``png_codec.resize_nearest``) and the stdlib encoder —
+    bit-deterministic everywhere; ``"auto"``/``"pil"`` use PIL NEAREST,
+    whose center-based sampling picks different source pixels on
+    non-constant images (dims/mode stay comparable, bytes don't).
+    """
+    out_schema = f"{id_col} long, payload binary, width int, height int"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        from .png_codec import _CHANNELS, _MODES, png_decode, png_encode
+        from .png_codec import resize_nearest as rn
+
+        pil = _pil_image() if codec in ("auto", "pil") else None
+        if codec == "pil" and pil is None:
+            raise NotImplementedError("codec='pil' but PIL is not importable")
+        mode_channels = {m: c for t, m in _MODES.items() for c in (_CHANNELS[t],)}
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload)
+                if pil is not None:
+                    img = pil.open(io.BytesIO(raw)).resize(
+                        (width, height), resample=0  # NEAREST
+                    )
+                    buf = io.BytesIO()
+                    img.save(buf, format="PNG")
+                    payloads.append(buf.getvalue())
+                else:
+                    w, h, mode, px = png_decode(raw)
+                    out = rn(px, w, h, width, height, mode_channels[mode])
+                    payloads.append(png_encode(out, width, height, mode))
+                ids.append(int(mid))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "payload": payloads,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
 
 
 def decode_features(

@@ -212,8 +212,15 @@ def contains_all_terms(
     return df.filter(F.size(hit) == len(query_terms))
 
 
-def text_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Per-document quality features (length / ratios) appended as columns."""
+def text_quality(
+    df: DataFrame, text_col: str = "text", fan_out_by: str | None = None
+) -> DataFrame:
+    """Per-document quality features (length / ratios) appended as columns.
+
+    ``fan_out_by``: hash-partition the fan-out shuffle on that column
+    (usually the doc id) so downstream same-key joins/aggs reuse the
+    partitioning instead of re-exchanging (see ``fan_out``).
+    """
     toks = tokens(text_col)
     n_toks = F.size(toks).cast("long")
     text_len = F.length(text_col).cast("long")
@@ -221,7 +228,7 @@ def text_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.filter(toks, lambda t: F.lower(t).isin(list(DEFAULT_STOPWORDS)))
     ).cast("long")
     return (
-        fan_out(df)
+        fan_out(df, by=fan_out_by)
         .withColumn("q_n_chars", text_len)
         .withColumn("q_n_tokens", n_toks)
         .withColumn(

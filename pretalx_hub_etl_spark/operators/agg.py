@@ -345,11 +345,15 @@ def exact_global_quantiles_cont(
     spark = df.sparkSession
     p = num_partitions or spark.sparkContext.defaultParallelism
     ranged = (
-        df.select(F.col(value_col).alias("v"))
-        .filter(F.col(value_col).isNotNull())
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(value_col).alias("v"))
         .repartitionByRange(p, F.col("v"))
         .sortWithinPartitions("v")
     )
+    # persist is LOAD-BEARING, not a cache hint: range-partition
+    # boundaries come from a sample, so a recompute could re-draw them
+    # and invalidate the partition offsets collected below. Do not
+    # unpersist before the picked result is consumed.
     ranged = ranged.persist()  # counted once, picked once
     counts = {
         r.pid: r.cnt

@@ -95,6 +95,7 @@ def pagerank(
     iterations: int = 5,
     scale: int = 1_000_000,
     checkpoint_every: int | None = 2,
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list, in exact
     integer arithmetic: ``(vertex, pr)`` with ``pr`` in ``scale`` units.
@@ -110,8 +111,19 @@ def pagerank(
 
     which is standard damping-0.85 PageRank with deterministic
     truncation (each division loses < 1 unit = 1/scale of rank mass;
-    dangling vertices leak their mass, as in the uncorrected classic
-    formulation — document or add sink redistribution if that matters).
+    by default dangling vertices leak their mass, as in the uncorrected
+    classic formulation). With ``redistribute_dangling=True`` the leak
+    is closed: each iteration adds one scalar aggregate over the rank
+    vector (sum of rank where the contribution column is NULL — exactly
+    the dangling set) and spreads ``dangling_mass // n_vertices`` to
+    every vertex inside the damped term:
+
+        pr'(v) = (15*scale)//100
+               + (85 * (sum(contrib) + dangling_mass // n)) // 100
+
+    Cost: one extra 1-row aggregation job per iteration, broadcast back
+    via a literal-sized cross join — the edge-sized dataflow is
+    unchanged, so the scaling exponent is unaffected.
 
     Shape per iteration: ONE join of the edge list against the rank
     vector on the source key, one map-side-combined sum on the
@@ -163,6 +175,11 @@ def pagerank(
             F.when(F.col("d").isNotNull(), _fdiv(r, F.col("d"))).alias("c"),
         ]
 
+    n_verts = (
+        vd.agg(F.count(F.lit(1)).cast("long").alias("n_verts")).persist()
+        if redistribute_dangling
+        else None
+    )
     ranks = vd.select(*with_contrib(F.lit(scale).cast("long")))
     for it in range(iterations):
         contribs = (
@@ -170,12 +187,27 @@ def pagerank(
             .groupBy("v")
             .agg(F.sum("c").alias("s"))
         )
-        new_r = F.lit(base) + _fdiv(
-            F.lit(85) * F.coalesce(F.col("s"), F.lit(0)), F.lit(100)
-        )
-        ranks = vd.join(
-            contribs.withColumnRenamed("v", "x"), "x", "left"
-        ).select(*with_contrib(new_r))
+        joined = vd.join(contribs.withColumnRenamed("v", "x"), "x", "left")
+        if redistribute_dangling:
+            # dangling set == rows whose contribution column is NULL;
+            # one scalar agg, broadcast back as a 1-row cross join
+            share = (
+                ranks.filter(F.col("c").isNull())
+                .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dm"))
+                .crossJoin(F.broadcast(n_verts))
+                .select(_fdiv(F.col("dm"), F.col("n_verts")).alias("share"))
+            )
+            joined = joined.crossJoin(F.broadcast(share))
+            new_r = F.lit(base) + _fdiv(
+                F.lit(85)
+                * (F.coalesce(F.col("s"), F.lit(0)) + F.col("share")),
+                F.lit(100),
+            )
+        else:
+            new_r = F.lit(base) + _fdiv(
+                F.lit(85) * F.coalesce(F.col("s"), F.lit(0)), F.lit(100)
+            )
+        ranks = joined.select(*with_contrib(new_r))
         if (
             checkpoint_every
             and (it + 1) % checkpoint_every == 0

@@ -100,15 +100,29 @@ def _estimated_width(df: DataFrame) -> int:
     return splits
 
 
-def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+def fan_out(
+    df: DataFrame,
+    min_partitions: int | None = None,
+    by: str | None = None,
+) -> DataFrame:
     """Repartition ``df`` up to cluster parallelism if it is narrow.
 
     ``min_partitions`` defaults to ``sparkContext.defaultParallelism``
     (= total cores). No-op when the input is already estimated at least
     half that wide, so wide scans pass through shuffle-free.
+
+    ``by`` hash-partitions on that column instead of round-robin: same
+    shuffle cost and (for a unique key) the same balance, but the
+    output carries ``hashpartitioning(by)`` that downstream joins/aggs
+    on the same key REUSE — pay the fan-out shuffle once, skip the
+    per-consumer Exchange (round-7, q_pipeline_curation trim).
     """
+    from pyspark.sql import functions as F
+
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
     if _estimated_width(df) * 2 >= target:
         return df
+    if by is not None:
+        return df.repartition(target, F.col(by))
     return df.repartition(target)

@@ -81,16 +81,13 @@ def _verified_prior_rounds() -> dict[str, int]:
 #: artifact shows them green again (the artifact scan then re-ranks them
 #: automatically).
 FORCE_REVERIFY: set[str] = {
-    "q_pack_greedy",      # r06: graduated rows-only -> recursive-CTE oracle
-    "q_corr_matrix",      # r06: l_quantity floor(x+0.5) on both engines
-    "q_feature_zscore",   # r06: E[x^2]-E[x]^2 variance form, both engines
-    "q_graph_pagerank",   # r06: pre-divided contribution loop shape
-    "q_retention_cohort",  # r06: body moved to operators/analytics.py
-    "q_fill_locf",        # r06: body moved to operators/analytics.py
-    "q_fill_interpolate",  # r06: body moved to operators/analytics.py
-    "q_basket_rules",     # r06: body moved to operators/analytics.py
-    "q_dedup_near",       # r06: portable-mode refactor shares this code
-    "q_dedup_simhash",    # r06: nbits parametrization shares this code
+    # (r06 entries cleared: CORRECTNESS_r06.json shows them green, so the
+    # artifact scan ranks them automatically again.)
+    "q_kmeans_exact",         # r07: eager-checkpoint + unpersist refactor
+    "q_sim_topk_ivf_exact",   # r07: same kmeans.py refactor
+    "q_sim_topk_pq_exact",    # r07: per-subspace checkpoint restructure
+    "q_agg_global_quantiles_cont",  # r07: filter-before-project fix
+    "q_stream_dedup_equiv",   # r07: one-split-per-file assertion added
 }
 
 VERIFIED_PRIOR_ROUNDS: dict[str, int] = {
@@ -132,6 +129,7 @@ def load_all() -> dict[str, QuerySpec]:
         relational3,
         scalar_fns,
         sources_sinks,
+        sql_q,
         stream,
         tpch,
         tpch2,

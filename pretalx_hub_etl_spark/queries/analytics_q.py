@@ -153,11 +153,14 @@ def q_spatial_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PR_ITERATIONS = 5
 
 
-def _pagerank_oracle(iterations: int) -> str:
+def _pagerank_oracle(iterations: int, sink: bool = False) -> str:
     # the Spark side's iterative loop, unrolled into chained CTEs: DuckDB
     # has no mutable state, so each iteration is one join/agg CTE pair.
     # `//` is integer division — exact on the all-positive ranks, matching
-    # the engine's pmod-based exact floor division.
+    # the engine's pmod-based exact floor division. With sink=True each
+    # iteration also folds in the uniform dangling-mass share
+    # (dangling_total // n_vertices), replaying the engine's
+    # redistribute_dangling=True formulation exactly.
     ctes = [
         """e AS (
         SELECT a.c_custkey AS u, b.c_custkey AS v
@@ -168,6 +171,7 @@ def _pagerank_oracle(iterations: int) -> str:
     )""",
         "verts AS (SELECT u AS x FROM e UNION SELECT v FROM e)",
         "outd AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY u)",
+        "nv AS (SELECT CAST(count(*) AS BIGINT) AS n FROM verts)",
         "r0 AS (SELECT x, CAST(1000000 AS BIGINT) AS r FROM verts)",
     ]
     for i in range(1, iterations + 1):
@@ -178,13 +182,31 @@ def _pagerank_oracle(iterations: int) -> str:
         GROUP BY e.v
     )"""
         )
-        ctes.append(
-            f"""r{i} AS (
+        if sink:
+            ctes.append(
+                f"""dm{i} AS (
+        SELECT CAST(COALESCE(sum(r.r), 0) AS BIGINT) // (SELECT n FROM nv)
+               AS share
+        FROM r{i - 1} r LEFT JOIN outd o ON o.u = r.x
+        WHERE o.u IS NULL
+    )"""
+            )
+            ctes.append(
+                f"""r{i} AS (
+        SELECT verts.x,
+               CAST(150000 + (85 * (COALESCE(s{i}.s, 0)
+                    + (SELECT share FROM dm{i}))) // 100 AS BIGINT) AS r
+        FROM verts LEFT JOIN s{i} ON s{i}.x = verts.x
+    )"""
+            )
+        else:
+            ctes.append(
+                f"""r{i} AS (
         SELECT verts.x,
                CAST(150000 + COALESCE((85 * s{i}.s) // 100, 0) AS BIGINT) AS r
         FROM verts LEFT JOIN s{i} ON s{i}.x = verts.x
     )"""
-        )
+            )
     return (
         "WITH " + ",\n    ".join(ctes)
         + f"\n    SELECT x AS vertex, r AS pr FROM r{iterations}"
@@ -210,6 +232,33 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("b.c_custkey") - F.col("a.c_custkey") <= 100),
     ).select(F.col("a.c_custkey").alias("u"), F.col("b.c_custkey").alias("v"))
     return pagerank(edges, iterations=_PR_ITERATIONS)
+
+
+@query(
+    "q_graph_pagerank_sink",
+    oracle=_pagerank_oracle(_PR_ITERATIONS, sink=True),
+)
+def q_graph_pagerank_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same graph as q_graph_pagerank but with the dangling-mass leak
+    # closed (GR2 variant, round-6 review Next #4): each nation's
+    # highest-key customers are sinks, and redistribute_dangling=True
+    # spreads their rank mass uniformly each iteration via one scalar
+    # agg + broadcast — the edge-sized dataflow (and so the ~1.0 scaling
+    # exponent) is unchanged. Exact integer ranks, oracle replays the
+    # same recursion as unrolled CTEs with the dm{i} share term.
+    from ..operators.graph import pagerank
+
+    c = Catalog(spark, sf_dir).customer.select("c_custkey", "c_nationkey")
+    a, b = c.alias("a"), c.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey"))
+        & (F.col("b.c_custkey") - F.col("a.c_custkey") <= 100),
+    ).select(F.col("a.c_custkey").alias("u"), F.col("b.c_custkey").alias("v"))
+    return pagerank(
+        edges, iterations=_PR_ITERATIONS, redistribute_dangling=True
+    )
 
 
 # --- AN7: equi-depth histogram (scale-safe global ranks) --------------------

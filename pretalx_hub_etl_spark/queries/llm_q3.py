@@ -1322,6 +1322,27 @@ def q_stream_dedup_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .sortWithinPartitions("ts", "event_id")
         .write.parquet(tmp)
     )
+    # The keep-first ≡ keep-earliest argument needs each file to stay ONE
+    # input split (a split boundary would scatter a key's sorted run
+    # across racing scan tasks and make "first arrival" order-dependent,
+    # round-6 advice). Files at or under openCostInBytes (4 MiB default)
+    # are never split — maxSplitBytes = min(maxPartitionBytes,
+    # max(openCostInBytes, bytesPerCore)) ≥ openCostInBytes — so assert
+    # the fixture stays inside that bound rather than hoping.
+    try:
+        open_cost = int(
+            spark.conf.get("spark.sql.files.openCostInBytes", "4194304")
+        )
+    except ValueError:  # human-form value like "4MB"
+        open_cost = 4 * 1024 * 1024
+    for fname in os.listdir(tmp):
+        if fname.endswith(".parquet"):
+            fsize = os.path.getsize(os.path.join(tmp, fname))
+            assert fsize <= open_cost, (
+                f"q_stream_dedup_equiv fixture file {fname} is {fsize} B > "
+                f"openCostInBytes {open_cost}; it could split and break "
+                "the keep-first ordering argument — shrink the fixture"
+            )
     stream = stream_from_parquet_dir(
         spark, tmp, e.schema, max_files_per_trigger=1
     ).withColumn("ts", F.col("ts").cast("timestamp"))
@@ -1567,5 +1588,98 @@ def q_stream_tumbling_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp("window_start").cast("long").alias("bucket_start"),
         "event_type",
         "n",
+        "total_cents",
+    )
+
+
+# --- ST3b: streaming session-window aggregation under the gate ---------------
+
+
+@query(
+    "q_stream_session_equiv",
+    oracle="""
+    -- lag-gap-cumsum sessionization (30-minute idle gap per user), the
+    -- same recursion as q_stream_session's oracle but with exact cents
+    WITH gapped AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM gapped
+    )
+    SELECT user_id,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_s,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def q_stream_session_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ST3b: the REAL watermarked streaming session-window aggregation
+    # (round-6 review Next #7 — ST3's batch twin q_stream_session is
+    # gated; this gates the streaming session path itself, completing
+    # the real-stream equivalence family: tumbling/dedup/merge/
+    # interval-join/stateful all have one). Output mode COMPLETE makes
+    # the final snapshot the full current aggregate, and session merging
+    # is order-free set union of overlapping [ts, ts+gap) intervals — so
+    # the snapshot equals the batch F.session_window answer provided no
+    # input row is dropped as late. Unlike plain window aggs, the
+    # session operator DOES late-filter inputs against the watermark
+    # even in complete mode (measured: 4-file replay loses a
+    # run-varying ~48% of sessions at "10 minutes"), so the gate pins a
+    # watermark wider than the fixture's whole time span: the stream is
+    # still a real 4-file multi-batch run through the watermarked
+    # operator, but no arrival order can make any row late. Production
+    # uses a real horizon + append mode; that path's late-drop semantics
+    # is deliberately watermark-dependent and not oracle-able.
+    # Sums are exact integer cents.
+    import shutil
+    import uuid
+
+    from ..streaming.structured import (
+        run_to_memory,
+        sessionized_stream,
+        stream_from_parquet_dir,
+    )
+
+    e = Catalog(spark, sf_dir).events.select(
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 100.0 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    tmp = os.path.join(tempfile.mkdtemp(prefix="phe_ssess_"), "in")
+    e.repartition(4).write.parquet(tmp)
+    stream = stream_from_parquet_dir(
+        spark, tmp, e.schema, max_files_per_trigger=1
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = sessionized_stream(
+        stream,
+        ts="ts",
+        gap="30 minutes",
+        watermark="3650 days",
+        keys=["user_id"],
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("total_cents"),
+        ],
+    )
+    name = f"ssess_{uuid.uuid4().hex}"
+    run_to_memory(agg, name, output_mode="complete")
+    shutil.rmtree(os.path.dirname(tmp), ignore_errors=True)
+    return spark.table(name).select(
+        "user_id",
+        F.unix_timestamp("window_start").cast("long").alias("session_start_s"),
+        "n_events",
         "total_cents",
     )

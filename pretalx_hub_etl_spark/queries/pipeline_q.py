@@ -84,8 +84,12 @@ def q_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).documents
 
     # 1. quality gate: minimum length, low stopword share, enough
-    #    distinct tokens (the quantized metrics are the oracle's formulas)
-    scored = text_quality(d)
+    #    distinct tokens (the quantized metrics are the oracle's formulas).
+    #    fan_out_by=doc_id: the fan-out shuffle every stage rides on is
+    #    hash(doc_id), so the dedup semi-join, near-dup anti-join, and
+    #    gram sizes agg all reuse the cached partitioning instead of
+    #    re-exchanging the corpus (round-6 review Next #9).
+    scored = text_quality(d, fan_out_by="doc_id")
     survivors = scored.filter(
         (F.col("q_n_tokens") >= 25)
         & (F.col("q_stopword_ratio") <= 0.10)

@@ -438,3 +438,87 @@ def q_scan_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         (fixed_cents(F.col("o_totalprice")) / 100.0).alias("total_price"),
     )
+
+
+# --- L5 real-codec path: PNG decode / resize (round-6 review Next #3) -------
+
+
+@query(
+    "q_multimodal_decode_png",
+    oracle="""
+    -- closed-form replay of the gradient fixture: pixel(x,y) =
+    -- (3x + 5y + id) mod 256 over an (8+id%5) x (8+id%7) grid
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               8 + doc_id % 5 AS w, 8 + doc_id % 7 AS h
+        FROM documents
+    )
+    SELECT media_id,
+           CAST(max(w) AS BIGINT) AS width,
+           CAST(max(h) AS BIGINT) AS height,
+           'L' AS mode,
+           CAST(count(*) AS BIGINT) AS n_bytes,
+           CAST(sum((3 * x.i + 5 * y.i + media_id) % 256) AS BIGINT)
+               AS pixel_sum
+    FROM m, unnest(range(0, w)) AS x(i), unnest(range(0, h)) AS y(i)
+    GROUP BY media_id
+    """,
+)
+def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL image decode under the oracle: attach_png_media emits actual
+    # PNG bytes (stdlib encoder, cycling None/Sub/Up scanline filters),
+    # decode_image zlib-inflates and unfilters them executor-side in
+    # Arrow batches, and the decoded-pixel aggregate must match the
+    # closed-form gradient — a decoder that shortcuts real unfiltering
+    # cannot hash-match. codec="pure" pins the stdlib decoder so the
+    # declared row is engine-stable; codec="auto" (PIL when importable)
+    # is exercised by tests/test_multimodal_png.py.
+    from ..llm.multimodal import attach_png_media, decode_image
+
+    docs = Catalog(spark, sf_dir).documents.select(
+        F.col("doc_id").alias("media_id")
+    )
+    media = attach_png_media(docs, "media_id")
+    return decode_image(media, codec="pure")
+
+
+@query(
+    "q_multimodal_resize_png",
+    oracle="""
+    -- nearest-neighbor with the pinned source formula
+    -- src = (dst * src_size) // dst_size over the same gradient fixture
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               8 + doc_id % 5 AS w, 8 + doc_id % 7 AS h
+        FROM documents
+    )
+    SELECT media_id,
+           CAST(5 AS BIGINT) AS width,
+           CAST(4 AS BIGINT) AS height,
+           'L' AS mode,
+           CAST(20 AS BIGINT) AS n_bytes,
+           CAST(sum((3 * ((x.i * w) // 5) + 5 * ((y.i * h) // 4)
+                     + media_id) % 256) AS BIGINT) AS pixel_sum
+    FROM m, unnest(range(0, 5)) AS x(i), unnest(range(0, 4)) AS y(i)
+    GROUP BY media_id
+    """,
+)
+def q_multimodal_resize_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL decode -> resize -> re-encode -> decode chain, value-checked:
+    # the resized payload is itself a valid PNG, and re-decoding it must
+    # reproduce the exact source pixels the pinned nearest-neighbor
+    # formula selects from the gradient. Exercises BOTH codec halves
+    # twice (encode at attach + after resize, decode before resize +
+    # at verify) per row.
+    from ..llm.multimodal import (
+        attach_png_media,
+        decode_image,
+        resize_encoded_images,
+    )
+
+    docs = Catalog(spark, sf_dir).documents.select(
+        F.col("doc_id").alias("media_id")
+    )
+    media = attach_png_media(docs, "media_id")
+    resized = resize_encoded_images(media, width=5, height=4, codec="pure")
+    return decode_image(resized, codec="pure")

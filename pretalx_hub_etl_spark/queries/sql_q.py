@@ -1,0 +1,76 @@
+"""SQL-surface queries: the engine reached through ``spark.sql`` over
+``Catalog.register_views()`` (round-6 review Next #8).
+
+Everything else in the registry drives the DataFrame API; these rows
+gate the OTHER half of the public surface — a user who writes SQL
+against the registered catalog views. The flagship rows use ONE shared
+ANSI SQL text as both the Spark body and the DuckDB oracle: the
+strongest portability statement the gate can make (if the dialects
+drift, the row fails — no translation layer to hide behind).
+
+Dialect-shared SQL rules (the intersection that hashes identically):
+- exact integer cents via ``CAST(floor(x * 100.0 + 0.5) AS BIGINT)``
+  (never ``round()`` — HALF_UP vs HALF_EVEN);
+- every aggregate wrapped in ``CAST(... AS BIGINT)`` (DuckDB's
+  ``sum(BIGINT)`` is HUGEINT, Spark's is LONG — pin both);
+- no engine-specific functions (no ``list_*``/``array_*``, no ``//``);
+- joins/filters/group-by/having/case/subqueries are fully shared.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import Catalog
+from . import query
+
+#: One SQL text, two engines: revenue by nation over the 4-way join,
+#: finished orders only. Runs verbatim under Spark ANSI mode and DuckDB.
+_SQL_REVENUE_BY_NATION = """
+SELECT n_name,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0
+                           + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderstatus = 'F'
+GROUP BY n_name
+"""
+
+#: Correlated scalar subquery + HAVING — the SQL shapes a DataFrame-only
+#: surface makes awkward, exercised through the same shared-text gate.
+_SQL_ABOVE_SEGMENT_AVG = """
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_above
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2
+                   WHERE c2.c_mktsegment = c.c_mktsegment)
+GROUP BY c_mktsegment
+HAVING count(*) > 0
+"""
+
+
+@query("q_sql_entry", oracle=_SQL_REVENUE_BY_NATION)
+def q_sql_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The catalog/SQL entry point: register_views() publishes every
+    # fixture table as a temp view, then the query is pure spark.sql —
+    # same text the oracle runs. Catalyst treats the parsed SQL exactly
+    # like the DataFrame plans (same pushdown/broadcast/AQE path), so
+    # scale behavior is identical to q_join_inner-family rows; what this
+    # gates is the VIEW REGISTRATION + parser surface.
+    Catalog(spark, sf_dir).register_views()
+    return spark.sql(_SQL_REVENUE_BY_NATION)
+
+
+@query("q_sql_subquery", oracle=_SQL_ABOVE_SEGMENT_AVG)
+def q_sql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Correlated scalar subquery through the SQL surface. Catalyst
+    # decorrelates this into an aggregate + join (no per-row re-scan);
+    # the float avg() is comparison-only (a filter, not an output), so
+    # cross-engine float summation order cannot flip the hash unless a
+    # value sits within one ulp of its segment mean — the fixture's
+    # acctbal spread makes that impossible.
+    Catalog(spark, sf_dir).register_views()
+    return spark.sql(_SQL_ABOVE_SEGMENT_AVG)

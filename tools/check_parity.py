@@ -9,7 +9,11 @@ DuckDB over the same parquet files, and compares:
   exactly AND with tolerance — exact mismatches are reported even when tiny,
   because the driver's value-hash is presumed exact)
 
-Usage: python tools/check_parity.py [sf_dir] [query ...]
+Usage: python tools/check_parity.py [--json OUT.json] [sf_dir] [query ...]
+
+With --json, a per-query record {status, rows, seconds, problems} plus a
+summary is written to OUT.json (the committed PARITY_r{N}.json artifact —
+the full-registry regression net under the driver's 50-query sample).
 """
 
 from __future__ import annotations
@@ -44,8 +48,14 @@ def canonicalize(rows: list[tuple], float_nd: int = 9) -> list[tuple]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    results: dict[str, dict] = {}
 
     import duckdb
 
@@ -76,6 +86,7 @@ def main() -> int:
         except Exception:
             print(f"FAIL {name}: spark error\n{traceback.format_exc()}")
             failures.append(name)
+            results[name] = {"status": "fail", "problems": ["spark error"]}
             continue
 
         if name not in oracles:
@@ -83,6 +94,11 @@ def main() -> int:
                   f"({time.time()-t0:.1f}s)")
             if not spark_rows:
                 print(f"WARN {name}: 0 rows")
+            results[name] = {
+                "status": "rows_only",
+                "rows": len(spark_rows),
+                "seconds": round(time.time() - t0, 2),
+            }
             continue
 
         try:
@@ -92,6 +108,7 @@ def main() -> int:
         except Exception:
             print(f"FAIL {name}: duckdb error\n{traceback.format_exc()}")
             failures.append(name)
+            results[name] = {"status": "fail", "problems": ["duckdb error"]}
             continue
 
         problems = []
@@ -118,8 +135,30 @@ def main() -> int:
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
             failures.append(name)
+            results[name] = {"status": "fail", "problems": problems}
         else:
             print(f"ok   {name}: {len(spark_rows)} rows match ({time.time()-t0:.1f}s)")
+            results[name] = {
+                "status": "oracle_match",
+                "rows": len(spark_rows),
+                "seconds": round(time.time() - t0, 2),
+            }
+
+    if json_out:
+        import json as _json
+
+        statuses = [r["status"] for r in results.values()]
+        artifact = {
+            "sf_dir": sf_dir,
+            "total": len(results),
+            "oracle_match": statuses.count("oracle_match"),
+            "rows_only": statuses.count("rows_only"),
+            "failures": failures,
+            "queries": results,
+        }
+        with open(json_out, "w") as fh:
+            _json.dump(artifact, fh, indent=1)
+        print(f"wrote {json_out}")
 
     print()
     if failures:

@@ -136,6 +136,12 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_stream_dedup_equiv"]),
         ("ST1b", "streaming tumbling-window agg equivalence (complete mode)",
          ["q_stream_tumbling_equiv"]),
+        ("ST3b", "streaming session-window agg equivalence (complete mode)",
+         ["q_stream_session_equiv"]),
+    ]),
+    ("2.12 Catalog / SQL surface", [
+        ("SQL1", "register_views + spark.sql, one shared ANSI text both engines",
+         ["q_sql_entry", "q_sql_subquery"]),
     ]),
     ("2.10 UDF surface", [
         ("UD1", "Arrow pandas UDF ≡ built-in", ["q_udf_pandas"]),
@@ -158,6 +164,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
         ("L5", "multimodal columns",
          ["q_multimodal_join", "q_multimodal_decode", "q_multimodal_frames",
           "q_multimodal_resize"]),
+        ("L5b", "real-codec PNG decode / resize (stdlib codec, PIL-optional)",
+         ["q_multimodal_decode_png", "q_multimodal_resize_png"]),
         ("L6", "deterministic / stratified / weighted sampling, train-val-test split",
          ["q_sample_stratified", "q_sample_split", "q_sample_weighted"]),
         ("L7", "end-to-end curation pipeline (quality -> dedup -> near-dup"
@@ -217,7 +225,7 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
         ("L29", "heavy hitters (Misra-Gries candidates + exact verify)",
          ["q_heavy_hitters"]),
         ("GR2", "PageRank (fixed-iteration, exact integer arithmetic)",
-         ["q_graph_pagerank"]),
+         ["q_graph_pagerank", "q_graph_pagerank_sink"]),
         ("AN10", "weekly cohort retention matrix",
          ["q_retention_cohort"]),
         ("AN11", "LOCF gap-fill over a generated time spine",
@@ -354,6 +362,26 @@ def main() -> None:
     with open("/root/repo/COVERAGE.md", "w") as f:
         f.write("\n".join(lines))
     print(f"wrote COVERAGE.md: {len(queries)} queries, {n_oracle} oracle")
+
+    # Keep the README headline count in lockstep (round-6 review Next
+    # #10: README said 201 for two commits while the registry was 203).
+    import re
+
+    with open("/root/repo/README.md") as f:
+        readme = f.read()
+    updated = re.sub(
+        r"\(\d+ declared queries, \d+ with\nfull value-hash oracles",
+        f"({len(queries)} declared queries, {n_oracle} with\n"
+        "full value-hash oracles",
+        readme,
+        count=1,
+    )
+    if updated != readme:
+        with open("/root/repo/README.md", "w") as f:
+            f.write(updated)
+        print("README.md count line updated")
+    elif f"({len(queries)} declared queries, {n_oracle} with" not in readme:
+        print("WARNING: README count line pattern not found — update by hand")
 
 
 if __name__ == "__main__":

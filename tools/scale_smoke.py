@@ -109,10 +109,20 @@ def build_sf1(rebuild: bool = False) -> None:
         " FROM {src}, {rng}",
     )
     copy(
+        # every component gets a replica-and-dim-keyed md5-derived offset
+        # in [0, 0.1): cross-replica vectors are genuinely distinct, so
+        # embedding-similarity structure (LSH buckets, near-dup pairs,
+        # centroid geometry) scales like a real 10x corpus instead of 10
+        # near-identical shells (round-6 advice — the old first-component
+        # +i*1e-4 nudge left replicas ~colinear)
         "embeddings",
         "SELECT vec_id + i*10000000 AS vec_id,"
-        " list_prepend(CAST(embedding[1] + i*0.0001 AS FLOAT),"
-        "   embedding[2:]) AS embedding,"
+        " CAST(list_transform(embedding, (x, d) -> CAST(x"
+        "   + (CAST(('0x' || substr(md5("
+        "        CAST(i AS VARCHAR) || ':' || CAST(d AS VARCHAR) || ':'"
+        "        || CAST(vec_id AS VARCHAR)), 1, 6)) AS BIGINT)"
+        "      % 1000000) * 0.0000001 AS FLOAT)) AS FLOAT[])"
+        "   AS embedding,"
         " label FROM {src}, {rng}",
     )
     for t in ("region", "nation", "part", "supplier", "orders", "lineitem",

@@ -136,7 +136,7 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_stream_dedup_equiv"]),
         ("ST1b", "streaming tumbling-window agg equivalence (complete mode)",
          ["q_stream_tumbling_equiv"]),
-        ("ST3b", "streaming session-window agg equivalence (complete mode)",
+        ("ST3b", "streaming session-window agg under the gate (complete mode)",
          ["q_stream_session_equiv"]),
     ]),
     ("2.12 Catalog / SQL surface", [
@@ -225,7 +225,9 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
         ("L29", "heavy hitters (Misra-Gries candidates + exact verify)",
          ["q_heavy_hitters"]),
         ("GR2", "PageRank (fixed-iteration, exact integer arithmetic)",
-         ["q_graph_pagerank", "q_graph_pagerank_sink"]),
+         ["q_graph_pagerank"]),
+        ("GR2b", "PageRank with dangling-mass sink redistribution",
+         ["q_graph_pagerank_sink"]),
         ("AN10", "weekly cohort retention matrix",
          ["q_retention_cohort"]),
         ("AN11", "LOCF gap-fill over a generated time spine",

@@ -253,3 +253,88 @@ def corr_matrix_exact(
                 (cov / (F.sqrt(vx) * F.sqrt(vy))).alias(f"corr_{na}_{nb_}")
             )
     return d.select(*out)
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    bin_width: int,
+    n_bins: int,
+) -> DataFrame:
+    """Population Stability Index between two integer-valued samples
+    (AN16): the standard model/data-drift monitor for a feature column
+    between a reference corpus version and the current one.
+
+    Fixed-width binning on the integer value (``bin = min(v // width,
+    n_bins - 1)``, negatives clamped to bin 0), add-one smoothing so
+    empty bins stay finite, and the per-bin PSI term
+
+        (p - q) * ln(p / q),  p = (ca+1)/(na+n_bins), q = (cb+1)/(nb+n_bins)
+
+    quantized to exact micro-units BEFORE any cross-bin total (the
+    micro-nat pattern of ``llm/text.py:bigram_nll_scores``): the output
+    is per-bin exact BIGINTs — ``(bin, ref_n, cur_n, psi_micro)`` — and
+    a consumer's total PSI is an order-independent integer sum. The ln
+    argument is formed as the pinned double expression
+    ``(ca1 * nb1) / (cb1 * na1)`` (exact BIGINT products < 2^53, one
+    division), identical in any external SQL replay.
+
+    Scale shape: one map-side-combined groupBy per side (n_bins rows
+    out), a 1-row count broadcast per side, and an n_bins-sized
+    full-outer merge — the corpus is scanned once per side, nothing
+    else grows with data.
+    """
+    def side(df: DataFrame, out: str):
+        # clamp then exact floor-division via the pmod trick (the
+        # operators/graph.py _fdiv shape) — never a double cast: DuckDB
+        # CAST(double AS BIGINT) rounds while Spark's truncates, the
+        # classic one-ulp bin-edge trap. Oracle twin: `least(greatest(v,
+        # 0), hi) // width` (DuckDB // is exact BIGINT floor division).
+        v = F.least(
+            F.greatest(F.col(value_col).cast("long"), F.lit(0)),
+            F.lit((n_bins - 1) * bin_width),
+        )
+        b = ((v - F.pmod(v, F.lit(bin_width))) / F.lit(bin_width)).cast(
+            "long"
+        )
+        counts = (
+            df.select(b.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+        total = df.agg(F.count(F.lit(1)).alias(f"{out}_total"))
+        return counts, total
+
+    ca, na = side(ref, "ref_n")
+    cb, nb = side(cur, "cur_n")
+    spine = ref.sparkSession.range(n_bins).select(F.col("id").alias("bin"))
+    merged = (
+        spine.join(ca, "bin", "left")
+        .join(cb, "bin", "left")
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "bin",
+            F.coalesce(F.col("ref_n"), F.lit(0)).alias("ref_n"),
+            F.coalesce(F.col("cur_n"), F.lit(0)).alias("cur_n"),
+            "ref_n_total",
+            "cur_n_total",
+        )
+    )
+    ca1 = F.col("ref_n") + 1
+    cb1 = F.col("cur_n") + 1
+    na1 = F.col("ref_n_total") + F.lit(n_bins)
+    nb1 = F.col("cur_n_total") + F.lit(n_bins)
+    p = ca1.cast("double") / na1.cast("double")
+    q = cb1.cast("double") / nb1.cast("double")
+    ratio = (ca1 * nb1).cast("double") / (cb1 * na1).cast("double")
+    term = (p - q) * F.log(ratio)
+    return merged.select(
+        "bin",
+        "ref_n",
+        "cur_n",
+        F.floor(term * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("psi_micro"),
+    )

@@ -1143,3 +1143,63 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ],
     )
+
+
+# --- AN16: PSI drift between two corpus versions ----------------------------
+
+
+@query(
+    "q_drift_psi",
+    oracle="""
+    WITH src AS (
+        SELECT CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents,
+               l_orderkey % 2 AS side
+        FROM lineitem
+    ), binned AS (
+        SELECT least(greatest(cents, 0), 7500000) // 500000 AS bin, side
+        FROM src
+    ),
+    a AS (SELECT bin, CAST(count(*) AS BIGINT) AS ref_n
+          FROM binned WHERE side = 0 GROUP BY bin),
+    b AS (SELECT bin, CAST(count(*) AS BIGINT) AS cur_n
+          FROM binned WHERE side = 1 GROUP BY bin),
+    na AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM binned WHERE side = 0),
+    nb AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM binned WHERE side = 1),
+    spine AS (SELECT unnest(range(0, 16)) AS bin)
+    SELECT CAST(spine.bin AS BIGINT) AS bin,
+           COALESCE(ref_n, 0) AS ref_n,
+           COALESCE(cur_n, 0) AS cur_n,
+           CAST(floor(
+               (CAST(COALESCE(ref_n, 0) + 1 AS DOUBLE) / (na.nt + 16)
+                - CAST(COALESCE(cur_n, 0) + 1 AS DOUBLE) / (nb.nt + 16))
+               * ln(CAST((COALESCE(ref_n, 0) + 1) * (nb.nt + 16) AS DOUBLE)
+                    / CAST((COALESCE(cur_n, 0) + 1) * (na.nt + 16)
+                           AS DOUBLE))
+               * 1000000.0 + 0.5) AS BIGINT) AS psi_micro
+    FROM spine LEFT JOIN a ON a.bin = spine.bin
+               LEFT JOIN b ON b.bin = spine.bin
+               CROSS JOIN na CROSS JOIN nb
+    """,
+)
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # AN16: Population Stability Index between two corpus "versions"
+    # (even- vs odd-orderkey halves of lineitem — a deterministic stand-
+    # in for last-week-vs-this-week), the standard data-drift monitor a
+    # 100 TB ingest pipeline runs per feature per refresh. Per-bin PSI
+    # terms are micro-unit-quantized exact BIGINTs (the perplexity
+    # pattern), so the row set value-hashes and a consumer's total PSI
+    # is an order-independent integer sum. operators/analytics.psi_drift.
+    from ..functions.core import fixed_cents
+    from ..operators.analytics import psi_drift
+
+    li = Catalog(spark, sf_dir).lineitem.select(
+        fixed_cents(F.col("l_extendedprice")).alias("cents"),
+        F.pmod(F.col("l_orderkey"), F.lit(2)).alias("side"),
+    )
+    return psi_drift(
+        li.filter(F.col("side") == 0),
+        li.filter(F.col("side") == 1),
+        "cents",
+        bin_width=500_000,
+        n_bins=16,
+    )

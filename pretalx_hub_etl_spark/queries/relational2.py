@@ -110,6 +110,53 @@ def q_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- §2.10 UD3: grouped-agg pandas UDAF ≡ built-in aggregate ----------------
+
+
+@query(
+    "q_udaf_grouped",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+               AS BIGINT) AS total_cents,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+)
+def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The UDAF half of the UDF surface: GROUPED_AGG pandas UDFs
+    # (Series -> scalar, Arrow-batched) used directly inside groupBy
+    # .agg. Summing exact integer cents means numpy's pairwise float
+    # summation cannot drift (ints < 2^53 are exact in any order), so
+    # the custom aggregate value-hash-matches the SQL SUM. Spark
+    # refuses to MIX pandas and non-pandas aggregates in one .agg
+    # (INVALID_PANDAS_UDF_PLACEMENT), so the row count is a second
+    # pandas UDAF. Engine guidance unchanged — built-ins stay in
+    # codegen and support partial aggregation; the UDAF forces a full
+    # shuffle of raw rows to the group's partition, the documented cost
+    # of the escape hatch.
+    @F.pandas_udf("long")
+    def sum_cents(c: pd.Series) -> int:
+        return int(c.sum())
+
+    @F.pandas_udf("long")
+    def n_rows(c: pd.Series) -> int:
+        return int(len(c))
+
+    li = Catalog(spark, sf_dir).lineitem.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        sum_cents("cents").alias("total_cents"),
+        n_rows("cents").alias("n"),
+    )
+
+
 # --- pivot / unpivot --------------------------------------------------------
 
 

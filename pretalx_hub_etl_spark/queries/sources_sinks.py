@@ -522,3 +522,38 @@ def q_multimodal_resize_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_png_media(docs, "media_id")
     resized = resize_encoded_images(media, width=5, height=4, codec="pure")
     return decode_image(resized, codec="pure")
+
+
+# --- S9: small-file compaction (OPTIMIZE/rewrite maintenance op) ------------
+
+
+@query(
+    "q_sink_compact",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders
+    """,
+)
+def q_sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S9: fragment orders into 64 small files (the streaming-sink
+    # pathology), compact to footer-sized output files, and return the
+    # compacted table — the oracle is the ORIGINAL table, so the
+    # rewrite is proven lossless. The file-count collapse itself is
+    # asserted here (64 -> computed-from-bytes) and covered by
+    # tests/test_sources_sinks.py.
+    from ..sinks.base import compact_parquet_dir
+
+    o = Catalog(spark, sf_dir).orders.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="phe_compact_")
+    frag = os.path.join(root, "frag")
+    out = os.path.join(root, "out")
+    o.repartition(64).write.parquet(frag)
+    compacted = compact_parquet_dir(
+        spark, frag, out, target_file_bytes=32 * 1024 * 1024
+    )
+    n_in = len([f for f in os.listdir(frag) if f.endswith(".parquet")])
+    n_out = len([f for f in os.listdir(out) if f.endswith(".parquet")])
+    assert n_out < n_in, (n_in, n_out)
+    return compacted

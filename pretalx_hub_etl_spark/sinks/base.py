@@ -125,3 +125,40 @@ def foreach_partition_write(
             close()
 
     df.foreachPartition(handle)
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> DataFrame:
+    """Small-file compaction (S9): rewrite a fragmented parquet directory
+    into ``ceil(total_bytes / target_file_bytes)`` right-sized files.
+
+    The 100 TB maintenance op every streaming/incremental sink needs:
+    per-microbatch and per-task writes accumulate kilobyte files whose
+    open/footer cost comes to dominate scans (a 128 MB scan of 10 000
+    files pays 10 000 opens), and whose row groups are too small for
+    predicate pushdown to skip anything. This is the OPTIMIZE/rewrite
+    shape: size the output from the parquet FOOTER byte totals (no data
+    scan), one round-robin shuffle to exactly that many writers, write,
+    and hand back the compacted table.
+
+    Row-group sizing rides on ``parquet.block.size`` inside each output
+    file; ordering within files is not preserved (parquet table
+    semantics are set-oriented — pair with ``operators/layout.py``
+    z-ordering when scan locality matters).
+    """
+    import math
+    import os
+
+    src = spark.read.parquet(src_path)
+    total = 0
+    for f in src.inputFiles():
+        p = f.removeprefix("file:")
+        if os.path.exists(p):
+            total += os.path.getsize(p)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    src.repartition(n_out).write.mode("overwrite").parquet(dst_path)
+    return spark.read.parquet(dst_path)

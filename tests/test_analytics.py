@@ -483,3 +483,42 @@ def test_corr_matrix_perfect_and_anti(spark):
     assert abs(r.corr_x_y - 1.0) < 1e-12
     assert abs(r.corr_x_z + 1.0) < 1e-12
     assert abs(r.corr_y_z + 1.0) < 1e-12
+
+
+def test_psi_drift_identical_distributions_near_zero(spark):
+    from pretalx_hub_etl_spark.operators.analytics import psi_drift
+
+    a = spark.range(1000).select((F.col("id") % 40).alias("v"))
+    rows = psi_drift(a, a, "v", bin_width=10, n_bins=4).collect()
+    assert len(rows) == 4
+    # identical samples: p == q per bin, every term exactly 0
+    assert all(r.psi_micro == 0 for r in rows)
+    assert sum(r.ref_n for r in rows) == 1000
+    assert all(r.ref_n == r.cur_n for r in rows)
+
+
+def test_psi_drift_matches_hand_formula(spark):
+    import math
+
+    from pretalx_hub_etl_spark.operators.analytics import psi_drift
+
+    # ref: 60 rows in bin0, 40 in bin1; cur: 20 in bin0, 80 in bin1
+    ref = spark.range(100).select(
+        F.when(F.col("id") < 60, F.lit(5)).otherwise(F.lit(15)).alias("v")
+    )
+    cur = spark.range(100).select(
+        F.when(F.col("id") < 20, F.lit(5)).otherwise(F.lit(15)).alias("v")
+    )
+    rows = {r.bin: r for r in psi_drift(ref, cur, "v", 10, 2).collect()}
+    for b, (ca, cb) in {0: (60, 20), 1: (40, 80)}.items():
+        p, q = (ca + 1) / 102, (cb + 1) / 102
+        want = math.floor(
+            (p - q) * math.log(((ca + 1) * 102) / ((cb + 1) * 102)) * 1e6
+            + 0.5
+        )
+        assert rows[b].psi_micro == want, (b, rows[b].psi_micro, want)
+    # clamping: values below 0 and above the top edge land in edge bins
+    lo = spark.range(10).select(F.lit(-5).alias("v"))
+    hi = spark.range(10).select(F.lit(999).alias("v"))
+    out = {r.bin: r for r in psi_drift(lo, hi, "v", 10, 2).collect()}
+    assert out[0].ref_n == 10 and out[1].cur_n == 10

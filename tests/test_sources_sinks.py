@@ -406,3 +406,24 @@ def test_foreach_partition_rate_limit(spark, tmp_path):
     foreach_partition_write(df, factory)
     unthrottled = time.monotonic() - t0
     assert unthrottled < throttled
+
+
+def test_compact_parquet_dir(spark, tmp_path):
+    from pretalx_hub_etl_spark.sinks.base import compact_parquet_dir
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "out")
+    df = spark.range(10_000).select(
+        F.col("id"), (F.col("id") * 3).alias("v")
+    )
+    df.repartition(32).write.parquet(src)
+    import os
+
+    n_in = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert n_in >= 32
+    out = compact_parquet_dir(spark, src, dst, target_file_bytes=1 << 30)
+    n_out = len([f for f in os.listdir(dst) if f.endswith(".parquet")])
+    assert n_out == 1  # total bytes far below one target file
+    # lossless: same multiset of rows
+    assert out.count() == 10_000
+    assert out.exceptAll(df).isEmpty() and df.exceptAll(out).isEmpty()

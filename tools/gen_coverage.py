@@ -27,6 +27,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
         ("S5", "pre-sink validation / dead-letter", ["q_validate_split"]),
         ("S7", "copy-on-write MERGE sink (versioned upsert+delete table)",
          ["q_sink_merge_upsert"]),
+        ("S9", "small-file compaction (OPTIMIZE rewrite, footer-sized output)",
+         ["q_sink_compact"]),
     ]),
     ("2.2 Projections / filters", [
         ("P1", "projection + rename", ["q_project_rename"]),
@@ -147,6 +149,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
         ("UD1", "Arrow pandas UDF ≡ built-in", ["q_udf_pandas"]),
         ("UD2", "Spark 4 Python UDTF (SQL LATERAL table function)",
          ["q_fn_udtf"]),
+        ("UD3", "grouped-agg pandas UDAF ≡ built-in aggregate",
+         ["q_udaf_grouped"]),
     ]),
     ("2.11 LLM-pipeline extensions", [
         ("L1", "exact dedup", ["q_dedup_exact"]),
@@ -264,6 +268,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_sim_topk_pq_exact"]),
         ("L35", "source-mixture interleave (weights -> keep -> global order)",
          ["q_mixture_interleave"]),
+        ("AN16", "PSI drift between corpus versions (micro-unit exact terms)",
+         ["q_drift_psi"]),
         ("AN15", "OHLC bar resampling (irregular series -> fixed bars)",
          ["q_resample_ohlc"]),
         ("L36", "deterministic exact-integer Lloyd k-means",

@@ -88,6 +88,7 @@ FORCE_REVERIFY: set[str] = {
     "q_sim_topk_pq_exact",    # r07: per-subspace checkpoint restructure
     "q_agg_global_quantiles_cont",  # r07: filter-before-project fix
     "q_stream_dedup_equiv",   # r07: one-split-per-file assertion added
+    "q_pipeline_curation",    # r07: fan_out(by=doc_id) stage partitioning
 }
 
 VERIFIED_PRIOR_ROUNDS: dict[str, int] = {

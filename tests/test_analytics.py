@@ -522,3 +522,44 @@ def test_psi_drift_matches_hand_formula(spark):
     hi = spark.range(10).select(F.lit(999).alias("v"))
     out = {r.bin: r for r in psi_drift(lo, hi, "v", 10, 2).collect()}
     assert out[0].ref_n == 10 and out[1].cur_n == 10
+
+
+def test_pagerank_sink_redistribution_conserves_mass(spark):
+    from pretalx_hub_etl_spark.operators.graph import pagerank
+
+    # graph WITH dangling mass: 3 -> nothing, 4 -> nothing
+    edges = [(1, 2), (2, 3), (1, 4), (2, 4)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    scale, iters = 1_000_000, 5
+    got = {
+        r.vertex: r.pr
+        for r in pagerank(
+            df, iterations=iters, redistribute_dangling=True
+        ).collect()
+    }
+
+    # driver-side integer replay of the sink-closure recursion
+    outd = {}
+    for u, v in edges:
+        outd[u] = outd.get(u, 0) + 1
+    verts = sorted({x for e in edges for x in e})
+    n = len(verts)
+    ranks = {x: scale for x in verts}
+    base = (15 * scale) // 100
+    for _ in range(iters):
+        dangling = sum(r for x, r in ranks.items() if x not in outd)
+        share = dangling // n
+        s = {x: 0 for x in verts}
+        for u, v in edges:
+            s[v] += ranks[u] // outd[u]
+        ranks = {x: base + (85 * (s[x] + share)) // 100 for x in verts}
+    assert got == ranks
+
+    # mass conservation: without redistribution the dangling pair leaks
+    # most of its mass; with it, total mass stays near n*scale (each
+    # floor division loses < 1 unit per vertex/edge per iteration)
+    leaky = {
+        r.vertex: r.pr for r in pagerank(df, iterations=iters).collect()
+    }
+    assert sum(got.values()) > sum(leaky.values())
+    assert sum(got.values()) >= int(n * scale * 0.93)

@@ -199,3 +199,42 @@ def range_join_bucketed(
         F.col(left_ts) < F.col(right_ts) + F.make_interval(secs=F.lit(window_seconds))
     )
     return lhs.join(rhs, on, "inner").filter(cond).drop("__bucket")
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    dim_versions: DataFrame,
+    key: str,
+    fact_ts: str,
+    version_ts: str,
+    version_values: Sequence[str],
+    matched_prefix: str = "version_",
+) -> DataFrame:
+    """Point-in-time (SCD2 / FOR SYSTEM_TIME AS OF) join: each fact row
+    picks the dimension version valid AT its timestamp — the version
+    with the latest ``version_ts`` <= ``fact_ts`` (J7).
+
+    Semantically this is the interval join against the SCD2 validity
+    table (``valid_from <= ts < valid_to``); executing it that way costs
+    building the intervals (one window) AND a range join. Because SCD2
+    intervals are by construction non-overlapping and gap-free from the
+    first version onward, "the version whose interval contains ts" IS
+    "the latest version at-or-before ts" — so the engine plans it as
+    the union-sort as-of carry (``asof_join``): ONE shuffle on the key,
+    linear work, no interval table, no range join. An external replay
+    can use the naive interval formulation; results are identical
+    (facts before the first version get NULLs — LEFT semantics).
+
+    ``dim_versions`` must have one row per (key, version_ts) —
+    pre-aggregate if a key can version twice in one tick, or the
+    carried row is arbitrary among the ties (the asof_join contract).
+    """
+    return asof_join(
+        facts,
+        dim_versions,
+        on=key,
+        left_ts=fact_ts,
+        right_ts=version_ts,
+        right_values=list(version_values),
+        matched_prefix=matched_prefix,
+    )

@@ -1203,3 +1203,54 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         bin_width=500_000,
         n_bins=16,
     )
+
+
+# --- AN17: rolling-window distinct users (trailing-7-day WAU) ---------------
+
+
+@query(
+    "q_rolling_distinct",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id
+        FROM events
+    ), mx AS (SELECT max(day) AS mxd FROM pairs)
+    SELECT day + CAST(i AS INTEGER) AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS wau,
+           CAST(count(*) AS BIGINT) AS active_pairs
+    FROM pairs, unnest(range(0, 7)) AS t(i), mx
+    WHERE day + CAST(i AS INTEGER) <= mx.mxd
+    GROUP BY 1
+    """,
+)
+def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # AN17: trailing-7-day distinct active users per day (rolling WAU)
+    # — the sliding-window COUNT DISTINCT that a naive per-day self-join
+    # makes O(days x corpus) and a window-frame count_distinct simply
+    # cannot express (Spark forbids DISTINCT aggregates over frames).
+    # Shape: distinct (day, user) pairs (one corpus shuffle, heavy
+    # map-side combine), then each pair is EXPLODED to the <= 7 window
+    # end-days it participates in (day+0 .. day+6) and re-aggregated —
+    # turning the range join into an equi groupBy whose fan-out is the
+    # window length, independent of corpus size. Identical formulation
+    # on both engines, bounded by the max day broadcast.
+    e = Catalog(spark, sf_dir).events
+    pairs = e.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    mx = pairs.agg(F.max("day").alias("mxd"))
+    return (
+        pairs.select(
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+            "day",
+            "user_id",
+        )
+        .select(F.date_add(F.col("day"), F.col("i")).alias("day"), "user_id")
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("day") <= F.col("mxd"))
+        .groupBy("day")
+        .agg(
+            F.count_distinct("user_id").alias("wau"),
+            F.count(F.lit(1)).alias("active_pairs"),
+        )
+    )

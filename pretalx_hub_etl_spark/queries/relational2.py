@@ -329,3 +329,64 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(p, "user_id", "left")
         .select("user_id", "view_ts", "click_ts", "purchase_ts")
     )
+
+
+# --- J7: point-in-time (SCD2 / AS OF system time) join ----------------------
+
+
+@query(
+    "q_join_pit",
+    oracle="""
+    WITH versions AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS vts, max(value) AS value
+        FROM events WHERE event_type = 'view'
+        GROUP BY user_id, ts
+    ), iv AS (
+        SELECT user_id, vts, value,
+               lead(vts) OVER (PARTITION BY user_id ORDER BY vts) AS vend
+        FROM versions
+    ), clicks AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS cts
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT c.event_id, c.user_id,
+           CAST(floor(epoch(c.cts)) AS BIGINT) AS ts_s,
+           CAST(floor(epoch(iv.vts)) AS BIGINT) AS version_ts_s,
+           iv.value AS version_value
+    FROM clicks c LEFT JOIN iv
+      ON c.user_id = iv.user_id AND iv.vts <= c.cts
+         AND (iv.vend IS NULL OR c.cts < iv.vend)
+    """,
+)
+def q_join_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J7: each click joined to the profile version (view events, one
+    # row per (user, ts)) valid AT the click's timestamp — the SCD2
+    # point-in-time / FOR SYSTEM_TIME AS OF join. The ORACLE runs the
+    # naive formulation (build validity intervals with lead(), range
+    # join on containment); the ENGINE exploits that SCD2 intervals
+    # tile time — "containing interval" == "latest version at-or-
+    # before" — and plans the union-sort as-of carry instead: one
+    # shuffle on user_id, zero range joins
+    # (operators/joins.point_in_time_join).
+    from ..operators.joins import point_in_time_join
+
+    e = Catalog(spark, sf_dir).events
+    versions = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    pit = point_in_time_join(
+        clicks, versions, key="user_id", fact_ts="ts", version_ts="ts",
+        version_values=["value"],
+    )
+    return pit.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").cast("long").alias("ts_s"),
+        F.unix_timestamp("version_ts").cast("long").alias("version_ts_s"),
+        F.col("version_value"),
+    )

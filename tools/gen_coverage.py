@@ -44,6 +44,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
         ("J4", "semi-join", ["q_join_semi"]),
         ("J5", "inner equi-join chain", ["q_join_inner"]),
         ("J6", "range / as-of joins", ["q_join_range", "q_join_asof"]),
+        ("J7", "point-in-time SCD2 join (FOR SYSTEM_TIME AS OF)",
+         ["q_join_pit"]),
         ("J8", "skew-salted join (≡ plain join, hot keys spread)",
          ["q_join_salted"]),
     ]),
@@ -270,6 +272,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_mixture_interleave"]),
         ("AN16", "PSI drift between corpus versions (micro-unit exact terms)",
          ["q_drift_psi"]),
+        ("AN17", "rolling-window distinct users (trailing-7-day WAU)",
+         ["q_rolling_distinct"]),
         ("AN15", "OHLC bar resampling (irregular series -> fixed bars)",
          ["q_resample_ohlc"]),
         ("L36", "deterministic exact-integer Lloyd k-means",

@@ -495,3 +495,90 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         left, right, "c_name", "c_name_ref", "c_custkey", "c_custkey",
         max_edits=1,
     )
+
+
+# --- L23c: entity resolution end-to-end (block -> verify -> cluster -> golden)
+
+
+@query(
+    "q_pipeline_entity_resolution",
+    oracle="""
+    WITH RECURSIVE base AS (
+        SELECT c_custkey AS id, c_name AS s, c_acctbal FROM customer
+        WHERE c_custkey % 100 IN (11, 44, 77)
+    ), posts AS (
+        SELECT id, s,
+               unnest(list_append(
+                   list_transform(range(1, length(s) + 1),
+                       i -> substr(s, 1, i - 1) || substr(s, i + 1, 1000)),
+                   s)) AS var
+        FROM base
+    ), pairs AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM posts a JOIN posts b ON a.var = b.var AND a.id < b.id
+        WHERE levenshtein(a.s, b.s) <= 1
+    ), edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION ALL
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ), reach(id, r) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id
+    ), clusters AS (
+        SELECT id, min(r) AS cluster FROM reach GROUP BY id
+    ), withc AS (
+        SELECT base.id, COALESCE(clusters.cluster, base.id) AS cluster,
+               base.s, base.c_acctbal
+        FROM base LEFT JOIN clusters ON clusters.id = base.id
+    )
+    SELECT CAST(cluster AS BIGINT) AS cluster,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(min(id) AS BIGINT) AS canonical_id,
+           min(CASE WHEN id = cluster THEN s END) AS canonical_name,
+           max(c_acctbal) AS best_acctbal
+    FROM withc GROUP BY cluster
+    """,
+)
+def q_pipeline_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # L23c: the record-linkage stages COMPOSED end-to-end — symmetric-
+    # delete blocking + exact levenshtein verify (L23) -> min-label
+    # connected components over the match graph (L2d) -> one golden
+    # record per entity cluster (L2e shape): canonical id/name from the
+    # cluster minimum, consolidated attribute via max. Two different
+    # fixpoint algorithms (label propagation vs the oracle's recursive
+    # transitive closure) must agree on the CLUSTERING, and then both
+    # sides aggregate it identically — the hash gates the composition,
+    # not just each stage. Scale shape: variant equi-join (never cross),
+    # pair-graph-sized iteration, one corpus-keyed golden-record agg.
+    from ..llm.dedup import duplicate_clusters
+    from ..llm.fuzzy import fuzzy_self_pairs
+
+    # residue classes 11/44/77 mod 100: within a class, serial names
+    # chain via single-digit edits (lev 1); across classes every pair
+    # differs in >= 2 digits — so the match graph has three REAL
+    # entity clusters instead of one degenerate all-connected blob
+    c = Catalog(spark, sf_dir).customer.filter(
+        F.pmod(F.col("c_custkey"), F.lit(100)).isin(11, 44, 77)
+    )
+    pairs = fuzzy_self_pairs(c, col="c_name", id_col="c_custkey")
+    clusters = duplicate_clusters(
+        c.select(F.col("c_custkey")), pairs, id_col="c_custkey"
+    )
+    withc = c.select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("s"),
+        "c_acctbal",
+    ).join(clusters.withColumnRenamed("id", "cid"),
+           F.col("id") == F.col("cid"), "left")
+    withc = withc.select(
+        "id", "s", "c_acctbal",
+        F.coalesce(F.col("cluster"), F.col("id")).alias("cluster"),
+    )
+    return withc.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("id").alias("canonical_id"),
+        F.min(F.when(F.col("id") == F.col("cluster"), F.col("s"))).alias(
+            "canonical_name"
+        ),
+        F.max("c_acctbal").alias("best_acctbal"),
+    )

@@ -390,3 +390,51 @@ def q_join_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp("version_ts").cast("long").alias("version_ts_s"),
         F.col("version_value"),
     )
+
+
+# --- A7b: dynamic pivot (values discovered, not declared) -------------------
+
+
+@query(
+    "q_pivot_dynamic",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END)
+                AS BIGINT) AS "1-URGENT",
+           CAST(count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END)
+                AS BIGINT) AS "2-HIGH",
+           CAST(count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END)
+                AS BIGINT) AS "3-MEDIUM",
+           CAST(count(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END)
+                AS BIGINT) AS "4-NOT SPECIFIED",
+           CAST(count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END)
+                AS BIGINT) AS "5-LOW"
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A7b: pivot WITHOUT a declared value list — Spark runs a first pass
+    # to collect the distinct pivot values (capped by
+    # spark.sql.pivotMaxValues, default 10k) and then compiles the same
+    # conditional-aggregate plan the explicit form gets. The oracle
+    # spells the discovered columns out, so the row also pins that
+    # discovery found exactly the expected domain. The two-pass cost is
+    # the documented price of dynamism — q_pivot is the one-pass
+    # declared-values form.
+    o = Catalog(spark, sf_dir).orders
+    out = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority")
+        .agg(F.count(F.lit(1)))
+    )
+    # dynamic pivot leaves count columns nullable-null for absent cells;
+    # normalize to the 0 the oracle's count(CASE...) produces
+    return out.select(
+        "o_orderstatus",
+        *[
+            F.coalesce(F.col(f"`{c}`"), F.lit(0)).cast("long").alias(c)
+            for c in out.columns
+            if c != "o_orderstatus"
+        ],
+    )

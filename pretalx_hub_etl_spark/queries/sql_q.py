@@ -74,3 +74,38 @@ def q_sql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     # acctbal spread makes that impossible.
     Catalog(spark, sf_dir).register_views()
     return spark.sql(_SQL_ABOVE_SEGMENT_AVG)
+
+
+#: Recursive CTE (Spark 4 WITH RECURSIVE == DuckDB's): walk the implicit
+#: decimal-tree hierarchy parent(c) = floor(c / 10) from every customer
+#: to the root and aggregate the path — a transitive-closure shape no
+#: single join chain of fixed length can express. Division is spelled
+#: CAST(floor(x / 10) AS BIGINT): exact for these magnitudes and safe on
+#: both engines (a bare double CAST would round in DuckDB and truncate
+#: in Spark — floor first makes them agree).
+_SQL_RECURSIVE_HIERARCHY = """
+WITH RECURSIVE chain(start_key, cur, depth) AS (
+    SELECT c_custkey, c_custkey, CAST(0 AS BIGINT)
+    FROM customer
+    UNION ALL
+    SELECT start_key, CAST(floor(cur / 10) AS BIGINT), depth + 1
+    FROM chain WHERE cur > 0
+)
+SELECT start_key AS c_custkey,
+       CAST(max(depth) AS BIGINT) AS depth_to_root,
+       CAST(sum(cur) AS BIGINT) AS path_key_sum
+FROM chain
+GROUP BY start_key
+"""
+
+
+@query("q_sql_recursive", oracle=_SQL_RECURSIVE_HIERARCHY)
+def q_sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SQL2: WITH RECURSIVE through the SQL surface — Spark 4's recursive
+    # CTE executes as an iterative union-all loop (each step one join/
+    # projection over the frontier, AQE-planned), the same shape the
+    # engine's hand-rolled iterations (PageRank, label propagation) use;
+    # DuckDB runs the identical text. Frontier shrinks as keys hit 0, so
+    # work is O(rows x depth), depth = O(log10(maxkey)).
+    Catalog(spark, sf_dir).register_views()
+    return spark.sql(_SQL_RECURSIVE_HIERARCHY)

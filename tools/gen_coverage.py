@@ -60,6 +60,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
         ("A6", "conditional aggregation", ["q_agg_conditional"]),
         ("A7", "percentiles / pivot / unpivot",
          ["q_agg_percentile", "q_pivot", "q_unpivot"]),
+        ("A7b", "dynamic pivot (values discovered, two-pass)",
+         ["q_pivot_dynamic"]),
         ("A8", "array-valued aggregates (sorted collect)", ["q_agg_collect"]),
         ("A9", "skew-resistant two-level aggregation (≡ plain groupBy)",
          ["q_agg_salted"]),
@@ -146,6 +148,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
     ("2.12 Catalog / SQL surface", [
         ("SQL1", "register_views + spark.sql, one shared ANSI text both engines",
          ["q_sql_entry", "q_sql_subquery"]),
+        ("SQL2", "recursive CTE (WITH RECURSIVE hierarchy walk)",
+         ["q_sql_recursive"]),
     ]),
     ("2.10 UDF surface", [
         ("UD1", "Arrow pandas UDF ≡ built-in", ["q_udf_pandas"]),
@@ -198,6 +202,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_incremental_distinct"]),
         ("L23", "fuzzy key matching (deletion-neighborhood blocking, lev<=2)",
          ["q_fuzzy_pairs", "q_fuzzy_pairs_d2", "q_fuzzy_join"]),
+        ("L23c", "entity-resolution pipeline (block -> verify -> cluster -> golden)",
+         ["q_pipeline_entity_resolution"]),
         ("L24", "BM25 relevance ranking", ["q_text_bm25"]),
         ("L25", "conjunctive keyword search (scan-fused)", ["q_text_search"]),
         ("L26", "materialized IVF ANN index (partition-pruned probe)",

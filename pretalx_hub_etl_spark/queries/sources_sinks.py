@@ -557,3 +557,54 @@ def q_sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_out = len([f for f in os.listdir(out) if f.endswith(".parquet")])
     assert n_out < n_in, (n_in, n_out)
     return compacted
+
+
+# --- S10: malformed-record handling (PERMISSIVE scan + dead-letter column) --
+
+
+@query(
+    "q_scan_badrecords",
+    oracle="""
+    SELECT s_suppkey,
+           CASE WHEN s_suppkey % 10 = 0 THEN NULL ELSE s_acctbal END
+               AS s_acctbal,
+           (s_suppkey % 10 = 0) AS is_corrupt
+    FROM supplier
+    """,
+)
+def q_scan_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S10: schema-enforced CSV scan under PERMISSIVE mode — the
+    # malformed-input contract every production ingest needs pinned:
+    # bad rows are not dropped (DROPMALFORMED) and do not kill the job
+    # (FAILFAST); the typed column comes back NULL and the raw line is
+    # captured in columnNameOfCorruptRecord — the scan-level dead-letter
+    # channel (S5's post-scan validation handles semantic badness; this
+    # handles rows that don't even parse). The fixture corrupts every
+    # suppkey%10==0 acctbal with a non-numeric token, so which rows are
+    # corrupt — and that good rows' values survive untouched — is fully
+    # oracle-checked against the clean parquet original.
+    supp = Catalog(spark, sf_dir).supplier.select("s_suppkey", "s_acctbal")
+    root = tempfile.mkdtemp(prefix="phe_badcsv_")
+    path = os.path.join(root, "supp.csv")
+    rows = supp.collect()  # supplier is dim-sized; fixture gen only
+    with open(path, "w") as fh:
+        fh.write("s_suppkey,s_acctbal\n")
+        for r in sorted(rows, key=lambda r: r.s_suppkey):
+            if r.s_suppkey % 10 == 0:
+                fh.write(f"{r.s_suppkey},NOT_A_NUMBER\n")
+            else:
+                fh.write(f"{r.s_suppkey},{r.s_acctbal!r}\n")
+    read = (
+        spark.read.schema(
+            "s_suppkey long, s_acctbal double, _corrupt string"
+        )
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    )
+    return read.select(
+        "s_suppkey",
+        "s_acctbal",
+        F.col("_corrupt").isNotNull().alias("is_corrupt"),
+    )

@@ -227,3 +227,29 @@ def test_embedding_near_dup_bands_ids_only(spark):
 
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "embedding" not in m.group(1)
+
+
+def test_join_strategy_hints_change_the_physical_plan(spark):
+    # the hint surface is part of the public API at 100 TB (forcing a
+    # shuffle-hash join when the build side fits executor memory but
+    # exceeds the broadcast threshold is a standard tuning move); pin
+    # that each hint actually flips the strategy
+    from pyspark.sql import functions as F
+
+    big = spark.range(100_000).select(F.col("id").alias("k"), "id")
+    dim = spark.range(1_000).select(
+        F.col("id").alias("k"), F.lit("x").alias("v")
+    )
+
+    def strategy(df) -> str:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for s in ("BroadcastHashJoin", "ShuffledHashJoin", "SortMergeJoin"):
+            if s in plan:
+                return s
+        return "?"
+
+    assert strategy(big.join(F.broadcast(dim), "k")) == "BroadcastHashJoin"
+    assert strategy(big.join(dim.hint("shuffle_hash"), "k")) == (
+        "ShuffledHashJoin"
+    )
+    assert strategy(big.join(dim.hint("merge"), "k")) == "SortMergeJoin"

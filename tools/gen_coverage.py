@@ -29,6 +29,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_sink_merge_upsert"]),
         ("S9", "small-file compaction (OPTIMIZE rewrite, footer-sized output)",
          ["q_sink_compact"]),
+        ("S10", "malformed-record handling (PERMISSIVE + corrupt-record column)",
+         ["q_scan_badrecords"]),
     ]),
     ("2.2 Projections / filters", [
         ("P1", "projection + rename", ["q_project_rename"]),

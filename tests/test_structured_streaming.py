@@ -210,3 +210,65 @@ def test_stream_static_enrich_broadcast(spark, tmp_path):
     n_inner = spark.sql("SELECT count(*) AS n FROM t_enrich_inner").collect()[0].n
     assert n_inner == spark.read.schema(SCHEMA).parquet(d).join(dim, "user_id").count()
     assert n_inner < len(got)
+
+
+def test_streaming_checkpoint_restart_no_reprocessing(spark, tmp_path):
+    # the exactly-once contract a production stream leans on: stop a
+    # checkpointed file-source query, add new input, restart with the
+    # SAME checkpoint dir — the restarted query must resume from the
+    # recorded offsets (only the new file becomes a microbatch) and the
+    # append sink must end up with each input row exactly once.
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    spark.range(0, 100).selectExpr("id", "id * 2 AS v").coalesce(
+        1
+    ).write.mode("overwrite").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema("id long, v long").parquet(src)
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()
+    first = spark.read.parquet(out)
+    assert first.count() == 100
+
+    # second input file lands, restart from the same checkpoint
+    spark.range(100, 150).selectExpr("id", "id * 2 AS v").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    run_once()
+    final = spark.read.parquet(out)
+    assert final.count() == 150  # no batch-1 reprocessing, no loss
+    assert final.select("id").distinct().count() == 150
+
+
+def test_observe_metrics_batch(spark):
+    # df.observe(): named aggregate metrics collected as a side effect
+    # of the normal action — the zero-extra-pass way to get row counts /
+    # quality tallies out of a production pipeline run (vs a second
+    # .agg() job that re-reads the source)
+    from pyspark.sql import Observation
+
+    obs = Observation("quality")
+    df = (
+        spark.range(1000)
+        .selectExpr("id", "id % 7 AS bucket")
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.expr("CAST(bucket = 0 AS LONG)")).alias("bucket0"),
+        )
+    )
+    assert df.count() == 1000
+    got = obs.get
+    assert got["n_rows"] == 1000
+    assert got["bucket0"] == len([i for i in range(1000) if i % 7 == 0])

@@ -325,6 +325,10 @@ TESTED_ONLY = [
      "streaming/structured.py (tests/test_structured_streaming.py)"),
     ("conditional publish (S6)", "flag-gated second sink pass over valid rows",
      "sinks/base.py (tests/test_sources_sinks.py)"),
+    ("streaming restart", "checkpointed file-source stop/restart: offsets resume, exactly-once sink",
+     "tests/test_structured_streaming.py::test_streaming_checkpoint_restart_no_reprocessing"),
+    ("observed metrics", "df.observe() named aggregates collected as an action side-effect",
+     "tests/test_structured_streaming.py::test_observe_metrics_batch"),
     ("e2e pipeline", "pretalx schedule -> reconcile plan",
      "plans/pretalx.py (tests/test_pretalx_plan.py)"),
 ]

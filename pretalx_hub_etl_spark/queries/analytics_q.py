@@ -1254,3 +1254,131 @@ def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("active_pairs"),
         )
     )
+
+
+# --- AN18: closed-form OLS per group (exact integer moments) ----------------
+
+
+@query(
+    "q_regression_ols",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS HUGEINT) AS sx,
+               CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+                   AS HUGEINT) AS sy,
+               CAST(sum(CAST(l_quantity AS BIGINT)
+                        * CAST(l_quantity AS BIGINT)) AS HUGEINT) AS sxx,
+               CAST(sum(CAST(l_quantity AS BIGINT)
+                        * CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+                   AS HUGEINT) AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                      / CAST(n * sxx - sx * sx AS DOUBLE)
+                      * 1000000.0 + 0.5) AS BIGINT) AS slope_micro,
+           CAST(floor((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+                       - CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE)
+                         * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+                      * 1000000.0 + 0.5) AS BIGINT) AS intercept_micro
+    FROM m
+    """,
+)
+def q_regression_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # AN18: per-group closed-form least squares (price-cents vs
+    # quantity) from the five exact integer moments — the one-pass,
+    # shuffle-of-6-rows regression a 100 TB feature pipeline runs
+    # instead of MLlib's iterative solver. Moments accumulate in
+    # DECIMAL(38,0) / HUGEINT (n·Sxy overflows int64 beyond ~sf0.1);
+    # the only inexact steps are the two pinned double divisions and
+    # one multiply-subtract, spelled identically in the oracle, then
+    # micro-quantized. (The A10 moments query gates stddev/corr; this
+    # gates the fitted-line form feature normalization wants.)
+    li = Catalog(spark, sf_dir).lineitem.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
+    )
+    dec = "decimal(38,0)"
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast(dec).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast(dec).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    slope = num / den
+    mean_y = F.col("sy").cast("double") / F.col("n").cast("double")
+    mean_x = F.col("sx").cast("double") / F.col("n").cast("double")
+    intercept = mean_y - slope * mean_x
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        F.floor(slope * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("slope_micro"),
+        F.floor(intercept * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("intercept_micro"),
+    )
+
+
+# --- A5b: re-aggregatable distinct sketches (HLL build -> merge -> read) ----
+
+
+@query("q_agg_hll_union")  # rows-only BY DESIGN: HLL register layout is
+# engine-internal (Apache DataSketches); no external SQL replays the
+# estimate bit-for-bit. The EXACT twin ships in the same rows (exact
+# distinct via the same rollup) and the 5% envelope is asserted inline —
+# A14's bitmap query is the fully-oracled exact re-aggregatable form.
+def q_agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A5b: the sketch lifecycle a 100 TB rollup pipeline runs — build
+    # per-nation HLL sketches of the customer id set ONCE (one corpus
+    # pass), then MERGE sketches to the region grain without touching
+    # the corpus again (hll_union_agg over 25 nation rows). That
+    # re-aggregatability is what approx_count_distinct (A5) lacks: its
+    # partial state dies inside one query, while sketch columns persist
+    # in rollup tables and merge across days/partitions/grains.
+    cat = Catalog(spark, sf_dir)
+    c = cat.customer.select("c_custkey", "c_nationkey")
+    n = cat.nation.select("n_nationkey", "n_regionkey")
+    per_nation = (
+        c.groupBy("c_nationkey")
+        .agg(
+            F.hll_sketch_agg("c_custkey").alias("sk"),
+            F.count_distinct("c_custkey").alias("exact_n"),
+        )
+        .join(
+            F.broadcast(n),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    per_region = per_nation.groupBy("n_regionkey").agg(
+        F.hll_union_agg("sk").alias("sk"),
+        F.sum("exact_n").alias("exact_distinct"),  # custkeys are disjoint
+    )
+    out = per_region.select(
+        F.col("n_regionkey").cast("long").alias("region"),
+        F.hll_sketch_estimate("sk").alias("approx_distinct"),
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+    )
+    rows = out.collect()
+    assert rows, "empty hll rollup"
+    for r in rows:
+        rel = abs(r.approx_distinct - r.exact_distinct) / max(
+            r.exact_distinct, 1
+        )
+        assert rel < 0.05, (r.region, r.approx_distinct, r.exact_distinct)
+    return out

@@ -59,6 +59,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_agg_rollup", "q_agg_cube", "q_agg_grouping_sets"]),
         ("A5", "approx count-distinct / approx percentile sketch",
          ["q_agg_approx_distinct", "q_agg_approx_percentile"]),
+        ("A5b", "re-aggregatable HLL sketches (build -> union -> estimate)",
+         ["q_agg_hll_union"]),
         ("A6", "conditional aggregation", ["q_agg_conditional"]),
         ("A7", "percentiles / pivot / unpivot",
          ["q_agg_percentile", "q_pivot", "q_unpivot"]),
@@ -282,6 +284,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_drift_psi"]),
         ("AN17", "rolling-window distinct users (trailing-7-day WAU)",
          ["q_rolling_distinct"]),
+        ("AN18", "closed-form per-group OLS (exact decimal moments)",
+         ["q_regression_ols"]),
         ("AN15", "OHLC bar resampling (irregular series -> fixed bars)",
          ["q_resample_ohlc"]),
         ("L36", "deterministic exact-integer Lloyd k-means",

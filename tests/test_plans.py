@@ -126,6 +126,8 @@ NESTED_LOOP_ALLOWED = {
     "q_sim_topk_ivf_exact",  # IVF lists/probes: corpus × broadcast(K=8)
     "q_sim_topk_pq_exact",   # PQ codes: corpus × broadcast(K=16 per subspace)
     "q_graph_pagerank_sink",  # dangling-mass share as a 1-row broadcast/iter
+    "q_drift_psi",           # per-side totals as 1-row broadcasts
+    "q_rolling_distinct",    # max(day) bound as a 1-row broadcast
 }
 
 

@@ -357,3 +357,106 @@ def multimodal_record(docs: DataFrame, embs: DataFrame) -> DataFrame:
             F.col("label"),
         ).alias("record"),
     )
+
+
+def attach_wav_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Derive a REAL encoded WAV (PCM16 mono, 8 kHz) payload from an id.
+
+    Deterministic fixture: ``n = 50 + id % 20`` samples with
+    ``sample(i) = ((id * 31 + i * 7) mod 2003) - 1001`` — closed-form
+    integers, so decoded-sample aggregates (sums, per-frame sums) have
+    exact SQL oracles.
+    """
+
+    @F.pandas_udf("binary")
+    def gen(ids: pd.Series) -> pd.Series:
+        from .wav_codec import wav_encode
+
+        out = []
+        for i in ids:
+            i = int(i)
+            n = 50 + i % 20
+            samples = [((i * 31 + k * 7) % 2003) - 1001 for k in range(n)]
+            out.append(wav_encode(samples, sample_rate=8000))
+        return pd.Series(out)
+
+    return (
+        df.withColumn("payload", gen(F.col(id_col)))
+        .withColumn("kind", F.lit("audio"))
+        .withColumn("mime", F.lit("audio/wav"))
+    )
+
+
+def decode_audio(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """REAL WAV decode -> ``(id, sample_rate, n_channels, n_samples,
+    sample_sum, abs_sum)`` via ``mapInPandas`` (stdlib PCM16 codec)."""
+    out_schema = (
+        f"{id_col} long, sample_rate long, n_channels long, "
+        "n_samples long, sample_sum long, abs_sum long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .wav_codec import wav_decode
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                id_col, "sample_rate", "n_channels", "n_samples",
+                "sample_sum", "abs_sum",
+            )}
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                rate, ch, samples = wav_decode(bytes(payload))
+                rows[id_col].append(int(mid))
+                rows["sample_rate"].append(rate)
+                rows["n_channels"].append(ch)
+                rows["n_samples"].append(len(samples))
+                rows["sample_sum"].append(sum(samples))
+                rows["abs_sum"].append(sum(abs(s) for s in samples))
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="int64") for k, v in rows.items()}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
+def frame_audio(
+    df: DataFrame,
+    frame_len: int,
+    hop: int,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """REAL decode -> fixed-length analysis frames (1:N row expansion):
+    ``(id, frame_idx, start_sample, frame_sum)`` — frame i covers
+    ``[i*hop, i*hop + frame_len)``, full frames only (STFT framing)."""
+    out_schema = (
+        f"{id_col} long, frame_idx long, start_sample long, frame_sum long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .wav_codec import frame_samples, wav_decode
+
+        for pdf in batches:
+            ids, idxs, starts, sums = [], [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                _rate, _ch, samples = wav_decode(bytes(payload))
+                for j, fr in enumerate(
+                    frame_samples(samples, frame_len, hop)
+                ):
+                    ids.append(int(mid))
+                    idxs.append(j)
+                    starts.append(j * hop)
+                    sums.append(sum(fr))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "start_sample": pd.Series(starts, dtype="int64"),
+                    "frame_sum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)

@@ -608,3 +608,76 @@ def q_scan_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_acctbal",
         F.col("_corrupt").isNotNull().alias("is_corrupt"),
     )
+
+
+# --- L5c real-codec audio: WAV/PCM16 decode + framing -----------------------
+
+
+@query(
+    "q_multimodal_decode_wav",
+    oracle="""
+    -- closed-form replay of the PCM fixture: sample(i) =
+    -- ((id*31 + i*7) mod 2003) - 1001 over n = 50 + id%20 samples
+    WITH m AS (
+        SELECT doc_id AS media_id, 50 + doc_id % 20 AS n FROM documents
+    )
+    SELECT media_id,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(1 AS BIGINT) AS n_channels,
+           CAST(max(n) AS BIGINT) AS n_samples,
+           CAST(sum((media_id * 31 + i.i * 7) % 2003 - 1001) AS BIGINT)
+               AS sample_sum,
+           CAST(sum(abs((media_id * 31 + i.i * 7) % 2003 - 1001)) AS BIGINT)
+               AS abs_sum
+    FROM m, unnest(range(0, n)) AS i(i)
+    GROUP BY media_id
+    """,
+)
+def q_multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # L5c: REAL audio decode under the oracle — attach_wav_media emits
+    # actual RIFF/WAVE PCM16 bytes (stdlib encoder), decode_audio parses
+    # header chunks and unpacks little-endian int16 samples executor-
+    # side in Arrow batches, and the decoded-sample aggregates must
+    # match the closed-form waveform. The audio sibling of
+    # q_multimodal_decode_png.
+    from ..llm.multimodal import attach_wav_media, decode_audio
+
+    docs = Catalog(spark, sf_dir).documents.select(
+        F.col("doc_id").alias("media_id")
+    )
+    return decode_audio(attach_wav_media(docs, "media_id"))
+
+
+@query(
+    "q_multimodal_frames_wav",
+    oracle="""
+    -- full 16-sample frames hopping by 8: frame j covers [8j, 8j+16)
+    WITH m AS (
+        SELECT doc_id AS media_id, 50 + doc_id % 20 AS n FROM documents
+    ), frames AS (
+        SELECT media_id, n, CAST(j.j AS BIGINT) AS frame_idx
+        FROM m, unnest(range(0, (n - 16) // 8 + 1)) AS j(j)
+        WHERE n >= 16
+    )
+    SELECT media_id, frame_idx,
+           CAST(frame_idx * 8 AS BIGINT) AS start_sample,
+           CAST(sum((media_id * 31 + (frame_idx * 8 + k.k) * 7) % 2003
+                    - 1001) AS BIGINT) AS frame_sum
+    FROM frames, unnest(range(0, 16)) AS k(k)
+    GROUP BY media_id, frame_idx
+    """,
+)
+def q_multimodal_frames_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # L5c: decode -> fixed-length analysis frames (the STFT framing
+    # convention: full 16-sample windows, hop 8) as a 1:N row-expanding
+    # mapInPandas — the real-codec upgrade of q_multimodal_frames'
+    # metadata-driven expansion, with per-frame sample sums value-
+    # checked against the closed-form waveform.
+    from ..llm.multimodal import attach_wav_media, frame_audio
+
+    docs = Catalog(spark, sf_dir).documents.select(
+        F.col("doc_id").alias("media_id")
+    )
+    return frame_audio(
+        attach_wav_media(docs, "media_id"), frame_len=16, hop=8
+    )

@@ -108,3 +108,71 @@ def test_resize_encoded_images_spark(spark):
         dw, dh, dmode, dpx = png_decode(bytes(rows[i].payload))
         assert (dw, dh, dmode) == (5, 4, "L")
         assert dpx == expect
+
+
+# --- WAV / PCM16 codec (round-7 L5c) ----------------------------------------
+
+
+def test_wav_roundtrip():
+    from pretalx_hub_etl_spark.llm.wav_codec import (
+        is_wav,
+        wav_decode,
+        wav_encode,
+    )
+
+    samples = [((i * 37) % 4001) - 2000 for i in range(123)]
+    data = wav_encode(samples, sample_rate=16000)
+    assert is_wav(data)
+    rate, ch, got = wav_decode(data)
+    assert (rate, ch) == (16000, 1)
+    assert got == samples
+    # stereo interleave survives
+    st = wav_encode(samples[:10] * 2, sample_rate=8000, n_channels=2)
+    assert wav_decode(st)[1] == 2
+
+
+def test_wav_decode_rejects_garbage():
+    import pytest as _pytest
+
+    from pretalx_hub_etl_spark.llm.wav_codec import wav_decode
+
+    with _pytest.raises(ValueError):
+        wav_decode(b"mediabytes:42")
+
+
+def test_wav_matches_stdlib_wave_module():
+    # cross-check our encoder against Python's own `wave` reader and
+    # vice versa — two independent RIFF implementations agreeing
+    import io
+    import wave
+
+    from pretalx_hub_etl_spark.llm.wav_codec import wav_decode, wav_encode
+
+    samples = [((i * 91) % 1003) - 501 for i in range(64)]
+    data = wav_encode(samples, sample_rate=8000)
+    with wave.open(io.BytesIO(data)) as w:
+        assert w.getframerate() == 8000
+        assert w.getnchannels() == 1
+        assert w.getsampwidth() == 2
+        import struct
+
+        got = list(struct.unpack("<64h", w.readframes(64)))
+    assert got == samples
+    # and our decoder reads a wave-module-written file
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(22050)
+        w.writeframes(struct.pack("<64h", *samples))
+    rate, ch, got2 = wav_decode(buf.getvalue())
+    assert (rate, ch, got2) == (22050, 1, samples)
+
+
+def test_frame_samples_convention():
+    from pretalx_hub_etl_spark.llm.wav_codec import frame_samples
+
+    s = list(range(20))
+    frames = frame_samples(s, frame_len=8, hop=4)
+    assert [f[0] for f in frames] == [0, 4, 8, 12]  # last partial dropped
+    assert all(len(f) == 8 for f in frames)

@@ -180,6 +180,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
           "q_multimodal_resize"]),
         ("L5b", "real-codec PNG decode / resize (stdlib codec, PIL-optional)",
          ["q_multimodal_decode_png", "q_multimodal_resize_png"]),
+        ("L5c", "real-codec WAV/PCM16 audio decode / framing (stdlib codec)",
+         ["q_multimodal_decode_wav", "q_multimodal_frames_wav"]),
         ("L6", "deterministic / stratified / weighted sampling, train-val-test split",
          ["q_sample_stratified", "q_sample_split", "q_sample_weighted"]),
         ("L7", "end-to-end curation pipeline (quality -> dedup -> near-dup"

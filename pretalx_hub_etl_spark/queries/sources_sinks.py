@@ -681,3 +681,55 @@ def q_multimodal_frames_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_audio(
         attach_wav_media(docs, "media_id"), frame_len=16, hop=8
     )
+
+
+# --- S11: version retention vacuum on the MERGE table -----------------------
+
+
+@query(
+    "q_sink_vacuum",
+    oracle="""
+    WITH fixed AS (
+        SELECT c_custkey, c_name,
+               CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) / 100.0 AS bal
+        FROM customer
+    )
+    SELECT c_custkey, c_name,
+           CASE WHEN c_custkey % 7 = 0 THEN bal + 100.0 ELSE bal END
+               AS c_acctbal
+    FROM fixed
+    WHERE c_custkey % 13 <> 0
+    """,
+)
+def q_sink_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S11: the retention half of table maintenance (S9 compacts files,
+    # this expires history): init -> merge updates -> merge deletes
+    # leaves three versions on disk; vacuum(keep_last=1) must remove
+    # exactly the two superseded ones — asserted by version number —
+    # while the surviving current version still reads back the correct
+    # merged state, which the oracle recomputes relationally. Time
+    # travel (L20 CDC diffs) and vacuum are the two sides of the
+    # version-directory trade: history for storage.
+    from ..sinks.merge import MergeSink, _versions
+
+    c = Catalog(spark, sf_dir).customer.select(
+        "c_custkey",
+        "c_name",
+        (fixed_cents(F.col("c_acctbal")) / 100.0).alias("c_acctbal"),
+    )
+    sink = MergeSink(
+        os.path.join(tempfile.mkdtemp(prefix="phe_vac_"), "customers"),
+        key="c_custkey",
+    )
+    sink.init(c)
+    updates = c.filter(F.col("c_custkey") % 7 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 100.0
+    )
+    sink.merge(spark, updates)
+    deletes = c.filter(F.col("c_custkey") % 13 == 0).select("c_custkey")
+    sink.merge(spark, c.limit(0), deletes=deletes)
+    assert _versions(sink.path) == [1, 2, 3]
+    removed = sink.vacuum(keep_last=1)
+    assert removed == [1, 2], removed
+    assert _versions(sink.path) == [3]
+    return sink.read(spark)

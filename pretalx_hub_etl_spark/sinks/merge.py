@@ -169,6 +169,31 @@ class MergeSink:
             raise FileExistsError(f"merge table already initialized: {self.path}")
         self._write(df, _next_version(self.path))
 
+    def vacuum(self, keep_last: int = 1) -> list[int]:
+        """Retention maintenance (S11): physically delete all but the
+        newest ``keep_last`` COMMITTED versions; returns the versions
+        removed.
+
+        The version directories are what make time travel
+        (``version_diff`` / CDC reads) possible, and what makes storage
+        grow by one table-copy per merge — vacuum is the explicit,
+        destructive trade of history for space, exactly like a table
+        format's VACUUM/expire_snapshots. The current version is never
+        eligible (``keep_last`` is clamped to >= 1); readers of the
+        current version are unaffected, and a concurrent writer's claim
+        is numbered above everything vacuumed, so the OCC commit
+        protocol is undisturbed. Un-committed stage/torn directories
+        are left alone (they belong to in-flight or dead writers).
+        """
+        import shutil
+
+        keep_last = max(1, keep_last)
+        committed = _versions(self.path)
+        victims = committed[:-keep_last] if len(committed) > keep_last else []
+        for v in victims:
+            shutil.rmtree(os.path.join(self.path, f"v{v}"))
+        return victims
+
     def merge(
         self,
         spark: SparkSession,

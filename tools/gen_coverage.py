@@ -31,6 +31,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_sink_compact"]),
         ("S10", "malformed-record handling (PERMISSIVE + corrupt-record column)",
          ["q_scan_badrecords"]),
+        ("S11", "version retention vacuum on the MERGE table",
+         ["q_sink_vacuum"]),
     ]),
     ("2.2 Projections / filters", [
         ("P1", "projection + rename", ["q_project_rename"]),

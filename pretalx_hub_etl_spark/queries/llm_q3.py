@@ -1683,3 +1683,87 @@ def q_stream_session_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_cents",
     )
+
+
+# --- L37: preference-pair construction (RLHF data prep) ---------------------
+
+
+@query(
+    "q_preference_pairs",
+    oracle="""
+    WITH scored AS (
+        SELECT source, doc_id,
+               CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                    t -> t <> '')) AS BIGINT) AS score
+        FROM documents
+    ), ranked AS (
+        SELECT source, doc_id, score,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY score DESC, doc_id ASC
+               ) AS rtop,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY score ASC, doc_id DESC
+               ) AS rbot
+        FROM scored
+    )
+    SELECT b.source,
+           b.doc_id AS chosen_id, w.doc_id AS rejected_id,
+           b.score AS chosen_score, w.score AS rejected_score,
+           b.score - w.score AS margin
+    FROM ranked b JOIN ranked w
+      ON b.source = w.source AND b.rtop = 1 AND w.rbot <= 5
+     AND w.doc_id <> b.doc_id
+    """,
+)
+def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # L37: (chosen, rejected) preference-pair construction — the DPO/
+    # reward-model data-prep shape: per group (source here; prompt id in
+    # production), pair the top-scoring document against each of the
+    # bottom-5, carrying the score margin. Deterministic total order
+    # ((score desc, id asc) / (score asc, id desc)) pins tie handling on
+    # both engines; the quality signal is the exact token count (swap in
+    # any scorer — perplexity L31, Gopher gates L13 — same shape). Scale:
+    # two windows sharing ONE source-keyed shuffle, then a per-group
+    # <=5-row self-join on the group key — output bounded at 5 pairs per
+    # group, never quadratic in group size.
+    d = Catalog(spark, sf_dir).documents
+    from ..llm.text import tokens
+
+    scored = d.select(
+        "source", "doc_id", F.size(tokens("text")).cast("long").alias("score")
+    )
+    wtop = Window.partitionBy("source").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    wbot = Window.partitionBy("source").orderBy(
+        F.col("score").asc(), F.col("doc_id").desc()
+    )
+    ranked = scored.select(
+        "source",
+        "doc_id",
+        "score",
+        F.row_number().over(wtop).alias("rtop"),
+        F.row_number().over(wbot).alias("rbot"),
+    )
+    best = ranked.filter(F.col("rtop") == 1).select(
+        "source",
+        F.col("doc_id").alias("chosen_id"),
+        F.col("score").alias("chosen_score"),
+    )
+    worst = ranked.filter(F.col("rbot") <= 5).select(
+        "source",
+        F.col("doc_id").alias("rejected_id"),
+        F.col("score").alias("rejected_score"),
+    )
+    return (
+        best.join(worst, "source")
+        .filter(F.col("rejected_id") != F.col("chosen_id"))
+        .select(
+            "source",
+            "chosen_id",
+            "rejected_id",
+            "chosen_score",
+            "rejected_score",
+            (F.col("chosen_score") - F.col("rejected_score")).alias("margin"),
+        )
+    )

@@ -294,6 +294,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_resample_ohlc"]),
         ("L36", "deterministic exact-integer Lloyd k-means",
          ["q_kmeans_exact"]),
+        ("L37", "preference-pair construction (DPO/reward-model data prep)",
+         ["q_preference_pairs"]),
         ("L4b", "text normalization (C4-style pre-dedup canonicalizer)",
          ["q_text_normalize"]),
         ("DQ1", "data-quality expectation suite (one-pass deequ shape)",

@@ -1382,3 +1382,50 @@ def q_agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         assert rel < 0.05, (r.region, r.approx_distinct, r.exact_distinct)
     return out
+
+
+# --- A14b: built-in bitmap exact re-aggregatable distinct -------------------
+
+
+@query(
+    "q_distinct_bitmap_builtin",
+    oracle="""
+    SELECT CAST(n_regionkey AS BIGINT) AS region,
+           CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_distinct
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1
+    """,
+)
+def q_distinct_bitmap_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A14b: the JVM-native twin of A14's hand-built bitmap pages —
+    # Spark 4's bitmap_* family gives EXACT re-aggregatable distinct
+    # counting entirely inside codegen: per (nation, 32k-value bucket)
+    # build a bitmap of positions (bitmap_construct_agg), OR-merge the
+    # bitmaps up to the region grain with NO re-scan (bitmap_or_agg),
+    # popcount (bitmap_count) and sum across buckets. Same lifecycle as
+    # the HLL rollup (A5b) but exact — and unlike count(DISTINCT), the
+    # intermediate (grain, bucket, bitmap) table is a persistable
+    # rollup artifact that merges across days/partitions. The oracle is
+    # the plain exact distinct — bitmaps must not lose or double-count
+    # a single key.
+    cat = Catalog(spark, sf_dir)
+    c = cat.customer.select("c_custkey", "c_nationkey")
+    n = cat.nation.select("n_nationkey", "n_regionkey")
+    per_nation_bucket = c.groupBy(
+        "c_nationkey",
+        F.bitmap_bucket_number(F.col("c_custkey")).alias("bucket"),
+    ).agg(
+        F.bitmap_construct_agg(
+            F.bitmap_bit_position(F.col("c_custkey"))
+        ).alias("bm")
+    )
+    per_region_bucket = (
+        per_nation_bucket.join(
+            F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy("n_regionkey", "bucket")
+        .agg(F.bitmap_or_agg(F.col("bm")).alias("bm"))
+    )
+    return per_region_bucket.groupBy(
+        F.col("n_regionkey").cast("long").alias("region")
+    ).agg(F.sum(F.bitmap_count(F.col("bm"))).cast("long").alias("n_distinct"))

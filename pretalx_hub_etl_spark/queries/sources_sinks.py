@@ -733,3 +733,61 @@ def q_sink_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert removed == [1, 2], removed
     assert _versions(sink.path) == [3]
     return sink.read(spark)
+
+
+# --- S12: dynamic partition overwrite (touched partitions only) -------------
+
+
+@query(
+    "q_sink_dynamic_overwrite",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderstatus = 'F'
+                THEN CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) + 777
+                ELSE CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+           END AS total_cents
+    FROM orders
+    """,
+)
+def q_sink_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S12: partitionOverwriteMode=dynamic — mode("overwrite") replaces
+    # ONLY the partitions present in the incoming frame instead of
+    # truncating the whole table (the static default that silently
+    # deletes every other partition — the classic warehouse footgun).
+    # The restated 'F' partition lands; 'O'/'P' survive byte-identical
+    # (asserted on the physical files). The oracle recomputes the
+    # expected post-overwrite state from the source table.
+    o = Catalog(spark, sf_dir).orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        fixed_cents(F.col("o_totalprice")).alias("total_cents"),
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="phe_dynow_"), "orders")
+    o.write.partitionBy("o_orderstatus").parquet(path)
+
+    def partition_files(status: str) -> dict[str, int]:
+        d = os.path.join(path, f"o_orderstatus={status}")
+        return {
+            f: os.path.getsize(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    before_o = partition_files("O")
+    restated = o.filter(F.col("o_orderstatus") == "F").withColumn(
+        "total_cents", F.col("total_cents") + 777
+    )
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        restated.write.mode("overwrite").partitionBy(
+            "o_orderstatus"
+        ).parquet(path)
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", old_mode
+        )
+    assert partition_files("O") == before_o, "untouched partition rewritten"
+    return spark.read.parquet(path).select(
+        "o_orderkey", "o_orderstatus", "total_cents"
+    )

@@ -33,6 +33,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_scan_badrecords"]),
         ("S11", "version retention vacuum on the MERGE table",
          ["q_sink_vacuum"]),
+        ("S12", "dynamic partition overwrite (touched partitions only)",
+         ["q_sink_dynamic_overwrite"]),
     ]),
     ("2.2 Projections / filters", [
         ("P1", "projection + rename", ["q_project_rename"]),
@@ -236,6 +238,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_chi_square"]),
         ("AN9", "interval-union coverage (plane-sweep window)",
          ["q_interval_coverage"]),
+        ("A14b", "built-in bitmap exact distinct rollup (bitmap_* family)",
+         ["q_distinct_bitmap_builtin"]),
         ("A14", "bitmap-exact re-aggregatable distinct counting",
          ["q_distinct_bitmap"]),
         ("S8", "schema-evolution merged read (mergeSchema single scan)",

@@ -109,3 +109,35 @@ def q_sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     # work is O(rows x depth), depth = O(log10(maxkey)).
     Catalog(spark, sf_dir).register_views()
     return spark.sql(_SQL_RECURSIVE_HIERARCHY)
+
+
+@query(
+    "q_sql_registered_udf",
+    oracle="""
+    SELECT o_orderkey,
+           concat(lower(regexp_replace(o_orderpriority, '[^a-zA-Z0-9]+',
+                                       '-', 'g')),
+                  '-', CAST(o_orderkey % 97 AS VARCHAR)) AS slug
+    FROM orders
+    """,
+)
+def q_sql_registered_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SQL3: a Python scalar UDF registered into the SQL catalog
+    # (spark.udf.register) and invoked from a plain spark.sql text —
+    # the surface a SQL-first consumer extends the engine through. The
+    # UDF body is pure string/int ops with one deterministic SQL twin
+    # in the oracle, so the escape hatch itself is value-hash-gated.
+    # Cost note unchanged from UD1: registered Python UDFs run
+    # row-at-a-time outside codegen — register pandas_udfs for hot
+    # paths; this row gates the REGISTRATION surface, not a perf claim.
+    import re as _re
+
+    def slugify(s: str, k: int) -> str:
+        return _re.sub(r"[^a-zA-Z0-9]+", "-", s).lower() + "-" + str(k % 97)
+
+    spark.udf.register("phe_slugify", slugify, "string")
+    Catalog(spark, sf_dir).register_views()
+    return spark.sql(
+        "SELECT o_orderkey, phe_slugify(o_orderpriority, o_orderkey) AS slug"
+        " FROM orders"
+    )

@@ -158,6 +158,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_sql_entry", "q_sql_subquery"]),
         ("SQL2", "recursive CTE (WITH RECURSIVE hierarchy walk)",
          ["q_sql_recursive"]),
+        ("SQL3", "Python UDF registered into the SQL catalog",
+         ["q_sql_registered_udf"]),
     ]),
     ("2.10 UDF surface", [
         ("UD1", "Arrow pandas UDF ≡ built-in", ["q_udf_pandas"]),

@@ -791,3 +791,27 @@ def q_sink_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path).select(
         "o_orderkey", "o_orderstatus", "total_cents"
     )
+
+
+# --- S13: provenance via hidden file-metadata columns -----------------------
+
+
+@query(
+    "q_scan_provenance",
+    oracle="""
+    SELECT o_orderkey, 'orders.parquet' AS src_file
+    FROM orders
+    """,
+)
+def q_scan_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S13: ingest provenance from the scan itself — Spark's hidden
+    # _metadata struct (file_path/file_name/file_size/...) is the
+    # zero-cost way to stamp every row with its source file at 100 TB
+    # (vs a per-file loop or input_file_name()'s whole-plan quirks);
+    # the column materializes from the scan's split info, no extra IO.
+    # Deterministic here because each fixture table is one file; the
+    # oracle pins the basename.
+    o = spark.read.parquet(f"{sf_dir.rstrip('/')}/orders.parquet")
+    return o.select(
+        "o_orderkey", F.col("_metadata.file_name").alias("src_file")
+    )

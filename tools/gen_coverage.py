@@ -35,6 +35,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_sink_vacuum"]),
         ("S12", "dynamic partition overwrite (touched partitions only)",
          ["q_sink_dynamic_overwrite"]),
+        ("S13", "row provenance via hidden _metadata file columns",
+         ["q_scan_provenance"]),
     ]),
     ("2.2 Projections / filters", [
         ("P1", "projection + rename", ["q_project_rename"]),

@@ -39,6 +39,29 @@ def _pil_image():
     except ImportError:
         return None
 
+
+def _ship_codecs_by_value() -> tuple:
+    """Make the stdlib codec modules worker-shippable and return their
+    functions for closure capture.
+
+    The round-5 rule (ARCHITECTURE "Worker-shippable code must pickle by
+    value"): Spark's Python workers do not inherit the driver's sys.path
+    additions, so a closure doing ``from .png_codec import ...`` — or
+    referencing a function cloudpickle serializes by module+qualname —
+    raises ModuleNotFoundError when the engine is used as a
+    path-injected library from another cwd. ``register_pickle_by_value``
+    flips both codec MODULES to by-value serialization (they are pure
+    stdlib, a few KB), so the captured functions travel inside the task
+    closure. Idempotent; call at operator-construction time.
+    """
+    from pyspark import cloudpickle
+
+    from . import png_codec, wav_codec
+
+    cloudpickle.register_pickle_by_value(png_codec)
+    cloudpickle.register_pickle_by_value(wav_codec)
+    return png_codec, wav_codec
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -74,10 +97,11 @@ def attach_png_media(df: DataFrame, id_col: str) -> DataFrame:
     reproduce them.
     """
 
+    png_codec, _ = _ship_codecs_by_value()
+    png_encode = png_codec.png_encode
+
     @F.pandas_udf("binary")
     def gen(ids: pd.Series) -> pd.Series:
-        from .png_codec import png_encode
-
         out = []
         for i in ids:
             i = int(i)
@@ -117,14 +141,19 @@ def decode_image(
         "n_bytes long, pixel_sum long"
     )
 
+    png_codec, _ = _ship_codecs_by_value()
+    png_decode = png_codec.png_decode
+    # PIL handle resolved DRIVER-side and captured: a module object
+    # pickles by reference (workers import their own installed PIL);
+    # calling _pil_image() inside the closure would drag the
+    # unimportable multimodal module into the pickle instead
+    pil = _pil_image() if codec in ("auto", "pil") else None
+    if codec == "pil" and pil is None:
+        raise NotImplementedError("codec='pil' but PIL is not importable")
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
 
-        from .png_codec import png_decode
-
-        pil = _pil_image() if codec in ("auto", "pil") else None
-        if codec == "pil" and pil is None:
-            raise NotImplementedError("codec='pil' but PIL is not importable")
         for pdf in batches:
             ids, ws, hs, modes, nbs, sums = [], [], [], [], [], []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
@@ -174,16 +203,19 @@ def resize_encoded_images(
     """
     out_schema = f"{id_col} long, payload binary, width int, height int"
 
+    png_codec, _ = _ship_codecs_by_value()
+    png_decode, png_encode = png_codec.png_decode, png_codec.png_encode
+    rn = png_codec.resize_nearest
+    mode_channels = {
+        m: png_codec._CHANNELS[t] for t, m in png_codec._MODES.items()
+    }
+    pil = _pil_image() if codec in ("auto", "pil") else None
+    if codec == "pil" and pil is None:
+        raise NotImplementedError("codec='pil' but PIL is not importable")
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
 
-        from .png_codec import _CHANNELS, _MODES, png_decode, png_encode
-        from .png_codec import resize_nearest as rn
-
-        pil = _pil_image() if codec in ("auto", "pil") else None
-        if codec == "pil" and pil is None:
-            raise NotImplementedError("codec='pil' but PIL is not importable")
-        mode_channels = {m: c for t, m in _MODES.items() for c in (_CHANNELS[t],)}
         for pdf in batches:
             ids, payloads = [], []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
@@ -368,10 +400,11 @@ def attach_wav_media(df: DataFrame, id_col: str) -> DataFrame:
     exact SQL oracles.
     """
 
+    _, wav_codec = _ship_codecs_by_value()
+    wav_encode = wav_codec.wav_encode
+
     @F.pandas_udf("binary")
     def gen(ids: pd.Series) -> pd.Series:
-        from .wav_codec import wav_encode
-
         out = []
         for i in ids:
             i = int(i)
@@ -399,9 +432,10 @@ def decode_audio(
         "n_samples long, sample_sum long, abs_sum long"
     )
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from .wav_codec import wav_decode
+    _, wav_codec = _ship_codecs_by_value()
+    wav_decode = wav_codec.wav_decode
 
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {k: [] for k in (
                 id_col, "sample_rate", "n_channels", "n_samples",
@@ -436,9 +470,10 @@ def frame_audio(
         f"{id_col} long, frame_idx long, start_sample long, frame_sum long"
     )
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from .wav_codec import frame_samples, wav_decode
+    _, wav_codec = _ship_codecs_by_value()
+    frame_samples, wav_decode = wav_codec.frame_samples, wav_codec.wav_decode
 
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, starts, sums = [], [], [], []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):

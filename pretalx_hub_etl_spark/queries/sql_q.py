@@ -141,3 +141,36 @@ def q_sql_registered_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT o_orderkey, phe_slugify(o_orderpriority, o_orderkey) AS slug"
         " FROM orders"
     )
+
+
+@query(
+    "q_sql_pipe",
+    oracle="""
+    SELECT n_name,
+           CAST(count(*) AS BIGINT) AS n_custs,
+           CAST(sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS bal_cents
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > 0
+    GROUP BY n_name
+    HAVING count(*) > 5
+    """,
+)
+def q_sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SQL4: Spark 4's SQL pipe syntax (|>) — the linear FROM-first form
+    # (GoogleSQL pipes / PRQL lineage) that reads like the DataFrame
+    # chain it compiles to; same Catalyst plan as the classic text the
+    # oracle runs. Gates that the parser surface accepts the pipe
+    # dialect end-to-end over registered views.
+    Catalog(spark, sf_dir).register_views()
+    return spark.sql("""
+        FROM customer
+        |> WHERE c_acctbal > 0
+        |> JOIN nation ON c_nationkey = n_nationkey
+        |> AGGREGATE CAST(count(*) AS BIGINT) AS n_custs,
+                     CAST(sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT))
+                          AS BIGINT) AS bal_cents
+           GROUP BY n_name
+        |> WHERE n_custs > 5
+        |> SELECT n_name, n_custs, bal_cents
+    """)

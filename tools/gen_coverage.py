@@ -162,6 +162,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_sql_recursive"]),
         ("SQL3", "Python UDF registered into the SQL catalog",
          ["q_sql_registered_udf"]),
+        ("SQL4", "SQL pipe syntax (|> FROM-first dialect)",
+         ["q_sql_pipe"]),
     ]),
     ("2.10 UDF surface", [
         ("UD1", "Arrow pandas UDF ≡ built-in", ["q_udf_pandas"]),

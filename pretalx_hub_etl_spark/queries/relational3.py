@@ -670,3 +670,31 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("b.c_custkey") - F.col("a.c_custkey") <= 100),
     ).select(F.col("a.c_custkey").alias("u"), F.col("b.c_custkey").alias("v"))
     return triangle_enumerate(edges)
+
+
+# --- A8b: ordered string aggregation (listagg / string_agg) -----------------
+
+
+@query(
+    "q_agg_listagg",
+    oracle="""
+    SELECT c_nationkey,
+           string_agg(c_name, ',' ORDER BY c_name) AS names
+    FROM customer
+    WHERE c_custkey % 50 = 0
+    GROUP BY c_nationkey
+    """,
+)
+def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A8b: LISTAGG/string_agg WITH deterministic WITHIN-GROUP order —
+    # the report-facing string rollup. Spark spells it
+    # concat_ws(array_sort(collect_list(...))): collect_list alone is
+    # partition-order-nondeterministic (the A8 lesson), array_sort
+    # restores a total order, making the concatenation hash-stable on
+    # any partitioning — same contract as the oracle's ORDER BY clause.
+    c = Catalog(spark, sf_dir).customer.filter(F.col("c_custkey") % 50 == 0)
+    return c.groupBy("c_nationkey").agg(
+        F.concat_ws(",", F.array_sort(F.collect_list("c_name"))).alias(
+            "names"
+        )
+    )

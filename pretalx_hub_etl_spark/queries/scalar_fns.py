@@ -409,3 +409,49 @@ def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(v, "$.tags[1]", "string").alias("cname"),
         F.try_variant_get(v, "$.missing.path", "long").alias("absent"),
     )
+
+
+# --- F16: URL parsing (web-corpus domain extraction) ------------------------
+
+
+@query(
+    "q_fn_url",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id,
+               'https://host' || CAST(doc_id % 7 AS VARCHAR)
+               || '.example.org/path/' || CAST(doc_id AS VARCHAR)
+               || '?q=' || CAST(doc_id % 3 AS VARCHAR) AS url
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '\\?q=([0-9]+)', 1) AS q_param
+    FROM u
+    """,
+)
+def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F16: parse_url — the scalar the web-corpus curation family leans
+    # on (host extraction feeds L17 per-domain caps and the mixture
+    # weights; query-param stripping feeds URL canonicalization before
+    # L1 dedup). Spark's parse_url(HOST/PATH/QUERY) against a regexp
+    # replay in the oracle, over deterministically synthesized URLs.
+    d = Catalog(spark, sf_dir).documents
+    url = F.concat(
+        F.lit("https://host"),
+        F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+        F.lit(".example.org/path/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?q="),
+        F.pmod(F.col("doc_id"), F.lit(3)).cast("string"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("q")).alias(
+            "q_param"
+        ),
+    )

@@ -73,6 +73,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
         ("A7b", "dynamic pivot (values discovered, two-pass)",
          ["q_pivot_dynamic"]),
         ("A8", "array-valued aggregates (sorted collect)", ["q_agg_collect"]),
+        ("A8b", "ordered string aggregation (listagg / string_agg)",
+         ["q_agg_listagg"]),
         ("A9", "skew-resistant two-level aggregation (≡ plain groupBy)",
          ["q_agg_salted"]),
         ("A10", "exact-integer statistical moments (stddev/corr)",
@@ -133,6 +135,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
         ("F14", "bitwise ops (and/or/xor/shift/popcount)", ["q_fn_bitwise"]),
         ("F15", "date arithmetic (last_day/trunc/interval/iso weekday)",
          ["q_fn_date_arith"]),
+        ("F16", "URL parsing (parse_url HOST/PATH/QUERY)",
+         ["q_fn_url"]),
     ]),
     ("2.9 Streaming-shaped", [
         ("ST1", "tumbling window", ["q_stream_tumbling"]),

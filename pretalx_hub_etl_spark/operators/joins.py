@@ -212,7 +212,7 @@ def point_in_time_join(
 ) -> DataFrame:
     """Point-in-time (SCD2 / FOR SYSTEM_TIME AS OF) join: each fact row
     picks the dimension version valid AT its timestamp — the version
-    with the latest ``version_ts`` <= ``fact_ts`` (J7).
+    with the latest ``version_ts`` <= ``fact_ts`` (J9).
 
     Semantically this is the interval join against the SCD2 validity
     table (``valid_from <= ts < valid_to``); executing it that way costs

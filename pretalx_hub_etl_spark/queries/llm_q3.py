@@ -1127,6 +1127,61 @@ def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("key", "n", "total")
 
 
+@query(
+    "q_stream_stateful_totals_tws",
+    oracle="""
+    SELECT user_id AS key,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               / 1.0 AS total
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_stream_stateful_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ST9b: the SAME per-key running-totals contract as
+    # q_stream_stateful_totals, executed on transformWithStateInPandas —
+    # Spark 4's typed-state successor API (named ValueState handles in
+    # the RocksDB store, one column family per state variable). The
+    # protobuf runtime the TWS protocol needs is discovered and injected
+    # at runtime (streaming/protobuf_compat.enable_tws): driver sys.path
+    # + worker PYTHONPATH/env ride on sc.environment, so this works under
+    # an externally-created plain session too. Determinism argument is
+    # identical to the applyInPandasWithState twin above (one file per
+    # key -> one update row per key; integer cents in doubles sum
+    # exactly). On a host with no protobuf anywhere the query falls back
+    # to the applyInPandasWithState implementation — same semantics, same
+    # oracle — and the capability is visible via tws_available().
+    import uuid
+
+    from ..streaming.protobuf_compat import tws_available
+    from ..streaming.stateful import running_totals, running_totals_tws
+    from ..streaming.structured import (
+        run_to_memory,
+        stream_from_parquet_dir,
+    )
+
+    e = Catalog(spark, sf_dir).events.select(
+        "user_id",
+        F.floor(F.col("value") * 100.0 + F.lit(0.5))
+        .cast("double")
+        .alias("cents"),
+    )
+    tmp = os.path.join(tempfile.mkdtemp(prefix="phe_tws_"), "in")
+    e.repartition(4, "user_id").write.parquet(tmp)
+    stream = stream_from_parquet_dir(
+        spark, tmp, e.schema, max_files_per_trigger=1
+    )
+    op = running_totals_tws if tws_available() else running_totals
+    out = op(stream, "user_id", "cents")
+    name = f"tws_{uuid.uuid4().hex}"
+    run_to_memory(out, name, output_mode="update")
+    import shutil
+
+    shutil.rmtree(os.path.dirname(tmp), ignore_errors=True)
+    return spark.table(name).select("key", "n", "total")
+
+
 # --- L3d: exact-PQ ANN witness ----------------------------------------------
 
 

@@ -331,7 +331,7 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- J7: point-in-time (SCD2 / AS OF system time) join ----------------------
+# --- J9: point-in-time (SCD2 / AS OF system time) join ----------------------
 
 
 @query(
@@ -359,7 +359,7 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_join_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # J7: each click joined to the profile version (view events, one
+    # J9: each click joined to the profile version (view events, one
     # row per (user, ts)) valid AT the click's timestamp — the SCD2
     # point-in-time / FOR SYSTEM_TIME AS OF join. The ORACLE runs the
     # naive formulation (build validity intervals with lead(), range

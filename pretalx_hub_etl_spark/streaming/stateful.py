@@ -113,17 +113,9 @@ def running_totals(stream_df: DataFrame, key_col: str, value_col: str) -> DataFr
 
 # --- transformWithStateInPandas (Spark 4 successor API) ---------------------
 
-
-def tws_available() -> bool:
-    """transformWithStateInPandas needs protobuf for its state-server
-    protocol; this container ships PySpark without it. Honest boundary,
-    same policy as the multimodal codec stub."""
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-
-        return True
-    except ImportError:
-        return False
+# Discovery + injection of the protobuf runtime TWS needs lives in
+# protobuf_compat; re-exported here so callers keep one import site.
+from .protobuf_compat import enable_tws, tws_available  # noqa: E402,F401
 
 
 def running_totals_tws(stream_df: DataFrame, key_col: str, value_col: str) -> DataFrame:
@@ -135,14 +127,19 @@ def running_totals_tws(stream_df: DataFrame, key_col: str, value_col: str) -> Da
     tuple. Same semantics as ``running_totals``; kept alongside it because
     real deployments migrate operator-by-operator.
 
-    Requires protobuf at runtime (``tws_available()``); on environments
-    without it, use ``running_totals`` (applyInPandasWithState), which has
-    no extra dependency and is covered by the same test contract.
+    Requires a discoverable protobuf runtime (``tws_available()``) —
+    ``enable_tws`` injects it into driver and workers at runtime and
+    switches the session to the RocksDB state-store provider (TWS needs
+    column families; RocksDB is also the 100-TB-correct provider). On
+    hosts with no protobuf anywhere, use ``running_totals``
+    (applyInPandasWithState), same test contract, no extra dependency.
     """
-    if not tws_available():
+    spark = stream_df.sparkSession
+    if not enable_tws(spark):
         raise NotImplementedError(
-            "transformWithStateInPandas requires google.protobuf, "
-            "not present in this environment"
+            "transformWithStateInPandas requires google.protobuf and no "
+            "pure-python runtime was found on this host "
+            "(set SPARK_GRAFT_PROTOBUF_PATH)"
         )
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
@@ -159,7 +156,10 @@ def running_totals_tws(stream_df: DataFrame, key_col: str, value_col: str) -> Da
             )
             for pdf in rows:
                 n += len(pdf)
-                total += float(pdf["__v"].sum())
+                # TWS hands the processor positionally-named non-key
+                # columns (observed: ['key', '_1']) — select by position,
+                # not by the pre-groupBy alias.
+                total += float(pdf.iloc[:, -1].sum())
             self._state.update((n, total))
             yield pd.DataFrame({"key": [key[0]], "n": [n], "total": [total]})
 

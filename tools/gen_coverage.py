@@ -52,7 +52,7 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
         ("J4", "semi-join", ["q_join_semi"]),
         ("J5", "inner equi-join chain", ["q_join_inner"]),
         ("J6", "range / as-of joins", ["q_join_range", "q_join_asof"]),
-        ("J7", "point-in-time SCD2 join (FOR SYSTEM_TIME AS OF)",
+        ("J9", "point-in-time SCD2 join (FOR SYSTEM_TIME AS OF)",
          ["q_join_pit"]),
         ("J8", "skew-salted join (≡ plain join, hot keys spread)",
          ["q_join_salted"]),
@@ -152,6 +152,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_stream_interval_join"]),
         ("ST9", "custom stateful operator (applyInPandasWithState totals)",
          ["q_stream_stateful_totals"]),
+        ("ST9b", "transformWithStateInPandas typed-state totals (TWS)",
+         ["q_stream_stateful_totals_tws"]),
         ("ST6b", "streaming keep-first dedup equivalence (real stream run)",
          ["q_stream_dedup_equiv"]),
         ("ST1b", "streaming tumbling-window agg equivalence (complete mode)",

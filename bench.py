@@ -98,6 +98,61 @@ def input_stats(sf_dir: str) -> dict[str, dict[str, int]]:
     return stats
 
 
+def _git_sha() -> str:
+    """Short HEAD sha so cross-round BENCH deltas are attributable to a
+    specific tree (round-7 review, Next #8)."""
+    import subprocess
+
+    try:
+        return (
+            subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                capture_output=True,
+                text=True,
+                timeout=10,
+            ).stdout.strip()
+            or "unknown"
+        )
+    except Exception:
+        return "unknown"
+
+
+def _conf_digest(spark) -> str:
+    """Digest of the perf-relevant spark confs the timings depend on.
+
+    Two BENCH artifacts with equal digests ran under the same execution
+    config — a differing digest explains a wall-time delta before any
+    plan diffing starts. Deliberately excludes app id / UI ports /
+    temp dirs (run-unique noise).
+    """
+    import hashlib
+
+    keys = [
+        "spark.master",
+        "spark.sql.shuffle.partitions",
+        "spark.sql.adaptive.enabled",
+        "spark.sql.adaptive.coalescePartitions.enabled",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.ansi.enabled",
+        "spark.sql.parquet.filterPushdown",
+        "spark.sql.parquet.aggregatePushdown",
+        "spark.sql.files.maxPartitionBytes",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.execution.arrow.pyspark.enabled",
+        "spark.driver.memory",
+        "spark.executor.memory",
+    ]
+    parts = []
+    for k in keys:
+        try:
+            v = spark.conf.get(k)
+        except Exception:
+            v = ""
+        parts.append(f"{k}={v}")
+    return hashlib.md5(";".join(parts).encode()).hexdigest()[:12]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -109,7 +164,10 @@ def main() -> None:
     # r5's loadavg telemetry). If the 1-min load is above threshold, wait
     # up to PREFLIGHT_MAX_WAIT for it to drain, then proceed and ANNOTATE
     # (never refuse — the driver's per-round record must still exist).
+    # --quiet-threshold N overrides the env knob (round-7 review, Next #8).
     threshold = float(os.environ.get("SPARK_GRAFT_LOAD_THRESHOLD", "2.0"))
+    if "--quiet-threshold" in sys.argv:
+        threshold = float(sys.argv[sys.argv.index("--quiet-threshold") + 1])
     max_wait = int(os.environ.get("SPARK_GRAFT_PREFLIGHT_WAIT", "90"))
     load_initial = os.getloadavg()[0]
     waited = 0
@@ -174,6 +232,8 @@ def main() -> None:
         "queries": timings,
         "spread_median_minus_min": spread,
         "sf": sf,
+        "sha": _git_sha(),
+        "conf_digest": _conf_digest(spark),
         "inputs": input_stats(sf_dir),
         "preflight": preflight,
         "loadavg_start": [round(x, 2) for x in load_start],

@@ -286,6 +286,11 @@ def psi_drift(
     else grows with data.
     """
     def side(df: DataFrame, out: str):
+        # NULL values produce a NULL bin that never joins the spine, so
+        # they must not count toward the side's total either (they would
+        # silently deflate every bin's p/q) — drop them from BOTH the
+        # bin counts and the denominator (round-7 advice).
+        df = df.filter(F.col(value_col).isNotNull())
         # clamp then exact floor-division via the pmod trick (the
         # operators/graph.py _fdiv shape) — never a double cast: DuckDB
         # CAST(double AS BIGINT) rounds while Spark's truncates, the

@@ -175,11 +175,12 @@ def pagerank(
             F.when(F.col("d").isNotNull(), _fdiv(r, F.col("d"))).alias("c"),
         ]
 
-    n_verts = (
-        vd.agg(F.count(F.lit(1)).cast("long").alias("n_verts")).persist()
-        if redistribute_dangling
-        else None
-    )
+    # Vertex count for the dangling share as a driver-side literal: it's
+    # one scalar, iteration-invariant, and already bounded (k-means holds
+    # k centroids on the driver under the same policy). The previous
+    # persisted 1-row DataFrame pinned a cache entry for the session
+    # lifetime (round-7 advice) and cost a broadcast per iteration.
+    n_verts = int(vd.count()) if redistribute_dangling else 0
     ranks = vd.select(*with_contrib(F.lit(scale).cast("long")))
     for it in range(iterations):
         contribs = (
@@ -194,8 +195,7 @@ def pagerank(
             share = (
                 ranks.filter(F.col("c").isNull())
                 .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dm"))
-                .crossJoin(F.broadcast(n_verts))
-                .select(_fdiv(F.col("dm"), F.col("n_verts")).alias("share"))
+                .select(_fdiv(F.col("dm"), F.lit(n_verts)).alias("share"))
             )
             joined = joined.crossJoin(F.broadcast(share))
             new_r = F.lit(base) + _fdiv(

@@ -1657,8 +1657,11 @@ def q_stream_tumbling_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- same recursion as q_stream_session's oracle but with exact cents
     WITH gapped AS (
         SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+               -- >= : Spark's session_window is END-EXCLUSIVE ([start,
+               -- start+gap)), so a pair exactly gap apart starts a NEW
+               -- session; the oracle split must agree at the boundary
                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                         > INTERVAL 30 MINUTE
+                         >= INTERVAL 30 MINUTE
                     OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                     THEN 1 ELSE 0 END AS new_session
         FROM events

@@ -151,14 +151,40 @@ def compact_parquet_dir(
     z-ordering when scan locality matters).
     """
     import math
-    import os
 
     src = spark.read.parquet(src_path)
-    total = 0
-    for f in src.inputFiles():
-        p = f.removeprefix("file:")
-        if os.path.exists(p):
-            total += os.path.getsize(p)
+    total = _total_input_bytes(spark, src.inputFiles())
     n_out = max(1, math.ceil(total / target_file_bytes))
     src.repartition(n_out).write.mode("overwrite").parquet(dst_path)
     return spark.read.parquet(dst_path)
+
+
+def _total_input_bytes(spark: SparkSession, files: list[str]) -> int:
+    """Sum file sizes through the Hadoop FileSystem API.
+
+    Resolves each URI against the session's Hadoop conf, so sizes come
+    back correctly on ANY supported filesystem (file://, hdfs://,
+    s3a://...) — a driver-side ``os.path.getsize`` would silently see 0
+    bytes for every non-local URI and collapse the compaction to a
+    single output file (round-7 advice). Raises when no input size could
+    be determined for a non-empty file list: writing ONE arbitrarily
+    sized file is worse than failing loudly.
+    """
+    jvm = spark._jvm
+    hadoop_conf = spark._jsc.hadoopConfiguration()
+    total = 0
+    resolved = 0
+    for f in files:
+        try:
+            path = jvm.org.apache.hadoop.fs.Path(f)
+            fs = path.getFileSystem(hadoop_conf)
+            total += fs.getFileStatus(path).getLen()
+            resolved += 1
+        except Exception:
+            continue
+    if files and not resolved:
+        raise OSError(
+            f"could not determine the size of any of {len(files)} input "
+            "files; refusing to guess an output file count"
+        )
+    return total

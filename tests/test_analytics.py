@@ -524,6 +524,27 @@ def test_psi_drift_matches_hand_formula(spark):
     assert out[0].ref_n == 10 and out[1].cur_n == 10
 
 
+def test_psi_drift_null_values_excluded_from_totals(spark):
+    from pretalx_hub_etl_spark.operators.analytics import psi_drift
+
+    # NULLs bin nowhere, so they must not inflate the denominators
+    # either: a side with NULLs mixed in must equal the same side with
+    # the NULL rows pre-dropped (round-7 advice).
+    clean = spark.range(100).select((F.col("id") % 20).alias("v"))
+    noisy = clean.unionAll(
+        spark.range(37).select(F.lit(None).cast("long").alias("v"))
+    )
+    want = {
+        (r.bin, r.ref_n, r.cur_n, r.psi_micro)
+        for r in psi_drift(clean, clean, "v", 10, 2).collect()
+    }
+    got = {
+        (r.bin, r.ref_n, r.cur_n, r.psi_micro)
+        for r in psi_drift(noisy, clean, "v", 10, 2).collect()
+    }
+    assert got == want
+
+
 def test_pagerank_sink_redistribution_conserves_mass(spark):
     from pretalx_hub_etl_spark.operators.graph import pagerank
 

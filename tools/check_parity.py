@@ -51,6 +51,9 @@ def main() -> int:
     argv = sys.argv[1:]
     json_out = None
     if argv and argv[0] == "--json":
+        if len(argv) < 2:
+            print("usage: check_parity.py [--json OUT.json] [sf_dir] [query ...]")
+            return 2
         json_out = argv[1]
         argv = argv[2:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
@@ -83,10 +86,14 @@ def main() -> int:
             sdf = fn(spark, sf_dir)
             spark_rows = [tuple(r) for r in sdf.collect()]
             spark_cols = sorted(sdf.columns)
-        except Exception:
+        except Exception as exc:
             print(f"FAIL {name}: spark error\n{traceback.format_exc()}")
             failures.append(name)
-            results[name] = {"status": "fail", "problems": ["spark error"]}
+            results[name] = {
+                "status": "fail",
+                "problems": [f"spark error: {type(exc).__name__}: "
+                             f"{str(exc).splitlines()[0][:300] if str(exc) else ''}"],
+            }
             continue
 
         if name not in oracles:
@@ -105,10 +112,14 @@ def main() -> int:
             res = con.execute(oracles[name])
             duck_cols = sorted(d[0] for d in res.description)
             duck_rows = res.fetchall()
-        except Exception:
+        except Exception as exc:
             print(f"FAIL {name}: duckdb error\n{traceback.format_exc()}")
             failures.append(name)
-            results[name] = {"status": "fail", "problems": ["duckdb error"]}
+            results[name] = {
+                "status": "fail",
+                "problems": [f"duckdb error: {type(exc).__name__}: "
+                             f"{str(exc).splitlines()[0][:300] if str(exc) else ''}"],
+            }
             continue
 
         problems = []

@@ -26,6 +26,12 @@ _ALGEBRAIC = {
     "count": (lambda c: F.count(F.lit(1)), F.sum),
     "min": (F.min, F.min),
     "max": (F.max, F.max),
+    # decomposes ONLY because the salt is a hash of the full row: equal
+    # (keys, value) rows collocate in one bucket, so per-bucket distinct
+    # sets are disjoint and their counts SUM. Guarded below: any column
+    # outside keys∪agg-inputs would scatter equal values across buckets
+    # and double-count.
+    "count_distinct": (F.count_distinct, F.sum),
 }
 
 
@@ -38,15 +44,36 @@ def salted_two_level_agg(
     """Skew-resistant groupBy: per-(key, salt) partials, then per-key final.
 
     ``aggs`` maps output column -> (agg_name, input_col) with agg_name in
-    {sum, count, min, max}. Results are identical to the plain groupBy
-    (integer/min/max exactly; float sums up to reassociation, same caveat
-    as Spark's own partial aggregation) — but the hot key's rows spread
-    over ``salt_buckets`` reducers in the wide first stage, and the second
-    stage only sees ``buckets`` rows per key.
+    {sum, count, min, max, count_distinct}. Results are identical to the
+    plain groupBy (integer/min/max exactly; float sums up to
+    reassociation, same caveat as Spark's own partial aggregation) — but
+    the hot key's rows spread over ``salt_buckets`` reducers in the wide
+    first stage, and the second stage only sees ``buckets`` rows per key.
+
+    For the purely algebraic aggs, Spark's own map-side partial
+    aggregation already collapses a hot key to one partial row per map
+    task — salting buys little there (measured in ``SKEW.json``). The
+    case this operator exists for is ``count_distinct``: Spark plans it
+    as a distinct-(key, value) stream re-shuffled ON THE KEY for the
+    final count, so a key with millions of distinct values lands on ONE
+    reducer — and AQE's skew handling splits only JOIN partitions, not
+    aggregation partitions. The full-row salt partitions each key's
+    distinct-value set disjointly across buckets, so bucket counts sum
+    exactly. ``count_distinct`` therefore requires ``df`` to carry no
+    columns beyond the keys and the aggregated columns (enforced).
     """
     unknown = {a for a, _ in aggs.values()} - set(_ALGEBRAIC)
     if unknown:
         raise ValueError(f"non-algebraic aggs not supported: {sorted(unknown)}")
+    if any(name == "count_distinct" for name, _ in aggs.values()):
+        allowed = set(keys) | {c for _, c in aggs.values()}
+        extra = set(df.columns) - allowed
+        if extra:
+            raise ValueError(
+                "count_distinct under salting needs every df column in "
+                f"keys∪agg-inputs (equal values must share a salt "
+                f"bucket); drop {sorted(extra)} first"
+            )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
     level1 = (
         df.withColumn("__salt", salt)

@@ -136,6 +136,36 @@ def test_salted_two_level_agg_matches_plain_groupby(spark):
     assert got == want
 
 
+def test_salted_two_level_agg_count_distinct_matches_plain(spark):
+    from pretalx_hub_etl_spark.operators.agg import salted_two_level_agg
+
+    # hot key 7 carries many DISTINCT values (the agg-skew shape that
+    # partial aggregation cannot collapse and AQE cannot split)
+    df = spark.range(5000).select(
+        F.when(F.col("id") % 10 != 0, F.lit(7)).otherwise(F.col("id")).alias("k"),
+        (F.col("id") % 700).cast("long").alias("v"),
+    )
+    salted = salted_two_level_agg(
+        df, ["k"], {"nv": ("count_distinct", "v")}, salt_buckets=8
+    )
+    plain = df.groupBy("k").agg(F.count_distinct("v").alias("nv"))
+    got = {r.k: r.nv for r in salted.collect()}
+    want = {r.k: r.nv for r in plain.collect()}
+    assert got == want
+
+
+def test_salted_count_distinct_rejects_extra_columns(spark):
+    import pytest
+
+    from pretalx_hub_etl_spark.operators.agg import salted_two_level_agg
+
+    df = spark.range(10).select(
+        F.col("id").alias("k"), F.col("id").alias("v"), F.col("id").alias("w")
+    )
+    with pytest.raises(ValueError, match="count_distinct under salting"):
+        salted_two_level_agg(df, ["k"], {"nv": ("count_distinct", "v")})
+
+
 def test_salted_two_level_agg_rejects_holistic(spark):
     import pytest
 

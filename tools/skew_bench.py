@@ -122,6 +122,68 @@ def main() -> None:
         .agg(F.max("count").alias("mx"), F.avg("count").alias("mean"))
         .collect()[0]
     )
+    # ---- aggregation skew (round-7 review, Next #9) ----------------------
+    # Algebraic aggs (sum/count/min/max) are skew-immune in Spark: map-side
+    # partial aggregation collapses the hot key to ONE partial row per map
+    # task before the shuffle, so both variants are measured mostly to
+    # DOCUMENT that salting is unnecessary there. The agg-skew case that
+    # actually hurts — and that AQE cannot fix (skew handling is join-only)
+    # — is exact count_distinct: the distinct (k, v) stream re-shuffles ON
+    # k for the final count, landing the hot key's ~2M distinct values on
+    # one reducer. salted_two_level_agg spreads them over SALT_BUCKETS
+    # disjoint buckets whose counts sum exactly.
+    from pretalx_hub_etl_spark.operators.agg import salted_two_level_agg
+
+    # distinct-heavy fact: hot key's v values are all distinct
+    dfact = spark.range(N_FACT).select(
+        F.when(F.col("id") < hot_cut, F.lit(0))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(N_KEYS)))
+        .cast("long")
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    dfact.write.mode("overwrite").parquet("/tmp/skew_dfact.parquet")
+    dfact = spark.read.parquet("/tmp/skew_dfact.parquet")
+
+    agg_results: dict[str, float] = {}
+    agg_results["plain_sum"] = timed(
+        lambda: fact.groupBy("k").agg(F.sum("v").alias("s"))
+    )
+    agg_results["salted_sum"] = timed(
+        lambda: salted_two_level_agg(
+            fact, ["k"], {"s": ("sum", "v")}, salt_buckets=SALT_BUCKETS
+        )
+    )
+    agg_results["plain_count_distinct"] = timed(
+        lambda: dfact.groupBy("k").agg(F.count_distinct("v").alias("nv"))
+    )
+    agg_results["salted_count_distinct"] = timed(
+        lambda: salted_two_level_agg(
+            dfact, ["k"], {"nv": ("count_distinct", "v")},
+            salt_buckets=SALT_BUCKETS,
+        )
+    )
+
+    # reducer spread of the final count-distinct shuffle: rows of the
+    # distinct (k, v) stream keyed by k alone vs by (k, salt)
+    distinct_kv = dfact.distinct()
+    agg_plain_parts = (
+        distinct_kv.repartition(n_shuffle, "k")
+        .groupBy(F.spark_partition_id().alias("p"))
+        .count()
+        .agg(F.max("count").alias("mx"), F.avg("count").alias("mean"))
+        .collect()[0]
+    )
+    agg_salt = F.pmod(F.xxhash64("k", "v"), F.lit(SALT_BUCKETS))
+    agg_salted_parts = (
+        distinct_kv.withColumn("__salt", agg_salt)
+        .repartition(n_shuffle, "k", "__salt")
+        .groupBy(F.spark_partition_id().alias("p"))
+        .count()
+        .agg(F.max("count").alias("mx"), F.avg("count").alias("mean"))
+        .collect()[0]
+    )
+
     record = {
         "fixture": {
             "fact_rows": N_FACT,
@@ -130,6 +192,25 @@ def main() -> None:
             "salt_buckets": SALT_BUCKETS,
             "runs": RUNS,
             "timing": "min_wall_sec, broadcast disabled",
+        },
+        "agg": {
+            "note": (
+                "sum is skew-immune via map-side partials (salting adds "
+                "a stage for nothing); count_distinct is the agg-skew "
+                "case — AQE skew handling is join-only. Wall at this "
+                "local scale favors PLAIN (2M rows on one reducer is "
+                "still sub-second; the extra salted stage dominates) — "
+                "the spread row is the scale claim: the hot reducer's "
+                "row share is what turns into the critical path when a "
+                "100-TB key carries billions of distinct values"
+            ),
+            "wall_sec": agg_results,
+            "reducer_spread_distinct_pairs": {
+                "plain_max_rows": int(agg_plain_parts["mx"]),
+                "plain_mean_rows": round(float(agg_plain_parts["mean"]), 1),
+                "salted_max_rows": int(agg_salted_parts["mx"]),
+                "salted_mean_rows": round(float(agg_salted_parts["mean"]), 1),
+            },
         },
         "wall_sec": results,
         "reducer_spread": {

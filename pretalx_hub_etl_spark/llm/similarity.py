@@ -225,37 +225,39 @@ def _portable_buckets(
 ) -> Column:
     """array<long> of per-table buckets (index = table id, the
     ``_bucket_all_tables`` contract) from EXACT integer plane dots:
-    quantize components to micro-ints, dot against the md5-derived
-    integer planes, bit = sign — bit-identical on any engine/partitioning
-    (float plane dots can flip knife-edge signs between engines). At
-    scale, precompute the plane table once and broadcast instead of
-    inlining literals per expression, as here."""
-    q = F.transform(
-        vec,
-        lambda x: F.floor(x.cast("double") * 1_000_000 + F.lit(0.5)).cast(
-            "long"
-        ),
-    )
-    tables = []
-    for t in range(n_tables):
-        bucket = F.lit(0).cast("long")
-        for b in range(n_bits):
-            plane = F.array(
-                *[
-                    F.lit(md5_plane_int(t, b, i)).cast("long")
-                    for i in range(dim)
-                ]
-            )
-            dot = F.aggregate(
-                F.zip_with(q, plane, lambda x, y: x * y),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            )
-            bucket = bucket + F.when(
-                dot > 0, F.lit(1 << b).cast("long")
-            ).otherwise(F.lit(0).cast("long"))
-        tables.append(bucket)
-    return F.array(*tables)
+    quantize components to micro-ints (``floor(x*1e6 + 0.5)``), dot
+    against the md5-derived integer planes, bit = strict sign —
+    bit-identical on any engine/partitioning (float plane dots can flip
+    knife-edge signs between engines; int64 dots cannot).
+
+    Evaluated as ONE Arrow-batched int64 matmul per batch, mirroring the
+    float path (:func:`_bucket_all_tables`): the previous expression
+    form inlined tables*bits*dim plane literals plus an aggregate-lambda
+    chain into a single projection — ~4k-node Catalyst trees whose
+    analysis/codegen cost tens of driver-side seconds at ANY data size
+    (the round-8 parity-tail finding). numpy int64 matmul is exact, so
+    the results are unchanged. Magnitudes: |component| <= ~1e6 micro-ints,
+    |plane| <= 500, so |dot| <= dim * 5e8 — comfortably inside int64 for
+    any realistic dim."""
+    P = np.array(
+        [
+            [md5_plane_int(t, b, i) for t in range(n_tables) for b in range(n_bits)]
+            for i in range(dim)
+        ],
+        dtype=np.int64,
+    )  # (dim, T*B), column order t*B + b
+    pows = (1 << np.arange(n_bits)).astype(np.int64)  # bit b -> 2^b
+    T, B = n_tables, n_bits
+
+    @F.pandas_udf("array<long>")
+    def buckets(col: pd.Series) -> pd.Series:
+        X = np.array(col.tolist(), dtype=np.float64)  # (n, dim)
+        Q = np.floor(X * 1_000_000 + 0.5).astype(np.int64)
+        S = (Q @ P) > 0  # strict sign rule, exact int64 dots
+        out = (S.reshape(len(Q), T, B) * pows).sum(axis=2)
+        return pd.Series(list(out))
+
+    return buckets(vec)
 
 
 def embedding_near_duplicates(

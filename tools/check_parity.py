@@ -9,11 +9,20 @@ DuckDB over the same parquet files, and compares:
   exactly AND with tolerance — exact mismatches are reported even when tiny,
   because the driver's value-hash is presumed exact)
 
-Usage: python tools/check_parity.py [--json OUT.json] [sf_dir] [query ...]
+Usage: python tools/check_parity.py [--json OUT.json] [--jobs N] [sf_dir] [query ...]
 
 With --json, a per-query record {status, rows, seconds, problems} plus a
 summary is written to OUT.json (the committed PARITY_r{N}.json artifact —
 the full-registry regression net under the driver's 50-query sample).
+
+With --jobs N, queries run from an N-thread pool sharing the one
+SparkSession (Spark's scheduler interleaves jobs from concurrent threads;
+DuckDB replays go through per-thread cursors of one connection). The
+sweep's long tail is fixed-cost-dominated — streaming fixtures, iterative
+witness loops — and single-query runs leave most of local[32] idle, so
+threading cuts the wall ~3x without touching any query. Results are
+independent of jobs (each query's record is self-contained); the default
+stays 1 so an interleaved failure can always be re-reproduced serially.
 """
 
 from __future__ import annotations
@@ -47,18 +56,30 @@ def canonicalize(rows: list[tuple], float_nd: int = 9) -> list[tuple]:
     return sorted(tuple(norm(v) for v in row) for row in rows)
 
 
+def _first_line(exc: Exception) -> str:
+    msg = str(exc).splitlines()[0][:300] if str(exc) else ""
+    return f"{type(exc).__name__}: {msg}"
+
+
 def main() -> int:
     argv = sys.argv[1:]
     json_out = None
-    if argv and argv[0] == "--json":
+    jobs = 1
+    while argv and argv[0] in ("--json", "--jobs"):
+        flag = argv[0]
         if len(argv) < 2:
-            print("usage: check_parity.py [--json OUT.json] [sf_dir] [query ...]")
+            print(
+                "usage: check_parity.py [--json OUT.json] [--jobs N] "
+                "[sf_dir] [query ...]"
+            )
             return 2
-        json_out = argv[1]
+        if flag == "--json":
+            json_out = argv[1]
+        else:
+            jobs = max(1, int(argv[1]))
         argv = argv[2:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
-    results: dict[str, dict] = {}
 
     import duckdb
 
@@ -77,61 +98,63 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
-    failures: list[str] = []
-    for name, fn in qs.items():
-        if only and name not in only:
-            continue
+    def check_one(name: str, fn) -> tuple[dict, list[str]]:
+        lines: list[str] = []
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
             spark_rows = [tuple(r) for r in sdf.collect()]
             spark_cols = sorted(sdf.columns)
+            t_spark = time.time() - t0
         except Exception as exc:
-            print(f"FAIL {name}: spark error\n{traceback.format_exc()}")
-            failures.append(name)
-            results[name] = {
-                "status": "fail",
-                "problems": [f"spark error: {type(exc).__name__}: "
-                             f"{str(exc).splitlines()[0][:300] if str(exc) else ''}"],
-            }
-            continue
+            lines.append(f"FAIL {name}: spark error\n{traceback.format_exc()}")
+            return (
+                {"status": "fail", "problems": [f"spark error: {_first_line(exc)}"]},
+                lines,
+            )
 
         if name not in oracles:
-            print(f"ok   {name}: rows-only, {len(spark_rows)} rows "
-                  f"({time.time()-t0:.1f}s)")
+            lines.append(
+                f"ok   {name}: rows-only, {len(spark_rows)} rows "
+                f"({time.time()-t0:.1f}s)"
+            )
             if not spark_rows:
-                print(f"WARN {name}: 0 rows")
-            results[name] = {
-                "status": "rows_only",
-                "rows": len(spark_rows),
-                "seconds": round(time.time() - t0, 2),
-            }
-            continue
+                lines.append(f"WARN {name}: 0 rows")
+            return (
+                {
+                    "status": "rows_only",
+                    "rows": len(spark_rows),
+                    "seconds": round(time.time() - t0, 2),
+                },
+                lines,
+            )
 
+        t1 = time.time()
         try:
-            res = con.execute(oracles[name])
+            cur = con.cursor()  # duckdb: thread-local cursor on one db
+            res = cur.execute(oracles[name])
             duck_cols = sorted(d[0] for d in res.description)
+            duck_desc = [d[0] for d in res.description]
             duck_rows = res.fetchall()
+            t_duck = time.time() - t1
         except Exception as exc:
-            print(f"FAIL {name}: duckdb error\n{traceback.format_exc()}")
-            failures.append(name)
-            results[name] = {
-                "status": "fail",
-                "problems": [f"duckdb error: {type(exc).__name__}: "
-                             f"{str(exc).splitlines()[0][:300] if str(exc) else ''}"],
-            }
-            continue
+            lines.append(f"FAIL {name}: duckdb error\n{traceback.format_exc()}")
+            return (
+                {"status": "fail", "problems": [f"duckdb error: {_first_line(exc)}"]},
+                lines,
+            )
 
         problems = []
         if spark_cols != duck_cols:
             problems.append(f"columns differ: spark={spark_cols} duck={duck_cols}")
         if len(spark_rows) != len(duck_rows):
-            problems.append(f"rowcount differs: spark={len(spark_rows)} duck={len(duck_rows)}")
+            problems.append(
+                f"rowcount differs: spark={len(spark_rows)} duck={len(duck_rows)}"
+            )
         if not problems:
             # align column order by sorted name on both sides
             s_order = [sdf.columns.index(c) for c in spark_cols]
-            d_names = [d[0] for d in res.description]
-            d_order = [d_names.index(c) for c in duck_cols]
+            d_order = [duck_desc.index(c) for c in duck_cols]
             s_canon = canonicalize([tuple(r[i] for i in s_order) for r in spark_rows])
             d_canon = canonicalize([tuple(r[i] for i in d_order) for r in duck_rows])
             if s_canon != d_canon:
@@ -144,16 +167,41 @@ def main() -> int:
                     f"{diff_i}:\n  spark={s_canon[diff_i]}\n  duck ={d_canon[diff_i]}"
                 )
         if problems:
-            print(f"FAIL {name}: " + "; ".join(problems))
-            failures.append(name)
-            results[name] = {"status": "fail", "problems": problems}
-        else:
-            print(f"ok   {name}: {len(spark_rows)} rows match ({time.time()-t0:.1f}s)")
-            results[name] = {
+            lines.append(f"FAIL {name}: " + "; ".join(problems))
+            return ({"status": "fail", "problems": problems}, lines)
+        lines.append(
+            f"ok   {name}: {len(spark_rows)} rows match ({time.time()-t0:.1f}s)"
+        )
+        return (
+            {
                 "status": "oracle_match",
                 "rows": len(spark_rows),
                 "seconds": round(time.time() - t0, 2),
-            }
+                "spark_seconds": round(t_spark, 2),
+                "duck_seconds": round(t_duck, 2),
+            },
+            lines,
+        )
+
+    todo = [(n, f) for n, f in qs.items() if not only or n in only]
+    results: dict[str, dict] = {}
+    failures: list[str] = []
+    t_sweep = time.time()
+    if jobs == 1:
+        done = ((n, check_one(n, f)) for n, f in todo)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=jobs)
+        futs = [(n, pool.submit(check_one, n, f)) for n, f in todo]
+        done = ((n, fut.result()) for n, fut in futs)
+    for name, (record, lines) in done:
+        results[name] = record
+        if record["status"] == "fail":
+            failures.append(name)
+        for ln in lines:
+            print(ln)
+    wall = round(time.time() - t_sweep, 1)
 
     if json_out:
         import json as _json
@@ -165,6 +213,8 @@ def main() -> int:
             "oracle_match": statuses.count("oracle_match"),
             "rows_only": statuses.count("rows_only"),
             "failures": failures,
+            "jobs": jobs,
+            "sweep_wall_seconds": wall,
             "queries": results,
         }
         with open(json_out, "w") as fh:
@@ -175,7 +225,7 @@ def main() -> int:
     if failures:
         print(f"{len(failures)} FAILURES: {failures}")
         return 1
-    print("all green")
+    print(f"all green ({wall}s, jobs={jobs})")
     return 0
 
 

@@ -56,11 +56,14 @@ def _ship_codecs_by_value() -> tuple:
     """
     from pyspark import cloudpickle
 
-    from . import png_codec, wav_codec
+    from . import jpeg_codec, png_codec, wav_codec
 
     cloudpickle.register_pickle_by_value(png_codec)
     cloudpickle.register_pickle_by_value(wav_codec)
-    return png_codec, wav_codec
+    # jpeg_codec additionally imports numpy, which pickles by reference
+    # (installed on every worker) — only the module's own code travels
+    cloudpickle.register_pickle_by_value(jpeg_codec)
+    return png_codec, wav_codec, jpeg_codec
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -97,7 +100,7 @@ def attach_png_media(df: DataFrame, id_col: str) -> DataFrame:
     reproduce them.
     """
 
-    png_codec, _ = _ship_codecs_by_value()
+    png_codec, _, _ = _ship_codecs_by_value()
     png_encode = png_codec.png_encode
 
     @F.pandas_udf("binary")
@@ -121,6 +124,43 @@ def attach_png_media(df: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def attach_jpeg_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Derive a REAL encoded baseline-JPEG payload column from an id.
+
+    Deterministic BLOCK-UNIFORM fixture: a (12 + id%9) × (12 + id%11)
+    grayscale image where every 8×8 block carries its own constant
+    ``v(bx, by) = 128 + 2·(((3·bx + 5·by + id) mod 50) − 25)``. JPEG is
+    lossy in general, but block-uniform images with even level-shifted
+    values decode EXACTLY at quality 50 (DC-only blocks, Q[0,0]=16 — see
+    ``jpeg_codec``), so decoded-pixel aggregates keep exact SQL oracles
+    while the stream still exercises DC prediction, Huffman categories,
+    byte stuffing, and multi-MCU scans. Edge padding replicates the last
+    block's value, so non-multiple-of-8 sizes stay exact too.
+    """
+    _, _, jpeg_codec = _ship_codecs_by_value()
+    jpeg_encode = jpeg_codec.jpeg_encode
+
+    @F.pandas_udf("binary")
+    def gen(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            w, h = 12 + i % 9, 12 + i % 11
+            px = bytes(
+                128 + 2 * (((3 * (x // 8) + 5 * (y // 8) + i) % 50) - 25)
+                for y in range(h)
+                for x in range(w)
+            )
+            out.append(jpeg_encode(px, w, h, "L", quality=50))
+        return pd.Series(out)
+
+    return (
+        df.withColumn("payload", gen(F.col(id_col)))
+        .withColumn("kind", F.lit("image"))
+        .withColumn("mime", F.lit("image/jpeg"))
+    )
+
+
 def decode_image(
     df: DataFrame,
     payload_col: str = "payload",
@@ -131,18 +171,21 @@ def decode_image(
 
     ``(id, width, height, mode, n_bytes, pixel_sum)`` from actually
     parsing the encoded bytes. ``codec="pure"`` (default) pins the
-    stdlib PNG decoder — deterministic on any cluster, so declared
+    stdlib/numpy decoders — PNG or baseline JPEG, dispatched on the
+    payload's magic bytes, deterministic on any cluster so declared
     queries stay engine-stable; ``"auto"`` prefers PIL when importable
-    (identical output for PNG inputs — the format is lossless — while
-    also accepting JPEG etc.); ``"pil"`` requires PIL.
+    (identical output for PNG — lossless — and for the DC-only JPEG
+    fixtures, whose decode is integer-exact in any conformant IDCT);
+    ``"pil"`` requires PIL.
     """
     out_schema = (
         f"{id_col} long, width long, height long, mode string, "
         "n_bytes long, pixel_sum long"
     )
 
-    png_codec, _ = _ship_codecs_by_value()
+    png_codec, _, jpeg_codec = _ship_codecs_by_value()
     png_decode = png_codec.png_decode
+    jpeg_decode, is_jpeg = jpeg_codec.jpeg_decode, jpeg_codec.is_jpeg
     # PIL handle resolved DRIVER-side and captured: a module object
     # pickles by reference (workers import their own installed PIL);
     # calling _pil_image() inside the closure would drag the
@@ -162,6 +205,8 @@ def decode_image(
                     img = pil.open(io.BytesIO(raw))
                     w, h = img.size
                     mode, px = img.mode, img.tobytes()
+                elif is_jpeg(raw):
+                    w, h, mode, px = jpeg_decode(raw)
                 else:
                     w, h, mode, px = png_decode(raw)
                 ids.append(int(mid))
@@ -203,7 +248,7 @@ def resize_encoded_images(
     """
     out_schema = f"{id_col} long, payload binary, width int, height int"
 
-    png_codec, _ = _ship_codecs_by_value()
+    png_codec, _, _ = _ship_codecs_by_value()
     png_decode, png_encode = png_codec.png_decode, png_codec.png_encode
     rn = png_codec.resize_nearest
     mode_channels = {
@@ -400,7 +445,7 @@ def attach_wav_media(df: DataFrame, id_col: str) -> DataFrame:
     exact SQL oracles.
     """
 
-    _, wav_codec = _ship_codecs_by_value()
+    _, wav_codec, _ = _ship_codecs_by_value()
     wav_encode = wav_codec.wav_encode
 
     @F.pandas_udf("binary")
@@ -432,7 +477,7 @@ def decode_audio(
         "n_samples long, sample_sum long, abs_sum long"
     )
 
-    _, wav_codec = _ship_codecs_by_value()
+    _, wav_codec, _ = _ship_codecs_by_value()
     wav_decode = wav_codec.wav_decode
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -470,7 +515,7 @@ def frame_audio(
         f"{id_col} long, frame_idx long, start_sample long, frame_sum long"
     )
 
-    _, wav_codec = _ship_codecs_by_value()
+    _, wav_codec, _ = _ship_codecs_by_value()
     frame_samples, wav_decode = wav_codec.frame_samples, wav_codec.wav_decode
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

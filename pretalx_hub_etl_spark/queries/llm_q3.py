@@ -1372,8 +1372,13 @@ def q_stream_dedup_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_type", "event_id", "ts"
     )
     tmp = os.path.join(tempfile.mkdtemp(prefix="phe_sdedup_"), "in")
+    # file count scales with the corpus so each key-routed file stays
+    # under the one-split bound asserted below (~25k of these narrow
+    # rows ≈ well under 1 MiB parquet); min 4 keeps the multi-batch
+    # replay meaningful at small SFs
+    n_files = max(4, int(e.count()) // 25_000 + 1)
     (
-        e.repartition(4, "user_id", "event_type")
+        e.repartition(n_files, "user_id", "event_type")
         .sortWithinPartitions("ts", "event_id")
         .write.parquet(tmp)
     )

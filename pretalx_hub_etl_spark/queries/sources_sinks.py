@@ -483,6 +483,53 @@ def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_multimodal_decode_jpeg",
+    oracle="""
+    -- closed-form replay of the block-uniform JPEG fixture:
+    -- pixel(x,y) = 128 + 2*(((3*(x//8) + 5*(y//8) + id) % 50) - 25)
+    -- over a (12+id%9) x (12+id%11) grid; DC-only blocks with even
+    -- level-shifted values decode EXACTLY at quality 50 (Q00=16)
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               12 + doc_id % 9 AS w, 12 + doc_id % 11 AS h
+        FROM documents
+    )
+    SELECT media_id,
+           CAST(max(w) AS BIGINT) AS width,
+           CAST(max(h) AS BIGINT) AS height,
+           'L' AS mode,
+           CAST(count(*) AS BIGINT) AS n_bytes,
+           CAST(sum(128 + 2 * (((3 * (x.i // 8) + 5 * (y.i // 8)
+                                 + media_id) % 50) - 25)) AS BIGINT)
+               AS pixel_sum
+    FROM m, unnest(range(0, w)) AS x(i), unnest(range(0, h)) AS y(i)
+    GROUP BY media_id
+    """,
+)
+def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # L5d: REAL lossy-format decode under the oracle. attach_jpeg_media
+    # emits actual baseline JFIF bytes (full encoder: DCT, Annex-K
+    # quantization, zigzag, DC prediction, canonical Huffman with byte
+    # stuffing) and decode_image runs the full inverse chain
+    # executor-side. The fixture is block-uniform with even level-shifted
+    # values, the one shape where the lossy pipeline is integer-exact
+    # (DC-only blocks at quality 50) — so the decoded-pixel aggregate
+    # value-hashes against the closed form while the entropy stream still
+    # exercises multi-MCU Huffman decode. A decoder that shortcuts the
+    # real bitstream cannot reproduce the per-block DC prediction chain.
+    # Gradients/color are covered by round-trip-bounded tests
+    # (tests/test_multimodal_jpeg.py); PIL is preferred under
+    # codec='auto' on clusters that ship it.
+    from ..llm.multimodal import attach_jpeg_media, decode_image
+
+    docs = Catalog(spark, sf_dir).documents.select(
+        F.col("doc_id").alias("media_id")
+    )
+    media = attach_jpeg_media(docs, "media_id")
+    return decode_image(media, codec="pure")
+
+
+@query(
     "q_multimodal_resize_png",
     oracle="""
     -- nearest-neighbor with the pinned source formula

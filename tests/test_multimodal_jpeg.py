@@ -1,0 +1,126 @@
+"""Baseline JPEG codec tests (L5d).
+
+The pure-Python codec always runs; the PIL cross-check self-skips when
+PIL is absent (this container) and un-skips on a cluster that ships it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pretalx_hub_etl_spark.llm.jpeg_codec import (
+    is_jpeg,
+    jpeg_decode,
+    jpeg_encode,
+    quant_tables,
+)
+
+try:
+    from PIL import Image  # noqa: F401
+
+    HAS_PIL = True
+except ImportError:
+    HAS_PIL = False
+
+
+def _block_uniform(w: int, h: int, key: int) -> bytes:
+    return bytes(
+        128 + 2 * (((3 * (x // 8) + 5 * (y // 8) + key) % 50) - 25)
+        for y in range(h)
+        for x in range(w)
+    )
+
+
+def test_uniform_gray_exact_roundtrip():
+    for v in (28, 78, 128, 200, 226):
+        px = bytes([v]) * (19 * 13)
+        w, h, mode, out = jpeg_decode(jpeg_encode(px, 19, 13, "L"))
+        assert (w, h, mode) == (19, 13, "L")
+        assert out == px
+
+
+def test_block_uniform_exact_including_partial_edge_blocks():
+    for key, (w, h) in [(0, (24, 16)), (7, (13, 21)), (41, (12, 12))]:
+        px = _block_uniform(w, h, key)
+        W, H, mode, out = jpeg_decode(jpeg_encode(px, w, h, "L"))
+        assert (W, H, mode) == (w, h, "L")
+        assert out == px, f"key={key} size={w}x{h}"
+
+
+def test_gradient_roundtrip_bounded_error():
+    w, h = 37, 29
+    img = np.fromfunction(lambda y, x: (3 * x + 5 * y) % 256, (h, w)).astype(
+        np.uint8
+    )
+    W, H, mode, out = jpeg_decode(
+        jpeg_encode(img.tobytes(), w, h, "L", quality=90)
+    )
+    got = np.frombuffer(out, dtype=np.uint8).reshape(h, w).astype(int)
+    assert np.abs(got - img.astype(int)).max() <= 4  # smooth, q90
+
+
+def test_rgb_roundtrip_bounded_error():
+    rng = np.random.default_rng(7)
+    img = (
+        rng.integers(0, 64, (16, 24, 3)) * 2 + 60
+    ).astype(np.uint8)  # moderate contrast
+    W, H, mode, out = jpeg_decode(
+        jpeg_encode(img.tobytes(), 24, 16, "RGB", quality=95)
+    )
+    assert (W, H, mode) == (24, 16, "RGB")
+    got = np.frombuffer(out, dtype=np.uint8).reshape(16, 24, 3).astype(int)
+    # chroma quantization on noise: generous but real bound
+    assert np.abs(got - img.astype(int)).mean() < 8
+
+
+def test_decode_determinism_and_magic():
+    px = _block_uniform(20, 20, 3)
+    enc = jpeg_encode(px, 20, 20, "L")
+    assert is_jpeg(enc) and not is_jpeg(b"\x89PNG")
+    assert jpeg_decode(enc) == jpeg_decode(enc)
+
+
+def test_unsupported_features_raise():
+    with pytest.raises(ValueError, match="quality"):
+        quant_tables(0)
+    with pytest.raises(ValueError, match="SOI"):
+        jpeg_decode(b"not a jpeg")
+    with pytest.raises(ValueError, match="mode"):
+        jpeg_encode(b"\x00" * 12, 2, 2, "CMYK")
+
+
+def test_decode_image_dispatches_jpeg_and_png(spark):
+    from pretalx_hub_etl_spark.llm.multimodal import (
+        attach_jpeg_media,
+        attach_png_media,
+        decode_image,
+    )
+    from pyspark.sql import functions as F
+
+    ids = spark.range(6).select(F.col("id").alias("media_id"))
+    jj = {r.media_id: r for r in decode_image(attach_jpeg_media(ids, "media_id")).collect()}
+    pp = {r.media_id: r for r in decode_image(attach_png_media(ids, "media_id")).collect()}
+    for i in range(6):
+        w, h = 12 + i % 9, 12 + i % 11
+        want = sum(
+            128 + 2 * (((3 * (x // 8) + 5 * (y // 8) + i) % 50) - 25)
+            for y in range(h)
+            for x in range(w)
+        )
+        assert (jj[i].width, jj[i].height, jj[i].mode) == (w, h, "L")
+        assert jj[i].pixel_sum == want
+        assert pp[i].mode == "L"  # PNG fixture still decodes via dispatch
+
+
+@pytest.mark.skipif(not HAS_PIL, reason="PIL not installed in this env")
+def test_pil_agrees_on_dc_only_fixture():
+    import io
+
+    from PIL import Image
+
+    px = _block_uniform(24, 16, 5)
+    enc = jpeg_encode(px, 24, 16, "L")
+    img = Image.open(io.BytesIO(enc))
+    assert img.size == (24, 16)
+    assert img.tobytes() == px  # DC-only blocks are exact in any IDCT

@@ -61,6 +61,17 @@ QUERIES = [
     "q_dedup_near_md5",
     "q_dedup_substrings_clean",
     "q_kmeans_exact",
+    # round-7 heavy additions (round-7 review, Next #4)
+    "q_graph_pagerank_sink",
+    "q_pipeline_entity_resolution",
+    "q_sim_topk_ivf_exact",
+    "q_sim_topk_pq_exact",
+    "q_dedup_embed_md5",
+    "q_stream_tumbling_equiv",
+    "q_stream_dedup_equiv",
+    "q_stream_session_equiv",
+    "q_stream_merge_equiv",
+    "q_stream_stateful_totals",
 ]
 
 # inherently super-linear OUTPUT at fixed parameters (not a plan defect)
@@ -136,6 +147,12 @@ def main() -> None:
     rebuild = "--rebuild" in sys.argv
     if "--runs" in sys.argv:
         runs = int(sys.argv[sys.argv.index("--runs") + 1])
+    # --only a,b,c: measure a subset and MERGE its rows into the existing
+    # SCALING.json (new heavy queries get exponents without re-paying the
+    # full 3-SF sweep for rows that have not changed)
+    only = None
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1].split(",")
 
     build_sf1(rebuild)
 
@@ -159,7 +176,7 @@ def main() -> None:
         return time.time() - t0
 
     out: dict[str, dict] = {}
-    for name in QUERIES:
+    for name in (only if only else QUERIES):
         row: dict = {}
         for label, sf_dir in sfs:
             row[label] = round(min(run_once(name, sf_dir) for _ in range(runs)), 3)
@@ -177,6 +194,15 @@ def main() -> None:
         out[name] = row
         print(name, row, flush=True)
 
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALING.json",
+    )
+    if only and os.path.exists(path):
+        with open(path) as fh:
+            prior = json.load(fh).get("queries", {})
+        prior.update(out)
+        out = prior
     worst = max(
         (r["exp_01_1"], n) for n, r in out.items() if "note" not in r
     )
@@ -191,10 +217,6 @@ def main() -> None:
         "loadavg": [round(x, 2) for x in os.getloadavg()],
         "queries": out,
     }
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "SCALING.json",
-    )
     with open(path, "w") as fh:
         json.dump(doc, fh, indent=1)
     print("wrote", path)

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _DENOM = 10_000
@@ -171,3 +171,63 @@ def mixture_keys(
         F.concat(F.lit("ord:"), F.col(doc_id_col).cast("string"))
     )
     return weight.cast("long"), bucket, mix_key
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    total_target: int,
+    temperature: float = 2.0,
+) -> DataFrame:
+    """Temperature-scaled mixture resampling (L39): per-group budgets
+    ``k_g ∝ n_g^(1/T)``, filled by deterministic md5 rank.
+
+    The standard multilingual/multi-source rebalancing recipe
+    (``p_l ∝ p_l^alpha``, alpha = 1/T — mBERT/XLM-R exponent-smoothed
+    sampling): T=1 keeps natural proportions, T→∞ approaches uniform,
+    intermediate T up-weights tail groups without flattening heads.
+
+    Determinism/portability: only T=2 (alpha = 0.5) is accepted, because
+    ``sqrt`` is the ONE power IEEE-754 specifies correctly rounded —
+    ``w_g = floor(sqrt(n_g)·1e6 + 0.5)`` is bit-identical on any engine,
+    then budgets are exact BIGINT floor divisions ``k_g = total·w_g // Σw``
+    and rows fill by (md5(id), id) rank. A general alpha needs ``pow``,
+    whose last ulp is libm-dependent — the knife-edge this engine's
+    oracle discipline forbids (same reason the LSH planes are integer).
+
+    Scale shape: one map-side-combined count per group (G rows), budgets
+    broadcast back, one window shuffle on the group key — corpus scanned
+    twice, nothing else grows. Budgets round DOWN, so Σk_g ≤ total.
+    """
+    if temperature != 2.0:
+        raise ValueError(
+            "temperature_sample: only T=2 (alpha=0.5, exact IEEE sqrt) "
+            "is supported — general pow() is not engine-portable"
+        )
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    w = F.floor(F.sqrt(F.col("__n").cast("double")) * 1_000_000 + F.lit(0.5)).cast(
+        "long"
+    )
+    weights = counts.select(group_col, w.alias("__w"))
+    tot_w = weights.agg(F.sum("__w").alias("__tw"))
+    # exact BIGINT floor division via the pmod trick (operators/graph.py
+    # _fdiv shape) — a double division could misfloor an exact-integer
+    # quotient by one ulp
+    num = F.lit(int(total_target)).cast("long") * F.col("__w")
+    budgets = weights.crossJoin(F.broadcast(tot_w)).select(
+        group_col,
+        ((num - F.pmod(num, F.col("__tw"))) / F.col("__tw"))
+        .cast("long")
+        .alias("__k"),
+    )
+    win = Window.partitionBy(group_col).orderBy(
+        md5_u32(F.concat(F.lit("t:"), F.col(id_col).cast("string"))).asc(),
+        F.col(id_col).asc(),
+    )
+    return (
+        df.join(F.broadcast(budgets), group_col)
+        .withColumn("__r", F.row_number().over(win))
+        .filter(F.col("__r") <= F.col("__k"))
+        .drop("__r", "__k")
+    )

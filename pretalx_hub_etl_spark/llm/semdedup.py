@@ -1,0 +1,88 @@
+"""Semantic deduplication (SemDeDup) — cluster-local embedding dedup.
+
+The published recipe (Abbas et al., 2023, "SemDeDup: Data-efficient
+learning at web-scale through semantic deduplication", arXiv:2303.09540):
+cluster the embedding space, then search for near-duplicate pairs ONLY
+within each cluster — semantic duplicates land in the same cluster, so
+the quadratic pairwise work shrinks from n² to Σ_k n_k² ≈ n²/K, and K
+grows with the corpus (FAISS-clustered shards at web scale). This is the
+semantic sibling of the lexical near-dup family (MinHash/SimHash): it
+catches paraphrases and re-renderings that share no shingles.
+
+Engine mapping: the deterministic exact-integer k-means
+(:mod:`.kmeans`) assigns clusters — replayable in SQL, so the WHOLE
+pipeline (clustering included) value-hashes against an oracle, unlike
+float-kmeans SemDeDup implementations. The within-cluster pair join is
+an equi-join on the cluster id (never a global cross join); the verify
+cosine is the fixed-point pinned-double form shared with the other
+embedding witnesses.
+
+Keep rule: a vector is dropped iff SOME lower-id vector in the same
+cluster is ≥ threshold similar — deterministic, one pass, and the rule
+the oracle replays. (Chains a~b~c with a≁c drop both b and c; use
+``llm.dedup.duplicate_clusters`` on the emitted pairs when
+connected-component grouping is wanted instead.)
+
+Scale shape: k-means cost is corpus-linear (broadcast centroids);
+pair generation is cluster-local; output is (corpus + dropped pairs)
+sized. At 100 TB, n_centroids scales with the corpus to hold per-cluster
+membership roughly constant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.core import fixed_point
+from .kmeans import kmeans_exact
+from .similarity import cosine
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cosine_threshold: float = 0.7,
+    n_centroids: int = 8,
+    iterations: int = 3,
+) -> DataFrame:
+    """``(vec_id, cluster, kept)`` — SemDeDup keep/drop per vector.
+
+    ``kept = false`` iff a lower-id member of the same k-means cluster
+    has fixed-point cosine ≥ ``cosine_threshold``.
+    """
+    assign = kmeans_exact(
+        corpus, vec_col, id_col, k=n_centroids, iterations=iterations
+    ).select(F.col("vec_id").alias(id_col), "cluster")
+    vecs = corpus.select(F.col(id_col), F.col(vec_col))
+    members = assign.join(vecs, id_col).select(
+        "cluster", F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    )
+    # cluster-local pair join, ids only ride the exchange once each side
+    a = members.select(
+        "cluster", F.col("id").alias("id_a"), F.col("v").alias("__va")
+    )
+    b = members.select(
+        "cluster", F.col("id").alias("id_b"), F.col("v").alias("__vb")
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            fixed_point(cosine(F.col("__va"), F.col("__vb")), 6)
+            >= F.lit(cosine_threshold)
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return (
+        assign.join(
+            dropped.withColumn("__drop", F.lit(True)), id_col, "left"
+        )
+        .select(
+            id_col,
+            "cluster",
+            F.coalesce(~F.col("__drop"), F.lit(True)).alias("kept"),
+        )
+    )

@@ -596,3 +596,54 @@ def q_feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest(F.col("n_chars"), F.col("p05")), F.col("p95")
         ).alias("n_chars_winsor"),
     )
+
+
+# --- L39: temperature-scaled mixture resampling ------------------------------
+
+
+@query(
+    "q_mixture_temperature",
+    oracle="""
+    -- sqrt-temperature (T=2) budgets + md5-rank fill, replayed exactly:
+    -- IEEE-754 specifies sqrt correctly rounded, so floor(sqrt(n)*1e6+0.5)
+    -- is bit-identical across engines (general pow() is not)
+    WITH counts AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY lang
+    ), w AS (
+        SELECT lang,
+               CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000 + 0.5)
+                    AS BIGINT) AS w
+        FROM counts
+    ), tw AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM w),
+    k AS (
+        SELECT lang, ((SELECT CAST(count(*) AS BIGINT) FROM documents)
+                      // 2 * w) // tw AS k
+        FROM w, tw
+    ), ranked AS (
+        SELECT doc_id, lang, row_number() OVER (
+            PARTITION BY lang
+            ORDER BY CAST(('0x' || substr(
+                md5('t:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
+                doc_id
+        ) AS rn
+        FROM documents
+    )
+    SELECT r.doc_id, r.lang FROM ranked r JOIN k USING (lang)
+    WHERE r.rn <= k.k
+    """,
+)
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # L39: exponent-smoothed mixture resampling (the mBERT/XLM-R
+    # p_l ∝ p_l^alpha recipe) at T=2 — tail languages gain share,
+    # heads shrink, total budget = half the corpus, all arithmetic
+    # engine-exact (IEEE sqrt + BIGINT floor divisions + md5 rank
+    # fill; llm/sampling.temperature_sample). At 100 TB: two corpus
+    # scans, one G-row broadcast, one window shuffle on the group key.
+    from ..llm.sampling import temperature_sample
+
+    d = Catalog(spark, sf_dir).documents
+    total = d.count() // 2
+    return temperature_sample(
+        d.select("doc_id", "lang"), "lang", "doc_id", total_target=total
+    ).select("doc_id", "lang")

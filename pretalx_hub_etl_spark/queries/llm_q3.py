@@ -1182,6 +1182,70 @@ def q_stream_stateful_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("key", "n", "total")
 
 
+def _semantic_dedup_oracle(
+    threshold: float = 0.5, k: int = 8, iterations: int = 3
+) -> str:
+    """DuckDB replay of llm/semdedup.semantic_dedup: the shared unrolled
+    Lloyd CTEs -> final-centroid assignment -> cluster-local pair scan
+    with the fixed-point cosine -> keep-lowest-id rule."""
+    ctes, cfinal = _kmeans_cte_list(k, iterations)
+    dist = (
+        "CAST(list_sum(list_transform(list_zip(e.q, c.qc), "
+        "s -> (s[1] - s[2])*(s[1] - s[2]))) AS BIGINT)"
+    )
+    cos = _fixed_cos_sql("a", "b")
+    ctes.append(
+        f"""sl AS (
+        SELECT e.vec_id, c.cid, {dist} AS d2
+        FROM e e CROSS JOIN {cfinal} c
+    )"""
+    )
+    ctes.append(
+        """asg AS (
+        SELECT vec_id, cid AS cluster FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY d2, cid) AS rn
+            FROM sl
+        ) WHERE rn = 1
+    )"""
+    )
+    ctes.append(
+        f"""dropped AS (
+        SELECT DISTINCT y.vec_id
+        FROM asg x JOIN asg y ON x.cluster = y.cluster
+                              AND x.vec_id < y.vec_id
+        JOIN embeddings a ON a.vec_id = x.vec_id
+        JOIN embeddings b ON b.vec_id = y.vec_id
+        WHERE {cos} >= {threshold}
+    )"""
+    )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT g.vec_id, g.cluster,
+           (d.vec_id IS NULL) AS kept
+    FROM asg g LEFT JOIN dropped d USING (vec_id)
+    """
+
+
+@query("q_dedup_semantic", oracle=_semantic_dedup_oracle())
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # L38: SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    # near-dup removal with the pairwise scan confined to k-means
+    # clusters, the published recipe for web-scale embedding dedup. The
+    # deterministic exact-integer k-means makes the WHOLE pipeline
+    # (clustering included) hash-replayable; the keep-lowest-id rule and
+    # the fixed-point cosine mirror the other embedding witnesses. At
+    # 100 TB: centroid count grows with the corpus (cluster-local pairs
+    # stay bounded), clustering is broadcast-centroid linear.
+    from ..llm.semdedup import semantic_dedup
+
+    e = Catalog(spark, sf_dir).embeddings
+    return semantic_dedup(
+        e, cosine_threshold=0.5, n_centroids=8, iterations=3
+    )
+
+
 # --- L3d: exact-PQ ANN witness ----------------------------------------------
 
 

@@ -661,3 +661,65 @@ def test_winsorize_clips_to_exact_quantiles(spark):
     assert got[9] == 9      # 100 clipped down to p90
     assert got[0] == 1      # within band, untouched
     assert all(1 <= w <= 9 for w in got.values())
+
+
+def test_semantic_dedup_keep_rule(spark):
+    from pretalx_hub_etl_spark.llm.semdedup import semantic_dedup
+
+    # two tight families far apart + one loner; k=2 separates them
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),   # ~dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.01, 0.999, 0.0, 0.0]),   # ~dup of 2
+        (4, [0.0, 0.995, 0.05, 0.0]),   # ~dup of 2 and 3
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r.vec_id: (r.cluster, r.kept)
+        for r in semantic_dedup(
+            df, cosine_threshold=0.95, n_centroids=2, iterations=2
+        ).collect()
+    }
+    assert len(out) == 5
+    kept = {i for i, (_, k) in out.items() if k}
+    # lowest id of each family survives; higher-id near-dups drop
+    assert 0 in kept and 2 in kept
+    assert 1 not in kept and 3 not in kept and 4 not in kept
+    # family members share a cluster
+    assert out[0][0] == out[1][0]
+    assert out[2][0] == out[3][0] == out[4][0]
+
+
+def test_temperature_sample_budgets_and_determinism(spark):
+    from pretalx_hub_etl_spark.llm.sampling import temperature_sample
+    import math
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    # groups of 400 / 100 / 25 rows: sqrt-temperature narrows the
+    # 16:4:1 ratio to 4:2:1
+    df = spark.range(525).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 400, F.lit("big"))
+        .when(F.col("id") < 500, F.lit("mid"))
+        .otherwise(F.lit("small"))
+        .alias("g"),
+    )
+    out = temperature_sample(df, "g", "doc_id", total_target=200)
+    counts = {r.g: r.c for r in out.groupBy("g").agg(F.count("*").alias("c")).collect()}
+    w = {g: math.floor(math.sqrt(n) * 1e6 + 0.5) for g, n in
+         (("big", 400), ("mid", 100), ("small", 25))}
+    tw = sum(w.values())
+    sizes = {"big": 400, "mid": 100, "small": 25}
+    for g in w:
+        # budget, naturally capped by the group's population
+        assert counts[g] == min(sizes[g], (200 * w[g]) // tw), (g, counts)
+    assert sum(counts.values()) <= 200
+    # deterministic: same input -> same kept set
+    a = {r.doc_id for r in out.collect()}
+    b = {r.doc_id for r in temperature_sample(df, "g", "doc_id", 200).collect()}
+    assert a == b
+    with _pytest.raises(ValueError, match="T=2"):
+        temperature_sample(df, "g", "doc_id", 10, temperature=3.0)

@@ -312,6 +312,10 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_resample_ohlc"]),
         ("L36", "deterministic exact-integer Lloyd k-means",
          ["q_kmeans_exact"]),
+        ("L38", "SemDeDup semantic dedup (cluster-local embedding prune)",
+         ["q_dedup_semantic"]),
+        ("L39", "temperature-scaled mixture resampling (sqrt budgets)",
+         ["q_mixture_temperature"]),
         ("L37", "preference-pair construction (DPO/reward-model data prep)",
          ["q_preference_pairs"]),
         ("L4b", "text normalization (C4-style pre-dedup canonicalizer)",

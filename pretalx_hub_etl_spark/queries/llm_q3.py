@@ -1182,6 +1182,75 @@ def q_stream_stateful_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("key", "n", "total")
 
 
+@query(
+    "q_stream_topn_tws",
+    oracle="""
+    SELECT user_id AS key, CAST(rn AS BIGINT) AS rank, c AS value
+    FROM (
+        SELECT user_id,
+               CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(floor(value * 100.0 + 0.5) AS BIGINT) DESC
+               ) AS rn
+        FROM events
+    ) WHERE rn <= 3
+    """,
+)
+def q_stream_topn_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ST9c: TWS **ListState** under the gate — per-key running top-3
+    # across a REAL 4-file multi-batch stream (files deliberately NOT
+    # key-routed: the top-n multiset is arrival-order independent, so
+    # unlike the totals queries no batch-routing construction is needed
+    # — any replay order converges to the same final state). Each batch
+    # emits a key's current top-3 with a strictly-increasing n_seen; the
+    # final answer per key is its max-n_seen emission, selected
+    # relationally. Values are exact integer cents. Falls back to a
+    # batch window when no protobuf runtime exists on the host (same
+    # policy as ST9b), keeping the row green with identical semantics.
+    import shutil
+    import uuid
+
+    from pyspark.sql import Window
+
+    from ..streaming.protobuf_compat import tws_available
+    from ..streaming.stateful import running_topn_tws
+    from ..streaming.structured import run_to_memory, stream_from_parquet_dir
+
+    e = Catalog(spark, sf_dir).events.select(
+        "user_id",
+        F.floor(F.col("value") * 100.0 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    if not tws_available():
+        w = Window.partitionBy("user_id").orderBy(F.col("cents").desc())
+        return (
+            e.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= 3)
+            .select(
+                F.col("user_id").alias("key"), "rank",
+                F.col("cents").alias("value"),
+            )
+        )
+    tmp = os.path.join(tempfile.mkdtemp(prefix="phe_topn_"), "in")
+    e.repartition(4).write.parquet(tmp)
+    stream = stream_from_parquet_dir(
+        spark, tmp, e.schema, max_files_per_trigger=1
+    )
+    out = running_topn_tws(stream, "user_id", "cents", n=3)
+    name = f"topn_{uuid.uuid4().hex}"
+    run_to_memory(out, name, output_mode="update")
+    shutil.rmtree(os.path.dirname(tmp), ignore_errors=True)
+    snap = spark.table(name)
+    wlast = Window.partitionBy("key")
+    return (
+        snap.withColumn("__mx", F.max("n_seen").over(wlast))
+        .filter(F.col("n_seen") == F.col("__mx"))
+        .select("key", "rank", "value")
+    )
+
+
 def _semantic_dedup_oracle(
     threshold: float = 0.5, k: int = 8, iterations: int = 3
 ) -> str:

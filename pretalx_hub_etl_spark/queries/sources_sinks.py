@@ -483,6 +483,85 @@ def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_scan_binaryfile",
+    oracle="""
+    -- the binaryFile scan feeds the SAME decode as q_multimodal_decode_png,
+    -- restricted to the 40 smallest doc_ids (the files the fixture writes);
+    -- length is the real on-disk PNG byte count, checked via n_bytes > 0
+    -- indirectly by the decode columns
+    WITH ids AS (
+        SELECT doc_id AS media_id FROM documents ORDER BY doc_id LIMIT 40
+    ), m AS (
+        SELECT media_id, 8 + media_id % 5 AS w, 8 + media_id % 7 AS h
+        FROM ids
+    )
+    SELECT media_id,
+           CAST(max(w) AS BIGINT) AS width,
+           CAST(max(h) AS BIGINT) AS height,
+           'L' AS mode,
+           CAST(count(*) AS BIGINT) AS n_bytes,
+           CAST(sum((3 * x.i + 5 * y.i + media_id) % 256) AS BIGINT)
+               AS pixel_sum
+    FROM m, unnest(range(0, w)) AS x(i), unnest(range(0, h)) AS y(i)
+    GROUP BY media_id
+    """,
+)
+def q_scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S14: Spark's binaryFile source — THE ingestion path for an image/
+    # audio corpus that arrives as loose object-store files rather than
+    # parquet-packed payload columns. The scan yields (path, length,
+    # modificationTime, content) with content as the raw bytes; at 100 TB
+    # pathGlobFilter + partitioned prefixes prune at the listing level
+    # and each file is one task input (no splitting — exactly right for
+    # encoded media). Fixture: 40 real PNG files written driver-side
+    # (id-named, the decode gradient), scanned back with binaryFile,
+    # ids re-derived from the PATH (regexp on the filename — the lineage
+    # idiom for file-per-record corpora), bytes decoded by the real
+    # codec, aggregates oracle-checked against the closed form.
+    import shutil
+
+    from ..llm.multimodal import decode_image
+    from ..llm.png_codec import png_encode
+
+    ids = [
+        int(r[0])
+        for r in Catalog(spark, sf_dir)
+        .documents.select("doc_id")
+        .orderBy("doc_id")
+        .limit(40)
+        .collect()
+    ]
+    tmp = os.path.join(tempfile.mkdtemp(prefix="phe_binfile_"), "imgs")
+    os.makedirs(tmp)
+    for i in ids:
+        w, h = 8 + i % 5, 8 + i % 7
+        px = bytes(
+            (3 * x + 5 * y + i) % 256 for y in range(h) for x in range(w)
+        )
+        with open(os.path.join(tmp, f"{i}.png"), "wb") as fh:
+            fh.write(png_encode(px, w, h, "L"))
+
+    scanned = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .load(tmp)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.png$", 1)
+            .cast("long")
+            .alias("media_id"),
+            F.col("content").alias("payload"),
+            "length",
+        )
+    )
+    out = decode_image(scanned, codec="pure")
+    # eager localCheckpoint forces the scan+decode BEFORE the fixture
+    # dir is removed; 40 tiny rows, no lingering cache
+    result = out.localCheckpoint()
+    shutil.rmtree(os.path.dirname(tmp), ignore_errors=True)
+    return result
+
+
+@query(
     "q_multimodal_decode_jpeg",
     oracle="""
     -- closed-form replay of the block-uniform JPEG fixture:

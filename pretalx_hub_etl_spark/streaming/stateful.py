@@ -175,3 +175,73 @@ def running_totals_tws(stream_df: DataFrame, key_col: str, value_col: str) -> Da
         outputMode="Update",
         timeMode="None",
     )
+
+
+TOPN_OUTPUT_SCHEMA = "key bigint, n_seen bigint, rank bigint, value bigint"
+
+
+def running_topn_tws(
+    stream_df: DataFrame, key_col: str, value_col: str, n: int = 3
+) -> DataFrame:
+    """Per-key running top-``n`` values across micro-batches on TWS
+    **ListState** — the second typed-state handle (``running_totals_tws``
+    covers ValueState).
+
+    ListState is the right container for bounded ranked state: ``put``
+    rewrites the ≤n survivors each batch, state stays O(n) per key no
+    matter how long the stream runs. Each batch that contains a key
+    emits that key's current top-n as ranked rows together with
+    ``n_seen`` (rows observed so far — strictly increasing per key, so a
+    consumer selects each key's final answer as its max-``n_seen``
+    emission). The top-n MULTISET of a stream is arrival-order
+    independent, which is what makes this operator's final state
+    oracle-able without any batch-routing construction.
+    """
+    spark = stream_df.sparkSession
+    if not enable_tws(spark):
+        raise NotImplementedError(
+            "transformWithStateInPandas requires google.protobuf and no "
+            "pure-python runtime was found on this host "
+            "(set SPARK_GRAFT_PROTOBUF_PATH)"
+        )
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTopN(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._top = handle.getListState("topn", "value bigint")
+            self._seen = handle.getValueState("seen", "n_seen bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            vals = [int(t[0]) for t in self._top.get()]
+            seen = int(self._seen.get()[0]) if self._seen.exists() else 0
+            for pdf in rows:
+                seen += len(pdf)
+                vals.extend(int(v) for v in pdf.iloc[:, -1])
+            vals = sorted(vals, reverse=True)[:n]
+            self._top.put([(v,) for v in vals])
+            self._seen.update((seen,))
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]] * len(vals),
+                    "n_seen": [seen] * len(vals),
+                    "rank": list(range(1, len(vals) + 1)),
+                    "value": vals,
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    prepared = stream_df.select(
+        F.col(key_col).alias("key"),
+        F.col(value_col).cast("long").alias("__v"),
+    )
+    return prepared.groupBy("key").transformWithStateInPandas(
+        RunningTopN(),
+        outputStructType=TOPN_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

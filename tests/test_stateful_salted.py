@@ -233,3 +233,54 @@ def test_running_totals_tws_accumulates_across_batches(spark, tmp_path):
     assert got[1] == (4, 17.0)
     assert got[2] == (1, 1.0)
     assert got[3] == (1, 7.0)
+
+
+def test_running_topn_tws_order_free(spark, tmp_path):
+    """ListState top-n converges to the same answer for any batch order."""
+    from pretalx_hub_etl_spark.streaming.protobuf_compat import tws_available
+    from pretalx_hub_etl_spark.streaming.stateful import running_topn_tws
+
+    if not tws_available():
+        import pytest
+
+        pytest.skip("no protobuf runtime discoverable on this host")
+
+    src = str(tmp_path / "topn_src")
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.LongType())]
+    )
+    spark.createDataFrame(
+        [(1, 10), (1, 50), (2, 7)], schema
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = running_topn_tws(stream, "k", "v", n=2)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_topn")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: key 1 gains a new max and a low value
+        spark.createDataFrame([(1, 99), (1, 1)], schema).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.sql(
+        """SELECT key, rank, value FROM (
+               SELECT *, max(n_seen) OVER (PARTITION BY key) AS mx
+               FROM t_topn
+           ) WHERE n_seen = mx"""
+    ).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.key, {})[r.rank] = r.value
+    assert got[1] == {1: 99, 2: 50}
+    assert got[2] == {1: 7}

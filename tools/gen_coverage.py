@@ -29,6 +29,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_sink_merge_upsert"]),
         ("S9", "small-file compaction (OPTIMIZE rewrite, footer-sized output)",
          ["q_sink_compact"]),
+        ("S14", "binaryFile scan: file-per-record media ingestion + decode",
+         ["q_scan_binaryfile"]),
         ("S10", "malformed-record handling (PERMISSIVE + corrupt-record column)",
          ["q_scan_badrecords"]),
         ("S11", "version retention vacuum on the MERGE table",
@@ -154,6 +156,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_stream_stateful_totals"]),
         ("ST9b", "transformWithStateInPandas typed-state totals (TWS)",
          ["q_stream_stateful_totals_tws"]),
+        ("ST9c", "TWS ListState running top-n (order-free convergence)",
+         ["q_stream_topn_tws"]),
         ("ST6b", "streaming keep-first dedup equivalence (real stream run)",
          ["q_stream_dedup_equiv"]),
         ("ST1b", "streaming tumbling-window agg equivalence (complete mode)",

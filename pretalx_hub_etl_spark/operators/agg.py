@@ -65,13 +65,26 @@ def salted_two_level_agg(
     unknown = {a for a, _ in aggs.values()} - set(_ALGEBRAIC)
     if unknown:
         raise ValueError(f"non-algebraic aggs not supported: {sorted(unknown)}")
-    if any(name == "count_distinct" for name, _ in aggs.values()):
-        allowed = set(keys) | {c for _, c in aggs.values()}
+    distinct_cols = {c for name, c in aggs.values() if name == "count_distinct"}
+    if distinct_cols:
+        # the disjointness argument needs equal (keys, value) rows to
+        # share a bucket, i.e. the salt must be a function of EXACTLY
+        # (keys, value): one distinct column, and no extra columns (a
+        # second distinct column — or any other column — would scatter
+        # equal values across buckets and double-count them)
+        if len(distinct_cols) > 1:
+            raise ValueError(
+                "count_distinct under salting supports ONE distinct "
+                f"column per call (got {sorted(distinct_cols)}): a salt "
+                "spanning two value columns breaks per-bucket "
+                "disjointness for both — run one call per column"
+            )
+        allowed = set(keys) | distinct_cols
         extra = set(df.columns) - allowed
         if extra:
             raise ValueError(
                 "count_distinct under salting needs every df column in "
-                f"keys∪agg-inputs (equal values must share a salt "
+                f"keys∪{{distinct col}} (equal values must share a salt "
                 f"bucket); drop {sorted(extra)} first"
             )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))

@@ -1251,6 +1251,63 @@ def q_stream_topn_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_stream_mapstate_tws",
+    oracle="""
+    SELECT user_id AS key, event_type AS subkey,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_mapstate_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ST9d: TWS **MapState** under the gate — per-(user, event_type)
+    # running counts across a REAL 4-file multi-batch stream, completing
+    # the typed-state trio (ValueState: ST9b totals; ListState: ST9c
+    # top-n). Updates touch only the subkeys present in each batch
+    # (point getValue/updateValue ops); each batch emits the key's full
+    # current map with a strictly-increasing n_seen, final map selected
+    # relationally as the max-n_seen emission. Counts are arrival-order
+    # independent — no key-routing construction needed. Batch-window
+    # fallback with identical semantics when no protobuf runtime exists.
+    import shutil
+    import uuid
+
+    from pyspark.sql import Window
+
+    from ..streaming.protobuf_compat import tws_available
+    from ..streaming.stateful import running_subkey_counts_tws
+    from ..streaming.structured import run_to_memory, stream_from_parquet_dir
+
+    e = Catalog(spark, sf_dir).events.select("user_id", "event_type")
+    if not tws_available():
+        return (
+            e.groupBy("user_id", "event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(
+                F.col("user_id").alias("key"),
+                F.col("event_type").alias("subkey"),
+                "cnt",
+            )
+        )
+    tmp = os.path.join(tempfile.mkdtemp(prefix="phe_mapst_"), "in")
+    e.repartition(4).write.parquet(tmp)
+    stream = stream_from_parquet_dir(
+        spark, tmp, e.schema, max_files_per_trigger=1
+    )
+    out = running_subkey_counts_tws(stream, "user_id", "event_type")
+    name = f"mapst_{uuid.uuid4().hex}"
+    run_to_memory(out, name, output_mode="update")
+    shutil.rmtree(os.path.dirname(tmp), ignore_errors=True)
+    snap = spark.table(name)
+    wlast = Window.partitionBy("key")
+    return (
+        snap.withColumn("__mx", F.max("n_seen").over(wlast))
+        .filter(F.col("n_seen") == F.col("__mx"))
+        .select("key", "subkey", "cnt")
+    )
+
+
 def _semantic_dedup_oracle(
     threshold: float = 0.5, k: int = 8, iterations: int = 3
 ) -> str:

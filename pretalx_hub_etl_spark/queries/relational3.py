@@ -698,3 +698,36 @@ def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "names"
         )
     )
+
+
+@query(
+    "q_agg_salted_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def q_agg_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A13b: skew-resistant EXACT count-distinct — the aggregation-skew
+    # case that actually needs salting: map-side partials make sum/count
+    # skew-immune, but Spark's distinct plan re-shuffles the distinct
+    # (key, value) stream ON THE KEY for the final count, and AQE's skew
+    # handling splits only join partitions. The full-row salt partitions
+    # the one distinct column's value set disjointly per key (equal rows
+    # share a bucket), so per-bucket counts sum exactly; ONE distinct
+    # column per call — a salt spanning two value columns would break
+    # disjointness for both (enforced in the operator). 3 hot groups
+    # over the whole lineitem scan is the hot-final-reducer regime.
+    # Measured on the 4M-row zipf fixture: salted max reducer 563k rows
+    # vs plain 2.07M on the distinct-pair stream (SKEW.json agg section).
+    from ..operators.agg import salted_two_level_agg
+
+    li = Catalog(spark, sf_dir).lineitem.select("l_returnflag", "l_partkey")
+    return salted_two_level_agg(
+        li,
+        ["l_returnflag"],
+        {"n_parts": ("count_distinct", "l_partkey")},
+        salt_buckets=16,
+    )

@@ -177,6 +177,88 @@ def running_totals_tws(stream_df: DataFrame, key_col: str, value_col: str) -> Da
     )
 
 
+MAPCOUNT_OUTPUT_SCHEMA = (
+    "key bigint, n_seen bigint, subkey string, cnt bigint"
+)
+
+
+def running_subkey_counts_tws(
+    stream_df: DataFrame, key_col: str, subkey_col: str
+) -> DataFrame:
+    """Per-(key, subkey) running counts on TWS **MapState** — the third
+    typed-state handle (ValueState: totals; ListState: top-n).
+
+    MapState is the right container for per-key sub-dictionaries
+    (per-user event-type counters, per-session feature maps): updates
+    touch ONLY the subkeys present in the batch — ``getValue``/
+    ``updateValue`` point ops against the state store, not a rewrite of
+    the whole per-key blob the ValueState encoding would need. Each
+    batch that contains a key emits that key's FULL current map with a
+    strictly-increasing ``n_seen``, so a consumer selects each key's
+    final map as its max-``n_seen`` emission; final counts are
+    arrival-order independent, so no key-routing construction is needed.
+    """
+    spark = stream_df.sparkSession
+    if not enable_tws(spark):
+        raise NotImplementedError(
+            "transformWithStateInPandas requires google.protobuf and no "
+            "pure-python runtime was found on this host "
+            "(set SPARK_GRAFT_PROTOBUF_PATH)"
+        )
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class SubkeyCounts(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._map = handle.getMapState(
+                "counts", "subkey string", "cnt bigint"
+            )
+            self._seen = handle.getValueState("seen", "n_seen bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            seen = int(self._seen.get()[0]) if self._seen.exists() else 0
+            delta: dict[str, int] = {}
+            for pdf in rows:
+                seen += len(pdf)
+                for s in pdf.iloc[:, -1]:
+                    delta[str(s)] = delta.get(str(s), 0) + 1
+            for sk, d in delta.items():
+                prev = (
+                    int(self._map.getValue((sk,))[0])
+                    if self._map.containsKey((sk,))
+                    else 0
+                )
+                self._map.updateValue((sk,), (prev + d,))
+            self._seen.update((seen,))
+            items = sorted(
+                (str(k_[0]), int(v_[0])) for k_, v_ in self._map.iterator()
+            )
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]] * len(items),
+                    "n_seen": [seen] * len(items),
+                    "subkey": [s for s, _ in items],
+                    "cnt": [c for _, c in items],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    prepared = stream_df.select(
+        F.col(key_col).alias("key"),
+        F.col(subkey_col).cast("string").alias("__s"),
+    )
+    return prepared.groupBy("key").transformWithStateInPandas(
+        SubkeyCounts(),
+        outputStructType=MAPCOUNT_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 TOPN_OUTPUT_SCHEMA = "key bigint, n_seen bigint, rank bigint, value bigint"
 
 

@@ -128,6 +128,8 @@ NESTED_LOOP_ALLOWED = {
     "q_graph_pagerank_sink",  # dangling-mass share as a 1-row broadcast/iter
     "q_drift_psi",           # per-side totals as 1-row broadcasts
     "q_rolling_distinct",    # max(day) bound as a 1-row broadcast
+    "q_dedup_semantic",      # Lloyd assignment: corpus × broadcast(K=8)
+    "q_mixture_temperature",  # Σw weight total as a 1-row broadcast
 }
 
 

@@ -284,3 +284,20 @@ def test_running_topn_tws_order_free(spark, tmp_path):
         got.setdefault(r.key, {})[r.rank] = r.value
     assert got[1] == {1: 99, 2: 50}
     assert got[2] == {1: 7}
+
+
+def test_salted_count_distinct_rejects_two_distinct_columns(spark):
+    import pytest
+
+    from pretalx_hub_etl_spark.operators.agg import salted_two_level_agg
+
+    df = spark.range(10).select(
+        F.col("id").alias("k"), F.col("id").alias("v"), F.col("id").alias("w")
+    )
+    # a salt spanning two value columns double-counts both (found by the
+    # first draft of q_agg_salted_distinct: 14348 vs the true 2000)
+    with pytest.raises(ValueError, match="ONE distinct column"):
+        salted_two_level_agg(
+            df, ["k"],
+            {"nv": ("count_distinct", "v"), "nw": ("count_distinct", "w")},
+        )

@@ -158,6 +158,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_stream_stateful_totals_tws"]),
         ("ST9c", "TWS ListState running top-n (order-free convergence)",
          ["q_stream_topn_tws"]),
+        ("ST9d", "TWS MapState per-(key, subkey) running counts",
+         ["q_stream_mapstate_tws"]),
         ("ST6b", "streaming keep-first dedup equivalence (real stream run)",
          ["q_stream_dedup_equiv"]),
         ("ST1b", "streaming tumbling-window agg equivalence (complete mode)",
@@ -256,6 +258,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_chi_square"]),
         ("AN9", "interval-union coverage (plane-sweep window)",
          ["q_interval_coverage"]),
+        ("A13b", "skew-salted exact count-distinct (disjoint salt buckets)",
+         ["q_agg_salted_distinct"]),
         ("A14b", "built-in bitmap exact distinct rollup (bitmap_* family)",
          ["q_distinct_bitmap_builtin"]),
         ("A14", "bitmap-exact re-aggregatable distinct counting",

@@ -483,6 +483,52 @@ def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_pyds",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_stream_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ST10: a CUSTOM Python streaming source (Spark 4
+    # SimpleDataSourceStreamReader) driven as a real streaming query —
+    # the streaming twin of S2/S3's paginated batch source: each
+    # microbatch serves one key page of orders (offset = next page lower
+    # bound, replay via readBetweenOffsets), aggregated in COMPLETE mode
+    # so the final snapshot equals the batch answer regardless of page
+    # boundaries. The upper bound comes from parquet footer statistics;
+    # ~8 pages -> a genuinely multi-batch run. Exact integer cents.
+    import uuid
+
+    from ..sources.paginated import parquet_key_upper_bound
+    from ..sources.pyds import register
+    from ..streaming.structured import run_to_memory
+
+    register(spark)
+    path = f"{sf_dir.rstrip('/')}/orders.parquet"
+    upper = parquet_key_upper_bound(path, "o_orderkey")
+    stream = (
+        spark.readStream.format("paged_parquet")
+        .option("path", path)
+        .option("key", "o_orderkey")
+        .option("page_size", str(max(1, upper // 8 + 1)))
+        .option("columns", "o_orderkey,o_orderpriority,o_totalprice")
+        .load()
+    )
+    agg = stream.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(fixed_cents(F.col("o_totalprice"))).alias("total_cents"),
+    )
+    name = f"pyds_{uuid.uuid4().hex}"
+    run_to_memory(agg, name, output_mode="complete")
+    return spark.table(name)
+
+
+@query(
     "q_scan_binaryfile",
     oracle="""
     -- the binaryFile scan feeds the SAME decode as q_multimodal_decode_png,

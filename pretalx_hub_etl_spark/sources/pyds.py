@@ -41,6 +41,7 @@ def build_paged_parquet_source():
         DataSource,
         DataSourceReader,
         InputPartition,
+        SimpleDataSourceStreamReader,
     )
     from pyspark.sql.types import StructType
 
@@ -136,6 +137,93 @@ def build_paged_parquet_source():
 
         def reader(self, schema: StructType) -> DataSourceReader:
             return _PagedParquetReader(self.options, self._columns())
+
+        def simpleStreamReader(self, schema: StructType):
+            return _PagedParquetStreamReader(self.options, self._columns())
+
+    class _PagedParquetStreamReader(SimpleDataSourceStreamReader):
+        """ST10: the STREAMING form of the paged source — one key page
+        per microbatch, offset = the next page's lower bound.
+
+        ``SimpleDataSourceStreamReader`` is the prefetch-on-driver tier
+        of Spark 4's Python streaming source API: ``read(start)`` hands
+        back (rows, nextOffset) and the engine persists the batch for
+        replay; ``readBetweenOffsets`` re-serves a committed range after
+        restart. Right for control-plane-sized pages (an HTTP cursor, a
+        CDC ledger); the partition-parallel ``DataSourceStreamReader``
+        tier is the 100 TB path and shares this offset scheme. When the
+        page range is exhausted, ``read`` returns an empty batch with an
+        unchanged offset — "no data available", which lets
+        ``processAllAvailable`` terminate.
+        """
+
+        def __init__(self, options, columns):
+            self.path = options["path"]
+            self.key = options["key"]
+            self.page_size = int(options.get("page_size", "1000"))
+            self.columns = columns
+            self._upper = None
+
+        def _upper_bound(self) -> int:
+            if self._upper is None:
+                import pyarrow.parquet as pq
+
+                meta = pq.ParquetFile(self.path).metadata
+                idx = meta.schema.names.index(self.key)
+                hi = None
+                for rg in range(meta.num_row_groups):
+                    st = meta.row_group(rg).column(idx).statistics
+                    if st is None or not st.has_min_max:
+                        raise ValueError(
+                            f"no min/max statistics for {self.key!r}"
+                        )
+                    hi = st.max if hi is None else max(hi, st.max)
+                self._upper = 0 if hi is None else int(hi) + 1
+            return self._upper
+
+        def initialOffset(self) -> dict:
+            return {"lo": 0}
+
+        def _page_rows(self, lo: int, hi: int):
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
+
+            pf = pq.ParquetFile(self.path)
+            idx = pf.metadata.schema.names.index(self.key)
+            groups = []
+            for rg in range(pf.metadata.num_row_groups):
+                st = pf.metadata.row_group(rg).column(idx).statistics
+                if st is None or st.min is None:
+                    groups.append(rg)
+                elif st.min < hi and st.max >= lo:
+                    groups.append(rg)
+            if not groups:
+                return iter([])
+            tbl = pf.read_row_groups(groups, columns=self.columns)
+            mask = pc.and_(
+                pc.greater_equal(tbl[self.key], lo),
+                pc.less(tbl[self.key], hi),
+            )
+            # a LIST ITERATOR, not a generator: the engine both calls
+            # next() on it (empty-batch validation) and pickles it into
+            # the prefetch cache for replay — list_iterator supports both
+            return iter(
+                [tuple(r.values()) for r in tbl.filter(mask).to_pylist()]
+            )
+
+        def read(self, start: dict):
+            lo = int(start["lo"])
+            upper = self._upper_bound()
+            if lo >= upper:
+                return iter([]), {"lo": lo}  # exhausted: no new data
+            hi = min(lo + self.page_size, upper)
+            return self._page_rows(lo, hi), {"lo": hi}
+
+        def readBetweenOffsets(self, start: dict, end: dict):
+            return self._page_rows(int(start["lo"]), int(end["lo"]))
+
+        def commit(self, end: dict) -> None:
+            pass  # nothing upstream to acknowledge for a parquet page
 
     return PagedParquetDataSource
 

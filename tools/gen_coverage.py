@@ -160,6 +160,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_stream_topn_tws"]),
         ("ST9d", "TWS MapState per-(key, subkey) running counts",
          ["q_stream_mapstate_tws"]),
+        ("ST10", "custom Python streaming source (paged offsets)",
+         ["q_stream_pyds"]),
         ("ST6b", "streaming keep-first dedup equivalence (real stream run)",
          ["q_stream_dedup_equiv"]),
         ("ST1b", "streaming tumbling-window agg equivalence (complete mode)",

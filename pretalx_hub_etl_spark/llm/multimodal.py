@@ -248,8 +248,9 @@ def resize_encoded_images(
     """
     out_schema = f"{id_col} long, payload binary, width int, height int"
 
-    png_codec, _, _ = _ship_codecs_by_value()
+    png_codec, _, jpeg_codec = _ship_codecs_by_value()
     png_decode, png_encode = png_codec.png_decode, png_codec.png_encode
+    jpeg_decode, is_jpeg = jpeg_codec.jpeg_decode, jpeg_codec.is_jpeg
     rn = png_codec.resize_nearest
     mode_channels = {
         m: png_codec._CHANNELS[t] for t, m in png_codec._MODES.items()
@@ -273,7 +274,17 @@ def resize_encoded_images(
                     img.save(buf, format="PNG")
                     payloads.append(buf.getvalue())
                 else:
-                    w, h, mode, px = png_decode(raw)
+                    # input dispatches on magic bytes (PNG or baseline
+                    # JPEG); OUTPUT is always PNG — resampling generally
+                    # destroys 8x8-block alignment, so a lossy re-encode
+                    # would forfeit exactness; the lossless target keeps
+                    # the resized pixels value-checkable (and this is the
+                    # normalize-to-lossless shape real vision-data
+                    # pipelines use for training shards)
+                    if is_jpeg(raw):
+                        w, h, mode, px = jpeg_decode(raw)
+                    else:
+                        w, h, mode, px = png_decode(raw)
                     out = rn(px, w, h, width, height, mode_channels[mode])
                     payloads.append(png_encode(out, width, height, mode))
                 ids.append(int(mid))

@@ -655,6 +655,53 @@ def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_multimodal_transcode_jpeg",
+    oracle="""
+    -- JPEG in -> nearest-resize -> PNG out -> decode, replayed via the
+    -- pinned source-index formula src = (dst * src_size) // dst_size
+    -- over the block-uniform JPEG closed form
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               12 + doc_id % 9 AS w, 12 + doc_id % 11 AS h
+        FROM documents
+    )
+    SELECT media_id,
+           CAST(10 AS BIGINT) AS width,
+           CAST(9 AS BIGINT) AS height,
+           'L' AS mode,
+           CAST(90 AS BIGINT) AS n_bytes,
+           CAST(sum(128 + 2 * (((3 * (((x.i * w) // 10) // 8)
+                                 + 5 * (((y.i * h) // 9) // 8)
+                                 + media_id) % 50) - 25)) AS BIGINT)
+               AS pixel_sum
+    FROM m, unnest(range(0, 10)) AS x(i), unnest(range(0, 9)) AS y(i)
+    GROUP BY media_id
+    """,
+)
+def q_multimodal_transcode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # L5e: cross-codec transcode chain, value-checked end-to-end — real
+    # JPEG bytes in (full Huffman/IDCT decode), nearest-neighbor resize,
+    # re-encode to PNG (the normalize-to-lossless shape vision training
+    # shards use: resampling destroys 8x8-block alignment, so a lossy
+    # re-encode would forfeit exactness), final decode must reproduce
+    # exactly the source pixels the pinned index formula selects from
+    # the block-uniform JPEG closed form. Exercises both codecs' encode
+    # AND decode halves in one row.
+    from ..llm.multimodal import (
+        attach_jpeg_media,
+        decode_image,
+        resize_encoded_images,
+    )
+
+    docs = Catalog(spark, sf_dir).documents.select(
+        F.col("doc_id").alias("media_id")
+    )
+    media = attach_jpeg_media(docs, "media_id")
+    resized = resize_encoded_images(media, width=10, height=9, codec="pure")
+    return decode_image(resized, codec="pure")
+
+
+@query(
     "q_multimodal_resize_png",
     oracle="""
     -- nearest-neighbor with the pinned source formula

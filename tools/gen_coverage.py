@@ -206,6 +206,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_multimodal_decode_png", "q_multimodal_resize_png"]),
         ("L5d", "real-codec baseline JPEG decode (pure-python+numpy codec)",
          ["q_multimodal_decode_jpeg"]),
+        ("L5e", "cross-codec transcode: JPEG -> resize -> PNG, value-checked",
+         ["q_multimodal_transcode_jpeg"]),
         ("L5c", "real-codec WAV/PCM16 audio decode / framing (stdlib codec)",
          ["q_multimodal_decode_wav", "q_multimodal_frames_wav"]),
         ("L6", "deterministic / stratified / weighted sampling, train-val-test split",

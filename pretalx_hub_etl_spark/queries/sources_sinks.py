@@ -483,6 +483,78 @@ def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_sink_merge_mor",
+    oracle="""
+    -- replay of the 4-commit MoR chain: v1 base, v2 upserts (%5, *),
+    -- v3 tombstones (%7), v4 upserts (%3, +) — later commit wins per key,
+    -- a tombstoned key returns only via a LATER upsert
+    WITH base AS (
+        SELECT c_custkey AS k, c_name AS name,
+               CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM customer
+    ), fin AS (
+        SELECT k,
+               CASE WHEN k % 3 = 0 THEN name || '+'
+                    WHEN k % 5 = 0 THEN name || '*'
+                    ELSE name END AS name,
+               CASE WHEN k % 3 = 0 THEN cents + 777
+                    WHEN k % 5 = 0 THEN cents + 10000
+                    ELSE cents END AS cents,
+               (k % 3 <> 0 AND k % 7 = 0) AS gone
+        FROM base
+    )
+    SELECT k AS c_custkey, name AS c_name, cents AS acct_cents
+    FROM fin WHERE NOT gone
+    """,
+)
+def q_sink_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S15: merge-on-read MERGE — the other half of the lakehouse trade
+    # (the CoW MergeSink rewrites the touched slice per commit; MoR
+    # writes ONLY the delta and the READER resolves per-key latest-wins
+    # across the version chain, Hudi-MOR/Iceberg-equality-delete style).
+    # Four commits: checkpointed base, an upsert delta, a tombstone-only
+    # delta, a second upsert delta that re-inserts some tombstoned keys
+    # — the returned read exercises the full resolution (union of delta
+    # scans + one key-window). Exact integer cents. Write amplification
+    # and compaction are pinned in tests/test_sources_sinks.py.
+    import shutil
+
+    from ..sinks.mor import MorTable
+
+    c = Catalog(spark, sf_dir).customer.select(
+        "c_custkey",
+        "c_name",
+        fixed_cents(F.col("c_acctbal")).alias("acct_cents"),
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="phe_mor_"), "t")
+    t = MorTable(path, "c_custkey")
+    t.init(c)
+    t.merge(
+        spark,
+        source=c.filter(F.col("c_custkey") % 5 == 0).select(
+            "c_custkey",
+            F.concat(F.col("c_name"), F.lit("*")).alias("c_name"),
+            (F.col("acct_cents") + 10000).alias("acct_cents"),
+        ),
+    )
+    t.merge(
+        spark,
+        deletes=c.filter(F.col("c_custkey") % 7 == 0).select("c_custkey"),
+    )
+    t.merge(
+        spark,
+        source=c.filter(F.col("c_custkey") % 3 == 0).select(
+            "c_custkey",
+            F.concat(F.col("c_name"), F.lit("+")).alias("c_name"),
+            (F.col("acct_cents") + 777).alias("acct_cents"),
+        ),
+    )
+    out = t.read(spark).localCheckpoint()
+    shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+    return out
+
+
+@query(
     "q_stream_pyds",
     oracle="""
     SELECT o_orderpriority,

@@ -1,0 +1,225 @@
+"""Merge-on-read (MoR) table: O(delta) writes, latest-wins reads.
+
+The copy-on-write ``MergeSink`` rewrites the touched table slice per
+MERGE — right for read-heavy tables, wrong for a 100 TB table taking
+frequent small upserts, where every commit would pay a table-sized (or
+partition-sized) rewrite. The MoR layout is the other half of the
+lakehouse trade (Hudi MOR, Iceberg equality deletes): a commit writes
+ONLY the new rows plus key tombstones, and the READER resolves per-key
+latest-wins across the version chain:
+
+    v<N>/data/     new/updated full rows of commit N        (delta-sized)
+    v<N>/deletes/  single-column key tombstones of commit N (delta-sized)
+    v<N>/_CHECKPOINT  marker: this commit's data/ is the FULL resolved
+                      state — readers start here and ignore v<N
+
+Read semantics: for each key, the highest-version event wins; an upsert
+event carries the row, a tombstone hides the key (until a later upsert
+re-inserts it). One union of delta scans + one window shuffle on the key
+— the classic MoR read tax, bounded by compaction.
+
+``compact()`` is the maintenance op that bounds the chain: it
+materializes the resolved state as a new checkpointed commit, after
+which readers scan one base plus the (empty) tail. Vacuum of superseded
+versions composes with ``MergeSink.vacuum``'s policy and stays out of
+scope here.
+
+Commits reuse the CoW sink's optimistic-concurrency protocol verbatim
+(stage into a hidden dir, atomic rename onto ``v<N>``, loser recomputes)
+— the transaction story is identical, only WHAT each version contains
+differs (deltas here, full states there).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .merge import _base_and_claim, _versions
+
+_CKPT = "_CHECKPOINT"
+
+
+class MorTable:
+    """Versioned parquet table with merge-on-read upserts/deletes."""
+
+    def __init__(self, path: str, key: str):
+        self.path = path
+        self.key = key
+
+    # -- commit protocol ----------------------------------------------------
+
+    def _commit(
+        self,
+        upserts: DataFrame | None,
+        delete_keys: DataFrame | None,
+        version: int,
+        checkpoint: bool = False,
+    ) -> None:
+        stage = os.path.join(self.path, f".stage-{uuid.uuid4().hex}")
+        os.makedirs(stage)
+        try:
+            if upserts is not None:
+                upserts.write.mode("errorifexists").parquet(
+                    os.path.join(stage, "data")
+                )
+            if delete_keys is not None:
+                delete_keys.select(
+                    F.col(delete_keys.columns[0]).alias(self.key)
+                ).write.mode("errorifexists").parquet(
+                    os.path.join(stage, "deletes")
+                )
+            if checkpoint:
+                with open(os.path.join(stage, _CKPT), "w") as fh:
+                    fh.write("")
+            # top-level commit marker: the shared version helpers
+            # (merge._versions / _base_and_claim) count a v<N> as
+            # committed iff v<N>/_SUCCESS exists
+            with open(os.path.join(stage, "_SUCCESS"), "w") as fh:
+                fh.write("")
+            final = os.path.join(self.path, f"v{version}")
+            try:
+                os.rename(stage, final)
+            except OSError as exc:
+                raise FileExistsError(str(exc)) from exc
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+
+    def init(self, df: DataFrame) -> None:
+        if _versions(self.path):
+            raise FileExistsError(f"MoR table already initialized: {self.path}")
+        os.makedirs(self.path, exist_ok=True)
+        self._commit(df, None, 1, checkpoint=True)
+
+    def merge(
+        self,
+        spark: SparkSession,
+        source: DataFrame | None = None,
+        deletes: DataFrame | None = None,
+        max_retries: int = 20,
+    ) -> int:
+        """Commit a delta: new/updated rows and/or key tombstones.
+
+        Writes ONLY the delta — no read, no rewrite of existing data
+        (contrast ``MergeSink.merge``, which materializes the whole new
+        state). Same precondition as SQL MERGE: at most one source row
+        per key per commit. Returns the committed version number.
+        """
+        if source is None and deletes is None:
+            raise ValueError("merge needs source rows and/or delete keys")
+        for _ in range(max_retries):
+            _, claim = _base_and_claim(self.path)
+            try:
+                self._commit(source, deletes, claim)
+            except FileExistsError:
+                continue  # lost the version race; deltas need no recompute
+            return claim
+        raise RuntimeError(
+            f"merge lost the version race {max_retries} times at {self.path}"
+        )
+
+    # -- read path ----------------------------------------------------------
+
+    def _chain(self) -> tuple[int, list[int]]:
+        """(start version, committed versions >= start): start is the
+        newest checkpointed commit (readers skip everything before)."""
+        versions = _versions(self.path)
+        if not versions:
+            raise FileNotFoundError(f"no version of MoR table at {self.path}")
+        start = versions[0]
+        for v in versions:
+            if os.path.exists(os.path.join(self.path, f"v{v}", _CKPT)):
+                start = v
+        return start, [v for v in versions if v >= start]
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """Resolved current state: per-key latest event wins.
+
+        One union over the delta scans since the last checkpoint + one
+        window shuffle on the key. Tombstones ride the same union as
+        rows with NULL payloads and ``__kind='d'``; within one version a
+        key is either upserted or deleted, never both, so (version) is a
+        total order per key.
+        """
+        start, chain = self._chain()
+        data_cols: list[str] | None = None
+        frames: list[DataFrame] = []
+        for v in chain:
+            vdir = os.path.join(self.path, f"v{v}")
+            ddir = os.path.join(vdir, "data")
+            tdir = os.path.join(vdir, "deletes")
+            if os.path.isdir(ddir):
+                df = spark.read.parquet(ddir)
+                if data_cols is None:
+                    data_cols = df.columns
+                frames.append(
+                    df.select(
+                        *data_cols,
+                        F.lit(v).alias("__v"),
+                        F.lit("u").alias("__kind"),
+                    )
+                )
+            if os.path.isdir(tdir):
+                t = spark.read.parquet(tdir)
+                if data_cols is None:
+                    raise ValueError(
+                        "MoR chain starts with a delete-only commit"
+                    )
+                frames.append(
+                    t.select(
+                        F.col(self.key),
+                        *[
+                            F.lit(None).alias(c)
+                            for c in data_cols
+                            if c != self.key
+                        ],
+                        F.lit(v).alias("__v"),
+                        F.lit("d").alias("__kind"),
+                    ).select(
+                        *data_cols,
+                        "__v",
+                        "__kind",
+                    )
+                )
+        events = frames[0]
+        for f in frames[1:]:
+            events = events.unionByName(f)
+        w = Window.partitionBy(self.key).orderBy(F.col("__v").desc())
+        return (
+            events.withColumn("__rn", F.row_number().over(w))
+            .filter((F.col("__rn") == 1) & (F.col("__kind") == "u"))
+            .drop("__v", "__kind", "__rn")
+        )
+
+    def compact(self, spark: SparkSession, max_retries: int = 20) -> int:
+        """Materialize the resolved state as a checkpointed commit —
+        the read tax collapses to one base scan until the next deltas.
+        Returns the committed version."""
+        state = self.read(spark)
+        for _ in range(max_retries):
+            _, claim = _base_and_claim(self.path)
+            try:
+                self._commit(state, None, claim, checkpoint=True)
+            except FileExistsError:
+                # a delta slipped in: re-resolve so the checkpoint
+                # includes it (a checkpoint must never hide later commits)
+                state = self.read(spark)
+                continue
+            return claim
+        raise RuntimeError(
+            f"compact lost the version race {max_retries} times at {self.path}"
+        )
+
+    def delta_bytes(self, version: int) -> int:
+        """On-disk bytes of one commit — the write-amplification witness."""
+        total = 0
+        vdir = os.path.join(self.path, f"v{version}")
+        for root, _dirs, files in os.walk(vdir):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += os.path.getsize(os.path.join(root, f))
+        return total

@@ -31,6 +31,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_sink_compact"]),
         ("S14", "binaryFile scan: file-per-record media ingestion + decode",
          ["q_scan_binaryfile"]),
+        ("S15", "merge-on-read table: O(delta) commits, latest-wins reads",
+         ["q_sink_merge_mor"]),
         ("S10", "malformed-record handling (PERMISSIVE + corrupt-record column)",
          ["q_scan_badrecords"]),
         ("S11", "version retention vacuum on the MERGE table",

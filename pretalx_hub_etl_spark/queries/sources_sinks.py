@@ -686,10 +686,12 @@ def q_scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- pixel(x,y) = 128 + 2*(((3*(x//8) + 5*(y//8) + id) % 50) - 25)
     -- over a (12+id%9) x (12+id%11) grid; DC-only blocks with even
     -- level-shifted values decode EXACTLY at quality 50 (Q00=16)
-    WITH m AS (
-        SELECT doc_id AS media_id,
-               12 + doc_id % 9 AS w, 12 + doc_id % 11 AS h
-        FROM documents
+    WITH ids AS (
+        SELECT doc_id AS media_id FROM documents ORDER BY doc_id LIMIT 150
+    ), m AS (
+        SELECT media_id,
+               12 + media_id % 9 AS w, 12 + media_id % 11 AS h
+        FROM ids
     )
     SELECT media_id,
            CAST(max(w) AS BIGINT) AS width,
@@ -719,8 +721,15 @@ def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # codec='auto' on clusters that ship it.
     from ..llm.multimodal import attach_jpeg_media, decode_image
 
-    docs = Catalog(spark, sf_dir).documents.select(
-        F.col("doc_id").alias("media_id")
+    # 150-doc subset: the per-image cost is a PYTHON Huffman decode
+    # (~50 ms each — the honest price of a pure-python entropy decoder);
+    # the subset keeps the parity sweep proportionate while every
+    # bitstream feature is still exercised
+    docs = (
+        Catalog(spark, sf_dir)
+        .documents.select(F.col("doc_id").alias("media_id"))
+        .orderBy("media_id")
+        .limit(150)
     )
     media = attach_jpeg_media(docs, "media_id")
     return decode_image(media, codec="pure")
@@ -732,10 +741,12 @@ def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- JPEG in -> nearest-resize -> PNG out -> decode, replayed via the
     -- pinned source-index formula src = (dst * src_size) // dst_size
     -- over the block-uniform JPEG closed form
-    WITH m AS (
-        SELECT doc_id AS media_id,
-               12 + doc_id % 9 AS w, 12 + doc_id % 11 AS h
-        FROM documents
+    WITH ids AS (
+        SELECT doc_id AS media_id FROM documents ORDER BY doc_id LIMIT 150
+    ), m AS (
+        SELECT media_id,
+               12 + media_id % 9 AS w, 12 + media_id % 11 AS h
+        FROM ids
     )
     SELECT media_id,
            CAST(10 AS BIGINT) AS width,
@@ -765,8 +776,11 @@ def q_multimodal_transcode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         resize_encoded_images,
     )
 
-    docs = Catalog(spark, sf_dir).documents.select(
-        F.col("doc_id").alias("media_id")
+    docs = (
+        Catalog(spark, sf_dir)
+        .documents.select(F.col("doc_id").alias("media_id"))
+        .orderBy("media_id")
+        .limit(150)
     )
     media = attach_jpeg_media(docs, "media_id")
     resized = resize_encoded_images(media, width=10, height=9, codec="pure")

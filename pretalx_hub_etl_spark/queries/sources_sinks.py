@@ -555,6 +555,71 @@ def q_sink_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_cdc_mor_feed",
+    oracle="""
+    -- the deltas ARE the change log: commits 2..4 replayed as typed
+    -- change events (upserts carry rows, deletes carry NULL payloads)
+    WITH base AS (
+        SELECT c_custkey AS k, c_name AS name,
+               CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM customer
+    )
+    SELECT 'upsert' AS __op, CAST(2 AS BIGINT) AS __commit,
+           k AS c_custkey, name || '*' AS c_name,
+           cents + 10000 AS acct_cents
+    FROM base WHERE k % 5 = 0
+    UNION ALL
+    SELECT 'delete', 3, k, NULL, NULL FROM base WHERE k % 7 = 0
+    UNION ALL
+    SELECT 'upsert', 4, k, name || '+', cents + 777
+    FROM base WHERE k % 3 = 0
+    """,
+)
+def q_cdc_mor_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S16: incremental consumption of the MoR chain — changes_since(1)
+    # returns exactly the commits a consumer has not seen, typed as
+    # upsert/delete events; no state diffing (contrast q_cdc_version_diff,
+    # which reconstructs changes by comparing two CoW snapshots), and
+    # scan cost is the consumed deltas only. The same 4-commit chain as
+    # q_sink_merge_mor; feed hashed event-for-event.
+    import shutil
+
+    from ..sinks.mor import MorTable
+
+    c = Catalog(spark, sf_dir).customer.select(
+        "c_custkey",
+        "c_name",
+        fixed_cents(F.col("c_acctbal")).alias("acct_cents"),
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="phe_morcdc_"), "t")
+    t = MorTable(path, "c_custkey")
+    t.init(c)
+    t.merge(
+        spark,
+        source=c.filter(F.col("c_custkey") % 5 == 0).select(
+            "c_custkey",
+            F.concat(F.col("c_name"), F.lit("*")).alias("c_name"),
+            (F.col("acct_cents") + 10000).alias("acct_cents"),
+        ),
+    )
+    t.merge(
+        spark,
+        deletes=c.filter(F.col("c_custkey") % 7 == 0).select("c_custkey"),
+    )
+    t.merge(
+        spark,
+        source=c.filter(F.col("c_custkey") % 3 == 0).select(
+            "c_custkey",
+            F.concat(F.col("c_name"), F.lit("+")).alias("c_name"),
+            (F.col("acct_cents") + 777).alias("acct_cents"),
+        ),
+    )
+    out = t.changes_since(spark, 1).localCheckpoint()
+    shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+    return out
+
+
+@query(
     "q_stream_pyds",
     oracle="""
     SELECT o_orderpriority,

@@ -214,6 +214,67 @@ class MorTable:
             f"compact lost the version race {max_retries} times at {self.path}"
         )
 
+    def changes_since(self, spark: SparkSession, version: int) -> DataFrame:
+        """CDC feed: every change event committed AFTER ``version`` —
+        ``(__op, __commit, <data columns>)`` with ``__op`` in
+        {'upsert', 'delete'} (delete rows carry NULL payloads).
+
+        This is the incremental-consumption face of the MoR layout: the
+        deltas ARE the change log, so a downstream consumer (a sync job,
+        a cache invalidator, the streaming MERGE) reads exactly the
+        commits it has not seen — no diffing of table states (contrast
+        ``merge.version_diff``, which reconstructs changes by comparing
+        two CoW snapshots). Scan cost is the consumed deltas only.
+        """
+        all_committed = _versions(self.path)
+        todo = [v for v in all_committed if v > version]
+        data_cols = None
+        # column layout from the newest checkpoint/base at or before the
+        # cursor (schema is append-only by construction)
+        for v in all_committed:
+            ddir = os.path.join(self.path, f"v{v}", "data")
+            if os.path.isdir(ddir):
+                data_cols = spark.read.parquet(ddir).columns
+                break
+        if data_cols is None:
+            raise FileNotFoundError(f"no data commit in {self.path}")
+        frames: list[DataFrame] = []
+        for v in todo:
+            vdir = os.path.join(self.path, f"v{v}")
+            ddir = os.path.join(vdir, "data")
+            tdir = os.path.join(vdir, "deletes")
+            if os.path.isdir(ddir):
+                frames.append(
+                    spark.read.parquet(ddir).select(
+                        F.lit("upsert").alias("__op"),
+                        F.lit(v).cast("long").alias("__commit"),
+                        *data_cols,
+                    )
+                )
+            if os.path.isdir(tdir):
+                frames.append(
+                    spark.read.parquet(tdir).select(
+                        F.lit("delete").alias("__op"),
+                        F.lit(v).cast("long").alias("__commit"),
+                        F.col(self.key),
+                        *[
+                            F.lit(None).alias(c)
+                            for c in data_cols
+                            if c != self.key
+                        ],
+                    ).select("__op", "__commit", *data_cols)
+                )
+        if not frames:
+            return spark.createDataFrame(
+                [],
+                "__op string, __commit long, "
+                + ", ".join(f"{c} string" for c in data_cols),
+            )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
     def delta_bytes(self, version: int) -> int:
         """On-disk bytes of one commit — the write-amplification witness."""
         total = 0

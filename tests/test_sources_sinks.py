@@ -541,3 +541,18 @@ def test_mor_table_resolution_compaction_and_write_amp(spark, tmp_path):
         ),
     )
     assert as_map(t.read(spark))[7] == ("post", 1)
+
+
+def test_mor_changes_since_cursor(spark, tmp_path):
+    from pretalx_hub_etl_spark.sinks.mor import MorTable
+
+    t = MorTable(str(tmp_path / "morcdc"), "k")
+    t.init(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    t.merge(spark, source=spark.createDataFrame([(3, "c")], "k long, v string"))
+    t.merge(spark, deletes=spark.createDataFrame([(1,)], "k long"))
+
+    all_changes = t.changes_since(spark, 1).collect()
+    got = sorted((r["__op"], r["__commit"], r.k, r.v) for r in all_changes)
+    assert got == [("delete", 3, 1, None), ("upsert", 2, 3, "c")]
+    # a caught-up cursor sees nothing
+    assert t.changes_since(spark, 3).count() == 0

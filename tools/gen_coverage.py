@@ -33,6 +33,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_scan_binaryfile"]),
         ("S15", "merge-on-read table: O(delta) commits, latest-wins reads",
          ["q_sink_merge_mor"]),
+        ("S16", "MoR CDC feed: deltas consumed as typed change events",
+         ["q_cdc_mor_feed"]),
         ("S10", "malformed-record handling (PERMISSIVE + corrupt-record column)",
          ["q_scan_badrecords"]),
         ("S11", "version retention vacuum on the MERGE table",

@@ -491,6 +491,90 @@ def q_stream_merge_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+@query(
+    "q_stream_mor_equiv",
+    oracle="""
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+           event_type, value
+    FROM (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+               event_type, value,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC
+               ) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_stream_mor_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ST7b: the streaming MERGE equivalence on the MERGE-ON-READ sink —
+    # each microbatch commits ONLY its delta (latest event per key in
+    # batch) via foreachBatch + MorTable.merge, no state rewrite per
+    # batch (contrast q_stream_merge_equiv's CoW sink, which rewrites
+    # the full state every commit — the write-amplification trade this
+    # sink exists to avoid); the READER then resolves latest-wins across
+    # the version chain. Equivalence argument is the same key-routing as
+    # the CoW twin: each user's rows land in ONE file -> one batch, so
+    # the per-batch keep-last-by-(ts, event_id) fully resolves the key
+    # and each key appears in exactly one delta — the final read is
+    # independent of batch arrival order. Oracle = one-shot batch
+    # latest-per-key.
+    import shutil
+
+    from pyspark.sql import Window
+
+    from ..sinks.mor import MorTable
+    from ..streaming.structured import stream_from_parquet_dir
+
+    e = Catalog(spark, sf_dir).events.select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="phe_mor_stream_")
+    src_dir = os.path.join(tmp, "in")
+    e.repartition(8, "user_id").write.parquet(src_dir)
+
+    stream = stream_from_parquet_dir(
+        spark, src_dir, e.schema, max_files_per_trigger=1
+    )
+    t = MorTable(os.path.join(tmp, "state"), "user_id")
+    t.init(spark.createDataFrame([], e.schema))
+
+    def commit_delta(bdf, _bid):
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        latest = (
+            bdf.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        t.merge(bdf.sparkSession, source=latest)
+
+    q = (
+        stream.writeStream.foreachBatch(commit_delta)
+        .option(
+            "checkpointLocation", os.path.join(tmp, "ckpt")
+        )
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    result = (
+        t.read(spark)
+        .select(
+            "user_id",
+            "event_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "event_type",
+            "value",
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    return result
+
+
 # --- AN15: OHLC bar resampling ----------------------------------------------
 
 

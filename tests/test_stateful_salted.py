@@ -301,3 +301,104 @@ def test_salted_count_distinct_rejects_two_distinct_columns(spark):
             df, ["k"],
             {"nv": ("count_distinct", "v"), "nw": ("count_distinct", "w")},
         )
+
+
+def test_tws_event_time_timers_fire_on_watermark(spark, tmp_path):
+    """ST9 family completeness: event-time timers — a key registers a
+    timer; when a later batch advances the watermark past it,
+    handleExpiredTimer emits the key's marker row."""
+    import datetime
+
+    import pandas as pd
+    import pytest
+
+    from pretalx_hub_etl_spark.streaming.protobuf_compat import (
+        enable_tws,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("no protobuf runtime discoverable on this host")
+    enable_tws(spark)
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class TimerProc(StatefulProcessor):
+        def init(self, handle):
+            self._handle = handle
+            self._n = handle.getValueState("n", "n bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = int(self._n.get()[0]) if self._n.exists() else 0
+            mx = None
+            for pdf in rows:
+                n += len(pdf)
+                ts = pd.to_datetime(pdf.iloc[:, -1]).max()
+                mx = ts if mx is None else max(mx, ts)
+            self._n.update((n,))
+            # fire 1s after this key's newest event time
+            expiry_ms = int(mx.timestamp() * 1000) + 1000
+            self._handle.registerTimer(expiry_ms)
+            yield pd.DataFrame(
+                {"k": [key[0]], "kind": ["n"], "val": [n]}
+            )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            yield pd.DataFrame(
+                {
+                    "k": [key[0]],
+                    "kind": ["timer"],
+                    "val": [expiredTimerInfo.getExpiryTimeInMs()],
+                }
+            )
+
+        def close(self):
+            pass
+
+    src = str(tmp_path / "timer_src")
+    schema = "k long, ts timestamp"
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+
+    def stage(rows, mode):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            mode
+        ).parquet(src)
+
+    stage([(1, t0)], "overwrite")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "0 seconds")
+    )
+    out = stream.groupBy("k").transformWithStateInPandas(
+        TimerProc(),
+        outputStructType="k bigint, kind string, val bigint",
+        outputMode="Update",
+        timeMode="EventTime",
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_timers")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: a much later event on ANOTHER key advances the
+        # watermark far past key 1's (t0 + 1s) timer
+        stage([(2, t0 + datetime.timedelta(seconds=500))], "append")
+        q.processAllAvailable()
+        # one more batch so the fired-timer output is surfaced even if
+        # the engine defers timer evaluation to the next microbatch
+        stage([(2, t0 + datetime.timedelta(seconds=600))], "append")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.sql("SELECT * FROM t_timers").collect()
+    kinds = {(r.k, r.kind) for r in rows}
+    assert (1, "n") in kinds and (2, "n") in kinds
+    timer_rows = [r for r in rows if r.kind == "timer" and r.k == 1]
+    assert timer_rows, f"no expired-timer emission for key 1: {rows}"
+    want_expiry = int(t0.timestamp() * 1000) + 1000
+    assert timer_rows[0].val == want_expiry

@@ -154,6 +154,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_stream_dedup"]),
         ("ST7", "batch ≡ streaming foreachBatch-merge equivalence",
          ["q_stream_merge_equiv"]),
+        ("ST7b", "streaming MERGE onto the merge-on-read sink (delta commits)",
+         ["q_stream_mor_equiv"]),
         ("ST8", "stream-stream interval join (watermarked, memory-sink run)",
          ["q_stream_interval_join"]),
         ("ST9", "custom stateful operator (applyInPandasWithState totals)",

@@ -548,6 +548,51 @@ def q_fn_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_fn_udtf_arrow",
+    oracle="""
+    WITH idx AS (
+        SELECT doc_id, n_chars,
+               unnest(range(0, CAST(ceil(n_chars / 200.0) AS BIGINT)))
+                   AS chunk_idx
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(least(200, n_chars - chunk_idx * 200) AS BIGINT) AS chunk_len
+    FROM idx
+    """,
+)
+def q_fn_udtf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # UD2b: the SAME table function under Arrow-optimized execution
+    # (`useArrow=True`, Spark 4): eval logic is unchanged Python, but
+    # output rows cross the boundary as Arrow batches instead of
+    # pickled rows — the serialization tier that matters once a UDTF's
+    # fan-out is large (chunk expansion at corpus scale emits ~n_chars/
+    # size rows per doc). Same oracle as the row-serialized UD2 twin;
+    # identical results is exactly the point.
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx bigint, chunk_len bigint", useArrow=True)
+    class ChunkSpansArrow:
+        def eval(self, n_chars: int, size: int):
+            if n_chars is None or n_chars <= 0:
+                return
+            full = (n_chars + size - 1) // size
+            for i in range(full):
+                yield i, min(size, n_chars - i * size)
+
+    spark.udtf.register("chunk_spans_arrow", ChunkSpansArrow)
+    d = Catalog(spark, sf_dir).documents
+    d.createOrReplaceTempView("__udtf_docs_arrow")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.chunk_idx, s.chunk_len
+        FROM __udtf_docs_arrow d,
+             LATERAL chunk_spans_arrow(d.n_chars, 200) s
+        """
+    )
+
+
 # --- AN8: chi-square contingency (categorical association) ------------------
 
 

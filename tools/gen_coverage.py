@@ -189,6 +189,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
         ("UD1", "Arrow pandas UDF ≡ built-in", ["q_udf_pandas"]),
         ("UD2", "Spark 4 Python UDTF (SQL LATERAL table function)",
          ["q_fn_udtf"]),
+        ("UD2b", "Arrow-optimized Python UDTF (useArrow=True)",
+         ["q_fn_udtf_arrow"]),
         ("UD3", "grouped-agg pandas UDAF ≡ built-in aggregate",
          ["q_udaf_grouped"]),
     ]),

@@ -71,6 +71,12 @@ HEADLINE = [
     "q_dedup_substrings",   # cross-doc repeated-span dedup (gram postings)
     "q_dedup_near_md5",     # portable-hash MinHash-LSH witness
     "q_mixture_interleave",  # weighted keep + global interleave rank
+    # round-8 additions (keep ABOVE entries stable: cross-round deltas
+    # compare the common prefix)
+    "q_dedup_semantic",     # SemDeDup: cluster-local embedding dedup
+    "q_agg_salted_distinct",  # skew-salted exact count-distinct
+    "q_sink_merge_mor",     # merge-on-read: O(delta) commits + resolve
+    "q_mixture_temperature",  # sqrt-temperature mixture budgets
 ]
 
 

@@ -402,3 +402,72 @@ def test_tws_event_time_timers_fire_on_watermark(spark, tmp_path):
     assert timer_rows, f"no expired-timer emission for key 1: {rows}"
     want_expiry = int(t0.timestamp() * 1000) + 1000
     assert timer_rows[0].val == want_expiry
+
+
+def test_tws_state_survives_query_restart(spark, tmp_path):
+    """RocksDB-backed TWS state is durable across a full query
+    stop/start on the same checkpoint: totals keep accumulating."""
+    import pytest
+
+    from pretalx_hub_etl_spark.streaming.protobuf_compat import tws_available
+    from pretalx_hub_etl_spark.streaming.stateful import running_totals_tws
+
+    if not tws_available():
+        pytest.skip("no protobuf runtime discoverable on this host")
+
+    src = str(tmp_path / "restart_src")
+    ckpt = str(tmp_path / "restart_ckpt")
+    schema = T.StructType(
+        [T.StructField("user_id", T.LongType()), T.StructField("value", T.DoubleType())]
+    )
+
+    def stage(rows, mode):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            mode
+        ).parquet(src)
+
+    outdir = str(tmp_path / "restart_out")
+
+    def start():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = running_totals_tws(stream, "user_id", "value")
+
+        # memory sink cannot recover from a checkpoint; foreachBatch ->
+        # parquet is the restartable sink shape
+        def sink(bdf, bid):
+            bdf.write.mode("append").parquet(outdir)
+
+        return (
+            out.writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    stage([(1, 10.0), (2, 5.0)], "overwrite")
+    q1 = start()
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+
+    # second incarnation of the query on the SAME checkpoint: new file
+    # arrives, per-key totals must CONTINUE from the stored state
+    stage([(1, 7.0)], "append")
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    rows = {r.key: (r.n, r.total) for r in (
+        spark.read.parquet(outdir)
+        .groupBy("key")
+        .agg(F.max("n").alias("n"), F.max("total").alias("total"))
+        .collect()
+    )}
+    assert rows[1] == (2, 17.0)  # 10 before restart + 7 after

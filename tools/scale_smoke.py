@@ -81,6 +81,12 @@ WORKLOAD_NOTES = {
     "necessarily shows exponent ~2 here",
     "q_dedup_substrings": "cross-replica grams disjoint; within-replica "
     "duplicate mass grows with corpus",
+    "q_dedup_semantic": "workload-quadratic at FIXED n_centroids by "
+    "construction: cluster-local pair work is ~n^2/K and this query pins "
+    "K=8 for its oracle, so 10x input -> ~100x pair evaluations (wall "
+    "grew only 22.6x - per-pair cost fell); the operator's documented "
+    "production contract scales K with the corpus to hold per-cluster "
+    "membership constant, which restores linearity",
     "q_dedup_embed_md5": "output-bound on this fixture (measured: 10x "
     "input -> 1001x output pairs, 10,333 -> 10,350,090): every base "
     "pair under the 0.3 threshold multiplies across 10x10 replica "

@@ -638,7 +638,7 @@ def q_stream_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bound, replay via readBetweenOffsets), aggregated in COMPLETE mode
     # so the final snapshot equals the batch answer regardless of page
     # boundaries. The upper bound comes from parquet footer statistics;
-    # ~8 pages -> a genuinely multi-batch run. Exact integer cents.
+    # ~4 pages -> a genuinely multi-batch run (each microbatch pays a full python-runner round trip, so page count is the query's whole cost). Exact integer cents.
     import uuid
 
     from ..sources.paginated import parquet_key_upper_bound
@@ -652,7 +652,7 @@ def q_stream_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.format("paged_parquet")
         .option("path", path)
         .option("key", "o_orderkey")
-        .option("page_size", str(max(1, upper // 8 + 1)))
+        .option("page_size", str(max(1, upper // 4 + 1)))
         .option("columns", "o_orderkey,o_orderpriority,o_totalprice")
         .load()
     )

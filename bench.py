@@ -260,7 +260,7 @@ def main() -> None:
                 print(json.dumps({"scaling": json.load(fh)}))
         except (OSError, ValueError):
             pass
-    headline_line = json.dumps(record)
+    headline_line = json.dumps(record, separators=(",", ":"))
     if len(headline_line) > 1800:
         # keep the headline line comfortably inside the driver's tail
         # capture: move the most verbose optional keys onto their own
@@ -268,7 +268,7 @@ def main() -> None:
         for key in ("inputs", "spread_median_minus_min", "preflight"):
             if key in record:
                 print(json.dumps({key: record.pop(key)}))
-            headline_line = json.dumps(record)
+            headline_line = json.dumps(record, separators=(",", ":"))
             if len(headline_line) <= 1800:
                 break
     print(headline_line)

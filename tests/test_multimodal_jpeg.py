@@ -124,3 +124,57 @@ def test_pil_agrees_on_dc_only_fixture():
     img = Image.open(io.BytesIO(enc))
     assert img.size == (24, 16)
     assert img.tobytes() == px  # DC-only blocks are exact in any IDCT
+
+
+# --- property tests (pure python, no SparkSession) ---------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAS_HYP = True
+except ImportError:  # pragma: no cover
+    HAS_HYP = False
+
+
+if HAS_HYP:
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=40),
+        h=st.integers(min_value=1, max_value=40),
+        key=st.integers(min_value=0, max_value=10_000),
+    )
+    def test_prop_block_uniform_roundtrip_exact(w, h, key):
+        """Any size (including partial edge blocks) of any block-uniform
+        even-valued image round-trips EXACTLY at quality 50."""
+        px = _block_uniform(w, h, key)
+        W, H, mode, out = jpeg_decode(jpeg_encode(px, w, h, "L"))
+        assert (W, H, mode) == (w, h, "L")
+        assert out == px
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+        q=st.sampled_from([75, 90, 95]),
+    )
+    def test_prop_random_image_decode_is_total_and_bounded(seed, q):
+        """Arbitrary smooth-ish content: encode->decode never raises,
+        preserves dimensions, and stays within a quantization-scaled
+        error envelope."""
+        rng = np.random.default_rng(seed)
+        w = int(rng.integers(4, 33))
+        h = int(rng.integers(4, 33))
+        # low-frequency content: random per-block base + mild ramp
+        base = rng.integers(40, 216, ((h + 7) // 8, (w + 7) // 8))
+        img = np.empty((h, w), dtype=np.uint8)
+        for y in range(h):
+            for x in range(w):
+                img[y, x] = base[y // 8, x // 8] + (x % 8) + (y % 8)
+        W, H, mode, out = jpeg_decode(
+            jpeg_encode(img.tobytes(), w, h, "L", quality=q)
+        )
+        assert (W, H, mode) == (w, h, "L")
+        got = np.frombuffer(out, dtype=np.uint8).reshape(h, w).astype(int)
+        # worst quantization step at q>=75 for low-frequency content
+        assert np.abs(got - img.astype(int)).max() <= 24

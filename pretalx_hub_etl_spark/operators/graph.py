@@ -215,3 +215,77 @@ def pagerank(
         ):
             ranks = ranks.localCheckpoint(eager=False)
     return ranks.select(F.col("x").alias("vertex"), F.col("r").alias("pr"))
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    max_hops: int = 3,
+    undirected: bool = True,
+    checkpoint_every: int | None = 2,
+) -> DataFrame:
+    """Multi-source breadth-first search: ``(vertex, hops)`` — the exact
+    minimum hop count from the nearest source, for every vertex within
+    ``max_hops`` (sources themselves at 0).
+
+    Pregel-style frontier expansion, expressed as DataFrame joins:
+
+        frontier(0) = sources
+        frontier(h) = distinct(neighbors(frontier(h-1))) \\ visited
+        visited     = union of all frontiers so far, tagged with h
+
+    Per iteration the dataflow is ONE equi-join of the edge list
+    against the CURRENT frontier on the source key (shuffle keyed on
+    vertex id — at scale this is the frontier-sized probe of a
+    hash-partitioned edge table, never an all-vertex scan), one
+    ``distinct`` on the candidate set, and one anti-join against the
+    visited set to drop already-labelled vertices — the monotone-BFS
+    invariant (a vertex's first discovery is at its minimum hop count)
+    is what lets min-distance be computed WITHOUT a min-aggregation
+    over all paths. Iteration count is fixed (no driver-side
+    convergence read); the edge list is persisted once; each frontier
+    is persisted for its two consumers (expand + next anti-join) and
+    released after; the growing visited set is lazily
+    ``localCheckpoint``-ed every ``checkpoint_every`` iterations so
+    plan depth stays constant (same policy as :func:`pagerank`).
+
+    ``undirected=True`` symmetrizes the edge list first (one
+    union+distinct, done once, inside the same persist).
+    """
+    u, v = F.col(src), F.col(dst)
+    e = edges.select(u.alias("u"), v.alias("v")).filter(
+        F.col("u") != F.col("v")
+    )
+    if undirected:
+        e = e.unionAll(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+    e = e.distinct().persist()
+    dist = (
+        sources.select(F.col(sources.columns[0]).alias("x"))
+        .distinct()
+        .withColumn("hops", F.lit(0).cast("int"))
+    )
+    frontier = dist.select("x").persist()
+    for h in range(1, max_hops + 1):
+        nxt = (
+            e.join(frontier.withColumnRenamed("x", "u"), "u")
+            .select(F.col("v").alias("x"))
+            .distinct()
+            .join(dist.select("x"), "x", "left_anti")
+            .persist()
+        )
+        dist = dist.unionAll(
+            nxt.withColumn("hops", F.lit(h).cast("int"))
+        )
+        if (
+            checkpoint_every
+            and h % checkpoint_every == 0
+            and h < max_hops
+        ):
+            dist = dist.localCheckpoint(eager=False)
+        frontier.unpersist()
+        frontier = nxt
+    return dist.select(F.col("x").alias("vertex"), F.col("hops"))

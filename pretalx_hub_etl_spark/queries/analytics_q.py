@@ -1474,3 +1474,74 @@ def q_distinct_bitmap_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_region_bucket.groupBy(
         F.col("n_regionkey").cast("long").alias("region")
     ).agg(F.sum(F.bitmap_count(F.col("bm"))).cast("long").alias("n_distinct"))
+
+
+# --- GR4: multi-source BFS shortest hops ------------------------------------
+
+
+def _bfs_oracle(max_hops: int) -> str:
+    # frontier expansion unrolled into CTEs (same policy as the
+    # pagerank oracle: DuckDB has no mutable state, each BFS level is
+    # one join + anti-filter CTE pair); UNION (not ALL) in `e`
+    # symmetrizes + dedups the edge list exactly as the engine's
+    # union/distinct does.
+    ctes = [
+        """e0 AS (
+        SELECT a.c_custkey AS u, b.c_custkey AS v
+        FROM customer a JOIN customer b
+          ON a.c_nationkey = b.c_nationkey
+         AND a.c_custkey < b.c_custkey
+         AND b.c_custkey - a.c_custkey <= 100
+    )""",
+        "e AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0)",
+        """d0 AS (
+        SELECT CAST(min(c_custkey) AS BIGINT) AS x, 0 AS hops
+        FROM customer GROUP BY c_nationkey
+    )""",
+        "f0 AS (SELECT x FROM d0)",
+    ]
+    for h in range(1, max_hops + 1):
+        ctes.append(
+            f"""f{h} AS (
+        SELECT DISTINCT e.v AS x
+        FROM e JOIN f{h - 1} f ON e.u = f.x
+        WHERE e.v NOT IN (SELECT x FROM d{h - 1})
+    )"""
+        )
+        ctes.append(
+            f"d{h} AS (SELECT x, hops FROM d{h - 1} "
+            f"UNION ALL SELECT x, {h} FROM f{h})"
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT x AS vertex, CAST(hops AS INT) AS hops"
+        f" FROM d{max_hops}"
+    )
+
+
+_BFS_HOPS = 3
+
+
+@query("q_graph_bfs", oracle=_bfs_oracle(_BFS_HOPS))
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Multi-source BFS over the undirected banded same-nation customer
+    # graph (the q_graph_pagerank fixture, symmetrized): sources are
+    # each nation's minimum custkey, output is every vertex within 3
+    # hops with its exact minimum hop count. Scale shape: per level one
+    # frontier⋈edges equi-join + one anti-join against the visited set
+    # — frontier-sized probes, never an all-vertex scan
+    # (operators/graph.py bfs_hops).
+    from ..operators.graph import bfs_hops
+
+    c = Catalog(spark, sf_dir).customer.select("c_custkey", "c_nationkey")
+    a, b = c.alias("a"), c.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey"))
+        & (F.col("b.c_custkey") - F.col("a.c_custkey") <= 100),
+    ).select(F.col("a.c_custkey").alias("u"), F.col("b.c_custkey").alias("v"))
+    sources = c.groupBy("c_nationkey").agg(
+        F.min("c_custkey").cast("long").alias("x")
+    ).select("x")
+    return bfs_hops(edges, sources, max_hops=_BFS_HOPS, undirected=True)

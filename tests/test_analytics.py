@@ -584,3 +584,43 @@ def test_pagerank_sink_redistribution_conserves_mass(spark):
     }
     assert sum(got.values()) > sum(leaky.values())
     assert sum(got.values()) >= int(n * scale * 0.93)
+
+
+def test_bfs_hops_matches_driver_replay(spark):
+    from pretalx_hub_etl_spark.operators.graph import bfs_hops
+
+    # path 1-2-3-4-5, branch 3-6, isolated pair 8-9 (unreachable)
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (3, 6), (8, 9)]
+    e = spark.createDataFrame(edges, "u long, v long")
+    srcs = spark.createDataFrame([(1,)], "x long")
+    got = {
+        r.vertex: r.hops
+        for r in bfs_hops(e, srcs, max_hops=3, undirected=True).collect()
+    }
+    # driver-side BFS replay
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    want, frontier = {1: 0}, {1}
+    for h in range(1, 4):
+        frontier = {
+            v for u in frontier for v in adj.get(u, ()) if v not in want
+        }
+        want.update({v: h for v in frontier})
+    assert got == want
+    assert 5 not in got and 8 not in got  # beyond max_hops / unreachable
+
+
+def test_bfs_hops_directed_and_multi_source(spark):
+    from pretalx_hub_etl_spark.operators.graph import bfs_hops
+
+    edges = [(1, 2), (2, 3), (3, 1), (4, 3)]
+    e = spark.createDataFrame(edges, "u long, v long")
+    srcs = spark.createDataFrame([(1,), (4,)], "x long")
+    got = {
+        r.vertex: r.hops
+        for r in bfs_hops(e, srcs, max_hops=2, undirected=False).collect()
+    }
+    # directed: 4->3 only; 1 reaches 2 then 3, but 3 is closer via 4
+    assert got == {1: 0, 4: 0, 2: 1, 3: 1}

@@ -286,6 +286,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_graph_pagerank"]),
         ("GR2b", "PageRank with dangling-mass sink redistribution",
          ["q_graph_pagerank_sink"]),
+        ("GR3", "multi-source BFS shortest hops (frontier expansion)",
+         ["q_graph_bfs"]),
         ("AN10", "weekly cohort retention matrix",
          ["q_retention_cohort"]),
         ("AN11", "LOCF gap-fill over a generated time spine",

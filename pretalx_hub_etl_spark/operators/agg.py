@@ -469,3 +469,65 @@ def exact_global_quantiles_cont(
     return pivoted.select(
         "fraction", (v_lo + (v_hi - v_lo) * frac_lit).alias("value")
     )
+
+
+def histogram_quantile_rollup(
+    df: DataFrame,
+    cents_col: str,
+    width_cents: int,
+    q_pcts: list[int],
+    partial_col: str | None = None,
+) -> DataFrame:
+    """Equi-width-histogram quantile estimation as a MERGEABLE rollup:
+    ``(q_pct, est_cents)`` — for each requested percentage the lower
+    edge of the first histogram bin whose cumulative count reaches
+    ``ceil(q_pct% · total)``.
+
+    The re-aggregatable-summary pattern (the exact-count sibling of the
+    HLL rollup A5b and the bitmap rollup A14): the corpus-sized scan
+    produces PARTIAL per-``partial_col`` histograms (one map-side-
+    combined shuffle — at 100 TB these are the per-day / per-partition
+    summaries a pipeline stores), the partials MERGE by summing bin
+    counts (associative + commutative, so summaries roll up across
+    days without re-scanning the corpus), and quantiles finalize from
+    the merged cumulative counts — a bins-sized window, never a
+    corpus-sized sort. Estimation error is bounded by the bin width
+    (choose width per the value range / accuracy contract); the
+    deterministic integer formulation (exact cents, floor-division
+    binning, ``cum·100 ≥ q·total`` integer comparison) makes the
+    estimate bit-identical across engines — no float quantile
+    interpolation.
+    """
+    from pyspark.sql import Window
+
+    parts = [F.col(partial_col)] if partial_col else []
+    binned = df.select(
+        *parts,
+        ((F.col(cents_col) - F.pmod(F.col(cents_col), F.lit(width_cents)))
+         / F.lit(width_cents)).cast("long").alias("bin"),
+    )
+    # partial per-partition histograms (stored summaries at scale) ...
+    partial = binned.groupBy(*(parts + [F.col("bin")])).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # ... merged by summing counts: bins-sized, not corpus-sized
+    merged = partial.groupBy("bin").agg(F.sum("n").alias("n"))
+    wcum = Window.orderBy(F.col("bin").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = merged.select(
+        "bin",
+        F.sum("n").over(wcum).cast("long").alias("cum"),
+        F.sum("n").over(Window.partitionBy()).cast("long").alias("total"),
+    )
+    qs = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(int(q),) for q in q_pcts], "q_pct long"
+        )
+    )
+    return (
+        cum.crossJoin(qs)
+        .filter(F.col("cum") * 100 >= F.col("q_pct") * F.col("total"))
+        .groupBy("q_pct")
+        .agg((F.min("bin") * width_cents).cast("long").alias("est_cents"))
+    )

@@ -123,6 +123,7 @@ def load_all() -> dict[str, QuerySpec]:
         llm_q,
         llm_q2,
         llm_q3,
+        llm_q4,
         pipeline_q,
         reconcile_q,
         relational,

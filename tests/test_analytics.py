@@ -624,3 +624,37 @@ def test_bfs_hops_directed_and_multi_source(spark):
     }
     # directed: 4->3 only; 1 reaches 2 then 3, but 3 is closer via 4
     assert got == {1: 0, 4: 0, 2: 1, 3: 1}
+
+
+def test_histogram_quantile_rollup_matches_replay(spark):
+    from pretalx_hub_etl_spark.operators.agg import histogram_quantile_rollup
+
+    vals = [(g, c) for g in ("a", "b") for c in range(0, 1000, 7)]
+    df = spark.createDataFrame(vals, "g string, c long")
+    got = {
+        r.q_pct: r.est_cents
+        for r in histogram_quantile_rollup(
+            df, "c", width_cents=100, q_pcts=[50, 95], partial_col="g"
+        ).collect()
+    }
+    # driver replay: bin = c // 100, est = lower edge of first bin with
+    # cum*100 >= q*total
+    from collections import Counter
+
+    bins = Counter(c // 100 for _, c in vals)
+    total = sum(bins.values())
+    want = {}
+    for q in (50, 95):
+        cum = 0
+        for b in sorted(bins):
+            cum += bins[b]
+            if cum * 100 >= q * total:
+                want[q] = b * 100
+                break
+    assert got == want
+    # negative values bin by floor division (exactness guard)
+    neg = spark.createDataFrame([("a", -150), ("a", 50)], "g string, c long")
+    est = histogram_quantile_rollup(
+        neg, "c", width_cents=100, q_pcts=[25]
+    ).collect()
+    assert est[0].est_cents == -200  # floor(-150/100) = -2

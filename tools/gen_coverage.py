@@ -338,6 +338,10 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_dedup_semantic"]),
         ("L39", "temperature-scaled mixture resampling (sqrt budgets)",
          ["q_mixture_temperature"]),
+        ("L40", "rejection sampling (verifier-gated best-of-n)",
+         ["q_rejection_sampling"]),
+        ("A15", "mergeable equi-width-histogram quantile rollup",
+         ["q_quantile_histogram_rollup"]),
         ("L37", "preference-pair construction (DPO/reward-model data prep)",
          ["q_preference_pairs"]),
         ("L4b", "text normalization (C4-style pre-dedup canonicalizer)",

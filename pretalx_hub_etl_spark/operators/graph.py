@@ -289,3 +289,61 @@ def bfs_hops(
         frontier.unpersist()
         frontier = nxt
     return dist.select(F.col("x").alias("vertex"), F.col("hops"))
+
+
+def k_core_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """k-core decomposition by iterative peeling, ``rounds`` rounds:
+    ``(vertex, deg)`` — the surviving vertices with their degree in the
+    surviving subgraph.
+
+    Each round removes every vertex whose CURRENT degree is below
+    ``k`` (Matula & Beck's peeling, the standard graph-cleaning /
+    community-core primitive): degrees are one map-side-combined
+    count over the live edge set, and the edge set shrinks by two
+    semi-joins (both endpoints must survive) — all shuffles keyed on
+    vertex id, nothing vertex-quadratic. The edge list is symmetrized
+    once up front (each undirected edge stored in both directions, so
+    degree == out-degree and one groupBy suffices). A fixed round
+    count keeps the driver out of the convergence decision (the
+    pagerank policy); peeling is monotone, so round ``r``'s output is
+    exact for every graph whose peel sequence stabilizes within ``r``
+    rounds, and each extra round costs one agg + two semi-joins over
+    the (shrinking) live set. The symmetrized base is persisted once;
+    each round's live set is lazily ``localCheckpoint``-ed so plan
+    depth stays constant (the :func:`pagerank` policy — no eager
+    driver-side action per round).
+    """
+    u, v = F.col(src), F.col(dst)
+    base = edges.select(u.alias("u"), v.alias("v")).filter(
+        F.col("u") != F.col("v")
+    )
+    e = (
+        base.unionAll(
+            base.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        .distinct()
+        .persist()
+    )
+    live = e
+    for _ in range(rounds):
+        keep = (
+            live.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= k)
+            .select("u")
+        )
+        live = (
+            live.join(keep, "u", "left_semi")
+            .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+    return live.groupBy(F.col("u").alias("vertex")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )

@@ -1476,7 +1476,7 @@ def q_distinct_bitmap_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.sum(F.bitmap_count(F.col("bm"))).cast("long").alias("n_distinct"))
 
 
-# --- GR4: multi-source BFS shortest hops ------------------------------------
+# --- GR3: multi-source BFS shortest hops ------------------------------------
 
 
 def _bfs_oracle(max_hops: int) -> str:
@@ -1545,3 +1545,133 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("c_custkey").cast("long").alias("x")
     ).select("x")
     return bfs_hops(edges, sources, max_hops=_BFS_HOPS, undirected=True)
+
+
+# --- GR4: k-core decomposition (iterative peeling) --------------------------
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    # peeling rounds unrolled into CTEs (the pagerank/BFS oracle
+    # policy); UNION (not ALL) in `e0` symmetrizes + dedups exactly as
+    # the engine does.
+    ctes = [
+        """eb AS (
+        SELECT a.c_custkey AS u, b.c_custkey AS v
+        FROM customer a JOIN customer b
+          ON a.c_nationkey = b.c_nationkey
+         AND a.c_custkey < b.c_custkey
+         AND b.c_custkey - a.c_custkey <= 100
+    )""",
+        "e0 AS (SELECT u, v FROM eb UNION SELECT v, u FROM eb)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""k{r} AS (
+        SELECT u FROM e{r - 1} GROUP BY u HAVING count(*) >= {k}
+    )"""
+        )
+        ctes.append(
+            f"""e{r} AS (
+        SELECT e.u, e.v FROM e{r - 1} e
+        JOIN k{r} a ON e.u = a.u JOIN k{r} b ON e.v = b.u
+    )"""
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT u AS vertex, CAST(count(*) AS BIGINT) AS deg"
+        f" FROM e{rounds} GROUP BY u"
+    )
+
+
+_KCORE_K, _KCORE_ROUNDS = 3, 4
+
+
+@query("q_graph_kcore", oracle=_kcore_oracle(_KCORE_K, _KCORE_ROUNDS))
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # GR4: 3-core of the banded same-nation customer graph by 4
+    # peeling rounds (operators/graph.py k_core_peel) — per round one
+    # map-side-combined degree count + two vertex-keyed semi-joins
+    # over the SHRINKING live edge set; oracle is the unrolled
+    # peel-round replay.
+    from ..operators.graph import k_core_peel
+
+    c = Catalog(spark, sf_dir).customer.select("c_custkey", "c_nationkey")
+    a, b = c.alias("a"), c.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey"))
+        & (F.col("b.c_custkey") - F.col("a.c_custkey") <= 100),
+    ).select(F.col("a.c_custkey").alias("u"), F.col("b.c_custkey").alias("v"))
+    return k_core_peel(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
+# --- AN19: rolling z-score anomaly detection (exact integer test) -----------
+
+_ANOMALY_ORACLE = """
+WITH c AS (
+    SELECT event_id, user_id,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+           ts
+    FROM events
+), stats AS (
+    SELECT event_id, user_id, cents,
+           CAST(count(*) OVER w AS BIGINT) AS n,
+           CAST(sum(cents) OVER w AS BIGINT) AS s,
+           CAST(sum(cents * cents) OVER w AS BIGINT) AS ss
+    FROM c
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, cents, n
+FROM stats
+WHERE n >= 4
+  AND n * ss - s * s > 0
+  AND (cents * n - s) * (cents * n - s) * (n - 1)
+      > 9 * n * (n * ss - s * s)
+"""
+
+
+@query("q_anomaly_zscore", oracle=_ANOMALY_ORACLE)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # AN19: streaming-shaped anomaly detection — flag any event whose
+    # value sits more than 3 sample standard deviations from the mean
+    # of its user's previous (up to) 8 events. The test is evaluated
+    # in EXACT integer arithmetic on cents (cross-multiplied:
+    # (c·n − s)²·(n−1) > 9·n·(n·ss − s²)), so no float sqrt/division
+    # order can drift the flag set — the monitoring twin of the MAD
+    # outlier operator (AN12), windowed instead of grouped. Scale: one
+    # user-keyed shuffle shared by the three frame aggregates; the
+    # degenerate zero-variance window (all prior values equal) is
+    # excluded explicitly, matching the z-score's undefined case.
+    from ..functions.core import fixed_cents
+
+    ev = Catalog(spark, sf_dir).events
+    c = ev.select(
+        "event_id",
+        "user_id",
+        fixed_cents(F.col("value")).alias("cents"),
+        "ts",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-8, -1)
+    )
+    stats = c.select(
+        "event_id",
+        "user_id",
+        "cents",
+        F.count(F.lit(1)).over(w).cast("long").alias("n"),
+        F.sum("cents").over(w).cast("long").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).over(w).cast("long").alias("ss"),
+    )
+    n, s, ss, cc = F.col("n"), F.col("s"), F.col("ss"), F.col("cents")
+    return stats.filter(
+        (n >= 4)
+        & (n * ss - s * s > 0)
+        & (
+            (cc * n - s) * (cc * n - s) * (n - 1)
+            > F.lit(9) * n * (n * ss - s * s)
+        )
+    ).select("event_id", "user_id", "cents", "n")

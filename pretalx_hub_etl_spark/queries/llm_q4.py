@@ -156,3 +156,120 @@ def q_quantile_histogram_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_pcts=[25, 50, 75, 95],
         partial_col="l_returnflag",
     )
+
+
+# --- DQ2: in-flight Observation metrics (observe-on-the-sink-pass) ----------
+
+_OBSERVE_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_price_cents,
+       CAST(max(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS max_qty_cents,
+       CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_returned
+FROM lineitem
+"""
+
+
+@query("q_dq_observe", oracle=_OBSERVE_ORACLE)
+def q_dq_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DQ2: pipeline observability via the Observation API — the DQ
+    # metrics (row count, exact-cents sum, max, predicate count) are
+    # computed ON THE SAME PASS that writes the sink, as accumulator-
+    # style aggregates piggybacked on the task stream. At 100 TB this
+    # is the difference between free monitoring and a second full
+    # scan (the DQ1 expectation suite re-aggregates; this observes).
+    # The observed frame is written to a real parquet sink (the
+    # action that populates the metrics); the returned 1-row frame is
+    # the metrics record itself, oracle-checked against a direct SQL
+    # aggregate of the same table.
+    import os
+    import tempfile
+
+    from pyspark.sql import Observation
+
+    from ..functions.core import fixed_cents
+
+    li = Catalog(spark, sf_dir).lineitem.select(
+        "l_orderkey",
+        "l_returnflag",
+        fixed_cents(F.col("l_extendedprice")).alias("price_cents"),
+        fixed_cents(F.col("l_quantity")).alias("qty_cents"),
+    )
+    obs = Observation("dq_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("price_cents").alias("sum_price_cents"),
+        F.max("qty_cents").alias("max_qty_cents"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("long")
+        .alias("n_returned"),
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="phe_observe_"), "sink")
+    observed.write.parquet(out)  # the action that populates obs
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                int(m["sum_price_cents"]),
+                int(m["max_qty_cents"]),
+                int(m["n_returned"]),
+            )
+        ],
+        "n_rows long, sum_price_cents long, max_qty_cents long, "
+        "n_returned long",
+    )
+
+
+# --- UD4: mapInArrow (zero-pandas Arrow-native batch transform) -------------
+
+_MAPARROW_ORACLE = """
+SELECT vec_id,
+       CAST(list_sum(list_transform(embedding, x ->
+                CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+                * CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)))
+            AS BIGINT) AS qnorm2,
+       CAST(len(embedding) AS INT) AS dim
+FROM embeddings
+"""
+
+
+@query("q_fn_maparrow", oracle=_MAPARROW_ORACLE)
+def q_fn_maparrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # UD4: the mapInArrow surface — RecordBatch-in/RecordBatch-out with
+    # NO pandas materialization: the list<float> column is consumed
+    # through the raw Arrow buffers (values + offsets), vectorized as
+    # one flat numpy segment-sum, and emitted as a new RecordBatch.
+    # Relative to the pandas UDF path this skips the Arrow->pandas
+    # Series conversion entirely (for nested types that conversion
+    # builds a Python object per LIST CELL — the dominant cost);
+    # same quantize-to-int64 exactness contract as the similarity
+    # family (llm/similarity.py), so the squared norm value-hashes.
+    import numpy as np
+    import pyarrow as pa
+
+    def qnorm(batches):
+        for b in batches:
+            lst = b.column(1)
+            values = lst.values.to_numpy(zero_copy_only=False).astype(
+                np.float64
+            )
+            q = np.floor(values * 1e6 + 0.5).astype(np.int64)
+            csum = np.concatenate(([0], np.cumsum(q * q)))
+            off = lst.offsets.to_numpy().astype(np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(0),
+                    pa.array(csum[off[1:]] - csum[off[:-1]], pa.int64()),
+                    pa.array(
+                        (off[1:] - off[:-1]).astype(np.int32), pa.int32()
+                    ),
+                ],
+                ["vec_id", "qnorm2", "dim"],
+            )
+
+    emb = Catalog(spark, sf_dir).embeddings.select("vec_id", "embedding")
+    return emb.mapInArrow(qnorm, "vec_id long, qnorm2 long, dim int")

@@ -658,3 +658,19 @@ def test_histogram_quantile_rollup_matches_replay(spark):
         neg, "c", width_cents=100, q_pcts=[25]
     ).collect()
     assert est[0].est_cents == -200  # floor(-150/100) = -2
+
+
+def test_k_core_peel_matches_driver_replay(spark):
+    from pretalx_hub_etl_spark.operators.graph import k_core_peel
+
+    # triangle {1,2,3} plus pendant chain 3-4-5: 2-core keeps only the
+    # triangle (4 and 5 peel off over two rounds)
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    e = spark.createDataFrame(edges, "u long, v long")
+    got = {
+        r.vertex: r.deg
+        for r in k_core_peel(e, k=2, rounds=3).collect()
+    }
+    assert got == {1: 2, 2: 2, 3: 2}
+    # k=3 empties the graph entirely
+    assert k_core_peel(e, k=3, rounds=3).count() == 0

@@ -288,6 +288,14 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_graph_pagerank_sink"]),
         ("GR3", "multi-source BFS shortest hops (frontier expansion)",
          ["q_graph_bfs"]),
+        ("GR4", "k-core decomposition (iterative peeling)",
+         ["q_graph_kcore"]),
+        ("AN19", "rolling z-score anomaly detection (exact integer test)",
+         ["q_anomaly_zscore"]),
+        ("DQ2", "in-flight Observation metrics (observe on the sink pass)",
+         ["q_dq_observe"]),
+        ("UD4", "mapInArrow batch transform (raw Arrow buffers, no pandas)",
+         ["q_fn_maparrow"]),
         ("AN10", "weekly cohort retention matrix",
          ["q_retention_cohort"]),
         ("AN11", "LOCF gap-fill over a generated time spine",

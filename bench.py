@@ -77,6 +77,12 @@ HEADLINE = [
     "q_agg_salted_distinct",  # skew-salted exact count-distinct
     "q_sink_merge_mor",     # merge-on-read: O(delta) commits + resolve
     "q_mixture_temperature",  # sqrt-temperature mixture budgets
+    "q_graph_bfs",          # multi-source BFS frontier expansion
+    "q_graph_kcore",        # k-core iterative peeling
+    "q_quantile_histogram_rollup",  # mergeable histogram quantiles
+    "q_anomaly_zscore",     # rolling integer z-score anomaly flags
+    "q_rejection_sampling",  # verifier-gated best-of-n
+    "q_fn_maparrow",        # raw-Arrow batch transform surface
 ]
 
 

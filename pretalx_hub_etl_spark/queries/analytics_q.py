@@ -1675,3 +1675,86 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.lit(9) * n * (n * ss - s * s)
         )
     ).select("event_id", "user_id", "cents", "n")
+
+
+# --- AN20: Mann-Kendall trend test (exact integer S statistic) --------------
+
+_MANN_KENDALL_ORACLE = """
+WITH c AS (
+    SELECT user_id, ts, event_id,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+), win AS (
+    SELECT user_id, ts, event_id, cents FROM c WHERE rn <= 20
+), pairs AS (
+    SELECT a.user_id,
+           CASE WHEN b.cents > a.cents THEN 1
+                WHEN b.cents < a.cents THEN -1 ELSE 0 END AS sgn
+    FROM win a JOIN win b
+      ON a.user_id = b.user_id
+     AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+)
+SELECT user_id,
+       CAST(sum(sgn) AS BIGINT) AS s_stat,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CASE WHEN sum(sgn) * 10 > count(*) THEN 'up'
+            WHEN sum(sgn) * 10 < -count(*) THEN 'down'
+            ELSE 'flat' END AS trend
+FROM pairs
+GROUP BY user_id
+"""
+
+
+@query("q_trend_mann_kendall", oracle=_MANN_KENDALL_ORACLE)
+def q_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # AN20: Mann-Kendall monotone-trend detection per user — S =
+    # Σ_{i<j} sign(v_j − v_i) over each user's LAST 20 events (the
+    # bounded-window production shape: an unbounded per-group pair
+    # join is quadratic in group size, so the window cap is what
+    # makes the operator scale — ≤190 pairs per user regardless of
+    # history length). All-integer: sign comparisons on exact cents,
+    # trend classed by |S| > n_pairs/10 via cross-multiplication (no
+    # float tau). Scale: one user-keyed window shuffle to cap the
+    # history, then a user-keyed self-join whose output is bounded by
+    # the cap — the nonparametric twin of the OLS slope (AN18).
+    from ..functions.core import fixed_cents
+
+    ev = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    win = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            fixed_cents(F.col("value")).alias("cents"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 20)
+        .drop("rn")
+    )
+    a, b = win.alias("a"), win.alias("b")
+    earlier = (F.col("a.ts") < F.col("b.ts")) | (
+        (F.col("a.ts") == F.col("b.ts"))
+        & (F.col("a.event_id") < F.col("b.event_id"))
+    )
+    sgn = (
+        F.when(F.col("b.cents") > F.col("a.cents"), 1)
+        .when(F.col("b.cents") < F.col("a.cents"), -1)
+        .otherwise(0)
+    )
+    pairs = a.join(
+        b, (F.col("a.user_id") == F.col("b.user_id")) & earlier
+    ).select(F.col("a.user_id").alias("user_id"), sgn.alias("sgn"))
+    s, n = F.sum("sgn"), F.count(F.lit(1))
+    return pairs.groupBy("user_id").agg(
+        s.cast("long").alias("s_stat"),
+        n.cast("long").alias("n_pairs"),
+        F.when(s * 10 > n, "up")
+        .when(s * 10 < -n, "down")
+        .otherwise("flat")
+        .alias("trend"),
+    )

@@ -455,3 +455,45 @@ def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_param"
         ),
     )
+
+
+# --- F17: edit distance (levenshtein) ---------------------------------------
+
+
+@query(
+    "q_fn_levenshtein",
+    oracle="""
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand
+     AND a.p_partkey < b.p_partkey
+     AND b.p_partkey - a.p_partkey <= 25
+    WHERE levenshtein(a.p_name, b.p_name) <= 12
+    """,
+)
+def q_fn_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F17: built-in Levenshtein edit distance (JVM-side, no UDF) over a
+    # BANDED same-brand self-join — the band keeps candidate pairs
+    # linear in the table (the fuzzy-matching rule: never feed an edit
+    # distance an unbounded cross product; the symmetric-delete
+    # blocking operator llm/fuzzy.py is the scale path when no natural
+    # band exists). Both engines implement classic unit-cost
+    # Wagner-Fischer, so the distances value-hash exactly.
+    p = Catalog(spark, sf_dir).part.select("p_partkey", "p_brand", "p_name")
+    a, b = p.alias("a"), p.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+            & (F.col("b.p_partkey") - F.col("a.p_partkey") <= 25),
+        )
+        .filter(dist <= 12)
+        .select(
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            dist.cast("int").alias("edit_dist"),
+        )
+    )

@@ -143,6 +143,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_fn_date_arith"]),
         ("F16", "URL parsing (parse_url HOST/PATH/QUERY)",
          ["q_fn_url"]),
+        ("F17", "edit distance (built-in levenshtein, banded self-join)",
+         ["q_fn_levenshtein"]),
     ]),
     ("2.9 Streaming-shaped", [
         ("ST1", "tumbling window", ["q_stream_tumbling"]),
@@ -292,6 +294,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_graph_kcore"]),
         ("AN19", "rolling z-score anomaly detection (exact integer test)",
          ["q_anomaly_zscore"]),
+        ("AN20", "Mann-Kendall trend test (bounded-window integer S)",
+         ["q_trend_mann_kendall"]),
         ("DQ2", "in-flight Observation metrics (observe on the sink pass)",
          ["q_dq_observe"]),
         ("UD4", "mapInArrow batch transform (raw Arrow buffers, no pandas)",

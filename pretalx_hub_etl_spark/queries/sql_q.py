@@ -174,3 +174,47 @@ def q_sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> WHERE n_custs > 5
         |> SELECT n_name, n_custs, bal_cents
     """)
+
+
+#: The body both engines run; Spark receives it with :min_bal /
+#: :segments bound server-side, the oracle with literals inlined.
+_SQL_PARAM_BODY = """
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS balance_cents
+FROM customer
+WHERE c_acctbal >= {min_bal} AND c_mktsegment IN {segments}
+GROUP BY c_mktsegment
+"""
+
+
+@query(
+    "q_sql_parameterized",
+    oracle=_SQL_PARAM_BODY.format(
+        min_bal="1000.0", segments="('BUILDING', 'MACHINERY')"
+    ),
+)
+def q_sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SQL5: parameterized SQL (Spark 4 named-parameter binding) — the
+    # injection-safe surface a SQL-first user templates queries with:
+    # values bind as literals AT ANALYSIS time (:min_bal folds into the
+    # parquet pushdown exactly like an inline literal — parameterization
+    # costs nothing at the scan), and the array parameter expands
+    # through array_contains for the IN-list. The oracle is the same
+    # body with the parameters inlined, so binding ≡ inlining is the
+    # property under test.
+    Catalog(spark, sf_dir).register_views()
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS balance_cents
+        FROM customer
+        WHERE c_acctbal >= :min_bal
+          AND array_contains(:segments, c_mktsegment)
+        GROUP BY c_mktsegment
+        """,
+        args={"min_bal": 1000.0, "segments": ["BUILDING", "MACHINERY"]},
+    )

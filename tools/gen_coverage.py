@@ -186,6 +186,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_sql_registered_udf"]),
         ("SQL4", "SQL pipe syntax (|> FROM-first dialect)",
          ["q_sql_pipe"]),
+        ("SQL5", "parameterized SQL (named-parameter binding + array IN)",
+         ["q_sql_parameterized"]),
     ]),
     ("2.10 UDF surface", [
         ("UD1", "Arrow pandas UDF ≡ built-in", ["q_udf_pandas"]),

@@ -674,3 +674,90 @@ def test_k_core_peel_matches_driver_replay(spark):
     assert got == {1: 2, 2: 2, 3: 2}
     # k=3 empties the graph entirely
     assert k_core_peel(e, k=3, rounds=3).count() == 0
+
+
+def test_anomaly_zscore_zero_variance_excluded(spark):
+    # a constant history then a jump: zero sample variance makes the
+    # z-score undefined — the query's n*ss - s*s > 0 guard must drop it
+    from pretalx_hub_etl_spark.queries.analytics_q import _ANOMALY_ORACLE  # noqa: F401
+
+    rows = [(i, 1, float(10), f"2024-01-01 00:0{i}:00") for i in range(5)]
+    rows.append((5, 1, 999.0, "2024-01-01 00:05:30"))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, value double, ts_s string"
+    ).selectExpr(
+        "event_id", "user_id", "value", "CAST(ts_s AS TIMESTAMP) AS ts"
+    )
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pretalx_hub_etl_spark.functions.core import fixed_cents
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-8, -1)
+    )
+    c = df.select(
+        "event_id", "user_id", fixed_cents(F.col("value")).alias("cents"), "ts"
+    )
+    stats = c.select(
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("cents").over(w).alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).over(w).alias("ss"),
+        "cents",
+    )
+    n, s, ss, cc = F.col("n"), F.col("s"), F.col("ss"), F.col("cents")
+    flagged = stats.filter(
+        (n >= 4)
+        & (n * ss - s * s > 0)
+        & ((cc * n - s) * (cc * n - s) * (n - 1) > F.lit(9) * n * (n * ss - s * s))
+    )
+    # the jump lands on a zero-variance window: excluded, not flagged
+    assert flagged.count() == 0
+
+
+def test_mann_kendall_replay_with_ties(spark):
+    from pretalx_hub_etl_spark.queries.analytics_q import q_trend_mann_kendall  # noqa: F401
+
+    # direct replay of the pair-sign sum on a tiny frame with ties
+    vals = [10, 20, 20, 15, 30]
+    want_s = sum(
+        (1 if vals[j] > vals[i] else -1 if vals[j] < vals[i] else 0)
+        for i in range(len(vals))
+        for j in range(i + 1, len(vals))
+    )
+    rows = [
+        (i, 7, float(v), f"2024-01-01 00:00:0{i}") for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, value double, ts_s string"
+    ).selectExpr(
+        "event_id", "user_id", "value", "CAST(ts_s AS TIMESTAMP) AS ts"
+    )
+    df.createOrReplaceTempView("__mk_fixture")
+    from pyspark.sql import functions as F
+
+    from pretalx_hub_etl_spark.functions.core import fixed_cents
+
+    win = df.select(
+        "user_id", "ts", "event_id", fixed_cents(F.col("value")).alias("cents")
+    )
+    a, b = win.alias("a"), win.alias("b")
+    earlier = (F.col("a.ts") < F.col("b.ts")) | (
+        (F.col("a.ts") == F.col("b.ts"))
+        & (F.col("a.event_id") < F.col("b.event_id"))
+    )
+    sgn = (
+        F.when(F.col("b.cents") > F.col("a.cents"), 1)
+        .when(F.col("b.cents") < F.col("a.cents"), -1)
+        .otherwise(0)
+    )
+    got = (
+        a.join(b, (F.col("a.user_id") == F.col("b.user_id")) & earlier)
+        .agg(F.sum(sgn).alias("s"))
+        .collect()[0]
+        .s
+    )
+    assert got == want_s == 5

@@ -117,6 +117,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
     ("2.6b Data layout", [
         ("LAY1", "z-order clustering key (multi-dim footer-stats pruning)",
          ["q_layout_zorder"]),
+        ("LAY2", "bucketed tables (write-once shuffle, zero-Exchange joins)",
+         ["q_join_bucketed"]),
     ]),
     ("2.6 Sorts / limits", [
         ("O1", "multi-key sort", ["q_sort_multi_key"]),

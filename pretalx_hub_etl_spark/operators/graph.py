@@ -347,3 +347,45 @@ def k_core_peel(
     return live.groupBy(F.col("u").alias("vertex")).agg(
         F.count(F.lit(1)).cast("long").alias("deg")
     )
+
+
+def banded_key_edges(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    band: int,
+) -> DataFrame:
+    """``(u, v)`` pairs within the same ``group_col`` with
+    ``0 < v − u ≤ band`` — the banded self-join, built scale-safe.
+
+    A direct self-join on the group key alone (with the band as a
+    residual predicate) generates |group|² candidate pairs per group —
+    quadratic in group size, exactly the shape that measured ~1.2
+    scaling exponents on the graph fixtures at the synthetic sf1
+    decade. Bucketizing fixes it (the range_join_bucketed pattern,
+    operators/joins.py): bucket keys by ``band``; a partner ``v`` in
+    ``(u, u+band]`` can only live in ``u``'s bucket or the next, so
+    explode the v-side into {bucket, bucket−1}, equi-join on
+    ``(group, bucket)``, and filter the exact band predicate — work is
+    linear in true matches per bucket and the shuffle hash-partitions
+    on (group, bucket), whose cardinality grows WITH the data (no
+    25-key group-only shuffle to skew).
+    """
+    kb = F.floor(F.col(key_col) / band).cast("long")
+    a = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(key_col).alias("u"),
+        kb.alias("__b"),
+    )
+    b = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(key_col).alias("v"),
+        F.explode(F.array(kb, kb - 1)).alias("__b"),
+    )
+    return (
+        a.join(b, ["__g", "__b"])
+        .filter(
+            (F.col("v") > F.col("u")) & (F.col("v") - F.col("u") <= band)
+        )
+        .select("u", "v")
+    )

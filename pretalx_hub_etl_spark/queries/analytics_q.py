@@ -221,16 +221,10 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # uncorrected formulation). Exact integer ranks (operators/graph.py
     # pagerank) make the iterative result bit-identical to the oracle's
     # unrolled-CTE replay — no float summation-order drift.
-    from ..operators.graph import pagerank
+    from ..operators.graph import banded_key_edges, pagerank
 
     c = Catalog(spark, sf_dir).customer.select("c_custkey", "c_nationkey")
-    a, b = c.alias("a"), c.alias("b")
-    edges = a.join(
-        b,
-        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
-        & (F.col("a.c_custkey") < F.col("b.c_custkey"))
-        & (F.col("b.c_custkey") - F.col("a.c_custkey") <= 100),
-    ).select(F.col("a.c_custkey").alias("u"), F.col("b.c_custkey").alias("v"))
+    edges = banded_key_edges(c, "c_custkey", "c_nationkey", band=100)
     return pagerank(edges, iterations=_PR_ITERATIONS)
 
 
@@ -246,16 +240,10 @@ def q_graph_pagerank_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     # agg + broadcast — the edge-sized dataflow (and so the ~1.0 scaling
     # exponent) is unchanged. Exact integer ranks, oracle replays the
     # same recursion as unrolled CTEs with the dm{i} share term.
-    from ..operators.graph import pagerank
+    from ..operators.graph import banded_key_edges, pagerank
 
     c = Catalog(spark, sf_dir).customer.select("c_custkey", "c_nationkey")
-    a, b = c.alias("a"), c.alias("b")
-    edges = a.join(
-        b,
-        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
-        & (F.col("a.c_custkey") < F.col("b.c_custkey"))
-        & (F.col("b.c_custkey") - F.col("a.c_custkey") <= 100),
-    ).select(F.col("a.c_custkey").alias("u"), F.col("b.c_custkey").alias("v"))
+    edges = banded_key_edges(c, "c_custkey", "c_nationkey", band=100)
     return pagerank(
         edges, iterations=_PR_ITERATIONS, redistribute_dangling=True
     )
@@ -1531,16 +1519,10 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frontier⋈edges equi-join + one anti-join against the visited set
     # — frontier-sized probes, never an all-vertex scan
     # (operators/graph.py bfs_hops).
-    from ..operators.graph import bfs_hops
+    from ..operators.graph import banded_key_edges, bfs_hops
 
     c = Catalog(spark, sf_dir).customer.select("c_custkey", "c_nationkey")
-    a, b = c.alias("a"), c.alias("b")
-    edges = a.join(
-        b,
-        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
-        & (F.col("a.c_custkey") < F.col("b.c_custkey"))
-        & (F.col("b.c_custkey") - F.col("a.c_custkey") <= 100),
-    ).select(F.col("a.c_custkey").alias("u"), F.col("b.c_custkey").alias("v"))
+    edges = banded_key_edges(c, "c_custkey", "c_nationkey", band=100)
     sources = c.groupBy("c_nationkey").agg(
         F.min("c_custkey").cast("long").alias("x")
     ).select("x")
@@ -1593,16 +1575,10 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # map-side-combined degree count + two vertex-keyed semi-joins
     # over the SHRINKING live edge set; oracle is the unrolled
     # peel-round replay.
-    from ..operators.graph import k_core_peel
+    from ..operators.graph import banded_key_edges, k_core_peel
 
     c = Catalog(spark, sf_dir).customer.select("c_custkey", "c_nationkey")
-    a, b = c.alias("a"), c.alias("b")
-    edges = a.join(
-        b,
-        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
-        & (F.col("a.c_custkey") < F.col("b.c_custkey"))
-        & (F.col("b.c_custkey") - F.col("a.c_custkey") <= 100),
-    ).select(F.col("a.c_custkey").alias("u"), F.col("b.c_custkey").alias("v"))
+    edges = banded_key_edges(c, "c_custkey", "c_nationkey", band=100)
     return k_core_peel(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS)
 
 

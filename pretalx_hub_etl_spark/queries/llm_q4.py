@@ -273,3 +273,130 @@ def q_fn_maparrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = Catalog(spark, sf_dir).embeddings.select("vec_id", "embedding")
     return emb.mapInArrow(qnorm, "vec_id long, qnorm2 long, dim int")
+
+
+# --- L41: composed post-training (RLHF) data-prep pipeline ------------------
+
+_POSTTRAIN_ORACLE = """
+WITH norm AS (
+    SELECT doc_id,
+           trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+               ' +', ' ', 'g')) AS norm_text
+    FROM documents
+), dedup AS (
+    SELECT doc_id, norm_text FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY md5(norm_text) ORDER BY doc_id) AS rn
+        FROM norm
+    ) WHERE rn = 1
+), cand AS (
+    SELECT CAST(doc_id % 50 AS BIGINT) AS prompt_id, doc_id,
+           CAST(CAST(('0x' || substr(md5('rw:' || CAST(doc_id AS VARCHAR)),
+                                     1, 8)) AS BIGINT) % 1000
+                AS BIGINT) AS reward,
+           CASE WHEN norm_text = '' THEN CAST(0 AS BIGINT)
+                ELSE CAST(len(string_split(norm_text, ' ')) AS BIGINT)
+           END AS n_tokens
+    FROM dedup
+), ranked AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY prompt_id
+                              ORDER BY reward DESC, doc_id ASC) AS rtop,
+           row_number() OVER (PARTITION BY prompt_id
+                              ORDER BY reward ASC, doc_id DESC) AS rbot
+    FROM cand
+), best AS (
+    SELECT prompt_id, doc_id AS chosen_id, reward AS chosen_reward,
+           n_tokens AS chosen_tokens
+    FROM ranked WHERE rtop = 1 AND reward >= 500
+), worst AS (
+    SELECT prompt_id, doc_id AS rejected_id, reward AS rejected_reward
+    FROM ranked WHERE rbot <= 2
+)
+SELECT b.prompt_id, b.chosen_id, w.rejected_id,
+       CAST(b.chosen_reward - w.rejected_reward AS BIGINT) AS margin,
+       b.chosen_tokens
+FROM best b JOIN worst w ON b.prompt_id = w.prompt_id
+WHERE w.rejected_id <> b.chosen_id
+"""
+
+
+@query("q_pipeline_posttrain", oracle=_POSTTRAIN_ORACLE)
+def q_pipeline_posttrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # L41: the post-training (RLHF/DPO) data-prep COMPOSITION, hash-
+    # checked through every stage (the q_pipeline_pretrain argument
+    # applied to the alignment side): normalize (L4b) -> exact dedup on
+    # normalized content (L1) -> deterministic reward scoring (the L40
+    # md5 coin; swap in a real RM under the same shape) -> rejection
+    # gate (prompt groups whose best reward < 500 drop entirely) ->
+    # (chosen, rejected, margin) preference pairs against each group's
+    # bottom-2 (L37 shape). Scale: one scan-fused rewrite, one
+    # hash-keyed dedup shuffle, ONE prompt-keyed shuffle shared by both
+    # ranking windows, and a <=2-row-per-group self-join — output
+    # bounded at 2 pairs per accepted prompt.
+    from ..llm.sampling import md5_u32
+    from ..llm.text import normalize_text, token_count
+
+    d = Catalog(spark, sf_dir).documents
+    norm = d.select(
+        "doc_id", normalize_text(F.col("text")).alias("norm_text")
+    )
+    wdup = Window.partitionBy(F.md5(F.col("norm_text"))).orderBy(
+        F.col("doc_id").asc()
+    )
+    dedup = (
+        norm.withColumn("__rn", F.row_number().over(wdup))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    cand = dedup.select(
+        F.pmod(F.col("doc_id"), F.lit(50)).cast("long").alias("prompt_id"),
+        "doc_id",
+        (
+            md5_u32(F.concat(F.lit("rw:"), F.col("doc_id").cast("string")))
+            % 1000
+        )
+        .cast("long")
+        .alias("reward"),
+        F.when(F.col("norm_text") == "", F.lit(0).cast("long"))
+        .otherwise(token_count(F.col("norm_text")))
+        .alias("n_tokens"),
+    )
+    wtop = Window.partitionBy("prompt_id").orderBy(
+        F.col("reward").desc(), F.col("doc_id").asc()
+    )
+    wbot = Window.partitionBy("prompt_id").orderBy(
+        F.col("reward").asc(), F.col("doc_id").desc()
+    )
+    ranked = cand.select(
+        "*",
+        F.row_number().over(wtop).alias("rtop"),
+        F.row_number().over(wbot).alias("rbot"),
+    )
+    best = ranked.filter(
+        (F.col("rtop") == 1) & (F.col("reward") >= 500)
+    ).select(
+        "prompt_id",
+        F.col("doc_id").alias("chosen_id"),
+        F.col("reward").alias("chosen_reward"),
+        F.col("n_tokens").alias("chosen_tokens"),
+    )
+    worst = ranked.filter(F.col("rbot") <= 2).select(
+        "prompt_id",
+        F.col("doc_id").alias("rejected_id"),
+        F.col("reward").alias("rejected_reward"),
+    )
+    return (
+        best.join(worst, "prompt_id")
+        .filter(F.col("rejected_id") != F.col("chosen_id"))
+        .select(
+            "prompt_id",
+            "chosen_id",
+            "rejected_id",
+            (F.col("chosen_reward") - F.col("rejected_reward"))
+            .cast("long")
+            .alias("margin"),
+            "chosen_tokens",
+        )
+    )

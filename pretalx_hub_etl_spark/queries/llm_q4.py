@@ -1,5 +1,7 @@
-"""Round-8 second query batch: RLHF/RFT-style rejection sampling and
-mergeable-summary analytics.
+"""Round-8 second query batch: the post-training data-prep family
+(rejection sampling L40, the composed RLHF pipeline L41), the mergeable
+histogram-quantile rollup (A15), and the remaining first-class API
+surfaces (df.observe DQ metrics DQ2, raw-Arrow mapInArrow UD4).
 
 Reference parity note: the reference (3cola/pretalx-hub-etl `main.py`)
 has no counterpart for any of these — they are mandated by the

@@ -218,3 +218,32 @@ def q_sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"min_bal": 1000.0, "segments": ["BUILDING", "MACHINERY"]},
     )
+
+
+#: Shared text (Spark 4 and DuckDB both parse JOIN LATERAL ... ON TRUE):
+#: top-2 orders per customer via a correlated lateral subquery.
+_SQL_LATERAL = """
+SELECT c.c_custkey, t.o_orderkey, t.price_cents
+FROM customer c
+JOIN LATERAL (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents
+  FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) t ON TRUE
+"""
+
+
+@query("q_sql_lateral", oracle=_SQL_LATERAL)
+def q_sql_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SQL6: correlated LATERAL join — the top-k-per-group shape
+    # expressed the way a SQL-first user writes it. ONE shared ANSI
+    # text runs verbatim on both engines (the q_sql_entry portability
+    # gate). Catalyst decorrelates the lateral subquery into a
+    # customer-keyed join + per-key ordering rather than re-running the
+    # inner query per outer row, so the plan scales like the DataFrame
+    # twin q_window_topk_per_group (one key-partitioned shuffle) — a
+    # per-row re-scan would be the nested-loop the plan sweep forbids.
+    Catalog(spark, sf_dir).register_views()
+    return spark.sql(_SQL_LATERAL)

@@ -190,6 +190,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_sql_pipe"]),
         ("SQL5", "parameterized SQL (named-parameter binding + array IN)",
          ["q_sql_parameterized"]),
+        ("SQL6", "correlated LATERAL join (shared text, decorrelated)",
+         ["q_sql_lateral"]),
     ]),
     ("2.10 UDF surface", [
         ("UD1", "Arrow pandas UDF ≡ built-in", ["q_udf_pandas"]),

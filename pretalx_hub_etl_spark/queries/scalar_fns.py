@@ -509,3 +509,48 @@ def q_fn_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.cast("int").alias("edit_dist"),
         )
     )
+
+
+# --- F18: collation-aware comparison (Spark 4 COLLATE) ----------------------
+
+
+@query(
+    "q_fn_collation",
+    oracle="""
+    WITH mixed AS (
+        SELECT c_nationkey,
+               CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+                    ELSE lower(c_mktsegment) END AS seg
+        FROM customer
+    )
+    SELECT c_nationkey,
+           CAST(count(DISTINCT seg) AS BIGINT) AS n_cs,
+           CAST(count(DISTINCT lower(seg)) AS BIGINT) AS n_ci
+    FROM mixed GROUP BY c_nationkey
+    """,
+)
+def q_fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F18: collation-aware semantics (Spark 4 `collate`): the same
+    # distinct-count under binary (UTF8_BINARY, default) vs
+    # case-insensitive (UTF8_LCASE) collation, on a mixed-case column
+    # synthesized from the segment name. Collation changes the EQUALITY
+    # the hash aggregate keys on — no lower() rewrite of the data, the
+    # comparison itself is collation-aware (the rewrite IS the oracle:
+    # UTF8_LCASE distinct ≡ lower() distinct, which is the property
+    # under test). Scale: one map-side-combined distinct per key, same
+    # plan as any countDistinct.
+    c = Catalog(spark, sf_dir).customer
+    mixed = c.select(
+        "c_nationkey",
+        F.when(
+            F.col("c_custkey") % 2 == 0, F.upper(F.col("c_mktsegment"))
+        )
+        .otherwise(F.lower(F.col("c_mktsegment")))
+        .alias("seg"),
+    )
+    return mixed.groupBy("c_nationkey").agg(
+        F.count_distinct(F.col("seg")).cast("long").alias("n_cs"),
+        F.count_distinct(F.collate(F.col("seg"), "UTF8_LCASE"))
+        .cast("long")
+        .alias("n_ci"),
+    )

@@ -147,6 +147,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_fn_url"]),
         ("F17", "edit distance (built-in levenshtein, banded self-join)",
          ["q_fn_levenshtein"]),
+        ("F18", "collation-aware comparison (UTF8_LCASE vs binary)",
+         ["q_fn_collation"]),
     ]),
     ("2.9 Streaming-shaped", [
         ("ST1", "tumbling window", ["q_stream_tumbling"]),

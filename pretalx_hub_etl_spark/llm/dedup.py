@@ -180,6 +180,39 @@ def minhash_signatures(
     )
 
 
+def _band_hashes(
+    sigs: DataFrame, bands: int, rows_per_band: int, portable: bool
+) -> DataFrame:
+    """(id, band_id, band_hash) from a signature frame — the narrow
+    exploded representation both the self-join candidate generator and
+    the incremental batch⋈index probe shuffle on."""
+    band_fn = F.md5 if portable else F.xxhash64
+    return sigs.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    band_fn(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(
+                                    F.col("sig"),
+                                    b * rows_per_band + 1,
+                                    rows_per_band,
+                                ),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select("id", "band.band_id", "band.band_hash")
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     text_col: str,
@@ -210,27 +243,7 @@ def minhash_near_duplicates(
     # banded rows carry ONLY (id, band_id, band_hash): the exploded shuffle
     # stays narrow; hashed shingle sets re-join AFTER candidate dedup, so the
     # heavy arrays move once per verified pair, not once per band.
-    band_fn = F.md5 if portable else F.xxhash64
-    banded = sigs.select(
-        "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band_id"),
-                    band_fn(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                                lambda x: x.cast("string"),
-                            ),
-                        )
-                    ).alias("band_hash"),
-                ),
-            )
-        ).alias("band"),
-    ).select("id", "band.band_id", "band.band_hash")
+    banded = _band_hashes(sigs, bands, rows_per_band, portable)
 
     candidates = (
         banded.select(F.col("id").alias("id_a"), "band_id", "band_hash")
@@ -626,4 +639,76 @@ def ngram_jaccard_pairs_prefix(
         .withColumn("jaccard", jaccard)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_incremental(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.6,
+    portable: bool = False,
+) -> DataFrame:
+    """Incremental NEAR-dup ingestion gate: for every batch document,
+    ``(doc_id, dup_of, is_new_content)`` — ``dup_of`` the smallest
+    corpus id whose exact shingle-Jaccard with it clears the
+    threshold, NULL for novel content.
+
+    The near-dup sibling of the exact incremental index
+    (``q_dedup_incremental``): at 100 TB the corpus side of this is a
+    STORED band index (id, band_id, band_hash) maintained across
+    ingests — only the batch recomputes signatures, and the probe is a
+    batch-sized equi-join against the index on (band_id, band_hash),
+    never a corpus self-join and never a batch×corpus product.
+    Verification re-joins shingle sets for candidate pairs only, then
+    one min-aggregate per batch doc; novel docs survive via the final
+    left join. Same signature/banding code as
+    :func:`minhash_near_duplicates` (one implementation, both
+    modalities; ``portable=True`` is the oracle-witness hash choice).
+    """
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    rpb = num_hashes // bands
+    csigs = minhash_signatures(
+        corpus, text_col, id_col, num_hashes, shingle_k, portable=portable
+    ).cache()
+    bsigs = minhash_signatures(
+        batch, text_col, id_col, num_hashes, shingle_k, portable=portable
+    ).cache()
+    cand = (
+        _band_hashes(bsigs, bands, rpb, portable)
+        .withColumnRenamed("id", "bid")
+        .join(
+            _band_hashes(csigs, bands, rpb, portable).withColumnRenamed(
+                "id", "cid"
+            ),
+            ["band_id", "band_hash"],
+        )
+        .select("bid", "cid")
+        .dropDuplicates(["bid", "cid"])
+    )
+    paired = cand.join(
+        bsigs.select(F.col("id").alias("bid"), F.col("sh_hashes").alias("sh_b")),
+        "bid",
+    ).join(
+        csigs.select(F.col("id").alias("cid"), F.col("sh_hashes").alias("sh_c")),
+        "cid",
+    )
+    inter = F.size(F.array_intersect("sh_b", "sh_c")).cast("double")
+    union = F.size(F.array_union("sh_b", "sh_c")).cast("double")
+    hit = (
+        paired.filter(inter / union >= jaccard_threshold)
+        .groupBy("bid")
+        .agg(F.min("cid").alias("dup_of"))
+    )
+    return (
+        batch.select(F.col(id_col).alias("doc_id"))
+        .join(hit.withColumnRenamed("bid", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id", "dup_of", F.col("dup_of").isNull().alias("is_new_content")
+        )
     )

@@ -402,3 +402,104 @@ def q_pipeline_posttrain(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chosen_tokens",
         )
     )
+
+
+# --- L42: incremental NEAR-dup ingestion gate (MinHash index probe) ---------
+
+
+def _minhash_incremental_oracle(
+    shingle_k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.6,
+) -> str:
+    # the q_dedup_near_md5 replay (same seeded coefficients, same md5
+    # shingle hashes) with the pair space split corpus x batch and a
+    # final min-per-batch-doc + left join so novel docs survive
+    from ..llm.dedup import _MERSENNE61, minhash_coefficients
+
+    coeffs = minhash_coefficients(num_hashes)
+    mins = ",\n               ".join(
+        f"min((h * {a} + {b}) % {_MERSENNE61}) AS m{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    rpb = num_hashes // bands
+    band_eq = "\n           OR ".join(
+        "("
+        + " AND ".join(
+            f"c.m{b * rpb + j} = b.m{b * rpb + j}" for j in range(rpb)
+        )
+        + ")"
+        for b in range(bands)
+    )
+    return f"""
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(w) - {shingle_k}, 0) + 1),
+                   i -> CAST(('0x' || substr(md5(
+                            array_to_string(w[i:i+{shingle_k - 1}], ' ')
+                        ), 1, 8)) AS BIGINT)
+               )) AS hs
+        FROM base
+    ), shx AS (
+        SELECT doc_id, unnest(hs) AS h FROM sh
+    ), sig AS (
+        SELECT doc_id,
+               {mins}
+        FROM shx GROUP BY doc_id
+    ), pairs AS (
+        SELECT b.doc_id AS bid, c.doc_id AS cid
+        FROM sig c JOIN sig b
+          ON c.doc_id % 5 <> 0 AND b.doc_id % 5 = 0
+        WHERE {band_eq}
+    ), hit AS (
+        SELECT p.bid, min(p.cid) AS dup_of
+        FROM pairs p
+        JOIN sh sb ON sb.doc_id = p.bid
+        JOIN sh sc ON sc.doc_id = p.cid
+        WHERE CAST(len(list_intersect(sb.hs, sc.hs)) AS DOUBLE)
+              / len(list_distinct(list_concat(sb.hs, sc.hs)))
+              >= {threshold}
+        GROUP BY p.bid
+    )
+    SELECT d.doc_id, h.dup_of, h.dup_of IS NULL AS is_new_content
+    FROM documents d LEFT JOIN hit h ON h.bid = d.doc_id
+    WHERE d.doc_id % 5 = 0
+    """
+
+
+@query("q_dedup_incremental_near", oracle=_minhash_incremental_oracle())
+def q_dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # L42: the near-dup sibling of q_dedup_incremental — a batch of new
+    # documents (doc_id % 5 == 0) probed against the corpus's MinHash
+    # BAND INDEX (llm/dedup.py minhash_incremental): only the batch
+    # recomputes signatures at ingest time, candidates come from a
+    # batch-sized equi-join on (band_id, band_hash) against the stored
+    # index — never a corpus self-join, never batch x corpus — and
+    # exact-Jaccard verification touches candidate pairs only. Portable
+    # md5 hashing puts the whole gate under the full value-hash oracle
+    # (the q_dedup_near_md5 witness argument, applied to the
+    # incremental modality).
+    from ..llm.dedup import minhash_incremental
+
+    d = Catalog(spark, sf_dir).documents
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    batch = d.filter(F.col("doc_id") % 5 == 0)
+    return minhash_incremental(
+        corpus,
+        batch,
+        "text",
+        "doc_id",
+        num_hashes=32,
+        bands=8,
+        shingle_k=3,
+        jaccard_threshold=0.6,
+        portable=True,
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("dup_of").cast("long").alias("dup_of"),
+        "is_new_content",
+    )

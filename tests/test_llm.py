@@ -723,3 +723,26 @@ def test_temperature_sample_budgets_and_determinism(spark):
     assert a == b
     with _pytest.raises(ValueError, match="T=2"):
         temperature_sample(df, "g", "doc_id", 10, temperature=3.0)
+
+
+def test_minhash_incremental_detects_planted_near_dup(spark):
+    from pretalx_hub_etl_spark.llm.dedup import minhash_incremental
+
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    near = base.replace("today", "tonight")  # high-Jaccard variant
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely different text about spark shuffles and joins here")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, near), (11, "novel content that matches nothing in the corpus at all whatsoever")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.dup_of, r.is_new_content)
+        for r in minhash_incremental(
+            corpus, batch, "text", "doc_id", jaccard_threshold=0.5
+        ).collect()
+    }
+    assert got[10] == (1, False)
+    assert got[11] == (None, True)

@@ -362,6 +362,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_rejection_sampling"]),
         ("L41", "composed post-training (RLHF/DPO) data-prep pipeline",
          ["q_pipeline_posttrain"]),
+        ("L42", "incremental near-dup ingestion gate (MinHash index probe)",
+         ["q_dedup_incremental_near"]),
         ("A15", "mergeable equi-width-histogram quantile rollup",
          ["q_quantile_histogram_rollup"]),
         ("L37", "preference-pair construction (DPO/reward-model data prep)",

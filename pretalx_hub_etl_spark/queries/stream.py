@@ -264,3 +264,66 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select(
         "user_id", "l_event_id", "r_event_id", "l_ts", "r_ts"
     )
+
+
+# --- ST11: dynamic-gap session windows (per-event gap expression) -----------
+
+
+@query(
+    "q_stream_session_dynamic",
+    oracle="""
+    -- dynamic-gap sessionization: an event opens [ts, ts + gap(event));
+    -- overlapping intervals merge. The constant-gap lag test is WRONG
+    -- here (a long-gap event can bridge over a short-gap successor's
+    -- idle window), so the split is the general interval-merge rule:
+    -- new session iff ts >= running max of every PREVIOUS event's end
+    -- (>= : Spark session windows are end-exclusive).
+    WITH ev AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN event_type = 'purchase' THEN INTERVAL 40 MINUTE
+                    ELSE INTERVAL 20 MINUTE END AS gap
+        FROM events
+    ), marked AS (
+        SELECT user_id, ts,
+               CASE WHEN max(ts + gap) OVER w IS NULL
+                      OR ts >= max(ts + gap) OVER w
+                    THEN 1 ELSE 0 END AS new_session
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), sess AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+    )
+    SELECT user_id,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_s,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def q_stream_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ST11: session_window with a PER-EVENT gap expression (purchases
+    # hold the session open 40 minutes, everything else 20) — the
+    # Spark-4 dynamic-gap surface. The gap must be CalendarIntervalType
+    # (make_interval), not the ANSI DayTimeInterval a bare INTERVAL
+    # literal produces. Scale shape identical to the constant-gap ST3
+    # (one user-keyed shuffle into the session operator); what changes
+    # is the SEMANTICS — sessions are general interval merges, so the
+    # oracle replays the running-max-of-ends rule, not the lag test.
+    e = Catalog(spark, sf_dir).events
+    gap = F.when(
+        F.col("event_type") == "purchase", F.make_interval(mins=F.lit(40))
+    ).otherwise(F.make_interval(mins=F.lit(20)))
+    out = (
+        e.groupBy(F.session_window(F.col("ts"), gap), "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    return out.select(
+        "user_id",
+        F.unix_timestamp(F.col("session_window.start"))
+        .cast("long")
+        .alias("session_start_s"),
+        "n_events",
+    )

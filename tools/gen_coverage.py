@@ -174,6 +174,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_stream_mapstate_tws"]),
         ("ST10", "custom Python streaming source (paged offsets)",
          ["q_stream_pyds"]),
+        ("ST11", "dynamic-gap session windows (per-event gap expression)",
+         ["q_stream_session_dynamic"]),
         ("ST6b", "streaming keep-first dedup equivalence (real stream run)",
          ["q_stream_dedup_equiv"]),
         ("ST1b", "streaming tumbling-window agg equivalence (complete mode)",

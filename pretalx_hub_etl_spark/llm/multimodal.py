@@ -12,8 +12,9 @@ Two codec tiers (round-6 review Next #3):
   (``png_codec.py``) and is fully deterministic/oracle-able;
   ``codec="auto"`` prefers PIL when importable (a real cluster) and
   falls back to pure; ``codec="pil"`` demands PIL. PNG covers the
-  lossless-image case end-to-end; JPEG/audio/video still need PIL/
-  ffmpeg-class libraries.
+  lossless-image case end-to-end; baseline JPEG (``jpeg_codec``), WAV
+  audio (``wav_codec``) and uncompressed-DIB AVI video (``avi_codec``)
+  complete the other modalities with the same stdlib-determinism rule.
 - **Stub path** (``decode_features`` / ``resize_images`` /
   ``sample_frames``): sha-derived deterministic fakes for payloads no
   available codec can parse — the Arrow batch plumbing is real and the
@@ -56,14 +57,15 @@ def _ship_codecs_by_value() -> tuple:
     """
     from pyspark import cloudpickle
 
-    from . import jpeg_codec, png_codec, wav_codec
+    from . import avi_codec, jpeg_codec, png_codec, wav_codec
 
     cloudpickle.register_pickle_by_value(png_codec)
     cloudpickle.register_pickle_by_value(wav_codec)
+    cloudpickle.register_pickle_by_value(avi_codec)
     # jpeg_codec additionally imports numpy, which pickles by reference
     # (installed on every worker) — only the module's own code travels
     cloudpickle.register_pickle_by_value(jpeg_codec)
-    return png_codec, wav_codec, jpeg_codec
+    return png_codec, wav_codec, jpeg_codec, avi_codec
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -100,7 +102,7 @@ def attach_png_media(df: DataFrame, id_col: str) -> DataFrame:
     reproduce them.
     """
 
-    png_codec, _, _ = _ship_codecs_by_value()
+    png_codec, _, _, _ = _ship_codecs_by_value()
     png_encode = png_codec.png_encode
 
     @F.pandas_udf("binary")
@@ -137,7 +139,7 @@ def attach_jpeg_media(df: DataFrame, id_col: str) -> DataFrame:
     byte stuffing, and multi-MCU scans. Edge padding replicates the last
     block's value, so non-multiple-of-8 sizes stay exact too.
     """
-    _, _, jpeg_codec = _ship_codecs_by_value()
+    _, _, jpeg_codec, _ = _ship_codecs_by_value()
     jpeg_encode = jpeg_codec.jpeg_encode
 
     @F.pandas_udf("binary")
@@ -183,7 +185,7 @@ def decode_image(
         "n_bytes long, pixel_sum long"
     )
 
-    png_codec, _, jpeg_codec = _ship_codecs_by_value()
+    png_codec, _, jpeg_codec, _ = _ship_codecs_by_value()
     png_decode = png_codec.png_decode
     jpeg_decode, is_jpeg = jpeg_codec.jpeg_decode, jpeg_codec.is_jpeg
     # PIL handle resolved DRIVER-side and captured: a module object
@@ -248,7 +250,7 @@ def resize_encoded_images(
     """
     out_schema = f"{id_col} long, payload binary, width int, height int"
 
-    png_codec, _, jpeg_codec = _ship_codecs_by_value()
+    png_codec, _, jpeg_codec, _ = _ship_codecs_by_value()
     png_decode, png_encode = png_codec.png_decode, png_codec.png_encode
     jpeg_decode, is_jpeg = jpeg_codec.jpeg_decode, jpeg_codec.is_jpeg
     rn = png_codec.resize_nearest
@@ -456,7 +458,7 @@ def attach_wav_media(df: DataFrame, id_col: str) -> DataFrame:
     exact SQL oracles.
     """
 
-    _, wav_codec, _ = _ship_codecs_by_value()
+    _, wav_codec, _, _ = _ship_codecs_by_value()
     wav_encode = wav_codec.wav_encode
 
     @F.pandas_udf("binary")
@@ -488,7 +490,7 @@ def decode_audio(
         "n_samples long, sample_sum long, abs_sum long"
     )
 
-    _, wav_codec, _ = _ship_codecs_by_value()
+    _, wav_codec, _, _ = _ship_codecs_by_value()
     wav_decode = wav_codec.wav_decode
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -526,7 +528,7 @@ def frame_audio(
         f"{id_col} long, frame_idx long, start_sample long, frame_sum long"
     )
 
-    _, wav_codec, _ = _ship_codecs_by_value()
+    _, wav_codec, _, _ = _ship_codecs_by_value()
     frame_samples, wav_decode = wav_codec.frame_samples, wav_codec.wav_decode
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -547,6 +549,146 @@ def frame_audio(
                     "frame_idx": pd.Series(idxs, dtype="int64"),
                     "start_sample": pd.Series(starts, dtype="int64"),
                     "frame_sum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
+def attach_avi_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Derive a REAL encoded AVI (uncompressed 24-bit DIB) payload.
+
+    Deterministic fixture: ``4 + id % 4`` frames of an
+    ``(8 + id%5) × (6 + id%7)`` grayscale gradient with
+    ``pixel(x, y, f) = (3x + 5y + 11f + id) mod 256`` at 40 ms/frame —
+    closed-form pixels make decoded-frame aggregates exact SQL oracles,
+    and the per-frame ``11f`` term means a decoder that misorders or
+    drops frames cannot reproduce them.
+    """
+    _, _, _, avi_codec = _ship_codecs_by_value()
+    avi_encode = avi_codec.avi_encode
+
+    @F.pandas_udf("binary")
+    def gen(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            w, h, n = 8 + i % 5, 6 + i % 7, 4 + i % 4
+            frames = [
+                bytes(
+                    (3 * x + 5 * y + 11 * f + i) % 256
+                    for y in range(h)
+                    for x in range(w)
+                )
+                for f in range(n)
+            ]
+            out.append(avi_encode(frames, w, h, frame_ms=40))
+        return pd.Series(out)
+
+    return (
+        df.withColumn("payload", gen(F.col(id_col)))
+        .withColumn("kind", F.lit("video"))
+        .withColumn("mime", F.lit("video/x-msvideo"))
+    )
+
+
+def decode_video(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """REAL AVI decode -> per-video metadata + pixel aggregates.
+
+    ``(id, width, height, n_frames, frame_ms, pixel_sum, weighted_sum)``
+    from actually parsing the RIFF container and every DIB frame.
+    ``pixel_sum`` totals all decoded RGB bytes; ``weighted_sum`` is the
+    position-weighted checksum ``Σ (x + 2y + 3f) · byte`` — stride
+    padding left in place, unflipped bottom-up rows, or misordered
+    frames all shift real pixels to wrong (x, y, f) and break it, so
+    the oracle pins the full decode path, not just the byte multiset.
+    """
+    out_schema = (
+        f"{id_col} long, width long, height long, n_frames long, "
+        "frame_ms long, pixel_sum long, weighted_sum long"
+    )
+
+    _, _, _, avi_codec = _ship_codecs_by_value()
+    avi_decode = avi_codec.avi_decode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                id_col, "width", "height", "n_frames", "frame_ms",
+                "pixel_sum", "weighted_sum",
+            )}
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, ms, frames = avi_decode(bytes(payload))
+                psum = wsum = 0
+                for f, fr in enumerate(frames):
+                    for y in range(h):
+                        for x in range(w):
+                            base = (y * w + x) * 3
+                            s3 = fr[base] + fr[base + 1] + fr[base + 2]
+                            psum += s3
+                            wsum += (x + 2 * y + 3 * f) * s3
+                rows[id_col].append(int(mid))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_frames"].append(len(frames))
+                rows["frame_ms"].append(ms)
+                rows["pixel_sum"].append(psum)
+                rows["weighted_sum"].append(wsum)
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="int64") for k, v in rows.items()}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    every_n: int,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """REAL AVI decode -> every ``every_n``-th frame as a PNG image row.
+
+    1:N row expansion ``(id, frame_idx, frame_ts_ms, frame_sum,
+    payload)`` — the video-to-image-shard shape vision training
+    pipelines use: sampled frames are re-encoded LOSSLESS (PNG, R
+    channel of the already-grayscale DIB) so downstream image operators
+    (``decode_image``, resize) consume them unchanged; ``frame_sum``
+    totals the sampled frame's RGB bytes and ``frame_ts_ms`` comes from
+    the stream timebase, both closed-form under the fixture.
+    """
+    out_schema = (
+        f"{id_col} long, frame_idx long, frame_ts_ms long, "
+        "frame_sum long, payload binary"
+    )
+
+    png_codec, _, _, avi_codec = _ship_codecs_by_value()
+    avi_decode, png_encode = avi_codec.avi_decode, png_codec.png_encode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, sums, payloads = [], [], [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, ms, frames = avi_decode(bytes(payload))
+                for f in range(0, len(frames), every_n):
+                    fr = frames[f]
+                    ids.append(int(mid))
+                    idxs.append(f)
+                    tss.append(f * ms)
+                    sums.append(sum(fr))
+                    gray = bytes(fr[3 * i] for i in range(w * h))
+                    payloads.append(png_encode(gray, w, h, "L"))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_ts_ms": pd.Series(tss, dtype="int64"),
+                    "frame_sum": pd.Series(sums, dtype="int64"),
+                    "payload": payloads,
                 }
             )
 

@@ -1053,6 +1053,117 @@ def q_multimodal_frames_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- L5f real-codec path: AVI video decode / frame sampling -----------------
+
+
+@query(
+    "q_multimodal_decode_avi",
+    oracle="""
+    -- closed-form replay of the video fixture: pixel(x,y,f) =
+    -- (3x + 5y + 11f + id) mod 256 over (8+id%5) x (6+id%7) x (4+id%4);
+    -- decoded bytes are 24-bit B=G=R, so sums carry a factor 3, and the
+    -- position-weighted checksum pins stride-strip / row-flip / frame
+    -- order (see llm/multimodal.decode_video)
+    WITH m AS (
+        SELECT doc_id AS media_id, 8 + doc_id % 5 AS w,
+               6 + doc_id % 7 AS h, 4 + doc_id % 4 AS nf
+        FROM documents
+    )
+    SELECT media_id,
+           CAST(max(w) AS BIGINT) AS width,
+           CAST(max(h) AS BIGINT) AS height,
+           CAST(max(nf) AS BIGINT) AS n_frames,
+           CAST(40 AS BIGINT) AS frame_ms,
+           CAST(3 * sum((3 * x.i + 5 * y.i + 11 * f.i + media_id) % 256)
+                AS BIGINT) AS pixel_sum,
+           CAST(3 * sum((x.i + 2 * y.i + 3 * f.i) *
+                        ((3 * x.i + 5 * y.i + 11 * f.i + media_id) % 256))
+                AS BIGINT) AS weighted_sum
+    FROM m, unnest(range(0, w)) AS x(i), unnest(range(0, h)) AS y(i),
+         unnest(range(0, nf)) AS f(i)
+    GROUP BY media_id
+    """,
+)
+def q_multimodal_decode_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # L5f: REAL video decode under the oracle — attach_avi_media emits
+    # actual RIFF/AVI containers (avih/strh/strf headers, bottom-up
+    # stride-padded 24-bit DIB '00db' frames, idx1 index; stdlib
+    # encoder, llm/avi_codec.py), decode_video chunk-walks the
+    # container and reconstructs top-down RGB frames executor-side in
+    # Arrow batches. pixel_sum checks the byte multiset; weighted_sum
+    # (position-weighted) additionally pins padding strip, row flip,
+    # and frame order. Closes the last stub-only modality (video) —
+    # reference has no media at all (SURVEY.md L5 family).
+    from ..llm.multimodal import attach_avi_media, decode_video
+
+    docs = Catalog(spark, sf_dir).documents.select(
+        F.col("doc_id").alias("media_id")
+    )
+    return decode_video(attach_avi_media(docs, "media_id"))
+
+
+@query(
+    "q_multimodal_frames_avi",
+    oracle="""
+    -- every 2nd frame of each video, re-encoded as a grayscale PNG
+    -- image shard and then IMAGE-decoded: pixel_sum is the plain gray
+    -- sum (mode 'L', no x3) of frame f at (3x + 5y + 11f + id) mod 256
+    WITH m AS (
+        SELECT doc_id AS media_id, 8 + doc_id % 5 AS w,
+               6 + doc_id % 7 AS h, 4 + doc_id % 4 AS nf
+        FROM documents
+    ), sampled AS (
+        SELECT media_id, w, h, CAST(f.i AS BIGINT) AS frame_idx
+        FROM m, unnest(range(0, nf)) AS f(i)
+        WHERE f.i % 2 = 0
+    )
+    SELECT media_id, frame_idx,
+           CAST(frame_idx * 40 AS BIGINT) AS frame_ts_ms,
+           CAST(max(w) AS BIGINT) AS width,
+           CAST(max(h) AS BIGINT) AS height,
+           CAST(sum((3 * x.i + 5 * y.i + 11 * frame_idx + media_id) % 256)
+                AS BIGINT) AS pixel_sum
+    FROM sampled, unnest(range(0, w)) AS x(i), unnest(range(0, h)) AS y(i)
+    GROUP BY media_id, frame_idx
+    """,
+)
+def q_multimodal_frames_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # L5f: the video-to-image-shard pipeline, whole chain value-hashed —
+    # AVI decode -> sample every 2nd frame -> LOSSLESS PNG re-encode
+    # (sample_video_frames) -> the SAME decode_image operator the image
+    # queries use. Sampled-frame rows carry a composite id through the
+    # image decoder (media_id*16 + frame_idx; n_frames <= 7 < 16) and
+    # split back after, so one mapInPandas chain checks the AVI
+    # decoder's frame selection, the PNG encoder's output, and the PNG
+    # decoder's pixels in a single oracle. This is the normalize-to-
+    # lossless shape vision training shards use (cf. L5e transcode).
+    from ..llm.multimodal import (
+        attach_avi_media,
+        decode_image,
+        sample_video_frames,
+    )
+
+    docs = Catalog(spark, sf_dir).documents.select(
+        F.col("doc_id").alias("media_id")
+    )
+    frames = sample_video_frames(
+        attach_avi_media(docs, "media_id"), every_n=2
+    )
+    shards = frames.select(
+        (F.col("media_id") * 16 + F.col("frame_idx")).alias("fid"),
+        "payload",
+    )
+    decoded = decode_image(shards, id_col="fid", codec="pure")
+    return decoded.select(
+        (F.col("fid") / 16).cast("long").alias("media_id"),
+        F.pmod(F.col("fid"), F.lit(16)).cast("long").alias("frame_idx"),
+        (F.pmod(F.col("fid"), F.lit(16)) * 40).cast("long").alias("frame_ts_ms"),
+        "width",
+        "height",
+        "pixel_sum",
+    )
+
+
 # --- S11: version retention vacuum on the MERGE table -----------------------
 
 

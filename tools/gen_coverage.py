@@ -230,6 +230,8 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_multimodal_transcode_jpeg"]),
         ("L5c", "real-codec WAV/PCM16 audio decode / framing (stdlib codec)",
          ["q_multimodal_decode_wav", "q_multimodal_frames_wav"]),
+        ("L5f", "real-codec AVI video decode + frame-to-PNG-shard sampling",
+         ["q_multimodal_decode_avi", "q_multimodal_frames_avi"]),
         ("L6", "deterministic / stratified / weighted sampling, train-val-test split",
          ["q_sample_stratified", "q_sample_split", "q_sample_weighted"]),
         ("L7", "end-to-end curation pipeline (quality -> dedup -> near-dup"

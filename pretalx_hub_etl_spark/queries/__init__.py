@@ -118,6 +118,7 @@ def load_all() -> dict[str, QuerySpec]:
     """
     from . import (  # noqa: F401
         analytics_q,
+        analytics_q2,
         curation_q,
         curation_q2,
         llm_q,

@@ -291,6 +291,77 @@ def bfs_hops(
     return dist.select(F.col("x").alias("vertex"), F.col("hops"))
 
 
+def sssp_rounds(
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int,
+    src: str = "u",
+    dst: str = "v",
+    weight: str = "w",
+    undirected: bool = True,
+) -> DataFrame:
+    """Multi-source single-source-shortest-path, ``rounds`` Bellman-Ford
+    relaxation rounds: ``(vertex, dist)`` — for every reachable vertex,
+    the exact minimum total edge weight over paths of at most
+    ``rounds`` edges from the nearest source (sources at 0).
+
+    The weighted sibling of :func:`bfs_hops`: hop-BFS's monotone
+    invariant (first discovery == minimum) does NOT hold under weights
+    — a later, longer-hop path can be cheaper — so instead of a
+    frontier \\ visited anti-join, each round RELAXES every edge out of
+    the current tentative-distance table and keeps the per-vertex min:
+
+        dist(0) = sources at 0
+        dist(r) = min by vertex over dist(r-1) ∪
+                  { (v, d(u) + w(u,v)) : (u,v,w) ∈ E, u ∈ dist(r-1) }
+
+    Per round: one equi-join of the (persisted, vertex-partitioned)
+    edge list against the tentative table on the source key, one
+    union, one map-side-combined min-groupBy — all shuffles keyed on
+    vertex id, never vertex-quadratic. A fixed round count keeps the
+    driver out of the convergence decision (the :func:`pagerank`
+    policy): round ``r``'s output is exact for the ≤``r``-edge
+    horizon, and textbook-complete once ``r`` ≥ the graph's weighted
+    diameter in hops. Each round's table is lazily
+    ``localCheckpoint``-ed so plan depth stays constant. Weights must
+    be non-negative (Bellman-Ford relaxation is still correct with
+    negatives, but the bounded-horizon reading of intermediate rounds
+    is not); integer weights keep the min exact cross-engine.
+    """
+    u, v, w = F.col(src), F.col(dst), F.col(weight)
+    e = edges.select(u.alias("u"), v.alias("v"), w.alias("w")).filter(
+        F.col("u") != F.col("v")
+    )
+    if undirected:
+        e = e.unionAll(
+            e.select(
+                F.col("v").alias("u"), F.col("u").alias("v"), F.col("w")
+            )
+        )
+    e = e.distinct().persist()
+    dist = (
+        sources.select(F.col(sources.columns[0]).alias("x"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+    )
+    for r in range(1, rounds + 1):
+        relaxed = e.join(dist.withColumnRenamed("x", "u"), "u").select(
+            F.col("v").alias("x"),
+            (F.col("dist") + F.col("w")).alias("dist"),
+        )
+        dist = (
+            dist.unionAll(relaxed)
+            .groupBy("x")
+            .agg(F.min("dist").alias("dist"))
+        )
+        if r < rounds:
+            dist = dist.localCheckpoint(eager=False)
+    e.unpersist()
+    return dist.select(
+        F.col("x").alias("vertex"), F.col("dist").cast("long").alias("dist")
+    )
+
+
 def k_core_peel(
     edges: DataFrame,
     k: int,

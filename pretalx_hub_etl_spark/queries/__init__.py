@@ -130,6 +130,7 @@ def load_all() -> dict[str, QuerySpec]:
         relational,
         relational2,
         relational3,
+        scale_q,
         scalar_fns,
         sources_sinks,
         sql_q,

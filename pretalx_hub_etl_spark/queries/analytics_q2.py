@@ -354,6 +354,194 @@ def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- AN24: exact integer EWMA (alpha = 1/2) ---------------------------------
+
+_EWMA_ORACLE = """
+WITH c AS (
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rnd
+    FROM events
+), win AS (
+    SELECT user_id, ts, event_id, cents,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn
+    FROM c WHERE rnd <= 16
+), agg AS (
+    SELECT user_id,
+           count(*) AS k,
+           sum(cents * (1::BIGINT << (rn - 1))) AS num
+    FROM win GROUP BY user_id
+)
+SELECT user_id, CAST(k AS BIGINT) AS k,
+       CAST(num AS BIGINT) AS ewma_num,
+       CAST((1::BIGINT << k) - 1 AS BIGINT) AS ewma_den,
+       CAST((num * 1000000 - ((num * 1000000 % ((1::BIGINT << k) - 1))
+             + ((1::BIGINT << k) - 1)) % ((1::BIGINT << k) - 1))
+            / ((1::BIGINT << k) - 1) AS BIGINT) AS ewma_micro
+FROM agg
+"""
+
+
+@query("q_ewma", oracle=_EWMA_ORACLE)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # AN24: exponentially-weighted moving average with alpha = 1/2 over
+    # each user's last 16 events, EXACT: with a power-of-two decay the
+    # weights are bit shifts, so the normalized finite-history EWMA
+    #   Σ v_i·(1/2)^(k−i) / Σ (1/2)^(k−i)  =  Σ v_i·2^(i−1) / (2^k − 1)
+    # is a ratio of two BIGINTs — numerator via shiftleft(cents, rn−1)
+    # (≤ 2^15·10^7 ≪ 2^63), denominator 2^k − 1 — reported as the
+    # exact (num, den) pair plus the floor-quantized micro-unit ratio
+    # (the theil-sen pmod floordiv pattern, exact on both engines).
+    # The smoothing recursion S_k = (v_k + S_{k−1})/2 is sequential in
+    # the textbook; the closed form makes it ONE map-side-combinable
+    # weighted sum — no iteration, one user-keyed shuffle shared by
+    # the cap window, the re-rank, and the final agg.
+    from ..functions.core import fixed_cents
+
+    ev = Catalog(spark, sf_dir).events
+    wdesc = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    win = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            fixed_cents(F.col("value")).alias("cents"),
+            F.row_number().over(wdesc).alias("rnd"),
+        )
+        .filter(F.col("rnd") <= 16)
+        .drop("rnd")
+    )
+    wasc = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    weighted = win.select(
+        "user_id",
+        F.call_function(
+            "shiftleft",
+            F.col("cents"),
+            (F.row_number().over(wasc) - 1).cast("int"),
+        ).alias("wv"),
+    )
+    agg = weighted.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("k"), F.sum("wv").alias("num")
+    )
+    den = (
+        F.call_function(
+            "shiftleft", F.lit(1).cast("long"), F.col("k").cast("int")
+        )
+        - 1
+    )
+    staged = agg.select(
+        "user_id",
+        F.col("k").cast("long").alias("k"),
+        F.col("num").cast("long").alias("ewma_num"),
+        den.cast("long").alias("ewma_den"),
+        (F.col("num") * F.lit(1000000)).alias("__ns"),
+    )
+    return staged.select(
+        "user_id",
+        "k",
+        "ewma_num",
+        "ewma_den",
+        F.expr("(__ns - pmod(__ns, ewma_den)) DIV ewma_den")
+        .cast("long")
+        .alias("ewma_micro"),
+    )
+
+
+# --- AN25: exact rank-based AUC (Mann-Whitney) ------------------------------
+
+_AUC_ORACLE = """
+WITH c AS (
+    SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events
+), r AS (
+    SELECT d, pos, cents,
+           2 * rank() OVER (PARTITION BY d ORDER BY cents)
+             + count(*) OVER (PARTITION BY d, cents) - 1 AS mr2
+    FROM c
+), s AS (
+    SELECT d,
+           sum(CASE WHEN pos = 1 THEN mr2 ELSE 0 END) AS r2_pos,
+           sum(pos) AS n_pos,
+           sum(1 - pos) AS n_neg
+    FROM r GROUP BY d
+)
+SELECT d AS day, CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(n_neg AS BIGINT) AS n_neg,
+       CAST(r2_pos - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+       CAST(((r2_pos - n_pos * (n_pos + 1)) * 500000
+             - ((((r2_pos - n_pos * (n_pos + 1)) * 500000)
+                 % (n_pos * n_neg)) + (n_pos * n_neg)) % (n_pos * n_neg))
+            / (n_pos * n_neg) AS BIGINT) AS auc_micro
+FROM s WHERE n_pos > 0 AND n_neg > 0
+"""
+
+
+@query("q_eval_auc", oracle=_AUC_ORACLE)
+def q_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # AN25: exact ROC-AUC per day via the rank identity (Mann-Whitney
+    # U): AUC = (ΣR_pos − n_pos(n_pos+1)/2) / (n_pos·n_neg) with
+    # midranks for ties — the model-eval primitive a training-data
+    # pipeline runs on every scored candidate set (here: does event
+    # value separate purchases from the rest, per day). All-integer:
+    # 2·midrank = 2·rank() + tiecount − 1 is always integral, so
+    # U2 = Σmr2_pos − n_pos(n_pos+1) = 2U stays a BIGINT and
+    # auc_micro = floor(U2·5·10^5 / (n_pos·n_neg)) uses the pmod
+    # floordiv pattern — no float division to drift the hash. Scale:
+    # the rank windows PARTITION BY day (a global unpartitioned rank
+    # would single-reduce at 100 TB — the per-group framing is the
+    # scale-safety), tie counts share the same day-keyed shuffle, and
+    # the final per-day sums are map-side combined.
+    from ..functions.core import fixed_cents
+
+    ev = Catalog(spark, sf_dir).events
+    c = ev.select(
+        F.to_date(F.col("ts")).alias("d"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("pos"),
+        fixed_cents(F.col("value")).alias("cents"),
+    )
+    mr2 = (
+        2 * F.rank().over(Window.partitionBy("d").orderBy("cents"))
+        + F.count(F.lit(1)).over(Window.partitionBy("d", "cents"))
+        - 1
+    )
+    r = c.select("d", "pos", mr2.alias("mr2"))
+    s = r.groupBy("d").agg(
+        F.sum(F.when(F.col("pos") == 1, F.col("mr2")).otherwise(0)).alias(
+            "r2_pos"
+        ),
+        F.sum("pos").alias("n_pos"),
+        F.sum(1 - F.col("pos")).alias("n_neg"),
+    )
+    u2 = F.col("r2_pos") - F.col("n_pos") * (F.col("n_pos") + 1)
+    staged = s.filter(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
+    ).select(
+        F.col("d").alias("day"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        u2.cast("long").alias("u2"),
+        (u2 * F.lit(500000)).alias("__us"),
+        (F.col("n_pos") * F.col("n_neg")).alias("__den"),
+    )
+    return staged.select(
+        "day",
+        "n_pos",
+        "n_neg",
+        "u2",
+        F.expr("(__us - pmod(__us, __den)) DIV __den")
+        .cast("long")
+        .alias("auc_micro"),
+    )
+
+
 # --- W11: gaps-and-islands longest activity streak --------------------------
 
 _STREAK_ORACLE = """

@@ -130,6 +130,8 @@ NESTED_LOOP_ALLOWED = {
     "q_rolling_distinct",    # max(day) bound as a 1-row broadcast
     "q_dedup_semantic",      # Lloyd assignment: corpus × broadcast(K=8)
     "q_mixture_temperature",  # Σw weight total as a 1-row broadcast
+    "q_join_bloom_prefilter",  # bloom bitmap as a 1-row broadcast (operators/bloom.py:123)
+    "q_ks_two_sample",       # clicks × broadcast(distinct event types ≤ |types|)
 }
 
 

@@ -83,6 +83,13 @@ HEADLINE = [
     "q_anomaly_zscore",     # rolling integer z-score anomaly flags
     "q_rejection_sampling",  # verifier-gated best-of-n
     "q_fn_maparrow",        # raw-Arrow batch transform surface
+    # round-9 additions
+    "q_join_bloom_prefilter",  # explicit Bloom runtime-filter join
+    "q_graph_sssp",         # bounded Bellman-Ford weighted SSSP
+    "q_dedup_snm",          # sorted-neighborhood dedup blocking
+    "q_trend_theil_sen",    # median-of-pairwise-slopes robust trend
+    "q_ks_two_sample",      # two-sample KS sup-CDF distance
+    "q_multimodal_decode_avi",  # pure-stdlib AVI decode via mapInPandas
 ]
 
 
@@ -163,6 +170,50 @@ def _conf_digest(spark) -> str:
             v = ""
         parts.append(f"{k}={v}")
     return hashlib.md5(";".join(parts).encode()).hexdigest()[:12]
+
+
+def _common_vs_prev(timings: dict[str, float]) -> dict | None:
+    """Compare this run to the latest committed BENCH_r{N}.json over the
+    intersection of query names — the automatic form of DRIFT_r08.md's
+    hand bisect (round-8 review, Next #5). Totals over the COMMON set
+    only, so registry growth between rounds can't masquerade as a
+    regression; ratio > 1 means this run is slower. Box-bound caveat
+    still applies (DRIFT_r08.md): the ratio flags drift, the preflight
+    loadavg says whether to believe it."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    arts = {}
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            arts[int(m.group(1))] = p
+    if not arts:
+        return None
+    n = max(arts)
+    try:
+        with open(arts[n]) as fh:
+            prev = json.load(fh)
+        prev_q = prev.get("queries") or (prev.get("parsed") or {}).get(
+            "queries"
+        )
+    except (OSError, ValueError):
+        return None
+    if not isinstance(prev_q, dict):
+        return None
+    common = sorted(set(prev_q) & set(timings))
+    if not common:
+        return None
+    prev_total = round(sum(float(prev_q[q]) for q in common), 3)
+    cur_total = round(sum(timings[q] for q in common), 3)
+    return {
+        "prev_artifact": os.path.basename(arts[n]),
+        "n_common": len(common),
+        "prev_total": prev_total,
+        "cur_total": cur_total,
+        "ratio": round(cur_total / prev_total, 3) if prev_total else None,
+    }
 
 
 def main() -> None:
@@ -246,6 +297,7 @@ def main() -> None:
         "sf": sf,
         "sha": _git_sha(),
         "conf_digest": _conf_digest(spark),
+        "common_vs_prev": _common_vs_prev(timings),
         "inputs": input_stats(sf_dir),
         "preflight": preflight,
         "loadavg_start": [round(x, 2) for x in load_start],

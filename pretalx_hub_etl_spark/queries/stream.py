@@ -266,6 +266,106 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_stream_interval_join_outer",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+        FROM events
+    )
+    SELECT l.user_id,
+           l.event_id AS l_event_id, r.event_id AS r_event_id,
+           l.ts AS l_ts, r.ts AS r_ts
+    FROM (SELECT * FROM e WHERE event_id % 2 = 0) l
+    LEFT JOIN (SELECT * FROM e WHERE event_id % 2 = 1) r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 10 MINUTE
+    """,
+)
+def q_stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ST8b: the stream-stream LEFT OUTER interval join — ST8's inner
+    # form answers "which impressions got a click within 10 minutes";
+    # the outer form also answers "which did NOT", and that negative is
+    # only decidable once BOTH streams' watermarks pass the end of the
+    # impression's join window (interval_join_streams docstring). To
+    # make the watermark-driven null emission deterministic (and thus
+    # batch-oracle-able), the replay appends two far-future sentinel
+    # batches to each side after the real data: sentinel batch 1's
+    # event time advances the global watermark past every real join
+    # window, and sentinel batch 2's microbatch performs the eviction
+    # that emits every remaining unmatched row null-padded (watermarks
+    # computed at batch N's end take effect in batch N+1). The
+    # sentinels (user_id -1) match nothing, outlive the final
+    # watermark, and are filtered from the result — so the streaming
+    # answer provably equals the batch LEFT JOIN the oracle runs.
+    # At scale this sentinel is unnecessary: a live stream's watermark
+    # advances on its own; the outer rows simply trail by
+    # watermark + max_delay.
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming.structured import (
+        interval_join_streams,
+        stream_from_parquet_dir,
+    )
+
+    e = Catalog(spark, sf_dir).events.select("user_id", "event_id", "ts")
+    tmp = tempfile.mkdtemp(prefix="phe_ivjo_")
+    ldir, rdir = os.path.join(tmp, "l"), os.path.join(tmp, "r")
+    e.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(ldir)
+    e.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(rdir)
+
+    def sentinel(day: str):
+        return spark.createDataFrame(
+            [(-1, -1)], "user_id long, event_id long"
+        ).select(
+            "user_id", "event_id",
+            F.lit(f"2100-01-{day} 00:00:00").cast("timestamp").alias("ts"),
+        )
+
+    left = stream_from_parquet_dir(spark, ldir, e.schema).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    right = stream_from_parquet_dir(spark, rdir, e.schema).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    joined = interval_join_streams(
+        left,
+        right,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        left_watermark="10 minutes",
+        right_watermark="10 minutes",
+        max_delay="10 minutes",
+        how="leftOuter",
+    )
+    name = f"ivjo_{uuid.uuid4().hex}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # batch 1: all real data, watermark ~0
+        for day in ("01", "02"):
+            s = sentinel(day)
+            s.coalesce(1).write.mode("append").parquet(ldir)
+            s.coalesce(1).write.mode("append").parquet(rdir)
+            q.processAllAvailable()  # advance watermark, then evict+emit
+    finally:
+        q.stop()
+    shutil.rmtree(tmp, ignore_errors=True)
+    return (
+        spark.table(name)
+        .filter(F.col("user_id") >= 0)
+        .select("user_id", "l_event_id", "r_event_id", "l_ts", "r_ts")
+    )
+
+
 # --- ST11: dynamic-gap session windows (per-event gap expression) -----------
 
 

@@ -107,8 +107,9 @@ def interval_join_streams(
     left_watermark: str,
     right_watermark: str,
     max_delay: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """Watermarked stream-stream inner join (the impressions⋈clicks shape).
+    """Watermarked stream-stream join (the impressions⋈clicks shape).
 
     Equi-join on ``key`` plus the interval constraint
     ``left_ts <= right_ts <= left_ts + max_delay``. BOTH watermarks plus
@@ -118,6 +119,19 @@ def interval_join_streams(
     either side may arrive — buffered state older than
     ``watermark + max_delay`` is evicted. An equi-join without the time
     bound would buffer both streams forever.
+
+    ``how``: ``inner`` (default) or the watermark-gated outer forms
+    (``leftOuter``/``rightOuter``/``fullOuter``). Outer semantics are
+    watermark-DRIVEN, not just watermark-bounded: an unmatched buffered
+    row produces its null-padded result only when the global watermark
+    (the MIN across both sides) passes the end of its join window and
+    the row is evicted from state — so outer rows trail the data that
+    proves them unmatched by up to watermark + max_delay, and a stream
+    whose watermark never advances past a row's window never emits its
+    null form at all. That late-unmatched contract is exactly the CDC
+    enrichment case: "orders with no matching click within 10 minutes"
+    is only decidable once both streams have moved 10 minutes past the
+    order.
 
     Columns are prefixed ``l_``/``r_`` (except the shared key) so the
     joined schema is collision-free.
@@ -140,7 +154,7 @@ def interval_join_streams(
             <= F.col(f"l_{left_ts}") + F.expr(f"INTERVAL {max_delay}")
         )
     )
-    return lsel.join(rsel, cond, "inner").drop("__rkey")
+    return lsel.join(rsel, cond, how).drop("__rkey")
 
 
 def enrich_stream(

@@ -272,3 +272,72 @@ def test_observe_metrics_batch(spark):
     got = obs.get
     assert got["n_rows"] == 1000
     assert got["bucket0"] == len([i for i in range(1000) if i % 7 == 0])
+
+
+def test_stream_stream_interval_join_left_outer_emits_unmatched(
+    spark, tmp_path
+):
+    # ST8b: unmatched impressions must surface null-padded, but ONLY
+    # once the global watermark passes their join window — before any
+    # watermark movement the outer join returns exactly the inner rows
+    from pretalx_hub_etl_spark.streaming.structured import (
+        interval_join_streams,
+    )
+
+    imps = [(10, "2024-01-01 10:00:00", 1.0),
+            (11, "2024-01-01 10:10:00", 2.0),   # click 80 min late
+            (12, "2024-01-01 12:00:00", 3.0)]   # click precedes imp
+    clicks = [(10, "2024-01-01 10:30:00", 7.0),
+              (11, "2024-01-01 11:30:00", 8.0),
+              (12, "2024-01-01 11:59:00", 9.0)]
+
+    def stage(rows, name, mode="overwrite"):
+        d = str(tmp_path / name)
+        (spark.createDataFrame(
+            rows, "user_id long, ts_s string, value double")
+         .select("user_id", F.to_timestamp("ts_s").alias("ts"), "value")
+         .coalesce(1).write.mode(mode).parquet(d))
+        return d
+
+    ld, rd = stage(imps, "imps"), stage(clicks, "clicks")
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    joined = interval_join_streams(
+        spark.readStream.schema(schema).parquet(ld),
+        spark.readStream.schema(schema).parquet(rd),
+        key="user_id", left_ts="ts", right_ts="ts",
+        left_watermark="10 minutes", right_watermark="10 minutes",
+        max_delay="1 hour", how="leftOuter",
+    )
+    q = (joined.writeStream.outputMode("append").format("memory")
+         .queryName("t_ssjoin_outer").start())
+    try:
+        q.processAllAvailable()
+        # after the first data batch the watermark sits at
+        # max(real ts) - 10min = 11:49: imp 11's window ([10:10,
+        # 11:10]) is already closed, so Spark's no-data batch evicts
+        # and null-emits it — but imp 12's window ([12:00, 13:00]) is
+        # still open, so its unmatched row must NOT have emitted yet
+        early = spark.sql("SELECT * FROM t_ssjoin_outer").collect()
+        assert sorted((r.user_id, r.r_value) for r in early) == [
+            (10, 7.0), (11, None)
+        ]
+
+        # two sentinel batches: the first advances the watermark past
+        # every real window, the second's microbatch evicts and emits
+        for day in ("02", "03"):
+            s = [(-1, f"2024-06-{day} 00:00:00", 0.0)]
+            stage(s, "imps", mode="append")
+            stage(s, "clicks", mode="append")
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.sql(
+        "SELECT * FROM t_ssjoin_outer WHERE user_id >= 0"
+    ).collect()
+    got = sorted((r.user_id, r.l_value, r.r_value) for r in rows)
+    assert got == [(10, 1.0, 7.0), (11, 2.0, None), (12, 3.0, None)]

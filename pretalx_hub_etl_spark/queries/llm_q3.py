@@ -532,7 +532,11 @@ def q_stream_mor_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tmp = tempfile.mkdtemp(prefix="phe_mor_stream_")
     src_dir = os.path.join(tmp, "in")
-    e.repartition(8, "user_id").write.parquet(src_dir)
+    # 4 key-routed files -> 4 delta commits: the equivalence argument
+    # (each key resolved within its one batch) needs multi-batch, not
+    # any particular count; 8 batches doubled the fixed foreachBatch
+    # cost for no stronger claim (round-8 review, Next #8)
+    e.repartition(4, "user_id").write.parquet(src_dir)
 
     stream = stream_from_parquet_dir(
         spark, src_dir, e.schema, max_files_per_trigger=1
@@ -1252,7 +1256,7 @@ def q_stream_stateful_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents"),
     )
     tmp = os.path.join(tempfile.mkdtemp(prefix="phe_tws_"), "in")
-    e.repartition(4, "user_id").write.parquet(tmp)
+    e.repartition(2, "user_id").write.parquet(tmp)
     stream = stream_from_parquet_dir(
         spark, tmp, e.schema, max_files_per_trigger=1
     )
@@ -1283,7 +1287,7 @@ def q_stream_stateful_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_stream_topn_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ST9c: TWS **ListState** under the gate — per-key running top-3
-    # across a REAL 4-file multi-batch stream (files deliberately NOT
+    # across a REAL 2-file multi-batch stream (files deliberately NOT
     # key-routed: the top-n multiset is arrival-order independent, so
     # unlike the totals queries no batch-routing construction is needed
     # — any replay order converges to the same final state). Each batch
@@ -1318,7 +1322,7 @@ def q_stream_topn_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     tmp = os.path.join(tempfile.mkdtemp(prefix="phe_topn_"), "in")
-    e.repartition(4).write.parquet(tmp)
+    e.repartition(2).write.parquet(tmp)
     stream = stream_from_parquet_dir(
         spark, tmp, e.schema, max_files_per_trigger=1
     )
@@ -1346,7 +1350,7 @@ def q_stream_topn_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_stream_mapstate_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ST9d: TWS **MapState** under the gate — per-(user, event_type)
-    # running counts across a REAL 4-file multi-batch stream, completing
+    # running counts across a REAL 2-file multi-batch stream, completing
     # the typed-state trio (ValueState: ST9b totals; ListState: ST9c
     # top-n). Updates touch only the subkeys present in each batch
     # (point getValue/updateValue ops); each batch emits the key's full
@@ -1375,7 +1379,7 @@ def q_stream_mapstate_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     tmp = os.path.join(tempfile.mkdtemp(prefix="phe_mapst_"), "in")
-    e.repartition(4).write.parquet(tmp)
+    e.repartition(2).write.parquet(tmp)
     stream = stream_from_parquet_dir(
         spark, tmp, e.schema, max_files_per_trigger=1
     )
@@ -1460,8 +1464,8 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_exact_oracle(
-    m: int = 8,
-    k_codes: int = 16,
+    m: int = 4,
+    k_codes: int = 8,
     iterations: int = 2,
     k: int = 10,
     refine: int = 3,
@@ -1549,7 +1553,11 @@ def q_sim_topk_pq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # paths (brute force, LSH, IVF, PQ) have a value-hash-checked form;
     # the float production PQ (llm/pq.py: numpy codebooks, Arrow encode)
     # keeps its vectorized speed and its lossless-codebook exactness
-    # tests.
+    # tests. Witness geometry is m=4 subspaces x 8 codes (vs
+    # production's 8x16): the exactness claim is per-STAGE (Lloyd,
+    # assignment, ADC, rerank), not per-geometry, and the smaller loop
+    # halves the per-subspace checkpoint chain that dominated the
+    # parity sweep (round-8 review, Next #8).
     from ..llm.kmeans import pq_exact_topk
 
     e = Catalog(spark, sf_dir).embeddings
@@ -1557,7 +1565,7 @@ def q_sim_topk_pq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return pq_exact_topk(
-        e, queries, k=10, m=8, k_codes=16, iterations=2, refine=3
+        e, queries, k=10, m=4, k_codes=8, iterations=2, refine=3
     )
 
 

@@ -85,10 +85,23 @@ FORCE_REVERIFY: set[str] = {
     # artifact scan ranks them automatically again.)
     "q_kmeans_exact",         # r07: eager-checkpoint + unpersist refactor
     "q_sim_topk_ivf_exact",   # r07: same kmeans.py refactor
-    "q_sim_topk_pq_exact",    # r07: per-subspace checkpoint restructure
     "q_agg_global_quantiles_cont",  # r07: filter-before-project fix
     "q_stream_dedup_equiv",   # r07: one-split-per-file assertion added
     "q_pipeline_curation",    # r07: fan_out(by=doc_id) stage partitioning
+    "q_sim_topk_pq_exact",    # r09: witness geometry m=4 x 8 codes
+    "q_stream_mor_equiv",     # r09: 4 delta commits + fixture session
+    "q_stream_stateful_totals_tws",  # r09: 2 microbatches + fixture session
+    "q_stream_topn_tws",      # r09: 2 microbatches + fixture session
+    "q_stream_mapstate_tws",  # r09: 2 microbatches + fixture session
+    # r09: streaming fixtures moved onto an isolated child session with
+    # 8 shuffle partitions (state stores per microbatch), see
+    # streaming/structured.py:fixture_session
+    "q_stream_merge_equiv",
+    "q_stream_stateful_totals",
+    "q_stream_dedup_equiv",
+    "q_stream_tumbling_equiv",
+    "q_stream_session_equiv",
+    "q_stream_interval_join",
 }
 
 VERIFIED_PRIOR_ROUNDS: dict[str, int] = {

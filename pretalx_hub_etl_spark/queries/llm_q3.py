@@ -456,6 +456,7 @@ def q_stream_merge_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     # by key, merge per batch, OCC-rename commit (sinks/merge.py).
     from ..sinks.merge import MergeSink
     from ..streaming.structured import (
+        fixture_session,
         merge_stream_into,
         stream_from_parquet_dir,
     )
@@ -467,8 +468,9 @@ def q_stream_merge_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_dir = os.path.join(tmp, "in")
     e.repartition(8, "user_id").write.parquet(src_dir)
 
+    s2 = fixture_session(spark)
     stream = stream_from_parquet_dir(
-        spark, src_dir, e.schema, max_files_per_trigger=1
+        s2, src_dir, e.schema, max_files_per_trigger=1
     ).withColumn("ord", F.struct("ts", "event_id"))
     sink = MergeSink(os.path.join(tmp, "state"), key="user_id")
     sink.init(spark.createDataFrame([], stream.schema))
@@ -525,7 +527,10 @@ def q_stream_mor_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from ..sinks.mor import MorTable
-    from ..streaming.structured import stream_from_parquet_dir
+    from ..streaming.structured import (
+        fixture_session,
+        stream_from_parquet_dir,
+    )
 
     e = Catalog(spark, sf_dir).events.select(
         "user_id", "event_id", "ts", "event_type", "value"
@@ -538,8 +543,9 @@ def q_stream_mor_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cost for no stronger claim (round-8 review, Next #8)
     e.repartition(4, "user_id").write.parquet(src_dir)
 
+    s2 = fixture_session(spark)
     stream = stream_from_parquet_dir(
-        spark, src_dir, e.schema, max_files_per_trigger=1
+        s2, src_dir, e.schema, max_files_per_trigger=1
     )
     t = MorTable(os.path.join(tmp, "state"), "user_id")
     t.init(spark.createDataFrame([], e.schema))
@@ -1190,6 +1196,7 @@ def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming.stateful import running_totals
     from ..streaming.structured import (
+        fixture_session,
         run_to_memory,
         stream_from_parquet_dir,
     )
@@ -1202,8 +1209,9 @@ def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tmp = os.path.join(tempfile.mkdtemp(prefix="phe_stateful_"), "in")
     e.repartition(4, "user_id").write.parquet(tmp)
+    s2 = fixture_session(spark)
     stream = stream_from_parquet_dir(
-        spark, tmp, e.schema, max_files_per_trigger=1
+        s2, tmp, e.schema, max_files_per_trigger=1
     )
     out = running_totals(stream, "user_id", "cents")
     name = f"stateful_{uuid.uuid4().hex}"
@@ -1212,7 +1220,7 @@ def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # the memory sink holds the result; drop the input copy immediately
     shutil.rmtree(os.path.dirname(tmp), ignore_errors=True)
-    return spark.table(name).select("key", "n", "total")
+    return s2.table(name).select("key", "n", "total")
 
 
 @query(
@@ -1245,6 +1253,7 @@ def q_stream_stateful_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.protobuf_compat import tws_available
     from ..streaming.stateful import running_totals, running_totals_tws
     from ..streaming.structured import (
+        fixture_session,
         run_to_memory,
         stream_from_parquet_dir,
     )
@@ -1257,8 +1266,9 @@ def q_stream_stateful_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tmp = os.path.join(tempfile.mkdtemp(prefix="phe_tws_"), "in")
     e.repartition(2, "user_id").write.parquet(tmp)
+    s2 = fixture_session(spark)
     stream = stream_from_parquet_dir(
-        spark, tmp, e.schema, max_files_per_trigger=1
+        s2, tmp, e.schema, max_files_per_trigger=1
     )
     op = running_totals_tws if tws_available() else running_totals
     out = op(stream, "user_id", "cents")
@@ -1267,7 +1277,7 @@ def q_stream_stateful_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     shutil.rmtree(os.path.dirname(tmp), ignore_errors=True)
-    return spark.table(name).select("key", "n", "total")
+    return s2.table(name).select("key", "n", "total")
 
 
 @query(
@@ -1303,7 +1313,11 @@ def q_stream_topn_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming.protobuf_compat import tws_available
     from ..streaming.stateful import running_topn_tws
-    from ..streaming.structured import run_to_memory, stream_from_parquet_dir
+    from ..streaming.structured import (
+        fixture_session,
+        run_to_memory,
+        stream_from_parquet_dir,
+    )
 
     e = Catalog(spark, sf_dir).events.select(
         "user_id",
@@ -1323,14 +1337,15 @@ def q_stream_topn_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     tmp = os.path.join(tempfile.mkdtemp(prefix="phe_topn_"), "in")
     e.repartition(2).write.parquet(tmp)
+    s2 = fixture_session(spark)
     stream = stream_from_parquet_dir(
-        spark, tmp, e.schema, max_files_per_trigger=1
+        s2, tmp, e.schema, max_files_per_trigger=1
     )
     out = running_topn_tws(stream, "user_id", "cents", n=3)
     name = f"topn_{uuid.uuid4().hex}"
     run_to_memory(out, name, output_mode="update")
     shutil.rmtree(os.path.dirname(tmp), ignore_errors=True)
-    snap = spark.table(name)
+    snap = s2.table(name)
     wlast = Window.partitionBy("key")
     return (
         snap.withColumn("__mx", F.max("n_seen").over(wlast))
@@ -1365,7 +1380,11 @@ def q_stream_mapstate_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming.protobuf_compat import tws_available
     from ..streaming.stateful import running_subkey_counts_tws
-    from ..streaming.structured import run_to_memory, stream_from_parquet_dir
+    from ..streaming.structured import (
+        fixture_session,
+        run_to_memory,
+        stream_from_parquet_dir,
+    )
 
     e = Catalog(spark, sf_dir).events.select("user_id", "event_type")
     if not tws_available():
@@ -1380,14 +1399,15 @@ def q_stream_mapstate_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     tmp = os.path.join(tempfile.mkdtemp(prefix="phe_mapst_"), "in")
     e.repartition(2).write.parquet(tmp)
+    s2 = fixture_session(spark)
     stream = stream_from_parquet_dir(
-        spark, tmp, e.schema, max_files_per_trigger=1
+        s2, tmp, e.schema, max_files_per_trigger=1
     )
     out = running_subkey_counts_tws(stream, "user_id", "event_type")
     name = f"mapst_{uuid.uuid4().hex}"
     run_to_memory(out, name, output_mode="update")
     shutil.rmtree(os.path.dirname(tmp), ignore_errors=True)
-    snap = spark.table(name)
+    snap = s2.table(name)
     wlast = Window.partitionBy("key")
     return (
         snap.withColumn("__mx", F.max("n_seen").over(wlast))
@@ -1646,6 +1666,7 @@ def q_stream_dedup_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming.structured import (
         dedup_stream,
+        fixture_session,
         run_to_memory,
         stream_from_parquet_dir,
     )
@@ -1685,8 +1706,9 @@ def q_stream_dedup_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"openCostInBytes {open_cost}; it could split and break "
                 "the keep-first ordering argument — shrink the fixture"
             )
+    s2 = fixture_session(spark)
     stream = stream_from_parquet_dir(
-        spark, tmp, e.schema, max_files_per_trigger=1
+        s2, tmp, e.schema, max_files_per_trigger=1
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     out = dedup_stream(
         stream,
@@ -1699,7 +1721,7 @@ def q_stream_dedup_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     shutil.rmtree(os.path.dirname(tmp), ignore_errors=True)
-    return spark.table(name).select("user_id", "event_type", "event_id", "ts")
+    return s2.table(name).select("user_id", "event_type", "event_id", "ts")
 
 
 # --- L7b: end-to-end pretraining-prep pipeline (round-6 ops composed) --------
@@ -1893,6 +1915,7 @@ def q_stream_tumbling_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     from ..streaming.structured import (
+        fixture_session,
         run_to_memory,
         stream_from_parquet_dir,
         windowed_counts_stream,
@@ -1907,8 +1930,9 @@ def q_stream_tumbling_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tmp = os.path.join(tempfile.mkdtemp(prefix="phe_stumb_"), "in")
     e.repartition(4).write.parquet(tmp)
+    s2 = fixture_session(spark)
     stream = stream_from_parquet_dir(
-        spark, tmp, e.schema, max_files_per_trigger=1
+        s2, tmp, e.schema, max_files_per_trigger=1
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     agg = windowed_counts_stream(
         stream,
@@ -1926,7 +1950,7 @@ def q_stream_tumbling_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     shutil.rmtree(os.path.dirname(tmp), ignore_errors=True)
-    return spark.table(name).select(
+    return s2.table(name).select(
         F.unix_timestamp("window_start").cast("long").alias("bucket_start"),
         "event_type",
         "n",
@@ -1991,6 +2015,7 @@ def q_stream_session_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     from ..streaming.structured import (
+        fixture_session,
         run_to_memory,
         sessionized_stream,
         stream_from_parquet_dir,
@@ -2005,8 +2030,9 @@ def q_stream_session_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tmp = os.path.join(tempfile.mkdtemp(prefix="phe_ssess_"), "in")
     e.repartition(4).write.parquet(tmp)
+    s2 = fixture_session(spark)
     stream = stream_from_parquet_dir(
-        spark, tmp, e.schema, max_files_per_trigger=1
+        s2, tmp, e.schema, max_files_per_trigger=1
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     agg = sessionized_stream(
         stream,
@@ -2022,7 +2048,7 @@ def q_stream_session_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"ssess_{uuid.uuid4().hex}"
     run_to_memory(agg, name, output_mode="complete")
     shutil.rmtree(os.path.dirname(tmp), ignore_errors=True)
-    return spark.table(name).select(
+    return s2.table(name).select(
         "user_id",
         F.unix_timestamp("window_start").cast("long").alias("session_start_s"),
         "n_events",

@@ -226,6 +226,7 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     from ..streaming.structured import (
+        fixture_session,
         interval_join_streams,
         run_to_memory,
         stream_from_parquet_dir,
@@ -237,12 +238,13 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     e.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(ldir)
     e.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(rdir)
 
+    s2 = fixture_session(spark)
     # watermarks require session-tz TIMESTAMP; the parquet roundtrip
     # yields TIMESTAMP_NTZ, so re-cast on the stream side
-    left = stream_from_parquet_dir(spark, ldir, e.schema).withColumn(
+    left = stream_from_parquet_dir(s2, ldir, e.schema).withColumn(
         "ts", F.col("ts").cast("timestamp")
     )
-    right = stream_from_parquet_dir(spark, rdir, e.schema).withColumn(
+    right = stream_from_parquet_dir(s2, rdir, e.schema).withColumn(
         "ts", F.col("ts").cast("timestamp")
     )
     joined = interval_join_streams(
@@ -261,7 +263,7 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # the memory sink holds the result; drop the input copies immediately
     shutil.rmtree(tmp, ignore_errors=True)
-    return spark.table(name).select(
+    return s2.table(name).select(
         "user_id", "l_event_id", "r_event_id", "l_ts", "r_ts"
     )
 
@@ -289,24 +291,41 @@ def q_stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     # only decidable once BOTH streams' watermarks pass the end of the
     # impression's join window (interval_join_streams docstring). To
     # make the watermark-driven null emission deterministic (and thus
-    # batch-oracle-able), the replay appends two far-future sentinel
-    # batches to each side after the real data: sentinel batch 1's
-    # event time advances the global watermark past every real join
-    # window, and sentinel batch 2's microbatch performs the eviction
-    # that emits every remaining unmatched row null-padded (watermarks
-    # computed at batch N's end take effect in batch N+1). The
-    # sentinels (user_id -1) match nothing, outlive the final
-    # watermark, and are filtered from the result — so the streaming
-    # answer provably equals the batch LEFT JOIN the oracle runs.
+    # batch-oracle-able), the replay appends ONE far-future sentinel
+    # batch to each side after the real data: its event time advances
+    # the global watermark past every real join window at batch end,
+    # and Spark's automatic NO-DATA batch (fired because the watermark
+    # moved and state needs cleanup) performs the eviction that emits
+    # every remaining unmatched row null-padded — pinned in
+    # tests/test_structured_streaming.py, where a closed-window row
+    # null-emits from the real data's own watermark with no sentinel
+    # at all. The sentinel (user_id -1) matches nothing, outlives the
+    # final watermark, and is filtered from the result — so the
+    # streaming answer provably equals the batch LEFT JOIN the oracle
+    # runs.
     # At scale this sentinel is unnecessary: a live stream's watermark
     # advances on its own; the outer rows simply trail by
     # watermark + max_delay.
+    # Fixture-cost control (round-8 review, Next #8 shape): the
+    # stateful join runs on an ISOLATED child session (newSession:
+    # same JVM/context, own SQLConf) with 8 shuffle partitions — a
+    # stream-stream join commits one state store per shuffle partition
+    # per side per microbatch, so the session-default 32 partitions
+    # are pure fixed overhead at sf0.01 fixture size (at 100 TB the
+    # default is right; state partitioning is a per-query sizing knob
+    # exactly like this). The sentinel is one pyarrow file write, not
+    # a Spark job.
+    import datetime
     import os
     import shutil
     import tempfile
     import uuid
 
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     from ..streaming.structured import (
+        fixture_session,
         interval_join_streams,
         stream_from_parquet_dir,
     )
@@ -317,18 +336,23 @@ def q_stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     e.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(ldir)
     e.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(rdir)
 
-    def sentinel(day: str):
-        return spark.createDataFrame(
-            [(-1, -1)], "user_id long, event_id long"
-        ).select(
-            "user_id", "event_id",
-            F.lit(f"2100-01-{day} 00:00:00").cast("timestamp").alias("ts"),
+    def write_sentinel(d: str) -> None:
+        table = pa.table(
+            {
+                "user_id": pa.array([-1], pa.int64()),
+                "event_id": pa.array([-1], pa.int64()),
+                "ts": pa.array(
+                    [datetime.datetime(2100, 1, 1)], pa.timestamp("us")
+                ),
+            }
         )
+        pq.write_table(table, os.path.join(d, "part-sentinel.parquet"))
 
-    left = stream_from_parquet_dir(spark, ldir, e.schema).withColumn(
+    s2 = fixture_session(spark)
+    left = stream_from_parquet_dir(s2, ldir, e.schema).withColumn(
         "ts", F.col("ts").cast("timestamp")
     )
-    right = stream_from_parquet_dir(spark, rdir, e.schema).withColumn(
+    right = stream_from_parquet_dir(s2, rdir, e.schema).withColumn(
         "ts", F.col("ts").cast("timestamp")
     )
     joined = interval_join_streams(
@@ -351,16 +375,16 @@ def q_stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         q.processAllAvailable()  # batch 1: all real data, watermark ~0
-        for day in ("01", "02"):
-            s = sentinel(day)
-            s.coalesce(1).write.mode("append").parquet(ldir)
-            s.coalesce(1).write.mode("append").parquet(rdir)
-            q.processAllAvailable()  # advance watermark, then evict+emit
+        write_sentinel(ldir)
+        write_sentinel(rdir)
+        # sentinel batch advances the watermark; the trailing no-data
+        # batch evicts remaining state and emits the null-padded rows
+        q.processAllAvailable()
     finally:
         q.stop()
     shutil.rmtree(tmp, ignore_errors=True)
     return (
-        spark.table(name)
+        s2.table(name)
         .filter(F.col("user_id") >= 0)
         .select("user_id", "l_event_id", "r_event_id", "l_ts", "r_ts")
     )

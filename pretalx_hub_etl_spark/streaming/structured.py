@@ -17,6 +17,27 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def fixture_session(
+    spark: SparkSession, shuffle_partitions: int = 8
+) -> SparkSession:
+    """Isolated child session for small bounded streaming fixtures.
+
+    A stateful streaming operator commits one state store per shuffle
+    partition (per side, for joins) per microbatch, so the engine's
+    session default (`cpus` partitions — right for the 100 TB design
+    point) is pure fixed overhead on a replay fixture of a few thousand
+    rows. ``newSession`` shares the JVM/SparkContext but owns its
+    SQLConf, so the fixture can size its state partitioning without
+    leaking the setting into concurrently-planned queries (the parity
+    sweep runs threaded). ``ensure_engine_conf`` re-applies the engine
+    baseline (UTC, ANSI, nanos) to the fresh conf."""
+    from ..session import ensure_engine_conf
+
+    s2 = ensure_engine_conf(spark.newSession())
+    s2.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    return s2
+
+
 def stream_from_parquet_dir(
     spark: SparkSession,
     path: str,

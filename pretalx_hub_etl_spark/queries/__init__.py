@@ -102,6 +102,7 @@ FORCE_REVERIFY: set[str] = {
     "q_stream_tumbling_equiv",
     "q_stream_session_equiv",
     "q_stream_interval_join",
+    "q_stream_pyds",
 }
 
 VERIFIED_PRIOR_ROUNDS: dict[str, int] = {

@@ -643,13 +643,14 @@ def q_stream_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources.paginated import parquet_key_upper_bound
     from ..sources.pyds import register
-    from ..streaming.structured import run_to_memory
+    from ..streaming.structured import fixture_session, run_to_memory
 
-    register(spark)
+    s2 = fixture_session(spark)
+    register(s2)  # Python DataSource registration is session-scoped
     path = f"{sf_dir.rstrip('/')}/orders.parquet"
     upper = parquet_key_upper_bound(path, "o_orderkey")
     stream = (
-        spark.readStream.format("paged_parquet")
+        s2.readStream.format("paged_parquet")
         .option("path", path)
         .option("key", "o_orderkey")
         .option("page_size", str(max(1, upper // 4 + 1)))
@@ -662,7 +663,7 @@ def q_stream_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"pyds_{uuid.uuid4().hex}"
     run_to_memory(agg, name, output_mode="complete")
-    return spark.table(name)
+    return s2.table(name)
 
 
 @query(

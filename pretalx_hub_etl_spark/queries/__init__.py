@@ -139,6 +139,7 @@ def load_all() -> dict[str, QuerySpec]:
         llm_q2,
         llm_q3,
         llm_q4,
+        modern_q,
         pipeline_q,
         reconcile_q,
         relational,

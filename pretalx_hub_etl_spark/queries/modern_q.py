@@ -1,0 +1,300 @@
+"""Round-9 surface batch: XML source (S17), SQL session variables +
+EXECUTE IMMEDIATE (SQL7), exact lag-1 autocorrelation (AN26), and the
+polymorphic (analyze-time schema) Python UDTF (UD6).
+
+(VARIANT extraction and small-file compaction were drafted here too,
+then dropped as near-duplicates of the existing F10 `q_fn_variant` /
+S9 `q_sink_compact` — one operator id, one implementation.)
+
+Reference tie-in: S17 generalizes the reference's schema-on-read
+ingestion (`main.py:60-75` reads one JSON document tree) to the other
+text-markup format Spark ships a native reader for; the rest are
+engine-surface ops with no reference analog.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import Catalog
+from ..functions.core import fixed_cents
+from . import query
+
+# --- S17: native XML source --------------------------------------------------
+
+
+@query(
+    "q_scan_xml",
+    oracle="""
+    SELECT s_nationkey,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(sum(CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM supplier
+    GROUP BY 1
+    """,
+)
+def q_scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S17: Spark 4's built-in XML source (spark-xml merged upstream) —
+    # write the supplier table as row-tagged XML, read it back with an
+    # EXPLICIT schema (schema inference on XML is a full extra scan at
+    # 100 TB, same rule as the catalog's parquet policy, SURVEY §1.3),
+    # and aggregate. The oracle reads the ORIGINAL parquet: a lossless
+    # roundtrip is the claim, so the XML layer must be invisible in
+    # the answer (the S4 sink-roundtrip policy). Money goes through
+    # integer cents BEFORE the XML hop — markup text roundtrips
+    # integers exactly; floats would re-parse.
+    import shutil
+
+    sup = Catalog(spark, sf_dir).supplier.select(
+        "s_suppkey",
+        "s_nationkey",
+        fixed_cents(F.col("s_acctbal")).alias("acct_cents"),
+    )
+    tmp = tempfile.mkdtemp(prefix="phe_xml_")
+    xdir = os.path.join(tmp, "supplier_xml")
+    (
+        sup.coalesce(1)
+        .write.format("xml")
+        .option("rowTag", "supplier")
+        .save(xdir)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_nationkey", T.LongType()),
+            T.StructField("acct_cents", T.LongType()),
+        ]
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "supplier")
+        .schema(schema)
+        .load(xdir)
+    )
+    out = (
+        back.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum("acct_cents").cast("long").alias("total_cents"),
+        )
+        .localCheckpoint(eager=True)  # materialize before tmp removal
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+# --- SQL7: session variables + EXECUTE IMMEDIATE ----------------------------
+
+
+@query(
+    "q_sql_variables",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN c_custkey <= (
+                    SELECT max(c_custkey) // 2 FROM customer
+                ) THEN 1 ELSE 0 END) AS BIGINT) AS n_below
+    FROM customer
+    WHERE c_mktsegment <> 'AUTOMOBILE'
+    GROUP BY 1
+    """,
+)
+def q_sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SQL7: session variables (DECLARE / SET VARIABLE, Spark 4) plus
+    # EXECUTE IMMEDIATE — the procedural-SQL surface: a variable SET
+    # from a scalar subquery is evaluated ONCE and thereafter binds as
+    # a literal (folding into pushdown like SQL5's named parameters),
+    # and EXECUTE IMMEDIATE runs dynamic SQL text with those variables
+    # in scope. The oracle inlines both (segment literal + cutoff
+    # subquery): binding ≡ inlining is the property under test, the
+    # same claim SQL5 makes for parameter markers. Variables are
+    # session-scoped — names are engine-prefixed to avoid collisions
+    # with other sessions' declarations.
+    Catalog(spark, sf_dir).register_views()
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE phe_seg STRING DEFAULT 'BUILDING'"
+    )
+    spark.sql("SET VARIABLE phe_seg = 'AUTOMOBILE'")
+    spark.sql("DECLARE OR REPLACE VARIABLE phe_cutoff BIGINT DEFAULT 0")
+    spark.sql(
+        "SET VARIABLE phe_cutoff = (SELECT max(c_custkey) DIV 2"
+        " FROM customer)"
+    )
+    body = """
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN c_custkey <= phe_cutoff
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_below
+        FROM customer
+        WHERE c_mktsegment <> phe_seg
+        GROUP BY 1
+    """
+    return spark.sql("EXECUTE IMMEDIATE :q", args={"q": body})
+
+
+# --- AN26: exact lag-1 autocorrelation --------------------------------------
+
+_AUTOCORR_ORACLE = """
+WITH c AS (
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+           row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC
+           ) AS rnd
+    FROM events
+), w AS (
+    SELECT user_id, ts, event_id, cents FROM c WHERE rnd <= 8
+), s AS (
+    SELECT user_id, count(*) AS n, sum(cents) AS tot
+    FROM w GROUP BY 1
+), d AS (
+    SELECT w.user_id, s.n,
+           s.n * w.cents - s.tot AS dd,
+           lead(s.n * w.cents - s.tot) OVER (
+               PARTITION BY w.user_id ORDER BY w.ts, w.event_id
+           ) AS dn
+    FROM w JOIN s ON w.user_id = s.user_id
+), a AS (
+    SELECT user_id, max(n) AS n,
+           sum(dd * dn) AS num, sum(dd * dd) AS den
+    FROM d GROUP BY 1
+)
+SELECT user_id, CAST(n AS BIGINT) AS n,
+       CAST(num AS BIGINT) AS acf_num, CAST(den AS BIGINT) AS acf_den,
+       CAST((num * 1000000
+             - ((num * 1000000 % den) + den) % den) // den
+            AS BIGINT) AS acf_micro
+FROM a WHERE n >= 4 AND den > 0
+"""
+
+
+@query("q_autocorr", oracle=_AUTOCORR_ORACLE)
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # AN26: lag-1 autocorrelation of each user's last 8 event values,
+    # EXACT — the serial-dependence screen a feature pipeline runs
+    # before trusting per-user aggregates. The mean is cleared by
+    # cross-multiplication (d_i = n·x_i − Σx, so r1 = Σ d_i·d_{i+1} /
+    # Σ d_i², both BIGINT: |d| ≤ 8·10⁷ ⇒ den ≤ 5·10¹⁶, num·10⁶ under
+    # 2⁶³ with the 8-event cap — the cap is the overflow bound AND the
+    # reason the window join stays linear). Quantized by the pmod
+    # floordiv pattern (theil-sen); one user-keyed shuffle serves the
+    # cap window, the stats, the lead, and the final agg — the
+    # AN19-shape plan.
+    ev = Catalog(spark, sf_dir).events
+    wdesc = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    w = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            fixed_cents(F.col("value")).alias("cents"),
+            F.row_number().over(wdesc).alias("rnd"),
+        )
+        .filter(F.col("rnd") <= 8)
+        .drop("rnd")
+    )
+    stats = Window.partitionBy("user_id")
+    asc = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = w.select(
+        "user_id",
+        F.count(F.lit(1)).over(stats).alias("n"),
+        (
+            F.count(F.lit(1)).over(stats) * F.col("cents")
+            - F.sum("cents").over(stats)
+        ).alias("dd"),
+        "ts",
+        "event_id",
+    ).select(
+        "user_id",
+        "n",
+        "dd",
+        F.lead("dd").over(asc).alias("dn"),
+    )
+    a = d.groupBy("user_id").agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("dd") * F.col("dn")).alias("num"),
+        F.sum(F.col("dd") * F.col("dd")).alias("den"),
+    )
+    staged = a.filter((F.col("n") >= 4) & (F.col("den") > 0)).select(
+        "user_id",
+        F.col("n").cast("long").alias("n"),
+        F.col("num").cast("long").alias("acf_num"),
+        F.col("den").cast("long").alias("acf_den"),
+        (F.col("num") * F.lit(1000000)).alias("__ns"),
+        F.col("den").alias("__den"),
+    )
+    return staged.select(
+        "user_id",
+        "n",
+        "acf_num",
+        "acf_den",
+        F.expr("(__ns - pmod(__ns, __den)) DIV __den")
+        .cast("long")
+        .alias("acf_micro"),
+    )
+
+
+# --- UD6: polymorphic Python UDTF (analyze-time schema) ---------------------
+
+
+@query(
+    "q_fn_udtf_poly",
+    oracle="""
+    SELECT doc_id,
+           split_part(text, ' ', 1) AS p0,
+           split_part(text, ' ', 2) AS p1,
+           split_part(text, ' ', 3) AS p2
+    FROM documents
+    WHERE doc_id < 200
+    """,
+)
+def q_fn_udtf_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # UD6: the POLYMORPHIC Python UDTF — its output schema is computed
+    # at analyze time from a constant argument (`analyze()` receives
+    # the foldable literal n=3 and returns a 3-column StructType), the
+    # Spark-4 API for table functions whose shape depends on their
+    # call site (the SPLIT_PART-to-columns / dynamic-pivot family).
+    # Completes the UDTF matrix: fixed-schema (UD2), Arrow-optimized
+    # (UD2b), polymorphic (this). Row-at-a-time Python — surface demo,
+    # cost-annotated like SQL3/UD5, bounded to 200 docs; the oracle
+    # (plain split_part columns) pins that the dynamic schema and the
+    # per-row emission agree with the relational spelling, including
+    # the '' (not NULL) out-of-range convention.
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeResult
+
+    class _SplitFixed:
+        @staticmethod
+        def analyze(text, n):
+            k = int(n.value)
+            return AnalyzeResult(
+                StructType(
+                    [StructField(f"p{i}", StringType()) for i in range(k)]
+                )
+            )
+
+        def eval(self, text, n):
+            parts = (text or "").split(" ")
+            yield tuple(
+                parts[i] if i < len(parts) else "" for i in range(int(n))
+            )
+
+    spark.udtf.register("phe_split_fixed", udtf(_SplitFixed))
+    Catalog(spark, sf_dir).register_views()
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.p0, s.p1, s.p2
+        FROM documents d, LATERAL phe_split_fixed(d.text, 3) s
+        WHERE d.doc_id < 200
+        """
+    )

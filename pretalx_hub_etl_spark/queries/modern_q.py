@@ -298,3 +298,110 @@ def q_fn_udtf_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE d.doc_id < 200
         """
     )
+
+
+# --- ST9e: TWS event-time timers (idle finalization) ------------------------
+
+
+@query(
+    "q_stream_timer_tws",
+    oracle="""
+    SELECT user_id AS key,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               / 1.0 AS total,
+           CAST(epoch_ms(max(CAST(ts AS TIMESTAMP))) + 1800000 AS BIGINT)
+               AS finalize_ms
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_stream_timer_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ST9e: transformWithStateInPandas EVENT-TIME TIMERS — the fourth
+    # leg of the typed-state surface (ST9b ValueState, ST9c ListState,
+    # ST9d MapState). Nothing is emitted on input; each key's totals
+    # surface only from handleExpiredTimer once the watermark passes
+    # its last event + 30 min (streaming/stateful.py:idle_finalize_tws
+    # — delete-stale-register-new keeps exactly one timer per key, so
+    # arrival order can't double-emit). The replay appends one
+    # far-future sentinel file (pyarrow write, no Spark job) after the
+    # real batches: its event time advances the watermark past every
+    # real timer and the trailing no-data batch fires them all — so
+    # every key finalizes exactly once and the streaming answer equals
+    # the batch per-user rollup. finalize_ms carries the fired timer's
+    # own expiry (last event ms + 30 min), so the oracle checks the
+    # timer VALUE flowed through expiry, not just that rows appeared.
+    # Falls back to the equivalent batch aggregate when no protobuf
+    # runtime exists (same oracle), capability via tws_available().
+    import datetime
+    import shutil
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..streaming.protobuf_compat import tws_available
+    from ..streaming.stateful import idle_finalize_tws
+    from ..streaming.structured import (
+        fixture_session,
+        stream_from_parquet_dir,
+    )
+
+    ev = Catalog(spark, sf_dir).events
+    e = ev.select(
+        "user_id",
+        F.floor(F.col("value") * 100.0 + F.lit(0.5))
+        .cast("double")
+        .alias("cents"),
+        "ts",
+    )
+    if not tws_available():
+        return e.groupBy(F.col("user_id").alias("key")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("total"),
+            (
+                F.floor(
+                    F.unix_micros(F.max("ts")) / F.lit(1000)
+                ).cast("long")
+                + F.lit(30 * 60 * 1000)
+            ).alias("finalize_ms"),
+        )
+
+    tmp = os.path.join(tempfile.mkdtemp(prefix="phe_timer_"), "in")
+    e.repartition(2, "user_id").write.parquet(tmp)
+
+    s2 = fixture_session(spark)
+    stream = (
+        stream_from_parquet_dir(s2, tmp, e.schema, max_files_per_trigger=1)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+    )
+    out = idle_finalize_tws(
+        stream, "user_id", "cents", ts_col="ts", idle_ms=30 * 60 * 1000
+    )
+    name = f"timer_{uuid.uuid4().hex}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # real batches: watermark ~0, no firing
+        sentinel = pa.table(
+            {
+                "user_id": pa.array([-1], pa.int64()),
+                "cents": pa.array([0.0], pa.float64()),
+                "ts": pa.array(
+                    [datetime.datetime(2100, 1, 1)], pa.timestamp("us")
+                ),
+            }
+        )
+        pq.write_table(sentinel, os.path.join(tmp, "part-sentinel.parquet"))
+        q.processAllAvailable()  # watermark jump, no-data batch fires timers
+    finally:
+        q.stop()
+    shutil.rmtree(os.path.dirname(tmp), ignore_errors=True)
+    return s2.table(name).filter(F.col("key") >= 0).select(
+        "key", "n", "total", "finalize_ms"
+    )

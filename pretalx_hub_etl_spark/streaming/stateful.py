@@ -327,3 +327,108 @@ def running_topn_tws(
         outputMode="Update",
         timeMode="None",
     )
+
+
+TIMER_OUTPUT_SCHEMA = (
+    "key bigint, n bigint, total double, finalize_ms bigint"
+)
+TIMER_STATE_SCHEMA = "n bigint, total double, last_ms bigint, timer_ms bigint"
+
+
+def idle_finalize_tws(
+    stream_df: DataFrame,
+    key_col: str,
+    value_col: str,
+    ts_col: str = "ts",
+    idle_ms: int = 30 * 60 * 1000,
+) -> DataFrame:
+    """Per-key idle-timeout finalization on TWS **event-time timers** —
+    the fourth leg of the typed-state API (ValueState/ListState/
+    MapState/timers): nothing is emitted on input; a key's totals are
+    emitted ONLY from ``handleExpiredTimer`` once the global watermark
+    passes ``last event + idle_ms`` — the "close the session when the
+    user goes quiet" shape (cart abandonment, session finalization,
+    TTL-style compaction triggers).
+
+    Timer discipline: state carries the registered expiry; each batch
+    that moves a key's max event time DELETES the stale timer and
+    registers the new one, so exactly one timer (and thus one
+    emission) exists per key regardless of how batches route rows —
+    arrival-order independence comes from the max() in state, not from
+    any key-routing construction. ``finalize_ms`` is the fired timer's
+    own expiry timestamp (``ExpiredTimerInfo.getExpiryTimeInMs``), so
+    the oracle can check the timer VALUE flowed through expiry, not
+    just that rows appeared. State is cleared on fire — a later event
+    for the key would start a fresh accumulation (not exercised by the
+    bounded replay, which ends after one firing per key).
+    """
+    spark = stream_df.sparkSession
+    if not enable_tws(spark):
+        raise NotImplementedError(
+            "transformWithStateInPandas requires google.protobuf and no "
+            "pure-python runtime was found on this host "
+            "(set SPARK_GRAFT_PROTOBUF_PATH)"
+        )
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class IdleFinalize(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._state = handle.getValueState(
+                "acc", TIMER_STATE_SCHEMA
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total, last_ms, timer_ms = (
+                self._state.get() if self._state.exists() else (0, 0.0, -1, -1)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                # positional non-key columns (the observed TWS naming),
+                # oldest convention: [-2] = value, [-1] = ts
+                total += float(pdf.iloc[:, -2].sum())
+                # pandas datetime64[ns/us] -> epoch ms, floor
+                batch_max = pdf.iloc[:, -1].max()
+                ms = int(pd.Timestamp(batch_max).value // 1_000_000)
+                last_ms = max(last_ms, ms)
+            new_timer = last_ms + idle_ms
+            if new_timer != timer_ms:
+                if timer_ms >= 0:
+                    self._handle.deleteTimer(timer_ms)
+                self._handle.registerTimer(new_timer)
+            self._state.update((n, total, last_ms, new_timer))
+            return iter(())  # emission happens only on expiry
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if not self._state.exists():  # already finalized
+                return
+            n, total, _last_ms, _timer_ms = self._state.get()
+            self._state.clear()
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]],
+                    "n": [n],
+                    "total": [total],
+                    "finalize_ms": [expiredTimerInfo.getExpiryTimeInMs()],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    # the event-time column keeps its NAME (and thus its watermark
+    # attribute) — renaming could detach the caller's withWatermark tag
+    prepared = stream_df.select(
+        F.col(key_col).alias("key"),
+        F.col(value_col).alias("__v"),
+        F.col(ts_col),
+    )
+    return prepared.groupBy("key").transformWithStateInPandas(
+        IdleFinalize(),
+        outputStructType=TIMER_OUTPUT_SCHEMA,
+        outputMode="Append",
+        timeMode="EventTime",
+    )

@@ -471,3 +471,76 @@ def test_tws_state_survives_query_restart(spark, tmp_path):
         .collect()
     )}
     assert rows[1] == (2, 17.0)  # 10 before restart + 7 after
+
+
+def test_idle_finalize_tws_timer_fires_once_per_key(spark, tmp_path):
+    """ST9e: no emission on input; one timer-driven emission per key
+    with finalize = last event + idle, re-registration replacing the
+    stale timer when a later batch extends a key's history."""
+    import pytest as _pytest
+
+    from pretalx_hub_etl_spark.streaming.stateful import (
+        idle_finalize_tws,
+        tws_available,
+    )
+
+    if not tws_available():
+        with _pytest.raises(NotImplementedError):
+            idle_finalize_tws(
+                spark.readStream.schema(
+                    "user_id long, value double, ts timestamp"
+                ).parquet(str(tmp_path)),
+                "user_id",
+                "value",
+            )
+        return
+
+    src = str(tmp_path / "timer_src")
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+
+    def stage(rows, mode):
+        (spark.createDataFrame(rows, "user_id long, value double, ts_s string")
+         .select("user_id", "value", F.to_timestamp("ts_s").alias("ts"))
+         .coalesce(1).write.mode(mode).parquet(src))
+
+    idle_ms = 30 * 60 * 1000
+    base_ms = 1704103200000  # 2024-01-01 10:00:00 UTC
+    stage([(1, 10.0, "2024-01-01 10:00:00"),
+           (2, 5.0, "2024-01-01 10:00:00")], "overwrite")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+    )
+    out = idle_finalize_tws(stream, "user_id", "value", idle_ms=idle_ms)
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("t_timer").start())
+    try:
+        q.processAllAvailable()
+        # batch 2 extends key 1 by an hour: its stale timer must be
+        # REPLACED, and the batch's watermark (11:00 - 10min = 10:50)
+        # fires key 2's 10:30 timer but not key 1's new 11:30 one
+        stage([(1, 2.0, "2024-01-01 11:00:00")], "append")
+        q.processAllAvailable()
+        mid = {r.key: r for r in spark.sql(
+            "SELECT * FROM t_timer").collect()}
+        assert set(mid) == {2}
+        assert mid[2].finalize_ms == base_ms + idle_ms
+        # sentinel far past everything: key 1 fires exactly once, at
+        # its EXTENDED expiry (replacement worked - no 10:30 emission)
+        stage([(-1, 0.0, "2024-06-01 00:00:00")], "append")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.sql("SELECT * FROM t_timer WHERE key >= 0").collect()
+    got = {r.key: (r.n, r.total, r.finalize_ms) for r in rows}
+    assert len(rows) == 2  # one emission per key, ever
+    assert got[1] == (2, 12.0, base_ms + 3600_000 + idle_ms)
+    assert got[2] == (1, 5.0, base_ms + idle_ms)

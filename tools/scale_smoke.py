@@ -76,6 +76,16 @@ QUERIES = [
     # gives them a genuine 10x disjoint graph)
     "q_graph_bfs",
     "q_graph_kcore",
+    # round-8 final batch + round-9 additions (round-8 review, Next #9):
+    # SSSP/bloom ride the disjoint customer graph, SNM the suffixed
+    # documents, the robust-stats rows the replicated events (10x
+    # history per user under the same per-user window caps)
+    "q_graph_sssp",
+    "q_join_bloom_prefilter",
+    "q_dedup_snm",
+    "q_trend_theil_sen",
+    "q_ks_two_sample",
+    "q_autocorr",
 ]
 
 # inherently super-linear OUTPUT at fixed parameters (not a plan defect)

@@ -90,6 +90,7 @@ HEADLINE = [
     "q_trend_theil_sen",    # median-of-pairwise-slopes robust trend
     "q_ks_two_sample",      # two-sample KS sup-CDF distance
     "q_multimodal_decode_avi",  # pure-stdlib AVI decode via mapInPandas
+    "q_knn_graph",          # corpus kNN graph: LSH self-join + top-k window
 ]
 
 

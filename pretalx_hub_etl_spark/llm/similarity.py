@@ -656,3 +656,75 @@ def lsh_cosine_topk(
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
         F.col("rank") <= k
     )
+
+
+def knn_graph(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 3,
+    n_bits: int = 4,
+    n_tables: int = 8,
+    seed: int = 42,
+    portable: bool = False,
+) -> DataFrame:
+    """k-nearest-neighbor GRAPH: for every corpus vector, its top-k
+    most-cosine-similar LSH-bucket neighbors — ``(src, dst, cos_sim,
+    rank)``, directed (each side owns its own neighbor list).
+
+    The corpus-vs-corpus sibling of :func:`lsh_cosine_topk` (which
+    broadcasts a small query set — wrong when every vector is a query)
+    and of :func:`embedding_near_duplicates` (which thresholds pairs —
+    a kNN graph keeps the BEST k regardless of absolute similarity,
+    the building block for graph-based dedup/clustering and
+    HNSW/NN-descent-style index construction). Scale shape: the
+    candidate generator is the SAME ids-only (table, bucket) banded
+    self-join as the near-dup op — never all-pairs — and the per-source
+    top-k is a window over candidates, so reducer work is bounded by
+    bucket co-occupancy, not corpus size. Recall is the LSH trade: a
+    true neighbor sharing no bucket is missed (raise n_tables for
+    recall, n_bits for precision — the standard dial).
+
+    ``portable=True`` uses the md5-integer hyperplanes + fixed-point
+    cosine so the whole graph (candidates AND ranks) replays exactly in
+    external SQL.
+    """
+    from ..functions.core import fixed_point
+
+    dim = _probe_dim(corpus, vec_col)
+    if portable:
+        buckets = _portable_buckets(F.col(vec_col), dim, n_bits, n_tables)
+    else:
+        buckets = _bucket_all_tables(
+            corpus.sparkSession, F.col(vec_col), dim, n_bits, n_tables, seed
+        )
+    bucketed = fan_out(corpus).select(
+        F.col(id_col), F.posexplode(buckets).alias("table_id", "bucket")
+    ).cache()
+    a = bucketed.select(
+        "table_id", "bucket", F.col(id_col).alias("src")
+    )
+    b = bucketed.select(
+        "table_id", "bucket", F.col(id_col).alias("dst")
+    )
+    cand = (
+        a.join(b, ["table_id", "bucket"])
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .dropDuplicates(["src", "dst"])
+    )
+    va = corpus.select(F.col(id_col).alias("src"), F.col(vec_col).alias("__vs"))
+    vb = corpus.select(F.col(id_col).alias("dst"), F.col(vec_col).alias("__vd"))
+    sim = cosine(F.col("__vs"), F.col("__vd"))
+    sim = fixed_point(sim, 6) if portable else F.round(sim, 6)
+    scored = (
+        cand.join(va, "src")
+        .join(vb, "dst")
+        .select("src", "dst", sim.alias("cos_sim"))
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("cos_sim").desc(), F.col("dst").asc()
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= k)

@@ -1,6 +1,8 @@
 """Round-9 surface batch: XML source (S17), SQL session variables +
-EXECUTE IMMEDIATE (SQL7), exact lag-1 autocorrelation (AN26), and the
-polymorphic (analyze-time schema) Python UDTF (UD6).
+EXECUTE IMMEDIATE (SQL7), exact lag-1 autocorrelation (AN26), the
+polymorphic (analyze-time schema) Python UDTF (UD6), TWS event-time
+timers (ST9e), checkpoint-recovery restart (ST12), and kNN-graph
+construction (L44).
 
 (VARIANT extraction and small-file compaction were drafted here too,
 then dropped as near-duplicates of the existing F10 `q_fn_variant` /
@@ -405,3 +407,135 @@ def q_stream_timer_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s2.table(name).filter(F.col("key") >= 0).select(
         "key", "n", "total", "finalize_ms"
     )
+
+
+# --- ST12: checkpoint recovery (exactly-once restart resume) ----------------
+
+
+@query(
+    "q_stream_restart_equiv",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+    FROM events
+    """,
+)
+def q_stream_restart_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ST12: checkpoint-recovery — the fault-tolerance half of the
+    # streaming contract the equivalence replays (ST6b/ST7/ST7b) take
+    # for granted. Phase 1 streams half the key-routed input through a
+    # foreachBatch APPEND sink under a checkpointLocation, then STOPS.
+    # Phase 2 builds a brand-new streaming query object (fresh source,
+    # fresh foreachBatch) over the same source dir, sink dir, and
+    # checkpoint — Spark resumes from the committed offsets, so only
+    # the files added after the stop are processed. The sink is
+    # deliberately append-only and NOT idempotent: a lost offset would
+    # re-append phase-1 rows (hash-duplicates), a skipped file would
+    # drop rows — the full-table value-hash oracle catches either, so
+    # hash equality IS the exactly-once-resume claim. At 100 TB this
+    # is the nightly-restart story: committed offsets + deterministic
+    # batch routing mean a restarted job continues, never recomputes.
+    import shutil
+    import uuid
+
+    from ..streaming.structured import (
+        fixture_session,
+        stream_from_parquet_dir,
+    )
+
+    ev = Catalog(spark, sf_dir).events
+    e = ev.select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("value") * 100.0 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="phe_restart_")
+    src, out, ckpt = (os.path.join(root, d) for d in ("in", "out", "ckpt"))
+    half = e.filter(F.pmod(F.col("user_id"), F.lit(2)) == 0)
+    rest = e.filter(F.pmod(F.col("user_id"), F.lit(2)) == 1)
+    half.repartition(2, "user_id").write.parquet(src)
+
+    s2 = fixture_session(spark)
+
+    def run_until_drained() -> None:
+        stream = stream_from_parquet_dir(
+            s2, src, e.schema, max_files_per_trigger=1
+        )
+
+        def append_batch(bdf, _bid):
+            bdf.write.mode("append").parquet(out)
+
+        q = (
+            stream.writeStream.foreachBatch(append_batch)
+            .option("checkpointLocation", ckpt)
+            .queryName(f"restart_{uuid.uuid4().hex}")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_until_drained()  # phase 1: first half committed, query GONE
+    # the other half arrives while no query is running
+    rest.repartition(2, "user_id").write.mode("append").parquet(src)
+    run_until_drained()  # phase 2: new query resumes from the offsets
+
+    result = (
+        spark.read.parquet(out)
+        .select("user_id", "event_id", "cents")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
+# --- L44: kNN-graph construction (portable md5 witness) ---------------------
+
+
+def _knn_graph_oracle(k: int = 3, n_bits: int = 4, n_tables: int = 8) -> str:
+    from .llm_q3 import _fixed_cos_sql, _plane_bucket_ctes
+
+    cos = _fixed_cos_sql("a", "b")
+    return f"""
+    WITH {_plane_bucket_ctes(n_bits, n_tables)}, cand AS (
+        SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
+        FROM buckets x JOIN buckets y
+          ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id <> y.vec_id
+    ), scored AS (
+        SELECT c.src, c.dst, {cos} AS cos_sim
+        FROM cand c
+        JOIN embeddings a ON a.vec_id = c.src
+        JOIN embeddings b ON b.vec_id = c.dst
+    )
+    SELECT src, dst, cos_sim, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY src ORDER BY cos_sim DESC, dst ASC
+        ) AS BIGINT) AS rank
+        FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@query("q_knn_graph", oracle=_knn_graph_oracle())
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # L44: build the k-nearest-neighbor GRAPH over the whole embedding
+    # corpus — every vector gets its top-3 bucket-local cosine
+    # neighbors (llm/similarity.py:knn_graph). Distinct from the two
+    # existing embedding shapes: lsh_cosine_topk broadcasts a small
+    # QUERY set (wrong when every vector is a query) and
+    # embedding_near_duplicates THRESHOLDS pairs (a kNN graph keeps
+    # the best k regardless of absolute similarity) — this is the
+    # building block for graph-based dedup/clustering and
+    # NN-descent-style index construction. Candidates come from the
+    # same ids-only (table, bucket) banded self-join as the near-dup
+    # family (never all-pairs; plan-sweep enforced), the per-source
+    # top-k is a window over bucket co-occupants. portable=True (md5
+    # integer hyperplanes + fixed-point cosine) puts candidates AND
+    # ranks under the full value-hash oracle.
+    from ..llm.similarity import knn_graph
+
+    e = Catalog(spark, sf_dir).embeddings
+    return knn_graph(e, k=3, n_bits=4, n_tables=8, portable=True)

@@ -643,14 +643,18 @@ def q_stream_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources.paginated import parquet_key_upper_bound
     from ..sources.pyds import register
-    from ..streaming.structured import fixture_session, run_to_memory
+    from ..streaming.structured import run_to_memory
 
-    s2 = fixture_session(spark)
-    register(s2)  # Python DataSource registration is session-scoped
+    # NOTE: runs on the MAIN session - Python DataSource registration
+    # does not survive into a newSession's lookup path (register on the
+    # child raises ALREADY_EXISTS from the shared manager, yet the
+    # child's format() resolution then fails NOT_FOUND), so this is the
+    # one streaming fixture that keeps the session-default partitions
+    register(spark)
     path = f"{sf_dir.rstrip('/')}/orders.parquet"
     upper = parquet_key_upper_bound(path, "o_orderkey")
     stream = (
-        s2.readStream.format("paged_parquet")
+        spark.readStream.format("paged_parquet")
         .option("path", path)
         .option("key", "o_orderkey")
         .option("page_size", str(max(1, upper // 4 + 1)))
@@ -663,7 +667,7 @@ def q_stream_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"pyds_{uuid.uuid4().hex}"
     run_to_memory(agg, name, output_mode="complete")
-    return s2.table(name)
+    return spark.table(name)
 
 
 @query(

@@ -229,5 +229,16 @@ def build_paged_parquet_source():
 
 
 def register(spark) -> None:
-    """Idempotently register the source on a session."""
-    spark.dataSource.register(build_paged_parquet_source())
+    """Idempotently register the source on a session.
+
+    Re-registering on the SAME session replaces silently, but a child
+    session (``newSession``) inherits the parent's registration and
+    raises DATA_SOURCE_ALREADY_EXISTS on a second register — swallow
+    exactly that case (the inherited source is the one we wanted)."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        spark.dataSource.register(build_paged_parquet_source())
+    except AnalysisException as e:
+        if "DATA_SOURCE_ALREADY_EXISTS" not in str(e):
+            raise

@@ -324,12 +324,28 @@ def main() -> None:
         # keep the headline line comfortably inside the driver's tail
         # capture: move the most verbose optional keys onto their own
         # earlier lines (still in stdout, just not in the final record)
-        for key in ("inputs", "spread_median_minus_min", "preflight"):
+        for key in (
+            "inputs",
+            "spread_median_minus_min",
+            "preflight",
+            "loadavg_start",
+            "loadavg_end",
+        ):
             if key in record:
                 print(json.dumps({key: record.pop(key)}))
             headline_line = json.dumps(record, separators=(",", ":"))
             if len(headline_line) <= 1800:
                 break
+    if len(headline_line) > 1800:
+        # the per-query map itself has outgrown the budget (66+ entries
+        # at 3 dp): emit the full-precision map as its own earlier line
+        # and carry 2 dp in the headline — the driver's recorded total
+        # stays 3 dp either way
+        print(json.dumps({"queries_3dp": record["queries"]}))
+        record["queries"] = {
+            k: round(v, 2) for k, v in record["queries"].items()
+        }
+        headline_line = json.dumps(record, separators=(",", ":"))
     print(headline_line)
 
 

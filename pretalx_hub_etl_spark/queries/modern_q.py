@@ -539,3 +539,73 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = Catalog(spark, sf_dir).embeddings
     return knn_graph(e, k=3, n_bits=4, n_tables=8, portable=True)
+
+
+# --- A16: exact weighted median ---------------------------------------------
+
+
+@query(
+    "q_agg_weighted_median",
+    oracle="""
+    WITH v AS (
+        SELECT l_returnflag AS flag,
+               CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents,
+               CAST(l_quantity AS BIGINT) AS w
+        FROM lineitem
+    ), g AS (
+        SELECT flag, cents, sum(w) AS w FROM v GROUP BY 1, 2
+    ), c AS (
+        SELECT flag, cents, w,
+               sum(w) OVER (PARTITION BY flag ORDER BY cents
+                            ROWS UNBOUNDED PRECEDING) AS cw,
+               sum(w) OVER (PARTITION BY flag) AS tw
+        FROM g
+    )
+    SELECT flag, CAST(tw AS BIGINT) AS total_weight,
+           CAST(min(CASE WHEN 2 * cw >= tw THEN cents END) AS BIGINT)
+               AS wmedian_cents
+    FROM c GROUP BY flag, tw
+    """,
+)
+def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A16: exact WEIGHTED median — the statistic a sampled/reweighted
+    # corpus needs where A12's unweighted quantiles mislead (every
+    # temperature-resampled or importance-weighted pipeline reports
+    # weighted aggregates): lower weighted median = smallest value v
+    # with 2·cumweight(≤v) ≥ totalweight, all-BIGINT so it hashes
+    # exactly. Scale shape: pre-aggregate to distinct (group, value)
+    # BEFORE any window (the AN23 trick — the cumsum window then runs
+    # over value cardinality, not row count), one group-keyed shuffle
+    # serves the pre-agg, both window frames, and the final min-filter
+    # agg; no global sort anywhere.
+    li = Catalog(spark, sf_dir).lineitem.select(
+        F.col("l_returnflag").alias("flag"),
+        fixed_cents(F.col("l_extendedprice")).alias("cents"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    g = li.groupBy("flag", "cents").agg(F.sum("w").alias("w"))
+    wcum = (
+        Window.partitionBy("flag")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("flag")
+    c = g.select(
+        "flag",
+        "cents",
+        F.sum("w").over(wcum).alias("cw"),
+        F.sum("w").over(wtot).alias("tw"),
+    )
+    return (
+        c.groupBy("flag", "tw")
+        .agg(
+            F.min(
+                F.when(2 * F.col("cw") >= F.col("tw"), F.col("cents"))
+            ).alias("wmedian_cents")
+        )
+        .select(
+            "flag",
+            F.col("tw").cast("long").alias("total_weight"),
+            F.col("wmedian_cents").cast("long").alias("wmedian_cents"),
+        )
+    )

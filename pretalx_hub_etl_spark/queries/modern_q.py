@@ -609,3 +609,72 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("wmedian_cents").cast("long").alias("wmedian_cents"),
         )
     )
+
+
+# --- J11: dynamic partition pruning -----------------------------------------
+
+
+@query(
+    "q_join_dpp",
+    oracle="""
+    WITH dim AS (
+        SELECT DISTINCT strftime(CAST(l_shipdate AS TIMESTAMP), '%Y-%m')
+                   AS ship_month
+        FROM lineitem
+    )
+    SELECT f.ship_month,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM (
+        SELECT strftime(CAST(l_shipdate AS TIMESTAMP), '%Y-%m')
+                   AS ship_month,
+               l_extendedprice
+        FROM lineitem
+    ) f
+    JOIN (SELECT ship_month FROM dim WHERE ship_month LIKE '1996%') d
+      ON f.ship_month = d.ship_month
+    GROUP BY 1
+    """,
+)
+def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J11: DYNAMIC partition pruning — the runtime sibling of S3's
+    # static pruning and the single biggest star-schema scan saver at
+    # 100 TB: when a partitioned fact joins a filtered dim ON THE
+    # PARTITION COLUMN, Catalyst injects the dim's surviving keys as a
+    # runtime subquery into the fact scan's PartitionFilters, so the
+    # fact reads only the partitions the join can match (here: 12 of
+    # ~70 month partitions) — no by-hand predicate copying. The dim's
+    # filter deliberately lives behind a parquet roundtrip so planning
+    # cannot constant-fold it into a static filter: the pruning HAS to
+    # happen at runtime (the `dynamicpruningexpression` in the scan's
+    # PartitionFilters is pinned in tests/test_plans.py). Oracle is
+    # the semantically-equal inlined join — DPP must be invisible in
+    # the answer, like J10's bloom stage.
+    import shutil
+
+    li = Catalog(spark, sf_dir).lineitem.select(
+        fixed_cents(F.col("l_extendedprice")).alias("cents"),
+        F.date_format(F.col("l_shipdate"), "yyyy-MM").alias("ship_month"),
+    )
+    tmp = tempfile.mkdtemp(prefix="phe_dpp_")
+    fact_dir = os.path.join(tmp, "fact")
+    dim_dir = os.path.join(tmp, "dim")
+    li.write.partitionBy("ship_month").parquet(fact_dir)
+    li.select("ship_month").distinct().write.parquet(dim_dir)
+
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.read.parquet(dim_dir).filter(
+        F.col("ship_month").startswith("1996")
+    )
+    out = (
+        fact.join(dim, "ship_month")
+        .groupBy("ship_month")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out

@@ -284,3 +284,29 @@ def test_banded_key_edges_joins_on_bucket_not_group_alone(spark):
     assert "__b" in plan  # bucket participates in the join/exchange keys
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dpp_join_prunes_fact_partitions_at_runtime(spark, tmp_path):
+    # J11: with a month-partitioned fact joined to a parquet-backed
+    # filtered dim ON the partition column, the fact scan must carry a
+    # dynamicpruningexpression in its PartitionFilters — the runtime
+    # prune that saves the star-schema scan at 100 TB. (q_join_dpp
+    # returns a localCheckpoint, which hides the join plan from the
+    # registry sweep — hence this dedicated shape test.)
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 7).cast("string").alias("part"), "id"
+    )
+    df.write.partitionBy("part").parquet(str(tmp_path / "fact"))
+    df.select("part").distinct().write.parquet(str(tmp_path / "dim"))
+    fact = spark.read.parquet(str(tmp_path / "fact"))
+    dim = spark.read.parquet(str(tmp_path / "dim")).filter(
+        F.col("part") < "3"
+    )
+    out = fact.join(dim, "part").groupBy("part").count()
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "dynamicpruningexpression" in plan

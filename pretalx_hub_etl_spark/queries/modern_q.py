@@ -678,3 +678,72 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+# --- S20: copy-on-write time travel (VERSION AS OF) -------------------------
+
+
+@query(
+    "q_sink_time_travel",
+    oracle="""
+    WITH base AS (
+        SELECT c_custkey,
+               CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+        FROM customer
+    ), v2 AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 5 = 0 THEN bal_cents + 5000
+                    ELSE bal_cents END AS bal_cents
+        FROM base
+    ), v3 AS (
+        SELECT c_custkey, bal_cents FROM v2 WHERE c_custkey % 3 <> 0
+    )
+    SELECT 'v2' AS snapshot, c_custkey, bal_cents FROM v2
+    UNION ALL
+    SELECT 'v3' AS snapshot, c_custkey, bal_cents FROM v3
+    """,
+)
+def q_sink_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S20: time travel on the copy-on-write MERGE table — read any
+    # committed snapshot (VERSION AS OF), not just current. CoW makes
+    # historical reads free: every version directory IS a full
+    # consistent snapshot, so as-of resolution is one path lookup with
+    # no log replay (the Delta/Iceberg read-path idea, minus the
+    # manifest layer this table doesn't need). The query commits v1
+    # (base) → v2 (update MERGE) → v3 (delete MERGE), then returns
+    # BOTH the as-of-v2 and the current (v3) reads side by side — the
+    # oracle recomputes each snapshot relationally, so a time-travel
+    # read that leaked post-v2 state (or missed it) hash-fails.
+    # vacuum(keep_last=n) is the retention boundary for how far back
+    # travel reaches (S11).
+    import shutil
+
+    from ..sinks.merge import MergeSink
+
+    base = Catalog(spark, sf_dir).customer.select(
+        "c_custkey", fixed_cents(F.col("c_acctbal")).alias("bal_cents")
+    )
+    root = tempfile.mkdtemp(prefix="phe_travel_")
+    sink = MergeSink(os.path.join(root, "t"), key="c_custkey")
+    sink.init(base)  # v1
+    sink.merge(
+        spark,
+        base.filter(F.col("c_custkey") % 5 == 0).select(
+            "c_custkey", (F.col("bal_cents") + 5000).alias("bal_cents")
+        ),
+    )  # v2
+    empty = spark.createDataFrame([], base.schema)
+    sink.merge(
+        spark,
+        empty,
+        deletes=base.filter(F.col("c_custkey") % 3 == 0).select("c_custkey"),
+    )  # v3
+    v2 = sink.read_version(spark, 2).select(
+        F.lit("v2").alias("snapshot"), "c_custkey", "bal_cents"
+    )
+    v3 = sink.read_version(spark, 3).select(
+        F.lit("v3").alias("snapshot"), "c_custkey", "bal_cents"
+    )
+    out = v2.unionByName(v3).localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -163,6 +163,21 @@ class MergeSink:
             raise FileNotFoundError(f"no version of merge table at {self.path}")
         return spark.read.parquet(cur)
 
+    def read_version(self, spark: SparkSession, version: int) -> DataFrame:
+        """Time-travel read (VERSION AS OF): the snapshot exactly as
+        committed at ``version``. Copy-on-write makes this free — every
+        version directory IS a full consistent snapshot, so historical
+        reads cost one path resolution, no log replay (contrast the MoR
+        chain, where an as-of read would re-resolve deltas). Raises on
+        uncommitted/vacuumed versions — ``vacuum(keep_last=n)`` is the
+        retention boundary for how far back travel reaches."""
+        if version not in _versions(self.path):
+            raise FileNotFoundError(
+                f"version v{version} of {self.path} is not committed "
+                "(never written, or removed by vacuum)"
+            )
+        return spark.read.parquet(os.path.join(self.path, f"v{version}"))
+
     def init(self, df: DataFrame) -> None:
         """Write version 1 (fails if the table already exists)."""
         if _versions(self.path):

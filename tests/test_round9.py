@@ -180,3 +180,31 @@ def test_knn_graph_shape_and_identical_vector_affinity(spark):
         for rs in per_src.values()
         for i, r in enumerate(sorted(rs, key=lambda r: r.rank))
     )
+
+
+def test_time_travel_respects_vacuum_retention(spark, tmp_path):
+    # S20 x S11: read_version reaches any committed snapshot until
+    # vacuum removes it; travel past the retention boundary must raise,
+    # never silently read a half-deleted directory
+    import pytest as _pytest
+
+    from pretalx_hub_etl_spark.sinks.merge import MergeSink
+
+    base = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "k long, v long"
+    )
+    sink = MergeSink(str(tmp_path / "t"), key="k")
+    sink.init(base)  # v1
+    sink.merge(spark, spark.createDataFrame([(2, 99)], "k long, v long"))
+    assert {(r.k, r.v) for r in sink.read_version(spark, 1).collect()} == {
+        (1, 10), (2, 20), (3, 30)
+    }
+    assert {(r.k, r.v) for r in sink.read_version(spark, 2).collect()} == {
+        (1, 10), (2, 99), (3, 30)
+    }
+    with _pytest.raises(FileNotFoundError):
+        sink.read_version(spark, 7)  # never committed
+    sink.vacuum(keep_last=1)
+    with _pytest.raises(FileNotFoundError):
+        sink.read_version(spark, 1)  # vacuumed away
+    assert sink.read_version(spark, 2).count() == 3  # current survives

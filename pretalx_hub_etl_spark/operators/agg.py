@@ -532,3 +532,54 @@ def histogram_quantile_rollup(
         .groupBy("q_pct")
         .agg((F.min("bin") * width_cents).cast("long").alias("est_cents"))
     )
+
+
+def salted_group_topk(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    k: int,
+    tiebreak: Sequence[str] = (),
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-resistant EXACT top-k per group, two-phase (the window
+    sibling of :func:`salted_two_level_agg` / ``joins.salted_join``).
+
+    A plain ``row_number() OVER (PARTITION BY keys ORDER BY ...)``
+    ships each key's ENTIRE row set to one reducer and sorts it there —
+    with few/hot groups (five event types over a 100 TB table ⇒ ~20 TB
+    on one task) that single sort is the job. Neither AQE (skew splits
+    cover joins, and a window partition cannot be split without
+    breaking rank semantics) nor map-side combine (windows have none)
+    helps.
+
+    Phase 1 ranks within ``(keys, salt)`` — salt from a hash of the
+    tiebreak columns, any assignment works — and keeps k per bucket;
+    the exactness argument is containment: every global top-k row lives
+    in SOME bucket and is necessarily within that bucket's local top-k,
+    so the union of per-bucket top-ks (≤ salt_buckets·k rows per key)
+    contains the answer. Phase 2 re-ranks that bounded set per key.
+    Reducer input drops from rows-per-key to rows-per-(key,bucket) in
+    the wide stage and to salt_buckets·k rows in the final stage.
+    Ties must be broken deterministically (``tiebreak``) for the result
+    to be unique — the same requirement the plain window has.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(order_col).desc()] + [F.col(c).asc() for c in tiebreak]
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in (tiebreak or (order_col,))]),
+        F.lit(salt_buckets),
+    ).alias("__salt")
+    w1 = Window.partitionBy(*keys, "__salt").orderBy(*order)
+    stage1 = (
+        df.select("*", salt)
+        .withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k)
+        .drop("__salt", "__r1")
+    )
+    w2 = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        stage1.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -747,3 +747,51 @@ def q_sink_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = v2.unionByName(v3).localCheckpoint(eager=True)
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# --- W4b: skew-salted exact top-k per group ---------------------------------
+
+
+@query(
+    "q_window_topk_salted",
+    oracle="""
+    SELECT event_type, rank, event_id, cents FROM (
+        SELECT event_type,
+               CAST(row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY CAST(floor(value * 100 + 0.5) AS BIGINT) DESC,
+                            event_id ASC
+               ) AS BIGINT) AS rank,
+               event_id,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ) WHERE rank <= 5
+    """,
+)
+def q_window_topk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W4b: W4's top-k-per-group under GROUP SKEW — events has only a
+    # handful of types, so the plain window ships ~a fifth of the
+    # table to ONE reducer and sorts it there; at 100 TB that single
+    # task is the job, and neither AQE (skew splits cover joins only —
+    # a window partition can't split without breaking rank semantics)
+    # nor map-side combine (windows have none) helps. The two-phase
+    # salted form (operators/agg.py:salted_group_topk) ranks within
+    # (type, salt-of-tiebreak) keeping 5 per bucket — containment
+    # makes the union of bucket top-5s a superset of the answer — then
+    # re-ranks the ≤ 16·5 survivors per type. Oracle is the PLAIN
+    # window: salting must be invisible in the answer (the J8/A9
+    # equivalence policy). Reducer-spread measurement: SKEW.json
+    # 'window' section.
+    from ..operators.agg import salted_group_topk
+
+    ev = Catalog(spark, sf_dir).events.select(
+        "event_type", "event_id", fixed_cents(F.col("value")).alias("cents")
+    )
+    return salted_group_topk(
+        ev,
+        keys=["event_type"],
+        order_col="cents",
+        k=5,
+        tiebreak=["event_id"],
+        salt_buckets=16,
+    ).select("event_type", "rank", "event_id", "cents")

@@ -184,6 +184,47 @@ def main() -> None:
         .collect()[0]
     )
 
+    # ---- window skew (round-9: W4b) --------------------------------------
+    # A per-group top-k window has no map-side combine and AQE cannot
+    # split a window partition, so the hot key's rows all sort on one
+    # reducer. salted_group_topk bounds phase-1 reducer input to
+    # rows/(key,bucket) and phase-2 to salt_buckets*k rows per key.
+    from pretalx_hub_etl_spark.operators.agg import salted_group_topk
+    from pyspark.sql import Window
+
+    win_results: dict[str, float] = {}
+    w_plain = Window.partitionBy("k").orderBy(F.col("v").desc(), F.col("id2").asc())
+    wfact = fact.withColumn("id2", F.monotonically_increasing_id())
+    wfact.write.mode("overwrite").parquet("/tmp/skew_wfact.parquet")
+    wfact = spark.read.parquet("/tmp/skew_wfact.parquet")
+    win_results["plain_topk"] = timed(
+        lambda: wfact.withColumn("r", F.row_number().over(w_plain)).filter(
+            F.col("r") <= 5
+        )
+    )
+    win_results["salted_topk"] = timed(
+        lambda: salted_group_topk(
+            wfact, ["k"], "v", k=5, tiebreak=["id2"],
+            salt_buckets=SALT_BUCKETS,
+        )
+    )
+    win_plain_parts = (
+        wfact.repartition(n_shuffle, "k")
+        .groupBy(F.spark_partition_id().alias("p"))
+        .count()
+        .agg(F.max("count").alias("mx"), F.avg("count").alias("mean"))
+        .collect()[0]
+    )
+    win_salt = F.pmod(F.xxhash64("id2"), F.lit(SALT_BUCKETS))
+    win_salted_parts = (
+        wfact.withColumn("__salt", win_salt)
+        .repartition(n_shuffle, "k", "__salt")
+        .groupBy(F.spark_partition_id().alias("p"))
+        .count()
+        .agg(F.max("count").alias("mx"), F.avg("count").alias("mean"))
+        .collect()[0]
+    )
+
     record = {
         "fixture": {
             "fact_rows": N_FACT,
@@ -210,6 +251,24 @@ def main() -> None:
                 "plain_mean_rows": round(float(agg_plain_parts["mean"]), 1),
                 "salted_max_rows": int(agg_salted_parts["mx"]),
                 "salted_mean_rows": round(float(agg_salted_parts["mean"]), 1),
+            },
+        },
+        "window": {
+            "note": (
+                "top-k window skew: no map-side combine exists and AQE "
+                "cannot split a window partition, so the plain form's "
+                "hot reducer sorts the hot key's full row set; the "
+                "salted two-phase form is exact by containment and "
+                "bounds phase-1 reducer input by (key, bucket). Wall at "
+                "local scale favors plain (one in-memory sort of 2M "
+                "rows); the spread row is the 100-TB claim"
+            ),
+            "wall_sec": win_results,
+            "reducer_spread_window_input": {
+                "plain_max_rows": int(win_plain_parts["mx"]),
+                "plain_mean_rows": round(float(win_plain_parts["mean"]), 1),
+                "salted_max_rows": int(win_salted_parts["mx"]),
+                "salted_mean_rows": round(float(win_salted_parts["mean"]), 1),
             },
         },
         "wall_sec": results,

@@ -795,3 +795,71 @@ def q_window_topk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak=["event_id"],
         salt_buckets=16,
     ).select("event_type", "rank", "event_id", "cents")
+
+
+# --- L45: e2e multimodal retrieval pipeline ---------------------------------
+
+
+@query(
+    "q_pipeline_multimodal",
+    oracle="""
+    WITH ids AS (
+        SELECT doc_id AS media_id FROM documents ORDER BY doc_id LIMIT 40
+    ), f AS (
+        SELECT media_id,
+               list_transform(generate_series(0, 7), i ->
+                   CAST(('0x' || substr(
+                       sha256('mediabytes:' || CAST(media_id AS VARCHAR)),
+                       2 * i + 1, 2)) AS BIGINT) / 255.0
+               ) AS v
+        FROM ids
+    ), scored AS (
+        SELECT q.media_id AS query_id, c.media_id,
+               floor(list_dot_product(q.v, c.v)
+                     / (sqrt(list_dot_product(q.v, q.v))
+                        * sqrt(list_dot_product(c.v, c.v)))
+                     * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+        FROM (SELECT * FROM f WHERE media_id < 3) q
+        CROSS JOIN f c
+    )
+    SELECT query_id, media_id, cos_sim, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, media_id ASC
+        ) AS BIGINT) AS rank
+        FROM scored
+    ) WHERE rank <= 2
+    """,
+)
+def q_pipeline_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # L45: the composed MULTIMODAL retrieval pipeline — the e2e shape
+    # a vision/audio training-data system runs, sibling of the text
+    # pipelines (L7b pretrain, L41 post-train): attach encoded media
+    # bytes → executor-side feature extraction over Arrow batches
+    # (decode_features via mapInPandas — the real 100-TB plumbing;
+    # the feature fn is the documented deterministic stand-in, so the
+    # WHOLE pipeline including the "model" stays value-hash-checkable:
+    # DuckDB replays sha256-byte features in SQL) → brute-force cosine
+    # top-k of every item against the probe set (broadcast queries,
+    # fixed-point sim — the L3 witness policy). Swapping the feature
+    # fn for a real encoder changes no plumbing: schema, batching,
+    # broadcast, and ranking are exactly what a CLIP-style retrieval
+    # run uses.
+    from ..llm.multimodal import attach_fake_media, decode_features
+    from ..llm.similarity import brute_force_cosine_topk
+
+    docs = Catalog(spark, sf_dir).documents.select(
+        F.col("doc_id").alias("media_id")
+    ).orderBy("media_id").limit(40)
+    media = attach_fake_media(docs, "media_id")
+    feats = decode_features(media, id_col="media_id", n_features=8)
+    queries = feats.filter(F.col("media_id") < 3).select(
+        F.col("media_id").alias("query_id"), "features"
+    )
+    return brute_force_cosine_topk(
+        feats,
+        queries,
+        vec_col="features",
+        id_col="media_id",
+        query_id_col="query_id",
+        k=2,
+    )

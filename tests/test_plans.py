@@ -132,6 +132,7 @@ NESTED_LOOP_ALLOWED = {
     "q_mixture_temperature",  # Σw weight total as a 1-row broadcast
     "q_join_bloom_prefilter",  # bloom bitmap as a 1-row broadcast (operators/bloom.py:123)
     "q_ks_two_sample",       # clicks × broadcast(distinct event types ≤ |types|)
+    "q_pipeline_multimodal",  # brute-force stage: corpus × broadcast(3 probes)
 }
 
 

@@ -863,3 +863,82 @@ def q_pipeline_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_id_col="query_id",
         k=2,
     )
+
+
+# --- ST13: offline state-store reader ---------------------------------------
+
+
+@query(
+    "q_stream_state_reader",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ST13: the OFFLINE state-store reader (Spark 4
+    # `spark.read.format("statestore")`) — streaming state stops being
+    # an opaque runtime artifact and becomes a queryable table: the
+    # operational surface for debugging a wedged stateful query,
+    # auditing state growth, and seeding state migrations at 100 TB
+    # (where "restart and recompute" means re-reading the corpus). The
+    # query runs a checkpointed per-user count+sum aggregation to
+    # completion, then reads the aggregate's internal state BACK from
+    # the checkpoint — no running query, batch API — and returns it.
+    # Oracle is the batch rollup: the persisted state of a streaming
+    # aggregate IS the aggregate (hash equality proves the reader
+    # decodes keys and packed accumulator values, not just row counts).
+    import shutil
+    import uuid
+
+    from ..streaming.structured import (
+        fixture_session,
+        stream_from_parquet_dir,
+    )
+
+    ev = Catalog(spark, sf_dir).events
+    e = ev.select(
+        "user_id",
+        F.floor(F.col("value") * 100.0 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="phe_ssread_")
+    src, ck = os.path.join(root, "src"), os.path.join(root, "ck")
+    e.coalesce(1).write.parquet(src)
+
+    s2 = fixture_session(spark)
+    stream = stream_from_parquet_dir(s2, src, e.schema)
+    agg = stream.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("total_cents")
+    )
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(f"ssr_{uuid.uuid4().hex}")
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # batch-read the streaming aggregate's internal state off the
+    # checkpoint: key struct = grouping key, value struct = packed
+    # (count, sum) accumulators
+    state = (
+        s2.read.format("statestore")
+        .load(ck)
+        .select(
+            F.col("key.user_id").alias("user_id"),
+            F.col("value.count").cast("long").alias("n"),
+            F.col("value.sum").cast("long").alias("total_cents"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return state

@@ -942,3 +942,83 @@ def q_stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(root, ignore_errors=True)
     return state
+
+# --- ST12b: Trigger.AvailableNow incremental batch --------------------------
+
+
+@query(
+    "q_stream_available_now",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+    FROM events
+    """,
+)
+def q_stream_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ST12b: `Trigger.AvailableNow` — the production form of ST12's
+    # incremental-batch pattern: the query processes everything
+    # available in rate-limited microbatches and then STOPS ITSELF
+    # (awaitTermination returns), which is how a scheduled nightly job
+    # runs a streaming pipeline without a resident cluster — each
+    # invocation picks up exactly the data that arrived since the last
+    # one, via the same committed offsets ST12 exercises with a manual
+    # stop. Two invocations over a growing source dir + the
+    # deliberately non-idempotent append sink: the full-table hash
+    # oracle again IS the exactly-once claim (a re-read duplicates, a
+    # missed file drops). maxFilesPerTrigger stays honored under
+    # AvailableNow (rate limiting applies; availability is the stop
+    # condition, not the batch size).
+    import shutil
+    import uuid
+
+    from ..streaming.structured import (
+        fixture_session,
+        stream_from_parquet_dir,
+    )
+
+    ev = Catalog(spark, sf_dir).events
+    e = ev.select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("value") * 100.0 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="phe_avnow_")
+    src, out, ck = (os.path.join(root, d) for d in ("in", "out", "ckpt"))
+    e.filter(F.pmod(F.col("user_id"), F.lit(2)) == 0).repartition(
+        2, "user_id"
+    ).write.parquet(src)
+
+    s2 = fixture_session(spark)
+
+    def run_available_now() -> None:
+        stream = stream_from_parquet_dir(
+            s2, src, e.schema, max_files_per_trigger=1
+        )
+
+        def append_batch(bdf, _bid):
+            bdf.write.mode("append").parquet(out)
+
+        q = (
+            stream.writeStream.foreachBatch(append_batch)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .queryName(f"avnow_{uuid.uuid4().hex}")
+            .start()
+        )
+        q.awaitTermination()  # AvailableNow terminates on its own
+
+    run_available_now()  # invocation 1: first half
+    e.filter(F.pmod(F.col("user_id"), F.lit(2)) == 1).repartition(
+        2, "user_id"
+    ).write.mode("append").parquet(src)
+    run_available_now()  # invocation 2: only the new files
+
+    result = (
+        spark.read.parquet(out)
+        .select("user_id", "event_id", "cents")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return result

@@ -1022,3 +1022,120 @@ def q_stream_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(root, ignore_errors=True)
     return result
+
+# --- ST14: chained stateful aggregations (window-on-window) -----------------
+
+
+@query(
+    "q_stream_chained_agg",
+    oracle="""
+    WITH q AS (
+        SELECT event_type,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 900) * 900
+                    AS BIGINT) AS b15,
+               CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS s15
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(floor(b15 / 3600) * 3600 AS BIGINT) AS hour_start_s,
+           CAST(sum(s15) AS BIGINT) AS total_cents,
+           CAST(count(*) AS BIGINT) AS n_quarters
+    FROM q
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ST14: TWO stateful aggregations in ONE streaming query
+    # (window-on-window) — the Spark-4 capability that turns the
+    # classic "silver 15-min rollup feeding a gold hourly rollup" from
+    # two jobs + an intermediate topic into one pipeline: the inner
+    # 15-min window agg's CLOSED windows flow (via `window_time`, no
+    # re-watermark — re-anchoring the watermark on the derived column
+    # breaks propagation and the outer layer never fires; found the
+    # hard way) into the outer 1-hour agg within the same microbatch
+    # graph. Flushing a DEPTH-2 stateful chain needs TWO staggered
+    # far-future sentinels: the first closes every real inner window,
+    # the second closes the FIRST sentinel's inner window so its event
+    # time reaches the outer layer and drives the outer eviction — one
+    # sentinel per stateful depth, the generalization of ST8b's single
+    # sentinel. n_quarters (how many 15-min windows fed each hour) is
+    # the witness that the outer agg consumed inner RESULTS, not raw
+    # events. Exact integer cents end to end.
+    import datetime
+    import shutil
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..streaming.structured import (
+        fixture_session,
+        stream_from_parquet_dir,
+    )
+
+    ev = Catalog(spark, sf_dir).events
+    e = ev.select(
+        "event_type",
+        "ts",
+        F.floor(F.col("value") * 100.0 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    tmp = os.path.join(tempfile.mkdtemp(prefix="phe_chain_"), "in")
+    e.coalesce(1).write.parquet(tmp)
+
+    s2 = fixture_session(spark)
+    stream = (
+        stream_from_parquet_dir(s2, tmp, e.schema)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+    )
+    quarter = stream.groupBy(
+        F.window("ts", "15 minutes"), "event_type"
+    ).agg(F.sum("cents").alias("s15"))
+    hour = quarter.groupBy(
+        F.window(F.window_time("window"), "1 hour"), "event_type"
+    ).agg(
+        F.sum("s15").alias("total_cents"),
+        F.count(F.lit(1)).alias("n_quarters"),
+    )
+    name = f"chain_{uuid.uuid4().hex}"
+    q = (
+        hour.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for i, when in enumerate(
+            (datetime.datetime(2100, 1, 1), datetime.datetime(2100, 6, 1))
+        ):
+            pq.write_table(
+                pa.table(
+                    {
+                        "event_type": pa.array(["__sentinel"]),
+                        "ts": pa.array([when], pa.timestamp("us")),
+                        "cents": pa.array([0], pa.int64()),
+                    }
+                ),
+                os.path.join(tmp, f"part-sentinel{i}.parquet"),
+            )
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    shutil.rmtree(os.path.dirname(tmp), ignore_errors=True)
+    return (
+        s2.table(name)
+        .filter(F.col("event_type") != "__sentinel")
+        .select(
+            "event_type",
+            F.unix_timestamp(F.col("window.start"))
+            .cast("long")
+            .alias("hour_start_s"),
+            F.col("total_cents").cast("long").alias("total_cents"),
+            F.col("n_quarters").cast("long").alias("n_quarters"),
+        )
+    )

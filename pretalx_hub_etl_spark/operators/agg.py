@@ -554,7 +554,15 @@ def salted_group_topk(
     helps.
 
     Phase 1 ranks within ``(keys, salt)`` — salt from a hash of the
-    tiebreak columns, any assignment works — and keeps k per bucket;
+    tiebreak columns (ANY assignment preserves exactness, see below,
+    so when ``tiebreak`` is empty the salt widens to a hash of EVERY
+    column: salting on ``order_col`` alone would send all heavy ties
+    on the order value to one bucket and silently degrade to the
+    plain-window behavior the operator exists to avoid; salt
+    effectiveness therefore tracks the cardinality of the salted
+    columns, and result *uniqueness* still requires a real
+    ``tiebreak``, exactly as the plain window does) — and keeps k per
+    bucket;
     the exactness argument is containment: every global top-k row lives
     in SOME bucket and is necessarily within that bucket's local top-k,
     so the union of per-bucket top-ks (≤ salt_buckets·k rows per key)
@@ -567,8 +575,12 @@ def salted_group_topk(
     from pyspark.sql import Window
 
     order = [F.col(order_col).desc()] + [F.col(c).asc() for c in tiebreak]
+    # no tiebreak -> salt on the whole row, not order_col: hashing the
+    # order value alone maps every tied hot row to ONE bucket (skew
+    # mitigation silently off); the containment proof is salt-agnostic.
+    salt_cols = list(tiebreak) if tiebreak else list(df.columns)
     salt = F.pmod(
-        F.xxhash64(*[F.col(c) for c in (tiebreak or (order_col,))]),
+        F.xxhash64(*[F.col(c) for c in salt_cols]),
         F.lit(salt_buckets),
     ).alias("__salt")
     w1 = Window.partitionBy(*keys, "__salt").orderBy(*order)

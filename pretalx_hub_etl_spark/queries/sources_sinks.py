@@ -311,6 +311,48 @@ def q_sink_roundtrip_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.orc(out)
 
 
+@query(
+    "q_sink_roundtrip_avro",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey,
+           CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents,
+           CASE WHEN s_suppkey % 3 = 0 THEN NULL ELSE s_name END AS opt_name
+    FROM supplier
+    """,
+)
+def q_sink_roundtrip_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S4 completion (VERDICT r9 item 3): Avro — the remaining mainstream
+    # interchange format (the Kafka-adjacent one). No spark-avro jar and
+    # no avro/fastavro package ships in this sandbox, so the Object
+    # Container File format is implemented from its public spec
+    # (sources/avro_ocf.py, the llm/ codec policy) and driven
+    # DISTRIBUTED on both sides: one OCF file per partition written from
+    # inside mapInPandas (deflate codec — compression exercised), read
+    # back via binaryFile + mapInPandas with the EXPLICIT schema. The
+    # oracle reads the ORIGINAL parquet (S4 roundtrip policy: the
+    # format hop must be invisible); a nullable column exercises the
+    # ["null", T] union encoding, money crosses as integer cents.
+    import shutil
+
+    from ..sources.avro_ocf import read_avro, write_avro
+
+    supp = Catalog(spark, sf_dir).supplier.select(
+        "s_suppkey",
+        "s_name",
+        "s_nationkey",
+        fixed_cents(F.col("s_acctbal")).alias("bal_cents"),
+        F.when(F.col("s_suppkey") % 3 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("s_name"))
+        .alias("opt_name"),
+    )
+    root = tempfile.mkdtemp(prefix="phe_avro_")
+    out = os.path.join(root, "supplier_avro")
+    write_avro(supp, out, codec="deflate")
+    back = read_avro(spark, out, supp.schema).localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return back
+
+
 # --- S7: copy-on-write MERGE sink (upsert + delete, versioned parquet) ------
 
 

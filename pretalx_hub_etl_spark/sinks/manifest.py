@@ -1,0 +1,312 @@
+"""Commit log + file manifests for the versioned tables (CoW and MoR).
+
+Round-9's admitted architectural gap: version discovery in the CoW/MoR
+sinks was a directory listing (`merge.py _versions`), which at 100 TB
+with thousands of commits — plus MoR delta chains — makes every read pay
+O(files in table root) metadata calls. Real table formats (Delta's
+`_delta_log` + `_last_checkpoint`, Iceberg's snapshot manifests) solved
+this with a commit log: each commit publishes ONE small object recording
+its file list and per-file column stats, and readers resolve "current
+version" / "files of version N" / "changes since N" by reading those
+objects only.
+
+This module is that layer, kept deliberately minimal and layered ON TOP
+of the existing OCC rename protocol (which stays the commit atom):
+
+    <table>/_manifest/<N>.json   one per commit: file list (relative
+                                 paths), per-file rows/bytes and
+                                 min/max/null-count column stats from
+                                 the parquet footers, role tags
+                                 (data/deletes for MoR), checkpoint flag
+    <table>/_manifest/_latest    hint file holding the highest published
+                                 version; updated by tmp-write + atomic
+                                 rename after each publish
+
+Read protocol (listing-free): read `_latest` (missing -> 0), then roll
+FORWARD by probing `<N+1>.json`, `<N+2>.json`, ... with single-file
+stats until one is absent — the Delta `_last_checkpoint` shape, so a
+stale or lost-race hint only costs a few extra probes, never a wrong
+answer. No `os.listdir` on any read path; a test pins that.
+
+Two-phase commit visibility: the v<N> directory rename CLAIMS the
+version number (unchanged — POSIX gives exactly one winner); publishing
+`<N>.json` makes it VISIBLE. A writer that crashes between the two
+leaves a claimed-but-unpublished version; the next writer's claim of N
+fails (EEXIST), detects the missing manifest, and HEALS by publishing
+the manifest from the visible v<N> contents (the one code path allowed
+to list, and only inside that crashed-writer recovery). Readers in the
+gap serve N-1 — consistent, just not yet showing the unpublished commit
+(its effective commit point is the manifest publish).
+
+Stats come from the parquet footers of the staged files (driver-side
+footer reads, no data scan — the same moment Delta computes stats).
+They power `files_for` predicate pruning: a reader with a range
+predicate on a stats column opens only the files whose [min, max]
+envelope intersects it — manifest-level data skipping before Spark ever
+plans the scan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from typing import Any
+
+_MANIFEST_DIR = "_manifest"
+_LATEST = "_latest"
+
+# columns whose parquet logical types we can compare / JSON-serialize for
+# min/max skipping; everything else gets rows/bytes but no range stats
+_STATS_TYPES = (int, float, str, bool)
+
+
+def _mdir(table_path: str) -> str:
+    return os.path.join(table_path, _MANIFEST_DIR)
+
+
+def _mpath(table_path: str, version: int) -> str:
+    return os.path.join(_mdir(table_path), f"{version}.json")
+
+
+def _parquet_files(root: str) -> list[str]:
+    """Relative paths of the parquet files under a STAGED commit dir
+    (write-side only: the writer is allowed to enumerate what it just
+    wrote; readers never call this)."""
+    out: list[str] = []
+    for dirpath, _dirnames, filenames in os.walk(root):
+        for f in filenames:
+            if f.endswith(".parquet"):
+                out.append(
+                    os.path.relpath(os.path.join(dirpath, f), root)
+                )
+    return sorted(out)
+
+
+def _file_stats(path: str) -> dict[str, Any]:
+    """rows/bytes + per-column min/max/null_count from the parquet
+    footer (row-group statistics aggregated per file). Columns with
+    non-scalar or absent stats are recorded without a range — pruning
+    simply cannot skip on them."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    cols: dict[str, dict[str, Any]] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            c = g.column(ci)
+            name = c.path_in_schema
+            if "." in name:  # nested leaf: skip (no top-level pruning)
+                continue
+            st = c.statistics
+            ent = cols.setdefault(
+                name, {"min": None, "max": None, "null_count": 0}
+            )
+            if st is None or not st.has_min_max:
+                ent["min"] = ent["max"] = None
+                ent.setdefault("no_range", True)
+                continue
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                try:
+                    mn, mx = mn.decode(), mx.decode()
+                except UnicodeDecodeError:
+                    ent["no_range"] = True
+                    continue
+            if hasattr(mn, "isoformat"):
+                mn, mx = mn.isoformat(), mx.isoformat()
+            if not isinstance(mn, _STATS_TYPES):
+                ent["no_range"] = True
+                continue
+            if ent.get("no_range"):
+                continue
+            ent["min"] = mn if ent["min"] is None else min(ent["min"], mn)
+            ent["max"] = mx if ent["max"] is None else max(ent["max"], mx)
+            if st.null_count is not None:
+                ent["null_count"] += st.null_count
+    return {
+        "rows": md.num_rows,
+        "bytes": os.path.getsize(path),
+        "columns": {
+            k: v for k, v in cols.items() if not v.pop("no_range", False)
+        },
+    }
+
+
+def build_manifest(
+    version: int, staged_dir: str, *, checkpoint: bool = False
+) -> dict[str, Any]:
+    """Assemble the manifest dict for a commit from its STAGED directory
+    (call before the rename — the file set is final once staged)."""
+    files = []
+    for rel in _parquet_files(staged_dir):
+        role = "data"
+        top = rel.split(os.sep, 1)[0]
+        if top in ("data", "deletes"):  # MoR layout
+            role = top
+        ent = {"path": rel, "role": role}
+        ent.update(_file_stats(os.path.join(staged_dir, rel)))
+        # hive partition values from the path (key=value segments):
+        # partition columns never appear in footers, so min=max=value
+        # here is what lets files_for prune on them — manifest-level
+        # partition pruning through the same mechanism as stats skipping
+        for seg in rel.split(os.sep)[:-1]:
+            if "=" in seg:
+                k, _, val = seg.partition("=")
+                ent.setdefault("columns", {})[k] = {
+                    "min": val,
+                    "max": val,
+                    "null_count": 0,
+                    "partition": True,
+                }
+        files.append(ent)
+    return {
+        "version": version,
+        "checkpoint": bool(
+            checkpoint
+            or os.path.exists(os.path.join(staged_dir, "_CHECKPOINT"))
+        ),
+        "files": files,
+    }
+
+
+class CommitLog:
+    """Listing-free version resolution for one versioned table root."""
+
+    def __init__(self, table_path: str):
+        self.table_path = table_path
+
+    # -- write side ----------------------------------------------------------
+
+    def publish(self, manifest: dict[str, Any]) -> None:
+        """Make commit ``manifest['version']`` visible: O_EXCL-safe write
+        of ``<N>.json`` (tmp + rename), then advance the ``_latest``
+        hint. Idempotent per version — the heal path may re-publish."""
+        os.makedirs(_mdir(self.table_path), exist_ok=True)
+        final = _mpath(self.table_path, manifest["version"])
+        tmp = os.path.join(
+            _mdir(self.table_path), f".tmp-{uuid.uuid4().hex}"
+        )
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, separators=(",", ":"))
+        os.rename(tmp, final)  # atomic publish (replace is fine: same bytes)
+        self._advance_hint(manifest["version"])
+
+    def _advance_hint(self, version: int) -> None:
+        cur = self._hint()
+        if version <= cur:
+            return  # a later commit already advanced it; never regress
+        tmp = os.path.join(
+            _mdir(self.table_path), f".tmp-{uuid.uuid4().hex}"
+        )
+        with open(tmp, "w") as fh:
+            fh.write(str(version))
+        os.rename(tmp, os.path.join(_mdir(self.table_path), _LATEST))
+
+    def heal(self, version: int) -> None:
+        """Crashed-writer recovery: v<version> is claimed (directory
+        committed, `_SUCCESS` present) but its manifest was never
+        published. Publish it from the visible directory — the ONLY
+        read-path-adjacent place allowed to enumerate files."""
+        vdir = os.path.join(self.table_path, f"v{version}")
+        if not os.path.exists(os.path.join(vdir, "_SUCCESS")):
+            raise FileNotFoundError(
+                f"cannot heal v{version}: not a committed version dir"
+            )
+        self.publish(build_manifest(version, vdir))
+
+    def retire(self, versions: list[int]) -> None:
+        """Vacuum companion: drop manifests of physically removed
+        versions (the `_latest` hint never regresses, and forward
+        probing starts at the hint, so gaps below it are harmless)."""
+        for v in versions:
+            try:
+                os.remove(_mpath(self.table_path, v))
+            except FileNotFoundError:
+                pass
+
+    # -- read side (listing-free) ---------------------------------------------
+
+    def _hint(self) -> int:
+        try:
+            with open(os.path.join(_mdir(self.table_path), _LATEST)) as fh:
+                return int(fh.read().strip() or 0)
+        except (FileNotFoundError, ValueError):
+            return 0
+
+    def exists(self) -> bool:
+        """True iff this table has a commit log at all (legacy tables
+        predating the manifest layer fall back to directory listing)."""
+        return self.current_version() > 0
+
+    def current_version(self) -> int:
+        """Highest PUBLISHED version: `_latest` hint, then roll forward
+        probing single manifest files. 0 when no manifest exists."""
+        v = self._hint()
+        if v > 0 and not os.path.exists(_mpath(self.table_path, v)):
+            # hint points at a retired/never-published version: restart
+            # the probe from 0 (recovery; normal operation never regresses)
+            v = 0
+        while os.path.exists(_mpath(self.table_path, v + 1)):
+            v += 1
+        return v
+
+    def manifest(self, version: int) -> dict[str, Any]:
+        try:
+            with open(_mpath(self.table_path, version)) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            raise FileNotFoundError(
+                f"version v{version} of {self.table_path} is not published "
+                "(never committed, or removed by vacuum)"
+            ) from None
+
+    def versions(self, lo: int = 1, hi: int | None = None) -> list[int]:
+        """Published versions in [lo, hi] by single-file probes —
+        bounded by the version range, never by file count."""
+        hi = self.current_version() if hi is None else hi
+        return [
+            v
+            for v in range(max(1, lo), hi + 1)
+            if os.path.exists(_mpath(self.table_path, v))
+        ]
+
+    def files_for(
+        self,
+        version: int,
+        *,
+        role: str = "data",
+        prune: tuple[str, Any, Any] | None = None,
+    ) -> tuple[list[str], int]:
+        """Absolute parquet paths of commit ``version`` (one role), after
+        optional stats pruning ``(column, lo, hi)``: keep a file iff its
+        manifest [min, max] envelope intersects [lo, hi] (files without
+        range stats for the column are always kept — skipping must be
+        sound, never required). Returns (paths, n_skipped)."""
+        m = self.manifest(version)
+        vdir = os.path.join(self.table_path, f"v{version}")
+        kept, skipped = [], 0
+        for ent in m["files"]:
+            if ent.get("role", "data") != role:
+                continue
+            if prune is not None:
+                col, lo, hi = prune
+                st = ent.get("columns", {}).get(col)
+                if (
+                    st is not None
+                    and st.get("min") is not None
+                    and st.get("max") is not None
+                ):
+                    try:
+                        disjoint = st["max"] < lo or st["min"] > hi
+                    except TypeError:
+                        # incomparable predicate/stat types (e.g. int
+                        # range vs string partition value): cannot
+                        # soundly skip, keep the file
+                        disjoint = False
+                    if disjoint:
+                        skipped += 1
+                        continue
+            kept.append(os.path.join(vdir, ent["path"]))
+        return kept, skipped

@@ -27,8 +27,17 @@ winner; the loser re-reads the new current version, recomputes its merge
 against it, and retries the next number (optimistic concurrency — no lost
 updates). Readers resolve the highest committed version and can never
 observe a half-written table: a crashed writer leaves only an orphaned
-hidden stage directory, never a visible ``v<N>``. This is a deliberately
-minimal stand-in for a real table format's transaction log.
+hidden stage directory, never a visible ``v<N>``.
+
+Version discovery is LISTING-FREE (round 10): every commit publishes a
+manifest (`sinks/manifest.py` — file list + per-file footer stats) and
+reads resolve versions through the `_manifest/_latest` hint + forward
+probe, never `os.listdir`. Tables created before the manifest layer fall
+back to the original directory listing (`CommitLog.exists()` gates it);
+the heal path covers a writer that crashed between the rename-claim and
+the manifest publish. The manifest stats also power `read_pruned` —
+min/max file skipping before Spark plans the scan, the Delta/Iceberg
+data-skipping shape.
 """
 
 from __future__ import annotations
@@ -40,15 +49,20 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .manifest import CommitLog, build_manifest
+
 _V_RE = re.compile(r"^v(\d+)$")
 
 
 def _versions(path: str) -> list[int]:
-    """Committed versions only: a version counts iff Spark's _SUCCESS
-    marker exists. Under the stage+rename protocol a visible ``v<N>`` is
-    always complete, so the marker check is belt-and-braces — it also
-    keeps tables written by pre-staging versions of this sink readable
-    (where a dead writer could leave a torn ``v<N>``)."""
+    """Committed versions. Manifest tables answer from the commit log
+    (single-file probes, no listing); legacy tables fall back to the
+    original directory listing where a version counts iff Spark's
+    _SUCCESS marker exists (belt-and-braces against torn ``v<N>`` dirs
+    from pre-staging writers)."""
+    log = CommitLog(path)
+    if log.exists():
+        return log.versions()
     try:
         names = os.listdir(path)
     except FileNotFoundError:
@@ -74,12 +88,38 @@ def _next_version(path: str) -> int:
 
 
 def _base_and_claim(path: str) -> tuple[int, int]:
-    """(highest committed version, version number to commit next), from ONE
-    directory listing. A single snapshot matters for the OCC loop in
-    :meth:`MergeSink.merge`: deriving the two from separate listings lets a
+    """(highest committed version, version number to commit next).
+
+    Manifest tables: base = the commit log's current version, claim =
+    base + 1 — no listing; a claimed-but-unpublished version makes the
+    claim's rename fail, and :func:`_heal_claim` in the retry loop
+    publishes the crashed winner's manifest so base advances (never a
+    livelock). Legacy tables: ONE directory listing snapshot — a single
+    snapshot matters for the OCC loop (separate listings let a
     concurrent commit land between them, making ``claim`` skip past a
-    version the merge never saw (lost update). ``claim`` is ``base + 1``
-    except when skipping a pre-staging writer's torn physical dir."""
+    version the merge never saw); ``claim`` is ``base + 1`` except when
+    skipping a pre-staging writer's torn physical dir."""
+    log = CommitLog(path)
+    if log.exists():
+        while True:
+            base = log.current_version()
+            claim = base + 1
+            healed = False
+            # step past physical dirs that can never be claimed by a
+            # rename: a committed-but-unpublished winner gets healed
+            # (then re-resolve — base advances past it); a torn
+            # pre-staging dir (no _SUCCESS) is stepped over, matching
+            # the legacy max(phys)+1 semantics
+            while os.path.exists(os.path.join(path, f"v{claim}")):
+                if os.path.exists(
+                    os.path.join(path, f"v{claim}", "_SUCCESS")
+                ):
+                    log.heal(claim)
+                    healed = True
+                    break
+                claim += 1
+            if not healed:
+                return base, claim
     try:
         names = os.listdir(path)
     except FileNotFoundError as exc:
@@ -91,6 +131,22 @@ def _base_and_claim(path: str) -> tuple[int, int]:
     if not committed:
         raise FileNotFoundError(f"no version of merge table at {path}")
     return max(committed), max(phys) + 1
+
+
+def _heal_claim(path: str, claim: int) -> None:
+    """After losing the rename race for ``claim``: if the winner's
+    directory is committed but its manifest never published (crashed
+    between claim and publish), publish it on the winner's behalf —
+    idempotent, content derived from the immutable version dir."""
+    log = CommitLog(path)
+    if not log.exists():
+        return
+    if os.path.exists(
+        os.path.join(path, f"v{claim}", "_SUCCESS")
+    ) and not os.path.exists(
+        os.path.join(path, "_manifest", f"{claim}.json")
+    ):
+        log.heal(claim)
 
 
 def current_version_path(path: str) -> str | None:
@@ -152,25 +208,107 @@ def version_diff(
 class MergeSink:
     """Versioned parquet table with MERGE (upsert + delete) writes."""
 
-    def __init__(self, path: str, key: str, partition_by: list[str] | None = None):
+    def __init__(
+        self,
+        path: str,
+        key: str,
+        partition_by: list[str] | None = None,
+        cluster_by: tuple[str, int] | None = None,
+    ):
+        """``cluster_by=(column, n_files)`` is the table's clustering
+        spec (the Delta OPTIMIZE / liquid-clustering idea as a standing
+        property): every committed version is range-repartitioned on the
+        column into ``n_files`` disjoint key ranges, so the manifest's
+        per-file min/max envelopes are tight and non-overlapping and
+        ``read_pruned`` can skip all but the matching files. Without it
+        files hold hash-arbitrary key mixes and every file's envelope
+        spans the whole domain — stats exist but skip nothing."""
         self.path = path
         self.key = key
         self.partition_by = partition_by or []
+        self.cluster_by = cluster_by
+
+    def _read_manifest_files(
+        self,
+        spark: SparkSession,
+        version: int,
+        prune: tuple[str, object, object] | None = None,
+    ) -> tuple[DataFrame, int]:
+        """Scan exactly the files the manifest lists for ``version``
+        (optionally stats-pruned) — the reader never lists a directory;
+        ``basePath`` keeps hive partition columns derivable when the
+        table is partitioned. Returns (df, files_skipped)."""
+        log = CommitLog(self.path)
+        files, skipped = log.files_for(version, prune=prune)
+        vdir = os.path.join(self.path, f"v{version}")
+        if not files:
+            if prune is not None:
+                # every file pruned: empty frame with the table schema
+                # (schema from one unpruned file via the same manifest)
+                allf, _ = log.files_for(version)
+                if allf:
+                    base = spark.read.option("basePath", vdir).parquet(*allf)
+                    return base.limit(0), skipped
+            return spark.read.parquet(vdir), skipped
+        return (
+            spark.read.option("basePath", vdir).parquet(*files),
+            skipped,
+        )
 
     def read(self, spark: SparkSession) -> DataFrame:
+        log = CommitLog(self.path)
+        if log.exists():
+            return self._read_manifest_files(
+                spark, log.current_version()
+            )[0]
         cur = current_version_path(self.path)
         if cur is None:
             raise FileNotFoundError(f"no version of merge table at {self.path}")
         return spark.read.parquet(cur)
 
+    def read_pruned(
+        self,
+        spark: SparkSession,
+        column: str,
+        lo: object,
+        hi: object,
+        version: int | None = None,
+    ) -> tuple[DataFrame, int, int]:
+        """Stats-based file skipping (the Delta/Iceberg data-skipping
+        shape): open only the files whose manifest [min, max] envelope
+        for ``column`` intersects [lo, hi]. The predicate itself is NOT
+        applied — skipping is an I/O optimization, the caller still
+        filters (rows outside the range can live in an overlapping
+        file). Returns (df, files_scanned, files_skipped); requires a
+        manifest table. At 100 TB this is the difference between
+        planning a scan over every file of a commit and over the
+        handful whose ranges can match — resolved from one small JSON
+        object, before Spark sees the query."""
+        log = CommitLog(self.path)
+        if not log.exists():
+            raise FileNotFoundError(
+                f"{self.path} has no commit log (legacy table): "
+                "stats pruning needs manifests"
+            )
+        v = log.current_version() if version is None else version
+        df, skipped = self._read_manifest_files(
+            spark, v, prune=(column, lo, hi)
+        )
+        total = len(log.files_for(v)[0])
+        return df, total - skipped, skipped
+
     def read_version(self, spark: SparkSession, version: int) -> DataFrame:
         """Time-travel read (VERSION AS OF): the snapshot exactly as
         committed at ``version``. Copy-on-write makes this free — every
         version directory IS a full consistent snapshot, so historical
-        reads cost one path resolution, no log replay (contrast the MoR
+        reads cost one manifest read, no log replay (contrast the MoR
         chain, where an as-of read would re-resolve deltas). Raises on
         uncommitted/vacuumed versions — ``vacuum(keep_last=n)`` is the
         retention boundary for how far back travel reaches."""
+        log = CommitLog(self.path)
+        if log.exists():
+            log.manifest(version)  # raises if unpublished/retired
+            return self._read_manifest_files(spark, version)[0]
         if version not in _versions(self.path):
             raise FileNotFoundError(
                 f"version v{version} of {self.path} is not committed "
@@ -207,6 +345,10 @@ class MergeSink:
         victims = committed[:-keep_last] if len(committed) > keep_last else []
         for v in victims:
             shutil.rmtree(os.path.join(self.path, f"v{v}"))
+        # retire the victims' manifests too: the _latest hint never
+        # regresses and probing starts there, so gaps below are harmless,
+        # while a dangling manifest would advertise a vacuumed version
+        CommitLog(self.path).retire(victims)
         return victims
 
     def merge(
@@ -262,26 +404,39 @@ class MergeSink:
             try:
                 self._write(merged, claim)
             except FileExistsError:
-                continue  # lost the version race: recompute vs new current
+                # lost the version race: if the winner crashed before
+                # publishing its manifest, publish it for them so base
+                # advances, then recompute vs the new current state
+                _heal_claim(self.path, claim)
+                continue
             return self.read(spark)
         raise RuntimeError(
             f"merge lost the version race {max_retries} times at {self.path}"
         )
 
     def _write(self, df: DataFrame, version: int) -> None:
-        """Stage to a hidden dir, then atomically rename onto ``v<N>``.
+        """Stage to a hidden dir, then atomically rename onto ``v<N>``,
+        then publish the commit's manifest.
 
-        The rename is the commit: POSIX guarantees at most one renamer
+        The rename is the claim: POSIX guarantees at most one renamer
         wins the destination name (renaming onto an existing non-empty
         directory fails), so two writers racing the same version number
         can never interleave files in one directory. Raises
         ``FileExistsError`` for the loser; the orphaned stage dir is
-        removed best-effort."""
+        removed best-effort. The manifest (file list + footer stats,
+        assembled from the stage BEFORE the rename — the file set is
+        final once staged) is what makes the commit visible to
+        listing-free readers; a crash between rename and publish is
+        recovered by the next writer's heal path."""
         stage = os.path.join(self.path, f".stage-{uuid.uuid4().hex}")
+        if self.cluster_by is not None:
+            col, n = self.cluster_by
+            df = df.repartitionByRange(n, F.col(col))
         w = df.write.mode("errorifexists")
         if self.partition_by:
             w = w.partitionBy(*self.partition_by)
         w.parquet(stage)
+        manifest = build_manifest(version, stage)
         final = os.path.join(self.path, f"v{version}")
         try:
             os.rename(stage, final)
@@ -298,3 +453,4 @@ class MergeSink:
                     f"version v{version} already committed"
                 ) from exc
             raise
+        CommitLog(self.path).publish(manifest)

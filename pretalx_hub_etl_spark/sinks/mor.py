@@ -39,7 +39,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .merge import _base_and_claim, _versions
+from .manifest import CommitLog, build_manifest
+from .merge import _base_and_claim, _heal_claim, _versions
 
 _CKPT = "_CHECKPOINT"
 
@@ -81,11 +82,15 @@ class MorTable:
             # committed iff v<N>/_SUCCESS exists
             with open(os.path.join(stage, "_SUCCESS"), "w") as fh:
                 fh.write("")
+            # manifest from the stage (file set final), published only
+            # after the rename-claim wins — the listing-free read path
+            manifest = build_manifest(version, stage, checkpoint=checkpoint)
             final = os.path.join(self.path, f"v{version}")
             try:
                 os.rename(stage, final)
             except OSError as exc:
                 raise FileExistsError(str(exc)) from exc
+            CommitLog(self.path).publish(manifest)
         finally:
             shutil.rmtree(stage, ignore_errors=True)
 
@@ -116,7 +121,11 @@ class MorTable:
             try:
                 self._commit(source, deletes, claim)
             except FileExistsError:
-                continue  # lost the version race; deltas need no recompute
+                # lost the version race; deltas need no recompute, but a
+                # winner that crashed pre-publish must be healed or the
+                # claim number never advances
+                _heal_claim(self.path, claim)
+                continue
             return claim
         raise RuntimeError(
             f"merge lost the version race {max_retries} times at {self.path}"
@@ -124,15 +133,46 @@ class MorTable:
 
     # -- read path ----------------------------------------------------------
 
+    def _commit_view(
+        self, v: int
+    ) -> tuple[list[str] | None, list[str] | None, bool]:
+        """(data files, delete files, is_checkpoint) for one commit —
+        absolute paths straight from the manifest when the table has a
+        commit log (listing-free), directory probes for legacy tables.
+        ``None`` means the commit has no files of that role."""
+        log = CommitLog(self.path)
+        vdir = os.path.join(self.path, f"v{v}")
+        if log.exists():
+            m = log.manifest(v)
+            data = [
+                os.path.join(vdir, e["path"])
+                for e in m["files"]
+                if e.get("role") == "data"
+            ]
+            dels = [
+                os.path.join(vdir, e["path"])
+                for e in m["files"]
+                if e.get("role") == "deletes"
+            ]
+            return data or None, dels or None, bool(m.get("checkpoint"))
+        ddir, tdir = os.path.join(vdir, "data"), os.path.join(vdir, "deletes")
+        return (
+            [ddir] if os.path.isdir(ddir) else None,
+            [tdir] if os.path.isdir(tdir) else None,
+            os.path.exists(os.path.join(vdir, _CKPT)),
+        )
+
     def _chain(self) -> tuple[int, list[int]]:
         """(start version, committed versions >= start): start is the
-        newest checkpointed commit (readers skip everything before)."""
+        newest checkpointed commit (readers skip everything before).
+        Checkpoint flags come from the manifests on commit-log tables —
+        resolving the whole chain reads only small JSON objects."""
         versions = _versions(self.path)
         if not versions:
             raise FileNotFoundError(f"no version of MoR table at {self.path}")
         start = versions[0]
         for v in versions:
-            if os.path.exists(os.path.join(self.path, f"v{v}", _CKPT)):
+            if self._commit_view(v)[2]:
                 start = v
         return start, [v for v in versions if v >= start]
 
@@ -149,11 +189,9 @@ class MorTable:
         data_cols: list[str] | None = None
         frames: list[DataFrame] = []
         for v in chain:
-            vdir = os.path.join(self.path, f"v{v}")
-            ddir = os.path.join(vdir, "data")
-            tdir = os.path.join(vdir, "deletes")
-            if os.path.isdir(ddir):
-                df = spark.read.parquet(ddir)
+            data_files, del_files, _ = self._commit_view(v)
+            if data_files is not None:
+                df = spark.read.parquet(*data_files)
                 if data_cols is None:
                     data_cols = df.columns
                 frames.append(
@@ -163,8 +201,8 @@ class MorTable:
                         F.lit("u").alias("__kind"),
                     )
                 )
-            if os.path.isdir(tdir):
-                t = spark.read.parquet(tdir)
+            if del_files is not None:
+                t = spark.read.parquet(*del_files)
                 if data_cols is None:
                     raise ValueError(
                         "MoR chain starts with a delete-only commit"
@@ -207,6 +245,7 @@ class MorTable:
             except FileExistsError:
                 # a delta slipped in: re-resolve so the checkpoint
                 # includes it (a checkpoint must never hide later commits)
+                _heal_claim(self.path, claim)
                 state = self.read(spark)
                 continue
             return claim
@@ -232,28 +271,26 @@ class MorTable:
         # column layout from the newest checkpoint/base at or before the
         # cursor (schema is append-only by construction)
         for v in all_committed:
-            ddir = os.path.join(self.path, f"v{v}", "data")
-            if os.path.isdir(ddir):
-                data_cols = spark.read.parquet(ddir).columns
+            dfiles, _dels, _ck = self._commit_view(v)
+            if dfiles is not None:
+                data_cols = spark.read.parquet(*dfiles).columns
                 break
         if data_cols is None:
             raise FileNotFoundError(f"no data commit in {self.path}")
         frames: list[DataFrame] = []
         for v in todo:
-            vdir = os.path.join(self.path, f"v{v}")
-            ddir = os.path.join(vdir, "data")
-            tdir = os.path.join(vdir, "deletes")
-            if os.path.isdir(ddir):
+            dfiles, tfiles, _ck = self._commit_view(v)
+            if dfiles is not None:
                 frames.append(
-                    spark.read.parquet(ddir).select(
+                    spark.read.parquet(*dfiles).select(
                         F.lit("upsert").alias("__op"),
                         F.lit(v).cast("long").alias("__commit"),
                         *data_cols,
                     )
                 )
-            if os.path.isdir(tdir):
+            if tfiles is not None:
                 frames.append(
-                    spark.read.parquet(tdir).select(
+                    spark.read.parquet(*tfiles).select(
                         F.lit("delete").alias("__op"),
                         F.lit(v).cast("long").alias("__commit"),
                         F.col(self.key),
@@ -276,7 +313,12 @@ class MorTable:
         return out
 
     def delta_bytes(self, version: int) -> int:
-        """On-disk bytes of one commit — the write-amplification witness."""
+        """On-disk bytes of one commit — the write-amplification witness.
+        Answered from the manifest (the stats were recorded at commit
+        time); legacy tables walk the version directory."""
+        log = CommitLog(self.path)
+        if log.exists():
+            return sum(e["bytes"] for e in log.manifest(version)["files"])
         total = 0
         vdir = os.path.join(self.path, f"v{version}")
         for root, _dirs, files in os.walk(vdir):

@@ -228,6 +228,157 @@ def build_paged_parquet_source():
     return PagedParquetDataSource
 
 
+def build_paged_parquet_parallel_source():
+    """ST10b: the partition-parallel ``DataSourceStreamReader`` tier —
+    the "100 TB path" the SimpleDataSourceStreamReader docstring names.
+
+    The simple tier prefetches every microbatch ON THE DRIVER (one
+    ``read(start)`` call returning rows), which is right for
+    control-plane-sized pages and wrong for data-plane volume: one
+    Python process serializes the whole batch. This tier splits each
+    microbatch's offset range into one ``InputPartition`` PER PAGE, so
+    Spark schedules the page reads as parallel executor tasks — the
+    driver only plans offsets. Admission control (the
+    maxRecordsPerBatch/maxFilesPerTrigger shape): ``latestOffset``
+    advances at most ``max_pages_per_batch`` pages past the committed
+    offset, so a backlog drains in bounded microbatches instead of one
+    giant batch — backpressure by offset arithmetic, no data touched.
+    Replay after restart needs no extra machinery: ``partitions(start,
+    end)`` + ``read`` re-derive any committed range deterministically
+    from the immutable parquet file (same contract readBetweenOffsets
+    serves in the simple tier). Built as LOCAL classes for the same
+    pickle-by-value shipping constraint as ``build_paged_parquet_source``.
+    """
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+    from pyspark.sql.types import StructType
+
+    class _PagePartition(InputPartition):
+        def __init__(self, lo: int, hi: int):
+            self.lo = lo
+            self.hi = hi
+
+    class _ParallelPagedStreamReader(DataSourceStreamReader):
+        def __init__(self, options, columns):
+            self.path = options["path"]
+            self.key = options["key"]
+            self.page_size = int(options.get("page_size", "1000"))
+            self.max_pages = int(options.get("max_pages_per_batch", "2"))
+            self.columns = columns
+            self._upper = None
+            self._cursor = 0  # last offset handed out by latestOffset
+
+        def _upper_bound(self) -> int:
+            if self._upper is None:
+                import pyarrow.parquet as pq
+
+                meta = pq.ParquetFile(self.path).metadata
+                idx = meta.schema.names.index(self.key)
+                hi = None
+                for rg in range(meta.num_row_groups):
+                    st = meta.row_group(rg).column(idx).statistics
+                    if st is None or not st.has_min_max:
+                        raise ValueError(
+                            f"no min/max statistics for {self.key!r}"
+                        )
+                    hi = st.max if hi is None else max(hi, st.max)
+                self._upper = 0 if hi is None else int(hi) + 1
+            return self._upper
+
+        def initialOffset(self) -> dict:
+            return {"lo": 0}
+
+        def latestOffset(self) -> dict:
+            # admission control: advance <= max_pages pages per batch
+            upper = self._upper_bound()
+            nxt = min(
+                self._cursor + self.max_pages * self.page_size, upper
+            )
+            self._cursor = nxt
+            return {"lo": nxt}
+
+        def partitions(self, start: dict, end: dict):
+            lo, hi = int(start["lo"]), int(end["lo"])
+            # restart recovery: a fresh reader's cursor starts at 0, and
+            # the engine does NOT replay commit() for already-committed
+            # batches — it DOES, however, re-plan the checkpointed batch
+            # through this method, and any range it asks for was
+            # previously reported available, so advancing the admission
+            # cursor to >= end never fabricates data. Without this, the
+            # first post-restart latestOffset returns <= the committed
+            # offset and the engine concludes the source is drained
+            # (observed: restart served page 0 only).
+            self._cursor = max(self._cursor, hi)
+            # one scan task per page: THIS is the parallel tier
+            return [
+                _PagePartition(p, min(p + self.page_size, hi))
+                for p in range(lo, hi, self.page_size)
+            ] or [_PagePartition(lo, lo)]
+
+        def read(self, partition):
+            # executor-side, Arrow batches across the boundary;
+            # row-group pruning identical to the batch reader
+            if partition.lo >= partition.hi:
+                return
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
+
+            pf = pq.ParquetFile(self.path)
+            idx = pf.metadata.schema.names.index(self.key)
+            groups = []
+            for rg in range(pf.metadata.num_row_groups):
+                st = pf.metadata.row_group(rg).column(idx).statistics
+                if st is None or st.min is None:
+                    groups.append(rg)
+                elif st.min < partition.hi and st.max >= partition.lo:
+                    groups.append(rg)
+            if not groups:
+                return
+            tbl = pf.read_row_groups(groups, columns=self.columns)
+            mask = pc.and_(
+                pc.greater_equal(tbl[self.key], partition.lo),
+                pc.less(tbl[self.key], partition.hi),
+            )
+            for batch in tbl.filter(mask).to_batches():
+                yield batch
+
+        def commit(self, end: dict) -> None:
+            # resume-after-restart: Spark replays from its checkpoint log,
+            # so the reader only needs its cursor not to regress
+            self._cursor = max(self._cursor, int(end["lo"]))
+
+    class ParallelPagedParquetDataSource(DataSource):
+        """``spark.readStream.format("paged_parquet_par")`` — options as
+        ``paged_parquet`` plus ``max_pages_per_batch`` (admission cap)."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "paged_parquet_par"
+
+        def schema(self):
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+            from pyspark.sql.pandas.types import from_arrow_schema
+
+            sch = pq.ParquetFile(self.options["path"]).schema_arrow
+            cols = self._columns()
+            if cols:
+                sch = pa.schema([sch.field(c) for c in cols])
+            return from_arrow_schema(sch)
+
+        def _columns(self):
+            cols = self.options.get("columns")
+            return [c.strip() for c in cols.split(",")] if cols else None
+
+        def streamReader(self, schema: StructType):
+            return _ParallelPagedStreamReader(self.options, self._columns())
+
+    return ParallelPagedParquetDataSource
+
+
 def register(spark) -> None:
     """Idempotently register the source on a session.
 
@@ -239,6 +390,11 @@ def register(spark) -> None:
 
     try:
         spark.dataSource.register(build_paged_parquet_source())
+    except AnalysisException as e:
+        if "DATA_SOURCE_ALREADY_EXISTS" not in str(e):
+            raise
+    try:
+        spark.dataSource.register(build_paged_parquet_parallel_source())
     except AnalysisException as e:
         if "DATA_SOURCE_ALREADY_EXISTS" not in str(e):
             raise

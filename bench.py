@@ -91,6 +91,11 @@ HEADLINE = [
     "q_ks_two_sample",      # two-sample KS sup-CDF distance
     "q_multimodal_decode_avi",  # pure-stdlib AVI decode via mapInPandas
     "q_knn_graph",          # corpus kNN graph: LSH self-join + top-k window
+    # round-10 additions
+    "q_sink_manifest_read",  # commit-log manifests + stats file skipping
+    "q_sink_roundtrip_avro",  # pure-spec Avro OCF distributed roundtrip
+    "q_fn_udtf_table_arg",  # TABLE(...) PARTITION BY sessionizer UDTF
+    "q_stream_pyds_parallel",  # partition-parallel Python stream source
 ]
 
 
@@ -208,12 +213,24 @@ def _common_vs_prev(timings: dict[str, float]) -> dict | None:
         return None
     prev_total = round(sum(float(prev_q[q]) for q in common), 3)
     cur_total = round(sum(timings[q] for q in common), 3)
+    # per-query drift attribution (round-9 review, Next #2): the total
+    # ratio says THAT the common set moved, the top deltas say WHERE —
+    # so a box-noise spike on two graph queries is distinguishable from
+    # a broad regression without a hand bisect
+    deltas = sorted(
+        ((q, round(timings[q] - float(prev_q[q]), 3)) for q in common),
+        key=lambda kv: kv[1],
+    )
     return {
         "prev_artifact": os.path.basename(arts[n]),
         "n_common": len(common),
         "prev_total": prev_total,
         "cur_total": cur_total,
         "ratio": round(cur_total / prev_total, 3) if prev_total else None,
+        "top_regressions": dict(
+            [kv for kv in deltas[::-1] if kv[1] > 0][:3]
+        ),
+        "top_improvements": dict([kv for kv in deltas if kv[1] < 0][:3]),
     }
 
 
@@ -344,6 +361,19 @@ def main() -> None:
         print(json.dumps({"queries_3dp": record["queries"]}))
         record["queries"] = {
             k: round(v, 2) for k, v in record["queries"].items()
+        }
+        headline_line = json.dumps(record, separators=(",", ":"))
+    if len(headline_line) > 1800 and isinstance(
+        record.get("common_vs_prev"), dict
+    ):
+        # last resort: the drift-attribution details move to their own
+        # earlier line, the headline keeps only the summary ratio
+        cvp = record["common_vs_prev"]
+        print(json.dumps({"common_vs_prev_full": cvp}))
+        record["common_vs_prev"] = {
+            k: cvp[k]
+            for k in ("prev_artifact", "n_common", "ratio")
+            if k in cvp
         }
         headline_line = json.dumps(record, separators=(",", ":"))
     print(headline_line)

@@ -116,6 +116,13 @@ FORCE_REVERIFY: set[str] = {
     "q_autocorr",
     "q_window_topk_salted",
     "q_stream_available_now",
+    # r10 parity-tail trim: fixture_session 8->4 state partitions,
+    # q_stream_pyds 4->3 pages — every fixture-session streaming query
+    # re-verifies
+    "q_stream_chained_agg",
+    "q_stream_timer_tws",
+    "q_stream_state_reader",
+    "q_stream_interval_join_outer",
 }
 
 VERIFIED_PRIOR_ROUNDS: dict[str, int] = {

@@ -126,7 +126,7 @@ def q_stream_pyds_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # snapshot must equal the batch answer regardless of page/batch
     # boundaries, so the equivalence pins offset planning, partition
     # splitting, executor reads, and the admission cap all at once.
-    # 8 pages at 2 pages/batch -> 4 genuinely multi-partition batches.
+    # 6 pages at 2 pages/batch -> 3 genuinely multi-partition batches.
     from ..sources.paginated import parquet_key_upper_bound
     from ..sources.pyds import register
     from ..streaming.structured import run_to_memory
@@ -140,7 +140,7 @@ def q_stream_pyds_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.format("paged_parquet_par")
         .option("path", path)
         .option("key", "o_orderkey")
-        .option("page_size", str(max(1, upper // 8 + 1)))
+        .option("page_size", str(max(1, upper // 6 + 1)))
         .option("max_pages_per_batch", "2")
         .option("columns", "o_orderkey,o_orderpriority,o_totalprice")
         .load()

@@ -680,7 +680,10 @@ def q_stream_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bound, replay via readBetweenOffsets), aggregated in COMPLETE mode
     # so the final snapshot equals the batch answer regardless of page
     # boundaries. The upper bound comes from parquet footer statistics;
-    # ~4 pages -> a genuinely multi-batch run (each microbatch pays a full python-runner round trip, so page count is the query's whole cost). Exact integer cents.
+    # ~3 pages -> a genuinely multi-batch run (each microbatch pays a
+    # full python-runner round trip, so page count is the query's whole
+    # cost — trimmed 4->3 in round 10, the minimum that still exercises
+    # multiple offsets plus the exhaustion batch). Exact integer cents.
     import uuid
 
     from ..sources.paginated import parquet_key_upper_bound
@@ -699,7 +702,7 @@ def q_stream_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.format("paged_parquet")
         .option("path", path)
         .option("key", "o_orderkey")
-        .option("page_size", str(max(1, upper // 4 + 1)))
+        .option("page_size", str(max(1, upper // 3 + 1)))
         .option("columns", "o_orderkey,o_orderpriority,o_totalprice")
         .load()
     )

@@ -18,7 +18,7 @@ from pyspark.sql import types as T
 
 
 def fixture_session(
-    spark: SparkSession, shuffle_partitions: int = 8
+    spark: SparkSession, shuffle_partitions: int = 4
 ) -> SparkSession:
     """Isolated child session for small bounded streaming fixtures.
 
@@ -26,7 +26,10 @@ def fixture_session(
     partition (per side, for joins) per microbatch, so the engine's
     session default (`cpus` partitions — right for the 100 TB design
     point) is pure fixed overhead on a replay fixture of a few thousand
-    rows. ``newSession`` shares the JVM/SparkContext but owns its
+    rows. 4 partitions (round-10, down from 8 — the parity-tail trim,
+    VERDICT r9 item 7): every fixture oracle is partition-count
+    independent by construction, so this is purely a state-store-count
+    knob. ``newSession`` shares the JVM/SparkContext but owns its
     SQLConf, so the fixture can size its state partitioning without
     leaking the setting into concurrently-planned queries (the parity
     sweep runs threaded). ``ensure_engine_conf`` re-applies the engine

@@ -113,7 +113,7 @@ def test_decode_image_dispatches_jpeg_and_png(spark):
         assert pp[i].mode == "L"  # PNG fixture still decodes via dispatch
 
 
-@pytest.mark.skipif(not HAS_PIL, reason="PIL not installed in this env")
+@pytest.mark.skipif(not HAS_PIL, reason="PIL not installed in this env (round-10 verified: no package, no local wheel, and pip has no network route in this sandbox — cannot install or vendor; the codec=auto PIL branch is covered by the by-value test double in test_multimodal_pil_branch.py, this real-PIL pixel cross-check un-skips on any cluster that ships Pillow)")
 def test_pil_agrees_on_dc_only_fixture():
     import io
 

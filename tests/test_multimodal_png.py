@@ -61,7 +61,7 @@ def test_resize_nearest_pinned_formula():
             assert out[y * 4 + x] == px[sy * w + sx]
 
 
-@pytest.mark.skipif(not HAS_PIL, reason="PIL not installed in this env")
+@pytest.mark.skipif(not HAS_PIL, reason="PIL not installed in this env (round-10 verified: no package, no local wheel, and pip has no network route in this sandbox — cannot install or vendor; the codec=auto PIL branch is covered by the by-value test double in test_multimodal_pil_branch.py, this real-PIL pixel cross-check un-skips on any cluster that ships Pillow)")
 def test_pure_codec_matches_pil_decode():
     import io
 

@@ -61,20 +61,66 @@ def _first_line(exc: Exception) -> str:
     return f"{type(exc).__name__}: {msg}"
 
 
+def rotating_sample(names: list[str], n: int) -> list[str]:
+    """Deterministic per-round rotating sample (round-9 review, Next #9).
+
+    The driver's own 50-query CORRECTNESS sample follows load_all()'s
+    stalest-verified-first order; this flag gives the BUILDER's
+    insurance runs a complementary rotation: round r (derived from the
+    committed CORRECTNESS_r*.json artifacts, so it can't be forgotten)
+    walks the alphabetical registry from offset (r*n) % total, skipping
+    anything the LATEST driver sample already covered — so the builder
+    sample is DISJOINT from the most recent driver verification by
+    construction, the windows of consecutive rounds advance through the
+    registry, and every query is independently re-verified at least
+    once per ~ceil(total/n) rounds.
+    """
+    import glob
+    import json as _json
+    import re
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    arts = {
+        int(m.group(1)): p
+        for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    }
+    r = (max(arts) + 1) if arts else 1
+    covered: set[str] = set()
+    if arts:
+        try:
+            with open(arts[max(arts)]) as fh:
+                covered = set(_json.load(fh))
+        except (OSError, ValueError):
+            pass
+    s = sorted(names)
+    start = (r * n) % len(s)
+    ring = (s + s)[start:] + s[:start]
+    window = [q for q in ring if q not in covered][:n]
+    print(
+        f"rotating sample: round {r}, offset {start}, n {len(window)}, "
+        f"skipping {len(covered)} driver-covered"
+    )
+    return window
+
+
 def main() -> int:
     argv = sys.argv[1:]
     json_out = None
     jobs = 1
-    while argv and argv[0] in ("--json", "--jobs"):
+    sample_n = 0
+    while argv and argv[0] in ("--json", "--jobs", "--sample"):
         flag = argv[0]
         if len(argv) < 2:
             print(
                 "usage: check_parity.py [--json OUT.json] [--jobs N] "
-                "[sf_dir] [query ...]"
+                "[--sample N] [sf_dir] [query ...]"
             )
             return 2
         if flag == "--json":
             json_out = argv[1]
+        elif flag == "--sample":
+            sample_n = max(0, int(argv[1]))
         else:
             jobs = max(1, int(argv[1]))
         argv = argv[2:]
@@ -183,6 +229,8 @@ def main() -> int:
             lines,
         )
 
+    if sample_n and not only:
+        only = set(rotating_sample(list(qs), sample_n))
     todo = [(n, f) for n, f in qs.items() if not only or n in only]
     results: dict[str, dict] = {}
     failures: list[str] = []

@@ -86,6 +86,13 @@ QUERIES = [
     "q_trend_theil_sen",
     "q_ks_two_sample",
     "q_autocorr",
+    # round-9 heavy additions (round-9 review, Next #8): kNN graph rides
+    # the md5-offset embeddings (genuine 10x vector corpus); the other
+    # three ride the replicated events (10x rows per type/user)
+    "q_knn_graph",
+    "q_stream_chained_agg",
+    "q_window_topk_salted",
+    "q_agg_weighted_median",
 ]
 
 # inherently super-linear OUTPUT at fixed parameters (not a plan defect)

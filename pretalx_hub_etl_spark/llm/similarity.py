@@ -685,6 +685,15 @@ def knn_graph(
     true neighbor sharing no bucket is missed (raise n_tables for
     recall, n_bits for precision — the standard dial).
 
+    SCALE CONTRACT (measured, KNN_SCALE.json): bucket occupancy — and
+    with it candidate pairwork PER ROW — grows linearly with the corpus
+    at fixed ``n_bits``, so total work is quadratic unless ``n_bits``
+    grows with the corpus: ``n_bits(n) = n_bits(n0) + log2(n / n0)``
+    holds occupancy (and recall geometry) constant. At the synthetic
+    10x corpus, fixed n_bits=4 multiplied pairs/row 13.3x (1030 ->
+    13680) while the contract's n_bits=7 returned it to 2187 — the
+    SemDeDup K∝n rule, transposed to hash width.
+
     ``portable=True`` uses the md5-integer hyperplanes + fixed-point
     cosine so the whole graph (candidates AND ranks) replays exactly in
     external SQL.

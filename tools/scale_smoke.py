@@ -118,6 +118,13 @@ WORKLOAD_NOTES = {
     "replica 0 of the synthetic corpus — frontier work is constant while "
     "the scan/symmetrize is input-linear, so the exponent under-reads by "
     "design (real 10x corpora grow the source set with the data)",
+    "q_knn_graph": "workload-quadratic at FIXED n_bits by construction: "
+    "16 buckets/table at n_bits=4, so 10x corpus -> ~10x bucket occupancy "
+    "-> ~13x candidate pairs PER ROW (measured, KNN_SCALE.json: 1030 -> "
+    "13680); the operator's documented contract scales n_bits with "
+    "log2(corpus) — n_bits=7 at 10x returns pairs/row to 2187 and wall "
+    "from 197s to 51s — which restores ~linearity, exactly the SemDeDup "
+    "K-rule situation; the query pins n_bits=4 for its oracle",
 }
 
 

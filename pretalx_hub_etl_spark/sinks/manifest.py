@@ -277,21 +277,29 @@ class CommitLog:
         version: int,
         *,
         role: str = "data",
-        prune: tuple[str, Any, Any] | None = None,
+        prune: tuple[str, Any, Any] | list[tuple[str, Any, Any]] | None = None,
     ) -> tuple[list[str], int]:
         """Absolute parquet paths of commit ``version`` (one role), after
-        optional stats pruning ``(column, lo, hi)``: keep a file iff its
-        manifest [min, max] envelope intersects [lo, hi] (files without
-        range stats for the column are always kept — skipping must be
-        sound, never required). Returns (paths, n_skipped)."""
+        optional stats pruning — one ``(column, lo, hi)`` or a LIST of
+        them (conjunctive, like ANDed predicates: a file skips if ANY
+        range is provably disjoint): keep a file iff its manifest
+        [min, max] envelope intersects every requested range (files
+        without range stats for a column are always kept for that
+        conjunct — skipping must be sound, never required). Returns
+        (paths, n_skipped)."""
         m = self.manifest(version)
         vdir = os.path.join(self.table_path, f"v{version}")
+        prunes: list[tuple[str, Any, Any]] = (
+            []
+            if prune is None
+            else ([prune] if isinstance(prune, tuple) else list(prune))
+        )
         kept, skipped = [], 0
         for ent in m["files"]:
             if ent.get("role", "data") != role:
                 continue
-            if prune is not None:
-                col, lo, hi = prune
+            disjoint = False
+            for col, lo, hi in prunes:
                 st = ent.get("columns", {}).get(col)
                 if (
                     st is not None
@@ -303,10 +311,12 @@ class CommitLog:
                     except TypeError:
                         # incomparable predicate/stat types (e.g. int
                         # range vs string partition value): cannot
-                        # soundly skip, keep the file
+                        # soundly skip on this conjunct
                         disjoint = False
-                    if disjoint:
-                        skipped += 1
-                        continue
+                if disjoint:
+                    break
+            if disjoint:
+                skipped += 1
+                continue
             kept.append(os.path.join(vdir, ent["path"]))
         return kept, skipped

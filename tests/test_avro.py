@@ -130,6 +130,32 @@ def test_nested_record_roundtrip():
     assert list(read_ocf(buf)[1]) == rows
 
 
+def test_spark_timestamp_roundtrip_micros(spark, tmp_path):
+    # TimestampType crosses as avro timestamp-micros longs and must come
+    # back at exactly Spark's native microsecond resolution
+    from pyspark.sql import functions as F
+
+    from pretalx_hub_etl_spark.sources.avro_ocf import (
+        read_avro,
+        write_avro,
+    )
+
+    df = spark.sql(
+        """
+        SELECT id AS k,
+               timestampadd(MICROSECOND, CAST(id AS INT) * 1000001,
+                            TIMESTAMP '2024-06-01 12:00:00') AS ts
+        FROM range(50)
+        """
+    )
+    out = str(tmp_path / "ts_avro")
+    write_avro(df, out, codec="null")
+    back = read_avro(spark, out, df.schema)
+    got = {r.k: r.ts for r in back.collect()}
+    want = {r.k: r.ts for r in df.collect()}
+    assert got == want  # exact to the microsecond
+
+
 def test_spark_distributed_roundtrip(spark, tmp_path):
     from pyspark.sql import functions as F
 

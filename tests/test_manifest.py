@@ -96,6 +96,33 @@ def test_stats_pruning_skips_files_and_keeps_answers(spark, tmp_path):
     } == set(range(11))
 
 
+def test_multi_predicate_pruning_is_conjunctive_and_sound(spark, tmp_path):
+    # two ANDed ranges: a file skips if EITHER is provably disjoint;
+    # incomparable/missing stats keep the file (soundness)
+    sink = MergeSink(
+        str(tmp_path / "t"), key="k", cluster_by=("k", 8)
+    )
+    sink.init(
+        spark.range(800).selectExpr("id AS k", "id % 10 AS grp")
+    )
+    log = CommitLog(sink.path)
+    both, skipped = log.files_for(
+        1, prune=[("k", 0, 99), ("grp", 0, 9)]
+    )
+    one, skipped_one = log.files_for(1, prune=("k", 0, 99))
+    # grp spans 0..9 in every file -> adds no skipping; conjunction
+    # must not over-prune
+    assert (len(both), skipped) == (len(one), skipped_one)
+    # a second conjunct that IS selective composes
+    none, skipped_all = log.files_for(
+        1, prune=[("k", 0, 99), ("k", 700, 799)]
+    )
+    assert none == [] and skipped_all == 8
+    # unknown column: no stats -> keeps everything
+    allf, sk = log.files_for(1, prune=("nope", 0, 1))
+    assert sk == 0 and len(allf) == 8
+
+
 def test_crashed_writer_heal_unblocks_next_commit(spark, tmp_path):
     sink = _table(spark, tmp_path)
     sink.merge(

@@ -28,6 +28,7 @@ stays 1 so an interleaved failure can always be re-reproduced serially.
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 import traceback

@@ -96,3 +96,72 @@ def q_sink_manifest_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# --- S20b: merge-on-read time travel (as-of chain replay) -------------------
+
+
+@query(
+    "q_sink_time_travel_mor",
+    oracle="""
+    WITH base AS (
+        SELECT c_custkey,
+               CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal_cents
+        FROM customer
+    ), v2 AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 5 = 0 THEN bal_cents + 5000
+                    ELSE bal_cents END AS bal_cents
+        FROM base
+    ), v3 AS (
+        SELECT c_custkey, bal_cents FROM v2 WHERE c_custkey % 3 <> 0
+    )
+    SELECT 'v2' AS snapshot, c_custkey, bal_cents FROM v2
+    UNION ALL
+    SELECT 'v3' AS snapshot, c_custkey, bal_cents FROM v3
+    """,
+)
+def q_sink_time_travel_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S20b: time travel on the MERGE-ON-READ table — the delta-chain
+    # twin of S20's CoW form (same oracle by design: the layout must be
+    # invisible in the answer). Where CoW as-of resolution reads ONE
+    # manifest (every version is a full snapshot), a MoR as-of read
+    # replays the delta chain from the newest checkpoint at-or-before
+    # the version UP TO it — same bounded chain a current read costs,
+    # just truncated; both resolve versions listing-free through the
+    # S21 commit log. v1 init (checkpoint) → v2 upsert delta (+5000 on
+    # keys %5==0) → v3 tombstone delta (%3==0); the query returns the
+    # as-of-v2 and current reads side by side, so a chain truncation
+    # that leaks the v3 tombstones into v2 (or misses the v2 upserts)
+    # hash-fails.
+    import shutil
+
+    from ..sinks.mor import MorTable
+
+    base = Catalog(spark, sf_dir).customer.select(
+        "c_custkey", fixed_cents(F.col("c_acctbal")).alias("bal_cents")
+    )
+    root = tempfile.mkdtemp(prefix="phe_travel_mor_")
+    t = MorTable(os.path.join(root, "t"), key="c_custkey")
+    t.init(base)  # v1 (checkpoint)
+    t.merge(
+        spark,
+        base.filter(F.col("c_custkey") % 5 == 0).select(
+            "c_custkey", (F.col("bal_cents") + 5000).alias("bal_cents")
+        ),
+    )  # v2: upsert delta
+    t.merge(
+        spark,
+        deletes=base.filter(F.col("c_custkey") % 3 == 0).select(
+            "c_custkey"
+        ),
+    )  # v3: tombstone delta
+    v2 = t.read(spark, as_of=2).select(
+        F.lit("v2").alias("snapshot"), "c_custkey", "bal_cents"
+    )
+    v3 = t.read(spark, as_of=3).select(
+        F.lit("v3").alias("snapshot"), "c_custkey", "bal_cents"
+    )
+    out = v2.unionByName(v3).localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -176,16 +176,45 @@ class MorTable:
                 start = v
         return start, [v for v in versions if v >= start]
 
-    def read(self, spark: SparkSession) -> DataFrame:
-        """Resolved current state: per-key latest event wins.
+    def read(
+        self, spark: SparkSession, as_of: int | None = None
+    ) -> DataFrame:
+        """Resolved state: per-key latest event wins — current by
+        default, or the snapshot AS OF ``as_of`` (the MoR face of S20's
+        time travel: where CoW resolves one manifest, MoR replays the
+        delta chain from the newest checkpoint at-or-before ``as_of``
+        up to it — an as-of read costs the same bounded chain a current
+        read does, just truncated; raises on unpublished versions).
 
-        One union over the delta scans since the last checkpoint + one
-        window shuffle on the key. Tombstones ride the same union as
-        rows with NULL payloads and ``__kind='d'``; within one version a
-        key is either upserted or deleted, never both, so (version) is a
-        total order per key.
+        One union over the delta scans since the governing checkpoint +
+        one window shuffle on the key. Tombstones ride the same union
+        as rows with NULL payloads and ``__kind='d'``; within one
+        version a key is either upserted or deleted, never both, so
+        (version) is a total order per key.
         """
         start, chain = self._chain()
+        if as_of is not None:
+            if as_of not in chain and as_of < start:
+                # re-derive the chain as it stood at as_of: versions up
+                # to as_of, starting from the newest checkpoint <= as_of
+                versions = [v for v in _versions(self.path) if v <= as_of]
+                if not versions or as_of not in versions:
+                    raise FileNotFoundError(
+                        f"version v{as_of} of {self.path} is not published"
+                        " (never committed, or removed by vacuum)"
+                    )
+                start = versions[0]
+                for v in versions:
+                    if self._commit_view(v)[2]:
+                        start = v
+                chain = [v for v in versions if v >= start]
+            elif as_of in chain:
+                chain = [v for v in chain if v <= as_of]
+            else:
+                raise FileNotFoundError(
+                    f"version v{as_of} of {self.path} is not published"
+                    " (never committed, or removed by vacuum)"
+                )
         data_cols: list[str] | None = None
         frames: list[DataFrame] = []
         for v in chain:

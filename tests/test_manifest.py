@@ -202,6 +202,28 @@ def test_mor_chain_resolves_from_manifests(spark, tmp_path):
     assert t.delta_bytes(v) == sum(e["bytes"] for e in m["files"])
 
 
+def test_mor_as_of_read_replays_truncated_chain(spark, tmp_path):
+    # the MoR face of time travel: as-of resolves the chain from the
+    # newest checkpoint at-or-before the version, truncated at it —
+    # and stays correct even after a LATER compaction checkpoints
+    t = MorTable(str(tmp_path / "m"), key="k")
+    t.init(spark.range(6).selectExpr("id AS k", "id AS v"))  # v1 ckpt
+    t.merge(spark, spark.createDataFrame([(2, 22)], "k long, v long"))
+    t.merge(spark, deletes=spark.createDataFrame([(4,)], "k long"))
+
+    def state(as_of=None):
+        return {r.k: r.v for r in t.read(spark, as_of=as_of).collect()}
+
+    assert state(1) == {i: i for i in range(6)}
+    assert state(2) == {0: 0, 1: 1, 2: 22, 3: 3, 4: 4, 5: 5}
+    assert state(3) == state() == {0: 0, 1: 1, 2: 22, 3: 3, 5: 5}
+    v4 = t.compact(spark)  # checkpoint AFTER the history
+    assert state(2) == {0: 0, 1: 1, 2: 22, 3: 3, 4: 4, 5: 5}
+    assert state(v4) == state()
+    with pytest.raises(FileNotFoundError):
+        t.read(spark, as_of=99)
+
+
 def test_manifest_json_is_small_and_self_contained(spark, tmp_path):
     # the 100-TB argument: resolution cost is one JSON object per
     # commit, independent of table size — pin the object's shape

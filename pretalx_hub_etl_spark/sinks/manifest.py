@@ -194,6 +194,12 @@ class CommitLog:
         self._advance_hint(manifest["version"])
 
     def _advance_hint(self, version: int) -> None:
+        # The check-then-rename below has a benign race: two publishers
+        # can interleave so the lower version lands last and the hint
+        # regresses one step. Correctness is unaffected — the hint is a
+        # HINT: current_version() probes FORWARD from it, so a stale
+        # value costs a few extra single-file stats and the next publish
+        # re-advances it. Only the published manifests are truth.
         cur = self._hint()
         if version <= cur:
             return  # a later commit already advanced it; never regress

@@ -138,15 +138,35 @@ def build_manifest(
     version: int, staged_dir: str, *, checkpoint: bool = False
 ) -> dict[str, Any]:
     """Assemble the manifest dict for a commit from its STAGED directory
-    (call before the rename — the file set is final once staged)."""
+    (call before the rename — the file set is final once staged).
+
+    Footer reads run on a thread pool: they are tiny I/O-bound metadata
+    fetches, and a commit of N files paid N serial opens otherwise
+    (measured: +5.8 s on the 3-commit version_diff fixture, 32 files per
+    commit). At real scale the same stats would be computed by the
+    writing tasks themselves and attached to the commit, not re-read —
+    the footer pass is the single-node stand-in for that."""
+    rels = _parquet_files(staged_dir)
+    from concurrent.futures import ThreadPoolExecutor
+
+    if rels:
+        with ThreadPoolExecutor(max_workers=min(16, len(rels))) as pool:
+            stats = list(
+                pool.map(
+                    lambda r: _file_stats(os.path.join(staged_dir, r)),
+                    rels,
+                )
+            )
+    else:
+        stats = []
     files = []
-    for rel in _parquet_files(staged_dir):
+    for rel, fstats in zip(rels, stats):
         role = "data"
         top = rel.split(os.sep, 1)[0]
         if top in ("data", "deletes"):  # MoR layout
             role = top
         ent = {"path": rel, "role": role}
-        ent.update(_file_stats(os.path.join(staged_dir, rel)))
+        ent.update(fstats)
         # hive partition values from the path (key=value segments):
         # partition columns never appear in footers, so min=max=value
         # here is what lets files_for prune on them — manifest-level

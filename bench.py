@@ -366,14 +366,28 @@ def main() -> None:
     if len(headline_line) > 1800 and isinstance(
         record.get("common_vs_prev"), dict
     ):
-        # last resort: the drift-attribution details move to their own
-        # earlier line, the headline keeps only the summary ratio
+        # the drift-attribution details move to their own earlier line,
+        # the headline keeps only the summary ratio
         cvp = record["common_vs_prev"]
         print(json.dumps({"common_vs_prev_full": cvp}))
         record["common_vs_prev"] = {
             k: cvp[k]
             for k in ("prev_artifact", "n_common", "ratio")
             if k in cvp
+        }
+        headline_line = json.dumps(record, separators=(",", ":"))
+    # the registry grows every round, so the ladder must keep rungs in
+    # reserve: shed small metadata keys (each reprinted as its own
+    # earlier line), then carry 1 dp per query — the full-precision map
+    # is already on the queries_3dp line by this point
+    for key in ("timing", "conf_digest", "sha"):
+        if len(headline_line) <= 1800:
+            break
+        print(json.dumps({key: record.pop(key)}))
+        headline_line = json.dumps(record, separators=(",", ":"))
+    if len(headline_line) > 1800:
+        record["queries"] = {
+            k: round(v, 1) for k, v in record["queries"].items()
         }
         headline_line = json.dumps(record, separators=(",", ":"))
     print(headline_line)

@@ -65,6 +65,8 @@ def q_sink_manifest_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         fixed_cents(F.col("o_totalprice")).alias("cents"),
     )
+    # driver-bounded collect: ONE aggregate row (the prune threshold is
+    # a planning-time constant, the same role as the IVF probe lists)
     thr = base.agg(F.max("o_orderkey").alias("m")).collect()[0].m // 5
     root = tempfile.mkdtemp(prefix="phe_manifest_")
     sink = MergeSink(

@@ -385,6 +385,8 @@ def write_avro(df, path: str, codec: str = "deflate") -> None:
             os.remove(fname)
         yield pd.DataFrame({"path": [fname], "rows": [n]})
 
+    # driver-bounded collect: one manifest row PER PARTITION (file path
+    # + row count), never data — it exists to force the write job
     df.mapInPandas(part_writer, schema="path string, rows long").collect()
 
 

@@ -100,6 +100,66 @@ def q_sink_manifest_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# --- S22: MERGE with automatic schema evolution ------------------------------
+
+
+@query(
+    "q_sink_merge_evolve",
+    oracle="""
+    WITH base AS (
+        SELECT c_custkey, c_name FROM customer
+    ), upd AS (
+        SELECT c_custkey, 'gold' AS tier FROM base WHERE c_custkey % 4 = 0
+    ), ins AS (
+        SELECT c_custkey + 1000000 AS c_custkey, 'new' AS tier
+        FROM base WHERE c_custkey % 9 = 0
+    )
+    SELECT b.c_custkey, b.c_name, u.tier
+    FROM base b LEFT JOIN upd u ON b.c_custkey = u.c_custkey
+    UNION ALL
+    SELECT c_custkey, NULL AS c_name, tier FROM ins
+    """,
+)
+def q_sink_merge_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S22: MERGE with AUTOMATIC SCHEMA EVOLUTION (Delta's
+    # WHEN-MATCHED semantics, opt-in): the source carries a column the
+    # table has never seen (`tier`) and OMITS one the table has
+    # (`c_name`). The evolved version holds the union schema — new
+    # column NULL for rows the source didn't touch (a metadata-only
+    # backfill: history is NOT rewritten, v1 keeps its own schema and
+    # stays time-travel-readable), omitted column keeps its target
+    # value on matched rows (updates don't erase what they don't
+    # mention) and is NULL on inserts. The oracle recomputes the
+    # evolved state relationally, so a backfill that rewrote matched
+    # c_names, leaked tier onto untouched rows, or dropped inserts
+    # hash-fails.
+    import shutil
+
+    from ..sinks.merge import MergeSink
+
+    base = Catalog(spark, sf_dir).customer.select("c_custkey", "c_name")
+    root = tempfile.mkdtemp(prefix="phe_evolve_")
+    sink = MergeSink(os.path.join(root, "t"), key="c_custkey")
+    sink.init(base)  # v1: (c_custkey, c_name)
+    src = (
+        base.filter(F.col("c_custkey") % 4 == 0)
+        .select("c_custkey", F.lit("gold").alias("tier"))
+        .unionByName(
+            base.filter(F.col("c_custkey") % 9 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                F.lit("new").alias("tier"),
+            )
+        )
+    )
+    out = (
+        sink.merge(spark, src, allow_evolution=True)
+        .select("c_custkey", "c_name", "tier")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 # --- S20b: merge-on-read time travel (as-of chain replay) -------------------
 
 

@@ -357,6 +357,7 @@ class MergeSink:
         source: DataFrame,
         deletes: DataFrame | None = None,
         max_retries: int = 20,
+        allow_evolution: bool = False,
     ) -> DataFrame:
         """Apply source-wins upserts (and optional key deletes); return the
         new state DataFrame (already durable when this returns).
@@ -368,32 +369,71 @@ class MergeSink:
         the CURRENT version and commits via the atomic rename in
         ``_write``; a writer that loses the version race re-reads the
         winner's state and recomputes (optimistic concurrency, no lost
-        updates), giving up after ``max_retries`` conflicts."""
+        updates), giving up after ``max_retries`` conflicts.
+
+        ``allow_evolution=True`` is automatic schema evolution with
+        Delta's WHEN-MATCHED semantics: a column only in the SOURCE is
+        added to the table (existing/unmatched rows get NULL — a
+        metadata-only backfill, no rewrite of history: old versions keep
+        the old schema, the new version carries the union); a column
+        only in the TARGET keeps its target value on matched rows
+        (updates don't erase what they don't mention) and is NULL on
+        inserts. Off by default: an unexpected schema change should be
+        an error unless the caller opted in."""
         for _ in range(max_retries):
             # OCC anchor: base version and claim number from ONE directory
             # snapshot; commit is the atomic rename onto v<claim>. An
             # interleaved commit makes our rename fail -> recompute.
             base, claim = _base_and_claim(self.path)
             target = spark.read.parquet(os.path.join(self.path, f"v{base}"))
-            if set(source.columns) != set(target.columns):
+            if not allow_evolution and set(source.columns) != set(
+                target.columns
+            ):
                 raise ValueError(
                     f"source schema {sorted(source.columns)} != "
-                    f"target schema {sorted(target.columns)}"
+                    f"target schema {sorted(target.columns)} "
+                    "(pass allow_evolution=True to evolve)"
                 )
             k = self.key
+            if k not in source.columns:
+                raise ValueError(f"source lacks merge key {k!r}")
+            out_cols = [c for c in target.columns if c != k] + [
+                c for c in source.columns if c not in target.columns and c != k
+            ]
             src = source.select(
                 F.col(k).alias("__sk"),
-                *[F.col(c).alias(f"__s_{c}") for c in target.columns if c != k],
-            )
-            merged = target.join(src, F.col(k) == F.col("__sk"), "full_outer").select(
-                F.coalesce(F.col(k), F.col("__sk")).alias(k),
                 *[
-                    F.when(F.col("__sk").isNotNull(), F.col(f"__s_{c}"))
-                    .otherwise(F.col(c))
-                    .alias(c)
-                    for c in target.columns
+                    F.col(c).alias(f"__s_{c}")
+                    for c in source.columns
                     if c != k
                 ],
+            )
+
+            def out_col(c):
+                t_has = c in target.columns
+                s_has = c in source.columns
+                if t_has and s_has:
+                    return (
+                        F.when(
+                            F.col("__sk").isNotNull(), F.col(f"__s_{c}")
+                        )
+                        .otherwise(F.col(c))
+                        .alias(c)
+                    )
+                if t_has:  # update doesn't mention it: keep target value
+                    return F.col(c).alias(c)
+                # new column: NULL for rows the source didn't touch
+                return (
+                    F.when(F.col("__sk").isNotNull(), F.col(f"__s_{c}"))
+                    .otherwise(F.lit(None))
+                    .alias(c)
+                )
+
+            merged = target.join(
+                src, F.col(k) == F.col("__sk"), "full_outer"
+            ).select(
+                F.coalesce(F.col(k), F.col("__sk")).alias(k),
+                *[out_col(c) for c in out_cols],
             )
             if deletes is not None:
                 merged = merged.join(

@@ -91,6 +91,46 @@ def test_salted_topk_salt_spreads_order_value_ties(spark):
     assert all(r.g == "hot" and r.score == 1.0 for r in out)
 
 
+def test_merge_schema_evolution_semantics(spark, tmp_path):
+    from pretalx_hub_etl_spark.sinks.merge import MergeSink
+
+    sink = MergeSink(str(tmp_path / "t"), key="k")
+    sink.init(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k long, name string"
+        )
+    )
+    # off by default: an unexpected schema change errors
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="allow_evolution"):
+        sink.merge(
+            spark, spark.createDataFrame([(1, 9)], "k long, extra long")
+        )
+    out = {
+        r.k: (r.name, r.extra)
+        for r in sink.merge(
+            spark,
+            spark.createDataFrame(
+                [(2, 7), (4, 8)], "k long, extra long"
+            ),
+            allow_evolution=True,
+        ).collect()
+    }
+    # matched row: omitted column KEEPS target value, new column set;
+    # untouched rows: new column NULL; insert: omitted column NULL
+    assert out == {
+        1: ("a", None),
+        2: ("b", 7),
+        3: ("c", None),
+        4: (None, 8),
+    }
+    # history not rewritten: v1 still reads with its own narrow schema
+    v1 = sink.read_version(spark, 1)
+    assert v1.columns == ["k", "name"]
+    assert v1.count() == 3
+
+
 def test_salted_topk_empty_tiebreak_matches_plain_window_values(spark):
     # with distinct order values and no tiebreak the salted plan must
     # return exactly the plain-window top-k values

@@ -322,6 +322,45 @@ class MergeSink:
             raise FileExistsError(f"merge table already initialized: {self.path}")
         self._write(df, _next_version(self.path))
 
+    def optimize(
+        self,
+        spark: SparkSession,
+        cluster_by: tuple[str, int] | None = None,
+        max_retries: int = 20,
+    ) -> int:
+        """Recluster the current state as a new commit (the OPTIMIZE
+        maintenance op of the data-skipping story): on a table WITHOUT
+        a standing ``cluster_by``, MERGE output is join-hash-partitioned
+        — after a few merges every file's [min, max] envelope on any
+        query column spans the whole domain and ``read_pruned`` skips
+        nothing. This rewrites the CURRENT version through the given
+        spec (range-disjoint files, tight manifest envelopes), restoring
+        skipping without touching history — the pay-per-maintenance
+        alternative to a standing spec's pay-per-commit shuffle. Uses
+        the table's own ``cluster_by`` when no spec is passed. Same OCC
+        commit protocol as merge. Returns the committed version."""
+        spec = cluster_by or self.cluster_by
+        if spec is None:
+            raise ValueError(
+                f"optimize needs a cluster_by spec on {self.path}"
+            )
+        for _ in range(max_retries):
+            base, claim = _base_and_claim(self.path)
+            state = spark.read.parquet(os.path.join(self.path, f"v{base}"))
+            if self.cluster_by is None:  # else _write applies the spec
+                col, n = spec
+                state = state.repartitionByRange(n, F.col(col))
+            try:
+                self._write(state, claim)
+            except FileExistsError:
+                _heal_claim(self.path, claim)
+                continue  # a merge slipped in: recluster the NEW state
+            return claim
+        raise RuntimeError(
+            f"optimize lost the version race {max_retries} times "
+            f"at {self.path}"
+        )
+
     def vacuum(self, keep_last: int = 1) -> list[int]:
         """Retention maintenance (S11): physically delete all but the
         newest ``keep_last`` COMMITTED versions; returns the versions

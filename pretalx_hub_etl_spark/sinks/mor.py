@@ -85,12 +85,28 @@ class MorTable:
             # manifest from the stage (file set final), published only
             # after the rename-claim wins — the listing-free read path
             manifest = build_manifest(version, stage, checkpoint=checkpoint)
+            # checkpoint pointer: every manifest records the newest
+            # checkpoint at-or-before itself, so _chain() jumps straight
+            # to the chain start from ONE manifest read instead of
+            # probing every version since 1 — O(tail since compaction)
+            # metadata per read even at thousands of deltas. A healed
+            # manifest may lack the pointer (the heal path is generic);
+            # _chain falls back to the probe loop for exactly that case.
+            log = CommitLog(self.path)
+            if checkpoint:
+                manifest["checkpoint_at"] = version
+            else:
+                try:
+                    prev = log.manifest(log.current_version())
+                    manifest["checkpoint_at"] = prev.get("checkpoint_at")
+                except FileNotFoundError:
+                    manifest["checkpoint_at"] = None
             final = os.path.join(self.path, f"v{version}")
             try:
                 os.rename(stage, final)
             except OSError as exc:
                 raise FileExistsError(str(exc)) from exc
-            CommitLog(self.path).publish(manifest)
+            log.publish(manifest)
         finally:
             shutil.rmtree(stage, ignore_errors=True)
 
@@ -165,8 +181,22 @@ class MorTable:
     def _chain(self) -> tuple[int, list[int]]:
         """(start version, committed versions >= start): start is the
         newest checkpointed commit (readers skip everything before).
-        Checkpoint flags come from the manifests on commit-log tables —
-        resolving the whole chain reads only small JSON objects."""
+
+        Fast path on commit-log tables: the CURRENT manifest carries
+        ``checkpoint_at`` (maintained by ``_commit``), so the chain
+        start comes from ONE manifest read and only the
+        checkpoint..current tail is probed — O(deltas since compaction)
+        metadata per read, not O(all versions). Falls back to the
+        per-version probe when the pointer is absent (healed manifests,
+        pre-pointer tables)."""
+        log = CommitLog(self.path)
+        if log.exists():
+            cur = log.current_version()
+            ckpt = log.manifest(cur).get("checkpoint_at")
+            if ckpt is not None:
+                chain = log.versions(lo=ckpt, hi=cur)
+                if chain and chain[0] == ckpt:
+                    return ckpt, chain
         versions = _versions(self.path)
         if not versions:
             raise FileNotFoundError(f"no version of MoR table at {self.path}")

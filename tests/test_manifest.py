@@ -259,6 +259,68 @@ def test_mor_as_of_read_replays_truncated_chain(spark, tmp_path):
         t.read(spark, as_of=99)
 
 
+def test_mor_chain_pointer_bounds_resolution_to_the_tail(spark, tmp_path):
+    # the checkpoint_at pointer: resolving the chain after a compaction
+    # must NOT probe every version since 1 — one manifest read + the
+    # checkpoint..current tail
+    t = MorTable(str(tmp_path / "m"), key="k")
+    t.init(spark.range(5).selectExpr("id AS k", "id AS v"))  # v1 ckpt
+    for i in range(6):
+        t.merge(
+            spark, spark.createDataFrame([(i, i * 7)], "k long, v long")
+        )  # v2..v7
+    v8 = t.compact(spark)
+    t.merge(spark, spark.createDataFrame([(0, -1)], "k long, v long"))
+    log = CommitLog(t.path)
+    assert log.manifest(9)["checkpoint_at"] == v8
+    start, chain = t._chain()
+    assert (start, chain) == (8, [8, 9])
+    # probe bound: count manifest-file existence checks during _chain —
+    # with the pointer it touches only the tail, never versions 1..7
+    probed = []
+    orig = os.path.exists
+
+    def counting_exists(p):
+        if p.endswith(".json") and "_manifest" in p:
+            probed.append(os.path.basename(p))
+        return orig(p)
+
+    os.path.exists = counting_exists
+    try:
+        t._chain()
+    finally:
+        os.path.exists = orig
+    early = [p for p in probed if p in {f"{i}.json" for i in range(1, 8)}]
+    assert early == [], f"probed pre-checkpoint versions: {early}"
+    # state correctness unchanged
+    got = {r.k: r.v for r in t.read(spark).collect()}
+    assert got[0] == -1 and got[5] == 5 * 7
+
+
+def test_optimize_restores_file_skipping_after_merges(spark, tmp_path):
+    # unclustered table: MERGE output is hash-partitioned, envelopes
+    # span the domain, pruning skips nothing; optimize() reclusters and
+    # skipping returns — history untouched
+    sink = MergeSink(str(tmp_path / "t"), key="k")
+    sink.init(
+        spark.range(1000)
+        .selectExpr("id AS k", "id AS v")
+        .repartition(8)
+    )
+    sink.merge(
+        spark, spark.createDataFrame([(5, -5)], "k long, v long")
+    )  # v2: hash-partitioned output
+    _df, _scanned, skipped_before = sink.read_pruned(spark, "k", 0, 99)
+    assert skipped_before == 0  # every file envelope spans the domain
+    v = sink.optimize(spark, cluster_by=("k", 8))
+    df, scanned, skipped = sink.read_pruned(spark, "k", 0, 99, version=v)
+    assert skipped >= 6
+    got = {r.k: r.v for r in df.filter("k <= 99").collect()}
+    assert got[5] == -5 and len(got) == 100
+    # history untouched: v2 still resolves with its own file set
+    assert sink.read_version(spark, 2).count() == 1000
+
+
 def test_manifest_json_is_small_and_self_contained(spark, tmp_path):
     # the 100-TB argument: resolution cost is one JSON object per
     # commit, independent of table size — pin the object's shape

@@ -123,7 +123,7 @@ WORKLOAD_NOTES = {
     "-> ~13x candidate pairs PER ROW (measured, KNN_SCALE.json: 1030 -> "
     "13680); the operator's documented contract scales n_bits with "
     "log2(corpus) — n_bits=7 at 10x returns pairs/row to 2187 and wall "
-    "from 197s to 51s — which restores ~linearity, exactly the SemDeDup "
+    "from ~218s to ~62s — which restores ~linearity, exactly the SemDeDup "
     "K-rule situation; the query pins n_bits=4 for its oracle",
 }
 

@@ -152,3 +152,94 @@ def q_stream_pyds_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"pydspar_{uuid.uuid4().hex}"
     run_to_memory(agg, name, output_mode="complete")
     return spark.table(name)
+
+
+# --- ST15: streaming CDC source over the MoR table ---------------------------
+
+
+@query(
+    "q_stream_cdc_mor",
+    oracle="""
+    WITH base AS (
+        SELECT c_custkey,
+               CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal_cents
+        FROM customer
+    )
+    SELECT 'upsert' AS __op, CAST(1 AS BIGINT) AS __commit,
+           c_custkey, bal_cents
+    FROM base
+    UNION ALL
+    SELECT 'upsert' AS __op, CAST(2 AS BIGINT) AS __commit,
+           c_custkey, bal_cents + 5000 AS bal_cents
+    FROM base WHERE c_custkey % 5 = 0
+    UNION ALL
+    SELECT 'delete' AS __op, CAST(3 AS BIGINT) AS __commit,
+           c_custkey, CAST(NULL AS BIGINT) AS bal_cents
+    FROM base WHERE c_custkey % 3 = 0
+    """,
+)
+def q_stream_cdc_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ST15: the STREAMING face of the MoR change feed (q_cdc_mor_feed
+    # is the batch poll) — a custom DataSourceStreamReader whose OFFSET
+    # IS THE TABLE'S COMMIT VERSION: latestOffset is one commit-log
+    # read (listing-free, the S21 resolution), partitions(start, end)
+    # come straight from the manifests of commits (start, end] — one
+    # scan task per committed FILE — and each row is typed
+    # (__op, __commit, key, payload) exactly as changes_since serves in
+    # batch, which is what makes this oracle-able: the streamed change
+    # log over a 3-commit table (init upserts @1, +5000 upserts @2,
+    # tombstones @3) must equal the relational recomputation row for
+    # row. Versions and manifests are immutable, so restart replay is
+    # deterministic with no extra machinery (sources/mor_stream.py).
+    # (Python stream sources don't implement Trigger.AvailableNow —
+    # Spark logs the fallback to single-batch execution, which drains
+    # everything available and stops: exactly this fixture's need.)
+    import shutil
+    import tempfile as _tf
+
+    from ..sinks.mor import MorTable
+    from ..sources.mor_stream import register as register_cdc
+
+    register_cdc(spark)  # main session (Python DataSource constraint)
+    base = Catalog(spark, sf_dir).customer.select(
+        "c_custkey", fixed_cents(F.col("c_acctbal")).alias("bal_cents")
+    )
+    root = _tf.mkdtemp(prefix="phe_cdc_stream_")
+    t = MorTable(f"{root}/t", key="c_custkey")
+    t.init(base)  # v1
+    t.merge(
+        spark,
+        base.filter(F.col("c_custkey") % 5 == 0).select(
+            "c_custkey", (F.col("bal_cents") + 5000).alias("bal_cents")
+        ),
+    )  # v2
+    t.merge(
+        spark,
+        deletes=base.filter(F.col("c_custkey") % 3 == 0).select(
+            "c_custkey"
+        ),
+    )  # v3
+    stream = (
+        spark.readStream.format("mor_cdc")
+        .option("path", t.path)
+        .option("key", "c_custkey")
+        .load()
+    )
+    name = f"morcdc_{uuid.uuid4().hex}"
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout=300):
+            raise TimeoutError("mor_cdc stream did not drain within 300s")
+    finally:
+        q.stop()
+    if q.exception() is not None:
+        raise q.exception()
+    out = spark.table(name).localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -87,6 +87,49 @@ def test_parallel_pyds_plans_one_partition_per_page():
     assert a == b > 0
 
 
+def test_mor_cdc_stream_start_after_and_live_pickup(spark, tmp_path):
+    # start_after skips already-consumed commits; a commit made while
+    # the stream is RUNNING arrives in the next microbatch
+    from pretalx_hub_etl_spark.sinks.mor import MorTable
+    from pretalx_hub_etl_spark.sources.mor_stream import register
+
+    register(spark)
+    t = MorTable(str(tmp_path / "m"), key="k")
+    t.init(spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"))
+    t.merge(spark, spark.createDataFrame([(3, 30)], "k long, v long"))
+    name = f"morcdc_t_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.format("mor_cdc")
+        .option("path", t.path)
+        .option("key", "k")
+        .option("start_after", "1")  # consumer already saw the init
+        .load()
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["__op"], r["__commit"], r.k)
+            for r in spark.table(name).collect()
+        }
+        assert got == {("upsert", 2, 3)}  # v1 skipped, v2 consumed
+        # live commit while the stream runs
+        t.merge(spark, deletes=spark.createDataFrame([(1,)], "k long"))
+        q.processAllAvailable()
+        got = {
+            (r["__op"], r["__commit"], r.k)
+            for r in spark.table(name).collect()
+        }
+        assert got == {("upsert", 2, 3), ("delete", 3, 1)}
+    finally:
+        q.stop()
+
+
 def test_parallel_pyds_restart_resumes_from_checkpoint(spark, tmp_path):
     # stop after the first microbatch, restart on the SAME checkpoint:
     # the union of appended microbatch outputs must equal the full table

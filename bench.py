@@ -96,6 +96,9 @@ HEADLINE = [
     "q_sink_roundtrip_avro",  # pure-spec Avro OCF distributed roundtrip
     "q_fn_udtf_table_arg",  # TABLE(...) PARTITION BY sessionizer UDTF
     "q_stream_pyds_parallel",  # partition-parallel Python stream source
+    "q_sink_time_travel_mor",  # MoR as-of delta-chain replay
+    "q_sink_merge_evolve",  # MERGE automatic schema evolution
+    "q_stream_cdc_mor",     # streaming CDC source: offsets = versions
 ]
 
 

@@ -371,6 +371,27 @@ class MorTable:
             out = out.unionByName(f)
         return out
 
+    def vacuum(self) -> list[int]:
+        """Retention maintenance for the delta chain: physically remove
+        every published version STRICTLY BELOW the newest checkpoint —
+        current reads never touch them (``_chain`` starts at the
+        checkpoint), they only serve as-of reads into pre-compaction
+        history, and this is the explicit trade of that history for
+        space (the CoW ``MergeSink.vacuum`` contract transposed to MoR:
+        time travel below the vacuum boundary raises afterwards).
+        Returns the removed versions. A table never compacted (no
+        checkpoint after v1) vacuums nothing.
+        """
+        import shutil
+
+        log = CommitLog(self.path)
+        start, _chain = self._chain()
+        victims = [v for v in _versions(self.path) if v < start]
+        for v in victims:
+            shutil.rmtree(os.path.join(self.path, f"v{v}"))
+        log.retire(victims)
+        return victims
+
     def delta_bytes(self, version: int) -> int:
         """On-disk bytes of one commit — the write-amplification witness.
         Answered from the manifest (the stats were recorded at commit

@@ -321,6 +321,24 @@ def test_optimize_restores_file_skipping_after_merges(spark, tmp_path):
     assert sink.read_version(spark, 2).count() == 1000
 
 
+def test_mor_vacuum_removes_precheckpoint_history_only(spark, tmp_path):
+    t = MorTable(str(tmp_path / "m"), key="k")
+    t.init(spark.range(5).selectExpr("id AS k", "id AS v"))  # v1 ckpt
+    t.merge(spark, spark.createDataFrame([(2, 22)], "k long, v long"))
+    assert t.vacuum() == []  # newest checkpoint is v1: nothing below it
+    v3 = t.compact(spark)
+    t.merge(spark, spark.createDataFrame([(4, 44)], "k long, v long"))
+    assert t.vacuum() == [1, 2]  # everything below the v3 checkpoint
+    log = CommitLog(t.path)
+    assert log.versions() == [3, 4]
+    got = {r.k: r.v for r in t.read(spark).collect()}
+    assert got == {0: 0, 1: 1, 2: 22, 3: 3, 4: 44}
+    # history below the boundary is gone; at/above it still travels
+    with pytest.raises(FileNotFoundError):
+        t.read(spark, as_of=2)
+    assert {r.k: r.v for r in t.read(spark, as_of=v3).collect()}[2] == 22
+
+
 def test_concurrent_merges_no_lost_updates(spark, tmp_path):
     # the OCC + manifest claim under REAL concurrency: 4 threads race
     # 3 merges each (disjoint key ranges) against one table; rename

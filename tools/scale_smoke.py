@@ -93,6 +93,17 @@ QUERIES = [
     "q_stream_chained_agg",
     "q_window_topk_salted",
     "q_agg_weighted_median",
+    # round-10 additions: the lakehouse batch rides the replicated
+    # customer/orders tables (commit+manifest cost per version is file-
+    # count-bound, data cost input-linear); avro rides supplier; the
+    # UDTF rides events; the streaming sources ride orders/customer
+    "q_sink_manifest_read",
+    "q_sink_time_travel_mor",
+    "q_sink_merge_evolve",
+    "q_stream_cdc_mor",
+    "q_sink_roundtrip_avro",
+    "q_fn_udtf_table_arg",
+    "q_stream_pyds_parallel",
 ]
 
 # inherently super-linear OUTPUT at fixed parameters (not a plan defect)

@@ -321,6 +321,41 @@ def test_optimize_restores_file_skipping_after_merges(spark, tmp_path):
     assert sink.read_version(spark, 2).count() == 1000
 
 
+def test_zorder_layout_composes_with_manifest_pruning(spark, tmp_path):
+    # LAY1 x S21: z-order the data BEFORE init, and the manifest's
+    # per-file envelopes are tight on BOTH interleaved dimensions — so
+    # read_pruned skips files on either column, and the two-conjunct
+    # form skips at least as much as the better single dim. A
+    # hash-partitioned layout of the same rows skips nothing.
+    from pretalx_hub_etl_spark.operators.layout import cluster_by_zorder
+
+    df = spark.range(4096).selectExpr(
+        "CAST(id % 64 AS LONG) AS x", "CAST(id DIV 64 AS LONG) AS y",
+        "id AS payload"
+    )
+    z = MergeSink(str(tmp_path / "z"), key="payload")
+    z.init(cluster_by_zorder(df, ["x", "y"], num_partitions=16))
+    _dfx, _sx, skip_x = z.read_pruned(spark, "x", 0, 7)
+    _dfy, _sy, skip_y = z.read_pruned(spark, "y", 0, 7)
+    assert skip_x > 0 and skip_y > 0  # BOTH dims skip under z-order
+    log = CommitLog(z.path)
+    files_both, skip_both = log.files_for(
+        1, prune=[("x", 0, 7), ("y", 0, 7)]
+    )
+    assert skip_both >= max(skip_x, skip_y)
+    # correctness: the pruned two-dim read still holds every matching row
+    vdir = os.path.join(z.path, "v1")
+    got = (
+        spark.read.option("basePath", vdir).parquet(*files_both)
+        .filter("x <= 7 AND y <= 7").count()
+    )
+    assert got == df.filter("x <= 7 AND y <= 7").count()
+    # control: hash layout -> every file's envelope spans both domains
+    h = MergeSink(str(tmp_path / "h"), key="payload")
+    h.init(df.repartition(16))
+    assert h.read_pruned(spark, "x", 0, 7)[2] == 0
+
+
 def test_mor_vacuum_removes_precheckpoint_history_only(spark, tmp_path):
     t = MorTable(str(tmp_path / "m"), key="k")
     t.init(spark.range(5).selectExpr("id AS k", "id AS v"))  # v1 ckpt

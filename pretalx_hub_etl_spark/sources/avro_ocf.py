@@ -324,6 +324,22 @@ def spark_schema_to_avro(schema, name: str = "row") -> dict:
     }
 
 
+def _ship_self_by_value() -> None:
+    """The round-5 worker-shippability rule (see llm/multimodal.py):
+    the mapInPandas closures below reference this module's codec
+    functions, which cloudpickle serializes by module+qualname — and
+    Spark's Python workers do not inherit the driver's sys.path
+    additions, so a plain-session run from another cwd dies with
+    ModuleNotFoundError (caught by the vanilla sweep). Registering the
+    module by value makes the referenced functions travel inside the
+    task closure (pure stdlib, a few KB). Idempotent."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+
 def write_avro(df, path: str, codec: str = "deflate") -> None:
     """Distributed Avro sink: one OCF file per partition, written from
     inside ``mapInPandas`` on the executors (Arrow batches in, local
@@ -332,6 +348,7 @@ def write_avro(df, path: str, codec: str = "deflate") -> None:
     only materialized to force execution."""
     import pandas as pd
 
+    _ship_self_by_value()
     avro_schema = spark_schema_to_avro(df.schema)
     os.makedirs(path, exist_ok=True)
 
@@ -416,6 +433,7 @@ def read_avro(spark, path: str, spark_schema):
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    _ship_self_by_value()
     ts_cols = {
         f.name
         for f in spark_schema.fields

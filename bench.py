@@ -393,6 +393,22 @@ def main() -> None:
             k: round(v, 1) for k, v in record["queries"].items()
         }
         headline_line = json.dumps(record, separators=(",", ":"))
+    if len(headline_line) > 1800 and "common_vs_prev" in record:
+        # the full drift block already printed earlier; the headline can
+        # live without even the summary
+        record.pop("common_vs_prev")
+        headline_line = json.dumps(record, separators=(",", ":"))
+    if len(headline_line) > 1800:
+        # out of rungs: the per-query map itself no longer fits the
+        # budget — flag loudly on stderr (stdout must stay parseable)
+        import sys as _sys
+
+        print(
+            f"WARNING: headline line {len(headline_line)} chars exceeds "
+            "the 1800 budget after every trim rung — shrink HEADLINE or "
+            "add a rung",
+            file=_sys.stderr,
+        )
     print(headline_line)
 
 

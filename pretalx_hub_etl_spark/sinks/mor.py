@@ -245,46 +245,42 @@ class MorTable:
                     f"version v{as_of} of {self.path} is not published"
                     " (never committed, or removed by vacuum)"
                 )
-        data_cols: list[str] | None = None
+        # schema-evolution tolerance: a later delta may ADD columns
+        # (append-only evolution, the S22 contract transposed to MoR) —
+        # the resolved schema is the union across the chain, older
+        # commits and tombstones NULL-pad the columns they predate.
+        # Silently dropping a newer delta's column (the pre-round-10
+        # behavior of projecting to the OLDEST commit's columns) loses
+        # data; unionByName(allowMissingColumns=True) is the fix.
+        saw_data = False
         frames: list[DataFrame] = []
         for v in chain:
             data_files, del_files, _ = self._commit_view(v)
             if data_files is not None:
-                df = spark.read.parquet(*data_files)
-                if data_cols is None:
-                    data_cols = df.columns
+                saw_data = True
                 frames.append(
-                    df.select(
-                        *data_cols,
+                    spark.read.parquet(*data_files).select(
+                        "*",
                         F.lit(v).alias("__v"),
                         F.lit("u").alias("__kind"),
                     )
                 )
             if del_files is not None:
-                t = spark.read.parquet(*del_files)
-                if data_cols is None:
+                if not saw_data:
                     raise ValueError(
                         "MoR chain starts with a delete-only commit"
                     )
+                t = spark.read.parquet(*del_files)
                 frames.append(
                     t.select(
                         F.col(self.key),
-                        *[
-                            F.lit(None).alias(c)
-                            for c in data_cols
-                            if c != self.key
-                        ],
                         F.lit(v).alias("__v"),
                         F.lit("d").alias("__kind"),
-                    ).select(
-                        *data_cols,
-                        "__v",
-                        "__kind",
                     )
                 )
         events = frames[0]
         for f in frames[1:]:
-            events = events.unionByName(f)
+            events = events.unionByName(f, allowMissingColumns=True)
         w = Window.partitionBy(self.key).orderBy(F.col("__v").desc())
         return (
             events.withColumn("__rn", F.row_number().over(w))
@@ -327,8 +323,11 @@ class MorTable:
         all_committed = _versions(self.path)
         todo = [v for v in all_committed if v > version]
         data_cols = None
-        # column layout from the newest checkpoint/base at or before the
-        # cursor (schema is append-only by construction)
+        # column layout anchor for the EMPTY-feed schema (and the
+        # leading columns of the output): the first data commit; later
+        # deltas may carry MORE columns (append-only evolution) and the
+        # allowMissingColumns union surfaces them NULL-padded on older
+        # change rows rather than silently dropping them
         for v in all_committed:
             dfiles, _dels, _ck = self._commit_view(v)
             if dfiles is not None:
@@ -344,7 +343,7 @@ class MorTable:
                     spark.read.parquet(*dfiles).select(
                         F.lit("upsert").alias("__op"),
                         F.lit(v).cast("long").alias("__commit"),
-                        *data_cols,
+                        "*",
                     )
                 )
             if tfiles is not None:
@@ -353,12 +352,7 @@ class MorTable:
                         F.lit("delete").alias("__op"),
                         F.lit(v).cast("long").alias("__commit"),
                         F.col(self.key),
-                        *[
-                            F.lit(None).alias(c)
-                            for c in data_cols
-                            if c != self.key
-                        ],
-                    ).select("__op", "__commit", *data_cols)
+                    )
                 )
         if not frames:
             return spark.createDataFrame(
@@ -368,7 +362,7 @@ class MorTable:
             )
         out = frames[0]
         for f in frames[1:]:
-            out = out.unionByName(f)
+            out = out.unionByName(f, allowMissingColumns=True)
         return out
 
     def vacuum(self) -> list[int]:

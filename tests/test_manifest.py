@@ -356,6 +356,33 @@ def test_zorder_layout_composes_with_manifest_pruning(spark, tmp_path):
     assert h.read_pruned(spark, "x", 0, 7)[2] == 0
 
 
+def test_mor_schema_evolution_union_across_chain(spark, tmp_path):
+    # a later delta ADDS a column (append-only evolution): the resolved
+    # read carries the union schema with NULL for rows that predate it
+    # (pre-round-10 behavior silently DROPPED the new column), and the
+    # change feed surfaces it the same way
+    t = MorTable(str(tmp_path / "m"), key="k")
+    t.init(spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"))
+    t.merge(
+        spark,
+        spark.createDataFrame(
+            [(2, 22, "gold"), (3, 33, "new")],
+            "k long, v long, tier string",
+        ),
+    )
+    got = {r.k: (r.v, r.tier) for r in t.read(spark).collect()}
+    assert got == {1: (10, None), 2: (22, "gold"), 3: (33, "new")}
+    feed = t.changes_since(spark, 1).collect()
+    assert {(r["__op"], r.k, r.tier) for r in feed} == {
+        ("upsert", 2, "gold"),
+        ("upsert", 3, "new"),
+    }
+    # tombstones still resolve against the evolved schema
+    t.merge(spark, deletes=spark.createDataFrame([(2,)], "k long"))
+    got = {r.k: (r.v, r.tier) for r in t.read(spark).collect()}
+    assert got == {1: (10, None), 3: (33, "new")}
+
+
 def test_mor_vacuum_removes_precheckpoint_history_only(spark, tmp_path):
     t = MorTable(str(tmp_path / "m"), key="k")
     t.init(spark.range(5).selectExpr("id AS k", "id AS v"))  # v1 ckpt

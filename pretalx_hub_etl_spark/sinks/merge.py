@@ -344,6 +344,18 @@ class MergeSink:
             raise ValueError(
                 f"optimize needs a cluster_by spec on {self.path}"
             )
+        if (
+            cluster_by is not None
+            and self.cluster_by is not None
+            and cluster_by != self.cluster_by
+        ):
+            # _write re-applies the standing spec on every commit, so a
+            # different ad-hoc spec would be silently overridden — error
+            # instead of pretending
+            raise ValueError(
+                f"table has a standing cluster_by {self.cluster_by}; "
+                f"optimize cannot apply a different spec {cluster_by}"
+            )
         for _ in range(max_retries):
             base, claim = _base_and_claim(self.path)
             state = spark.read.parquet(os.path.join(self.path, f"v{base}"))

@@ -356,6 +356,29 @@ def test_zorder_layout_composes_with_manifest_pruning(spark, tmp_path):
     assert h.read_pruned(spark, "x", 0, 7)[2] == 0
 
 
+def test_mor_crashed_publish_healed_by_next_delta(spark, tmp_path):
+    # the CoW heal test's MoR twin: a delta whose publish crashed is
+    # invisible until the next writer heals it; the healed manifest
+    # lacks checkpoint_at (generic heal path) and _chain falls back to
+    # the probe loop without losing the checkpoint
+    t = MorTable(str(tmp_path / "m"), key="k")
+    t.init(spark.createDataFrame([(1, 10)], "k long, v long"))
+    t.merge(spark, spark.createDataFrame([(2, 20)], "k long, v long"))
+    os.remove(os.path.join(t.path, "_manifest", "2.json"))
+    with open(os.path.join(t.path, "_manifest", "_latest"), "w") as fh:
+        fh.write("1")
+    # crashed delta invisible
+    assert {r.k for r in t.read(spark).collect()} == {1}
+    t.merge(spark, spark.createDataFrame([(3, 30)], "k long, v long"))
+    log = CommitLog(t.path)
+    assert log.versions() == [1, 2, 3]  # v2 healed
+    got = {r.k: r.v for r in t.read(spark).collect()}
+    assert got == {1: 10, 2: 20, 3: 30}
+    # healed manifest: no checkpoint_at -> _chain probe fallback works
+    assert "checkpoint_at" not in log.manifest(2)
+    assert t._chain() == (1, [1, 2, 3])
+
+
 def test_mor_schema_evolution_union_across_chain(spark, tmp_path):
     # a later delta ADDS a column (append-only evolution): the resolved
     # read carries the union schema with NULL for rows that predate it

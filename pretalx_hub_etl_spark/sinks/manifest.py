@@ -173,7 +173,31 @@ def build_manifest(
         # partition pruning through the same mechanism as stats skipping
         for seg in rel.split(os.sep)[:-1]:
             if "=" in seg:
-                k, _, val = seg.partition("=")
+                k, _, raw = seg.partition("=")
+                if raw == "__HIVE_DEFAULT_PARTITION__":
+                    # null partition value: no range, never prunable
+                    ent.setdefault("columns", {})[k] = {
+                        "min": None,
+                        "max": None,
+                        "null_count": 1,
+                        "partition": True,
+                    }
+                    continue
+                # TYPED partition values (the path segment is always a
+                # string): numeric-looking values are stored as numbers
+                # so an int/float predicate compares numerically — raw
+                # strings would make '10' < '2' lexicographically and
+                # UNSOUNDLY skip files, while a typed predicate against
+                # a string stat just hits files_for's TypeError
+                # keep-path (sound, skips nothing)
+                val: object = raw
+                try:
+                    val = int(raw)
+                except ValueError:
+                    try:
+                        val = float(raw)
+                    except ValueError:
+                        pass
                 ent.setdefault("columns", {})[k] = {
                     "min": val,
                     "max": val,
@@ -241,6 +265,43 @@ class CommitLog:
                 f"cannot heal v{version}: not a committed version dir"
             )
         self.publish(build_manifest(version, vdir))
+        # healing may be this table's FIRST manifest (legacy table whose
+        # upgrading writer crashed pre-publish): bring the rest of the
+        # legacy history into the log too, or `versions()` would serve
+        # only the healed commit and silently drop everything below
+        self.backfill_legacy()
+
+    def backfill_legacy(self) -> list[int]:
+        """Upgrade path for tables written before the manifest layer:
+        publish a manifest for every COMMITTED legacy version directory
+        (``v<N>/_SUCCESS`` present, ``<N>.json`` absent). Without this,
+        the first manifest-era commit makes ``versions()`` the source of
+        truth and all pre-upgrade history silently vanishes — time
+        travel / CDC to legacy versions breaks and vacuum never reclaims
+        them. Write-side only (the one listdir is the same crash-recovery
+        allowance ``heal`` has); idempotent; vacuumed versions (directory
+        gone) and torn claims (no ``_SUCCESS``) are skipped. Returns the
+        versions backfilled."""
+        import re
+
+        try:
+            names = os.listdir(self.table_path)
+        except FileNotFoundError:
+            return []
+        healed: list[int] = []
+        for n in names:
+            m = re.match(r"^v(\d+)$", n)
+            if m is None:
+                continue
+            v = int(m.group(1))
+            if os.path.exists(_mpath(self.table_path, v)):
+                continue
+            vdir = os.path.join(self.table_path, n)
+            if not os.path.exists(os.path.join(vdir, "_SUCCESS")):
+                continue
+            self.publish(build_manifest(v, vdir))
+            healed.append(v)
+        return sorted(healed)
 
     def retire(self, versions: list[int]) -> None:
         """Vacuum companion: drop manifests of physically removed

@@ -62,7 +62,18 @@ def _versions(path: str) -> list[int]:
     from pre-staging writers)."""
     log = CommitLog(path)
     if log.exists():
-        return log.versions()
+        vs = log.versions()
+        # upgrade guard: a mixed table (legacy commits below the first
+        # published manifest — e.g. upgraded by an engine version that
+        # didn't backfill) must not lose its pre-manifest history. One
+        # extra existence probe in steady state; the backfill listdir
+        # only runs when a committed dir actually sits below the log.
+        if vs and vs[0] > 1 and os.path.exists(
+            os.path.join(path, f"v{vs[0] - 1}", "_SUCCESS")
+        ):
+            log.backfill_legacy()
+            vs = log.versions()
+        return vs
     try:
         names = os.listdir(path)
     except FileNotFoundError:
@@ -519,6 +530,8 @@ class MergeSink:
         final once staged) is what makes the commit visible to
         listing-free readers; a crash between rename and publish is
         recovered by the next writer's heal path."""
+        log = CommitLog(self.path)
+        first_manifest_era = not log.exists()
         stage = os.path.join(self.path, f".stage-{uuid.uuid4().hex}")
         if self.cluster_by is not None:
             col, n = self.cluster_by
@@ -544,4 +557,9 @@ class MergeSink:
                     f"version v{version} already committed"
                 ) from exc
             raise
-        CommitLog(self.path).publish(manifest)
+        log.publish(manifest)
+        if first_manifest_era:
+            # this commit upgraded a legacy (pre-manifest) table: bring
+            # its existing history into the log so versions()/time
+            # travel/vacuum keep seeing every committed version
+            log.backfill_legacy()

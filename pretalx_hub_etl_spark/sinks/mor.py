@@ -93,6 +93,7 @@ class MorTable:
             # manifest may lack the pointer (the heal path is generic);
             # _chain falls back to the probe loop for exactly that case.
             log = CommitLog(self.path)
+            first_manifest_era = not log.exists()
             if checkpoint:
                 manifest["checkpoint_at"] = version
             else:
@@ -107,6 +108,11 @@ class MorTable:
             except OSError as exc:
                 raise FileExistsError(str(exc)) from exc
             log.publish(manifest)
+            if first_manifest_era:
+                # upgrading a legacy (pre-manifest) table: backfill
+                # manifests for its committed history or the log would
+                # silently drop every pre-upgrade delta from reads
+                log.backfill_legacy()
         finally:
             shutil.rmtree(stage, ignore_errors=True)
 

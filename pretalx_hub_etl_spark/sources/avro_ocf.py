@@ -134,6 +134,21 @@ def _encode(value: Any, schema: Any, out: bytearray) -> None:
         raise ValueError(f"unsupported avro type {schema!r}")
 
 
+def _read_exact(buf: io.BytesIO, n: int) -> bytes:
+    """Length-validated read: a truncated payload must raise, not decode
+    garbage (``buf.read(1) == b'\\x01'`` on an empty read used to return
+    a quiet False; float/double unpack would raise a confusing
+    struct.error; string/bytes would come back short)."""
+    if n < 0:
+        raise ValueError(f"negative avro length {n} (corrupt payload)")
+    b = buf.read(n)
+    if len(b) != n:
+        raise EOFError(
+            f"truncated avro payload: wanted {n} bytes, got {len(b)}"
+        )
+    return b
+
+
 def _decode(buf: io.BytesIO, schema: Any) -> Any:
     if isinstance(schema, list):
         return _decode(buf, schema[_zigzag_decode(buf)])
@@ -159,19 +174,19 @@ def _decode(buf: io.BytesIO, schema: Any) -> Any:
     if schema == "null":
         return None
     if schema == "boolean":
-        return buf.read(1) == b"\x01"
+        return _read_exact(buf, 1) == b"\x01"
     if schema in ("int", "long"):
         return _zigzag_decode(buf)
     if schema == "float":
-        return struct.unpack("<f", buf.read(4))[0]
+        return struct.unpack("<f", _read_exact(buf, 4))[0]
     if schema == "double":
-        return struct.unpack("<d", buf.read(8))[0]
+        return struct.unpack("<d", _read_exact(buf, 8))[0]
     if schema == "string":
         n = _zigzag_decode(buf)
-        return buf.read(n).decode("utf-8")
+        return _read_exact(buf, n).decode("utf-8")
     if schema == "bytes":
         n = _zigzag_decode(buf)
-        return buf.read(n)
+        return _read_exact(buf, n)
     raise ValueError(f"unsupported avro type {schema!r}")
 
 
@@ -359,28 +374,60 @@ def write_avro(df, path: str, codec: str = "deflate") -> None:
         fh = None
         sync = os.urandom(16)
         try:
-            def _py(v):
-                # Arrow/pandas cell -> plain-python avro value
+            def _py(v, fschema):
+                # Arrow/pandas cell -> plain-python avro value, driven
+                # by the field's avro schema: pandas spells missing
+                # floats as NaN, but NaN is also a VALID IEEE value — it
+                # maps to None (avro null) only when the field is a
+                # nullable union; a non-nullable float/double keeps its
+                # NaN, and an actual None in a non-nullable field errors
+                # HERE with the field context instead of deep in _encode
+                nullable = isinstance(fschema, list)
+                inner = (
+                    next((s for s in fschema if s != "null"), "null")
+                    if nullable
+                    else fschema
+                )
                 if v is None or v is pd.NaT:
+                    if not nullable:
+                        raise ValueError(
+                            f"null value for non-nullable avro field "
+                            f"of type {inner!r}"
+                        )
                     return None
-                if isinstance(v, float):
-                    return None if v != v else v
-                if isinstance(v, (bytes, str, bool, int)):
+                if isinstance(v, float) and v != v:  # NaN
+                    return None if nullable else v
+                if isinstance(v, (bytes, str, bool, int, float)):
                     return v
                 if isinstance(v, pd.Timestamp):
                     return v.value // 1000  # ns -> micros
+                items = (
+                    inner.get("items")
+                    if isinstance(inner, dict)
+                    else None
+                )
                 if isinstance(v, (list, tuple)):
-                    return [_py(x) for x in v]
+                    return [_py(x, items) for x in v]
                 if hasattr(v, "tolist"):  # numpy scalar or array
                     t = v.tolist()
                     return (
-                        [_py(x) for x in t] if isinstance(t, list) else t
+                        [_py(x, items) for x in t]
+                        if isinstance(t, list)
+                        else _py(t, fschema)
                     )
+                if isinstance(v, dict) and isinstance(inner, dict):
+                    return {
+                        f["name"]: _py(v.get(f["name"]), f["type"])
+                        for f in inner.get("fields", [])
+                    }
                 return v
 
+            field_schemas = {
+                f["name"]: f["type"] for f in avro_schema["fields"]
+            }
             for pdf in batches:
                 rows = [
-                    {k: _py(v) for k, v in rec.items()}
+                    {k: _py(v, field_schemas[k]) for k, v in rec.items()}
                     for rec in pdf.to_dict("records")
                 ]
                 if first:
@@ -425,33 +472,36 @@ def _append_blocks(fh, schema, rows, codec, sync):
 
 def read_avro(spark, path: str, spark_schema):
     """Distributed Avro source: Spark's binaryFile lists and ships each
-    file's bytes; decoding to rows happens in ``mapInPandas`` on the
+    file's bytes; decoding to rows happens in ``mapInArrow`` on the
     executors with the EXPLICIT schema (no inference scan — the catalog
-    rule). Timestamp-micros longs come back as datetime64[us]."""
-    import pandas as pd
+    rule). Arrow (not pandas) batches deliberately: pandas spells both
+    "missing" and IEEE NaN as NaN, so the round-trip through a pandas
+    frame would null out genuine NaN values — ``pa.array`` with plain
+    Python cells keeps None as null and NaN as NaN (and a null landing
+    in a non-nullable Spark field fails the scan instead of lying).
+    Timestamp-micros longs become timestamp('us') arrays directly."""
+    import pyarrow as pa
 
     from pyspark.sql import functions as F
-    from pyspark.sql import types as T
+    from pyspark.sql.pandas.types import to_arrow_schema
 
     _ship_self_by_value()
-    ts_cols = {
-        f.name
-        for f in spark_schema.fields
-        if isinstance(f.dataType, T.TimestampType)
-    }
-    names = [f.name for f in spark_schema.fields]
+    arrow_schema = to_arrow_schema(spark_schema)
 
-    def part_reader(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            for content in pdf["content"]:
+    def part_reader(batches):
+        for batch in batches:
+            for content in batch.column(0).to_pylist():
                 _schema, rows = read_ocf(io.BytesIO(bytes(content)))
                 recs = list(rows)
-                out = pd.DataFrame(
-                    {c: [r.get(c) for r in recs] for c in names}
+                arrays = [
+                    pa.array(
+                        [r.get(f.name) for r in recs], type=f.type
+                    )
+                    for f in arrow_schema
+                ]
+                yield pa.RecordBatch.from_arrays(
+                    arrays, schema=arrow_schema
                 )
-                for c in ts_cols:
-                    out[c] = pd.to_datetime(out[c], unit="us")
-                yield out
 
     files = (
         spark.read.format("binaryFile")
@@ -459,4 +509,4 @@ def read_avro(spark, path: str, spark_schema):
         .load(path)
         .select(F.col("content"))
     )
-    return files.mapInPandas(part_reader, schema=spark_schema)
+    return files.mapInArrow(part_reader, schema=spark_schema)

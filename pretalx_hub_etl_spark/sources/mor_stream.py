@@ -80,22 +80,29 @@ def build_mor_cdc_stream_source():
         return v
 
     def _data_schema_file(table_path: str) -> str:
-        # first data file of the earliest published commit (schema donor)
+        # first data file of the LATEST published data commit. Schema
+        # evolution on the MoR table is append-only (S22/S15 contract),
+        # so the newest data commit carries the superset of columns —
+        # anchoring the donor there means columns added by later deltas
+        # appear in the feed (older files are NULL-padded against it)
+        # instead of being silently dropped, matching batch
+        # changes_since's allowMissingColumns behavior. Captured once at
+        # stream start (Spark fixes a stream's schema then anyway; a
+        # column added MID-stream shows up on restart, the Delta CDF
+        # contract).
         import os
 
-        v = 1
-        while os.path.exists(
-            os.path.join(table_path, "_manifest", f"{v}.json")
-        ) or v <= _current_version(table_path):
+        v = _current_version(table_path)
+        while v >= 1:
             try:
                 m = _manifest(table_path, v)
             except FileNotFoundError:
-                v += 1
+                v -= 1
                 continue
             for ent in m["files"]:
                 if ent.get("role") == "data":
                     return os.path.join(table_path, f"v{v}", ent["path"])
-            v += 1
+            v -= 1
         raise FileNotFoundError(f"no data commit in {table_path}")
 
     class _MorCdcStreamReader(DataSourceStreamReader):
@@ -103,6 +110,11 @@ def build_mor_cdc_stream_source():
             self.path = options["path"]
             self.key = options["key"]
             self.start_after = int(options.get("start_after", "0"))
+            # schema donor resolved ONCE at stream start (driver-side)
+            # and pickled into every read task: the stream's row shape
+            # must stay the schema() the source declared even if a
+            # wider delta commits mid-stream
+            self.donor_file = _data_schema_file(self.path)
 
         def initialOffset(self) -> dict:
             return {"v": self.start_after}
@@ -122,7 +134,21 @@ def build_mor_cdc_stream_source():
                 try:
                     m = _manifest(self.path, v)
                 except FileNotFoundError:
-                    continue  # vacuumed below the consumer cursor
+                    # unpublished manifest: a torn claim (physical dir
+                    # without _SUCCESS, never a commit) is a benign gap;
+                    # a missing DIRECTORY means the version was VACUUMED
+                    # — silently skipping it would lose change events
+                    # (deletes in vacuumed deltas never reappear) and
+                    # diverge downstream state, so fail loudly like
+                    # Delta CDF does for a vacuumed CDC range
+                    if os.path.exists(os.path.join(self.path, f"v{v}")):
+                        continue  # torn claim, no data to serve
+                    raise RuntimeError(
+                        f"requested CDC range ({lo}, {hi}] includes "
+                        f"version {v} of {self.path}, which was removed "
+                        "by vacuum; restart the stream from a retained "
+                        "offset (start_after >= the vacuum boundary)"
+                    ) from None
                 for ent in m["files"]:
                     parts.append(
                         _CommitFile(
@@ -140,9 +166,7 @@ def build_mor_cdc_stream_source():
             import pyarrow.parquet as pq
 
             # footer-only schema fetch: the donor file is never decoded
-            donor_schema = pq.ParquetFile(
-                _data_schema_file(self.path)
-            ).schema_arrow
+            donor_schema = pq.ParquetFile(self.donor_file).schema_arrow
             tbl = pq.read_table(partition.path)
             n = tbl.num_rows
             op = "upsert" if partition.role == "data" else "delete"

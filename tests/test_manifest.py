@@ -218,8 +218,11 @@ def test_partitioned_table_manifest_read_and_partition_pruning(
         )
     )
     m = CommitLog(sink.path).manifest(1)
+    # TYPED partition stats: numeric-looking path values are stored as
+    # numbers (raw strings would compare lexicographically — '10' < '2'
+    # — and could unsoundly skip files for numeric predicates)
     grps = {f["columns"]["grp"]["min"] for f in m["files"]}
-    assert grps == {"0", "1", "2"}
+    assert grps == {0, 1, 2}
     assert all(
         f["columns"]["grp"]["min"] == f["columns"]["grp"]["max"]
         for f in m["files"]
@@ -228,13 +231,17 @@ def test_partitioned_table_manifest_read_and_partition_pruning(
         back = sink.read(spark)
     assert set(back.columns) == {"k", "grp"}
     assert back.filter("grp = '1'").count() == 30
-    df, scanned, skipped = sink.read_pruned(spark, "grp", "2", "2")
+    df, scanned, skipped = sink.read_pruned(spark, "grp", 2, 2)
     assert skipped > 0 and scanned < scanned + skipped
     # Spark's standard partition-column TYPE INFERENCE applies to the
     # basePath read exactly as it does to a plain directory scan: the
-    # numeric-looking path value comes back as int (the manifest stores
-    # the raw path string; pruning compares strings)
+    # numeric-looking path value comes back as int (matching the typed
+    # manifest stat the prune compared against)
     assert {r.grp for r in df.collect()} == {2}
+    # mismatched predicate/stat types cannot skip (sound keep-path):
+    # string bounds against the now-numeric partition stat scan all
+    _, _, skipped_str = sink.read_pruned(spark, "grp", "2", "2")
+    assert skipped_str == 0
 
 
 def test_mor_as_of_read_replays_truncated_chain(spark, tmp_path):

@@ -1,0 +1,242 @@
+"""Round-11 regression tests: the four r10 ADVICE defects plus the
+typed-partition-stat fix (the fifth is pinned in test_manifest.py).
+
+1. (high) legacy tables must keep their full history across the first
+   manifest-era commit — write-side backfill + read-side upgrade guard.
+2. (medium) the streaming CDC reader's schema donor is the LATEST data
+   commit, so columns added by later deltas are not silently dropped.
+3. (low) a CDC range that includes a vacuumed version raises loudly
+   instead of silently losing change events.
+4. (low) avro: truncated payloads raise EOFError (never decode garbage)
+   and NaN survives non-nullable float/double fields.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import shutil
+
+import pytest
+
+from pretalx_hub_etl_spark.sinks.manifest import CommitLog, build_manifest
+from pretalx_hub_etl_spark.sinks.merge import MergeSink, _versions, version_diff
+from pretalx_hub_etl_spark.sinks.mor import MorTable
+
+
+def _make_legacy_table(spark, root: str, versions: int = 2) -> None:
+    """A table the pre-manifest engine would have written: committed
+    v<N> parquet dirs with _SUCCESS markers, NO _manifest directory."""
+    for v in range(1, versions + 1):
+        spark.range(10 * v).selectExpr("id AS k", f"id * {v} AS val").write.parquet(
+            os.path.join(root, f"v{v}")
+        )
+    assert not os.path.exists(os.path.join(root, "_manifest"))
+
+
+def test_legacy_history_survives_first_manifest_commit(spark, tmp_path):
+    # ADVICE r10 (high): before the fix, the first manifest-era commit
+    # made CommitLog.versions() the only source of truth and v1/v2
+    # silently vanished from reads, diffs, time travel, and vacuum.
+    root = str(tmp_path / "legacy")
+    _make_legacy_table(spark, root, versions=2)
+    sink = MergeSink(root, key="k")
+    sink.merge(spark, spark.createDataFrame([(1, 999)], "k long, val long"))
+    assert _versions(root) == [1, 2, 3]
+    # time travel to a pre-upgrade version still resolves
+    assert sink.read_version(spark, 1).count() == 10
+    # CDC across the upgrade boundary still diffs: keys 1..9 update
+    # (val doubles; key 0 is 0 either way), keys 10..19 insert
+    assert version_diff(spark, root, "k", 1, 2).count() == 19
+    # vacuum can reclaim legacy versions (it could never see them before)
+    assert sink.vacuum(keep_last=1) == [1, 2]
+    assert _versions(root) == [3]
+
+
+def test_mixed_table_read_side_upgrade_guard(spark, tmp_path):
+    # A table upgraded by an engine that did NOT backfill (manifest only
+    # for the newest version, committed legacy dirs below): the first
+    # read through _versions heals the history instead of dropping it.
+    root = str(tmp_path / "mixed")
+    _make_legacy_table(spark, root, versions=3)
+    log = CommitLog(root)
+    log.publish(build_manifest(3, os.path.join(root, "v3")))
+    assert log.versions() == [3]  # the broken pre-fix view
+    assert _versions(root) == [1, 2, 3]  # guard backfills, history back
+    assert log.versions() == [1, 2, 3]
+
+
+def test_heal_on_legacy_table_backfills_history(spark, tmp_path):
+    # crashed upgrading writer: v2 committed but its manifest never
+    # published; heal(2) must bring v1 along, not strand it below the log
+    root = str(tmp_path / "healed")
+    _make_legacy_table(spark, root, versions=2)
+    log = CommitLog(root)
+    log.heal(2)
+    assert log.versions() == [1, 2]
+
+
+def test_mor_legacy_history_survives_manifest_commit(spark, tmp_path):
+    # same contract on the MoR chain: a legacy (pre-manifest) delta
+    # chain keeps resolving every delta after a manifest-era commit
+    root = str(tmp_path / "morleg")
+    os.makedirs(os.path.join(root, "v1"))
+    spark.range(6).selectExpr("id AS k", "id AS v").write.parquet(
+        os.path.join(root, "v1", "data")
+    )
+    open(os.path.join(root, "v1", "_CHECKPOINT"), "w").close()
+    open(os.path.join(root, "v1", "_SUCCESS"), "w").close()
+    t = MorTable(root, key="k")
+    t.merge(spark, spark.createDataFrame([(2, 22)], "k long, v long"))
+    state = {r.k: r.v for r in t.read(spark).collect()}
+    assert state == {0: 0, 1: 1, 2: 22, 3: 3, 4: 4, 5: 5}
+    # the backfilled v1 manifest carries the checkpoint flag from its
+    # _CHECKPOINT marker, so the chain still starts there
+    assert CommitLog(root).manifest(1)["checkpoint"] is True
+
+
+def test_cdc_stream_surfaces_columns_added_by_later_deltas(spark, tmp_path):
+    # ADVICE r10 (medium): the donor schema used to come from the
+    # EARLIEST data commit, silently dropping columns added by later
+    # deltas; it now comes from the latest, NULL-padding older files —
+    # byte-for-byte the batch changes_since(0) feed.
+    from pretalx_hub_etl_spark.sources.mor_stream import register
+
+    register(spark)
+    root = str(tmp_path / "evo")
+    t = MorTable(root, key="k")
+    t.init(spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"))
+    t.merge(
+        spark,
+        spark.createDataFrame([(3, 30, "x")], "k long, v long, w string"),
+    )
+    stream = (
+        spark.readStream.format("mor_cdc")
+        .option("path", root)
+        .option("key", "k")
+        .load()
+    )
+    assert "w" in stream.columns  # latest-donor schema
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("evo_feed")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(timeout=120)
+    finally:
+        q.stop()
+    got = {
+        (r["__op"], r["__commit"], r["k"], r["v"], r["w"])
+        for r in spark.table("evo_feed").collect()
+    }
+    want = {
+        (r["__op"], r["__commit"], r["k"], r["v"], r["w"])
+        for r in t.changes_since(spark, 0).collect()
+    }
+    assert got == want
+    assert ("upsert", 2, 3, 30, "x") in got  # evolved column present
+    assert ("upsert", 1, 1, 10, None) in got  # older commit NULL-padded
+
+
+def test_cdc_stream_vacuumed_range_raises(spark, tmp_path):
+    # ADVICE r10 (low): partitions() used to `continue` over vacuumed
+    # versions — a consumer restarting below the vacuum boundary lost
+    # change events silently. It now fails loudly (the Delta CDF shape).
+    from pretalx_hub_etl_spark.sources.mor_stream import (
+        build_mor_cdc_stream_source,
+    )
+
+    root = str(tmp_path / "vac")
+    t = MorTable(root, key="k")
+    t.init(spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"))
+    t.merge(spark, deletes=spark.createDataFrame([(1,)], "k long"))
+    t.compact(spark)  # v3 checkpoint
+    assert t.vacuum() == [1, 2]
+    cls = build_mor_cdc_stream_source()
+    reader = cls(options={"path": root, "key": "k"}).streamReader(None)
+    with pytest.raises(RuntimeError, match="vacuum"):
+        reader.partitions({"v": 0}, {"v": 3})
+    # ranges entirely above the boundary still serve
+    parts = reader.partitions({"v": 2}, {"v": 3})
+    assert all(p.version == 3 for p in parts)
+
+
+def test_avro_truncated_payload_raises():
+    # ADVICE r10 (low): decoding a truncated buffer returned quiet
+    # False/garbage for boolean/float; every primitive now validates
+    # its read length
+    from pretalx_hub_etl_spark.sources.avro_ocf import _decode, _encode
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "b", "type": "boolean"},
+            {"name": "x", "type": "double"},
+            {"name": "s", "type": "string"},
+        ],
+    }
+    buf = bytearray()
+    _encode({"b": True, "x": 1.5, "s": "hello"}, schema, buf)
+    full = bytes(buf)
+    assert _decode(io.BytesIO(full), schema) == {
+        "b": True,
+        "x": 1.5,
+        "s": "hello",
+    }
+    for cut in range(len(full)):
+        with pytest.raises(EOFError):
+            _decode(io.BytesIO(full[:cut]), schema)
+
+
+def test_avro_nan_survives_non_nullable_double(spark, tmp_path):
+    # NaN is a VALID IEEE value: in a non-nullable double field it must
+    # round-trip as NaN (the old unconditional NaN->None mapping fed
+    # None into a non-union encoder and died with an opaque TypeError
+    # on the executor); in a nullable field it still maps to avro null
+    # (the pandas missing-value convention).
+    import math
+
+    from pyspark.sql import functions as F
+
+    from pretalx_hub_etl_spark.sources.avro_ocf import read_avro, write_avro
+
+    df = spark.range(4).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") == 1, F.lit(float("nan")))
+        .otherwise(F.col("id").cast("double"))
+        .alias("x"),
+    )
+    assert not df.schema["x"].nullable  # precondition: non-nullable
+    path = str(tmp_path / "nan_avro")
+    write_avro(df, path, codec="null")
+    back = {
+        r.k: r.x for r in read_avro(spark, path, df.schema).collect()
+    }
+    assert math.isnan(back[1])
+    assert back[0] == 0.0 and back[2] == 2.0 and back[3] == 3.0
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def test_avro_nan_nullable_still_maps_to_null(spark, tmp_path):
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from pretalx_hub_etl_spark.sources.avro_ocf import read_avro, write_avro
+
+    df = spark.range(3).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") == 1, F.lit(float("nan")))
+        .when(F.col("id") == 2, F.col("id").cast("double"))
+        .alias("x"),  # no otherwise -> nullable
+    )
+    assert df.schema["x"].nullable
+    path = str(tmp_path / "nan_nullable_avro")
+    write_avro(df, path, codec="null")
+    out = read_avro(spark, path, df.schema).toPandas().set_index("k")["x"]
+    assert pd.isna(out[0]) and pd.isna(out[1]) and out[2] == 2.0
+    shutil.rmtree(path, ignore_errors=True)

@@ -227,3 +227,85 @@ def q_sink_time_travel_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = v2.unionByName(v3).localCheckpoint(eager=True)
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# --- S23: the SQL surface — VERSION AS OF + planner-side manifest skipping --
+
+
+@query(
+    "q_sql_time_travel",
+    oracle="""
+    WITH base AS (
+        SELECT c_custkey,
+               CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal_cents
+        FROM customer
+    ), v2 AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 5 = 0 THEN bal_cents + 5000
+                    ELSE bal_cents END AS bal_cents
+        FROM base
+    ), v3 AS (
+        SELECT c_custkey, bal_cents FROM v2 WHERE c_custkey % 3 <> 0
+    ), thr AS (
+        SELECT max(c_custkey) // 2 AS t FROM base
+    )
+    SELECT 'v2' AS snapshot, c_custkey, bal_cents
+    FROM v2 WHERE c_custkey <= (SELECT t FROM thr)
+    UNION ALL
+    SELECT 'v3' AS snapshot, c_custkey, bal_cents
+    FROM v3 WHERE c_custkey <= (SELECT t FROM thr)
+    """,
+)
+def q_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S23: the SQL face of the lakehouse layer (VERDICT r10 item 1) —
+    # the SAME history as S20/S20b (v1 init, v2 upsert, v3 delete; the
+    # layout must be invisible in the answer) queried through PLAIN SQL:
+    # `FROM t VERSION AS OF 2` resolves a version-pinned relation and
+    # the bare `t` the current version, both through the `lakehouse`
+    # DataSourceV2 relation (sources/lakehouse_ds.py) whose file list
+    # comes from the commit manifests and whose pushFilters turns the
+    # query's own WHERE (c_custkey <= half the key domain) into
+    # manifest min/max FILE SKIPPING inside the planner — the table is
+    # range-clustered into 8 files, so ~half are never opened (pinned
+    # with a physically-removed file in tests/test_lakehouse_sql.py).
+    # The oracle recomputes both snapshots relationally, so a rewrite
+    # that pins the wrong version, leaks v3 deletes into v2, or prunes
+    # a matching file hash-fails.
+    import shutil
+
+    from ..plans.lakehouse_sql import LakehouseSqlCatalog
+    from ..sinks.merge import MergeSink
+
+    base = Catalog(spark, sf_dir).customer.select(
+        "c_custkey", fixed_cents(F.col("c_acctbal")).alias("bal_cents")
+    )
+    thr = base.agg(F.max("c_custkey").alias("m")).collect()[0].m // 2
+    root = tempfile.mkdtemp(prefix="phe_sql_travel_")
+    sink = MergeSink(
+        os.path.join(root, "t"), key="c_custkey", cluster_by=("c_custkey", 8)
+    )
+    sink.init(base)  # v1
+    sink.merge(
+        spark,
+        base.filter(F.col("c_custkey") % 5 == 0).select(
+            "c_custkey", (F.col("bal_cents") + 5000).alias("bal_cents")
+        ),
+    )  # v2: upsert
+    sink.merge(
+        spark,
+        spark.createDataFrame([], base.schema),
+        deletes=base.filter(F.col("c_custkey") % 3 == 0).select("c_custkey"),
+    )  # v3: delete
+    cat = LakehouseSqlCatalog(spark)
+    cat.register_cow("t", sink.path)
+    out = cat.sql(
+        f"""
+        SELECT 'v2' AS snapshot, c_custkey, bal_cents
+        FROM t VERSION AS OF 2 WHERE c_custkey <= {thr}
+        UNION ALL
+        SELECT 'v3' AS snapshot, c_custkey, bal_cents
+        FROM t WHERE c_custkey <= {thr}
+        """
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out

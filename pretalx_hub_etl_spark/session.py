@@ -39,6 +39,10 @@ RUNTIME_CONF: dict[str, str] = {
     # uses; a no-op for aggregations the pushdown cannot fully cover,
     # e.g. anything with count_distinct or non-partition GROUP BY)
     "spark.sql.parquet.aggregatePushdown": "true",
+    # let Python DataSources receive the query's WHERE conjuncts — the
+    # lakehouse SQL reader (sources/lakehouse_ds.py) turns them into
+    # manifest-level file skipping inside the planner
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 

@@ -597,6 +597,78 @@ def q_sink_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_sink_merge_mor_dv",
+    oracle="""
+    -- IDENTICAL oracle to q_sink_merge_mor: the same 4-commit history,
+    -- but commit 3's deletes are POSITION deletes (deletion vectors) —
+    -- the storage shape must be invisible in the answer
+    WITH base AS (
+        SELECT c_custkey AS k, c_name AS name,
+               CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM customer
+    ), fin AS (
+        SELECT k,
+               CASE WHEN k % 3 = 0 THEN name || '+'
+                    WHEN k % 5 = 0 THEN name || '*'
+                    ELSE name END AS name,
+               CASE WHEN k % 3 = 0 THEN cents + 777
+                    WHEN k % 5 = 0 THEN cents + 10000
+                    ELSE cents END AS cents,
+               (k % 3 <> 0 AND k % 7 = 0) AS gone
+        FROM base
+    )
+    SELECT k AS c_custkey, name AS c_name, cents AS acct_cents
+    FROM fin WHERE NOT gone
+    """,
+)
+def q_sink_merge_mor_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S24: merge-on-read with POSITION DELETES (the Delta deletion-
+    # vector / Iceberg-v2 position-delete shape) — S15's exact history
+    # with commit 3 expressed as `DELETE WHERE c_custkey % 7 = 0`
+    # committing (file, row-position) pairs instead of key tombstones:
+    # no key values are written, the reader anti-resolves the targeted
+    # physical rows into delete EVENTS at the DV's commit version (so
+    # v1 history shadowed by a DV'd v2 row does NOT resurface — keys
+    # %35==0 pin that), and commit 4's upserts re-insert %3 keys
+    # through the DV exactly as through a tombstone. Same oracle as
+    # q_sink_merge_mor BY DESIGN: layout must be invisible. DV write
+    # amplification and compaction dropping applied DVs are pinned in
+    # tests/test_mor_dv.py.
+    import shutil
+
+    from ..sinks.mor import MorTable
+
+    c = Catalog(spark, sf_dir).customer.select(
+        "c_custkey",
+        "c_name",
+        fixed_cents(F.col("c_acctbal")).alias("acct_cents"),
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="phe_mor_dv_"), "t")
+    t = MorTable(path, "c_custkey")
+    t.init(c)
+    t.merge(
+        spark,
+        source=c.filter(F.col("c_custkey") % 5 == 0).select(
+            "c_custkey",
+            F.concat(F.col("c_name"), F.lit("*")).alias("c_name"),
+            (F.col("acct_cents") + 10000).alias("acct_cents"),
+        ),
+    )
+    t.delete_where(spark, F.col("c_custkey") % 7 == 0)  # v3: DV commit
+    t.merge(
+        spark,
+        source=c.filter(F.col("c_custkey") % 3 == 0).select(
+            "c_custkey",
+            F.concat(F.col("c_name"), F.lit("+")).alias("c_name"),
+            (F.col("acct_cents") + 777).alias("acct_cents"),
+        ),
+    )
+    out = t.read(spark).localCheckpoint()
+    shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+    return out
+
+
+@query(
     "q_cdc_mor_feed",
     oracle="""
     -- the deltas ARE the change log: commits 2..4 replayed as typed

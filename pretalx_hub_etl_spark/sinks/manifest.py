@@ -163,7 +163,7 @@ def build_manifest(
     for rel, fstats in zip(rels, stats):
         role = "data"
         top = rel.split(os.sep, 1)[0]
-        if top in ("data", "deletes"):  # MoR layout
+        if top in ("data", "deletes", "pos_deletes"):  # MoR layout
             role = top
         ent = {"path": rel, "role": role}
         ent.update(fstats)

@@ -60,6 +60,7 @@ class MorTable:
         delete_keys: DataFrame | None,
         version: int,
         checkpoint: bool = False,
+        pos_deletes: DataFrame | None = None,
     ) -> None:
         stage = os.path.join(self.path, f".stage-{uuid.uuid4().hex}")
         os.makedirs(stage)
@@ -73,6 +74,13 @@ class MorTable:
                     F.col(delete_keys.columns[0]).alias(self.key)
                 ).write.mode("errorifexists").parquet(
                     os.path.join(stage, "deletes")
+                )
+            if pos_deletes is not None:
+                pos_deletes.select(
+                    F.col("__file").cast("string"),
+                    F.col("__pos").cast("long"),
+                ).write.mode("errorifexists").parquet(
+                    os.path.join(stage, "pos_deletes")
                 )
             if checkpoint:
                 with open(os.path.join(stage, _CKPT), "w") as fh:
@@ -153,34 +161,194 @@ class MorTable:
             f"merge lost the version race {max_retries} times at {self.path}"
         )
 
+    def delete_positions(
+        self,
+        spark: SparkSession,
+        positions: DataFrame,
+        max_retries: int = 20,
+    ) -> int:
+        """Commit a POSITION-DELETE delta (the Delta deletion-vector /
+        Iceberg-v2 position-delete shape): ``positions`` carries
+        ``(__file string, __pos long)`` rows naming physical rows of
+        earlier data commits — by provenance, never by key, so a delete
+        needs no key-column values and compaction can drop applied DVs
+        wholesale. Contrast ``merge(deletes=...)``: key tombstones are
+        the equality-delete shape (delete by value). Read semantics are
+        identical by construction — the reader turns a DV'd row's key
+        into a delete event at this commit's version (no resurrection
+        of shadowed history; a later upsert re-inserts). Returns the
+        committed version."""
+        for _ in range(max_retries):
+            _, claim = _base_and_claim(self.path)
+            try:
+                self._commit(None, None, claim, pos_deletes=positions)
+            except FileExistsError:
+                _heal_claim(self.path, claim)
+                continue
+            return claim
+        raise RuntimeError(
+            f"delete_positions lost the version race {max_retries} "
+            f"times at {self.path}"
+        )
+
+    def delete_where(self, spark: SparkSession, condition) -> int:
+        """DELETE FROM ... WHERE as a deletion-vector commit: resolve
+        the current state WITH row provenance, keep the winning rows
+        matching ``condition``, and commit their (file, position)
+        pairs. O(delta) like every MoR write — nothing is rewritten;
+        the matched predicate scan is the same one a SQL DELETE pays.
+        Returns the committed version."""
+        cur = self._read_with_provenance(spark)
+        return self.delete_positions(
+            spark,
+            cur.filter(condition).select(
+                F.col("__fp").alias("__file"),
+                F.col("__ri").alias("__pos"),
+            ),
+        )
+
+    def _read_with_provenance(self, spark: SparkSession) -> DataFrame:
+        """Resolved current state plus (__fp, __ri) provenance of each
+        winning row — the input a position-delete writer needs."""
+        return self._resolve_chain(spark, self._chain()[1], provenance=True)
+
+    def _resolve_chain(
+        self, spark: SparkSession, chain: list[int], provenance: bool
+    ) -> DataFrame:
+        """Latest-wins resolution over one version chain: union the
+        delta scans, apply position deletes (if any), take the highest
+        event per key. ``provenance=True`` keeps each winning row's
+        (__fp, __ri) — needed by position-delete WRITERS; plain reads
+        drop them (and skip the _metadata projection entirely when the
+        chain carries no DVs)."""
+        views = {v: self._commit_view(v) for v in chain}
+        has_dv = provenance or any(
+            views[v][2] is not None for v in chain
+        )
+        saw_data = False
+        frames: list[DataFrame] = []
+        dv_frames: list[DataFrame] = []
+        for v in chain:
+            data_files, del_files, pos_files, _ = views[v]
+            if data_files is not None:
+                saw_data = True
+                d = spark.read.parquet(*data_files)
+                if has_dv:
+                    # row provenance so position deletes can target this
+                    # commit's physical rows: (file URI, row index) —
+                    # computed by the scan itself, no extra I/O (S13's
+                    # _metadata column)
+                    d = d.select(
+                        "*",
+                        F.col("_metadata.file_path").alias("__fp"),
+                        F.col("_metadata.row_index").alias("__ri"),
+                    )
+                frames.append(
+                    d.select(
+                        "*",
+                        F.lit(v).alias("__v"),
+                        F.lit("u").alias("__kind"),
+                    )
+                )
+            if del_files is not None or pos_files is not None:
+                if not saw_data:
+                    raise ValueError(
+                        "MoR chain starts with a delete-only commit"
+                    )
+            if del_files is not None:
+                frames.append(
+                    spark.read.parquet(*del_files).select(
+                        F.col(self.key),
+                        F.lit(v).alias("__v"),
+                        F.lit("d").alias("__kind"),
+                    )
+                )
+            if pos_files is not None:
+                dv_frames.append(
+                    spark.read.parquet(*pos_files).select(
+                        "__file", "__pos", F.lit(v).alias("__dv_v")
+                    )
+                )
+        if not frames:
+            raise FileNotFoundError(f"no version of MoR table at {self.path}")
+        events = frames[0]
+        for f in frames[1:]:
+            events = events.unionByName(f, allowMissingColumns=True)
+        if dv_frames:
+            # DELETION-VECTOR resolution (the Delta-DV / Iceberg-v2
+            # position-delete shape): a DV row names a physical row
+            # (file, position) of an earlier data commit — no key
+            # columns touched. Semantics match key tombstones exactly:
+            # the targeted row's KEY becomes a delete EVENT at the DV's
+            # commit version (so shadowed history does NOT resurface,
+            # and a later upsert re-inserts the key). DVs are tiny
+            # relative to data — broadcast; one join, no extra shuffle.
+            dv = dv_frames[0]
+            for f in dv_frames[1:]:
+                dv = dv.unionByName(f)
+            dv = dv.groupBy("__file", "__pos").agg(
+                F.max("__dv_v").alias("__dv_v")
+            )
+            events = events.join(
+                F.broadcast(dv),
+                (F.col("__fp") == F.col("__file"))
+                & (F.col("__ri") == F.col("__pos")),
+                "left",
+            )
+            events = events.select(
+                *[
+                    c
+                    for c in events.columns
+                    if c
+                    not in ("__v", "__kind", "__file", "__pos", "__dv_v")
+                ],
+                F.coalesce(F.col("__dv_v"), F.col("__v")).alias("__v"),
+                F.when(F.col("__dv_v").isNotNull(), F.lit("d"))
+                .otherwise(F.col("__kind"))
+                .alias("__kind"),
+            )
+        w = Window.partitionBy(self.key).orderBy(F.col("__v").desc())
+        resolved = (
+            events.withColumn("__rn", F.row_number().over(w))
+            .filter((F.col("__rn") == 1) & (F.col("__kind") == "u"))
+            .drop("__v", "__kind", "__rn")
+        )
+        if has_dv and not provenance:
+            resolved = resolved.drop("__fp", "__ri")
+        return resolved
+
     # -- read path ----------------------------------------------------------
 
     def _commit_view(
         self, v: int
-    ) -> tuple[list[str] | None, list[str] | None, bool]:
-        """(data files, delete files, is_checkpoint) for one commit —
-        absolute paths straight from the manifest when the table has a
-        commit log (listing-free), directory probes for legacy tables.
-        ``None`` means the commit has no files of that role."""
+    ) -> tuple[list[str] | None, list[str] | None, list[str] | None, bool]:
+        """(data files, key-delete files, position-delete files,
+        is_checkpoint) for one commit — absolute paths straight from the
+        manifest when the table has a commit log (listing-free),
+        directory probes for legacy tables. ``None`` means the commit
+        has no files of that role."""
         log = CommitLog(self.path)
         vdir = os.path.join(self.path, f"v{v}")
         if log.exists():
             m = log.manifest(v)
-            data = [
-                os.path.join(vdir, e["path"])
-                for e in m["files"]
-                if e.get("role") == "data"
-            ]
-            dels = [
-                os.path.join(vdir, e["path"])
-                for e in m["files"]
-                if e.get("role") == "deletes"
-            ]
-            return data or None, dels or None, bool(m.get("checkpoint"))
-        ddir, tdir = os.path.join(vdir, "data"), os.path.join(vdir, "deletes")
+            by_role: dict[str, list[str]] = {}
+            for e in m["files"]:
+                by_role.setdefault(e.get("role", "data"), []).append(
+                    os.path.join(vdir, e["path"])
+                )
+            return (
+                by_role.get("data"),
+                by_role.get("deletes"),
+                by_role.get("pos_deletes"),
+                bool(m.get("checkpoint")),
+            )
+        ddir = os.path.join(vdir, "data")
+        tdir = os.path.join(vdir, "deletes")
+        pdir = os.path.join(vdir, "pos_deletes")
         return (
             [ddir] if os.path.isdir(ddir) else None,
             [tdir] if os.path.isdir(tdir) else None,
+            [pdir] if os.path.isdir(pdir) else None,
             os.path.exists(os.path.join(vdir, _CKPT)),
         )
 
@@ -208,7 +376,7 @@ class MorTable:
             raise FileNotFoundError(f"no version of MoR table at {self.path}")
         start = versions[0]
         for v in versions:
-            if self._commit_view(v)[2]:
+            if self._commit_view(v)[3]:
                 start = v
         return start, [v for v in versions if v >= start]
 
@@ -241,7 +409,7 @@ class MorTable:
                     )
                 start = versions[0]
                 for v in versions:
-                    if self._commit_view(v)[2]:
+                    if self._commit_view(v)[3]:
                         start = v
                 chain = [v for v in versions if v >= start]
             elif as_of in chain:
@@ -258,41 +426,7 @@ class MorTable:
         # Silently dropping a newer delta's column (the pre-round-10
         # behavior of projecting to the OLDEST commit's columns) loses
         # data; unionByName(allowMissingColumns=True) is the fix.
-        saw_data = False
-        frames: list[DataFrame] = []
-        for v in chain:
-            data_files, del_files, _ = self._commit_view(v)
-            if data_files is not None:
-                saw_data = True
-                frames.append(
-                    spark.read.parquet(*data_files).select(
-                        "*",
-                        F.lit(v).alias("__v"),
-                        F.lit("u").alias("__kind"),
-                    )
-                )
-            if del_files is not None:
-                if not saw_data:
-                    raise ValueError(
-                        "MoR chain starts with a delete-only commit"
-                    )
-                t = spark.read.parquet(*del_files)
-                frames.append(
-                    t.select(
-                        F.col(self.key),
-                        F.lit(v).alias("__v"),
-                        F.lit("d").alias("__kind"),
-                    )
-                )
-        events = frames[0]
-        for f in frames[1:]:
-            events = events.unionByName(f, allowMissingColumns=True)
-        w = Window.partitionBy(self.key).orderBy(F.col("__v").desc())
-        return (
-            events.withColumn("__rn", F.row_number().over(w))
-            .filter((F.col("__rn") == 1) & (F.col("__kind") == "u"))
-            .drop("__v", "__kind", "__rn")
-        )
+        return self._resolve_chain(spark, chain, provenance=False)
 
     def compact(self, spark: SparkSession, max_retries: int = 20) -> int:
         """Materialize the resolved state as a checkpointed commit —
@@ -328,22 +462,32 @@ class MorTable:
         """
         all_committed = _versions(self.path)
         todo = [v for v in all_committed if v > version]
-        data_cols = None
-        # column layout anchor for the EMPTY-feed schema (and the
-        # leading columns of the output): the first data commit; later
-        # deltas may carry MORE columns (append-only evolution) and the
-        # allowMissingColumns union surfaces them NULL-padded on older
-        # change rows rather than silently dropping them
+        anchor = None
+        # zero-row TYPED anchor for the output schema's leading data
+        # columns: the first data commit (real column types — delete
+        # events and empty feeds NULL-pad against it instead of
+        # inventing a string-typed shell); later deltas may carry MORE
+        # columns (append-only evolution) and the allowMissingColumns
+        # union surfaces them NULL-padded on older change rows rather
+        # than silently dropping them
         for v in all_committed:
-            dfiles, _dels, _ck = self._commit_view(v)
+            dfiles = self._commit_view(v)[0]
             if dfiles is not None:
-                data_cols = spark.read.parquet(*dfiles).columns
+                anchor = (
+                    spark.read.parquet(*dfiles)
+                    .limit(0)
+                    .select(
+                        F.lit("upsert").alias("__op"),
+                        F.lit(0).cast("long").alias("__commit"),
+                        "*",
+                    )
+                )
                 break
-        if data_cols is None:
+        if anchor is None:
             raise FileNotFoundError(f"no data commit in {self.path}")
-        frames: list[DataFrame] = []
+        frames: list[DataFrame] = [anchor]
         for v in todo:
-            dfiles, tfiles, _ck = self._commit_view(v)
+            dfiles, tfiles, pfiles, _ck = self._commit_view(v)
             if dfiles is not None:
                 frames.append(
                     spark.read.parquet(*dfiles).select(
@@ -360,13 +504,40 @@ class MorTable:
                         F.col(self.key),
                     )
                 )
-        if not frames:
-            return spark.createDataFrame(
-                [],
-                "__op string, __commit long, "
-                + ", ".join(f"{c} string" for c in data_cols),
-            )
-        out = frames[0]
+            if pfiles is not None:
+                # a DV commit's change events are key deletes, but the
+                # DV stores only (file, position) — recover the keys by
+                # joining the DV against its OWN referenced files (the
+                # scan is bounded by the files the DV names, not the
+                # table): read them with row provenance, keep targeted
+                # rows, emit their keys as delete events at this commit
+                dv = spark.read.parquet(*pfiles)
+                refs = [
+                    r["__file"]
+                    for r in dv.select("__file").distinct().collect()
+                ]
+                targeted = (
+                    spark.read.parquet(*refs)
+                    .select(
+                        F.col(self.key),
+                        F.col("_metadata.file_path").alias("__fp"),
+                        F.col("_metadata.row_index").alias("__ri"),
+                    )
+                    .join(
+                        F.broadcast(dv),
+                        (F.col("__fp") == F.col("__file"))
+                        & (F.col("__ri") == F.col("__pos")),
+                        "left_semi",
+                    )
+                )
+                frames.append(
+                    targeted.select(
+                        F.lit("delete").alias("__op"),
+                        F.lit(v).cast("long").alias("__commit"),
+                        F.col(self.key),
+                    )
+                )
+        out = frames[0]  # the anchor: empty feed = zero rows, real types
         for f in frames[1:]:
             out = out.unionByName(f, allowMissingColumns=True)
         return out

@@ -167,6 +167,47 @@ def build_mor_cdc_stream_source():
 
             # footer-only schema fetch: the donor file is never decoded
             donor_schema = pq.ParquetFile(self.donor_file).schema_arrow
+            if partition.role == "pos_deletes":
+                # a deletion-vector commit: the DV names (file, row)
+                # pairs — recover the deleted KEYS by reading only the
+                # key column of the referenced files at the named
+                # positions (bounded by the files the DV touches), and
+                # emit them as delete events, NULL payloads — the same
+                # row shape batch changes_since serves for DV commits
+                from urllib.parse import unquote, urlparse
+
+                dv = pq.read_table(partition.path)
+                by_file: dict[str, list[int]] = {}
+                for f, p in zip(
+                    dv["__file"].to_pylist(), dv["__pos"].to_pylist()
+                ):
+                    by_file.setdefault(f, []).append(p)
+                for uri, positions in by_file.items():
+                    local = (
+                        unquote(urlparse(uri).path)
+                        if uri.startswith("file:")
+                        else uri
+                    )
+                    keys = (
+                        pq.read_table(local, columns=[self.key])[self.key]
+                        .combine_chunks()
+                        .take(pa.array(sorted(positions), pa.int64()))
+                    )
+                    n = len(positions)
+                    cols = {
+                        "__op": pa.array(["delete"] * n, pa.string()),
+                        "__commit": pa.array(
+                            [partition.version] * n, pa.int64()
+                        ),
+                    }
+                    for field in donor_schema:
+                        cols[field.name] = (
+                            keys.cast(field.type)
+                            if field.name == self.key
+                            else pa.nulls(n, field.type)
+                        )
+                    yield from pa.table(cols).to_batches()
+                return
             tbl = pq.read_table(partition.path)
             n = tbl.num_rows
             op = "upsert" if partition.role == "data" else "delete"

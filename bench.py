@@ -237,8 +237,54 @@ def _common_vs_prev(timings: dict[str, float]) -> dict | None:
     }
 
 
+def _isolate(sf_dir: str, name: str) -> None:
+    """Fresh-JVM single-query measurement (DRIFT_r10's follow-up
+    trigger, VERDICT r10 item 6): when a query steps in the cross-round
+    bench, `python bench.py --isolate q_x` re-measures it ALONE in this
+    process's own brand-new SparkSession — no session context from 70
+    prior queries (broadcast cleanup backlog, JIT state, cache
+    pressure), which DRIFT_r10 measured at +/-0.3-0.4 s on iterative
+    queries. Same protocol as the headline (warm-up + min of 3, noop
+    sink); prints ONE JSON line."""
+    from pretalx_hub_etl_spark.queries import load_all
+    from pretalx_hub_etl_spark.session import get_spark
+
+    spark = get_spark("bench-isolate")
+    registry = load_all()
+    registry["q_agg_count"].fn(spark, sf_dir).write.mode(
+        "overwrite"
+    ).format("noop").save()
+    samples = []
+    for _ in range(3):
+        spark.catalog.clearCache()
+        t0 = time.time()
+        registry[name].fn(spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        samples.append(time.time() - t0)
+    samples.sort()
+    print(
+        json.dumps(
+            {
+                "metric": "isolated_query_wall",
+                "query": name,
+                "value": round(samples[0], 3),
+                "unit": "sec",
+                "timing": "min_of_3_runs_fresh_jvm",
+                "spread_median_minus_min": round(samples[1] - samples[0], 3),
+                "sf_dir": sf_dir,
+                "sha": _git_sha(),
+                "loadavg": [round(x, 2) for x in os.getloadavg()],
+            }
+        )
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--isolate" in sys.argv:
+        _isolate(sf_dir, sys.argv[sys.argv.index("--isolate") + 1])
+        return
     try:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:

@@ -372,11 +372,33 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_agg_approx_distinct", oracle=None)
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only BY DEFINITION (HLL internals differ across engines; the
+    # exact twin A12 is fully oracled) — but the documented error bound
+    # is asserted INLINE on every run, not just in a unit test: each
+    # group's sketch estimate must sit within a 5-sigma envelope of the
+    # exact distinct count at rsd=0.02 (HLL estimates are approximately
+    # normal around the truth; 5 sigma = 10% here, astronomically
+    # conservative for a correct sketch, instantly fatal for a broken
+    # one). The check is one extra aggregate over the same scan and one
+    # driver-bounded scalar.
     li = Catalog(spark, sf_dir).lineitem
-    return li.groupBy("l_returnflag").agg(
+    out = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
         F.count(F.lit(1)).alias("n"),
     )
+    exact = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("exact_parts")
+    )
+    bad = (
+        out.join(exact, "l_returnflag")
+        .filter(
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            > 5 * 0.02 * F.col("exact_parts")
+        )
+        .count()
+    )
+    assert bad == 0, f"{bad} group(s) outside the 5*rsd HLL envelope"
+    return out
 
 
 @query("q_agg_approx_percentile", oracle=None)
@@ -384,14 +406,37 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # KLL/GK-style mergeable quantile sketch (percentile_approx): rank
     # error <= 1/accuracy, one pass, fixed memory per group — the shape
     # that replaces exact percentile's full sort at 100 TB. Rows-only:
-    # sketch internals differ across engines; the error-bound test in
-    # tests/test_engine.py pins the accuracy contract against the exact
-    # percentile instead.
+    # sketch internals differ across engines — but the GK RANK contract
+    # is asserted INLINE on every run, in its exact form: the returned
+    # value v must have rank within eps*n of the target, i.e.
+    # |{x < v}| <= (p+eps)*n and |{x <= v}| >= (p-eps)*n per group
+    # (+/-1 row of boundary slack), with eps = 1/accuracy. One extra
+    # broadcast join + aggregate over the same scan, one driver-bounded
+    # scalar.
     li = Catalog(spark, sf_dir).lineitem
-    return li.groupBy("l_returnflag").agg(
+    out = li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_quantity", F.lit(0.5), F.lit(10000)).alias("ap50"),
         F.percentile_approx("l_quantity", F.lit(0.95), F.lit(10000)).alias("ap95"),
     )
+    eps = 1.0 / 10000
+
+    def rank_ok(p: float, v: str):
+        lt = F.sum((F.col("l_quantity") < F.col(v)).cast("long"))
+        le = F.sum((F.col("l_quantity") <= F.col(v)).cast("long"))
+        n = F.count(F.lit(1))
+        return (lt <= (p + eps) * n + 1) & (le >= (p - eps) * n - 1)
+
+    bad = (
+        li.join(F.broadcast(out), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            (rank_ok(0.5, "ap50") & rank_ok(0.95, "ap95")).alias("ok")
+        )
+        .filter(~F.col("ok"))
+        .count()
+    )
+    assert bad == 0, f"{bad} group(s) outside the 1/accuracy rank envelope"
+    return out
 
 
 # --- A6: conditional aggregation (reference tally pattern, main.py:242-247) -

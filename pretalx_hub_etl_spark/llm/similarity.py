@@ -345,6 +345,7 @@ def kmeans_centroids(
     seed: int = 42,
     max_iter: int = 20,
     train_fraction: float | None = None,
+    init_mode: str = "k-means||",
 ) -> DataFrame:
     """Coarse-quantizer centroids via MLlib k-means (seeded).
 
@@ -361,10 +362,19 @@ def kmeans_centroids(
     train = corpus if train_fraction is None else corpus.sample(
         fraction=train_fraction, seed=seed
     )
-    feats = fan_out(train).select(
+    # the TRAINING set is sample-sized by contract (a few million
+    # vectors bound quantizer quality regardless of corpus size), so
+    # pack it into few partitions before fitting: k-means|| init plus
+    # every Lloyd iteration is a distributed JOB, and running dozens of
+    # 32-task rounds over a few MB is pure scheduler overhead — at any
+    # scale the right shape is wide for the assignment pass (fan_out in
+    # the callers), narrow for the iterative fit
+    feats = train.coalesce(4).select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
     )
-    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(feats)
+    model = KMeans(
+        k=n_centroids, seed=seed, maxIter=max_iter, initMode=init_mode
+    ).fit(feats)
     centers = [
         (i + 1, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
     ]
@@ -380,11 +390,18 @@ def _coarse_centroids(
     n_centroids: int,
     strategy: str,
     seed: int,
+    max_iter: int = 20,
+    init_mode: str = "k-means||",
 ) -> DataFrame:
     """(centroid_id, __cent): the IVF coarse quantizer's centroid set."""
     if strategy == "kmeans":
         return kmeans_centroids(
-            corpus, vec_col=vec_col, n_centroids=n_centroids, seed=seed
+            corpus,
+            vec_col=vec_col,
+            n_centroids=n_centroids,
+            seed=seed,
+            max_iter=max_iter,
+            init_mode=init_mode,
         )
     if strategy == "lowest_id":
         w0 = Window.orderBy(F.col(id_col).asc())
@@ -444,6 +461,8 @@ def ivf_cosine_topk(
     n_probe: int = 4,
     centroids: str = "kmeans",
     seed: int = 42,
+    max_iter: int = 20,
+    init_mode: str = "k-means||",
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) coarse quantizer.
 
@@ -471,7 +490,8 @@ def ivf_cosine_topk(
     n_probe/n_centroids partition directories.
     """
     cents = _coarse_centroids(
-        corpus, vec_col, id_col, n_centroids, centroids, seed
+        corpus, vec_col, id_col, n_centroids, centroids, seed,
+        max_iter=max_iter, init_mode=init_mode,
     )
     lists = _assign_nearest(fan_out(corpus), cents, vec_col, id_col, "__cvec", 1)
     probes = _assign_nearest(queries, cents, vec_col, query_id_col, "__qvec", n_probe)
@@ -496,6 +516,8 @@ def build_ivf_index(
     centroids: str = "kmeans",
     seed: int = 42,
     train_fraction: float | None = None,
+    max_iter: int = 20,
+    init_mode: str = "k-means||",
 ) -> None:
     """Materialize an IVF index: inverted lists partitioned by centroid.
 
@@ -524,10 +546,13 @@ def build_ivf_index(
             n_centroids=n_centroids,
             seed=seed,
             train_fraction=train_fraction,
+            max_iter=max_iter,
+            init_mode=init_mode,
         )
     else:
         cents = _coarse_centroids(
-            corpus, vec_col, id_col, n_centroids, centroids, seed
+            corpus, vec_col, id_col, n_centroids, centroids, seed,
+            max_iter=max_iter, init_mode=init_mode,
         )
     lists = _assign_nearest(
         fan_out(corpus), cents, vec_col, id_col, "__vec", 1

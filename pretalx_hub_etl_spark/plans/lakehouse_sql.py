@@ -67,10 +67,31 @@ class LakehouseSqlCatalog:
             r = self.spark.read.format("lakehouse").option("path", path)
             if version is not None:
                 r = r.option("version", str(version))
-            return r.load()
+            # resolve the schema DRIVER-side (one manifest + one parquet
+            # footer) and pass it explicitly: without it Spark spins up
+            # a Python worker just to call DataSource.schema() on every
+            # load — a whole process round trip for one footer read
+            return r.schema(self._cow_schema(path, version)).load()
         from ..sinks.mor import MorTable
 
         return MorTable(path, key=key).read(self.spark, as_of=version)
+
+    def _cow_schema(self, path: str, version: int | None):
+        import os
+
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        from ..sinks.manifest import CommitLog
+
+        log = CommitLog(path)
+        v = log.current_version() if version is None else version
+        files, _ = log.files_for(v)
+        if not files:
+            raise FileNotFoundError(
+                f"lakehouse table at {path} has no data files in v{v}"
+            )
+        return from_arrow_schema(pq.ParquetFile(files[0]).schema_arrow)
 
     def _ensure_view(self, name: str, version: int | None) -> str:
         view = name if version is None else f"{name}__asof_{version}"

@@ -282,20 +282,25 @@ def q_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     thr = base.agg(F.max("c_custkey").alias("m")).collect()[0].m // 2
     root = tempfile.mkdtemp(prefix="phe_sql_travel_")
     sink = MergeSink(
-        os.path.join(root, "t"), key="c_custkey", cluster_by=("c_custkey", 8)
+        os.path.join(root, "t"), key="c_custkey", cluster_by=("c_custkey", 4)
+    )  # 4 range files: every scan partition is a Python-DS worker
+    # spin-up, so file count IS this fixture's cost (the pruning pin
+    # with 8 files lives in tests/test_lakehouse_sql.py)
+    # Fixture commits are DIRECT snapshot writes (each version's state
+    # computed relationally), not MERGEs: the operator under test here
+    # is the SQL READ surface over the commit log — S11/S15/S20 already
+    # exercise the MERGE write path, and two full-outer joins were pure
+    # parity-tail setup cost (r11 trim). The commit protocol (claim +
+    # manifest publish) is identical either way.
+    v2_state = base.withColumn(
+        "bal_cents",
+        F.when(
+            F.col("c_custkey") % 5 == 0, F.col("bal_cents") + 5000
+        ).otherwise(F.col("bal_cents")),
     )
     sink.init(base)  # v1
-    sink.merge(
-        spark,
-        base.filter(F.col("c_custkey") % 5 == 0).select(
-            "c_custkey", (F.col("bal_cents") + 5000).alias("bal_cents")
-        ),
-    )  # v2: upsert
-    sink.merge(
-        spark,
-        spark.createDataFrame([], base.schema),
-        deletes=base.filter(F.col("c_custkey") % 3 == 0).select("c_custkey"),
-    )  # v3: delete
+    sink._write(v2_state, 2)  # v2: upsert snapshot
+    sink._write(v2_state.filter(F.col("c_custkey") % 3 != 0), 3)  # v3: delete
     cat = LakehouseSqlCatalog(spark)
     cat.register_cow("t", sink.path)
     out = cat.sql(

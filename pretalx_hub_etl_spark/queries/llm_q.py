@@ -404,7 +404,16 @@ def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_cosine_topk(e, queries, k=10, n_centroids=16, n_probe=6)
+    # fixture constant (r11 parity-tail trim, the r8 page-halving
+    # precedent): 6 Lloyd iterations — at this corpus the MLlib cost is
+    # per-iteration JOB overhead, not data; k-means|| init (which does
+    # the heavy lifting for quantizer quality — random init measurably
+    # broke the recall floor) stays, and the floor in tests/test_llm.py
+    # re-verifies recall at the cheaper spec. The operator default
+    # remains 20 iterations for production quantizer quality.
+    return ivf_cosine_topk(
+        e, queries, k=10, n_centroids=16, n_probe=6, max_iter=6,
+    )
 
 
 @query("q_sim_topk_ivf_indexed", oracle=None)
@@ -426,7 +435,8 @@ def q_sim_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     idx = os.path.join(tempfile.mkdtemp(prefix="phe_ivf_"), "index")
-    build_ivf_index(e, idx, n_centroids=16)
+    # same trimmed quantizer spec as q_sim_topk_ivf (see note there)
+    build_ivf_index(e, idx, n_centroids=16, max_iter=6)
     return ivf_probe_topk(spark, idx, queries, k=10, n_probe=6)
 
 

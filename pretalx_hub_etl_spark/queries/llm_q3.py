@@ -440,10 +440,11 @@ def q_dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_stream_merge_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The streaming layer's first driver-gated CORRECTNESS row: replay
-    # the events table as a REAL multi-batch file stream (4 files, one
-    # microbatch each — halved from 8 in round 10's parity-tail trim;
-    # the equivalence argument below is file-count independent, the
-    # claim only needs GENUINELY multi-batch) through the foreachBatch
+    # the events table as a REAL multi-batch file stream (3 files, one
+    # microbatch each — 8 in r9, 4 in r10, 3 now: each batch is a fixed
+    # foreachBatch + CoW-commit cost, the equivalence argument below is
+    # file-count independent, and the claim only needs GENUINELY
+    # multi-batch) through the foreachBatch
     # incremental MERGE
     # (streaming/structured.py:merge_stream_into), then return the final
     # durable state table. Oracle = the one-shot batch answer (latest
@@ -469,7 +470,7 @@ def q_stream_merge_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tmp = tempfile.mkdtemp(prefix="phe_stream_equiv_")
     src_dir = os.path.join(tmp, "in")
-    e.repartition(4, "user_id").write.parquet(src_dir)
+    e.repartition(3, "user_id").write.parquet(src_dir)
 
     s2 = fixture_session(spark)
     stream = stream_from_parquet_dir(
@@ -540,11 +541,12 @@ def q_stream_mor_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tmp = tempfile.mkdtemp(prefix="phe_mor_stream_")
     src_dir = os.path.join(tmp, "in")
-    # 4 key-routed files -> 4 delta commits: the equivalence argument
+    # 3 key-routed files -> 3 delta commits: the equivalence argument
     # (each key resolved within its one batch) needs multi-batch, not
     # any particular count; 8 batches doubled the fixed foreachBatch
-    # cost for no stronger claim (round-8 review, Next #8)
-    e.repartition(4, "user_id").write.parquet(src_dir)
+    # cost for no stronger claim (round-8 review, Next #8; 4 -> 3 in
+    # r11's tail trim on the same reasoning)
+    e.repartition(3, "user_id").write.parquet(src_dir)
 
     s2 = fixture_session(spark)
     stream = stream_from_parquet_dir(

@@ -233,6 +233,54 @@ def main() -> int:
     if sample_n and not only:
         only = set(rotating_sample(list(qs), sample_n))
     todo = [(n, f) for n, f in qs.items() if not only or n in only]
+    if jobs > 1:
+        # Makespan scheduling, two rules (r11):
+        # 1. LPT for BATCH queries — start the historically slowest
+        #    first so a 12 s straggler scheduled last can't add nearly
+        #    its whole duration to the wall. Durations come from the
+        #    newest PARITY_r*.json; unknown (new) queries are assumed
+        #    slow and also go first.
+        # 2. STREAMING fixtures are LPT-ordered among themselves and
+        #    SPREAD EVENLY through the schedule (one per ~total/n_stream
+        #    slots): naive global LPT put the four heaviest streaming
+        #    fixtures in the pool's first four slots, and their
+        #    SIMULTANEOUS startups (StreamingQuery + foreachBatch py4j
+        #    callback machinery on the shared JVM) deadlocked ~half of
+        #    runs — all four blocked in py4j socket reads. Spacing makes
+        #    concurrent streaming STARTUPS rare again (the
+        #    empirically-safe pattern of registry order) while the
+        #    heaviest fixtures still start early enough not to straggle.
+        #    Pure scheduling — per-query work and records are unchanged.
+        import glob as _glob
+        import json as _json
+
+        hist: dict[str, float] = {}
+        arts = sorted(_glob.glob("/root/repo/PARITY_r*.json"))
+        if arts:
+            try:
+                with open(arts[-1]) as fh:
+                    prev = _json.load(fh).get("queries", {})
+                hist = {
+                    n: r.get("seconds", 0.0)
+                    for n, r in prev.items()
+                    if isinstance(r, dict)
+                }
+            except (OSError, ValueError):
+                hist = {}
+        streaming = [nf for nf in todo if nf[0].startswith("q_stream_")]
+        batch = [nf for nf in todo if not nf[0].startswith("q_stream_")]
+        batch.sort(key=lambda nf: -hist.get(nf[0], 1e9))
+        streaming.sort(key=lambda nf: -hist.get(nf[0], 1e9))
+        if streaming:
+            total = len(todo)
+            slots = {
+                (i * total) // len(streaming): nf
+                for i, nf in enumerate(streaming)
+            }
+            mixed, bi = [], iter(batch)
+            for pos in range(total):
+                mixed.append(slots[pos] if pos in slots else next(bi))
+            todo = mixed
     results: dict[str, dict] = {}
     failures: list[str] = []
     t_sweep = time.time()

@@ -314,3 +314,71 @@ def q_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# --- S25: DataFrame/SQL WRITE surface of the commit protocol ------------------
+
+
+@query(
+    "q_sink_sql_write",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey % 4 = 0
+    ), extra AS (
+        SELECT o_orderkey + 10000000 AS o_orderkey, cents + 1 AS cents
+        FROM base WHERE o_orderkey % 3 = 0
+    ), cur AS (
+        SELECT * FROM base UNION ALL SELECT * FROM extra
+    )
+    SELECT 'v1' AS snapshot, o_orderkey, cents FROM base
+    UNION ALL
+    SELECT 'v2' AS snapshot, o_orderkey, cents FROM cur
+    """,
+)
+def q_sink_sql_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S25: df.write.format("lakehouse") — the WRITE half of the SQL
+    # surface (S23 is the read half): mode("overwrite") creates version
+    # 1 through the same two-phase commit the engine sinks use (staged
+    # parquet per task -> atomic rename-claim -> manifest publish);
+    # mode("append") commits version 2 reusing v1's immutable files via
+    # hardlinks plus the new files — O(delta) append with full-snapshot
+    # versions. The query returns the as-of-v1 and current reads side by
+    # side THROUGH the SQL catalog, so a writer that dropped rows,
+    # double-linked files, or broke version isolation hash-fails against
+    # the relational recomputation. OCC under concurrent appends and the
+    # append schema guard are pinned in tests/test_lakehouse_sql.py.
+    import shutil
+
+    from ..plans.lakehouse_sql import LakehouseSqlCatalog
+    from ..sources.lakehouse_ds import register
+
+    register(spark)  # the writes below resolve format("lakehouse")
+    base = (
+        Catalog(spark, sf_dir)
+        .orders.filter(F.col("o_orderkey") % 4 == 0)
+        .select("o_orderkey", fixed_cents(F.col("o_totalprice")).alias("cents"))
+    )
+    root = tempfile.mkdtemp(prefix="phe_sql_write_")
+    path = os.path.join(root, "t")
+    base.repartition(2).write.format("lakehouse").option(
+        "path", path
+    ).mode("overwrite").save()  # v1
+    base.filter(F.col("o_orderkey") % 3 == 0).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        (F.col("cents") + 1).alias("cents"),
+    ).repartition(1).write.format("lakehouse").option("path", path).mode(
+        "append"
+    ).save()  # v2 = v1 files (hardlinked) + the delta
+    cat = LakehouseSqlCatalog(spark)
+    cat.register_cow("wt", path)
+    out = cat.sql(
+        """
+        SELECT 'v1' AS snapshot, o_orderkey, cents FROM wt VERSION AS OF 1
+        UNION ALL
+        SELECT 'v2' AS snapshot, o_orderkey, cents FROM wt
+        """
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out

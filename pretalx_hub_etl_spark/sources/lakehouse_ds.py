@@ -43,9 +43,21 @@ from __future__ import annotations
 
 
 def build_lakehouse_source():
-    """The ``lakehouse`` DataSource class (local for by-value pickling)."""
+    """The ``lakehouse`` DataSource class (local for by-value pickling).
+
+    Known planner limitation (pinned by the plan in
+    tests/test_lakehouse_sql.py evolution): Spark 4.1 does not push
+    COLUMN pruning into Python data sources — the BatchScan's ReadSchema
+    is always the full table schema, so a 2-column projection still
+    decodes every column in the Python reader. Filters DO reach
+    ``pushFilters``. The engine API (``MergeSink.read_pruned``) keeps
+    both prunings via the native parquet scan.
+    """
+    import dataclasses
+
     from pyspark.sql.datasource import (
         DataSource,
+        DataSourceArrowWriter,
         DataSourceReader,
         EqualNullSafe,
         EqualTo,
@@ -57,8 +69,14 @@ def build_lakehouse_source():
         IsNull,
         LessThan,
         LessThanOrEqual,
+        WriterCommitMessage,
     )
     from pyspark.sql.types import StructType
+
+    @dataclasses.dataclass
+    class _WroteFile(WriterCommitMessage):
+        rel: str
+        rows: int
 
     class _FilePart(InputPartition):
         def __init__(self, path: str, columns: list[str]):
@@ -119,6 +137,231 @@ def build_lakehouse_source():
             if e.get("role", "data") == "data"
         ]
         return version, entries, path
+
+    # -- write side (inline mirrors of sinks/manifest.py: the writer
+    # ships by value into Spark's Python workers, which cannot import
+    # the engine package) --------------------------------------------------
+
+    def _file_stats(path: str) -> dict:
+        import os
+
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        cols: dict = {}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                name = c.path_in_schema
+                if "." in name:
+                    continue
+                st = c.statistics
+                ent = cols.setdefault(
+                    name, {"min": None, "max": None, "null_count": 0}
+                )
+                if st is None or not st.has_min_max:
+                    ent["min"] = ent["max"] = None
+                    ent.setdefault("no_range", True)
+                    continue
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes):
+                    try:
+                        mn, mx = mn.decode(), mx.decode()
+                    except UnicodeDecodeError:
+                        ent["no_range"] = True
+                        continue
+                if hasattr(mn, "isoformat"):
+                    mn, mx = mn.isoformat(), mx.isoformat()
+                if not isinstance(mn, (int, float, str, bool)):
+                    ent["no_range"] = True
+                    continue
+                if ent.get("no_range"):
+                    continue
+                ent["min"] = mn if ent["min"] is None else min(ent["min"], mn)
+                ent["max"] = mx if ent["max"] is None else max(ent["max"], mx)
+                if st.null_count is not None:
+                    ent["null_count"] += st.null_count
+        return {
+            "rows": md.num_rows,
+            "bytes": os.path.getsize(path),
+            "columns": {
+                k: v for k, v in cols.items() if not v.pop("no_range", False)
+            },
+        }
+
+    def _publish(table_path: str, manifest: dict) -> None:
+        import json
+        import os
+        import uuid
+
+        mdir = os.path.join(table_path, "_manifest")
+        os.makedirs(mdir, exist_ok=True)
+        tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, separators=(",", ":"))
+        os.rename(tmp, os.path.join(mdir, f"{manifest['version']}.json"))
+        # advance the _latest hint (never regress; it is only a hint)
+        hint = os.path.join(mdir, "_latest")
+        try:
+            with open(hint) as fh:
+                cur = int(fh.read().strip() or 0)
+        except (FileNotFoundError, ValueError):
+            cur = 0
+        if manifest["version"] > cur:
+            tmp2 = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
+            with open(tmp2, "w") as fh:
+                fh.write(str(manifest["version"]))
+            os.rename(tmp2, hint)
+
+    class _LakehouseWriter(DataSourceArrowWriter):
+        """``df.write.format("lakehouse")`` — the DataFrame/SQL WRITE
+        surface of the commit protocol. Each task stages one parquet
+        file into a hidden stage dir; ``commit`` turns the stage into
+        the next version via the SAME atomic rename-claim + manifest
+        publish the engine sinks use (two-phase: the rename claims the
+        number, the manifest makes it visible; a loser of the rename
+        race retries the next number). ``mode("overwrite")`` commits a
+        snapshot of exactly the written data; ``mode("append")`` reuses
+        the current version's files via HARDLINKS (immutable files, so
+        link-sharing is the local-FS spelling of the file-reuse real
+        formats get from referencing shared objects — vacuum of the old
+        version cannot corrupt the new one, the inode outlives the
+        directory entry) plus the new files. Layout extras
+        (partition_by / cluster_by / MERGE) stay on the engine API."""
+
+        def __init__(self, options, overwrite: bool):
+            import os
+            import uuid
+
+            self.path = options["path"]
+            self.overwrite = overwrite
+            os.makedirs(self.path, exist_ok=True)
+            self.stage = os.path.join(
+                self.path, f".stage-{uuid.uuid4().hex}"
+            )
+            os.makedirs(self.stage)
+
+        def write(self, iterator):
+            import os
+            import uuid
+
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            rel = f"part-{uuid.uuid4().hex}.parquet"
+            out = os.path.join(self.stage, rel)
+            writer = None
+            rows = 0
+            for batch in iterator:
+                if writer is None:
+                    writer = pq.ParquetWriter(out, batch.schema)
+                writer.write_table(pa.Table.from_batches([batch]))
+                rows += batch.num_rows
+            if writer is None:
+                return _WroteFile(rel="", rows=0)
+            writer.close()
+            return _WroteFile(rel=rel, rows=rows)
+
+        def commit(self, messages):
+            import os
+            import shutil
+
+            try:
+                new_rels = [
+                    m.rel for m in messages if m is not None and m.rel
+                ]
+                while True:
+                    base = _current_version(self.path)
+                    if base == 0 and os.path.exists(
+                        os.path.join(self.path, "v1")
+                    ):
+                        raise FileExistsError(
+                            f"{self.path} has version directories but no "
+                            "commit log (legacy table): write through "
+                            "MergeSink, or heal its manifests first"
+                        )
+                    linked: list[str] = []
+                    if not self.overwrite and base > 0:
+                        m = _manifest(self.path, base)
+                        vdir = os.path.join(self.path, f"v{base}")
+                        if new_rels and m["files"]:
+                            # append must not mix schemas in one version
+                            # (evolution is the engine API's opt-in MERGE
+                            # feature): compare column-name sets from the
+                            # parquet footers
+                            import pyarrow.parquet as pq
+
+                            new_cols = set(
+                                pq.ParquetFile(
+                                    os.path.join(self.stage, new_rels[0])
+                                ).schema_arrow.names
+                            )
+                            old_cols = set(
+                                pq.ParquetFile(
+                                    os.path.join(
+                                        vdir, m["files"][0]["path"]
+                                    )
+                                ).schema_arrow.names
+                            )
+                            if new_cols != old_cols:
+                                raise ValueError(
+                                    f"append schema {sorted(new_cols)} != "
+                                    f"table schema {sorted(old_cols)}; "
+                                    "schema evolution goes through "
+                                    "MergeSink.merge(allow_evolution=True)"
+                                )
+                        for ent in m["files"]:
+                            dst = os.path.join(self.stage, ent["path"])
+                            if os.path.exists(dst):  # retry leftovers
+                                linked.append(ent["path"])
+                                continue
+                            os.makedirs(
+                                os.path.dirname(dst), exist_ok=True
+                            )
+                            src = os.path.join(vdir, ent["path"])
+                            try:
+                                os.link(src, dst)
+                            except OSError:
+                                shutil.copy2(src, dst)
+                            linked.append(ent["path"])
+                    open(os.path.join(self.stage, "_SUCCESS"), "w").close()
+                    version = base + 1
+                    while os.path.exists(
+                        os.path.join(self.path, f"v{version}")
+                    ):
+                        version += 1  # step past torn claims
+                    files = []
+                    for rel in sorted(set(new_rels) | set(linked)):
+                        ent = {"path": rel, "role": "data"}
+                        ent.update(
+                            _file_stats(os.path.join(self.stage, rel))
+                        )
+                        files.append(ent)
+                    final = os.path.join(self.path, f"v{version}")
+                    try:
+                        os.rename(self.stage, final)
+                    except OSError:
+                        # lost the claim race: previous-version file set
+                        # may have changed — unlink our borrowed links
+                        # and recompute against the new current version
+                        for rel in linked:
+                            try:
+                                os.remove(os.path.join(self.stage, rel))
+                            except FileNotFoundError:
+                                pass
+                        continue
+                    _publish(
+                        self.path, {"version": version, "files": files}
+                    )
+                    return
+            finally:
+                shutil.rmtree(self.stage, ignore_errors=True)
+
+        def abort(self, messages):
+            import shutil
+
+            shutil.rmtree(self.stage, ignore_errors=True)
 
     def _file_survives(ent: dict, flt) -> bool:
         """Sound manifest skipping for ONE pushed conjunct: False only
@@ -210,6 +453,9 @@ def build_lakehouse_source():
 
         def reader(self, schema: StructType):
             return _LakehouseReader(self.options, schema.fieldNames())
+
+        def writer(self, schema: StructType, overwrite: bool):
+            return _LakehouseWriter(self.options, overwrite)
 
     return LakehouseDataSource
 

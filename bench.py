@@ -99,6 +99,10 @@ HEADLINE = [
     "q_sink_time_travel_mor",  # MoR as-of delta-chain replay
     "q_sink_merge_evolve",  # MERGE automatic schema evolution
     "q_stream_cdc_mor",     # streaming CDC source: offsets = versions
+    # round-11 additions
+    "q_sql_time_travel",    # SQL surface: VERSION AS OF + planner skipping
+    "q_sink_merge_mor_dv",  # MoR position deletes (deletion vectors)
+    "q_sink_sql_write",     # DataFrame write surface: OCC + hardlink appends
 ]
 
 

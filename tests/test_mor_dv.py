@@ -141,6 +141,20 @@ def test_dv_write_amplification_below_state_size(spark, tmp_path):
     assert t.read(spark).count() == 4950
 
 
+def test_dv_read_plan_broadcasts_dv_set(spark, tmp_path):
+    # plan pin (PLANS.md marks the registered query n/a because it
+    # returns a materialized result): the DV resolution joins the data
+    # events against the position-delete set via BROADCAST — the DV set
+    # is delete-sized, never data-sized — and adds no sort-merge join
+    # (the only shuffle in a MoR read stays the latest-wins key window)
+    t = _table(spark, tmp_path, n=50)
+    t.merge(spark, spark.createDataFrame([(1, 111)], "k long, v long"))
+    t.delete_where(spark, F.col("k") % 9 == 0)
+    plan = t.read(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_delete_positions_rejects_bad_schema(spark, tmp_path):
     t = _table(spark, tmp_path, n=5)
     with pytest.raises(Exception):

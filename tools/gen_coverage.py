@@ -47,6 +47,15 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
         ("S22", "MERGE automatic schema evolution (opt-in, "
          "history-preserving)",
          ["q_sink_merge_evolve"]),
+        ("S23", "lakehouse SQL surface: VERSION AS OF + manifest "
+         "skipping via pushFilters in the planner",
+         ["q_sql_time_travel"]),
+        ("S24", "MoR position deletes (deletion vectors): delete by "
+         "(file, row-position), tombstone-identical reads",
+         ["q_sink_merge_mor_dv"]),
+        ("S25", "lakehouse DataFrame/SQL write surface: staged commits, "
+         "OCC, hardlink-reuse appends",
+         ["q_sink_sql_write"]),
         ("S10", "malformed-record handling (PERMISSIVE + corrupt-record column)",
          ["q_scan_badrecords"]),
         ("S11", "version retention vacuum on the MERGE table",

@@ -104,6 +104,13 @@ QUERIES = [
     "q_sink_roundtrip_avro",
     "q_fn_udtf_table_arg",
     "q_stream_pyds_parallel",
+    # round-11 additions: the SQL surface + DV queries ride the
+    # replicated customer/orders tables — per-commit cost is file-count
+    # bound, data cost input-linear; the DV read adds one broadcast join
+    # of a delete set that grows with the matched rows
+    "q_sql_time_travel",
+    "q_sink_merge_mor_dv",
+    "q_sink_sql_write",
 ]
 
 # inherently super-linear OUTPUT at fixed parameters (not a plan defect)

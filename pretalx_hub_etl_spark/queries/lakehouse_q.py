@@ -352,9 +352,8 @@ def q_sink_sql_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     from ..plans.lakehouse_sql import LakehouseSqlCatalog
-    from ..sources.lakehouse_ds import register
+    from ..sources.lakehouse_ds import write_table
 
-    register(spark)  # the writes below resolve format("lakehouse")
     base = (
         Catalog(spark, sf_dir)
         .orders.filter(F.col("o_orderkey") % 4 == 0)
@@ -362,15 +361,18 @@ def q_sink_sql_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     root = tempfile.mkdtemp(prefix="phe_sql_write_")
     path = os.path.join(root, "t")
-    base.repartition(2).write.format("lakehouse").option(
-        "path", path
-    ).mode("overwrite").save()  # v1
-    base.filter(F.col("o_orderkey") % 3 == 0).select(
-        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
-        (F.col("cents") + 1).alias("cents"),
-    ).repartition(1).write.format("lakehouse").option("path", path).mode(
-        "append"
-    ).save()  # v2 = v1 files (hardlinked) + the delta
+    # write_table, not raw format(): it pins the JVM thread-local active
+    # session, so this query also works from a worker thread (the parity
+    # sweep runs queries from a thread pool — see write_table docstring)
+    write_table(base.repartition(2), path, mode="overwrite")  # v1
+    write_table(
+        base.filter(F.col("o_orderkey") % 3 == 0).select(
+            (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+            (F.col("cents") + 1).alias("cents"),
+        ).repartition(1),
+        path,
+        mode="append",
+    )  # v2 = v1 files (hardlinked) + the delta
     cat = LakehouseSqlCatalog(spark)
     cat.register_cow("wt", path)
     out = cat.sql(

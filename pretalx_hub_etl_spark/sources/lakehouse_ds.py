@@ -460,6 +460,26 @@ def build_lakehouse_source():
     return LakehouseDataSource
 
 
+def write_table(df, path: str, mode: str = "append") -> None:
+    """``df.write.format("lakehouse")`` with the thread-local
+    active-session guard. Spark resolves PYTHON data sources on the
+    WRITE path through the JVM's thread-local active session (the read
+    path resolves through the session object itself), so a ``save()``
+    issued from any thread that never set one — a ThreadPoolExecutor
+    worker, a foreachBatch callback — dies with
+    ``ClassNotFoundException: lakehouse.DefaultSource`` even though the
+    source is registered. Pinning the active session first is one JVM
+    call and harmless on the main thread; this helper is the supported
+    write entry point, ``format("lakehouse")`` directly is fine from
+    the session's own thread."""
+    spark = df.sparkSession
+    register(spark)
+    spark._jvm.org.apache.spark.sql.SparkSession.setActiveSession(
+        spark._jsparkSession
+    )
+    df.write.format("lakehouse").option("path", path).mode(mode).save()
+
+
 def register(spark) -> None:
     """Idempotently register the ``lakehouse`` batch source (same
     inherited-session caveat as pyds.register)."""

@@ -103,6 +103,7 @@ HEADLINE = [
     "q_sql_time_travel",    # SQL surface: VERSION AS OF + planner skipping
     "q_sink_merge_mor_dv",  # MoR position deletes (deletion vectors)
     "q_sink_sql_write",     # DataFrame write surface: OCC + hardlink appends
+    "q_sql_dml",            # SQL INSERT/UPDATE/DELETE (MoR DELETE = DVs)
 ]
 
 

@@ -316,6 +316,66 @@ def q_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# --- S26: SQL DML — INSERT / UPDATE / DELETE / maintenance statements --------
+
+
+@query(
+    "q_sql_dml",
+    oracle="""
+    WITH base AS (
+        SELECT c_custkey AS k,
+               CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM customer
+    ), inserted AS (
+        SELECT k, cents FROM base
+        UNION ALL
+        SELECT k + 1000000 AS k, cents + 7 AS cents
+        FROM base WHERE k % 9 = 0
+    ), updated AS (
+        SELECT k,
+               CASE WHEN k % 5 = 0 THEN cents + 5000 ELSE cents END AS cents
+        FROM inserted
+    )
+    SELECT k, cents FROM updated WHERE k % 3 <> 0
+    """,
+)
+def q_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S26: the DML statements a warehouse user expects, over the MoR
+    # table — INSERT (a keyed upsert delta), UPDATE (recomputed matched
+    # rows as a delta), DELETE (a POSITION-DELETE commit: the SQL face
+    # of S24's deletion vectors — the statement writes (file, row)
+    # pairs, never key values), then the final SELECT through the same
+    # catalog. Four commits, each O(its delta); the oracle recomputes
+    # the final state relationally, so a DML statement that missed rows,
+    # resurrected DV-shadowed history, or leaked deletes hash-fails.
+    # Statement coverage incl. VACUUM/OPTIMIZE and the CoW twins is in
+    # tests/test_lakehouse_sql.py.
+    import shutil
+
+    from ..plans.lakehouse_sql import LakehouseSqlCatalog
+    from ..sinks.mor import MorTable
+
+    base = Catalog(spark, sf_dir).customer.select(
+        F.col("c_custkey").alias("k"),
+        fixed_cents(F.col("c_acctbal")).alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="phe_sql_dml_")
+    t = MorTable(os.path.join(root, "t"), key="k")
+    t.init(base)  # v1
+    cat = LakehouseSqlCatalog(spark)
+    cat.register_mor("dml_t", t.path, key="k")
+    cat.sql(
+        "INSERT INTO dml_t "
+        "SELECT k + 1000000 AS k, cents + 7 AS cents "
+        "FROM dml_t WHERE k % 9 = 0"
+    )  # v2: upsert delta (reads the registered table itself)
+    cat.sql("UPDATE dml_t SET cents = cents + 5000 WHERE k % 5 = 0")  # v3
+    cat.sql("DELETE FROM dml_t WHERE k % 3 = 0")  # v4: deletion vectors
+    out = cat.sql("SELECT k, cents FROM dml_t").localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 # --- S25: DataFrame/SQL WRITE surface of the commit protocol ------------------
 
 

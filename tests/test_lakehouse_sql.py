@@ -219,6 +219,68 @@ def test_writer_rejects_legacy_table(spark, tmp_path):
         _write(spark.range(3).selectExpr("id AS k"), root, "append")
 
 
+def test_sql_dml_on_cow_table(spark, tmp_path):
+    cat = LakehouseSqlCatalog(spark)
+    path = str(tmp_path / "dmlc")
+    sink = MergeSink(path, key="k")
+    sink.init(spark.range(10).selectExpr("id AS k", "id * 10 AS v"))
+    cat.register_cow("dc", path, key="k")
+    r = cat.sql("INSERT INTO dc VALUES (100, 1), (101, 2)").collect()[0]
+    assert (r.operation, r.version) == ("insert", 2)
+    cat.sql("UPDATE dc SET v = v + least(1000, 2000) WHERE k % 2 = 0")
+    cat.sql("DELETE FROM dc WHERE k >= 100")
+    state = {row.k: row.v for row in cat.sql("SELECT * FROM dc").collect()}
+    assert state == {
+        k: k * 10 + (1000 if k % 2 == 0 else 0) for k in range(10)
+    }
+    # every statement was a commit; history is still time-travelable
+    old = {row.k for row in cat.sql("SELECT k FROM dc VERSION AS OF 2").collect()}
+    assert {100, 101} <= old
+    cat.sql("VACUUM dc RETAIN 1")
+    with pytest.raises(Exception):
+        cat.sql("SELECT * FROM dc VERSION AS OF 2").collect()
+
+
+def test_sql_dml_on_mor_table_delete_is_a_dv(spark, tmp_path):
+    cat = LakehouseSqlCatalog(spark)
+    path = str(tmp_path / "dmlm")
+    t = MorTable(path, key="k")
+    t.init(spark.range(8).selectExpr("id AS k", "id AS v"))
+    cat.register_mor("dm", path, key="k")
+    cat.sql("INSERT INTO dm SELECT 3 AS k, 333 AS v")  # keyed upsert
+    cat.sql("UPDATE dm SET v = -v WHERE k = 0")
+    out = cat.sql("DELETE FROM dm WHERE k IN (1, 5)")
+    v_del = out.collect()[0].version
+    # the SQL DELETE committed POSITION deletes (S24), not key tombstones
+    assert t._commit_view(v_del)[2] is not None
+    assert t._commit_view(v_del)[1] is None
+    state = {row.k: row.v for row in cat.sql("SELECT * FROM dm").collect()}
+    assert state == {0: 0, 2: 2, 3: 333, 4: 4, 6: 6, 7: 7}
+    assert state[0] == 0 or True  # k=0 updated to -0 == 0
+    cat.sql("OPTIMIZE dm")  # compact
+    assert t._chain()[0] == t._chain()[1][0]
+    assert cat.sql("VACUUM dm").collect()[0].operation == "vacuum"
+    assert {row.k for row in cat.sql("SELECT k FROM dm").collect()} == {
+        0, 2, 3, 4, 6, 7,
+    }
+
+
+def test_sql_dml_errors(spark, tmp_path):
+    cat = LakehouseSqlCatalog(spark)
+    path = str(tmp_path / "dmle")
+    MergeSink(path, key="k").init(spark.range(3).selectExpr("id AS k"))
+    cat.register_cow("de", path)  # no key
+    with pytest.raises(ValueError, match="merge key"):
+        cat.sql("DELETE FROM de WHERE k = 1")
+    with pytest.raises(ValueError, match="unregistered"):
+        cat.sql("INSERT INTO ghost VALUES (1)")
+    cat.register_cow("de2", path, key="k")
+    with pytest.raises(ValueError, match="malformed SET"):
+        cat.sql("UPDATE de2 SET nonsense WHERE k = 1")
+    with pytest.raises(ValueError, match="cluster spec"):
+        cat.sql("OPTIMIZE de2")
+
+
 def test_mor_table_through_sql_catalog(spark, tmp_path):
     t = MorTable(str(tmp_path / "m"), key="k")
     t.init(spark.range(6).selectExpr("id AS k", "id AS v"))

@@ -56,6 +56,9 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
         ("S25", "lakehouse DataFrame/SQL write surface: staged commits, "
          "OCC, hardlink-reuse appends",
          ["q_sink_sql_write"]),
+        ("S26", "SQL DML: INSERT/UPDATE/DELETE (MoR DELETE = deletion "
+         "vectors) + VACUUM/OPTIMIZE statements",
+         ["q_sql_dml"]),
         ("S10", "malformed-record handling (PERMISSIVE + corrupt-record column)",
          ["q_scan_badrecords"]),
         ("S11", "version retention vacuum on the MERGE table",

@@ -111,6 +111,7 @@ QUERIES = [
     "q_sql_time_travel",
     "q_sink_merge_mor_dv",
     "q_sink_sql_write",
+    "q_sql_dml",
 ]
 
 # inherently super-linear OUTPUT at fixed parameters (not a plan defect)

@@ -104,6 +104,7 @@ HEADLINE = [
     "q_sink_merge_mor_dv",  # MoR position deletes (deletion vectors)
     "q_sink_sql_write",     # DataFrame write surface: OCC + hardlink appends
     "q_sql_dml",            # SQL INSERT/UPDATE/DELETE (MoR DELETE = DVs)
+    "q_stream_sink_lakehouse",  # exactly-once streaming sink, 1 version/batch
 ]
 
 

@@ -316,6 +316,70 @@ def q_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# --- ST16: exactly-once streaming sink into the lakehouse table --------------
+
+
+@query(
+    "q_stream_sink_lakehouse",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+    FROM orders WHERE o_orderkey % 2 = 0
+    """,
+)
+def q_stream_sink_lakehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ST16: `writeStream.format("lakehouse")` — a REAL streaming query
+    # appending into the versioned table, one COMMIT PER MICROBATCH
+    # through the same claim+publish protocol as every other writer,
+    # with the batch id stamped into the manifest: restart replay of an
+    # already-committed batch is a no-op (exactly-once = committed
+    # offsets + idempotent version commits; replay and restart pinned in
+    # tests/test_lakehouse_sql.py). 3 key-routed input files -> 3
+    # microbatches -> 3 versions, each reusing the previous version's
+    # immutable files via hardlinks (O(delta) per batch, full-snapshot
+    # versions). The final read must equal the one-shot batch answer —
+    # append-only streams make that the whole-input identity, which the
+    # oracle recomputes relationally.
+    import shutil
+
+    from ..sinks.merge import MergeSink
+    from ..sources.lakehouse_ds import register
+
+    # MAIN session, like q_stream_pyds: Python DataSource registration
+    # does not survive into a newSession's lookup path
+    register(spark)
+    e = Catalog(spark, sf_dir).orders.filter(
+        F.col("o_orderkey") % 2 == 0
+    ).select(
+        "o_orderkey", fixed_cents(F.col("o_totalprice")).alias("cents")
+    )
+    root = tempfile.mkdtemp(prefix="phe_stream_lh_")
+    src, table, ckpt = (os.path.join(root, d) for d in ("in", "t", "ckpt"))
+    e.repartition(3, "o_orderkey").write.parquet(src)
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.format("lakehouse")
+        .option("path", table)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = (
+        MergeSink(table, key="o_orderkey")
+        .read(spark)
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 # --- S26: SQL DML — INSERT / UPDATE / DELETE / maintenance statements --------
 
 

@@ -59,6 +59,7 @@ def build_lakehouse_source():
         DataSource,
         DataSourceArrowWriter,
         DataSourceReader,
+        DataSourceStreamArrowWriter,
         EqualNullSafe,
         EqualTo,
         GreaterThan,
@@ -264,97 +265,15 @@ def build_lakehouse_source():
             return _WroteFile(rel=rel, rows=rows)
 
         def commit(self, messages):
-            import os
             import shutil
 
             try:
                 new_rels = [
                     m.rel for m in messages if m is not None and m.rel
                 ]
-                while True:
-                    base = _current_version(self.path)
-                    if base == 0 and os.path.exists(
-                        os.path.join(self.path, "v1")
-                    ):
-                        raise FileExistsError(
-                            f"{self.path} has version directories but no "
-                            "commit log (legacy table): write through "
-                            "MergeSink, or heal its manifests first"
-                        )
-                    linked: list[str] = []
-                    if not self.overwrite and base > 0:
-                        m = _manifest(self.path, base)
-                        vdir = os.path.join(self.path, f"v{base}")
-                        if new_rels and m["files"]:
-                            # append must not mix schemas in one version
-                            # (evolution is the engine API's opt-in MERGE
-                            # feature): compare column-name sets from the
-                            # parquet footers
-                            import pyarrow.parquet as pq
-
-                            new_cols = set(
-                                pq.ParquetFile(
-                                    os.path.join(self.stage, new_rels[0])
-                                ).schema_arrow.names
-                            )
-                            old_cols = set(
-                                pq.ParquetFile(
-                                    os.path.join(
-                                        vdir, m["files"][0]["path"]
-                                    )
-                                ).schema_arrow.names
-                            )
-                            if new_cols != old_cols:
-                                raise ValueError(
-                                    f"append schema {sorted(new_cols)} != "
-                                    f"table schema {sorted(old_cols)}; "
-                                    "schema evolution goes through "
-                                    "MergeSink.merge(allow_evolution=True)"
-                                )
-                        for ent in m["files"]:
-                            dst = os.path.join(self.stage, ent["path"])
-                            if os.path.exists(dst):  # retry leftovers
-                                linked.append(ent["path"])
-                                continue
-                            os.makedirs(
-                                os.path.dirname(dst), exist_ok=True
-                            )
-                            src = os.path.join(vdir, ent["path"])
-                            try:
-                                os.link(src, dst)
-                            except OSError:
-                                shutil.copy2(src, dst)
-                            linked.append(ent["path"])
-                    open(os.path.join(self.stage, "_SUCCESS"), "w").close()
-                    version = base + 1
-                    while os.path.exists(
-                        os.path.join(self.path, f"v{version}")
-                    ):
-                        version += 1  # step past torn claims
-                    files = []
-                    for rel in sorted(set(new_rels) | set(linked)):
-                        ent = {"path": rel, "role": "data"}
-                        ent.update(
-                            _file_stats(os.path.join(self.stage, rel))
-                        )
-                        files.append(ent)
-                    final = os.path.join(self.path, f"v{version}")
-                    try:
-                        os.rename(self.stage, final)
-                    except OSError:
-                        # lost the claim race: previous-version file set
-                        # may have changed — unlink our borrowed links
-                        # and recompute against the new current version
-                        for rel in linked:
-                            try:
-                                os.remove(os.path.join(self.stage, rel))
-                            except FileNotFoundError:
-                                pass
-                        continue
-                    _publish(
-                        self.path, {"version": version, "files": files}
-                    )
-                    return
+                _commit_version(
+                    self.path, self.stage, new_rels, self.overwrite
+                )
             finally:
                 shutil.rmtree(self.stage, ignore_errors=True)
 
@@ -362,6 +281,205 @@ def build_lakehouse_source():
             import shutil
 
             shutil.rmtree(self.stage, ignore_errors=True)
+
+    def _commit_version(
+        path: str,
+        stage: str,
+        new_rels: list[str],
+        overwrite: bool,
+        batch_id: int | None = None,
+    ) -> int:
+        """Turn a staged file set into the table's next version: append
+        mode hardlinks the current version's files in first, the rename
+        claims the number, the manifest publish makes it visible; a
+        rename-race loser recomputes against the new current state.
+        Shared by the batch writer and the streaming sink (which stamps
+        ``stream_batch_id`` into the manifest for replay dedup)."""
+        import os
+        import shutil
+
+        while True:
+            base = _current_version(path)
+            if base == 0 and os.path.exists(os.path.join(path, "v1")):
+                raise FileExistsError(
+                    f"{path} has version directories but no commit log "
+                    "(legacy table): write through MergeSink, or heal "
+                    "its manifests first"
+                )
+            linked: list[str] = []
+            if not overwrite and base > 0:
+                m = _manifest(path, base)
+                vdir = os.path.join(path, f"v{base}")
+                if new_rels and m["files"]:
+                    # append must not mix schemas in one version
+                    # (evolution is the engine API's opt-in MERGE
+                    # feature): compare column-name sets from footers
+                    import pyarrow.parquet as pq
+
+                    new_cols = set(
+                        pq.ParquetFile(
+                            os.path.join(stage, new_rels[0])
+                        ).schema_arrow.names
+                    )
+                    old_cols = set(
+                        pq.ParquetFile(
+                            os.path.join(vdir, m["files"][0]["path"])
+                        ).schema_arrow.names
+                    )
+                    if new_cols != old_cols:
+                        raise ValueError(
+                            f"append schema {sorted(new_cols)} != "
+                            f"table schema {sorted(old_cols)}; schema "
+                            "evolution goes through "
+                            "MergeSink.merge(allow_evolution=True)"
+                        )
+                for ent in m["files"]:
+                    dst = os.path.join(stage, ent["path"])
+                    if os.path.exists(dst):  # retry leftovers
+                        linked.append(ent["path"])
+                        continue
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    src = os.path.join(vdir, ent["path"])
+                    try:
+                        os.link(src, dst)
+                    except OSError:
+                        shutil.copy2(src, dst)
+                    linked.append(ent["path"])
+            open(os.path.join(stage, "_SUCCESS"), "w").close()
+            version = base + 1
+            while os.path.exists(os.path.join(path, f"v{version}")):
+                version += 1  # step past torn claims
+            files = []
+            for rel in sorted(set(new_rels) | set(linked)):
+                ent = {"path": rel, "role": "data"}
+                ent.update(_file_stats(os.path.join(stage, rel)))
+                files.append(ent)
+            final = os.path.join(path, f"v{version}")
+            try:
+                os.rename(stage, final)
+            except OSError:
+                # lost the claim race: previous-version file set may
+                # have changed — unlink our borrowed links and recompute
+                # against the new current version
+                for rel in linked:
+                    try:
+                        os.remove(os.path.join(stage, rel))
+                    except FileNotFoundError:
+                        pass
+                continue
+            manifest = {"version": version, "files": files}
+            if batch_id is not None:
+                manifest["stream_batch_id"] = batch_id
+            _publish(path, manifest)
+            return version
+
+    def _last_stream_batch_id(path: str) -> int:
+        """Newest ``stream_batch_id`` on the manifest chain (walking
+        down from current; non-stream commits may interleave), -1 when
+        no streaming commit exists / history was vacuumed past them."""
+        v = _current_version(path)
+        while v >= 1:
+            try:
+                m = _manifest(path, v)
+            except FileNotFoundError:
+                return -1  # vacuumed below: nothing older survives
+            if "stream_batch_id" in m:
+                return int(m["stream_batch_id"])
+            v -= 1
+        return -1
+
+    class _LakehouseStreamWriter(DataSourceStreamArrowWriter):
+        """``writeStream.format("lakehouse")`` — EXACTLY-ONCE streaming
+        appends: every microbatch becomes one table version through the
+        same commit protocol as the batch writer, with the batch id
+        stamped into the manifest. After a restart Spark replays the
+        last uncommitted-to-sink batch; ``commit`` sees its id is
+        already at-or-below the newest stamped id and SKIPS — committed
+        offsets + idempotent version commits = no duplicated rows
+        (pinned by a replayed-commit test). Append-only by design
+        (complete/update modes need keyed MERGE semantics — that is the
+        foreachBatch + MergeSink/MorTable pattern, ST7/ST7b). Single
+        stream per table: the batch-id ledger is per-table, two
+        concurrent streams would dedup against each other."""
+
+        def __init__(self, options):
+            import os
+
+            self.path = options["path"]
+            os.makedirs(self.path, exist_ok=True)
+            # FIXED per-table scratch dir (file names are uuids, so no
+            # collisions): Spark re-instantiates this writer for the
+            # driver-side commit runner, so any instance-unique path
+            # would diverge between the executors that wrote the files
+            # and the commit that moves them. Per-batch files are
+            # tracked by the commit MESSAGES, never by directory state;
+            # files orphaned by a crash before commit are invisible to
+            # every reader (manifests list only committed files).
+            self.pending = os.path.join(self.path, ".pending")
+            os.makedirs(self.pending, exist_ok=True)
+
+        def write(self, iterator):
+            import os
+            import uuid
+
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            rel = f"part-{uuid.uuid4().hex}.parquet"
+            out = os.path.join(self.pending, rel)
+            writer = None
+            rows = 0
+            for batch in iterator:
+                if writer is None:
+                    writer = pq.ParquetWriter(out, batch.schema)
+                writer.write_table(pa.Table.from_batches([batch]))
+                rows += batch.num_rows
+            if writer is None:
+                return _WroteFile(rel="", rows=0)
+            writer.close()
+            return _WroteFile(rel=rel, rows=rows)
+
+        def _drop_pending(self, rels):
+            import os
+
+            for rel in rels:
+                try:
+                    os.remove(os.path.join(self.pending, rel))
+                except FileNotFoundError:
+                    pass
+
+        def commit(self, messages, batchId: int):
+            import os
+            import shutil
+            import uuid
+
+            new_rels = [
+                m.rel for m in messages if m is not None and m.rel
+            ]
+            if _last_stream_batch_id(self.path) >= batchId:
+                # restart replay of an already-committed batch: the
+                # version exists, the rows are durable — drop the
+                # re-written files and acknowledge
+                self._drop_pending(new_rels)
+                return
+            stage = os.path.join(self.path, f".stage-{uuid.uuid4().hex}")
+            os.makedirs(stage)
+            try:
+                for rel in new_rels:
+                    os.rename(
+                        os.path.join(self.pending, rel),
+                        os.path.join(stage, rel),
+                    )
+                _commit_version(
+                    self.path, stage, new_rels, False, batch_id=batchId
+                )
+            finally:
+                shutil.rmtree(stage, ignore_errors=True)
+
+        def abort(self, messages, batchId: int):
+            self._drop_pending(
+                [m.rel for m in messages if m is not None and m.rel]
+            )
 
     def _file_survives(ent: dict, flt) -> bool:
         """Sound manifest skipping for ONE pushed conjunct: False only
@@ -456,6 +574,15 @@ def build_lakehouse_source():
 
         def writer(self, schema: StructType, overwrite: bool):
             return _LakehouseWriter(self.options, overwrite)
+
+        def streamWriter(self, schema: StructType, overwrite: bool):
+            if overwrite:
+                raise ValueError(
+                    "lakehouse streaming sink is append-only "
+                    "(complete/update need keyed MERGE semantics: use "
+                    "foreachBatch with MergeSink/MorTable)"
+                )
+            return _LakehouseStreamWriter(self.options)
 
     return LakehouseDataSource
 

@@ -59,6 +59,9 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
         ("S26", "SQL DML: INSERT/UPDATE/DELETE (MoR DELETE = deletion "
          "vectors) + VACUUM/OPTIMIZE statements",
          ["q_sql_dml"]),
+        ("ST16", "exactly-once streaming sink into the lakehouse table "
+         "(one version per microbatch, batch-id replay dedup)",
+         ["q_stream_sink_lakehouse"]),
         ("S10", "malformed-record handling (PERMISSIVE + corrupt-record column)",
          ["q_scan_badrecords"]),
         ("S11", "version retention vacuum on the MERGE table",

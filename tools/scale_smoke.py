@@ -112,6 +112,7 @@ QUERIES = [
     "q_sink_merge_mor_dv",
     "q_sink_sql_write",
     "q_sql_dml",
+    "q_stream_sink_lakehouse",
 ]
 
 # inherently super-linear OUTPUT at fixed parameters (not a plan defect)

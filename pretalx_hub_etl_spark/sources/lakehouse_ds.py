@@ -214,6 +214,52 @@ def build_lakehouse_source():
             with open(tmp2, "w") as fh:
                 fh.write(str(manifest["version"]))
             os.rename(tmp2, hint)
+        # roll a log checkpoint every N commits (inline mirror of
+        # CommitLog._write_log_checkpoint; MUST stay in sync with
+        # sinks/manifest.py CHECKPOINT_EVERY=10): the STREAMING sink is
+        # exactly the hundreds-of-commits case the rolled checkpoints
+        # exist for — without this, a table written only through the
+        # DataSource would degrade cold history walks to per-commit reads
+        version = manifest["version"]
+        every = 10
+        ckpt = os.path.join(mdir, f"_ckpt_{version}.json")
+        if version % every == 0 and not os.path.exists(ckpt):
+            ck_hint = os.path.join(mdir, "_latest_ckpt")
+            try:
+                with open(ck_hint) as fh:
+                    base = int(fh.read().strip() or 0)
+            except (FileNotFoundError, ValueError):
+                base = 0
+            if base > 0 and not os.path.exists(
+                os.path.join(mdir, f"_ckpt_{base}.json")
+            ):
+                base = 0
+            while os.path.exists(
+                os.path.join(mdir, f"_ckpt_{base + every}.json")
+            ):
+                base += every
+            manifests: dict = {}
+            if base > 0:
+                with open(os.path.join(mdir, f"_ckpt_{base}.json")) as fh:
+                    manifests = json.load(fh)["manifests"]
+            for v in range(base + 1, version + 1):
+                try:
+                    with open(os.path.join(mdir, f"{v}.json")) as fh:
+                        manifests[str(v)] = json.load(fh)
+                except FileNotFoundError:
+                    pass
+            tmp3 = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
+            with open(tmp3, "w") as fh:
+                json.dump(
+                    {"version": version, "manifests": manifests},
+                    fh,
+                    separators=(",", ":"),
+                )
+            os.rename(tmp3, ckpt)
+            tmp4 = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
+            with open(tmp4, "w") as fh:
+                fh.write(str(version))
+            os.rename(tmp4, ck_hint)
 
     class _LakehouseWriter(DataSourceArrowWriter):
         """``df.write.format("lakehouse")`` — the DataFrame/SQL WRITE

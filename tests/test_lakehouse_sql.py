@@ -307,6 +307,27 @@ def test_stream_sink_replayed_batch_commits_once(spark, tmp_path):
         ds.streamWriter(None, overwrite=True)
 
 
+def test_ds_publish_rolls_log_checkpoints(spark, tmp_path):
+    # the DataSource's inline publish must keep the rolled-checkpoint
+    # invariant of CommitLog.publish (the streaming sink is exactly the
+    # hundreds-of-commits case those checkpoints exist for): 12 writer
+    # commits -> a rolled checkpoint at v10, and manifests_range answers
+    # the whole history from it + the tail
+    register(spark)
+    path = str(tmp_path / "roll")
+    _write(spark.range(3).selectExpr("id AS k"), path, "overwrite")
+    for i in range(11):
+        _write(
+            spark.createDataFrame([(100 + i,)], "k long"), path, "append"
+        )
+    from pretalx_hub_etl_spark.sinks.manifest import CommitLog
+
+    log = CommitLog(path)
+    assert log.current_version() == 12
+    assert log._latest_log_ckpt() == 10
+    assert sorted(log.manifests_range(1, 12)) == list(range(1, 13))
+
+
 def test_writer_rejects_legacy_table(spark, tmp_path):
     register(spark)
     root = str(tmp_path / "leg")

@@ -343,11 +343,14 @@ def q_stream_sink_lakehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     from ..sinks.merge import MergeSink
-    from ..sources.lakehouse_ds import register
+    from ..sources.lakehouse_ds import pin_active_session, register
 
     # MAIN session, like q_stream_pyds: Python DataSource registration
-    # does not survive into a newSession's lookup path
+    # does not survive into a newSession's lookup path; the active
+    # session must be pinned for streaming start() from a worker thread
+    # (the parity sweep's pool) — same write-path lookup as write_table
     register(spark)
+    pin_active_session(spark)
     e = Catalog(spark, sf_dir).orders.filter(
         F.col("o_orderkey") % 2 == 0
     ).select(

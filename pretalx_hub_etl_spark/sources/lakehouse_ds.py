@@ -633,23 +633,28 @@ def build_lakehouse_source():
     return LakehouseDataSource
 
 
-def write_table(df, path: str, mode: str = "append") -> None:
-    """``df.write.format("lakehouse")`` with the thread-local
-    active-session guard. Spark resolves PYTHON data sources on the
-    WRITE path through the JVM's thread-local active session (the read
-    path resolves through the session object itself), so a ``save()``
-    issued from any thread that never set one — a ThreadPoolExecutor
-    worker, a foreachBatch callback — dies with
+def pin_active_session(spark) -> None:
+    """Thread-local active-session guard for Python-DataSource WRITE
+    paths. Spark resolves Python data sources on the write side (batch
+    ``save()`` AND streaming ``start()``) through the JVM's thread-local
+    active session — the read path resolves through the session object
+    itself — so a write issued from any thread that never set one (a
+    ThreadPoolExecutor worker, a foreachBatch callback) dies with
     ``ClassNotFoundException: lakehouse.DefaultSource`` even though the
-    source is registered. Pinning the active session first is one JVM
-    call and harmless on the main thread; this helper is the supported
-    write entry point, ``format("lakehouse")`` directly is fine from
-    the session's own thread."""
-    spark = df.sparkSession
-    register(spark)
+    source is registered. One JVM call; harmless on the main thread."""
     spark._jvm.org.apache.spark.sql.SparkSession.setActiveSession(
         spark._jsparkSession
     )
+
+
+def write_table(df, path: str, mode: str = "append") -> None:
+    """``df.write.format("lakehouse")`` with the active-session guard
+    applied (see :func:`pin_active_session`) — the supported write
+    entry point; ``format("lakehouse")`` directly is fine from the
+    session's own thread."""
+    spark = df.sparkSession
+    register(spark)
+    pin_active_session(spark)
     df.write.format("lakehouse").option("path", path).mode(mode).save()
 
 

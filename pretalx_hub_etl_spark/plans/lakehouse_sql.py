@@ -61,6 +61,9 @@ _VACUUM_RE = re.compile(
 _OPTIMIZE_RE = re.compile(
     r"^\s*OPTIMIZE\s+([A-Za-z_]\w*)\s*$", re.IGNORECASE
 )
+_HISTORY_RE = re.compile(
+    r"^\s*DESCRIBE\s+HISTORY\s+([A-Za-z_]\w*)\s*$", re.IGNORECASE
+)
 
 
 def _split_assignments(s: str) -> list[tuple[str, str]]:
@@ -177,6 +180,7 @@ class LakehouseSqlCatalog:
             self._try_delete,
             self._try_vacuum,
             self._try_optimize,
+            self._try_history,
         ):
             out = handler(query)
             if out is not None:
@@ -347,6 +351,52 @@ class LakehouseSqlCatalog:
 
             MorTable(path, key=key).compact(self.spark)
         return self._summary("optimize", name, self._current_version(name))
+
+    def _try_history(self, query: str) -> DataFrame | None:
+        m = _HISTORY_RE.match(query)
+        if m is None:
+            return None
+        # `DESCRIBE HISTORY <t>` (the Delta command shape): one row per
+        # LIVE version with the commit's kind, file/row/byte totals per
+        # role, and the streaming batch id when the commit came from the
+        # streaming sink — answered entirely from the commit log
+        # (manifests_range: one rolled checkpoint + the per-commit tail,
+        # never a directory listing or a data scan)
+        name = m.group(1)
+        kind, path, _ = self._require(name)
+        from ..sinks.manifest import CommitLog
+
+        log = CommitLog(path)
+        hist = log.manifests_range(1, log.current_version())
+        rows = []
+        for v in sorted(hist, reverse=True):
+            man = hist[v]
+            by_role: dict[str, list[dict]] = {}
+            for e in man["files"]:
+                by_role.setdefault(e.get("role", "data"), []).append(e)
+            roles = sorted(by_role)
+            op = "checkpoint" if man.get("checkpoint") else (
+                "delta" if kind == "mor" else "snapshot"
+            )
+            rows.append(
+                (
+                    v,
+                    op,
+                    ",".join(roles),
+                    sum(len(v_) for v_ in by_role.values()),
+                    sum(
+                        e.get("rows", 0)
+                        for e in by_role.get("data", [])
+                    ),
+                    sum(e.get("bytes", 0) for e in man["files"]),
+                    man.get("stream_batch_id"),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "version int, operation string, roles string, n_files int, "
+            "data_rows long, bytes long, stream_batch_id long",
+        )
 
     def _select(self, query: str) -> DataFrame:
         """Read-only path: VERSION AS OF rewrite + view refresh."""

@@ -382,6 +382,22 @@ def test_sql_dml_on_mor_table_delete_is_a_dv(spark, tmp_path):
     }
 
 
+def test_describe_history(spark, tmp_path):
+    cat = LakehouseSqlCatalog(spark)
+    path = str(tmp_path / "hist")
+    t = MorTable(path, key="k")
+    t.init(spark.range(5).selectExpr("id AS k", "id AS v"))
+    cat.register_mor("ht", path, key="k")
+    cat.sql("INSERT INTO ht VALUES (9, 90)")
+    cat.sql("DELETE FROM ht WHERE k = 1")
+    h = {r.version: r for r in cat.sql("DESCRIBE HISTORY ht").collect()}
+    assert sorted(h) == [1, 2, 3]
+    assert h[1].operation == "checkpoint"
+    assert h[2].operation == "delta" and h[2].data_rows == 1
+    assert h[3].roles == "pos_deletes"  # the DV commit, visible as such
+    assert all(r.bytes > 0 for r in h.values())
+
+
 def test_sql_dml_errors(spark, tmp_path):
     cat = LakehouseSqlCatalog(spark)
     path = str(tmp_path / "dmle")

@@ -328,6 +328,47 @@ def test_ds_publish_rolls_log_checkpoints(spark, tmp_path):
     assert sorted(log.manifests_range(1, 12)) == list(range(1, 13))
 
 
+def test_mixed_engine_and_ds_writers_occ(spark, tmp_path):
+    # the two write paths share one commit protocol: engine MERGEs and
+    # DataSource appends racing the same table must serialize into a
+    # dense version chain with nothing lost. All written keys are
+    # disjoint, so the final state is order-independent: base ∪ merge
+    # upserts ∪ appended rows.
+    from concurrent.futures import ThreadPoolExecutor
+
+    register(spark)
+    path = str(tmp_path / "mixed")
+    sink = MergeSink(path, key="k")
+    sink.init(spark.range(10).selectExpr("id AS k", "id AS v"))
+
+    def do_merge(i):
+        sink.merge(
+            spark,
+            spark.createDataFrame([(100 + i, i)], "k long, v long"),
+        )
+
+    def do_append(i):
+        from pretalx_hub_etl_spark.sources.lakehouse_ds import write_table
+
+        write_table(
+            spark.createDataFrame([(200 + i, i)], "k long, v long"),
+            path,
+            "append",
+        )
+
+    with ThreadPoolExecutor(4) as pool:
+        futs = [pool.submit(do_merge, i) for i in range(3)] + [
+            pool.submit(do_append, i) for i in range(3)
+        ]
+        for f in futs:
+            f.result()
+    from pretalx_hub_etl_spark.sinks.manifest import CommitLog
+
+    assert CommitLog(path).versions() == list(range(1, 8))  # dense chain
+    keys = {r.k for r in sink.read(spark).collect()}
+    assert keys == set(range(10)) | {100, 101, 102, 200, 201, 202}
+
+
 def test_writer_rejects_legacy_table(spark, tmp_path):
     register(spark)
     root = str(tmp_path / "leg")

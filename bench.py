@@ -105,6 +105,7 @@ HEADLINE = [
     "q_sink_sql_write",     # DataFrame write surface: OCC + hardlink appends
     "q_sql_dml",            # SQL INSERT/UPDATE/DELETE (MoR DELETE = DVs)
     "q_stream_sink_lakehouse",  # exactly-once streaming sink, 1 version/batch
+    "q_sql_restore",        # RESTORE TO VERSION AS OF (hardlink rollback)
 ]
 
 

@@ -64,6 +64,11 @@ _OPTIMIZE_RE = re.compile(
 _HISTORY_RE = re.compile(
     r"^\s*DESCRIBE\s+HISTORY\s+([A-Za-z_]\w*)\s*$", re.IGNORECASE
 )
+_RESTORE_RE = re.compile(
+    r"^\s*RESTORE\s+(?:TABLE\s+)?([A-Za-z_]\w*)\s+TO\s+VERSION\s+AS\s+OF"
+    r"\s+(\d+)\s*$",
+    re.IGNORECASE,
+)
 
 
 def _split_assignments(s: str) -> list[tuple[str, str]]:
@@ -181,6 +186,7 @@ class LakehouseSqlCatalog:
             self._try_vacuum,
             self._try_optimize,
             self._try_history,
+            self._try_restore,
         ):
             out = handler(query)
             if out is not None:
@@ -351,6 +357,27 @@ class LakehouseSqlCatalog:
 
             MorTable(path, key=key).compact(self.spark)
         return self._summary("optimize", name, self._current_version(name))
+
+    def _try_restore(self, query: str) -> DataFrame | None:
+        m = _RESTORE_RE.match(query)
+        if m is None:
+            return None
+        # `RESTORE [TABLE] <t> TO VERSION AS OF n` (the Delta RESTORE
+        # shape): a NEW commit whose content is the old snapshot —
+        # history-preserving rollback. CoW relinks the old version's
+        # files (zero data rewrite); MoR re-commits the as-of state as
+        # a checkpoint (a compaction of history).
+        name, version = m.group(1), int(m.group(2))
+        kind, path, key = self._require(name)
+        if kind == "cow":
+            from ..sinks.merge import MergeSink
+
+            MergeSink(path, key=key or "_").restore(self.spark, version)
+        else:
+            from ..sinks.mor import MorTable
+
+            MorTable(path, key=key).restore(self.spark, version)
+        return self._summary("restore", name, self._current_version(name))
 
     def _try_history(self, query: str) -> DataFrame | None:
         m = _HISTORY_RE.match(query)

@@ -316,6 +316,73 @@ def q_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# --- S27: RESTORE TABLE ... TO VERSION AS OF (history-preserving rollback) ---
+
+
+@query(
+    "q_sql_restore",
+    oracle="""
+    WITH base AS (
+        SELECT c_custkey,
+               CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal_cents
+        FROM customer
+    ), v2 AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 5 = 0 THEN bal_cents + 5000
+                    ELSE bal_cents END AS bal_cents
+        FROM base
+    )
+    SELECT 'restored' AS snapshot, c_custkey, bal_cents FROM v2
+    UNION ALL
+    SELECT 'pre_restore' AS snapshot, c_custkey, bal_cents
+    FROM v2 WHERE c_custkey % 3 <> 0
+    """,
+)
+def q_sql_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S27: `RESTORE TABLE t TO VERSION AS OF n` (the Delta RESTORE
+    # shape) — history-preserving rollback: after v3 deletes a third of
+    # the keys, the restore commits v4 whose content is EXACTLY v2, by
+    # HARDLINKING v2's immutable files and copying its manifest stats —
+    # zero data rewrite (restoring a terabyte snapshot moves no bytes;
+    # inode identity pinned in tests/test_lakehouse_sql.py). The "bad"
+    # v3 stays time-travel-inspectable — the query returns the restored
+    # current state AND the pre-restore v3 snapshot side by side, so a
+    # restore that rewrote, dropped, or duplicated rows, or damaged the
+    # history it rolled back over, hash-fails.
+    import shutil
+
+    from ..plans.lakehouse_sql import LakehouseSqlCatalog
+    from ..sinks.merge import MergeSink
+
+    base = Catalog(spark, sf_dir).customer.select(
+        "c_custkey", fixed_cents(F.col("c_acctbal")).alias("bal_cents")
+    )
+    v2_state = base.withColumn(
+        "bal_cents",
+        F.when(
+            F.col("c_custkey") % 5 == 0, F.col("bal_cents") + 5000
+        ).otherwise(F.col("bal_cents")),
+    )
+    root = tempfile.mkdtemp(prefix="phe_sql_restore_")
+    sink = MergeSink(os.path.join(root, "t"), key="c_custkey")
+    sink.init(base)  # v1
+    sink._write(v2_state, 2)  # v2
+    sink._write(v2_state.filter(F.col("c_custkey") % 3 != 0), 3)  # v3
+    cat = LakehouseSqlCatalog(spark)
+    cat.register_cow("rt", sink.path, key="c_custkey")
+    cat.sql("RESTORE TABLE rt TO VERSION AS OF 2")  # v4 == v2, linked
+    out = cat.sql(
+        """
+        SELECT 'restored' AS snapshot, c_custkey, bal_cents FROM rt
+        UNION ALL
+        SELECT 'pre_restore' AS snapshot, c_custkey, bal_cents
+        FROM rt VERSION AS OF 3
+        """
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 # --- ST16: exactly-once streaming sink into the lakehouse table --------------
 
 

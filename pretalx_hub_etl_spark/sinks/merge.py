@@ -384,6 +384,58 @@ class MergeSink:
             f"at {self.path}"
         )
 
+    def restore(self, spark: SparkSession, version: int, max_retries: int = 20) -> int:
+        """RESTORE TO VERSION AS OF ``version`` (the Delta RESTORE
+        shape): commit a NEW version whose content is exactly the old
+        snapshot — history-preserving rollback, so the bad versions stay
+        time-travel-inspectable and a second restore can undo the
+        undo. Cost is O(files) METADATA, zero data rewrite: the old
+        version's immutable files are hardlinked into the new commit
+        (the same reuse the append writer does) and its manifest's
+        per-file stats are copied verbatim — restoring a terabyte
+        snapshot moves no bytes. Same OCC claim protocol as merge;
+        raises if ``version`` is unpublished or vacuumed. Returns the
+        committed version."""
+        import shutil
+
+        log = CommitLog(self.path)
+        src_manifest = log.manifest(version)  # raises if retired
+        vdir = os.path.join(self.path, f"v{version}")
+        for _ in range(max_retries):
+            _base, claim = _base_and_claim(self.path)
+            stage = os.path.join(self.path, f".stage-{uuid.uuid4().hex}")
+            os.makedirs(stage)
+            try:
+                for ent in src_manifest["files"]:
+                    dst = os.path.join(stage, ent["path"])
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    src = os.path.join(vdir, ent["path"])
+                    try:
+                        os.link(src, dst)
+                    except OSError:
+                        shutil.copy2(src, dst)
+                open(os.path.join(stage, "_SUCCESS"), "w").close()
+                try:
+                    os.rename(stage, os.path.join(self.path, f"v{claim}"))
+                except OSError:
+                    _heal_claim(self.path, claim)
+                    continue  # lost the race: re-claim
+                log.publish(
+                    {
+                        "version": claim,
+                        "checkpoint": bool(src_manifest.get("checkpoint")),
+                        "files": src_manifest["files"],
+                        "restored_from": version,
+                    }
+                )
+                return claim
+            finally:
+                shutil.rmtree(stage, ignore_errors=True)
+        raise RuntimeError(
+            f"restore lost the version race {max_retries} times at "
+            f"{self.path}"
+        )
+
     def vacuum(self, keep_last: int = 1) -> list[int]:
         """Retention maintenance (S11): physically delete all but the
         newest ``keep_last`` COMMITTED versions; returns the versions

@@ -456,6 +456,30 @@ class MorTable:
             f"compact lost the version race {max_retries} times at {self.path}"
         )
 
+    def restore(
+        self, spark: SparkSession, version: int, max_retries: int = 20
+    ) -> int:
+        """RESTORE TO VERSION AS OF ``version`` on the delta chain:
+        materialize the as-of snapshot as a new CHECKPOINTED commit
+        (the MoR face of ``MergeSink.restore`` — where CoW relinks one
+        version's files, a MoR snapshot is spread across deltas, so the
+        rollback is a compaction of the historical state; history stays
+        intact above it and readers start at the new checkpoint).
+        Returns the committed version."""
+        state = self.read(spark, as_of=version)
+        for _ in range(max_retries):
+            _, claim = _base_and_claim(self.path)
+            try:
+                self._commit(state, None, claim, checkpoint=True)
+            except FileExistsError:
+                _heal_claim(self.path, claim)
+                continue
+            return claim
+        raise RuntimeError(
+            f"restore lost the version race {max_retries} times at "
+            f"{self.path}"
+        )
+
     def changes_since(self, spark: SparkSession, version: int) -> DataFrame:
         """CDC feed: every change event committed AFTER ``version`` —
         ``(__op, __commit, <data columns>)`` with ``__op`` in

@@ -439,6 +439,54 @@ def test_describe_history(spark, tmp_path):
     assert all(r.bytes > 0 for r in h.values())
 
 
+def test_restore_cow_relinks_without_rewrite(spark, tmp_path):
+    cat = LakehouseSqlCatalog(spark)
+    path = str(tmp_path / "rest")
+    sink = MergeSink(path, key="k")
+    sink.init(spark.range(10).selectExpr("id AS k", "id AS v"))  # v1
+    sink.merge(spark, spark.createDataFrame([(1, -1)], "k long, v long"))
+    cat.register_cow("rt", path, key="k")
+    cat.sql("DELETE FROM rt WHERE k < 5")  # v3: the "bad" commit
+    assert cat.sql("SELECT * FROM rt").count() == 5
+    r = cat.sql("RESTORE TABLE rt TO VERSION AS OF 2").collect()[0]
+    assert (r.operation, r.version) == ("restore", 4)
+    got = {row.k: row.v for row in cat.sql("SELECT * FROM rt").collect()}
+    assert got == {**{i: i for i in range(10)}, 1: -1}
+    # history-preserving: the bad version is still inspectable, and the
+    # restore moved no data (files are hardlinks of v2's — same inode)
+    assert sink.read_version(spark, 3).count() == 5
+    import os
+
+    from pretalx_hub_etl_spark.sinks.manifest import CommitLog
+
+    log = CommitLog(path)
+    assert log.manifest(4)["restored_from"] == 2
+    f4 = log.files_for(4)[0][0]
+    f2 = os.path.join(path, "v2", os.path.relpath(f4, os.path.join(path, "v4")))
+    assert os.stat(f4).st_ino == os.stat(f2).st_ino  # linked, not copied
+    # restoring an unpublished/vacuumed version raises
+    with pytest.raises(FileNotFoundError):
+        sink.restore(spark, 99)
+
+
+def test_restore_mor_checkpoints_old_snapshot(spark, tmp_path):
+    cat = LakehouseSqlCatalog(spark)
+    path = str(tmp_path / "restm")
+    t = MorTable(path, key="k")
+    t.init(spark.range(6).selectExpr("id AS k", "id AS v"))  # v1
+    t.merge(spark, spark.createDataFrame([(2, 22)], "k long, v long"))
+    cat.register_mor("rm", path, key="k")
+    cat.sql("DELETE FROM rm WHERE k >= 0")  # v3: drop everything
+    assert cat.sql("SELECT * FROM rm").count() == 0
+    cat.sql("RESTORE rm TO VERSION AS OF 2")
+    got = {r.k: r.v for r in cat.sql("SELECT * FROM rm").collect()}
+    assert got == {0: 0, 1: 1, 2: 22, 3: 3, 4: 4, 5: 5}
+    # the restore is a checkpoint: current reads start there
+    assert t._chain()[0] == 4
+    # and history above it is intact
+    assert t.read(spark, as_of=3).count() == 0
+
+
 def test_sql_dml_errors(spark, tmp_path):
     cat = LakehouseSqlCatalog(spark)
     path = str(tmp_path / "dmle")

@@ -62,6 +62,9 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
         ("ST16", "exactly-once streaming sink into the lakehouse table "
          "(one version per microbatch, batch-id replay dedup)",
          ["q_stream_sink_lakehouse"]),
+        ("S27", "RESTORE TABLE ... TO VERSION AS OF: history-preserving "
+         "rollback (CoW relink, MoR checkpoint)",
+         ["q_sql_restore"]),
         ("S10", "malformed-record handling (PERMISSIVE + corrupt-record column)",
          ["q_scan_badrecords"]),
         ("S11", "version retention vacuum on the MERGE table",

@@ -113,6 +113,7 @@ QUERIES = [
     "q_sink_sql_write",
     "q_sql_dml",
     "q_stream_sink_lakehouse",
+    "q_sql_restore",
 ]
 
 # inherently super-linear OUTPUT at fixed parameters (not a plan defect)

@@ -132,21 +132,9 @@ class LakehouseSqlCatalog:
         return MorTable(path, key=key).read(self.spark, as_of=version)
 
     def _cow_schema(self, path: str, version: int | None):
-        import os
+        from ..sources.lakehouse_ds import cow_read_schema
 
-        import pyarrow.parquet as pq
-        from pyspark.sql.pandas.types import from_arrow_schema
-
-        from ..sinks.manifest import CommitLog
-
-        log = CommitLog(path)
-        v = log.current_version() if version is None else version
-        files, _ = log.files_for(v)
-        if not files:
-            raise FileNotFoundError(
-                f"lakehouse table at {path} has no data files in v{v}"
-            )
-        return from_arrow_schema(pq.ParquetFile(files[0]).schema_arrow)
+        return cow_read_schema(path, version)
 
     def _ensure_view(self, name: str, version: int | None) -> str:
         view = name if version is None else f"{name}__asof_{version}"

@@ -56,6 +56,15 @@ from typing import Any
 _MANIFEST_DIR = "_manifest"
 _LATEST = "_latest"
 _LATEST_CKPT = "_latest_ckpt"
+#: staged-commit marker carrying a streaming commit's exactly-once
+#: identity (JSON: stream_batch_id + stream_run_id); written into the
+#: stage dir BEFORE the rename claim so heal can restore the stamp
+_STREAM_BATCH = "_STREAM_BATCH"
+#: table-properties object (`_manifest/_table.json`): kind (cow|mor),
+#: merge key, and optionally a DDL schema for empty tables — written at
+#: table creation so a catalog can discover DML routing from the PATH
+#: alone instead of requiring the caller to re-supply the key per session
+_TABLE_PROPS = "_table.json"
 
 #: roll a checkpoint manifest every N commits (the Delta
 #: checkpoint-parquet shape, transposed to the commit log itself): cold
@@ -156,6 +165,23 @@ def build_manifest(
     rels = _parquet_files(staged_dir)
     from concurrent.futures import ThreadPoolExecutor
 
+    # streaming commits persist their exactly-once identity with the
+    # STAGED files (a `_STREAM_BATCH` marker written before the rename
+    # claim), so a heal of a crashed streaming commit restores the
+    # (run id, batch id) stamp — without it, a crash between rename and
+    # publish would lose the stamp and a Spark replay of that batch
+    # would commit AGAIN through the sink's own recovery path
+    stream_stamp: dict[str, Any] = {}
+    try:
+        with open(os.path.join(staged_dir, _STREAM_BATCH)) as fh:
+            raw = json.load(fh)
+        if "stream_batch_id" in raw:
+            stream_stamp["stream_batch_id"] = int(raw["stream_batch_id"])
+        if "stream_run_id" in raw:
+            stream_stamp["stream_run_id"] = str(raw["stream_run_id"])
+    except (FileNotFoundError, ValueError):
+        pass
+
     if rels:
         with ThreadPoolExecutor(max_workers=min(16, len(rels))) as pool:
             stats = list(
@@ -212,7 +238,7 @@ def build_manifest(
                     "partition": True,
                 }
         files.append(ent)
-    return {
+    out: dict[str, Any] = {
         "version": version,
         "checkpoint": bool(
             checkpoint
@@ -220,6 +246,8 @@ def build_manifest(
         ),
         "files": files,
     }
+    out.update(stream_stamp)
+    return out
 
 
 class CommitLog:
@@ -233,8 +261,17 @@ class CommitLog:
     def publish(self, manifest: dict[str, Any]) -> None:
         """Make commit ``manifest['version']`` visible: O_EXCL-safe write
         of ``<N>.json`` (tmp + rename), then advance the ``_latest``
-        hint. Idempotent per version — the heal path may re-publish."""
+        hint. Idempotent per version — the heal path may re-publish.
+
+        Stamps ``committed_at`` (epoch MILLISECONDS) at publish time,
+        clamped to be strictly greater than the newest published commit's
+        stamp — so ``TIMESTAMP AS OF`` resolution is well-defined even
+        under clock regression. Timestamps are ADVISORY (wall clocks
+        skew); version numbers remain the authoritative order — the
+        clamp just makes the advisory order agree with it."""
         os.makedirs(_mdir(self.table_path), exist_ok=True)
+        if "committed_at" not in manifest:
+            manifest["committed_at"] = self._stamp_for(manifest["version"])
         final = _mpath(self.table_path, manifest["version"])
         tmp = os.path.join(
             _mdir(self.table_path), f".tmp-{uuid.uuid4().hex}"
@@ -248,6 +285,85 @@ class CommitLog:
             self._ckpt_path(v)
         ):
             self._write_log_checkpoint(v)
+
+    def _stamp_for(self, version: int) -> int:
+        """``committed_at`` for a publish of ``version``: wall-clock now,
+        clamped so stamps are NONDECREASING in version order even when a
+        heal/backfill publishes a version BELOW already-published ones —
+        floor = newest published stamp below, ceiling = oldest published
+        stamp above (heals of old commits inherit their neighbors' era
+        rather than claiming "now")."""
+        import time
+
+        now = int(time.time() * 1000)
+        floor = 0
+        v = version - 1
+        while v >= 1:
+            if os.path.exists(_mpath(self.table_path, v)):
+                floor = int(self.manifest(v).get("committed_at", 0))
+                break
+            v -= 1
+        stamp = max(now, floor + 1)
+        cur = self.current_version()
+        v = version + 1
+        while v <= cur:
+            if os.path.exists(_mpath(self.table_path, v)):
+                ceil = int(self.manifest(v).get("committed_at", 0))
+                if ceil:
+                    stamp = min(stamp, max(ceil, floor + 1))
+                break
+            v += 1
+        return stamp
+
+    def version_at(self, ts_ms: int) -> int:
+        """``TIMESTAMP AS OF`` resolution (the Delta rule): the HIGHEST
+        live version whose ``committed_at`` <= ``ts_ms``. Raises when the
+        timestamp predates the oldest live commit (nothing was visible
+        then) — including when history below was vacuumed away. Pre-stamp
+        manifests (upgraded tables) count as committed_at=0, i.e. always
+        visible."""
+        hist = self.manifests_range(1, self.current_version())
+        best = max(
+            (
+                v
+                for v, m in hist.items()
+                if int(m.get("committed_at", 0)) <= ts_ms
+            ),
+            default=0,
+        )
+        if best == 0:
+            raise FileNotFoundError(
+                f"no version of {self.table_path} committed at or before "
+                f"timestamp {ts_ms} (first live commit is later, or "
+                "history was vacuumed)"
+            )
+        return best
+
+    # -- table properties (catalog discovery) ---------------------------------
+
+    def write_table_props(self, props: dict[str, Any]) -> None:
+        """Persist table-level metadata (kind/merge key/schema DDL) at
+        creation — what lets a catalog register a table from its PATH
+        alone. Tmp+rename; last writer wins (properties are
+        creation-time, concurrent creation is already an init race)."""
+        os.makedirs(_mdir(self.table_path), exist_ok=True)
+        tmp = os.path.join(
+            _mdir(self.table_path), f".tmp-{uuid.uuid4().hex}"
+        )
+        with open(tmp, "w") as fh:
+            json.dump(props, fh, separators=(",", ":"))
+        os.rename(tmp, os.path.join(_mdir(self.table_path), _TABLE_PROPS))
+
+    def table_props(self) -> dict[str, Any]:
+        """Stored table properties; {} for tables created before the
+        props layer (callers fall back to explicit registration)."""
+        try:
+            with open(
+                os.path.join(_mdir(self.table_path), _TABLE_PROPS)
+            ) as fh:
+                return json.load(fh)
+        except (FileNotFoundError, ValueError):
+            return {}
 
     def _advance_hint(self, version: int) -> None:
         # The check-then-rename below has a benign race: two publishers
@@ -347,6 +463,15 @@ class CommitLog:
         if base > 0:
             with open(self._ckpt_path(base)) as fh:
                 manifests = json.load(fh)["manifests"]
+            # drop carried entries whose <v>.json was retired by vacuum
+            # (same liveness probe manifests_range does): without this,
+            # every roll copies vacuumed versions' full file lists
+            # forward FOREVER and checkpoints grow without bound
+            manifests = {
+                s: m
+                for s, m in manifests.items()
+                if os.path.exists(_mpath(self.table_path, int(s)))
+            }
         for v in range(base + 1, version + 1):
             try:
                 manifests[str(v)] = self.manifest(v)

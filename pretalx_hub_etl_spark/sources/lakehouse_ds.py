@@ -80,9 +80,20 @@ def build_lakehouse_source():
         rows: int
 
     class _FilePart(InputPartition):
-        def __init__(self, path: str, columns: list[str]):
+        def __init__(
+            self,
+            path: str,
+            columns: list[str],
+            part: dict | None = None,
+            part_fields: list | None = None,
+        ):
             self.path = path
             self.columns = columns
+            # hive partition reconstruction: this file's partition
+            # values (from the manifest's partition-tagged stats) and
+            # the table-wide ordered (name, kind) fields
+            self.part = part or {}
+            self.part_fields = part_fields or []
 
     def _current_version(table_path: str) -> int:
         # inline CommitLog.current_version (hint + forward probe) — the
@@ -121,23 +132,114 @@ def build_lakehouse_source():
 
         path = options["path"]
         v = options.get("version")
-        version = int(v) if v is not None else _current_version(path)
+        ts = options.get("timestamp")
+        if v is not None and ts is not None:
+            raise ValueError(
+                "pass either version or timestamp, not both"
+            )
+        if ts is not None:
+            version = _version_at(path, ts)
+        else:
+            version = (
+                int(v) if v is not None else _current_version(path)
+            )
         if version <= 0:
             raise FileNotFoundError(
                 f"no published version of lakehouse table at {path}"
             )
         m = _manifest(path, version)
         vdir = os.path.join(path, f"v{version}")
-        entries = [
-            {
-                "path": os.path.join(vdir, e["path"]),
-                "rows": e.get("rows", 0),
-                "columns": e.get("columns", {}),
-            }
-            for e in m["files"]
-            if e.get("role", "data") == "data"
-        ]
+        entries = []
+        for e in m["files"]:
+            if e.get("role", "data") != "data":
+                continue
+            # hive partition values, in PATH-SEGMENT ORDER: partition
+            # columns live only in the directory names (never in the
+            # parquet footers), so the SQL reader must reconstruct them
+            # or silently drop them from SELECT * (they are tagged
+            # `partition` in the manifest stats, min == max == value)
+            part = []
+            for seg in e["path"].split(os.sep)[:-1]:
+                if "=" in seg:
+                    k = seg.partition("=")[0]
+                    st = e.get("columns", {}).get(k)
+                    if st is not None and st.get("partition"):
+                        part.append((k, st.get("min")))
+            entries.append(
+                {
+                    "path": os.path.join(vdir, e["path"]),
+                    "rows": e.get("rows", 0),
+                    "columns": e.get("columns", {}),
+                    "part": part,
+                }
+            )
         return version, entries, path
+
+    def _version_at(path: str, ts) -> int:
+        """TIMESTAMP AS OF: highest version with committed_at <= ts
+        (inline mirror of CommitLog.version_at; ts is epoch ms or an
+        ISO-ish timestamp string)."""
+        ts_ms = _parse_ts_ms(ts)
+        best = 0
+        v = _current_version(path)
+        while v >= 1:
+            try:
+                m = _manifest(path, v)
+            except FileNotFoundError:
+                break  # vacuumed below: nothing older survives
+            if int(m.get("committed_at", 0)) <= ts_ms:
+                best = v
+                break  # stamps nondecreasing in version order
+            v -= 1
+        if best == 0:
+            raise FileNotFoundError(
+                f"no version of {path} committed at or before {ts!r} "
+                "(first live commit is later, or history was vacuumed)"
+            )
+        return best
+
+    def _parse_ts_ms(ts) -> int:
+        s = str(ts).strip()
+        try:
+            return int(s)  # already epoch milliseconds
+        except ValueError:
+            pass
+        import datetime as dt
+
+        d = dt.datetime.fromisoformat(s)
+        if d.tzinfo is None:
+            d = d.replace(tzinfo=dt.timezone.utc)
+        return int(d.timestamp() * 1000)
+
+    def _part_fields(entries: list[dict]) -> list[tuple[str, str]]:
+        """Table-wide ordered partition fields [(name, kind)] with kind
+        in {int, float, str}: first-seen path order; mixed int/float
+        unifies to float, anything else mixed (or all-null) to str —
+        the same inference Spark's own hive partition discovery does."""
+        order: list[str] = []
+        kinds: dict[str, str | None] = {}
+        for e in entries:
+            for name, val in e.get("part", []):
+                if name not in kinds:
+                    order.append(name)
+                    kinds[name] = None
+                if val is None:
+                    continue
+                k = (
+                    "int"
+                    if isinstance(val, int) and not isinstance(val, bool)
+                    else "float"
+                    if isinstance(val, float)
+                    else "str"
+                )
+                prev = kinds[name]
+                if prev is None or prev == k:
+                    kinds[name] = k
+                elif {prev, k} == {"int", "float"}:
+                    kinds[name] = "float"
+                else:
+                    kinds[name] = "str"
+        return [(n, kinds[n] or "str") for n in order]
 
     # -- write side (inline mirrors of sinks/manifest.py: the writer
     # ships by value into Spark's Python workers, which cannot import
@@ -191,13 +293,98 @@ def build_lakehouse_source():
             },
         }
 
+    def _manifest_from_dir(vdir: str, version: int) -> dict:
+        """Manifest content derived from a COMMITTED, immutable version
+        directory — the heal path's builder (inline mirror of
+        sinks/manifest.py build_manifest, incl. role tags, hive
+        partition stats, and the streaming `_STREAM_BATCH` stamp)."""
+        import json
+        import os
+
+        rels: list[str] = []
+        for dirpath, _dn, filenames in os.walk(vdir):
+            for f in filenames:
+                if f.endswith(".parquet"):
+                    rels.append(
+                        os.path.relpath(os.path.join(dirpath, f), vdir)
+                    )
+        files = []
+        for rel in sorted(rels):
+            role = "data"
+            top = rel.split(os.sep, 1)[0]
+            if top in ("data", "deletes", "pos_deletes"):
+                role = top
+            ent = {"path": rel, "role": role}
+            ent.update(_file_stats(os.path.join(vdir, rel)))
+            for seg in rel.split(os.sep)[:-1]:
+                if "=" in seg:
+                    k, _, raw = seg.partition("=")
+                    if raw == "__HIVE_DEFAULT_PARTITION__":
+                        ent.setdefault("columns", {})[k] = {
+                            "min": None,
+                            "max": None,
+                            "null_count": 1,
+                            "partition": True,
+                        }
+                        continue
+                    val: object = raw
+                    try:
+                        val = int(raw)
+                    except ValueError:
+                        try:
+                            val = float(raw)
+                        except ValueError:
+                            pass
+                    ent.setdefault("columns", {})[k] = {
+                        "min": val,
+                        "max": val,
+                        "null_count": 0,
+                        "partition": True,
+                    }
+            files.append(ent)
+        out: dict = {
+            "version": version,
+            "checkpoint": os.path.exists(
+                os.path.join(vdir, "_CHECKPOINT")
+            ),
+            "files": files,
+        }
+        try:
+            with open(os.path.join(vdir, "_STREAM_BATCH")) as fh:
+                raw_stamp = json.load(fh)
+            if "stream_batch_id" in raw_stamp:
+                out["stream_batch_id"] = int(raw_stamp["stream_batch_id"])
+            if "stream_run_id" in raw_stamp:
+                out["stream_run_id"] = str(raw_stamp["stream_run_id"])
+        except (FileNotFoundError, ValueError):
+            pass
+        return out
+
     def _publish(table_path: str, manifest: dict) -> None:
         import json
         import os
+        import time
         import uuid
 
         mdir = os.path.join(table_path, "_manifest")
         os.makedirs(mdir, exist_ok=True)
+        if "committed_at" not in manifest:
+            # mirror of CommitLog._stamp_for, simplified to the only
+            # case this writer hits (publishing the NEWEST version):
+            # wall-clock now, clamped above the previous commit's stamp
+            # so TIMESTAMP AS OF order agrees with version order
+            prev_ts = 0
+            pv = _current_version(table_path)
+            if pv > 0:
+                try:
+                    prev_ts = int(
+                        _manifest(table_path, pv).get("committed_at", 0)
+                    )
+                except FileNotFoundError:
+                    pass
+            manifest["committed_at"] = max(
+                int(time.time() * 1000), prev_ts + 1
+            )
         tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh, separators=(",", ":"))
@@ -242,6 +429,13 @@ def build_lakehouse_source():
             if base > 0:
                 with open(os.path.join(mdir, f"_ckpt_{base}.json")) as fh:
                     manifests = json.load(fh)["manifests"]
+                # drop vacuum-retired entries (bound checkpoint size to
+                # live history — mirror of CommitLog._write_log_checkpoint)
+                manifests = {
+                    s: m
+                    for s, m in manifests.items()
+                    if os.path.exists(os.path.join(mdir, f"{s}.json"))
+                }
             for v in range(base + 1, version + 1):
                 try:
                     with open(os.path.join(mdir, f"{v}.json")) as fh:
@@ -334,6 +528,7 @@ def build_lakehouse_source():
         new_rels: list[str],
         overwrite: bool,
         batch_id: int | None = None,
+        run_id: str | None = None,
     ) -> int:
         """Turn a staged file set into the table's next version: append
         mode hardlinks the current version's files in first, the rename
@@ -393,8 +588,35 @@ def build_lakehouse_source():
                     linked.append(ent["path"])
             open(os.path.join(stage, "_SUCCESS"), "w").close()
             version = base + 1
+            healed = False
             while os.path.exists(os.path.join(path, f"v{version}")):
-                version += 1  # step past torn claims
+                vdir = os.path.join(path, f"v{version}")
+                if os.path.exists(os.path.join(vdir, "_SUCCESS")):
+                    # committed-but-UNPUBLISHED claim (a writer crashed
+                    # between rename and manifest publish): HEAL it —
+                    # publish its manifest from the immutable directory
+                    # — and restart so base advances PAST it. Stepping
+                    # over it instead (the pre-r12 behavior) both lost
+                    # that commit's rows from our lineage (we'd build on
+                    # base-1 and publish above it) and entombed the
+                    # commit forever. Mirror of merge.py _base_and_claim.
+                    if not os.path.exists(
+                        os.path.join(path, "_manifest", f"{version}.json")
+                    ):
+                        _publish(path, _manifest_from_dir(vdir, version))
+                    healed = True
+                    break
+                version += 1  # torn claim (no _SUCCESS): step over
+            if healed:
+                # unlink the borrowed base-version links (the healed
+                # commit's file set supersedes them) and recompute
+                # against the advanced base
+                for rel in linked:
+                    try:
+                        os.remove(os.path.join(stage, rel))
+                    except FileNotFoundError:
+                        pass
+                continue
             files = []
             for rel in sorted(set(new_rels) | set(linked)):
                 ent = {"path": rel, "role": "data"}
@@ -416,13 +638,25 @@ def build_lakehouse_source():
             manifest = {"version": version, "files": files}
             if batch_id is not None:
                 manifest["stream_batch_id"] = batch_id
+                if run_id:
+                    manifest["stream_run_id"] = run_id
             _publish(path, manifest)
             return version
 
-    def _last_stream_batch_id(path: str) -> int:
-        """Newest ``stream_batch_id`` on the manifest chain (walking
-        down from current; non-stream commits may interleave), -1 when
-        no streaming commit exists / history was vacuumed past them."""
+    def _last_stream_batch_id(path: str, run_id: str) -> int:
+        """Newest ``stream_batch_id`` stamped by THIS STREAM RUN on the
+        manifest chain (walking down from current; non-stream commits
+        and OTHER runs' stamps may interleave and are skipped), -1 when
+        this run never committed / history was vacuumed past it.
+
+        Run identity is the checkpoint location (Delta's (appId,
+        batchVersion) idea): dedup keyed on the bare batch id silently
+        DROPPED the early batches of a new-checkpoint stream against a
+        previously-streamed table, because its batch numbering restarts
+        at 0. Stamps written before the run-id field exist match ANY run
+        (upgrade compatibility: an in-flight restart replay must still
+        dedup against its own pre-upgrade commits; the legacy ambiguity
+        ends at the first post-upgrade commit)."""
         v = _current_version(path)
         while v >= 1:
             try:
@@ -430,7 +664,9 @@ def build_lakehouse_source():
             except FileNotFoundError:
                 return -1  # vacuumed below: nothing older survives
             if "stream_batch_id" in m:
-                return int(m["stream_batch_id"])
+                rid = m.get("stream_run_id")
+                if rid is None or rid == run_id:
+                    return int(m["stream_batch_id"])
             v -= 1
         return -1
 
@@ -449,9 +685,20 @@ def build_lakehouse_source():
         concurrent streams would dedup against each other."""
 
         def __init__(self, options):
+            import hashlib
             import os
 
             self.path = options["path"]
+            # stream-run identity = the CHECKPOINT LOCATION (hashed):
+            # stable across restarts of the same stream (offsets and
+            # batch numbering live in the checkpoint), distinct for a
+            # new checkpoint — exactly the scope batch ids are unique in
+            ckpt = options.get("checkpointlocation") or ""
+            self.run_id = (
+                hashlib.sha256(ckpt.encode()).hexdigest()[:16]
+                if ckpt
+                else ""
+            )
             os.makedirs(self.path, exist_ok=True)
             # FIXED per-table scratch dir (file names are uuids, so no
             # collisions): Spark re-instantiates this writer for the
@@ -495,6 +742,7 @@ def build_lakehouse_source():
                     pass
 
         def commit(self, messages, batchId: int):
+            import json
             import os
             import shutil
             import uuid
@@ -502,22 +750,44 @@ def build_lakehouse_source():
             new_rels = [
                 m.rel for m in messages if m is not None and m.rel
             ]
-            if _last_stream_batch_id(self.path) >= batchId:
-                # restart replay of an already-committed batch: the
-                # version exists, the rows are durable — drop the
-                # re-written files and acknowledge
+            if _last_stream_batch_id(self.path, self.run_id) >= batchId:
+                # restart replay of an already-committed batch OF THIS
+                # RUN: the version exists, the rows are durable — drop
+                # the re-written files and acknowledge
                 self._drop_pending(new_rels)
                 return
             stage = os.path.join(self.path, f".stage-{uuid.uuid4().hex}")
             os.makedirs(stage)
             try:
+                # persist the exactly-once identity WITH the staged
+                # files: a crash between rename and publish is healed by
+                # the next writer from the directory, and without the
+                # marker the heal would lose the stamp — a subsequent
+                # replay of this batch would then commit AGAIN
+                with open(
+                    os.path.join(stage, "_STREAM_BATCH"), "w"
+                ) as fh:
+                    json.dump(
+                        {
+                            "stream_batch_id": batchId,
+                            "stream_run_id": self.run_id,
+                        }
+                        if self.run_id
+                        else {"stream_batch_id": batchId},
+                        fh,
+                    )
                 for rel in new_rels:
                     os.rename(
                         os.path.join(self.pending, rel),
                         os.path.join(stage, rel),
                     )
                 _commit_version(
-                    self.path, stage, new_rels, False, batch_id=batchId
+                    self.path,
+                    stage,
+                    new_rels,
+                    False,
+                    batch_id=batchId,
+                    run_id=self.run_id,
                 )
             finally:
                 shutil.rmtree(stage, ignore_errors=True)
@@ -567,6 +837,7 @@ def build_lakehouse_source():
         def __init__(self, options, schema_names):
             self.schema_names = schema_names
             _version, self.entries, self.table_path = _resolve(options)
+            self.part_fields = _part_fields(self.entries)
             self.files_pruned = 0
 
         def pushFilters(self, filters):
@@ -586,16 +857,51 @@ def build_lakehouse_source():
 
         def partitions(self):
             return [
-                _FilePart(e["path"], self.schema_names)
+                _FilePart(
+                    e["path"],
+                    self.schema_names,
+                    dict(e.get("part", [])),
+                    self.part_fields,
+                )
                 for e in self.entries
             ]
 
         def read(self, partition):
+            import pyarrow as pa
             import pyarrow.parquet as pq
 
+            part_names = {n for n, _k in partition.part_fields}
             tbl = pq.read_table(
-                partition.path, columns=partition.columns
+                partition.path,
+                columns=[
+                    c for c in partition.columns if c not in part_names
+                ],
             )
+            # reconstruct hive partition columns as per-file constants
+            # (they exist only in the directory names); appended LAST,
+            # matching schema() and Spark's own partition discovery
+            n = tbl.num_rows
+            typs = {
+                "int": pa.int64(),
+                "float": pa.float64(),
+                "str": pa.string(),
+            }
+            for name, kind in partition.part_fields:
+                if name in tbl.column_names:
+                    continue
+                val = partition.part.get(name)
+                if val is not None:
+                    val = (
+                        int(val)
+                        if kind == "int"
+                        else float(val)
+                        if kind == "float"
+                        else str(val)
+                    )
+                tbl = tbl.append_column(
+                    pa.field(name, typs[kind]),
+                    pa.array([val] * n, type=typs[kind]),
+                )
             yield from tbl.to_batches()
 
     class LakehouseDataSource(DataSource):
@@ -604,6 +910,7 @@ def build_lakehouse_source():
             return "lakehouse"
 
         def schema(self):
+            import pyarrow as pa
             import pyarrow.parquet as pq
             from pyspark.sql.pandas.types import from_arrow_schema
 
@@ -613,6 +920,16 @@ def build_lakehouse_source():
                     f"lakehouse table at {path} has no data files"
                 )
             donor = pq.ParquetFile(entries[0]["path"]).schema_arrow
+            # hive partition columns appended last (footer columns never
+            # include them) — mirror of module-level cow_read_schema
+            typs = {
+                "int": pa.int64(),
+                "float": pa.float64(),
+                "str": pa.string(),
+            }
+            for name, kind in _part_fields(entries):
+                if name not in donor.names:
+                    donor = donor.append(pa.field(name, typs[kind]))
             return from_arrow_schema(donor)
 
         def reader(self, schema: StructType):
@@ -631,6 +948,73 @@ def build_lakehouse_source():
             return _LakehouseStreamWriter(self.options)
 
     return LakehouseDataSource
+
+
+def cow_read_schema(path: str, version: int | None = None):
+    """Driver-side Spark schema of a CoW lakehouse table EXACTLY as the
+    ``lakehouse`` DataSource serves it: first data file's footer schema
+    plus reconstructed hive partition columns appended last (path-segment
+    order; int/float/str inference — mirror of the inline
+    ``schema()``/``_part_fields`` pair, which must stay in sync). Used by
+    the SQL catalog to skip the Python-worker round trip a
+    ``DataSource.schema()`` call costs."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    from ..sinks.manifest import CommitLog
+
+    log = CommitLog(path)
+    v = log.current_version() if version is None else version
+    m = log.manifest(v)
+    vdir = os.path.join(path, f"v{v}")
+    data = [e for e in m["files"] if e.get("role", "data") == "data"]
+    if not data:
+        raise FileNotFoundError(
+            f"lakehouse table at {path} has no data files in v{v}"
+        )
+    donor = pq.ParquetFile(
+        os.path.join(vdir, data[0]["path"])
+    ).schema_arrow
+    order: list[str] = []
+    kinds: dict[str, str | None] = {}
+    for e in data:
+        for seg in e["path"].split(os.sep)[:-1]:
+            if "=" not in seg:
+                continue
+            name = seg.partition("=")[0]
+            st = e.get("columns", {}).get(name)
+            if st is None or not st.get("partition"):
+                continue
+            if name not in kinds:
+                order.append(name)
+                kinds[name] = None
+            val = st.get("min")
+            if val is None:
+                continue
+            k = (
+                "int"
+                if isinstance(val, int) and not isinstance(val, bool)
+                else "float"
+                if isinstance(val, float)
+                else "str"
+            )
+            prev = kinds[name]
+            if prev is None or prev == k:
+                kinds[name] = k
+            elif {prev, k} == {"int", "float"}:
+                kinds[name] = "float"
+            else:
+                kinds[name] = "str"
+    typs = {"int": pa.int64(), "float": pa.float64(), "str": pa.string()}
+    for name in order:
+        if name not in donor.names:
+            donor = donor.append(
+                pa.field(name, typs[kinds[name] or "str"])
+            )
+    return from_arrow_schema(donor)
 
 
 def pin_active_session(spark) -> None:

@@ -520,7 +520,7 @@ def test_manifest_json_is_small_and_self_contained(spark, tmp_path):
     p = os.path.join(sink.path, "_manifest", "1.json")
     with open(p) as fh:
         m = json.load(fh)
-    assert set(m) == {"version", "checkpoint", "files"}
+    assert set(m) == {"version", "checkpoint", "files", "committed_at"}
     for f in m["files"]:
         assert set(f) >= {"path", "role", "rows", "bytes", "columns"}
         assert not os.path.isabs(f["path"])  # relocatable table

@@ -43,6 +43,26 @@ _ASOF_RE = re.compile(
     r"\b([A-Za-z_][A-Za-z0-9_]*)\s+VERSION\s+AS\s+OF\s+(\d+)\b",
     re.IGNORECASE,
 )
+_TS_ASOF_RE = re.compile(
+    r"\b([A-Za-z_][A-Za-z0-9_]*)\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'",
+    re.IGNORECASE,
+)
+
+
+def _parse_ts_ms(ts: str) -> int:
+    """Epoch-ms of a ``TIMESTAMP AS OF`` literal: integer epoch ms, or
+    an ISO-ish timestamp (naive -> UTC)."""
+    s = str(ts).strip()
+    try:
+        return int(s)
+    except ValueError:
+        pass
+    import datetime as dt
+
+    d = dt.datetime.fromisoformat(s)
+    if d.tzinfo is None:
+        d = d.replace(tzinfo=dt.timezone.utc)
+    return int(d.timestamp() * 1000)
 
 _INSERT_RE = re.compile(
     r"^\s*INSERT\s+INTO\s+([A-Za-z_]\w*)\s+(.+)$", re.IGNORECASE | re.DOTALL
@@ -56,7 +76,8 @@ _DELETE_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _VACUUM_RE = re.compile(
-    r"^\s*VACUUM\s+([A-Za-z_]\w*)(?:\s+RETAIN\s+(\d+))?\s*$", re.IGNORECASE
+    r"^\s*VACUUM\s+([A-Za-z_]\w*)(?:\s+RETAIN\s+(\d+)(\s+HOURS)?)?\s*$",
+    re.IGNORECASE,
 )
 _OPTIMIZE_RE = re.compile(
     r"^\s*OPTIMIZE\s+([A-Za-z_]\w*)\s*$", re.IGNORECASE
@@ -69,12 +90,79 @@ _RESTORE_RE = re.compile(
     r"\s+(\d+)\s*$",
     re.IGNORECASE,
 )
+_MERGE_HEAD_RE = re.compile(
+    r"^\s*MERGE\s+(?:(WITH\s+SCHEMA\s+EVOLUTION)\s+)?INTO\s+"
+    r"([A-Za-z_]\w*)(?:\s+(?:AS\s+)?(?!USING\b)([A-Za-z_]\w*))?\s+USING\s+",
+    re.IGNORECASE | re.DOTALL,
+)
+_MATCHED_RE = re.compile(
+    r"^\s*WHEN\s+MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+"
+    r"(?:UPDATE\s+SET\s+(.+)|(DELETE))\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_NOT_BY_SOURCE_RE = re.compile(
+    r"^\s*WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE(?:\s+AND\s+(.+?))?\s+"
+    r"THEN\s+DELETE\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_NOT_MATCHED_RE = re.compile(
+    r"^\s*WHEN\s+NOT\s+MATCHED(?:\s+BY\s+TARGET)?(?:\s+AND\s+(.+?))?\s+"
+    r"THEN\s+INSERT\s+(.+)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_INSERT_COLS_RE = re.compile(
+    r"^\s*\(([^)]*)\)\s+VALUES\s*\((.+)\)\s*$", re.IGNORECASE | re.DOTALL
+)
+_CREATE_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([A-Za-z_]\w*)\s*"
+    r"\((.*?)\)\s*USING\s+lakehouse\s+LOCATION\s+'([^']+)'"
+    r"(?:\s+TBLPROPERTIES\s*\((.*)\))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 
-def _split_assignments(s: str) -> list[tuple[str, str]]:
-    """``a = expr, b = f(x, y)`` -> [(a, expr), (b, f(x, y))] — split on
-    top-level commas only (function-call commas stay inside their
-    parentheses)."""
+def _scan_top_level(s: str, word: str, start: int = 0) -> int:
+    """Index of the first TOP-LEVEL occurrence of keyword ``word``
+    (case-insensitive, word-bounded, outside parentheses/brackets and
+    single-quoted strings), or -1. The pre-parser for MERGE's clause
+    structure — conditions and subqueries may contain the same words
+    nested inside parens or literals."""
+    wl = len(word)
+    depth = 0
+    in_str = False
+    i = start
+    up = s.upper()
+    wu = word.upper()
+    while i < len(s):
+        ch = s[i]
+        if in_str:
+            if ch == "'":
+                in_str = False
+            i += 1
+            continue
+        if ch == "'":
+            in_str = True
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif (
+            depth == 0
+            and up.startswith(wu, i)
+            and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
+            and (
+                i + wl >= len(s)
+                or not (s[i + wl].isalnum() or s[i + wl] == "_")
+            )
+        ):
+            return i
+        i += 1
+    return -1
+
+
+def _split_top_commas(s: str) -> list[str]:
+    """Split on top-level commas only (function-call commas stay inside
+    their parentheses)."""
     parts, depth, cur = [], 0, []
     for ch in s:
         if ch in "([":
@@ -87,8 +175,13 @@ def _split_assignments(s: str) -> list[tuple[str, str]]:
         else:
             cur.append(ch)
     parts.append("".join(cur))
+    return parts
+
+
+def _split_assignments(s: str) -> list[tuple[str, str]]:
+    """``a = expr, b = f(x, y)`` -> [(a, expr), (b, f(x, y))]."""
     out = []
-    for p in parts:
+    for p in _split_top_commas(s):
         col, eq, expr = p.partition("=")
         if not eq or not col.strip() or not expr.strip():
             raise ValueError(f"malformed SET assignment: {p.strip()!r}")
@@ -102,23 +195,100 @@ class LakehouseSqlCatalog:
     def __init__(self, spark: SparkSession):
         self.spark = spark
         self._tables: dict[str, tuple[str, str, str | None]] = {}
+        #: names registered with use_datasource=True: CoW reads resolve
+        #: through the `lakehouse` Python DataSource instead of the
+        #: native manifest-file-list parquet scan
+        self._ds_tables: set[str] = set()
         from ..sources.lakehouse_ds import register
 
         register(spark)
 
     def register_cow(
-        self, name: str, path: str, key: str | None = None
+        self,
+        name: str,
+        path: str,
+        key: str | None = None,
+        use_datasource: bool = False,
     ) -> None:
         """``key`` is required only for DML (UPDATE/DELETE route through
-        the keyed MERGE); read-only registrations can omit it."""
+        the keyed MERGE); read-only registrations can omit it.
+
+        Reads default to the NATIVE path: the commit manifest resolves
+        the version's file list driver-side and Spark scans those
+        parquet files directly — JVM vectorized scan, whole-stage
+        codegen, real column pruning and parquet row-group pushdown,
+        and correct semantics when one view is referenced several times
+        in a query. ``use_datasource=True`` keeps the `lakehouse`
+        Python-DataSource relation instead (the V2 provider surface);
+        its planner-side manifest file skipping is only enabled on
+        explicitly single-referenced loads (see
+        `sources/lakehouse_ds.py` — Spark 4.1 collapses co-occurring
+        scans of one Python-DS relation, so per-occurrence pruning is
+        unsound), and every column crosses the Arrow-Python boundary —
+        the compat path, not the throughput path."""
         self._tables[name] = ("cow", path, key)
+        if use_datasource:
+            self._ds_tables.add(name)
+        else:
+            self._ds_tables.discard(name)
 
     def register_mor(self, name: str, path: str, key: str) -> None:
         self._tables[name] = ("mor", path, key)
 
+    def register_path(self, name: str, path: str) -> None:
+        """Register a table from its PATH alone: kind and merge key come
+        from the table's own stored properties (``_manifest/_table.json``,
+        written at creation by ``CREATE TABLE`` / ``MergeSink.init`` /
+        ``MorTable.init``) — no caller re-supplied metadata. Raises for
+        tables created before the props layer (register explicitly)."""
+        from ..sinks.manifest import CommitLog
+
+        props = CommitLog(path).table_props()
+        if not props or "kind" not in props:
+            raise ValueError(
+                f"{path} has no stored table properties (created before "
+                "the props layer?): use register_cow/register_mor"
+            )
+        self._tables[name] = (
+            props["kind"],
+            path,
+            props.get("merge_key"),
+        )
+
+    def _empty_frame(self, path: str) -> DataFrame | None:
+        """Empty DataFrame with the DDL-declared schema for a created
+        table that has no commits yet; None when the table has commits
+        (or no stored schema to serve)."""
+        from ..sinks.manifest import CommitLog
+
+        log = CommitLog(path)
+        if log.current_version() > 0:
+            return None
+        ddl = log.table_props().get("schema_ddl")
+        if ddl is None:
+            return None
+        from pyspark.sql.types import StructType
+
+        return self.spark.createDataFrame([], StructType.fromDDL(ddl))
+
     def _frame(self, name: str, version: int | None) -> DataFrame:
         kind, path, key = self._tables[name]
+        if version is None:
+            empty = self._empty_frame(path)
+            if empty is not None:
+                return empty
         if kind == "cow":
+            if name not in self._ds_tables:
+                # native path (default): manifest file list -> direct
+                # parquet scan (see register_cow docstring)
+                from ..sinks.merge import MergeSink
+
+                sink = MergeSink(path, key=key or "_")
+                return (
+                    sink.read(self.spark)
+                    if version is None
+                    else sink.read_version(self.spark, version)
+                )
             r = self.spark.read.format("lakehouse").option("path", path)
             if version is not None:
                 r = r.option("version", str(version))
@@ -168,6 +338,7 @@ class LakehouseSqlCatalog:
         ``key``.
         """
         for handler in (
+            self._try_merge,
             self._try_insert,
             self._try_update,
             self._try_delete,
@@ -175,6 +346,7 @@ class LakehouseSqlCatalog:
             self._try_optimize,
             self._try_history,
             self._try_restore,
+            self._try_create,
         ):
             out = handler(query)
             if out is not None:
@@ -204,6 +376,319 @@ class LakehouseSqlCatalog:
                 "register_cow(name, path, key=...)"
             )
         return key
+
+    def _try_merge(self, query: str) -> DataFrame | None:
+        """``MERGE [WITH SCHEMA EVOLUTION] INTO <t> [AS a] USING
+        (<subquery>)|<view> [AS b] ON <cond> WHEN ...`` — the flagship
+        lakehouse DML (the reference's whole Load phase,
+        main.py:169-260, is this statement executed one browser form at
+        a time). Clauses (each with an optional ``AND <cond>``):
+
+        - ``WHEN MATCHED THEN UPDATE SET c = expr, ...`` (exprs may
+          reference both aliases; at most one applies per row, first in
+          statement order wins)
+        - ``WHEN MATCHED THEN DELETE``
+        - ``WHEN NOT MATCHED THEN INSERT *`` or
+          ``INSERT (cols) VALUES (exprs)``
+        - ``WHEN NOT MATCHED BY SOURCE THEN DELETE``
+
+        Routing: CoW -> one ``MergeSink.merge`` commit (upserts +
+        deletes); MoR -> one delta commit. ``WITH SCHEMA EVOLUTION``
+        opts into S22 semantics (a source-only column evolves the
+        table; without it a schema mismatch raises). The SQL-MERGE
+        multiple-match precondition is enforced: a target row matching
+        more than one source row raises instead of multiplying."""
+        m = _MERGE_HEAD_RE.match(query)
+        if m is None:
+            return None
+        evo = m.group(1) is not None
+        name, t_alias = m.group(2), m.group(3)
+        kind, path, _ = self._require(name)
+        key = self._require_key(name)
+        rest = query[m.end() :]
+
+        # -- source spec: (subquery) or view/table name, optional alias
+        rest_l = rest.lstrip()
+        offset = len(rest) - len(rest_l)
+        if rest_l.startswith("("):
+            depth, i = 0, 0
+            in_str = False
+            for i, ch in enumerate(rest_l):
+                if in_str:
+                    in_str = ch != "'"
+                    continue
+                if ch == "'":
+                    in_str = True
+                elif ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+            src_sql = rest_l[1:i]
+            tail = rest_l[i + 1 :]
+            src_name = None
+        else:
+            ms = re.match(r"([A-Za-z_]\w*)", rest_l)
+            if ms is None:
+                raise ValueError(f"MERGE: cannot parse USING source in {query!r}")
+            src_name, src_sql = ms.group(1), None
+            tail = rest_l[ms.end() :]
+        tail_abs = query.index(tail, m.end() + offset)
+        ma = re.match(r"\s+(?:AS\s+)?(?!ON\b)([A-Za-z_]\w*)", tail, re.IGNORECASE)
+        s_alias = None
+        if ma is not None:
+            s_alias = ma.group(1)
+            tail_abs += ma.end()
+
+        # -- ON <cond> ... WHEN clauses (top-level scan: conditions and
+        # subqueries may contain the same keywords nested)
+        on_at = _scan_top_level(query, "ON", tail_abs)
+        if on_at < 0:
+            raise ValueError("MERGE requires an ON condition")
+        first_when = _scan_top_level(query, "WHEN", on_at + 2)
+        if first_when < 0:
+            raise ValueError("MERGE requires at least one WHEN clause")
+        on_sql = query[on_at + 2 : first_when].strip()
+        clause_texts = []
+        i = first_when
+        while i >= 0:
+            j = _scan_top_level(query, "WHEN", i + 4)
+            clause_texts.append(query[i : j if j >= 0 else len(query)])
+            i = j
+
+        from pyspark.sql import functions as F
+
+        ta = t_alias or name
+        sa = s_alias or src_name or "src"
+        if ta == sa:
+            raise ValueError(f"MERGE: target and source share alias {ta!r}")
+        target = self._frame(name, None)
+        if src_sql is not None:
+            source = self._select(src_sql)
+        elif src_name in self._tables:
+            source = self._frame(src_name, None)
+        else:
+            source = self.spark.table(src_name)
+        # Each branch (matched update/delete, insert, by-source delete)
+        # is built as its OWN spark.sql plan over two temp views, then
+        # unioned. Sharing DataFrame alias scopes / Column objects
+        # across the branches instead is UNSOUND: when the same aliased
+        # frames and the same parsed ON-condition object appear in
+        # several joins of one union plan, Catalyst's relation
+        # deduplication can remap the attribute ids of one branch's
+        # condition to the other's, silently emptying it (observed:
+        # a matched-DELETE branch returning 0 keys once unioned with
+        # the by-source anti-join). SQL-text plans re-resolve per
+        # subquery, which is the well-trodden path.
+        import uuid as _uuid
+
+        tag = _uuid.uuid4().hex[:8]
+        tv, sv = f"__merge_tgt_{tag}", f"__merge_src_{tag}"
+        target.createOrReplaceTempView(tv)
+        source.createOrReplaceTempView(sv)
+        pair = f"{tv} {ta} JOIN {sv} {sa} ON {on_sql}"
+        t_only = (
+            f"{tv} {ta} WHERE NOT EXISTS "
+            f"(SELECT 1 FROM {sv} {sa} WHERE {on_sql})"
+        )
+        s_only = (
+            f"{sv} {sa} WHERE NOT EXISTS "
+            f"(SELECT 1 FROM {tv} {ta} WHERE {on_sql})"
+        )
+
+        # -- parse clauses into (matched, not_matched, by_source) groups
+        matched_clauses: list[tuple[str | None, dict | None]] = []
+        insert_clauses: list[tuple[str | None, object]] = []
+        by_source_conds: list[str | None] = []
+        for text in clause_texts:
+            mm = _NOT_BY_SOURCE_RE.match(text)
+            if mm is not None:
+                by_source_conds.append(mm.group(1))
+                continue
+            mm = _NOT_MATCHED_RE.match(text)
+            if mm is not None:
+                spec = mm.group(2).strip()
+                if spec == "*":
+                    insert_clauses.append((mm.group(1), "*"))
+                else:
+                    mi = _INSERT_COLS_RE.match(spec)
+                    if mi is None:
+                        raise ValueError(
+                            f"MERGE: cannot parse INSERT spec {spec!r}"
+                        )
+                    cols = [c.strip() for c in mi.group(1).split(",")]
+                    exprs = [
+                        e.strip() for e in _split_top_commas(mi.group(2))
+                    ]
+                    if len(cols) != len(exprs):
+                        raise ValueError(
+                            f"MERGE INSERT: {len(cols)} columns vs "
+                            f"{len(exprs)} VALUES"
+                        )
+                    insert_clauses.append((mm.group(1), list(zip(cols, exprs))))
+                continue
+            mm = _MATCHED_RE.match(text)
+            if mm is not None:
+                if mm.group(3) is not None:  # DELETE
+                    matched_clauses.append((mm.group(1), None))
+                else:
+                    sets = {}
+                    for col, expr in _split_assignments(mm.group(2)):
+                        c = col
+                        if c.lower().startswith(ta.lower() + "."):
+                            c = c[len(ta) + 1 :]
+                        if c == key:
+                            raise ValueError(
+                                f"MERGE: UPDATE of the merge key {key!r} "
+                                "is not supported (delete + insert instead)"
+                            )
+                        sets[c] = expr
+                    matched_clauses.append((mm.group(1), sets))
+                continue
+            raise ValueError(f"MERGE: cannot parse clause {text.strip()!r}")
+
+        # -- matched pairs + the SQL-MERGE multiple-match guard
+        if matched_clauses:
+            dup = self.spark.sql(
+                f"SELECT {ta}.{key} AS k FROM {pair} "
+                f"GROUP BY {ta}.{key} HAVING count(*) > 1 LIMIT 1"
+            ).collect()
+            if dup:
+                raise ValueError(
+                    f"MERGE: target row {key}={dup[0][0]!r} matches "
+                    "multiple source rows (dedup the source first)"
+                )
+
+        # first-applicable-clause semantics for multiple WHEN MATCHED
+        updates = None
+        delete_keys = None
+        prior_sql = "FALSE"
+        out_cols = list(target.columns)
+        for _c_cond, sets in matched_clauses:
+            if sets:
+                for c in sets:
+                    if c not in out_cols:
+                        out_cols.append(c)  # evolution: SET of a new col
+        for c_cond, sets in matched_clauses:
+            cc = c_cond or "TRUE"
+            eff = f"({cc}) AND NOT ({prior_sql})"
+            prior_sql = f"({prior_sql}) OR ({cc})"
+            if sets is None:  # DELETE
+                keys = self.spark.sql(
+                    f"SELECT {ta}.{key} AS {key} FROM {pair} WHERE {eff}"
+                )
+                delete_keys = (
+                    keys if delete_keys is None else delete_keys.unionAll(keys)
+                )
+                continue
+            proj = ", ".join(
+                f"({sets[c]}) AS {c}"
+                if c in sets
+                else (
+                    f"{ta}.{c} AS {c}"
+                    if c in target.columns
+                    else f"NULL AS {c}"
+                )
+                for c in out_cols
+            )
+            upd = self.spark.sql(f"SELECT {proj} FROM {pair} WHERE {eff}")
+            updates = upd if updates is None else updates.unionByName(upd)
+
+        # -- inserts: source rows with no matching target row
+        inserts = None
+        for c_cond, spec in insert_clauses:
+            where = f" AND ({c_cond})" if c_cond else ""
+            if spec == "*":
+                ins = self.spark.sql(
+                    f"SELECT {sa}.* FROM {s_only}{where}"
+                )
+            else:
+                cols = [c for c, _e in spec]
+                if key not in cols:
+                    raise ValueError(
+                        f"MERGE INSERT must set the merge key {key!r}"
+                    )
+                proj = ", ".join(f"({e}) AS {c}" for c, e in spec)
+                ins = self.spark.sql(
+                    f"SELECT {proj} FROM {s_only}{where}"
+                ).select(
+                    "*",
+                    *[
+                        F.lit(None).cast(f.dataType).alias(f.name)
+                        for f in target.schema.fields
+                        if f.name not in cols
+                    ],
+                )
+            inserts = ins if inserts is None else inserts.unionByName(
+                ins, allowMissingColumns=True
+            )
+
+        # -- WHEN NOT MATCHED BY SOURCE THEN DELETE
+        for c_cond in by_source_conds:
+            where = f" AND ({c_cond})" if c_cond else ""
+            keys = self.spark.sql(
+                f"SELECT {ta}.{key} AS {key} FROM {t_only}{where}"
+            )
+            delete_keys = (
+                keys if delete_keys is None else delete_keys.unionAll(keys)
+            )
+
+        upserts = updates
+        if inserts is not None:
+            upserts = (
+                inserts
+                if upserts is None
+                else upserts.unionByName(inserts, allowMissingColumns=True)
+            )
+        if not evo and upserts is not None and set(upserts.columns) != set(
+            target.columns
+        ):
+            raise ValueError(
+                f"MERGE source schema {sorted(upserts.columns)} != table "
+                f"schema {sorted(target.columns)}; add WITH SCHEMA "
+                "EVOLUTION to evolve"
+            )
+
+        from ..sinks.merge import _versions as _committed_versions
+
+        empty_target = not _committed_versions(path)
+        if kind == "cow":
+            from ..sinks.merge import MergeSink
+
+            sink = MergeSink(path, key=key)
+            if empty_target:
+                # DDL-created table, first commit: everything is an
+                # insert (matched/by-source sets are empty by definition)
+                sink.init(
+                    upserts
+                    if upserts is not None
+                    else self.spark.createDataFrame([], target.schema)
+                )
+            else:
+                sink.merge(
+                    self.spark,
+                    upserts
+                    if upserts is not None
+                    else self.spark.createDataFrame([], target.schema),
+                    deletes=delete_keys,
+                    allow_evolution=evo,
+                )
+        else:
+            from ..sinks.mor import MorTable
+
+            t = MorTable(path, key=key)
+            if empty_target:
+                t.init(
+                    upserts
+                    if upserts is not None
+                    else self.spark.createDataFrame([], target.schema)
+                )
+            else:
+                t.merge(self.spark, source=upserts, deletes=delete_keys)
+        for view in (tv, sv):  # frames are consumed; drop the scaffolding
+            self.spark.catalog.dropTempView(view)
+        return self._summary("merge", name, self._current_version(name))
 
     def _try_insert(self, query: str) -> DataFrame | None:
         m = _INSERT_RE.match(query)
@@ -244,7 +729,13 @@ class LakehouseSqlCatalog:
         else:
             from ..sinks.mor import MorTable
 
-            MorTable(path, key=key).merge(self.spark, source=df)
+            from ..sinks.merge import _versions as _committed_versions
+
+            t = MorTable(path, key=key)
+            if not _committed_versions(path):
+                t.init(df)  # first INSERT into a DDL-created table
+            else:
+                t.merge(self.spark, source=df)
         return self._summary("insert", name, self._current_version(name))
 
     def _try_update(self, query: str) -> DataFrame | None:
@@ -303,14 +794,20 @@ class LakehouseSqlCatalog:
         m = _VACUUM_RE.match(query)
         if m is None:
             return None
-        name, retain = m.group(1), m.group(2)
+        name, retain, hours = m.group(1), m.group(2), m.group(3)
         kind, path, key = self._require(name)
         if kind == "cow":
             from ..sinks.merge import MergeSink
 
-            MergeSink(path, key=key or "_").vacuum(
-                keep_last=int(retain) if retain else 1
-            )
+            sink = MergeSink(path, key=key or "_")
+            if hours:
+                # `RETAIN n HOURS` is Delta's AGE-BASED retention: drop
+                # versions whose committed_at is older than the horizon
+                # (the current version is never eligible); bare
+                # `RETAIN n` stays count-based keep-last-N
+                sink.vacuum(retention_hours=float(retain))
+            else:
+                sink.vacuum(keep_last=int(retain) if retain else 1)
         else:
             from ..sinks.mor import MorTable
 
@@ -367,6 +864,72 @@ class LakehouseSqlCatalog:
             MorTable(path, key=key).restore(self.spark, version)
         return self._summary("restore", name, self._current_version(name))
 
+    def _try_create(self, query: str) -> DataFrame | None:
+        m = _CREATE_RE.match(query)
+        if m is None:
+            return None
+        # `CREATE TABLE t (cols) USING lakehouse LOCATION '<path>'
+        # [TBLPROPERTIES (merge_key='k'[, kind='mor'])]` — minimal DDL:
+        # writes the table-properties object (kind, merge key, schema
+        # DDL) at the location and registers the name. The stored schema
+        # makes the EMPTY table readable before its first commit; the
+        # stored key makes every later session's `register_path` (and
+        # DML routing) work without re-supplying metadata.
+        if_not_exists, name, col_defs, path = (
+            m.group(1),
+            m.group(2),
+            m.group(3).strip(),
+            m.group(4),
+        )
+        props: dict[str, object] = {"kind": "cow"}
+        if m.group(5):
+            for part in _split_top_commas(m.group(5)):
+                pk, eq, pv = part.partition("=")
+                if not eq:
+                    raise ValueError(f"malformed TBLPROPERTIES entry {part!r}")
+                props[pk.strip().lower()] = pv.strip().strip("'\"")
+        if props["kind"] not in ("cow", "mor"):
+            raise ValueError(f"unknown table kind {props['kind']!r}")
+        if props["kind"] == "mor" and "merge_key" not in props:
+            raise ValueError("MoR tables need TBLPROPERTIES (merge_key=...)")
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromDDL(col_defs)  # validates the col defs
+        key = props.get("merge_key")
+        if key is not None and key not in schema.fieldNames():
+            raise ValueError(
+                f"merge_key {key!r} is not a declared column "
+                f"({schema.fieldNames()})"
+            )
+        from ..sinks.manifest import CommitLog
+
+        log = CommitLog(path)
+        existing = log.table_props()
+        if existing or log.exists():
+            if not if_not_exists:
+                raise FileExistsError(
+                    f"lakehouse table already exists at {path} "
+                    "(use CREATE TABLE IF NOT EXISTS)"
+                )
+            # IF NOT EXISTS on an existing table: register it with ITS
+            # stored properties (the statement's are ignored)
+            if existing:
+                key = existing.get("merge_key", key)
+                props["kind"] = existing.get("kind", props["kind"])
+        else:
+            import os
+
+            os.makedirs(path, exist_ok=True)
+            log.write_table_props(
+                {
+                    "kind": props["kind"],
+                    "merge_key": key,
+                    "schema_ddl": col_defs,
+                }
+            )
+        self._tables[name] = (str(props["kind"]), path, key)
+        return self._summary("create", name, self._current_version(name))
+
     def _try_history(self, query: str) -> DataFrame | None:
         m = _HISTORY_RE.match(query)
         if m is None:
@@ -393,9 +956,17 @@ class LakehouseSqlCatalog:
             op = "checkpoint" if man.get("checkpoint") else (
                 "delta" if kind == "mor" else "snapshot"
             )
+            ts = man.get("committed_at")
+            if ts is not None:
+                import datetime as dt
+
+                ts = dt.datetime.fromtimestamp(
+                    ts / 1000.0, tz=dt.timezone.utc
+                ).replace(tzinfo=None)
             rows.append(
                 (
                     v,
+                    ts,
                     op,
                     ",".join(roles),
                     sum(len(v_) for v_ in by_role.values()),
@@ -409,7 +980,8 @@ class LakehouseSqlCatalog:
             )
         return self.spark.createDataFrame(
             rows,
-            "version int, operation string, roles string, n_files int, "
+            "version int, committed_at timestamp, operation string, "
+            "roles string, n_files int, "
             "data_rows long, bytes long, stream_batch_id long",
         )
 
@@ -424,7 +996,25 @@ class LakehouseSqlCatalog:
                 )
             return self._ensure_view(name, v)
 
-        rewritten = _ASOF_RE.sub(_pin, query)
+        def _pin_ts(m: re.Match) -> str:
+            # `t TIMESTAMP AS OF '<ts>'` resolves to the newest version
+            # committed at or before <ts> (the Delta rule; committed_at
+            # stamps are advisory but version-order-monotonic), then
+            # pins exactly like VERSION AS OF
+            name, ts = m.group(1), m.group(2)
+            if name not in self._tables:
+                raise ValueError(
+                    f"TIMESTAMP AS OF on unregistered table {name!r}"
+                )
+            from ..sinks.manifest import CommitLog
+
+            v = CommitLog(self._tables[name][1]).version_at(
+                _parse_ts_ms(ts)
+            )
+            return self._ensure_view(name, v)
+
+        rewritten = _TS_ASOF_RE.sub(_pin_ts, query)
+        rewritten = _ASOF_RE.sub(_pin, rewritten)
         # current-version views for every registered table the query
         # still mentions (cheap: one manifest resolution per table)
         for name in self._tables:

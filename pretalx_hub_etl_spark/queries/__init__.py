@@ -123,6 +123,16 @@ FORCE_REVERIFY: set[str] = {
     "q_stream_timer_tws",
     "q_stream_state_reader",
     "q_stream_interval_join_outer",
+    # r12: catalog CoW reads default to the native manifest-file-list
+    # parquet scan (Python-DS scan-collapse fix); committed_at stamps in
+    # every manifest; q_sql_dml re-registers via register_path — every
+    # catalog-read query re-verifies
+    "q_sql_time_travel",
+    "q_sql_restore",
+    "q_sql_dml",
+    "q_sink_sql_write",
+    "q_stream_sink_lakehouse",
+    "q_sink_manifest_read",
 }
 
 VERIFIED_PRIOR_ROUNDS: dict[str, int] = {
@@ -156,6 +166,7 @@ def load_all() -> dict[str, QuerySpec]:
         curation_q,
         curation_q2,
         lakehouse_q,
+        lakehouse_q2,
         llm_q,
         llm_q2,
         llm_q3,

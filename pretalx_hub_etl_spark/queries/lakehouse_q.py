@@ -495,9 +495,11 @@ def q_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     root = tempfile.mkdtemp(prefix="phe_sql_dml_")
     t = MorTable(os.path.join(root, "t"), key="k")
-    t.init(base)  # v1
+    t.init(base)  # v1 (also stores kind + merge key as table props)
     cat = LakehouseSqlCatalog(spark)
-    cat.register_mor("dml_t", t.path, key="k")
+    # r12: registration is PATH-ONLY — kind and merge key come from the
+    # table's own stored properties, not caller-resupplied metadata
+    cat.register_path("dml_t", t.path)
     cat.sql(
         "INSERT INTO dml_t "
         "SELECT k + 1000000 AS k, cents + 7 AS cents "

@@ -1,0 +1,277 @@
+"""Round-12 lakehouse-SQL batch: MERGE INTO, TIMESTAMP AS OF, DDL +
+path-discovered registration (VERDICT r11 items 1, 2, 4).
+
+Reference tie-in: the reference's whole Load phase (main.py:169-260 —
+create missing rows, update matched ones, delete unmatched) IS the
+MERGE statement, executed there one browser form at a time; S28 is that
+contract as one SQL statement over the versioned table. The rest is
+engine-surface work in the Delta/Iceberg family (commit timestamps,
+time travel by timestamp, minimal DDL), implemented in
+`plans/lakehouse_sql.py` / `sinks/manifest.py`.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from ..functions.core import fixed_cents
+from . import query
+
+# --- S28: SQL MERGE INTO (CoW routing, full clause surface) ------------------
+
+
+@query(
+    "q_sql_merge",
+    oracle="""
+    WITH base AS (
+        SELECT c_custkey AS k,
+               CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM customer
+    ), upd AS (
+        SELECT k, cents + 7 AS cents FROM base WHERE k % 4 = 0
+    ), ins AS (
+        SELECT k + 1000000 AS k, cents FROM base WHERE k % 9 = 0
+    )
+    SELECT b.k,
+           CASE WHEN u.k IS NOT NULL THEN u.cents ELSE b.cents END AS cents
+    FROM base b LEFT JOIN upd u ON b.k = u.k
+    WHERE NOT (u.k IS NULL AND b.k % 5 = 0)
+    UNION ALL
+    SELECT k, cents FROM ins
+    """,
+)
+def q_sql_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S28: `MERGE INTO t USING src ON ... WHEN MATCHED THEN UPDATE /
+    # WHEN NOT MATCHED THEN INSERT / WHEN NOT MATCHED BY SOURCE THEN
+    # DELETE` — the engine's flagship operation as ONE SQL statement
+    # (the reference's entire Load phase, main.py:169-260). CoW routing:
+    # the statement compiles to one MergeSink.merge commit (upserts +
+    # deletes, full-outer on the key); each WHEN branch is built as its
+    # own SQL plan over temp views — sharing DataFrame alias scopes
+    # across the branches is unsound (plans/lakehouse_sql.py:_try_merge).
+    # The oracle recomputes the post-MERGE state relationally, so a
+    # branch that missed rows, applied the wrong clause, or leaked
+    # deletes hash-fails.
+    import shutil
+
+    from ..plans.lakehouse_sql import LakehouseSqlCatalog
+    from ..sinks.merge import MergeSink
+
+    base = Catalog(spark, sf_dir).customer.select(
+        F.col("c_custkey").alias("k"),
+        fixed_cents(F.col("c_acctbal")).alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="phe_sql_merge_")
+    sink = MergeSink(os.path.join(root, "t"), key="k")
+    sink.init(base)  # v1
+    cat = LakehouseSqlCatalog(spark)
+    cat.register_cow("merge_t", sink.path, key="k")
+    base.filter(F.col("k") % 4 == 0).select(
+        "k", (F.col("cents") + 7).alias("cents")
+    ).unionByName(
+        base.filter(F.col("k") % 9 == 0).select(
+            (F.col("k") + 1000000).alias("k"), "cents"
+        )
+    ).createOrReplaceTempView("merge_src")
+    cat.sql(
+        """
+        MERGE INTO merge_t t USING merge_src s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET cents = s.cents
+        WHEN NOT MATCHED THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE AND t.k % 5 = 0 THEN DELETE
+        """
+    )
+    out = cat.sql("SELECT k, cents FROM merge_t").localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+# --- S28b: MERGE INTO on MoR (delta commit), conditional clauses -------------
+
+
+@query(
+    "q_sql_merge_mor",
+    oracle="""
+    WITH base AS (
+        SELECT c_custkey AS k,
+               CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM customer
+    ), m AS (
+        SELECT k, cents + 1 AS newc FROM base WHERE k % 3 = 0
+    ), ins AS (
+        SELECT k + 1000000 AS k, cents FROM base WHERE k % 7 = 0
+    )
+    SELECT b.k,
+           CASE WHEN mm.k IS NOT NULL THEN mm.newc ELSE b.cents END AS cents
+    FROM base b LEFT JOIN m mm ON b.k = mm.k
+    WHERE mm.k IS NULL OR mm.newc % 2 = 0
+    UNION ALL
+    SELECT k, cents FROM ins
+    """,
+)
+def q_sql_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S28b: the MoR routing twin — the same statement compiles to ONE
+    # delta commit (new rows + key tombstones, no table rewrite), and
+    # exercises the ordered-clause surface: two WHEN MATCHED clauses
+    # (first-match-wins: conditional UPDATE, else DELETE) plus the
+    # INSERT (cols) VALUES (exprs) form. The oracle recomputes the
+    # clause algebra relationally, so wrong clause order (UPDATE rows
+    # that the first condition should have excluded, or deletes
+    # swallowing update rows) hash-fails.
+    import shutil
+
+    from ..plans.lakehouse_sql import LakehouseSqlCatalog
+    from ..sinks.mor import MorTable
+
+    base = Catalog(spark, sf_dir).customer.select(
+        F.col("c_custkey").alias("k"),
+        fixed_cents(F.col("c_acctbal")).alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="phe_sql_merge_mor_")
+    t = MorTable(os.path.join(root, "t"), key="k")
+    t.init(base)  # v1 checkpoint
+    cat = LakehouseSqlCatalog(spark)
+    cat.register_mor("merge_m", t.path, key="k")
+    base.filter(F.col("k") % 3 == 0).select(
+        "k", (F.col("cents") + 1).alias("cents")
+    ).unionByName(
+        base.filter(F.col("k") % 7 == 0).select(
+            (F.col("k") + 1000000).alias("k"), "cents"
+        )
+    ).createOrReplaceTempView("merge_m_src")
+    cat.sql(
+        """
+        MERGE INTO merge_m t USING merge_m_src s ON t.k = s.k
+        WHEN MATCHED AND s.cents % 2 = 0 THEN UPDATE SET cents = s.cents
+        WHEN MATCHED THEN DELETE
+        WHEN NOT MATCHED THEN INSERT (k, cents) VALUES (s.k, s.cents)
+        """
+    )
+    out = cat.sql("SELECT k, cents FROM merge_m").localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+# --- S29: TIMESTAMP AS OF (commit timestamps end to end) ---------------------
+
+
+@query(
+    "q_sql_time_travel_ts",
+    oracle="""
+    WITH base AS (
+        SELECT c_custkey,
+               CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal_cents
+        FROM customer
+    ), v2 AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 5 = 0 THEN bal_cents + 5000
+                    ELSE bal_cents END AS bal_cents
+        FROM base
+    )
+    SELECT 'asof_v1' AS snapshot, c_custkey, bal_cents FROM base
+    UNION ALL
+    SELECT 'current' AS snapshot, c_custkey, bal_cents FROM v2
+    """,
+)
+def q_sql_time_travel_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S29: time travel BY TIMESTAMP — every commit stamps a wall-clock
+    # `committed_at` (epoch ms, clamped nondecreasing in version order:
+    # sinks/manifest.py _stamp_for), DESCRIBE HISTORY surfaces it, and
+    # `t TIMESTAMP AS OF '<ts>'` resolves to the newest version
+    # committed at or before <ts> (the Delta rule). The fixture reads
+    # v1's own stamp from the commit log and queries exactly it, so the
+    # rewrite must resolve v1 — a resolver that rounds the wrong way,
+    # compares un-clamped stamps, or serves the current version
+    # hash-fails against the relational recomputation of both states.
+    # Timestamps are advisory (clock skew); versions stay authoritative.
+    import shutil
+
+    from ..plans.lakehouse_sql import LakehouseSqlCatalog
+    from ..sinks.manifest import CommitLog
+    from ..sinks.merge import MergeSink
+
+    base = Catalog(spark, sf_dir).customer.select(
+        "c_custkey", fixed_cents(F.col("c_acctbal")).alias("bal_cents")
+    )
+    v2_state = base.withColumn(
+        "bal_cents",
+        F.when(
+            F.col("c_custkey") % 5 == 0, F.col("bal_cents") + 5000
+        ).otherwise(F.col("bal_cents")),
+    )
+    root = tempfile.mkdtemp(prefix="phe_sql_ts_")
+    sink = MergeSink(os.path.join(root, "t"), key="c_custkey")
+    sink.init(base)  # v1
+    sink._write(v2_state, 2)  # v2
+    ts1 = CommitLog(sink.path).manifest(1)["committed_at"]
+    cat = LakehouseSqlCatalog(spark)
+    cat.register_cow("ts_t", sink.path)
+    out = cat.sql(
+        f"""
+        SELECT 'asof_v1' AS snapshot, c_custkey, bal_cents
+        FROM ts_t TIMESTAMP AS OF '{ts1}'
+        UNION ALL
+        SELECT 'current' AS snapshot, c_custkey, bal_cents FROM ts_t
+        """
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+# --- S30: DDL + path-discovered registration ---------------------------------
+
+
+@query(
+    "q_sql_ddl",
+    oracle="""
+    WITH src AS (
+        SELECT c_custkey AS k,
+               CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM customer WHERE c_custkey % 2 = 0
+    ), updated AS (
+        SELECT k,
+               CASE WHEN k % 6 = 0 THEN cents + 11 ELSE cents END AS cents
+        FROM src
+    )
+    SELECT k, cents FROM updated WHERE k % 10 <> 0
+    """,
+)
+def q_sql_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S30: minimal DDL + catalog persistence — `CREATE TABLE ... USING
+    # lakehouse LOCATION ... TBLPROPERTIES (merge_key=...)` stores the
+    # table's kind/merge key/schema in `_manifest/_table.json`, making
+    # the EMPTY table readable and every later session's registration
+    # path-only: a SECOND catalog registers via `register_path` (no
+    # caller-resupplied key) and runs keyed DML against it. The oracle
+    # recomputes the INSERT→UPDATE→DELETE lifecycle relationally, so a
+    # lost stored key, a mis-typed DDL schema, or DML routed against
+    # the wrong kind hash-fails.
+    import shutil
+
+    from ..plans.lakehouse_sql import LakehouseSqlCatalog
+
+    Catalog(spark, sf_dir).customer.select(
+        F.col("c_custkey").alias("k"),
+        fixed_cents(F.col("c_acctbal")).alias("cents"),
+    ).filter(F.col("k") % 2 == 0).createOrReplaceTempView("ddl_src")
+    root = tempfile.mkdtemp(prefix="phe_sql_ddl_")
+    path = os.path.join(root, "t")
+    cat = LakehouseSqlCatalog(spark)
+    cat.sql(
+        f"CREATE TABLE ddl_t (k BIGINT, cents BIGINT) USING lakehouse "
+        f"LOCATION '{path}' TBLPROPERTIES (merge_key='k')"
+    )
+    cat.sql("INSERT INTO ddl_t SELECT k, cents FROM ddl_src")  # v1
+    # a FRESH catalog discovers the table from its path alone
+    cat2 = LakehouseSqlCatalog(spark)
+    cat2.register_path("ddl_t2", path)
+    cat2.sql("UPDATE ddl_t2 SET cents = cents + 11 WHERE k % 6 = 0")  # v2
+    cat2.sql("DELETE FROM ddl_t2 WHERE k % 10 = 0")  # v3
+    out = cat2.sql("SELECT k, cents FROM ddl_t2").localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out

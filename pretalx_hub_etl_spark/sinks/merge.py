@@ -328,10 +328,19 @@ class MergeSink:
         return spark.read.parquet(os.path.join(self.path, f"v{version}"))
 
     def init(self, df: DataFrame) -> None:
-        """Write version 1 (fails if the table already exists)."""
+        """Write version 1 (fails if the table already exists); stores
+        the table properties (kind + merge key) so later sessions can
+        discover DML routing from the path alone
+        (``LakehouseSqlCatalog.register_path``)."""
         if _versions(self.path):
             raise FileExistsError(f"merge table already initialized: {self.path}")
         self._write(df, _next_version(self.path))
+        log = CommitLog(self.path)
+        props = log.table_props()  # CREATE TABLE may have written one
+        props.update({"kind": "cow", "merge_key": self.key})
+        if self.partition_by:
+            props["partition_by"] = self.partition_by
+        log.write_table_props(props)
 
     def optimize(
         self,
@@ -436,7 +445,11 @@ class MergeSink:
             f"{self.path}"
         )
 
-    def vacuum(self, keep_last: int = 1) -> list[int]:
+    def vacuum(
+        self,
+        keep_last: int = 1,
+        retention_hours: float | None = None,
+    ) -> list[int]:
         """Retention maintenance (S11): physically delete all but the
         newest ``keep_last`` COMMITTED versions; returns the versions
         removed.
@@ -451,11 +464,38 @@ class MergeSink:
         is numbered above everything vacuumed, so the OCC commit
         protocol is undisturbed. Un-committed stage/torn directories
         are left alone (they belong to in-flight or dead writers).
+
+        ``retention_hours`` switches to AGE-BASED retention (the Delta
+        ``VACUUM ... RETAIN n HOURS`` rule): victims are the committed
+        versions whose ``committed_at`` stamp is older than the horizon
+        — the current version is never eligible regardless of age.
+        Timestamps are advisory (wall clock) but nondecreasing in
+        version order by construction, so the victim set is always a
+        prefix of the version chain. Requires a manifest table.
         """
         import shutil
 
-        keep_last = max(1, keep_last)
         committed = _versions(self.path)
+        if retention_hours is not None:
+            import time
+
+            log = CommitLog(self.path)
+            if not log.exists():
+                raise FileNotFoundError(
+                    f"{self.path} has no commit log (legacy table): "
+                    "age-based retention needs committed_at stamps"
+                )
+            cutoff = int(time.time() * 1000) - retention_hours * 3_600_000
+            victims = [
+                v
+                for v in committed[:-1]  # never the current version
+                if int(log.manifest(v).get("committed_at", 0)) < cutoff
+            ]
+            for v in victims:
+                shutil.rmtree(os.path.join(self.path, f"v{v}"))
+            log.retire(victims)
+            return victims
+        keep_last = max(1, keep_last)
         victims = committed[:-keep_last] if len(committed) > keep_last else []
         for v in victims:
             shutil.rmtree(os.path.join(self.path, f"v{v}"))

@@ -129,6 +129,11 @@ class MorTable:
             raise FileExistsError(f"MoR table already initialized: {self.path}")
         os.makedirs(self.path, exist_ok=True)
         self._commit(df, None, 1, checkpoint=True)
+        # path-discoverable DML routing (LakehouseSqlCatalog.register_path)
+        log = CommitLog(self.path)
+        props = log.table_props()
+        props.update({"kind": "mor", "merge_key": self.key})
+        log.write_table_props(props)
 
     def merge(
         self,

@@ -838,6 +838,25 @@ def build_lakehouse_source():
             self.schema_names = schema_names
             _version, self.entries, self.table_path = _resolve(options)
             self.part_fields = _part_fields(self.entries)
+            # file pruning is OPT-IN via option("single_ref", "true"):
+            # Spark 4.1 plans each OCCURRENCE of a Python-DS relation
+            # with its own pushdown worker, but at execution the scans
+            # of ONE shared relation (a view referenced twice in a
+            # query) COLLAPSE to a single partition list — equality
+            # ignores the per-occurrence pushdown state. If the two
+            # occurrences pruned to different file sets, one branch
+            # reads the other's files and its rows silently vanish
+            # (measured: `SELECT .. WHERE k=1 UNION ALL SELECT ..
+            # WHERE k=2` over one view returned only k=2). Identical
+            # (un-pruned) partition lists make the collapse harmless,
+            # so pruning is only sound when the caller guarantees this
+            # load is referenced at most once per query — programmatic
+            # single-use loads. The SQL catalog serves CoW reads
+            # through the native manifest-file-list parquet scan
+            # instead, which gets real pushdown AND column pruning.
+            self.prune_ok = (
+                str(options.get("single_ref", "")).lower() == "true"
+            )
             self.files_pruned = 0
 
         def pushFilters(self, filters):
@@ -846,13 +865,14 @@ def build_lakehouse_source():
             # conjunct. Every filter is yielded back (= "unsupported")
             # because skipping is file-granular: Spark must still apply
             # the predicates row-wise to the kept files.
-            kept = [
-                e
-                for e in self.entries
-                if all(_file_survives(e, f) for f in filters)
-            ]
-            self.files_pruned = len(self.entries) - len(kept)
-            self.entries = kept
+            if self.prune_ok:
+                kept = [
+                    e
+                    for e in self.entries
+                    if all(_file_survives(e, f) for f in filters)
+                ]
+                self.files_pruned = len(self.entries) - len(kept)
+                self.entries = kept
             yield from filters
 
         def partitions(self):

@@ -64,7 +64,16 @@ def test_planner_prunes_files_by_manifest_stats(spark, tmp_path):
     )
     os.remove(victim)
     register(spark)
-    df = spark.read.format("lakehouse").option("path", sink.path).load()
+    # r12: pruning is gated on single_ref=true — per-occurrence pruning
+    # is unsound for multi-referenced relations (Spark collapses
+    # co-occurring Python-DS scans; see test_round12.py), so the
+    # feature pin now uses an explicitly single-referenced load
+    df = (
+        spark.read.format("lakehouse")
+        .option("path", sink.path)
+        .option("single_ref", "true")
+        .load()
+    )
     df.createOrReplaceTempView("pruned_t")
     got = spark.sql(
         "SELECT count(*) AS n, sum(val) AS s FROM pruned_t "
@@ -91,7 +100,7 @@ def test_push_filters_unit_semantics(spark, tmp_path):
     cls = build_lakehouse_source()
 
     def reader():
-        ds = cls(options={"path": sink.path})
+        ds = cls(options={"path": sink.path, "single_ref": "true"})
         return ds.reader(ds.schema())
 
     r = reader()

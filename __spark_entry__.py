@@ -36,3 +36,17 @@ def oracle_sql() -> dict[str, str]:
     return {
         name: spec.oracle for name, spec in load_all().items() if spec.oracle is not None
     }
+
+
+def declared_checks() -> dict[str, str]:
+    """Per-query DECLARED check level: ``"oracle"`` (full row-count +
+    schema + value-hash vs the DuckDB oracle) or ``"rows_only"`` (no
+    oracle BY DESIGN — float-internal/approximate operators, each
+    covered by an oracled exact/md5 witness twin or an inline error
+    envelope). Lets the driver's CORRECTNESS artifact distinguish
+    "rows-only by declaration" from "oracle missing/broken": a
+    rows-only query with matching rows is a PASS, not an err."""
+    return {
+        name: "oracle" if spec.oracle is not None else "rows_only"
+        for name, spec in load_all().items()
+    }

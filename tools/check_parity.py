@@ -283,6 +283,7 @@ def main() -> int:
             todo = mixed
     results: dict[str, dict] = {}
     failures: list[str] = []
+    loadavg_start = list(os.getloadavg())
     t_sweep = time.time()
     if jobs == 1:
         done = ((n, check_one(n, f)) for n, f in todo)
@@ -312,6 +313,14 @@ def main() -> int:
             "failures": failures,
             "jobs": jobs,
             "sweep_wall_seconds": wall,
+            # box-state evidence IN the artifact (VERDICT r11 item 5):
+            # the parity wall target is adjudicable without a side
+            # channel — loadavg at start/end + wall-clock timestamp
+            "loadavg_start": loadavg_start,
+            "loadavg_end": list(os.getloadavg()),
+            "measured_at_utc": time.strftime(
+                "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+            ),
             "queries": results,
         }
         with open(json_out, "w") as fh:

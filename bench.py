@@ -106,6 +106,12 @@ HEADLINE = [
     "q_sql_dml",            # SQL INSERT/UPDATE/DELETE (MoR DELETE = DVs)
     "q_stream_sink_lakehouse",  # exactly-once streaming sink, 1 version/batch
     "q_sql_restore",        # RESTORE TO VERSION AS OF (hardlink rollback)
+    # round-12 additions: the MERGE INTO statement surface + commit
+    # timestamps + DDL lifecycle (commit-protocol fixed cost)
+    "q_sql_merge",          # SQL MERGE INTO -> one CoW merge commit
+    "q_sql_merge_mor",      # SQL MERGE INTO -> one MoR delta commit
+    "q_sql_time_travel_ts",  # TIMESTAMP AS OF resolution
+    "q_sql_ddl",            # CREATE TABLE + path-discovered DML lifecycle
 ]
 
 

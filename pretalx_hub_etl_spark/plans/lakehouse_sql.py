@@ -12,11 +12,17 @@ expects (VERDICT r10 item 1):
 Resolution model (the "thin view-generation" shape the real formats
 implement inside their catalogs):
 
-- CoW tables resolve through the ``lakehouse`` Python DataSource
-  (`sources/lakehouse_ds.py`): a registered DataSourceV2 relation whose
-  file list comes from the commit manifests and whose ``pushFilters``
-  applies manifest min/max skipping INSIDE the planner — the WHERE
-  clause of the SQL text above prunes files before any is opened.
+- CoW tables resolve NATIVELY by default (round 12): the commit
+  manifest supplies the version's file list driver-side and Spark
+  scans those parquet files directly — JVM vectorized scan, real
+  column pruning, parquet row-group pushdown, partition columns via
+  basePath, and correct semantics when one view is referenced several
+  times in a query. ``register_cow(..., use_datasource=True)`` keeps
+  the ``lakehouse`` Python DataSource relation instead (the V2
+  provider compat surface; its planner-side manifest skipping is
+  gated on explicitly single-referenced loads — Spark 4.1 collapses
+  co-occurring scans of one Python-DS relation, so per-occurrence
+  pruning is unsound there; see `sources/lakehouse_ds.py`).
 - MoR tables cannot be a per-file relation (latest-wins needs a key
   shuffle), so they resolve to a GENERATED TEMP VIEW over
   ``MorTable.read`` — the same union + window plan the engine API
@@ -102,7 +108,7 @@ _MATCHED_RE = re.compile(
 )
 _NOT_BY_SOURCE_RE = re.compile(
     r"^\s*WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE(?:\s+AND\s+(.+?))?\s+"
-    r"THEN\s+DELETE\s*$",
+    r"THEN\s+(?:(DELETE)|UPDATE\s+SET\s+(.+))\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _NOT_MATCHED_RE = re.compile(
@@ -118,6 +124,11 @@ _CREATE_RE = re.compile(
     r"\((.*?)\)\s*USING\s+lakehouse\s+LOCATION\s+'([^']+)'"
     r"(?:\s+TBLPROPERTIES\s*\((.*)\))?\s*$",
     re.IGNORECASE | re.DOTALL,
+)
+_SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+TABLES\s*$", re.IGNORECASE)
+_DESCRIBE_RE = re.compile(
+    r"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?(?!HISTORY\b)([A-Za-z_]\w*)\s*$",
+    re.IGNORECASE,
 )
 
 
@@ -314,11 +325,15 @@ class LakehouseSqlCatalog:
     def sql(self, query: str) -> DataFrame:
         """Run SQL against the registered tables.
 
-        Reads: any Spark SQL, with ``<table> VERSION AS OF n`` after a
-        registered name time-traveling that reference. DML (one
+        Reads: any Spark SQL, with ``<table> VERSION AS OF n`` or
+        ``<table> TIMESTAMP AS OF '<epoch-ms|ISO>'`` after a registered
+        name time-traveling that reference. DDL/metadata: ``CREATE
+        TABLE ... USING lakehouse LOCATION ...``, ``SHOW TABLES``,
+        ``DESCRIBE [TABLE] <t>``, ``DESCRIBE HISTORY <t>``. DML (one
         statement per call, each returning a one-row summary frame
         ``(operation, table, version)`` like the real formats' command
-        metrics):
+        metrics; ``MERGE [WITH SCHEMA EVOLUTION] INTO`` is documented
+        on :meth:`_try_merge`):
 
         - ``INSERT INTO <t> <query|VALUES ...>`` — CoW: an append
           commit through the write surface (hardlink file reuse); MoR:
@@ -347,6 +362,8 @@ class LakehouseSqlCatalog:
             self._try_history,
             self._try_restore,
             self._try_create,
+            self._try_show_tables,
+            self._try_describe,
         ):
             out = handler(query)
             if out is not None:
@@ -500,11 +517,26 @@ class LakehouseSqlCatalog:
         # -- parse clauses into (matched, not_matched, by_source) groups
         matched_clauses: list[tuple[str | None, dict | None]] = []
         insert_clauses: list[tuple[str | None, object]] = []
-        by_source_conds: list[str | None] = []
+        # (cond, sets) — sets None for DELETE, assignment map for UPDATE
+        by_source_clauses: list[tuple[str | None, dict | None]] = []
         for text in clause_texts:
             mm = _NOT_BY_SOURCE_RE.match(text)
             if mm is not None:
-                by_source_conds.append(mm.group(1))
+                if mm.group(2) is not None:  # DELETE
+                    by_source_clauses.append((mm.group(1), None))
+                else:  # UPDATE SET — target columns only (no source row)
+                    sets = {}
+                    for col, expr in _split_assignments(mm.group(3)):
+                        c = col
+                        if c.lower().startswith(ta.lower() + "."):
+                            c = c[len(ta) + 1 :]
+                        if c == key:
+                            raise ValueError(
+                                f"MERGE: UPDATE of the merge key {key!r} "
+                                "is not supported (delete + insert instead)"
+                            )
+                        sets[c] = expr
+                    by_source_clauses.append((mm.group(1), sets))
                 continue
             mm = _NOT_MATCHED_RE.match(text)
             if mm is not None:
@@ -565,7 +597,7 @@ class LakehouseSqlCatalog:
         delete_keys = None
         prior_sql = "FALSE"
         out_cols = list(target.columns)
-        for _c_cond, sets in matched_clauses:
+        for _c_cond, sets in matched_clauses + by_source_clauses:
             if sets:
                 for c in sets:
                     if c not in out_cols:
@@ -624,14 +656,39 @@ class LakehouseSqlCatalog:
                 ins, allowMissingColumns=True
             )
 
-        # -- WHEN NOT MATCHED BY SOURCE THEN DELETE
-        for c_cond in by_source_conds:
-            where = f" AND ({c_cond})" if c_cond else ""
-            keys = self.spark.sql(
-                f"SELECT {ta}.{key} AS {key} FROM {t_only}{where}"
+        # -- WHEN NOT MATCHED BY SOURCE THEN DELETE / UPDATE SET
+        # (first-match-wins across multiple by-source clauses, same as
+        # the matched group; UPDATE exprs see target columns only — no
+        # source row exists by definition, a source reference fails
+        # analysis loudly)
+        bs_prior = "FALSE"
+        for c_cond, sets in by_source_clauses:
+            cc = c_cond or "TRUE"
+            eff = f"({cc}) AND NOT ({bs_prior})"
+            bs_prior = f"({bs_prior}) OR ({cc})"
+            if sets is None:  # DELETE
+                keys = self.spark.sql(
+                    f"SELECT {ta}.{key} AS {key} FROM {t_only} AND {eff}"
+                )
+                delete_keys = (
+                    keys if delete_keys is None else delete_keys.unionAll(keys)
+                )
+                continue
+            proj = ", ".join(
+                f"({sets[c]}) AS {c}"
+                if c in sets
+                else (
+                    f"{ta}.{c} AS {c}"
+                    if c in target.columns
+                    else f"NULL AS {c}"
+                )
+                for c in out_cols
             )
-            delete_keys = (
-                keys if delete_keys is None else delete_keys.unionAll(keys)
+            upd = self.spark.sql(
+                f"SELECT {proj} FROM {t_only} AND {eff}"
+            )
+            updates = upd if updates is None else updates.unionByName(
+                upd, allowMissingColumns=True
             )
 
         upserts = updates
@@ -929,6 +986,47 @@ class LakehouseSqlCatalog:
             )
         self._tables[name] = (str(props["kind"]), path, key)
         return self._summary("create", name, self._current_version(name))
+
+    def _try_show_tables(self, query: str) -> DataFrame | None:
+        if _SHOW_TABLES_RE.match(query) is None:
+            return None
+        # one row per registered table: kind, path, merge key, current
+        # version — answered from registration state + one commit-log
+        # probe per table, no data access
+        from ..sinks.manifest import CommitLog
+
+        rows = [
+            (name, kind, path, key, CommitLog(path).current_version())
+            for name, (kind, path, key) in sorted(self._tables.items())
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "table string, kind string, location string, "
+            "merge_key string, current_version int",
+        )
+
+    def _try_describe(self, query: str) -> DataFrame | None:
+        m = _DESCRIBE_RE.match(query)
+        if m is None:
+            return None
+        # `DESCRIBE [TABLE] t`: the column schema (as served by reads,
+        # partition columns included) plus # partition marker rows —
+        # the Spark DESCRIBE shape (col_name, data_type, comment)
+        name = m.group(1)
+        kind, path, key = self._require(name)
+        frame = self._frame(name, None)
+        rows = [(f.name, f.dataType.simpleString(), None) for f in frame.schema.fields]
+        from ..sinks.manifest import CommitLog
+
+        props = CommitLog(path).table_props()
+        rows.append(("# kind", kind, None))
+        if key is not None:
+            rows.append(("# merge_key", key, None))
+        for p in props.get("partition_by", []) or []:
+            rows.append(("# partition_by", p, None))
+        return self.spark.createDataFrame(
+            rows, "col_name string, data_type string, comment string"
+        )
 
     def _try_history(self, query: str) -> DataFrame | None:
         m = _HISTORY_RE.match(query)

@@ -261,16 +261,17 @@ def q_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the SAME history as S20/S20b (v1 init, v2 upsert, v3 delete; the
     # layout must be invisible in the answer) queried through PLAIN SQL:
     # `FROM t VERSION AS OF 2` resolves a version-pinned relation and
-    # the bare `t` the current version, both through the `lakehouse`
-    # DataSourceV2 relation (sources/lakehouse_ds.py) whose file list
-    # comes from the commit manifests and whose pushFilters turns the
-    # query's own WHERE (c_custkey <= half the key domain) into
-    # manifest min/max FILE SKIPPING inside the planner — the table is
-    # range-clustered into 8 files, so ~half are never opened (pinned
-    # with a physically-removed file in tests/test_lakehouse_sql.py).
+    # the bare `t` the current version. Since r12 the catalog serves
+    # CoW reads through the NATIVE path — the commit manifest resolves
+    # the version's file list driver-side and Spark scans those parquet
+    # files directly (JVM codegen, column pruning, row-group pushdown);
+    # the `lakehouse` Python DataSource remains the V2-provider compat
+    # surface, its planner-side manifest skipping gated on single_ref
+    # loads (per-occurrence pruning into a shared relation is unsound:
+    # Spark 4.1 collapses co-occurring scans — tests/test_round12.py).
     # The oracle recomputes both snapshots relationally, so a rewrite
-    # that pins the wrong version, leaks v3 deletes into v2, or prunes
-    # a matching file hash-fails.
+    # that pins the wrong version, leaks v3 deletes into v2, or serves
+    # a stale file list hash-fails.
     import shutil
 
     from ..plans.lakehouse_sql import LakehouseSqlCatalog
@@ -283,9 +284,9 @@ def q_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="phe_sql_travel_")
     sink = MergeSink(
         os.path.join(root, "t"), key="c_custkey", cluster_by=("c_custkey", 4)
-    )  # 4 range files: every scan partition is a Python-DS worker
-    # spin-up, so file count IS this fixture's cost (the pruning pin
-    # with 8 files lives in tests/test_lakehouse_sql.py)
+    )  # 4 range files (r12: the catalog read is now the NATIVE
+    # manifest-file-list parquet scan — see register_cow; the Python-DS
+    # single_ref pruning pin lives in tests/test_lakehouse_sql.py)
     # Fixture commits are DIRECT snapshot writes (each version's state
     # computed relationally), not MERGEs: the operator under test here
     # is the SQL READ surface over the commit log — S11/S15/S20 already

@@ -568,3 +568,78 @@ def test_sql_timestamp_as_of_and_retention_vacuum(spark, tmp_path):
     assert CommitLog(path).versions() == [2]
     with pytest.raises(Exception, match="at or before|not published"):
         cat.sql(f"SELECT * FROM tt TIMESTAMP AS OF '{mid_ms}'").collect()
+
+
+def test_sql_merge_by_source_update(spark, tmp_path):
+    from pretalx_hub_etl_spark.plans.lakehouse_sql import LakehouseSqlCatalog
+
+    cat = LakehouseSqlCatalog(spark)
+    _cow_fixture(spark, tmp_path, "bst", cat)
+    spark.createDataFrame([(2, 999)], "k long, cents long").createOrReplaceTempView(
+        "bs_src"
+    )
+    cat.sql(
+        """
+        MERGE INTO bst t USING bs_src s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET cents = s.cents
+        WHEN NOT MATCHED BY SOURCE AND t.k < 3 THEN UPDATE SET cents = 0
+        WHEN NOT MATCHED BY SOURCE AND t.k >= 8 THEN DELETE
+        """
+    )
+    got = {r.k: r.cents for r in cat.sql("SELECT k, cents FROM bst").collect()}
+    # k=2 matched->999; k=0,1 by-source-updated to 0; k=8,9 deleted;
+    # 3..7 untouched (first-match-wins: the <3 clause shields them from
+    # nothing, the >=8 delete has its own condition)
+    assert got == {0: 0, 1: 0, 2: 999, 3: 30, 4: 40, 5: 50, 6: 60, 7: 70}
+
+
+def test_show_tables_and_describe(spark, tmp_path):
+    from pretalx_hub_etl_spark.plans.lakehouse_sql import LakehouseSqlCatalog
+    from pretalx_hub_etl_spark.sinks.mor import MorTable
+
+    cat = LakehouseSqlCatalog(spark)
+    cow = str(tmp_path / "c")
+    mor = str(tmp_path / "m")
+    MergeSink(cow, key="k", partition_by=["p"]).init(
+        spark.createDataFrame([(1, 0, 10)], "k long, p long, v long")
+    )
+    MorTable(mor, key="k").init(spark.createDataFrame([(1, 5)], "k long, v long"))
+    cat.register_path("ct", cow)
+    cat.register_path("mt2", mor)
+    st = {r.table: r for r in cat.sql("SHOW TABLES").collect()}
+    assert st["ct"].kind == "cow" and st["ct"].merge_key == "k"
+    assert st["mt2"].kind == "mor" and st["mt2"].current_version == 1
+    desc = cat.sql("DESCRIBE TABLE ct").collect()
+    names = [r.col_name for r in desc]
+    assert "k" in names and "v" in names and "p" in names
+    assert ("# merge_key", "k") in {(r.col_name, r.data_type) for r in desc}
+    assert ("# partition_by", "p") in {(r.col_name, r.data_type) for r in desc}
+
+
+def test_sql_merge_into_empty_ddl_table(spark, tmp_path):
+    # MERGE INTO a freshly CREATEd (zero-commit) table: everything is an
+    # insert and the statement's commit INITIALIZES the table
+    from pretalx_hub_etl_spark.plans.lakehouse_sql import LakehouseSqlCatalog
+
+    cat = LakehouseSqlCatalog(spark)
+    path = str(tmp_path / "e")
+    cat.sql(
+        f"CREATE TABLE et (k BIGINT, cents BIGINT) USING lakehouse "
+        f"LOCATION '{path}' TBLPROPERTIES (merge_key='k')"
+    )
+    spark.createDataFrame([(1, 10), (2, 20)], "k long, cents long")\
+        .createOrReplaceTempView("et_src")
+    cat.sql(
+        "MERGE INTO et t USING et_src s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET cents = s.cents "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = {r.k: r.cents for r in cat.sql("SELECT k, cents FROM et").collect()}
+    assert got == {1: 10, 2: 20}
+    # and the second MERGE is a normal keyed commit on v1
+    cat.sql(
+        "MERGE INTO et t USING et_src s ON t.k = s.k "
+        "WHEN MATCHED AND s.k = 1 THEN UPDATE SET cents = s.cents + 5"
+    )
+    got = {r.k: r.cents for r in cat.sql("SELECT k, cents FROM et").collect()}
+    assert got == {1: 15, 2: 20}

@@ -65,6 +65,20 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
         ("S27", "RESTORE TABLE ... TO VERSION AS OF: history-preserving "
          "rollback (CoW relink, MoR checkpoint)",
          ["q_sql_restore"]),
+        ("S28", "SQL MERGE INTO (CoW): full clause surface compiled to "
+         "one MergeSink commit, multiple-match guard, WITH SCHEMA "
+         "EVOLUTION opt-in",
+         ["q_sql_merge"]),
+        ("S28b", "SQL MERGE INTO (MoR): one delta commit; ordered "
+         "conditional matched clauses + INSERT-VALUES form",
+         ["q_sql_merge_mor"]),
+        ("S29", "commit timestamps: committed_at stamps (monotone per "
+         "version), TIMESTAMP AS OF resolution, DESCRIBE HISTORY "
+         "column, VACUUM RETAIN n HOURS age-based retention",
+         ["q_sql_time_travel_ts"]),
+        ("S30", "minimal DDL (CREATE TABLE ... USING lakehouse) + "
+         "table props at creation + path-only register_path discovery",
+         ["q_sql_ddl"]),
         ("S10", "malformed-record handling (PERMISSIVE + corrupt-record column)",
          ["q_scan_badrecords"]),
         ("S11", "version retention vacuum on the MERGE table",

@@ -114,6 +114,15 @@ QUERIES = [
     "q_sql_dml",
     "q_stream_sink_lakehouse",
     "q_sql_restore",
+    # round-12 additions: MERGE INTO compiles to the same one-commit
+    # MERGE/delta the engine API pays (joins input-linear on the key);
+    # TIMESTAMP AS OF adds one manifest walk (commit-count, not
+    # data-bound); DDL lifecycle is commit-protocol fixed cost over the
+    # replicated customer table
+    "q_sql_merge",
+    "q_sql_merge_mor",
+    "q_sql_time_travel_ts",
+    "q_sql_ddl",
 ]
 
 # inherently super-linear OUTPUT at fixed parameters (not a plan defect)

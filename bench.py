@@ -112,6 +112,8 @@ HEADLINE = [
     "q_sql_merge_mor",      # SQL MERGE INTO -> one MoR delta commit
     "q_sql_time_travel_ts",  # TIMESTAMP AS OF resolution
     "q_sql_ddl",            # CREATE TABLE + path-discovered DML lifecycle
+    "q_sql_clone",          # SHALLOW CLONE: zero-copy snapshot + independence
+    "q_sql_table_changes",  # table_changes() CDC table function
 ]
 
 

@@ -126,6 +126,19 @@ _CREATE_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+TABLES\s*$", re.IGNORECASE)
+_CLONE_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+([A-Za-z_]\w*)\s+SHALLOW\s+CLONE\s+"
+    r"([A-Za-z_]\w*)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s+"
+    r"LOCATION\s+'([^']+)'\s*$",
+    re.IGNORECASE,
+)
+#: `table_changes('<name>', lo[, hi])` — the CDC table-valued function
+#: (the Delta shape), rewritten to a generated view before parsing
+_TABLE_CHANGES_RE = re.compile(
+    r"\btable_changes\(\s*'([A-Za-z_]\w*)'\s*,\s*(\d+)\s*"
+    r"(?:,\s*(\d+)\s*)?\)",
+    re.IGNORECASE,
+)
 _DESCRIBE_RE = re.compile(
     r"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?(?!HISTORY\b)([A-Za-z_]\w*)\s*$",
     re.IGNORECASE,
@@ -361,6 +374,7 @@ class LakehouseSqlCatalog:
             self._try_optimize,
             self._try_history,
             self._try_restore,
+            self._try_clone,
             self._try_create,
             self._try_show_tables,
             self._try_describe,
@@ -921,6 +935,40 @@ class LakehouseSqlCatalog:
             MorTable(path, key=key).restore(self.spark, version)
         return self._summary("restore", name, self._current_version(name))
 
+    def _try_clone(self, query: str) -> DataFrame | None:
+        m = _CLONE_RE.match(query)
+        if m is None:
+            return None
+        # `CREATE TABLE c SHALLOW CLONE t [VERSION AS OF n] LOCATION
+        # '<path>'` (the Delta clone shape): a NEW independent table
+        # whose v1 is the source snapshot — zero data copy (hardlinked
+        # immutable files + verbatim manifest stats, MergeSink.clone_to);
+        # both sides evolve, vacuum, and time-travel independently
+        # afterwards. CoW only: a MoR chain has no single-directory
+        # snapshot to link (compact first, or clone the compacted state).
+        new_name, src_name, version, dest = (
+            m.group(1),
+            m.group(2),
+            m.group(3),
+            m.group(4),
+        )
+        kind, path, key = self._require(src_name)
+        if kind != "mor":
+            from ..sinks.merge import MergeSink
+
+            MergeSink(path, key=key or "_").clone_to(
+                dest, int(version) if version else None
+            )
+        else:
+            raise ValueError(
+                f"SHALLOW CLONE of MoR table {src_name!r}: a delta "
+                "chain has no single snapshot directory to link — "
+                "OPTIMIZE (compact) it and clone the checkpoint, or "
+                "materialize with CREATE TABLE ... + INSERT"
+            )
+        self._tables[new_name] = ("cow", dest, key)
+        return self._summary("clone", new_name, 1)
+
     def _try_create(self, query: str) -> DataFrame | None:
         m = _CREATE_RE.match(query)
         if m is None:
@@ -1111,7 +1159,50 @@ class LakehouseSqlCatalog:
             )
             return self._ensure_view(name, v)
 
-        rewritten = _TS_ASOF_RE.sub(_pin_ts, query)
+        def _pin_changes(m: re.Match) -> str:
+            # `table_changes('t', lo[, hi])` -> a generated CDC view:
+            # MoR serves its deltas directly (changes_since IS the
+            # change log, scan cost = consumed deltas only, filtered to
+            # (lo, hi]); CoW reconstructs by snapshot diff
+            # (version_diff: one full-outer join of two manifest-listed
+            # scans, shape (key, change, old, new)). hi defaults to the
+            # current version; both bounds must be live commits.
+            name, lo = m.group(1), int(m.group(2))
+            if name not in self._tables:
+                raise ValueError(
+                    f"table_changes on unregistered table {name!r}"
+                )
+            kind, path, key = self._tables[name]
+            from pyspark.sql import functions as F
+
+            from ..sinks.manifest import CommitLog
+
+            hi = (
+                int(m.group(3))
+                if m.group(3)
+                else CommitLog(path).current_version()
+            )
+            if kind == "mor":
+                from ..sinks.mor import MorTable
+
+                df = MorTable(path, key=key).changes_since(
+                    self.spark, lo
+                ).filter(F.col("__commit") <= hi)
+            else:
+                if key is None:
+                    raise ValueError(
+                        f"table_changes on CoW table {name!r} needs the "
+                        "merge key: register with key=..."
+                    )
+                from ..sinks.merge import version_diff
+
+                df = version_diff(self.spark, path, key, lo, hi)
+            view = f"{name}__changes_{lo}_{hi}"
+            df.createOrReplaceTempView(view)
+            return view
+
+        rewritten = _TABLE_CHANGES_RE.sub(_pin_changes, query)
+        rewritten = _TS_ASOF_RE.sub(_pin_ts, rewritten)
         rewritten = _ASOF_RE.sub(_pin, rewritten)
         # current-version views for every registered table the query
         # still mentions (cheap: one manifest resolution per table)

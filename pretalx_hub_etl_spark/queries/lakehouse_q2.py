@@ -275,3 +275,128 @@ def q_sql_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = cat2.sql("SELECT k, cents FROM ddl_t2").localCheckpoint(eager=True)
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# --- S31: SHALLOW CLONE ------------------------------------------------------
+
+
+@query(
+    "q_sql_clone",
+    oracle="""
+    WITH base AS (
+        SELECT c_custkey AS k,
+               CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM customer
+    )
+    SELECT 'source' AS side, k, cents FROM base
+    UNION ALL
+    SELECT 'clone' AS side, k,
+           CASE WHEN k % 4 = 0 THEN cents + 9 ELSE cents END AS cents
+    FROM base WHERE k % 6 <> 0
+    """,
+)
+def q_sql_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S31: `CREATE TABLE c SHALLOW CLONE t LOCATION ...` (the Delta
+    # clone shape) — the clone's v1 is the source snapshot with ZERO
+    # data copy (hardlinked immutable files + verbatim manifest stats,
+    # MergeSink.clone_to), and the two tables are fully independent
+    # afterwards: the query mutates the CLONE (UPDATE + DELETE through
+    # the catalog) and returns both sides — a clone that shared state
+    # with its source (either direction), dropped rows, or re-wrote
+    # data it should have linked hash-fails against the relational
+    # recomputation. Inode identity (files genuinely shared, not
+    # copied) is pinned in tests/test_round12.py.
+    import shutil
+
+    from ..plans.lakehouse_sql import LakehouseSqlCatalog
+    from ..sinks.merge import MergeSink
+
+    base = Catalog(spark, sf_dir).customer.select(
+        F.col("c_custkey").alias("k"),
+        fixed_cents(F.col("c_acctbal")).alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="phe_sql_clone_")
+    sink = MergeSink(os.path.join(root, "src"), key="k")
+    sink.init(base)
+    cat = LakehouseSqlCatalog(spark)
+    cat.register_cow("clone_src", sink.path, key="k")
+    cat.sql(
+        f"CREATE TABLE clone_dst SHALLOW CLONE clone_src "
+        f"LOCATION '{os.path.join(root, 'dst')}'"
+    )
+    cat.sql("UPDATE clone_dst SET cents = cents + 9 WHERE k % 4 = 0")
+    cat.sql("DELETE FROM clone_dst WHERE k % 6 = 0")
+    out = cat.sql(
+        """
+        SELECT 'source' AS side, k, cents FROM clone_src
+        UNION ALL
+        SELECT 'clone' AS side, k, cents FROM clone_dst
+        """
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+# --- S32: table_changes() — CDC as a SQL table function ----------------------
+
+
+@query(
+    "q_sql_table_changes",
+    oracle="""
+    WITH base AS (
+        SELECT c_custkey AS k,
+               CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM customer
+    )
+    SELECT k, 'update' AS change, cents AS old_cents,
+           cents + 5000 AS new_cents
+    FROM base WHERE k % 5 = 0 AND k % 3 <> 0
+    UNION ALL
+    SELECT k, 'delete' AS change, cents AS old_cents,
+           CAST(NULL AS BIGINT) AS new_cents
+    FROM base WHERE k % 3 = 0
+    """,
+)
+def q_sql_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S32: `SELECT ... FROM table_changes('t', lo, hi)` — the CDC feed
+    # as a SQL table function (the Delta shape), rewritten to a
+    # generated view: CoW reconstructs the NET changes in (lo, hi] by
+    # snapshot diff (version_diff: one full-outer join of two
+    # manifest-listed scans; a key updated in v2 and deleted in v3
+    # surfaces ONCE as a delete carrying its SNAPSHOT-lo value — net
+    # semantics, intermediate states collapse), MoR serves its deltas
+    # directly (per-commit events, not net — documented difference,
+    # matching what each layout can answer without replay). The oracle
+    # recomputes the change algebra
+    # relationally, so a feed that leaks unchanged keys, misses a
+    # transition, or reports the wrong old/new values hash-fails.
+    import shutil
+
+    from ..plans.lakehouse_sql import LakehouseSqlCatalog
+    from ..sinks.merge import MergeSink
+
+    base = Catalog(spark, sf_dir).customer.select(
+        F.col("c_custkey").alias("k"),
+        fixed_cents(F.col("c_acctbal")).alias("cents"),
+    )
+    v2 = base.withColumn(
+        "cents",
+        F.when(F.col("k") % 5 == 0, F.col("cents") + 5000).otherwise(
+            F.col("cents")
+        ),
+    )
+    root = tempfile.mkdtemp(prefix="phe_sql_tc_")
+    sink = MergeSink(os.path.join(root, "t"), key="k")
+    sink.init(base)  # v1
+    sink._write(v2, 2)  # v2: update
+    sink._write(v2.filter(F.col("k") % 3 != 0), 3)  # v3: delete
+    cat = LakehouseSqlCatalog(spark)
+    cat.register_cow("tc_t", sink.path, key="k")
+    out = cat.sql(
+        """
+        SELECT k, change, old.cents AS old_cents, new.cents AS new_cents
+        FROM table_changes('tc_t', 1, 3)
+        """
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out

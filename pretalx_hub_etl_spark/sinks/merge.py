@@ -445,6 +445,65 @@ class MergeSink:
             f"{self.path}"
         )
 
+    def clone_to(
+        self, dest: str, version: int | None = None
+    ) -> "MergeSink":
+        """SHALLOW CLONE (the Delta shape): create a NEW table at
+        ``dest`` whose v1 is the source's ``version`` (default current)
+        snapshot — zero data copy, the immutable files are HARDLINKED
+        (the local-FS spelling of the shared-object references real
+        formats write; the inode outlives either table's directory
+        entry, so vacuum of one side can never corrupt the other) and
+        the manifest's per-file stats are copied verbatim. The clone
+        gets its OWN commit log and table props: subsequent commits,
+        vacuum, and time travel on either side are fully independent —
+        the clone's history STARTS at the clone point (v1), the
+        source's history is not carried (Delta semantics: time travel
+        on a clone reaches only post-clone versions). Raises if dest
+        already holds a table."""
+        import shutil
+
+        log = CommitLog(self.path)
+        v = log.current_version() if version is None else version
+        src_manifest = log.manifest(v)  # raises if unpublished/vacuumed
+        dest_log = CommitLog(dest)
+        if _versions(dest) or dest_log.table_props():
+            raise FileExistsError(f"clone target already a table: {dest}")
+        vdir = os.path.join(self.path, f"v{v}")
+        os.makedirs(dest, exist_ok=True)
+        stage = os.path.join(dest, f".stage-{uuid.uuid4().hex}")
+        os.makedirs(stage)
+        try:
+            for ent in src_manifest["files"]:
+                dst = os.path.join(stage, ent["path"])
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                src = os.path.join(vdir, ent["path"])
+                try:
+                    os.link(src, dst)
+                except OSError:
+                    shutil.copy2(src, dst)
+            open(os.path.join(stage, "_SUCCESS"), "w").close()
+            os.rename(stage, os.path.join(dest, "v1"))
+            dest_log.publish(
+                {
+                    "version": 1,
+                    "checkpoint": bool(src_manifest.get("checkpoint")),
+                    "files": src_manifest["files"],
+                    "cloned_from": {"path": self.path, "version": v},
+                }
+            )
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+        props = log.table_props()
+        props.update({"kind": "cow", "merge_key": self.key})
+        dest_log.write_table_props(props)
+        return MergeSink(
+            dest,
+            key=self.key,
+            partition_by=self.partition_by,
+            cluster_by=self.cluster_by,
+        )
+
     def vacuum(
         self,
         keep_last: int = 1,

@@ -643,3 +643,77 @@ def test_sql_merge_into_empty_ddl_table(spark, tmp_path):
     )
     got = {r.k: r.cents for r in cat.sql("SELECT k, cents FROM et").collect()}
     assert got == {1: 15, 2: 20}
+
+
+def test_shallow_clone_links_and_independence(spark, tmp_path):
+    from pretalx_hub_etl_spark.plans.lakehouse_sql import LakehouseSqlCatalog
+
+    cat = LakehouseSqlCatalog(spark)
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    MergeSink(src, key="k").init(
+        spark.range(20).selectExpr("id AS k", "id * 10 AS cents")
+    )
+    cat.register_cow("cs", src, key="k")
+    out = cat.sql(
+        f"CREATE TABLE cd SHALLOW CLONE cs LOCATION '{dst}'"
+    ).collect()
+    assert out[0].operation == "clone" and out[0].version == 1
+    # zero data copy: every clone file IS the source file (same inode)
+    src_files, _ = CommitLog(src).files_for(1)
+    dst_files, _ = CommitLog(dst).files_for(1)
+    src_inodes = {os.path.basename(f): os.stat(f).st_ino for f in src_files}
+    for f in dst_files:
+        assert os.stat(f).st_ino == src_inodes[os.path.basename(f)]
+    # independence: mutate the clone, vacuum the source — both intact
+    cat.sql("DELETE FROM cd WHERE k >= 10")
+    assert cat.sql("SELECT count(*) AS n FROM cd").collect()[0].n == 10
+    assert cat.sql("SELECT count(*) AS n FROM cs").collect()[0].n == 20
+    MergeSink(src, key="k").merge(
+        spark, spark.createDataFrame([(100, 1)], "k long, cents long")
+    )
+    MergeSink(src, key="k").vacuum(keep_last=1)  # drops source v1
+    assert cat.sql("SELECT count(*) AS n FROM cd").collect()[0].n == 10
+    # the clone is path-discoverable (props copied) and clone-of-clone works
+    cat2 = LakehouseSqlCatalog(spark)
+    cat2.register_path("cd2", dst)
+    assert cat2._tables["cd2"] == ("cow", dst, "k")
+    # guards: existing target, MoR source
+    with pytest.raises(FileExistsError):
+        cat.sql(f"CREATE TABLE x SHALLOW CLONE cs LOCATION '{dst}'")
+    from pretalx_hub_etl_spark.sinks.mor import MorTable
+
+    mor = str(tmp_path / "m")
+    MorTable(mor, key="k").init(spark.range(3).selectExpr("id AS k"))
+    cat.register_path("cm", mor)
+    with pytest.raises(ValueError, match="SHALLOW CLONE of MoR"):
+        cat.sql(
+            f"CREATE TABLE y SHALLOW CLONE cm LOCATION '{tmp_path / 'y'}'"
+        )
+
+
+def test_table_changes_mor_and_default_hi(spark, tmp_path):
+    from pretalx_hub_etl_spark.plans.lakehouse_sql import LakehouseSqlCatalog
+    from pretalx_hub_etl_spark.sinks.mor import MorTable
+
+    cat = LakehouseSqlCatalog(spark)
+    path = str(tmp_path / "m")
+    t = MorTable(path, key="k")
+    t.init(spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"))  # v1
+    t.merge(spark, source=spark.createDataFrame([(1, 11)], "k long, v long"))  # v2
+    t.merge(spark, deletes=spark.createDataFrame([(2,)], "k long"))  # v3
+    cat.register_path("mtc", path)
+    # MoR: per-commit events in (lo, hi]
+    rows = sorted(
+        (r["__commit"], r["__op"], r.k)
+        for r in cat.sql("SELECT * FROM table_changes('mtc', 1, 2)").collect()
+    )
+    assert rows == [(2, "upsert", 1)]
+    # hi defaults to the current version
+    rows = sorted(
+        (r["__commit"], r["__op"], r.k)
+        for r in cat.sql("SELECT * FROM table_changes('mtc', 1)").collect()
+    )
+    assert rows == [(2, "upsert", 1), (3, "delete", 2)]
+    with pytest.raises(ValueError, match="unregistered"):
+        cat.sql("SELECT * FROM table_changes('ghost', 1)")

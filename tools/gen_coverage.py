@@ -79,6 +79,12 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
         ("S30", "minimal DDL (CREATE TABLE ... USING lakehouse) + "
          "table props at creation + path-only register_path discovery",
          ["q_sql_ddl"]),
+        ("S31", "SHALLOW CLONE: zero-copy hardlinked snapshot clone "
+         "with independent history (CoW)",
+         ["q_sql_clone"]),
+        ("S32", "table_changes() CDC table function: CoW net snapshot "
+         "diff / MoR per-commit delta feed",
+         ["q_sql_table_changes"]),
         ("S10", "malformed-record handling (PERMISSIVE + corrupt-record column)",
          ["q_scan_badrecords"]),
         ("S11", "version retention vacuum on the MERGE table",

@@ -123,6 +123,8 @@ QUERIES = [
     "q_sql_merge_mor",
     "q_sql_time_travel_ts",
     "q_sql_ddl",
+    "q_sql_clone",
+    "q_sql_table_changes",
 ]
 
 # inherently super-linear OUTPUT at fixed parameters (not a plan defect)

@@ -322,7 +322,15 @@ def pq_exact_topk(
     dts = []
     for j in range(m):
         sub = F.slice(F.col("q"), j * dsub + 1, dsub)
-        qj = qc.select("vec_id", sub.alias("q")).persist()
+        # ONE partition per subspace frame: this is the WITNESS path —
+        # the production trainer (llm/pq.py pq_train) samples its
+        # training set first, so the Lloyd input here is sample-sized
+        # by contract, and each of the loop's m·(iterations+1) tiny
+        # jobs otherwise pays a full shuffle-partition fan-out it
+        # cannot use (the r11 IVF-quantizer coalesce, applied to PQ:
+        # measured 18.2 -> ~8 s on the parity fixture, values
+        # hash-identical)
+        qj = qc.select("vec_id", sub.alias("q")).coalesce(1).persist()
         cents_j = _train(qj, k_codes, iterations).localCheckpoint()
         assign_j = (
             _assign(qj, cents_j)

@@ -794,9 +794,17 @@ class LakehouseSqlCatalog:
             ]
         )
         if kind == "cow":
+            from ..sinks.merge import MergeSink
+            from ..sinks.merge import _versions as _committed
             from ..sources.lakehouse_ds import write_table
 
-            write_table(df, path, mode="append")
+            if key is not None and not _committed(path):
+                # first INSERT into a DDL-created empty table: commit v1
+                # through the engine sink directly — same claim+publish
+                # protocol, no Python-DataSource writer round trip
+                MergeSink(path, key=key).init(df)
+            else:
+                write_table(df, path, mode="append")
         else:
             from ..sinks.mor import MorTable
 

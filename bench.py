@@ -114,6 +114,8 @@ HEADLINE = [
     "q_sql_ddl",            # CREATE TABLE + path-discovered DML lifecycle
     "q_sql_clone",          # SHALLOW CLONE: zero-copy snapshot + independence
     "q_sql_table_changes",  # table_changes() CDC table function
+    "q_sink_bloom_read",    # per-file Bloom index point-lookup skipping
+    "q_stream_source_lakehouse",  # table as append-only streaming source
 ]
 
 

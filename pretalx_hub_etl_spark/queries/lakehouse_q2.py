@@ -1,5 +1,8 @@
 """Round-12 lakehouse-SQL batch: MERGE INTO, TIMESTAMP AS OF, DDL +
-path-discovered registration (VERDICT r11 items 1, 2, 4).
+path-discovered registration (VERDICT r11 items 1, 2, 4), plus the
+round's engine extensions — SHALLOW CLONE (S31), the table_changes()
+CDC table function (S32), the per-file Bloom index (S33), and the
+table as an append-only streaming source (ST17).
 
 Reference tie-in: the reference's whole Load phase (main.py:169-260 —
 create missing rows, update matched ones, delete unmatched) IS the
@@ -400,3 +403,136 @@ def q_sql_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# --- S33: per-file Bloom index — point-lookup file skipping -------------------
+
+
+@query(
+    "q_sink_bloom_read",
+    oracle="""
+    WITH keys AS (
+        SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 3
+    )
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+    FROM orders o JOIN keys k ON o.o_orderkey = k.o_orderkey
+    """,
+)
+def q_sink_bloom_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S33: per-file BLOOM index (the Delta bloom-index idea, inline in
+    # the commit manifest): on a HASH-SCATTERED layout every file's
+    # [min, max] envelope spans the whole key domain — range stats skip
+    # NOTHING — but the per-file membership filter skips every file
+    # that provably lacks a point-lookup key (false positives keep the
+    # file; false negatives impossible — sha256 double hashing,
+    # deterministic across runs). The table commits 16 hash-routed
+    # files with bloom_on the key; three point lookups each open ~1
+    # file instead of 16 (skip counts pinned in tests/test_round12.py).
+    # The oracle recomputes the lookups relationally, so a bloom that
+    # wrongly skipped a matching file hash-fails.
+    import shutil
+
+    from ..sinks.merge import MergeSink
+
+    base = Catalog(spark, sf_dir).orders.select(
+        "o_orderkey",
+        "o_custkey",
+        fixed_cents(F.col("o_totalprice")).alias("cents"),
+    )
+    # driver-bounded collect: THREE planning-time point-lookup keys
+    keys = [
+        r[0]
+        for r in base.select("o_orderkey")
+        .orderBy("o_orderkey")
+        .limit(3)
+        .collect()
+    ]
+    root = tempfile.mkdtemp(prefix="phe_bloom_")
+    sink = MergeSink(
+        os.path.join(root, "t"), key="o_orderkey", bloom_on="o_orderkey"
+    )
+    # hash-scattered layout: 16 files whose ranges all span the domain
+    sink.init(base.repartition(16, "o_orderkey"))
+    out = None
+    for k in keys:
+        df, _scanned, _skipped = sink.read_pruned(
+            spark, "o_orderkey", k, k
+        )
+        part = df.filter(F.col("o_orderkey") == k).select(
+            "o_orderkey", "o_custkey", "cents"
+        )
+        out = part if out is None else out.unionByName(part)
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+# --- ST17: the table as an append-only streaming SOURCE ----------------------
+
+
+@query(
+    "q_stream_source_lakehouse",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+    FROM orders WHERE o_orderkey % 3 = 0
+    """,
+)
+def q_stream_source_lakehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ST17: `readStream.format("lakehouse")` — the versioned table as an
+    # APPEND-ONLY STREAMING SOURCE (the Delta streaming-source shape,
+    # closing the loop with ST16's streaming SINK: tables are now both
+    # ends of a stream). Offsets are COMMIT VERSIONS (latestOffset = one
+    # commit-log read, listing-free); each microbatch serves the files a
+    # version ADDED vs its predecessor (appends hardlink old files under
+    # unchanged relative paths, so manifest set-difference is exactly
+    # the appended data; version 1 is the initial snapshot). Immutable
+    # versions make any checkpointed range replay deterministically —
+    # restart/resume and the loud non-append/vacuum failures are pinned
+    # in tests/test_round12.py. The fixture commits 3 append versions
+    # and streams them out; append-only streams make the final state the
+    # whole-input identity, which the oracle recomputes relationally.
+    import shutil
+
+    from ..sources.lakehouse_ds import (
+        cow_read_schema,
+        pin_active_session,
+        register,
+        write_table,
+    )
+
+    register(spark)
+    pin_active_session(spark)
+    base = Catalog(spark, sf_dir).orders.filter(
+        F.col("o_orderkey") % 3 == 0
+    ).select(
+        "o_orderkey", fixed_cents(F.col("o_totalprice")).alias("cents")
+    )
+    root = tempfile.mkdtemp(prefix="phe_stream_src_")
+    table, out, ckpt = (os.path.join(root, d) for d in ("t", "out", "ck"))
+    thirds = F.pmod(F.xxhash64("o_orderkey"), F.lit(3))
+    write_table(base.filter(thirds == 0).repartition(2), table, "overwrite")
+    write_table(base.filter(thirds == 1).coalesce(1), table, "append")
+    write_table(base.filter(thirds == 2).coalesce(1), table, "append")
+    q = (
+        spark.readStream.format("lakehouse")
+        .schema(cow_read_schema(table))  # driver-side: skip the worker
+        .option("path", table)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = (
+        spark.read.parquet(out)
+        .select("o_orderkey", "cents")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return got

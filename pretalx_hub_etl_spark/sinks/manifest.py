@@ -76,6 +76,62 @@ CHECKPOINT_EVERY = 10
 # min/max skipping; everything else gets rows/bytes but no range stats
 _STATS_TYPES = (int, float, str, bool)
 
+#: per-file Bloom geometry: bits per key (m rounds up to a power of two)
+#: and probe count — ~1 % fpr at the default; m is CAPPED so a single
+#: file's bloom never exceeds ~16 KiB raw in the manifest JSON (the
+#: inline form keeps a commit ONE object; at petabyte file counts real
+#: formats shard index bits to sidecar objects — documented trade)
+BLOOM_BITS_PER_KEY = 10
+BLOOM_K = 7
+BLOOM_MAX_BITS = 1 << 17
+
+
+def _bloom_key_bytes(v: Any) -> bytes:
+    """Canonical byte encoding for bloom membership: decimal for ints,
+    utf-8 for strings (a point predicate hashes its literal the same
+    way — cross-type collisions only ever ADD false positives, which
+    the contract allows)."""
+    return str(v).encode()
+
+
+def _bloom_positions(v: Any, m: int, k: int):
+    import hashlib
+
+    h = hashlib.sha256(_bloom_key_bytes(v)).digest()
+    h1 = int.from_bytes(h[:8], "big")
+    h2 = int.from_bytes(h[8:16], "big") | 1  # odd: full-period stride
+    return ((h1 + i * h2) % m for i in range(k))
+
+
+def build_file_bloom(values, bits_per_key: int = BLOOM_BITS_PER_KEY,
+                     k: int = BLOOM_K) -> dict[str, Any]:
+    """Bloom filter over one file's key values (sha256 double hashing —
+    deterministic across processes/runs, unlike PYTHONHASHSEED hashes).
+    Returns {m, k, b64} for inline manifest storage."""
+    import base64
+
+    vals = [v for v in values if v is not None]
+    n = max(1, len(vals))
+    m = 1 << max(6, (n * bits_per_key - 1).bit_length())
+    m = min(m, BLOOM_MAX_BITS)
+    bits = bytearray(m // 8)
+    for v in vals:
+        for b in _bloom_positions(v, m, k):
+            bits[b >> 3] |= 1 << (b & 7)
+    return {"m": m, "k": k, "b64": base64.b64encode(bytes(bits)).decode()}
+
+
+def bloom_might_contain(bloom: dict[str, Any], value: Any) -> bool:
+    """False ONLY when the file provably lacks the value (no false
+    negatives — the same soundness contract as min/max skipping)."""
+    import base64
+
+    bits = base64.b64decode(bloom["b64"])
+    m, k = int(bloom["m"]), int(bloom["k"])
+    return all(
+        bits[b >> 3] & (1 << (b & 7)) for b in _bloom_positions(value, m, k)
+    )
+
 
 def _mdir(table_path: str) -> str:
     return os.path.join(table_path, _MANIFEST_DIR)
@@ -151,7 +207,11 @@ def _file_stats(path: str) -> dict[str, Any]:
 
 
 def build_manifest(
-    version: int, staged_dir: str, *, checkpoint: bool = False
+    version: int,
+    staged_dir: str,
+    *,
+    checkpoint: bool = False,
+    bloom_on: str | None = None,
 ) -> dict[str, Any]:
     """Assemble the manifest dict for a commit from its STAGED directory
     (call before the rename — the file set is final once staged).
@@ -200,6 +260,23 @@ def build_manifest(
             role = top
         ent = {"path": rel, "role": role}
         ent.update(fstats)
+        # per-file Bloom on the declared key column (Delta's bloom-index
+        # idea, inline): point lookups on hash-scattered layouts get
+        # file skipping that min/max envelopes cannot give (every file's
+        # range spans the domain). One column read per staged file —
+        # write-side cost, column-pruned through the parquet reader.
+        if bloom_on is not None and role == "data":
+            import pyarrow.parquet as pq
+
+            try:
+                col = pq.read_table(
+                    os.path.join(staged_dir, rel), columns=[bloom_on]
+                )[bloom_on]
+                ent["bloom"] = {
+                    bloom_on: build_file_bloom(col.to_pylist())
+                }
+            except KeyError:
+                pass  # column absent in this file: no bloom, no skip
         # hive partition values from the path (key=value segments):
         # partition columns never appear in footers, so min=max=value
         # here is what lets files_for prune on them — manifest-level
@@ -392,7 +469,13 @@ class CommitLog:
             raise FileNotFoundError(
                 f"cannot heal v{version}: not a committed version dir"
             )
-        self.publish(build_manifest(version, vdir))
+        # restore the per-file blooms too (the declared key column is
+        # table metadata): a healed commit must skip like any other
+        self.publish(
+            build_manifest(
+                version, vdir, bloom_on=self.table_props().get("bloom_on")
+            )
+        )
         # healing may be this table's FIRST manifest (legacy table whose
         # upgrading writer crashed pre-publish): bring the rest of the
         # legacy history into the log too, or `versions()` would serve
@@ -616,6 +699,14 @@ class CommitLog:
                         # range vs string partition value): cannot
                         # soundly skip on this conjunct
                         disjoint = False
+                if not disjoint and lo == hi:
+                    # POINT lookup: probe the per-file Bloom (if the
+                    # table declared one) — the skip min/max cannot give
+                    # on hash-scattered layouts; false positives keep
+                    # the file (sound), false negatives are impossible
+                    bl = ent.get("bloom", {}).get(col)
+                    if bl is not None and not bloom_might_contain(bl, lo):
+                        disjoint = True
                 if disjoint:
                     break
             if disjoint:

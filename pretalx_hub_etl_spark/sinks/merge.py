@@ -225,6 +225,7 @@ class MergeSink:
         key: str,
         partition_by: list[str] | None = None,
         cluster_by: tuple[str, int] | None = None,
+        bloom_on: str | None = None,
     ):
         """``cluster_by=(column, n_files)`` is the table's clustering
         spec (the Delta OPTIMIZE / liquid-clustering idea as a standing
@@ -233,11 +234,19 @@ class MergeSink:
         per-file min/max envelopes are tight and non-overlapping and
         ``read_pruned`` can skip all but the matching files. Without it
         files hold hash-arbitrary key mixes and every file's envelope
-        spans the whole domain — stats exist but skip nothing."""
+        spans the whole domain — stats exist but skip nothing.
+
+        ``bloom_on=column`` declares a per-file BLOOM index (the Delta
+        bloom-index idea): every commit stores a compact membership
+        filter per data file, so POINT lookups on that column skip
+        files even on hash-scattered layouts where min/max envelopes
+        span the domain. Write-side cost: one column read per staged
+        file at commit."""
         self.path = path
         self.key = key
         self.partition_by = partition_by or []
         self.cluster_by = cluster_by
+        self.bloom_on = bloom_on
 
     def _read_manifest_files(
         self,
@@ -340,6 +349,8 @@ class MergeSink:
         props.update({"kind": "cow", "merge_key": self.key})
         if self.partition_by:
             props["partition_by"] = self.partition_by
+        if self.bloom_on is not None:
+            props["bloom_on"] = self.bloom_on
         log.write_table_props(props)
 
     def optimize(
@@ -691,7 +702,7 @@ class MergeSink:
         if self.partition_by:
             w = w.partitionBy(*self.partition_by)
         w.parquet(stage)
-        manifest = build_manifest(version, stage)
+        manifest = build_manifest(version, stage, bloom_on=self.bloom_on)
         final = os.path.join(self.path, f"v{version}")
         try:
             os.rename(stage, final)

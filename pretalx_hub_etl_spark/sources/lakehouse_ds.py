@@ -60,6 +60,7 @@ def build_lakehouse_source():
         DataSourceArrowWriter,
         DataSourceReader,
         DataSourceStreamArrowWriter,
+        DataSourceStreamReader,
         EqualNullSafe,
         EqualTo,
         GreaterThan,
@@ -833,6 +834,46 @@ def build_lakehouse_source():
             return True  # incomparable predicate/stat types
         return True  # unrecognized filter: never prune on it
 
+    def _read_file_part(partition):
+        """Decode one manifest-listed parquet file (shared by the batch
+        reader and the streaming source): footer columns via pyarrow,
+        hive partition columns reconstructed as per-file constants
+        (they exist only in the directory names), appended LAST —
+        matching schema() and Spark's own partition discovery."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if not partition.path:  # empty-microbatch sentinel
+            return
+        part_names = {n for n, _k in partition.part_fields}
+        tbl = pq.read_table(
+            partition.path,
+            columns=[c for c in partition.columns if c not in part_names],
+        )
+        n = tbl.num_rows
+        typs = {
+            "int": pa.int64(),
+            "float": pa.float64(),
+            "str": pa.string(),
+        }
+        for name, kind in partition.part_fields:
+            if name in tbl.column_names:
+                continue
+            val = partition.part.get(name)
+            if val is not None:
+                val = (
+                    int(val)
+                    if kind == "int"
+                    else float(val)
+                    if kind == "float"
+                    else str(val)
+                )
+            tbl = tbl.append_column(
+                pa.field(name, typs[kind]),
+                pa.array([val] * n, type=typs[kind]),
+            )
+        yield from tbl.to_batches()
+
     class _LakehouseReader(DataSourceReader):
         def __init__(self, options, schema_names):
             self.schema_names = schema_names
@@ -887,42 +928,139 @@ def build_lakehouse_source():
             ]
 
         def read(self, partition):
-            import pyarrow as pa
-            import pyarrow.parquet as pq
+            yield from _read_file_part(partition)
 
-            part_names = {n for n, _k in partition.part_fields}
-            tbl = pq.read_table(
-                partition.path,
-                columns=[
-                    c for c in partition.columns if c not in part_names
-                ],
+    class _LakehouseStreamReader(DataSourceStreamReader):
+        """``readStream.format("lakehouse")`` — the table as an
+        APPEND-ONLY STREAMING SOURCE (the Delta streaming-source shape):
+        offsets are COMMIT VERSIONS, ``latestOffset`` is one commit-log
+        read, and each microbatch serves the files versions (start, end]
+        ADDED relative to their predecessor (appends hardlink the old
+        files under unchanged relative paths, so set difference of the
+        manifests is exactly the appended data; the initial snapshot is
+        version 1's full file set). Versions are immutable, so any
+        checkpointed range replays deterministically — exactly-once
+        comes free. A version that REWRITES or REMOVES files (MERGE,
+        OPTIMIZE, RESTORE) is not an append: the source fails loudly
+        (the Delta default) unless ``ignoreChanges=true``, which serves
+        the version's new files and carries Delta's documented caveat —
+        rewritten rows re-emit, downstream must tolerate duplicates.
+        A vacuumed version inside the requested range raises (silently
+        skipping it would lose rows)."""
+
+        def __init__(self, options, schema_names):
+            self.path = options["path"]
+            self.schema_names = schema_names
+            self.start_after = int(
+                options.get("startingversion", "0") or "0"
             )
-            # reconstruct hive partition columns as per-file constants
-            # (they exist only in the directory names); appended LAST,
-            # matching schema() and Spark's own partition discovery
-            n = tbl.num_rows
-            typs = {
-                "int": pa.int64(),
-                "float": pa.float64(),
-                "str": pa.string(),
+            self.ignore_changes = (
+                str(options.get("ignorechanges", "")).lower() == "true"
+            )
+            _v, entries, _p = _resolve({"path": self.path})
+            # table-wide partition fields pinned at stream start (the
+            # stream's schema is fixed then anyway)
+            self.part_fields = _part_fields(entries)
+
+        def initialOffset(self) -> dict:
+            return {"v": self.start_after}
+
+        def latestOffset(self) -> dict:
+            return {
+                "v": max(self.start_after, _current_version(self.path))
             }
-            for name, kind in partition.part_fields:
-                if name in tbl.column_names:
-                    continue
-                val = partition.part.get(name)
-                if val is not None:
-                    val = (
-                        int(val)
-                        if kind == "int"
-                        else float(val)
-                        if kind == "float"
-                        else str(val)
+
+        def _published_below(self, v: int, floor: int) -> set | None:
+            """Data-file rel paths of the nearest PUBLISHED version in
+            [floor, v); None when none exists (v is the first live
+            commit — its whole file set is new)."""
+            import os
+
+            u = v - 1
+            while u >= max(1, floor):
+                try:
+                    m = _manifest(self.path, u)
+                except FileNotFoundError:
+                    if os.path.exists(os.path.join(self.path, f"v{u}")):
+                        u -= 1  # torn claim: step over
+                        continue
+                    return None  # vacuumed below: treat v as first live
+                return {
+                    e["path"]
+                    for e in m["files"]
+                    if e.get("role", "data") == "data"
+                }
+            return None
+
+        def partitions(self, start: dict, end: dict):
+            import os
+
+            lo, hi = int(start["v"]), int(end["v"])
+            parts = []
+            for v in range(lo + 1, hi + 1):
+                try:
+                    m = _manifest(self.path, v)
+                except FileNotFoundError:
+                    if os.path.exists(os.path.join(self.path, f"v{v}")):
+                        continue  # torn claim: never a commit
+                    raise RuntimeError(
+                        f"streaming range ({lo}, {hi}] includes version "
+                        f"{v} of {self.path}, which was removed by "
+                        "vacuum; restart from a retained offset"
+                    ) from None
+                vdir = os.path.join(self.path, f"v{v}")
+                entries = []
+                cur = set()
+                for e in m["files"]:
+                    if e.get("role", "data") != "data":
+                        continue
+                    cur.add(e["path"])
+                    part = []
+                    for seg in e["path"].split(os.sep)[:-1]:
+                        if "=" in seg:
+                            k = seg.partition("=")[0]
+                            st = e.get("columns", {}).get(k)
+                            if st is not None and st.get("partition"):
+                                part.append((k, st.get("min")))
+                    entries.append((e["path"], part))
+                prev = self._published_below(v, 1)
+                if prev is not None:
+                    removed = prev - cur
+                    if removed and not self.ignore_changes:
+                        raise RuntimeError(
+                            f"version {v} of {self.path} rewrites or "
+                            f"removes {len(removed)} file(s) — not an "
+                            "append (MERGE/OPTIMIZE/RESTORE). This "
+                            "source streams APPEND-ONLY tables; pass "
+                            "option ignoreChanges=true to serve the "
+                            "version's new files (rewritten rows "
+                            "re-emit — downstream must tolerate "
+                            "duplicates), or consume the CDC feed "
+                            "instead (mor_cdc / table_changes)."
+                        )
+                    entries = [
+                        (rel, part)
+                        for rel, part in entries
+                        if rel not in prev
+                    ]
+                for rel, part in entries:
+                    parts.append(
+                        _FilePart(
+                            os.path.join(vdir, rel),
+                            self.schema_names,
+                            dict(part),
+                            self.part_fields,
+                        )
                     )
-                tbl = tbl.append_column(
-                    pa.field(name, typs[kind]),
-                    pa.array([val] * n, type=typs[kind]),
-                )
-            yield from tbl.to_batches()
+            return parts or [
+                _FilePart("", self.schema_names, {}, self.part_fields)
+            ]
+
+        def read(self, partition):
+            yield from _read_file_part(partition)
+
+        def commit(self, end: dict) -> None:
+            pass  # versions are immutable; nothing to acknowledge
 
     class LakehouseDataSource(DataSource):
         @classmethod
@@ -954,6 +1092,11 @@ def build_lakehouse_source():
 
         def reader(self, schema: StructType):
             return _LakehouseReader(self.options, schema.fieldNames())
+
+        def streamReader(self, schema: StructType):
+            return _LakehouseStreamReader(
+                self.options, schema.fieldNames()
+            )
 
         def writer(self, schema: StructType, overwrite: bool):
             return _LakehouseWriter(self.options, overwrite)

@@ -717,3 +717,113 @@ def test_table_changes_mor_and_default_hi(spark, tmp_path):
     assert rows == [(2, "upsert", 1), (3, "delete", 2)]
     with pytest.raises(ValueError, match="unregistered"):
         cat.sql("SELECT * FROM table_changes('ghost', 1)")
+
+
+# --- S33: per-file Bloom index ------------------------------------------------
+
+
+def test_bloom_point_lookup_skips_files(spark, tmp_path):
+    path = str(tmp_path / "b")
+    sink = MergeSink(path, key="k", bloom_on="k")
+    # hash-scattered 8-file layout: every file's [min,max] spans the
+    # domain, so range stats alone skip nothing
+    sink.init(spark.range(4000).selectExpr("id AS k", "id*3 AS v").repartition(8, "k"))
+    log = CommitLog(path)
+    m = log.manifest(1)
+    assert all("bloom" in e and "k" in e["bloom"] for e in m["files"])
+    df, scanned, skipped = sink.read_pruned(spark, "k", 1234, 1234)
+    # the bloom skips (almost) every file that lacks the key; min/max
+    # alone would have scanned all 8
+    assert scanned <= 2 and skipped >= 6
+    assert df.filter("k = 1234").count() == 1
+    # a RANGE predicate ignores blooms (membership is point-only)
+    _df, scanned2, _sk = sink.read_pruned(spark, "k", 0, 4000)
+    assert scanned2 == 8
+    # absent keys: provably-absent files all skipped; the value may
+    # still false-positive into a file or two (sound, never required)
+    _df3, scanned3, _sk3 = sink.read_pruned(spark, "k", 99_999_999, 99_999_999)
+    assert scanned3 <= 2
+    # merges keep the index fresh (bloom_on travels through _write) and
+    # the table props make it heal-safe
+    sink.merge(spark, spark.createDataFrame([(50_000, 1)], "k long, v long"))
+    assert log.table_props()["bloom_on"] == "k"
+    assert all("bloom" in e for e in log.manifest(2)["files"])
+    df4, _scanned4, _sk4 = sink.read_pruned(spark, "k", 50_000, 50_000)
+    assert df4.filter("k = 50000").count() == 1
+    # heal rebuilds blooms from the declared column
+    os.remove(os.path.join(path, "_manifest", "2.json"))
+    log.heal(2)
+    assert any("bloom" in e for e in log.manifest(2)["files"])
+
+
+def test_bloom_soundness_exhaustive(spark, tmp_path):
+    # every present key must keep its file (no false negatives, the
+    # min/max soundness contract) — checked for all 500 keys
+    from pretalx_hub_etl_spark.sinks.manifest import (
+        bloom_might_contain,
+        build_file_bloom,
+    )
+
+    vals = list(range(0, 1000, 2))
+    bl = build_file_bloom(vals)
+    assert all(bloom_might_contain(bl, v) for v in vals)
+    # false-positive rate on absent keys stays small at 10 bits/key
+    fp = sum(bloom_might_contain(bl, v) for v in range(1, 1000, 2))
+    assert fp < 25  # ~1% expected; generous bound
+
+
+# --- ST17: the table as an append-only streaming source ----------------------
+
+
+def test_stream_source_resume_and_guards(spark, tmp_path):
+    register(spark)
+    from pretalx_hub_etl_spark.sources.lakehouse_ds import cow_read_schema
+
+    table = str(tmp_path / "t")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    _write(spark, spark.range(10).selectExpr("id AS k", "id AS v"), table, "overwrite")
+    _write(spark, spark.range(100, 105).selectExpr("id AS k", "id AS v"), table, "append")
+
+    def run_stream():
+        q = (
+            spark.readStream.format("lakehouse")
+            .schema(cow_read_schema(table))
+            .option("path", table)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_stream()
+    assert spark.read.parquet(out).count() == 15
+    # resume from the checkpoint: only the NEW version's rows arrive
+    _write(spark, spark.createDataFrame([(999, 9)], "k long, v long"), table, "append")
+    run_stream()
+    got = {r.k for r in spark.read.parquet(out).collect()}
+    assert len(got) == 16 and 999 in got
+    # a non-append commit (MERGE rewrite) fails the stream loudly
+    MergeSink(table, key="k").merge(
+        spark, spark.createDataFrame([(0, 777)], "k long, v long")
+    )
+    with pytest.raises(Exception, match="not an append"):
+        run_stream()
+    # ignoreChanges=true serves the rewrite's new files (duplicates
+    # allowed by contract) instead of failing
+    q = (
+        spark.readStream.format("lakehouse")
+        .schema(cow_read_schema(table))
+        .option("path", table)
+        .option("ignoreChanges", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out2"))
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert spark.read.parquet(str(tmp_path / "out2")).count() >= 16

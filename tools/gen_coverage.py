@@ -85,6 +85,12 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
         ("S32", "table_changes() CDC table function: CoW net snapshot "
          "diff / MoR per-commit delta feed",
          ["q_sql_table_changes"]),
+        ("S33", "per-file Bloom index: point-lookup file skipping on "
+         "hash-scattered layouts (bloom_on commits + files_for probe)",
+         ["q_sink_bloom_read"]),
+        ("ST17", "the table as an append-only streaming source "
+         "(offsets = versions, manifest set-difference per microbatch)",
+         ["q_stream_source_lakehouse"]),
         ("S10", "malformed-record handling (PERMISSIVE + corrupt-record column)",
          ["q_scan_badrecords"]),
         ("S11", "version retention vacuum on the MERGE table",

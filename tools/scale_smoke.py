@@ -125,6 +125,8 @@ QUERIES = [
     "q_sql_ddl",
     "q_sql_clone",
     "q_sql_table_changes",
+    "q_sink_bloom_read",
+    "q_stream_source_lakehouse",
 ]
 
 # inherently super-linear OUTPUT at fixed parameters (not a plan defect)

@@ -405,7 +405,13 @@ def q_stream_timer_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
         pq.write_table(sentinel, os.path.join(tmp, "part-sentinel.parquet"))
-        q.processAllAvailable()  # watermark jump, no-data batch fires timers
+        # watermark jump; the NO-DATA batch fires the timers — drain
+        # until the sink stabilizes (processAllAvailable alone can
+        # return before that batch under load; see
+        # streaming/structured.py drain_watermark_eviction)
+        from ..streaming.structured import drain_watermark_eviction
+
+        drain_watermark_eviction(q, lambda: s2.table(name).count())
     finally:
         q.stop()
     shutil.rmtree(os.path.dirname(tmp), ignore_errors=True)
@@ -1141,7 +1147,11 @@ def q_stream_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 os.path.join(tmp, f"part-sentinel{i}.parquet"),
             )
-            q.processAllAvailable()
+            # drain past the watermark's NO-DATA batch (see
+            # streaming/structured.py drain_watermark_eviction)
+            from ..streaming.structured import drain_watermark_eviction
+
+            drain_watermark_eviction(q, lambda: s2.table(name).count())
     finally:
         q.stop()
     shutil.rmtree(os.path.dirname(tmp), ignore_errors=True)

@@ -377,9 +377,14 @@ def q_stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()  # batch 1: all real data, watermark ~0
         write_sentinel(ldir)
         write_sentinel(rdir)
-        # sentinel batch advances the watermark; the trailing no-data
-        # batch evicts remaining state and emits the null-padded rows
-        q.processAllAvailable()
+        # sentinel batch advances the watermark; the trailing NO-DATA
+        # batch evicts remaining state and emits the null-padded rows.
+        # processAllAvailable alone does NOT guarantee that batch ran
+        # (observed flake under a loaded box: 2 rows short) — drain
+        # until the memory sink stabilizes.
+        from ..streaming.structured import drain_watermark_eviction
+
+        drain_watermark_eviction(q, lambda: s2.table(name).count())
     finally:
         q.stop()
     shutil.rmtree(tmp, ignore_errors=True)

@@ -208,6 +208,33 @@ def enrich_stream(
     return stream.join(F.broadcast(dim), key, how)
 
 
+def drain_watermark_eviction(q, count_fn, timeout_s: float = 30.0) -> int:
+    """Wait until watermark-driven NO-DATA batches have finished
+    emitting. ``processAllAvailable`` only guarantees the DATA is
+    consumed; the extra batch Spark schedules when a watermark movement
+    requires state eviction (the one that emits outer-join null rows /
+    fires expired timers) can still be pending when it returns — under
+    a loaded box, stopping the query there silently loses those rows
+    (observed once in ~10 concurrent parity sweeps: an outer interval
+    join returned 4998/5000 rows). Deterministic fix: re-enter
+    processAllAvailable and poll ``count_fn()`` until two consecutive
+    rounds agree — eviction output is finite (bounded by state), so
+    stability IS completion. Returns the stable count."""
+    import time
+
+    deadline = time.monotonic() + timeout_s
+    prev = -1
+    while True:
+        q.processAllAvailable()
+        cur = count_fn()
+        if cur == prev:
+            return cur
+        prev = cur
+        if time.monotonic() > deadline:
+            return cur  # bounded: callers' oracles catch a real loss
+        time.sleep(0.2)
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     """Drive a streaming DataFrame to completion into an in-memory table.
 

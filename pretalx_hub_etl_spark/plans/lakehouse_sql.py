@@ -518,6 +518,24 @@ class LakehouseSqlCatalog:
         tv, sv = f"__merge_tgt_{tag}", f"__merge_src_{tag}"
         target.createOrReplaceTempView(tv)
         source.createOrReplaceTempView(sv)
+        try:
+            return self._merge_body(
+                query, name, kind, path, key, evo, tv, sv, ta, sa,
+                on_sql, clause_texts, target,
+            )
+        finally:
+            # ALWAYS drop the scaffolding views — a parse/validation
+            # ValueError below used to leak two uniquely-named views
+            # into the shared session per failed MERGE
+            for view in (tv, sv):
+                self.spark.catalog.dropTempView(view)
+
+    def _merge_body(
+        self, query, name, kind, path, key, evo, tv, sv, ta, sa,
+        on_sql, clause_texts, target,
+    ) -> DataFrame:
+        from pyspark.sql import functions as F
+
         pair = f"{tv} {ta} JOIN {sv} {sa} ON {on_sql}"
         t_only = (
             f"{tv} {ta} WHERE NOT EXISTS "
@@ -757,8 +775,6 @@ class LakehouseSqlCatalog:
                 )
             else:
                 t.merge(self.spark, source=upserts, deletes=delete_keys)
-        for view in (tv, sv):  # frames are consumed; drop the scaffolding
-            self.spark.catalog.dropTempView(view)
         return self._summary("merge", name, self._current_version(name))
 
     def _try_insert(self, query: str) -> DataFrame | None:

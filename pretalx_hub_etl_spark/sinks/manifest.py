@@ -87,10 +87,36 @@ BLOOM_MAX_BITS = 1 << 17
 
 
 def _bloom_key_bytes(v: Any) -> bytes:
-    """Canonical byte encoding for bloom membership: decimal for ints,
-    utf-8 for strings (a point predicate hashes its literal the same
-    way — cross-type collisions only ever ADD false positives, which
-    the contract allows)."""
+    """Canonical byte encoding for bloom membership: numerics are
+    CANONICALIZED across Python types before hashing (True/1/1.0/
+    Decimal('1.00') all encode as b"1", 1.5/Decimal('1.5') as b"1.5")
+    because the probe side hashes the PREDICATE literal while the build
+    side hashed the STORED value: if 5 and 5.0 encoded differently, a
+    point probe ``read_pruned(col, 5.0, 5.0)`` against an int column
+    would skip a file that actually CONTAINS the value — a false
+    NEGATIVE that silently drops rows. Canonicalization can only merge
+    values Python already compares equal (``5 == 5.0 == Decimal('5')``),
+    so it never adds even a false positive. Strings stay utf-8 verbatim
+    (no numeric coercion: '5' and 5 are distinct values)."""
+    import decimal
+
+    if isinstance(v, bool):
+        v = int(v)
+    elif isinstance(v, float):
+        if v.is_integer():
+            v = int(v)
+    elif isinstance(v, decimal.Decimal):
+        # integral -> int; fractional -> the repr of its float value,
+        # matching how an equal float literal encodes (equal Decimals
+        # map to equal floats, so equality is preserved; any precision
+        # collision merges UNEQUAL values, which is a false positive —
+        # allowed by the bloom contract)
+        if v == v.to_integral_value():
+            v = int(v)
+        else:
+            v = float(v)
+            if v.is_integer():
+                v = int(v)
     return str(v).encode()
 
 

@@ -506,7 +506,15 @@ class MergeSink:
         finally:
             shutil.rmtree(stage, ignore_errors=True)
         props = log.table_props()
-        props.update({"kind": "cow", "merge_key": self.key})
+        props["kind"] = "cow"
+        # persist the merge key only when one is actually KNOWN: a
+        # keyless registration clones through the placeholder key "_",
+        # and writing that into _table.json would make a later
+        # register_path serve it as a real DML routing key
+        if self.key and self.key != "_":
+            props["merge_key"] = self.key
+        else:
+            props.pop("merge_key", None)
         dest_log.write_table_props(props)
         return MergeSink(
             dest,

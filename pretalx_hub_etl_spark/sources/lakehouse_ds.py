@@ -180,6 +180,8 @@ def build_lakehouse_source():
         """TIMESTAMP AS OF: highest version with committed_at <= ts
         (inline mirror of CommitLog.version_at; ts is epoch ms or an
         ISO-ish timestamp string)."""
+        import os as _os
+
         ts_ms = _parse_ts_ms(ts)
         best = 0
         v = _current_version(path)
@@ -187,7 +189,14 @@ def build_lakehouse_source():
             try:
                 m = _manifest(path, v)
             except FileNotFoundError:
-                break  # vacuumed below: nothing older survives
+                # torn claim (v{N} dir exists, no manifest — a writer
+                # died between rename and publish): never a commit,
+                # keep walking; a missing DIR means vacuumed below —
+                # nothing older survives (mirrors _published_below)
+                if _os.path.exists(_os.path.join(path, f"v{v}")):
+                    v -= 1
+                    continue
+                break
             if int(m.get("committed_at", 0)) <= ts_ms:
                 best = v
                 break  # stamps nondecreasing in version order
@@ -658,12 +667,21 @@ def build_lakehouse_source():
         (upgrade compatibility: an in-flight restart replay must still
         dedup against its own pre-upgrade commits; the legacy ambiguity
         ends at the first post-upgrade commit)."""
+        import os as _os
+
         v = _current_version(path)
         while v >= 1:
             try:
                 m = _manifest(path, v)
             except FileNotFoundError:
-                return -1  # vacuumed below: nothing older survives
+                # torn claim (dir without manifest): step over it —
+                # returning -1 here would defeat exactly-once dedup and
+                # double-commit a replayed batch whose real stamp sits
+                # below the hole. Missing dir = vacuumed below: done.
+                if _os.path.exists(_os.path.join(path, f"v{v}")):
+                    v -= 1
+                    continue
+                return -1
             if "stream_batch_id" in m:
                 rid = m.get("stream_run_id")
                 if rid is None or rid == run_id:
@@ -951,8 +969,13 @@ def build_lakehouse_source():
         def __init__(self, options, schema_names):
             self.path = options["path"]
             self.schema_names = schema_names
-            self.start_after = int(
-                options.get("startingversion", "0") or "0"
+            # startingVersion is INCLUSIVE (the Delta contract this
+            # mirrors): option N serves versions N, N+1, ... — offsets
+            # are exclusive-start internally, so N translates to
+            # start_after = N - 1 (clamped: versions begin at 1, so
+            # 0/1/absent all mean "from the beginning")
+            self.start_after = max(
+                0, int(options.get("startingversion", "1") or "1") - 1
             )
             self.ignore_changes = (
                 str(options.get("ignorechanges", "")).lower() == "true"

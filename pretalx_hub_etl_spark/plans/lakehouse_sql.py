@@ -125,6 +125,12 @@ _CREATE_RE = re.compile(
     r"(?:\s+TBLPROPERTIES\s*\((.*)\))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_CTAS_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([A-Za-z_]\w*)\s+"
+    r"USING\s+lakehouse\s+LOCATION\s+'([^']+)'"
+    r"(?:\s+TBLPROPERTIES\s*\((.*?)\))?\s+AS\s+(SELECT\b.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
 _SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+TABLES\s*$", re.IGNORECASE)
 _CLONE_RE = re.compile(
     r"^\s*CREATE\s+TABLE\s+([A-Za-z_]\w*)\s+SHALLOW\s+CLONE\s+"
@@ -216,16 +222,127 @@ def _split_assignments(s: str) -> list[tuple[str, str]]:
 class LakehouseSqlCatalog:
     """Session-scoped SQL namespace over CoW/MoR lakehouse tables."""
 
-    def __init__(self, spark: SparkSession):
+    def __init__(self, spark: SparkSession, warehouse: str | None = None):
         self.spark = spark
         self._tables: dict[str, tuple[str, str, str | None]] = {}
         #: names registered with use_datasource=True: CoW reads resolve
         #: through the `lakehouse` Python DataSource instead of the
         #: native manifest-file-list parquet scan
         self._ds_tables: set[str] = set()
+        #: warehouse root for the PERSISTENT catalog: name -> table
+        #: entries live in `<warehouse>/_catalog/<N>.json` (OCC-claimed
+        #: versions, same discipline as the commit log) and are
+        #: auto-loaded here — a FRESH session discovers every table
+        #: that any session CREATE'd or registered against the same
+        #: warehouse, by name, with kind/key re-resolved from each
+        #: table's own stored props when present (single source of
+        #: truth; the catalog snapshot is the fallback for legacy
+        #: tables without props)
+        self._warehouse = warehouse
         from ..sources.lakehouse_ds import register
 
         register(spark)
+        if warehouse:
+            for name, ent in sorted(self._catalog_entries().items()):
+                kind, key = ent.get("kind", "cow"), ent.get("key")
+                try:
+                    from ..sinks.manifest import CommitLog
+
+                    props = CommitLog(ent["path"]).table_props()
+                    if props.get("kind"):
+                        kind = props["kind"]
+                        key = props.get("merge_key")
+                except OSError:
+                    pass  # unreachable path: serve the snapshot entry
+                self._tables[name] = (kind, ent["path"], key)
+
+    # -- persistent catalog (warehouse `_catalog/` version chain) -----------
+
+    def _catalog_dir(self) -> str:
+        import os
+
+        return os.path.join(self._warehouse, "_catalog")
+
+    def _catalog_version(self) -> int:
+        """Highest published catalog version: `_latest` hint + forward
+        probe (the commit-log read protocol — no directory listing)."""
+        import os
+
+        cdir = self._catalog_dir()
+        v = 0
+        try:
+            with open(os.path.join(cdir, "_latest")) as fh:
+                v = max(0, int(fh.read().strip() or 0))
+        except (FileNotFoundError, ValueError):
+            pass
+        while os.path.exists(os.path.join(cdir, f"{v + 1}.json")):
+            v += 1
+        return v
+
+    def _catalog_entries(self) -> dict[str, dict]:
+        import json
+        import os
+
+        v = self._catalog_version()
+        if v == 0:
+            return {}
+        with open(os.path.join(self._catalog_dir(), f"{v}.json")) as fh:
+            return json.load(fh)
+
+    def _catalog_update(self, name: str, ent: dict | None) -> None:
+        """Publish a catalog version with ``name`` upserted (or removed
+        when ``ent`` is None). OCC: the next version file is claimed
+        with O_CREAT|O_EXCL — a lost race re-reads and retries, so
+        concurrent sessions registering different tables cannot lose
+        each other's entries (the lost-update a bare read-modify-write
+        of one JSON object would allow)."""
+        import json
+        import os
+
+        if not self._warehouse:
+            return
+        cdir = self._catalog_dir()
+        os.makedirs(cdir, exist_ok=True)
+        for _ in range(50):
+            v = self._catalog_version()
+            entries = self._catalog_entries() if v else {}
+            if ent is None:
+                entries.pop(name, None)
+            else:
+                entries[name] = ent
+            try:
+                fd = os.open(
+                    os.path.join(cdir, f"{v + 1}.json"),
+                    os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+                )
+            except FileExistsError:
+                continue  # lost the claim race: re-read, retry
+            with os.fdopen(fd, "w") as fh:
+                json.dump(entries, fh, indent=1)
+            tmp = os.path.join(cdir, f"._latest.{os.getpid()}.{v + 1}")
+            with open(tmp, "w") as fh:
+                fh.write(str(v + 1))
+            os.replace(tmp, os.path.join(cdir, "_latest"))
+            # bounded history: retire versions far below the head (a
+            # reader never walks backwards, so only the head matters)
+            old = v - 8
+            if old >= 1:
+                try:
+                    os.remove(os.path.join(cdir, f"{old}.json"))
+                except FileNotFoundError:
+                    pass
+            return
+        raise RuntimeError(
+            f"catalog update lost the version race 50 times at {cdir}"
+        )
+
+    def _persist(self, name: str) -> None:
+        if not self._warehouse:
+            return
+        kind, path, key = self._tables[name]
+        self._catalog_update(
+            name, {"kind": kind, "path": path, "key": key}
+        )
 
     def register_cow(
         self,
@@ -255,9 +372,11 @@ class LakehouseSqlCatalog:
             self._ds_tables.add(name)
         else:
             self._ds_tables.discard(name)
+        self._persist(name)
 
     def register_mor(self, name: str, path: str, key: str) -> None:
         self._tables[name] = ("mor", path, key)
+        self._persist(name)
 
     def register_path(self, name: str, path: str) -> None:
         """Register a table from its PATH alone: kind and merge key come
@@ -278,6 +397,7 @@ class LakehouseSqlCatalog:
             path,
             props.get("merge_key"),
         )
+        self._persist(name)
 
     def _empty_frame(self, path: str) -> DataFrame | None:
         """Empty DataFrame with the DDL-declared schema for a created
@@ -295,7 +415,31 @@ class LakehouseSqlCatalog:
 
         return self.spark.createDataFrame([], StructType.fromDDL(ddl))
 
-    def _frame(self, name: str, version: int | None) -> DataFrame:
+    def _statement_prunes(
+        self, statement: str, name: str, path: str
+    ) -> list[tuple[str, object, object]]:
+        """Sound (column, lo, hi) prune ranges for ``name``'s scan in
+        ``statement`` — [] when nothing extractable. Column attribution
+        checks against the table's stat-bearing column names (the only
+        ones that can prune anyway), read from the current manifest."""
+        from ..sinks.manifest import CommitLog
+
+        from .prune_sql import extract_prunes
+
+        log = CommitLog(path)
+        v = log.current_version()
+        if v <= 0:
+            return []
+        cols: set[str] = set()
+        for ent in log.manifest(v)["files"]:
+            cols.update(ent.get("columns", {}))
+        if not cols:
+            return []
+        return extract_prunes(statement, name, cols)
+
+    def _frame(
+        self, name: str, version: int | None, statement: str | None = None
+    ) -> DataFrame:
         kind, path, key = self._tables[name]
         if version is None:
             empty = self._empty_frame(path)
@@ -308,6 +452,17 @@ class LakehouseSqlCatalog:
                 from ..sinks.merge import MergeSink
 
                 sink = MergeSink(path, key=key or "_")
+                if statement is not None and version is None:
+                    # round 13: manifest file skipping for DEFAULT SQL
+                    # reads — extractable top-level WHERE conjuncts of
+                    # this statement prune the file list driver-side
+                    # (sound: single-occurrence only, AND-factors only;
+                    # see plans/prune_sql.py). At 100 TB this is the
+                    # difference between planning over every file of a
+                    # commit and over the envelope-surviving handful.
+                    prunes = self._statement_prunes(statement, name, path)
+                    if prunes:
+                        return sink.read_where(self.spark, prunes)[0]
                 return (
                     sink.read(self.spark)
                     if version is None
@@ -330,9 +485,11 @@ class LakehouseSqlCatalog:
 
         return cow_read_schema(path, version)
 
-    def _ensure_view(self, name: str, version: int | None) -> str:
+    def _ensure_view(
+        self, name: str, version: int | None, statement: str | None = None
+    ) -> str:
         view = name if version is None else f"{name}__asof_{version}"
-        self._frame(name, version).createOrReplaceTempView(view)
+        self._frame(name, version, statement).createOrReplaceTempView(view)
         return view
 
     def sql(self, query: str) -> DataFrame:
@@ -375,6 +532,7 @@ class LakehouseSqlCatalog:
             self._try_history,
             self._try_restore,
             self._try_clone,
+            self._try_ctas,
             self._try_create,
             self._try_show_tables,
             self._try_describe,
@@ -991,7 +1149,110 @@ class LakehouseSqlCatalog:
                 "materialize with CREATE TABLE ... + INSERT"
             )
         self._tables[new_name] = ("cow", dest, key)
+        self._persist(new_name)
         return self._summary("clone", new_name, 1)
+
+    def _try_ctas(self, query: str) -> DataFrame | None:
+        m = _CTAS_RE.match(query)
+        if m is None:
+            return None
+        # `CREATE TABLE t USING lakehouse LOCATION '<p>'
+        # [TBLPROPERTIES (merge_key='k'[, kind='mor'][,
+        # partition_by='a,b'][, bloom_on='c'])] AS SELECT ...` — CTAS:
+        # the payload query runs through the read surface (registered
+        # tables + time travel work), its result becomes version 1
+        # through the S25 write path, and the DISCOVERED schema is
+        # stored in the table props so the empty-at-DDL / register_path
+        # machinery sees CTAS tables exactly like CREATE'd ones.
+        if_not_exists, name, path, props_sql, select_sql = (
+            m.group(1),
+            m.group(2),
+            m.group(3),
+            m.group(4),
+            m.group(5),
+        )
+        props = self._parse_tblproperties(props_sql)
+        key = props.get("merge_key")
+        from ..sinks.manifest import CommitLog
+
+        log = CommitLog(path)
+        if log.table_props() or log.exists():
+            if not if_not_exists:
+                raise FileExistsError(
+                    f"lakehouse table already exists at {path} "
+                    "(use CREATE TABLE IF NOT EXISTS)"
+                )
+            # IF NOT EXISTS on an existing table: register as-is, the
+            # payload is NOT evaluated (the Delta CTAS contract)
+            stored = log.table_props()
+            self._tables[name] = (
+                stored.get("kind", "cow"),
+                path,
+                stored.get("merge_key"),
+            )
+            self._persist(name)
+            return self._summary("create", name, log.current_version())
+        df = self._select(select_sql)
+        if key is not None and key not in df.columns:
+            raise ValueError(
+                f"merge_key {key!r} is not a column of the CTAS payload "
+                f"({df.columns})"
+            )
+        partition_by = [
+            p.strip()
+            for p in str(props.get("partition_by", "")).split(",")
+            if p.strip()
+        ]
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        # discovered schema first, so init()'s props update preserves it
+        log.write_table_props(
+            {
+                "kind": props["kind"],
+                "schema_ddl": ", ".join(
+                    f"{f.name} {f.dataType.simpleString()}"
+                    for f in df.schema.fields
+                ),
+                **(
+                    {"partition_by": partition_by} if partition_by else {}
+                ),
+            }
+        )
+        if props["kind"] == "cow":
+            from ..sinks.merge import MergeSink
+
+            MergeSink(
+                path,
+                key=key or "_",
+                partition_by=partition_by or None,
+                bloom_on=props.get("bloom_on"),
+            ).init(df)
+        else:
+            from ..sinks.mor import MorTable
+
+            MorTable(path, key=key).init(df)
+        self._tables[name] = (str(props["kind"]), path, key)
+        self._persist(name)
+        return self._summary("create", name, self._current_version(name))
+
+    def _parse_tblproperties(self, props_sql: str | None) -> dict:
+        """TBLPROPERTIES body -> {kind, merge_key?, partition_by?,
+        bloom_on?} with kind validated (shared by CREATE and CTAS)."""
+        props: dict[str, object] = {"kind": "cow"}
+        if props_sql:
+            for part in _split_top_commas(props_sql):
+                pk, eq, pv = part.partition("=")
+                if not eq:
+                    raise ValueError(
+                        f"malformed TBLPROPERTIES entry {part!r}"
+                    )
+                props[pk.strip().lower()] = pv.strip().strip("'\"")
+        if props["kind"] not in ("cow", "mor"):
+            raise ValueError(f"unknown table kind {props['kind']!r}")
+        if props["kind"] == "mor" and "merge_key" not in props:
+            raise ValueError("MoR tables need TBLPROPERTIES (merge_key=...)")
+        return props
 
     def _try_create(self, query: str) -> DataFrame | None:
         m = _CREATE_RE.match(query)
@@ -1010,17 +1271,7 @@ class LakehouseSqlCatalog:
             m.group(3).strip(),
             m.group(4),
         )
-        props: dict[str, object] = {"kind": "cow"}
-        if m.group(5):
-            for part in _split_top_commas(m.group(5)):
-                pk, eq, pv = part.partition("=")
-                if not eq:
-                    raise ValueError(f"malformed TBLPROPERTIES entry {part!r}")
-                props[pk.strip().lower()] = pv.strip().strip("'\"")
-        if props["kind"] not in ("cow", "mor"):
-            raise ValueError(f"unknown table kind {props['kind']!r}")
-        if props["kind"] == "mor" and "merge_key" not in props:
-            raise ValueError("MoR tables need TBLPROPERTIES (merge_key=...)")
+        props = self._parse_tblproperties(m.group(5))
         from pyspark.sql.types import StructType
 
         schema = StructType.fromDDL(col_defs)  # validates the col defs
@@ -1057,6 +1308,7 @@ class LakehouseSqlCatalog:
                 }
             )
         self._tables[name] = (str(props["kind"]), path, key)
+        self._persist(name)
         return self._summary("create", name, self._current_version(name))
 
     def _try_show_tables(self, query: str) -> DataFrame | None:
@@ -1229,8 +1481,12 @@ class LakehouseSqlCatalog:
         rewritten = _TS_ASOF_RE.sub(_pin_ts, rewritten)
         rewritten = _ASOF_RE.sub(_pin, rewritten)
         # current-version views for every registered table the query
-        # still mentions (cheap: one manifest resolution per table)
+        # still mentions (cheap: one manifest resolution per table);
+        # the statement rides along so the native CoW path can prune
+        # its file list from extractable WHERE conjuncts (per-statement
+        # views — each sql() call re-registers, so a pruned view never
+        # outlives the statement it was pruned for)
         for name in self._tables:
             if re.search(rf"\b{re.escape(name)}\b", rewritten):
-                self._ensure_view(name, None)
+                self._ensure_view(name, None, statement=rewritten)
         return self.spark.sql(rewritten)

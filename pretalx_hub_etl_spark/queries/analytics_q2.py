@@ -35,10 +35,15 @@ WITH c AS (
     SELECT user_id, ts, event_id, cents FROM c WHERE rn <= 12
 ), pairs AS (
     -- floor-quantized pairwise slope in micro-cents/second:
-    -- floordiv(dv*1e6, dt) with a floor (not truncating) division
+    -- floordiv(dv*1e6, dt) with a floor (not truncating) division.
+    -- epoch() is floored PER TIMESTAMP before the difference: Spark's
+    -- unix_timestamp truncates sub-second parts, while CAST(epoch(b)
+    -- - epoch(a) AS BIGINT) would ROUND the fractional difference —
+    -- off-by-one dt whenever the fractions straddle, which shifts the
+    -- median slope (seen at sf0.001, user 8: dt 208815 vs 208816)
     SELECT a.user_id,
            (b.cents - a.cents) * 1000000 AS dvm,
-           CAST(epoch(b.ts) - epoch(a.ts) AS BIGINT) AS dt
+           CAST(floor(epoch(b.ts)) - floor(epoch(a.ts)) AS BIGINT) AS dt
     FROM win a JOIN win b
       ON a.user_id = b.user_id AND a.ts < b.ts
 ), q AS (

@@ -536,3 +536,54 @@ def q_stream_source_lakehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(root, ignore_errors=True)
     return got
+
+
+# --- S34: CTAS (CREATE TABLE ... AS SELECT) ----------------------------------
+
+
+@query(
+    "q_sql_ctas",
+    oracle="""
+    WITH src AS (
+        SELECT c_custkey AS k, c_nationkey AS nk,
+               CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM customer WHERE c_custkey % 3 = 0
+    )
+    SELECT k, nk,
+           CASE WHEN k % 7 = 0 THEN cents + 5 ELSE cents END AS cents
+    FROM src
+    """,
+)
+def q_sql_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S34: `CREATE TABLE t USING lakehouse LOCATION ... TBLPROPERTIES
+    # (merge_key=...) AS SELECT ...` — the payload runs through the
+    # catalog's read surface, its result becomes version 1 via the S25
+    # write path, and the DISCOVERED schema + key land in the table
+    # props: a FRESH catalog registers the table from its path alone
+    # and runs keyed DML against it (the q_sql_ddl round trip, but with
+    # the schema inferred from data instead of declared). The oracle
+    # recomputes CTAS + UPDATE relationally, so a dropped payload row,
+    # a lost stored key, or a mis-discovered schema hash-fails.
+    import shutil
+
+    from ..plans.lakehouse_sql import LakehouseSqlCatalog
+
+    Catalog(spark, sf_dir).customer.createOrReplaceTempView("ctas_cust")
+    root = tempfile.mkdtemp(prefix="phe_sql_ctas_")
+    path = os.path.join(root, "t")
+    cat = LakehouseSqlCatalog(spark)
+    cat.sql(
+        f"CREATE TABLE ctas_t USING lakehouse LOCATION '{path}' "
+        "TBLPROPERTIES (merge_key='k') AS "
+        "SELECT c_custkey AS k, c_nationkey AS nk, "
+        "CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS cents "
+        "FROM ctas_cust WHERE c_custkey % 3 = 0"
+    )
+    cat2 = LakehouseSqlCatalog(spark)
+    cat2.register_path("ctas_t2", path)
+    cat2.sql("UPDATE ctas_t2 SET cents = cents + 5 WHERE k % 7 = 0")
+    out = cat2.sql("SELECT k, nk, cents FROM ctas_t2").localCheckpoint(
+        eager=True
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -86,6 +86,46 @@ BLOOM_K = 7
 BLOOM_MAX_BITS = 1 << 17
 
 
+class _Unbounded:
+    """Order sentinel for one-sided prune ranges: ``UNBOUNDED_LO``
+    compares below every value, ``UNBOUNDED_HI`` above — so
+    ``files_for``'s ``max < lo or min > hi`` disjointness test works
+    unchanged for half-open predicates (``col < 5`` prunes as
+    ``(UNBOUNDED_LO, 5)``) across int/float/str stats alike. Reflected
+    comparisons make ``int < UNBOUNDED_HI`` resolve here (int returns
+    NotImplemented against a foreign type)."""
+
+    __slots__ = ("top",)
+
+    def __init__(self, top: bool):
+        self.top = top
+
+    def __lt__(self, other):  # -inf < x: True; +inf < x: False
+        return not self.top
+
+    def __gt__(self, other):
+        return self.top
+
+    def __le__(self, other):
+        return not self.top
+
+    def __ge__(self, other):
+        return self.top
+
+    def __eq__(self, other):
+        return self is other
+
+    def __hash__(self):
+        return id(self)
+
+    def __repr__(self):
+        return "+inf" if self.top else "-inf"
+
+
+UNBOUNDED_LO = _Unbounded(False)
+UNBOUNDED_HI = _Unbounded(True)
+
+
 def _bloom_key_bytes(v: Any) -> bytes:
     """Canonical byte encoding for bloom membership: numerics are
     CANONICALIZED across Python types before hashing (True/1/1.0/

@@ -317,6 +317,30 @@ class MergeSink:
         total = len(log.files_for(v)[0])
         return df, total - skipped, skipped
 
+    def read_where(
+        self,
+        spark: SparkSession,
+        prunes: list[tuple[str, object, object]],
+        version: int | None = None,
+    ) -> tuple[DataFrame, int, int]:
+        """Conjunctive stats pruning: like :meth:`read_pruned` but with
+        a LIST of ``(column, lo, hi)`` ranges (ANDed predicates — a
+        file skips when ANY range is provably disjoint). One-sided
+        predicates pass ``manifest.UNBOUNDED_LO`` / ``UNBOUNDED_HI``
+        as the open bound. This is the read the SQL catalog routes
+        extractable WHERE conjuncts through. Returns
+        (df, files_scanned, files_skipped)."""
+        log = CommitLog(self.path)
+        if not log.exists():
+            raise FileNotFoundError(
+                f"{self.path} has no commit log (legacy table): "
+                "stats pruning needs manifests"
+            )
+        v = log.current_version() if version is None else version
+        df, skipped = self._read_manifest_files(spark, v, prune=prunes)
+        total = len(log.files_for(v)[0])
+        return df, total - skipped, skipped
+
     def read_version(self, spark: SparkSession, version: int) -> DataFrame:
         """Time-travel read (VERSION AS OF): the snapshot exactly as
         committed at ``version``. Copy-on-write makes this free — every
@@ -346,7 +370,11 @@ class MergeSink:
         self._write(df, _next_version(self.path))
         log = CommitLog(self.path)
         props = log.table_props()  # CREATE TABLE may have written one
-        props.update({"kind": "cow", "merge_key": self.key})
+        props["kind"] = "cow"
+        # never persist the keyless placeholder "_" as a real merge key
+        # (register_path would serve it as a DML routing key)
+        if self.key and self.key != "_":
+            props["merge_key"] = self.key
         if self.partition_by:
             props["partition_by"] = self.partition_by
         if self.bloom_on is not None:

@@ -267,3 +267,264 @@ def test_failed_merge_leaks_no_temp_views(spark, tmp_path):
     assert merge_views() == before
     got = cat.sql("SELECT v FROM t WHERE k = 1").collect()[0].v
     assert got == 42
+
+
+# --- verdict r12 item 1: manifest file skipping for DEFAULT SQL reads --------
+
+
+def test_prune_extractor_shapes():
+    from pretalx_hub_etl_spark.plans.prune_sql import extract_prunes
+    from pretalx_hub_etl_spark.sinks.manifest import (
+        UNBOUNDED_HI,
+        UNBOUNDED_LO,
+    )
+
+    cols = {"k", "v", "region"}
+    ex = lambda q: extract_prunes(q, "t", cols)
+    assert ex("SELECT * FROM t WHERE k < 5") == [("k", UNBOUNDED_LO, 5)]
+    assert ex("SELECT * FROM t WHERE 5 >= k") == [("k", UNBOUNDED_LO, 5)]
+    assert ex("SELECT * FROM t a WHERE a.k >= 3 AND v = 7") == [
+        ("k", 3, UNBOUNDED_HI),
+        ("v", 7, 7),
+    ]
+    assert ex("SELECT * FROM t WHERE k BETWEEN 2 AND 4 ORDER BY k") == [
+        ("k", 2, 4)
+    ]
+    assert ex("SELECT * FROM t WHERE region IN ('eu', 'us')") == [
+        ("region", "eu", "us")
+    ]
+    # unextractable conjuncts are skipped, extractable kept
+    assert ex("SELECT * FROM t WHERE upper(region) = 'EU' AND k = 9") == [
+        ("k", 9, 9)
+    ]
+    # soundness bails: top-level OR, two occurrences, subquery-only WHERE
+    assert ex("SELECT * FROM t WHERE k = 1 OR v = 2") == []
+    assert (
+        ex("SELECT * FROM t WHERE k=1 UNION ALL SELECT * FROM t WHERE k=2")
+        == []
+    )
+    assert ex("SELECT * FROM (SELECT max(v) AS m FROM t) WHERE m < 5") == []
+    # the subquery's own WHERE binds when the occurrence is inside it
+    assert ex("SELECT * FROM (SELECT * FROM t WHERE k = 3) s") == [
+        ("k", 3, 3)
+    ]
+    # qualifier of ANOTHER relation never binds to t
+    assert ex("SELECT * FROM u JOIN t ON u.k = t.k WHERE u.k < 5") == []
+    # bare column not in t's stats is ignored
+    assert ex("SELECT * FROM t WHERE other_col = 5") == []
+    # a WHERE above t's block does not bind to t
+    assert ex("SELECT * FROM u WHERE x < 5") == []
+
+
+def test_sql_native_read_prunes_files(spark, tmp_path):
+    # the round-13 headline pin: a DEFAULT-path SQL read with an
+    # extractable predicate never opens a file whose envelope cannot
+    # match — proof by physical absence (test_round12 pattern, but
+    # through the native catalog path instead of the DataSource)
+    from pretalx_hub_etl_spark.plans.lakehouse_sql import LakehouseSqlCatalog
+
+    path = str(tmp_path / "p")
+    MergeSink(path, key="k", cluster_by=("k", 4)).init(
+        spark.range(40).selectExpr("id AS k", "id * 10 AS cents")
+    )
+    log = CommitLog(path)
+    files, _ = log.files_for(1)
+    import pyarrow.parquet as pq
+
+    top = max(
+        files, key=lambda f: pq.read_table(f, columns=["k"])["k"][0].as_py()
+    )
+    os.remove(top)
+    cat = LakehouseSqlCatalog(spark)
+    cat.register_cow("p", path)  # NATIVE default path
+    # pruned: the k<5 files survive, the removed top-range file is
+    # never opened
+    assert cat.sql("SELECT k FROM p WHERE k < 5").count() == 5
+    assert cat.sql("SELECT k FROM p WHERE k BETWEEN 1 AND 3").count() == 3
+    # same via alias-qualified conjunct
+    assert cat.sql("SELECT a.k FROM p a WHERE a.k < 5").count() == 5
+    # an unextractable predicate falls back to the FULL list and fails
+    # loudly on the missing file (proves the pruned runs really skipped)
+    with pytest.raises(Exception):
+        cat.sql("SELECT k FROM p WHERE k + 0 < 5").collect()
+
+
+def test_sql_native_prune_is_sound_on_overlap(spark, tmp_path):
+    # files whose envelopes overlap the predicate stay; result rows
+    # identical with and without pruning
+    from pretalx_hub_etl_spark.plans.lakehouse_sql import LakehouseSqlCatalog
+
+    path = str(tmp_path / "s")
+    MergeSink(path, key="k").init(
+        spark.range(1000)
+        .selectExpr("id AS k", "id % 7 AS v")
+        .repartition(8)  # round-robin: every file spans the domain
+    )
+    cat = LakehouseSqlCatalog(spark)
+    cat.register_cow("s", path)
+    got = cat.sql("SELECT sum(k) AS s FROM s WHERE k < 100").collect()[0].s
+    assert got == sum(range(100))
+    # partitioned table: partition columns survive a pruned read
+    path2 = str(tmp_path / "sp")
+    MergeSink(path2, key="k", partition_by=["region"]).init(
+        spark.range(40).selectExpr("id AS k", "id % 4 AS region")
+    )
+    cat.register_cow("sp", path2)
+    rows = cat.sql(
+        "SELECT k, region FROM sp WHERE region = 2 AND k < 100"
+    ).collect()
+    assert len(rows) == 10 and all(r.region == 2 for r in rows)
+
+
+# --- verdict r12 item 2: CTAS -------------------------------------------------
+
+
+def test_ctas_round_trip(spark, tmp_path):
+    from pretalx_hub_etl_spark.plans.lakehouse_sql import LakehouseSqlCatalog
+
+    cat = LakehouseSqlCatalog(spark)
+    spark.range(20).selectExpr(
+        "id AS k", "id % 3 AS grp", "id * 10 AS cents"
+    ).createOrReplaceTempView("ctas_src")
+    path = str(tmp_path / "t")
+    out = cat.sql(
+        f"CREATE TABLE ct USING lakehouse LOCATION '{path}' "
+        "TBLPROPERTIES (merge_key='k') AS "
+        "SELECT k, grp, cents FROM ctas_src WHERE k < 15"
+    ).collect()
+    assert out[0].operation == "create" and out[0].version == 1
+    assert cat.sql("SELECT count(*) AS n FROM ct").collect()[0].n == 15
+    # discovered schema + key are stored: a fresh catalog registers
+    # from the path alone and runs keyed DML
+    props = CommitLog(path).table_props()
+    assert props["kind"] == "cow" and props["merge_key"] == "k"
+    assert "k bigint" in props["schema_ddl"]
+    cat2 = LakehouseSqlCatalog(spark)
+    cat2.register_path("ct2", path)
+    cat2.sql("INSERT INTO ct2 VALUES (100, 1, 999)")
+    cat2.sql("UPDATE ct2 SET cents = 0 WHERE k = 3")
+    rows = {r.k: r.cents for r in cat2.sql("SELECT k, cents FROM ct2").collect()}
+    assert rows[100] == 999 and rows[3] == 0 and len(rows) == 16
+    # existing location: plain CTAS raises, IF NOT EXISTS registers
+    # without evaluating the payload
+    with pytest.raises(FileExistsError):
+        cat.sql(
+            f"CREATE TABLE ct3 USING lakehouse LOCATION '{path}' "
+            "AS SELECT k FROM ctas_src"
+        )
+    cat.sql(
+        f"CREATE TABLE IF NOT EXISTS ct3 USING lakehouse LOCATION '{path}' "
+        "AS SELECT k FROM ctas_src"
+    )
+    assert cat.sql("SELECT count(*) AS n FROM ct3").collect()[0].n == 16
+
+
+def test_ctas_mor_and_partitioned(spark, tmp_path):
+    from pretalx_hub_etl_spark.plans.lakehouse_sql import LakehouseSqlCatalog
+
+    cat = LakehouseSqlCatalog(spark)
+    spark.range(12).selectExpr(
+        "id AS k", "id % 2 AS region", "id AS v"
+    ).createOrReplaceTempView("ctas_src2")
+    # MoR kind routes through MorTable.init; DML produces deltas
+    mpath = str(tmp_path / "m")
+    cat.sql(
+        f"CREATE TABLE cm USING lakehouse LOCATION '{mpath}' "
+        "TBLPROPERTIES (merge_key='k', kind='mor') AS "
+        "SELECT k, v FROM ctas_src2"
+    )
+    assert CommitLog(mpath).table_props()["kind"] == "mor"
+    cat.sql("UPDATE cm SET v = 77 WHERE k = 5")
+    assert cat.sql("SELECT v FROM cm WHERE k = 5").collect()[0].v == 77
+    # partition_by property lays out hive dirs; partition col readable
+    ppath = str(tmp_path / "p")
+    cat.sql(
+        f"CREATE TABLE cp USING lakehouse LOCATION '{ppath}' "
+        "TBLPROPERTIES (merge_key='k', partition_by='region') AS "
+        "SELECT k, region, v FROM ctas_src2"
+    )
+    import glob
+
+    assert glob.glob(os.path.join(ppath, "v1", "region=*"))
+    rows = cat.sql("SELECT k, region FROM cp WHERE region = 1").collect()
+    assert len(rows) == 6 and all(r.region == 1 for r in rows)
+    # keyless CTAS: readable, no fake merge key persisted, DML refuses
+    kpath = str(tmp_path / "kless")
+    cat.sql(
+        f"CREATE TABLE ck USING lakehouse LOCATION '{kpath}' AS "
+        "SELECT k, v FROM ctas_src2"
+    )
+    assert "merge_key" not in CommitLog(kpath).table_props()
+    cat3 = LakehouseSqlCatalog(spark)
+    cat3.register_path("ck2", kpath)
+    assert cat3.sql("SELECT count(*) AS n FROM ck2").collect()[0].n == 12
+    with pytest.raises(ValueError, match="merge key"):
+        cat3.sql("DELETE FROM ck2 WHERE k = 1")
+
+
+# --- verdict r12 item 3: persistent warehouse catalog -------------------------
+
+
+def test_persistent_catalog_new_session_discovery(spark, tmp_path):
+    from pretalx_hub_etl_spark.plans.lakehouse_sql import LakehouseSqlCatalog
+
+    wh = str(tmp_path / "wh")
+    cat = LakehouseSqlCatalog(spark, warehouse=wh)
+    spark.range(10).selectExpr("id AS k", "id AS v").createOrReplaceTempView(
+        "pc_src"
+    )
+    cat.sql(
+        f"CREATE TABLE pt USING lakehouse LOCATION '{wh}/pt' "
+        "TBLPROPERTIES (merge_key='k') AS SELECT k, v FROM pc_src"
+    )
+    cat.sql(
+        f"CREATE TABLE pm (k BIGINT, v BIGINT) USING lakehouse "
+        f"LOCATION '{wh}/pm' TBLPROPERTIES (merge_key='k', kind='mor')"
+    )
+    # a FRESH catalog instance (new session shape) discovers both BY
+    # NAME from the warehouse alone
+    cat2 = LakehouseSqlCatalog(spark, warehouse=wh)
+    names = {r.table: (r.kind, r.merge_key) for r in cat2.sql("SHOW TABLES").collect()}
+    assert names["pt"] == ("cow", "k") and names["pm"] == ("mor", "k")
+    assert cat2.sql("SELECT count(*) AS n FROM pt").collect()[0].n == 10
+    # DML routes through the discovered key
+    cat2.sql("UPDATE pt SET v = 99 WHERE k = 3")
+    assert cat2.sql("SELECT v FROM pt WHERE k = 3").collect()[0].v == 99
+    # register_* also persists; a third session sees it
+    p3 = str(tmp_path / "ext")
+    MergeSink(p3, key="k").init(spark.range(5).selectExpr("id AS k"))
+    cat2.register_cow("ext_t", p3, key="k")
+    cat3 = LakehouseSqlCatalog(spark, warehouse=wh)
+    assert cat3.sql("SELECT count(*) AS n FROM ext_t").collect()[0].n == 5
+    # kind/key re-resolve from the table's own props (snapshot is the
+    # fallback): a clone of pt registered by another session keeps cow
+    # without a fake key
+    assert ("pt", "cow", "k") in {
+        (r.table, r.kind, r.merge_key)
+        for r in cat3.sql("SHOW TABLES").collect()
+    }
+
+
+def test_persistent_catalog_occ_no_lost_update(spark, tmp_path):
+    # two catalog instances interleave updates: OCC version claims mean
+    # neither registration is lost (a bare read-modify-write of one
+    # JSON object would drop one)
+    from pretalx_hub_etl_spark.plans.lakehouse_sql import LakehouseSqlCatalog
+
+    wh = str(tmp_path / "wh")
+    a = LakehouseSqlCatalog(spark, warehouse=wh)
+    b = LakehouseSqlCatalog(spark, warehouse=wh)
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    MergeSink(pa, key="k").init(spark.range(3).selectExpr("id AS k"))
+    MergeSink(pb, key="k").init(spark.range(4).selectExpr("id AS k"))
+    a.register_cow("ta", pa, key="k")
+    b.register_cow("tb", pb, key="k")  # b never saw a's update
+    fresh = LakehouseSqlCatalog(spark, warehouse=wh)
+    got = {r.table for r in fresh.sql("SHOW TABLES").collect()}
+    assert {"ta", "tb"} <= got
+    # catalog history is bounded: many updates retire old versions
+    for i in range(15):
+        a.register_cow(f"t{i}", pa, key="k")
+    import glob
+
+    assert len(glob.glob(os.path.join(wh, "_catalog", "*.json"))) <= 10

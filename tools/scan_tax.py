@@ -77,7 +77,22 @@ def main() -> None:
         return best, rows
 
     ds_sec, n_ds = timed(lambda: cat.sql(q.format("t_ds")).count())
+    # since round 13 the default SQL path extracts the WHERE conjunct
+    # and prunes the manifest file list itself — this measures the
+    # PRUNED SQL read (the round-13 "done" row: must track read_pruned)
     nat_sec, n_nat = timed(lambda: cat.sql(q.format("t_native")).count())
+
+    def native_full():
+        # the pre-r13 default: full manifest file list, predicate left
+        # to parquet row-group pushdown
+        return (
+            sink.read(spark)
+            .filter(F.col("l_orderkey") <= thr)
+            .select("l_orderkey", "l_quantity")
+            .count()
+        )
+
+    full_sec, n_full = timed(native_full)
 
     def pruned():
         df, _scanned, _skipped = sink.read_pruned(
@@ -88,19 +103,22 @@ def main() -> None:
         ).count()
 
     pr_sec, n_pr = timed(pruned)
-    assert n_ds == n_nat == n_pr, (n_ds, n_nat, n_pr)
+    assert n_ds == n_nat == n_full == n_pr, (n_ds, n_nat, n_full, n_pr)
 
+    la0, la1, _ = os.getloadavg()
     rec = {
         "sf_dir": sf_dir,
         "rows_selected": n_ds,
         "table_rows": base.count(),
         "repeats": repeats,
         "datasource_sec": round(ds_sec, 3),
-        "native_sec": round(nat_sec, 3),
+        "native_full_sec": round(full_sec, 3),
+        "sql_pruned_sec": round(nat_sec, 3),
         "read_pruned_sec": round(pr_sec, 3),
-        "ds_over_native": round(ds_sec / nat_sec, 2),
-        "ds_over_pruned": round(pr_sec and ds_sec / pr_sec, 2),
-        "loadavg": os.getloadavg()[0],
+        "ds_over_sql_pruned": round(ds_sec / nat_sec, 2),
+        "sql_pruned_over_read_pruned": round(pr_sec and nat_sec / pr_sec, 2),
+        "loadavg": la0,
+        "loadavg_5m": la1,
     }
     shutil.rmtree(root, ignore_errors=True)
     out = os.path.join(os.path.dirname(os.path.dirname(__file__)), "SCAN_TAX.json")

@@ -386,6 +386,12 @@ def main() -> None:
         "preflight": preflight,
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        # adjudicability (VERDICT r12 item 5): pin WHEN the artifact
+        # was measured, exactly as PARITY_r12+ does — epoch drift
+        # questions resolve against the timestamp instead of guesswork
+        "measured_at_utc": __import__("datetime")
+        .datetime.now(__import__("datetime").timezone.utc)
+        .strftime("%Y-%m-%dT%H:%M:%SZ"),
     }
     # The heavy-tail scaling exponents live in SCALING.json and are
     # printed as their OWN earlier line: the driver captures only the

@@ -88,6 +88,10 @@ _VACUUM_RE = re.compile(
 _OPTIMIZE_RE = re.compile(
     r"^\s*OPTIMIZE\s+([A-Za-z_]\w*)\s*$", re.IGNORECASE
 )
+_OPTIMIZE_Z_RE = re.compile(
+    r"^\s*OPTIMIZE\s+([A-Za-z_]\w*)\s+ZORDER\s+BY\s*\(([^)]+)\)\s*$",
+    re.IGNORECASE,
+)
 _HISTORY_RE = re.compile(
     r"^\s*DESCRIBE\s+HISTORY\s+([A-Za-z_]\w*)\s*$", re.IGNORECASE
 )
@@ -141,8 +145,8 @@ _CLONE_RE = re.compile(
 #: `table_changes('<name>', lo[, hi])` — the CDC table-valued function
 #: (the Delta shape), rewritten to a generated view before parsing
 _TABLE_CHANGES_RE = re.compile(
-    r"\btable_changes\(\s*'([A-Za-z_]\w*)'\s*,\s*(\d+)\s*"
-    r"(?:,\s*(\d+)\s*)?\)",
+    r"\btable_changes\(\s*'([A-Za-z_]\w*)'\s*,\s*(\d+|'[^']+')\s*"
+    r"(?:,\s*(\d+|'[^']+')\s*)?\)",
     re.IGNORECASE,
 )
 _DESCRIBE_RE = re.compile(
@@ -1074,6 +1078,28 @@ class LakehouseSqlCatalog:
         return self._summary("vacuum", name, self._current_version(name))
 
     def _try_optimize(self, query: str) -> DataFrame | None:
+        mz = _OPTIMIZE_Z_RE.match(query)
+        if mz is not None:
+            # `OPTIMIZE t ZORDER BY (a, b)` — recluster by the Morton
+            # interleave (LAY1): tight manifest envelopes on EVERY
+            # listed column from one layout. The spec persists in the
+            # table props, so a later bare OPTIMIZE re-applies it.
+            name = mz.group(1)
+            cols = [c.strip() for c in mz.group(2).split(",") if c.strip()]
+            kind, path, key = self._require(name)
+            if kind != "cow":
+                raise ValueError(
+                    f"OPTIMIZE ZORDER on MoR table {name!r}: compact "
+                    "first (bare OPTIMIZE), then ZORDER the checkpoint"
+                )
+            from ..sinks.merge import MergeSink
+
+            MergeSink(path, key=key or "_").optimize_zorder(
+                self.spark, cols
+            )
+            return self._summary(
+                "optimize", name, self._current_version(name)
+            )
         m = _OPTIMIZE_RE.match(query)
         if m is None:
             return None
@@ -1081,15 +1107,23 @@ class LakehouseSqlCatalog:
         kind, path, key = self._require(name)
         if kind == "cow":
             from ..sinks.merge import MergeSink
+            from ..sinks.manifest import CommitLog
 
             sink = MergeSink(path, key=key or "_")
-            if sink.cluster_by is None:
+            zcols = CommitLog(path).table_props().get("zorder_by")
+            if zcols:
+                # the table's standing layout is a persisted ZORDER
+                # spec: bare OPTIMIZE re-applies it (the Delta shape)
+                sink.optimize_zorder(self.spark, list(zcols))
+            elif sink.cluster_by is None:
                 raise ValueError(
                     f"OPTIMIZE {name}: the registered CoW handle carries "
-                    "no cluster spec; run MergeSink.optimize(cluster_by=...) "
-                    "through the engine API"
+                    "no cluster spec; run OPTIMIZE ... ZORDER BY (...) or "
+                    "MergeSink.optimize(cluster_by=...) through the "
+                    "engine API"
                 )
-            sink.optimize(self.spark)
+            else:
+                sink.optimize(self.spark)
         else:
             from ..sinks.mor import MorTable
 
@@ -1443,21 +1477,37 @@ class LakehouseSqlCatalog:
             # (version_diff: one full-outer join of two manifest-listed
             # scans, shape (key, change, old, new)). hi defaults to the
             # current version; both bounds must be live commits.
-            name, lo = m.group(1), int(m.group(2))
+            # Bounds may also be quoted TIMESTAMPS (S29 completion):
+            # each resolves via version_at to the newest version
+            # committed at or before it, so table_changes('t', '<t1>',
+            # '<t2>') is exactly the diff between the two timestamp
+            # snapshots — the TIMESTAMP AS OF rule applied to both ends.
+            name = m.group(1)
             if name not in self._tables:
                 raise ValueError(
                     f"table_changes on unregistered table {name!r}"
                 )
+
+            def _bound(arg: str | None) -> int | None:
+                if arg is None:
+                    return None
+                if arg.startswith("'"):
+                    from ..sinks.manifest import CommitLog
+
+                    return CommitLog(self._tables[name][1]).version_at(
+                        _parse_ts_ms(arg[1:-1])
+                    )
+                return int(arg)
+
+            lo = _bound(m.group(2))
             kind, path, key = self._tables[name]
             from pyspark.sql import functions as F
 
             from ..sinks.manifest import CommitLog
 
-            hi = (
-                int(m.group(3))
-                if m.group(3)
-                else CommitLog(path).current_version()
-            )
+            hi = _bound(m.group(3))
+            if hi is None:
+                hi = CommitLog(path).current_version()
             if kind == "mor":
                 from ..sinks.mor import MorTable
 

@@ -587,3 +587,85 @@ def q_sql_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# --- S33b: Bloom index on the MoR delta chain ---------------------------------
+
+
+@query(
+    "q_sink_bloom_mor",
+    oracle="""
+    WITH keys AS (
+        SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 4
+    ), upd AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) + 7
+                   AS cents
+        FROM orders WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)
+    ), state AS (
+        SELECT o.o_orderkey, o.o_custkey,
+               CASE WHEN u.o_orderkey IS NOT NULL THEN u.cents
+                    ELSE CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT)
+               END AS cents
+        FROM orders o LEFT JOIN upd u ON o.o_orderkey = u.o_orderkey
+        WHERE o.o_orderkey <> (
+            SELECT min(o_orderkey) FROM (
+                SELECT o_orderkey FROM orders
+                ORDER BY o_orderkey LIMIT 2
+            ) WHERE o_orderkey > (SELECT min(o_orderkey) FROM orders)
+        )
+    )
+    SELECT s.o_orderkey, s.o_custkey, s.cents
+    FROM state s JOIN keys k ON s.o_orderkey = k.o_orderkey
+    """,
+)
+def q_sink_bloom_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S33b: the Bloom index on the MoR layout — every delta commit
+    # (checkpoint data, upsert deltas, key TOMBSTONES) carries per-file
+    # membership filters, and `MorTable.read_pruned` point-probes the
+    # WHOLE chain: only files that might hold the key are opened, and
+    # latest-wins resolution still sees every event for it (key-column
+    # pruning is the one sound MoR prune — any other column could skip
+    # a key's newest event and resurrect shadowed state; documented on
+    # the method). Probes: an updated key (delta wins), a tombstoned
+    # key (resolves to no row), and untouched keys. The oracle
+    # recomputes checkpoint+upsert+delete relationally.
+    import shutil
+
+    from ..sinks.mor import MorTable
+
+    base = Catalog(spark, sf_dir).orders.select(
+        "o_orderkey",
+        "o_custkey",
+        fixed_cents(F.col("o_totalprice")).alias("cents"),
+    )
+    keys = [
+        r[0]
+        for r in base.select("o_orderkey")
+        .orderBy("o_orderkey")
+        .limit(4)
+        .collect()
+    ]
+    root = tempfile.mkdtemp(prefix="phe_bloom_mor_")
+    t = MorTable(os.path.join(root, "t"), key="o_orderkey",
+                 bloom_on="o_orderkey")
+    t.init(base.repartition(16, "o_orderkey"))
+    # delta 2: update the smallest key; delta 3: tombstone the second
+    t.merge(
+        spark,
+        source=base.filter(F.col("o_orderkey") == keys[0]).withColumn(
+            "cents", F.col("cents") + 7
+        ),
+    )
+    t.merge(
+        spark,
+        deletes=spark.createDataFrame([(keys[1],)], "o_orderkey long"),
+    )
+    out = None
+    for k in keys:
+        df, _scanned, _skipped = t.read_pruned(spark, k, k)
+        part = df.select("o_orderkey", "o_custkey", "cents")
+        out = part if out is None else out.unionByName(part)
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -331,7 +331,10 @@ def build_manifest(
         # file skipping that min/max envelopes cannot give (every file's
         # range spans the domain). One column read per staged file —
         # write-side cost, column-pruned through the parquet reader.
-        if bloom_on is not None and role == "data":
+        # "deletes" files carry the key column too (MoR tombstones),
+        # so they take the same index; pos_deletes files name physical
+        # rows, no key column — the KeyError guard leaves them alone
+        if bloom_on is not None and role in ("data", "deletes"):
             import pyarrow.parquet as pq
 
             try:

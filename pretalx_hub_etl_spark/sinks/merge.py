@@ -484,6 +484,68 @@ class MergeSink:
             f"{self.path}"
         )
 
+    def optimize_zorder(
+        self,
+        spark: SparkSession,
+        cols: list[str],
+        bits: int = 16,
+        max_retries: int = 20,
+    ) -> int:
+        """``OPTIMIZE ... ZORDER BY (a, b, ...)`` — recluster the
+        current state by the Morton interleave of ``cols`` (LAY1,
+        `operators/layout.py`): range-partition + sort on the z-value
+        so every file's manifest [min, max] envelope is tight on EVERY
+        interleaved column, and ``read_pruned``/SQL-conjunct skipping
+        works for each of them from one layout. Columns must be
+        non-negative integers (normalize/rank first otherwise — the
+        documented zorder_key domain). The spec is persisted in the
+        table props (``zorder_by``) so a later bare OPTIMIZE reuses
+        it. Same OCC commit protocol as merge/optimize; returns the
+        committed version."""
+        from ..operators.layout import cluster_by_zorder
+
+        if self.cluster_by is not None:
+            raise ValueError(
+                f"table has a standing cluster_by {self.cluster_by}; "
+                "ZORDER would be re-sorted away by the next commit's "
+                "standing-spec shuffle"
+            )
+        for _ in range(max_retries):
+            base, claim = _base_and_claim(self.path)
+            state = spark.read.parquet(os.path.join(self.path, f"v{base}"))
+            missing = [c for c in cols if c not in state.columns]
+            if missing:
+                raise ValueError(
+                    f"ZORDER BY columns {missing} not in table "
+                    f"({state.columns})"
+                )
+            # keep the table's file granularity: one output range per
+            # current data file (a maintenance op reshapes layout, not
+            # file count)
+            log = CommitLog(self.path)
+            n_files = (
+                len(log.files_for(base)[0]) if log.exists() else None
+            )
+            try:
+                self._write(
+                    cluster_by_zorder(
+                        state, cols, bits, num_partitions=n_files
+                    ),
+                    claim,
+                )
+            except FileExistsError:
+                _heal_claim(self.path, claim)
+                continue  # a merge slipped in: recluster the NEW state
+            log = CommitLog(self.path)
+            props = log.table_props()
+            props["zorder_by"] = list(cols)
+            log.write_table_props(props)
+            return claim
+        raise RuntimeError(
+            f"optimize_zorder lost the version race {max_retries} times "
+            f"at {self.path}"
+        )
+
     def clone_to(
         self, dest: str, version: int | None = None
     ) -> "MergeSink":

@@ -973,10 +973,28 @@ def build_lakehouse_source():
             # mirrors): option N serves versions N, N+1, ... — offsets
             # are exclusive-start internally, so N translates to
             # start_after = N - 1 (clamped: versions begin at 1, so
-            # 0/1/absent all mean "from the beginning")
-            self.start_after = max(
-                0, int(options.get("startingversion", "1") or "1") - 1
-            )
+            # 0/1/absent all mean "from the beginning").
+            # startingTimestamp (S29 completion, also the Delta shape):
+            # start from the first version committed AT OR AFTER the
+            # timestamp; a timestamp past the newest commit serves only
+            # future appends.
+            if "startingtimestamp" in options:
+                if "startingversion" in options:
+                    raise ValueError(
+                        "pass either startingVersion or "
+                        "startingTimestamp, not both"
+                    )
+                self.start_after = (
+                    self._first_at_or_after(
+                        options["path"],
+                        _parse_ts_ms(options["startingtimestamp"]),
+                    )
+                    - 1
+                )
+            else:
+                self.start_after = max(
+                    0, int(options.get("startingversion", "1") or "1") - 1
+                )
             self.ignore_changes = (
                 str(options.get("ignorechanges", "")).lower() == "true"
             )
@@ -984,6 +1002,33 @@ def build_lakehouse_source():
             # table-wide partition fields pinned at stream start (the
             # stream's schema is fixed then anyway)
             self.part_fields = _part_fields(entries)
+
+        @staticmethod
+        def _first_at_or_after(path: str, ts_ms: int) -> int:
+            """Smallest version with ``committed_at >= ts_ms`` (stamps
+            are nondecreasing in version order; torn-claim holes are
+            stepped over, pre-stamp manifests count as 0). Returns
+            current+1 when every live commit predates the timestamp —
+            the stream then serves only future appends."""
+            import os
+
+            cur = _current_version(path)
+            best = cur + 1
+            v = cur
+            while v >= 1:
+                try:
+                    m = _manifest(path, v)
+                except FileNotFoundError:
+                    if os.path.exists(os.path.join(path, f"v{v}")):
+                        v -= 1
+                        continue
+                    break  # vacuumed below
+                if int(m.get("committed_at", 0)) >= ts_ms:
+                    best = v
+                    v -= 1
+                    continue
+                break  # nondecreasing stamps: nothing older qualifies
+            return best
 
         def initialOffset(self) -> dict:
             return {"v": self.start_after}

@@ -528,3 +528,243 @@ def test_persistent_catalog_occ_no_lost_update(spark, tmp_path):
     import glob
 
     assert len(glob.glob(os.path.join(wh, "_catalog", "*.json"))) <= 10
+
+
+# --- verdict r12 item 6: OPTIMIZE ... ZORDER BY -------------------------------
+
+
+def test_sql_optimize_zorder_tightens_envelopes(spark, tmp_path):
+    from pretalx_hub_etl_spark.plans.lakehouse_sql import LakehouseSqlCatalog
+
+    path = str(tmp_path / "z")
+    # hash-scattered layout: every file's [min,max] envelope on BOTH
+    # columns spans the whole domain, so stats pruning skips nothing
+    df = spark.range(4096).selectExpr(
+        "id AS a", "pmod(id * 2654435761, 4096) AS b", "id AS v"
+    )
+    sink = MergeSink(path, key="a")
+    sink.init(df.repartition(8))
+    _df0, scanned0, skipped0 = sink.read_where(
+        spark, [("b", 0, 255)]
+    )
+    assert skipped0 == 0  # pre-ZORDER: nothing prunable on b
+    cat = LakehouseSqlCatalog(spark)
+    cat.register_cow("z", path, key="a")
+    out = cat.sql("OPTIMIZE z ZORDER BY (a, b)").collect()
+    assert out[0].operation == "optimize" and out[0].version == 2
+    # post-ZORDER: the same probe skips files the old layout could not
+    _df1, scanned1, skipped1 = sink.read_where(spark, [("b", 0, 255)])
+    assert skipped1 > 0 and scanned1 < scanned0
+    # ... on BOTH interleaved columns, from ONE layout
+    _df2, _sc2, skipped_a = sink.read_where(spark, [("a", 0, 255)])
+    assert skipped_a > 0
+    # rows intact (a maintenance op never changes content)
+    assert sink.read(spark).count() == 4096
+    assert (
+        cat.sql("SELECT sum(v) AS s FROM z").collect()[0].s
+        == sum(range(4096))
+    )
+    # the spec persisted: bare OPTIMIZE re-applies ZORDER (v3), and the
+    # envelopes stay tight
+    assert CommitLog(path).table_props()["zorder_by"] == ["a", "b"]
+    cat.sql("OPTIMIZE z")
+    assert CommitLog(path).current_version() == 3
+    _df3, _sc3, skipped3 = sink.read_where(spark, [("b", 0, 255)])
+    assert skipped3 > 0
+    # and the SQL read path itself prunes via the extractor
+    assert cat.sql("SELECT count(*) AS n FROM z WHERE b < 256").collect()[
+        0
+    ].n == 256
+
+
+# --- verdict r12 item 9: TIMESTAMP bounds for CDC + streaming source ---------
+
+
+def test_table_changes_timestamp_bounds(spark, tmp_path):
+    from pretalx_hub_etl_spark.plans.lakehouse_sql import LakehouseSqlCatalog
+    from pretalx_hub_etl_spark.sinks.mor import MorTable
+
+    path = str(tmp_path / "m")
+    t = MorTable(path, key="k")
+    t.init(spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"))
+    time.sleep(0.01)
+    t.merge(spark, source=spark.createDataFrame([(1, 11)], "k long, v long"))
+    time.sleep(0.01)
+    t.merge(spark, deletes=spark.createDataFrame([(2,)], "k long"))
+    log = CommitLog(path)
+    ts1 = log.manifest(1)["committed_at"]
+    ts2 = log.manifest(2)["committed_at"]
+    cat = LakehouseSqlCatalog(spark)
+    cat.register_path("mt", path)
+    # timestamp bounds resolve via version_at: the diff between the
+    # two timestamp snapshots == the numeric (1, 2] range
+    rows = sorted(
+        (r["__commit"], r["__op"], r.k)
+        for r in cat.sql(
+            f"SELECT * FROM table_changes('mt', '{ts1}', '{ts2}')"
+        ).collect()
+    )
+    assert rows == [(2, "upsert", 1)]
+    # lo-only timestamp: everything after that snapshot
+    rows = sorted(
+        (r["__commit"], r["__op"], r.k)
+        for r in cat.sql(
+            f"SELECT * FROM table_changes('mt', '{ts1}')"
+        ).collect()
+    )
+    assert rows == [(2, "upsert", 1), (3, "delete", 2)]
+
+
+def test_stream_source_starting_timestamp(spark, tmp_path):
+    register(spark)
+    from pretalx_hub_etl_spark.sources.lakehouse_ds import cow_read_schema
+
+    table = str(tmp_path / "t")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    write_table(
+        spark.range(10).selectExpr("id AS k", "id AS v"), table, "overwrite"
+    )
+    time.sleep(0.01)
+    write_table(
+        spark.range(100, 103).selectExpr("id AS k", "id AS v"), table,
+        "append",
+    )
+    ts2 = CommitLog(table).manifest(2)["committed_at"]
+    q = (
+        spark.readStream.format("lakehouse")
+        .schema(cow_read_schema(table))
+        .option("path", table)
+        .option("startingTimestamp", str(ts2))
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    ks = {r.k for r in spark.read.parquet(out).collect()}
+    # the first version committed AT OR AFTER ts2 is v2 itself —
+    # included (Delta's startingTimestamp contract); v1 is not
+    assert ks == {100, 101, 102}
+    # both options together refuse (streaming errors surface when the
+    # query runs, not at start())
+    q2 = (
+        spark.readStream.format("lakehouse")
+        .schema(cow_read_schema(table))
+        .option("path", table)
+        .option("startingTimestamp", str(ts2))
+        .option("startingVersion", "1")
+        .load()
+        .writeStream.format("noop")
+        .start()
+    )
+    with pytest.raises(Exception, match="not both"):
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+
+
+# --- verdict r12 item 7: Bloom index on the MoR delta chain -------------------
+
+
+def test_mor_bloom_point_lookup_skips_files(spark, tmp_path):
+    from pretalx_hub_etl_spark.sinks.mor import MorTable
+
+    path = str(tmp_path / "m")
+    t = MorTable(path, key="k", bloom_on="k")
+    # checkpoint: 8 hash-scattered files — min/max alone skips nothing
+    t.init(
+        spark.range(4000)
+        .selectExpr("id AS k", "id * 3 AS v")
+        .repartition(8, "k")
+    )
+    # deltas keep the index fresh (bloom_on resolves from stored props
+    # even through a FRESH handle)
+    t2 = MorTable(path, key="k")
+    t2.merge(
+        spark, source=spark.createDataFrame([(50_000, 1)], "k long, v long")
+    )
+    t2.merge(spark, deletes=spark.createDataFrame([(1234,)], "k long"))
+    log = CommitLog(path)
+    assert log.table_props()["bloom_on"] == "k"
+    assert all("bloom" in e for e in log.manifest(2)["files"])
+    # tombstone files carry the index too
+    assert all(
+        "bloom" in e
+        for e in log.manifest(3)["files"]
+        if e.get("role") == "deletes"
+    )
+    # point lookup: only the containing checkpoint file + the tiny
+    # deltas that might hold the key are opened
+    df, scanned, skipped = t2.read_pruned(spark, 777, 777)
+    assert skipped >= 6, (scanned, skipped)
+    assert [r.k for r in df.collect()] == [777]
+    # the tombstoned key resolves to EMPTY (the surviving tombstone
+    # file shadows the checkpoint row — pruning kept both)
+    df2, _sc2, _sk2 = t2.read_pruned(spark, 1234, 1234)
+    assert df2.count() == 0
+    # the upserted key found in its delta
+    df3, _sc3, _sk3 = t2.read_pruned(spark, 50_000, 50_000)
+    assert [(r.k, r.v) for r in df3.collect()] == [(50_000, 1)]
+    # absent key: provably-absent everywhere -> empty, few files opened
+    df4, scanned4, _sk4 = t2.read_pruned(spark, 99_999_999, 99_999_999)
+    assert df4.count() == 0 and scanned4 <= 3
+
+
+def test_mor_bloom_soundness_exhaustive(spark, tmp_path):
+    # every live key must survive a point probe (no false negatives
+    # anywhere on the chain) — checked for all keys across checkpoint,
+    # upsert delta, and tombstones
+    from pretalx_hub_etl_spark.sinks.mor import MorTable
+
+    path = str(tmp_path / "m")
+    t = MorTable(path, key="k", bloom_on="k")
+    t.init(
+        spark.range(200).selectExpr("id AS k", "id AS v").repartition(4, "k")
+    )
+    t.merge(
+        spark,
+        source=spark.range(200, 250).selectExpr("id AS k", "id + 1 AS v"),
+    )
+    t.merge(
+        spark,
+        deletes=spark.range(0, 200, 10).selectExpr("id AS k"),
+    )
+    expected = {
+        **{k: k for k in range(200) if k % 10 != 0},
+        **{k: k + 1 for k in range(200, 250)},
+    }
+    # full resolved read agrees
+    got_all = {r.k: r.v for r in t.read(spark).collect()}
+    assert got_all == expected
+    # and EVERY key's point probe agrees with the full read
+    for k in range(0, 250, 7):
+        df, _sc, _sk = t.read_pruned(spark, k, k)
+        rows = df.collect()
+        if k in expected:
+            assert [(r.k, r.v) for r in rows] == [(k, expected[k])], k
+        else:
+            assert rows == [], k
+
+
+def test_mor_changes_since_key_range_prunes(spark, tmp_path):
+    from pretalx_hub_etl_spark.sinks.mor import MorTable
+
+    path = str(tmp_path / "m")
+    t = MorTable(path, key="k", bloom_on="k")
+    t.init(
+        spark.range(1000).selectExpr("id AS k", "id AS v").repartition(4, "k")
+    )
+    t.merge(
+        spark, source=spark.createDataFrame([(7, 70)], "k long, v long")
+    )
+    t.merge(spark, deletes=spark.createDataFrame([(7,)], "k long"))
+    feed = t.changes_since(spark, 1, key_range=(7, 7))
+    rows = sorted((r["__commit"], r["__op"]) for r in feed.collect())
+    assert rows == [(2, "upsert"), (3, "delete")]
+    # range form: events for keys in [0, 9] only
+    feed2 = t.changes_since(spark, 0, key_range=(0, 9))
+    assert feed2.count() > 0
+    assert all(0 <= r.k <= 9 for r in feed2.select("k").collect())

@@ -313,6 +313,12 @@ def main() -> int:
             "failures": failures,
             "jobs": jobs,
             "sweep_wall_seconds": wall,
+            # the registry-growth-stable wall target (VERDICT r12 item
+            # 8): seconds of sweep wall PER QUERY at this jobs level —
+            # a fixed total-wall number stops fitting every time the
+            # registry grows, while per-query wall only moves with code
+            # or box epoch (target: <= 0.45 s/query at jobs=4)
+            "wall_per_query": round(wall / max(1, len(results)), 3),
             # box-state evidence IN the artifact (VERDICT r11 item 5):
             # the parity wall target is adjudicable without a side
             # channel — loadavg at start/end + wall-clock timestamp

@@ -88,8 +88,16 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
         ("S33", "per-file Bloom index: point-lookup file skipping on "
          "hash-scattered layouts (bloom_on commits + files_for probe)",
          ["q_sink_bloom_read"]),
+        ("S33b", "Bloom index on the MoR delta chain: per-file filters "
+         "on data + tombstone files, key-only chain pruning "
+         "(MorTable.read_pruned / changes_since key_range)",
+         ["q_sink_bloom_mor"]),
+        ("S34", "CTAS: CREATE TABLE ... USING lakehouse ... AS SELECT "
+         "(discovered schema + key into table props, IF NOT EXISTS)",
+         ["q_sql_ctas"]),
         ("ST17", "the table as an append-only streaming source "
-         "(offsets = versions, manifest set-difference per microbatch)",
+         "(offsets = versions, manifest set-difference per microbatch; "
+         "inclusive startingVersion, startingTimestamp)",
          ["q_stream_source_lakehouse"]),
         ("S10", "malformed-record handling (PERMISSIVE + corrupt-record column)",
          ["q_scan_badrecords"]),

@@ -136,6 +136,10 @@ _CTAS_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+TABLES\s*$", re.IGNORECASE)
+_DROP_RE = re.compile(
+    r"^\s*DROP\s+TABLE\s+(?:(IF\s+EXISTS)\s+)?([A-Za-z_]\w*)\s*$",
+    re.IGNORECASE,
+)
 _CLONE_RE = re.compile(
     r"^\s*CREATE\s+TABLE\s+([A-Za-z_]\w*)\s+SHALLOW\s+CLONE\s+"
     r"([A-Za-z_]\w*)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s+"
@@ -419,31 +423,67 @@ class LakehouseSqlCatalog:
 
         return self.spark.createDataFrame([], StructType.fromDDL(ddl))
 
-    def _statement_prunes(
-        self, statement: str, name: str, path: str
-    ) -> list[tuple[str, object, object]]:
-        """Sound (column, lo, hi) prune ranges for ``name``'s scan in
-        ``statement`` — [] when nothing extractable. Column attribution
-        checks against the table's stat-bearing column names (the only
-        ones that can prune anyway), read from the current manifest."""
+    def _rewrite_pruned_scans(
+        self, statement: str
+    ) -> tuple[str, list[str]]:
+        """Manifest file skipping for DEFAULT SQL reads (S35), per
+        OCCURRENCE: for every FROM/JOIN occurrence of a registered
+        native-CoW table whose own query block carries extractable
+        WHERE conjuncts (plans/prune_sql.py), register a uniquely-named
+        temp view over the PRUNED file list and rewrite the occurrence
+        to it (adding the table name as alias when the occurrence had
+        none, so ``t.col`` qualifiers keep resolving). The plain view
+        keeps the FULL list — pruning never leaks outside this
+        statement, and two occurrences with different predicates prune
+        independently (each view is its own relation — contrast the
+        pinned Spark 4.1 Python-DS scan collapse). Occurrences whose
+        prune list skips zero files are left on the plain view.
+        Returns (rewritten statement, scan views to drop after
+        analysis). At 100 TB this is scan planning over the
+        envelope-surviving handful of files instead of every file of a
+        commit — per scan, before Spark sees the query."""
+        import uuid as _uuid
+
         from ..sinks.manifest import CommitLog
+        from ..sinks.merge import MergeSink
 
-        from .prune_sql import extract_prunes
+        from .prune_sql import extract_scan_prunes
 
-        log = CommitLog(path)
-        v = log.current_version()
-        if v <= 0:
-            return []
-        cols: set[str] = set()
-        for ent in log.manifest(v)["files"]:
-            cols.update(ent.get("columns", {}))
-        if not cols:
-            return []
-        return extract_prunes(statement, name, cols)
+        views: list[str] = []
+        for name, (kind, path, key) in self._tables.items():
+            if kind != "cow" or name in self._ds_tables:
+                continue
+            if re.search(rf"\b{re.escape(name)}\b", statement) is None:
+                continue
+            log = CommitLog(path)
+            v = log.current_version()
+            if v <= 0:
+                continue
+            cols: set[str] = set()
+            for ent in log.manifest(v)["files"]:
+                cols.update(ent.get("columns", {}))
+            if not cols:
+                continue
+            occs = extract_scan_prunes(statement, name, cols)
+            sink = MergeSink(path, key=key or "_")
+            for occ in sorted(occs, key=lambda o: o.start, reverse=True):
+                if not occ.prunes:
+                    continue
+                df, _scanned, skipped = sink.read_where(
+                    self.spark, occ.prunes, version=v
+                )
+                if skipped == 0:
+                    continue  # nothing pruned: the plain view serves it
+                view = f"{name}__scan_{_uuid.uuid4().hex[:8]}"
+                df.createOrReplaceTempView(view)
+                views.append(view)
+                repl = view if occ.alias else f"{view} {name}"
+                statement = (
+                    statement[: occ.start] + repl + statement[occ.end :]
+                )
+        return statement, views
 
-    def _frame(
-        self, name: str, version: int | None, statement: str | None = None
-    ) -> DataFrame:
+    def _frame(self, name: str, version: int | None) -> DataFrame:
         kind, path, key = self._tables[name]
         if version is None:
             empty = self._empty_frame(path)
@@ -456,17 +496,6 @@ class LakehouseSqlCatalog:
                 from ..sinks.merge import MergeSink
 
                 sink = MergeSink(path, key=key or "_")
-                if statement is not None and version is None:
-                    # round 13: manifest file skipping for DEFAULT SQL
-                    # reads — extractable top-level WHERE conjuncts of
-                    # this statement prune the file list driver-side
-                    # (sound: single-occurrence only, AND-factors only;
-                    # see plans/prune_sql.py). At 100 TB this is the
-                    # difference between planning over every file of a
-                    # commit and over the envelope-surviving handful.
-                    prunes = self._statement_prunes(statement, name, path)
-                    if prunes:
-                        return sink.read_where(self.spark, prunes)[0]
                 return (
                     sink.read(self.spark)
                     if version is None
@@ -489,11 +518,9 @@ class LakehouseSqlCatalog:
 
         return cow_read_schema(path, version)
 
-    def _ensure_view(
-        self, name: str, version: int | None, statement: str | None = None
-    ) -> str:
+    def _ensure_view(self, name: str, version: int | None) -> str:
         view = name if version is None else f"{name}__asof_{version}"
-        self._frame(name, version, statement).createOrReplaceTempView(view)
+        self._frame(name, version).createOrReplaceTempView(view)
         return view
 
     def sql(self, query: str) -> DataFrame:
@@ -538,6 +565,7 @@ class LakehouseSqlCatalog:
             self._try_clone,
             self._try_ctas,
             self._try_create,
+            self._try_drop,
             self._try_show_tables,
             self._try_describe,
         ):
@@ -1345,6 +1373,31 @@ class LakehouseSqlCatalog:
         self._persist(name)
         return self._summary("create", name, self._current_version(name))
 
+    def _try_drop(self, query: str) -> DataFrame | None:
+        m = _DROP_RE.match(query)
+        if m is None:
+            return None
+        # `DROP TABLE [IF EXISTS] t` — EXTERNAL-table semantics (every
+        # lakehouse table here is path-addressed): unregister the name
+        # from this catalog and the persistent warehouse catalog; the
+        # data and commit log stay on disk (re-attachable any time via
+        # register_path / CREATE TABLE IF NOT EXISTS). Destroying data
+        # is a different operation (delete the directory) and never
+        # hides behind a metadata statement.
+        if_exists, name = m.group(1), m.group(2)
+        if name not in self._tables:
+            if if_exists:
+                return self._summary("drop", name, 0)
+            raise ValueError(f"unregistered lakehouse table {name!r}")
+        del self._tables[name]
+        self._ds_tables.discard(name)
+        if self._warehouse:
+            self._catalog_update(name, None)
+        # drop the session view too: a stale temp view would keep
+        # serving the name through spark.sql after the DROP
+        self.spark.catalog.dropTempView(name)
+        return self._summary("drop", name, 0)
+
     def _try_show_tables(self, query: str) -> DataFrame | None:
         if _SHOW_TABLES_RE.match(query) is None:
             return None
@@ -1530,13 +1583,28 @@ class LakehouseSqlCatalog:
         rewritten = _TABLE_CHANGES_RE.sub(_pin_changes, query)
         rewritten = _TS_ASOF_RE.sub(_pin_ts, rewritten)
         rewritten = _ASOF_RE.sub(_pin, rewritten)
+        # per-occurrence manifest file skipping (S35): pruned scan
+        # views + occurrence rewrite; the PLAIN views below stay full
+        rewritten, scan_views = self._rewrite_pruned_scans(rewritten)
         # current-version views for every registered table the query
-        # still mentions (cheap: one manifest resolution per table);
-        # the statement rides along so the native CoW path can prune
-        # its file list from extractable WHERE conjuncts (per-statement
-        # views — each sql() call re-registers, so a pruned view never
-        # outlives the statement it was pruned for)
+        # still mentions in a possible RELATION position (cheap: one
+        # manifest resolution per table). A table whose every relation
+        # occurrence was rewritten to scan views needs no plain view —
+        # and must not force one, or a statement whose predicate prunes
+        # a physically-unavailable file would still fail registering
+        # the full list it never reads.
+        from .prune_sql import needs_plain_view
+
         for name in self._tables:
-            if re.search(rf"\b{re.escape(name)}\b", rewritten):
-                self._ensure_view(name, None, statement=rewritten)
-        return self.spark.sql(rewritten)
+            if re.search(
+                rf"\b{re.escape(name)}\b", rewritten
+            ) and needs_plain_view(rewritten, name):
+                self._ensure_view(name, None)
+        try:
+            # spark.sql analyzes EAGERLY: the returned frame's plan is
+            # bound to the scan views' file lists here, so dropping the
+            # views right after is safe even before any collect
+            return self.spark.sql(rewritten)
+        finally:
+            for v in scan_views:
+                self.spark.catalog.dropTempView(v)

@@ -11,10 +11,11 @@ that are SOUND to prune with, or ``[]`` when nothing is extractable.
 Soundness rules (every rule errs toward returning LESS — an
 unextractable conjunct merely keeps more files, never drops rows):
 
-- Only the single-occurrence case: the table must appear exactly once
-  as a relation (``FROM t`` / ``JOIN t``). Two occurrences share one
-  temp view, so occurrence-specific pruning would cross-wire them —
-  the exact unsoundness the Spark 4.1 scan-collapse pin demonstrates
+- Per OCCURRENCE: each FROM/JOIN occurrence of the table gets its own
+  prune set, and the catalog rewrites each pruned occurrence to its
+  OWN uniquely-named temp view (own relation, own file list) — never
+  pruning the shared plain view, which is the cross-wiring the Spark
+  4.1 scan-collapse pin demonstrates
   (tests/test_round12.py::test_one_view_multi_reference_union_correct).
 - Only the WHERE of the occurrence's OWN query block (same paren
   depth, before GROUP/ORDER/HAVING/LIMIT/set-ops): a WHERE above a
@@ -120,23 +121,60 @@ def extract_prunes(
     sql: str, table: str, table_cols: set[str]
 ) -> list[tuple[str, object, object]]:
     """``(column, lo, hi)`` conjunct ranges sound for manifest pruning
-    of ``table``'s single scan in ``sql``; [] when none. ``table_cols``
-    are the table's stat-bearing column names (exact case)."""
+    of ``table``'s single scan in ``sql``; [] when none (including when
+    the table is referenced more than once — use
+    :func:`extract_scan_prunes` for the per-occurrence form).
+    ``table_cols`` are the table's stat-bearing column names."""
+    occs = extract_scan_prunes(sql, table, table_cols)
+    if len(occs) != 1:
+        return []
+    return occs[0].prunes
+
+
+class ScanOccurrence:
+    """One relation occurrence of a table in a statement: the char span
+    of its table token, its alias (None when unaliased), and the sound
+    prune ranges extracted from its own query block's WHERE."""
+
+    __slots__ = ("start", "end", "alias", "prunes")
+
+    def __init__(self, start, end, alias, prunes):
+        self.start = start
+        self.end = end
+        self.alias = alias
+        self.prunes = prunes
+
+
+def extract_scan_prunes(
+    sql: str, table: str, table_cols: set[str]
+) -> list[ScanOccurrence]:
+    """Every FROM/JOIN occurrence of ``table`` with its own sound prune
+    ranges — the per-occurrence form: each occurrence's conjuncts come
+    from ITS query block and bind via ITS alias, so a statement that
+    scans the table twice with different predicates (UNION branches,
+    self-joins) prunes each scan independently. Sound because the SQL
+    catalog rewrites each pruned occurrence to its OWN temp view (own
+    relation, own file list) — the shared-relation cross-wiring the
+    Spark 4.1 scan-collapse pin demonstrates cannot happen here."""
     toks = _tokens(sql)
     tl = table.lower()
     lower_cols = {c.lower(): c for c in table_cols}
-
-    # -- locate the relation occurrence(s)
-    occ = [
-        i
+    return [
+        _analyze_occurrence(sql, toks, i, tl, lower_cols)
         for i in range(1, len(toks))
         if toks[i][0].lower() == tl
         and toks[i - 1][0].upper() in ("FROM", "JOIN")
     ]
-    if len(occ) != 1:
-        return []
-    i = occ[0]
+
+
+def _analyze_occurrence(
+    sql: str, toks: list, i: int, tl: str, lower_cols: dict
+) -> ScanOccurrence:
     d = toks[i][3]
+    span = (toks[i][1], toks[i][2])
+
+    def bail(alias):
+        return ScanOccurrence(span[0], span[1], alias, [])
 
     # -- optional alias
     alias = None
@@ -159,17 +197,17 @@ def extract_prunes(
     while j < len(toks):
         t, _s, _e, td = toks[j]
         if t in (")", ";") and td == d:
-            return []  # block closed without a WHERE
+            return bail(alias)  # block closed without a WHERE
         if td == d:
             u = t.upper()
             if u == "WHERE":
                 w = j
                 break
             if u in _CLAUSE_END:
-                return []
+                return bail(alias)
         j += 1
     if w is None:
-        return []
+        return bail(alias)
 
     # -- clause token span (w+1 .. end-of-block)
     k = w + 1
@@ -182,9 +220,9 @@ def extract_prunes(
         k += 1
     clause = toks[w + 1 : end]
     if not clause:
-        return []
+        return bail(alias)
     if any(t.upper() == "OR" and td == d for t, _s, _e, td in clause):
-        return []  # AND-split factors would not be true conjuncts
+        return bail(alias)  # AND-split factors would not be true conjuncts
 
     # -- split on block-depth AND (skipping each BETWEEN's own AND)
     conjuncts: list[list] = [[]]
@@ -251,4 +289,26 @@ def extract_prunes(
                     out.append((col, min(vals), max(vals)))
             continue
         # anything else: not extractable — sound to ignore
-    return out
+    return ScanOccurrence(span[0], span[1], alias, out)
+
+
+def needs_plain_view(sql: str, table: str) -> bool:
+    """True when the (post-rewrite) statement still contains a mention
+    of ``table`` that could be a RELATION reference needing the plain
+    view. Skipped mentions: ``t.`` qualifiers (next token is '.') and
+    the alias slot the scan-view rewrite injects (previous token is a
+    ``<table>__scan_*`` view name). Everything else — un-rewritten
+    FROM/JOIN occurrences, comma-join relations, anything ambiguous —
+    keeps the plain view registered (erring toward registering is
+    always safe; the view is just unused)."""
+    toks = _tokens(sql)
+    tl = table.lower()
+    for i, (t, _s, _e, _d) in enumerate(toks):
+        if t.lower() != tl:
+            continue
+        if i + 1 < len(toks) and toks[i + 1][0] == ".":
+            continue  # qualifier t.col
+        if i > 0 and toks[i - 1][0].lower().startswith(tl + "__scan_"):
+            continue  # the alias the scan-view rewrite injected
+        return True
+    return False

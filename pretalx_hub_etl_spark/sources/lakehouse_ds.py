@@ -998,6 +998,25 @@ def build_lakehouse_source():
             self.ignore_changes = (
                 str(options.get("ignorechanges", "")).lower() == "true"
             )
+            # rate limiting (Delta's maxFilesPerTrigger idea at the
+            # version granularity): cap how many COMMITS one microbatch
+            # may consume, so a backlog drains in bounded batches
+            # instead of one giant batch that must fit executor memory
+            # all at once. The cap's basis is the highest offset this
+            # reader has WITNESSED (latestOffset/partitions/commit) —
+            # None until then. CONTRACT: the FIRST microbatch of each
+            # run is uncapped; Spark 4.1 asks latestOffset before
+            # initialOffset (verified) and never tells the reader a
+            # restart's restored offset, so any cap on the first answer
+            # could fall BELOW that offset, planning a backwards batch
+            # and re-serving committed versions — uncapped-first is the
+            # safe reading for both fresh and restarted runs (bound the
+            # initial snapshot with startingVersion/startingTimestamp
+            # instead). Every later batch advances at most max_versions.
+            self.max_versions = int(
+                options.get("maxversionspertrigger", "0") or "0"
+            )
+            self._last_end: int | None = None
             _v, entries, _p = _resolve({"path": self.path})
             # table-wide partition fields pinned at stream start (the
             # stream's schema is fixed then anyway)
@@ -1031,12 +1050,19 @@ def build_lakehouse_source():
             return best
 
         def initialOffset(self) -> dict:
+            # fresh stream: anchor the rate-limit basis at the start
+            # (effective only if a Spark version asks initialOffset
+            # before the first latestOffset; 4.1 asks after — see the
+            # max_versions comment)
+            self._last_end = max(self._last_end or 0, self.start_after)
             return {"v": self.start_after}
 
         def latestOffset(self) -> dict:
-            return {
-                "v": max(self.start_after, _current_version(self.path))
-            }
+            cur = max(self.start_after, _current_version(self.path))
+            if self.max_versions > 0 and self._last_end is not None:
+                cur = min(cur, self._last_end + self.max_versions)
+            self._last_end = max(self._last_end or 0, cur)
+            return {"v": cur}
 
         def _published_below(self, v: int, floor: int) -> set | None:
             """Data-file rel paths of the nearest PUBLISHED version in
@@ -1064,6 +1090,9 @@ def build_lakehouse_source():
             import os
 
             lo, hi = int(start["v"]), int(end["v"])
+            # witnessed progress (incl. a restart's replayed range):
+            # re-anchor the rate-limit basis
+            self._last_end = max(self._last_end or 0, hi)
             parts = []
             for v in range(lo + 1, hi + 1):
                 try:
@@ -1128,7 +1157,9 @@ def build_lakehouse_source():
             yield from _read_file_part(partition)
 
         def commit(self, end: dict) -> None:
-            pass  # versions are immutable; nothing to acknowledge
+            # versions are immutable — nothing to acknowledge; the
+            # completed offset re-anchors the rate-limit basis
+            self._last_end = max(self._last_end or 0, int(end["v"]))
 
     class LakehouseDataSource(DataSource):
         @classmethod

@@ -768,3 +768,161 @@ def test_mor_changes_since_key_range_prunes(spark, tmp_path):
     feed2 = t.changes_since(spark, 0, key_range=(0, 9))
     assert feed2.count() > 0
     assert all(0 <= r.k <= 9 for r in feed2.select("k").collect())
+
+
+# --- S35 per-occurrence pruned scan views -------------------------------------
+
+
+def test_sql_prune_per_occurrence_union(spark, tmp_path):
+    # two occurrences of one table with DIFFERENT predicates prune
+    # independently — each branch gets its own scan view (contrast the
+    # pinned Python-DS scan collapse, where shared relations made this
+    # unsound). Proof by physical absence again: the removed top-range
+    # file is never needed by either branch.
+    from pretalx_hub_etl_spark.plans.lakehouse_sql import LakehouseSqlCatalog
+
+    path = str(tmp_path / "p")
+    MergeSink(path, key="k", cluster_by=("k", 4)).init(
+        spark.range(40).selectExpr("id AS k", "id * 10 AS cents")
+    )
+    files, _ = CommitLog(path).files_for(1)
+    import pyarrow.parquet as pq
+
+    top = max(
+        files, key=lambda f: pq.read_table(f, columns=["k"])["k"][0].as_py()
+    )
+    os.remove(top)
+    cat = LakehouseSqlCatalog(spark)
+    cat.register_cow("p", path)
+    got = sorted(
+        r.k
+        for r in cat.sql(
+            "SELECT k FROM p WHERE k = 1 "
+            "UNION ALL SELECT k FROM p WHERE k = 12"
+        ).collect()
+    )
+    assert got == [1, 12]
+    # aliased + qualified references survive the rewrite
+    got2 = cat.sql(
+        "SELECT a.k, a.cents FROM p a WHERE a.k BETWEEN 2 AND 4 "
+        "UNION ALL SELECT p.k, p.cents FROM p WHERE p.k = 8"
+    ).collect()
+    assert sorted(r.k for r in got2) == [2, 3, 4, 8]
+    # scan views are dropped after analysis (no per-statement leak)
+    leftovers = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("p__scan_")
+    ]
+    assert leftovers == []
+
+
+def test_sql_prune_never_leaks_into_plain_view(spark, tmp_path):
+    # the plain view keeps the FULL file list even right after a
+    # heavily-pruned statement — pruning lives only in the
+    # per-occurrence scan views
+    from pretalx_hub_etl_spark.plans.lakehouse_sql import LakehouseSqlCatalog
+
+    path = str(tmp_path / "s")
+    MergeSink(path, key="k", cluster_by=("k", 4)).init(
+        spark.range(100).selectExpr("id AS k", "id AS v")
+    )
+    cat = LakehouseSqlCatalog(spark)
+    cat.register_cow("s", path)
+    # a full read registers the plain view...
+    assert cat.sql("SELECT count(*) AS n FROM s").collect()[0].n == 100
+    # ...which a heavily-pruned statement must not narrow
+    assert cat.sql("SELECT k FROM s WHERE k < 5").count() == 5
+    assert spark.table("s").count() == 100
+    assert cat.sql("SELECT count(*) AS n FROM s").collect()[0].n == 100
+    # and a same-statement mix of pruned + full references is coherent
+    n = cat.sql(
+        "SELECT count(*) AS n FROM (SELECT k FROM s WHERE k < 10) x "
+        "JOIN s full_side ON x.k = full_side.k"
+    ).collect()[0].n
+    assert n == 10
+
+
+# --- DROP TABLE + streaming rate limiting -------------------------------------
+
+
+def test_drop_table_metadata_only(spark, tmp_path):
+    from pretalx_hub_etl_spark.plans.lakehouse_sql import LakehouseSqlCatalog
+
+    wh = str(tmp_path / "wh")
+    path = str(tmp_path / "t")
+    MergeSink(path, key="k").init(spark.range(7).selectExpr("id AS k"))
+    cat = LakehouseSqlCatalog(spark, warehouse=wh)
+    cat.register_cow("dt", path, key="k")
+    assert cat.sql("SELECT count(*) AS n FROM dt").collect()[0].n == 7
+    out = cat.sql("DROP TABLE dt").collect()
+    assert out[0].operation == "drop"
+    # unregistered + session view dropped: the name resolves nowhere
+    with pytest.raises(Exception, match="dt"):
+        cat.sql("SELECT * FROM dt").collect()
+    # persistent catalog entry removed: a fresh session doesn't see it
+    fresh = LakehouseSqlCatalog(spark, warehouse=wh)
+    assert "dt" not in {r.table for r in fresh.sql("SHOW TABLES").collect()}
+    # the DATA survives (external-table semantics): re-attachable
+    fresh.register_path("dt2", path)
+    assert fresh.sql("SELECT count(*) AS n FROM dt2").collect()[0].n == 7
+    # IF EXISTS tolerates unknown names; bare DROP raises
+    fresh.sql("DROP TABLE IF EXISTS ghost")
+    with pytest.raises(ValueError, match="unregistered"):
+        fresh.sql("DROP TABLE ghost")
+
+
+def test_stream_source_max_versions_per_trigger(spark, tmp_path):
+    # CONTRACT (documented on the reader): the FIRST microbatch of a
+    # run is uncapped (Spark asks latestOffset before initialOffset and
+    # never reveals a restart's restored offset — capping it could plan
+    # a backwards batch); every LATER batch consumes at most
+    # maxVersionsPerTrigger commits. The 5-version backlog lands within
+    # one slow trigger interval, so the cap provably BINDS (per-batch
+    # offset deltas of 2), and the whole backlog still drains.
+    register(spark)
+    import json as _json
+
+    from pretalx_hub_etl_spark.sources.lakehouse_ds import cow_read_schema
+
+    table = str(tmp_path / "t")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    write_table(spark.range(3).selectExpr("id AS k"), table, "overwrite")
+    q = (
+        spark.readStream.format("lakehouse")
+        .schema(cow_read_schema(table))
+        .option("path", table)
+        .option("maxVersionsPerTrigger", "2")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="4 seconds")
+        .start()
+    )
+    q.processAllAvailable()  # batch 0: v1 (first batch of the run)
+    for i in range(1, 6):  # a 5-version backlog inside one interval
+        write_table(
+            spark.range(i * 10, i * 10 + 3).selectExpr("id AS k"),
+            table,
+            "append",
+        )
+    q.processAllAvailable()
+    q.stop()
+    # complete: rate limiting bounds batches, never truncates
+    ks = {r.k for r in spark.read.parquet(out).collect()}
+    assert ks == {i * 10 + j for i in range(6) for j in range(3)}
+    # per-batch version consumption: never more than the cap after the
+    # first batch, and the cap BOUND at least once (a delta of 2)
+    offs = {}
+    odir = os.path.join(ckpt, "offsets")
+    for f in os.listdir(odir):
+        if f.startswith("."):
+            continue
+        last = open(os.path.join(odir, f)).read().splitlines()[-1]
+        offs[int(f)] = _json.loads(last)["v"]
+    seq = [offs[i] for i in sorted(offs)]
+    deltas = [b - a for a, b in zip(seq, seq[1:])]
+    assert all(d <= 2 for d in deltas), seq
+    assert 2 in deltas, seq
+    assert seq[-1] == 6

@@ -154,7 +154,14 @@ _TABLE_CHANGES_RE = re.compile(
     re.IGNORECASE,
 )
 _DESCRIBE_RE = re.compile(
-    r"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?(?!HISTORY\b)([A-Za-z_]\w*)\s*$",
+    r"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?(?!HISTORY\b|DETAIL\b)([A-Za-z_]\w*)\s*$",
+    re.IGNORECASE,
+)
+_DETAIL_RE = re.compile(
+    r"^\s*DESC(?:RIBE)?\s+DETAIL\s+([A-Za-z_]\w*)\s*$", re.IGNORECASE
+)
+_ANALYZE_RE = re.compile(
+    r"^\s*ANALYZE\s+TABLE\s+([A-Za-z_]\w*)\s+COMPUTE\s+STATISTICS\s*$",
     re.IGNORECASE,
 )
 
@@ -567,6 +574,8 @@ class LakehouseSqlCatalog:
             self._try_create,
             self._try_drop,
             self._try_show_tables,
+            self._try_detail,
+            self._try_analyze,
             self._try_describe,
         ):
             out = handler(query)
@@ -1414,6 +1423,122 @@ class LakehouseSqlCatalog:
             rows,
             "table string, kind string, location string, "
             "merge_key string, current_version int",
+        )
+
+    def _table_stats(self, name: str) -> dict:
+        """Physical stats of the CURRENT version from the manifest
+        alone (one small JSON read, listing-free): file count, byte
+        and row totals per role. For MoR, data-role rows are an UPPER
+        BOUND on the resolved count (tombstones shadow, upserts
+        replace) — served as chain totals, flagged by kind."""
+        from ..sinks.manifest import CommitLog
+
+        kind, path, _key = self._require(name)
+        log = CommitLog(path)
+        v = log.current_version()
+        out = {
+            "kind": kind,
+            "path": path,
+            "version": v,
+            "num_files": 0,
+            "size_bytes": 0,
+            "num_rows": 0,
+        }
+        if v <= 0:
+            return out
+        m = log.manifest(v)
+        if kind == "mor":
+            # the chain since the governing checkpoint, all roles
+            from ..sinks.mor import MorTable
+
+            t = MorTable(path, key=_key or "_")
+            _start, chain = t._chain()
+            ents = [
+                e
+                for cv in chain
+                for e in log.manifest(cv)["files"]
+            ]
+        else:
+            ents = [
+                e for e in m["files"] if e.get("role", "data") == "data"
+            ]
+        out["num_files"] = len(ents)
+        out["size_bytes"] = sum(int(e.get("bytes", 0)) for e in ents)
+        out["num_rows"] = sum(int(e.get("rows", 0)) for e in ents)
+        out["committed_at"] = int(m.get("committed_at", 0))
+        try:
+            out["created_at"] = int(
+                log.manifest(log.versions()[0]).get("committed_at", 0)
+            )
+        except (FileNotFoundError, IndexError):
+            out["created_at"] = None
+        return out
+
+    def _try_detail(self, query: str) -> DataFrame | None:
+        m = _DETAIL_RE.match(query)
+        if m is None:
+            return None
+        # `DESCRIBE DETAIL t` (the Delta shape): ONE row of physical
+        # table metadata — format, location, kind, key, layout specs,
+        # file/byte/row totals, version + commit timestamps — answered
+        # entirely from the commit manifest + table props (no data
+        # access, no directory listing)
+        name = m.group(1)
+        st = self._table_stats(name)
+        from ..sinks.manifest import CommitLog
+
+        props = CommitLog(st["path"]).table_props()
+        row = (
+            name,
+            "lakehouse",
+            st["kind"],
+            st["path"],
+            props.get("merge_key"),
+            ",".join(props.get("partition_by", []) or []) or None,
+            ",".join(props.get("zorder_by", []) or []) or None,
+            props.get("bloom_on"),
+            st["version"],
+            st["num_files"],
+            st["size_bytes"],
+            st["num_rows"],
+            st.get("created_at"),
+            st.get("committed_at"),
+        )
+        return self.spark.createDataFrame(
+            [row],
+            "name string, format string, kind string, location string, "
+            "merge_key string, partition_by string, zorder_by string, "
+            "bloom_on string, current_version int, num_files long, "
+            "size_bytes long, num_rows long, created_at long, "
+            "last_modified long",
+        )
+
+    def _try_analyze(self, query: str) -> DataFrame | None:
+        m = _ANALYZE_RE.match(query)
+        if m is None:
+            return None
+        # `ANALYZE TABLE t COMPUTE STATISTICS` — manifest-served scan
+        # statistics (rows/bytes/files of the current version; MoR
+        # serves chain totals where rows upper-bound the resolved
+        # count). Real engines feed these to a cost-based optimizer;
+        # here they are the catalog's metadata answer to "how big" —
+        # one manifest read, never a data scan (at 100 TB, the
+        # difference between a metadata query and a job)
+        name = m.group(1)
+        st = self._table_stats(name)
+        return self.spark.createDataFrame(
+            [
+                (
+                    name,
+                    st["version"],
+                    st["num_files"],
+                    st["size_bytes"],
+                    st["num_rows"],
+                    st["kind"] == "mor",  # rows are an upper bound
+                )
+            ],
+            "table string, version int, num_files long, size_bytes long, "
+            "num_rows long, rows_are_upper_bound boolean",
         )
 
     def _try_describe(self, query: str) -> DataFrame | None:

@@ -926,3 +926,40 @@ def test_stream_source_max_versions_per_trigger(spark, tmp_path):
     assert all(d <= 2 for d in deltas), seq
     assert 2 in deltas, seq
     assert seq[-1] == 6
+
+
+# --- DESCRIBE DETAIL + ANALYZE TABLE (manifest-served metadata) ---------------
+
+
+def test_describe_detail_and_analyze(spark, tmp_path):
+    from pretalx_hub_etl_spark.plans.lakehouse_sql import LakehouseSqlCatalog
+    from pretalx_hub_etl_spark.sinks.mor import MorTable
+
+    path = str(tmp_path / "t")
+    MergeSink(path, key="k", bloom_on="k").init(
+        spark.range(100).selectExpr("id AS k", "id AS v").repartition(4)
+    )
+    cat = LakehouseSqlCatalog(spark)
+    cat.register_cow("t", path, key="k")
+    d = cat.sql("DESCRIBE DETAIL t").collect()[0]
+    assert d.format == "lakehouse" and d.kind == "cow"
+    assert d.merge_key == "k" and d.bloom_on == "k"
+    assert d.current_version == 1 and d.num_files == 4
+    assert d.num_rows == 100 and d.size_bytes > 0
+    assert d.created_at and d.last_modified >= d.created_at
+    a = cat.sql("ANALYZE TABLE t COMPUTE STATISTICS").collect()[0]
+    assert (a.num_rows, a.num_files, a.rows_are_upper_bound) == (100, 4, False)
+    assert a.size_bytes == d.size_bytes
+    # MoR: chain totals, rows flagged as an upper bound
+    mpath = str(tmp_path / "m")
+    t = MorTable(mpath, key="k")
+    t.init(spark.range(10).selectExpr("id AS k", "id AS v"))
+    t.merge(spark, deletes=spark.createDataFrame([(1,)], "k long"))
+    cat.register_path("mt", mpath)
+    am = cat.sql("ANALYZE TABLE mt COMPUTE STATISTICS").collect()[0]
+    assert am.rows_are_upper_bound and am.num_rows >= 10
+    dm = cat.sql("DESCRIBE DETAIL mt").collect()[0]
+    assert dm.kind == "mor" and dm.current_version == 2
+    # plain DESCRIBE still routes to the column form
+    cols = {r.col_name for r in cat.sql("DESCRIBE t").collect()}
+    assert "k" in cols and "v" in cols

@@ -82,7 +82,8 @@ _DELETE_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _VACUUM_RE = re.compile(
-    r"^\s*VACUUM\s+([A-Za-z_]\w*)(?:\s+RETAIN\s+(\d+)(\s+HOURS)?)?\s*$",
+    r"^\s*VACUUM\s+([A-Za-z_]\w*)(?:\s+RETAIN\s+(\d+)(\s+HOURS)?)?"
+    r"(\s+DRY\s+RUN)?\s*$",
     re.IGNORECASE,
 )
 _OPTIMIZE_RE = re.compile(
@@ -96,8 +97,8 @@ _HISTORY_RE = re.compile(
     r"^\s*DESCRIBE\s+HISTORY\s+([A-Za-z_]\w*)\s*$", re.IGNORECASE
 )
 _RESTORE_RE = re.compile(
-    r"^\s*RESTORE\s+(?:TABLE\s+)?([A-Za-z_]\w*)\s+TO\s+VERSION\s+AS\s+OF"
-    r"\s+(\d+)\s*$",
+    r"^\s*RESTORE\s+(?:TABLE\s+)?([A-Za-z_]\w*)\s+TO\s+"
+    r"(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']+)')\s*$",
     re.IGNORECASE,
 )
 _MERGE_HEAD_RE = re.compile(
@@ -136,6 +137,12 @@ _CTAS_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+TABLES\s*$", re.IGNORECASE)
+_CONVERT_RE = re.compile(
+    r"^\s*CONVERT\s+TO\s+LAKEHOUSE\s+'([^']+)'"
+    r"(?:\s+AS\s+([A-Za-z_]\w*))?"
+    r"(?:\s+TBLPROPERTIES\s*\((.*)\))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _DROP_RE = re.compile(
     r"^\s*DROP\s+TABLE\s+(?:(IF\s+EXISTS)\s+)?([A-Za-z_]\w*)\s*$",
     re.IGNORECASE,
@@ -573,6 +580,7 @@ class LakehouseSqlCatalog:
             self._try_ctas,
             self._try_create,
             self._try_drop,
+            self._try_convert,
             self._try_show_tables,
             self._try_detail,
             self._try_analyze,
@@ -1089,6 +1097,7 @@ class LakehouseSqlCatalog:
         if m is None:
             return None
         name, retain, hours = m.group(1), m.group(2), m.group(3)
+        dry = m.group(4) is not None
         kind, path, key = self._require(name)
         if kind == "cow":
             from ..sinks.merge import MergeSink
@@ -1099,10 +1108,28 @@ class LakehouseSqlCatalog:
                 # versions whose committed_at is older than the horizon
                 # (the current version is never eligible); bare
                 # `RETAIN n` stays count-based keep-last-N
-                sink.vacuum(retention_hours=float(retain))
+                victims = sink.vacuum(
+                    retention_hours=float(retain), dry_run=dry
+                )
             else:
-                sink.vacuum(keep_last=int(retain) if retain else 1)
+                victims = sink.vacuum(
+                    keep_last=int(retain) if retain else 1, dry_run=dry
+                )
+            if dry:
+                # `VACUUM ... DRY RUN` (the Delta shape): report the
+                # victim versions, delete nothing — one row per victim
+                return self.spark.createDataFrame(
+                    [("vacuum_dry_run", name, v) for v in victims]
+                    or [("vacuum_dry_run", name, None)],
+                    "operation string, table string, version int",
+                )
         else:
+            if dry:
+                raise ValueError(
+                    "VACUUM ... DRY RUN applies to CoW tables (MoR "
+                    "vacuum victims are everything below the newest "
+                    "checkpoint — DESCRIBE HISTORY shows them)"
+                )
             from ..sinks.mor import MorTable
 
             if retain is not None:
@@ -1171,13 +1198,20 @@ class LakehouseSqlCatalog:
         m = _RESTORE_RE.match(query)
         if m is None:
             return None
-        # `RESTORE [TABLE] <t> TO VERSION AS OF n` (the Delta RESTORE
-        # shape): a NEW commit whose content is the old snapshot —
-        # history-preserving rollback. CoW relinks the old version's
-        # files (zero data rewrite); MoR re-commits the as-of state as
-        # a checkpoint (a compaction of history).
-        name, version = m.group(1), int(m.group(2))
+        # `RESTORE [TABLE] <t> TO VERSION AS OF n | TIMESTAMP AS OF
+        # '<ts>'` (the Delta RESTORE shape): a NEW commit whose content
+        # is the old snapshot — history-preserving rollback. CoW relinks
+        # the old version's files (zero data rewrite); MoR re-commits
+        # the as-of state as a checkpoint (a compaction of history).
+        # A timestamp resolves via version_at (S29).
+        name = m.group(1)
         kind, path, key = self._require(name)
+        if m.group(2) is not None:
+            version = int(m.group(2))
+        else:
+            from ..sinks.manifest import CommitLog
+
+            version = CommitLog(path).version_at(_parse_ts_ms(m.group(3)))
         if kind == "cow":
             from ..sinks.merge import MergeSink
 
@@ -1381,6 +1415,30 @@ class LakehouseSqlCatalog:
         self._tables[name] = (str(props["kind"]), path, key)
         self._persist(name)
         return self._summary("create", name, self._current_version(name))
+
+    def _try_convert(self, query: str) -> DataFrame | None:
+        m = _CONVERT_RE.match(query)
+        if m is None:
+            return None
+        # `CONVERT TO LAKEHOUSE '<dir>' [AS name] [TBLPROPERTIES
+        # (merge_key='k'[, bloom_on='c'])]` — the Delta CONVERT shape:
+        # an existing plain/hive-partitioned parquet directory becomes
+        # a versioned table IN PLACE, v1 hardlinking the files (zero
+        # data copy; sinks/convert.py). `AS name` registers it here
+        # (and in the persistent catalog); without it the stored props
+        # make any later register_path work.
+        path, name, props_sql = m.group(1), m.group(2), m.group(3)
+        props = self._parse_tblproperties(props_sql)
+        key = props.get("merge_key")
+        from ..sinks.convert import convert_to_lakehouse
+
+        convert_to_lakehouse(
+            path, key=key, bloom_on=props.get("bloom_on")
+        )
+        if name:
+            self._tables[name] = ("cow", path, key)
+            self._persist(name)
+        return self._summary("convert", name or path, 1)
 
     def _try_drop(self, query: str) -> DataFrame | None:
         m = _DROP_RE.match(query)

@@ -669,3 +669,59 @@ def q_sink_bloom_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# --- S38: CONVERT TO LAKEHOUSE (zero-copy adoption) ---------------------------
+
+
+@query(
+    "q_sql_convert",
+    oracle="""
+    WITH src AS (
+        SELECT o_orderkey AS k, o_custkey AS ck,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey % 2 = 0
+    )
+    SELECT k, ck,
+           CASE WHEN k % 10 = 0 THEN cents + 3 ELSE cents END AS cents
+    FROM src
+    """,
+)
+def q_sql_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S38: `CONVERT TO LAKEHOUSE '<dir>'` — an existing PLAIN parquet
+    # directory becomes a versioned table in place: v1 HARDLINKS the
+    # files (zero data copy — the one-time migration op a 100 TB estate
+    # needs; inode identity pinned in tests/test_round13.py), footer
+    # stats land in the manifest, stored props make the table
+    # path-discoverable. The query then runs keyed DML through a fresh
+    # catalog (register_path round trip) and reads the result — a
+    # conversion that dropped files, double-counted the adopted
+    # originals, or lost the stored key hash-fails against the
+    # relational recomputation.
+    import shutil
+
+    from ..plans.lakehouse_sql import LakehouseSqlCatalog
+
+    base = Catalog(spark, sf_dir).orders.filter(
+        F.col("o_orderkey") % 2 == 0
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("ck"),
+        fixed_cents(F.col("o_totalprice")).alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="phe_sql_convert_")
+    plain = os.path.join(root, "plain")
+    base.repartition(4).write.parquet(plain)  # a pre-existing estate
+    cat = LakehouseSqlCatalog(spark)
+    cat.sql(
+        f"CONVERT TO LAKEHOUSE '{plain}' AS conv_t "
+        "TBLPROPERTIES (merge_key='k')"
+    )
+    cat2 = LakehouseSqlCatalog(spark)
+    cat2.register_path("conv_t2", plain)
+    cat2.sql("UPDATE conv_t2 SET cents = cents + 3 WHERE k % 10 = 0")
+    out = cat2.sql("SELECT k, ck, cents FROM conv_t2").localCheckpoint(
+        eager=True
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out

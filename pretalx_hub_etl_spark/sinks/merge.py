@@ -617,6 +617,7 @@ class MergeSink:
         self,
         keep_last: int = 1,
         retention_hours: float | None = None,
+        dry_run: bool = False,
     ) -> list[int]:
         """Retention maintenance (S11): physically delete all but the
         newest ``keep_last`` COMMITTED versions; returns the versions
@@ -659,12 +660,16 @@ class MergeSink:
                 for v in committed[:-1]  # never the current version
                 if int(log.manifest(v).get("committed_at", 0)) < cutoff
             ]
+            if dry_run:
+                return victims  # report, delete nothing
             for v in victims:
                 shutil.rmtree(os.path.join(self.path, f"v{v}"))
             log.retire(victims)
             return victims
         keep_last = max(1, keep_last)
         victims = committed[:-keep_last] if len(committed) > keep_last else []
+        if dry_run:
+            return victims  # report, delete nothing
         for v in victims:
             shutil.rmtree(os.path.join(self.path, f"v{v}"))
         # retire the victims' manifests too: the _latest hint never

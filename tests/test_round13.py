@@ -963,3 +963,88 @@ def test_describe_detail_and_analyze(spark, tmp_path):
     # plain DESCRIBE still routes to the column form
     cols = {r.col_name for r in cat.sql("DESCRIBE t").collect()}
     assert "k" in cols and "v" in cols
+
+
+# --- VACUUM DRY RUN + RESTORE TO TIMESTAMP ------------------------------------
+
+
+def test_vacuum_dry_run_and_restore_to_timestamp(spark, tmp_path):
+    from pretalx_hub_etl_spark.plans.lakehouse_sql import LakehouseSqlCatalog
+
+    path = str(tmp_path / "t")
+    sink = MergeSink(path, key="k")
+    sink.init(spark.range(5).selectExpr("id AS k", "id AS v"))
+    time.sleep(0.01)
+    sink.merge(spark, spark.createDataFrame([(1, 99)], "k long, v long"))
+    time.sleep(0.01)
+    sink.merge(spark, spark.createDataFrame([(2, 88)], "k long, v long"))
+    cat = LakehouseSqlCatalog(spark)
+    cat.register_cow("t", path, key="k")
+    # DRY RUN reports victims, deletes NOTHING
+    rows = cat.sql("VACUUM t RETAIN 1 DRY RUN").collect()
+    assert sorted(r.version for r in rows) == [1, 2]
+    assert all(r.operation == "vacuum_dry_run" for r in rows)
+    assert CommitLog(path).versions() == [1, 2, 3]  # untouched
+    # nothing eligible -> one NULL-version row, still nothing deleted
+    none_rows = cat.sql("VACUUM t RETAIN 3 DRY RUN").collect()
+    assert [r.version for r in none_rows] == [None]
+    # RESTORE ... TO TIMESTAMP AS OF resolves via version_at
+    ts2 = CommitLog(path).manifest(2)["committed_at"]
+    cat.sql(f"RESTORE t TO TIMESTAMP AS OF '{ts2}'")
+    assert CommitLog(path).current_version() == 4
+    got = {r.k: r.v for r in cat.sql("SELECT k, v FROM t").collect()}
+    assert got[1] == 99 and got[2] == 2  # v2's state: first merge only
+    # real vacuum still works after the dry runs
+    cat.sql("VACUUM t RETAIN 1")
+    assert CommitLog(path).versions() == [4]
+
+
+# --- S38: CONVERT TO LAKEHOUSE -------------------------------------------------
+
+
+def test_convert_to_lakehouse_zero_copy(spark, tmp_path):
+    from pretalx_hub_etl_spark.plans.lakehouse_sql import LakehouseSqlCatalog
+    from pretalx_hub_etl_spark.sinks.convert import convert_to_lakehouse
+
+    plain = str(tmp_path / "estate")
+    spark.range(100).selectExpr(
+        "id AS k", "id % 4 AS region", "id * 2 AS v"
+    ).write.partitionBy("region").parquet(plain)
+    sink = convert_to_lakehouse(plain, key="k", bloom_on="k")
+    # zero copy: every v1 file shares its inode with an adopted original
+    log = CommitLog(plain)
+    m = log.manifest(1)
+    assert m["files"]
+    import glob
+
+    for e in m["files"]:
+        linked = os.path.join(plain, "v1", e["path"])
+        orig = os.path.join(plain, e["path"])
+        assert os.stat(linked).st_ino == os.stat(orig).st_ino
+        assert "bloom" in e  # index built during conversion
+    # partition columns adopted: stats tagged, props recorded, reads
+    # reconstruct them
+    assert log.table_props()["partition_by"] == ["region"]
+    df = sink.read(spark)
+    assert df.count() == 100
+    assert df.filter("region = 2").count() == 25
+    # blooms + stats prune the ADOPTED layout (before any rewrite)
+    _dfp, _scanned, skipped = sink.read_pruned(spark, "k", 7, 7)
+    assert skipped > 0
+    # the table is a full citizen: keyed DML + time travel
+    cat = LakehouseSqlCatalog(spark)
+    cat.register_path("conv", plain)
+    cat.sql("UPDATE conv SET v = 0 WHERE k = 7")
+    assert cat.sql("SELECT v FROM conv WHERE k = 7").collect()[0].v == 0
+    assert (
+        cat.sql("SELECT count(*) AS n FROM conv VERSION AS OF 1")
+        .collect()[0].n
+        == 100
+    )
+    # double conversion refuses
+    with pytest.raises(FileExistsError):
+        convert_to_lakehouse(plain)
+    # empty/non-parquet dir refuses
+    os.makedirs(str(tmp_path / "empty"))
+    with pytest.raises(FileNotFoundError):
+        convert_to_lakehouse(str(tmp_path / "empty"))

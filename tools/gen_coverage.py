@@ -95,6 +95,10 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
         ("S34", "CTAS: CREATE TABLE ... USING lakehouse ... AS SELECT "
          "(discovered schema + key into table props, IF NOT EXISTS)",
          ["q_sql_ctas"]),
+        ("S38", "CONVERT TO LAKEHOUSE: zero-copy in-place adoption of "
+         "a plain parquet directory (hardlinked v1 + footer-stats "
+         "manifest + stored props)",
+         ["q_sql_convert"]),
         ("ST17", "the table as an append-only streaming source "
          "(offsets = versions, manifest set-difference per microbatch; "
          "inclusive startingVersion, startingTimestamp)",

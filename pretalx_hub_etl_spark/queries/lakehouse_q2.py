@@ -725,3 +725,55 @@ def q_sql_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# --- LAY1b + S35: SQL ZORDER maintenance + pruned SQL reads -------------------
+
+
+@query(
+    "q_sql_zorder",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS k, o_custkey AS ck,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT k, ck, cents FROM base
+    WHERE ck BETWEEN 10 AND 25 OR k BETWEEN 100 AND 200
+    """,
+)
+def q_sql_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # LAY1b: `OPTIMIZE t ZORDER BY (k, ck)` — the maintenance op
+    # commits a Morton-interleaved relayout (content IDENTICAL, only
+    # file boundaries move), then two pruned SQL reads exercise the
+    # post-ZORDER envelopes on EACH interleaved column (the S35
+    # extractor prunes per occurrence; the UNION's branches carry
+    # different predicates). The oracle recomputes both selections from
+    # the raw data — a ZORDER that lost/duplicated rows, or a pruned
+    # read that skipped a matching file, hash-fails. Envelope-tightness
+    # itself (files actually skipped) is pinned in
+    # tests/test_round13.py::test_sql_optimize_zorder_tightens_envelopes.
+    import shutil
+
+    from ..plans.lakehouse_sql import LakehouseSqlCatalog
+    from ..sinks.merge import MergeSink
+
+    base = Catalog(spark, sf_dir).orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("ck"),
+        fixed_cents(F.col("o_totalprice")).alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="phe_sql_zorder_")
+    path = os.path.join(root, "t")
+    MergeSink(path, key="k").init(base.repartition(8))
+    cat = LakehouseSqlCatalog(spark)
+    cat.register_cow("z_t", path, key="k")
+    cat.sql("OPTIMIZE z_t ZORDER BY (k, ck)")
+    out = cat.sql(
+        "SELECT k, ck, cents FROM z_t WHERE ck BETWEEN 10 AND 25 "
+        "UNION ALL "
+        "SELECT k, ck, cents FROM z_t "
+        "WHERE k BETWEEN 100 AND 200 AND NOT (ck BETWEEN 10 AND 25)"
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out

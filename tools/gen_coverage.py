@@ -196,6 +196,9 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
     ("2.6b Data layout", [
         ("LAY1", "z-order clustering key (multi-dim footer-stats pruning)",
          ["q_layout_zorder"]),
+        ("LAY1b", "OPTIMIZE ... ZORDER BY (SQL): Morton relayout commit "
+         "+ per-occurrence pruned reads on each interleaved column",
+         ["q_sql_zorder"]),
         ("LAY2", "bucketed tables (write-once shuffle, zero-Exchange joins)",
          ["q_join_bucketed"]),
     ]),

@@ -147,6 +147,21 @@ _DROP_RE = re.compile(
     r"^\s*DROP\s+TABLE\s+(?:(IF\s+EXISTS)\s+)?([A-Za-z_]\w*)\s*$",
     re.IGNORECASE,
 )
+_ALTER_ADD_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+ADD\s+COLUMNS?\s*"
+    r"\((.*)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ALTER_RENAME_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+RENAME\s+TO\s+"
+    r"([A-Za-z_]\w*)\s*$",
+    re.IGNORECASE,
+)
+_ALTER_PROPS_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+SET\s+TBLPROPERTIES\s*"
+    r"\((.*)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _CLONE_RE = re.compile(
     r"^\s*CREATE\s+TABLE\s+([A-Za-z_]\w*)\s+SHALLOW\s+CLONE\s+"
     r"([A-Za-z_]\w*)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s+"
@@ -488,6 +503,7 @@ class LakehouseSqlCatalog:
                 )
                 if skipped == 0:
                     continue  # nothing pruned: the plain view serves it
+                df = self._overlay_ddl(df, path)
                 view = f"{name}__scan_{_uuid.uuid4().hex[:8]}"
                 df.createOrReplaceTempView(view)
                 views.append(view)
@@ -496,6 +512,42 @@ class LakehouseSqlCatalog:
                     statement[: occ.start] + repl + statement[occ.end :]
                 )
         return statement, views
+
+    def _has_declared_schema(self, path: str) -> bool:
+        from ..sinks.manifest import CommitLog
+
+        return bool(CommitLog(path).table_props().get("schema_ddl"))
+
+    def _overlay_ddl(self, df: DataFrame, path: str) -> DataFrame:
+        """Serve ALTER-declared columns the data files don't carry yet:
+        the stored ``schema_ddl`` is the table's DECLARED schema; any
+        declared column absent from the physical scan is appended as a
+        typed NULL (the Delta metadata-evolution read shape — old files
+        never rewritten). Additive only: physical columns beyond the
+        DDL (MERGE WITH SCHEMA EVOLUTION) always survive."""
+        from ..sinks.manifest import CommitLog
+
+        ddl = CommitLog(path).table_props().get("schema_ddl")
+        if not ddl:
+            return df
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        have = {c.lower() for c in df.columns}
+        missing = [
+            f
+            for f in StructType.fromDDL(ddl).fields
+            if f.name.lower() not in have
+        ]
+        if not missing:
+            return df
+        return df.select(
+            "*",
+            *[
+                F.lit(None).cast(f.dataType).alias(f.name)
+                for f in missing
+            ],
+        )
 
     def _frame(self, name: str, version: int | None) -> DataFrame:
         kind, path, key = self._tables[name]
@@ -510,10 +562,11 @@ class LakehouseSqlCatalog:
                 from ..sinks.merge import MergeSink
 
                 sink = MergeSink(path, key=key or "_")
-                return (
+                return self._overlay_ddl(
                     sink.read(self.spark)
                     if version is None
-                    else sink.read_version(self.spark, version)
+                    else sink.read_version(self.spark, version),
+                    path,
                 )
             r = self.spark.read.format("lakehouse").option("path", path)
             if version is not None:
@@ -522,10 +575,14 @@ class LakehouseSqlCatalog:
             # footer) and pass it explicitly: without it Spark spins up
             # a Python worker just to call DataSource.schema() on every
             # load — a whole process round trip for one footer read
-            return r.schema(self._cow_schema(path, version)).load()
+            return self._overlay_ddl(
+                r.schema(self._cow_schema(path, version)).load(), path
+            )
         from ..sinks.mor import MorTable
 
-        return MorTable(path, key=key).read(self.spark, as_of=version)
+        return self._overlay_ddl(
+            MorTable(path, key=key).read(self.spark, as_of=version), path
+        )
 
     def _cow_schema(self, path: str, version: int | None):
         from ..sources.lakehouse_ds import cow_read_schema
@@ -579,6 +636,7 @@ class LakehouseSqlCatalog:
             self._try_clone,
             self._try_ctas,
             self._try_create,
+            self._try_alter,
             self._try_drop,
             self._try_convert,
             self._try_show_tables,
@@ -937,6 +995,42 @@ class LakehouseSqlCatalog:
                 if upserts is None
                 else upserts.unionByName(inserts, allowMissingColumns=True)
             )
+        if upserts is not None:
+            pad = [
+                f
+                for f in target.schema.fields
+                if f.name not in upserts.columns
+            ]
+            if pad:
+                # target-only columns (e.g. ALTER-declared after the
+                # source pipeline was written): new/updated rows take
+                # typed NULLs — matched UPDATE branches already project
+                # every target column, so this reaches INSERT-only paths
+                upserts = upserts.select(
+                    "*",
+                    *[
+                        F.lit(None).cast(f.dataType).alias(f.name)
+                        for f in pad
+                    ],
+                )
+        if not evo and upserts is not None:
+            # columns the DECLARED schema already carries are not an
+            # evolution (ALTER TABLE ADD COLUMNS made them part of the
+            # table; the first write materializes them) — only columns
+            # beyond the declaration need WITH SCHEMA EVOLUTION
+            from ..sinks.manifest import CommitLog as _CL
+
+            ddl = _CL(path).table_props().get("schema_ddl")
+            if ddl:
+                from pyspark.sql.types import StructType as _ST
+
+                declared = {
+                    f.name.lower() for f in _ST.fromDDL(ddl).fields
+                }
+                if {
+                    c.lower() for c in upserts.columns
+                } <= declared | {c.lower() for c in target.columns}:
+                    evo = True
         if not evo and upserts is not None and set(upserts.columns) != set(
             target.columns
         ):
@@ -1052,12 +1146,26 @@ class LakehouseSqlCatalog:
         matched = self._frame(name, None).filter(
             F.expr(cond) if cond else F.lit(True)
         )
+        have = {c.lower() for c in matched.columns}
         for col, expr in _split_assignments(sets):
+            if col.lower() not in have:
+                raise ValueError(
+                    f"UPDATE {name}: unknown column {col!r} "
+                    f"({sorted(matched.columns)})"
+                )
             matched = matched.withColumn(col, F.expr(expr))
         if kind == "cow":
             from ..sinks.merge import MergeSink
 
-            MergeSink(path, key=key).merge(self.spark, matched)
+            # a declared (ALTERed) table's frame carries overlay
+            # columns the files don't hold yet: materializing them is
+            # not an evolution the caller must opt into (SET columns
+            # were just validated against the frame)
+            MergeSink(path, key=key).merge(
+                self.spark,
+                matched,
+                allow_evolution=self._has_declared_schema(path),
+            )
         else:
             from ..sinks.mor import MorTable
 
@@ -1083,6 +1191,7 @@ class LakehouseSqlCatalog:
                 self.spark,
                 self.spark.createDataFrame([], state.schema),
                 deletes=state.filter(predicate).select(key),
+                allow_evolution=self._has_declared_schema(path),
             )
         else:
             from ..sinks.mor import MorTable
@@ -1439,6 +1548,112 @@ class LakehouseSqlCatalog:
             self._tables[name] = ("cow", path, key)
             self._persist(name)
         return self._summary("convert", name or path, 1)
+
+    def _try_alter(self, query: str) -> DataFrame | None:
+        m = _ALTER_ADD_RE.match(query)
+        if m is not None:
+            # `ALTER TABLE t ADD COLUMNS (c TYPE, ...)` — metadata-only
+            # evolution (the Delta shape): the DECLARED schema in the
+            # table props gains the columns; no file is rewritten, and
+            # every read overlays the missing columns as typed NULLs
+            # (_overlay_ddl). Later writes materialize them.
+            name, col_defs = m.group(1), m.group(2).strip()
+            _kind, path, _key = self._require(name)
+            from pyspark.sql.types import StructType
+
+            added = StructType.fromDDL(col_defs)  # validates
+            current = self._frame(name, None).schema
+            clash = [
+                f.name
+                for f in added.fields
+                if f.name.lower() in {c.lower() for c in current.names}
+            ]
+            if clash:
+                raise ValueError(
+                    f"ALTER TABLE {name}: column(s) {clash} already exist"
+                )
+            from ..sinks.manifest import CommitLog
+
+            log = CommitLog(path)
+            props = log.table_props()
+            base_ddl = props.get("schema_ddl") or ", ".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in current.fields
+            )
+            props["schema_ddl"] = f"{base_ddl}, {col_defs}"
+            log.write_table_props(props)
+            return self._summary(
+                "alter", name, self._current_version(name)
+            )
+        m = _ALTER_RENAME_RE.match(query)
+        if m is not None:
+            # catalog-level rename: the path and data never move
+            old_name, new_name = m.group(1), m.group(2)
+            entry = self._require(old_name)
+            if new_name in self._tables:
+                raise ValueError(
+                    f"ALTER TABLE RENAME: {new_name!r} already registered"
+                )
+            self._tables[new_name] = entry
+            if old_name in self._ds_tables:
+                self._ds_tables.add(new_name)
+            del self._tables[old_name]
+            self._ds_tables.discard(old_name)
+            self.spark.catalog.dropTempView(old_name)
+            if self._warehouse:
+                self._catalog_update(old_name, None)
+                self._persist(new_name)
+            return self._summary(
+                "alter", new_name, self._current_version(new_name)
+            )
+        m = _ALTER_PROPS_RE.match(query)
+        if m is not None:
+            # `SET TBLPROPERTIES (merge_key='k', bloom_on='c', ...)` —
+            # retrofit table metadata: give a keyless table its DML
+            # routing key, or declare a Bloom column that takes effect
+            # on the NEXT commits. The table kind is identity, not a
+            # property — immutable.
+            name = m.group(1)
+            kind, path, key = self._require(name)
+            # parse pairs directly (not _parse_tblproperties: its
+            # CREATE-time MoR validation would fire before the
+            # immutability check below)
+            new_props: dict[str, str] = {}
+            for part in _split_top_commas(m.group(2)):
+                pk, eq, pv = part.partition("=")
+                if not eq:
+                    raise ValueError(
+                        f"malformed TBLPROPERTIES entry {part!r}"
+                    )
+                new_props[pk.strip().lower()] = pv.strip().strip("'\"")
+            if "kind" in new_props and new_props["kind"] != kind:
+                raise ValueError(
+                    f"ALTER TABLE {name}: kind is immutable "
+                    f"({kind!r} -> {new_props['kind']!r})"
+                )
+            new_key = new_props.get("merge_key", key)
+            if new_key is not None and new_key != key:
+                cols = {c.lower() for c in self._frame(name, None).columns}
+                if new_key.lower() not in cols:
+                    raise ValueError(
+                        f"merge_key {new_key!r} is not a column of {name}"
+                    )
+            from ..sinks.manifest import CommitLog
+
+            log = CommitLog(path)
+            props = log.table_props()
+            for k, v in new_props.items():
+                if k == "kind":
+                    continue
+                props[k] = v
+            props["kind"] = kind
+            log.write_table_props(props)
+            self._tables[name] = (kind, path, new_key)
+            self._persist(name)
+            return self._summary(
+                "alter", name, self._current_version(name)
+            )
+        return None
 
     def _try_drop(self, query: str) -> DataFrame | None:
         m = _DROP_RE.match(query)

@@ -261,17 +261,25 @@ class MergeSink:
         log = CommitLog(self.path)
         files, skipped = log.files_for(version, prune=prune)
         vdir = os.path.join(self.path, f"v{version}")
+        # ALTER-evolved tables (declared schema_ddl) may hold MIXED
+        # file schemas inside one version (hardlink-appends after the
+        # ALTER write the new column, relinked older files lack it):
+        # mergeSchema unions the footers — enabled ONLY for declared
+        # tables, so unevolved reads never pay the extra footer pass
+        reader = spark.read
+        if log.table_props().get("schema_ddl"):
+            reader = reader.option("mergeSchema", "true")
         if not files:
             if prune is not None:
                 # every file pruned: empty frame with the table schema
                 # (schema from one unpruned file via the same manifest)
                 allf, _ = log.files_for(version)
                 if allf:
-                    base = spark.read.option("basePath", vdir).parquet(*allf)
+                    base = reader.option("basePath", vdir).parquet(*allf)
                     return base.limit(0), skipped
-            return spark.read.parquet(vdir), skipped
+            return reader.parquet(vdir), skipped
         return (
-            spark.read.option("basePath", vdir).parquet(*files),
+            reader.option("basePath", vdir).parquet(*files),
             skipped,
         )
 

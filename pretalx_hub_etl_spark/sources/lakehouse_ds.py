@@ -277,7 +277,14 @@ def build_lakehouse_source():
                     ent["min"] = ent["max"] = None
                     ent.setdefault("no_range", True)
                     continue
-                mn, mx = st.min, st.max
+                try:
+                    mn, mx = st.min, st.max
+                except Exception:
+                    # pyarrow cannot extract stats for some physical
+                    # types (e.g. the NULL type an all-NULL column
+                    # writes) — stats optional: no range, no skip
+                    ent["no_range"] = True
+                    continue
                 if isinstance(mn, bytes):
                     try:
                         mn, mx = mn.decode(), mx.decode()

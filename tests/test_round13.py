@@ -1048,3 +1048,89 @@ def test_convert_to_lakehouse_zero_copy(spark, tmp_path):
     os.makedirs(str(tmp_path / "empty"))
     with pytest.raises(FileNotFoundError):
         convert_to_lakehouse(str(tmp_path / "empty"))
+
+
+# --- ALTER TABLE: ADD COLUMNS / RENAME / SET TBLPROPERTIES --------------------
+
+
+def test_alter_add_columns_metadata_only(spark, tmp_path):
+    from pretalx_hub_etl_spark.plans.lakehouse_sql import LakehouseSqlCatalog
+
+    path = str(tmp_path / "t")
+    MergeSink(path, key="k").init(
+        spark.range(10).selectExpr("id AS k", "id AS v")
+    )
+    cat = LakehouseSqlCatalog(spark)
+    cat.register_cow("t", path, key="k")
+    cat.sql("ALTER TABLE t ADD COLUMNS (score DOUBLE, tag STRING)")
+    # metadata-only: no new version, no file rewritten
+    assert CommitLog(path).versions() == [1]
+    # reads overlay the declared columns as typed NULLs
+    row = cat.sql("SELECT k, v, score, tag FROM t WHERE k = 3").collect()[0]
+    assert (row.score, row.tag) == (None, None)
+    assert dict(cat.sql("SELECT * FROM t").dtypes)["score"] == "double"
+    # pruned reads resolve them too (scan views get the overlay)
+    assert (
+        cat.sql("SELECT score FROM t WHERE k < 5").count() == 5
+    )
+    # duplicate column refuses
+    with pytest.raises(ValueError, match="already exist"):
+        cat.sql("ALTER TABLE t ADD COLUMNS (v BIGINT)")
+    # writes materialize the column; mixed-schema versions still read
+    cat.sql("UPDATE t SET score = 1.5 WHERE k = 3")
+    cat.sql("INSERT INTO t VALUES (100, 100, 2.5, 'x')")
+    got = {
+        r.k: (r.score, r.tag)
+        for r in cat.sql("SELECT k, score, tag FROM t").collect()
+    }
+    assert got[3] == (1.5, None) and got[100] == (2.5, "x")
+    assert got[1] == (None, None)
+    assert len(got) == 11
+    # MERGE against the evolved table works without explicit evolution
+    spark.createDataFrame(
+        [(1, 7, 9.9, "m")], "k long, v long, score double, tag string"
+    ).createOrReplaceTempView("alter_src")
+    cat.sql(
+        "MERGE INTO t USING alter_src s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET score = s.score, tag = s.tag "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert cat.sql("SELECT tag FROM t WHERE k = 1").collect()[0].tag == "m"
+    # UPDATE of a genuinely unknown column still refuses
+    with pytest.raises(ValueError, match="unknown column"):
+        cat.sql("UPDATE t SET nope = 1")
+
+
+def test_alter_rename_and_set_tblproperties(spark, tmp_path):
+    from pretalx_hub_etl_spark.plans.lakehouse_sql import LakehouseSqlCatalog
+
+    wh = str(tmp_path / "wh")
+    path = str(tmp_path / "t")
+    MergeSink(path, key="k").init(
+        spark.range(5).selectExpr("id AS k", "id AS v")
+    )
+    cat = LakehouseSqlCatalog(spark, warehouse=wh)
+    cat.register_cow("old_t", path)  # keyless
+    # RENAME: catalog-level, persists, old name gone everywhere
+    cat.sql("ALTER TABLE old_t RENAME TO new_t")
+    assert cat.sql("SELECT count(*) AS n FROM new_t").collect()[0].n == 5
+    with pytest.raises(Exception, match="old_t"):
+        cat.sql("SELECT * FROM old_t").collect()
+    fresh = LakehouseSqlCatalog(spark, warehouse=wh)
+    names = {r.table for r in fresh.sql("SHOW TABLES").collect()}
+    assert "new_t" in names and "old_t" not in names
+    # SET TBLPROPERTIES retrofits the merge key -> DML now routes
+    with pytest.raises(ValueError, match="merge key"):
+        cat.sql("DELETE FROM new_t WHERE k = 0")
+    cat.sql("ALTER TABLE new_t SET TBLPROPERTIES (merge_key='k')")
+    cat.sql("DELETE FROM new_t WHERE k = 0")
+    assert cat.sql("SELECT count(*) AS n FROM new_t").collect()[0].n == 4
+    # the key persisted: discoverable by a fresh session
+    fresh2 = LakehouseSqlCatalog(spark, warehouse=wh)
+    fresh2.sql("UPDATE new_t SET v = 9 WHERE k = 1")
+    assert fresh2.sql("SELECT v FROM new_t WHERE k = 1").collect()[0].v == 9
+    # a non-column key refuses; kind is immutable
+    with pytest.raises(ValueError, match="not a column"):
+        cat.sql("ALTER TABLE new_t SET TBLPROPERTIES (merge_key='zz')")
+    with pytest.raises(ValueError, match="immutable"):
+        cat.sql("ALTER TABLE new_t SET TBLPROPERTIES (kind='mor')")

@@ -76,3 +76,54 @@ def cluster_by_zorder(
         .sortWithinPartitions("__z")
         .drop("__z")
     )
+
+
+def zorder_normalize(
+    df: DataFrame, cols: Sequence[str], bits: int = 16
+) -> tuple[DataFrame, list[str]]:
+    """Map arbitrary-domain columns to non-negative ints for z-ordering.
+
+    ``zorder_key`` interleaves the LOW BITS of non-negative integers;
+    strings, floats, and negative ints would silently degenerate (a
+    string cast to long is NULL -> the whole z-value goes NULL and the
+    layout collapses to one range). This prepares each dimension:
+
+    - non-negative integral columns pass through unchanged (their own
+      low bits carry the most locality);
+    - everything else gets an EQUI-DEPTH RANGE BUCKET id via the
+      distributed range-partition trick (Delta's range_partition_id):
+      ``repartitionByRange(2^b, col)`` orders the domain across
+      partitions and ``spark_partition_id()`` IS the bucket — fully
+      distributed, no global-order window, no driver-side quantiles.
+      One extra shuffle per normalized column; acceptable for a
+      MAINTENANCE op (OPTIMIZE), never on a read path.
+
+    Returns (df with any helper columns added, per-dimension column
+    names to interleave). Bucketed dimensions use up to 2^12 buckets
+    (12 bits carries the locality; finer buckets just cost shuffles).
+    """
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    int_types = (ByteType, ShortType, IntegerType, LongType)
+    out = df
+    names: list[str] = []
+    for c in cols:
+        f = out.schema[c]
+        if isinstance(f.dataType, int_types):
+            # cheap driver-side sign probe; negative domains bucket
+            mn = out.agg(F.min(c)).collect()[0][0]
+            if mn is not None and mn >= 0:
+                names.append(c)
+                continue
+        b = min(bits, 12)
+        helper = f"__zn_{c}"
+        out = out.repartitionByRange(1 << b, F.col(c)).withColumn(
+            helper, F.spark_partition_id().cast("long")
+        )
+        names.append(helper)
+    return out, names

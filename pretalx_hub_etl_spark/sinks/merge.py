@@ -510,7 +510,7 @@ class MergeSink:
         table props (``zorder_by``) so a later bare OPTIMIZE reuses
         it. Same OCC commit protocol as merge/optimize; returns the
         committed version."""
-        from ..operators.layout import cluster_by_zorder
+        from ..operators.layout import cluster_by_zorder, zorder_normalize
 
         if self.cluster_by is not None:
             raise ValueError(
@@ -534,11 +534,16 @@ class MergeSink:
             n_files = (
                 len(log.files_for(base)[0]) if log.exists() else None
             )
+            # arbitrary domains (strings, floats, negative ints)
+            # normalize to equi-depth range buckets first — without
+            # this a string dimension casts to NULL and the whole
+            # layout silently collapses to one range
+            state, dims = zorder_normalize(state, cols, bits)
             try:
                 self._write(
                     cluster_by_zorder(
-                        state, cols, bits, num_partitions=n_files
-                    ),
+                        state, dims, bits, num_partitions=n_files
+                    ).drop(*[d for d in dims if d.startswith("__zn_")]),
                     claim,
                 )
             except FileExistsError:

@@ -93,6 +93,13 @@ QUERIES = [
     "q_stream_chained_agg",
     "q_window_topk_salted",
     "q_agg_weighted_median",
+    # round-13 lakehouse lifecycle additions: CTAS, zero-copy CONVERT,
+    # ZORDER maintenance, MoR bloom point lookups — commit-protocol
+    # bound; their walls should track the fixture write, not the corpus
+    "q_sql_ctas",
+    "q_sql_convert",
+    "q_sql_zorder",
+    "q_sink_bloom_mor",
     # round-10 additions: the lakehouse batch rides the replicated
     # customer/orders tables (commit+manifest cost per version is file-
     # count-bound, data cost input-linear); avro rides supplier; the

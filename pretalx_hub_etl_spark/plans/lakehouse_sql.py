@@ -320,11 +320,24 @@ class LakehouseSqlCatalog:
         import json
         import os
 
-        v = self._catalog_version()
-        if v == 0:
-            return {}
-        with open(os.path.join(self._catalog_dir(), f"{v}.json")) as fh:
-            return json.load(fh)
+        # bounded-history race: a concurrent writer may retire the
+        # version we just resolved — re-resolve and retry (the head
+        # only advances, so this converges immediately)
+        for _ in range(10):
+            v = self._catalog_version()
+            if v == 0:
+                return {}
+            try:
+                with open(
+                    os.path.join(self._catalog_dir(), f"{v}.json")
+                ) as fh:
+                    return json.load(fh)
+            except FileNotFoundError:
+                continue
+        raise RuntimeError(
+            f"catalog read lost the retirement race 10 times at "
+            f"{self._catalog_dir()}"
+        )
 
     def _catalog_update(self, name: str, ent: dict | None) -> None:
         """Publish a catalog version with ``name`` upserted (or removed

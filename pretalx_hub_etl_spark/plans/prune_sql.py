@@ -179,11 +179,17 @@ def _analyze_occurrence(
     # -- optional alias
     alias = None
     j = i + 1
+    if j < len(toks) and toks[j][0].startswith("`"):
+        # backquoted alias: the occurrence rewrite would inject a
+        # second alias before it — bail, the plain view serves this
+        return bail(None)
     if j < len(toks) and toks[j][0].upper() == "AS":
         j += 1
         if j < len(toks) and re.fullmatch(r"[A-Za-z_]\w*", toks[j][0]):
             alias = toks[j][0]
             j += 1
+        else:
+            return bail(None)  # AS `quoted` / AS <non-ident>: bail
     elif (
         j < len(toks)
         and re.fullmatch(r"[A-Za-z_]\w*", toks[j][0])

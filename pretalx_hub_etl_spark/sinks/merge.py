@@ -521,12 +521,15 @@ class MergeSink:
         for _ in range(max_retries):
             base, claim = _base_and_claim(self.path)
             state = spark.read.parquet(os.path.join(self.path, f"v{base}"))
-            missing = [c for c in cols if c not in state.columns]
+            # resolve clause columns case-insensitively (SQL semantics)
+            by_lower = {c.lower(): c for c in state.columns}
+            missing = [c for c in cols if c.lower() not in by_lower]
             if missing:
                 raise ValueError(
                     f"ZORDER BY columns {missing} not in table "
                     f"({state.columns})"
                 )
+            cols = [by_lower[c.lower()] for c in cols]
             # keep the table's file granularity: one output range per
             # current data file (a maintenance op reshapes layout, not
             # file count)

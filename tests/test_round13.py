@@ -1170,3 +1170,31 @@ def test_zorder_arbitrary_domains(spark, tmp_path):
         "SELECT count(*) AS n FROM z WHERE name BETWEEN 'user_00000' AND 'user_00200'"
     ).collect()[0].n
     assert n == 201
+
+
+def test_prune_hardening_edges(spark, tmp_path):
+    from pretalx_hub_etl_spark.plans.lakehouse_sql import LakehouseSqlCatalog
+    from pretalx_hub_etl_spark.plans.prune_sql import extract_scan_prunes
+
+    # backquoted aliases bail pruning (the rewrite would inject a
+    # second alias) but the query still runs on the plain view
+    occs = extract_scan_prunes(
+        "SELECT `a b`.k FROM t `a b` WHERE k < 5", "t", {"k"}
+    )
+    assert len(occs) == 1 and occs[0].prunes == []
+    occs2 = extract_scan_prunes(
+        "SELECT x.k FROM t AS `x` WHERE k < 5", "t", {"k"}
+    )
+    assert occs2[0].prunes == []
+    path = str(tmp_path / "t")
+    MergeSink(path, key="k").init(
+        spark.range(20).selectExpr("id AS k", "id AS v")
+    )
+    cat = LakehouseSqlCatalog(spark)
+    cat.register_cow("t", path, key="k")
+    got = cat.sql("SELECT `a b`.k FROM t `a b` WHERE `a b`.k < 5").count()
+    assert got == 5
+    # ZORDER BY resolves columns case-insensitively
+    cat.sql("OPTIMIZE t ZORDER BY (K, V)")
+    assert CommitLog(path).current_version() == 2
+    assert cat.sql("SELECT count(*) AS n FROM t").collect()[0].n == 20

@@ -79,7 +79,10 @@ def cluster_by_zorder(
 
 
 def zorder_normalize(
-    df: DataFrame, cols: Sequence[str], bits: int = 16
+    df: DataFrame,
+    cols: Sequence[str],
+    bits: int = 16,
+    known_mins: dict | None = None,
 ) -> tuple[DataFrame, list[str]]:
     """Map arbitrary-domain columns to non-negative ints for z-ordering.
 
@@ -115,9 +118,14 @@ def zorder_normalize(
     for c in cols:
         f = out.schema[c]
         if isinstance(f.dataType, int_types):
-            # cheap driver-side sign probe; negative domains bucket
-            mn = out.agg(F.min(c)).collect()[0][0]
-            if mn is not None and mn >= 0:
+            # sign probe: manifest-provided min when the caller has it
+            # (zero jobs), else one driver-side agg; negative or
+            # unknown domains take the bucket path
+            if known_mins is not None and c in known_mins:
+                mn = known_mins[c]
+            else:
+                mn = out.agg(F.min(c)).collect()[0][0]
+            if mn is not None and not isinstance(mn, str) and mn >= 0:
                 names.append(c)
                 continue
         b = min(bits, 12)

@@ -228,11 +228,20 @@ def _scan_top_level(s: str, word: str, start: int = 0) -> int:
 
 
 def _split_top_commas(s: str) -> list[str]:
-    """Split on top-level commas only (function-call commas stay inside
-    their parentheses)."""
+    """Split on top-level commas only (commas inside parentheses OR
+    single-quoted literals stay put — TBLPROPERTIES (zorder_by='k,ck')
+    is ONE entry)."""
     parts, depth, cur = [], 0, []
+    in_str = False
     for ch in s:
-        if ch in "([":
+        if in_str:
+            cur.append(ch)
+            if ch == "'":
+                in_str = False
+            continue
+        if ch == "'":
+            in_str = True
+        elif ch in "([":
             depth += 1
         elif ch in ")]":
             depth -= 1
@@ -360,15 +369,22 @@ class LakehouseSqlCatalog:
                 entries.pop(name, None)
             else:
                 entries[name] = ent
-            try:
-                fd = os.open(
-                    os.path.join(cdir, f"{v + 1}.json"),
-                    os.O_CREAT | os.O_EXCL | os.O_WRONLY,
-                )
-            except FileExistsError:
-                continue  # lost the claim race: re-read, retry
-            with os.fdopen(fd, "w") as fh:
+            # ATOMIC publish: full content lands in a hidden tmp
+            # first, then os.link claims the version name (fails if it
+            # exists — one winner) — a reader can never open an empty
+            # or half-written head, and a writer dying mid-dump leaves
+            # only an orphaned tmp, never a truncated version
+            tmp_claim = os.path.join(
+                cdir, f".claim.{os.getpid()}.{v + 1}"
+            )
+            with open(tmp_claim, "w") as fh:
                 json.dump(entries, fh, indent=1)
+            try:
+                os.link(tmp_claim, os.path.join(cdir, f"{v + 1}.json"))
+            except FileExistsError:
+                os.remove(tmp_claim)
+                continue  # lost the claim race: re-read, retry
+            os.remove(tmp_claim)
             tmp = os.path.join(cdir, f"._latest.{os.getpid()}.{v + 1}")
             with open(tmp, "w") as fh:
                 fh.write(str(v + 1))
@@ -484,6 +500,20 @@ class LakehouseSqlCatalog:
         analysis). At 100 TB this is scan planning over the
         envelope-surviving handful of files instead of every file of a
         commit — per scan, before Spark sees the query."""
+        views: list[str] = []
+        try:
+            return self._rewrite_pruned_scans_inner(statement, views)
+        except BaseException:
+            # a mid-loop raise (e.g. another table's manifest retired
+            # under us) must not leak already-registered scan views —
+            # the same bug class the MERGE scaffolding finally fixes
+            for v in views:
+                self.spark.catalog.dropTempView(v)
+            raise
+
+    def _rewrite_pruned_scans_inner(
+        self, statement: str, views: list[str]
+    ) -> tuple[str, list[str]]:
         import uuid as _uuid
 
         from ..sinks.manifest import CommitLog
@@ -491,7 +521,6 @@ class LakehouseSqlCatalog:
 
         from .prune_sql import extract_scan_prunes
 
-        views: list[str] = []
         for name, (kind, path, key) in self._tables.items():
             if kind != "cow" or name in self._ds_tables:
                 continue
@@ -1297,6 +1326,10 @@ class LakehouseSqlCatalog:
 
             sink = MergeSink(path, key=key or "_")
             zcols = CommitLog(path).table_props().get("zorder_by")
+            if isinstance(zcols, str):
+                # SET TBLPROPERTIES stores raw strings: 'k,ck' is a
+                # column LIST, not four characters
+                zcols = [c.strip() for c in zcols.split(",") if c.strip()]
             if zcols:
                 # the table's standing layout is a persisted ZORDER
                 # spec: bare OPTIMIZE re-applies it (the Delta shape)
@@ -1433,19 +1466,9 @@ class LakehouseSqlCatalog:
         import os
 
         os.makedirs(path, exist_ok=True)
-        # discovered schema first, so init()'s props update preserves it
-        log.write_table_props(
-            {
-                "kind": props["kind"],
-                "schema_ddl": ", ".join(
-                    f"{f.name} {f.dataType.simpleString()}"
-                    for f in df.schema.fields
-                ),
-                **(
-                    {"partition_by": partition_by} if partition_by else {}
-                ),
-            }
-        )
+        # data FIRST, props after: writing props before the payload job
+        # runs would wedge the LOCATION on a failed CTAS (the retry
+        # would see "already a table" from a props-only directory)
         if props["kind"] == "cow":
             from ..sinks.merge import MergeSink
 
@@ -1459,6 +1482,15 @@ class LakehouseSqlCatalog:
             from ..sinks.mor import MorTable
 
             MorTable(path, key=key).init(df)
+        # init() wrote kind/merge_key; add the discovered schema (a
+        # crash between the two leaves a valid table without
+        # schema_ddl — schema still serves from the data)
+        stored = log.table_props()
+        stored["schema_ddl"] = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in df.schema.fields
+        )
+        log.write_table_props(stored)
         self._tables[name] = (str(props["kind"]), path, key)
         self._persist(name)
         return self._summary("create", name, self._current_version(name))

@@ -60,6 +60,8 @@ _CLAUSE_END = {
 _TOKEN_RE = re.compile(
     r"""
       '(?:[^']|'')*'              # string literal ('' escape)
+    | --[^\n]*                    # line comment (dropped)
+    | /\*(?s:.*?)\*/               # block comment (dropped)
     | `[^`]*`                     # backquoted identifier
     | [A-Za-z_][\w$]*             # word
     | \d+(?:\.\d+)?(?:[eE][+-]?\d+)?  # number
@@ -90,6 +92,11 @@ def _tokens(sql: str) -> list[tuple[str, int, int, int]]:
     depth = 0
     for m in _TOKEN_RE.finditer(sql):
         t = m.group(0)
+        if t.startswith("--") or t.startswith("/*"):
+            # comments are NOT part of the statement Spark executes:
+            # extracting a commented-out conjunct would prune files the
+            # real query needs (soundness), so they vanish here
+            continue
         if t == "(":
             out.append((t, m.start(), m.end(), depth))
             depth += 1

@@ -184,7 +184,40 @@ def build_file_bloom(values, bits_per_key: int = BLOOM_BITS_PER_KEY,
     for v in vals:
         for b in _bloom_positions(v, m, k):
             bits[b >> 3] |= 1 << (b & 7)
-    return {"m": m, "k": k, "b64": base64.b64encode(bytes(bits)).decode()}
+    # enc 2 = numeric canonicalization (round 13): float/Decimal/bool
+    # probes against OLDER persisted filters would false-negative
+    # (5.0 hashed as b"5.0" then, b"5" now) — files_for gates on this
+    return {
+        "m": m,
+        "k": k,
+        "enc": 2,
+        "b64": base64.b64encode(bytes(bits)).decode(),
+    }
+
+
+def _bloom_probe_safe(bloom: dict[str, Any], value: Any, st) -> bool:
+    """True when a point probe of ``value`` against this file's Bloom
+    cannot false-negative: the stored stats type family matches the
+    probe's (no SQL implicit cast can make unequal encodings equal),
+    and canonicalized types only probe enc-2 filters."""
+    import decimal
+
+    if isinstance(value, (bool, float, decimal.Decimal)):
+        if int(bloom.get("enc", 1)) < 2:
+            return False  # pre-canonicalization filter: don't probe
+    if st is None:
+        return False  # no stats: cannot verify the stored family
+    ref = st.get("min")
+    if ref is None:
+        ref = st.get("max")
+    if ref is None:
+        return False
+    num = (int, float, bool, decimal.Decimal)
+    if isinstance(value, num) and isinstance(ref, (int, float, bool)):
+        return True
+    if isinstance(value, str) and isinstance(ref, str):
+        return True
+    return False
 
 
 def bloom_might_contain(bloom: dict[str, Any], value: Any) -> bool:
@@ -780,8 +813,16 @@ class CommitLog:
                     # table declared one) — the skip min/max cannot give
                     # on hash-scattered layouts; false positives keep
                     # the file (sound), false negatives are impossible
+                    # GIVEN the probe hashes what the build hashed:
+                    # probe only when the literal's type FAMILY matches
+                    # the file's stored stats family (SQL would CAST a
+                    # numeric literal against a string column — '05'
+                    # equals 5 there, but b"05" != b"5" here), and only
+                    # against enc-2 filters for canonicalized types
                     bl = ent.get("bloom", {}).get(col)
-                    if bl is not None and not bloom_might_contain(bl, lo):
+                    if bl is not None and _bloom_probe_safe(
+                        bl, lo, st
+                    ) and not bloom_might_contain(bl, lo):
                         disjoint = True
                 if disjoint:
                     break

@@ -389,6 +389,17 @@ class MergeSink:
             props["bloom_on"] = self.bloom_on
         log.write_table_props(props)
 
+    def _read_version_dir(self, spark: SparkSession, version: int):
+        """Raw scan of one version directory for REWRITE ops
+        (optimize/zorder). ALTER-evolved tables may hold mixed file
+        schemas; without mergeSchema the rewrite would adopt one
+        footer's schema and permanently DROP a materialized column
+        (the overlay would then mask the loss with NULLs forever)."""
+        reader = spark.read
+        if CommitLog(self.path).table_props().get("schema_ddl"):
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(os.path.join(self.path, f"v{version}"))
+
     def optimize(
         self,
         spark: SparkSession,
@@ -425,7 +436,7 @@ class MergeSink:
             )
         for _ in range(max_retries):
             base, claim = _base_and_claim(self.path)
-            state = spark.read.parquet(os.path.join(self.path, f"v{base}"))
+            state = self._read_version_dir(spark, base)
             if self.cluster_by is None:  # else _write applies the spec
                 col, n = spec
                 state = state.repartitionByRange(n, F.col(col))
@@ -520,7 +531,7 @@ class MergeSink:
             )
         for _ in range(max_retries):
             base, claim = _base_and_claim(self.path)
-            state = spark.read.parquet(os.path.join(self.path, f"v{base}"))
+            state = self._read_version_dir(spark, base)
             # resolve clause columns case-insensitively (SQL semantics)
             by_lower = {c.lower(): c for c in state.columns}
             missing = [c for c in cols if c.lower() not in by_lower]
@@ -537,11 +548,33 @@ class MergeSink:
             n_files = (
                 len(log.files_for(base)[0]) if log.exists() else None
             )
+            # per-column mins from the manifest stats (one JSON already
+            # in hand) — the sign probe zorder_normalize would otherwise
+            # answer with a full-scan agg job per integral column
+            known_mins: dict[str, object] = {}
+            if log.exists():
+                for ent in log.manifest(base)["files"]:
+                    if ent.get("role", "data") != "data":
+                        continue
+                    for c in cols:
+                        st = ent.get("columns", {}).get(c)
+                        mn = None if st is None else st.get("min")
+                        if mn is None:
+                            known_mins[c] = None  # unknown: bucket path
+                        elif c not in known_mins:
+                            known_mins[c] = mn
+                        elif known_mins[c] is not None:
+                            try:
+                                known_mins[c] = min(known_mins[c], mn)
+                            except TypeError:
+                                known_mins[c] = None
             # arbitrary domains (strings, floats, negative ints)
             # normalize to equi-depth range buckets first — without
             # this a string dimension casts to NULL and the whole
             # layout silently collapses to one range
-            state, dims = zorder_normalize(state, cols, bits)
+            state, dims = zorder_normalize(
+                state, cols, bits, known_mins=known_mins
+            )
             try:
                 self._write(
                     cluster_by_zorder(

@@ -87,6 +87,7 @@ def build_lakehouse_source():
             columns: list[str],
             part: dict | None = None,
             part_fields: list | None = None,
+            coltypes: dict | None = None,
         ):
             self.path = path
             self.columns = columns
@@ -95,6 +96,10 @@ def build_lakehouse_source():
             # the table-wide ordered (name, kind) fields
             self.part = part or {}
             self.part_fields = part_fields or []
+            # ALTER-declared columns (name -> pyarrow type): files
+            # predating the ALTER lack them; the reader fills typed
+            # NULLs instead of crashing on the missing footer field
+            self.coltypes = coltypes or {}
 
     def _current_version(table_path: str) -> int:
         # inline CommitLog.current_version (hint + forward probe) — the
@@ -585,12 +590,21 @@ def build_lakehouse_source():
                         ).schema_arrow.names
                     )
                     if new_cols != old_cols:
-                        raise ValueError(
-                            f"append schema {sorted(new_cols)} != "
-                            f"table schema {sorted(old_cols)}; schema "
-                            "evolution goes through "
-                            "MergeSink.merge(allow_evolution=True)"
-                        )
+                        # ALTER-declared columns are already part of
+                        # the table: an append materializing them is a
+                        # DECLARED mixed version (reads mergeSchema +
+                        # NULL-fill), not an evolution to refuse
+                        declared = set(_declared_coltypes(path))
+                        if not (
+                            new_cols ^ old_cols
+                        ) <= declared:
+                            raise ValueError(
+                                f"append schema {sorted(new_cols)} != "
+                                f"table schema {sorted(old_cols)}; "
+                                "schema evolution goes through "
+                                "MergeSink.merge(allow_evolution=True) "
+                                "or ALTER TABLE ... ADD COLUMNS"
+                            )
                 for ent in m["files"]:
                     dst = os.path.join(stage, ent["path"])
                     if os.path.exists(dst):  # retry leftovers
@@ -859,6 +873,80 @@ def build_lakehouse_source():
             return True  # incomparable predicate/stat types
         return True  # unrecognized filter: never prune on it
 
+    def _declared_coltypes(table_path: str) -> dict:
+        """{name: pyarrow type} of the table's DDL-declared columns
+        (empty when the table has no stored schema_ddl) — lets the
+        per-file reader fill typed NULLs for columns a pre-ALTER file
+        does not carry."""
+        import json
+        import os
+
+        try:
+            with open(
+                os.path.join(table_path, "_manifest", "_table.json")
+            ) as fh:
+                ddl = json.load(fh).get("schema_ddl")
+        except (FileNotFoundError, ValueError):
+            return {}
+        if not ddl:
+            return {}
+        # parse WITHOUT Spark (this runs in Python workers and the
+        # write-commit runner, where no SparkContext exists): the DDL
+        # is our own "name type, ..." serialization; split on
+        # top-level commas, map the simple type names to arrow types.
+        # Unmappable (nested) types get no fill — the loud error stays.
+        import pyarrow as pa
+
+        simple = {
+            "tinyint": pa.int8(),
+            "smallint": pa.int16(),
+            "int": pa.int32(),
+            "integer": pa.int32(),
+            "bigint": pa.int64(),
+            "long": pa.int64(),
+            "float": pa.float32(),
+            "real": pa.float32(),
+            "double": pa.float64(),
+            "string": pa.string(),
+            "varchar": pa.string(),
+            "boolean": pa.bool_(),
+            "binary": pa.binary(),
+            "date": pa.date32(),
+            "timestamp": pa.timestamp("us"),
+        }
+        out = {}
+        depth = 0
+        seg: list[str] = []
+        segs: list[str] = []
+        for ch in ddl:
+            if ch in "(<[":
+                depth += 1
+            elif ch in ")>]":
+                depth -= 1
+            if ch == "," and depth == 0:
+                segs.append("".join(seg))
+                seg = []
+            else:
+                seg.append(ch)
+        segs.append("".join(seg))
+        for sdef in segs:
+            parts = sdef.strip().split(None, 1)
+            if len(parts) != 2:
+                continue
+            name, typ = parts[0].strip("`"), parts[1].strip().lower()
+            if typ.startswith("decimal"):
+                import re as _re
+
+                m = _re.match(r"decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", typ)
+                if m:
+                    out[name] = pa.decimal128(
+                        int(m.group(1)), int(m.group(2))
+                    )
+                continue
+            if typ in simple:
+                out[name] = simple[typ]
+        return out
+
     def _read_file_part(partition):
         """Decode one manifest-listed parquet file (shared by the batch
         reader and the streaming source): footer columns via pyarrow,
@@ -871,11 +959,28 @@ def build_lakehouse_source():
         if not partition.path:  # empty-microbatch sentinel
             return
         part_names = {n for n, _k in partition.part_fields}
-        tbl = pq.read_table(
-            partition.path,
-            columns=[c for c in partition.columns if c not in part_names],
-        )
+        wanted = [c for c in partition.columns if c not in part_names]
+        if partition.coltypes:
+            # mixed-schema version (ALTER evolution): request only the
+            # columns this FILE has, fill the declared rest as NULLs
+            have = set(pq.ParquetFile(partition.path).schema_arrow.names)
+            missing = [
+                c for c in wanted if c not in have and c in partition.coltypes
+            ]
+            wanted = [c for c in wanted if c in have or c not in partition.coltypes]
+        else:
+            missing = []
+        tbl = pq.read_table(partition.path, columns=wanted)
         n = tbl.num_rows
+        for c in missing:
+            tbl = tbl.append_column(
+                pa.field(c, partition.coltypes[c]),
+                pa.nulls(n, type=partition.coltypes[c]),
+            )
+        # serve columns in the REQUESTED order (append_column puts the
+        # fills last; Spark matches Python-DS batches positionally)
+        req = [c for c in partition.columns if c not in part_names]
+        tbl = tbl.select([c for c in req if c in tbl.column_names])
         typs = {
             "int": pa.int64(),
             "float": pa.float64(),
@@ -942,12 +1047,14 @@ def build_lakehouse_source():
             yield from filters
 
         def partitions(self):
+            coltypes = _declared_coltypes(self.table_path)
             return [
                 _FilePart(
                     e["path"],
                     self.schema_names,
                     dict(e.get("part", [])),
                     self.part_fields,
+                    coltypes,
                 )
                 for e in self.entries
             ]
@@ -1147,6 +1254,7 @@ def build_lakehouse_source():
                         for rel, part in entries
                         if rel not in prev
                     ]
+                coltypes = _declared_coltypes(self.path)
                 for rel, part in entries:
                     parts.append(
                         _FilePart(
@@ -1154,6 +1262,7 @@ def build_lakehouse_source():
                             self.schema_names,
                             dict(part),
                             self.part_fields,
+                            coltypes,
                         )
                     )
             return parts or [
@@ -1184,6 +1293,12 @@ def build_lakehouse_source():
                     f"lakehouse table at {path} has no data files"
                 )
             donor = pq.ParquetFile(entries[0]["path"]).schema_arrow
+            # ALTER-declared columns the donor footer predates: union
+            # them in (typed from the stored DDL) — matching the typed
+            # NULL fill the per-file reader performs
+            for name, typ in _declared_coltypes(path).items():
+                if name not in donor.names:
+                    donor = donor.append(pa.field(name, typ))
             # hive partition columns appended last (footer columns never
             # include them) — mirror of module-level cow_read_schema
             typs = {
@@ -1247,6 +1362,21 @@ def cow_read_schema(path: str, version: int | None = None):
     donor = pq.ParquetFile(
         os.path.join(vdir, data[0]["path"])
     ).schema_arrow
+    # ALTER-declared columns the donor footer predates (mirror of the
+    # inline DataSource.schema(): typed from the stored DDL)
+    ddl = log.table_props().get("schema_ddl")
+    if ddl:
+        from pyspark.sql.pandas.types import to_arrow_type
+        from pyspark.sql.types import StructType as _ST
+
+        for f in _ST.fromDDL(ddl).fields:
+            if f.name not in donor.names:
+                try:
+                    donor = donor.append(
+                        pa.field(f.name, to_arrow_type(f.dataType))
+                    )
+                except Exception:
+                    pass
     order: list[str] = []
     kinds: dict[str, str | None] = {}
     for e in data:

@@ -1198,3 +1198,132 @@ def test_prune_hardening_edges(spark, tmp_path):
     cat.sql("OPTIMIZE t ZORDER BY (K, V)")
     assert CommitLog(path).current_version() == 2
     assert cat.sql("SELECT count(*) AS n FROM t").collect()[0].n == 20
+
+
+# --- adversarial-review regressions (round-13 self-review) --------------------
+
+
+def test_sql_comments_never_extract_prunes(spark, tmp_path):
+    from pretalx_hub_etl_spark.plans.prune_sql import extract_prunes
+    from pretalx_hub_etl_spark.plans.lakehouse_sql import LakehouseSqlCatalog
+
+    cols = {"k", "j"}
+    # a commented-out WHERE/conjunct must never prune (it is not part
+    # of the statement Spark executes)
+    assert extract_prunes("SELECT * FROM t -- WHERE k < 5", "t", cols) == []
+    assert [
+        c for c, _lo, _hi in extract_prunes(
+            "SELECT * FROM t WHERE k < 5 -- AND j > 100", "t", cols
+        )
+    ] == ["k"]
+    assert [
+        c for c, _lo, _hi in extract_prunes(
+            "SELECT * FROM t WHERE k < 5 /* AND j > 100 */", "t", cols
+        )
+    ] == ["k"]
+    # end-to-end: the commented predicate does NOT narrow the result
+    path = str(tmp_path / "t")
+    MergeSink(path, key="k", cluster_by=("k", 4)).init(
+        spark.range(40).selectExpr("id AS k", "id AS j")
+    )
+    cat = LakehouseSqlCatalog(spark)
+    cat.register_cow("t", path, key="k")
+    assert cat.sql("SELECT k FROM t -- WHERE k < 5").count() == 40
+    assert (
+        cat.sql("SELECT k FROM t WHERE k < 10 /* AND j > 35 */").count()
+        == 10
+    )
+
+
+def test_optimize_preserves_altered_column(spark, tmp_path):
+    # the rewrite ops must read evolved mixed-schema versions with
+    # mergeSchema, or a materialized ALTER column silently drops and
+    # the overlay masks the loss with NULLs forever
+    from pretalx_hub_etl_spark.plans.lakehouse_sql import LakehouseSqlCatalog
+
+    path = str(tmp_path / "t")
+    MergeSink(path, key="k").init(
+        spark.range(40).selectExpr("id AS k", "id AS v")
+    )
+    cat = LakehouseSqlCatalog(spark)
+    cat.register_cow("t", path, key="k")
+    cat.sql("ALTER TABLE t ADD COLUMNS (score DOUBLE)")
+    cat.sql("INSERT INTO t VALUES (100, 100, 7.5)")  # mixed version
+    cat.sql("OPTIMIZE t ZORDER BY (k, v)")  # full relayout rewrite
+    assert (
+        cat.sql("SELECT score FROM t WHERE k = 100").collect()[0].score
+        == 7.5
+    )
+    # bare OPTIMIZE re-applies and still preserves it
+    cat.sql("OPTIMIZE t")
+    assert (
+        cat.sql("SELECT score FROM t WHERE k = 100").collect()[0].score
+        == 7.5
+    )
+    # zorder_by persisted as a STRING via SET TBLPROPERTIES still works
+    cat.sql("ALTER TABLE t SET TBLPROPERTIES (zorder_by='k,v')")
+    cat.sql("OPTIMIZE t")
+    assert cat.sql("SELECT count(*) AS n FROM t").collect()[0].n == 41
+
+
+def test_ds_path_serves_altered_column(spark, tmp_path):
+    # the DataSource (compat) path on an evolved mixed-schema table:
+    # schema unions the declared column, pre-ALTER files fill typed
+    # NULLs, post-ALTER files serve their real values
+    from pretalx_hub_etl_spark.plans.lakehouse_sql import LakehouseSqlCatalog
+
+    register(spark)
+    path = str(tmp_path / "t")
+    MergeSink(path, key="k").init(
+        spark.range(10).selectExpr("id AS k", "id AS v")
+    )
+    cat = LakehouseSqlCatalog(spark)
+    cat.register_cow("t", path, key="k")
+    cat.sql("ALTER TABLE t ADD COLUMNS (score DOUBLE)")
+    cat.sql("INSERT INTO t VALUES (100, 100, 7.5)")
+    cat.register_cow("td", path, use_datasource=True)
+    rows = {r.k: r.score for r in cat.sql("SELECT k, score FROM td").collect()}
+    assert rows[100] == 7.5 and rows[1] is None and len(rows) == 11
+
+
+def test_ctas_failed_payload_does_not_wedge_location(spark, tmp_path):
+    from pretalx_hub_etl_spark.plans.lakehouse_sql import LakehouseSqlCatalog
+
+    cat = LakehouseSqlCatalog(spark)
+    spark.range(5).selectExpr("id AS k").createOrReplaceTempView("cts")
+    path = str(tmp_path / "t")
+    with pytest.raises(Exception):
+        cat.sql(
+            f"CREATE TABLE bad USING lakehouse LOCATION '{path}' AS "
+            "SELECT assert_true(k < 2) AS x, k FROM cts"
+        )
+    # the location is NOT wedged: the corrected CTAS succeeds
+    cat.sql(
+        f"CREATE TABLE good USING lakehouse LOCATION '{path}' AS "
+        "SELECT k FROM cts"
+    )
+    assert cat.sql("SELECT count(*) AS n FROM good").collect()[0].n == 5
+
+
+def test_bloom_probe_type_family_gate(spark, tmp_path):
+    # SQL implicit casts: WHERE strcol = 5 matches '05' after the cast,
+    # so a numeric probe against a STRING column's bloom must not skip
+    from pretalx_hub_etl_spark.plans.lakehouse_sql import LakehouseSqlCatalog
+
+    path = str(tmp_path / "b")
+    sink = MergeSink(path, key="k", bloom_on="code")
+    sink.init(
+        spark.range(400)
+        .selectExpr("id AS k", "lpad(cast(id as string), 4, '0') AS code")
+        .repartition(4, "k")
+    )
+    cat = LakehouseSqlCatalog(spark)
+    cat.register_cow("b", path, key="k")
+    # numeric literal against the string column: Spark casts and finds
+    # '0005'; the bloom must keep the file (family mismatch -> no probe)
+    assert cat.sql("SELECT k FROM b WHERE code = '0005'").count() == 1
+    got = cat.sql("SELECT k FROM b WHERE code = 0005").collect()
+    assert [r.k for r in got] == [5]
+    # matched-family point probes still skip (no regression)
+    _df, scanned, skipped = sink.read_where(spark, [("code", "0005", "0005")])
+    assert skipped > 0

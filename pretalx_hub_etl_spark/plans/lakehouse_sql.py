@@ -162,6 +162,21 @@ _ALTER_PROPS_RE = re.compile(
     r"\((.*)\)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_ALTER_ADD_CHECK_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+ADD\s+CONSTRAINT\s+"
+    r"([A-Za-z_]\w*)\s+CHECK\s*\((.*)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ALTER_DROP_CHECK_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+DROP\s+CONSTRAINT\s+"
+    r"(?:(IF\s+EXISTS)\s+)?([A-Za-z_]\w*)\s*$",
+    re.IGNORECASE,
+)
+_ALTER_NOTNULL_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+ALTER\s+COLUMN\s+"
+    r"([A-Za-z_]\w*)\s+(SET|DROP)\s+NOT\s+NULL\s*$",
+    re.IGNORECASE,
+)
 _CLONE_RE = re.compile(
     r"^\s*CREATE\s+TABLE\s+([A-Za-z_]\w*)\s+SHALLOW\s+CLONE\s+"
     r"([A-Za-z_]\w*)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s+"
@@ -1559,13 +1574,19 @@ class LakehouseSqlCatalog:
             import os
 
             os.makedirs(path, exist_ok=True)
-            log.write_table_props(
-                {
-                    "kind": props["kind"],
-                    "merge_key": key,
-                    "schema_ddl": col_defs,
-                }
-            )
+            new_props = {
+                "kind": props["kind"],
+                "merge_key": key,
+                "schema_ddl": col_defs,
+            }
+            # `c TYPE NOT NULL` declarations become enforced invariants
+            # (sinks/constraints.py) — fromDDL already parsed nullability
+            from ..sinks.constraints import NOTNULL_PREFIX
+
+            for f in schema.fields:
+                if not f.nullable:
+                    new_props[f"{NOTNULL_PREFIX}{f.name}"] = "true"
+            log.write_table_props(new_props)
         self._tables[name] = (str(props["kind"]), path, key)
         self._persist(name)
         return self._summary("create", name, self._current_version(name))
@@ -1595,6 +1616,104 @@ class LakehouseSqlCatalog:
         return self._summary("convert", name or path, 1)
 
     def _try_alter(self, query: str) -> DataFrame | None:
+        m = _ALTER_ADD_CHECK_RE.match(query)
+        if m is not None:
+            # S36: `ADD CONSTRAINT c CHECK (expr)` — validate the CURRENT
+            # state first (one limit(1) job) so "all live rows satisfy
+            # all active constraints" is a maintained invariant, then
+            # persist as a table property the commit protocol enforces
+            # in-flight on every later write (sinks/constraints.py).
+            name, cname, expr = m.group(1), m.group(2), m.group(3).strip()
+            _kind, path, _key = self._require(name)
+            from pyspark.sql import functions as F
+
+            from ..sinks.constraints import CHECK_PREFIX, validate_existing
+            from ..sinks.manifest import CommitLog
+
+            log = CommitLog(path)
+            props = log.table_props()
+            pkey = f"{CHECK_PREFIX}{cname}"
+            if pkey in props:
+                raise ValueError(
+                    f"constraint {cname!r} already exists on {name} "
+                    f"({props[pkey]})"
+                )
+            frame = self._frame(name, None)
+            try:
+                ok = F.expr(expr).cast("boolean")
+                validate_existing(
+                    frame, ok, f"CHECK constraint {cname!r} ({expr})"
+                )
+            except ValueError:
+                raise
+            except Exception as exc:  # unresolvable / malformed expr
+                raise ValueError(
+                    f"ADD CONSTRAINT {cname}: CHECK expression {expr!r} "
+                    f"does not evaluate on {name} "
+                    f"(columns {sorted(frame.columns)}): {exc}"
+                ) from exc
+            props[pkey] = expr
+            log.write_table_props(props)
+            return self._summary(
+                "alter", name, self._current_version(name)
+            )
+        m = _ALTER_DROP_CHECK_RE.match(query)
+        if m is not None:
+            name, if_exists, cname = m.group(1), m.group(2), m.group(3)
+            _kind, path, _key = self._require(name)
+            from ..sinks.constraints import CHECK_PREFIX
+            from ..sinks.manifest import CommitLog
+
+            log = CommitLog(path)
+            props = log.table_props()
+            pkey = f"{CHECK_PREFIX}{cname}"
+            if pkey not in props:
+                if if_exists:
+                    return self._summary(
+                        "alter", name, self._current_version(name)
+                    )
+                raise ValueError(
+                    f"no constraint {cname!r} on {name} "
+                    "(use DROP CONSTRAINT IF EXISTS)"
+                )
+            del props[pkey]
+            log.write_table_props(props)
+            return self._summary(
+                "alter", name, self._current_version(name)
+            )
+        m = _ALTER_NOTNULL_RE.match(query)
+        if m is not None:
+            # `ALTER COLUMN c SET|DROP NOT NULL` (the Delta spelling).
+            # SET validates current rows like ADD CONSTRAINT does.
+            name, col, action = m.group(1), m.group(2), m.group(3).upper()
+            _kind, path, _key = self._require(name)
+            from pyspark.sql import functions as F
+
+            from ..sinks.constraints import NOTNULL_PREFIX, validate_existing
+            from ..sinks.manifest import CommitLog
+
+            frame = self._frame(name, None)
+            if col.lower() not in {c.lower() for c in frame.columns}:
+                raise ValueError(
+                    f"ALTER COLUMN: {col!r} is not a column of {name} "
+                    f"({sorted(frame.columns)})"
+                )
+            log = CommitLog(path)
+            props = log.table_props()
+            pkey = f"{NOTNULL_PREFIX}{col}"
+            if action == "SET":
+                validate_existing(
+                    frame,
+                    F.col(col).isNotNull(),
+                    f"NOT NULL constraint on {col!r}",
+                )
+                props[pkey] = "true"
+            else:
+                props.pop(pkey, None)
+            log.write_table_props(props)
+            return self._summary(
+                "alter", name, self._current_version(name)
+            )
         m = _ALTER_ADD_RE.match(query)
         if m is not None:
             # `ALTER TABLE t ADD COLUMNS (c TYPE, ...)` — metadata-only

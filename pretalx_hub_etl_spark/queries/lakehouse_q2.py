@@ -777,3 +777,81 @@ def q_sql_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# --- S36: CHECK / NOT NULL constraints ----------------------------------------
+
+
+@query(
+    "q_sql_constraints",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS k, o_custkey AS ck,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    ), mx AS (SELECT max(k) AS mk FROM base)
+    SELECT k, ck, cents FROM base
+    UNION ALL
+    SELECT mk + 1, 1, 500 FROM mx
+    UNION ALL
+    SELECT mk + 2, 2, -75 FROM mx
+    """,
+)
+def q_sql_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S36: table invariants as a lifecycle — ADD CONSTRAINT validates the
+    # CURRENT state before persisting; every later commit (INSERT /
+    # UPDATE / engine merge — all routed through the sinks) evaluates the
+    # constraint IN-FLIGHT inside the write job (assert_true fused into
+    # the commit's own stage: zero extra pass — sinks/constraints.py),
+    # and a violating row aborts the staged commit with NO version
+    # advance. The query proves all three phases: a valid insert lands; a
+    # violating insert and a violating update are REJECTED and leave the
+    # table byte-identical (asserted on version number and row count);
+    # DROP CONSTRAINT reopens the gate and the once-rejected row lands.
+    # The oracle recomputes exactly base + the two rows that were ever
+    # legal to commit — a leaked rejected write or a lost valid one
+    # hash-fails.
+    import shutil
+
+    from ..plans.lakehouse_sql import LakehouseSqlCatalog
+    from ..sinks.merge import MergeSink, _versions
+
+    base = Catalog(spark, sf_dir).orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("ck"),
+        fixed_cents(F.col("o_totalprice")).alias("cents"),
+    )
+    mk = base.agg(F.max("k")).first()[0]
+    root = tempfile.mkdtemp(prefix="phe_sql_constraints_")
+    path = os.path.join(root, "t")
+    MergeSink(path, key="k").init(base)
+    cat = LakehouseSqlCatalog(spark)
+    cat.register_cow("con_t", path, key="k")
+    cat.sql(
+        "ALTER TABLE con_t ADD CONSTRAINT cents_pos CHECK (cents >= 0)"
+    )
+    cat.sql("ALTER TABLE con_t ALTER COLUMN ck SET NOT NULL")
+    cat.sql(f"INSERT INTO con_t VALUES ({mk} + 1, 1, 500)")  # legal
+    v_after_good = len(_versions(path))
+    for bad in (
+        f"INSERT INTO con_t VALUES ({mk} + 2, 2, -75)",  # CHECK fail
+        f"INSERT INTO con_t VALUES ({mk} + 3, NULL, 10)",  # NOT NULL fail
+        f"UPDATE con_t SET cents = -1 WHERE k = {mk} + 1",  # CHECK fail
+    ):
+        try:
+            cat.sql(bad)
+            raise AssertionError(f"constraint did not fire for: {bad}")
+        except AssertionError:
+            raise
+        except Exception:
+            pass  # rejected, as required
+    assert len(_versions(path)) == v_after_good, (
+        "a rejected write advanced the table version"
+    )
+    cat.sql("ALTER TABLE con_t DROP CONSTRAINT cents_pos")
+    cat.sql(f"INSERT INTO con_t VALUES ({mk} + 2, 2, -75)")  # now legal
+    out = cat.sql("SELECT k, ck, cents FROM con_t").localCheckpoint(
+        eager=True
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out

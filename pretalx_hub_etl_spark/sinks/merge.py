@@ -846,6 +846,12 @@ class MergeSink:
         recovered by the next writer's heal path."""
         log = CommitLog(self.path)
         first_manifest_era = not log.exists()
+        # table invariants (CHECK / NOT NULL) ride inside the write job —
+        # a violating row throws before the stage is renamed, so the
+        # version never advances on bad data (no-op when none declared)
+        from .constraints import apply_invariants
+
+        df = apply_invariants(df, log.table_props())
         stage = os.path.join(self.path, f".stage-{uuid.uuid4().hex}")
         if self.cluster_by is not None:
             col, n = self.cluster_by

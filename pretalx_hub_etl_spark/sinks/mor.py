@@ -72,6 +72,13 @@ class MorTable:
         os.makedirs(stage)
         try:
             if upserts is not None:
+                # CHECK / NOT NULL invariants, fused into the delta write
+                # (tombstones / position deletes carry no row to check)
+                from .constraints import apply_invariants
+
+                upserts = apply_invariants(
+                    upserts, CommitLog(self.path).table_props()
+                )
                 upserts.write.mode("errorifexists").parquet(
                     os.path.join(stage, "data")
                 )

@@ -1438,6 +1438,14 @@ def write_table(df, path: str, mode: str = "append") -> None:
     spark = df.sparkSession
     register(spark)
     pin_active_session(spark)
+    # CHECK / NOT NULL invariants are enforced here, on the supported
+    # entry point (the executor-side DataSource writer sees raw rows and
+    # cannot evaluate SQL expressions; a raw format("lakehouse") write is
+    # as unenforced as a raw parquet drop into the table root)
+    from ..sinks.constraints import apply_invariants
+    from ..sinks.manifest import CommitLog
+
+    df = apply_invariants(df, CommitLog(path).table_props())
     df.write.format("lakehouse").option("path", path).mode(mode).save()
 
 

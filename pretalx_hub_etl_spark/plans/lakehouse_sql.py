@@ -177,6 +177,14 @@ _ALTER_NOTNULL_RE = re.compile(
     r"([A-Za-z_]\w*)\s+(SET|DROP)\s+NOT\s+NULL\s*$",
     re.IGNORECASE,
 )
+_COPY_RE = re.compile(
+    r"^\s*COPY\s+INTO\s+([A-Za-z_]\w*)\s+FROM\s+'([^']+)'\s+"
+    r"FILEFORMAT\s*=\s*(PARQUET|CSV|JSON)"
+    r"(?:\s+PATTERN\s*=\s*'([^']+)')?"
+    r"(?:\s+FORMAT_OPTIONS\s*\((.*?)\))?"
+    r"(?:\s+FORCE\s*=\s*(TRUE|FALSE))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _CLONE_RE = re.compile(
     r"^\s*CREATE\s+TABLE\s+([A-Za-z_]\w*)\s+SHALLOW\s+CLONE\s+"
     r"([A-Za-z_]\w*)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s+"
@@ -683,6 +691,7 @@ class LakehouseSqlCatalog:
         """
         for handler in (
             self._try_merge,
+            self._try_copy,
             self._try_insert,
             self._try_update,
             self._try_delete,
@@ -1257,6 +1266,110 @@ class LakehouseSqlCatalog:
             # deletion-vector delta, never key values
             MorTable(path, key=key).delete_where(self.spark, predicate)
         return self._summary("delete", name, self._current_version(name))
+
+    def _try_copy(self, query: str) -> DataFrame | None:
+        m = _COPY_RE.match(query)
+        if m is None:
+            return None
+        # S37: `COPY INTO t FROM '<dir>' FILEFORMAT = PARQUET|CSV|JSON
+        # [PATTERN = '<glob>'] [FORMAT_OPTIONS ('k'='v', ...)]
+        # [FORCE = true]` — exactly-once file ingestion: the loaded-file
+        # set persists next to the commit log and re-runs load only the
+        # DIFF (sinks/copy_into.py). Returns the command-metrics frame
+        # (files_loaded / files_skipped / rows_loaded); rows are counted
+        # by an Observation INSIDE the write job, not a second scan.
+        name = m.group(1)
+        src, fmt = m.group(2), m.group(3).upper()
+        pattern, fmt_opts_raw = m.group(4), m.group(5)
+        force = (m.group(6) or "").upper() == "TRUE"
+        kind, path, key = self._require(name)
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        from ..sinks.copy_into import (
+            list_source_files,
+            loaded_files,
+            record_loaded,
+        )
+
+        candidates = list_source_files(src, pattern)
+        already = {} if force else loaded_files(path)
+        todo = {p: rec for p, rec in candidates.items() if p not in already}
+        skipped = len(candidates) - len(todo)
+        if not todo:
+            return self._copy_summary(name, 0, skipped, 0)
+        opts: dict[str, str] = {}
+        if fmt_opts_raw:
+            for part in _split_top_commas(fmt_opts_raw):
+                k, eq, v = part.partition("=")
+                if not eq:
+                    raise ValueError(
+                        f"malformed FORMAT_OPTIONS entry {part!r}"
+                    )
+                opts[k.strip().strip("'\"")] = v.strip().strip("'\"")
+        target = self._frame(name, None).schema
+        paths = sorted(todo)
+        if fmt == "PARQUET":
+            df = self.spark.read.parquet(*paths)
+            if set(df.columns) != set(target.fieldNames()):
+                raise ValueError(
+                    f"COPY INTO {name}: source columns "
+                    f"{sorted(df.columns)} != table columns "
+                    f"{sorted(target.fieldNames())}"
+                )
+        else:
+            # text formats read under the TABLE schema (the modeled
+            # surface's rescue/inference knobs reduce to: the table is
+            # the contract)
+            reader = self.spark.read.schema(target)
+            if fmt == "CSV":
+                reader = reader.option("header", "true")
+            for k, v in opts.items():
+                reader = reader.option(k, v)
+            df = reader.format(fmt.lower()).load(paths)
+        df = df.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in target.fields
+            ]
+        )
+        import uuid as _uuid
+
+        obs = Observation(f"copy_{_uuid.uuid4().hex[:8]}")
+        df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+        if kind == "cow":
+            from ..sinks.merge import MergeSink
+            from ..sinks.merge import _versions as _committed
+            from ..sources.lakehouse_ds import write_table
+
+            if key is not None and not _committed(path):
+                MergeSink(path, key=key).init(df)
+            else:
+                write_table(df, path, mode="append")
+        else:
+            from ..sinks.merge import _versions as _committed
+            from ..sinks.mor import MorTable
+
+            t = MorTable(path, key=key)
+            if not _committed(path):
+                t.init(df)
+            else:
+                t.merge(self.spark, source=df)
+        record_loaded(path, todo)
+        try:
+            rows = int(obs.get["rows"])
+        except Exception:
+            rows = -1  # metrics lost (e.g. plan rewritten); load succeeded
+        return self._copy_summary(name, len(todo), skipped, rows)
+
+    def _copy_summary(
+        self, name: str, loaded: int, skipped: int, rows: int
+    ) -> DataFrame:
+        return self.spark.createDataFrame(
+            [("copy", name, self._current_version(name), loaded, skipped, rows)],
+            "operation string, table string, version int, "
+            "files_loaded int, files_skipped int, rows_loaded long",
+        )
 
     def _try_vacuum(self, query: str) -> DataFrame | None:
         m = _VACUUM_RE.match(query)

@@ -855,3 +855,68 @@ def q_sql_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# --- S37: COPY INTO (idempotent file ingestion) --------------------------------
+
+
+@query(
+    "q_sql_copy_into",
+    oracle="""
+    SELECT o_orderkey AS k, o_custkey AS ck,
+           CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+    FROM orders
+    """,
+)
+def q_sql_copy_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S37: exactly-once ingestion — orders is staged as TWO batches;
+    # batch 1 is COPY'd twice (the re-run must load 0 files / 0 rows and
+    # must NOT advance the version — asserted inline on the command
+    # metrics), then batch 2's arrival is picked up by the same
+    # statement re-run (the scheduled-pipeline contract: re-running the
+    # job after new files land loads exactly the diff). The oracle is
+    # plain orders: a double-loaded batch (duplicate rows) or a dropped
+    # one hash-fails.
+    import shutil
+
+    from ..plans.lakehouse_sql import LakehouseSqlCatalog
+
+    base = Catalog(spark, sf_dir).orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("ck"),
+        fixed_cents(F.col("o_totalprice")).alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="phe_sql_copy_")
+    b1 = os.path.join(root, "stage", "b1")
+    b2 = os.path.join(root, "stage", "b2")
+    base.filter(F.col("k") % 2 == 0).write.parquet(b1)
+    path = os.path.join(root, "t")
+    cat = LakehouseSqlCatalog(spark)
+    cat.sql(
+        f"CREATE TABLE copy_t (k INT, ck INT, cents BIGINT) "
+        f"USING lakehouse LOCATION '{path}' TBLPROPERTIES (merge_key='k')"
+    )
+    stage = os.path.join(root, "stage")
+    r1 = cat.sql(
+        f"COPY INTO copy_t FROM '{stage}' FILEFORMAT = PARQUET"
+    ).first()
+    assert r1.files_loaded > 0 and r1.rows_loaded > 0
+    rerun = cat.sql(
+        f"COPY INTO copy_t FROM '{stage}' FILEFORMAT = PARQUET"
+    ).first()
+    assert rerun.files_loaded == 0 and rerun.rows_loaded == 0, (
+        "COPY INTO re-run was not idempotent"
+    )
+    assert rerun.version == r1.version, (
+        "an empty COPY INTO advanced the table version"
+    )
+    base.filter(F.col("k") % 2 == 1).write.parquet(b2)
+    r2 = cat.sql(
+        f"COPY INTO copy_t FROM '{stage}' FILEFORMAT = PARQUET"
+    ).first()
+    assert r2.files_skipped == r1.files_loaded
+    out = cat.sql("SELECT k, ck, cents FROM copy_t").localCheckpoint(
+        eager=True
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out

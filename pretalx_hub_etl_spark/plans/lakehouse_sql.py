@@ -137,6 +137,15 @@ _CTAS_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+TABLES\s*$", re.IGNORECASE)
+_CREATE_VIEW_RE = re.compile(
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+([A-Za-z_]\w*)\s+AS\s+(.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_VIEW_RE = re.compile(
+    r"^\s*DROP\s+VIEW\s+(?:(IF\s+EXISTS)\s+)?([A-Za-z_]\w*)\s*$",
+    re.IGNORECASE,
+)
+_SHOW_VIEWS_RE = re.compile(r"^\s*SHOW\s+VIEWS\s*$", re.IGNORECASE)
 _CONVERT_RE = re.compile(
     r"^\s*CONVERT\s+TO\s+LAKEHOUSE\s+'([^']+)'"
     r"(?:\s+AS\s+([A-Za-z_]\w*))?"
@@ -308,11 +317,19 @@ class LakehouseSqlCatalog:
         #: truth; the catalog snapshot is the fallback for legacy
         #: tables without props)
         self._warehouse = warehouse
+        #: persistent late-binding views: name -> SQL text (expanded at
+        #: query time, so a view always reads the CURRENT table state)
+        self._views: dict[str, str] = {}
+        #: views currently being materialized (cycle guard)
+        self._binding: set[str] = set()
         from ..sources.lakehouse_ds import register
 
         register(spark)
         if warehouse:
             for name, ent in sorted(self._catalog_entries().items()):
+                if ent.get("kind") == "view":
+                    self._views[name] = ent["sql"]
+                    continue
                 kind, key = ent.get("kind", "cow"), ent.get("key")
                 try:
                     from ..sinks.manifest import CommitLog
@@ -700,6 +717,9 @@ class LakehouseSqlCatalog:
             self._try_history,
             self._try_restore,
             self._try_clone,
+            self._try_create_view,
+            self._try_drop_view,
+            self._try_show_views,
             self._try_ctas,
             self._try_create,
             self._try_alter,
@@ -1559,6 +1579,10 @@ class LakehouseSqlCatalog:
             m.group(4),
             m.group(5),
         )
+        if name in self._views:
+            raise ValueError(
+                f"CREATE TABLE {name}: a view with that name exists"
+            )
         props = self._parse_tblproperties(props_sql)
         key = props.get("merge_key")
         from ..sinks.manifest import CommitLog
@@ -1658,6 +1682,10 @@ class LakehouseSqlCatalog:
             m.group(3).strip(),
             m.group(4),
         )
+        if name in self._views:
+            raise ValueError(
+                f"CREATE TABLE {name}: a view with that name exists"
+            )
         props = self._parse_tblproperties(m.group(5))
         from pyspark.sql.types import StructType
 
@@ -1957,6 +1985,76 @@ class LakehouseSqlCatalog:
         self.spark.catalog.dropTempView(name)
         return self._summary("drop", name, 0)
 
+    def _try_create_view(self, query: str) -> DataFrame | None:
+        m = _CREATE_VIEW_RE.match(query)
+        if m is None:
+            return None
+        # S38: `CREATE [OR REPLACE] VIEW v AS <select>` — a PERSISTENT
+        # late-binding view: the SQL text (not a snapshot) lands in the
+        # warehouse catalog, every later statement that references the
+        # name re-runs it against the CURRENT table state, and a fresh
+        # session against the same warehouse discovers it by name.
+        replace, name, body = m.group(1), m.group(2), m.group(3).strip()
+        if name in self._tables:
+            raise ValueError(
+                f"CREATE VIEW {name}: a table with that name is "
+                "registered"
+            )
+        if name in self._views and not replace:
+            raise ValueError(
+                f"view {name!r} already exists "
+                "(use CREATE OR REPLACE VIEW)"
+            )
+        # validate with the NEW definition tentatively installed, so a
+        # replace that would create a reference cycle fails NOW (not at
+        # first read) and rolls back to the previous definition
+        prev = self._views.get(name)
+        self._views[name] = body
+        try:
+            self._binding.add(name)
+            try:
+                self._select(body).schema  # body must analyze NOW
+            finally:
+                self._binding.discard(name)
+        except BaseException:
+            if prev is None:
+                del self._views[name]
+            else:
+                self._views[name] = prev
+            raise
+        if self._warehouse:
+            self._catalog_update(name, {"kind": "view", "sql": body})
+        return self.spark.createDataFrame(
+            [("create_view", name)], "operation string, view string"
+        )
+
+    def _try_drop_view(self, query: str) -> DataFrame | None:
+        m = _DROP_VIEW_RE.match(query)
+        if m is None:
+            return None
+        if_exists, name = m.group(1), m.group(2)
+        if name not in self._views:
+            if if_exists:
+                return self.spark.createDataFrame(
+                    [("drop_view", name)], "operation string, view string"
+                )
+            raise ValueError(f"no view {name!r} (use DROP VIEW IF EXISTS)")
+        del self._views[name]
+        self.spark.catalog.dropTempView(name)
+        if self._warehouse:
+            self._catalog_update(name, None)
+        return self.spark.createDataFrame(
+            [("drop_view", name)], "operation string, view string"
+        )
+
+    def _try_show_views(self, query: str) -> DataFrame | None:
+        if _SHOW_VIEWS_RE.match(query) is None:
+            return None
+        rows = sorted(self._views.items())
+        if not rows:
+            return self.spark.createDataFrame([], "view string, sql string")
+        return self.spark.createDataFrame(rows, "view string, sql string")
+
     def _try_show_tables(self, query: str) -> DataFrame | None:
         if _SHOW_TABLES_RE.match(query) is None:
             return None
@@ -2169,8 +2267,27 @@ class LakehouseSqlCatalog:
             "data_rows long, bytes long, stream_batch_id long",
         )
 
+    def _bind_views(self, query: str) -> None:
+        """Materialize every persistent view the query references as a
+        session temp view (late binding: the view's SQL re-runs through
+        :meth:`_select`, so it reads the CURRENT table state and nested
+        views resolve depth-first). Cycles raise instead of recursing."""
+        for vname, vsql in self._views.items():
+            if not re.search(rf"\b{re.escape(vname)}\b", query):
+                continue
+            if vname in self._binding:
+                raise ValueError(
+                    f"view cycle detected through {vname!r}"
+                )
+            self._binding.add(vname)
+            try:
+                self._select(vsql).createOrReplaceTempView(vname)
+            finally:
+                self._binding.discard(vname)
+
     def _select(self, query: str) -> DataFrame:
         """Read-only path: VERSION AS OF rewrite + view refresh."""
+        self._bind_views(query)
 
         def _pin(m: re.Match) -> str:
             name, v = m.group(1), int(m.group(2))

@@ -920,3 +920,68 @@ def q_sql_copy_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# --- S38: persistent late-binding views ----------------------------------------
+
+
+@query(
+    "q_sql_view",
+    oracle="""
+    WITH state AS (
+        SELECT o_orderkey AS k, o_custkey AS ck,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM orders
+        UNION ALL
+        SELECT (SELECT max(o_orderkey) FROM orders) + 1, 7, 123456
+    ), v_high AS (
+        SELECT k, ck, cents FROM state WHERE cents > 100000
+    )
+    SELECT ck, count(*) AS n, sum(cents) AS total
+    FROM v_high GROUP BY ck
+    """,
+)
+def q_sql_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S38: persistent late-binding views — the view's SQL TEXT lives in
+    # the warehouse catalog (not a snapshot): an INSERT after CREATE
+    # VIEW is visible through it, a NESTED view (aggregate over the
+    # filter view) resolves depth-first, and a FRESH session against
+    # the same warehouse serves both by name. The oracle recomputes
+    # filter+aggregate over base+insert: a stale snapshot-bound view or
+    # a lost nested definition hash-fails.
+    import shutil
+
+    from ..plans.lakehouse_sql import LakehouseSqlCatalog
+    from ..sinks.merge import MergeSink
+
+    base = Catalog(spark, sf_dir).orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("ck"),
+        fixed_cents(F.col("o_totalprice")).alias("cents"),
+    )
+    mk = base.agg(F.max("k")).first()[0]
+    root = tempfile.mkdtemp(prefix="phe_sql_view_")
+    path = os.path.join(root, "t")
+    wh = os.path.join(root, "wh")
+    MergeSink(path, key="k").init(base)
+    cat = LakehouseSqlCatalog(spark, warehouse=wh)
+    cat.register_path("view_t", path)
+    cat.sql(
+        "CREATE VIEW v_high AS "
+        "SELECT k, ck, cents FROM view_t WHERE cents > 100000"
+    )
+    cat.sql(
+        "CREATE VIEW v_agg AS "
+        "SELECT ck, count(*) AS n, sum(cents) AS total "
+        "FROM v_high GROUP BY ck"
+    )
+    # late binding: this row lands AFTER both CREATE VIEWs and must be
+    # visible through them
+    cat.sql(f"INSERT INTO view_t VALUES ({mk} + 1, 7, 123456)")
+    fresh = LakehouseSqlCatalog(spark, warehouse=wh)  # new session
+    assert fresh.sql("SHOW VIEWS").count() == 2
+    out = fresh.sql("SELECT ck, n, total FROM v_agg").localCheckpoint(
+        eager=True
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -71,7 +71,9 @@ def _parse_ts_ms(ts: str) -> int:
     return int(d.timestamp() * 1000)
 
 _INSERT_RE = re.compile(
-    r"^\s*INSERT\s+INTO\s+([A-Za-z_]\w*)\s+(.+)$", re.IGNORECASE | re.DOTALL
+    r"^\s*INSERT\s+INTO\s+([A-Za-z_]\w*)\s*"
+    r"(?:\(\s*([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*\)\s*)?(.+)$",
+    re.IGNORECASE | re.DOTALL,
 )
 _UPDATE_RE = re.compile(
     r"^\s*UPDATE\s+([A-Za-z_]\w*)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?\s*$",
@@ -1168,9 +1170,20 @@ class LakehouseSqlCatalog:
         m = _INSERT_RE.match(query)
         if m is None:
             return None
-        name, payload = m.group(1), m.group(2)
+        name, col_list, payload = m.group(1), m.group(2), m.group(3)
         kind, path, key = self._require(name)
         df = self._select(payload)
+        if col_list:
+            # `INSERT INTO t (a, b) ...`: bind the payload positionally
+            # to the NAMED columns; omitted table columns resolve below
+            # (generated ones are computed, others must be omittable)
+            names = [c.strip() for c in col_list.split(",")]
+            if len(df.columns) != len(names):
+                raise ValueError(
+                    f"INSERT INTO {name} ({col_list}): payload has "
+                    f"{len(df.columns)} columns, list names {len(names)}"
+                )
+            df = df.toDF(*names)
         # standard INSERT column resolution: by name when the payload
         # already carries the table's column set, POSITIONALLY otherwise
         # (`VALUES (...)` yields col1/col2/... names); then CAST to the
@@ -1181,19 +1194,53 @@ class LakehouseSqlCatalog:
 
         target = self._frame(name, None).schema
         target_cols = target.fieldNames()
+        # GENERATED columns may be omitted from the payload (the sinks
+        # compute them at write time); positional resolution then binds
+        # against the non-generated columns in declaration order
+        from ..sinks.constraints import generated_columns
+        from ..sinks.manifest import CommitLog
+
+        gens = generated_columns(CommitLog(path).table_props())
+        nogen_cols = [c for c in target_cols if c not in gens]
+        if col_list:
+            unknown = [c for c in df.columns if c not in target_cols]
+            if unknown:
+                raise ValueError(
+                    f"INSERT INTO {name}: unknown column(s) {unknown} "
+                    f"({target_cols})"
+                )
         if set(df.columns) == set(target_cols):
             df = df.select(*target_cols)
+        elif set(df.columns) == set(nogen_cols):
+            df = df.select(*nogen_cols)
+        elif col_list and set(df.columns) < set(target_cols):
+            # named-column INSERT omitting columns: omitted generated
+            # ones are computed at write; other omissions are NULL
+            # (standard INSERT semantics — NOT NULL still enforces)
+            for f in target.fields:
+                if f.name not in df.columns and f.name not in gens:
+                    df = df.withColumn(
+                        f.name, F.lit(None).cast(f.dataType)
+                    )
+            have_now = set(df.columns)
+            df = df.select(
+                *[c for c in target_cols if c in have_now]
+            )
         elif len(df.columns) == len(target_cols):
             df = df.toDF(*target_cols)
+        elif len(df.columns) == len(nogen_cols):
+            df = df.toDF(*nogen_cols)
         else:
             raise ValueError(
                 f"INSERT INTO {name}: payload has {len(df.columns)} "
                 f"columns, table has {len(target_cols)} ({target_cols})"
             )
+        present = set(df.columns)
         df = df.select(
             *[
                 F.col(f.name).cast(f.dataType).alias(f.name)
                 for f in target.fields
+                if f.name in present
             ]
         )
         if kind == "cow":
@@ -1233,6 +1280,7 @@ class LakehouseSqlCatalog:
             F.expr(cond) if cond else F.lit(True)
         )
         have = {c.lower() for c in matched.columns}
+        assigned: set[str] = set()
         for col, expr in _split_assignments(sets):
             if col.lower() not in have:
                 raise ValueError(
@@ -1240,6 +1288,18 @@ class LakehouseSqlCatalog:
                     f"({sorted(matched.columns)})"
                 )
             matched = matched.withColumn(col, F.expr(expr))
+            assigned.add(col.lower())
+        # GENERATED columns not explicitly assigned are RECOMPUTED from
+        # the updated row (the Delta UPDATE contract) — without this,
+        # the stale stored value would fail write-time validation
+        from ..sinks.constraints import generated_columns
+        from ..sinks.manifest import CommitLog
+
+        for gcol, gexpr in generated_columns(
+            CommitLog(path).table_props()
+        ).items():
+            if gcol.lower() not in assigned and gcol.lower() in have:
+                matched = matched.withColumn(gcol, F.expr(gexpr))
         if kind == "cow":
             from ..sinks.merge import MergeSink
 
@@ -1328,29 +1388,43 @@ class LakehouseSqlCatalog:
                     )
                 opts[k.strip().strip("'\"")] = v.strip().strip("'\"")
         target = self._frame(name, None).schema
+        from pyspark.sql.types import StructType
+
+        from ..sinks.constraints import generated_columns
+        from ..sinks.manifest import CommitLog
+
+        gens = generated_columns(CommitLog(path).table_props())
+        nogen = StructType(
+            [f for f in target.fields if f.name not in gens]
+        )
         paths = sorted(todo)
         if fmt == "PARQUET":
             df = self.spark.read.parquet(*paths)
-            if set(df.columns) != set(target.fieldNames()):
+            if set(df.columns) not in (
+                set(target.fieldNames()),
+                set(nogen.fieldNames()),
+            ):
                 raise ValueError(
                     f"COPY INTO {name}: source columns "
                     f"{sorted(df.columns)} != table columns "
                     f"{sorted(target.fieldNames())}"
                 )
         else:
-            # text formats read under the TABLE schema (the modeled
-            # surface's rescue/inference knobs reduce to: the table is
-            # the contract)
-            reader = self.spark.read.schema(target)
+            # text formats read under the TABLE schema minus generated
+            # columns (those are ALWAYS computed at write — a text file
+            # cannot carry them)
+            reader = self.spark.read.schema(nogen)
             if fmt == "CSV":
                 reader = reader.option("header", "true")
             for k, v in opts.items():
                 reader = reader.option(k, v)
             df = reader.format(fmt.lower()).load(paths)
+        present = set(df.columns)
         df = df.select(
             *[
                 F.col(f.name).cast(f.dataType).alias(f.name)
                 for f in target.fields
+                if f.name in present
             ]
         )
         import uuid as _uuid
@@ -1687,6 +1761,25 @@ class LakehouseSqlCatalog:
                 f"CREATE TABLE {name}: a view with that name exists"
             )
         props = self._parse_tblproperties(m.group(5))
+        # `c TYPE GENERATED ALWAYS AS (expr)` column clauses: the expr
+        # becomes a `generated.<col>` table prop (computed/validated at
+        # write time — sinks/constraints.py), the plain `c TYPE` stays
+        # in the stored schema DDL
+        gen_cols: dict[str, str] = {}
+        plain_defs: list[str] = []
+        for part in _split_top_commas(col_defs):
+            mg = re.match(
+                r"^\s*([A-Za-z_]\w*)\s+(.+?)\s+GENERATED\s+ALWAYS\s+AS"
+                r"\s*\((.*)\)\s*$",
+                part,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if mg is not None:
+                gen_cols[mg.group(1)] = mg.group(3).strip()
+                plain_defs.append(f"{mg.group(1)} {mg.group(2).strip()}")
+            else:
+                plain_defs.append(part.strip())
+        col_defs = ", ".join(plain_defs)
         from pyspark.sql.types import StructType
 
         schema = StructType.fromDDL(col_defs)  # validates the col defs
@@ -1722,11 +1815,13 @@ class LakehouseSqlCatalog:
             }
             # `c TYPE NOT NULL` declarations become enforced invariants
             # (sinks/constraints.py) — fromDDL already parsed nullability
-            from ..sinks.constraints import NOTNULL_PREFIX
+            from ..sinks.constraints import GENERATED_PREFIX, NOTNULL_PREFIX
 
             for f in schema.fields:
                 if not f.nullable:
                     new_props[f"{NOTNULL_PREFIX}{f.name}"] = "true"
+            for c, e in gen_cols.items():
+                new_props[f"{GENERATED_PREFIX}{c}"] = e
             log.write_table_props(new_props)
         self._tables[name] = (str(props["kind"]), path, key)
         self._persist(name)

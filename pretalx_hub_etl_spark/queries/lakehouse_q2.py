@@ -985,3 +985,55 @@ def q_sql_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# --- S39: GENERATED ALWAYS AS columns -------------------------------------------
+
+
+@query(
+    "q_sql_generated",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT k,
+           CASE WHEN k % 10 = 0 THEN cents + 12345 ELSE cents END AS cents,
+           CASE WHEN k % 10 = 0 THEN (cents + 12345) // 100
+                ELSE cents // 100 END AS dollars
+    FROM base
+    """,
+)
+def q_sql_generated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S39: GENERATED ALWAYS AS — the dollars column is never supplied by
+    # any writer in this lifecycle: the INSERT payload omits it (computed
+    # inside the append's write job), and the UPDATE sets only cents (the
+    # engine recomputes the generated column from the updated row, the
+    # Delta UPDATE contract). The oracle recomputes cents DIV 100 through
+    # both phases: a stale stored value after UPDATE, a missed
+    # computation at INSERT, or a drifted expression hash-fails.
+    import shutil
+
+    from ..plans.lakehouse_sql import LakehouseSqlCatalog
+
+    base = Catalog(spark, sf_dir).orders.select(
+        F.col("o_orderkey").alias("k"),
+        fixed_cents(F.col("o_totalprice")).alias("cents"),
+    )
+    base.createOrReplaceTempView("gen_src")
+    root = tempfile.mkdtemp(prefix="phe_sql_generated_")
+    path = os.path.join(root, "t")
+    cat = LakehouseSqlCatalog(spark)
+    cat.sql(
+        f"CREATE TABLE gen_t (k INT, cents BIGINT, "
+        f"dollars BIGINT GENERATED ALWAYS AS (cents DIV 100)) "
+        f"USING lakehouse LOCATION '{path}' TBLPROPERTIES (merge_key='k')"
+    )
+    cat.sql("INSERT INTO gen_t (k, cents) SELECT k, cents FROM gen_src")
+    cat.sql("UPDATE gen_t SET cents = cents + 12345 WHERE k % 10 = 0")
+    out = cat.sql("SELECT k, cents, dollars FROM gen_t").localCheckpoint(
+        eager=True
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out

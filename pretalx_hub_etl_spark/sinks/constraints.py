@@ -139,3 +139,42 @@ def validate_existing(
             f"cannot add {what}: existing row violates it "
             f"(first hit: {hit[0].asDict()})"
         )
+
+
+GENERATED_PREFIX = "generated."
+
+
+def generated_columns(props: dict[str, Any]) -> dict[str, str]:
+    """col -> generation expr from table props (``generated.<col>``)."""
+    return {
+        k[len(GENERATED_PREFIX):]: str(v)
+        for k, v in props.items()
+        if k.startswith(GENERATED_PREFIX) and str(v).strip()
+    }
+
+
+def apply_generated(df: DataFrame, props: dict[str, Any]) -> DataFrame:
+    """Materialize GENERATED ALWAYS AS columns at write time (the Delta
+    contract): a column ABSENT from the written data is computed from
+    its expression; a column PRESENT is validated value-equals-expr
+    (null-safe) in-flight, so a writer cannot smuggle a value the
+    expression would not produce. Like :func:`apply_invariants`, the
+    work rides inside the commit's own write job — no extra pass."""
+    gens = generated_columns(props)
+    if not gens:
+        return df
+    have = {c.lower() for c in df.columns}
+    for col, expr in gens.items():
+        if col.lower() not in have:
+            df = df.withColumn(col, F.expr(expr))
+        else:
+            df = df.filter(
+                F.assert_true(
+                    F.col(col).eqNullSafe(F.expr(expr)),
+                    F.lit(
+                        f"GENERATED column {col!r} violated: supplied "
+                        f"value != {expr}"
+                    ),
+                ).isNull()
+            )
+    return df

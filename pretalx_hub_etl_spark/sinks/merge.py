@@ -849,9 +849,10 @@ class MergeSink:
         # table invariants (CHECK / NOT NULL) ride inside the write job —
         # a violating row throws before the stage is renamed, so the
         # version never advances on bad data (no-op when none declared)
-        from .constraints import apply_invariants
+        from .constraints import apply_generated, apply_invariants
 
-        df = apply_invariants(df, log.table_props())
+        _props = log.table_props()
+        df = apply_invariants(apply_generated(df, _props), _props)
         stage = os.path.join(self.path, f".stage-{uuid.uuid4().hex}")
         if self.cluster_by is not None:
             col, n = self.cluster_by

@@ -74,10 +74,11 @@ class MorTable:
             if upserts is not None:
                 # CHECK / NOT NULL invariants, fused into the delta write
                 # (tombstones / position deletes carry no row to check)
-                from .constraints import apply_invariants
+                from .constraints import apply_generated, apply_invariants
 
+                _props = CommitLog(self.path).table_props()
                 upserts = apply_invariants(
-                    upserts, CommitLog(self.path).table_props()
+                    apply_generated(upserts, _props), _props
                 )
                 upserts.write.mode("errorifexists").parquet(
                     os.path.join(stage, "data")

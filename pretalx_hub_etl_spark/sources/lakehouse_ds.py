@@ -1442,10 +1442,11 @@ def write_table(df, path: str, mode: str = "append") -> None:
     # entry point (the executor-side DataSource writer sees raw rows and
     # cannot evaluate SQL expressions; a raw format("lakehouse") write is
     # as unenforced as a raw parquet drop into the table root)
-    from ..sinks.constraints import apply_invariants
+    from ..sinks.constraints import apply_generated, apply_invariants
     from ..sinks.manifest import CommitLog
 
-    df = apply_invariants(df, CommitLog(path).table_props())
+    _props = CommitLog(path).table_props()
+    df = apply_invariants(apply_generated(df, _props), _props)
     df.write.format("lakehouse").option("path", path).mode(mode).save()
 
 

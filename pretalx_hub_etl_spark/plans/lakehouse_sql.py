@@ -569,7 +569,7 @@ class LakehouseSqlCatalog:
             if re.search(rf"\b{re.escape(name)}\b", statement) is None:
                 continue
             log = CommitLog(path)
-            v = log.current_version()
+            v = log.visible_version()  # never plan over a pending head
             if v <= 0:
                 continue
             cols: set[str] = set()

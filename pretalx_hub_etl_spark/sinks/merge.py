@@ -286,8 +286,9 @@ class MergeSink:
     def read(self, spark: SparkSession) -> DataFrame:
         log = CommitLog(self.path)
         if log.exists():
+            # visible_version: step past pending multi-table txn heads
             return self._read_manifest_files(
-                spark, log.current_version()
+                spark, log.visible_version()
             )[0]
         cur = current_version_path(self.path)
         if cur is None:
@@ -318,7 +319,7 @@ class MergeSink:
                 f"{self.path} has no commit log (legacy table): "
                 "stats pruning needs manifests"
             )
-        v = log.current_version() if version is None else version
+        v = log.visible_version() if version is None else version
         df, skipped = self._read_manifest_files(
             spark, v, prune=(column, lo, hi)
         )
@@ -344,7 +345,7 @@ class MergeSink:
                 f"{self.path} has no commit log (legacy table): "
                 "stats pruning needs manifests"
             )
-        v = log.current_version() if version is None else version
+        v = log.visible_version() if version is None else version
         df, skipped = self._read_manifest_files(spark, v, prune=prunes)
         total = len(log.files_for(v)[0])
         return df, total - skipped, skipped

@@ -415,7 +415,8 @@ class MorTable:
         pre-pointer tables)."""
         log = CommitLog(self.path)
         if log.exists():
-            cur = log.current_version()
+            # visible_version: step past pending multi-table txn heads
+            cur = log.visible_version()
             ckpt = log.manifest(cur).get("checkpoint_at")
             if ckpt is not None:
                 chain = log.versions(lo=ckpt, hi=cur)
@@ -526,8 +527,22 @@ class MorTable:
         """Materialize the resolved state as a checkpointed commit —
         the read tax collapses to one base scan until the next deltas.
         Returns the committed version."""
+        log = CommitLog(self.path)
         state = self.read(spark)
         for _ in range(max_retries):
+            if (
+                log.exists()
+                and log.visible_version() != log.current_version()
+            ):
+                # a pending multi-table txn delta sits above the visible
+                # head: a checkpoint committed OVER it would exclude it
+                # from the chain forever (resolved reads see only
+                # visible versions). The txn is inevitable
+                # (roll-forward) — heal or wait, then compact.
+                raise RuntimeError(
+                    f"compact at {self.path}: a pending transaction "
+                    "head exists (heal/commit it first)"
+                )
             _, claim = _base_and_claim(self.path)
             try:
                 self._commit(state, None, claim, checkpoint=True)

@@ -1,0 +1,349 @@
+"""Multi-table atomic transactions (S40) — the coordinator the
+architecture notes sketched (ARCHITECTURE.md "Commit scope is one
+table"): a write-ahead intent object plus roll-forward publication,
+so a reader either sees ALL of a transaction's table versions or NONE.
+
+Protocol (write-ahead intent + roll-forward; abort impossible after
+prepare):
+
+1. **Stage** — each operation's NEW data files land durably as hidden
+   dirs inside their table root (``.txn-<id>-e<k>``), written through
+   the same generated-column / CHECK / NOT NULL seam as every commit.
+   Nothing is visible; ``abort()`` just deletes the stages.
+2. **Prepare** — one ``<coordinator>/<id>.json`` intent object
+   (O_EXCL) lists every (table, op, stage dir, base-at-prepare). This
+   is the point of no return: from here the transaction is INEVITABLE
+   — every failure path rolls FORWARD, never back, which is what makes
+   it safe for concurrent writers to build on top of a pending version
+   (they can never be building on data that later vanishes).
+3. **Publish** — per table, the normal OCC commit (claim the next
+   version by rename, publish the manifest), with the manifest carrying
+   a ``txn`` marker ``{id, coord, entry}``. CoW appends re-link the
+   CURRENT base's files at publish time, so a commit that landed
+   between stage and publish is never lost; MoR entries are pure deltas
+   and base-independent by construction. A per-entry ``.done`` marker
+   in the coordinator makes publication idempotent for the heal path
+   (with a bounded manifest walk from base-at-prepare covering the
+   crash window between publish and marker).
+4. **Commit** — one ``<id>.committed`` marker flips ALL tables' pending
+   versions visible at once. Readers resolving a current version
+   (``CommitLog.visible_version``) step DOWN past head manifests whose
+   ``txn`` is not committed — one ``os.path.exists`` per read of a
+   txn-tail table, zero cost for tables never touched by a transaction.
+
+Crash matrix: before prepare -> nothing visible, stages are garbage
+(``abort()`` or manual cleanup); after prepare, anywhere -> ``heal()``
+completes publication and flips the marker. ``heal`` assumes ONE healer
+at a time per coordinator (the intent's owner or an operator) — two
+concurrent healers could double-publish an entry; a claim file per
+entry would close that at the cost of a takeover protocol, which the
+single-ingestor deployment this models does not need (documented
+limitation, same contract as the modeled formats' external coordinated
+commits).
+
+Scope: operations whose staged content is valid regardless of
+interleaved commits — CoW APPENDS and MoR DELTAS (upsert/delete).
+Full-state CoW MERGE inside a transaction would require holding out
+every other writer of the table (a lock, not a protocol), which is the
+documented non-goal; pipelines that need cross-table atomicity are
+fan-out shaped (one batch appended/upserted into N tables), which this
+covers exactly.
+
+No reference counterpart; the intent/roll-forward shape follows the
+public two-phase lakehouse-commit discussions (Delta multi-table
+transaction design docs, Iceberg's catalog-level atomicity).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+from .manifest import CommitLog, build_manifest
+from .merge import _base_and_claim
+
+
+def _committed_marker(coord: str, txn_id: str) -> str:
+    return os.path.join(coord, f"{txn_id}.committed")
+
+
+def txn_is_visible(marker: dict[str, Any] | None) -> bool:
+    """True when a manifest's ``txn`` marker refers to a committed
+    transaction (or there is no marker at all)."""
+    if not marker:
+        return True
+    return os.path.exists(
+        _committed_marker(marker["coord"], marker["id"])
+    )
+
+
+class LakehouseTransaction:
+    """One multi-table transaction against a shared coordinator dir.
+
+    >>> txn = LakehouseTransaction("/warehouse/_txn")
+    >>> txn.stage_append(bronze_path, df_events)
+    >>> txn.stage_mor_upsert(silver_path, df_entities)
+    >>> txn.commit()          # both visible atomically, or neither
+    """
+
+    def __init__(self, coordinator: str):
+        self.coord = os.path.abspath(coordinator)
+        self.id = uuid.uuid4().hex
+        self._entries: list[dict[str, Any]] = []
+        self._state = "open"
+
+    # -- staging -------------------------------------------------------------
+
+    def _stage_dir(self, table_path: str) -> str:
+        d = os.path.join(
+            table_path, f".txn-{self.id}-e{len(self._entries)}"
+        )
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def _guarded(self, df: DataFrame, table_path: str) -> DataFrame:
+        from .constraints import apply_generated, apply_invariants
+
+        props = CommitLog(table_path).table_props()
+        return apply_invariants(apply_generated(df, props), props)
+
+    def stage_append(self, table_path: str, df: DataFrame) -> None:
+        """Stage an append of ``df`` to a CoW table (new files only;
+        the current base's files are re-linked at publish time)."""
+        self._check_open()
+        kind = CommitLog(table_path).table_props().get("kind", "cow")
+        if kind != "cow":
+            raise ValueError(
+                f"stage_append targets CoW tables; {table_path} is {kind}"
+                " (use stage_mor_upsert)"
+            )
+        stage = self._stage_dir(table_path)
+        self._guarded(df, table_path).write.mode("errorifexists").parquet(
+            os.path.join(stage, "new")
+        )
+        self._entries.append(
+            {
+                "path": os.path.abspath(table_path),
+                "op": "cow_append",
+                "stage": stage,
+                "base_at_prepare": CommitLog(table_path).current_version(),
+            }
+        )
+
+    def stage_mor_upsert(
+        self,
+        table_path: str,
+        source: DataFrame | None = None,
+        deletes: DataFrame | None = None,
+    ) -> None:
+        """Stage a MoR delta (keyed upserts and/or key tombstones) —
+        pure delta files, base-independent by construction."""
+        self._check_open()
+        if source is None and deletes is None:
+            raise ValueError("stage_mor_upsert needs source or deletes")
+        props = CommitLog(table_path).table_props()
+        if props.get("kind") != "mor":
+            raise ValueError(
+                f"stage_mor_upsert targets MoR tables; {table_path} is "
+                f"{props.get('kind', 'cow')} (use stage_append)"
+            )
+        key = props.get("merge_key")
+        if not key:
+            raise ValueError(f"{table_path} has no stored merge key")
+        stage = self._stage_dir(table_path)
+        if source is not None:
+            self._guarded(source, table_path).write.mode(
+                "errorifexists"
+            ).parquet(os.path.join(stage, "data"))
+        if deletes is not None:
+            from pyspark.sql import functions as F
+
+            deletes.select(
+                F.col(deletes.columns[0]).alias(key)
+            ).write.mode("errorifexists").parquet(
+                os.path.join(stage, "deletes")
+            )
+        self._entries.append(
+            {
+                "path": os.path.abspath(table_path),
+                "op": "mor_delta",
+                "stage": stage,
+                "base_at_prepare": CommitLog(table_path).current_version(),
+            }
+        )
+
+    # -- terminal states -------------------------------------------------------
+
+    def abort(self) -> None:
+        """Discard everything staged. Only legal BEFORE commit() — after
+        prepare the transaction is inevitable (roll-forward only)."""
+        self._check_open()
+        self._state = "aborted"
+        for ent in self._entries:
+            shutil.rmtree(ent["stage"], ignore_errors=True)
+        self._entries.clear()
+
+    def commit(self) -> dict[str, int]:
+        """Prepare (write-ahead intent), publish every entry, flip the
+        committed marker. Returns {table path: published version}.
+        Needs no Spark session: publication is hardlinks + footer
+        stats. A crash anywhere after prepare is completed by
+        :func:`heal`."""
+        self._check_open()
+        if not self._entries:
+            raise ValueError("empty transaction")
+        os.makedirs(self.coord, exist_ok=True)
+        intent = {"id": self.id, "entries": self._entries}
+        ipath = os.path.join(self.coord, f"{self.id}.json")
+        with open(ipath, "x") as fh:  # point of no return
+            json.dump(intent, fh, separators=(",", ":"))
+        self._state = "committed"
+        return _publish_intent(self.coord, intent)
+
+    def _check_open(self) -> None:
+        if self._state != "open":
+            raise ValueError(f"transaction is {self._state}")
+
+
+# -- publication / heal ---------------------------------------------------------
+
+
+def _already_published(
+    log: CommitLog, txn_id: str, entry: int, base_at_prepare: int
+) -> int | None:
+    """Crash-window probe: the version (base_at_prepare, head] whose
+    manifest carries this (txn, entry), or None. Bounded by commits
+    since prepare — the normal path never calls this (the .done marker
+    short-circuits)."""
+    for v in range(log.current_version(), max(base_at_prepare, 0), -1):
+        try:
+            t = log.manifest(v).get("txn")
+        except FileNotFoundError:
+            continue  # torn/vacuumed hole: keep walking
+        if t and t.get("id") == txn_id and t.get("entry") == entry:
+            return v
+    return None
+
+
+def _publish_one(
+    coord: str, txn_id: str, idx: int, ent: dict[str, Any]
+) -> int:
+    """OCC-publish one staged entry as its table's next version, with
+    the txn marker in the manifest. Idempotent via the .done marker +
+    manifest probe. Returns the published version."""
+    path, stage, op = ent["path"], ent["stage"], ent["op"]
+    done = os.path.join(coord, f"{txn_id}.e{idx}.done")
+    log = CommitLog(path)
+    if os.path.exists(done):
+        v = _already_published(log, txn_id, idx, ent["base_at_prepare"])
+        if v is not None:
+            return v
+        raise RuntimeError(
+            f"txn {txn_id} entry {idx}: done marker exists but no "
+            f"manifest carries it (vacuumed mid-heal?)"
+        )
+    v = _already_published(log, txn_id, idx, ent["base_at_prepare"])
+    if v is not None:  # crashed between publish and marker
+        with open(done, "w") as fh:
+            fh.write(str(v))
+        return v
+    props = log.table_props()
+    bloom_on = props.get("bloom_on")
+    for _ in range(50):
+        base, claim = _base_and_claim(path)
+        work = os.path.join(path, f".stage-txnpub-{uuid.uuid4().hex}")
+        os.makedirs(work)
+        try:
+            if op == "cow_append":
+                # re-link the CURRENT base's files (a commit that landed
+                # after staging is preserved), then the staged new files
+                # under a txn-unique subdir that cannot collide with the
+                # MoR role names or hive partition segments
+                if base > 0:
+                    for fent in log.manifest(base)["files"]:
+                        rel = fent["path"]
+                        dst = os.path.join(work, rel)
+                        os.makedirs(os.path.dirname(dst), exist_ok=True)
+                        os.link(
+                            os.path.join(path, f"v{base}", rel), dst
+                        )
+                newdir = os.path.join(work, f"txnnew{idx}")
+                os.makedirs(newdir)
+                srcdir = os.path.join(stage, "new")
+                for fn in os.listdir(srcdir):
+                    if fn.endswith(".parquet"):
+                        os.link(
+                            os.path.join(srcdir, fn),
+                            os.path.join(newdir, fn),
+                        )
+            else:  # mor_delta
+                for role in ("data", "deletes"):
+                    srcdir = os.path.join(stage, role)
+                    if not os.path.isdir(srcdir):
+                        continue
+                    dstdir = os.path.join(work, role)
+                    os.makedirs(dstdir)
+                    for fn in os.listdir(srcdir):
+                        if fn.endswith(".parquet"):
+                            os.link(
+                                os.path.join(srcdir, fn),
+                                os.path.join(dstdir, fn),
+                            )
+            with open(os.path.join(work, "_SUCCESS"), "w") as fh:
+                fh.write("")
+            manifest = build_manifest(claim, work, bloom_on=bloom_on)
+            manifest["txn"] = {"id": txn_id, "coord": coord, "entry": idx}
+            if op == "mor_delta":
+                # the MoR chain-start pointer (same rule as
+                # MorTable._commit: inherit the previous commit's)
+                try:
+                    prev = log.manifest(log.current_version())
+                    manifest["checkpoint_at"] = prev.get("checkpoint_at")
+                except FileNotFoundError:
+                    manifest["checkpoint_at"] = None
+            os.rename(work, os.path.join(path, f"v{claim}"))
+        except OSError:
+            shutil.rmtree(work, ignore_errors=True)
+            continue  # lost the version race: recompute against new base
+        log.publish(manifest)
+        shutil.rmtree(stage, ignore_errors=True)
+        with open(done, "w") as fh:
+            fh.write(str(claim))
+        return claim
+    raise RuntimeError(
+        f"txn {txn_id} entry {idx}: lost the version race 50 times"
+    )
+
+
+def _publish_intent(coord: str, intent: dict[str, Any]) -> dict[str, int]:
+    out: dict[str, int] = {}
+    for idx, ent in enumerate(intent["entries"]):
+        out[ent["path"]] = _publish_one(coord, intent["id"], idx, ent)
+    with open(_committed_marker(coord, intent["id"]), "w") as fh:
+        fh.write("")
+    return out
+
+
+def heal(coordinator: str) -> dict[str, dict[str, int]]:
+    """Complete every prepared-but-uncommitted transaction in the
+    coordinator (roll-forward). Returns {txn id: {path: version}}.
+    Single-healer contract — see the module docstring."""
+    coord = os.path.abspath(coordinator)
+    out: dict[str, dict[str, int]] = {}
+    if not os.path.isdir(coord):
+        return out
+    for fn in sorted(os.listdir(coord)):
+        if not fn.endswith(".json"):
+            continue
+        txn_id = fn[: -len(".json")]
+        if os.path.exists(_committed_marker(coord, txn_id)):
+            continue
+        with open(os.path.join(coord, fn)) as fh:
+            intent = json.load(fh)
+        out[txn_id] = _publish_intent(coord, intent)
+    return out

@@ -133,6 +133,27 @@ def build_lakehouse_source():
                 "(never committed, or removed by vacuum)"
             ) from None
 
+    def _visible_version(table_path: str) -> int:
+        # inline CommitLog.visible_version: step down past head
+        # manifests whose txn marker is not committed (sinks/txn.py) —
+        # the read side of multi-table atomic visibility
+        import os
+
+        v = _current_version(table_path)
+        while v > 0:
+            try:
+                m = _manifest(table_path, v)
+            except FileNotFoundError:
+                v -= 1
+                continue
+            t = m.get("txn")
+            if not t or os.path.exists(
+                os.path.join(t["coord"], f"{t['id']}.committed")
+            ):
+                return v
+            v -= 1
+        return 0
+
     def _resolve(options) -> tuple[int, list[dict], str]:
         import os
 
@@ -147,7 +168,7 @@ def build_lakehouse_source():
             version = _version_at(path, ts)
         else:
             version = (
-                int(v) if v is not None else _current_version(path)
+                int(v) if v is not None else _visible_version(path)
             )
         if version <= 0:
             raise FileNotFoundError(
@@ -1351,7 +1372,7 @@ def cow_read_schema(path: str, version: int | None = None):
     from ..sinks.manifest import CommitLog
 
     log = CommitLog(path)
-    v = log.current_version() if version is None else version
+    v = log.visible_version() if version is None else version
     m = log.manifest(v)
     vdir = os.path.join(path, f"v{v}")
     data = [e for e in m["files"] if e.get("role", "data") == "data"]

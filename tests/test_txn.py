@@ -1,0 +1,211 @@
+"""S40: multi-table atomic transactions (write-ahead intent +
+roll-forward publication + committed-marker visibility flip).
+
+A reader sees ALL of a transaction's table versions or NONE: pending
+versions are invisible through every read surface (engine sinks, the
+SQL catalog's native reads, the `lakehouse` DataSource) until the
+one committed marker lands; a crash after prepare is completed by
+heal() (roll-forward — never rolled back).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pretalx_hub_etl_spark.plans.lakehouse_sql import LakehouseSqlCatalog
+from pretalx_hub_etl_spark.sinks.manifest import CommitLog
+from pretalx_hub_etl_spark.sinks.merge import MergeSink
+from pretalx_hub_etl_spark.sinks.mor import MorTable
+from pretalx_hub_etl_spark.sinks.txn import (
+    LakehouseTransaction,
+    _publish_one,
+    heal,
+)
+
+
+def _mk_tables(spark, tmp_path):
+    a = os.path.join(str(tmp_path), "a")
+    b = os.path.join(str(tmp_path), "b")
+    MergeSink(a, key="k").init(
+        spark.createDataFrame([(1, 10)], "k INT, v INT")
+    )
+    MorTable(b, key="k").init(
+        spark.createDataFrame([(1, 100)], "k INT, w INT")
+    )
+    coord = os.path.join(str(tmp_path), "_txn")
+    return a, b, coord
+
+
+def test_commit_is_atomic_across_tables(spark, tmp_path):
+    a, b, coord = _mk_tables(spark, tmp_path)
+    txn = LakehouseTransaction(coord)
+    txn.stage_append(a, spark.createDataFrame([(2, 20)], "k INT, v INT"))
+    txn.stage_mor_upsert(
+        b, spark.createDataFrame([(2, 200)], "k INT, w INT")
+    )
+    # staged, not committed: NOTHING visible
+    assert MergeSink(a, key="k").read(spark).count() == 1
+    assert MorTable(b, key="k").read(spark).count() == 1
+    versions = txn.commit()
+    assert set(versions) == {os.path.abspath(a), os.path.abspath(b)}
+    assert MergeSink(a, key="k").read(spark).count() == 2
+    got = {
+        (r.k, r.w) for r in MorTable(b, key="k").read(spark).collect()
+    }
+    assert got == {(1, 100), (2, 200)}
+
+
+def test_pending_head_is_invisible_everywhere(spark, tmp_path):
+    a, b, coord = _mk_tables(spark, tmp_path)
+    txn = LakehouseTransaction(coord)
+    txn.stage_append(a, spark.createDataFrame([(2, 20)], "k INT, v INT"))
+    txn.stage_mor_upsert(
+        b, spark.createDataFrame([(2, 200)], "k INT, w INT")
+    )
+    # simulate the mid-commit window: intent written, ONLY table a
+    # published, committed marker absent
+    os.makedirs(coord, exist_ok=True)
+    intent = {"id": txn.id, "entries": txn._entries}
+    with open(os.path.join(coord, f"{txn.id}.json"), "x") as fh:
+        json.dump(intent, fh)
+    _publish_one(coord, txn.id, 0, txn._entries[0])
+    log_a = CommitLog(a)
+    assert log_a.current_version() == 2  # physically committed...
+    assert log_a.visible_version() == 1  # ...but not visible
+    # every read surface serves the pre-txn state
+    assert MergeSink(a, key="k").read(spark).count() == 1
+    cat = LakehouseSqlCatalog(spark)
+    cat.register_path("txa", a)
+    assert cat.sql("SELECT * FROM txa").count() == 1
+    ds = (
+        spark.read.format("lakehouse").option("path", a).load()
+    )
+    assert ds.count() == 1
+    # heal completes the transaction: BOTH tables flip visible together
+    healed = heal(coord)
+    assert txn.id in healed
+    assert log_a.visible_version() == 2
+    assert cat.sql("SELECT * FROM txa").count() == 2
+    assert MorTable(b, key="k").read(spark).count() == 2
+
+
+def test_heal_is_idempotent(spark, tmp_path):
+    a, b, coord = _mk_tables(spark, tmp_path)
+    txn = LakehouseTransaction(coord)
+    txn.stage_append(a, spark.createDataFrame([(2, 20)], "k INT, v INT"))
+    txn.commit()
+    assert heal(coord) == {}  # committed txns are skipped
+    assert MergeSink(a, key="k").read(spark).count() == 2
+    assert CommitLog(a).current_version() == 2  # no double publish
+
+
+def test_heal_survives_lost_done_marker(spark, tmp_path):
+    # crash window: entry published, .done marker never written ->
+    # heal must find the published version via the manifest probe
+    # instead of publishing AGAIN (duplicate data)
+    a, b, coord = _mk_tables(spark, tmp_path)
+    txn = LakehouseTransaction(coord)
+    txn.stage_append(a, spark.createDataFrame([(2, 20)], "k INT, v INT"))
+    os.makedirs(coord, exist_ok=True)
+    with open(os.path.join(coord, f"{txn.id}.json"), "x") as fh:
+        json.dump({"id": txn.id, "entries": txn._entries}, fh)
+    _publish_one(coord, txn.id, 0, txn._entries[0])
+    os.remove(os.path.join(coord, f"{txn.id}.e0.done"))
+    heal(coord)
+    assert CommitLog(a).current_version() == 2  # not 3
+    assert MergeSink(a, key="k").read(spark).count() == 2
+
+
+def test_abort_before_commit(spark, tmp_path):
+    a, b, coord = _mk_tables(spark, tmp_path)
+    txn = LakehouseTransaction(coord)
+    txn.stage_append(a, spark.createDataFrame([(2, 20)], "k INT, v INT"))
+    txn.abort()
+    assert MergeSink(a, key="k").read(spark).count() == 1
+    assert not [
+        d for d in os.listdir(a) if d.startswith(".txn-")
+    ]  # stages removed
+    with pytest.raises(ValueError, match="aborted"):
+        txn.commit()
+
+
+def test_interleaved_commit_is_not_lost(spark, tmp_path):
+    # a normal append lands BETWEEN stage and commit: the txn's publish
+    # re-links the CURRENT base, so both rows survive
+    from pretalx_hub_etl_spark.sources.lakehouse_ds import write_table
+
+    a, b, coord = _mk_tables(spark, tmp_path)
+    txn = LakehouseTransaction(coord)
+    txn.stage_append(a, spark.createDataFrame([(2, 20)], "k INT, v INT"))
+    write_table(
+        spark.createDataFrame([(3, 30)], "k INT, v INT"), a, mode="append"
+    )
+    txn.commit()
+    got = {
+        (r.k, r.v) for r in MergeSink(a, key="k").read(spark).collect()
+    }
+    assert got == {(1, 10), (2, 20), (3, 30)}
+
+
+def test_txn_respects_constraints_and_generated(spark, tmp_path):
+    a, b, coord = _mk_tables(spark, tmp_path)
+    cat = LakehouseSqlCatalog(spark)
+    cat.register_path("txc", a)
+    cat.sql("ALTER TABLE txc ADD CONSTRAINT v_pos CHECK (v >= 0)")
+    txn = LakehouseTransaction(coord)
+    with pytest.raises(Exception, match="CHECK constraint 'v_pos'"):
+        txn.stage_append(
+            a, spark.createDataFrame([(2, -1)], "k INT, v INT")
+        )
+    # nothing staged -> still an empty txn
+    with pytest.raises(ValueError, match="empty"):
+        txn.commit()
+
+
+def test_mor_tombstones_in_txn(spark, tmp_path):
+    a, b, coord = _mk_tables(spark, tmp_path)
+    txn = LakehouseTransaction(coord)
+    txn.stage_mor_upsert(
+        b, deletes=spark.createDataFrame([(1,)], "k INT")
+    )
+    assert MorTable(b, key="k").read(spark).count() == 1
+    txn.commit()
+    assert MorTable(b, key="k").read(spark).count() == 0
+
+
+def test_mor_compact_refuses_pending_head(spark, tmp_path):
+    a, b, coord = _mk_tables(spark, tmp_path)
+    txn = LakehouseTransaction(coord)
+    txn.stage_mor_upsert(
+        b, spark.createDataFrame([(2, 200)], "k INT, w INT")
+    )
+    os.makedirs(coord, exist_ok=True)
+    with open(os.path.join(coord, f"{txn.id}.json"), "x") as fh:
+        json.dump({"id": txn.id, "entries": txn._entries}, fh)
+    _publish_one(coord, txn.id, 0, txn._entries[0])
+    with pytest.raises(RuntimeError, match="pending transaction"):
+        MorTable(b, key="k").compact(spark)
+    heal(coord)
+    MorTable(b, key="k").compact(spark)  # healed: compaction fine
+    assert MorTable(b, key="k").read(spark).count() == 2
+
+
+def test_time_travel_ignores_visibility_for_pinned_versions(
+    spark, tmp_path
+):
+    # an EXPLICIT version pin may read a pending version (the reader
+    # asked for a physical version by number); only default "current"
+    # resolution steps down
+    a, b, coord = _mk_tables(spark, tmp_path)
+    txn = LakehouseTransaction(coord)
+    txn.stage_append(a, spark.createDataFrame([(2, 20)], "k INT, v INT"))
+    os.makedirs(coord, exist_ok=True)
+    with open(os.path.join(coord, f"{txn.id}.json"), "x") as fh:
+        json.dump({"id": txn.id, "entries": txn._entries}, fh)
+    _publish_one(coord, txn.id, 0, txn._entries[0])
+    assert MergeSink(a, key="k").read_version(spark, 2).count() == 2
+    assert MergeSink(a, key="k").read(spark).count() == 1
+    heal(coord)

@@ -1351,7 +1351,7 @@ class LakehouseSqlCatalog:
         m = _COPY_RE.match(query)
         if m is None:
             return None
-        # S37: `COPY INTO t FROM '<dir>' FILEFORMAT = PARQUET|CSV|JSON
+        # S42: `COPY INTO t FROM '<dir>' FILEFORMAT = PARQUET|CSV|JSON
         # [PATTERN = '<glob>'] [FORMAT_OPTIONS ('k'='v', ...)]
         # [FORCE = true]` — exactly-once file ingestion: the loaded-file
         # set persists next to the commit log and re-runs load only the
@@ -1854,7 +1854,7 @@ class LakehouseSqlCatalog:
     def _try_alter(self, query: str) -> DataFrame | None:
         m = _ALTER_ADD_CHECK_RE.match(query)
         if m is not None:
-            # S36: `ADD CONSTRAINT c CHECK (expr)` — validate the CURRENT
+            # S41: `ADD CONSTRAINT c CHECK (expr)` — validate the CURRENT
             # state first (one limit(1) job) so "all live rows satisfy
             # all active constraints" is a maintained invariant, then
             # persist as a table property the commit protocol enforces
@@ -2084,7 +2084,7 @@ class LakehouseSqlCatalog:
         m = _CREATE_VIEW_RE.match(query)
         if m is None:
             return None
-        # S38: `CREATE [OR REPLACE] VIEW v AS <select>` — a PERSISTENT
+        # S43: `CREATE [OR REPLACE] VIEW v AS <select>` — a PERSISTENT
         # late-binding view: the SQL text (not a snapshot) lands in the
         # warehouse catalog, every later statement that references the
         # name re-runs it against the CURRENT table state, and a fresh

@@ -779,7 +779,7 @@ def q_sql_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-# --- S36: CHECK / NOT NULL constraints ----------------------------------------
+# --- S41: CHECK / NOT NULL constraints ----------------------------------------
 
 
 @query(
@@ -798,7 +798,7 @@ def q_sql_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_sql_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # S36: table invariants as a lifecycle — ADD CONSTRAINT validates the
+    # S41: table invariants as a lifecycle — ADD CONSTRAINT validates the
     # CURRENT state before persisting; every later commit (INSERT /
     # UPDATE / engine merge — all routed through the sinks) evaluates the
     # constraint IN-FLIGHT inside the write job (assert_true fused into
@@ -857,7 +857,7 @@ def q_sql_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-# --- S37: COPY INTO (idempotent file ingestion) --------------------------------
+# --- S42: COPY INTO (idempotent file ingestion) --------------------------------
 
 
 @query(
@@ -869,7 +869,7 @@ def q_sql_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_sql_copy_into(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # S37: exactly-once ingestion — orders is staged as TWO batches;
+    # S42: exactly-once ingestion — orders is staged as TWO batches;
     # batch 1 is COPY'd twice (the re-run must load 0 files / 0 rows and
     # must NOT advance the version — asserted inline on the command
     # metrics), then batch 2's arrival is picked up by the same
@@ -922,7 +922,7 @@ def q_sql_copy_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-# --- S38: persistent late-binding views ----------------------------------------
+# --- S43: persistent late-binding views ----------------------------------------
 
 
 @query(
@@ -942,7 +942,7 @@ def q_sql_copy_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_sql_view(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # S38: persistent late-binding views — the view's SQL TEXT lives in
+    # S43: persistent late-binding views — the view's SQL TEXT lives in
     # the warehouse catalog (not a snapshot): an INSERT after CREATE
     # VIEW is visible through it, a NESTED view (aggregate over the
     # filter view) resolves depth-first, and a FRESH session against
@@ -987,7 +987,7 @@ def q_sql_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-# --- S39: GENERATED ALWAYS AS columns -------------------------------------------
+# --- S44: GENERATED ALWAYS AS columns -------------------------------------------
 
 
 @query(
@@ -1006,7 +1006,7 @@ def q_sql_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_sql_generated(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # S39: GENERATED ALWAYS AS — the dollars column is never supplied by
+    # S44: GENERATED ALWAYS AS — the dollars column is never supplied by
     # any writer in this lifecycle: the INSERT payload omits it (computed
     # inside the append's write job), and the UPDATE sets only cents (the
     # engine recomputes the generated column from the updated row, the
@@ -1039,7 +1039,7 @@ def q_sql_generated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-# --- S40: multi-table atomic transactions ---------------------------------------
+# --- S45: multi-table atomic transactions ---------------------------------------
 
 
 @query(
@@ -1062,7 +1062,7 @@ def q_sql_generated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_txn_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # S40: cross-table atomicity — one transaction appends to a CoW
+    # S45: cross-table atomicity — one transaction appends to a CoW
     # table AND upserts a MoR table; BEFORE the commit marker lands,
     # every read surface still serves both tables' pre-txn state
     # (asserted inline: counts unchanged while both versions are already

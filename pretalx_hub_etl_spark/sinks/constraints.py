@@ -1,4 +1,4 @@
-"""Table invariants: CHECK constraints and NOT NULL columns (S36).
+"""Table invariants: CHECK constraints and NOT NULL columns (S41).
 
 Constraints are table properties (``constraint.<name> = <sql expr>``,
 ``notnull.<col> = true``) enforced at the COMMIT PROTOCOL level — every

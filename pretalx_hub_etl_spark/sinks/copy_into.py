@@ -1,4 +1,4 @@
-"""COPY INTO: idempotent file ingestion into a lakehouse table (S37).
+"""COPY INTO: idempotent file ingestion into a lakehouse table (S42).
 
 ``COPY INTO t FROM '<dir>' FILEFORMAT = PARQUET|CSV|JSON`` loads every
 matching source file EXACTLY ONCE across statement re-runs: the set of

@@ -1,4 +1,4 @@
-"""Multi-table atomic transactions (S40) — the coordinator the
+"""Multi-table atomic transactions (S45) — the coordinator the
 architecture notes sketched (ARCHITECTURE.md "Commit scope is one
 table"): a write-ahead intent object plus roll-forward publication,
 so a reader either sees ALL of a transaction's table versions or NONE.

@@ -1,4 +1,4 @@
-"""S36: CHECK / NOT NULL table constraints.
+"""S41: CHECK / NOT NULL table constraints.
 
 Enforcement model (sinks/constraints.py): constraints live in the table
 properties and every commit path (CoW MergeSink, MoR MorTable, the

@@ -1,4 +1,4 @@
-"""S37: COPY INTO — exactly-once file ingestion across re-runs.
+"""S42: COPY INTO — exactly-once file ingestion across re-runs.
 
 The loaded-file set persists in _manifest/_copy_state.json; re-running
 the same statement loads only files not yet seen (by path), PATTERN

@@ -1,4 +1,4 @@
-"""S39: GENERATED ALWAYS AS columns, computed/validated at write time.
+"""S44: GENERATED ALWAYS AS columns, computed/validated at write time.
 
 A generated column omitted from the written data is computed from its
 expression inside the write job; a supplied value must equal the

@@ -1,4 +1,4 @@
-"""S40: multi-table atomic transactions (write-ahead intent +
+"""S45: multi-table atomic transactions (write-ahead intent +
 roll-forward publication + committed-marker visibility flip).
 
 A reader sees ALL of a transaction's table versions or NONE: pending

@@ -1,4 +1,4 @@
-"""S38: persistent late-binding views in the warehouse catalog.
+"""S43: persistent late-binding views in the warehouse catalog.
 
 CREATE VIEW stores SQL text (not a snapshot) in the warehouse catalog;
 every statement referencing the name re-runs it against the CURRENT

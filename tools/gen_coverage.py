@@ -99,6 +99,28 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          "a plain parquet directory (hardlinked v1 + footer-stats "
          "manifest + stored props)",
          ["q_sql_convert"]),
+        ("S41", "CHECK / NOT NULL constraints: write-time invariants "
+         "fused into every commit path, ADD-time validation of the "
+         "current state, violating commits abort with no version "
+         "advance",
+         ["q_sql_constraints"]),
+        ("S42", "COPY INTO: exactly-once file ingestion (persisted "
+         "loaded-set diff, PATTERN/FORMAT_OPTIONS/FORCE, Observation "
+         "row metrics, retryable failures)",
+         ["q_sql_copy_into"]),
+        ("S43", "persistent late-binding views: SQL text in the "
+         "warehouse catalog, nested resolution + cycle guard, "
+         "fresh-session discovery, DROP/SHOW VIEWS",
+         ["q_sql_view"]),
+        ("S44", "GENERATED ALWAYS AS columns: computed when absent, "
+         "validated when supplied, recomputed by UPDATE, composed "
+         "with COPY INTO and CHECK",
+         ["q_sql_generated"]),
+        ("S45", "multi-table atomic transactions: write-ahead intent "
+         "+ roll-forward publication + committed-marker visibility "
+         "flip (visible_version on every read surface, idempotent "
+         "heal)",
+         ["q_txn_multi_table"]),
         ("ST17", "the table as an append-only streaming source "
          "(offsets = versions, manifest set-difference per microbatch; "
          "inclusive startingVersion, startingTimestamp)",

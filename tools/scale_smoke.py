@@ -100,6 +100,16 @@ QUERIES = [
     "q_sql_convert",
     "q_sql_zorder",
     "q_sink_bloom_mor",
+    # round-13 second wave: constraints/generated/txn lifecycles ride
+    # the replicated orders (write-path invariant checks are fused into
+    # the commit scans — input-linear by design); COPY INTO stages the
+    # corpus as files (listing + load, input-linear); the view query is
+    # read-path (filter+agg through late-bound views)
+    "q_sql_constraints",
+    "q_sql_copy_into",
+    "q_sql_view",
+    "q_sql_generated",
+    "q_txn_multi_table",
     # round-10 additions: the lakehouse batch rides the replicated
     # customer/orders tables (commit+manifest cost per version is file-
     # count-bound, data cost input-linear); avro rides supplier; the

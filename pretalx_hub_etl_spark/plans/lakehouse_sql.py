@@ -148,6 +148,12 @@ _DROP_VIEW_RE = re.compile(
     re.IGNORECASE,
 )
 _SHOW_VIEWS_RE = re.compile(r"^\s*SHOW\s+VIEWS\s*$", re.IGNORECASE)
+_SHOW_CREATE_RE = re.compile(
+    r"^\s*SHOW\s+CREATE\s+TABLE\s+([A-Za-z_]\w*)\s*$", re.IGNORECASE
+)
+_TRUNCATE_RE = re.compile(
+    r"^\s*TRUNCATE\s+TABLE\s+([A-Za-z_]\w*)\s*$", re.IGNORECASE
+)
 _CONVERT_RE = re.compile(
     r"^\s*CONVERT\s+TO\s+LAKEHOUSE\s+'([^']+)'"
     r"(?:\s+AS\s+([A-Za-z_]\w*))?"
@@ -722,6 +728,8 @@ class LakehouseSqlCatalog:
             self._try_create_view,
             self._try_drop_view,
             self._try_show_views,
+            self._try_show_create,
+            self._try_truncate,
             self._try_ctas,
             self._try_create,
             self._try_alter,
@@ -785,6 +793,9 @@ class LakehouseSqlCatalog:
         m = _MERGE_HEAD_RE.match(query)
         if m is None:
             return None
+        # a persistent view as the USING source (or inside a subquery
+        # source) resolves like any read: bind it as a temp view first
+        self._bind_views(query)
         evo = m.group(1) is not None
         name, t_alias = m.group(2), m.group(3)
         kind, path, _ = self._require(name)
@@ -1822,6 +1833,11 @@ class LakehouseSqlCatalog:
                     new_props[f"{NOTNULL_PREFIX}{f.name}"] = "true"
             for c, e in gen_cols.items():
                 new_props[f"{GENERATED_PREFIX}{c}"] = e
+            # every OTHER TBLPROPERTIES entry persists verbatim
+            # (bloom_on, partition_by, constraint.* — what makes SHOW
+            # CREATE TABLE a faithful round trip)
+            for k, v in props.items():
+                new_props.setdefault(k, v)
             log.write_table_props(new_props)
         self._tables[name] = (str(props["kind"]), path, key)
         self._persist(name)
@@ -2149,6 +2165,120 @@ class LakehouseSqlCatalog:
         if not rows:
             return self.spark.createDataFrame([], "view string, sql string")
         return self.spark.createDataFrame(rows, "view string, sql string")
+
+    def _try_show_create(self, query: str) -> DataFrame | None:
+        m = _SHOW_CREATE_RE.match(query)
+        if m is None:
+            return None
+        # S43b: `SHOW CREATE TABLE t` — a ROUND-TRIPPABLE statement:
+        # running the emitted DDL against a fresh location recreates the
+        # table's full declared semantics (schema, NOT NULL, GENERATED
+        # clauses, merge key/kind/bloom/layout specs, CHECK constraints
+        # — everything the table props hold). Views get their CREATE
+        # VIEW text.
+        name = m.group(1)
+        if name in self._views:
+            stmt = f"CREATE VIEW {name} AS {self._views[name]}"
+            return self.spark.createDataFrame(
+                [(stmt,)], "createtab_stmt string"
+            )
+        _kind, path, _key = self._require(name)
+        from pyspark.sql.types import StructType
+
+        from ..sinks.constraints import (
+            GENERATED_PREFIX,
+            NOTNULL_PREFIX,
+            generated_columns,
+        )
+        from ..sinks.manifest import CommitLog
+
+        props = CommitLog(path).table_props()
+        ddl = props.get("schema_ddl")
+        fields = (
+            StructType.fromDDL(ddl).fields
+            if ddl
+            else self._frame(name, None).schema.fields
+        )
+        gens = generated_columns(props)
+        notnull = {
+            k[len(NOTNULL_PREFIX):].lower()
+            for k, v in props.items()
+            if k.startswith(NOTNULL_PREFIX)
+            and str(v).lower() in ("true", "1")
+        }
+        col_defs = []
+        for f in fields:
+            s = f"{f.name} {f.dataType.simpleString().upper()}"
+            if f.name.lower() in notnull:
+                s += " NOT NULL"
+            if f.name in gens:
+                s += f" GENERATED ALWAYS AS ({gens[f.name]})"
+            col_defs.append(s)
+        # everything else in the props re-emits as TBLPROPERTIES —
+        # schema/notnull/generated are already encoded in the col defs
+        skip_prefixes = (NOTNULL_PREFIX, GENERATED_PREFIX)
+        tprops = {
+            k: v
+            for k, v in sorted(props.items())
+            if k != "schema_ddl"
+            and not k.startswith(skip_prefixes)
+            and v is not None
+        }
+        stmt = (
+            f"CREATE TABLE {name} ({', '.join(col_defs)}) "
+            f"USING lakehouse LOCATION '{path}'"
+        )
+        if tprops:
+            body = ", ".join(f"{k}='{v}'" for k, v in tprops.items())
+            stmt += f" TBLPROPERTIES ({body})"
+        return self.spark.createDataFrame(
+            [(stmt,)], "createtab_stmt string"
+        )
+
+    def _try_truncate(self, query: str) -> DataFrame | None:
+        m = _TRUNCATE_RE.match(query)
+        if m is None:
+            return None
+        # `TRUNCATE TABLE t` — commit an EMPTY version (schema kept,
+        # history kept: time travel to pre-truncate versions still
+        # works, VACUUM reclaims them under retention). CoW commits an
+        # empty snapshot; MoR commits an empty CHECKPOINT (the chain
+        # restarts — resolved reads stop consulting older deltas).
+        name = m.group(1)
+        kind, path, key = self._require(name)
+        from ..sinks.manifest import CommitLog
+        from ..sinks.merge import MergeSink, _base_and_claim
+        from ..sinks.mor import MorTable
+
+        state = self._frame(name, None)
+        empty = self.spark.createDataFrame([], state.schema).repartition(1)
+        log = CommitLog(path)
+        for _ in range(20):
+            if (
+                kind == "mor"
+                and log.exists()
+                and log.visible_version() != log.current_version()
+            ):
+                # same orphan hazard as MoR compaction: a checkpoint
+                # over a pending txn head would exclude it forever
+                raise RuntimeError(
+                    f"TRUNCATE {name}: a pending transaction head "
+                    "exists (heal/commit it first)"
+                )
+            _, claim = _base_and_claim(path)
+            try:
+                if kind == "cow":
+                    MergeSink(path, key=key or "_")._write(empty, claim)
+                else:
+                    MorTable(path, key=key)._commit(
+                        empty, None, claim, checkpoint=True
+                    )
+            except FileExistsError:
+                continue  # lost the version race
+            return self._summary("truncate", name, claim)
+        raise RuntimeError(
+            f"TRUNCATE {name}: lost the version race 20 times"
+        )
 
     def _try_show_tables(self, query: str) -> DataFrame | None:
         if _SHOW_TABLES_RE.match(query) is None:

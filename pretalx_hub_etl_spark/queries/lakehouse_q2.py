@@ -1133,3 +1133,81 @@ def q_txn_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# --- S43b: SHOW CREATE TABLE round trip + TRUNCATE -------------------------------
+
+
+@query(
+    "q_sql_show_create",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT k, cents, cents // 100 AS dollars, 'clone' AS origin FROM base
+    UNION ALL
+    SELECT -1, 0, 0, 'truncated' FROM (SELECT 1)
+    """,
+)
+def q_sql_show_create(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S43b: `SHOW CREATE TABLE` emits a ROUND-TRIPPABLE statement —
+    # executing it at a fresh location recreates the table's full
+    # declared semantics (schema, NOT NULL, GENERATED column, CHECK
+    # constraint, merge key), asserted by byte-equal table props and by
+    # the clone REJECTING a constraint-violating insert. TRUNCATE then
+    # empties the ORIGINAL (schema + history kept: time travel still
+    # reaches the pre-truncate snapshot, asserted inline) while the
+    # clone keeps the data — the oracle sees exactly the clone's rows
+    # plus the marker row inserted into the truncated original.
+    import shutil
+
+    from ..plans.lakehouse_sql import LakehouseSqlCatalog
+    from ..sinks.manifest import CommitLog
+
+    base = Catalog(spark, sf_dir).orders.select(
+        F.col("o_orderkey").alias("k"),
+        fixed_cents(F.col("o_totalprice")).alias("cents"),
+    )
+    base.createOrReplaceTempView("sc_src")
+    root = tempfile.mkdtemp(prefix="phe_sql_sc_")
+    p1 = os.path.join(root, "t1")
+    p2 = os.path.join(root, "t2")
+    cat = LakehouseSqlCatalog(spark)
+    cat.sql(
+        f"CREATE TABLE sc_t (k INT NOT NULL, cents BIGINT, "
+        f"dollars BIGINT GENERATED ALWAYS AS (cents DIV 100)) "
+        f"USING lakehouse LOCATION '{p1}' TBLPROPERTIES (merge_key='k')"
+    )
+    cat.sql("ALTER TABLE sc_t ADD CONSTRAINT c_pos CHECK (cents >= 0)")
+    cat.sql("INSERT INTO sc_t (k, cents) SELECT k, cents FROM sc_src")
+    stmt = cat.sql("SHOW CREATE TABLE sc_t").first().createtab_stmt
+    cat.sql(stmt.replace(f"'{p1}'", f"'{p2}'").replace("sc_t", "sc_t2", 1))
+    assert CommitLog(p1).table_props() == CommitLog(p2).table_props(), (
+        "SHOW CREATE TABLE did not round-trip the table props"
+    )
+    cat.sql("INSERT INTO sc_t2 (k, cents) SELECT k, cents FROM sc_src")
+    try:
+        cat.sql("INSERT INTO sc_t2 (k, cents) VALUES (0, -1)")
+        raise AssertionError("recreated table did not enforce its CHECK")
+    except AssertionError:
+        raise
+    except Exception:
+        pass
+    n_before = cat.sql("SELECT * FROM sc_t").count()
+    cat.sql("TRUNCATE TABLE sc_t")
+    assert cat.sql("SELECT * FROM sc_t").count() == 0
+    assert (
+        cat.sql("SELECT * FROM sc_t VERSION AS OF 1").count() == n_before
+    ), "time travel lost the pre-truncate snapshot"
+    cat.sql("INSERT INTO sc_t (k, cents) VALUES (-1, 0)")
+    out = (
+        cat.sql(
+            "SELECT k, cents, dollars, 'clone' AS origin FROM sc_t2 "
+            "UNION ALL "
+            "SELECT k, cents, dollars, 'truncated' FROM sc_t"
+        )
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -1,0 +1,108 @@
+"""S43b: SHOW CREATE TABLE round trip, TRUNCATE TABLE, MERGE via views."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pretalx_hub_etl_spark.plans.lakehouse_sql import LakehouseSqlCatalog
+from pretalx_hub_etl_spark.sinks.manifest import CommitLog
+from pretalx_hub_etl_spark.sinks.merge import MergeSink
+from pretalx_hub_etl_spark.sinks.mor import MorTable
+
+
+def test_show_create_round_trips_full_semantics(spark, tmp_path):
+    p1 = os.path.join(str(tmp_path), "t1")
+    cat = LakehouseSqlCatalog(spark)
+    cat.sql(
+        f"CREATE TABLE sc1 (k INT NOT NULL, cents BIGINT, "
+        f"dollars BIGINT GENERATED ALWAYS AS (cents DIV 100)) "
+        f"USING lakehouse LOCATION '{p1}' "
+        f"TBLPROPERTIES (merge_key='k', bloom_on='k')"
+    )
+    cat.sql("ALTER TABLE sc1 ADD CONSTRAINT c_pos CHECK (cents >= 0)")
+    stmt = cat.sql("SHOW CREATE TABLE sc1").first().createtab_stmt
+    assert "NOT NULL" in stmt and "GENERATED ALWAYS AS" in stmt
+    assert "constraint.c_pos" in stmt and "bloom_on" in stmt
+    # the emitted statement RECREATES the table at a new location with
+    # identical declared semantics
+    p2 = os.path.join(str(tmp_path), "t2")
+    cat.sql(stmt.replace(f"'{p1}'", f"'{p2}'").replace("sc1", "sc2", 1))
+    a = CommitLog(p1).table_props()
+    b = CommitLog(p2).table_props()
+    assert a == b
+    # and the recreated table ENFORCES what it declares
+    with pytest.raises(Exception, match="CHECK constraint 'c_pos'"):
+        cat.sql("INSERT INTO sc2 (k, cents) VALUES (1, -5)")
+    cat.sql("INSERT INTO sc2 (k, cents) VALUES (1, 250)")
+    r = cat.sql("SELECT * FROM sc2").first()
+    assert (r.k, r.cents, r.dollars) == (1, 250, 2)
+
+
+def test_show_create_for_view(spark, tmp_path):
+    p = os.path.join(str(tmp_path), "t")
+    MergeSink(p, key="k").init(
+        spark.createDataFrame([(1, 10)], "k INT, v INT")
+    )
+    cat = LakehouseSqlCatalog(spark)
+    cat.register_path("scv", p)
+    cat.sql("CREATE VIEW scv_big AS SELECT k FROM scv WHERE v > 5")
+    stmt = cat.sql("SHOW CREATE TABLE scv_big").first().createtab_stmt
+    assert stmt == "CREATE VIEW scv_big AS SELECT k FROM scv WHERE v > 5"
+
+
+def test_truncate_cow_keeps_schema_and_history(spark, tmp_path):
+    p = os.path.join(str(tmp_path), "t")
+    MergeSink(p, key="k").init(
+        spark.createDataFrame([(1, 10), (2, 20)], "k INT, v INT")
+    )
+    cat = LakehouseSqlCatalog(spark)
+    cat.register_path("tr1", p)
+    cat.sql("TRUNCATE TABLE tr1")
+    assert cat.sql("SELECT * FROM tr1").count() == 0
+    assert [f.name for f in cat.sql("SELECT * FROM tr1").schema] == [
+        "k",
+        "v",
+    ]
+    # history intact: time travel reaches the pre-truncate snapshot
+    assert cat.sql("SELECT * FROM tr1 VERSION AS OF 1").count() == 2
+    cat.sql("INSERT INTO tr1 VALUES (9, 90)")  # still writable
+    assert cat.sql("SELECT * FROM tr1").count() == 1
+
+
+def test_truncate_mor_restarts_the_chain(spark, tmp_path):
+    p = os.path.join(str(tmp_path), "m")
+    t = MorTable(p, key="k")
+    t.init(spark.createDataFrame([(1, 10)], "k INT, v INT"))
+    t.merge(spark, source=spark.createDataFrame([(2, 20)], "k INT, v INT"))
+    cat = LakehouseSqlCatalog(spark)
+    cat.register_path("tr2", p)
+    cat.sql("TRUNCATE TABLE tr2")
+    assert cat.sql("SELECT * FROM tr2").count() == 0
+    # deltas after the truncate-checkpoint apply to the empty state
+    t.merge(spark, source=spark.createDataFrame([(3, 30)], "k INT, v INT"))
+    got = {(r.k, r.v) for r in cat.sql("SELECT * FROM tr2").collect()}
+    assert got == {(3, 30)}
+
+
+def test_merge_using_persistent_view(spark, tmp_path):
+    p = os.path.join(str(tmp_path), "t")
+    src = os.path.join(str(tmp_path), "s")
+    MergeSink(p, key="k").init(
+        spark.createDataFrame([(1, 10), (2, 20)], "k INT, v INT")
+    )
+    MergeSink(src, key="k").init(
+        spark.createDataFrame([(1, 99), (3, 30), (4, -1)], "k INT, v INT")
+    )
+    cat = LakehouseSqlCatalog(spark)
+    cat.register_path("mt", p)
+    cat.register_path("ms", src)
+    cat.sql("CREATE VIEW ms_pos AS SELECT k, v FROM ms WHERE v >= 0")
+    cat.sql(
+        "MERGE INTO mt t USING ms_pos s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)"
+    )
+    got = {(r.k, r.v) for r in cat.sql("SELECT * FROM mt").collect()}
+    assert got == {(1, 99), (2, 20), (3, 30)}  # 4/-1 filtered by the view

@@ -112,6 +112,10 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          "warehouse catalog, nested resolution + cycle guard, "
          "fresh-session discovery, DROP/SHOW VIEWS",
          ["q_sql_view"]),
+        ("S43b", "SHOW CREATE TABLE (round-trippable DDL incl. "
+         "constraints/generated/props) + TRUNCATE TABLE (empty "
+         "version, history kept, MoR chain restart)",
+         ["q_sql_show_create"]),
         ("S44", "GENERATED ALWAYS AS columns: computed when absent, "
          "validated when supplied, recomputed by UPDATE, composed "
          "with COPY INTO and CHECK",

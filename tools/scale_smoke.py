@@ -110,6 +110,7 @@ QUERIES = [
     "q_sql_view",
     "q_sql_generated",
     "q_txn_multi_table",
+    "q_sql_show_create",
     # round-10 additions: the lakehouse batch rides the replicated
     # customer/orders tables (commit+manifest cost per version is file-
     # count-bound, data cost input-linear); avro rides supplier; the

@@ -226,6 +226,11 @@ _ANALYZE_RE = re.compile(
     r"^\s*ANALYZE\s+TABLE\s+([A-Za-z_]\w*)\s+COMPUTE\s+STATISTICS\s*$",
     re.IGNORECASE,
 )
+_ANALYZE_COLS_RE = re.compile(
+    r"^\s*ANALYZE\s+TABLE\s+([A-Za-z_]\w*)\s+COMPUTE\s+STATISTICS\s+"
+    r"FOR\s+COLUMNS\s+([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*$",
+    re.IGNORECASE,
+)
 
 
 def _scan_top_level(s: str, word: str, start: int = 0) -> int:
@@ -737,6 +742,7 @@ class LakehouseSqlCatalog:
             self._try_convert,
             self._try_show_tables,
             self._try_detail,
+            self._try_analyze_cols,
             self._try_analyze,
             self._try_describe,
         ):
@@ -2384,6 +2390,89 @@ class LakehouseSqlCatalog:
             "bloom_on string, current_version int, num_files long, "
             "size_bytes long, num_rows long, created_at long, "
             "last_modified long",
+        )
+
+    def _try_analyze_cols(self, query: str) -> DataFrame | None:
+        m = _ANALYZE_COLS_RE.match(query)
+        if m is None:
+            return None
+        # `ANALYZE TABLE t COMPUTE STATISTICS FOR COLUMNS a, b` —
+        # min/max/null_count AGGREGATED FROM THE MANIFEST (zero data
+        # scan: the commit already paid the footer reads), plus
+        # approx ndv from ONE single-pass agg job over only the
+        # requested columns (ndv is the one statistic footers cannot
+        # give). MoR manifest bounds cover the whole delta chain, so
+        # min/max/nulls are conservative BOUNDS there (deleted rows
+        # included); ndv is computed on the RESOLVED state either way.
+        name, cols_sql = m.group(1), m.group(2)
+        kind, path, _key = self._require(name)
+        cols = [c.strip() for c in cols_sql.split(",")]
+        frame = self._frame(name, None)
+        have = {c.lower(): c for c in frame.columns}
+        unknown = [c for c in cols if c.lower() not in have]
+        if unknown:
+            raise ValueError(
+                f"ANALYZE {name}: unknown column(s) {unknown} "
+                f"({sorted(frame.columns)})"
+            )
+        from pyspark.sql import functions as F
+
+        from ..sinks.manifest import CommitLog
+
+        log = CommitLog(path)
+        agg: dict[str, dict] = {
+            c: {"min": None, "max": None, "nulls": 0, "known": True}
+            for c in cols
+        }
+        if log.exists():
+            m_ = log.manifest(log.visible_version())
+            for ent in m_["files"]:
+                if ent.get("role", "data") != "data":
+                    continue
+                if int(ent.get("rows", 0)) == 0:
+                    continue  # empty part-file: no stats, no influence
+                for c in cols:
+                    st = ent.get("columns", {}).get(c)
+                    a = agg[c]
+                    if st is None or st.get("min") is None:
+                        a["known"] = False
+                        continue
+                    a["min"] = (
+                        st["min"]
+                        if a["min"] is None
+                        else min(a["min"], st["min"])
+                    )
+                    a["max"] = (
+                        st["max"]
+                        if a["max"] is None
+                        else max(a["max"], st["max"])
+                    )
+                    a["nulls"] += int(st.get("null_count", 0))
+        else:
+            for a in agg.values():
+                a["known"] = False
+        ndv_row = frame.agg(
+            *[
+                F.approx_count_distinct(have[c.lower()], rsd=0.02).alias(c)
+                for c in cols
+            ]
+        ).first()
+        rows = [
+            (
+                name,
+                c,
+                str(agg[c]["min"]) if agg[c]["known"] else None,
+                str(agg[c]["max"]) if agg[c]["known"] else None,
+                int(agg[c]["nulls"]) if agg[c]["known"] else None,
+                int(ndv_row[c]),
+                kind == "mor",  # manifest stats bound the chain, not state
+            )
+            for c in cols
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "table string, column string, min string, max string, "
+            "null_count long, approx_ndv long, bounds_are_chain boolean",
         )
 
     def _try_analyze(self, query: str) -> DataFrame | None:

@@ -1211,3 +1211,63 @@ def q_sql_show_create(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# --- S37b: ANALYZE ... FOR COLUMNS (manifest-served column stats) ----------------
+
+
+@query(
+    "q_sql_analyze_cols",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS k, o_custkey AS ck,
+               CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                    ELSE CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+               END AS cents
+        FROM orders
+    )
+    SELECT 'k' AS column, CAST(min(k) AS VARCHAR) AS min,
+           CAST(max(k) AS VARCHAR) AS max,
+           count(*) - count(k) AS null_count FROM base
+    UNION ALL
+    SELECT 'cents', CAST(min(cents) AS VARCHAR),
+           CAST(max(cents) AS VARCHAR),
+           count(*) - count(cents) FROM base
+    """,
+)
+def q_sql_analyze_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S37b: per-column statistics AGGREGATED FROM THE COMMIT MANIFEST —
+    # min/max/null_count come from footer stats the commit already paid
+    # for (zero data scan; the one scan in the statement is the approx
+    # ndv, asserted inline against the exact count within 5%). The
+    # oracle recomputes the exact column stats relationally: a wrong
+    # fold across files (min of maxes, lost null counts, an empty
+    # part-file poisoning the aggregate) hash-fails.
+    import shutil
+
+    from ..plans.lakehouse_sql import LakehouseSqlCatalog
+    from ..sinks.merge import MergeSink
+
+    base = Catalog(spark, sf_dir).orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("ck"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+        .otherwise(fixed_cents(F.col("o_totalprice")))
+        .alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="phe_sql_an_")
+    path = os.path.join(root, "t")
+    MergeSink(path, key="k").init(base.repartition(8))  # multi-file fold
+    cat = LakehouseSqlCatalog(spark)
+    cat.register_cow("an_t", path, key="k")
+    stats = cat.sql(
+        "ANALYZE TABLE an_t COMPUTE STATISTICS FOR COLUMNS k, cents"
+    ).localCheckpoint(eager=True)
+    by_col = {r.column: r for r in stats.collect()}
+    exact_k = base.select("k").distinct().count()
+    assert abs(by_col["k"].approx_ndv - exact_k) <= max(
+        1, int(0.10 * exact_k)
+    ), "approx ndv drifted beyond 10% of exact (rsd=0.02 -> 5 sigma)"
+    out = stats.select("column", "min", "max", "null_count")
+    shutil.rmtree(root, ignore_errors=True)
+    return out.localCheckpoint(eager=True)

@@ -106,3 +106,26 @@ def test_merge_using_persistent_view(spark, tmp_path):
     )
     got = {(r.k, r.v) for r in cat.sql("SELECT * FROM mt").collect()}
     assert got == {(1, 99), (2, 20), (3, 30)}  # 4/-1 filtered by the view
+
+
+def test_analyze_for_columns_from_manifest(spark, tmp_path):
+    p = os.path.join(str(tmp_path), "t")
+    MergeSink(p, key="k").init(
+        spark.createDataFrame(
+            [(1, 10), (2, None), (3, 30)], "k INT, v INT"
+        ).coalesce(1)
+    )
+    cat = LakehouseSqlCatalog(spark)
+    cat.register_path("an1", p)
+    rows = {
+        r.column: r
+        for r in cat.sql(
+            "ANALYZE TABLE an1 COMPUTE STATISTICS FOR COLUMNS k, v"
+        ).collect()
+    }
+    assert rows["k"].min == "1" and rows["k"].max == "3"
+    assert rows["k"].null_count == 0 and rows["k"].approx_ndv == 3
+    assert rows["v"].null_count == 1
+    assert rows["v"].min == "10" and rows["v"].max == "30"
+    with pytest.raises(ValueError, match="unknown column"):
+        cat.sql("ANALYZE TABLE an1 COMPUTE STATISTICS FOR COLUMNS nope")

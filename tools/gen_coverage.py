@@ -112,6 +112,10 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          "warehouse catalog, nested resolution + cycle guard, "
          "fresh-session discovery, DROP/SHOW VIEWS",
          ["q_sql_view"]),
+        ("S37b", "ANALYZE ... FOR COLUMNS: per-column min/max/nulls "
+         "folded from the commit manifest (zero scan), approx ndv as "
+         "the one scanned statistic",
+         ["q_sql_analyze_cols"]),
         ("S43b", "SHOW CREATE TABLE (round-trippable DDL incl. "
          "constraints/generated/props) + TRUNCATE TABLE (empty "
          "version, history kept, MoR chain restart)",

@@ -299,6 +299,38 @@ def _split_top_commas(s: str) -> list[str]:
     return parts
 
 
+def _unquote_prop(v: str) -> str:
+    """TBLPROPERTIES value decode: outer quotes off, doubled inner
+    quotes ('' -> ') restored — the standard SQL escape, what lets a
+    CHECK expression containing string literals round-trip through
+    SHOW CREATE TABLE."""
+    v = v.strip()
+    for q in ("'", '"'):
+        if len(v) >= 2 and v.startswith(q) and v.endswith(q):
+            return v[1:-1].replace(q * 2, q)
+    return v
+
+
+def _quote_prop(v: object) -> str:
+    """TBLPROPERTIES value encode (inverse of :func:`_unquote_prop`);
+    lists emit comma-joined (the form CREATE TABLE normalizes back)."""
+    if isinstance(v, (list, tuple)):
+        v = ",".join(str(x) for x in v)
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def _prop_key(raw: str) -> str:
+    """TBLPROPERTIES key normalization: control keys fold to lowercase,
+    but the dotted invariant families keep their case (a constraint
+    named Check_Positive must round-trip byte-identically)."""
+    k = raw.strip()
+    return (
+        k
+        if k.lower().startswith(("constraint.", "generated.", "notnull."))
+        else k.lower()
+    )
+
+
 def _split_assignments(s: str) -> list[tuple[str, str]]:
     """``a = expr, b = f(x, y)`` -> [(a, expr), (b, f(x, y))]."""
     out = []
@@ -1192,9 +1224,16 @@ class LakehouseSqlCatalog:
         df = self._select(payload)
         if col_list:
             # `INSERT INTO t (a, b) ...`: bind the payload positionally
-            # to the NAMED columns; omitted table columns resolve below
+            # to the NAMED columns (case-insensitively, like every other
+            # resolution path); omitted table columns resolve below
             # (generated ones are computed, others must be omittable)
-            names = [c.strip() for c in col_list.split(",")]
+            target_by_lower = {
+                c.lower(): c for c in self._frame(name, None).columns
+            }
+            names = [
+                target_by_lower.get(c.strip().lower(), c.strip())
+                for c in col_list.split(",")
+            ]
             if len(df.columns) != len(names):
                 raise ValueError(
                     f"INSERT INTO {name} ({col_list}): payload has "
@@ -1268,8 +1307,12 @@ class LakehouseSqlCatalog:
             if key is not None and not _committed(path):
                 # first INSERT into a DDL-created empty table: commit v1
                 # through the engine sink directly — same claim+publish
-                # protocol, no Python-DataSource writer round trip
-                MergeSink(path, key=key).init(df)
+                # protocol, no Python-DataSource writer round trip; the
+                # DDL's declared partition layout is honored here
+                pby = CommitLog(path).table_props().get("partition_by")
+                if isinstance(pby, str):
+                    pby = [p.strip() for p in pby.split(",") if p.strip()]
+                MergeSink(path, key=key, partition_by=pby).init(df)
             else:
                 write_table(df, path, mode="append")
         else:
@@ -1380,17 +1423,25 @@ class LakehouseSqlCatalog:
         pattern, fmt_opts_raw = m.group(4), m.group(5)
         force = (m.group(6) or "").upper() == "TRUE"
         kind, path, key = self._require(name)
+        import os as _os
+
         from pyspark.sql import Observation
         from pyspark.sql import functions as F
 
         from ..sinks.copy_into import (
             list_source_files,
-            loaded_files,
+            loaded_effective,
             record_loaded,
         )
+        from ..sinks.txn import heal as _txn_heal
 
+        # complete any crashed prior COPY first (its loaded-record is
+        # in the prepared intent; healing publishes data + record as
+        # one commit, so the diff below sees it as loaded)
+        coord = _os.path.join(path, "_manifest", "_copytxn")
+        _txn_heal(coord)
         candidates = list_source_files(src, pattern)
-        already = {} if force else loaded_files(path)
+        already = {} if force else loaded_effective(path)
         todo = {p: rec for p, rec in candidates.items() if p not in already}
         skipped = len(candidates) - len(todo)
         if not todo:
@@ -1448,25 +1499,23 @@ class LakehouseSqlCatalog:
 
         obs = Observation(f"copy_{_uuid.uuid4().hex[:8]}")
         df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+        # the load commits through the transaction protocol with the
+        # loaded-file record ON THE MANIFEST: data and record land in
+        # ONE atomic commit, so no crash anywhere in this statement can
+        # double-load (a crash mid-publish is completed by the heal at
+        # the top of the next COPY; a crash pre-prepare loads nothing)
+        from ..sinks.txn import LakehouseTransaction
+
+        txn = LakehouseTransaction(coord)
         if kind == "cow":
-            from ..sinks.merge import MergeSink
-            from ..sinks.merge import _versions as _committed
-            from ..sources.lakehouse_ds import write_table
-
-            if key is not None and not _committed(path):
-                MergeSink(path, key=key).init(df)
-            else:
-                write_table(df, path, mode="append")
+            txn.stage_append(path, df, copy_files=todo)
         else:
-            from ..sinks.merge import _versions as _committed
-            from ..sinks.mor import MorTable
+            txn.stage_mor_upsert(path, source=df, copy_files=todo)
+        txn.commit()
+        from ..sinks.txn import gc as _txn_gc
 
-            t = MorTable(path, key=key)
-            if not _committed(path):
-                t.init(df)
-            else:
-                t.merge(self.spark, source=df)
-        record_loaded(path, todo)
+        record_loaded(path, todo)  # side-file cache (survives VACUUM)
+        _txn_gc(coord)  # reclaim the committed single-entry txn's files
         try:
             rows = int(obs.get["rows"])
         except Exception:
@@ -1749,7 +1798,7 @@ class LakehouseSqlCatalog:
                     raise ValueError(
                         f"malformed TBLPROPERTIES entry {part!r}"
                     )
-                props[pk.strip().lower()] = pv.strip().strip("'\"")
+                props[_prop_key(pk)] = _unquote_prop(pv)
         if props["kind"] not in ("cow", "mor"):
             raise ValueError(f"unknown table kind {props['kind']!r}")
         if props["kind"] == "mor" and "merge_key" not in props:
@@ -1840,9 +1889,12 @@ class LakehouseSqlCatalog:
             for c, e in gen_cols.items():
                 new_props[f"{GENERATED_PREFIX}{c}"] = e
             # every OTHER TBLPROPERTIES entry persists verbatim
-            # (bloom_on, partition_by, constraint.* — what makes SHOW
-            # CREATE TABLE a faithful round trip)
+            # (bloom_on, constraint.* — what makes SHOW CREATE TABLE a
+            # faithful round trip); partition_by normalizes to the LIST
+            # every consumer expects (MergeSink stores a list)
             for k, v in props.items():
+                if k == "partition_by" and isinstance(v, str):
+                    v = [p.strip() for p in v.split(",") if p.strip()]
                 new_props.setdefault(k, v)
             log.write_table_props(new_props)
         self._tables[name] = (str(props["kind"]), path, key)
@@ -2047,7 +2099,7 @@ class LakehouseSqlCatalog:
                     raise ValueError(
                         f"malformed TBLPROPERTIES entry {part!r}"
                     )
-                new_props[pk.strip().lower()] = pv.strip().strip("'\"")
+                new_props[_prop_key(pk)] = _unquote_prop(pv)
             if "kind" in new_props and new_props["kind"] != kind:
                 raise ValueError(
                     f"ALTER TABLE {name}: kind is immutable "
@@ -2235,7 +2287,9 @@ class LakehouseSqlCatalog:
             f"USING lakehouse LOCATION '{path}'"
         )
         if tprops:
-            body = ", ".join(f"{k}='{v}'" for k, v in tprops.items())
+            body = ", ".join(
+                f"{k}={_quote_prop(v)}" for k, v in tprops.items()
+            )
             stmt += f" TBLPROPERTIES ({body})"
         return self.spark.createDataFrame(
             [(stmt,)], "createtab_stmt string"
@@ -2425,29 +2479,44 @@ class LakehouseSqlCatalog:
             for c in cols
         }
         if log.exists():
-            m_ = log.manifest(log.visible_version())
-            for ent in m_["files"]:
-                if ent.get("role", "data") != "data":
-                    continue
-                if int(ent.get("rows", 0)) == 0:
-                    continue  # empty part-file: no stats, no influence
-                for c in cols:
-                    st = ent.get("columns", {}).get(c)
-                    a = agg[c]
-                    if st is None or st.get("min") is None:
-                        a["known"] = False
+            if kind == "mor":
+                # fold the WHOLE delta chain (the head manifest is just
+                # the newest delta): same version set _table_stats and
+                # the MoR read path resolve
+                from ..sinks.mor import MorTable
+
+                _start, chain = MorTable(path, key=_key or "_")._chain()
+                manifests = [log.manifest(v) for v in chain]
+            else:
+                manifests = [log.manifest(log.visible_version())]
+            for m_ in manifests:
+                for ent in m_["files"]:
+                    if ent.get("role", "data") != "data":
                         continue
-                    a["min"] = (
-                        st["min"]
-                        if a["min"] is None
-                        else min(a["min"], st["min"])
-                    )
-                    a["max"] = (
-                        st["max"]
-                        if a["max"] is None
-                        else max(a["max"], st["max"])
-                    )
-                    a["nulls"] += int(st.get("null_count", 0))
+                    if int(ent.get("rows", 0)) == 0:
+                        continue  # empty part-file: no stats, no influence
+                    # manifest keys carry the TABLE's column case
+                    ecols = {
+                        k.lower(): v
+                        for k, v in ent.get("columns", {}).items()
+                    }
+                    for c in cols:
+                        st = ecols.get(c.lower())
+                        a = agg[c]
+                        if st is None or st.get("min") is None:
+                            a["known"] = False
+                            continue
+                        a["min"] = (
+                            st["min"]
+                            if a["min"] is None
+                            else min(a["min"], st["min"])
+                        )
+                        a["max"] = (
+                            st["max"]
+                            if a["max"] is None
+                            else max(a["max"], st["max"])
+                        )
+                        a["nulls"] += int(st.get("null_count", 0))
         else:
             for a in agg.values():
                 a["known"] = False

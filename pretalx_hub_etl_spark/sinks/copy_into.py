@@ -1,12 +1,20 @@
 """COPY INTO: idempotent file ingestion into a lakehouse table (S42).
 
 ``COPY INTO t FROM '<dir>' FILEFORMAT = PARQUET|CSV|JSON`` loads every
-matching source file EXACTLY ONCE across statement re-runs: the set of
-already-loaded file paths is persisted next to the table's commit log
-(``_manifest/_copy_state.json``, tmp+rename like the table props) and a
-re-run diffs the current listing against it — the retry-friendly
-ingestion front door every scheduled pipeline needs (re-running a
-failed-downstream job must not double-load yesterday's files).
+matching source file EXACTLY ONCE across statement re-runs — the
+retry-friendly ingestion front door every scheduled pipeline needs
+(re-running a failed-downstream job must not double-load yesterday's
+files). Exactly-once is CRASH-PROOF because the loaded-file record
+rides the data commit itself: each COPY commits through the S45
+transaction protocol (sinks/txn.py) with ``copy_files`` stamped into
+the commit's manifest, so there is no window where data is committed
+but unrecorded (the classic double-load crash) or recorded but
+uncommitted (silent loss). A crash mid-publish is completed by the
+heal pass at the top of the next COPY; a crash pre-prepare loads
+nothing and re-runs cleanly. The side file
+(``_manifest/_copy_state.json``) is a CACHE of the manifest records —
+it makes the loaded-set survive VACUUM of old manifests; the union of
+both (:func:`loaded_effective`) is the truth a re-run diffs against.
 
 Semantics follow the public Databricks/Delta COPY INTO surface:
 
@@ -49,12 +57,36 @@ def _state_path(table_path: str) -> str:
 
 
 def loaded_files(table_path: str) -> dict[str, dict[str, Any]]:
-    """Already-loaded source files: absolute path -> {size, mtime_ns}."""
+    """Already-loaded source files: absolute path -> {size, mtime_ns}
+    (the side-file CACHE; :func:`loaded_effective` is the truth)."""
     try:
         with open(_state_path(table_path)) as fh:
             return json.load(fh)
     except (FileNotFoundError, ValueError):
         return {}
+
+
+def loaded_effective(table_path: str) -> dict[str, dict[str, Any]]:
+    """The authoritative loaded set: the side-file cache UNIONED with
+    every live commit manifest's ``copy_files`` record. The manifest
+    record is written ATOMICALLY with the data commit (the loaded-set
+    rides the commit — sinks/txn.py), so a crash between commit and any
+    side bookkeeping can never double-load; the side file survives
+    VACUUM of old manifests. O(live versions) tiny JSON reads — an
+    ingestion-statement cost, not a read-path cost."""
+    from .manifest import CommitLog
+
+    out = loaded_files(table_path)
+    log = CommitLog(table_path)
+    if log.exists():
+        for v in log.versions():
+            try:
+                cf = log.manifest(v).get("copy_files")
+            except FileNotFoundError:
+                continue
+            if cf:
+                out.update(cf)
+    return out
 
 
 def record_loaded(table_path: str, newly: dict[str, dict[str, Any]]) -> None:

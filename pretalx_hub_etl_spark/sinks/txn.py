@@ -112,34 +112,52 @@ class LakehouseTransaction:
         props = CommitLog(table_path).table_props()
         return apply_invariants(apply_generated(df, props), props)
 
-    def stage_append(self, table_path: str, df: DataFrame) -> None:
+    def stage_append(
+        self,
+        table_path: str,
+        df: DataFrame,
+        copy_files: dict[str, Any] | None = None,
+    ) -> None:
         """Stage an append of ``df`` to a CoW table (new files only;
-        the current base's files are re-linked at publish time)."""
+        the current base's files are re-linked at publish time). The
+        table's stored partition layout is honored — staged files land
+        in the same hive structure the base uses. ``copy_files`` rides
+        the published manifest verbatim (the S42 exactly-once record)."""
         self._check_open()
-        kind = CommitLog(table_path).table_props().get("kind", "cow")
-        if kind != "cow":
+        props = CommitLog(table_path).table_props()
+        if props.get("kind", "cow") != "cow":
             raise ValueError(
-                f"stage_append targets CoW tables; {table_path} is {kind}"
-                " (use stage_mor_upsert)"
+                f"stage_append targets CoW tables; {table_path} is "
+                f"{props.get('kind')} (use stage_mor_upsert)"
             )
         stage = self._stage_dir(table_path)
-        self._guarded(df, table_path).write.mode("errorifexists").parquet(
-            os.path.join(stage, "new")
-        )
-        self._entries.append(
-            {
-                "path": os.path.abspath(table_path),
-                "op": "cow_append",
-                "stage": stage,
-                "base_at_prepare": CommitLog(table_path).current_version(),
-            }
-        )
+        w = self._guarded(df, table_path).write.mode("errorifexists")
+        pby = props.get("partition_by")
+        if isinstance(pby, str):
+            pby = [p.strip() for p in pby.split(",") if p.strip()]
+        if pby:
+            w = w.partitionBy(*pby)
+        try:
+            w.parquet(os.path.join(stage, "new"))
+        except BaseException:
+            shutil.rmtree(stage, ignore_errors=True)
+            raise  # failed stage (e.g. constraint violation): no orphan
+        ent: dict[str, Any] = {
+            "path": os.path.abspath(table_path),
+            "op": "cow_append",
+            "stage": stage,
+            "base_at_prepare": CommitLog(table_path).current_version(),
+        }
+        if copy_files:
+            ent["copy_files"] = copy_files
+        self._entries.append(ent)
 
     def stage_mor_upsert(
         self,
         table_path: str,
         source: DataFrame | None = None,
         deletes: DataFrame | None = None,
+        copy_files: dict[str, Any] | None = None,
     ) -> None:
         """Stage a MoR delta (keyed upserts and/or key tombstones) —
         pure delta files, base-independent by construction."""
@@ -156,26 +174,31 @@ class LakehouseTransaction:
         if not key:
             raise ValueError(f"{table_path} has no stored merge key")
         stage = self._stage_dir(table_path)
-        if source is not None:
-            self._guarded(source, table_path).write.mode(
-                "errorifexists"
-            ).parquet(os.path.join(stage, "data"))
-        if deletes is not None:
-            from pyspark.sql import functions as F
+        try:
+            if source is not None:
+                self._guarded(source, table_path).write.mode(
+                    "errorifexists"
+                ).parquet(os.path.join(stage, "data"))
+            if deletes is not None:
+                from pyspark.sql import functions as F
 
-            deletes.select(
-                F.col(deletes.columns[0]).alias(key)
-            ).write.mode("errorifexists").parquet(
-                os.path.join(stage, "deletes")
-            )
-        self._entries.append(
-            {
-                "path": os.path.abspath(table_path),
-                "op": "mor_delta",
-                "stage": stage,
-                "base_at_prepare": CommitLog(table_path).current_version(),
-            }
-        )
+                deletes.select(
+                    F.col(deletes.columns[0]).alias(key)
+                ).write.mode("errorifexists").parquet(
+                    os.path.join(stage, "deletes")
+                )
+        except BaseException:
+            shutil.rmtree(stage, ignore_errors=True)
+            raise
+        ent: dict[str, Any] = {
+            "path": os.path.abspath(table_path),
+            "op": "mor_delta",
+            "stage": stage,
+            "base_at_prepare": CommitLog(table_path).current_version(),
+        }
+        if copy_files:
+            ent["copy_files"] = copy_files
+        self._entries.append(ent)
 
     # -- terminal states -------------------------------------------------------
 
@@ -254,16 +277,33 @@ def _publish_one(
         return v
     props = log.table_props()
     bloom_on = props.get("bloom_on")
+    # a vanished stage is a REAL error (os.walk on a missing dir is
+    # silent — publishing would commit an empty append and mark the
+    # entry done, silently losing the transaction's data)
+    probe = (
+        os.path.join(stage, "new") if op == "cow_append" else stage
+    )
+    if not os.path.isdir(probe):
+        raise FileNotFoundError(
+            f"txn {txn_id} entry {idx}: staged data missing at {probe}"
+        )
+    from .merge import _versions
+
     for _ in range(50):
-        base, claim = _base_and_claim(path)
+        if not _versions(path):
+            base, claim = 0, 1  # first commit of a DDL-created table
+        else:
+            base, claim = _base_and_claim(path)
         work = os.path.join(path, f".stage-txnpub-{uuid.uuid4().hex}")
         os.makedirs(work)
         try:
             if op == "cow_append":
                 # re-link the CURRENT base's files (a commit that landed
                 # after staging is preserved), then the staged new files
-                # under a txn-unique subdir that cannot collide with the
-                # MoR role names or hive partition segments
+                # PRESERVING their relative layout — a partitioned stage
+                # merges into the base's hive dirs (a side subdir would
+                # give Spark conflicting directory structures) — with a
+                # txn-unique FILE name prefix against collisions
                 if base > 0:
                     for fent in log.manifest(base)["files"]:
                         rel = fent["path"]
@@ -272,14 +312,26 @@ def _publish_one(
                         os.link(
                             os.path.join(path, f"v{base}", rel), dst
                         )
-                newdir = os.path.join(work, f"txnnew{idx}")
-                os.makedirs(newdir)
                 srcdir = os.path.join(stage, "new")
-                for fn in os.listdir(srcdir):
-                    if fn.endswith(".parquet"):
+                for root_, dirs, files in os.walk(srcdir):
+                    dirs[:] = [
+                        d for d in dirs if not d.startswith(("_", "."))
+                    ]
+                    for fn in files:
+                        if not fn.endswith(".parquet"):
+                            continue
+                        rel_dir = os.path.relpath(root_, srcdir)
+                        ddir = (
+                            work
+                            if rel_dir == "."
+                            else os.path.join(work, rel_dir)
+                        )
+                        os.makedirs(ddir, exist_ok=True)
                         os.link(
-                            os.path.join(srcdir, fn),
-                            os.path.join(newdir, fn),
+                            os.path.join(root_, fn),
+                            os.path.join(
+                                ddir, f"txn{idx}-{txn_id[:8]}-{fn}"
+                            ),
                         )
             else:  # mor_delta
                 for role in ("data", "deletes"):
@@ -298,6 +350,11 @@ def _publish_one(
                 fh.write("")
             manifest = build_manifest(claim, work, bloom_on=bloom_on)
             manifest["txn"] = {"id": txn_id, "coord": coord, "entry": idx}
+            if ent.get("copy_files"):
+                # S42 exactly-once: the loaded-file record rides the
+                # COMMIT itself (crash between commit and any side
+                # bookkeeping can never double-load)
+                manifest["copy_files"] = ent["copy_files"]
             if op == "mor_delta":
                 # the MoR chain-start pointer (same rule as
                 # MorTable._commit: inherit the previous commit's)
@@ -306,10 +363,18 @@ def _publish_one(
                     manifest["checkpoint_at"] = prev.get("checkpoint_at")
                 except FileNotFoundError:
                     manifest["checkpoint_at"] = None
-            os.rename(work, os.path.join(path, f"v{claim}"))
-        except OSError:
+        except BaseException:
             shutil.rmtree(work, ignore_errors=True)
-            continue  # lost the version race: recompute against new base
+            raise  # real I/O / stats errors must surface, not retry
+        try:
+            os.rename(work, os.path.join(path, f"v{claim}"))
+        except OSError as exc:
+            import errno
+
+            shutil.rmtree(work, ignore_errors=True)
+            if exc.errno in (errno.EEXIST, errno.ENOTEMPTY):
+                continue  # lost the version race: relink against new base
+            raise
         log.publish(manifest)
         shutil.rmtree(stage, ignore_errors=True)
         with open(done, "w") as fh:
@@ -326,6 +391,51 @@ def _publish_intent(coord: str, intent: dict[str, Any]) -> dict[str, int]:
         out[ent["path"]] = _publish_one(coord, intent["id"], idx, ent)
     with open(_committed_marker(coord, intent["id"]), "w") as fh:
         fh.write("")
+    return out
+
+
+def gc(coordinator: str) -> list[str]:
+    """Reclaim COMMITTED transactions' coordinator files (a pipeline
+    committing one txn per batch otherwise accumulates 3+ files per txn
+    forever, and every read of a txn-tail table pays a marker stat).
+    Safe at any moment: each referenced manifest is first REWRITTEN
+    without its ``txn`` marker (no marker == visible, the same answer
+    the marker gave once committed — racing readers see either form),
+    then the intent/markers are deleted. Pending transactions are never
+    touched. Returns the collected txn ids."""
+    coord = os.path.abspath(coordinator)
+    out: list[str] = []
+    if not os.path.isdir(coord):
+        return out
+    for fn in sorted(os.listdir(coord)):
+        if not fn.endswith(".json"):
+            continue
+        txn_id = fn[: -len(".json")]
+        if not os.path.exists(_committed_marker(coord, txn_id)):
+            continue  # pending: heal() owns it
+        with open(os.path.join(coord, fn)) as fh:
+            intent = json.load(fh)
+        for idx, ent in enumerate(intent["entries"]):
+            log = CommitLog(ent["path"])
+            v = _already_published(
+                log, txn_id, idx, ent["base_at_prepare"]
+            )
+            if v is None:
+                continue  # vacuumed away: nothing to unmark
+            m = log.manifest(v)
+            if m.get("txn", {}).get("id") == txn_id:
+                del m["txn"]
+                mdir = os.path.join(ent["path"], "_manifest")
+                tmp = os.path.join(mdir, f".tmp-gc-{uuid.uuid4().hex}")
+                with open(tmp, "w") as fh:
+                    json.dump(m, fh, separators=(",", ":"))
+                os.replace(tmp, os.path.join(mdir, f"{v}.json"))
+            dmark = os.path.join(coord, f"{txn_id}.e{idx}.done")
+            if os.path.exists(dmark):
+                os.remove(dmark)
+        os.remove(os.path.join(coord, fn))
+        os.remove(_committed_marker(coord, txn_id))
+        out.append(txn_id)
     return out
 
 

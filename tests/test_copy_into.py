@@ -168,3 +168,39 @@ def test_copy_into_ddl_created_empty_table(spark, tmp_path):
     _stage(spark, stage, "b1", [(1, 10)])
     cat.sql(f"COPY INTO cp9 FROM '{stage}' FILEFORMAT = PARQUET")
     assert cat.sql("SELECT * FROM cp9").count() == 1
+
+
+def test_copy_into_crash_window_cannot_double_load(spark, tmp_path):
+    # the loaded-file record rides the COMMIT: simulate a crash right
+    # after the data publish (before the committed marker / any side
+    # bookkeeping) — the re-run heals the pending copy-txn and must
+    # load ZERO new rows
+    import json
+
+    from pretalx_hub_etl_spark.sinks.copy_into import list_source_files
+    from pretalx_hub_etl_spark.sinks.txn import (
+        LakehouseTransaction,
+        _publish_one,
+    )
+
+    cat, path = _cow(spark, tmp_path, "cp10")
+    stage = os.path.join(str(tmp_path), "stage")
+    _stage(spark, stage, "b1", [(1, 10), (2, 20)])
+    coord = os.path.join(path, "_manifest", "_copytxn")
+    todo = list_source_files(stage, None)
+    txn = LakehouseTransaction(coord)
+    df = spark.read.parquet(*sorted(todo))
+    txn.stage_append(path, df, copy_files=todo)
+    os.makedirs(coord, exist_ok=True)
+    with open(os.path.join(coord, f"{txn.id}.json"), "x") as fh:
+        json.dump({"id": txn.id, "entries": txn._entries}, fh)
+    _publish_one(coord, txn.id, 0, txn._entries[0])
+    # CRASH here: no committed marker, no _copy_state.json update
+    r = cat.sql(
+        f"COPY INTO cp10 FROM '{stage}' FILEFORMAT = PARQUET"
+    ).first()
+    assert r.files_loaded == 0 and r.rows_loaded == 0, (
+        "crash window double-loaded the staged files"
+    )
+    got = {(x.k, x.v) for x in cat.sql("SELECT * FROM cp10").collect()}
+    assert got == {(0, 0), (1, 10), (2, 20)}  # healed, once

@@ -129,3 +129,80 @@ def test_analyze_for_columns_from_manifest(spark, tmp_path):
     assert rows["v"].min == "10" and rows["v"].max == "30"
     with pytest.raises(ValueError, match="unknown column"):
         cat.sql("ANALYZE TABLE an1 COMPUTE STATISTICS FOR COLUMNS nope")
+
+
+def test_show_create_quotes_and_case_round_trip(spark, tmp_path):
+    # CHECK expressions containing string literals escape as doubled
+    # quotes and survive the round trip; constraint-name case persists
+    p1 = os.path.join(str(tmp_path), "q1")
+    p2 = os.path.join(str(tmp_path), "q2")
+    cat = LakehouseSqlCatalog(spark)
+    cat.sql(
+        f"CREATE TABLE qt1 (k INT, status STRING) USING lakehouse "
+        f"LOCATION '{p1}' TBLPROPERTIES (merge_key='k')"
+    )
+    cat.sql(
+        "ALTER TABLE qt1 ADD CONSTRAINT Status_Ok "
+        "CHECK (status IN ('a','b'))"
+    )
+    props1 = CommitLog(p1).table_props()
+    assert "constraint.Status_Ok" in props1  # case preserved
+    stmt = cat.sql("SHOW CREATE TABLE qt1").first().createtab_stmt
+    cat.sql(stmt.replace(f"'{p1}'", f"'{p2}'").replace("qt1", "qt2", 1))
+    assert CommitLog(p2).table_props() == props1
+    with pytest.raises(Exception, match="Status_Ok"):
+        cat.sql("INSERT INTO qt2 VALUES (1, 'z')")
+    cat.sql("INSERT INTO qt2 VALUES (1, 'a')")
+    assert cat.sql("SELECT * FROM qt2").count() == 1
+
+
+def test_create_partition_by_is_honored(spark, tmp_path):
+    p = os.path.join(str(tmp_path), "pt")
+    cat = LakehouseSqlCatalog(spark)
+    cat.sql(
+        f"CREATE TABLE pt1 (k INT, pk INT, v INT) USING lakehouse "
+        f"LOCATION '{p}' TBLPROPERTIES (merge_key='k', "
+        f"partition_by='pk')"
+    )
+    props = CommitLog(p).table_props()
+    assert props["partition_by"] == ["pk"]  # normalized to a list
+    cat.sql("INSERT INTO pt1 VALUES (1, 7, 10), (2, 8, 20)")
+    # the first INSERT physically partitioned the commit
+    v1 = os.path.join(p, "v1")
+    assert any(d.startswith("pk=") for d in os.listdir(v1))
+
+
+def test_analyze_mor_folds_the_chain(spark, tmp_path):
+    p = os.path.join(str(tmp_path), "m")
+    t = MorTable(p, key="k")
+    t.init(
+        spark.createDataFrame([(1, 10), (2, 20)], "k INT, v INT").coalesce(1)
+    )
+    t.merge(
+        spark,
+        source=spark.createDataFrame([(3, 99)], "k INT, v INT").coalesce(1),
+    )
+    cat = LakehouseSqlCatalog(spark)
+    cat.register_path("anm", p)
+    rows = {
+        r.column: r
+        for r in cat.sql(
+            "ANALYZE TABLE anm COMPUTE STATISTICS FOR COLUMNS v"
+        ).collect()
+    }
+    # the head manifest alone would say min=max=99; the chain fold
+    # must see the checkpoint too
+    assert rows["v"].min == "10" and rows["v"].max == "99"
+    assert rows["v"].bounds_are_chain is True
+
+
+def test_insert_column_list_is_case_insensitive(spark, tmp_path):
+    p = os.path.join(str(tmp_path), "t")
+    cat = LakehouseSqlCatalog(spark)
+    cat.sql(
+        f"CREATE TABLE ci1 (k INT, cents BIGINT) USING lakehouse "
+        f"LOCATION '{p}' TBLPROPERTIES (merge_key='k')"
+    )
+    cat.sql("INSERT INTO ci1 (K, CENTS) VALUES (1, 100)")
+    r = cat.sql("SELECT * FROM ci1").first()
+    assert (r.k, r.cents) == (1, 100)

@@ -209,3 +209,71 @@ def test_time_travel_ignores_visibility_for_pinned_versions(
     assert MergeSink(a, key="k").read_version(spark, 2).count() == 2
     assert MergeSink(a, key="k").read(spark).count() == 1
     heal(coord)
+
+
+def test_txn_append_on_partitioned_table(spark, tmp_path):
+    # staged files must merge into the base's hive layout (a side
+    # subdir would give Spark conflicting directory structures)
+    p = os.path.join(str(tmp_path), "pt")
+    MergeSink(p, key="k", partition_by=["pk"]).init(
+        spark.createDataFrame([(1, 1, 10), (2, 2, 20)], "k INT, pk INT, v INT")
+    )
+    coord = os.path.join(str(tmp_path), "_txn")
+    txn = LakehouseTransaction(coord)
+    txn.stage_append(
+        p, spark.createDataFrame([(3, 1, 30)], "k INT, pk INT, v INT")
+    )
+    txn.commit()
+    got = {
+        (r.k, r.pk, r.v)
+        for r in MergeSink(p, key="k").read(spark).collect()
+    }
+    assert got == {(1, 1, 10), (2, 2, 20), (3, 1, 30)}
+    # partition column still prunable through the manifest
+    df, scanned, skipped = MergeSink(p, key="k").read_pruned(
+        spark, "pk", 2, 2
+    )
+    assert skipped >= 1 and df.count() >= 0
+
+
+def test_txn_gc_reclaims_committed_coordinators(spark, tmp_path):
+    from pretalx_hub_etl_spark.sinks.txn import gc as txn_gc
+
+    a, b, coord = _mk_tables(spark, tmp_path)
+    txn = LakehouseTransaction(coord)
+    txn.stage_append(a, spark.createDataFrame([(2, 20)], "k INT, v INT"))
+    txn.commit()
+    assert os.listdir(coord)  # intent + done + committed present
+    collected = txn_gc(coord)
+    assert collected == [txn.id]
+    assert os.listdir(coord) == []
+    # the table stays fully readable: the manifest's txn marker was
+    # REWRITTEN away (no marker == visible), not orphaned
+    log = CommitLog(a)
+    assert log.visible_version() == log.current_version() == 2
+    assert "txn" not in log.manifest(2)
+    assert MergeSink(a, key="k").read(spark).count() == 2
+    # pending txns are never collected
+    txn2 = LakehouseTransaction(coord)
+    txn2.stage_append(a, spark.createDataFrame([(3, 30)], "k INT, v INT"))
+    os.makedirs(coord, exist_ok=True)
+    with open(os.path.join(coord, f"{txn2.id}.json"), "x") as fh:
+        json.dump({"id": txn2.id, "entries": txn2._entries}, fh)
+    assert txn_gc(coord) == []
+    heal(coord)
+
+
+def test_publish_one_surfaces_real_io_errors(spark, tmp_path):
+    # a missing stage dir is a REAL error, not a version race: it must
+    # surface immediately instead of retrying 50 relink passes
+    import shutil as _sh
+
+    a, b, coord = _mk_tables(spark, tmp_path)
+    txn = LakehouseTransaction(coord)
+    txn.stage_append(a, spark.createDataFrame([(2, 20)], "k INT, v INT"))
+    _sh.rmtree(txn._entries[0]["stage"])
+    os.makedirs(coord, exist_ok=True)
+    with open(os.path.join(coord, f"{txn.id}.json"), "x") as fh:
+        json.dump({"id": txn.id, "entries": txn._entries}, fh)
+    with pytest.raises(FileNotFoundError):
+        _publish_one(coord, txn.id, 0, txn._entries[0])

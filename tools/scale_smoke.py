@@ -100,17 +100,20 @@ QUERIES = [
     "q_sql_convert",
     "q_sql_zorder",
     "q_sink_bloom_mor",
-    # round-13 second wave: constraints/generated/txn lifecycles ride
-    # the replicated orders (write-path invariant checks are fused into
-    # the commit scans — input-linear by design); COPY INTO stages the
-    # corpus as files (listing + load, input-linear); the view query is
-    # read-path (filter+agg through late-bound views)
+    # round-13 second wave: constraints/generated/copy/txn lifecycles
+    # ride the ORDERS table, which build_sf1 copies 1x (not replicated)
+    # — the sf0.1->sf1 decade is therefore a fixture artifact for these
+    # rows (noted per-row); the 0.01->0.1 decade is the real input
+    # decade. Write-path invariant checks are fused into the commit
+    # scans (input-linear by design); COPY stages the input as files
+    # (listing + load); the view query is read-path filter+agg
     "q_sql_constraints",
     "q_sql_copy_into",
     "q_sql_view",
     "q_sql_generated",
     "q_txn_multi_table",
     "q_sql_show_create",
+    "q_sql_analyze_cols",
     # round-10 additions: the lakehouse batch rides the replicated
     # customer/orders tables (commit+manifest cost per version is file-
     # count-bound, data cost input-linear); avro rides supplier; the
@@ -148,7 +151,21 @@ QUERIES = [
 ]
 
 # inherently super-linear OUTPUT at fixed parameters (not a plan defect)
+_ORDERS_FIXTURE_NOTE = (
+    "rides the orders table, which the synthetic sf1 corpus copies 1x "
+    "(only customer/documents/embeddings are replicated) — the "
+    "sf0.1->sf1 exponent is a fixture artifact (~0 input growth), not "
+    "a scaling measurement; read the 0.01->0.1 decade for this row"
+)
+
 WORKLOAD_NOTES = {
+    "q_sql_constraints": _ORDERS_FIXTURE_NOTE,
+    "q_sql_copy_into": _ORDERS_FIXTURE_NOTE,
+    "q_sql_view": _ORDERS_FIXTURE_NOTE,
+    "q_sql_generated": _ORDERS_FIXTURE_NOTE,
+    "q_txn_multi_table": _ORDERS_FIXTURE_NOTE,
+    "q_sql_show_create": _ORDERS_FIXTURE_NOTE,
+    "q_sql_analyze_cols": _ORDERS_FIXTURE_NOTE,
     "q_spatial_pairs": "output grows ~density^2 at fixed radius "
     "(verified: 10x input -> 100.6x output pairs) — an output-linear plan "
     "necessarily shows exponent ~2 here",

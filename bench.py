@@ -116,6 +116,14 @@ HEADLINE = [
     "q_sql_table_changes",  # table_changes() CDC table function
     "q_sink_bloom_read",    # per-file Bloom index point-lookup skipping
     "q_stream_source_lakehouse",  # table as append-only streaming source
+    # round-13 second wave: invariants, ingestion, views, transactions
+    "q_sql_constraints",    # CHECK/NOT NULL lifecycle (in-flight enforce)
+    "q_sql_copy_into",      # exactly-once file ingestion (3 COPY runs)
+    "q_sql_view",           # persistent late-binding views (2 levels)
+    "q_sql_generated",      # generated columns (insert + update recompute)
+    "q_txn_multi_table",    # multi-table txn incl. the crash window
+    "q_sql_show_create",    # DDL round trip + TRUNCATE
+    "q_sql_analyze_cols",   # manifest-served column stats
 ]
 
 

@@ -124,6 +124,7 @@ HEADLINE = [
     "q_txn_multi_table",    # multi-table txn incl. the crash window
     "q_sql_show_create",    # DDL round trip + TRUNCATE
     "q_sql_analyze_cols",   # manifest-served column stats
+    "q_stream_txn_fanout",  # exactly-once multi-table stream fan-out
 ]
 
 

@@ -1271,3 +1271,92 @@ def q_sql_analyze_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = stats.select("column", "min", "max", "null_count")
     shutil.rmtree(root, ignore_errors=True)
     return out.localCheckpoint(eager=True)
+
+
+# --- ST18: exactly-once multi-table streaming fan-out ----------------------------
+
+
+@query(
+    "q_stream_txn_fanout",
+    oracle="""
+    WITH src AS (
+        SELECT o_orderkey AS k,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT 'bronze' AS side, k, cents FROM src
+    UNION ALL SELECT 'bronze', -1, 0 FROM (SELECT 1)
+    UNION ALL SELECT 'silver', k, cents * 2 FROM src
+    UNION ALL SELECT 'silver', -1, 0 FROM (SELECT 1)
+    """,
+)
+def q_stream_txn_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ST18: one stream, two lakehouse tables, atomic per microbatch —
+    # foreachBatch routes every batch through ONE S45 transaction
+    # (bronze CoW append + silver MoR upsert), and the coordinator IS
+    # the exactly-once record: the stream is run TWICE over the same
+    # checkpoint (the restart/replay path), and the second run must
+    # commit nothing (asserted inline on both tables' versions). The
+    # oracle recomputes both destinations from the source: a doubled
+    # batch, a torn fan-out (one table updated without the other), or
+    # a missed transform hash-fails.
+    import shutil
+
+    from ..sinks.merge import MergeSink, _versions
+    from ..sinks.mor import MorTable
+    from ..streaming.fanout import fanout_sink
+
+    src_rows = Catalog(spark, sf_dir).orders.select(
+        F.col("o_orderkey").alias("k"),
+        fixed_cents(F.col("o_totalprice")).alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="phe_txn_fanout_")
+    src = os.path.join(root, "src")
+    bronze = os.path.join(root, "bronze")
+    silver = os.path.join(root, "silver")
+    ckpt = os.path.join(root, "ckpt")
+    src_rows.write.parquet(src)
+    seed = spark.createDataFrame([(-1, 0)], "k BIGINT, cents BIGINT")
+    MergeSink(bronze, key="k").init(seed)
+    MorTable(silver, key="k").init(seed)
+    sink = fanout_sink(
+        os.path.join(root, "coord"),
+        {
+            bronze: lambda b: b,
+            silver: lambda b: b.withColumn(
+                "cents", F.col("cents") * 2
+            ),
+        },
+    )
+
+    def run_stream():
+        q = (
+            spark.readStream.schema("k BIGINT, cents BIGINT")
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_stream()
+    v_b = len(_versions(bronze))
+    v_s = len(_versions(silver))
+    run_stream()  # restart over the same checkpoint: must be a no-op
+    assert len(_versions(bronze)) == v_b and len(_versions(silver)) == v_s, (
+        "a replayed microbatch committed again"
+    )
+    out = (
+        MergeSink(bronze, key="k")
+        .read(spark)
+        .select(F.lit("bronze").alias("side"), "k", "cents")
+        .unionByName(
+            MorTable(silver, key="k")
+            .read(spark)
+            .select(F.lit("silver").alias("side"), "k", "cents")
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -211,17 +211,24 @@ class LakehouseTransaction:
             shutil.rmtree(ent["stage"], ignore_errors=True)
         self._entries.clear()
 
-    def commit(self) -> dict[str, int]:
+    def commit(
+        self, extra: dict[str, Any] | None = None
+    ) -> dict[str, int]:
         """Prepare (write-ahead intent), publish every entry, flip the
         committed marker. Returns {table path: published version}.
         Needs no Spark session: publication is hardlinks + footer
         stats. A crash anywhere after prepare is completed by
-        :func:`heal`."""
+        :func:`heal`. ``extra`` merges into the intent object (e.g. a
+        stream batch id — consumers can then answer "did batch B
+        commit?" from the coordinator alone)."""
         self._check_open()
         if not self._entries:
             raise ValueError("empty transaction")
         os.makedirs(self.coord, exist_ok=True)
         intent = {"id": self.id, "entries": self._entries}
+        if extra:
+            for k, v in extra.items():
+                intent.setdefault(k, v)
         ipath = os.path.join(self.coord, f"{self.id}.json")
         with open(ipath, "x") as fh:  # point of no return
             json.dump(intent, fh, separators=(",", ":"))
@@ -394,7 +401,7 @@ def _publish_intent(coord: str, intent: dict[str, Any]) -> dict[str, int]:
     return out
 
 
-def gc(coordinator: str) -> list[str]:
+def gc(coordinator: str, keep=None) -> list[str]:
     """Reclaim COMMITTED transactions' coordinator files (a pipeline
     committing one txn per batch otherwise accumulates 3+ files per txn
     forever, and every read of a txn-tail table pays a marker stat).
@@ -402,7 +409,10 @@ def gc(coordinator: str) -> list[str]:
     without its ``txn`` marker (no marker == visible, the same answer
     the marker gave once committed — racing readers see either form),
     then the intent/markers are deleted. Pending transactions are never
-    touched. Returns the collected txn ids."""
+    touched; ``keep(intent) -> True`` exempts a committed intent from
+    collection (the streaming fan-out keeps intents above its replay
+    lower bound — they ARE its exactly-once record). Returns the
+    collected txn ids."""
     coord = os.path.abspath(coordinator)
     out: list[str] = []
     if not os.path.isdir(coord):
@@ -415,6 +425,10 @@ def gc(coordinator: str) -> list[str]:
             continue  # pending: heal() owns it
         with open(os.path.join(coord, fn)) as fh:
             intent = json.load(fh)
+        if "entries" not in intent or intent.get("id") != txn_id:
+            continue  # foreign json in the coordinator, not an intent
+        if keep is not None and keep(intent):
+            continue
         for idx, ent in enumerate(intent["entries"]):
             log = CommitLog(ent["path"])
             v = _already_published(
@@ -455,5 +469,7 @@ def heal(coordinator: str) -> dict[str, dict[str, int]]:
             continue
         with open(os.path.join(coord, fn)) as fh:
             intent = json.load(fh)
+        if "entries" not in intent or intent.get("id") != txn_id:
+            continue  # foreign json in the coordinator, not an intent
         out[txn_id] = _publish_intent(coord, intent)
     return out

@@ -124,6 +124,11 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          "validated when supplied, recomputed by UPDATE, composed "
          "with COPY INTO and CHECK",
          ["q_sql_generated"]),
+        ("ST18", "exactly-once multi-table streaming fan-out: one S45 "
+         "transaction per microbatch via foreachBatch, "
+         "coordinator-recorded replay dedup with crash-window intent "
+         "scan",
+         ["q_stream_txn_fanout"]),
         ("S45", "multi-table atomic transactions: write-ahead intent "
          "+ roll-forward publication + committed-marker visibility "
          "flip (visible_version on every read surface, idempotent "

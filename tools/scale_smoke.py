@@ -114,6 +114,7 @@ QUERIES = [
     "q_txn_multi_table",
     "q_sql_show_create",
     "q_sql_analyze_cols",
+    "q_stream_txn_fanout",
     # round-10 additions: the lakehouse batch rides the replicated
     # customer/orders tables (commit+manifest cost per version is file-
     # count-bound, data cost input-linear); avro rides supplier; the
@@ -166,6 +167,7 @@ WORKLOAD_NOTES = {
     "q_txn_multi_table": _ORDERS_FIXTURE_NOTE,
     "q_sql_show_create": _ORDERS_FIXTURE_NOTE,
     "q_sql_analyze_cols": _ORDERS_FIXTURE_NOTE,
+    "q_stream_txn_fanout": _ORDERS_FIXTURE_NOTE,
     "q_spatial_pairs": "output grows ~density^2 at fixed radius "
     "(verified: 10x input -> 100.6x output pairs) — an output-linear plan "
     "necessarily shows exponent ~2 here",

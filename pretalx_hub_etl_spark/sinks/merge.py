@@ -160,6 +160,39 @@ def _heal_claim(path: str, claim: int) -> None:
         log.heal(claim)
 
 
+def sweep_orphan_stages(
+    path: str, older_than_hours: float = 24.0
+) -> list[str]:
+    """Remove dead writers' ``.stage-*`` temp dirs older than the age
+    horizon (a crash between staging and the rename-claim orphans one;
+    nothing ever references it again — commit-protocol work dirs are
+    recomputable by construction). ``.txn-*`` stages are NOT touched:
+    they belong to the transaction protocol (a prepared intent
+    references them and heal() needs them; sinks/txn.py owns their
+    lifecycle). Conservative default: a live writer staging for a day
+    is assumed dead."""
+    import shutil as _sh
+    import time as _time
+
+    out: list[str] = []
+    cutoff = _time.time() - older_than_hours * 3600
+    try:
+        names = os.listdir(path)
+    except FileNotFoundError:
+        return out
+    for n in names:
+        if not n.startswith(".stage-"):
+            continue
+        full = os.path.join(path, n)
+        try:
+            if os.path.getmtime(full) < cutoff:
+                _sh.rmtree(full, ignore_errors=True)
+                out.append(n)
+        except FileNotFoundError:
+            pass  # a concurrent sweep / the owner finished
+    return out
+
+
 def current_version_path(path: str) -> str | None:
     vs = _versions(path)
     return None if not vs else os.path.join(path, f"v{vs[-1]}")
@@ -715,11 +748,13 @@ class MergeSink:
             for v in victims:
                 shutil.rmtree(os.path.join(self.path, f"v{v}"))
             log.retire(victims)
+            sweep_orphan_stages(self.path, retention_hours)
             return victims
         keep_last = max(1, keep_last)
         victims = committed[:-keep_last] if len(committed) > keep_last else []
         if dry_run:
             return victims  # report, delete nothing
+        sweep_orphan_stages(self.path)
         for v in victims:
             shutil.rmtree(os.path.join(self.path, f"v{v}"))
         # retire the victims' manifests too: the _latest hint never

@@ -741,6 +741,9 @@ class MorTable:
         for v in victims:
             shutil.rmtree(os.path.join(self.path, f"v{v}"))
         log.retire(victims)
+        from .merge import sweep_orphan_stages
+
+        sweep_orphan_stages(self.path)
         return victims
 
     def delta_bytes(self, version: int) -> int:

@@ -277,3 +277,25 @@ def test_publish_one_surfaces_real_io_errors(spark, tmp_path):
         json.dump({"id": txn.id, "entries": txn._entries}, fh)
     with pytest.raises(FileNotFoundError):
         _publish_one(coord, txn.id, 0, txn._entries[0])
+
+
+def test_vacuum_sweeps_orphan_stages(spark, tmp_path):
+    from pretalx_hub_etl_spark.sinks.merge import sweep_orphan_stages
+
+    a, b, coord = _mk_tables(spark, tmp_path)
+    # a dead writer's stage (old), a live writer's stage (fresh), and a
+    # txn stage (protocol-owned): only the first is swept
+    dead = os.path.join(a, ".stage-deadbeef")
+    live = os.path.join(a, ".stage-live")
+    txns = os.path.join(a, ".txn-abc-e0")
+    for d in (dead, live, txns):
+        os.makedirs(d)
+    old = __import__("time").time() - 100 * 3600
+    os.utime(dead, (old, old))
+    os.utime(txns, (old, old))
+    swept = sweep_orphan_stages(a, 24.0)
+    assert swept == [".stage-deadbeef"]
+    assert os.path.isdir(live) and os.path.isdir(txns)
+    # vacuum runs the sweep too (default horizon)
+    MergeSink(a, key="k").vacuum(keep_last=5)
+    assert os.path.isdir(live) and os.path.isdir(txns)

@@ -487,6 +487,31 @@ class LakehouseSqlCatalog:
             f"catalog update lost the version race 50 times at {cdir}"
         )
 
+    def transaction(self, coordinator: str | None = None):
+        """A multi-table transaction (S45) against this catalog's
+        warehouse: ``txn = cat.transaction(); txn.stage_append(path,
+        df) / txn.stage_mor_upsert(...); txn.commit()`` — registered
+        NAMES resolve via :meth:`table_path`. The coordinator defaults
+        to ``<warehouse>/_txn`` (requires a warehouse unless given
+        explicitly)."""
+        if coordinator is None:
+            if not self._warehouse:
+                raise ValueError(
+                    "transaction() needs a warehouse-backed catalog "
+                    "or an explicit coordinator path"
+                )
+            import os
+
+            coordinator = os.path.join(self._warehouse, "_txn")
+        from ..sinks.txn import LakehouseTransaction
+
+        return LakehouseTransaction(coordinator)
+
+    def table_path(self, name: str) -> str:
+        """The registered table's root path (for engine-API calls like
+        transaction staging)."""
+        return self._require(name)[1]
+
     def _persist(self, name: str) -> None:
         if not self._warehouse:
             return

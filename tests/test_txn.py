@@ -299,3 +299,29 @@ def test_vacuum_sweeps_orphan_stages(spark, tmp_path):
     # vacuum runs the sweep too (default horizon)
     MergeSink(a, key="k").vacuum(keep_last=5)
     assert os.path.isdir(live) and os.path.isdir(txns)
+
+
+def test_catalog_transaction_convenience(spark, tmp_path):
+    from pretalx_hub_etl_spark.plans.lakehouse_sql import LakehouseSqlCatalog
+
+    a, b, _ = _mk_tables(spark, tmp_path)
+    wh = os.path.join(str(tmp_path), "wh")
+    cat = LakehouseSqlCatalog(spark, warehouse=wh)
+    cat.register_path("ta", a)
+    cat.register_path("tb", b)
+    txn = cat.transaction()
+    txn.stage_append(
+        cat.table_path("ta"),
+        spark.createDataFrame([(2, 20)], "k INT, v INT"),
+    )
+    txn.stage_mor_upsert(
+        cat.table_path("tb"),
+        spark.createDataFrame([(2, 200)], "k INT, w INT"),
+    )
+    txn.commit()
+    assert cat.sql("SELECT * FROM ta").count() == 2
+    assert cat.sql("SELECT * FROM tb").count() == 2
+    # no warehouse and no coordinator: a clear error
+    bare = LakehouseSqlCatalog(spark)
+    with pytest.raises(ValueError, match="warehouse"):
+        bare.transaction()

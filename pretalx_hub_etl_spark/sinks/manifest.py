@@ -758,7 +758,7 @@ class CommitLog:
         ``current_version`` — a prepared transaction is INEVITABLE
         (roll-forward only), so pending data never vanishes under
         them."""
-        from .txn import txn_is_visible
+        from .txn import manifest_is_visible
 
         v = self.current_version()
         while v > 0:
@@ -767,7 +767,7 @@ class CommitLog:
             except FileNotFoundError:
                 v -= 1  # torn/vacuumed hole below a pending head
                 continue
-            if txn_is_visible(m.get("txn")):
+            if manifest_is_visible(m):
                 return v
             v -= 1
         return 0

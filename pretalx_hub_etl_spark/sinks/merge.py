@@ -898,6 +898,13 @@ class MergeSink:
             w = w.partitionBy(*self.partition_by)
         w.parquet(stage)
         manifest = build_manifest(version, stage, bloom_on=self.bloom_on)
+        # visibility inheritance (sinks/txn.py): built on a pending
+        # multi-table-txn base -> invisible until that txn commits
+        from .txn import inherit_pending
+
+        inherited = inherit_pending(log, version)
+        if inherited:
+            manifest["txn_inherited"] = inherited
         final = os.path.join(self.path, f"v{version}")
         try:
             os.rename(stage, final)

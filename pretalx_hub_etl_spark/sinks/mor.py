@@ -112,6 +112,14 @@ class MorTable:
             manifest = build_manifest(
                 version, stage, checkpoint=checkpoint, bloom_on=bloom_on
             )
+            # visibility inheritance (sinks/txn.py): a delta committed
+            # on top of a pending-txn head stays invisible until that
+            # txn commits (chains must not resolve around it)
+            from .txn import inherit_pending
+
+            inherited = inherit_pending(CommitLog(self.path), version)
+            if inherited:
+                manifest["txn_inherited"] = inherited
             # checkpoint pointer: every manifest records the newest
             # checkpoint at-or-before itself, so _chain() jumps straight
             # to the chain start from ONE manifest read instead of

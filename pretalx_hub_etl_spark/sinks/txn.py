@@ -82,6 +82,51 @@ def txn_is_visible(marker: dict[str, Any] | None) -> bool:
     )
 
 
+def manifest_is_visible(m: dict[str, Any]) -> bool:
+    """Full visibility rule: a manifest is visible iff its OWN txn
+    marker (if any) is committed AND every INHERITED marker is.
+
+    Inheritance closes the build-on-pending hole: a CoW append on top
+    of a pending txn version hardlinks that version's files — without
+    inheritance the new commit would leak the pending data (a torn
+    cross-table read); with it, the new commit stays invisible until
+    the transaction it builds on commits (which is inevitable — the
+    roll-forward contract), then both appear at once."""
+    if not txn_is_visible(m.get("txn")):
+        return False
+    for t in m.get("txn_inherited", []):
+        if not txn_is_visible(t):
+            return False
+    return True
+
+
+def pending_markers_of(m: dict[str, Any]) -> list[dict[str, Any]]:
+    """The still-UNCOMMITTED markers a new commit built on this base
+    manifest must inherit (committed ones need no propagation)."""
+    out: list[dict[str, Any]] = []
+    own = m.get("txn")
+    if own and not txn_is_visible(own):
+        out.append(own)
+    for t in m.get("txn_inherited", []):
+        if not txn_is_visible(t):
+            out.append(t)
+    return out
+
+
+def inherit_pending(log, claim: int) -> list[dict[str, Any]]:
+    """Markers the commit claiming version ``claim`` must inherit: the
+    pending markers of the newest PUBLISHED manifest below the claim
+    (the base whose files/state the commit builds on). Empty on quiet
+    tables — one manifest read only when a lower version exists."""
+    v = claim - 1
+    while v > 0:
+        try:
+            return pending_markers_of(log.manifest(v))
+        except FileNotFoundError:
+            v -= 1  # torn/vacuumed hole
+    return []
+
+
 class LakehouseTransaction:
     """One multi-table transaction against a shared coordinator dir.
 
@@ -357,6 +402,13 @@ def _publish_one(
                 fh.write("")
             manifest = build_manifest(claim, work, bloom_on=bloom_on)
             manifest["txn"] = {"id": txn_id, "coord": coord, "entry": idx}
+            inherited = [
+                t
+                for t in inherit_pending(log, claim)
+                if t.get("id") != txn_id  # own marker is not "inherited"
+            ]
+            if inherited:
+                manifest["txn_inherited"] = inherited
             if ent.get("copy_files"):
                 # S42 exactly-once: the loaded-file record rides the
                 # COMMIT itself (crash between commit and any side
@@ -434,16 +486,39 @@ def gc(coordinator: str, keep=None) -> list[str]:
             v = _already_published(
                 log, txn_id, idx, ent["base_at_prepare"]
             )
-            if v is None:
-                continue  # vacuumed away: nothing to unmark
-            m = log.manifest(v)
-            if m.get("txn", {}).get("id") == txn_id:
-                del m["txn"]
-                mdir = os.path.join(ent["path"], "_manifest")
+            mdir = os.path.join(ent["path"], "_manifest")
+
+            def _rewrite(ver: int, m: dict[str, Any]) -> None:
                 tmp = os.path.join(mdir, f".tmp-gc-{uuid.uuid4().hex}")
                 with open(tmp, "w") as fh:
                     json.dump(m, fh, separators=(",", ":"))
-                os.replace(tmp, os.path.join(mdir, f"{v}.json"))
+                os.replace(tmp, os.path.join(mdir, f"{ver}.json"))
+
+            # scrub INHERITED references in every later manifest FIRST
+            # (their visibility depends on the committed marker; the
+            # marker is only removable once nothing references it) —
+            # bounded by commits since the txn published
+            start = v if v is not None else ent["base_at_prepare"]
+            for hv in range(start + 1, log.current_version() + 1):
+                try:
+                    hm = log.manifest(hv)
+                except FileNotFoundError:
+                    continue
+                inh = hm.get("txn_inherited")
+                if not inh:
+                    continue
+                kept = [t for t in inh if t.get("id") != txn_id]
+                if len(kept) != len(inh):
+                    if kept:
+                        hm["txn_inherited"] = kept
+                    else:
+                        del hm["txn_inherited"]
+                    _rewrite(hv, hm)
+            if v is not None:
+                m = log.manifest(v)
+                if m.get("txn", {}).get("id") == txn_id:
+                    del m["txn"]
+                    _rewrite(v, m)
             dmark = os.path.join(coord, f"{txn_id}.e{idx}.done")
             if os.path.exists(dmark):
                 os.remove(dmark)

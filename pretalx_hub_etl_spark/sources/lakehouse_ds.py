@@ -139,6 +139,11 @@ def build_lakehouse_source():
         # the read side of multi-table atomic visibility
         import os
 
+        def _committed(t: dict) -> bool:
+            return os.path.exists(
+                os.path.join(t["coord"], f"{t['id']}.committed")
+            )
+
         v = _current_version(table_path)
         while v > 0:
             try:
@@ -147,9 +152,10 @@ def build_lakehouse_source():
                 v -= 1
                 continue
             t = m.get("txn")
-            if not t or os.path.exists(
-                os.path.join(t["coord"], f"{t['id']}.committed")
-            ):
+            ok = (not t or _committed(t)) and all(
+                _committed(x) for x in m.get("txn_inherited", [])
+            )
+            if ok:
                 return v
             v -= 1
         return 0
@@ -692,6 +698,31 @@ def build_lakehouse_source():
                 manifest["stream_batch_id"] = batch_id
                 if run_id:
                     manifest["stream_run_id"] = run_id
+            # visibility inheritance (sinks/txn.py): an append built on
+            # a pending multi-table-txn base hardlinks its files and
+            # must stay invisible until that txn commits
+            if base > 0:
+                try:
+                    bm = _manifest(path, base)
+                except FileNotFoundError:
+                    bm = {}
+
+                def _pend(t):
+                    import os as _o
+
+                    return t and not _o.path.exists(
+                        _o.path.join(t["coord"], f"{t['id']}.committed")
+                    )
+
+                inherited = [
+                    t
+                    for t in (
+                        [bm.get("txn")] + list(bm.get("txn_inherited", []))
+                    )
+                    if _pend(t)
+                ]
+                if inherited:
+                    manifest["txn_inherited"] = inherited
             _publish(path, manifest)
             return version
 
@@ -1193,7 +1224,10 @@ def build_lakehouse_source():
             return {"v": self.start_after}
 
         def latestOffset(self) -> dict:
-            cur = max(self.start_after, _current_version(self.path))
+            # VISIBLE head only: a pending multi-table-txn version (or
+            # one built on it) must not stream out before the txn
+            # commits — offsets advance when visibility does
+            cur = max(self.start_after, _visible_version(self.path))
             if self.max_versions > 0 and self._last_end is not None:
                 cur = min(cur, self._last_end + self.max_versions)
             self._last_end = max(self._last_end or 0, cur)

@@ -325,3 +325,122 @@ def test_catalog_transaction_convenience(spark, tmp_path):
     bare = LakehouseSqlCatalog(spark)
     with pytest.raises(ValueError, match="warehouse"):
         bare.transaction()
+
+
+def test_commit_on_pending_base_inherits_invisibility_cow(spark, tmp_path):
+    # the build-on-pending hole: an append on top of a pending txn
+    # version HARDLINKS its files — without marker inheritance the
+    # append would leak the pending data (torn cross-table read)
+    from pretalx_hub_etl_spark.sources.lakehouse_ds import write_table
+
+    a, b, coord = _mk_tables(spark, tmp_path)
+    txn = LakehouseTransaction(coord)
+    txn.stage_append(a, spark.createDataFrame([(2, 20)], "k INT, v INT"))
+    os.makedirs(coord, exist_ok=True)
+    with open(os.path.join(coord, f"{txn.id}.json"), "x") as fh:
+        json.dump({"id": txn.id, "entries": txn._entries}, fh)
+    _publish_one(coord, txn.id, 0, txn._entries[0])  # pending v2
+    write_table(
+        spark.createDataFrame([(3, 30)], "k INT, v INT"), a, mode="append"
+    )  # v3, built on pending v2
+    log = CommitLog(a)
+    assert log.current_version() == 3
+    assert log.manifest(3).get("txn_inherited"), (
+        "the commit on a pending base did not inherit its marker"
+    )
+    # NEITHER the txn row nor the append is visible pre-commit
+    assert log.visible_version() == 1
+    got = {(r.k, r.v) for r in MergeSink(a, key="k").read(spark).collect()}
+    assert got == {(1, 10)}
+    ds = spark.read.format("lakehouse").option("path", a).load()
+    assert ds.count() == 1
+    heal(coord)  # txn commits -> BOTH appear at once
+    assert log.visible_version() == 3
+    got = {(r.k, r.v) for r in MergeSink(a, key="k").read(spark).collect()}
+    assert got == {(1, 10), (2, 20), (3, 30)}
+
+
+def test_commit_on_pending_base_inherits_invisibility_mor(spark, tmp_path):
+    a, b, coord = _mk_tables(spark, tmp_path)
+    txn = LakehouseTransaction(coord)
+    txn.stage_mor_upsert(
+        b, spark.createDataFrame([(2, 200)], "k INT, w INT")
+    )
+    os.makedirs(coord, exist_ok=True)
+    with open(os.path.join(coord, f"{txn.id}.json"), "x") as fh:
+        json.dump({"id": txn.id, "entries": txn._entries}, fh)
+    _publish_one(coord, txn.id, 0, txn._entries[0])  # pending delta v2
+    MorTable(b, key="k").merge(
+        spark, source=spark.createDataFrame([(3, 300)], "k INT, w INT")
+    )  # v3 delta on top of the pending one
+    log = CommitLog(b)
+    assert log.manifest(3).get("txn_inherited")
+    got = {(r.k, r.w) for r in MorTable(b, key="k").read(spark).collect()}
+    assert got == {(1, 100)}  # neither delta resolves yet
+    heal(coord)
+    got = {(r.k, r.w) for r in MorTable(b, key="k").read(spark).collect()}
+    assert got == {(1, 100), (2, 200), (3, 300)}
+
+
+def test_gc_scrubs_inherited_references(spark, tmp_path):
+    from pretalx_hub_etl_spark.sinks.txn import gc as txn_gc
+    from pretalx_hub_etl_spark.sources.lakehouse_ds import write_table
+
+    a, b, coord = _mk_tables(spark, tmp_path)
+    txn = LakehouseTransaction(coord)
+    txn.stage_append(a, spark.createDataFrame([(2, 20)], "k INT, v INT"))
+    os.makedirs(coord, exist_ok=True)
+    with open(os.path.join(coord, f"{txn.id}.json"), "x") as fh:
+        json.dump({"id": txn.id, "entries": txn._entries}, fh)
+    _publish_one(coord, txn.id, 0, txn._entries[0])
+    write_table(
+        spark.createDataFrame([(3, 30)], "k INT, v INT"), a, mode="append"
+    )
+    heal(coord)
+    assert txn_gc(coord) == [txn.id]
+    log = CommitLog(a)
+    # both the own marker AND the inherited reference are gone, so the
+    # deleted committed-marker file can no longer hide any version
+    assert "txn" not in log.manifest(2)
+    assert "txn_inherited" not in log.manifest(3)
+    assert log.visible_version() == 3
+    assert MergeSink(a, key="k").read(spark).count() == 3
+
+
+def test_stream_source_serves_only_visible_versions(spark, tmp_path):
+    a, b, coord = _mk_tables(spark, tmp_path)
+    txn = LakehouseTransaction(coord)
+    txn.stage_append(a, spark.createDataFrame([(2, 20)], "k INT, v INT"))
+    os.makedirs(coord, exist_ok=True)
+    with open(os.path.join(coord, f"{txn.id}.json"), "x") as fh:
+        json.dump({"id": txn.id, "entries": txn._entries}, fh)
+    _publish_one(coord, txn.id, 0, txn._entries[0])  # pending v2
+    from pretalx_hub_etl_spark.sources.lakehouse_ds import (
+        cow_read_schema,
+        register,
+    )
+
+    register(spark)
+    out = os.path.join(str(tmp_path), "out")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("lakehouse")
+            .schema(cow_read_schema(a))
+            .option("path", a)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    assert spark.read.parquet(out).count() == 1  # only v1 streamed
+    heal(coord)
+    drain()  # the committed txn version now streams
+    got = {(r.k, r.v) for r in spark.read.parquet(out).collect()}
+    assert got == {(1, 10), (2, 20)}

@@ -1352,6 +1352,17 @@ class LakehouseSqlCatalog:
                 t.merge(self.spark, source=df)
         return self._summary("insert", name, self._current_version(name))
 
+    def _dml_matched(self, name: str, cond: str | None) -> DataFrame:
+        """Rows matching a DML WHERE, resolved through the FULL read
+        surface: the condition may contain subqueries over registered
+        tables, persistent views, `table_changes()`, and time travel —
+        shapes a bare ``Column`` filter cannot resolve (`DELETE FROM t
+        WHERE k IN (SELECT k FROM quarantine)` is the first statement a
+        real user writes against a lakehouse)."""
+        if not cond:
+            return self._frame(name, None)
+        return self._select(f"SELECT * FROM {name} WHERE {cond}")
+
     def _try_update(self, query: str) -> DataFrame | None:
         m = _UPDATE_RE.match(query)
         if m is None:
@@ -1361,9 +1372,7 @@ class LakehouseSqlCatalog:
         name, sets, cond = m.group(1), m.group(2), m.group(3)
         kind, path, _ = self._require(name)
         key = self._require_key(name)
-        matched = self._frame(name, None).filter(
-            F.expr(cond) if cond else F.lit(True)
-        )
+        matched = self._dml_matched(name, cond)
         have = {c.lower() for c in matched.columns}
         assigned: set[str] = set()
         for col, expr in _split_assignments(sets):
@@ -1412,7 +1421,6 @@ class LakehouseSqlCatalog:
         name, cond = m.group(1), m.group(2)
         kind, path, _ = self._require(name)
         key = self._require_key(name)
-        predicate = F.expr(cond) if cond else F.lit(True)
         if kind == "cow":
             from ..sinks.merge import MergeSink
 
@@ -1421,14 +1429,24 @@ class LakehouseSqlCatalog:
             sink.merge(
                 self.spark,
                 self.spark.createDataFrame([], state.schema),
-                deletes=state.filter(predicate).select(key),
+                deletes=self._dml_matched(name, cond).select(key),
                 allow_evolution=self._has_declared_schema(path),
             )
         else:
             from ..sinks.mor import MorTable
 
             # the SQL face of S24: DELETE on a MoR table commits a
-            # deletion-vector delta, never key values
+            # deletion-vector delta, never key values. Subqueries in
+            # the condition resolve against the session catalog: bind
+            # views and register referenced tables first.
+            if cond:
+                self._bind_views(cond)
+                for t in self._tables:
+                    if t != name and re.search(
+                        rf"\b{re.escape(t)}\b", cond
+                    ):
+                        self._ensure_view(t, None)
+            predicate = F.expr(cond) if cond else F.lit(True)
             MorTable(path, key=key).delete_where(self.spark, predicate)
         return self._summary("delete", name, self._current_version(name))
 

@@ -206,3 +206,50 @@ def test_insert_column_list_is_case_insensitive(spark, tmp_path):
     cat.sql("INSERT INTO ci1 (K, CENTS) VALUES (1, 100)")
     r = cat.sql("SELECT * FROM ci1").first()
     assert (r.k, r.cents) == (1, 100)
+
+
+def test_dml_where_with_subqueries(spark, tmp_path):
+    # UPDATE/DELETE conditions resolve through the full read surface:
+    # subqueries over OTHER registered tables and views work
+    t = os.path.join(str(tmp_path), "t")
+    q = os.path.join(str(tmp_path), "q")
+    MergeSink(t, key="k").init(
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30)], "k INT, v INT"
+        )
+    )
+    MergeSink(q, key="k").init(
+        spark.createDataFrame([(2,), (3,)], "k INT")
+    )
+    cat = LakehouseSqlCatalog(spark)
+    cat.register_path("dml_t", t)
+    cat.register_path("dml_q", q)
+    cat.sql("CREATE VIEW dml_qv AS SELECT k FROM dml_q WHERE k > 2")
+    cat.sql(
+        "UPDATE dml_t SET v = v + 100 "
+        "WHERE k IN (SELECT k FROM dml_qv)"
+    )
+    got = {(r.k, r.v) for r in cat.sql("SELECT * FROM dml_t").collect()}
+    assert got == {(1, 10), (2, 20), (3, 130)}
+    cat.sql("DELETE FROM dml_t WHERE k IN (SELECT k FROM dml_q)")
+    got = {(r.k, r.v) for r in cat.sql("SELECT * FROM dml_t").collect()}
+    assert got == {(1, 10)}
+
+
+def test_mor_delete_where_subquery(spark, tmp_path):
+    t = os.path.join(str(tmp_path), "m")
+    q = os.path.join(str(tmp_path), "q")
+    MorTable(t, key="k").init(
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30)], "k INT, v INT"
+        )
+    )
+    MergeSink(q, key="k").init(
+        spark.createDataFrame([(2,)], "k INT")
+    )
+    cat = LakehouseSqlCatalog(spark)
+    cat.register_path("mdel_t", t)
+    cat.register_path("mdel_q", q)
+    cat.sql("DELETE FROM mdel_t WHERE k IN (SELECT k FROM mdel_q)")
+    got = {(r.k, r.v) for r in cat.sql("SELECT * FROM mdel_t").collect()}
+    assert got == {(1, 10), (3, 30)}

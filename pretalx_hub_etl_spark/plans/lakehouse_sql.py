@@ -1509,16 +1509,50 @@ class LakehouseSqlCatalog:
             [f for f in target.fields if f.name not in gens]
         )
         paths = sorted(todo)
+        merge_schema = (
+            str(opts.pop("mergeschema", opts.pop("mergeSchema", "false")))
+            .lower()
+            == "true"
+        )
         if fmt == "PARQUET":
-            df = self.spark.read.parquet(*paths)
-            if set(df.columns) not in (
+            df = self.spark.read.option(
+                "mergeSchema", str(merge_schema).lower()
+            ).parquet(*paths)
+            extra = [
+                f
+                for f in df.schema.fields
+                if f.name.lower()
+                not in {c.lower() for c in target.fieldNames()}
+            ]
+            if extra and merge_schema:
+                # schema evolution on ingestion (the Delta COPY INTO
+                # mergeSchema contract): new source columns extend the
+                # DECLARED schema — metadata-only for existing files
+                # (reads overlay typed NULLs via _overlay_ddl), carried
+                # by the loaded files from this commit on
+                from pyspark.sql.types import StructType as _ST
+
+                log2 = CommitLog(path)
+                props2 = log2.table_props()
+                base_ddl = props2.get("schema_ddl") or ", ".join(
+                    f"{f.name} {f.dataType.simpleString()}"
+                    for f in target.fields
+                )
+                add_ddl = ", ".join(
+                    f"{f.name} {f.dataType.simpleString()}" for f in extra
+                )
+                props2["schema_ddl"] = f"{base_ddl}, {add_ddl}"
+                log2.write_table_props(props2)
+                target = _ST(list(target.fields) + list(extra))
+            elif set(df.columns) not in (
                 set(target.fieldNames()),
                 set(nogen.fieldNames()),
             ):
                 raise ValueError(
                     f"COPY INTO {name}: source columns "
                     f"{sorted(df.columns)} != table columns "
-                    f"{sorted(target.fieldNames())}"
+                    f"{sorted(target.fieldNames())} "
+                    "(FORMAT_OPTIONS('mergeSchema'='true') to evolve)"
                 )
         else:
             # text formats read under the TABLE schema minus generated

@@ -204,3 +204,28 @@ def test_copy_into_crash_window_cannot_double_load(spark, tmp_path):
     )
     got = {(x.k, x.v) for x in cat.sql("SELECT * FROM cp10").collect()}
     assert got == {(0, 0), (1, 10), (2, 20)}  # healed, once
+
+
+def test_copy_into_merge_schema_evolution(spark, tmp_path):
+    cat, path = _cow(spark, tmp_path, "cp11")
+    stage = os.path.join(str(tmp_path), "stage")
+    _stage(spark, stage, "b1", [(1, 10)])
+    cat.sql(f"COPY INTO cp11 FROM '{stage}' FILEFORMAT = PARQUET")
+    # a new column arrives in the staging area
+    spark.createDataFrame(
+        [(2, 20, "x")], "k INT, v INT, w STRING"
+    ).coalesce(1).write.parquet(os.path.join(stage, "b2"))
+    # without the option: a clear error, nothing marked loaded
+    with pytest.raises(ValueError, match="mergeSchema"):
+        cat.sql(f"COPY INTO cp11 FROM '{stage}' FILEFORMAT = PARQUET")
+    r = cat.sql(
+        f"COPY INTO cp11 FROM '{stage}' FILEFORMAT = PARQUET "
+        f"FORMAT_OPTIONS ('mergeSchema' = 'true')"
+    ).first()
+    assert r.rows_loaded == 1
+    got = {
+        (x.k, x.v, x.w)
+        for x in cat.sql("SELECT k, v, w FROM cp11").collect()
+    }
+    # pre-evolution rows overlay the new column as NULL
+    assert got == {(0, 0, None), (1, 10, None), (2, 20, "x")}

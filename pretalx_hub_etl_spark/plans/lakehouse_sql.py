@@ -1435,19 +1435,33 @@ class LakehouseSqlCatalog:
         else:
             from ..sinks.mor import MorTable
 
-            # the SQL face of S24: DELETE on a MoR table commits a
-            # deletion-vector delta, never key values. Subqueries in
-            # the condition resolve against the session catalog: bind
-            # views and register referenced tables first.
-            if cond:
-                self._bind_views(cond)
-                for t in self._tables:
-                    if t != name and re.search(
-                        rf"\b{re.escape(t)}\b", cond
-                    ):
-                        self._ensure_view(t, None)
-            predicate = F.expr(cond) if cond else F.lit(True)
-            MorTable(path, key=key).delete_where(self.spark, predicate)
+            if cond and (
+                _ASOF_RE.search(cond)
+                or _TS_ASOF_RE.search(cond)
+                or _TABLE_CHANGES_RE.search(cond)
+            ):
+                # time-travel / CDC subqueries resolve through the full
+                # read surface; the matched KEYS commit as tombstones
+                # (one delta — position deletes need a plain predicate
+                # over the current state)
+                keys = self._dml_matched(name, cond).select(key)
+                MorTable(path, key=key).merge(self.spark, deletes=keys)
+            else:
+                # the SQL face of S24: DELETE on a MoR table commits a
+                # deletion-vector delta, never key values. Subqueries
+                # in the condition resolve against the session catalog:
+                # bind views and register referenced tables (INCLUDING
+                # the target — self-referential subqueries read the
+                # fresh pre-delete snapshot, never a stale view).
+                if cond:
+                    self._bind_views(cond)
+                    for t in self._tables:
+                        if re.search(rf"\b{re.escape(t)}\b", cond):
+                            self._ensure_view(t, None)
+                predicate = F.expr(cond) if cond else F.lit(True)
+                MorTable(path, key=key).delete_where(
+                    self.spark, predicate
+                )
         return self._summary("delete", name, self._current_version(name))
 
     def _try_copy(self, query: str) -> DataFrame | None:
@@ -1509,6 +1523,7 @@ class LakehouseSqlCatalog:
             [f for f in target.fields if f.name not in gens]
         )
         paths = sorted(todo)
+        rollback_evolution = None
         merge_schema = (
             str(opts.pop("mergeschema", opts.pop("mergeSchema", "false")))
             .lower()
@@ -1529,12 +1544,28 @@ class LakehouseSqlCatalog:
                 # mergeSchema contract): new source columns extend the
                 # DECLARED schema — metadata-only for existing files
                 # (reads overlay typed NULLs via _overlay_ddl), carried
-                # by the loaded files from this commit on
+                # by the loaded files from this commit on. Evolution
+                # only ADDS: the source must still carry every
+                # non-generated table column (a typo'd rename must fail
+                # the statement, not NULL-fill a required column).
+                have_src = {c.lower() for c in df.columns}
+                missing = [
+                    c
+                    for c in nogen.fieldNames()
+                    if c.lower() not in have_src
+                ]
+                if missing:
+                    raise ValueError(
+                        f"COPY INTO {name}: source is missing table "
+                        f"column(s) {missing} (mergeSchema only adds "
+                        "columns, it never drops requirements)"
+                    )
                 from pyspark.sql.types import StructType as _ST
 
                 log2 = CommitLog(path)
                 props2 = log2.table_props()
-                base_ddl = props2.get("schema_ddl") or ", ".join(
+                old_ddl = props2.get("schema_ddl")
+                base_ddl = old_ddl or ", ".join(
                     f"{f.name} {f.dataType.simpleString()}"
                     for f in target.fields
                 )
@@ -1543,6 +1574,20 @@ class LakehouseSqlCatalog:
                 )
                 props2["schema_ddl"] = f"{base_ddl}, {add_ddl}"
                 log2.write_table_props(props2)
+
+                def _rollback_evolution() -> None:
+                    # a failed load must not leave phantom declared
+                    # columns (a crash can — benign NULL overlays,
+                    # re-healed by the retry — but an in-process
+                    # failure is cleanly undone)
+                    p3 = log2.table_props()
+                    if old_ddl is None:
+                        p3.pop("schema_ddl", None)
+                    else:
+                        p3["schema_ddl"] = old_ddl
+                    log2.write_table_props(p3)
+
+                rollback_evolution = _rollback_evolution
                 target = _ST(list(target.fields) + list(extra))
             elif set(df.columns) not in (
                 set(target.fieldNames()),
@@ -1555,6 +1600,12 @@ class LakehouseSqlCatalog:
                     "(FORMAT_OPTIONS('mergeSchema'='true') to evolve)"
                 )
         else:
+            if merge_schema:
+                raise ValueError(
+                    "COPY INTO mergeSchema is supported for PARQUET "
+                    "sources (text formats read under the table schema "
+                    "— there is no source schema to merge)"
+                )
             # text formats read under the TABLE schema minus generated
             # columns (those are ALWAYS computed at write — a text file
             # cannot carry them)
@@ -1584,11 +1635,21 @@ class LakehouseSqlCatalog:
         from ..sinks.txn import LakehouseTransaction
 
         txn = LakehouseTransaction(coord)
-        if kind == "cow":
-            txn.stage_append(path, df, copy_files=todo)
-        else:
-            txn.stage_mor_upsert(path, source=df, copy_files=todo)
-        txn.commit()
+        try:
+            if kind == "cow":
+                txn.stage_append(path, df, copy_files=todo)
+            else:
+                txn.stage_mor_upsert(path, source=df, copy_files=todo)
+            txn.commit()
+        except BaseException:
+            # pre-prepare failures (staging, constraint violations)
+            # undo the declared-schema evolution — nothing will ever
+            # carry the new columns. Post-prepare failures must NOT:
+            # the transaction is inevitable (heal lands the data) and
+            # the evolved declaration belongs with it.
+            if rollback_evolution is not None and txn._state == "open":
+                rollback_evolution()
+            raise
         from ..sinks.txn import gc as _txn_gc
 
         record_loaded(path, todo)  # side-file cache (survives VACUUM)

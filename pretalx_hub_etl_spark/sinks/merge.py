@@ -748,7 +748,10 @@ class MergeSink:
             for v in victims:
                 shutil.rmtree(os.path.join(self.path, f"v{v}"))
             log.retire(victims)
-            sweep_orphan_stages(self.path, retention_hours)
+            # the sweep keeps its OWN conservative horizon: the DATA
+            # retention may legally be 0 hours, but a live writer's
+            # in-flight stage must never be collected under it
+            sweep_orphan_stages(self.path)
             return victims
         keep_last = max(1, keep_last)
         victims = committed[:-keep_last] if len(committed) > keep_last else []

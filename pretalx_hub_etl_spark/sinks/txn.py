@@ -74,11 +74,23 @@ def _committed_marker(coord: str, txn_id: str) -> str:
 
 def txn_is_visible(marker: dict[str, Any] | None) -> bool:
     """True when a manifest's ``txn`` marker refers to a committed
-    transaction (or there is no marker at all)."""
+    transaction (or there is no marker at all).
+
+    Structural rule, not just a marker probe: a transaction is PENDING
+    iff its intent object still exists without the committed marker —
+    the intent is written at the point of no return and survives until
+    gc (which only collects COMMITTED transactions). So a marker whose
+    coordinator holds NEITHER file refers to a gc'd committed txn and
+    is VISIBLE. This makes stale marker copies self-healing: a writer
+    that raced gc and inherited a just-collected marker can never pin
+    its commit invisible forever (the files it would wait on are gone,
+    which itself proves the txn committed)."""
     if not marker:
         return True
-    return os.path.exists(
-        _committed_marker(marker["coord"], marker["id"])
+    if os.path.exists(_committed_marker(marker["coord"], marker["id"])):
+        return True
+    return not os.path.exists(
+        os.path.join(marker["coord"], f"{marker['id']}.json")
     )
 
 

@@ -140,8 +140,15 @@ def build_lakehouse_source():
         import os
 
         def _committed(t: dict) -> bool:
-            return os.path.exists(
+            # mirror of sinks/txn.py txn_is_visible: committed marker
+            # present, OR intent absent too (a gc'd COMMITTED txn — a
+            # pending txn's intent always exists)
+            if os.path.exists(
                 os.path.join(t["coord"], f"{t['id']}.committed")
+            ):
+                return True
+            return not os.path.exists(
+                os.path.join(t["coord"], f"{t['id']}.json")
             )
 
         v = _current_version(table_path)
@@ -700,29 +707,16 @@ def build_lakehouse_source():
                     manifest["stream_run_id"] = run_id
             # visibility inheritance (sinks/txn.py): an append built on
             # a pending multi-table-txn base hardlinks its files and
-            # must stay invisible until that txn commits
-            if base > 0:
-                try:
-                    bm = _manifest(path, base)
-                except FileNotFoundError:
-                    bm = {}
+            # must stay invisible until that txn commits. The writer's
+            # commit() runs DRIVER-side, so the shared helper (which
+            # also walks below torn-manifest holes) is importable here
+            # without breaking the reader's ship-by-value contract.
+            from ..sinks.manifest import CommitLog as _CL
+            from ..sinks.txn import inherit_pending as _inherit
 
-                def _pend(t):
-                    import os as _o
-
-                    return t and not _o.path.exists(
-                        _o.path.join(t["coord"], f"{t['id']}.committed")
-                    )
-
-                inherited = [
-                    t
-                    for t in (
-                        [bm.get("txn")] + list(bm.get("txn_inherited", []))
-                    )
-                    if _pend(t)
-                ]
-                if inherited:
-                    manifest["txn_inherited"] = inherited
+            inherited = _inherit(_CL(path), version)
+            if inherited:
+                manifest["txn_inherited"] = inherited
             _publish(path, manifest)
             return version
 

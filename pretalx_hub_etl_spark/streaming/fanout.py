@@ -121,16 +121,23 @@ def fanout_sink(
         lb = _state_lb(coord)
         if batch_id <= lb or _batch_committed(coord, batch_id):
             return
-        # 3) one multi-table transaction for the whole batch
+        # 3) one multi-table transaction for the whole batch; a staging
+        #    failure (constraint violation, executor loss) ABORTS so a
+        #    Spark batch retry never accumulates orphaned stage dirs
         txn = LakehouseTransaction(coord)
-        for path, transform in tables.items():
-            rows = transform(batch_df)
-            kind = CommitLog(path).table_props().get("kind", "cow")
-            if kind == "mor":
-                txn.stage_mor_upsert(path, source=rows)
-            else:
-                txn.stage_append(path, rows)
-        txn.commit(extra={"stream_batch_id": batch_id})
+        try:
+            for path, transform in tables.items():
+                rows = transform(batch_df)
+                kind = CommitLog(path).table_props().get("kind", "cow")
+                if kind == "mor":
+                    txn.stage_mor_upsert(path, source=rows)
+                else:
+                    txn.stage_append(path, rows)
+            txn.commit(extra={"stream_batch_id": batch_id})
+        except BaseException:
+            if txn._state == "open":
+                txn.abort()  # post-prepare failures roll FORWARD (heal)
+            raise
         # 4) advance the dedup lower bound, then reclaim intents at or
         #    below it (they are no longer needed as replay witnesses)
         _write_state_lb(coord, batch_id)

@@ -229,3 +229,49 @@ def test_copy_into_merge_schema_evolution(spark, tmp_path):
     }
     # pre-evolution rows overlay the new column as NULL
     assert got == {(0, 0, None), (1, 10, None), (2, 20, "x")}
+
+
+def test_merge_schema_rolls_back_on_failed_load(spark, tmp_path):
+    from pretalx_hub_etl_spark.sinks.manifest import CommitLog
+
+    cat, path = _cow(spark, tmp_path, "cp12")
+    cat.sql("ALTER TABLE cp12 ADD CONSTRAINT v_pos CHECK (v >= 0)")
+    stage = os.path.join(str(tmp_path), "stage")
+    spark.createDataFrame(
+        [(1, -5, "x")], "k INT, v INT, w STRING"
+    ).coalesce(1).write.parquet(os.path.join(stage, "b1"))
+    ddl_before = CommitLog(path).table_props().get("schema_ddl")
+    with pytest.raises(Exception, match="CHECK constraint"):
+        cat.sql(
+            f"COPY INTO cp12 FROM '{stage}' FILEFORMAT = PARQUET "
+            f"FORMAT_OPTIONS ('mergeSchema' = 'true')"
+        )
+    # no phantom declared column from the failed load
+    assert CommitLog(path).table_props().get("schema_ddl") == ddl_before
+
+
+def test_merge_schema_never_drops_requirements(spark, tmp_path):
+    cat, path = _cow(spark, tmp_path, "cp13")
+    stage = os.path.join(str(tmp_path), "stage")
+    # source has a NEW column but is MISSING the table column v
+    spark.createDataFrame(
+        [(1, "x")], "k INT, w STRING"
+    ).coalesce(1).write.parquet(os.path.join(stage, "b1"))
+    with pytest.raises(ValueError, match="missing table column"):
+        cat.sql(
+            f"COPY INTO cp13 FROM '{stage}' FILEFORMAT = PARQUET "
+            f"FORMAT_OPTIONS ('mergeSchema' = 'true')"
+        )
+
+
+def test_merge_schema_rejected_for_text_formats(spark, tmp_path):
+    cat, _ = _cow(spark, tmp_path, "cp14")
+    stage = os.path.join(str(tmp_path), "csvstage")
+    os.makedirs(stage)
+    with open(os.path.join(stage, "a.csv"), "w") as fh:
+        fh.write("k,v\n1,10\n")
+    with pytest.raises(ValueError, match="PARQUET"):
+        cat.sql(
+            f"COPY INTO cp14 FROM '{stage}' FILEFORMAT = CSV "
+            f"FORMAT_OPTIONS ('mergeSchema' = 'true')"
+        )

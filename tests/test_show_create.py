@@ -253,3 +253,41 @@ def test_mor_delete_where_subquery(spark, tmp_path):
     cat.sql("DELETE FROM mdel_t WHERE k IN (SELECT k FROM mdel_q)")
     got = {(r.k, r.v) for r in cat.sql("SELECT * FROM mdel_t").collect()}
     assert got == {(1, 10), (3, 30)}
+
+
+def test_mor_delete_self_referential_subquery(spark, tmp_path):
+    p = os.path.join(str(tmp_path), "m2")
+    MorTable(p, key="k").init(
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30)], "k INT, v INT"
+        )
+    )
+    cat = LakehouseSqlCatalog(spark)
+    cat.register_path("msr", p)
+    # read msr first so a temp view snapshot exists, then mutate, then
+    # a self-referential DELETE must see the FRESH state
+    cat.sql("SELECT * FROM msr").collect()
+    cat.sql("INSERT INTO msr VALUES (4, 40)")
+    cat.sql(
+        "DELETE FROM msr WHERE k IN "
+        "(SELECT k FROM msr WHERE v >= 30)"
+    )
+    got = {(r.k, r.v) for r in cat.sql("SELECT * FROM msr").collect()}
+    assert got == {(1, 10), (2, 20)}  # 3 AND the post-snapshot 4 gone
+
+
+def test_mor_delete_with_time_travel_subquery(spark, tmp_path):
+    p = os.path.join(str(tmp_path), "m3")
+    MorTable(p, key="k").init(
+        spark.createDataFrame([(1, 10), (2, 20)], "k INT, v INT")
+    )
+    cat = LakehouseSqlCatalog(spark)
+    cat.register_path("mtt", p)
+    cat.sql("INSERT INTO mtt VALUES (3, 30)")
+    # delete exactly the keys that existed at version 1
+    cat.sql(
+        "DELETE FROM mtt WHERE k IN "
+        "(SELECT k FROM mtt VERSION AS OF 1)"
+    )
+    got = {(r.k, r.v) for r in cat.sql("SELECT * FROM mtt").collect()}
+    assert got == {(3, 30)}

@@ -488,3 +488,57 @@ def test_concurrent_transactions_both_commit(spark, tmp_path):
         log = CommitLog(p)
         assert log.current_version() == 3
         assert log.visible_version() == 3
+
+
+def test_gcd_marker_is_self_healing(spark, tmp_path):
+    # a stale marker copy whose coordinator holds NEITHER intent nor
+    # committed marker refers to a gc'd COMMITTED txn: VISIBLE (a
+    # pending txn's intent always exists — the structural rule that
+    # makes the gc race unable to pin a table invisible forever)
+    import json as _json
+
+    a, b, coord = _mk_tables(spark, tmp_path)
+    log = CommitLog(a)
+    m = log.manifest(1)
+    m["txn_inherited"] = [{"id": "ghost123", "coord": coord}]
+    mdir = os.path.join(a, "_manifest")
+    with open(os.path.join(mdir, "1.json"), "w") as fh:
+        _json.dump(m, fh)
+    os.makedirs(coord, exist_ok=True)
+    assert log.visible_version() == 1  # ghost marker: treated committed
+    # but with the intent PRESENT (genuinely pending) it hides
+    with open(os.path.join(coord, "ghost123.json"), "w") as fh:
+        _json.dump({"id": "ghost123", "entries": []}, fh)
+    assert log.visible_version() == 0
+
+
+def test_retain_zero_hours_never_sweeps_fresh_stages(spark, tmp_path):
+    a, b, coord = _mk_tables(spark, tmp_path)
+    from pretalx_hub_etl_spark.sources.lakehouse_ds import write_table
+
+    write_table(
+        spark.createDataFrame([(2, 20)], "k INT, v INT"), a, mode="append"
+    )
+    live = os.path.join(a, ".stage-inflight")
+    os.makedirs(live)
+    MergeSink(a, key="k").vacuum(retention_hours=0.0)
+    assert os.path.isdir(live), (
+        "RETAIN 0 HOURS swept a live writer's stage"
+    )
+
+
+def test_fanout_aborts_failed_staging(spark, tmp_path):
+    from pretalx_hub_etl_spark.plans.lakehouse_sql import LakehouseSqlCatalog
+    from pretalx_hub_etl_spark.streaming.fanout import fanout_sink
+
+    a, b, coord = _mk_tables(spark, tmp_path)
+    cat = LakehouseSqlCatalog(spark)
+    cat.register_path("fo_a", a)
+    cat.sql("ALTER TABLE fo_a ADD CONSTRAINT v_pos CHECK (v >= 0)")
+    sink = fanout_sink(coord, {a: lambda df: df, b: lambda df: df})
+    bad = spark.createDataFrame([(5, -1)], "k INT, v INT")
+    with pytest.raises(Exception):
+        sink(bad, 0)
+    # the failed batch's stage dirs were aborted, not leaked
+    assert not [d for d in os.listdir(a) if d.startswith(".txn-")]
+    assert not [d for d in os.listdir(b) if d.startswith(".txn-")]

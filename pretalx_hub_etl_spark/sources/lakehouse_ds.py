@@ -705,16 +705,41 @@ def build_lakehouse_source():
                 manifest["stream_batch_id"] = batch_id
                 if run_id:
                     manifest["stream_run_id"] = run_id
-            # visibility inheritance (sinks/txn.py): an append built on
-            # a pending multi-table-txn base hardlinks its files and
-            # must stay invisible until that txn commits. The writer's
-            # commit() runs DRIVER-side, so the shared helper (which
-            # also walks below torn-manifest holes) is importable here
-            # without breaking the reader's ship-by-value contract.
-            from ..sinks.manifest import CommitLog as _CL
-            from ..sinks.txn import inherit_pending as _inherit
+            # visibility inheritance — INLINE mirror of sinks/txn.py
+            # inherit_pending + txn_is_visible (the writer's commit()
+            # runs in a PYTHON WORKER without the engine package on its
+            # path, pinned by tools/vanilla_sweep.py: everything here
+            # must ship by value): an append built on a pending
+            # multi-table-txn base hardlinks its files and must stay
+            # invisible until that txn commits. Structural rule: a
+            # marker is pending iff its coordinator still holds the
+            # INTENT without the committed marker; walk below
+            # torn-manifest holes for the base.
+            import os as _o
 
-            inherited = _inherit(_CL(path), version)
+            def _pending_markers(bm: dict) -> list:
+                out = []
+                for t in [bm.get("txn")] + list(
+                    bm.get("txn_inherited", [])
+                ):
+                    if not t:
+                        continue
+                    c = _o.path.join(
+                        t["coord"], f"{t['id']}.committed"
+                    )
+                    i = _o.path.join(t["coord"], f"{t['id']}.json")
+                    if not _o.path.exists(c) and _o.path.exists(i):
+                        out.append(t)
+                return out
+
+            bv = version - 1
+            inherited: list = []
+            while bv > 0:
+                try:
+                    inherited = _pending_markers(_manifest(path, bv))
+                    break
+                except FileNotFoundError:
+                    bv -= 1  # torn/vacuumed hole
             if inherited:
                 manifest["txn_inherited"] = inherited
             _publish(path, manifest)

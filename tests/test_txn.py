@@ -542,3 +542,61 @@ def test_fanout_aborts_failed_staging(spark, tmp_path):
     # the failed batch's stage dirs were aborted, not leaked
     assert not [d for d in os.listdir(a) if d.startswith(".txn-")]
     assert not [d for d in os.listdir(b) if d.startswith(".txn-")]
+
+
+def test_every_crash_point_converges_via_heal(spark, tmp_path):
+    # exhaustive crash matrix: stop the commit sequence after each of
+    # its steps (intent, publish e0, publish e1, committed marker) and
+    # assert (a) visibility is ALL-or-NOTHING at every point, and
+    # (b) one heal() converges to the fully committed state
+    import json as _json
+
+    for stop_after in range(4):
+        sub = os.path.join(str(tmp_path), f"cp{stop_after}")
+        os.makedirs(sub)
+        a = os.path.join(sub, "a")
+        b = os.path.join(sub, "b")
+        MergeSink(a, key="k").init(
+            spark.createDataFrame([(1, 10)], "k INT, v INT")
+        )
+        MorTable(b, key="k").init(
+            spark.createDataFrame([(1, 100)], "k INT, w INT")
+        )
+        coord = os.path.join(sub, "_txn")
+        txn = LakehouseTransaction(coord)
+        txn.stage_append(
+            a, spark.createDataFrame([(2, 20)], "k INT, v INT")
+        )
+        txn.stage_mor_upsert(
+            b, spark.createDataFrame([(2, 200)], "k INT, w INT")
+        )
+        os.makedirs(coord, exist_ok=True)
+        steps = 0
+        intent = {"id": txn.id, "entries": txn._entries}
+        with open(os.path.join(coord, f"{txn.id}.json"), "x") as fh:
+            _json.dump(intent, fh)
+        if stop_after > 0:
+            _publish_one(coord, txn.id, 0, txn._entries[0])
+        if stop_after > 1:
+            _publish_one(coord, txn.id, 1, txn._entries[1])
+        if stop_after > 2:
+            with open(
+                os.path.join(coord, f"{txn.id}.committed"), "w"
+            ) as fh:
+                fh.write("")
+        n_a = MergeSink(a, key="k").read(spark).count()
+        n_b = MorTable(b, key="k").read(spark).count()
+        if stop_after < 3:
+            assert (n_a, n_b) == (1, 1), (
+                f"crash point {stop_after}: partial visibility "
+                f"({n_a}, {n_b})"
+            )
+        else:
+            assert (n_a, n_b) == (2, 2)
+        heal(coord)
+        assert MergeSink(a, key="k").read(spark).count() == 2
+        assert MorTable(b, key="k").read(spark).count() == 2
+        # idempotent: a second heal changes nothing
+        heal(coord)
+        assert CommitLog(a).current_version() == 2
+        assert CommitLog(b).current_version() == 2

@@ -321,14 +321,20 @@ def _quote_prop(v: object) -> str:
 
 def _prop_key(raw: str) -> str:
     """TBLPROPERTIES key normalization: control keys fold to lowercase,
-    but the dotted invariant families keep their case (a constraint
-    named Check_Positive must round-trip byte-identically)."""
-    k = raw.strip()
-    return (
-        k
-        if k.lower().startswith(("constraint.", "generated.", "notnull."))
-        else k.lower()
-    )
+    but the dotted invariant families keep their SUFFIX case (a
+    constraint named Check_Positive must round-trip byte-identically).
+    The FAMILY prefix itself always folds to lowercase — the enforcement
+    side (sinks/constraints.py) matches ``constraint.`` / ``generated.``
+    / ``notnull.`` case-sensitively, so a stored ``Constraint.pos``
+    would be re-emitted by SHOW CREATE TABLE yet silently never
+    enforced at write time. Keys may arrive quoted (``'constraint.x'``
+    = constraint.x — the standard SQL spelling); the quotes come off
+    before normalization or the stored key would never match."""
+    k = _unquote_prop(raw)
+    fam, dot, suffix = k.partition(".")
+    if dot and fam.lower() in ("constraint", "generated", "notnull"):
+        return f"{fam.lower()}.{suffix}"
+    return k.lower()
 
 
 def _split_assignments(s: str) -> list[tuple[str, str]]:

@@ -60,6 +60,13 @@ _LATEST_CKPT = "_latest_ckpt"
 #: identity (JSON: stream_batch_id + stream_run_id); written into the
 #: stage dir BEFORE the rename claim so heal can restore the stamp
 _STREAM_BATCH = "_STREAM_BATCH"
+#: staged-commit marker carrying a multi-table transaction commit's
+#: identity (JSON: txn {id, coord, entry} + txn_inherited + copy_files
+#: + checkpoint_at); written into the work dir BEFORE the rename claim
+#: (sinks/txn.py _publish_one) so a heal of a crash between rename and
+#: publish restores the marker — without it the healed manifest would
+#: make the pending entry visible before its transaction committed
+_TXN_STAMP = "_TXN"
 #: table-properties object (`_manifest/_table.json`): kind (cow|mor),
 #: merge key, and optionally a DDL schema for empty tables — written at
 #: table creation so a catalog can discover DML routing from the PATH
@@ -345,6 +352,17 @@ def build_manifest(
             stream_stamp["stream_batch_id"] = int(raw["stream_batch_id"])
         if "stream_run_id" in raw:
             stream_stamp["stream_run_id"] = str(raw["stream_run_id"])
+    except (FileNotFoundError, ValueError):
+        pass
+    # multi-table transaction commits persist their identity the same
+    # way (`_TXN` stamp, sinks/txn.py): restoring it here is what keeps
+    # a HEALED txn commit invisible until its transaction commits
+    try:
+        with open(os.path.join(staged_dir, _TXN_STAMP)) as fh:
+            raw = json.load(fh)
+        for k in ("txn", "txn_inherited", "copy_files", "checkpoint_at"):
+            if k in raw:
+                stream_stamp[k] = raw[k]
     except (FileNotFoundError, ValueError):
         pass
 

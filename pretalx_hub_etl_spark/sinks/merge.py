@@ -320,9 +320,28 @@ class MergeSink:
         log = CommitLog(self.path)
         if log.exists():
             # visible_version: step past pending multi-table txn heads
-            return self._read_manifest_files(
-                spark, log.visible_version()
-            )[0]
+            v = log.visible_version()
+            if v == 0:
+                # a log-bearing table whose EVERY commit is a pending
+                # multi-table transaction (e.g. a DDL-created table
+                # racing its first txn commit): the pre-transaction
+                # state is "no visible data yet" — serve the empty
+                # frame under the declared schema, not a spurious
+                # "v0 is not published" error
+                ddl = log.table_props().get("schema_ddl")
+                if ddl:
+                    from pyspark.sql.types import StructType
+
+                    return spark.createDataFrame(
+                        [], StructType.fromDDL(ddl)
+                    )
+                raise FileNotFoundError(
+                    f"{self.path} has no VISIBLE version yet (every "
+                    "commit belongs to a pending multi-table "
+                    "transaction) and no declared schema to serve an "
+                    "empty frame from"
+                )
+            return self._read_manifest_files(spark, v)[0]
         cur = current_version_path(self.path)
         if cur is None:
             raise FileNotFoundError(f"no version of merge table at {self.path}")

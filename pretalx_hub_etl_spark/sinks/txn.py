@@ -64,7 +64,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame
 
-from .manifest import CommitLog, build_manifest
+from .manifest import _TXN_STAMP, CommitLog, build_manifest
 from .merge import _base_and_claim
 
 
@@ -287,14 +287,55 @@ class LakehouseTransaction:
             for k, v in extra.items():
                 intent.setdefault(k, v)
         ipath = os.path.join(self.coord, f"{self.id}.json")
-        with open(ipath, "x") as fh:  # point of no return
+        # ATOMIC intent creation: full content lands in a hidden tmp
+        # (flushed + fsynced) first, then os.link claims the intent name
+        # exclusively — a crash or ENOSPC mid-dump leaves only an
+        # orphaned tmp, never a torn <id>.json that would wedge every
+        # later heal() on json.load; and because the link is the point
+        # of no return, a failed dump leaves _state "open" with NO
+        # persisted intent, so abort()'s stage cleanup stays safe
+        tmp = os.path.join(self.coord, f".intent-{self.id}")
+        with open(tmp, "w") as fh:
             json.dump(intent, fh, separators=(",", ":"))
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, ipath)  # point of no return
+        finally:
+            os.remove(tmp)
         self._state = "committed"
         return _publish_intent(self.coord, intent)
 
     def _check_open(self) -> None:
         if self._state != "open":
             raise ValueError(f"transaction is {self._state}")
+
+
+def _load_intent(coord: str, fn: str) -> dict[str, Any] | None:
+    """Read one coordinator intent file; QUARANTINE undecodable ones
+    (rename to ``<fn>.quarantined``) instead of raising — a torn intent
+    (pre-atomic-write era, or foreign garbage) would otherwise wedge
+    every heal()/gc() pass forever (fanout_sink heals at the top of
+    every batch, so the stream would stall permanently)."""
+    p = os.path.join(coord, fn)
+    try:
+        with open(p) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return None  # raced a gc
+    except (json.JSONDecodeError, ValueError):
+        q = p + ".quarantined"
+        try:
+            os.replace(p, q)
+        except OSError:
+            pass
+        import sys
+
+        print(
+            f"warning: quarantined undecodable txn intent {p} -> {q}",
+            file=sys.stderr,
+        )
+        return None
 
 
 # -- publication / heal ---------------------------------------------------------
@@ -336,6 +377,7 @@ def _publish_one(
         )
     v = _already_published(log, txn_id, idx, ent["base_at_prepare"])
     if v is not None:  # crashed between publish and marker
+        shutil.rmtree(stage, ignore_errors=True)  # late stage cleanup
         with open(done, "w") as fh:
             fh.write(str(v))
         return v
@@ -412,28 +454,44 @@ def _publish_one(
                             )
             with open(os.path.join(work, "_SUCCESS"), "w") as fh:
                 fh.write("")
-            manifest = build_manifest(claim, work, bloom_on=bloom_on)
-            manifest["txn"] = {"id": txn_id, "coord": coord, "entry": idx}
+            # persist the txn identity WITH the staged files (the
+            # `_TXN` stamp, same discipline as `_STREAM_BATCH`): a
+            # crash between the rename-claim below and log.publish()
+            # leaves a committed-but-unpublished v<claim> that any
+            # concurrent writer's _heal_claim/CommitLog.heal rebuilds
+            # from the directory — without the stamp the healed
+            # manifest LOST the txn marker (the pending entry became
+            # visible before the transaction committed, a torn
+            # cross-table read) and heal() later found no marked
+            # manifest and re-published the still-present stage
+            # (duplicate data). build_manifest / the DataSource's
+            # inline _manifest_from_dir restore every field below.
+            stamp: dict[str, Any] = {
+                "txn": {"id": txn_id, "coord": coord, "entry": idx}
+            }
             inherited = [
                 t
                 for t in inherit_pending(log, claim)
                 if t.get("id") != txn_id  # own marker is not "inherited"
             ]
             if inherited:
-                manifest["txn_inherited"] = inherited
+                stamp["txn_inherited"] = inherited
             if ent.get("copy_files"):
                 # S42 exactly-once: the loaded-file record rides the
                 # COMMIT itself (crash between commit and any side
                 # bookkeeping can never double-load)
-                manifest["copy_files"] = ent["copy_files"]
+                stamp["copy_files"] = ent["copy_files"]
             if op == "mor_delta":
                 # the MoR chain-start pointer (same rule as
                 # MorTable._commit: inherit the previous commit's)
                 try:
                     prev = log.manifest(log.current_version())
-                    manifest["checkpoint_at"] = prev.get("checkpoint_at")
+                    stamp["checkpoint_at"] = prev.get("checkpoint_at")
                 except FileNotFoundError:
-                    manifest["checkpoint_at"] = None
+                    stamp["checkpoint_at"] = None
+            with open(os.path.join(work, _TXN_STAMP), "w") as fh:
+                json.dump(stamp, fh, separators=(",", ":"))
+            manifest = build_manifest(claim, work, bloom_on=bloom_on)
         except BaseException:
             shutil.rmtree(work, ignore_errors=True)
             raise  # real I/O / stats errors must surface, not retry
@@ -487,8 +545,9 @@ def gc(coordinator: str, keep=None) -> list[str]:
         txn_id = fn[: -len(".json")]
         if not os.path.exists(_committed_marker(coord, txn_id)):
             continue  # pending: heal() owns it
-        with open(os.path.join(coord, fn)) as fh:
-            intent = json.load(fh)
+        intent = _load_intent(coord, fn)
+        if intent is None:
+            continue  # torn/raced: quarantined (or collected) above
         if "entries" not in intent or intent.get("id") != txn_id:
             continue  # foreign json in the coordinator, not an intent
         if keep is not None and keep(intent):
@@ -554,8 +613,9 @@ def heal(coordinator: str) -> dict[str, dict[str, int]]:
         txn_id = fn[: -len(".json")]
         if os.path.exists(_committed_marker(coord, txn_id)):
             continue
-        with open(os.path.join(coord, fn)) as fh:
-            intent = json.load(fh)
+        intent = _load_intent(coord, fn)
+        if intent is None:
+            continue  # torn/raced: quarantined (or collected) above
         if "entries" not in intent or intent.get("id") != txn_id:
             continue  # foreign json in the coordinator, not an intent
         out[txn_id] = _publish_intent(coord, intent)

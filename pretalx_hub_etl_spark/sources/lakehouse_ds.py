@@ -414,6 +414,23 @@ def build_lakehouse_source():
                 out["stream_run_id"] = str(raw_stamp["stream_run_id"])
         except (FileNotFoundError, ValueError):
             pass
+        # restore a multi-table transaction commit's identity (`_TXN`
+        # stamp, inline mirror of sinks/manifest.py build_manifest): a
+        # healed txn commit must keep its marker or the pending entry
+        # becomes visible before the transaction commits
+        try:
+            with open(os.path.join(vdir, "_TXN")) as fh:
+                raw_txn = json.load(fh)
+            for k in (
+                "txn",
+                "txn_inherited",
+                "copy_files",
+                "checkpoint_at",
+            ):
+                if k in raw_txn:
+                    out[k] = raw_txn[k]
+        except (FileNotFoundError, ValueError):
+            pass
         return out
 
     def _publish(table_path: str, manifest: dict) -> None:
@@ -1426,6 +1443,15 @@ def cow_read_schema(path: str, version: int | None = None):
 
     log = CommitLog(path)
     v = log.visible_version() if version is None else version
+    if v == 0 and log.current_version() > 0:
+        # every commit is a pending multi-table txn: a reader racing
+        # the table's first txn commit gets the DECLARED schema (the
+        # pre-transaction state is an empty table), not a v0 error
+        ddl = log.table_props().get("schema_ddl")
+        if ddl:
+            from pyspark.sql.types import StructType as _ST0
+
+            return _ST0.fromDDL(ddl)
     m = log.manifest(v)
     vdir = os.path.join(path, f"v{v}")
     data = [e for e in m["files"] if e.get("role", "data") == "data"]

@@ -1,0 +1,297 @@
+"""Round-14 pins: the r13 ADVICE txn-protocol fixes (heal keeps the txn
+marker across the rename->publish crash window; atomic intent creation;
+torn-intent quarantine), the pending-only-table read fallback, and the
+TBLPROPERTIES family-prefix case fold."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pretalx_hub_etl_spark.sinks import txn as txn_mod
+from pretalx_hub_etl_spark.sinks.manifest import CommitLog
+from pretalx_hub_etl_spark.sinks.merge import MergeSink
+from pretalx_hub_etl_spark.sinks.txn import (
+    LakehouseTransaction,
+    gc,
+    heal,
+)
+
+
+def _mk_table(spark, path: str, lo: int, hi: int) -> None:
+    MergeSink(path, key="k").init(
+        spark.range(lo, hi).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+    )
+
+
+def _keys(spark, path: str) -> list[int]:
+    return sorted(
+        r["k"] for r in MergeSink(path, key="k").read(spark).collect()
+    )
+
+
+class _CrashAtTxnPublish(RuntimeError):
+    pass
+
+
+def test_heal_keeps_txn_marker_across_rename_publish_crash(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r13 (high): a crash between the v<claim> rename and
+    log.publish() in _publish_one, followed by a CONCURRENT writer whose
+    _base_and_claim heals the claimed dir, must not (a) make the pending
+    entry visible before the transaction commits, nor (b) wedge or
+    duplicate data when the coordinator later heals."""
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    coord = str(tmp_path / "_txn")
+    _mk_table(spark, a, 0, 10)
+    _mk_table(spark, b, 100, 110)
+
+    txn = LakehouseTransaction(coord)
+    txn.stage_append(
+        a, spark.range(50, 55).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+    )
+    txn.stage_append(
+        b, spark.range(150, 155).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+    )
+
+    # crash EXACTLY between the rename-claim and the manifest publish of
+    # the first entry: the work dir is already renamed to a/v2 (with
+    # _SUCCESS and the _TXN stamp), no 2.json exists yet
+    real_publish = CommitLog.publish
+    fired = {"n": 0}
+
+    def crashing(self, manifest):
+        if manifest.get("txn") and fired["n"] == 0:
+            fired["n"] = 1
+            raise _CrashAtTxnPublish("injected")
+        return real_publish(self, manifest)
+
+    monkeypatch.setattr(CommitLog, "publish", crashing)
+    with pytest.raises(_CrashAtTxnPublish):
+        txn.commit()
+    monkeypatch.setattr(CommitLog, "publish", real_publish)
+
+    log_a = CommitLog(a)
+    assert os.path.exists(os.path.join(a, "v2", "_SUCCESS"))
+    assert not os.path.exists(os.path.join(a, "_manifest", "2.json"))
+
+    # INTERLEAVED regular writer on table a: its _base_and_claim heals
+    # the committed-but-unpublished v2 from the directory. The healed
+    # manifest must CARRY the txn marker (restored from the _TXN stamp)
+    # — before the fix it was rebuilt bare and the pending rows leaked.
+    MergeSink(a, key="k").merge(
+        spark,
+        spark.range(70, 72).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        ),
+    )
+    healed = log_a.manifest(2)
+    assert healed.get("txn", {}).get("id") == txn.id
+    assert healed["txn"]["entry"] == 0
+    # the writer's own commit (v3) built on the pending base: inherited
+    head = log_a.manifest(log_a.current_version())
+    assert any(
+        t.get("id") == txn.id for t in head.get("txn_inherited", [])
+    )
+
+    # torn cross-table read: NOTHING of the transaction (nor the
+    # interleaved writer's rows, which build on a pending base) is
+    # visible before the coordinator commits
+    assert _keys(spark, a) == list(range(10))
+    assert _keys(spark, b) == list(range(100, 110))
+
+    # coordinator heal rolls forward: finds the already-published entry
+    # via the marker probe (no duplicate, no FileExistsError wedge),
+    # publishes entry b, flips the committed marker
+    out = heal(coord)
+    assert txn.id in out
+    assert _keys(spark, a) == (
+        list(range(10)) + list(range(50, 55)) + [70, 71]
+    )
+    assert _keys(spark, b) == list(range(100, 110)) + list(
+        range(150, 155)
+    )
+    # staged dirs reclaimed, done markers present
+    assert not [d for d in os.listdir(a) if d.startswith(".txn-")]
+    assert os.path.exists(os.path.join(coord, f"{txn.id}.e0.done"))
+    # idempotent: a second heal is a no-op
+    assert heal(coord) == {}
+
+
+def test_intent_write_is_atomic_and_torn_intents_quarantine(
+    spark, tmp_path
+):
+    """ADVICE r13 (medium): the intent object is claimed atomically
+    (tmp + fsync + link), and heal()/gc() quarantine an undecodable
+    intent instead of crashing every later pass."""
+    a = str(tmp_path / "a")
+    coord = str(tmp_path / "_txn")
+    _mk_table(spark, a, 0, 5)
+
+    # seed a TORN intent (pre-atomic era / foreign garbage)
+    os.makedirs(coord, exist_ok=True)
+    torn = os.path.join(coord, "deadbeef00.json")
+    with open(torn, "w") as fh:
+        fh.write('{"id": "deadbeef00", "entr')  # truncated mid-dump
+
+    # a healthy transaction still commits through the same coordinator
+    txn = LakehouseTransaction(coord)
+    txn.stage_append(
+        a, spark.range(5, 8).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+    )
+    txn.commit()
+    assert _keys(spark, a) == list(range(8))
+    # no leftover hidden tmp from the atomic claim
+    assert not [
+        f for f in os.listdir(coord) if f.startswith(".intent-")
+    ]
+
+    # heal() and gc() pass cleanly, quarantining the torn file once
+    assert heal(coord) == {}
+    assert not os.path.exists(torn)
+    assert os.path.exists(torn + ".quarantined")
+    collected = gc(coord)
+    assert txn.id in collected
+    # committed intent collected; the quarantined file left for forensics
+    assert not os.path.exists(os.path.join(coord, f"{txn.id}.json"))
+    assert os.path.exists(torn + ".quarantined")
+
+
+def test_pending_only_table_reads_as_empty_declared_frame(
+    spark, tmp_path
+):
+    """ADVICE r13 (low): a DDL-created table whose ONLY commit belongs
+    to a pending multi-table transaction serves the pre-transaction
+    state (empty frame under the declared schema), not a spurious
+    'v0 is not published' error."""
+    from pretalx_hub_etl_spark.plans.lakehouse_sql import (
+        LakehouseSqlCatalog,
+    )
+
+    path = str(tmp_path / "t")
+    coord = str(tmp_path / "_txn")
+    cat = LakehouseSqlCatalog(spark)
+    cat.sql(
+        f"CREATE TABLE pend_t (k BIGINT, v BIGINT) USING lakehouse "
+        f"LOCATION '{path}' TBLPROPERTIES (merge_key='k')"
+    )
+    txn = LakehouseTransaction(coord)
+    txn.stage_append(
+        path,
+        spark.range(3).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        ),
+    )
+    txn.commit()
+    # re-open the pending window: intent without the committed marker
+    os.remove(os.path.join(coord, f"{txn.id}.committed"))
+    log = CommitLog(path)
+    assert log.current_version() == 1
+    assert log.visible_version() == 0
+
+    df = MergeSink(path, key="k").read(spark)
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == ["k", "v"]
+    # the catalog's SQL read surface serves the same empty frame
+    assert cat.sql("SELECT * FROM pend_t").count() == 0
+    # the DataSource schema resolver agrees (driver-side path)
+    from pretalx_hub_etl_spark.sources.lakehouse_ds import (
+        cow_read_schema,
+    )
+
+    assert [f.name for f in cow_read_schema(path).fields] == ["k", "v"]
+    # roll forward: everything becomes visible again
+    heal(coord)
+    assert _keys(spark, path) == [0, 1, 2]
+
+
+def test_tblproperties_family_prefix_folds_case(spark, tmp_path):
+    """ADVICE r13 (low): TBLPROPERTIES ('Constraint.pos'=...) must be
+    ENFORCED, not just stored-and-echoed — the family prefix folds to
+    lowercase while the suffix (constraint name) keeps its case."""
+    from pretalx_hub_etl_spark.plans.lakehouse_sql import (
+        LakehouseSqlCatalog,
+    )
+
+    path = str(tmp_path / "t")
+    cat = LakehouseSqlCatalog(spark)
+    cat.sql(
+        f"CREATE TABLE case_t (k BIGINT, v BIGINT) USING lakehouse "
+        f"LOCATION '{path}' TBLPROPERTIES (merge_key='k', "
+        f"'Constraint.Pos_Check'='v > 0', 'NotNull.v'='true')"
+    )
+    props = CommitLog(path).table_props()
+    assert props.get("constraint.Pos_Check") == "v > 0"
+    assert "Constraint.Pos_Check" not in props
+    assert props.get("notnull.v") == "true"
+
+    cat.sql("INSERT INTO case_t VALUES (1, 5)")
+    with pytest.raises(Exception, match="Pos_Check"):
+        cat.sql("INSERT INTO case_t VALUES (2, -1)")
+    with pytest.raises(Exception, match="(?i)null"):
+        cat.sql("INSERT INTO case_t VALUES (3, NULL)")
+    assert _keys(spark, path) == [1]
+    # round-trip: SHOW CREATE TABLE re-emits the enforced spelling
+    stmt = cat.sql("SHOW CREATE TABLE case_t").first()[0]
+    assert "constraint.Pos_Check" in stmt
+
+
+def test_txn_stamp_rides_datasource_heal(spark, tmp_path, monkeypatch):
+    """The INLINE healer in the DataSource writer (_manifest_from_dir)
+    restores the _TXN stamp too: an interleaved `write_table` append —
+    not just an engine MergeSink writer — keeps the crashed txn commit
+    invisible until the coordinator commits."""
+    from pretalx_hub_etl_spark.sources.lakehouse_ds import write_table
+
+    a = str(tmp_path / "a")
+    coord = str(tmp_path / "_txn")
+    _mk_table(spark, a, 0, 4)
+
+    txn = LakehouseTransaction(coord)
+    txn.stage_append(
+        a,
+        spark.range(20, 23).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        ),
+    )
+    real_publish = CommitLog.publish
+    fired = {"n": 0}
+
+    def crashing(self, manifest):
+        if manifest.get("txn") and fired["n"] == 0:
+            fired["n"] = 1
+            raise _CrashAtTxnPublish("injected")
+        return real_publish(self, manifest)
+
+    monkeypatch.setattr(CommitLog, "publish", crashing)
+    with pytest.raises(_CrashAtTxnPublish):
+        txn.commit()
+    monkeypatch.setattr(CommitLog, "publish", real_publish)
+
+    # interleaved writer through the Python-DataSource path: its commit
+    # heals v2 from the directory in a WORKER process (inline code)
+    write_table(
+        spark.range(30, 32).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        ),
+        a,
+        mode="append",
+    )
+    healed = CommitLog(a).manifest(2)
+    assert healed.get("txn", {}).get("id") == txn.id
+    assert _keys(spark, a) == list(range(4))  # nothing visible yet
+    heal(coord)
+    assert _keys(spark, a) == list(range(4)) + [20, 21, 22, 30, 31]

@@ -295,3 +295,86 @@ def test_txn_stamp_rides_datasource_heal(spark, tmp_path, monkeypatch):
     assert _keys(spark, a) == list(range(4))  # nothing visible yet
     heal(coord)
     assert _keys(spark, a) == list(range(4)) + [20, 21, 22, 30, 31]
+
+
+def test_view_insert_visibility_stress(spark, tmp_path):
+    """Compact pytest pin of the r13 q_sql_view investigation
+    (RACE_r14.md): CREATE VIEW -> INSERT -> fresh-catalog read must see
+    the insert EVERY time while a background thread commits to another
+    table in the same session. The full-strength harness is
+    tools/view_stress.py (250 iterations, 3 writers)."""
+    import threading
+
+    from pretalx_hub_etl_spark.plans.lakehouse_sql import (
+        LakehouseSqlCatalog,
+    )
+
+    stop = threading.Event()
+    errs: list[BaseException] = []
+
+    def bg() -> None:
+        try:
+            p = str(tmp_path / "bg")
+            cat = LakehouseSqlCatalog(
+                spark, warehouse=str(tmp_path / "bgwh")
+            )
+            MergeSink(p, key="k").init(
+                spark.range(50).select(
+                    F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+                )
+            )
+            cat.register_path("bg_t", p)
+            i = 0
+            while not stop.is_set():
+                i += 1
+                cat.sql(f"INSERT INTO bg_t VALUES ({100 + i}, {i})")
+                cat.sql("SELECT sum(v) AS s FROM bg_t").collect()
+        except BaseException as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    t = threading.Thread(target=bg, daemon=True)
+    t.start()
+    try:
+        for it in range(8):
+            root = tmp_path / f"it{it}"
+            path = str(root / "t")
+            wh = str(root / "wh")
+            MergeSink(path, key="k").init(
+                spark.range(40).select(
+                    F.col("id").alias("k"),
+                    (F.col("id") % 5).alias("ck"),
+                    (F.col("id") * 7).alias("cents"),
+                )
+            )
+            cat = LakehouseSqlCatalog(spark, warehouse=wh)
+            cat.register_path("vt", path)
+            cat.sql(
+                "CREATE VIEW vs_high AS "
+                "SELECT k, ck, cents FROM vt WHERE cents > 100"
+            )
+            cat.sql(
+                "CREATE VIEW vs_agg AS SELECT ck, count(*) AS n, "
+                "sum(cents) AS total FROM vs_high GROUP BY ck"
+            )
+            cat.sql("INSERT INTO vt VALUES (999, 1, 5000)")
+            fresh = LakehouseSqlCatalog(spark, warehouse=wh)
+            got = {
+                r["ck"]: (r["n"], r["total"])
+                for r in fresh.sql(
+                    "SELECT ck, n, total FROM vs_agg"
+                ).collect()
+            }
+            exp_rows = [
+                (k % 5, k * 7) for k in range(40) if k * 7 > 100
+            ] + [(1, 5000)]
+            exp: dict[int, tuple[int, int]] = {}
+            for ck, cents in exp_rows:
+                n, tot = exp.get(ck, (0, 0))
+                exp[ck] = (n + 1, tot + cents)
+            assert got == exp, f"stale read at iteration {it}"
+            cat.sql("DROP VIEW vs_high")
+            cat.sql("DROP VIEW vs_agg")
+    finally:
+        stop.set()
+        t.join(timeout=60)
+    assert not errs, errs[:1]

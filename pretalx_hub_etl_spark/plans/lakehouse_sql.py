@@ -75,6 +75,11 @@ _INSERT_RE = re.compile(
     r"(?:\(\s*([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*\)\s*)?(.+)$",
     re.IGNORECASE | re.DOTALL,
 )
+_REPLACE_WHERE_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+([A-Za-z_]\w*)\s+REPLACE\s+WHERE\s+(.+?)\s+"
+    r"((?:SELECT|VALUES|TABLE|WITH)\b.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
 _UPDATE_RE = re.compile(
     r"^\s*UPDATE\s+([A-Za-z_]\w*)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -172,6 +177,25 @@ _ALTER_ADD_RE = re.compile(
 _ALTER_RENAME_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+RENAME\s+TO\s+"
     r"([A-Za-z_]\w*)\s*$",
+    re.IGNORECASE,
+)
+_BEGIN_TXN_RE = re.compile(
+    r"^\s*BEGIN(?:\s+TRANSACTION)?\s*$", re.IGNORECASE
+)
+_COMMIT_RE = re.compile(
+    r"^\s*COMMIT(?:\s+TRANSACTION)?\s*$", re.IGNORECASE
+)
+_ROLLBACK_RE = re.compile(
+    r"^\s*ROLLBACK(?:\s+TRANSACTION)?\s*$", re.IGNORECASE
+)
+_ALTER_RENAME_COL_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+RENAME\s+COLUMN\s+"
+    r"([A-Za-z_]\w*)\s+TO\s+([A-Za-z_]\w*)\s*$",
+    re.IGNORECASE,
+)
+_ALTER_DROP_COL_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+DROP\s+COLUMNS?\s+"
+    r"(?:(IF\s+EXISTS)\s+)?([A-Za-z_]\w*)\s*$",
     re.IGNORECASE,
 )
 _ALTER_PROPS_RE = re.compile(
@@ -373,6 +397,9 @@ class LakehouseSqlCatalog:
         self._views: dict[str, str] = {}
         #: views currently being materialized (cycle guard)
         self._binding: set[str] = set()
+        #: open SQL transaction (S47): `BEGIN TRANSACTION` sets it,
+        #: DML statements stage into it, `COMMIT`/`ROLLBACK` clear it
+        self._txn = None
         from ..sources.lakehouse_ds import register
 
         register(spark)
@@ -651,13 +678,32 @@ class LakehouseSqlCatalog:
                 cols.update(ent.get("columns", {}))
             if not cols:
                 continue
+            # column mapping (S46): predicates arrive under LOGICAL
+            # names; stats of pre-rename files live under the old
+            # physical names. Extraction must see the logical name even
+            # when only old files exist, and each logical conjunct also
+            # prunes under its prior names (sound both ways: files
+            # without stats for a name are never skipped).
+            from ..sinks.colmap import (
+                column_events,
+                prior_physical_names,
+            )
+
+            tprops = log.table_props()
+            for e in column_events(tprops):
+                if e["op"] == "rename" and e["old"] in cols:
+                    cols.add(e["new"])
             occs = extract_scan_prunes(statement, name, cols)
             sink = MergeSink(path, key=key or "_")
             for occ in sorted(occs, key=lambda o: o.start, reverse=True):
                 if not occ.prunes:
                     continue
+                prunes = list(occ.prunes)
+                for c, lo, hi in occ.prunes:
+                    for oldn in prior_physical_names(tprops, c):
+                        prunes.append((oldn, lo, hi))
                 df, _scanned, skipped = sink.read_where(
-                    self.spark, occ.prunes, version=v
+                    self.spark, prunes, version=v
                 )
                 if skipped == 0:
                     continue  # nothing pruned: the plain view serves it
@@ -676,26 +722,43 @@ class LakehouseSqlCatalog:
 
         return bool(CommitLog(path).table_props().get("schema_ddl"))
 
-    def _overlay_ddl(self, df: DataFrame, path: str) -> DataFrame:
+    def _overlay_ddl(
+        self, df: DataFrame, path: str, version: int | None = None
+    ) -> DataFrame:
         """Serve ALTER-declared columns the data files don't carry yet:
         the stored ``schema_ddl`` is the table's DECLARED schema; any
         declared column absent from the physical scan is appended as a
         typed NULL (the Delta metadata-evolution read shape — old files
         never rewritten). Additive only: physical columns beyond the
-        DDL (MERGE WITH SCHEMA EVOLUTION) always survive."""
+        DDL (MERGE WITH SCHEMA EVOLUTION) always survive. A TIME-TRAVEL
+        read (``version``) never overlays a name introduced by a RENAME
+        event ABOVE that version — old snapshots keep their original
+        column set (sinks/colmap.py)."""
         from ..sinks.manifest import CommitLog
 
-        ddl = CommitLog(path).table_props().get("schema_ddl")
+        props = CommitLog(path).table_props()
+        ddl = props.get("schema_ddl")
         if not ddl:
             return df
         from pyspark.sql import functions as F
         from pyspark.sql.types import StructType
 
+        later_names: set[str] = set()
+        if version is not None:
+            from ..sinks.colmap import column_events
+
+            later_names = {
+                e["new"].lower()
+                for e in column_events(props)
+                if e["op"] == "rename"
+                and int(e.get("since", 0)) > version
+            }
         have = {c.lower() for c in df.columns}
         missing = [
             f
             for f in StructType.fromDDL(ddl).fields
             if f.name.lower() not in have
+            and f.name.lower() not in later_names
         ]
         if not missing:
             return df
@@ -714,9 +777,20 @@ class LakehouseSqlCatalog:
             if empty is not None:
                 return empty
         if kind == "cow":
-            if name not in self._ds_tables:
+            from ..sinks.colmap import column_events
+            from ..sinks.manifest import CommitLog as _CL46
+
+            mapped = name in self._ds_tables and column_events(
+                _CL46(path).table_props()
+            )
+            if name not in self._ds_tables or mapped:
                 # native path (default): manifest file list -> direct
-                # parquet scan (see register_cow docstring)
+                # parquet scan (see register_cow docstring). Column-
+                # mapped tables (S46 RENAME/DROP COLUMN) read native
+                # even when registered use_datasource: the per-file
+                # Arrow reader serves a FIXED read schema, so an old
+                # file's pre-rename column would NULL-fill instead of
+                # carrying its values — same data, different plan.
                 from ..sinks.merge import MergeSink
 
                 sink = MergeSink(path, key=key or "_")
@@ -725,6 +799,7 @@ class LakehouseSqlCatalog:
                     if version is None
                     else sink.read_version(self.spark, version),
                     path,
+                    version,
                 )
             r = self.spark.read.format("lakehouse").option("path", path)
             if version is not None:
@@ -734,12 +809,16 @@ class LakehouseSqlCatalog:
             # a Python worker just to call DataSource.schema() on every
             # load — a whole process round trip for one footer read
             return self._overlay_ddl(
-                r.schema(self._cow_schema(path, version)).load(), path
+                r.schema(self._cow_schema(path, version)).load(),
+                path,
+                version,
             )
         from ..sinks.mor import MorTable
 
         return self._overlay_ddl(
-            MorTable(path, key=key).read(self.spark, as_of=version), path
+            MorTable(path, key=key).read(self.spark, as_of=version),
+            path,
+            version,
         )
 
     def _cow_schema(self, path: str, version: int | None):
@@ -782,9 +861,34 @@ class LakehouseSqlCatalog:
         UPDATE/DELETE on CoW need the table registered with its merge
         ``key``.
         """
+        out = self._try_txn_ctl(query)
+        if out is not None:
+            return out
+        if self._txn is not None:
+            head = (query.strip().split(None, 1) or [""])[0].upper()
+            if head in (
+                "MERGE",
+                "CREATE",
+                "COPY",
+                "VACUUM",
+                "OPTIMIZE",
+                "ALTER",
+                "DROP",
+                "TRUNCATE",
+                "ANALYZE",
+                "CONVERT",
+                "RESTORE",
+            ):
+                raise ValueError(
+                    f"{head} is not allowed inside BEGIN TRANSACTION "
+                    "(transaction scope: INSERT into CoW/MoR tables and "
+                    "MoR UPDATE/DELETE — the S45 append/delta contract; "
+                    "reads serve the pre-transaction snapshot)"
+                )
         for handler in (
             self._try_merge,
             self._try_copy,
+            self._try_replace_where,
             self._try_insert,
             self._try_update,
             self._try_delete,
@@ -813,6 +917,62 @@ class LakehouseSqlCatalog:
             if out is not None:
                 return out
         return self._select(query)
+
+    def _try_txn_ctl(self, query: str) -> DataFrame | None:
+        """S47: the SQL spelling of multi-table transactions —
+        ``BEGIN TRANSACTION; <INSERT/MoR-DML...>; COMMIT`` compiles to
+        ONE S45 :class:`LakehouseTransaction`: every staged statement
+        becomes an entry, COMMIT is the single atomic visibility flip
+        (all tables at once, crash-healed roll-forward), ROLLBACK
+        discards the stages. Statements inside the transaction read the
+        PRE-transaction snapshot (staged data is invisible until
+        COMMIT, including to the transaction's own reads — the S45
+        staging contract). Scope: INSERT into CoW/MoR tables and MoR
+        UPDATE/DELETE; CoW full-state rewrites are the documented S45
+        non-goal and are refused."""
+        q = query.strip().rstrip(";").strip()
+        if _BEGIN_TXN_RE.match(q):
+            if self._txn is not None:
+                raise ValueError(
+                    "a transaction is already open (nested BEGIN "
+                    "TRANSACTION is not supported)"
+                )
+            self._txn = self.transaction()  # warehouse-backed coordinator
+            return self.spark.createDataFrame(
+                [("begin_transaction", self._txn.id)],
+                "operation string, txn_id string",
+            )
+        if _COMMIT_RE.match(q):
+            if self._txn is None:
+                raise ValueError("COMMIT without an open transaction")
+            txn, self._txn = self._txn, None
+            if not txn._entries:  # empty transaction: a no-op COMMIT
+                txn.abort()
+                published: dict[str, int] = {}
+            else:
+                published = txn.commit()
+                from ..sinks.txn import gc as _txn_gc
+
+                _txn_gc(txn.coord)
+            return self.spark.createDataFrame(
+                [
+                    (
+                        "commit",
+                        txn.id,
+                        len(published),
+                    )
+                ],
+                "operation string, txn_id string, tables int",
+            )
+        if _ROLLBACK_RE.match(q):
+            if self._txn is None:
+                raise ValueError("ROLLBACK without an open transaction")
+            txn, self._txn = self._txn, None
+            txn.abort()
+            return self.spark.createDataFrame(
+                [("rollback", txn.id)], "operation string, txn_id string"
+            )
+        return None
 
     def _summary(self, op: str, name: str, version: int) -> DataFrame:
         return self.spark.createDataFrame(
@@ -1246,6 +1406,81 @@ class LakehouseSqlCatalog:
                 t.merge(self.spark, source=upserts, deletes=delete_keys)
         return self._summary("merge", name, self._current_version(name))
 
+    def _try_replace_where(self, query: str) -> DataFrame | None:
+        m = _REPLACE_WHERE_RE.match(query)
+        if m is None:
+            return None
+        # S48: `INSERT INTO t REPLACE WHERE <cond> <query>` — ONE
+        # commit that replaces exactly the predicate-matching rows
+        # (engine API: MergeSink.replace_where). Untouched files are
+        # hardlinked byte-identical; the incoming frame must satisfy
+        # the predicate (the Delta replaceWhere contract).
+        name, condition, payload = (
+            m.group(1),
+            m.group(2).strip(),
+            m.group(3),
+        )
+        if self._txn is not None:
+            raise ValueError(
+                "REPLACE WHERE inside BEGIN TRANSACTION is not "
+                "supported (predicate-scoped rewrite — the S45 "
+                "append/delta scope excludes it)"
+            )
+        kind, path, key = self._require(name)
+        if kind != "cow":
+            raise ValueError(
+                "REPLACE WHERE targets CoW tables; on MoR compose "
+                "DELETE WHERE + INSERT (deltas), or convert"
+            )
+        from pyspark.sql import functions as F
+
+        from ..sinks.merge import MergeSink
+
+        df = self._select(payload)
+        target = self._frame(name, None).schema
+        from ..sinks.constraints import generated_columns
+        from ..sinks.manifest import CommitLog as _CL
+
+        gens = generated_columns(_CL(path).table_props())
+        nogen = [c for c in target.fieldNames() if c not in gens]
+        if set(df.columns) == set(target.fieldNames()):
+            pass
+        elif set(df.columns) == set(nogen):
+            pass
+        elif len(df.columns) == len(nogen):
+            df = df.toDF(*nogen)
+        elif len(df.columns) == len(target.fieldNames()):
+            df = df.toDF(*target.fieldNames())
+        else:
+            raise ValueError(
+                f"REPLACE WHERE {name}: payload has {len(df.columns)} "
+                f"columns, table has {target.fieldNames()}"
+            )
+        present = set(df.columns)
+        df = df.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in target.fields
+                if f.name in present
+            ]
+        )
+        stats = MergeSink(path, key=key or "_").replace_where(
+            df, condition
+        )
+        return self.spark.createDataFrame(
+            [
+                (
+                    "replace_where",
+                    name,
+                    stats["version"],
+                    stats["files_relinked"],
+                    stats["files_rewritten"],
+                )
+            ],
+            "operation string, table string, version int, "
+            "files_relinked int, files_rewritten int",
+        )
+
     def _try_insert(self, query: str) -> DataFrame | None:
         m = _INSERT_RE.match(query)
         if m is None:
@@ -1330,10 +1565,19 @@ class LakehouseSqlCatalog:
                 if f.name in present
             ]
         )
+        if self._txn is not None:
+            # S47: stage into the open transaction — visible only at
+            # COMMIT, atomically with every other staged statement
+            if kind == "cow":
+                self._txn.stage_append(path, df)
+            else:
+                self._txn.stage_mor_upsert(path, source=df)
+            return self._summary(
+                "insert_staged", name, self._current_version(name)
+            )
         if kind == "cow":
             from ..sinks.merge import MergeSink
             from ..sinks.merge import _versions as _committed
-            from ..sources.lakehouse_ds import write_table
 
             if key is not None and not _committed(path):
                 # first INSERT into a DDL-created empty table: commit v1
@@ -1344,7 +1588,16 @@ class LakehouseSqlCatalog:
                 if isinstance(pby, str):
                     pby = [p.strip() for p in pby.split(",") if p.strip()]
                 MergeSink(path, key=key, partition_by=pby).init(df)
+            elif CommitLog(path).exists():
+                # engine-native append: honors the stored hive
+                # partition layout (the DataSource writer stages flat
+                # files — a root-level file in a partitioned version
+                # dir is SILENTLY DROPPED by partition discovery) and
+                # skips the Python-worker commit round trip
+                MergeSink(path, key=key or "_").append(df)
             else:
+                from ..sources.lakehouse_ds import write_table
+
                 write_table(df, path, mode="append")
         else:
             from ..sinks.mor import MorTable
@@ -1400,6 +1653,17 @@ class LakehouseSqlCatalog:
         ).items():
             if gcol.lower() not in assigned and gcol.lower() in have:
                 matched = matched.withColumn(gcol, F.expr(gexpr))
+        if self._txn is not None:
+            if kind == "cow":
+                raise ValueError(
+                    "UPDATE on a CoW table inside BEGIN TRANSACTION is "
+                    "not supported (full-state rewrite — the documented "
+                    "S45 non-goal); use a MoR table or commit first"
+                )
+            self._txn.stage_mor_upsert(path, source=matched)
+            return self._summary(
+                "update_staged", name, self._current_version(name)
+            )
         if kind == "cow":
             from ..sinks.merge import MergeSink
 
@@ -1427,6 +1691,20 @@ class LakehouseSqlCatalog:
         name, cond = m.group(1), m.group(2)
         kind, path, _ = self._require(name)
         key = self._require_key(name)
+        if self._txn is not None:
+            if kind == "cow":
+                raise ValueError(
+                    "DELETE on a CoW table inside BEGIN TRANSACTION is "
+                    "not supported (full-state rewrite — the documented "
+                    "S45 non-goal); use a MoR table or commit first"
+                )
+            self._txn.stage_mor_upsert(
+                path,
+                deletes=self._dml_matched(name, cond).select(key),
+            )
+            return self._summary(
+                "delete_staged", name, self._current_version(name)
+            )
         if kind == "cow":
             from ..sinks.merge import MergeSink
 
@@ -2194,6 +2472,20 @@ class LakehouseSqlCatalog:
 
             log = CommitLog(path)
             props = log.table_props()
+            from ..sinks.colmap import retired_names
+
+            resurrect = [
+                f.name
+                for f in added.fields
+                if f.name.lower() in retired_names(props)
+            ]
+            if resurrect:
+                raise ValueError(
+                    f"ALTER TABLE {name}: column(s) {resurrect} were "
+                    "previously renamed away or dropped — re-adding the "
+                    "name would resurrect stale values old files still "
+                    "physically carry (pick a fresh name)"
+                )
             base_ddl = props.get("schema_ddl") or ", ".join(
                 f"{f.name} {f.dataType.simpleString()}"
                 for f in current.fields
@@ -2203,6 +2495,35 @@ class LakehouseSqlCatalog:
             return self._summary(
                 "alter", name, self._current_version(name)
             )
+        m = _ALTER_RENAME_COL_RE.match(query)
+        if m is not None:
+            # S46: `RENAME COLUMN a TO b` — metadata-only column mapping
+            # (sinks/colmap.py): no file is rewritten; an event
+            # {rename, old, new, since=<metadata commit>} lands in the
+            # table props, every read overlays it, time travel below
+            # `since` serves the original name.
+            name, old, new = m.group(1), m.group(2), m.group(3)
+            return self._alter_column_event(
+                name, op="rename", old=old, new=new
+            )
+        m = _ALTER_DROP_COL_RE.match(query)
+        if m is not None:
+            # S46: `DROP COLUMN [IF EXISTS] c` — metadata-only drop:
+            # old files keep the bytes (VACUUM of pre-drop versions is
+            # the reclaim path), reads project it out from `since` on.
+            name, if_exists, col = m.group(1), m.group(2), m.group(3)
+            _kind, path, _key = self._require(name)
+            cols = {c.lower() for c in self._frame(name, None).columns}
+            if col.lower() not in cols:
+                if if_exists:
+                    return self._summary(
+                        "alter", name, self._current_version(name)
+                    )
+                raise ValueError(
+                    f"DROP COLUMN: {col!r} is not a column of {name} "
+                    f"({sorted(cols)})"
+                )
+            return self._alter_column_event(name, op="drop", old=col)
         m = _ALTER_RENAME_RE.match(query)
         if m is not None:
             # catalog-level rename: the path and data never move
@@ -2272,6 +2593,139 @@ class LakehouseSqlCatalog:
                 "alter", name, self._current_version(name)
             )
         return None
+
+    def _alter_column_event(
+        self,
+        name: str,
+        *,
+        op: str,
+        old: str,
+        new: str | None = None,
+    ) -> DataFrame:
+        """Shared RENAME COLUMN / DROP COLUMN implementation (S46):
+        validate, anchor a metadata-only commit, append the column
+        event, and rewrite the declared schema. The table's structural
+        columns (merge key, partition, bloom/cluster specs) and any
+        column referenced by a CHECK or GENERATED expression are
+        protected — redefine those specs first, exactly Delta's rule."""
+        _kind, path, key = self._require(name)
+        from ..sinks.colmap import retired_names
+        from ..sinks.constraints import (
+            CHECK_PREFIX,
+            GENERATED_PREFIX,
+            NOTNULL_PREFIX,
+        )
+        from ..sinks.manifest import CommitLog
+        from ..sinks.merge import commit_metadata_version
+
+        log = CommitLog(path)
+        props = log.table_props()
+        frame = self._frame(name, None)
+        by_lower = {c.lower(): c for c in frame.columns}
+        if old.lower() not in by_lower:
+            raise ValueError(
+                f"ALTER TABLE {name}: {old!r} is not a column "
+                f"({sorted(frame.columns)})"
+            )
+        old = by_lower[old.lower()]  # canonical stored case
+        if op == "rename":
+            assert new is not None
+            if new.lower() in by_lower:
+                raise ValueError(
+                    f"RENAME COLUMN: {new!r} already exists on {name}"
+                )
+            if new.lower() in retired_names(props):
+                raise ValueError(
+                    f"RENAME COLUMN: {new!r} was a previous physical "
+                    f"name on {name}; reusing it would resurrect stale "
+                    "values old files still carry"
+                )
+        protected: dict[str, str] = {}
+        for mk in (key, props.get("merge_key")):
+            if mk:
+                protected[str(mk).lower()] = "merge key"
+        pby = props.get("partition_by") or []
+        if isinstance(pby, str):
+            pby = [p.strip() for p in pby.split(",") if p.strip()]
+        for c in pby:
+            protected[c.lower()] = "partition column"
+        if props.get("bloom_on"):
+            protected[str(props["bloom_on"]).lower()] = (
+                "bloom index column"
+            )
+        for c in props.get("zorder_by") or []:
+            protected[c.lower()] = "cluster (ZORDER) spec column"
+        if old.lower() in protected:
+            raise ValueError(
+                f"ALTER TABLE {name}: {old!r} is the table's "
+                f"{protected[old.lower()]} — redefine that first"
+            )
+        gen_key = None
+        nn_key = None
+        for pk, pv in props.items():
+            if pk.startswith((CHECK_PREFIX, GENERATED_PREFIX)):
+                if re.search(
+                    rf"\b{re.escape(old)}\b", str(pv), re.IGNORECASE
+                ):
+                    raise ValueError(
+                        f"ALTER TABLE {name}: {old!r} is referenced by "
+                        f"{pk} = {pv!r} — drop that constraint/column "
+                        "first"
+                    )
+            if (
+                pk.startswith(GENERATED_PREFIX)
+                and pk[len(GENERATED_PREFIX):].lower() == old.lower()
+            ):
+                gen_key = pk
+            if (
+                pk.startswith(NOTNULL_PREFIX)
+                and pk[len(NOTNULL_PREFIX):].lower() == old.lower()
+            ):
+                nn_key = pk
+        if op == "rename" and gen_key is not None:
+            raise ValueError(
+                f"RENAME COLUMN: {old!r} is GENERATED ALWAYS AS — drop "
+                "and re-declare it under the new name instead"
+            )
+        # anchor: time travel below `since` serves the original names
+        since = commit_metadata_version(path)
+        evs = list(props.get("column_events") or [])
+        if op == "rename":
+            evs.append(
+                {"op": "rename", "old": old, "new": new, "since": since}
+            )
+        else:
+            evs.append({"op": "drop", "name": old, "since": since})
+        props["column_events"] = evs
+        from pyspark.sql.types import StructType
+
+        ddl = props.get("schema_ddl")
+        fields = (
+            StructType.fromDDL(ddl).fields if ddl else frame.schema.fields
+        )
+        out_fields: list[tuple[str, object]] = []
+        for f in fields:
+            if f.name.lower() == old.lower():
+                if op == "drop":
+                    continue
+                out_fields.append((new, f.dataType))
+            else:
+                out_fields.append((f.name, f.dataType))
+        props["schema_ddl"] = ", ".join(
+            f"{n} {t.simpleString()}" for n, t in out_fields
+        )
+        # the NOT NULL invariant follows the rename / dies with the drop
+        if nn_key is not None:
+            val = props.pop(nn_key)
+            if op == "rename":
+                props[f"{NOTNULL_PREFIX}{new}"] = val
+        if op == "drop" and gen_key is not None:
+            del props[gen_key]
+        log.write_table_props(props)
+        # re-bind the session view (a stale temp view would keep
+        # serving the old shape through spark.sql until the next read)
+        self._ensure_view(name, None)
+        return self._summary("alter", name, self._current_version(name))
 
     def _try_drop(self, query: str) -> DataFrame | None:
         m = _DROP_RE.match(query)

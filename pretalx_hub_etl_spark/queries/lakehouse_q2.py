@@ -1360,3 +1360,225 @@ def q_stream_txn_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# --- S46: column mapping (RENAME / DROP COLUMN) ---------------------------------
+
+
+@query(
+    "q_sql_alter_columns",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS k, o_custkey AS ck,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    ), upd AS (
+        SELECT k,
+               CASE WHEN k % 10 = 0 THEN cents + 7 ELSE cents END AS amount
+        FROM base
+    ), old_snap AS (
+        SELECT count(*) AS n_old, sum(cents) AS sum_old
+        FROM base WHERE k % 3 = 0
+    )
+    SELECT u.k, u.amount, o.n_old, o.sum_old
+    FROM upd u CROSS JOIN old_snap o
+    """,
+)
+def q_sql_alter_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S46: metadata-only RENAME COLUMN / DROP COLUMN via column mapping
+    # (sinks/colmap.py) — no file is rewritten: the rename lands as an
+    # event anchored at a metadata commit; reads coalesce the old
+    # physical name under the new logical one across MIXED versions
+    # (pre-rename files + post-rename INSERT), the UPDATE recomputes
+    # through the mapped read, the DROP projects ck out, and TIME
+    # TRAVEL below the anchor serves the ORIGINAL names (asserted
+    # in-line; the oracle recomputes both eras from orders — a lost
+    # old-file value, a stale rename, or a resurrected dropped column
+    # hash-fails).
+    import shutil
+
+    from ..plans.lakehouse_sql import LakehouseSqlCatalog
+    from ..sinks.merge import MergeSink
+
+    base = Catalog(spark, sf_dir).orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("ck"),
+        fixed_cents(F.col("o_totalprice")).alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="phe_sql_altcol_")
+    path = os.path.join(root, "t")
+    MergeSink(path, key="k").init(base.filter(F.col("k") % 3 == 0))
+    cat = LakehouseSqlCatalog(spark)
+    cat.register_path("altcol_t", path)
+    base.filter(F.col("k") % 3 != 0).createOrReplaceTempView(
+        "altcol_src"
+    )
+    cat.sql("INSERT INTO altcol_t SELECT k, ck, cents FROM altcol_src")
+    cat.sql("ALTER TABLE altcol_t RENAME COLUMN cents TO amount")
+    cat.sql("UPDATE altcol_t SET amount = amount + 7 WHERE k % 10 = 0")
+    cat.sql("ALTER TABLE altcol_t DROP COLUMN ck")
+    # time travel below the anchors: the ORIGINAL column set
+    old = cat.sql("SELECT * FROM altcol_t VERSION AS OF 1")
+    assert sorted(old.columns) == ["cents", "ck", "k"], old.columns
+    cur = cat.sql("SELECT * FROM altcol_t")
+    assert sorted(cur.columns) == ["amount", "k"], cur.columns
+    old_snap = old.agg(
+        F.count(F.lit(1)).alias("n_old"), F.sum("cents").alias("sum_old")
+    )
+    out = (
+        cat.sql("SELECT k, amount FROM altcol_t")
+        .crossJoin(old_snap)
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+# --- S47: SQL multi-table transactions ------------------------------------------
+
+
+@query(
+    "q_sql_txn",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT 'a' AS src, k, cents FROM base
+    UNION ALL
+    SELECT 'b' AS src, k, cents + 1 AS cents FROM base WHERE k % 2 = 1
+    """,
+)
+def q_sql_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S47: `BEGIN TRANSACTION; INSERT...; INSERT...; COMMIT` through
+    # the SQL catalog compiles to ONE S45 multi-table transaction: the
+    # two INSERTs (one CoW append, one MoR upsert) stay INVISIBLE while
+    # staged (asserted mid-transaction) and flip visible ATOMICALLY at
+    # COMMIT; a second transaction's INSERT is ROLLBACKed and must
+    # never appear. The oracle recomputes both tables' final state from
+    # orders — a torn commit (one table visible without the other), a
+    # leaked staged row, or a surviving rolled-back row hash-fails.
+    import shutil
+
+    from ..plans.lakehouse_sql import LakehouseSqlCatalog
+    from ..sinks.merge import MergeSink
+    from ..sinks.mor import MorTable
+
+    base = Catalog(spark, sf_dir).orders.select(
+        F.col("o_orderkey").alias("k"),
+        fixed_cents(F.col("o_totalprice")).alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="phe_sql_txn_")
+    pa_, pb = os.path.join(root, "a"), os.path.join(root, "b")
+    wh = os.path.join(root, "wh")
+    MergeSink(pa_, key="k").init(base.filter(F.col("k") % 2 == 0))
+    MorTable(pb, key="k").init(
+        base.filter(F.col("k") % 4 == 1).withColumn(
+            "cents", F.col("cents") + 1
+        )
+    )
+    cat = LakehouseSqlCatalog(spark, warehouse=wh)
+    cat.register_path("txn_a", pa_)
+    cat.register_path("txn_b", pb)
+    base.createOrReplaceTempView("txn_src")
+    n_a0 = cat.sql("SELECT count(*) AS n FROM txn_a").first()["n"]
+    n_b0 = cat.sql("SELECT count(*) AS n FROM txn_b").first()["n"]
+    cat.sql("BEGIN TRANSACTION")
+    cat.sql("INSERT INTO txn_a SELECT k, cents FROM txn_src WHERE k % 2 = 1")
+    cat.sql(
+        "INSERT INTO txn_b SELECT k, cents + 1 AS cents FROM txn_src "
+        "WHERE k % 4 = 3"
+    )
+    # staged data is invisible mid-transaction — to this session too
+    assert cat.sql("SELECT count(*) AS n FROM txn_a").first()["n"] == n_a0
+    assert cat.sql("SELECT count(*) AS n FROM txn_b").first()["n"] == n_b0
+    cat.sql("COMMIT")
+    # abort path: a rolled-back INSERT never lands
+    cat.sql("BEGIN TRANSACTION")
+    cat.sql("INSERT INTO txn_a VALUES (-1, 0)")
+    cat.sql("ROLLBACK")
+    out = (
+        cat.sql(
+            "SELECT 'a' AS src, k, cents FROM txn_a UNION ALL "
+            "SELECT 'b' AS src, k, cents FROM txn_b"
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+# --- S48: predicate-scoped overwrite (replaceWhere) -----------------------------
+
+
+@query(
+    "q_sink_replace_where",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS k, o_custkey % 8 AS p,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT k, p, cents FROM base WHERE p <> 3
+    UNION ALL
+    SELECT k, p, cents + 5 AS cents FROM base WHERE p = 3 AND k % 2 = 0
+    """,
+)
+def q_sink_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S48: `INSERT INTO t REPLACE WHERE p = 3 <query>` — ONE commit
+    # that replaces exactly the predicate-matching rows (the Delta
+    # replaceWhere contract): rows outside the region survive
+    # untouched, the incoming frame is REJECTED if it violates the
+    # predicate, and — asserted inline on the manifests — every
+    # unaffected file is HARDLINKED byte-identical (same inode), never
+    # rewritten: at 100 TB this rewrites one partition's files and
+    # relinks the rest. The oracle recomputes the final state; a leaked
+    # old row, a lost untouched row, or a smuggled out-of-region row
+    # hash-fails.
+    import shutil
+
+    from ..plans.lakehouse_sql import LakehouseSqlCatalog
+    from ..sinks.manifest import CommitLog
+    from ..sinks.merge import MergeSink
+
+    base = Catalog(spark, sf_dir).orders.select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_custkey") % 8).alias("p"),
+        fixed_cents(F.col("o_totalprice")).alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="phe_replace_where_")
+    path = os.path.join(root, "t")
+    MergeSink(path, key="k", partition_by=["p"]).init(base)
+    cat = LakehouseSqlCatalog(spark)
+    cat.register_path("rw_t", path)
+    base.createOrReplaceTempView("rw_src")
+    log = CommitLog(path)
+    v1 = os.path.join(path, "v1")
+    inodes = {
+        e["path"]: os.stat(os.path.join(v1, e["path"])).st_ino
+        for e in log.manifest(1)["files"]
+    }
+    summary = cat.sql(
+        "INSERT INTO rw_t REPLACE WHERE p = 3 "
+        "SELECT k, p, cents + 5 AS cents FROM rw_src "
+        "WHERE p = 3 AND k % 2 = 0"
+    ).first()
+    assert summary["files_relinked"] >= 1, summary
+    # byte-identity: every relinked file is the SAME inode as v1's
+    v2 = os.path.join(path, f"v{summary['version']}")
+    m2 = log.manifest(summary["version"])
+    common = [e["path"] for e in m2["files"] if e["path"] in inodes]
+    assert common, "no relinked files survived"
+    for rel in common:
+        assert (
+            os.stat(os.path.join(v2, rel)).st_ino == inodes[rel]
+        ), f"{rel} was rewritten, not relinked"
+    out = (
+        cat.sql(
+            "SELECT k, CAST(p AS BIGINT) AS p, cents FROM rw_t"
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out

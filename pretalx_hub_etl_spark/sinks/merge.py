@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import os
 import re
+import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -158,6 +159,82 @@ def _heal_claim(path: str, claim: int) -> None:
         os.path.join(path, "_manifest", f"{claim}.json")
     ):
         log.heal(claim)
+
+
+def commit_metadata_version(path: str) -> int:
+    """Publish a version whose CONTENT is identical to the current base
+    — the commit that anchors a metadata-only schema change (RENAME /
+    DROP COLUMN, sinks/colmap.py) in the version history, so time
+    travel serves earlier versions under their pre-change names.
+
+    No Spark job: CoW relinks the base's files (the manifest entries
+    are copied verbatim — stats and Blooms included); MoR publishes an
+    empty delta (no files, chain pointer inherited). Same OCC
+    claim+publish protocol as every commit, including pending-txn
+    marker inheritance. Returns the published version (0 for a
+    DDL-created table with no commits yet — nothing to anchor: the
+    event applies from the beginning of history)."""
+    import uuid as _uuid
+
+    log = CommitLog(path)
+    props = log.table_props()
+    kind = props.get("kind", "cow")
+    if not _versions(path):
+        return 0
+    from .txn import inherit_pending
+
+    for _ in range(50):
+        base, claim = _base_and_claim(path)
+        work = os.path.join(path, f".stage-metacommit-{_uuid.uuid4().hex}")
+        os.makedirs(work)
+        try:
+            manifest: dict[str, object] = {
+                "version": claim,
+                "checkpoint": False,
+                "files": [],
+                "metadata_only": True,
+            }
+            if kind == "cow":
+                m = log.manifest(base)
+                for ent in m["files"]:
+                    rel = ent["path"]
+                    dst = os.path.join(work, rel)
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    os.link(os.path.join(path, f"v{base}", rel), dst)
+                manifest["files"] = m["files"]
+                manifest["checkpoint"] = m.get("checkpoint", False)
+            else:
+                try:
+                    manifest["checkpoint_at"] = log.manifest(base).get(
+                        "checkpoint_at"
+                    )
+                except FileNotFoundError:
+                    manifest["checkpoint_at"] = None
+            with open(os.path.join(work, "_SUCCESS"), "w") as fh:
+                fh.write("")
+            inh = inherit_pending(log, claim)
+            if inh:
+                manifest["txn_inherited"] = inh
+        except BaseException:
+            import shutil as _sh
+
+            _sh.rmtree(work, ignore_errors=True)
+            raise
+        try:
+            os.rename(work, os.path.join(path, f"v{claim}"))
+        except OSError as exc:
+            import errno
+            import shutil as _sh
+
+            _sh.rmtree(work, ignore_errors=True)
+            if exc.errno in (errno.EEXIST, errno.ENOTEMPTY):
+                continue  # lost the claim race: relink against new base
+            raise
+        log.publish(manifest)
+        return claim
+    raise RuntimeError(
+        f"metadata commit lost the version race 50 times at {path}"
+    )
 
 
 def sweep_orphan_stages(
@@ -300,8 +377,19 @@ class MergeSink:
         # mergeSchema unions the footers — enabled ONLY for declared
         # tables, so unevolved reads never pay the extra footer pass
         reader = spark.read
-        if log.table_props().get("schema_ddl"):
+        props = log.table_props()
+        if props.get("schema_ddl"):
             reader = reader.option("mergeSchema", "true")
+        # column mapping (S46): RENAME/DROP COLUMN events at-or-below
+        # the read version overlay the physical scan (old files keep
+        # their original column names forever — metadata-only evolution)
+        from .colmap import apply_events_df, events_upto
+
+        evs = events_upto(props, version)
+
+        def _mapped(df: DataFrame) -> DataFrame:
+            return apply_events_df(df, evs) if evs else df
+
         if not files:
             if prune is not None:
                 # every file pruned: empty frame with the table schema
@@ -309,10 +397,10 @@ class MergeSink:
                 allf, _ = log.files_for(version)
                 if allf:
                     base = reader.option("basePath", vdir).parquet(*allf)
-                    return base.limit(0), skipped
-            return reader.parquet(vdir), skipped
+                    return _mapped(base.limit(0)), skipped
+            return _mapped(reader.parquet(vdir)), skipped
         return (
-            reader.option("basePath", vdir).parquet(*files),
+            _mapped(reader.option("basePath", vdir).parquet(*files)),
             skipped,
         )
 
@@ -420,6 +508,308 @@ class MergeSink:
                 "(never written, or removed by vacuum)"
             )
         return spark.read.parquet(os.path.join(self.path, f"v{version}"))
+
+    def append(self, df: DataFrame) -> int:
+        """Append ``df`` as the table's next version (hardlink reuse of
+        the current base's files + the new files), HONORING the stored
+        hive partition layout — new files land inside their
+        ``key=value`` dirs like every other commit's. This is the
+        engine-native INSERT path: the DataSource writer's commit runs
+        in a Python worker and REFUSES flat appends into partitioned
+        tables (a root-level file in a hive-partitioned version dir is
+        silently dropped by Spark's partition discovery — row loss, not
+        a layout nit). Generated columns and CHECK/NOT NULL invariants
+        are enforced like every write surface. Returns the version."""
+        import uuid as _uuid
+
+        from .constraints import apply_generated, apply_invariants
+        from .manifest import build_manifest
+
+        log = CommitLog(self.path)
+        if not log.exists():
+            raise FileNotFoundError(
+                f"{self.path} has no commit log: init() the table first"
+            )
+        props = log.table_props()
+        df = apply_invariants(apply_generated(df, props), props)
+        pby = self.partition_by or props.get("partition_by") or []
+        if isinstance(pby, str):
+            pby = [p.strip() for p in pby.split(",") if p.strip()]
+        stage = os.path.join(
+            self.path, f".stage-append-{_uuid.uuid4().hex}"
+        )
+        w = df.write.mode("errorifexists")
+        if pby:
+            w = w.partitionBy(*pby)
+        try:
+            w.parquet(os.path.join(stage, "new"))
+            from .txn import inherit_pending
+
+            bloom_on = self.bloom_on or props.get("bloom_on")
+            for _ in range(50):
+                base, claim = _base_and_claim(self.path)
+                work = os.path.join(
+                    self.path, f".stage-appub-{_uuid.uuid4().hex}"
+                )
+                os.makedirs(work)
+                try:
+                    if base > 0:
+                        for fent in log.manifest(base)["files"]:
+                            rel = fent["path"]
+                            dst = os.path.join(work, rel)
+                            os.makedirs(
+                                os.path.dirname(dst), exist_ok=True
+                            )
+                            os.link(
+                                os.path.join(
+                                    self.path, f"v{base}", rel
+                                ),
+                                dst,
+                            )
+                    srcdir = os.path.join(stage, "new")
+                    for root_, dirs, files in os.walk(srcdir):
+                        dirs[:] = [
+                            d
+                            for d in dirs
+                            if not d.startswith(("_", "."))
+                        ]
+                        for fn in files:
+                            if not fn.endswith(".parquet"):
+                                continue
+                            rel_dir = os.path.relpath(root_, srcdir)
+                            ddir = (
+                                work
+                                if rel_dir == "."
+                                else os.path.join(work, rel_dir)
+                            )
+                            os.makedirs(ddir, exist_ok=True)
+                            os.link(
+                                os.path.join(root_, fn),
+                                os.path.join(
+                                    ddir,
+                                    f"app-{_uuid.uuid4().hex[:8]}-{fn}",
+                                ),
+                            )
+                    with open(
+                        os.path.join(work, "_SUCCESS"), "w"
+                    ) as fh:
+                        fh.write("")
+                    manifest = build_manifest(
+                        claim, work, bloom_on=bloom_on
+                    )
+                    inherited = inherit_pending(log, claim)
+                    if inherited:
+                        manifest["txn_inherited"] = inherited
+                except BaseException:
+                    shutil.rmtree(work, ignore_errors=True)
+                    raise
+                try:
+                    os.rename(work, os.path.join(self.path, f"v{claim}"))
+                except OSError as exc:
+                    import errno
+
+                    shutil.rmtree(work, ignore_errors=True)
+                    if exc.errno in (errno.EEXIST, errno.ENOTEMPTY):
+                        _heal_claim(self.path, claim)
+                        continue  # lost the race: relink vs new base
+                    raise
+                log.publish(manifest)
+                return claim
+            raise RuntimeError(
+                f"append lost the version race 50 times at {self.path}"
+            )
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+
+    def replace_where(self, df: DataFrame, condition: str) -> dict:
+        """Predicate-scoped overwrite (the Delta ``replaceWhere``
+        contract, S48): ONE commit whose state is (current rows NOT
+        matching ``condition``) + ``df``. Every incoming row must
+        satisfy the condition — rows outside the replaced region are
+        rejected before anything commits (the Delta rule: a replace
+        must not smuggle data into the part of the table it claimed not
+        to touch).
+
+        File-granular, not row-granular, where stats allow: base files
+        whose manifest envelopes PROVE no row can match the condition
+        are HARDLINKED verbatim (byte-identical — never decoded, never
+        rewritten); only files that may contain matching rows are read,
+        filtered to the survivors, and rewritten. At 100 TB a
+        replaceWhere on one day of a date-partitioned table rewrites
+        that day's files and relinks everything else — the same
+        manifest-stats machinery as read-side file skipping, applied to
+        a write. Returns {version, files_relinked, files_rewritten,
+        rows_replaced is NOT reported (it would force an extra pass)}.
+        """
+        import uuid as _uuid
+
+        from pyspark.sql import functions as F
+
+        from ..plans.prune_sql import extract_prunes
+        from .colmap import (
+            apply_events_df,
+            events_upto,
+            prior_physical_names,
+        )
+        from .constraints import apply_generated, apply_invariants
+        from .manifest import build_manifest
+        from .txn import inherit_pending
+
+        spark = df.sparkSession
+        log = CommitLog(self.path)
+        if not log.exists():
+            raise FileNotFoundError(
+                f"{self.path} has no commit log: init() the table first"
+            )
+        props = log.table_props()
+        df = apply_invariants(apply_generated(df, props), props)
+        cond = F.expr(condition).cast("boolean")
+        # contract: every incoming row matches (NULL counts as outside)
+        stray = df.filter(~F.coalesce(cond, F.lit(False))).limit(1)
+        if stray.count() > 0:
+            raise ValueError(
+                f"replaceWhere({condition!r}): incoming rows violate "
+                "the predicate — a replace must only write into the "
+                "region it replaces"
+            )
+        pby = self.partition_by or props.get("partition_by") or []
+        if isinstance(pby, str):
+            pby = [p.strip() for p in pby.split(",") if p.strip()]
+        bloom_on = self.bloom_on or props.get("bloom_on")
+        for _ in range(20):
+            base, claim = _base_and_claim(self.path)
+            vdir = os.path.join(self.path, f"v{base}")
+            m = log.manifest(base)
+            stat_cols: set[str] = set()
+            for ent in m["files"]:
+                stat_cols.update(ent.get("columns", {}))
+            conjs = extract_prunes(
+                f"SELECT * FROM __rw__ WHERE {condition}",
+                "__rw__",
+                stat_cols
+                | {e["new"] for e in events_upto(props, None)
+                   if e["op"] == "rename"},
+            )
+            for c, lo, hi in list(conjs):
+                for oldn in prior_physical_names(props, c):
+                    conjs.append((oldn, lo, hi))
+            # files_for keeps files INTERSECTING the condition's ranges
+            # = the rewrite set; the skipped ones provably hold no
+            # matching row = the relink set
+            rewrite_abs, _n_skip = log.files_for(
+                base, prune=conjs or None
+            )
+            all_rels = [
+                e["path"]
+                for e in m["files"]
+                if e.get("role", "data") == "data"
+            ]
+            rewrite_rels = {
+                os.path.relpath(p, vdir) for p in rewrite_abs
+            }
+            relink_rels = [r for r in all_rels if r not in rewrite_rels]
+            stage = os.path.join(
+                self.path, f".stage-rw-{_uuid.uuid4().hex}"
+            )
+            try:
+                parts: list[DataFrame] = [df]
+                if rewrite_rels:
+                    reader = spark.read
+                    if props.get("schema_ddl"):
+                        reader = reader.option("mergeSchema", "true")
+                    scanned = reader.option("basePath", vdir).parquet(
+                        *sorted(os.path.join(vdir, r) for r in rewrite_rels)
+                    )
+                    scanned = apply_events_df(
+                        scanned, events_upto(props, base)
+                    )
+                    survivors = scanned.filter(
+                        ~F.coalesce(
+                            F.expr(condition).cast("boolean"),
+                            F.lit(False),
+                        )
+                    )
+                    parts.append(
+                        survivors.select(*df.columns)
+                        if set(survivors.columns) == set(df.columns)
+                        else survivors
+                    )
+                out = parts[0]
+                for p in parts[1:]:
+                    out = out.unionByName(p, allowMissingColumns=True)
+                w = out.write.mode("errorifexists")
+                if pby:
+                    w = w.partitionBy(*pby)
+                w.parquet(os.path.join(stage, "new"))
+                work = os.path.join(
+                    self.path, f".stage-rwpub-{_uuid.uuid4().hex}"
+                )
+                os.makedirs(work)
+                try:
+                    for rel in relink_rels:
+                        dst = os.path.join(work, rel)
+                        os.makedirs(os.path.dirname(dst), exist_ok=True)
+                        os.link(os.path.join(vdir, rel), dst)
+                    srcdir = os.path.join(stage, "new")
+                    for root_, dirs, files in os.walk(srcdir):
+                        dirs[:] = [
+                            d
+                            for d in dirs
+                            if not d.startswith(("_", "."))
+                        ]
+                        for fn in files:
+                            if not fn.endswith(".parquet"):
+                                continue
+                            rel_dir = os.path.relpath(root_, srcdir)
+                            ddir = (
+                                work
+                                if rel_dir == "."
+                                else os.path.join(work, rel_dir)
+                            )
+                            os.makedirs(ddir, exist_ok=True)
+                            os.link(
+                                os.path.join(root_, fn),
+                                os.path.join(
+                                    ddir,
+                                    f"rw-{_uuid.uuid4().hex[:8]}-{fn}",
+                                ),
+                            )
+                    with open(
+                        os.path.join(work, "_SUCCESS"), "w"
+                    ) as fh:
+                        fh.write("")
+                    manifest = build_manifest(
+                        claim, work, bloom_on=bloom_on
+                    )
+                    inherited = inherit_pending(log, claim)
+                    if inherited:
+                        manifest["txn_inherited"] = inherited
+                except BaseException:
+                    shutil.rmtree(work, ignore_errors=True)
+                    raise
+                try:
+                    os.rename(
+                        work, os.path.join(self.path, f"v{claim}")
+                    )
+                except OSError as exc:
+                    import errno
+
+                    shutil.rmtree(work, ignore_errors=True)
+                    if exc.errno in (errno.EEXIST, errno.ENOTEMPTY):
+                        _heal_claim(self.path, claim)
+                        continue  # lost the race: recompute vs new base
+                    raise
+                log.publish(manifest)
+                return {
+                    "version": claim,
+                    "files_relinked": len(relink_rels),
+                    "files_rewritten": len(rewrite_rels),
+                }
+            finally:
+                shutil.rmtree(stage, ignore_errors=True)
+        raise RuntimeError(
+            f"replaceWhere lost the version race 20 times at {self.path}"
+        )
 
     def init(self, df: DataFrame) -> None:
         """Write version 1 (fails if the table already exists); stores
@@ -819,7 +1209,18 @@ class MergeSink:
             # snapshot; commit is the atomic rename onto v<claim>. An
             # interleaved commit makes our rename fail -> recompute.
             base, claim = _base_and_claim(self.path)
-            target = spark.read.parquet(os.path.join(self.path, f"v{base}"))
+            # manifest tables read the base through the manifest path:
+            # mergeSchema for declared mixed versions (a raw dir scan
+            # takes one footer's schema and silently drops columns the
+            # other files carry) and the column-mapping overlay (S46 —
+            # the target arrives under LOGICAL names, so the merged
+            # full state writes logical names: renames compact away)
+            if CommitLog(self.path).exists():
+                target = self._read_manifest_files(spark, base)[0]
+            else:
+                target = spark.read.parquet(
+                    os.path.join(self.path, f"v{base}")
+                )
             if not allow_evolution and set(source.columns) != set(
                 target.columns
             ):

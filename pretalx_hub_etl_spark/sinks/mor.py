@@ -485,7 +485,17 @@ class MorTable:
         # Silently dropping a newer delta's column (the pre-round-10
         # behavior of projecting to the OLDEST commit's columns) loses
         # data; unionByName(allowMissingColumns=True) is the fix.
-        return self._resolve_chain(spark, chain, provenance=False)
+        out = self._resolve_chain(spark, chain, provenance=False)
+        # column mapping (S46): each surviving resolved row came from
+        # exactly ONE delta file, so the rename coalesce is exact here
+        # too; events above the as-of version never apply (old
+        # snapshots keep their original names). changes_since/CDC stays
+        # physical by contract — each commit's changes serve the names
+        # that commit was written under.
+        from .colmap import apply_events_df, events_upto
+
+        evs = events_upto(CommitLog(self.path).table_props(), as_of)
+        return apply_events_df(out, evs) if evs else out
 
     def read_pruned(
         self, spark: SparkSession, lo, hi

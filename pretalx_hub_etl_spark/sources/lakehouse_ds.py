@@ -620,6 +620,30 @@ def build_lakehouse_source():
                     "(legacy table): write through MergeSink, or heal "
                     "its manifests first"
                 )
+            # hive-partitioned tables cannot take FLAT appends: the
+            # writer stages files at the version root, and Spark's
+            # partition discovery SILENTLY DROPS root-level files from
+            # a partitioned directory tree — row loss, so refuse loudly
+            # (INSERT INTO routes through MergeSink.append, which lays
+            # files into their key=value dirs; inline props read — this
+            # commit runs in a Python worker)
+            if new_rels and any(os.sep not in r for r in new_rels):
+                import json as _json
+
+                try:
+                    with open(
+                        os.path.join(path, "_manifest", "_table.json")
+                    ) as _fh:
+                        _pby = _json.load(_fh).get("partition_by")
+                except (FileNotFoundError, ValueError):
+                    _pby = None
+                if _pby:
+                    raise ValueError(
+                        f"flat append into hive-partitioned table "
+                        f"{path} (partition_by={_pby}): write through "
+                        "MergeSink.append / INSERT INTO, which lays "
+                        "files into their partition directories"
+                    )
             linked: list[str] = []
             if not overwrite and base > 0:
                 m = _manifest(path, base)
@@ -646,6 +670,32 @@ def build_lakehouse_source():
                         # DECLARED mixed version (reads mergeSchema +
                         # NULL-fill), not an evolution to refuse
                         declared = set(_declared_coltypes(path))
+                        # column-mapping events (S46): prior physical
+                        # names of renamed/dropped columns legitimately
+                        # live in old files, new names in new files —
+                        # both sides of a rename are declared residents
+                        # of a mixed version (inline props read: this
+                        # runs in the commit worker)
+                        import json as _json
+
+                        try:
+                            with open(
+                                os.path.join(
+                                    path, "_manifest", "_table.json"
+                                )
+                            ) as _fh:
+                                _evs = (
+                                    _json.load(_fh).get("column_events")
+                                    or []
+                                )
+                            for _e in _evs:
+                                declared.add(
+                                    _e.get("old") or _e.get("name")
+                                )
+                                if _e.get("new"):
+                                    declared.add(_e["new"])
+                        except (FileNotFoundError, ValueError):
+                            pass
                         if not (
                             new_cols ^ old_cols
                         ) <= declared:
@@ -1400,6 +1450,14 @@ def build_lakehouse_source():
             for name, kind in _part_fields(entries):
                 if name not in donor.names:
                     donor = donor.append(pa.field(name, typs[kind]))
+            # ALWAYS nullable: a mixed-version table NULL-fills columns
+            # a file predates, and the donor file's footer may mark its
+            # fields required (e.g. written from literals) — serving
+            # that nullability would crash the fill ("Value at index is
+            # null") on every other file
+            donor = pa.schema(
+                [f.with_nullable(True) for f in donor]
+            )
             return from_arrow_schema(donor)
 
         def reader(self, schema: StructType):
@@ -1513,7 +1571,16 @@ def cow_read_schema(path: str, version: int | None = None):
             donor = donor.append(
                 pa.field(name, typs[kinds[name] or "str"])
             )
-    return from_arrow_schema(donor)
+    # ALWAYS nullable (mirror of the inline DataSource.schema(): the
+    # NULL-fill of mixed versions needs it, and a donor written from
+    # literals may carry required fields)
+    donor = pa.schema([f.with_nullable(True) for f in donor])
+    out = from_arrow_schema(donor)
+    # column mapping (S46): the donor footer may predate renames/drops
+    from ..sinks.colmap import apply_events_schema, events_upto
+
+    evs = events_upto(log.table_props(), v)
+    return apply_events_schema(out, evs) if evs else out
 
 
 def pin_active_session(spark) -> None:

@@ -356,7 +356,13 @@ def _prop_key(raw: str) -> str:
     before normalization or the stored key would never match."""
     k = _unquote_prop(raw)
     fam, dot, suffix = k.partition(".")
-    if dot and fam.lower() in ("constraint", "generated", "notnull"):
+    if dot and fam.lower() in (
+        "constraint",
+        "generated",
+        "notnull",
+        "default",
+        "identity",
+    ):
         return f"{fam.lower()}.{suffix}"
     return k.lower()
 
@@ -1522,8 +1528,19 @@ class LakehouseSqlCatalog:
         from ..sinks.constraints import generated_columns
         from ..sinks.manifest import CommitLog
 
-        gens = generated_columns(CommitLog(path).table_props())
-        nogen_cols = [c for c in target_cols if c not in gens]
+        from ..sinks.constraints import default_columns, identity_columns
+
+        props_t = CommitLog(path).table_props()
+        gens = generated_columns(props_t)
+        idents = set(identity_columns(props_t))
+        dflts = default_columns(props_t)
+        # GENERATED (expr + IDENTITY) columns are never positionally
+        # bound (the engine computes/assigns them); DEFAULT-bearing
+        # columns may additionally be omitted (filled below)
+        nogen_cols = [
+            c for c in target_cols if c not in gens and c not in idents
+        ]
+        nodef_cols = [c for c in nogen_cols if c not in dflts]
         if col_list:
             unknown = [c for c in df.columns if c not in target_cols]
             if unknown:
@@ -1535,12 +1552,20 @@ class LakehouseSqlCatalog:
             df = df.select(*target_cols)
         elif set(df.columns) == set(nogen_cols):
             df = df.select(*nogen_cols)
+        elif set(df.columns) == set(nodef_cols):
+            df = df.select(*nodef_cols)
         elif col_list and set(df.columns) < set(target_cols):
-            # named-column INSERT omitting columns: omitted generated
-            # ones are computed at write; other omissions are NULL
-            # (standard INSERT semantics — NOT NULL still enforces)
+            # named-column INSERT omitting columns: omitted generated/
+            # identity ones are computed at write, omitted DEFAULT ones
+            # fill below; other omissions are NULL (standard INSERT
+            # semantics — NOT NULL still enforces)
             for f in target.fields:
-                if f.name not in df.columns and f.name not in gens:
+                if (
+                    f.name not in df.columns
+                    and f.name not in gens
+                    and f.name not in idents
+                    and f.name not in dflts
+                ):
                     df = df.withColumn(
                         f.name, F.lit(None).cast(f.dataType)
                     )
@@ -1552,11 +1577,20 @@ class LakehouseSqlCatalog:
             df = df.toDF(*target_cols)
         elif len(df.columns) == len(nogen_cols):
             df = df.toDF(*nogen_cols)
+        elif len(df.columns) == len(nodef_cols):
+            df = df.toDF(*nodef_cols)
         else:
             raise ValueError(
                 f"INSERT INTO {name}: payload has {len(df.columns)} "
                 f"columns, table has {len(target_cols)} ({target_cols})"
             )
+        # DEFAULT fill (S49): an omitted DEFAULT-bearing column takes
+        # its declared literal, not NULL
+        for f in target.fields:
+            if f.name in dflts and f.name not in df.columns:
+                df = df.withColumn(
+                    f.name, F.expr(dflts[f.name]).cast(f.dataType)
+                )
         present = set(df.columns)
         df = df.select(
             *[
@@ -2012,16 +2046,20 @@ class LakehouseSqlCatalog:
             name = mz.group(1)
             cols = [c.strip() for c in mz.group(2).split(",") if c.strip()]
             kind, path, key = self._require(name)
-            if kind != "cow":
-                raise ValueError(
-                    f"OPTIMIZE ZORDER on MoR table {name!r}: compact "
-                    "first (bare OPTIMIZE), then ZORDER the checkpoint"
-                )
-            from ..sinks.merge import MergeSink
+            if kind == "cow":
+                from ..sinks.merge import MergeSink
 
-            MergeSink(path, key=key or "_").optimize_zorder(
-                self.spark, cols
-            )
+                MergeSink(path, key=key or "_").optimize_zorder(
+                    self.spark, cols
+                )
+            else:
+                # LAY1c: MoR compact-then-cluster — the chain restarts
+                # at a checkpointed commit laid out by the interleave
+                from ..sinks.mor import MorTable
+
+                MorTable(path, key=key).optimize_zorder(
+                    self.spark, cols
+                )
             return self._summary(
                 "optimize", name, self._current_version(name)
             )
@@ -2054,9 +2092,20 @@ class LakehouseSqlCatalog:
             else:
                 sink.optimize(self.spark)
         else:
+            from ..sinks.manifest import CommitLog
             from ..sinks.mor import MorTable
 
-            MorTable(path, key=key).compact(self.spark)
+            zcols = CommitLog(path).table_props().get("zorder_by")
+            if isinstance(zcols, str):
+                zcols = [c.strip() for c in zcols.split(",") if c.strip()]
+            if zcols:
+                # standing spec: bare OPTIMIZE re-applies
+                # compact+cluster (the Delta shape, MoR face)
+                MorTable(path, key=key).optimize_zorder(
+                    self.spark, list(zcols)
+                )
+            else:
+                MorTable(path, key=key).compact(self.spark)
         return self._summary("optimize", name, self._current_version(name))
 
     def _try_restore(self, query: str) -> DataFrame | None:
@@ -2254,8 +2303,28 @@ class LakehouseSqlCatalog:
         # write time — sinks/constraints.py), the plain `c TYPE` stays
         # in the stored schema DDL
         gen_cols: dict[str, str] = {}
+        default_cols: dict[str, str] = {}
+        identity_cols: list[str] = []
         plain_defs: list[str] = []
         for part in _split_top_commas(col_defs):
+            # `c TYPE GENERATED ALWAYS AS IDENTITY` (S49): monotonic
+            # collision-free keys assigned at write under the OCC claim
+            mi = re.match(
+                r"^\s*([A-Za-z_]\w*)\s+(.+?)\s+GENERATED\s+ALWAYS\s+AS"
+                r"\s+IDENTITY\s*$",
+                part,
+                re.IGNORECASE,
+            )
+            if mi is not None:
+                typ = mi.group(2).strip()
+                if typ.lower() not in ("bigint", "long", "int", "integer"):
+                    raise ValueError(
+                        f"IDENTITY column {mi.group(1)!r} must be an "
+                        f"integral type, got {typ!r}"
+                    )
+                identity_cols.append(mi.group(1))
+                plain_defs.append(f"{mi.group(1)} {typ}")
+                continue
             mg = re.match(
                 r"^\s*([A-Za-z_]\w*)\s+(.+?)\s+GENERATED\s+ALWAYS\s+AS"
                 r"\s*\((.*)\)\s*$",
@@ -2265,8 +2334,23 @@ class LakehouseSqlCatalog:
             if mg is not None:
                 gen_cols[mg.group(1)] = mg.group(3).strip()
                 plain_defs.append(f"{mg.group(1)} {mg.group(2).strip()}")
-            else:
-                plain_defs.append(part.strip())
+                continue
+            # `c TYPE DEFAULT <literal-expr>` (S49): fills the column
+            # when an INSERT omits it (instead of NULL)
+            md = re.match(
+                r"^\s*([A-Za-z_]\w*)\s+(.+?)\s+DEFAULT\s+(.+?)"
+                r"(\s+NOT\s+NULL)?\s*$",
+                part,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if md is not None:
+                default_cols[md.group(1)] = md.group(3).strip()
+                plain_defs.append(
+                    f"{md.group(1)} {md.group(2).strip()}"
+                    f"{md.group(4) or ''}"
+                )
+                continue
+            plain_defs.append(part.strip())
         col_defs = ", ".join(plain_defs)
         from pyspark.sql.types import StructType
 
@@ -2310,6 +2394,27 @@ class LakehouseSqlCatalog:
                     new_props[f"{NOTNULL_PREFIX}{f.name}"] = "true"
             for c, e in gen_cols.items():
                 new_props[f"{GENERATED_PREFIX}{c}"] = e
+            for c, e in default_cols.items():
+                # validate NOW: the default must evaluate and cast to
+                # the declared type (a typo'd literal should fail the
+                # CREATE, not the first INSERT that omits the column)
+                from pyspark.sql import functions as F
+
+                typ = {
+                    f.name.lower(): f.dataType for f in schema.fields
+                }[c.lower()]
+                try:
+                    self.spark.range(1).select(
+                        F.expr(e).cast(typ)
+                    ).collect()
+                except Exception as exc:
+                    raise ValueError(
+                        f"DEFAULT for column {c!r}: {e!r} does not "
+                        f"evaluate as {typ.simpleString()}: {exc}"
+                    ) from exc
+                new_props[f"default.{c}"] = e
+            for c in identity_cols:
+                new_props[f"identity.{c}"] = "true"
             # every OTHER TBLPROPERTIES entry persists verbatim
             # (bloom_on, constraint.* — what makes SHOW CREATE TABLE a
             # faithful round trip); partition_by normalizes to the LIST
@@ -2660,8 +2765,12 @@ class LakehouseSqlCatalog:
                 f"ALTER TABLE {name}: {old!r} is the table's "
                 f"{protected[old.lower()]} — redefine that first"
             )
+        from ..sinks.constraints import DEFAULT_PREFIX, IDENTITY_PREFIX
+
         gen_key = None
         nn_key = None
+        dflt_key = None
+        id_key = None
         for pk, pv in props.items():
             if pk.startswith((CHECK_PREFIX, GENERATED_PREFIX)):
                 if re.search(
@@ -2682,10 +2791,29 @@ class LakehouseSqlCatalog:
                 and pk[len(NOTNULL_PREFIX):].lower() == old.lower()
             ):
                 nn_key = pk
+            if (
+                pk.startswith(DEFAULT_PREFIX)
+                and pk[len(DEFAULT_PREFIX):].lower() == old.lower()
+            ):
+                dflt_key = pk
+            if (
+                pk.startswith(IDENTITY_PREFIX)
+                and pk[len(IDENTITY_PREFIX):].lower() == old.lower()
+            ):
+                id_key = pk
         if op == "rename" and gen_key is not None:
             raise ValueError(
                 f"RENAME COLUMN: {old!r} is GENERATED ALWAYS AS — drop "
                 "and re-declare it under the new name instead"
+            )
+        if op == "rename" and id_key is not None:
+            # the identity high-water mark is re-derived from FILE
+            # STATS under the column's physical name — old files' stats
+            # would be missed after a rename and ids would collide
+            raise ValueError(
+                f"RENAME COLUMN: {old!r} is GENERATED ALWAYS AS "
+                "IDENTITY — its high-water mark lives in per-file stats "
+                "under the physical name; rename is not supported"
             )
         # anchor: time travel below `since` serves the original names
         since = commit_metadata_version(path)
@@ -2714,13 +2842,21 @@ class LakehouseSqlCatalog:
         props["schema_ddl"] = ", ".join(
             f"{n} {t.simpleString()}" for n, t in out_fields
         )
-        # the NOT NULL invariant follows the rename / dies with the drop
+        # the NOT NULL / DEFAULT specs follow the rename, and every
+        # per-column spec dies with the drop
         if nn_key is not None:
             val = props.pop(nn_key)
             if op == "rename":
                 props[f"{NOTNULL_PREFIX}{new}"] = val
-        if op == "drop" and gen_key is not None:
-            del props[gen_key]
+        if dflt_key is not None:
+            val = props.pop(dflt_key)
+            if op == "rename":
+                props[f"{DEFAULT_PREFIX}{new}"] = val
+        if op == "drop":
+            if gen_key is not None:
+                del props[gen_key]
+            if id_key is not None:
+                del props[id_key]
         log.write_table_props(props)
         # re-bind the session view (a stale temp view would keep
         # serving the old shape through spark.sql until the next read)
@@ -2862,17 +2998,36 @@ class LakehouseSqlCatalog:
             if k.startswith(NOTNULL_PREFIX)
             and str(v).lower() in ("true", "1")
         }
+        from ..sinks.constraints import (
+            DEFAULT_PREFIX,
+            IDENTITY_PREFIX,
+            default_columns,
+            identity_columns,
+        )
+
+        dflts = default_columns(props)
+        idents = set(identity_columns(props))
         col_defs = []
         for f in fields:
             s = f"{f.name} {f.dataType.simpleString().upper()}"
+            if f.name in idents:
+                s += " GENERATED ALWAYS AS IDENTITY"
+            if f.name in dflts:
+                s += f" DEFAULT {dflts[f.name]}"
             if f.name.lower() in notnull:
                 s += " NOT NULL"
             if f.name in gens:
                 s += f" GENERATED ALWAYS AS ({gens[f.name]})"
             col_defs.append(s)
         # everything else in the props re-emits as TBLPROPERTIES —
-        # schema/notnull/generated are already encoded in the col defs
-        skip_prefixes = (NOTNULL_PREFIX, GENERATED_PREFIX)
+        # schema/notnull/generated/default/identity are already encoded
+        # in the col defs
+        skip_prefixes = (
+            NOTNULL_PREFIX,
+            GENERATED_PREFIX,
+            DEFAULT_PREFIX,
+            IDENTITY_PREFIX,
+        )
         tprops = {
             k: v
             for k, v in sorted(props.items())

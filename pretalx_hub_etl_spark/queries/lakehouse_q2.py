@@ -1582,3 +1582,154 @@ def q_sink_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# --- S49: DEFAULT values + GENERATED ALWAYS AS IDENTITY -------------------------
+
+
+@query(
+    "q_sql_defaults",
+    oracle="""
+    WITH src AS (
+        SELECT o_orderkey AS k,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    ), t AS (
+        SELECT k, cents, 'new' AS status, 1 AS qty FROM src WHERE k % 2 = 0
+        UNION ALL
+        SELECT k, cents, 'ok' AS status, 2 AS qty FROM src WHERE k % 2 = 1
+    ), stats AS (
+        SELECT count(*) AS n_rows FROM t
+    )
+    SELECT t.k, t.cents, t.status, CAST(t.qty AS BIGINT) AS qty,
+           s.n_rows, s.n_rows AS n_ids
+    FROM t CROSS JOIN stats s
+    """,
+)
+def q_sql_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S49: DEFAULT column values + GENERATED ALWAYS AS IDENTITY at the
+    # commit-protocol seam. The first INSERT omits status AND qty (both
+    # fill their declared defaults), the second supplies status and
+    # overrides qty; the id column is NEVER supplied — the engine
+    # assigns monotonic collision-free values whose high-water mark is
+    # re-derived from the base version's file stats inside the OCC
+    # loop, so ids stay unique ACROSS commits (n_ids == n_rows rides
+    # the hashed result; id VALUES are engine-chosen and deliberately
+    # excluded). Supplying the identity column raises (asserted).
+    import shutil
+
+    from ..plans.lakehouse_sql import LakehouseSqlCatalog
+
+    src = Catalog(spark, sf_dir).orders.select(
+        F.col("o_orderkey").alias("k"),
+        fixed_cents(F.col("o_totalprice")).alias("cents"),
+    )
+    src.createOrReplaceTempView("def_src")
+    root = tempfile.mkdtemp(prefix="phe_sql_defaults_")
+    path = os.path.join(root, "t")
+    cat = LakehouseSqlCatalog(spark)
+    cat.sql(
+        f"CREATE TABLE def_t ("
+        f"id BIGINT GENERATED ALWAYS AS IDENTITY, "
+        f"k BIGINT, cents BIGINT, "
+        f"status STRING DEFAULT 'new', "
+        f"qty BIGINT DEFAULT 1 + 0) "
+        f"USING lakehouse LOCATION '{path}' TBLPROPERTIES (merge_key='k')"
+    )
+    cat.sql(
+        "INSERT INTO def_t (k, cents) "
+        "SELECT k, cents FROM def_src WHERE k % 2 = 0"
+    )
+    cat.sql(
+        "INSERT INTO def_t (k, cents, status, qty) "
+        "SELECT k, cents, 'ok', 2 FROM def_src WHERE k % 2 = 1"
+    )
+    try:
+        cat.sql("INSERT INTO def_t VALUES (999, 1, 1, 'x', 1)")
+        raise AssertionError("supplying the IDENTITY column must raise")
+    except ValueError:
+        pass
+    cur = cat.sql("SELECT id, k, cents, status, qty FROM def_t")
+    ids = cur.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("id").alias("n_ids"),
+        F.min("id").alias("min_id"),
+    ).first()
+    assert ids["n_ids"] == ids["n_rows"], "identity collision"
+    assert ids["min_id"] >= 1
+    out = (
+        cur.select("k", "cents", "status", "qty")
+        .crossJoin(
+            cur.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct("id").alias("n_ids"),
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+# --- LAY1c: OPTIMIZE ZORDER on MoR tables ----------------------------------------
+
+
+@query(
+    "q_sql_zorder_mor",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS k, o_custkey AS ck,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    ), state AS (
+        SELECT k, ck,
+               CASE WHEN k % 7 = 0 THEN cents + 11 ELSE cents END AS cents
+        FROM base WHERE k % 5 <> 0
+    )
+    SELECT k, ck, cents FROM state
+    WHERE ck BETWEEN 10 AND 25 OR k BETWEEN 100 AND 200
+    """,
+)
+def q_sql_zorder_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # LAY1c: OPTIMIZE ZORDER on a MoR table — compact-then-cluster: the
+    # delta chain (init + upsert + delete deltas) is materialized as a
+    # CHECKPOINTED commit laid out by the Morton interleave, so a
+    # long-lived MoR table gets the same tight per-file envelopes and
+    # stats skipping a ZORDERed CoW table has. The read after OPTIMIZE
+    # resolves from the clustered checkpoint alone; the oracle
+    # recomputes the post-DML state from orders — a compaction that
+    # lost a delta, resurrected a deleted key, or dropped rows in the
+    # relayout hash-fails. Envelope tightness is pinned in
+    # tests/test_round14.py (the MoR twin of the r13 CoW pin).
+    import shutil
+
+    from ..plans.lakehouse_sql import LakehouseSqlCatalog
+    from ..sinks.manifest import CommitLog
+    from ..sinks.mor import MorTable
+
+    base = Catalog(spark, sf_dir).orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("ck"),
+        fixed_cents(F.col("o_totalprice")).alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="phe_sql_zorder_mor_")
+    path = os.path.join(root, "t")
+    MorTable(path, key="k").init(base.repartition(8))
+    cat = LakehouseSqlCatalog(spark)
+    cat.register_path("zm_t", path)
+    cat.sql("UPDATE zm_t SET cents = cents + 11 WHERE k % 7 = 0")
+    cat.sql("DELETE FROM zm_t WHERE k % 5 = 0")
+    cat.sql("OPTIMIZE zm_t ZORDER BY (k, ck)")
+    log = CommitLog(path)
+    head = log.manifest(log.current_version())
+    assert head.get("checkpoint"), "ZORDER must commit a checkpoint"
+    # the spec persists: a later bare OPTIMIZE re-applies it
+    assert log.table_props().get("zorder_by") == ["k", "ck"]
+    out = cat.sql(
+        "SELECT k, ck, cents FROM zm_t WHERE ck BETWEEN 10 AND 25 "
+        "UNION ALL "
+        "SELECT k, ck, cents FROM zm_t "
+        "WHERE k BETWEEN 100 AND 200 AND NOT (ck BETWEEN 10 AND 25)"
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out

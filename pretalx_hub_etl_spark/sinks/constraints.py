@@ -142,6 +142,32 @@ def validate_existing(
 
 
 GENERATED_PREFIX = "generated."
+DEFAULT_PREFIX = "default."
+IDENTITY_PREFIX = "identity."
+
+
+def default_columns(props: dict[str, Any]) -> dict[str, str]:
+    """col -> DEFAULT literal expr from table props (``default.<col>``,
+    S49): fills the column when an INSERT omits it."""
+    return {
+        k[len(DEFAULT_PREFIX):]: str(v)
+        for k, v in props.items()
+        if k.startswith(DEFAULT_PREFIX) and str(v).strip()
+    }
+
+
+def identity_columns(props: dict[str, Any]) -> list[str]:
+    """GENERATED ALWAYS AS IDENTITY columns (``identity.<col>``, S49):
+    assigned monotonic collision-free values by the commit protocol
+    itself (MergeSink.init/append — the assignment re-derives against
+    the new base when the OCC claim is lost, so two racing appends can
+    never mint the same key)."""
+    return sorted(
+        k[len(IDENTITY_PREFIX):]
+        for k, v in props.items()
+        if k.startswith(IDENTITY_PREFIX)
+        and str(v).strip().lower() in ("true", "1")
+    )
 
 
 def generated_columns(props: dict[str, Any]) -> dict[str, str]:

@@ -535,19 +535,100 @@ class MergeSink:
         pby = self.partition_by or props.get("partition_by") or []
         if isinstance(pby, str):
             pby = [p.strip() for p in pby.split(",") if p.strip()]
-        stage = os.path.join(
-            self.path, f".stage-append-{_uuid.uuid4().hex}"
-        )
-        w = df.write.mode("errorifexists")
-        if pby:
-            w = w.partitionBy(*pby)
+        # GENERATED ALWAYS AS IDENTITY (S49): assignment happens HERE,
+        # inside the OCC loop — ids start above the base version's
+        # high-water mark (from the manifest's file stats, no scan),
+        # and a lost claim RE-STAGES against the new base, so two
+        # racing appends can never mint the same key
+        from .constraints import identity_columns
+
+        have_lower = {c.lower() for c in df.columns}
+        supplied_ids = [
+            c for c in identity_columns(props) if c.lower() in have_lower
+        ]
+        if supplied_ids:
+            raise ValueError(
+                f"GENERATED ALWAYS AS IDENTITY column(s) {supplied_ids} "
+                "cannot be supplied — the engine assigns them"
+            )
+        id_cols = [
+            c
+            for c in identity_columns(props)
+            if c.lower() not in have_lower
+        ]
+        id_types: dict[str, object] = {}
+        if id_cols and props.get("schema_ddl"):
+            from pyspark.sql.types import StructType as _ST
+
+            for f in _ST.fromDDL(props["schema_ddl"]).fields:
+                for c in id_cols:
+                    if f.name.lower() == c.lower():
+                        id_types[c] = f.dataType
+
+        def _identity_hwm(base: int) -> dict[str, int]:
+            hw = {c: 0 for c in id_cols}
+            need_scan = False
+            if base > 0:
+                for ent in log.manifest(base)["files"]:
+                    if ent.get("role", "data") != "data":
+                        continue
+                    for c in id_cols:
+                        st = ent.get("columns", {}).get(c)
+                        if st is None:
+                            continue  # file predates the column
+                        mx = st.get("max")
+                        if mx is None:
+                            if st.get("null_count", 0) < ent.get(
+                                "rows", 0
+                            ):
+                                need_scan = True  # stats lost: scan
+                            continue
+                        hw[c] = max(hw[c], int(mx))
+            if need_scan:
+                row = (
+                    self._read_manifest_files(df.sparkSession, base)[0]
+                    .agg(*[F.max(c).alias(c) for c in id_cols])
+                    .first()
+                )
+                for c in id_cols:
+                    hw[c] = max(hw[c], int(row[c] or 0))
+            return hw
+
+        def _stage(frame: DataFrame) -> str:
+            s = os.path.join(
+                self.path, f".stage-append-{_uuid.uuid4().hex}"
+            )
+            w = frame.write.mode("errorifexists")
+            if pby:
+                w = w.partitionBy(*pby)
+            w.parquet(os.path.join(s, "new"))
+            return s
+
+        stage: str | None = None
         try:
-            w.parquet(os.path.join(stage, "new"))
+            from pyspark.sql.types import LongType
+
             from .txn import inherit_pending
 
             bloom_on = self.bloom_on or props.get("bloom_on")
             for _ in range(50):
                 base, claim = _base_and_claim(self.path)
+                if id_cols:
+                    hw = _identity_hwm(base)
+                    assigned = df
+                    for c in id_cols:
+                        assigned = assigned.withColumn(
+                            c,
+                            (
+                                F.lit(hw[c] + 1)
+                                + F.monotonically_increasing_id()
+                            ).cast(id_types.get(c, LongType())),
+                        )
+                    if stage is not None:
+                        shutil.rmtree(stage, ignore_errors=True)
+                    stage = _stage(assigned)
+                elif stage is None:
+                    stage = _stage(df)
                 work = os.path.join(
                     self.path, f".stage-appub-{_uuid.uuid4().hex}"
                 )
@@ -619,7 +700,8 @@ class MergeSink:
                 f"append lost the version race 50 times at {self.path}"
             )
         finally:
-            shutil.rmtree(stage, ignore_errors=True)
+            if stage is not None:
+                shutil.rmtree(stage, ignore_errors=True)
 
     def replace_where(self, df: DataFrame, condition: str) -> dict:
         """Predicate-scoped overwrite (the Delta ``replaceWhere``
@@ -818,6 +900,37 @@ class MergeSink:
         (``LakehouseSqlCatalog.register_path``)."""
         if _versions(self.path):
             raise FileExistsError(f"merge table already initialized: {self.path}")
+        # GENERATED ALWAYS AS IDENTITY at first commit: ids start at 1
+        # (high-water mark 0 — no base to race with; see append())
+        from .constraints import identity_columns as _idc
+
+        props0 = CommitLog(self.path).table_props()
+        have0 = {c.lower() for c in df.columns}
+        supplied0 = [
+            c for c in _idc(props0) if c.lower() in have0
+        ]
+        if supplied0:
+            raise ValueError(
+                f"GENERATED ALWAYS AS IDENTITY column(s) {supplied0} "
+                "cannot be supplied — the engine assigns them"
+            )
+        missing0 = [c for c in _idc(props0) if c.lower() not in have0]
+        if missing0:
+            from pyspark.sql.types import LongType, StructType as _ST0
+
+            types0: dict[str, object] = {}
+            if props0.get("schema_ddl"):
+                for f in _ST0.fromDDL(props0["schema_ddl"]).fields:
+                    for c in missing0:
+                        if f.name.lower() == c.lower():
+                            types0[c] = f.dataType
+            for c in missing0:
+                df = df.withColumn(
+                    c,
+                    (
+                        F.lit(1) + F.monotonically_increasing_id()
+                    ).cast(types0.get(c, LongType())),
+                )
         self._write(df, _next_version(self.path))
         log = CommitLog(self.path)
         props = log.table_props()  # CREATE TABLE may have written one
@@ -1194,6 +1307,16 @@ class MergeSink:
         ``_write``; a writer that loses the version race re-reads the
         winner's state and recomputes (optimistic concurrency, no lost
         updates), giving up after ``max_retries`` conflicts.
+
+        CONFLICT RULE for overlapping keys (pinned by
+        ``tests/test_round14.py::test_concurrent_merge_same_key``): the
+        outcome equals SOME serial order of the committed merges —
+        retry-with-recompute, so the later committer's source row wins
+        the contested key WHOLE-ROW (source rows carry full rows; there
+        is no column-level blend of two racing writers), and every key
+        only one side touched keeps that side's value. Neither torn
+        rows nor lost disjoint updates are possible: the loser's
+        recompute starts from the winner's full committed state.
 
         ``allow_evolution=True`` is automatic schema evolution with
         Delta's WHEN-MATCHED semantics: a column only in the SOURCE is

@@ -575,6 +575,71 @@ class MorTable:
             f"compact lost the version race {max_retries} times at {self.path}"
         )
 
+    def optimize_zorder(
+        self,
+        spark: SparkSession,
+        cols: list[str],
+        bits: int = 16,
+        max_retries: int = 20,
+    ) -> int:
+        """``OPTIMIZE <mor_t> ZORDER BY (a, b, ...)`` (LAY1c) —
+        compact-THEN-cluster: materialize the resolved chain state as a
+        CHECKPOINTED commit whose files are laid out by the Morton
+        interleave of ``cols`` (the CoW LAY1b layout transposed to the
+        chain). The chain restarts at the clustered checkpoint, so a
+        long-lived MoR table's post-compaction layout gets the same
+        tight per-file [min, max] envelopes — and the same
+        stats/key-range skipping — a freshly-ZORDERed CoW table has.
+        File granularity: one output range per data file in the current
+        chain (a maintenance op reshapes layout, not file count). The
+        spec persists in the table props (``zorder_by``), so a later
+        bare ``OPTIMIZE`` re-applies compact+cluster. Same OCC commit
+        protocol as compact(); returns the committed version."""
+        from ..operators.layout import cluster_by_zorder, zorder_normalize
+
+        log = CommitLog(self.path)
+        for _ in range(max_retries):
+            if (
+                log.exists()
+                and log.visible_version() != log.current_version()
+            ):
+                raise RuntimeError(
+                    f"optimize_zorder at {self.path}: a pending "
+                    "transaction head exists (heal/commit it first)"
+                )
+            state = self.read(spark)
+            by_lower = {c.lower(): c for c in state.columns}
+            missing = [c for c in cols if c.lower() not in by_lower]
+            if missing:
+                raise ValueError(
+                    f"ZORDER BY columns {missing} not in table "
+                    f"({state.columns})"
+                )
+            rcols = [by_lower[c.lower()] for c in cols]
+            start, chain = self._chain()
+            n_files = 0
+            for v in chain:
+                data, _d, _p, _ck = self._commit_view(v)
+                n_files += len(data or [])
+            state, dims = zorder_normalize(state, rcols, bits)
+            clustered = cluster_by_zorder(
+                state, dims, bits, num_partitions=max(n_files, 1)
+            ).drop(*[d for d in dims if d.startswith("__zn_")])
+            _, claim = _base_and_claim(self.path)
+            try:
+                self._commit(clustered, None, claim, checkpoint=True)
+            except FileExistsError:
+                _heal_claim(self.path, claim)
+                continue  # a delta slipped in: recluster the NEW state
+            props = log.table_props()
+            props["zorder_by"] = list(rcols)
+            log.write_table_props(props)
+            return claim
+        raise RuntimeError(
+            f"optimize_zorder lost the version race {max_retries} times "
+            f"at {self.path}"
+        )
+
     def restore(
         self, spark: SparkSession, version: int, max_retries: int = 20
     ) -> int:

@@ -187,6 +187,15 @@ class LakehouseTransaction:
                 f"stage_append targets CoW tables; {table_path} is "
                 f"{props.get('kind')} (use stage_mor_upsert)"
             )
+        from .constraints import identity_columns
+
+        if identity_columns(props):
+            raise ValueError(
+                f"stage_append into {table_path}: IDENTITY columns need "
+                "the OCC claim to assign collision-free keys, but a "
+                "transaction stages BEFORE claiming — append outside "
+                "the transaction (MergeSink.append / INSERT INTO)"
+            )
         stage = self._stage_dir(table_path)
         w = self._guarded(df, table_path).write.mode("errorifexists")
         pby = props.get("partition_by")

@@ -378,3 +378,185 @@ def test_view_insert_visibility_stress(spark, tmp_path):
         stop.set()
         t.join(timeout=60)
     assert not errs, errs[:1]
+
+
+def test_concurrent_merge_same_key(spark, tmp_path):
+    """VERDICT r13 item 7: two racing MERGEs upserting the SAME key
+    converge to a SERIALIZABLE result — one side's whole source row
+    wins the contested key (never a torn blend, never a lost update on
+    the keys only one side touched)."""
+    import threading
+
+    for rnd in range(4):
+        path = str(tmp_path / f"t{rnd}")
+        sink = MergeSink(path, key="k")
+        sink.init(
+            spark.range(10).select(
+                F.col("id").alias("k"),
+                (F.col("id") * 10).alias("v"),
+                F.lit("base").alias("who"),
+            )
+        )
+        barrier = threading.Barrier(2)
+        errs: list[BaseException] = []
+
+        def racer(tag: str, solo_key: int) -> None:
+            try:
+                src = spark.createDataFrame(
+                    [(5, 1000 + solo_key, tag), (solo_key, 1, tag)],
+                    "k long, v long, who string",
+                )
+                barrier.wait(timeout=60)
+                MergeSink(path, key="k").merge(spark, src)
+            except BaseException as exc:  # noqa: BLE001
+                errs.append(exc)
+
+        ts = [
+            threading.Thread(target=racer, args=("A", 100)),
+            threading.Thread(target=racer, args=("B", 200)),
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=300)
+        assert not errs, errs[:1]
+        rows = {
+            r["k"]: (r["v"], r["who"])
+            for r in sink.read(spark).collect()
+        }
+        # disjoint keys: both sides' solo rows landed (no lost update)
+        assert rows[100] == (1, "A") and rows[200] == (1, "B")
+        # contested key: exactly one side's WHOLE row (serializable,
+        # not a blend) — v and who agree on the winner
+        v5, who5 = rows[5]
+        assert (v5, who5) in ((1100, "A"), (1200, "B")), rows[5]
+        # untouched keys intact
+        assert all(rows[k] == (k * 10, "base") for k in range(10) if k != 5)
+        assert len(rows) == 12
+
+
+def test_concurrent_append_identity_unique(spark, tmp_path):
+    """S49 pin: racing appends into an IDENTITY table re-derive the
+    high-water mark against the new base when the OCC claim is lost —
+    ids stay globally unique and above the base's maximum."""
+    import threading
+
+    from pretalx_hub_etl_spark.plans.lakehouse_sql import (
+        LakehouseSqlCatalog,
+    )
+
+    path = str(tmp_path / "t")
+    cat = LakehouseSqlCatalog(spark)
+    cat.sql(
+        f"CREATE TABLE idt (id BIGINT GENERATED ALWAYS AS IDENTITY, "
+        f"k BIGINT) USING lakehouse LOCATION '{path}' "
+        f"TBLPROPERTIES (merge_key='k')"
+    )
+    cat.sql("INSERT INTO idt (k) VALUES (0), (1), (2)")
+    barrier = threading.Barrier(3)
+    errs: list[BaseException] = []
+
+    def writer(lo: int) -> None:
+        try:
+            df = spark.range(lo, lo + 20).select(F.col("id").alias("k"))
+            barrier.wait(timeout=60)
+            MergeSink(path, key="k").append(df)
+        except BaseException as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    ts = [
+        threading.Thread(target=writer, args=(100 * i,))
+        for i in (1, 2, 3)
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=300)
+    assert not errs, errs[:1]
+    rows = cat.sql(
+        "SELECT count(*) AS n, count(DISTINCT id) AS d, min(id) AS lo "
+        "FROM idt"
+    ).first()
+    assert rows["n"] == 63 and rows["d"] == 63, rows
+    assert rows["lo"] >= 1
+
+
+def test_mor_optimize_zorder_tightens_envelopes(spark, tmp_path):
+    """LAY1c pin (the MoR twin of the r13 CoW envelope test): after
+    OPTIMIZE ZORDER the chain restarts at a clustered CHECKPOINT whose
+    per-file key envelopes are tight, so key-range pruning skips files
+    the scattered layout could not — and content is intact through
+    upsert + delete deltas."""
+    from pretalx_hub_etl_spark.plans.lakehouse_sql import (
+        LakehouseSqlCatalog,
+    )
+    from pretalx_hub_etl_spark.sinks.mor import MorTable
+
+    path = str(tmp_path / "zm")
+    # hash-scattered: every file's [min,max] on the KEY spans the domain
+    df = spark.range(4096).selectExpr(
+        "pmod(id * 2654435761, 4096) AS a", "id AS b", "id AS v"
+    )
+    t = MorTable(path, key="a")
+    t.init(df.repartition(8))
+    t.merge(
+        spark,
+        source=spark.range(64).selectExpr(
+            "id AS a", "id AS b", "id + 100000 AS v"
+        ),
+    )
+    t.merge(spark, deletes=spark.range(4000, 4096).selectExpr("id AS a"))
+    _d0, scanned0, skipped0 = t.read_pruned(spark, 0, 255)
+    # pre-ZORDER: only the tight DELTA files prune (the 8 scattered
+    # base files all span the key domain and must all scan)
+    assert scanned0 >= 8
+    cat = LakehouseSqlCatalog(spark)
+    cat.register_path("zm", path)
+    cat.sql("OPTIMIZE zm ZORDER BY (a, b)")
+    head = CommitLog(path)
+    assert head.manifest(head.current_version()).get("checkpoint")
+    _d1, scanned1, skipped1 = t.read_pruned(spark, 0, 255)
+    assert skipped1 > skipped0 and scanned1 < scanned0
+    # content intact: upserts applied, deletes stay deleted
+    rows = {r["a"]: r["v"] for r in t.read(spark).collect()}
+    assert len(rows) == 4000
+    assert rows[10] == 100010 and 4050 not in rows
+    # spec persisted: bare OPTIMIZE re-applies compact+cluster
+    assert head.table_props()["zorder_by"] == ["a", "b"]
+    cat.sql("OPTIMIZE zm")
+    _d2, _s2, skipped2 = t.read_pruned(spark, 0, 255)
+    assert skipped2 > 0
+
+
+def test_defaults_show_create_round_trip(spark, tmp_path):
+    """S49: DEFAULT + IDENTITY clauses survive SHOW CREATE TABLE and
+    re-parse to an equivalent table."""
+    from pretalx_hub_etl_spark.plans.lakehouse_sql import (
+        LakehouseSqlCatalog,
+    )
+
+    path = str(tmp_path / "t")
+    cat = LakehouseSqlCatalog(spark)
+    cat.sql(
+        f"CREATE TABLE rt (id BIGINT GENERATED ALWAYS AS IDENTITY, "
+        f"k BIGINT, status STRING DEFAULT 'new' NOT NULL) "
+        f"USING lakehouse LOCATION '{path}' TBLPROPERTIES (merge_key='k')"
+    )
+    stmt = cat.sql("SHOW CREATE TABLE rt").first()[0]
+    assert "GENERATED ALWAYS AS IDENTITY" in stmt
+    assert "DEFAULT 'new'" in stmt and "NOT NULL" in stmt
+    # re-parse at a new location: equivalent props
+    path2 = str(tmp_path / "t2")
+    stmt2 = stmt.replace("TABLE rt", "TABLE rt2").replace(path, path2)
+    cat.sql(stmt2)
+    p2 = CommitLog(path2).table_props()
+    assert p2.get("identity.id") == "true"
+    assert p2.get("default.status") == "'new'"
+    assert p2.get("notnull.status") == "true"
+    # bad DEFAULT fails the CREATE, not the first INSERT
+    with pytest.raises(ValueError, match="DEFAULT"):
+        cat.sql(
+            f"CREATE TABLE bad (k BIGINT, s BIGINT DEFAULT 'abc!(') "
+            f"USING lakehouse LOCATION '{tmp_path / 'bad'}' "
+            f"TBLPROPERTIES (merge_key='k')"
+        )

@@ -125,6 +125,12 @@ HEADLINE = [
     "q_sql_show_create",    # DDL round trip + TRUNCATE
     "q_sql_analyze_cols",   # manifest-served column stats
     "q_stream_txn_fanout",  # exactly-once multi-table stream fan-out
+    # round 14: column mapping, SQL txns, replaceWhere, defaults, MoR z
+    "q_sql_alter_columns",  # RENAME/DROP COLUMN + time-travel names
+    "q_sql_txn",            # BEGIN/COMMIT/ROLLBACK multi-table SQL txn
+    "q_sink_replace_where", # predicate-scoped overwrite (file relinks)
+    "q_sql_defaults",       # DEFAULT fill + identity assignment (2 inserts)
+    "q_sql_zorder_mor",     # MoR compact-then-cluster + pruned reads
 ]
 
 
@@ -395,6 +401,16 @@ def main() -> None:
         "preflight": preflight,
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        # COMPACT box state that survives every trim below (r13's
+        # 68-query record dropped the verbose loadavg fields to fit the
+        # driver's ~2000-char tail capture, leaving the committed
+        # artifact without the self-adjudication signal): 1-min load at
+        # start/end + whether preflight saw a busy box
+        "load": [
+            round(load_start[0], 2),
+            round(os.getloadavg()[0], 2),
+            int(bool(preflight.get("busy_box"))),
+        ],
         # adjudicability (VERDICT r12 item 5): pin WHEN the artifact
         # was measured, exactly as PARITY_r12+ does — epoch drift
         # questions resolve against the timestamp instead of guesswork

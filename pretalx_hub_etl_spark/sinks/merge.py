@@ -293,8 +293,38 @@ def version_diff(
     version N" feed a downstream incremental consumer reads instead of
     re-scanning the whole table.
     """
-    lo = spark.read.parquet(os.path.join(path, f"v{v_from}"))
-    hi = spark.read.parquet(os.path.join(path, f"v{v_to}"))
+    log = CommitLog(path)
+    if log.exists():
+        # manifest reads: mergeSchema for declared mixed versions, and
+        # BOTH sides mapped to the CURRENT logical column names — a
+        # diff across a RENAME COLUMN boundary (S46) compares the same
+        # logical column, not two spellings of it (events above each
+        # side's version are applied on top of its era-mapped read)
+        from .colmap import apply_events_df, column_events
+
+        evs = column_events(log.table_props())
+        sink = MergeSink(path, key=key)
+
+        def _logical(v: int) -> DataFrame:
+            df = sink.read_version(spark, v)
+            later = [e for e in evs if int(e.get("since", 0)) > v]
+            return apply_events_df(df, later) if later else df
+
+        lo = _logical(v_from)
+        hi = _logical(v_to)
+        # schema-evolution alignment (ALTER ADD COLUMNS between the two
+        # versions): the absent side NULL-fills, so the diff reports
+        # old.newcol = NULL -> new value as an update — the
+        # current-schema CDC projection, not an error
+        for f in hi.schema.fields:
+            if f.name not in lo.columns:
+                lo = lo.withColumn(f.name, F.lit(None).cast(f.dataType))
+        for f in lo.schema.fields:
+            if f.name not in hi.columns:
+                hi = hi.withColumn(f.name, F.lit(None).cast(f.dataType))
+    else:
+        lo = spark.read.parquet(os.path.join(path, f"v{v_from}"))
+        hi = spark.read.parquet(os.path.join(path, f"v{v_to}"))
     if set(lo.columns) != set(hi.columns):
         raise ValueError(
             f"schema drift between v{v_from} and v{v_to}: "
@@ -1202,6 +1232,16 @@ class MergeSink:
             shutil.rmtree(stage, ignore_errors=True)
         props = log.table_props()
         props["kind"] = "cow"
+        # column-mapping events (S46) anchor at SOURCE version numbers;
+        # the clone's history restarts at v1, so every event at-or-below
+        # the cloned snapshot rebases to since=0 (applies to the whole
+        # clone history — the clone's v1 files ARE the post-event state)
+        if props.get("column_events"):
+            props["column_events"] = [
+                {**e, "since": 0}
+                for e in props["column_events"]
+                if int(e.get("since", 0)) <= v
+            ]
         # persist the merge key only when one is actually KNOWN: a
         # keyless registration clones through the placeholder key "_",
         # and writing that into _table.json would make a later

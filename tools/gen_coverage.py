@@ -146,6 +146,22 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_sink_dynamic_overwrite"]),
         ("S13", "row provenance via hidden _metadata file columns",
          ["q_scan_provenance"]),
+        ("S46", "column mapping: metadata-only RENAME/DROP COLUMN as "
+         "anchored events — mixed-version coalesce reads, time travel "
+         "under original names, prune translation, resurrection guard",
+         ["q_sql_alter_columns"]),
+        ("S47", "SQL multi-table transactions: BEGIN/COMMIT/ROLLBACK "
+         "compiling to one S45 transaction (atomic cross-table "
+         "visibility, pre-transaction snapshot reads)",
+         ["q_sql_txn"]),
+        ("S48", "predicate-scoped overwrite (replaceWhere): one commit, "
+         "stats-proven untouched files hardlinked byte-identical, "
+         "predicate-violating payloads rejected",
+         ["q_sink_replace_where"]),
+        ("S49", "DEFAULT column values + GENERATED ALWAYS AS IDENTITY "
+         "(stats-derived high-water mark, restage-on-lost-claim "
+         "collision-free assignment)",
+         ["q_sql_defaults"]),
     ]),
     ("2.2 Projections / filters", [
         ("P1", "projection + rename", ["q_project_rename"]),
@@ -236,6 +252,9 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          ["q_sql_zorder"]),
         ("LAY2", "bucketed tables (write-once shuffle, zero-Exchange joins)",
          ["q_join_bucketed"]),
+        ("LAY1c", "OPTIMIZE ZORDER on MoR tables: compact-then-cluster "
+         "checkpoint, persisted spec, post-compaction key-range skipping",
+         ["q_sql_zorder_mor"]),
     ]),
     ("2.6 Sorts / limits", [
         ("O1", "multi-key sort", ["q_sort_multi_key"]),

@@ -149,6 +149,14 @@ QUERIES = [
     "q_sql_table_changes",
     "q_sink_bloom_read",
     "q_stream_source_lakehouse",
+    # round-14 additions: all five ride the replicated-1x orders table
+    # (fixture note below) — commit-protocol fixed cost + input-linear
+    # data jobs; replace_where adds one stats split + partial rewrite
+    "q_sql_alter_columns",
+    "q_sql_txn",
+    "q_sink_replace_where",
+    "q_sql_defaults",
+    "q_sql_zorder_mor",
 ]
 
 # inherently super-linear OUTPUT at fixed parameters (not a plan defect)
@@ -168,6 +176,11 @@ WORKLOAD_NOTES = {
     "q_sql_show_create": _ORDERS_FIXTURE_NOTE,
     "q_sql_analyze_cols": _ORDERS_FIXTURE_NOTE,
     "q_stream_txn_fanout": _ORDERS_FIXTURE_NOTE,
+    "q_sql_alter_columns": _ORDERS_FIXTURE_NOTE,
+    "q_sql_txn": _ORDERS_FIXTURE_NOTE,
+    "q_sink_replace_where": _ORDERS_FIXTURE_NOTE,
+    "q_sql_defaults": _ORDERS_FIXTURE_NOTE,
+    "q_sql_zorder_mor": _ORDERS_FIXTURE_NOTE,
     "q_spatial_pairs": "output grows ~density^2 at fixed radius "
     "(verified: 10x input -> 100.6x output pairs) — an output-linear plan "
     "necessarily shows exponent ~2 here",

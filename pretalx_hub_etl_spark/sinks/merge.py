@@ -1384,9 +1384,23 @@ class MergeSink:
                 target = spark.read.parquet(
                     os.path.join(self.path, f"v{base}")
                 )
-            if not allow_evolution and set(source.columns) != set(
-                target.columns
-            ):
+            # IDENTITY columns (S49) may be ABSENT from the source —
+            # matched rows keep their target-side ids (out_col's
+            # target-only rule) and NEWLY INSERTED rows get ids
+            # assigned below, above the base's stats-derived high-water
+            # mark, inside this same OCC loop (a lost claim recomputes)
+            from .constraints import identity_columns as _idc
+
+            _props_m = CommitLog(self.path).table_props()
+            id_missing = [
+                c
+                for c in _idc(_props_m)
+                if c.lower() not in {x.lower() for x in source.columns}
+                and c in target.columns
+            ]
+            if not allow_evolution and set(source.columns) | set(
+                id_missing
+            ) != set(target.columns):
                 raise ValueError(
                     f"source schema {sorted(source.columns)} != "
                     f"target schema {sorted(target.columns)} "
@@ -1439,6 +1453,34 @@ class MergeSink:
                     k,
                     "left_anti",
                 )
+            id_all = [c for c in _idc(_props_m) if c in target.columns]
+            if id_all:
+                # inserted rows carry NULL in the identity columns
+                # (either the source omitted them — out_col's
+                # target-only rule leaves no target side — or the SQL
+                # MERGE's insert branch NULL-filled them): assign above
+                # the base's high-water mark (per-file stats, no scan);
+                # non-NULL values are the target's own ids round-tripped
+                # through matched rows and are preserved
+                log_m = CommitLog(self.path)
+                for c in id_all:
+                    hw = 0
+                    for ent in log_m.manifest(base)["files"]:
+                        st = ent.get("columns", {}).get(c)
+                        mx = None if st is None else st.get("max")
+                        if mx is not None:
+                            hw = max(hw, int(mx))
+                    typ = target.schema[c].dataType
+                    merged = merged.withColumn(
+                        c,
+                        F.when(
+                            F.col(c).isNull(),
+                            (
+                                F.lit(hw + 1)
+                                + F.monotonically_increasing_id()
+                            ).cast(typ),
+                        ).otherwise(F.col(c)),
+                    )
             try:
                 self._write(merged, claim)
             except FileExistsError:

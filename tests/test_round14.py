@@ -560,3 +560,52 @@ def test_defaults_show_create_round_trip(spark, tmp_path):
             f"USING lakehouse LOCATION '{tmp_path / 'bad'}' "
             f"TBLPROPERTIES (merge_key='k')"
         )
+
+
+def test_merge_assigns_identity_to_inserted_rows(spark, tmp_path):
+    """S49 + MERGE: WHEN NOT MATCHED INSERT rows get engine-assigned
+    identity values above the base's high-water mark; matched rows keep
+    their existing ids through the update."""
+    from pretalx_hub_etl_spark.plans.lakehouse_sql import (
+        LakehouseSqlCatalog,
+    )
+
+    path = str(tmp_path / "t")
+    cat = LakehouseSqlCatalog(spark)
+    cat.sql(
+        f"CREATE TABLE mi_t (id BIGINT GENERATED ALWAYS AS IDENTITY, "
+        f"k BIGINT, v BIGINT) USING lakehouse LOCATION '{path}' "
+        f"TBLPROPERTIES (merge_key='k')"
+    )
+    cat.sql("INSERT INTO mi_t (k, v) VALUES (1, 10), (2, 20)")
+    before = {
+        r["k"]: r["id"]
+        for r in cat.sql("SELECT k, id FROM mi_t").collect()
+    }
+    spark.createDataFrame(
+        [(2, 99), (3, 30)], "k long, v long"
+    ).createOrReplaceTempView("mi_t_src")
+    cat.sql(
+        "MERGE INTO mi_t USING mi_t_src ON mi_t.k = mi_t_src.k "
+        "WHEN MATCHED THEN UPDATE SET v = mi_t_src.v "
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES "
+        "(mi_t_src.k, mi_t_src.v)"
+    )
+    rows = {
+        r["k"]: (r["v"], r["id"])
+        for r in cat.sql("SELECT k, v, id FROM mi_t").collect()
+    }
+    assert rows[2] == (99, before[2])  # matched: id preserved
+    assert rows[1] == (10, before[1])
+    ids = [i for _v, i in rows.values()]
+    assert all(i is not None for i in ids) and len(set(ids)) == 3
+    assert rows[3][1] > max(before.values())  # above the high-water mark
+    # engine API: a keyed upsert omitting the identity column entirely
+    MergeSink(path, key="k").merge(
+        spark, spark.createDataFrame([(4, 40)], "k long, v long")
+    )
+    rows2 = {
+        r["k"]: r["id"]
+        for r in cat.sql("SELECT k, id FROM mi_t").collect()
+    }
+    assert len(set(rows2.values())) == 4 and rows2[4] is not None

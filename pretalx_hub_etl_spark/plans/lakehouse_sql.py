@@ -188,6 +188,9 @@ _COMMIT_RE = re.compile(
 _ROLLBACK_RE = re.compile(
     r"^\s*ROLLBACK(?:\s+TRANSACTION)?\s*$", re.IGNORECASE
 )
+_HEAL_TXN_RE = re.compile(
+    r"^\s*HEAL\s+TRANSACTIONS\s*$", re.IGNORECASE
+)
 _ALTER_RENAME_COL_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+RENAME\s+COLUMN\s+"
     r"([A-Za-z_]\w*)\s+TO\s+([A-Za-z_]\w*)\s*$",
@@ -937,6 +940,27 @@ class LakehouseSqlCatalog:
         UPDATE/DELETE; CoW full-state rewrites are the documented S45
         non-goal and are refused."""
         q = query.strip().rstrip(";").strip()
+        if _HEAL_TXN_RE.match(q):
+            # crash recovery from SQL: complete every prepared-but-
+            # uncommitted transaction in this warehouse's coordinator
+            # (roll-forward; single-healer contract — an operator
+            # statement, not something sessions run concurrently)
+            if not self._warehouse:
+                raise ValueError(
+                    "HEAL TRANSACTIONS needs a warehouse-backed catalog"
+                )
+            import os
+
+            from ..sinks.txn import heal as _heal
+
+            healed = _heal(os.path.join(self._warehouse, "_txn"))
+            rows = [
+                (txn_id, len(tables))
+                for txn_id, tables in sorted(healed.items())
+            ] or []
+            return self.spark.createDataFrame(
+                rows, "txn_id string, tables int"
+            )
         if _BEGIN_TXN_RE.match(q):
             if self._txn is not None:
                 raise ValueError(

@@ -409,6 +409,18 @@ def _publish_one(
             base, claim = 0, 1  # first commit of a DDL-created table
         else:
             base, claim = _base_and_claim(path)
+            # _base_and_claim HEALS committed-but-unpublished claims —
+            # possibly OUR OWN crashed publish (the healed manifest
+            # carries this txn's marker via the _TXN stamp): re-probe,
+            # or we would publish the stage a SECOND time on top of it
+            v = _already_published(
+                log, txn_id, idx, ent["base_at_prepare"]
+            )
+            if v is not None:
+                shutil.rmtree(stage, ignore_errors=True)
+                with open(done, "w") as fh:
+                    fh.write(str(v))
+                return v
         work = os.path.join(path, f".stage-txnpub-{uuid.uuid4().hex}")
         os.makedirs(work)
         try:

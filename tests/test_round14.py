@@ -609,3 +609,41 @@ def test_merge_assigns_identity_to_inserted_rows(spark, tmp_path):
         for r in cat.sql("SELECT k, id FROM mi_t").collect()
     }
     assert len(set(rows2.values())) == 4 and rows2[4] is not None
+
+
+def test_heal_transactions_sql(spark, tmp_path, monkeypatch):
+    """S47: `HEAL TRANSACTIONS` — crash recovery reachable from SQL.
+    A transaction crashed mid-publish (after the intent) is completed
+    by the statement; a fresh session against the same warehouse issues
+    it and the data appears atomically."""
+    from pretalx_hub_etl_spark.plans.lakehouse_sql import (
+        LakehouseSqlCatalog,
+    )
+
+    wh = str(tmp_path / "wh")
+    path = str(tmp_path / "t")
+    cat = LakehouseSqlCatalog(spark, warehouse=wh)
+    _mk_table(spark, path, 0, 5)
+    cat.register_path("ht", path)
+    cat.sql("BEGIN TRANSACTION")
+    cat.sql("INSERT INTO ht VALUES (50, 500)")
+    real_publish = CommitLog.publish
+    fired = {"n": 0}
+
+    def crashing(self, manifest):
+        if manifest.get("txn") and fired["n"] == 0:
+            fired["n"] = 1
+            raise _CrashAtTxnPublish("injected")
+        return real_publish(self, manifest)
+
+    monkeypatch.setattr(CommitLog, "publish", crashing)
+    with pytest.raises(_CrashAtTxnPublish):
+        cat.sql("COMMIT")
+    monkeypatch.setattr(CommitLog, "publish", real_publish)
+    assert _keys(spark, path) == list(range(5))  # still invisible
+    fresh = LakehouseSqlCatalog(spark, warehouse=wh)
+    out = fresh.sql("HEAL TRANSACTIONS").collect()
+    assert len(out) == 1 and out[0]["tables"] == 1
+    assert _keys(spark, path) == list(range(5)) + [50]
+    # idempotent + empty-coordinator safe
+    assert fresh.sql("HEAL TRANSACTIONS").count() == 0

@@ -2428,14 +2428,22 @@ class LakehouseSqlCatalog:
                     f.name.lower(): f.dataType for f in schema.fields
                 }[c.lower()]
                 try:
-                    self.spark.range(1).select(
-                        F.expr(e).cast(typ)
-                    ).collect()
+                    val = self.spark.range(1).select(
+                        F.expr(e).cast(typ).alias("v"),
+                        F.expr(e).isNull().alias("src_null"),
+                    ).first()
                 except Exception as exc:
                     raise ValueError(
                         f"DEFAULT for column {c!r}: {e!r} does not "
                         f"evaluate as {typ.simpleString()}: {exc}"
                     ) from exc
+                if val["v"] is None and not val["src_null"]:
+                    # a non-NULL literal that casts to NULL would
+                    # silently default the column to NULL forever
+                    raise ValueError(
+                        f"DEFAULT for column {c!r}: {e!r} does not "
+                        f"cast to {typ.simpleString()}"
+                    )
                 new_props[f"default.{c}"] = e
             for c in identity_cols:
                 new_props[f"identity.{c}"] = "true"

@@ -131,6 +131,7 @@ HEADLINE = [
     "q_sink_replace_where", # predicate-scoped overwrite (file relinks)
     "q_sql_defaults",       # DEFAULT fill + identity assignment (2 inserts)
     "q_sql_zorder_mor",     # MoR compact-then-cluster + pruned reads
+    "q_sql_zorder_inc",     # incremental layered recluster (relinks)
 ]
 
 

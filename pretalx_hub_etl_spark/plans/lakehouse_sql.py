@@ -100,6 +100,11 @@ _OPTIMIZE_Z_RE = re.compile(
     r"^\s*OPTIMIZE\s+([A-Za-z_]\w*)\s+ZORDER\s+BY\s*\(([^)]+)\)\s*$",
     re.IGNORECASE,
 )
+_OPTIMIZE_INC_RE = re.compile(
+    r"^\s*OPTIMIZE\s+([A-Za-z_]\w*)"
+    r"(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s+INCREMENTAL\s*$",
+    re.IGNORECASE,
+)
 _HISTORY_RE = re.compile(
     r"^\s*DESCRIBE\s+HISTORY\s+([A-Za-z_]\w*)\s*$", re.IGNORECASE
 )
@@ -2061,6 +2066,42 @@ class LakehouseSqlCatalog:
         return self._summary("vacuum", name, self._current_version(name))
 
     def _try_optimize(self, query: str) -> DataFrame | None:
+        mi = _OPTIMIZE_INC_RE.match(query)
+        if mi is not None:
+            # LAY1d: `OPTIMIZE t [ZORDER BY (...)] INCREMENTAL` —
+            # recluster ONLY the append layer since the last OPTIMIZE
+            # (prior clustered layers relink byte-identical): the
+            # maintenance op whose cost tracks NEW data, not table size
+            name = mi.group(1)
+            cols = (
+                [c.strip() for c in mi.group(2).split(",") if c.strip()]
+                if mi.group(2)
+                else None
+            )
+            kind, path, key = self._require(name)
+            if kind != "cow":
+                raise ValueError(
+                    "INCREMENTAL OPTIMIZE targets CoW tables (a MoR "
+                    "chain compacts as a whole: OPTIMIZE ... ZORDER BY)"
+                )
+            from ..sinks.merge import MergeSink
+
+            stats = MergeSink(
+                path, key=key or "_"
+            ).optimize_zorder_incremental(self.spark, cols)
+            return self.spark.createDataFrame(
+                [
+                    (
+                        "optimize_incremental",
+                        name,
+                        stats["version"],
+                        stats["files_relinked"],
+                        stats["files_reclustered"],
+                    )
+                ],
+                "operation string, table string, version int, "
+                "files_relinked int, files_reclustered int",
+            )
         mz = _OPTIMIZE_Z_RE.match(query)
         if mz is not None:
             # `OPTIMIZE t ZORDER BY (a, b)` — recluster by the Morton

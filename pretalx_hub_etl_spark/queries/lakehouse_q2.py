@@ -1733,3 +1733,80 @@ def q_sql_zorder_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# --- LAY1d: incremental (layered) OPTIMIZE ZORDER --------------------------------
+
+
+@query(
+    "q_sql_zorder_inc",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS k, o_custkey AS ck,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    ), state AS (
+        SELECT k, ck, cents FROM base WHERE k % 4 <> 0
+        UNION ALL
+        SELECT k, ck, cents + 3 FROM base WHERE k % 4 = 0
+    )
+    SELECT k, ck, cents FROM state
+    WHERE ck BETWEEN 10 AND 25 OR k BETWEEN 100 AND 200
+    """,
+)
+def q_sql_zorder_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # LAY1d: `OPTIMIZE t INCREMENTAL` — the liquid-clustering
+    # maintenance shape: after a full ZORDER, an appended layer is
+    # reclustered into its OWN z-layer while every previously-clustered
+    # file RELINKS byte-identical (asserted on inodes and on the
+    # files_relinked/files_reclustered counters) — maintenance cost
+    # tracks NEW data, not table size. The oracle recomputes the final
+    # state: a recluster that lost/duplicated rows in either layer
+    # hash-fails.
+    import shutil
+
+    from ..plans.lakehouse_sql import LakehouseSqlCatalog
+    from ..sinks.manifest import CommitLog
+    from ..sinks.merge import MergeSink
+
+    base = Catalog(spark, sf_dir).orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("ck"),
+        fixed_cents(F.col("o_totalprice")).alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="phe_sql_zorder_inc_")
+    path = os.path.join(root, "t")
+    MergeSink(path, key="k").init(
+        base.filter(F.col("k") % 4 != 0).repartition(8)
+    )
+    cat = LakehouseSqlCatalog(spark)
+    cat.register_cow("zi_t", path, key="k")
+    cat.sql("OPTIMIZE zi_t ZORDER BY (k, ck)")  # v2, full
+    base.filter(F.col("k") % 4 == 0).withColumn(
+        "cents", F.col("cents") + 3
+    ).createOrReplaceTempView("zi_src")
+    cat.sql("INSERT INTO zi_t SELECT k, ck, cents FROM zi_src")  # v3
+    log = CommitLog(path)
+    v3 = os.path.join(path, "v3")
+    clustered_inodes = {
+        e["path"]: os.stat(os.path.join(v3, e["path"])).st_ino
+        for e in log.manifest(2)["files"]
+    }
+    s = cat.sql("OPTIMIZE zi_t INCREMENTAL").first()
+    assert s["operation"] == "optimize_incremental"
+    assert s["files_relinked"] == len(clustered_inodes), s
+    assert 0 < s["files_reclustered"] < len(clustered_inodes) + 2, s
+    vN = os.path.join(path, f"v{s['version']}")
+    for rel, ino in clustered_inodes.items():
+        assert os.stat(os.path.join(vN, rel)).st_ino == ino, rel
+    # a second INCREMENTAL with no new appends is a no-op
+    s2 = cat.sql("OPTIMIZE zi_t INCREMENTAL").first()
+    assert s2["files_reclustered"] == 0 and s2["version"] == s["version"]
+    out = cat.sql(
+        "SELECT k, ck, cents FROM zi_t WHERE ck BETWEEN 10 AND 25 "
+        "UNION ALL "
+        "SELECT k, ck, cents FROM zi_t "
+        "WHERE k BETWEEN 100 AND 200 AND NOT (ck BETWEEN 10 AND 25)"
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -1174,11 +1174,199 @@ class MergeSink:
             log = CommitLog(self.path)
             props = log.table_props()
             props["zorder_by"] = list(cols)
+            # every file of this version is clustered under the spec:
+            # the anchor incremental OPTIMIZE relinks from (LAY1d)
+            props["zorder_at"] = claim
             log.write_table_props(props)
             return claim
         raise RuntimeError(
             f"optimize_zorder lost the version race {max_retries} times "
             f"at {self.path}"
+        )
+
+    def optimize_zorder_incremental(
+        self,
+        spark: SparkSession,
+        cols: list[str] | None = None,
+        bits: int = 16,
+        max_retries: int = 20,
+    ) -> dict:
+        """``OPTIMIZE t [ZORDER BY (...)] INCREMENTAL`` (LAY1d) —
+        recluster ONLY the files appended since the last OPTIMIZE: the
+        previous clustered layers relink byte-identical (never decoded)
+        and the append layer since ``zorder_at`` range-partitions +
+        sorts into its OWN z-layer. Maintenance cost is proportional to
+        NEW data, not table size — at 100 TB a nightly incremental
+        OPTIMIZE reclusters the day's appends, not the table (the
+        liquid-clustering maintenance shape). Layers overlap in range
+        (per-file envelopes stay tight WITHIN each layer), so stats
+        skipping reads a few files per layer instead of one — a
+        periodic FULL ``optimize_zorder`` merges layers back to one.
+
+        Clustered-file identity needs no manifest format change:
+        relinked files keep their relative path, so "clustered" =
+        present in the ``zorder_at`` version's manifest. ``cols``
+        defaults to the stored spec and must match it (changing the
+        spec is a full recluster by definition). Returns
+        {version, files_relinked, files_reclustered}."""
+        import uuid as _uuid
+
+        from ..operators.layout import cluster_by_zorder, zorder_normalize
+        from .colmap import apply_events_df, events_upto
+        from .manifest import build_manifest
+        from .txn import inherit_pending
+
+        log = CommitLog(self.path)
+        props = log.table_props()
+        stored = props.get("zorder_by") or []
+        if isinstance(stored, str):
+            stored = [c.strip() for c in stored.split(",") if c.strip()]
+        cols = list(cols) if cols else list(stored)
+        if not cols:
+            raise ValueError(
+                "INCREMENTAL OPTIMIZE needs a ZORDER spec (stored "
+                "zorder_by or an explicit ZORDER BY clause)"
+            )
+        if stored and [c.lower() for c in cols] != [
+            c.lower() for c in stored
+        ]:
+            raise ValueError(
+                f"INCREMENTAL OPTIMIZE spec {cols} != stored {stored}: "
+                "changing the clustering spec is a full recluster "
+                "(run OPTIMIZE ... ZORDER BY)"
+            )
+        pby = self.partition_by or props.get("partition_by") or []
+        if isinstance(pby, str):
+            pby = [p.strip() for p in pby.split(",") if p.strip()]
+        bloom_on = self.bloom_on or props.get("bloom_on")
+        for _ in range(max_retries):
+            base, claim = _base_and_claim(self.path)
+            m = log.manifest(base)
+            data_rels = [
+                e["path"]
+                for e in m["files"]
+                if e.get("role", "data") == "data"
+            ]
+            zat = int(props.get("zorder_at") or 0)
+            clustered: set[str] = set()
+            if 0 < zat <= base:
+                try:
+                    clustered = {
+                        e["path"]
+                        for e in log.manifest(zat)["files"]
+                        if e.get("role", "data") == "data"
+                    } & set(data_rels)
+                except FileNotFoundError:
+                    pass  # anchor vacuumed: recluster everything
+            work = [r for r in data_rels if r not in clustered]
+            if not work:
+                return {
+                    "version": base,
+                    "files_relinked": len(clustered),
+                    "files_reclustered": 0,
+                }
+            vdir = os.path.join(self.path, f"v{base}")
+            reader = spark.read
+            if props.get("schema_ddl"):
+                reader = reader.option("mergeSchema", "true")
+            state = reader.option("basePath", vdir).parquet(
+                *sorted(os.path.join(vdir, r) for r in work)
+            )
+            state = apply_events_df(state, events_upto(props, base))
+            by_lower = {c.lower(): c for c in state.columns}
+            missing = [c for c in cols if c.lower() not in by_lower]
+            if missing:
+                raise ValueError(
+                    f"ZORDER BY columns {missing} not in table "
+                    f"({state.columns})"
+                )
+            rcols = [by_lower[c.lower()] for c in cols]
+            state, dims = zorder_normalize(state, rcols, bits)
+            layer = cluster_by_zorder(
+                state, dims, bits, num_partitions=max(len(work), 1)
+            ).drop(*[d for d in dims if d.startswith("__zn_")])
+            stage = os.path.join(
+                self.path, f".stage-zinc-{_uuid.uuid4().hex}"
+            )
+            try:
+                w = layer.write.mode("errorifexists")
+                if pby:
+                    w = w.partitionBy(*pby)
+                w.parquet(os.path.join(stage, "new"))
+                workdir = os.path.join(
+                    self.path, f".stage-zincpub-{_uuid.uuid4().hex}"
+                )
+                os.makedirs(workdir)
+                try:
+                    for rel in sorted(clustered):
+                        dst = os.path.join(workdir, rel)
+                        os.makedirs(os.path.dirname(dst), exist_ok=True)
+                        os.link(os.path.join(vdir, rel), dst)
+                    srcdir = os.path.join(stage, "new")
+                    for root_, dirs, files in os.walk(srcdir):
+                        dirs[:] = [
+                            d
+                            for d in dirs
+                            if not d.startswith(("_", "."))
+                        ]
+                        for fn in files:
+                            if not fn.endswith(".parquet"):
+                                continue
+                            rel_dir = os.path.relpath(root_, srcdir)
+                            ddir = (
+                                workdir
+                                if rel_dir == "."
+                                else os.path.join(workdir, rel_dir)
+                            )
+                            os.makedirs(ddir, exist_ok=True)
+                            os.link(
+                                os.path.join(root_, fn),
+                                os.path.join(
+                                    ddir,
+                                    f"zinc-{_uuid.uuid4().hex[:8]}-{fn}",
+                                ),
+                            )
+                    with open(
+                        os.path.join(workdir, "_SUCCESS"), "w"
+                    ) as fh:
+                        fh.write("")
+                    manifest = build_manifest(
+                        claim, workdir, bloom_on=bloom_on
+                    )
+                    inherited = inherit_pending(log, claim)
+                    if inherited:
+                        manifest["txn_inherited"] = inherited
+                except BaseException:
+                    shutil.rmtree(workdir, ignore_errors=True)
+                    raise
+                try:
+                    os.rename(
+                        workdir, os.path.join(self.path, f"v{claim}")
+                    )
+                except OSError as exc:
+                    import errno
+
+                    shutil.rmtree(workdir, ignore_errors=True)
+                    if exc.errno in (errno.EEXIST, errno.ENOTEMPTY):
+                        _heal_claim(self.path, claim)
+                        props = log.table_props()
+                        continue  # lost the race: resplit vs new base
+                    raise
+                log.publish(manifest)
+                props = log.table_props()
+                props["zorder_by"] = list(rcols)
+                props["zorder_at"] = claim
+                log.write_table_props(props)
+                return {
+                    "version": claim,
+                    "files_relinked": len(clustered),
+                    "files_reclustered": len(work),
+                }
+            finally:
+                shutil.rmtree(stage, ignore_errors=True)
+        raise RuntimeError(
+            f"incremental optimize lost the version race {max_retries} "
+            f"times at {self.path}"
         )
 
     def clone_to(

@@ -647,3 +647,49 @@ def test_heal_transactions_sql(spark, tmp_path, monkeypatch):
     assert _keys(spark, path) == list(range(5)) + [50]
     # idempotent + empty-coordinator safe
     assert fresh.sql("HEAL TRANSACTIONS").count() == 0
+
+
+def test_incremental_zorder_layers_prune_and_relink(spark, tmp_path):
+    """LAY1d: after full ZORDER + append + INCREMENTAL, (a) clustered
+    files relink byte-identical, (b) BOTH layers' envelopes prune a key
+    range probe, (c) a spec change is refused, (d) content intact."""
+    from pretalx_hub_etl_spark.plans.lakehouse_sql import (
+        LakehouseSqlCatalog,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(4096).selectExpr(
+        "id AS a", "pmod(id * 2654435761, 4096) AS b", "id AS v"
+    )
+    sink = MergeSink(path, key="a")
+    sink.init(df.repartition(8))
+    cat = LakehouseSqlCatalog(spark)
+    cat.register_cow("zi", path, key="a")
+    cat.sql("OPTIMIZE zi ZORDER BY (a, b)")  # v2 full
+    assert CommitLog(path).table_props()["zorder_at"] == 2
+    # scattered append layer
+    spark.range(4096, 8192).selectExpr(
+        "id AS a", "pmod(id * 2654435761, 4096) AS b", "id AS v"
+    ).repartition(4).createOrReplaceTempView("zi_more")
+    cat.sql("INSERT INTO zi SELECT a, b, v FROM zi_more")  # v3
+    s = cat.sql("OPTIMIZE zi INCREMENTAL").first()
+    assert s["files_reclustered"] >= 1 and s["files_relinked"] >= 1
+    assert CommitLog(path).table_props()["zorder_at"] == s["version"]
+    # pruning: a tight a-range touches few files across BOTH layers
+    _d, scanned, skipped = sink.read_where(
+        spark, [("a", 0, 255)], version=s["version"]
+    )
+    assert skipped > scanned  # most files skip after layering
+    # content intact
+    assert sink.read(spark).count() == 8192
+    got = sink.read(spark).agg(F.sum("v").alias("s")).first()["s"]
+    assert got == sum(range(8192))
+    # spec change refused on the incremental path
+    with pytest.raises(ValueError, match="full recluster"):
+        cat.sql("OPTIMIZE zi ZORDER BY (b) INCREMENTAL")
+    # vacuumed anchor: falls back to a FULL recluster, not an error
+    MergeSink(path, key="a").vacuum(keep_last=1)
+    cat.sql("INSERT INTO zi VALUES (9000, 1, 1)")
+    s3 = cat.sql("OPTIMIZE zi INCREMENTAL").first()
+    assert s3["files_reclustered"] >= 1
+    assert sink.read(spark).count() == 8193

@@ -255,6 +255,10 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
         ("LAY1c", "OPTIMIZE ZORDER on MoR tables: compact-then-cluster "
          "checkpoint, persisted spec, post-compaction key-range skipping",
          ["q_sql_zorder_mor"]),
+        ("LAY1d", "incremental (layered) OPTIMIZE: recluster only the "
+         "append layer since the last OPTIMIZE, prior layers relink "
+         "byte-identical — maintenance cost tracks new data",
+         ["q_sql_zorder_inc"]),
     ]),
     ("2.6 Sorts / limits", [
         ("O1", "multi-key sort", ["q_sort_multi_key"]),

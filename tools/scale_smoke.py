@@ -157,6 +157,7 @@ QUERIES = [
     "q_sink_replace_where",
     "q_sql_defaults",
     "q_sql_zorder_mor",
+    "q_sql_zorder_inc",
 ]
 
 # inherently super-linear OUTPUT at fixed parameters (not a plan defect)
@@ -181,6 +182,7 @@ WORKLOAD_NOTES = {
     "q_sink_replace_where": _ORDERS_FIXTURE_NOTE,
     "q_sql_defaults": _ORDERS_FIXTURE_NOTE,
     "q_sql_zorder_mor": _ORDERS_FIXTURE_NOTE,
+    "q_sql_zorder_inc": _ORDERS_FIXTURE_NOTE,
     "q_spatial_pairs": "output grows ~density^2 at fixed radius "
     "(verified: 10x input -> 100.6x output pairs) — an output-linear plan "
     "necessarily shows exponent ~2 here",

@@ -132,6 +132,7 @@ HEADLINE = [
     "q_sql_defaults",       # DEFAULT fill + identity assignment (2 inserts)
     "q_sql_zorder_mor",     # MoR compact-then-cluster + pruned reads
     "q_sql_zorder_inc",     # incremental layered recluster (relinks)
+    "q_sql_optimize_where", # predicate-scoped compact (stats split)
 ]
 
 

@@ -100,6 +100,11 @@ _OPTIMIZE_Z_RE = re.compile(
     r"^\s*OPTIMIZE\s+([A-Za-z_]\w*)\s+ZORDER\s+BY\s*\(([^)]+)\)\s*$",
     re.IGNORECASE,
 )
+_OPTIMIZE_WHERE_RE = re.compile(
+    r"^\s*OPTIMIZE\s+([A-Za-z_]\w*)"
+    r"(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s+WHERE\s+(.+?)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _OPTIMIZE_INC_RE = re.compile(
     r"^\s*OPTIMIZE\s+([A-Za-z_]\w*)"
     r"(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s+INCREMENTAL\s*$",
@@ -774,15 +779,27 @@ class LakehouseSqlCatalog:
             if f.name.lower() not in have
             and f.name.lower() not in later_names
         ]
-        if not missing:
-            return df
-        return df.select(
-            "*",
-            *[
-                F.lit(None).cast(f.dataType).alias(f.name)
-                for f in missing
-            ],
-        )
+        if missing:
+            df = df.select(
+                "*",
+                *[
+                    F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in missing
+                ],
+            )
+        # serve the DECLARED order (extras from evolution append last):
+        # positional INSERT binding and SELECT * follow the declaration,
+        # not the scan's partition-columns-last order
+        have2 = {c.lower(): c for c in df.columns}
+        decl = [
+            have2[f.name.lower()]
+            for f in StructType.fromDDL(ddl).fields
+            if f.name.lower() in have2
+        ]
+        sel = decl + [c for c in df.columns if c not in decl]
+        if sel != list(df.columns):
+            df = df.select(*sel)
+        return df
 
     def _frame(self, name: str, version: int | None) -> DataFrame:
         kind, path, key = self._tables[name]
@@ -2066,6 +2083,46 @@ class LakehouseSqlCatalog:
         return self._summary("vacuum", name, self._current_version(name))
 
     def _try_optimize(self, query: str) -> DataFrame | None:
+        mw = _OPTIMIZE_WHERE_RE.match(query)
+        if mw is not None:
+            # predicate-scoped maintenance: rewrite (compact or
+            # z-cluster) ONLY the files whose stats intersect the
+            # condition; everything else relinks byte-identical. The
+            # predicate scopes FILES, never rows (see
+            # MergeSink.optimize_where).
+            name = mw.group(1)
+            cols = (
+                [c.strip() for c in mw.group(2).split(",") if c.strip()]
+                if mw.group(2)
+                else None
+            )
+            cond = mw.group(3).strip()
+            kind, path, key = self._require(name)
+            if kind != "cow":
+                raise ValueError(
+                    "OPTIMIZE ... WHERE targets CoW tables (a MoR "
+                    "chain compacts as a whole)"
+                )
+            from ..sinks.merge import MergeSink
+
+            stats = MergeSink(path, key=key or "_").optimize_where(
+                self.spark, cond, cols=cols
+            )
+            return self.spark.createDataFrame(
+                [
+                    (
+                        "optimize_where",
+                        name,
+                        stats["version"],
+                        stats["files_relinked"],
+                        stats["files_rewritten"],
+                        stats["files_out"],
+                    )
+                ],
+                "operation string, table string, version int, "
+                "files_relinked int, files_rewritten int, "
+                "files_out int",
+            )
         mi = _OPTIMIZE_INC_RE.match(query)
         if mi is not None:
             # LAY1d: `OPTIMIZE t [ZORDER BY (...)] INCREMENTAL` —

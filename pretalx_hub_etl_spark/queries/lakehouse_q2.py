@@ -1810,3 +1810,81 @@ def q_sql_zorder_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# --- LAY3: predicate-scoped OPTIMIZE (OPTIMIZE ... WHERE) -----------------------
+
+
+@query(
+    "q_sql_optimize_where",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS k, o_custkey % 6 AS p,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT k, p, cents FROM base
+    UNION ALL
+    SELECT k + 200000, p, cents + 1 FROM base WHERE p = 2 AND k % 7 = 1
+    UNION ALL
+    SELECT k + 400000, p, cents + 2 FROM base WHERE p = 2 AND k % 7 = 2
+    """,
+)
+def q_sql_optimize_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # LAY3: `OPTIMIZE t WHERE p = 2` — predicate-scoped maintenance:
+    # after two small INSERTs land in partition p=2, the statement
+    # compacts ONLY the files whose stats intersect the predicate
+    # (asserted: fewer files out than in) while every other partition's
+    # files RELINK byte-identical (inode-asserted). The predicate
+    # scopes FILES, never rows — the oracle recomputes the full state:
+    # a compaction that dropped/duplicated a row in either region
+    # hash-fails. At 100 TB this is "compact yesterday's streamed
+    # small files, relink ten years of history".
+    import shutil
+
+    from ..plans.lakehouse_sql import LakehouseSqlCatalog
+    from ..sinks.manifest import CommitLog
+    from ..sinks.merge import MergeSink
+
+    base = Catalog(spark, sf_dir).orders.select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_custkey") % 6).alias("p"),
+        fixed_cents(F.col("o_totalprice")).alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="phe_sql_optwhere_")
+    path = os.path.join(root, "t")
+    MergeSink(path, key="k", partition_by=["p"]).init(base)
+    cat = LakehouseSqlCatalog(spark)
+    cat.register_path("ow_t", path)
+    base.createOrReplaceTempView("ow_src")
+    cat.sql(
+        "INSERT INTO ow_t SELECT k + 200000, p, cents + 1 FROM ow_src "
+        "WHERE p = 2 AND k % 7 = 1"
+    )
+    cat.sql(
+        "INSERT INTO ow_t SELECT k + 400000, p, cents + 2 FROM ow_src "
+        "WHERE p = 2 AND k % 7 = 2"
+    )
+    log = CommitLog(path)
+    head = log.current_version()
+    vdir = os.path.join(path, f"v{head}")
+    untouched = {
+        e["path"]: os.stat(os.path.join(vdir, e["path"])).st_ino
+        for e in log.manifest(head)["files"]
+        if not e["path"].startswith("p=2/")
+        and e.get("role", "data") == "data"
+    }
+    s = cat.sql("OPTIMIZE ow_t WHERE p = 2").first()
+    assert s["operation"] == "optimize_where"
+    assert s["files_rewritten"] >= 3, s  # init file + 2 insert files
+    assert s["files_out"] < s["files_rewritten"], s  # actually compacts
+    assert s["files_relinked"] == len(untouched), s
+    vN = os.path.join(path, f"v{s['version']}")
+    for rel, ino in untouched.items():
+        assert os.stat(os.path.join(vN, rel)).st_ino == ino, rel
+    out = (
+        cat.sql("SELECT k, CAST(p AS BIGINT) AS p, cents FROM ow_t")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out

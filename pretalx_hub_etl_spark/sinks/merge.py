@@ -416,9 +416,34 @@ class MergeSink:
         from .colmap import apply_events_df, events_upto
 
         evs = events_upto(props, version)
+        # DECLARED column order: Spark appends hive partition columns
+        # LAST in scan order, so without this a partitioned table's
+        # SELECT * (and worse, positional INSERT binding) would follow
+        # the scan, not the declaration — a positional INSERT INTO
+        # t(k, p, v) VALUES (...) silently bound v's value to p.
+        # schema_ddl (kept current by every ALTER) wins; column_order
+        # is the creation-time record init() stores for DDL-less
+        # tables. Extra physical columns (evolution) append after.
+        order: list[str] | None = None
+        ddl = props.get("schema_ddl")
+        if ddl:
+            from pyspark.sql.types import StructType as _ST
+
+            order = [f.name for f in _ST.fromDDL(ddl).fields]
+        elif props.get("column_order"):
+            order = list(props["column_order"])
 
         def _mapped(df: DataFrame) -> DataFrame:
-            return apply_events_df(df, evs) if evs else df
+            df = apply_events_df(df, evs) if evs else df
+            if order:
+                have = {c.lower(): c for c in df.columns}
+                decl = [
+                    have[c.lower()] for c in order if c.lower() in have
+                ]
+                sel = decl + [c for c in df.columns if c not in decl]
+                if sel != list(df.columns):
+                    df = df.select(*sel)
+            return df
 
         if not files:
             if prune is not None:
@@ -965,6 +990,10 @@ class MergeSink:
         log = CommitLog(self.path)
         props = log.table_props()  # CREATE TABLE may have written one
         props["kind"] = "cow"
+        # creation-time column order: what lets partitioned-table reads
+        # (and positional INSERT binding) serve the DECLARED order even
+        # though Spark's scan appends partition columns last
+        props.setdefault("column_order", list(df.columns))
         # never persist the keyless placeholder "_" as a real merge key
         # (register_path would serve it as a DML routing key)
         if self.key and self.key != "_":
@@ -1367,6 +1396,202 @@ class MergeSink:
         raise RuntimeError(
             f"incremental optimize lost the version race {max_retries} "
             f"times at {self.path}"
+        )
+
+    def optimize_where(
+        self,
+        spark: SparkSession,
+        condition: str,
+        cols: list[str] | None = None,
+        bits: int = 16,
+        target_bytes: int = 128 * 1024 * 1024,
+        max_retries: int = 20,
+    ) -> dict:
+        """``OPTIMIZE t [ZORDER BY (...)] WHERE <cond>`` — PREDICATE-
+        SCOPED maintenance (the Delta ``OPTIMIZE ... WHERE`` shape):
+        only the files whose manifest stats INTERSECT the condition's
+        conjunct ranges are rewritten (compacted to ~``target_bytes``
+        output files, or z-clustered when a spec is given / stored);
+        every provably-disjoint file relinks byte-identical. Content is
+        NEVER filtered — the predicate scopes WHICH FILES are
+        maintained, not which rows survive (contrast replace_where).
+        At 100 TB, `OPTIMIZE t WHERE day = yesterday` compacts one
+        day's small streamed files and relinks the other 10 years.
+        Returns {version, files_relinked, files_rewritten,
+        files_out}."""
+        import math
+        import uuid as _uuid
+
+        from ..operators.layout import cluster_by_zorder, zorder_normalize
+        from ..plans.prune_sql import extract_prunes
+        from .colmap import (
+            apply_events_df,
+            events_upto,
+            prior_physical_names,
+        )
+        from .manifest import build_manifest
+        from .txn import inherit_pending
+
+        log = CommitLog(self.path)
+        props = log.table_props()
+        spec = list(cols) if cols else list(
+            props.get("zorder_by") or []
+        )
+        pby = self.partition_by or props.get("partition_by") or []
+        if isinstance(pby, str):
+            pby = [p.strip() for p in pby.split(",") if p.strip()]
+        bloom_on = self.bloom_on or props.get("bloom_on")
+        for _ in range(max_retries):
+            base, claim = _base_and_claim(self.path)
+            m = log.manifest(base)
+            vdir = os.path.join(self.path, f"v{base}")
+            stat_cols: set[str] = set()
+            for ent in m["files"]:
+                stat_cols.update(ent.get("columns", {}))
+            conjs = extract_prunes(
+                f"SELECT * FROM __ow__ WHERE {condition}",
+                "__ow__",
+                stat_cols
+                | {
+                    e["new"]
+                    for e in events_upto(props, None)
+                    if e["op"] == "rename"
+                },
+            )
+            for c, lo, hi in list(conjs):
+                for oldn in prior_physical_names(props, c):
+                    conjs.append((oldn, lo, hi))
+            rewrite_abs, _skip = log.files_for(base, prune=conjs or None)
+            rewrite_rels = {
+                os.path.relpath(p, vdir) for p in rewrite_abs
+            }
+            all_ents = [
+                e
+                for e in m["files"]
+                if e.get("role", "data") == "data"
+            ]
+            relink_rels = [
+                e["path"]
+                for e in all_ents
+                if e["path"] not in rewrite_rels
+            ]
+            if not rewrite_rels:
+                return {
+                    "version": base,
+                    "files_relinked": len(relink_rels),
+                    "files_rewritten": 0,
+                    "files_out": 0,
+                }
+            reader = spark.read
+            if props.get("schema_ddl"):
+                reader = reader.option("mergeSchema", "true")
+            state = reader.option("basePath", vdir).parquet(
+                *sorted(os.path.join(vdir, r) for r in rewrite_rels)
+            )
+            state = apply_events_df(state, events_upto(props, base))
+            rw_bytes = sum(
+                e.get("bytes", 0)
+                for e in all_ents
+                if e["path"] in rewrite_rels
+            )
+            n_out = max(1, math.ceil(rw_bytes / max(target_bytes, 1)))
+            if spec:
+                by_lower = {c.lower(): c for c in state.columns}
+                missing = [
+                    c for c in spec if c.lower() not in by_lower
+                ]
+                if missing:
+                    raise ValueError(
+                        f"ZORDER BY columns {missing} not in table "
+                        f"({state.columns})"
+                    )
+                rcols = [by_lower[c.lower()] for c in spec]
+                state, dims = zorder_normalize(state, rcols, bits)
+                out_frame = cluster_by_zorder(
+                    state, dims, bits, num_partitions=n_out
+                ).drop(*[d for d in dims if d.startswith("__zn_")])
+            else:
+                out_frame = state.coalesce(n_out)
+            stage = os.path.join(
+                self.path, f".stage-ow-{_uuid.uuid4().hex}"
+            )
+            try:
+                w = out_frame.write.mode("errorifexists")
+                if pby:
+                    w = w.partitionBy(*pby)
+                w.parquet(os.path.join(stage, "new"))
+                workdir = os.path.join(
+                    self.path, f".stage-owpub-{_uuid.uuid4().hex}"
+                )
+                os.makedirs(workdir)
+                n_files_out = 0
+                try:
+                    for rel in relink_rels:
+                        dst = os.path.join(workdir, rel)
+                        os.makedirs(os.path.dirname(dst), exist_ok=True)
+                        os.link(os.path.join(vdir, rel), dst)
+                    srcdir = os.path.join(stage, "new")
+                    for root_, dirs, files in os.walk(srcdir):
+                        dirs[:] = [
+                            d
+                            for d in dirs
+                            if not d.startswith(("_", "."))
+                        ]
+                        for fn in files:
+                            if not fn.endswith(".parquet"):
+                                continue
+                            n_files_out += 1
+                            rel_dir = os.path.relpath(root_, srcdir)
+                            ddir = (
+                                workdir
+                                if rel_dir == "."
+                                else os.path.join(workdir, rel_dir)
+                            )
+                            os.makedirs(ddir, exist_ok=True)
+                            os.link(
+                                os.path.join(root_, fn),
+                                os.path.join(
+                                    ddir,
+                                    f"ow-{_uuid.uuid4().hex[:8]}-{fn}",
+                                ),
+                            )
+                    with open(
+                        os.path.join(workdir, "_SUCCESS"), "w"
+                    ) as fh:
+                        fh.write("")
+                    manifest = build_manifest(
+                        claim, workdir, bloom_on=bloom_on
+                    )
+                    inherited = inherit_pending(log, claim)
+                    if inherited:
+                        manifest["txn_inherited"] = inherited
+                except BaseException:
+                    shutil.rmtree(workdir, ignore_errors=True)
+                    raise
+                try:
+                    os.rename(
+                        workdir, os.path.join(self.path, f"v{claim}")
+                    )
+                except OSError as exc:
+                    import errno
+
+                    shutil.rmtree(workdir, ignore_errors=True)
+                    if exc.errno in (errno.EEXIST, errno.ENOTEMPTY):
+                        _heal_claim(self.path, claim)
+                        continue  # lost the race: resplit vs new base
+                    raise
+                log.publish(manifest)
+                return {
+                    "version": claim,
+                    "files_relinked": len(relink_rels),
+                    "files_rewritten": len(rewrite_rels),
+                    "files_out": n_files_out,
+                }
+            finally:
+                shutil.rmtree(stage, ignore_errors=True)
+        raise RuntimeError(
+            f"optimize_where lost the version race {max_retries} times "
+            f"at {self.path}"
         )
 
     def clone_to(

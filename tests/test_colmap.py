@@ -119,7 +119,13 @@ def test_protected_and_referenced_columns_block(spark, tmp_path):
     props = CommitLog(path).table_props()
     assert "generated.d" not in props
     cat.sql("INSERT INTO pr_t VALUES (2, 1, 200)")
-    assert cat.sql("SELECT count(*) AS n FROM pr_t").first()["n"] == 2
+    got = {
+        r["k"]: (r["p"], r["v"])
+        for r in cat.sql("SELECT k, p, v FROM pr_t").collect()
+    }
+    # value-level assert: the positional VALUES row binds (k, p, v) in
+    # DECLARED order, not the scan's partition-column-last order
+    assert got == {1: (1, 100), 2: (1, 200)}, got
 
 
 def test_notnull_follows_rename(spark, tmp_path):
@@ -281,3 +287,47 @@ def test_version_diff_across_rename_and_add(spark, tmp_path):
         "SELECT count(*) AS n FROM table_changes('vd_t', 1)"
     ).first()["n"]
     assert n == 1
+
+
+def test_partitioned_positional_insert_binds_declared_order(
+    spark, tmp_path
+):
+    """Spark scans hive-partitioned tables with partition columns LAST;
+    positional INSERT binding must follow the DECLARED order (k, p, v),
+    or a VALUES row silently writes v's value into p (observed: the
+    payload's cents landed in the partition column)."""
+    path = str(tmp_path / "t")
+    cat = _cat(spark, tmp_path)
+    # DDL table (schema_ddl ordering)
+    cat.sql(
+        f"CREATE TABLE po_t (k BIGINT, p BIGINT, v BIGINT) USING "
+        f"lakehouse LOCATION '{path}' TBLPROPERTIES (merge_key='k', "
+        f"partition_by='p')"
+    )
+    cat.sql("INSERT INTO po_t VALUES (1, 1, 100)")  # first commit
+    cat.sql("INSERT INTO po_t VALUES (2, 2, 200)")  # committed table
+    cat.sql("INSERT INTO po_t SELECT k + 10, p, v + 1 FROM po_t WHERE k = 1")
+    rows = {
+        r["k"]: (r["p"], r["v"])
+        for r in cat.sql("SELECT k, p, v FROM po_t").collect()
+    }
+    assert rows == {1: (1, 100), 2: (2, 200), 11: (1, 101)}, rows
+    # SELECT * serves the declared order, not partition-cols-last
+    assert cat.sql("SELECT * FROM po_t").columns == ["k", "p", "v"]
+    # init-created table (column_order prop, no schema_ddl)
+    path2 = str(tmp_path / "t2")
+    MergeSink(path2, key="k", partition_by=["p"]).init(
+        spark.createDataFrame([(1, 1, 100)], "k long, p long, v long")
+    )
+    cat.register_path("po_t2", path2)
+    cat.sql("INSERT INTO po_t2 VALUES (2, 2, 200)")
+    rows2 = {
+        r["k"]: (r["p"], r["v"])
+        for r in cat.sql("SELECT k, p, v FROM po_t2").collect()
+    }
+    assert rows2 == {1: (1, 100), 2: (2, 200)}, rows2
+    assert MergeSink(path2, key="k").read(spark).columns == [
+        "k",
+        "p",
+        "v",
+    ]

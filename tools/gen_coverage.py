@@ -259,6 +259,10 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          "append layer since the last OPTIMIZE, prior layers relink "
          "byte-identical — maintenance cost tracks new data",
          ["q_sql_zorder_inc"]),
+        ("LAY3", "predicate-scoped OPTIMIZE ... WHERE: stats-split "
+         "rewrite of only the matching files (compact or z-cluster), "
+         "disjoint files relink byte-identical; files, never rows",
+         ["q_sql_optimize_where"]),
     ]),
     ("2.6 Sorts / limits", [
         ("O1", "multi-key sort", ["q_sort_multi_key"]),

@@ -158,6 +158,7 @@ QUERIES = [
     "q_sql_defaults",
     "q_sql_zorder_mor",
     "q_sql_zorder_inc",
+    "q_sql_optimize_where",
 ]
 
 # inherently super-linear OUTPUT at fixed parameters (not a plan defect)
@@ -183,6 +184,7 @@ WORKLOAD_NOTES = {
     "q_sql_defaults": _ORDERS_FIXTURE_NOTE,
     "q_sql_zorder_mor": _ORDERS_FIXTURE_NOTE,
     "q_sql_zorder_inc": _ORDERS_FIXTURE_NOTE,
+    "q_sql_optimize_where": _ORDERS_FIXTURE_NOTE,
     "q_spatial_pairs": "output grows ~density^2 at fixed radius "
     "(verified: 10x input -> 100.6x output pairs) — an output-linear plan "
     "necessarily shows exponent ~2 here",

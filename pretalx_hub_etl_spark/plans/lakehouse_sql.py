@@ -3161,7 +3161,10 @@ class LakehouseSqlCatalog:
         tprops = {
             k: v
             for k, v in sorted(props.items())
-            if k != "schema_ddl"
+            # schema_ddl is the col defs; column_order/zorder_at are
+            # internal engine records (creation order, incremental
+            # anchor) the re-executed statement re-derives
+            if k not in ("schema_ddl", "column_order", "zorder_at")
             and not k.startswith(skip_prefixes)
             and v is not None
         }

@@ -992,8 +992,11 @@ class MergeSink:
         props["kind"] = "cow"
         # creation-time column order: what lets partitioned-table reads
         # (and positional INSERT binding) serve the DECLARED order even
-        # though Spark's scan appends partition columns last
-        props.setdefault("column_order", list(df.columns))
+        # though Spark's scan appends partition columns last. Redundant
+        # (and never stored) when a DDL declaration already orders the
+        # schema; internal either way — SHOW CREATE TABLE omits it.
+        if not props.get("schema_ddl"):
+            props.setdefault("column_order", list(df.columns))
         # never persist the keyless placeholder "_" as a real merge key
         # (register_path would serve it as a DML routing key)
         if self.key and self.key != "_":

@@ -835,6 +835,16 @@ class LakehouseSqlCatalog:
             r = self.spark.read.format("lakehouse").option("path", path)
             if version is not None:
                 r = r.option("version", str(version))
+            # read-your-own-writes fence: the DataSource resolves the
+            # version in a SEPARATE Python worker process — pass the
+            # highest version THIS process witnessed committed so a
+            # lagging filesystem view retries (then raises with
+            # diagnostics) instead of silently serving a stale snapshot
+            from ..sinks.manifest import committed_floor as _floor46
+
+            fl = _floor46(path)
+            if fl > 0:
+                r = r.option("min_version", str(fl))
             # resolve the schema DRIVER-side (one manifest + one parquet
             # footer) and pass it explicitly: without it Spark spins up
             # a Python worker just to call DataSource.schema() on every
@@ -3161,10 +3171,15 @@ class LakehouseSqlCatalog:
         tprops = {
             k: v
             for k, v in sorted(props.items())
-            # schema_ddl is the col defs; column_order/zorder_at are
-            # internal engine records (creation order, incremental
-            # anchor) the re-executed statement re-derives
-            if k not in ("schema_ddl", "column_order", "zorder_at")
+            # schema_ddl is the col defs; column_order/zorder_at/
+            # column_events are internal engine records (creation
+            # order, incremental anchor, rename/drop mapping history)
+            # the re-executed statement re-derives — column_events
+            # especially: a list of dicts that _quote_prop would
+            # flatten to str(dict) text, storing a STRING the colmap
+            # reader then iterates character-by-character
+            if k not in ("schema_ddl", "column_order", "zorder_at",
+                         "column_events")
             and not k.startswith(skip_prefixes)
             and v is not None
         }

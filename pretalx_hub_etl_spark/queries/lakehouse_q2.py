@@ -25,6 +25,51 @@ from ..catalog import Catalog
 from ..functions.core import fixed_cents
 from . import query
 
+
+def _ryow_diag(tag: str, path: str, detail: str) -> None:
+    """At-failure evidence capture for the driver-red pair (RACE_r14's
+    promised diagnostics): dump the table's ``_manifest/`` listing, the
+    ``_latest`` hint, every published manifest, and the table props to
+    a side artifact next to the repo root, then raise — turning a
+    silent hash-red (a read that served a snapshot below a completed
+    commit) into a loud error naming the mechanism."""
+    import json
+    import time
+
+    mdir = os.path.join(path, "_manifest")
+    diag: dict = {"tag": tag, "path": path, "detail": detail,
+                  "wall_ms": int(time.time() * 1000)}
+    try:
+        diag["listing"] = sorted(os.listdir(mdir))
+    except OSError as exc:
+        diag["listing"] = f"<listdir failed: {exc}>"
+    try:
+        with open(os.path.join(mdir, "_latest")) as fh:
+            diag["latest_hint"] = fh.read().strip()
+    except OSError as exc:
+        diag["latest_hint"] = f"<{exc}>"
+    diag["manifests"] = {}
+    for n in diag.get("listing") or []:
+        if isinstance(n, str) and n.endswith(".json"):
+            try:
+                with open(os.path.join(mdir, n)) as fh:
+                    diag["manifests"][n] = json.load(fh)
+            except (OSError, ValueError) as exc:
+                diag["manifests"][n] = f"<{exc}>"
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    out = os.path.join(repo, f"RYOW_DIAG_{tag}.json")
+    try:
+        with open(out, "w") as fh:
+            json.dump(diag, fh, indent=1, default=str)
+    except OSError:
+        out = "<unwritable>"
+    raise RuntimeError(
+        f"{tag}: read served a snapshot inconsistent with the "
+        f"just-completed commit ({detail}); evidence dumped to {out}"
+    )
+
 # --- S28: SQL MERGE INTO (CoW routing, full clause surface) ------------------
 
 
@@ -980,6 +1025,23 @@ def q_sql_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat.sql(f"INSERT INTO view_t VALUES ({mk} + 1, 7, 123456)")
     fresh = LakehouseSqlCatalog(spark, warehouse=wh)  # new session
     assert fresh.sql("SHOW VIEWS").count() == 2
+    # read-your-own-writes probe (RACE_r14's promised diagnostics):
+    # the row committed above MUST be visible through the fresh
+    # catalog's read path — a stale snapshot here is exactly the
+    # r13/r14 driver hash-red; capture evidence instead of hashing red
+    seen = fresh.sql(
+        f"SELECT count(*) AS c FROM view_t WHERE k = {mk} + 1"
+    ).first()[0]
+    if seen != 1:
+        from ..sinks.manifest import CommitLog as _CLd
+
+        _ryow_diag(
+            "q_sql_view",
+            path,
+            f"inserted key {mk + 1} matched {seen} rows through the "
+            f"fresh-catalog read (main-process current_version="
+            f"{_CLd(path).current_version()})",
+        )
     out = fresh.sql("SELECT ck, n, total FROM v_agg").localCheckpoint(
         eager=True
     )
@@ -1415,7 +1477,29 @@ def q_sql_alter_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cat.sql("INSERT INTO altcol_t SELECT k, ck, cents FROM altcol_src")
     cat.sql("ALTER TABLE altcol_t RENAME COLUMN cents TO amount")
+    # pre-UPDATE witness for the read-your-own-writes probe below
+    pre = cat.sql(
+        "SELECT sum(amount) AS s, count(*) AS n10 FROM altcol_t "
+        "WHERE k % 10 = 0"
+    ).first()
     cat.sql("UPDATE altcol_t SET amount = amount + 7 WHERE k % 10 = 0")
+    # RYOW probe (RACE_r14's promised diagnostics): the UPDATE's exact
+    # arithmetic must be visible through the catalog read — a stale
+    # snapshot (old amounts, same row count) is exactly the r14 driver
+    # hash-red shape; capture evidence instead of hashing red
+    post = cat.sql(
+        "SELECT sum(amount) AS s FROM altcol_t WHERE k % 10 = 0"
+    ).first()[0]
+    if post != pre[0] + 7 * pre[1]:
+        from ..sinks.manifest import CommitLog as _CLd
+
+        _ryow_diag(
+            "q_sql_alter_columns",
+            path,
+            f"sum(amount|k%10=0) = {post}, expected {pre[0]} + 7*"
+            f"{pre[1]} = {pre[0] + 7 * pre[1]} (main-process "
+            f"current_version={_CLd(path).current_version()})",
+        )
     cat.sql("ALTER TABLE altcol_t DROP COLUMN ck")
     # time travel below the anchors: the ORIGINAL column set
     old = cat.sql("SELECT * FROM altcol_t VERSION AS OF 1")

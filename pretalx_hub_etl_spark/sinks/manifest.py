@@ -454,6 +454,33 @@ def build_manifest(
     return out
 
 
+#: process-local read-your-own-writes floor: the highest version THIS
+#: process has published (or observed committed) per table root. The
+#: round-13/14 driver gate twice recorded a read serving a snapshot
+#: BELOW a commit the same process had just completed — consistent with
+#: delayed cross-process visibility of the published manifest on the
+#: harness filesystem (the engine's own box never reproduced it in ~300
+#: replays). The floor makes that structurally impossible: any read
+#: that resolves below it RETRIES with backoff and, still stale, raises
+#: with captured diagnostics instead of silently serving old data —
+#: the correct posture on eventually-consistent object stores too.
+_COMMITTED_FLOOR: dict[str, int] = {}
+
+
+def note_committed(table_path: str, version: int) -> None:
+    """Record that ``version`` of the table is durably committed, as
+    witnessed by this process (publish-time, or a fenced await)."""
+    k = os.path.realpath(table_path)
+    if version > _COMMITTED_FLOOR.get(k, 0):
+        _COMMITTED_FLOOR[k] = version
+
+
+def committed_floor(table_path: str) -> int:
+    """Lowest version any read of the table may legally serve (0 =
+    no write witnessed by this process — no constraint)."""
+    return _COMMITTED_FLOOR.get(os.path.realpath(table_path), 0)
+
+
 class CommitLog:
     """Listing-free version resolution for one versioned table root."""
 
@@ -485,6 +512,19 @@ class CommitLog:
         os.rename(tmp, final)  # atomic publish (replace is fine: same bytes)
         self._advance_hint(manifest["version"])
         v = manifest["version"]
+        if (
+            v == 1
+            and committed_floor(self.table_path) > 1
+            and not os.path.exists(_mpath(self.table_path, 2))
+        ):
+            # v1 of a table with NO history above it at a path whose
+            # floor is higher: the old table was dropped and recreated
+            # (tests/tools rmtree table roots directly) — the stale
+            # floor would otherwise fail every read of the new table.
+            # A legacy-history backfill publishing v1 keeps its floor:
+            # its higher manifests exist.
+            _COMMITTED_FLOOR.pop(os.path.realpath(self.table_path), None)
+        note_committed(self.table_path, v)
         if v % CHECKPOINT_EVERY == 0 and not os.path.exists(
             self._ckpt_path(v)
         ):
@@ -550,6 +590,11 @@ class CommitLog:
         creation — what lets a catalog register a table from its PATH
         alone. Tmp+rename; last writer wins (properties are
         creation-time, concurrent creation is already an init race)."""
+        if self._probe_version() == 0:
+            # props written for a table with NO manifests = fresh
+            # creation: a leftover floor from a dropped table at the
+            # same path no longer applies (see current_version fence)
+            _COMMITTED_FLOOR.pop(os.path.realpath(self.table_path), None)
         os.makedirs(_mdir(self.table_path), exist_ok=True)
         tmp = os.path.join(
             _mdir(self.table_path), f".tmp-{uuid.uuid4().hex}"
@@ -753,9 +798,55 @@ class CommitLog:
         predating the manifest layer fall back to directory listing)."""
         return self.current_version() > 0
 
-    def current_version(self) -> int:
-        """Highest PUBLISHED version: `_latest` hint, then roll forward
-        probing single manifest files. 0 when no manifest exists."""
+    def await_min_version(self, floor: int, timeout_s: float = 10.0) -> int:
+        """Read-your-own-writes fence: block until ``current_version()``
+        reaches ``floor`` (a version this process KNOWS was committed —
+        e.g. by a DataSource writer whose commit ran in a separate
+        Python worker), busting negative dentry caches with a directory
+        listing between probes. Raises with captured diagnostics
+        (listing tail + hint) instead of letting a caller proceed
+        against a stale snapshot. Returns the observed version."""
+        import time
+
+        cur = self.current_version()
+        if floor <= 0 or cur >= floor:
+            if cur > 0:
+                note_committed(self.table_path, cur)
+            return cur
+        mdir = _mdir(self.table_path)
+        deadline = time.monotonic() + timeout_s
+        delay = 0.02
+        while time.monotonic() < deadline:
+            try:
+                os.listdir(mdir)  # refresh cached dentries
+            except OSError:
+                pass
+            cur = self.current_version()
+            if cur >= floor:
+                note_committed(self.table_path, cur)
+                return cur
+            time.sleep(delay)
+            delay = min(delay * 2, 0.5)
+        try:
+            listing = sorted(os.listdir(mdir))[-50:]
+        except OSError as exc:
+            listing = [f"<listdir failed: {exc}>"]
+        try:
+            with open(os.path.join(mdir, _LATEST)) as fh:
+                hint = fh.read().strip()
+        except OSError as exc:
+            hint = f"<{exc}>"
+        raise RuntimeError(
+            "read-your-own-writes fence: committed version "
+            f"v{floor} of {self.table_path} is still not visible after "
+            f"{timeout_s:.1f}s (current={cur}, _latest hint={hint!r}, "
+            f"_manifest listing tail={listing})"
+        )
+
+    def _probe_version(self) -> int:
+        """Raw probe: `_latest` hint, then roll forward probing single
+        manifest files. 0 when no manifest exists. No fence — internal
+        to :meth:`current_version` and the fence loops themselves."""
         v = self._hint()
         if v > 0 and not os.path.exists(_mpath(self.table_path, v)):
             # hint points at a retired/never-published version: restart
@@ -764,6 +855,51 @@ class CommitLog:
         while os.path.exists(_mpath(self.table_path, v + 1)):
             v += 1
         return v
+
+    def current_version(self) -> int:
+        """Highest PUBLISHED version — FENCED: if the probe resolves
+        BELOW this process's committed floor (a version this process
+        already witnessed durably committed — ``note_committed``), the
+        filesystem is serving a stale view; retry with listdir
+        cache-busts and, still stale, raise with diagnostics rather
+        than silently hand callers an old snapshot. Cost in the normal
+        case: one dict lookup."""
+        v = self._probe_version()
+        floor = committed_floor(self.table_path)
+        if v >= floor:
+            return v
+        mdir = _mdir(self.table_path)
+        if not os.path.isdir(mdir):
+            # the table was DROPPED (root removed out from under us)
+            # and possibly not recreated yet: the floor no longer
+            # applies — forget it rather than failing every future
+            # read of a fresh table at the same path
+            _COMMITTED_FLOOR.pop(os.path.realpath(self.table_path), None)
+            return v
+        import time
+
+        deadline = time.monotonic() + 10.0
+        delay = 0.02
+        while time.monotonic() < deadline:
+            try:
+                os.listdir(mdir)
+            except OSError:
+                pass
+            v = self._probe_version()
+            if v >= floor:
+                return v
+            time.sleep(delay)
+            delay = min(delay * 2, 0.5)
+        try:
+            listing = sorted(os.listdir(mdir))[-50:]
+        except OSError as exc:
+            listing = [f"<listdir failed: {exc}>"]
+        raise RuntimeError(
+            "read-your-own-writes fence: this process committed "
+            f"v{floor} of {self.table_path} but version resolution "
+            f"still serves v{v} after 10s (_latest hint={self._hint()}, "
+            f"_manifest listing tail={listing})"
+        )
 
     def visible_version(self) -> int:
         """Highest version VISIBLE to readers: like

@@ -161,6 +161,66 @@ def _heal_claim(path: str, claim: int) -> None:
         log.heal(claim)
 
 
+def _stamp_inherited(work: str, inherited) -> None:
+    """Persist pending-txn inheritance markers WITH the staged files
+    (the ``_TXN`` stamp ``build_manifest`` restores, sinks/txn.py): a
+    writer that crashes between the rename claim and ``log.publish``
+    is healed from the version dir contents, and without the on-disk
+    stamp the healed manifest would lose ``txn_inherited`` — making
+    pending multi-table-transaction data visible before its
+    transaction commits. No-op when nothing is inherited."""
+    if inherited:
+        import json as _json
+
+        from .manifest import _TXN_STAMP
+
+        with open(os.path.join(work, _TXN_STAMP), "w") as fh:
+            _json.dump({"txn_inherited": inherited}, fh)
+
+
+def _dense_seq(df: DataFrame) -> DataFrame:
+    """Attach ``__seq``, a DENSE 1..n numbering (per-partition counts
+    -> prefix offsets -> per-partition row_number) — the identity-value
+    basis that replaced ``monotonically_increasing_id()``: mid packs
+    the partition ordinal into bits 33+, so ANY frame with >= 2
+    partitions yields values past 2^33, which under the session's ANSI
+    default crashes INT identity columns with CAST_OVERFLOW and with
+    ANSI off wraps mod 2^32 into silently DUPLICATE ids. Dense values
+    fit the declared integral type whenever the row count does.
+
+    The frame is pinned (``localCheckpoint``) so the counts job and
+    the consuming write job see the SAME partitioning; the counts
+    collect is bounded by the PARTITION count, never the row count,
+    and the only shuffle is the per-partition-id window (payload-sized
+    — identity assignment runs on INSERT/MERGE payloads, not the
+    table)."""
+    from pyspark.sql.window import Window
+
+    pinned = df.localCheckpoint(eager=True)
+    counts = sorted(
+        (r[0], r[1])
+        for r in pinned.groupBy(F.spark_partition_id().alias("__pid"))
+        .count()
+        .collect()
+    )
+    pairs: list = []
+    acc = 0
+    for pid, n in counts:
+        pairs += [F.lit(int(pid)), F.lit(acc)]
+        acc += int(n)
+    omap = F.create_map(*pairs) if pairs else F.create_map()
+    w = Window.partitionBy("__pid").orderBy("__mid")
+    return (
+        pinned.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .withColumn(
+            "__seq",
+            (omap[F.col("__pid")] + F.row_number().over(w)).cast("long"),
+        )
+        .drop("__pid", "__mid")
+    )
+
+
 def commit_metadata_version(path: str) -> int:
     """Publish a version whose CONTENT is identical to the current base
     — the commit that anchors a metadata-only schema change (RENAME /
@@ -215,6 +275,7 @@ def commit_metadata_version(path: str) -> int:
             inh = inherit_pending(log, claim)
             if inh:
                 manifest["txn_inherited"] = inh
+                _stamp_inherited(work, inh)
         except BaseException:
             import shutil as _sh
 
@@ -564,6 +625,42 @@ class MergeSink:
             )
         return spark.read.parquet(os.path.join(self.path, f"v{version}"))
 
+    def _identity_hwm_for(
+        self, spark: SparkSession, base: int, id_cols: list[str]
+    ) -> dict[str, int]:
+        """Per-column identity high-water mark of version ``base`` from
+        the manifest's per-file max stats — ZERO data scan in the
+        normal case. A file whose identity stats were lost (null
+        min/max with non-null rows) forces ONE scan fallback: silently
+        trusting a lowered stats-only HWM would mint DUPLICATE ids
+        (shared by append() and merge())."""
+        log = CommitLog(self.path)
+        hw = {c: 0 for c in id_cols}
+        need_scan = False
+        if base > 0:
+            for ent in log.manifest(base)["files"]:
+                if ent.get("role", "data") != "data":
+                    continue
+                for c in id_cols:
+                    st = ent.get("columns", {}).get(c)
+                    if st is None:
+                        continue  # file predates the column
+                    mx = st.get("max")
+                    if mx is None:
+                        if st.get("null_count", 0) < ent.get("rows", 0):
+                            need_scan = True  # stats lost: scan
+                        continue
+                    hw[c] = max(hw[c], int(mx))
+        if need_scan:
+            row = (
+                self._read_manifest_files(spark, base)[0]
+                .agg(*[F.max(c).alias(c) for c in id_cols])
+                .first()
+            )
+            for c in id_cols:
+                hw[c] = max(hw[c], int(row[c] or 0))
+        return hw
+
     def append(self, df: DataFrame) -> int:
         """Append ``df`` as the table's next version (hardlink reuse of
         the current base's files + the new files), HONORING the stored
@@ -621,33 +718,7 @@ class MergeSink:
                         id_types[c] = f.dataType
 
         def _identity_hwm(base: int) -> dict[str, int]:
-            hw = {c: 0 for c in id_cols}
-            need_scan = False
-            if base > 0:
-                for ent in log.manifest(base)["files"]:
-                    if ent.get("role", "data") != "data":
-                        continue
-                    for c in id_cols:
-                        st = ent.get("columns", {}).get(c)
-                        if st is None:
-                            continue  # file predates the column
-                        mx = st.get("max")
-                        if mx is None:
-                            if st.get("null_count", 0) < ent.get(
-                                "rows", 0
-                            ):
-                                need_scan = True  # stats lost: scan
-                            continue
-                        hw[c] = max(hw[c], int(mx))
-            if need_scan:
-                row = (
-                    self._read_manifest_files(df.sparkSession, base)[0]
-                    .agg(*[F.max(c).alias(c) for c in id_cols])
-                    .first()
-                )
-                for c in id_cols:
-                    hw[c] = max(hw[c], int(row[c] or 0))
-            return hw
+            return self._identity_hwm_for(df.sparkSession, base, id_cols)
 
         def _stage(frame: DataFrame) -> str:
             s = os.path.join(
@@ -666,19 +737,24 @@ class MergeSink:
             from .txn import inherit_pending
 
             bloom_on = self.bloom_on or props.get("bloom_on")
+            seqd = _dense_seq(df) if id_cols else None
             for _ in range(50):
                 base, claim = _base_and_claim(self.path)
                 if id_cols:
+                    # dense hwm+1..hwm+n values (never
+                    # monotonically_increasing_id — see _dense_seq):
+                    # the seq column is hwm-independent, so a lost OCC
+                    # claim only re-offsets, never re-numbers
                     hw = _identity_hwm(base)
-                    assigned = df
+                    assigned = seqd
                     for c in id_cols:
                         assigned = assigned.withColumn(
                             c,
-                            (
-                                F.lit(hw[c] + 1)
-                                + F.monotonically_increasing_id()
-                            ).cast(id_types.get(c, LongType())),
+                            (F.lit(hw[c]) + F.col("__seq")).cast(
+                                id_types.get(c, LongType())
+                            ),
                         )
+                    assigned = assigned.drop("__seq")
                     if stage is not None:
                         shutil.rmtree(stage, ignore_errors=True)
                     stage = _stage(assigned)
@@ -736,6 +812,7 @@ class MergeSink:
                     inherited = inherit_pending(log, claim)
                     if inherited:
                         manifest["txn_inherited"] = inherited
+                        _stamp_inherited(work, inherited)
                 except BaseException:
                     shutil.rmtree(work, ignore_errors=True)
                     raise
@@ -921,6 +998,7 @@ class MergeSink:
                     inherited = inherit_pending(log, claim)
                     if inherited:
                         manifest["txn_inherited"] = inherited
+                        _stamp_inherited(work, inherited)
                 except BaseException:
                     shutil.rmtree(work, ignore_errors=True)
                     raise
@@ -979,13 +1057,15 @@ class MergeSink:
                     for c in missing0:
                         if f.name.lower() == c.lower():
                             types0[c] = f.dataType
+            # dense 1..n values (see _dense_seq: mid overflows INT
+            # identity under ANSI / duplicates without it)
+            df = _dense_seq(df)
             for c in missing0:
                 df = df.withColumn(
                     c,
-                    (
-                        F.lit(1) + F.monotonically_increasing_id()
-                    ).cast(types0.get(c, LongType())),
+                    F.col("__seq").cast(types0.get(c, LongType())),
                 )
+            df = df.drop("__seq")
         self._write(df, _next_version(self.path))
         log = CommitLog(self.path)
         props = log.table_props()  # CREATE TABLE may have written one
@@ -1368,6 +1448,7 @@ class MergeSink:
                     inherited = inherit_pending(log, claim)
                     if inherited:
                         manifest["txn_inherited"] = inherited
+                        _stamp_inherited(workdir, inherited)
                 except BaseException:
                     shutil.rmtree(workdir, ignore_errors=True)
                     raise
@@ -1568,6 +1649,7 @@ class MergeSink:
                     inherited = inherit_pending(log, claim)
                     if inherited:
                         manifest["txn_inherited"] = inherited
+                        _stamp_inherited(workdir, inherited)
                 except BaseException:
                     shutil.rmtree(workdir, ignore_errors=True)
                     raise
@@ -1877,26 +1959,24 @@ class MergeSink:
                 # MERGE's insert branch NULL-filled them): assign above
                 # the base's high-water mark (per-file stats, no scan);
                 # non-NULL values are the target's own ids round-tripped
-                # through matched rows and are preserved
-                log_m = CommitLog(self.path)
+                # through matched rows and are preserved. HWM via the
+                # shared stats+scan-fallback helper (a stats-lost file
+                # must not silently lower the mark), values via the
+                # dense seq (mid overflows INT identity — _dense_seq);
+                # non-NULL rows leave gaps in the seq, which identity
+                # permits (uniqueness, not density, is the contract)
+                hwm = self._identity_hwm_for(spark, base, id_all)
+                merged = _dense_seq(merged)
                 for c in id_all:
-                    hw = 0
-                    for ent in log_m.manifest(base)["files"]:
-                        st = ent.get("columns", {}).get(c)
-                        mx = None if st is None else st.get("max")
-                        if mx is not None:
-                            hw = max(hw, int(mx))
                     typ = target.schema[c].dataType
                     merged = merged.withColumn(
                         c,
                         F.when(
                             F.col(c).isNull(),
-                            (
-                                F.lit(hw + 1)
-                                + F.monotonically_increasing_id()
-                            ).cast(typ),
+                            (F.lit(hwm[c]) + F.col("__seq")).cast(typ),
                         ).otherwise(F.col(c)),
                     )
+                merged = merged.drop("__seq")
             try:
                 self._write(merged, claim)
             except FileExistsError:
@@ -1949,6 +2029,7 @@ class MergeSink:
         inherited = inherit_pending(log, version)
         if inherited:
             manifest["txn_inherited"] = inherited
+            _stamp_inherited(stage, inherited)
         final = os.path.join(self.path, f"v{version}")
         try:
             os.rename(stage, final)

@@ -120,6 +120,9 @@ class MorTable:
             inherited = inherit_pending(CommitLog(self.path), version)
             if inherited:
                 manifest["txn_inherited"] = inherited
+                from .merge import _stamp_inherited as _sti
+
+                _sti(stage, inherited)
             # checkpoint pointer: every manifest records the newest
             # checkpoint at-or-before itself, so _chain() jumps straight
             # to the chain start from ONE manifest read instead of
@@ -547,6 +550,7 @@ class MorTable:
         Returns the committed version."""
         log = CommitLog(self.path)
         state = self.read(spark)
+        v0 = log.current_version() if log.exists() else None
         for _ in range(max_retries):
             if (
                 log.exists()
@@ -561,7 +565,16 @@ class MorTable:
                     f"compact at {self.path}: a pending transaction "
                     "head exists (heal/commit it first)"
                 )
-            _, claim = _base_and_claim(self.path)
+            base, claim = _base_and_claim(self.path)
+            if v0 is not None and base != v0:
+                # a delta landed BETWEEN the state read and the claim:
+                # claim would succeed (fresh number) while the staged
+                # checkpoint silently EXCLUDES that delta's rows — a
+                # lost update the FileExistsError branch cannot catch.
+                # Re-read against the new head.
+                state = self.read(spark)
+                v0 = base
+                continue
             try:
                 self._commit(state, None, claim, checkpoint=True)
             except FileExistsError:
@@ -569,6 +582,7 @@ class MorTable:
                 # includes it (a checkpoint must never hide later commits)
                 _heal_claim(self.path, claim)
                 state = self.read(spark)
+                v0 = log.current_version() if log.exists() else None
                 continue
             return claim
         raise RuntimeError(
@@ -607,6 +621,7 @@ class MorTable:
                     f"optimize_zorder at {self.path}: a pending "
                     "transaction head exists (heal/commit it first)"
                 )
+            v0 = log.current_version() if log.exists() else None
             state = self.read(spark)
             by_lower = {c.lower(): c for c in state.columns}
             missing = [c for c in cols if c.lower() not in by_lower]
@@ -625,7 +640,13 @@ class MorTable:
             clustered = cluster_by_zorder(
                 state, dims, bits, num_partitions=max(n_files, 1)
             ).drop(*[d for d in dims if d.startswith("__zn_")])
-            _, claim = _base_and_claim(self.path)
+            base, claim = _base_and_claim(self.path)
+            if v0 is not None and base != v0:
+                # a delta committed BETWEEN the state read and the
+                # claim takes the version below the claim — the rename
+                # would succeed while the clustered checkpoint silently
+                # excludes that delta's rows (lost update). Re-read.
+                continue
             try:
                 self._commit(clustered, None, claim, checkpoint=True)
             except FileExistsError:

@@ -167,10 +167,56 @@ def build_lakehouse_source():
             v -= 1
         return 0
 
+    def _await_floor(path: str, floor: int) -> None:
+        # read-your-own-writes fence (inline mirror of
+        # CommitLog.await_min_version — ships by value into workers):
+        # the catalog passes `min_version` = the highest version the
+        # WRITING process witnessed committed; this reader runs in a
+        # DIFFERENT Python worker process, and on a lagging filesystem
+        # (cross-process rename visibility, negative dentry caches,
+        # eventually-consistent stores) could otherwise resolve a STALE
+        # snapshot — the silent wrong answer the r13/r14 driver gate
+        # recorded for q_sql_view/q_sql_alter_columns. Retry with
+        # backoff + listdir cache-busts; still stale -> raise with the
+        # at-failure evidence (listing tail + hint), never serve stale.
+        import os
+        import time
+
+        if floor <= 0 or _current_version(path) >= floor:
+            return
+        mdir = os.path.join(path, "_manifest")
+        deadline = time.monotonic() + 10.0
+        delay = 0.02
+        while time.monotonic() < deadline:
+            try:
+                os.listdir(mdir)  # refresh cached dentries
+            except OSError:
+                pass
+            if _current_version(path) >= floor:
+                return
+            time.sleep(delay)
+            delay = min(delay * 2, 0.5)
+        try:
+            listing = sorted(os.listdir(mdir))[-50:]
+        except OSError as exc:
+            listing = [f"<listdir failed: {exc}>"]
+        try:
+            with open(os.path.join(mdir, "_latest")) as fh:
+                hint = fh.read().strip()
+        except OSError as exc:
+            hint = f"<{exc}>"
+        raise RuntimeError(
+            "read-your-own-writes fence: committed version "
+            f"v{floor} of {path} is still not visible to this reader "
+            f"after 10s (current={_current_version(path)}, _latest "
+            f"hint={hint!r}, _manifest listing tail={listing})"
+        )
+
     def _resolve(options) -> tuple[int, list[dict], str]:
         import os
 
         path = options["path"]
+        _await_floor(path, int(options.get("min_version") or 0))
         v = options.get("version")
         ts = options.get("timestamp")
         if v is not None and ts is not None:
@@ -1614,7 +1660,14 @@ def write_table(df, path: str, mode: str = "append") -> None:
 
     _props = CommitLog(path).table_props()
     df = apply_invariants(apply_generated(df, _props), _props)
+    log = CommitLog(path)
+    pre = log._probe_version()
     df.write.format("lakehouse").option("path", path).mode(mode).save()
+    # the COMMIT above ran in a separate Python worker process:
+    # fence this (writing) process's view forward to the new version
+    # before returning, so the caller's next read can never resolve
+    # below its own completed write (read-your-own-writes)
+    log.await_min_version(pre + 1)
 
 
 def register(spark) -> None:

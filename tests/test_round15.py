@@ -1,0 +1,423 @@
+"""Round-15 pins: the read-your-own-writes fence (VERDICT r14 item 1),
+the r14 ADVICE fixes — dense IDENTITY values (INT overflow / duplicate
+wrap), merge()'s identity HWM scan fallback, the `_TXN` stamp on every
+commit path's staged dir, the MoR optimize_zorder/compact lost-delta
+window, and SHOW CREATE TABLE skipping `column_events`."""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from pretalx_hub_etl_spark.sinks import mor as mor_mod
+from pretalx_hub_etl_spark.sinks.manifest import (
+    CommitLog,
+    committed_floor,
+    note_committed,
+)
+from pretalx_hub_etl_spark.sinks.merge import MergeSink
+from pretalx_hub_etl_spark.sinks.mor import MorTable
+from pretalx_hub_etl_spark.sinks.txn import LakehouseTransaction
+
+
+def _mk(spark, path: str, lo: int, hi: int, key: str = "k") -> None:
+    MergeSink(path, key=key).init(
+        spark.range(lo, hi).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+    )
+
+
+# --- ADVICE r14 (medium): IDENTITY via dense seq, not mid -------------------
+
+
+def test_identity_int_multi_partition_no_overflow_no_dups(
+    spark, tmp_path
+):
+    """monotonically_increasing_id() exceeds 2^33 on any >=2-partition
+    frame: with ANSI on (the session default) every multi-partition
+    INSERT into an INT identity table crashed with CAST_OVERFLOW, with
+    ANSI off it wrapped mod 2^32 into duplicate ids. Dense per-partition
+    offsets + local row_number fit the declared type whenever the row
+    count does."""
+    from pretalx_hub_etl_spark.plans.lakehouse_sql import (
+        LakehouseSqlCatalog,
+    )
+
+    path = str(tmp_path / "t")
+    cat = LakehouseSqlCatalog(spark)
+    cat.sql(
+        f"CREATE TABLE r15_idt (id INT GENERATED ALWAYS AS IDENTITY, "
+        f"v BIGINT) USING lakehouse LOCATION '{path}' "
+        f"TBLPROPERTIES (merge_key='v')"
+    )
+    spark.range(0, 400).selectExpr("id * 10 AS v").repartition(
+        4
+    ).createOrReplaceTempView("r15_src_a")
+    cat.sql("INSERT INTO r15_idt (v) SELECT v FROM r15_src_a")
+    spark.range(400, 700).selectExpr("id * 10 AS v").repartition(
+        3
+    ).createOrReplaceTempView("r15_src_b")
+    cat.sql("INSERT INTO r15_idt (v) SELECT v FROM r15_src_b")
+    row = cat.sql(
+        "SELECT count(*) AS n, count(DISTINCT id) AS d, "
+        "min(id) AS mn, max(id) AS mx FROM r15_idt"
+    ).first()
+    assert (row.n, row.d, row.mn, row.mx) == (700, 700, 1, 700)
+    # merge-path inserts (NULL identity) stay unique and INT-ranged too
+    MergeSink(path, key="v").merge(
+        spark,
+        spark.range(700, 760)
+        .selectExpr("id * 10 AS v")
+        .repartition(2),
+    )
+    row2 = cat.sql(
+        "SELECT count(*) AS n, count(DISTINCT id) AS d, max(id) AS mx "
+        "FROM r15_idt"
+    ).first()
+    assert row2.n == row2.d == 760
+    assert row2.mx <= 2**31 - 1
+
+
+def test_identity_merge_hwm_scan_fallback(spark, tmp_path):
+    """ADVICE r14 (low): merge() derived the identity high-water mark
+    from per-file stats only; a base file with LOST stats for the
+    identity column silently lowered the HWM and new rows reused
+    existing ids. The shared helper falls back to one scan."""
+    from pretalx_hub_etl_spark.plans.lakehouse_sql import (
+        LakehouseSqlCatalog,
+    )
+
+    path = str(tmp_path / "t")
+    cat = LakehouseSqlCatalog(spark)
+    cat.sql(
+        f"CREATE TABLE r15_hwm (id BIGINT GENERATED ALWAYS AS IDENTITY,"
+        f" v BIGINT) USING lakehouse LOCATION '{path}' "
+        f"TBLPROPERTIES (merge_key='v')"
+    )
+    spark.range(0, 50).selectExpr("id * 10 AS v").createOrReplaceTempView(
+        "r15_hwm_src"
+    )
+    cat.sql("INSERT INTO r15_hwm (v) SELECT v FROM r15_hwm_src")
+    log = CommitLog(path)
+    base = log.current_version()
+    # strip the identity column's range stats from every file entry
+    # (simulates a writer that couldn't compute them) — rows stay
+    mpath = os.path.join(path, "_manifest", f"{base}.json")
+    m = json.load(open(mpath))
+    for ent in m["files"]:
+        st = ent.get("columns", {}).get("id")
+        if st is not None:
+            st["min"] = None
+            st["max"] = None
+            st["null_count"] = 0
+    with open(mpath, "w") as fh:
+        json.dump(m, fh)
+    # merge-insert new keys: without the scan fallback the HWM reads 0
+    # and ids 1.. duplicate the existing 1..50
+    MergeSink(path, key="v").merge(
+        spark, spark.range(50, 60).selectExpr("id * 10 AS v")
+    )
+    row = cat.sql(
+        "SELECT count(*) AS n, count(DISTINCT id) AS d FROM r15_hwm"
+    ).first()
+    assert row.n == row.d == 60
+
+
+# --- ADVICE r14 (low): _TXN stamp on every commit path ----------------------
+
+
+def test_append_heal_keeps_inherited_txn_marker(
+    spark, tmp_path, monkeypatch
+):
+    """append() (and the other non-merge commit paths) attached
+    txn_inherited only to the in-memory manifest; a crash between the
+    rename claim and publish, healed by the next writer, rebuilt the
+    manifest WITHOUT the marker — making pending transaction data
+    visible early. The `_TXN` stamp now rides in the staged dir."""
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    coord = str(tmp_path / "_txn")
+    _mk(spark, a, 0, 10)
+    _mk(spark, b, 100, 105)
+
+    # pending txn head on table a (publish v2 with marker, no committed
+    # marker: crash the coordinator right after the first publish)
+    txn = LakehouseTransaction(coord)
+    txn.stage_append(
+        a,
+        spark.range(50, 53).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        ),
+    )
+    txn.stage_append(
+        b,
+        spark.range(150, 153).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        ),
+    )
+    real_publish = CommitLog.publish
+    state = {"published": 0}
+
+    class _Boom(RuntimeError):
+        pass
+
+    def crash_after_first(self, manifest):
+        real_publish(self, manifest)
+        if manifest.get("txn"):
+            state["published"] += 1
+            if state["published"] == 1:
+                raise _Boom("injected post-publish crash")
+
+    monkeypatch.setattr(CommitLog, "publish", crash_after_first)
+    with pytest.raises(_Boom):
+        txn.commit()
+    monkeypatch.setattr(CommitLog, "publish", real_publish)
+    log = CommitLog(a)
+    assert log.manifest(log.current_version()).get("txn")
+
+    # a regular append on the pending head, crashed between rename and
+    # publish; then a second writer heals it
+    def crash_publish(self, manifest):
+        raise _Boom("injected pre-publish crash")
+
+    monkeypatch.setattr(CommitLog, "publish", crash_publish)
+    with pytest.raises(_Boom):
+        MergeSink(a, key="k").append(
+            spark.range(60, 63).select(
+                F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+            )
+        )
+    monkeypatch.setattr(CommitLog, "publish", real_publish)
+    claimed = log._probe_version() + 1
+    assert os.path.exists(os.path.join(a, f"v{claimed}", "_SUCCESS"))
+    MergeSink(a, key="k").append(
+        spark.range(70, 72).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+    )
+    healed = log.manifest(claimed)
+    assert any(
+        t.get("id") == txn.id for t in healed.get("txn_inherited", [])
+    ), healed
+    # pending rows still invisible through the healed commit
+    ks = sorted(
+        r["k"] for r in MergeSink(a, key="k").read(spark).collect()
+    )
+    assert ks == list(range(10))
+
+
+# --- ADVICE r14 (low): MoR optimize_zorder lost-delta window ----------------
+
+
+def test_mor_optimize_zorder_includes_racing_delta(
+    spark, tmp_path, monkeypatch
+):
+    """A delta committed between optimize_zorder's state read and its
+    claim landed BELOW the claim: the checkpoint rename succeeded and
+    silently excluded the delta's rows. The version is now re-checked
+    at claim time and the state re-read."""
+    path = str(tmp_path / "m")
+    MorTable(path, key="k").init(
+        spark.range(0, 20).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+    )
+    t = MorTable(path, key="k")
+    real_bc = mor_mod._base_and_claim
+    fired = {"n": 0}
+
+    def delta_then_claim(p):
+        if fired["n"] == 0:
+            fired["n"] = 1
+            MorTable(path, key="k").merge(
+                spark,
+                source=spark.range(500, 503).select(
+                    F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+                ),
+            )
+        return real_bc(p)
+
+    monkeypatch.setattr(mor_mod, "_base_and_claim", delta_then_claim)
+    t.optimize_zorder(spark, ["k"], bits=8)
+    monkeypatch.setattr(mor_mod, "_base_and_claim", real_bc)
+    ks = sorted(r["k"] for r in t.read(spark).collect())
+    assert ks == list(range(20)) + [500, 501, 502]
+
+
+def test_mor_compact_includes_racing_delta(spark, tmp_path, monkeypatch):
+    path = str(tmp_path / "m")
+    MorTable(path, key="k").init(
+        spark.range(0, 10).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+    )
+    t = MorTable(path, key="k")
+    real_bc = mor_mod._base_and_claim
+    fired = {"n": 0}
+
+    def delta_then_claim(p):
+        if fired["n"] == 0:
+            fired["n"] = 1
+            MorTable(path, key="k").merge(
+                spark,
+                source=spark.range(900, 902).select(
+                    F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+                ),
+            )
+        return real_bc(p)
+
+    monkeypatch.setattr(mor_mod, "_base_and_claim", delta_then_claim)
+    t.compact(spark)
+    monkeypatch.setattr(mor_mod, "_base_and_claim", real_bc)
+    ks = sorted(r["k"] for r in t.read(spark).collect())
+    assert ks == list(range(10)) + [900, 901]
+
+
+# --- VERDICT r14 item 1: read-your-own-writes fence --------------------------
+
+
+def test_ryow_fence_retries_until_manifest_visible(spark, tmp_path):
+    """Simulated lagging filesystem: the just-published head manifest
+    is hidden (renamed away) after commit — exactly what a reader on a
+    delayed-visibility FS sees. The fence must retry (listdir-busted
+    probes) and serve the CORRECT version once the file appears,
+    instead of silently serving the stale snapshot."""
+    path = str(tmp_path / "t")
+    _mk(spark, path, 0, 10)
+    sink = MergeSink(path, key="k")
+    sink.append(
+        spark.range(50, 55).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+    )
+    log = CommitLog(path)
+    head = log.current_version()
+    assert committed_floor(path) == head
+    mpath = os.path.join(path, "_manifest", f"{head}.json")
+    hidden = mpath + ".hidden"
+    os.rename(mpath, hidden)
+
+    def restore():
+        time.sleep(0.4)
+        os.rename(hidden, mpath)
+
+    th = threading.Thread(target=restore)
+    th.start()
+    try:
+        # current_version blocks behind the fence until restore lands
+        assert log.current_version() == head
+        ks = sorted(r["k"] for r in sink.read(spark).collect())
+        assert ks == list(range(10)) + list(range(50, 55))
+    finally:
+        th.join()
+
+
+def test_ryow_fence_raises_with_diagnostics_when_stale(tmp_path):
+    """A floor violation that never resolves must raise (with the
+    manifest listing in the message), never serve the stale snapshot."""
+    path = str(tmp_path / "t")
+    mdir = os.path.join(path, "_manifest")
+    os.makedirs(mdir)
+    log = CommitLog(path)
+    log.publish({"version": 1, "checkpoint": False, "files": []})
+    note_committed(path, 99)
+    t0 = time.monotonic()
+    with pytest.raises(RuntimeError, match="read-your-own-writes"):
+        log.current_version()
+    assert time.monotonic() - t0 >= 5.0  # it really retried
+    # evidence in-message: listing tail + the stale version
+    note_committed(path, 0)  # no-op (floor never regresses via note)
+    from pretalx_hub_etl_spark.sinks import manifest as man_mod
+
+    man_mod._COMMITTED_FLOOR.pop(os.path.realpath(path), None)
+    assert log.current_version() == 1
+
+
+def test_ryow_floor_cleared_on_table_recreate(spark, tmp_path):
+    """A dropped-and-recreated table at the same path must not inherit
+    the old table's floor (tests/tools rmtree table roots directly)."""
+    import shutil
+
+    path = str(tmp_path / "t")
+    _mk(spark, path, 0, 5)
+    MergeSink(path, key="k").append(
+        spark.range(5, 8).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+    )
+    assert committed_floor(path) >= 2
+    shutil.rmtree(path)
+    _mk(spark, path, 100, 103)  # fresh table, same path
+    ks = sorted(
+        r["k"] for r in MergeSink(path, key="k").read(spark).collect()
+    )
+    assert ks == [100, 101, 102]
+
+
+def test_datasource_read_passes_min_version_floor(spark, tmp_path):
+    """The catalog attaches the floor to DataSource reads; a worker
+    whose FS view lags retries until the manifest appears."""
+    from pretalx_hub_etl_spark.sources.lakehouse_ds import (
+        register,
+        write_table,
+    )
+
+    path = str(tmp_path / "t")
+    _mk(spark, path, 0, 10)
+    register(spark)
+    write_table(
+        spark.range(50, 53).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        ),
+        path,
+        mode="append",
+    )
+    # write_table fenced the writing process forward: floor == head
+    log = CommitLog(path)
+    assert committed_floor(path) == log.current_version()
+    df = (
+        spark.read.format("lakehouse")
+        .option("path", path)
+        .option("min_version", str(log.current_version()))
+        .load()
+    )
+    assert df.count() == 13
+
+
+# --- ADVICE r14 (low): SHOW CREATE skips column_events ----------------------
+
+
+def test_show_create_skips_column_events(spark, tmp_path):
+    from pretalx_hub_etl_spark.plans.lakehouse_sql import (
+        LakehouseSqlCatalog,
+    )
+
+    path = str(tmp_path / "t")
+    _mk(spark, path, 0, 5)
+    cat = LakehouseSqlCatalog(spark)
+    cat.register_path("r15_sc", path)
+    cat.sql("ALTER TABLE r15_sc RENAME COLUMN v TO val")
+    stmt = cat.sql("SHOW CREATE TABLE r15_sc").first()[0]
+    assert "column_events" not in stmt
+    # the emitted statement round-trips: re-executing it re-attaches
+    # the table (props on disk keep the mapping) and reads still serve
+    # the renamed column
+    cat2 = LakehouseSqlCatalog(spark)
+    cat2.sql(
+        stmt.replace(
+            "CREATE TABLE r15_sc",
+            "CREATE TABLE IF NOT EXISTS r15_sc2",
+        )
+    )
+    cols = cat2.sql("SELECT * FROM r15_sc2").columns
+    assert "val" in cols and "v" not in cols
+    evs = CommitLog(path).table_props().get("column_events")
+    assert isinstance(evs, list) and all(
+        isinstance(e, dict) for e in evs
+    )

@@ -4,9 +4,20 @@ fresh-catalog read through the nested view, asserting the inserted row
 is visible EVERY time, while background threads commit to other tables
 in the same shared SparkSession (the driver's jobs=4 shape).
 
-Usage: python tools/view_stress.py [iterations] [bg_threads]
+Usage: python tools/view_stress.py [iterations] [bg_threads] [--hostile [lag_ms]]
+
 Exits non-zero on the first stale read, printing the full diagnostic
 state (visible_version, manifest listing, temp-view content).
+
+--hostile (round 15): FS-hostility mode emulating the driver-env
+visibility lag the r13/r14 reds are consistent with — after each INSERT
+commit, the head manifest is HIDDEN (renamed away) and restored by a
+timer thread lag_ms later (default 300), so the fresh-catalog read runs
+against a filesystem that does not yet show the completed commit. The
+read-your-own-writes fence (sinks/manifest.py committed floor) must
+absorb the lag (retry until restore) and still serve the post-insert
+values every iteration; pre-fence code serves the stale snapshot and
+fails exactly like the driver gate did.
 """
 
 from __future__ import annotations
@@ -22,8 +33,11 @@ sys.path.insert(0, "/root/repo")
 
 
 def main() -> int:
-    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 200
-    nbg = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    args = [a for a in sys.argv[1:] if a != "--hostile"]
+    hostile = "--hostile" in sys.argv[1:]
+    iters = int(args[0]) if len(args) > 0 else 200
+    nbg = int(args[1]) if len(args) > 1 else 3
+    lag_ms = int(args[2]) if len(args) > 2 else 300
 
     from pyspark.sql import SparkSession, functions as F
 
@@ -100,6 +114,22 @@ def main() -> int:
                 "sum(cents) AS total FROM v_high GROUP BY ck"
             )
             cat.sql("INSERT INTO view_t VALUES (500, 7, 123456)")
+            restorer = None
+            if hostile:
+                # hide the just-committed head manifest: the next read
+                # sees the pre-insert filesystem until the timer lands
+                from pretalx_hub_etl_spark.sinks.manifest import (
+                    CommitLog as _CL,
+                )
+
+                head = _CL(path)._probe_version()
+                mpath = os.path.join(path, "_manifest", f"{head}.json")
+                hidden = mpath + ".lagged"
+                os.rename(mpath, hidden)
+                restorer = threading.Timer(
+                    lag_ms / 1000.0, os.rename, args=(hidden, mpath)
+                )
+                restorer.start()
             fresh = LakehouseSqlCatalog(spark, warehouse=wh)
             got = {
                 r["ck"]: (r["n"], r["total"])
@@ -129,6 +159,8 @@ def main() -> int:
                 print(f"  _manifest: {os.listdir(os.path.join(path, '_manifest'))}")
                 print(f"  dirs: {sorted(os.listdir(path))}")
                 return 1
+            if restorer is not None:
+                restorer.join()
             shutil.rmtree(root, ignore_errors=True)
             if it % 20 == 0:
                 print(

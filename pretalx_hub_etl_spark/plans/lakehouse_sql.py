@@ -211,6 +211,11 @@ _ALTER_DROP_COL_RE = re.compile(
     r"(?:(IF\s+EXISTS)\s+)?([A-Za-z_]\w*)\s*$",
     re.IGNORECASE,
 )
+_ALTER_WIDEN_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+ALTER\s+COLUMN\s+"
+    r"([A-Za-z_]\w*)\s+TYPE\s+([A-Za-z]\w*)\s*$",
+    re.IGNORECASE,
+)
 _ALTER_PROPS_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+SET\s+TBLPROPERTIES\s*"
     r"\((.*)\)\s*$",
@@ -1073,7 +1078,9 @@ class LakehouseSqlCatalog:
         - ``WHEN MATCHED THEN DELETE``
         - ``WHEN NOT MATCHED THEN INSERT *`` or
           ``INSERT (cols) VALUES (exprs)``
-        - ``WHEN NOT MATCHED BY SOURCE THEN DELETE``
+        - ``WHEN NOT MATCHED BY SOURCE THEN DELETE`` or
+          ``THEN UPDATE SET c = expr, ...`` (S28b — target columns
+          only: there is no source row on that side)
 
         Routing: CoW -> one ``MergeSink.merge`` commit (upserts +
         deletes); MoR -> one delta commit. ``WITH SCHEMA EVOLUTION``
@@ -1721,6 +1728,35 @@ class LakehouseSqlCatalog:
         name, sets, cond = m.group(1), m.group(2), m.group(3)
         kind, path, _ = self._require(name)
         key = self._require_key(name)
+        if (
+            kind == "cow"
+            and self._txn is None
+            and cond
+            and self._plain_predicate(cond)
+            and self._plain_predicate(sets)
+        ):
+            # S50 file-granular UPDATE (VERDICT r14 item 2): stats-
+            # disjoint files relink byte-identical, intersecting files
+            # rewrite with the SET applied to matching rows — no keyed
+            # full-outer join over the table. Column names validate
+            # against the live frame first (same error surface as the
+            # MERGE route below).
+            from ..sinks.merge import MergeSink
+
+            cols = {c.lower() for c in self._frame(name, None).columns}
+            assigns: dict[str, str] = {}
+            for col, expr in _split_assignments(sets):
+                if col.lower() not in cols:
+                    raise ValueError(
+                        f"UPDATE {name}: unknown column {col!r}"
+                    )
+                assigns[col] = expr
+            MergeSink(path, key=key).update_where(
+                self.spark, cond, assigns
+            )
+            return self._summary(
+                "update", name, self._current_version(name)
+            )
         matched = self._dml_matched(name, cond)
         have = {c.lower() for c in matched.columns}
         assigned: set[str] = set()
@@ -1772,6 +1808,112 @@ class LakehouseSqlCatalog:
             MorTable(path, key=key).merge(self.spark, source=matched)
         return self._summary("update", name, self._current_version(name))
 
+    _WIDEN_RANK = {
+        "tinyint": ("int", 1), "byte": ("int", 1),
+        "smallint": ("int", 2), "short": ("int", 2),
+        "int": ("int", 3), "integer": ("int", 3),
+        "bigint": ("int", 4), "long": ("int", 4),
+        "float": ("float", 1), "real": ("float", 1),
+        "double": ("float", 2),
+    }
+
+    def _alter_widen(self, name: str, col: str, to: str) -> DataFrame:
+        """S52 type widening (see _try_alter dispatch). Allowed:
+        integral up-ranks (byte -> short -> int -> bigint), float ->
+        double, and integral(<= int) -> double — the Delta type-widening
+        matrix's lossless core. Everything else (narrowing, cross-family
+        to string, ...) refuses: old files' stored values must embed
+        exactly into the new type or the cast-on-read overlay would be
+        lossy."""
+        kind, path, key = self._require(name)
+        if kind != "cow":
+            raise ValueError(
+                "ALTER COLUMN TYPE is CoW-only for now (the MoR chain "
+                "resolver does not apply widen overlays)"
+            )
+        from ..sinks.manifest import CommitLog
+        from ..sinks.merge import commit_metadata_version
+
+        log = CommitLog(path)
+        props = log.table_props()
+        frame = self._frame(name, None)
+        by_lower = {c.lower(): c for c in frame.columns}
+        if col.lower() not in by_lower:
+            raise ValueError(
+                f"ALTER TABLE {name}: {col!r} is not a column "
+                f"({sorted(frame.columns)})"
+            )
+        col = by_lower[col.lower()]
+        cur = frame.schema[col].dataType.simpleString()
+        src = self._WIDEN_RANK.get(cur)
+        dst = self._WIDEN_RANK.get(to)
+        ok = (
+            src is not None
+            and dst is not None
+            and (
+                (src[0] == dst[0] and dst[1] > src[1])
+                # lossless integral -> double (every int up to 2^53
+                # embeds exactly; bigint -> double would be lossy)
+                or (src[0] == "int" and src[1] <= 3 and to == "double")
+            )
+        )
+        if not ok:
+            raise ValueError(
+                f"ALTER COLUMN {col} TYPE {to}: not a widening from "
+                f"{cur!r} (allowed: integral up-ranks, float->double, "
+                "int-or-narrower->double)"
+            )
+        pby = props.get("partition_by") or []
+        if isinstance(pby, str):
+            pby = [p.strip() for p in pby.split(",") if p.strip()]
+        if col.lower() in {p.lower() for p in pby}:
+            raise ValueError(
+                f"ALTER COLUMN {col} TYPE: partition column types live "
+                "in directory names — repartition the table instead"
+            )
+        from ..sinks.constraints import CHECK_PREFIX, GENERATED_PREFIX
+
+        for pk, pv in props.items():
+            if pk.startswith((CHECK_PREFIX, GENERATED_PREFIX)) and (
+                re.search(rf"\b{re.escape(col)}\b", str(pv), re.IGNORECASE)
+            ):
+                raise ValueError(
+                    f"ALTER COLUMN {col} TYPE: referenced by {pk} = "
+                    f"{pv!r} — drop that constraint/column first"
+                )
+        # anchor: time travel below `since` serves the original type
+        since = commit_metadata_version(path)
+        evs = list(props.get("column_events") or [])
+        evs.append({"op": "widen", "name": col, "to": to, "since": since})
+        props["column_events"] = evs
+        from pyspark.sql.types import StructType
+
+        ddl = props.get("schema_ddl")
+        fields = (
+            StructType.fromDDL(ddl).fields if ddl else frame.schema.fields
+        )
+        props["schema_ddl"] = ", ".join(
+            f"{f.name} {to if f.name.lower() == col.lower() else f.dataType.simpleString()}"
+            for f in fields
+        )
+        log.write_table_props(props)
+        self._ensure_view(name, None)
+        return self._summary("alter", name, self._current_version(name))
+
+    @staticmethod
+    def _plain_predicate(text: str) -> bool:
+        """True when a DML condition / SET list is a plain expression
+        over the target's own columns — no subqueries, no time travel,
+        no table_changes() — i.e. safe for the file-granular
+        stats-split route (which evaluates it directly against the
+        rewrite files, never through the catalog's read surface)."""
+        return not (
+            re.search(r"\bSELECT\b", text, re.IGNORECASE)
+            or _ASOF_RE.search(text)
+            or _TS_ASOF_RE.search(text)
+            or _TABLE_CHANGES_RE.search(text)
+        )
+
     def _try_delete(self, query: str) -> DataFrame | None:
         m = _DELETE_RE.match(query)
         if m is None:
@@ -1799,13 +1941,21 @@ class LakehouseSqlCatalog:
             from ..sinks.merge import MergeSink
 
             sink = MergeSink(path, key=key)
-            state = self._frame(name, None)
-            sink.merge(
-                self.spark,
-                self.spark.createDataFrame([], state.schema),
-                deletes=self._dml_matched(name, cond).select(key),
-                allow_evolution=self._has_declared_schema(path),
-            )
+            if cond and self._plain_predicate(cond):
+                # S50 file-granular DELETE (VERDICT r14 item 2): stats-
+                # disjoint files relink byte-identical; only files whose
+                # envelopes intersect the predicate are rewritten. The
+                # MERGE route below stays for subquery/time-travel
+                # conditions (they need the full read surface).
+                sink.delete_where(self.spark, cond)
+            else:
+                state = self._frame(name, None)
+                sink.merge(
+                    self.spark,
+                    self.spark.createDataFrame([], state.schema),
+                    deletes=self._dml_matched(name, cond).select(key),
+                    allow_evolution=self._has_declared_schema(path),
+                )
         else:
             from ..sinks.mor import MorTable
 
@@ -2109,9 +2259,37 @@ class LakehouseSqlCatalog:
             cond = mw.group(3).strip()
             kind, path, key = self._require(name)
             if kind != "cow":
-                raise ValueError(
-                    "OPTIMIZE ... WHERE targets CoW tables (a MoR "
-                    "chain compacts as a whole)"
+                # LAY5: predicate-scoped compact of the MoR delta
+                # chain — disjoint checkpoint files relink, the
+                # in-range key slice resolves into the new checkpoint
+                # (MorTable.optimize_where; ZORDER spec not supported
+                # on the scoped MoR form)
+                if cols:
+                    raise ValueError(
+                        "OPTIMIZE ... ZORDER ... WHERE on a MoR table "
+                        "is not supported (scoped compact only; run "
+                        "OPTIMIZE t ZORDER BY (...) for a full "
+                        "recluster)"
+                    )
+                from ..sinks.mor import MorTable
+
+                s = MorTable(path, key=key).optimize_where(
+                    self.spark, cond
+                )
+                return self.spark.createDataFrame(
+                    [
+                        (
+                            "optimize_where",
+                            name,
+                            s["version"],
+                            s["files_relinked"],
+                            s["files_rewritten"],
+                            s["files_rewritten"],
+                        )
+                    ],
+                    "operation string, table string, version int, "
+                    "files_relinked int, files_rewritten int, "
+                    "files_out int",
                 )
             from ..sinks.merge import MergeSink
 
@@ -2769,6 +2947,17 @@ class LakehouseSqlCatalog:
                     f"({sorted(cols)})"
                 )
             return self._alter_column_event(name, op="drop", old=col)
+        m = _ALTER_WIDEN_RE.match(query)
+        if m is not None:
+            # S52: `ALTER COLUMN c TYPE <wider>` — metadata-only type
+            # widening via column mapping: a {widen, name, to, since}
+            # event; old files keep their narrow physical type forever
+            # and the overlay casts on read (new writes carry the wide
+            # type). Narrowing refused; time travel below the anchor
+            # serves the original type.
+            return self._alter_widen(
+                m.group(1), m.group(2), m.group(3).lower()
+            )
         m = _ALTER_RENAME_RE.match(query)
         if m is not None:
             # catalog-level rename: the path and data never move
@@ -3519,9 +3708,12 @@ class LakehouseSqlCatalog:
             for e in man["files"]:
                 by_role.setdefault(e.get("role", "data"), []).append(e)
             roles = sorted(by_role)
-            op = "checkpoint" if man.get("checkpoint") else (
-                "delta" if kind == "mor" else "snapshot"
+            op = man.get("op") or (
+                "checkpoint"
+                if man.get("checkpoint")
+                else ("delta" if kind == "mor" else "snapshot")
             )
+            met = man.get("metrics") or {}
             ts = man.get("committed_at")
             if ts is not None:
                 import datetime as dt
@@ -3542,13 +3734,16 @@ class LakehouseSqlCatalog:
                     ),
                     sum(e.get("bytes", 0) for e in man["files"]),
                     man.get("stream_batch_id"),
+                    met.get("files_rewritten"),
+                    met.get("files_relinked"),
                 )
             )
         return self.spark.createDataFrame(
             rows,
             "version int, committed_at timestamp, operation string, "
             "roles string, n_files int, "
-            "data_rows long, bytes long, stream_batch_id long",
+            "data_rows long, bytes long, stream_batch_id long, "
+            "files_rewritten int, files_relinked int",
         )
 
     def _bind_views(self, query: str) -> None:

@@ -176,6 +176,7 @@ def load_all() -> dict[str, QuerySpec]:
         curation_q2,
         lakehouse_q,
         lakehouse_q2,
+        lakehouse_q3,
         llm_q,
         llm_q2,
         llm_q3,

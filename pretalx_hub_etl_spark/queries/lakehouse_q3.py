@@ -1,0 +1,503 @@
+"""Round-15 lakehouse batch (VERDICT r14 "Next round" items 2-7):
+file-granular CoW DELETE/UPDATE (S50), per-commit change-data files for
+CoW CDC (S51), IDENTITY assignment inside multi-table transactions
+(S49b), predicate-scoped OPTIMIZE for MoR chains (LAY5), type widening
+via column mapping (S52), and MERGE's WHEN NOT MATCHED BY SOURCE THEN
+UPDATE clause (S28b).
+
+Reference tie-in: the reference (main.py:169-260) exposes only
+whole-table reconcile semantics; everything here is the engine-surface
+extension mandated by the north star — each op is the Delta/Iceberg
+lifecycle shape re-expressed over the commit-log sinks
+(`sinks/merge.py`, `sinks/mor.py`, `plans/lakehouse_sql.py`).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from ..functions.core import fixed_cents
+from . import query
+
+# --- S50: file-granular CoW DELETE / UPDATE ---------------------------------
+
+
+@query(
+    "q_sql_delete_pruned",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS k, o_custkey AS ck,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    ), b AS (
+        SELECT CAST(max(o_orderkey) // 8 AS BIGINT) AS lo8,
+               CAST(max(o_orderkey) AS BIGINT) AS mk
+        FROM orders
+    )
+    SELECT k, ck,
+           CASE WHEN k > mk - lo8 THEN cents + 5 ELSE cents END AS cents
+    FROM base, b
+    WHERE k > lo8
+    """,
+)
+def q_sql_delete_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S50 (VERDICT r14 item 2): DELETE and UPDATE on a clustered CoW
+    # table are FILE-granular — manifest stats envelopes split the base
+    # into a rewrite set (files intersecting the predicate) and a
+    # relink set (provably untouched, HARDLINKED byte-identical:
+    # inode-asserted in-line). The DELETE drops the bottom key-eighth,
+    # the UPDATE bumps the top eighth; on the 8-way range-clustered
+    # layout each touches ~1 file and relinks the rest (asserted via
+    # DESCRIBE HISTORY's files_rewritten/files_relinked metrics). The
+    # oracle recomputes the final state from orders — a resurrected
+    # deleted row, a missed update, or a corrupted relinked file
+    # hash-fails.
+    import shutil
+
+    from ..plans.lakehouse_sql import LakehouseSqlCatalog
+    from ..sinks.manifest import CommitLog
+    from ..sinks.merge import MergeSink
+
+    base = Catalog(spark, sf_dir).orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("ck"),
+        fixed_cents(F.col("o_totalprice")).alias("cents"),
+    )
+    mk = int(base.agg(F.max("k")).first()[0])
+    lo8 = mk // 8
+    root = tempfile.mkdtemp(prefix="phe_sql_delpruned_")
+    path = os.path.join(root, "t")
+    MergeSink(path, key="k", cluster_by=("k", 8)).init(base)
+    cat = LakehouseSqlCatalog(spark)
+    cat.register_path("delp_t", path)
+    cat.sql(f"DELETE FROM delp_t WHERE k <= {lo8}")
+    cat.sql(f"UPDATE delp_t SET cents = cents + 5 WHERE k > {mk - lo8}")
+    hist = {
+        r.version: r for r in cat.sql("DESCRIBE HISTORY delp_t").collect()
+    }
+    log = CommitLog(path)
+    v_del, v_upd = 2, 3
+    for v, op in ((v_del, "delete"), (v_upd, "update")):
+        h = hist[v]
+        assert h.operation == op, h
+        # file-granularity pin: each DML touched a minority of files
+        assert h.files_rewritten <= 3 and h.files_relinked >= 5, h
+    # inode pin: every relinked file in the DELETE commit IS the base
+    # version's file (hardlink, byte-identical — never decoded)
+    prev = {e["path"] for e in log.manifest(1)["files"]}
+    same = 0
+    for ent in log.manifest(v_del)["files"]:
+        rel = ent["path"]
+        if rel in prev:
+            a = os.stat(os.path.join(path, "v1", rel))
+            b = os.stat(os.path.join(path, f"v{v_del}", rel))
+            assert a.st_ino == b.st_ino, rel
+            same += 1
+    assert same >= 5, same
+    out = cat.sql("SELECT k, ck, cents FROM delp_t").localCheckpoint(
+        eager=True
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+# --- S51: per-commit change-data feed for CoW --------------------------------
+
+
+@query(
+    "q_cdc_cow_feed",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT k, 'update' AS change, cents AS old_cents,
+           cents + 100 AS new_cents
+    FROM base WHERE k % 3 = 0 AND k % 9 = 0
+    UNION ALL
+    SELECT k, 'delete', cents, CAST(NULL AS BIGINT)
+    FROM base WHERE k % 3 = 0 AND k % 7 = 0 AND k % 9 <> 0
+    UNION ALL
+    SELECT k, 'update', cents, cents + 7
+    FROM base
+    WHERE k % 3 = 0 AND k % 10 = 0 AND k % 7 <> 0 AND k % 9 <> 0
+    UNION ALL
+    SELECT k, 'insert', CAST(NULL AS BIGINT),
+           CASE WHEN k % 10 = 0 THEN cents + 7 ELSE cents END
+    FROM base WHERE k % 3 = 1 AND k % 7 <> 0
+    """,
+)
+def q_cdc_cow_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S51 (VERDICT r14 item 3): CoW tables with TBLPROPERTIES
+    # (cdf='true') write a `cdf/` change-data member into every DML
+    # commit (insert events on append, pre/post images on the
+    # file-granular UPDATE, delete events, and the MERGE's diff —
+    # sinks/merge.py); table_changes() reconstructs any span's NET diff
+    # from those per-commit events alone — O(changes), never O(table)
+    # (pre-CDF commits fall back to the snapshot diff). The cost pin
+    # asserts the feed's scan set is cdf files ONLY; the oracle
+    # recomputes the expected net change rows for the 4-commit
+    # lifecycle (insert -> update -> delete -> merge) from orders — a
+    # missed event, a phantom change, or unreconciled churn hash-fails.
+    import shutil
+
+    from ..plans.lakehouse_sql import LakehouseSqlCatalog
+
+    base = Catalog(spark, sf_dir).orders.select(
+        F.col("o_orderkey").alias("k"),
+        fixed_cents(F.col("o_totalprice")).alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="phe_cdc_cdf_")
+    path = os.path.join(root, "t")
+    cat = LakehouseSqlCatalog(spark)
+    cat.sql(
+        f"CREATE TABLE cdc_t (k BIGINT, cents BIGINT) USING lakehouse "
+        f"LOCATION '{path}' TBLPROPERTIES (merge_key='k', cdf='true')"
+    )
+    base.filter(F.col("k") % 3 == 0).createOrReplaceTempView("cdc_s0")
+    base.filter(F.col("k") % 3 == 1).createOrReplaceTempView("cdc_s1")
+    base.filter(F.col("k") % 9 == 0).withColumn(
+        "cents", F.col("cents") + 100
+    ).createOrReplaceTempView("cdc_src")
+    cat.sql("INSERT INTO cdc_t SELECT k, cents FROM cdc_s0")  # v1 init
+    cat.sql("INSERT INTO cdc_t SELECT k, cents FROM cdc_s1")  # v2 insert
+    cat.sql("UPDATE cdc_t SET cents = cents + 7 WHERE k % 10 = 0")  # v3
+    cat.sql("DELETE FROM cdc_t WHERE k % 7 = 0")  # v4
+    cat.sql(
+        "MERGE INTO cdc_t USING cdc_src ON cdc_t.k = cdc_src.k "
+        "WHEN MATCHED THEN UPDATE SET cents = cdc_src.cents "
+        "WHEN NOT MATCHED THEN INSERT (k, cents) "
+        "VALUES (cdc_src.k, cdc_src.cents)"
+    )  # v5
+    changes = cat.sql(
+        "SELECT k, change, old.cents AS old_cents, "
+        "new.cents AS new_cents FROM table_changes('cdc_t', 1)"
+    )
+    # cost pin: the feed reads ONLY change-data members — no base data
+    # file of the 100 TB table is in the scan set
+    files = changes.inputFiles()
+    assert files and all(os.sep + "cdf" + os.sep in f for f in files), (
+        files[:5]
+    )
+    out = changes.localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+# --- S52: metadata-only type widening ----------------------------------------
+
+
+@query(
+    "q_sql_widen",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS k, CAST(o_custkey AS BIGINT) AS ck,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT k, ck AS v FROM base WHERE k % 2 = 0
+    UNION ALL
+    SELECT k, cents + 5000000000 AS v FROM base WHERE k % 2 = 1
+    """,
+)
+def q_sql_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S52 (VERDICT r14 item 6): `ALTER TABLE t ALTER COLUMN v TYPE
+    # BIGINT` is a metadata-only column-mapping event
+    # (sinks/colmap.py): no file rewrites — pre-widen files keep INT32
+    # physically and upcast on read (explicit-schema scan, the
+    # SPARK-40876 promotion); post-widen INSERTs carry genuinely
+    # long-range values (> 2^32) that would overflow the old type. Time
+    # travel below the anchor serves the ORIGINAL int type, SHOW CREATE
+    # emits the wide type with no internal props, and narrowing refuses
+    # (all asserted in-line). The oracle recomputes both eras' values —
+    # a lossy cast, a dropped old-file value, or a truncated wide value
+    # hash-fails.
+    import shutil
+
+    from ..plans.lakehouse_sql import LakehouseSqlCatalog
+
+    base = Catalog(spark, sf_dir).orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").cast("bigint").alias("ck"),
+        fixed_cents(F.col("o_totalprice")).alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="phe_sql_widen_")
+    path = os.path.join(root, "t")
+    cat = LakehouseSqlCatalog(spark)
+    cat.sql(
+        f"CREATE TABLE widen_t (k BIGINT, v INT) USING lakehouse "
+        f"LOCATION '{path}' TBLPROPERTIES (merge_key='k')"
+    )
+    base.filter(F.col("k") % 2 == 0).selectExpr(
+        "k", "CAST(ck AS INT) AS v"
+    ).createOrReplaceTempView("widen_narrow")
+    cat.sql("INSERT INTO widen_t SELECT k, v FROM widen_narrow")
+    cat.sql("ALTER TABLE widen_t ALTER COLUMN v TYPE BIGINT")
+    base.filter(F.col("k") % 2 == 1).selectExpr(
+        "k", "cents + 5000000000 AS v"
+    ).createOrReplaceTempView("widen_wide")
+    cat.sql("INSERT INTO widen_t SELECT k, v FROM widen_wide")
+    cur = cat.sql("SELECT k, v FROM widen_t")
+    assert cur.schema["v"].dataType.simpleString() == "bigint", cur.schema
+    old = cat.sql("SELECT * FROM widen_t VERSION AS OF 1")
+    assert old.schema["v"].dataType.simpleString() == "int", old.schema
+    stmt = cat.sql("SHOW CREATE TABLE widen_t").first()[0]
+    assert "V BIGINT" in stmt.upper().replace("`", "") and (
+        "column_events" not in stmt
+    ), stmt
+    # narrowing refuses
+    try:
+        cat.sql("ALTER TABLE widen_t ALTER COLUMN v TYPE INT")
+        raise AssertionError("narrowing must refuse")
+    except ValueError:
+        pass
+    out = cur.localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+# --- S28b: MERGE WHEN NOT MATCHED BY SOURCE THEN UPDATE ----------------------
+
+
+@query(
+    "q_sql_merge_nmbs",
+    oracle="""
+    WITH base AS (
+        SELECT c_custkey AS k,
+               CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS cents,
+               CAST(0 AS BIGINT) AS stale
+        FROM customer
+    ), src AS (
+        SELECT k, cents + 11 AS cents FROM base WHERE k % 4 = 0
+    )
+    SELECT b.k,
+           CASE WHEN s.k IS NOT NULL THEN s.cents ELSE b.cents END
+               AS cents,
+           CASE WHEN s.k IS NOT NULL THEN 0
+                WHEN b.k % 6 = 0 THEN 9
+                ELSE 1 END AS stale
+    FROM base b LEFT JOIN src s ON b.k = s.k
+    WHERE NOT (s.k IS NULL AND b.k % 5 = 0 AND b.k % 6 <> 0)
+    """,
+)
+def q_sql_merge_nmbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S28b (VERDICT r14 item 7): the full Delta MERGE clause grammar —
+    # WHEN NOT MATCHED BY SOURCE THEN UPDATE alongside the DELETE form,
+    # with per-clause AND conditions and first-clause-wins ordering on
+    # the not-matched-by-source side: rows the source didn't touch take
+    # stale=9 when k%6=0 (first clause), are DELETED when k%5=0 (second
+    # clause — shadowed for k%30 multiples by the first), and take
+    # stale=1 otherwise (the unconditional third clause). Matched rows
+    # update from the source. The oracle recomputes the final state —
+    # wrong clause precedence, a source-side leak into the BY SOURCE
+    # branch, or a missed unconditional update hash-fails.
+    import shutil
+
+    from ..plans.lakehouse_sql import LakehouseSqlCatalog
+    from ..sinks.merge import MergeSink
+
+    base = Catalog(spark, sf_dir).customer.select(
+        F.col("c_custkey").alias("k"),
+        fixed_cents(F.col("c_acctbal")).alias("cents"),
+        F.lit(0).cast("bigint").alias("stale"),
+    )
+    root = tempfile.mkdtemp(prefix="phe_sql_nmbs_")
+    path = os.path.join(root, "t")
+    MergeSink(path, key="k").init(base)
+    cat = LakehouseSqlCatalog(spark)
+    cat.register_path("nmbs_t", path)
+    base.filter(F.col("k") % 4 == 0).select(
+        "k", (F.col("cents") + 11).alias("cents")
+    ).createOrReplaceTempView("nmbs_src")
+    cat.sql(
+        "MERGE INTO nmbs_t AS t USING nmbs_src AS s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET cents = s.cents, stale = 0 "
+        "WHEN NOT MATCHED BY SOURCE AND t.k % 6 = 0 "
+        "THEN UPDATE SET stale = 9 "
+        "WHEN NOT MATCHED BY SOURCE AND t.k % 5 = 0 THEN DELETE "
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET stale = 1"
+    )
+    out = cat.sql("SELECT k, cents, stale FROM nmbs_t").localCheckpoint(
+        eager=True
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+# --- S49b: IDENTITY assignment inside multi-table transactions ---------------
+
+
+@query(
+    "q_sql_txn_identity",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT 't1v' AS part, k AS a, CAST(NULL AS BIGINT) AS b FROM base
+    UNION ALL
+    SELECT 't1agg', CAST(count(*) AS BIGINT), CAST(count(*) AS BIGINT)
+    FROM base
+    UNION ALL
+    SELECT 't2', k, cents FROM base WHERE k % 2 = 1
+    """,
+)
+def q_sql_txn_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S49b (VERDICT r14 item 4): INSERT into a GENERATED ALWAYS AS
+    # IDENTITY table INSIDE `BEGIN TRANSACTION` — staging precedes the
+    # OCC claim, so identity values are assigned at PUBLISH time under
+    # the claim (sinks/txn.py _assign_identity_stage: dense ids above
+    # the claim's base, re-staged on a lost claim — the S49 rule),
+    # atomically with a second table's INSERT. Ids stay DENSE 1..N
+    # across init + transactional insert (the t1agg row pins
+    # count == max == distinct); the oracle recomputes both tables'
+    # final contents — a duplicate or skipped id, a torn commit, or a
+    # leaked staged row hash-fails.
+    import shutil
+
+    from ..plans.lakehouse_sql import LakehouseSqlCatalog
+
+    base = Catalog(spark, sf_dir).orders.select(
+        F.col("o_orderkey").alias("k"),
+        fixed_cents(F.col("o_totalprice")).alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="phe_txn_id_")
+    p1, p2 = os.path.join(root, "a"), os.path.join(root, "b")
+    cat = LakehouseSqlCatalog(spark, warehouse=os.path.join(root, "wh"))
+    cat.sql(
+        f"CREATE TABLE txnid_t1 (id BIGINT GENERATED ALWAYS AS "
+        f"IDENTITY, v BIGINT) USING lakehouse LOCATION '{p1}' "
+        f"TBLPROPERTIES (merge_key='v')"
+    )
+    cat.sql(
+        f"CREATE TABLE txnid_t2 (k BIGINT, cents BIGINT) USING "
+        f"lakehouse LOCATION '{p2}' TBLPROPERTIES (merge_key='k')"
+    )
+    base.filter(F.col("k") % 2 == 0).selectExpr(
+        "k AS v"
+    ).createOrReplaceTempView("txnid_even")
+    base.filter(F.col("k") % 2 == 1).createOrReplaceTempView(
+        "txnid_odd"
+    )
+    cat.sql("INSERT INTO txnid_t1 (v) SELECT v FROM txnid_even")
+    cat.sql("BEGIN TRANSACTION")
+    cat.sql(
+        "INSERT INTO txnid_t1 (v) SELECT k AS v FROM txnid_odd"
+    )
+    cat.sql("INSERT INTO txnid_t2 SELECT k, cents FROM txnid_odd")
+    # staged, not visible: the identity table still serves pre-txn rows
+    n_mid = cat.sql("SELECT count(*) AS c FROM txnid_t1").first()[0]
+    cat.sql("COMMIT")
+    n_pre = base.filter(F.col("k") % 2 == 0).count()
+    assert n_mid == n_pre, (n_mid, n_pre)
+    t1v = cat.sql(
+        "SELECT 't1v' AS part, v AS a, CAST(NULL AS BIGINT) AS b "
+        "FROM txnid_t1"
+    )
+    agg = cat.sql(
+        "SELECT 't1agg' AS part, count(DISTINCT id) AS a, max(id) AS b "
+        "FROM txnid_t1"
+    )
+    t2 = cat.sql("SELECT 't2' AS part, k AS a, cents AS b FROM txnid_t2")
+    out = t1v.unionByName(agg).unionByName(t2).localCheckpoint(
+        eager=True
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+# --- LAY5: predicate-scoped OPTIMIZE for MoR chains ---------------------------
+
+
+@query(
+    "q_sql_optimize_where_mor",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    ), b AS (
+        SELECT CAST(max(o_orderkey) // 8 AS BIGINT) AS lo8,
+               CAST(max(o_orderkey) AS BIGINT) AS mk
+        FROM orders
+    )
+    SELECT k, cents FROM base, b WHERE k % 4 = 0 AND k <= mk - lo8
+    UNION ALL
+    SELECT k, cents + 5 FROM base, b WHERE k > mk - lo8 AND k % 3 <> 0
+    """,
+)
+def q_sql_optimize_where_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # LAY5 (VERDICT r14 item 5): `OPTIMIZE <mor_t> WHERE <key range>` —
+    # predicate-scoped compaction of the delta chain: the new CHECKPOINT
+    # relinks the prior checkpoint's range-disjoint files byte-identical
+    # (inode-asserted) and resolves ONLY the in-range key slice against
+    # the post-checkpoint deltas (upserts + tombstones); a long-lived
+    # MoR table compacts just the hot range's streamed small files.
+    # Soundness gates asserted in-line: a predicate that does NOT cover
+    # the deltas' key envelopes refuses (a folded out-of-range event
+    # above later commits would be a lost update), and the chain
+    # restarts at the scoped checkpoint (read tax = 1 commit). The
+    # oracle recomputes the resolved state — a lost delta, a resurrected
+    # tombstone, or a corrupted relinked file hash-fails.
+    import shutil
+
+    from ..plans.lakehouse_sql import LakehouseSqlCatalog
+    from ..sinks.manifest import CommitLog
+    from ..sinks.mor import MorTable
+
+    base = Catalog(spark, sf_dir).orders.select(
+        F.col("o_orderkey").alias("k"),
+        fixed_cents(F.col("o_totalprice")).alias("cents"),
+    )
+    mk = int(base.agg(F.max("k")).first()[0])
+    thr = mk - mk // 8
+    root = tempfile.mkdtemp(prefix="phe_owm_")
+    path = os.path.join(root, "t")
+    t = MorTable(path, key="k")
+    t.init(
+        base.filter(F.col("k") % 4 == 0).repartitionByRange(
+            8, F.col("k")
+        )
+    )
+    hot = base.filter(F.col("k") > thr)
+    t.merge(spark, source=hot.withColumn("cents", F.col("cents") + 5))
+    t.merge(spark, deletes=hot.filter(F.col("k") % 3 == 0).select("k"))
+    cat = LakehouseSqlCatalog(spark)
+    cat.register_path("owm_t", path)
+    # gate pin: a predicate NOT covering the deltas' key range refuses
+    try:
+        cat.sql(f"OPTIMIZE owm_t WHERE k <= {thr}")
+        raise AssertionError("uncovering predicate must refuse")
+    except ValueError:
+        pass
+    row = cat.sql(f"OPTIMIZE owm_t WHERE k > {thr}").first()
+    assert row.operation == "optimize_where", row
+    assert row.files_relinked >= 5 and row.files_rewritten <= 3, row
+    log = CommitLog(path)
+    new_v = row.version
+    # relinked files ARE the old checkpoint's (hardlink, byte-identical)
+    prev = {e["path"] for e in log.manifest(1)["files"]}
+    same = 0
+    for ent in log.manifest(new_v)["files"]:
+        rel = ent["path"]
+        if rel in prev:
+            a = os.stat(os.path.join(path, "v1", rel))
+            c = os.stat(os.path.join(path, f"v{new_v}", rel))
+            assert a.st_ino == c.st_ino, rel
+            same += 1
+    assert same == row.files_relinked, (same, row.files_relinked)
+    # the chain restarts at the scoped checkpoint: read tax = 1 commit
+    start, chain = MorTable(path, key="k")._chain()
+    assert start == new_v and chain == [new_v], (start, chain)
+    out = cat.sql("SELECT k, cents FROM owm_t").localCheckpoint(
+        eager=True
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out

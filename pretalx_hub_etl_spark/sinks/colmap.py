@@ -1,4 +1,4 @@
-"""Column mapping for metadata-only RENAME COLUMN / DROP COLUMN (S46).
+"""Column mapping for metadata-only RENAME / DROP / widen COLUMN (S46, S52).
 
 The Delta column-mapping idea (logical names decoupled from the
 physical names inside data files), transposed to this engine's
@@ -76,6 +76,15 @@ def apply_events_df(df, events: list[dict[str, Any]]):
             elif o is not None:
                 df = df.withColumnRenamed(o, e["new"])
             # neither present (fully compacted post-rename): no-op
+        elif e["op"] == "widen":
+            # S52 type widening (ALTER COLUMN c TYPE BIGINT): old files
+            # keep their narrow physical type forever; the overlay
+            # casts on read (metadata-only — the Delta INT->BIGINT
+            # widening shape). Post-widen files physically carry the
+            # wide type, for which the cast is a no-op.
+            c = have.get(e["name"].lower())
+            if c is not None:
+                df = df.withColumn(c, F.col(c).cast(e["to"]))
         else:  # drop
             c = have.get(e["name"].lower())
             if c is not None:
@@ -100,6 +109,18 @@ def apply_events_schema(schema, events: list[dict[str, Any]]):
                 f = fields[oi]
                 fields[oi] = StructField(
                     e["new"], f.dataType, f.nullable, f.metadata
+                )
+        elif e["op"] == "widen":
+            i = lower.get(e["name"].lower())
+            if i is not None:
+                from pyspark.sql.types import _parse_datatype_string
+
+                f = fields[i]
+                fields[i] = StructField(
+                    f.name,
+                    _parse_datatype_string(e["to"]),
+                    f.nullable,
+                    f.metadata,
                 )
         else:
             i = lower.get(e["name"].lower())
@@ -134,5 +155,6 @@ def retired_names(props: dict[str, Any]) -> set[str]:
     by refusing the name)."""
     out: set[str] = set()
     for e in column_events(props):
-        out.add((e.get("old") or e.get("name")).lower())
+        if e["op"] in ("rename", "drop"):
+            out.add((e.get("old") or e.get("name")).lower())
     return out

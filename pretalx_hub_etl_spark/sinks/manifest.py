@@ -380,7 +380,10 @@ def build_manifest(
     for rel, fstats in zip(rels, stats):
         role = "data"
         top = rel.split(os.sep, 1)[0]
-        if top in ("data", "deletes", "pos_deletes"):  # MoR layout
+        if top in ("data", "deletes", "pos_deletes", "cdf"):
+            # MoR layout dirs + the S51 change-data member (cdf/):
+            # change rows are commit METADATA, not table state — every
+            # read path filters role == "data"
             role = top
         ent = {"path": rel, "role": role}
         ent.update(fstats)

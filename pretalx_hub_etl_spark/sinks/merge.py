@@ -256,12 +256,18 @@ def commit_metadata_version(path: str) -> int:
             }
             if kind == "cow":
                 m = log.manifest(base)
-                for ent in m["files"]:
+                keep = [
+                    e
+                    for e in m["files"]
+                    if e.get("role", "data") == "data"
+                ]
+                for ent in keep:
                     rel = ent["path"]
                     dst = os.path.join(work, rel)
                     os.makedirs(os.path.dirname(dst), exist_ok=True)
                     os.link(os.path.join(path, f"v{base}", rel), dst)
-                manifest["files"] = m["files"]
+                # change-data members (S51) belong to THEIR commit only
+                manifest["files"] = keep
                 manifest["checkpoint"] = m.get("checkpoint", False)
             else:
                 try:
@@ -356,6 +362,23 @@ def version_diff(
     """
     log = CommitLog(path)
     if log.exists():
+        # S51 fast path: when EVERY commit in (v_from, v_to] recorded
+        # its change data (`cdf/` member, manifest flag), the net diff
+        # reconstructs from those per-commit events alone — scan cost
+        # O(changes in the span), never O(table). A 100 TB CoW table's
+        # CDC read touches only the feed files; the snapshot
+        # full-outer-join below remains the fallback for pre-CDF
+        # commits, maintenance commits, and column-mapped tables.
+        from .colmap import column_events as _cev
+
+        span = log.versions(v_from + 1, v_to)
+        if (
+            span
+            and len(span) == v_to - v_from  # no retired holes mid-span
+            and not _cev(log.table_props())
+            and all(log.manifest(v).get("cdf") for v in span)
+        ):
+            return _diff_from_cdf(spark, path, key, span, v_to)
         # manifest reads: mergeSchema for declared mixed versions, and
         # BOTH sides mapped to the CURRENT logical column names — a
         # diff across a RENAME COLUMN boundary (S46) compares the same
@@ -391,6 +414,17 @@ def version_diff(
             f"schema drift between v{v_from} and v{v_to}: "
             f"{sorted(lo.columns)} vs {sorted(hi.columns)}"
         )
+    return _diff_frames(lo, hi, key)
+
+
+def _diff_frames(lo: DataFrame, hi: DataFrame, key: str) -> DataFrame:
+    """Net change set between two state frames sharing a schema: one
+    row per key whose state changed, shape ``(key, change, old, new)``
+    with ``change`` ∈ {insert, update, delete} and null structs on the
+    absent side. Shared by :func:`version_diff` (snapshot
+    reconstruction) and the S51 write-side change-data construction —
+    ONE implementation, so the per-commit feed and the snapshot diff
+    can never classify differently."""
     payload = [c for c in lo.columns if c != key]
     o = lo.select(
         F.col(key).alias("__ok"), F.struct(*payload).alias("old")
@@ -411,6 +445,95 @@ def version_diff(
         )
         # unchanged keys are not changes: equal payloads (null-safe) drop out
         .filter(
+            F.col("change").isin("insert", "delete")
+            | ~F.col("old").eqNullSafe(F.col("new"))
+        )
+    )
+
+
+def cdf_enabled(props: dict) -> bool:
+    """True when the table opted into the S51 per-commit change-data
+    feed (``TBLPROPERTIES (cdf='true')`` — the Delta
+    ``enableChangeDataFeed`` shape). Off by default: CDF costs write
+    amplification (one extra diff join + a small ``cdf/`` member per
+    DML commit), so it is a table property, never ambient."""
+    return str(props.get("cdf", "")).lower() in ("true", "1", "yes")
+
+
+def _cdf_insert_events(df: DataFrame, key: str) -> DataFrame:
+    """Insert-only change rows for an append payload (old = null)."""
+    payload = [c for c in df.columns if c != key]
+    new = F.struct(*payload)
+    return df.select(
+        F.col(key),
+        F.lit("insert").alias("change"),
+        F.lit(None).cast(
+            df.select(new.alias("x")).schema["x"].dataType
+        ).alias("old"),
+        new.alias("new"),
+    )
+
+
+def _diff_from_cdf(
+    spark: SparkSession,
+    path: str,
+    key: str,
+    span: list[int],
+    v_to: int,
+) -> DataFrame:
+    """Reconstruct the (v_from, v_to] net diff from per-commit change
+    data: union the span's ``cdf/`` files (ONE scan; the commit number
+    derives from the version directory in each file path), then per key
+    keep the FIRST event's old and the LAST event's new — classify and
+    drop no-net-change churn exactly like :func:`_diff_frames`. GroupBy
+    cardinality = changed keys in the span, not table rows."""
+    log = CommitLog(path)
+    paths: list[str] = []
+    for v in span:
+        for ent in log.manifest(v)["files"]:
+            if ent.get("role") == "cdf":
+                paths.append(
+                    os.path.join(path, f"v{v}", ent["path"])
+                )
+    if not paths:
+        # every commit recorded changes and none had any: empty feed
+        # under the CURRENT event schema (derived from one footer)
+        snap = MergeSink(path, key=key).read_version(spark, v_to)
+        probe = _cdf_insert_events(snap.limit(0), key)
+        return probe.select(
+            key, "change", "old", "new"
+        )
+    ev = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*sorted(paths))
+        .withColumn(
+            "__commit",
+            F.regexp_extract(
+                F.input_file_name(), r"/v(\d+)/cdf/", 1
+            ).cast("int"),
+        )
+    )
+    first = F.min(
+        F.struct(F.col("__commit").alias("c"), F.col("old").alias("o"))
+    )["o"]
+    last = F.max(
+        F.struct(F.col("__commit").alias("c"), F.col("new").alias("n"))
+    )["n"]
+    net = ev.groupBy(key).agg(
+        first.alias("old"), last.alias("new")
+    )
+    return net.select(
+        F.col(key),
+        F.when(F.col("old").isNull(), F.lit("insert"))
+        .when(F.col("new").isNull(), F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("change"),
+        "old",
+        "new",
+    ).filter(
+        # churn that nets out (insert->delete, or A->B->A) is no change
+        ~(F.col("old").isNull() & F.col("new").isNull())
+        & (
             F.col("change").isin("insert", "delete")
             | ~F.col("old").eqNullSafe(F.col("new"))
         )
@@ -449,6 +572,60 @@ class MergeSink:
         self.cluster_by = cluster_by
         self.bloom_on = bloom_on
 
+    def _physical_reader(
+        self, spark: SparkSession, props: dict, version: int | None
+    ):
+        """Configured reader for this table's PHYSICAL parquet files.
+
+        Default: mergeSchema for declared (ALTER-evolved) tables, plain
+        otherwise. Widened tables (S52 ``widen`` events at-or-below the
+        read version) switch to an EXPLICIT schema — parquet's schema
+        merge REFUSES int vs bigint footers, while an explicit wider
+        schema upcasts per file (SPARK-40876), which is exactly the
+        cast-on-read the widen overlay declares. The explicit schema is
+        the current declared fields (wide types) plus every prior
+        physical name of each (renamed columns' old-era files),
+        partition columns excluded (they come from the directory names).
+        Fallback: when the read is a TIME TRAVEL below a later
+        rename/drop (the current declared names don't describe that
+        era), keep mergeSchema — it can only fail loudly, never serve
+        wrong data."""
+        from .colmap import column_events, events_upto, prior_physical_names
+
+        reader = spark.read
+        evs = events_upto(props, version)
+        if any(e["op"] == "widen" for e in evs) and props.get(
+            "schema_ddl"
+        ):
+            later = [
+                e
+                for e in column_events(props)
+                if version is not None
+                and int(e.get("since", 0)) > version
+            ]
+            if not any(e["op"] in ("rename", "drop") for e in later):
+                from pyspark.sql.types import StructField, StructType
+
+                pby = props.get("partition_by") or []
+                if isinstance(pby, str):
+                    pby = [
+                        p.strip() for p in pby.split(",") if p.strip()
+                    ]
+                pl = {p.lower() for p in pby}
+                fields: list[StructField] = []
+                for f in StructType.fromDDL(props["schema_ddl"]).fields:
+                    if f.name.lower() in pl:
+                        continue
+                    fields.append(StructField(f.name, f.dataType, True))
+                    for prior in prior_physical_names(props, f.name):
+                        fields.append(
+                            StructField(prior, f.dataType, True)
+                        )
+                return reader.schema(StructType(fields))
+        if props.get("schema_ddl"):
+            reader = reader.option("mergeSchema", "true")
+        return reader
+
     def _read_manifest_files(
         self,
         spark: SparkSession,
@@ -466,11 +643,10 @@ class MergeSink:
         # file schemas inside one version (hardlink-appends after the
         # ALTER write the new column, relinked older files lack it):
         # mergeSchema unions the footers — enabled ONLY for declared
-        # tables, so unevolved reads never pay the extra footer pass
-        reader = spark.read
+        # tables, so unevolved reads never pay the extra footer pass;
+        # widened tables read under an explicit upcast schema instead
         props = log.table_props()
-        if props.get("schema_ddl"):
-            reader = reader.option("mergeSchema", "true")
+        reader = self._physical_reader(spark, props, version)
         # column mapping (S46): RENAME/DROP COLUMN events at-or-below
         # the read version overlay the physical scan (old files keep
         # their original column names forever — metadata-only evolution)
@@ -720,6 +896,8 @@ class MergeSink:
         def _identity_hwm(base: int) -> dict[str, int]:
             return self._identity_hwm_for(df.sparkSession, base, id_cols)
 
+        cdf_on = cdf_enabled(props) and self.key in df.columns
+
         def _stage(frame: DataFrame) -> str:
             s = os.path.join(
                 self.path, f".stage-append-{_uuid.uuid4().hex}"
@@ -728,6 +906,13 @@ class MergeSink:
             if pby:
                 w = w.partitionBy(*pby)
             w.parquet(os.path.join(s, "new"))
+            if cdf_on:
+                # S51: every appended row is an insert event; the feed
+                # member commits atomically with the data (linked into
+                # the work dir's cdf/ below)
+                _cdf_insert_events(frame, self.key).write.mode(
+                    "errorifexists"
+                ).parquet(os.path.join(s, "cdfev"))
             return s
 
         stage: str | None = None
@@ -767,6 +952,10 @@ class MergeSink:
                 try:
                     if base > 0:
                         for fent in log.manifest(base)["files"]:
+                            if fent.get("role", "data") != "data":
+                                # change-data members belong to THEIR
+                                # commit only — never carried forward
+                                continue
                             rel = fent["path"]
                             dst = os.path.join(work, rel)
                             os.makedirs(
@@ -802,6 +991,16 @@ class MergeSink:
                                     f"app-{_uuid.uuid4().hex[:8]}-{fn}",
                                 ),
                             )
+                    if cdf_on:
+                        evdir = os.path.join(stage, "cdfev")
+                        cdst = os.path.join(work, "cdf")
+                        os.makedirs(cdst, exist_ok=True)
+                        for fn in os.listdir(evdir):
+                            if fn.endswith(".parquet"):
+                                os.link(
+                                    os.path.join(evdir, fn),
+                                    os.path.join(cdst, fn),
+                                )
                     with open(
                         os.path.join(work, "_SUCCESS"), "w"
                     ) as fh:
@@ -809,6 +1008,8 @@ class MergeSink:
                     manifest = build_manifest(
                         claim, work, bloom_on=bloom_on
                     )
+                    if cdf_on:
+                        manifest["cdf"] = True
                     inherited = inherit_pending(log, claim)
                     if inherited:
                         manifest["txn_inherited"] = inherited
@@ -928,9 +1129,7 @@ class MergeSink:
             try:
                 parts: list[DataFrame] = [df]
                 if rewrite_rels:
-                    reader = spark.read
-                    if props.get("schema_ddl"):
-                        reader = reader.option("mergeSchema", "true")
+                    reader = self._physical_reader(spark, props, base)
                     scanned = reader.option("basePath", vdir).parquet(
                         *sorted(os.path.join(vdir, r) for r in rewrite_rels)
                     )
@@ -1026,6 +1225,297 @@ class MergeSink:
             f"replaceWhere lost the version race 20 times at {self.path}"
         )
 
+    def delete_where(self, spark: SparkSession, condition: str) -> dict:
+        """File-granular CoW DELETE (S50 — the Delta DELETE shape,
+        VERDICT r14 item 2): base files whose manifest stats envelopes
+        PROVE no row matches ``condition`` are HARDLINKED verbatim into
+        the new version (byte-identical, never decoded); only
+        intersecting files are read and rewritten without the matching
+        rows. At 100 TB a ``DELETE WHERE day = X`` on a
+        clustered/partitioned table rewrites one day's files and
+        relinks everything else — contrast the prior MERGE route, which
+        joined and rewrote the whole touched slice regardless of file
+        envelopes. Returns {version, files_relinked, files_rewritten}
+        (also stamped into the commit manifest for DESCRIBE HISTORY)."""
+        return self._dml_where(spark, condition, "delete", None)
+
+    def update_where(
+        self,
+        spark: SparkSession,
+        condition: str,
+        assignments: dict[str, str],
+    ) -> dict:
+        """File-granular CoW UPDATE (S50): stats-disjoint files relink
+        byte-identical; intersecting files rewrite with the SET
+        expressions applied to matching rows only. All assignments
+        evaluate against PRE-update values (one simultaneous
+        projection, the SQL UPDATE contract); GENERATED columns not
+        explicitly assigned are recomputed from the updated row (the
+        Delta rule)."""
+        return self._dml_where(spark, condition, "update", assignments)
+
+    def _dml_where(
+        self,
+        spark: SparkSession,
+        condition: str,
+        op: str,
+        assignments: dict[str, str] | None,
+    ) -> dict:
+        import uuid as _uuid
+
+        from ..plans.prune_sql import extract_prunes
+        from .colmap import (
+            apply_events_df,
+            events_upto,
+            prior_physical_names,
+        )
+        from .constraints import apply_invariants, generated_columns
+        from .manifest import build_manifest
+        from .txn import inherit_pending
+
+        log = CommitLog(self.path)
+        if not log.exists():
+            raise FileNotFoundError(
+                f"{self.path} has no commit log: file-granular "
+                f"{op.upper()} needs manifests (route through merge())"
+            )
+        props = log.table_props()
+        pby = self.partition_by or props.get("partition_by") or []
+        if isinstance(pby, str):
+            pby = [p.strip() for p in pby.split(",") if p.strip()]
+        bloom_on = self.bloom_on or props.get("bloom_on")
+        cdf_on = cdf_enabled(props)
+        for _ in range(20):
+            base, claim = _base_and_claim(self.path)
+            vdir = os.path.join(self.path, f"v{base}")
+            m = log.manifest(base)
+            stat_cols: set[str] = set()
+            for ent in m["files"]:
+                stat_cols.update(ent.get("columns", {}))
+            conjs = extract_prunes(
+                f"SELECT * FROM __dml__ WHERE {condition}",
+                "__dml__",
+                stat_cols
+                | {
+                    e["new"]
+                    for e in events_upto(props, None)
+                    if e["op"] == "rename"
+                },
+            )
+            for c, lo, hi in list(conjs):
+                for oldn in prior_physical_names(props, c):
+                    conjs.append((oldn, lo, hi))
+            rewrite_abs, _n_skip = log.files_for(
+                base, prune=conjs or None
+            )
+            all_rels = [
+                e["path"]
+                for e in m["files"]
+                if e.get("role", "data") == "data"
+            ]
+            rewrite_rels = {
+                os.path.relpath(p, vdir) for p in rewrite_abs
+            }
+            relink_rels = [r for r in all_rels if r not in rewrite_rels]
+            stage = os.path.join(
+                self.path, f".stage-dml-{_uuid.uuid4().hex}"
+            )
+            try:
+                replacement: DataFrame | None = None
+                if rewrite_rels:
+                    reader = self._physical_reader(spark, props, base)
+                    scanned = reader.option("basePath", vdir).parquet(
+                        *sorted(
+                            os.path.join(vdir, r) for r in rewrite_rels
+                        )
+                    )
+                    scanned = apply_events_df(
+                        scanned, events_upto(props, base)
+                    )
+                    payload = [
+                        c for c in scanned.columns if c != self.key
+                    ]
+                    # the predicate evaluates against PRE-update values
+                    # EVERYWHERE (SET projection, generated recompute,
+                    # change events): materialize it as a flag BEFORE
+                    # any transformation — re-evaluating the raw
+                    # condition on a transformed frame would re-test
+                    # assigned columns against their POST values
+                    scanned = scanned.withColumn(
+                        "__match",
+                        F.coalesce(
+                            F.expr(condition).cast("boolean"),
+                            F.lit(False),
+                        ),
+                    )
+                    cond_c = F.col("__match")
+                    ev: DataFrame | None = None
+                    track_cdf = cdf_on and self.key in scanned.columns
+                    if track_cdf:
+                        scanned = scanned.withColumn(
+                            "__old", F.struct(*payload)
+                        )
+                    hidden = [
+                        c for c in ("__match", "__old")
+                        if c in scanned.columns
+                    ]
+                    if op == "delete":
+                        if track_cdf:
+                            ev = scanned.filter(cond_c).select(
+                                F.col(self.key),
+                                F.lit("delete").alias("change"),
+                                F.col("__old").alias("old"),
+                                F.lit(None)
+                                .cast(
+                                    scanned.schema["__old"].dataType
+                                )
+                                .alias("new"),
+                            )
+                        replacement = scanned.filter(~cond_c).drop(
+                            *hidden
+                        )
+                    else:
+                        # SET expressions see PRE-update values: one
+                        # simultaneous projection, not chained
+                        # withColumn (a later assignment must not read
+                        # an earlier one's result)
+                        sets = {
+                            col: F.when(cond_c, F.expr(e)).otherwise(
+                                F.col(col)
+                            )
+                            for col, e in (assignments or {}).items()
+                        }
+                        replacement = scanned.withColumns(sets)
+                        assigned = {c.lower() for c in sets}
+                        for gcol, gexpr in generated_columns(
+                            props
+                        ).items():
+                            if (
+                                gcol.lower() not in assigned
+                                and gcol in replacement.columns
+                            ):
+                                replacement = replacement.withColumn(
+                                    gcol,
+                                    F.when(
+                                        cond_c, F.expr(gexpr)
+                                    ).otherwise(F.col(gcol)),
+                                )
+                        replacement = apply_invariants(
+                            replacement, props
+                        )
+                        if track_cdf:
+                            # update events: pre-image captured before
+                            # the SET projection, post-image from the
+                            # transformed row; no-change rows drop
+                            new_s = F.struct(*payload)
+                            ev = replacement.filter(cond_c).select(
+                                F.col(self.key),
+                                F.lit("update").alias("change"),
+                                F.col("__old").alias("old"),
+                                new_s.alias("new"),
+                            ).filter(
+                                ~F.col("old").eqNullSafe(F.col("new"))
+                            )
+                        replacement = replacement.drop(*hidden)
+                    if ev is not None:
+                        ev.write.mode("errorifexists").parquet(
+                            os.path.join(stage, "cdfev")
+                        )
+                    w = replacement.write.mode("errorifexists")
+                    if pby:
+                        w = w.partitionBy(*pby)
+                    w.parquet(os.path.join(stage, "new"))
+                work = os.path.join(
+                    self.path, f".stage-dmlpub-{_uuid.uuid4().hex}"
+                )
+                os.makedirs(work)
+                try:
+                    for rel in relink_rels:
+                        dst = os.path.join(work, rel)
+                        os.makedirs(os.path.dirname(dst), exist_ok=True)
+                        os.link(os.path.join(vdir, rel), dst)
+                    srcdir = os.path.join(stage, "new")
+                    if rewrite_rels:
+                        for root_, dirs, files in os.walk(srcdir):
+                            dirs[:] = [
+                                d
+                                for d in dirs
+                                if not d.startswith(("_", "."))
+                            ]
+                            for fn in files:
+                                if not fn.endswith(".parquet"):
+                                    continue
+                                rel_dir = os.path.relpath(root_, srcdir)
+                                ddir = (
+                                    work
+                                    if rel_dir == "."
+                                    else os.path.join(work, rel_dir)
+                                )
+                                os.makedirs(ddir, exist_ok=True)
+                                os.link(
+                                    os.path.join(root_, fn),
+                                    os.path.join(
+                                        ddir,
+                                        f"dml-{_uuid.uuid4().hex[:8]}"
+                                        f"-{fn}",
+                                    ),
+                                )
+                    evdir = os.path.join(stage, "cdfev")
+                    if os.path.isdir(evdir):
+                        cdst = os.path.join(work, "cdf")
+                        os.makedirs(cdst, exist_ok=True)
+                        for fn in os.listdir(evdir):
+                            if fn.endswith(".parquet"):
+                                os.link(
+                                    os.path.join(evdir, fn),
+                                    os.path.join(cdst, fn),
+                                )
+                    with open(
+                        os.path.join(work, "_SUCCESS"), "w"
+                    ) as fh:
+                        fh.write("")
+                    manifest = build_manifest(
+                        claim, work, bloom_on=bloom_on
+                    )
+                    if cdf_on:
+                        manifest["cdf"] = True
+                    manifest["op"] = op
+                    manifest["metrics"] = {
+                        "files_rewritten": len(rewrite_rels),
+                        "files_relinked": len(relink_rels),
+                        "predicate": condition,
+                    }
+                    inherited = inherit_pending(log, claim)
+                    if inherited:
+                        manifest["txn_inherited"] = inherited
+                        _stamp_inherited(work, inherited)
+                except BaseException:
+                    shutil.rmtree(work, ignore_errors=True)
+                    raise
+                try:
+                    os.rename(
+                        work, os.path.join(self.path, f"v{claim}")
+                    )
+                except OSError as exc:
+                    import errno
+
+                    shutil.rmtree(work, ignore_errors=True)
+                    if exc.errno in (errno.EEXIST, errno.ENOTEMPTY):
+                        _heal_claim(self.path, claim)
+                        continue  # lost the race: recompute vs new base
+                    raise
+                log.publish(manifest)
+                return {
+                    "version": claim,
+                    "files_relinked": len(relink_rels),
+                    "files_rewritten": len(rewrite_rels),
+                }
+            finally:
+                shutil.rmtree(stage, ignore_errors=True)
+        raise RuntimeError(
+            f"{op}_where lost the version race 20 times at {self.path}"
+        )
+
     def init(self, df: DataFrame) -> None:
         """Write version 1 (fails if the table already exists); stores
         the table properties (kind + merge key) so later sessions can
@@ -1088,13 +1578,19 @@ class MergeSink:
         log.write_table_props(props)
 
     def _read_version_dir(self, spark: SparkSession, version: int):
-        """Raw scan of one version directory for REWRITE ops
-        (optimize/zorder). ALTER-evolved tables may hold mixed file
-        schemas; without mergeSchema the rewrite would adopt one
-        footer's schema and permanently DROP a materialized column
-        (the overlay would then mask the loss with NULLs forever)."""
+        """State scan of one version for REWRITE ops (optimize/zorder).
+        Manifest tables read the manifest's data-role file list (a raw
+        directory scan would also sweep up the S51 ``cdf/`` change-data
+        member); legacy tables keep the directory scan. ALTER-evolved
+        tables may hold mixed file schemas; without mergeSchema the
+        rewrite would adopt one footer's schema and permanently DROP a
+        materialized column (the overlay would then mask the loss with
+        NULLs forever)."""
+        log = CommitLog(self.path)
+        if log.exists():
+            return self._read_manifest_files(spark, version)[0]
         reader = spark.read
-        if CommitLog(self.path).table_props().get("schema_ddl"):
+        if log.table_props().get("schema_ddl"):
             reader = reader.option("mergeSchema", "true")
         return reader.parquet(os.path.join(self.path, f"v{version}"))
 
@@ -1977,8 +2473,29 @@ class MergeSink:
                         ).otherwise(F.col(c)),
                     )
                 merged = merged.drop("__seq")
+            cdf_df = None
+            if cdf_enabled(_props_m):
+                from .colmap import column_events as _cev_m
+
+                if not _cev_m(_props_m):
+                    # S51: the commit's change rows — one extra diff
+                    # join against the base state (the documented CDF
+                    # write amplification; off unless the table opted
+                    # in), aligned for evolution like version_diff
+                    lo_al, hi_al = target, merged
+                    for f in hi_al.schema.fields:
+                        if f.name not in lo_al.columns:
+                            lo_al = lo_al.withColumn(
+                                f.name, F.lit(None).cast(f.dataType)
+                            )
+                    for f in lo_al.schema.fields:
+                        if f.name not in hi_al.columns:
+                            hi_al = hi_al.withColumn(
+                                f.name, F.lit(None).cast(f.dataType)
+                            )
+                    cdf_df = _diff_frames(lo_al, hi_al, k)
             try:
-                self._write(merged, claim)
+                self._write(merged, claim, cdf_df=cdf_df)
             except FileExistsError:
                 # lost the version race: if the winner crashed before
                 # publishing its manifest, publish it for them so base
@@ -1990,7 +2507,9 @@ class MergeSink:
             f"merge lost the version race {max_retries} times at {self.path}"
         )
 
-    def _write(self, df: DataFrame, version: int) -> None:
+    def _write(
+        self, df: DataFrame, version: int, cdf_df: DataFrame | None = None
+    ) -> None:
         """Stage to a hidden dir, then atomically rename onto ``v<N>``,
         then publish the commit's manifest.
 
@@ -2021,7 +2540,16 @@ class MergeSink:
         if self.partition_by:
             w = w.partitionBy(*self.partition_by)
         w.parquet(stage)
+        if cdf_df is not None:
+            # S51: the commit's change rows ride INSIDE the staged dir
+            # (cdf/ member -> role "cdf" in the manifest) so the feed
+            # commits atomically with the data it describes
+            cdf_df.write.mode("errorifexists").parquet(
+                os.path.join(stage, "cdf")
+            )
         manifest = build_manifest(version, stage, bloom_on=self.bloom_on)
+        if cdf_df is not None:
+            manifest["cdf"] = True
         # visibility inheritance (sinks/txn.py): built on a pending
         # multi-table-txn base -> invisible until that txn commits
         from .txn import inherit_pending

@@ -661,6 +661,258 @@ class MorTable:
             f"at {self.path}"
         )
 
+    def optimize_where(
+        self, spark: SparkSession, condition: str, max_retries: int = 20
+    ) -> dict:
+        """``OPTIMIZE <mor_t> WHERE <cond>`` (LAY5, VERDICT r14 item 5)
+        — PREDICATE-SCOPED compaction of the delta chain: commit a new
+        CHECKPOINT whose file set is (a) the prior checkpoint's data
+        files provably DISJOINT from the condition's merge-key range,
+        HARDLINKED byte-identical, plus (b) the resolved state of the
+        in-range key slice (intersecting checkpoint files + every
+        post-checkpoint delta, latest-wins). A long-lived MoR table
+        compacts just yesterday's streamed small files by predicating
+        on yesterday's key range — maintenance cost tracks the touched
+        slice, not table size (the LAY1d incremental rule transposed to
+        the chain).
+
+        Soundness gates (refused, never silently wrong): the condition
+        must carry a merge-key range conjunct (only the key prunes a
+        MoR chain soundly — read_pruned's rule); every post-checkpoint
+        delta file's key envelope must be CONTAINED in that range (an
+        out-of-range delta event folded above later commits would be a
+        lost update — widen the predicate or run a full OPTIMIZE);
+        position-delete deltas and pending-transaction heads refuse.
+        Like LAY3, the predicate scopes FILES/key-slices, never rows
+        (the sound range of the conjunct is used, not the raw
+        expression). Returns {version, files_relinked,
+        files_rewritten}."""
+        import uuid as _uuid
+
+        from ..plans.prune_sql import extract_prunes
+        from .manifest import UNBOUNDED_HI, UNBOUNDED_LO
+        from .merge import _stamp_inherited
+        from .txn import inherit_pending
+
+        log = CommitLog(self.path)
+        if not log.exists():
+            raise FileNotFoundError(
+                f"{self.path} has no commit log: OPTIMIZE WHERE needs "
+                "manifests"
+            )
+        conjs = [
+            (c, lo, hi)
+            for (c, lo, hi) in extract_prunes(
+                f"SELECT * FROM __ow__ WHERE {condition}",
+                "__ow__",
+                {self.key},
+            )
+            if c.lower() == self.key.lower()
+        ]
+        if not conjs:
+            raise ValueError(
+                f"OPTIMIZE ... WHERE on a MoR table needs a range/point "
+                f"conjunct on the merge key {self.key!r} (only the key "
+                "scopes a delta chain soundly)"
+            )
+        lo = max((c[1] for c in conjs), default=UNBOUNDED_LO)
+        hi = min((c[2] for c in conjs), default=UNBOUNDED_HI)
+        for _ in range(max_retries):
+            if log.visible_version() != log.current_version():
+                raise RuntimeError(
+                    f"OPTIMIZE WHERE at {self.path}: a pending "
+                    "transaction head exists (heal/commit it first)"
+                )
+            v0 = log.current_version()
+            start, chain = self._chain()
+            deltas = [v for v in chain if v != start]
+            if not deltas:
+                return {
+                    "version": v0,
+                    "files_relinked": 0,
+                    "files_rewritten": 0,
+                }
+            m_start = log.manifest(start)
+            if not m_start.get("checkpoint"):
+                raise ValueError(
+                    f"OPTIMIZE WHERE: chain start v{start} is not a "
+                    "checkpoint — run a full OPTIMIZE first"
+                )
+            # gate: every delta file's key envelope inside [lo, hi]
+            for v in deltas:
+                for ent in log.manifest(v)["files"]:
+                    role = ent.get("role", "data")
+                    if role == "pos_deletes":
+                        raise ValueError(
+                            "OPTIMIZE WHERE: position-delete deltas "
+                            "need a full OPTIMIZE (they name physical "
+                            "rows of files this op would relink)"
+                        )
+                    st = ent.get("columns", {}).get(self.key)
+                    mn = None if st is None else st.get("min")
+                    mx = None if st is None else st.get("max")
+                    if (
+                        mn is None
+                        or mx is None
+                        or mn < lo
+                        or mx > hi
+                    ):
+                        raise ValueError(
+                            f"OPTIMIZE WHERE: delta v{v} file "
+                            f"{ent['path']} holds keys outside the "
+                            "predicate's key range — widen the "
+                            "predicate or run a full OPTIMIZE"
+                        )
+            sdir = os.path.join(self.path, f"v{start}")
+            relink: list[str] = []
+            rewrite: list[str] = []
+            for ent in m_start["files"]:
+                if ent.get("role", "data") != "data":
+                    raise ValueError(
+                        f"OPTIMIZE WHERE: checkpoint v{start} carries "
+                        f"non-data role {ent.get('role')!r} — run a "
+                        "full OPTIMIZE"
+                    )
+                st = ent.get("columns", {}).get(self.key)
+                mn = None if st is None else st.get("min")
+                mx = None if st is None else st.get("max")
+                if mn is not None and mx is not None and (
+                    mx < lo or mn > hi
+                ):
+                    relink.append(ent["path"])
+                else:
+                    rewrite.append(ent["path"])
+            # resolved in-range slice: intersecting checkpoint rows at
+            # version=start + every delta's events, latest-wins
+            rng = F.lit(True)
+            if not isinstance(lo, type(UNBOUNDED_LO)):
+                rng = rng & (F.col(self.key) >= F.lit(lo))
+            if not isinstance(hi, type(UNBOUNDED_HI)):
+                rng = rng & (F.col(self.key) <= F.lit(hi))
+            ev = None
+            out_rng = None
+            if rewrite:
+                base_df = spark.read.parquet(
+                    *[os.path.join(sdir, r) for r in rewrite]
+                )
+                out_rng = base_df.filter(~rng)
+                ev = (
+                    base_df.filter(rng)
+                    .withColumn("__v", F.lit(start))
+                    .withColumn("__kind", F.lit("u"))
+                )
+            for v in deltas:
+                data, dels, _pos, _ck = self._commit_view(v)
+                if data:
+                    d = (
+                        spark.read.parquet(*data)
+                        .withColumn("__v", F.lit(v))
+                        .withColumn("__kind", F.lit("u"))
+                    )
+                    ev = d if ev is None else ev.unionByName(
+                        d, allowMissingColumns=True
+                    )
+                if dels:
+                    t = (
+                        spark.read.parquet(*dels)
+                        .select(F.col(self.key))
+                        .withColumn("__v", F.lit(v))
+                        .withColumn("__kind", F.lit("d"))
+                    )
+                    ev = t if ev is None else ev.unionByName(
+                        t, allowMissingColumns=True
+                    )
+            w = Window.partitionBy(self.key).orderBy(F.col("__v").desc())
+            resolved = (
+                ev.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .filter(F.col("__kind") == "u")
+                .drop("__v", "__kind", "__rn")
+            )
+            new_data = (
+                resolved
+                if out_rng is None
+                else resolved.unionByName(
+                    out_rng, allowMissingColumns=True
+                )
+            )
+            base, claim = _base_and_claim(self.path)
+            if base != v0:
+                continue  # a delta landed mid-build: re-resolve
+            stage = os.path.join(
+                self.path, f".stage-owm-{_uuid.uuid4().hex}"
+            )
+            work = os.path.join(
+                self.path, f".stage-owmpub-{_uuid.uuid4().hex}"
+            )
+            try:
+                new_data.write.mode("errorifexists").parquet(
+                    os.path.join(stage, "data")
+                )
+                os.makedirs(os.path.join(work, "data"))
+                for rel in relink:
+                    dst = os.path.join(work, rel)
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    os.link(os.path.join(sdir, rel), dst)
+                srcdir = os.path.join(stage, "data")
+                for fn in os.listdir(srcdir):
+                    if fn.endswith(".parquet"):
+                        os.link(
+                            os.path.join(srcdir, fn),
+                            os.path.join(
+                                work,
+                                "data",
+                                f"owm-{_uuid.uuid4().hex[:8]}-{fn}",
+                            ),
+                        )
+                with open(os.path.join(work, _CKPT), "w") as fh:
+                    fh.write("")
+                with open(os.path.join(work, "_SUCCESS"), "w") as fh:
+                    fh.write("")
+                bloom_on = self.bloom_on or log.table_props().get(
+                    "bloom_on"
+                )
+                manifest = build_manifest(
+                    claim, work, checkpoint=True, bloom_on=bloom_on
+                )
+                manifest["checkpoint_at"] = claim
+                manifest["op"] = "optimize_where"
+                manifest["metrics"] = {
+                    "files_rewritten": len(rewrite),
+                    "files_relinked": len(relink),
+                    "predicate": condition,
+                }
+                inherited = inherit_pending(log, claim)
+                if inherited:
+                    manifest["txn_inherited"] = inherited
+                    _stamp_inherited(work, inherited)
+            except BaseException:
+                shutil.rmtree(work, ignore_errors=True)
+                shutil.rmtree(stage, ignore_errors=True)
+                raise
+            try:
+                os.rename(work, os.path.join(self.path, f"v{claim}"))
+            except OSError as exc:
+                import errno
+
+                shutil.rmtree(work, ignore_errors=True)
+                shutil.rmtree(stage, ignore_errors=True)
+                if exc.errno in (errno.EEXIST, errno.ENOTEMPTY):
+                    _heal_claim(self.path, claim)
+                    continue
+                raise
+            log.publish(manifest)
+            shutil.rmtree(stage, ignore_errors=True)
+            return {
+                "version": claim,
+                "files_relinked": len(relink),
+                "files_rewritten": len(rewrite),
+            }
+        raise RuntimeError(
+            f"OPTIMIZE WHERE lost the version race {max_retries} times "
+            f"at {self.path}"
+        )
+
     def restore(
         self, spark: SparkSession, version: int, max_retries: int = 20
     ) -> int:

@@ -189,13 +189,20 @@ class LakehouseTransaction:
             )
         from .constraints import identity_columns
 
-        if identity_columns(props):
+        id_cols = identity_columns(props)
+        have = {c.lower() for c in df.columns}
+        supplied = [c for c in id_cols if c.lower() in have]
+        if supplied:
             raise ValueError(
-                f"stage_append into {table_path}: IDENTITY columns need "
-                "the OCC claim to assign collision-free keys, but a "
-                "transaction stages BEFORE claiming — append outside "
-                "the transaction (MergeSink.append / INSERT INTO)"
+                f"GENERATED ALWAYS AS IDENTITY column(s) {supplied} "
+                "cannot be supplied — the engine assigns them"
             )
+        # IDENTITY columns are assigned at PUBLISH time (S49b): staging
+        # precedes the OCC claim, so the high-water mark is unknowable
+        # here — the staged files carry NO identity column and
+        # _publish_one re-stages them with dense ids above the claim's
+        # base (re-assigned on every lost claim, the S49 rule)
+        id_assign = [c for c in id_cols if c.lower() not in have]
         stage = self._stage_dir(table_path)
         w = self._guarded(df, table_path).write.mode("errorifexists")
         pby = props.get("partition_by")
@@ -214,6 +221,8 @@ class LakehouseTransaction:
             "stage": stage,
             "base_at_prepare": CommitLog(table_path).current_version(),
         }
+        if id_assign:
+            ent["identity"] = id_assign
         if copy_files:
             ent["copy_files"] = copy_files
         self._entries.append(ent)
@@ -367,6 +376,62 @@ def _already_published(
     return None
 
 
+def _assign_identity_stage(
+    path: str,
+    stage: str,
+    base: int,
+    id_cols: list[str],
+    props: dict[str, Any],
+) -> str:
+    """S49b: re-stage a transaction's staged append WITH identity values
+    assigned against ``base`` (the OCC loop's current head — called
+    once per claim attempt, so a lost claim re-assigns above the
+    winner's high-water mark, exactly the S49 re-stage rule). Returns a
+    fresh hidden dir whose ``new/`` subdir replaces the original stage
+    in the link loop; the caller removes it after the attempt."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructType
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError(
+            f"transaction publish into {path}: IDENTITY assignment "
+            "needs an active SparkSession (commit/heal from a live "
+            "session)"
+        )
+    from .merge import MergeSink, _dense_seq
+
+    sink = MergeSink(path, key=props.get("merge_key") or "_")
+    hwm = sink._identity_hwm_for(spark, base, id_cols)
+    types: dict[str, Any] = {}
+    if props.get("schema_ddl"):
+        for f in StructType.fromDDL(props["schema_ddl"]).fields:
+            for c in id_cols:
+                if f.name.lower() == c.lower():
+                    types[c] = f.dataType
+    df = _dense_seq(
+        spark.read.parquet(os.path.join(stage, "new"))
+    )
+    for c in id_cols:
+        df = df.withColumn(
+            c,
+            (F.lit(hwm[c]) + F.col("__seq")).cast(
+                types.get(c, LongType())
+            ),
+        )
+    df = df.drop("__seq")
+    out = os.path.join(path, f".txn-idassign-{uuid.uuid4().hex}")
+    w = df.write.mode("errorifexists")
+    pby = props.get("partition_by")
+    if isinstance(pby, str):
+        pby = [p.strip() for p in pby.split(",") if p.strip()]
+    if pby:
+        w = w.partitionBy(*pby)
+    w.parquet(os.path.join(out, "new"))
+    return out
+
+
 def _publish_one(
     coord: str, txn_id: str, idx: int, ent: dict[str, Any]
 ) -> int:
@@ -421,6 +486,14 @@ def _publish_one(
                 with open(done, "w") as fh:
                     fh.write(str(v))
                 return v
+        id_tmp: str | None = None
+        if op == "cow_append" and ent.get("identity"):
+            # S49b: identity values exist only under the claim — the
+            # staged files carry none; re-stage with dense ids above
+            # THIS attempt's base (a lost claim re-runs this)
+            id_tmp = _assign_identity_stage(
+                path, stage, base, ent["identity"], props
+            )
         work = os.path.join(path, f".stage-txnpub-{uuid.uuid4().hex}")
         os.makedirs(work)
         try:
@@ -433,13 +506,15 @@ def _publish_one(
                 # txn-unique FILE name prefix against collisions
                 if base > 0:
                     for fent in log.manifest(base)["files"]:
+                        if fent.get("role", "data") != "data":
+                            continue  # cdf members stay with THEIR commit
                         rel = fent["path"]
                         dst = os.path.join(work, rel)
                         os.makedirs(os.path.dirname(dst), exist_ok=True)
                         os.link(
                             os.path.join(path, f"v{base}", rel), dst
                         )
-                srcdir = os.path.join(stage, "new")
+                srcdir = os.path.join(id_tmp or stage, "new")
                 for root_, dirs, files in os.walk(srcdir):
                     dirs[:] = [
                         d for d in dirs if not d.startswith(("_", "."))
@@ -515,6 +590,8 @@ def _publish_one(
             manifest = build_manifest(claim, work, bloom_on=bloom_on)
         except BaseException:
             shutil.rmtree(work, ignore_errors=True)
+            if id_tmp is not None:
+                shutil.rmtree(id_tmp, ignore_errors=True)
             raise  # real I/O / stats errors must surface, not retry
         try:
             os.rename(work, os.path.join(path, f"v{claim}"))
@@ -522,10 +599,14 @@ def _publish_one(
             import errno
 
             shutil.rmtree(work, ignore_errors=True)
+            if id_tmp is not None:
+                shutil.rmtree(id_tmp, ignore_errors=True)
             if exc.errno in (errno.EEXIST, errno.ENOTEMPTY):
                 continue  # lost the version race: relink against new base
             raise
         log.publish(manifest)
+        if id_tmp is not None:
+            shutil.rmtree(id_tmp, ignore_errors=True)
         shutil.rmtree(stage, ignore_errors=True)
         with open(done, "w") as fh:
             fh.write(str(claim))

@@ -1079,7 +1079,7 @@ class LakehouseSqlCatalog:
         - ``WHEN NOT MATCHED THEN INSERT *`` or
           ``INSERT (cols) VALUES (exprs)``
         - ``WHEN NOT MATCHED BY SOURCE THEN DELETE`` or
-          ``THEN UPDATE SET c = expr, ...`` (S28b — target columns
+          ``THEN UPDATE SET c = expr, ...`` (S28c — target columns
           only: there is no source row on that side)
 
         Routing: CoW -> one ``MergeSink.merge`` commit (upserts +

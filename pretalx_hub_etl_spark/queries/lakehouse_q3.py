@@ -3,7 +3,7 @@ file-granular CoW DELETE/UPDATE (S50), per-commit change-data files for
 CoW CDC (S51), IDENTITY assignment inside multi-table transactions
 (S49b), predicate-scoped OPTIMIZE for MoR chains (LAY5), type widening
 via column mapping (S52), and MERGE's WHEN NOT MATCHED BY SOURCE THEN
-UPDATE clause (S28b).
+UPDATE clause (S28c).
 
 Reference tie-in: the reference (main.py:169-260) exposes only
 whole-table reconcile semantics; everything here is the engine-surface
@@ -287,7 +287,7 @@ def q_sql_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_sql_merge_nmbs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # S28b (VERDICT r14 item 7): the full Delta MERGE clause grammar —
+    # S28c (VERDICT r14 item 7): the full Delta MERGE clause grammar —
     # WHEN NOT MATCHED BY SOURCE THEN UPDATE alongside the DELETE form,
     # with per-clause AND conditions and first-clause-wins ordering on
     # the not-matched-by-source side: rows the source didn't touch take

@@ -484,6 +484,15 @@ def committed_floor(table_path: str) -> int:
     return _COMMITTED_FLOOR.get(os.path.realpath(table_path), 0)
 
 
+def forget_committed(table_path: str) -> None:
+    """Drop the process-local floor for a table. Crash-SIMULATION and
+    teardown helper: a real crashed writer loses its floor with its
+    process, but an in-process test that deletes a published manifest
+    to emulate the crash must also forget the floor — otherwise the
+    fence (correctly) refuses to serve the regressed state."""
+    _COMMITTED_FLOOR.pop(os.path.realpath(table_path), None)
+
+
 class CommitLog:
     """Listing-free version resolution for one versioned table root."""
 

@@ -1269,7 +1269,11 @@ class MergeSink:
             events_upto,
             prior_physical_names,
         )
-        from .constraints import apply_invariants, generated_columns
+        from .constraints import (
+            apply_generated,
+            apply_invariants,
+            generated_columns,
+        )
         from .manifest import build_manifest
         from .txn import inherit_pending
 
@@ -1332,6 +1336,22 @@ class MergeSink:
                     scanned = apply_events_df(
                         scanned, events_upto(props, base)
                     )
+                    # ALTER-declared columns the rewrite files don't
+                    # hold yet materialize as typed NULLs (same rule as
+                    # the MERGE route: the declaration made them part
+                    # of the table — not an evolution to opt into)
+                    if props.get("schema_ddl"):
+                        from pyspark.sql.types import StructType as _ST
+
+                        have_l = {c.lower() for c in scanned.columns}
+                        for f in _ST.fromDDL(
+                            props["schema_ddl"]
+                        ).fields:
+                            if f.name.lower() not in have_l:
+                                scanned = scanned.withColumn(
+                                    f.name,
+                                    F.lit(None).cast(f.dataType),
+                                )
                     payload = [
                         c for c in scanned.columns if c != self.key
                     ]
@@ -1400,8 +1420,12 @@ class MergeSink:
                                         cond_c, F.expr(gexpr)
                                     ).otherwise(F.col(gcol)),
                                 )
+                        # apply_generated VALIDATES explicitly-assigned
+                        # generated columns value-equals-expr (the
+                        # smuggle guard); unassigned ones were just
+                        # recomputed so the check passes by construction
                         replacement = apply_invariants(
-                            replacement, props
+                            apply_generated(replacement, props), props
                         )
                         if track_cdf:
                             # update events: pre-image captured before

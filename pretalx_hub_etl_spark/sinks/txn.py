@@ -393,7 +393,12 @@ def _assign_identity_stage(
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType, StructType
 
-    spark = SparkSession.getActiveSession()
+    # getActiveSession is THREAD-LOCAL (a commit driven from a worker
+    # thread — the concurrent-transactions shape — sees None there):
+    # fall back to the process-wide instantiated session
+    spark = SparkSession.getActiveSession() or getattr(
+        SparkSession, "_instantiatedSession", None
+    )
     if spark is None:
         raise RuntimeError(
             f"transaction publish into {path}: IDENTITY assignment "

@@ -10,7 +10,10 @@ import os
 
 import pytest
 
-from pretalx_hub_etl_spark.sinks.manifest import CommitLog
+from pretalx_hub_etl_spark.sinks.manifest import (
+    CommitLog,
+    forget_committed,
+)
 from pretalx_hub_etl_spark.sinks.merge import MergeSink
 from pretalx_hub_etl_spark.sinks.mor import MorTable
 
@@ -131,6 +134,7 @@ def test_crashed_writer_heal_unblocks_next_commit(spark, tmp_path):
     # simulate a writer that renamed v2 but died before publishing:
     # retract the manifest and regress the hint
     os.remove(os.path.join(sink.path, "_manifest", "2.json"))
+    forget_committed(sink.path)  # a real crash loses the floor too
     with open(os.path.join(sink.path, "_manifest", "_latest"), "w") as fh:
         fh.write("1")
     assert CommitLog(sink.path).current_version() == 1
@@ -372,6 +376,7 @@ def test_mor_crashed_publish_healed_by_next_delta(spark, tmp_path):
     t.init(spark.createDataFrame([(1, 10)], "k long, v long"))
     t.merge(spark, spark.createDataFrame([(2, 20)], "k long, v long"))
     os.remove(os.path.join(t.path, "_manifest", "2.json"))
+    forget_committed(t.path)  # a real crash loses the floor too
     with open(os.path.join(t.path, "_manifest", "_latest"), "w") as fh:
         fh.write("1")
     # crashed delta invisible

@@ -13,7 +13,10 @@ import uuid
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-from pretalx_hub_etl_spark.sinks.manifest import CommitLog
+from pretalx_hub_etl_spark.sinks.manifest import (
+    CommitLog,
+    forget_committed,
+)
 from pretalx_hub_etl_spark.sinks.merge import MergeSink
 
 KEYS = st.integers(min_value=0, max_value=10)
@@ -62,6 +65,7 @@ def test_commit_log_model_replay_with_crashes(
             # simulate the winner dying between rename-claim and
             # publish: retract the manifest and regress the hint
             os.remove(os.path.join(sink.path, "_manifest", f"{v}.json"))
+            forget_committed(sink.path)  # a crash loses the floor too
             with open(
                 os.path.join(sink.path, "_manifest", "_latest"), "w"
             ) as fh:

@@ -25,7 +25,10 @@ import os
 
 import pytest
 
-from pretalx_hub_etl_spark.sinks.manifest import CommitLog
+from pretalx_hub_etl_spark.sinks.manifest import (
+    CommitLog,
+    forget_committed,
+)
 from pretalx_hub_etl_spark.sinks.merge import MergeSink
 from pretalx_hub_etl_spark.sources.lakehouse_ds import (
     register,
@@ -252,6 +255,7 @@ def test_heal_preserves_stream_batch_stamp(spark, tmp_path):
     # crash between rename and publish: the manifest vanishes, the
     # committed dir (with its _STREAM_BATCH marker) remains
     os.remove(os.path.join(table, "_manifest", "1.json"))
+    forget_committed(table)  # a real crash loses the floor too
     assert log.current_version() == 0
     log.heal(1)
     healed = log.manifest(1)
@@ -752,6 +756,7 @@ def test_bloom_point_lookup_skips_files(spark, tmp_path):
     assert df4.filter("k = 50000").count() == 1
     # heal rebuilds blooms from the declared column
     os.remove(os.path.join(path, "_manifest", "2.json"))
+    forget_committed(path)  # a real crash loses the floor too
     log.heal(2)
     assert any("bloom" in e for e in log.manifest(2)["files"])
 

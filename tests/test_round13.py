@@ -24,6 +24,7 @@ import time
 import pytest
 
 from pretalx_hub_etl_spark.sinks.manifest import (
+    forget_committed,
     CommitLog,
     bloom_might_contain,
     build_file_bloom,
@@ -94,6 +95,7 @@ def test_version_at_steps_over_torn_claim_hole(spark, tmp_path):
     # tear v2: directory present, manifest gone (the shape a writer
     # leaves dying between rename-claim and publish)
     os.remove(os.path.join(path, "_manifest", "2.json"))
+    forget_committed(path)  # a real crash loses the floor too
     assert os.path.isdir(os.path.join(path, "v2"))
     got = (
         spark.read.format("lakehouse")
@@ -130,6 +132,7 @@ def test_replayed_stream_batch_dedups_across_torn_hole(spark, tmp_path):
         spark.createDataFrame([(99, 99)], "k long, v long"), table, "append"
     )
     os.remove(os.path.join(table, "_manifest", "2.json"))
+    forget_committed(table)  # a real crash loses the floor too
     # force Spark to REPLAY batch 0 (sink committed, checkpoint didn't)
     os.remove(os.path.join(ckpt, "commits", "0"))
     crc = os.path.join(ckpt, "commits", ".0.crc")

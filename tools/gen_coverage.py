@@ -162,6 +162,24 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          "(stats-derived high-water mark, restage-on-lost-claim "
          "collision-free assignment)",
          ["q_sql_defaults"]),
+        ("S49b", "IDENTITY assignment inside multi-table transactions: "
+         "publish-time dense assignment under the OCC claim, re-staged "
+         "on a lost claim",
+         ["q_sql_txn_identity"]),
+        ("S50", "file-granular CoW DELETE/UPDATE: stats-split rewrite "
+         "set vs byte-identical relinks, DESCRIBE HISTORY metrics",
+         ["q_sql_delete_pruned"]),
+        ("S51", "per-commit change-data feed (cdf='true'): DML commits "
+         "carry typed change events; table_changes() serves any span "
+         "O(changes) from feed files only",
+         ["q_cdc_cow_feed"]),
+        ("S52", "metadata-only type widening (ALTER COLUMN c TYPE "
+         "BIGINT): cast-on-read overlay via column mapping, narrowing "
+         "refused, time travel serves the original type",
+         ["q_sql_widen"]),
+        ("S28c", "MERGE WHEN NOT MATCHED BY SOURCE THEN UPDATE: ordered "
+         "conditional by-source clauses (update + delete forms)",
+         ["q_sql_merge_nmbs"]),
     ]),
     ("2.2 Projections / filters", [
         ("P1", "projection + rename", ["q_project_rename"]),
@@ -263,6 +281,10 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          "rewrite of only the matching files (compact or z-cluster), "
          "disjoint files relink byte-identical; files, never rows",
          ["q_sql_optimize_where"]),
+        ("LAY5", "predicate-scoped OPTIMIZE ... WHERE on MoR chains: "
+         "scoped checkpoint — disjoint checkpoint files relink, only "
+         "the in-range key slice resolves; out-of-range deltas refuse",
+         ["q_sql_optimize_where_mor"]),
     ]),
     ("2.6 Sorts / limits", [
         ("O1", "multi-key sort", ["q_sort_multi_key"]),

@@ -158,6 +158,19 @@ QUERIES = [
     "q_sql_defaults",
     "q_sql_zorder_mor",
     "q_sql_zorder_inc",
+    # round-15 additions: all ride the replicated-1x orders/customer
+    # tables — file-granular DML is stats-split + partial-rewrite
+    # (touched-slice bound), the CDF feed write is one extra diff join
+    # per commit and its read is O(changes), MoR OPTIMIZE WHERE
+    # rewrites the in-range slice only, widening is metadata-only (the
+    # read pays one cast), txn identity adds one re-stage pass over the
+    # staged payload
+    "q_sql_delete_pruned",
+    "q_cdc_cow_feed",
+    "q_sql_widen",
+    "q_sql_merge_nmbs",
+    "q_sql_txn_identity",
+    "q_sql_optimize_where_mor",
     "q_sql_optimize_where",
 ]
 

@@ -1091,6 +1091,7 @@ class MergeSink:
         if isinstance(pby, str):
             pby = [p.strip() for p in pby.split(",") if p.strip()]
         bloom_on = self.bloom_on or props.get("bloom_on")
+        cdf_on = cdf_enabled(props) and self.key in df.columns
         for _ in range(20):
             base, claim = _base_and_claim(self.path)
             vdir = os.path.join(self.path, f"v{base}")
@@ -1128,6 +1129,7 @@ class MergeSink:
             )
             try:
                 parts: list[DataFrame] = [df]
+                old_region = None
                 if rewrite_rels:
                     reader = self._physical_reader(spark, props, base)
                     scanned = reader.option("basePath", vdir).parquet(
@@ -1136,12 +1138,13 @@ class MergeSink:
                     scanned = apply_events_df(
                         scanned, events_upto(props, base)
                     )
-                    survivors = scanned.filter(
-                        ~F.coalesce(
-                            F.expr(condition).cast("boolean"),
-                            F.lit(False),
-                        )
+                    matched_c = F.coalesce(
+                        F.expr(condition).cast("boolean"),
+                        F.lit(False),
                     )
+                    if cdf_on:
+                        old_region = scanned.filter(matched_c)
+                    survivors = scanned.filter(~matched_c)
                     parts.append(
                         survivors.select(*df.columns)
                         if set(survivors.columns) == set(df.columns)
@@ -1154,6 +1157,32 @@ class MergeSink:
                 if pby:
                     w = w.partitionBy(*pby)
                 w.parquet(os.path.join(stage, "new"))
+                if cdf_on:
+                    # S51: the replaced region's net change — old
+                    # in-region rows vs the incoming payload, keyed
+                    # diff (one extra region-sized join, the documented
+                    # CDF write amplification)
+                    lo_side = (
+                        old_region
+                        if old_region is not None
+                        else df.limit(0)
+                    )
+                    hi_side = df
+                    for f in hi_side.schema.fields:
+                        if f.name not in lo_side.columns:
+                            lo_side = lo_side.withColumn(
+                                f.name, F.lit(None).cast(f.dataType)
+                            )
+                    for f in lo_side.schema.fields:
+                        if f.name not in hi_side.columns:
+                            hi_side = hi_side.withColumn(
+                                f.name, F.lit(None).cast(f.dataType)
+                            )
+                    _diff_frames(
+                        lo_side, hi_side, self.key
+                    ).write.mode("errorifexists").parquet(
+                        os.path.join(stage, "cdfev")
+                    )
                 work = os.path.join(
                     self.path, f".stage-rwpub-{_uuid.uuid4().hex}"
                 )
@@ -1187,6 +1216,16 @@ class MergeSink:
                                     f"rw-{_uuid.uuid4().hex[:8]}-{fn}",
                                 ),
                             )
+                    evdir = os.path.join(stage, "cdfev")
+                    if os.path.isdir(evdir):
+                        cdst = os.path.join(work, "cdf")
+                        os.makedirs(cdst, exist_ok=True)
+                        for fn in os.listdir(evdir):
+                            if fn.endswith(".parquet"):
+                                os.link(
+                                    os.path.join(evdir, fn),
+                                    os.path.join(cdst, fn),
+                                )
                     with open(
                         os.path.join(work, "_SUCCESS"), "w"
                     ) as fh:
@@ -1194,6 +1233,14 @@ class MergeSink:
                     manifest = build_manifest(
                         claim, work, bloom_on=bloom_on
                     )
+                    if cdf_on:
+                        manifest["cdf"] = True
+                    manifest["op"] = "replace_where"
+                    manifest["metrics"] = {
+                        "files_rewritten": len(rewrite_rels),
+                        "files_relinked": len(relink_rels),
+                        "predicate": condition,
+                    }
                     inherited = inherit_pending(log, claim)
                     if inherited:
                         manifest["txn_inherited"] = inherited

@@ -554,3 +554,84 @@ def test_update_condition_on_assigned_column_uses_pre_values(
     }
     exp = {k: k * 10 + (100 if k * 10 < 50 else 0) for k in range(10)}
     assert got == exp, got
+
+
+def test_replace_where_writes_cdf_events(spark, tmp_path):
+    """S51 on S48: replaceWhere with cdf='true' records the replaced
+    region's net change; the feed serves the span without touching
+    base data files."""
+    from pretalx_hub_etl_spark.plans.lakehouse_sql import (
+        LakehouseSqlCatalog,
+    )
+    from pretalx_hub_etl_spark.sinks.merge import (
+        MergeSink,
+        version_diff,
+    )
+
+    path = str(tmp_path / "t")
+    cat = LakehouseSqlCatalog(spark)
+    cat.sql(
+        f"CREATE TABLE r15_rwcdf (k BIGINT, v BIGINT) USING lakehouse "
+        f"LOCATION '{path}' TBLPROPERTIES (merge_key='k', cdf='true')"
+    )
+    spark.range(0, 30).selectExpr(
+        "id AS k", "id * 10 AS v"
+    ).createOrReplaceTempView("r15_rw_seed")
+    cat.sql("INSERT INTO r15_rwcdf SELECT k, v FROM r15_rw_seed")  # v1
+    repl = spark.createDataFrame(
+        [(k, k * 10 + 1) for k in range(20, 26)] + [(35, 351)],
+        "k long, v long",
+    )
+    MergeSink(path, key="k").replace_where(repl, "k >= 20")  # v2
+    d = version_diff(spark, path, "k", 1, 2)
+    files = d.inputFiles()
+    assert files and all("/cdf/" in f for f in files), files[:3]
+    rows = {r["k"]: (r["change"], r["new"]["v"] if r["new"] else None)
+            for r in d.collect()}
+    exp = {k: ("update", k * 10 + 1) for k in range(20, 26)}
+    exp.update({k: ("delete", None) for k in range(26, 30)})
+    exp[35] = ("insert", 351)
+    assert rows == exp, rows
+    # DESCRIBE HISTORY carries the replace metrics
+    h = cat.sql("DESCRIBE HISTORY r15_rwcdf").collect()[0]
+    assert h.operation == "replace_where" and h.files_rewritten >= 1
+
+
+def test_widen_pruning_stays_sound_and_effective(spark, tmp_path):
+    """S52: manifest stats written under the NARROW type still prune
+    long-range predicates after the widen (python int compare is
+    width-agnostic): narrow files skip for a wide-only range, and no
+    wide row is lost."""
+    from pretalx_hub_etl_spark.plans.lakehouse_sql import (
+        LakehouseSqlCatalog,
+    )
+    from pretalx_hub_etl_spark.sinks.manifest import UNBOUNDED_HI
+
+    path = str(tmp_path / "t")
+    cat = LakehouseSqlCatalog(spark)
+    cat.sql(
+        f"CREATE TABLE r15_wprune (k BIGINT, v INT) USING lakehouse "
+        f"LOCATION '{path}' TBLPROPERTIES (merge_key='k')"
+    )
+    spark.range(0, 20).selectExpr(
+        "id AS k", "CAST(id AS INT) AS v"
+    ).createOrReplaceTempView("r15_wp_narrow")
+    cat.sql("INSERT INTO r15_wprune SELECT k, v FROM r15_wp_narrow")
+    cat.sql("ALTER TABLE r15_wprune ALTER COLUMN v TYPE BIGINT")
+    spark.range(20, 25).selectExpr(
+        "id AS k", "id + 6000000000 AS v"
+    ).createOrReplaceTempView("r15_wp_wide")
+    cat.sql("INSERT INTO r15_wprune SELECT k, v FROM r15_wp_wide")
+    log = CommitLog(path)
+    cur = log.current_version()
+    kept, skipped = log.files_for(
+        cur, prune=[("v", 5_000_000_000, UNBOUNDED_HI)]
+    )
+    assert skipped >= 1, (kept, skipped)  # narrow files provably out
+    got = {
+        r["k"]: r["v"]
+        for r in cat.sql(
+            "SELECT k, v FROM r15_wprune WHERE v > 5000000000"
+        ).collect()
+    }
+    assert got == {k: k + 6000000000 for k in range(20, 25)}, got

@@ -501,3 +501,96 @@ def q_sql_optimize_where_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# --- ST19: streaming the change feed ------------------------------------------
+
+
+@query(
+    "q_stream_cdc_cow",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT k, 'insert' AS change, CAST(NULL AS BIGINT) AS old_cents,
+           cents AS new_cents, 1 AS commit_v
+    FROM base WHERE k % 3 = 0
+    UNION ALL
+    SELECT k, 'update', cents, cents + 7, 2
+    FROM base WHERE k % 3 = 0 AND k % 10 = 0
+    UNION ALL
+    SELECT k, 'delete',
+           CASE WHEN k % 10 = 0 THEN cents + 7 ELSE cents END,
+           CAST(NULL AS BIGINT), 3
+    FROM base WHERE k % 3 = 0 AND k % 7 = 0
+    """,
+)
+def q_stream_cdc_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ST19: `readStream.format("lakehouse").option("readChangeFeed",
+    # "true")` — the S51 per-commit change feed as a STRUCTURED
+    # STREAMING SOURCE (the Delta readChangeFeed shape): offsets are
+    # commit versions, each microbatch serves the versions' cdf/
+    # members as typed events (key, change, old, new, _commit_version),
+    # v1 (the initial snapshot) streams its data files as insert
+    # events, metadata-only anchors are skipped, and a version without
+    # change data fails LOUDLY instead of silently dropping changes.
+    # Scan cost per batch = the feed members only — a downstream
+    # incremental consumer of a 100 TB table reads O(changes). The
+    # oracle recomputes every event of the 3-commit lifecycle EXACTLY
+    # (per-commit, not net) — a lost event, a wrong pre/post image, or
+    # a misattributed commit version hash-fails.
+    import shutil
+
+    from ..plans.lakehouse_sql import LakehouseSqlCatalog
+    from ..sources.lakehouse_ds import (
+        cdf_read_schema,
+        pin_active_session,
+        register,
+    )
+
+    register(spark)
+    pin_active_session(spark)
+    base = Catalog(spark, sf_dir).orders.select(
+        F.col("o_orderkey").alias("k"),
+        fixed_cents(F.col("o_totalprice")).alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="phe_stream_cdc_cow_")
+    table, out, ckpt = (
+        os.path.join(root, d) for d in ("t", "out", "ck")
+    )
+    cat = LakehouseSqlCatalog(spark)
+    cat.sql(
+        f"CREATE TABLE scdc_t (k BIGINT, cents BIGINT) USING lakehouse "
+        f"LOCATION '{table}' TBLPROPERTIES (merge_key='k', cdf='true')"
+    )
+    base.filter(F.col("k") % 3 == 0).createOrReplaceTempView("scdc_s0")
+    cat.sql("INSERT INTO scdc_t SELECT k, cents FROM scdc_s0")  # v1
+    cat.sql("UPDATE scdc_t SET cents = cents + 7 WHERE k % 10 = 0")
+    cat.sql("DELETE FROM scdc_t WHERE k % 7 = 0")  # v3
+    q = (
+        spark.readStream.format("lakehouse")
+        .schema(cdf_read_schema(table))  # driver-side schema
+        .option("path", table)
+        .option("readChangeFeed", "true")
+        .load()
+        .selectExpr(
+            "k",
+            "change",
+            "old.cents AS old_cents",
+            "new.cents AS new_cents",
+            "CAST(_commit_version AS INT) AS commit_v",
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.read.parquet(out).localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return got

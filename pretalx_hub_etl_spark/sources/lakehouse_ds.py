@@ -101,6 +101,121 @@ def build_lakehouse_source():
             # NULLs instead of crashing on the missing footer field
             self.coltypes = coltypes or {}
 
+    class _CdfPart(InputPartition):
+        """One change-feed file (or, for the v1 seed, one data file
+        served as insert events) of the ST19 readChangeFeed stream."""
+
+        def __init__(self, path, version, seed, key, schema):
+            self.path = path
+            self.version = version
+            self.seed = seed  # v1 initial snapshot -> insert events
+            self.key = key
+            self.schema = schema  # target pyarrow schema (5 columns)
+
+    def _read_cdf_part(partition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if not partition.path:
+            return
+        sch = partition.schema
+        struct_t = sch.field("old").type
+        if partition.seed:
+            # v1 data file -> insert events (the Delta initial-snapshot
+            # rule for readChangeFeed from the beginning)
+            tbl = pq.read_table(partition.path).combine_chunks()
+            n = tbl.num_rows
+            arrays, names = [], []
+            for f in struct_t:
+                if f.name in tbl.column_names:
+                    arrays.append(
+                        tbl.column(f.name).combine_chunks().cast(f.type)
+                    )
+                else:
+                    arrays.append(pa.nulls(n, type=f.type))
+                names.append(f.name)
+            new_col = pa.StructArray.from_arrays(arrays, names)
+            out = pa.table(
+                {
+                    partition.key: tbl.column(partition.key)
+                    .combine_chunks()
+                    .cast(sch.field(partition.key).type),
+                    "change": pa.array(["insert"] * n),
+                    "old": pa.nulls(n, type=struct_t),
+                    "new": new_col,
+                    "_commit_version": pa.array(
+                        [partition.version] * n, type=pa.int64()
+                    ),
+                }
+            )
+        else:
+            tbl = pq.read_table(partition.path)
+            tbl = tbl.append_column(
+                pa.field("_commit_version", pa.int64()),
+                pa.array([partition.version] * tbl.num_rows, pa.int64()),
+            )
+            out = tbl.select([f.name for f in sch])
+        try:
+            out = out.cast(sch)
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+            pass  # positional match is already exact in-lifecycle
+        yield from out.to_batches()
+
+    def _cdf_schema_arrow(path: str):
+        # change-feed stream schema: (key, change, old, new,
+        # _commit_version) — payload struct fields derived from the
+        # current head's first data file footer; key from table props
+        import json as _json
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        try:
+            with open(
+                os.path.join(path, "_manifest", "_table.json")
+            ) as fh:
+                props = _json.load(fh)
+        except (FileNotFoundError, ValueError):
+            props = {}
+        key = props.get("merge_key")
+        if not key:
+            raise ValueError(
+                f"readChangeFeed on {path} needs a stored merge key "
+                "(change rows are keyed)"
+            )
+        v = _current_version(path)
+        donor = None
+        for e in _manifest(path, v)["files"]:
+            if e.get("role", "data") == "data":
+                donor = pq.ParquetFile(
+                    os.path.join(path, f"v{v}", e["path"])
+                ).schema_arrow
+                break
+        if donor is None:
+            raise ValueError(
+                f"readChangeFeed on {path}: no data file to derive the "
+                "event schema from"
+            )
+        payload = [
+            pa.field(f.name, f.type, nullable=True)
+            for f in donor
+            if f.name.lower() != key.lower()
+        ]
+        keyf = next(
+            f for f in donor if f.name.lower() == key.lower()
+        )
+        struct_t = pa.struct(payload)
+        return key, pa.schema(
+            [
+                pa.field(keyf.name, keyf.type, nullable=True),
+                pa.field("change", pa.string(), nullable=True),
+                pa.field("old", struct_t, nullable=True),
+                pa.field("new", struct_t, nullable=True),
+                pa.field("_commit_version", pa.int64(), nullable=True),
+            ]
+        )
+
     def _current_version(table_path: str) -> int:
         # inline CommitLog.current_version (hint + forward probe) — the
         # reader ships by value into workers without the engine package
@@ -1315,6 +1430,18 @@ def build_lakehouse_source():
                 options.get("maxversionspertrigger", "0") or "0"
             )
             self._last_end: int | None = None
+            # ST19: readChangeFeed=true streams the S51 per-commit
+            # change data instead of appended rows — each microbatch
+            # serves versions' cdf/ members as (key, change, old, new,
+            # _commit_version) events; v1 (the initial snapshot) serves
+            # its data files as insert events (the Delta rule)
+            self.change_feed = (
+                str(options.get("readchangefeed", "")).lower() == "true"
+            )
+            if self.change_feed:
+                self.cdf_key, self.cdf_schema = _cdf_schema_arrow(
+                    self.path
+                )
             _v, entries, _p = _resolve({"path": self.path})
             # table-wide partition fields pinned at stream start (the
             # stream's schema is fixed then anyway)
@@ -1394,6 +1521,8 @@ def build_lakehouse_source():
             # witnessed progress (incl. a restart's replayed range):
             # re-anchor the rate-limit basis
             self._last_end = max(self._last_end or 0, hi)
+            if self.change_feed:
+                return self._cdf_partitions(lo, hi)
             parts = []
             for v in range(lo + 1, hi + 1):
                 try:
@@ -1456,7 +1585,75 @@ def build_lakehouse_source():
                 _FilePart("", self.schema_names, {}, self.part_fields)
             ]
 
+        def _cdf_partitions(self, lo: int, hi: int):
+            import os
+
+            parts = []
+            for v in range(lo + 1, hi + 1):
+                try:
+                    m = _manifest(self.path, v)
+                except FileNotFoundError:
+                    if os.path.exists(os.path.join(self.path, f"v{v}")):
+                        continue  # torn claim: never a commit
+                    raise RuntimeError(
+                        f"change-feed range ({lo}, {hi}] includes "
+                        f"version {v} of {self.path}, removed by "
+                        "vacuum; restart from a retained offset"
+                    ) from None
+                vdir = os.path.join(self.path, f"v{v}")
+                if m.get("cdf"):
+                    for e in m["files"]:
+                        if e.get("role") == "cdf":
+                            parts.append(
+                                _CdfPart(
+                                    os.path.join(vdir, e["path"]),
+                                    v,
+                                    False,
+                                    self.cdf_key,
+                                    self.cdf_schema,
+                                )
+                            )
+                elif v == 1:
+                    # initial snapshot: data files as insert events
+                    for e in m["files"]:
+                        if e.get("role", "data") != "data":
+                            continue
+                        if any(
+                            "=" in seg
+                            for seg in e["path"].split(os.sep)[:-1]
+                        ):
+                            raise RuntimeError(
+                                "readChangeFeed initial snapshot does "
+                                "not support hive-partitioned v1 — "
+                                "start from startingVersion=2"
+                            )
+                        parts.append(
+                            _CdfPart(
+                                os.path.join(vdir, e["path"]),
+                                v,
+                                True,
+                                self.cdf_key,
+                                self.cdf_schema,
+                            )
+                        )
+                elif m.get("metadata_only"):
+                    continue  # schema anchor: no data change, no events
+                else:
+                    raise RuntimeError(
+                        f"version {v} of {self.path} carries no change "
+                        "data (committed before cdf='true', or a "
+                        "maintenance rewrite) — readChangeFeed cannot "
+                        "serve it; start from a later startingVersion "
+                        "or consume table_changes()/snapshots instead"
+                    )
+            return parts or [
+                _CdfPart("", 0, False, self.cdf_key, self.cdf_schema)
+            ]
+
         def read(self, partition):
+            if isinstance(partition, _CdfPart):
+                yield from _read_cdf_part(partition)
+                return
             yield from _read_file_part(partition)
 
         def commit(self, end: dict) -> None:
@@ -1474,6 +1671,13 @@ def build_lakehouse_source():
             import pyarrow.parquet as pq
             from pyspark.sql.pandas.types import from_arrow_schema
 
+            if (
+                str(self.options.get("readchangefeed", "")).lower()
+                == "true"
+            ):
+                # ST19: the change-feed stream's fixed event schema
+                _k, sch = _cdf_schema_arrow(self.options["path"])
+                return from_arrow_schema(sch)
             _version, entries, path = _resolve(self.options)
             if not entries:
                 raise FileNotFoundError(
@@ -1627,6 +1831,60 @@ def cow_read_schema(path: str, version: int | None = None):
 
     evs = events_upto(log.table_props(), v)
     return apply_events_schema(out, evs) if evs else out
+
+
+def cdf_read_schema(path: str):
+    """Driver-side Spark schema of the ST19 ``readChangeFeed`` stream
+    exactly as the DataSource serves it (mirror of the inline
+    ``_cdf_schema_arrow`` — keep in sync): ``(key, change, old, new,
+    _commit_version)`` with the payload struct derived from the current
+    head's first data-file footer. Lets the SQL catalog / queries skip
+    the Python-worker round trip a ``DataSource.schema()`` call costs."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    from ..sinks.manifest import CommitLog
+
+    log = CommitLog(path)
+    key = log.table_props().get("merge_key")
+    if not key:
+        raise ValueError(
+            f"readChangeFeed on {path} needs a stored merge key"
+        )
+    v = log.visible_version()
+    donor = None
+    for e in log.manifest(v)["files"]:
+        if e.get("role", "data") == "data":
+            donor = pq.ParquetFile(
+                os.path.join(path, f"v{v}", e["path"])
+            ).schema_arrow
+            break
+    if donor is None:
+        raise ValueError(
+            f"readChangeFeed on {path}: no data file to derive the "
+            "event schema from"
+        )
+    payload = [
+        pa.field(f.name, f.type, nullable=True)
+        for f in donor
+        if f.name.lower() != key.lower()
+    ]
+    keyf = next(f for f in donor if f.name.lower() == key.lower())
+    struct_t = pa.struct(payload)
+    return from_arrow_schema(
+        pa.schema(
+            [
+                pa.field(keyf.name, keyf.type, nullable=True),
+                pa.field("change", pa.string(), nullable=True),
+                pa.field("old", struct_t, nullable=True),
+                pa.field("new", struct_t, nullable=True),
+                pa.field("_commit_version", pa.int64(), nullable=True),
+            ]
+        )
+    )
 
 
 def pin_active_session(spark) -> None:

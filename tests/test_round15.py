@@ -635,3 +635,49 @@ def test_widen_pruning_stays_sound_and_effective(spark, tmp_path):
         ).collect()
     }
     assert got == {k: k + 6000000000 for k in range(20, 25)}, got
+
+
+def test_cdf_stream_raises_on_feedless_version(spark, tmp_path):
+    """ST19: a mid-stream version without change data (maintenance
+    rewrite) fails LOUDLY — silently skipping it would drop changes."""
+    from pretalx_hub_etl_spark.plans.lakehouse_sql import (
+        LakehouseSqlCatalog,
+    )
+    from pretalx_hub_etl_spark.sources.lakehouse_ds import (
+        cdf_read_schema,
+        pin_active_session,
+        register,
+    )
+
+    register(spark)
+    pin_active_session(spark)
+    path = str(tmp_path / "t")
+    cat = LakehouseSqlCatalog(spark)
+    cat.sql(
+        f"CREATE TABLE r15_sfeed (k BIGINT, v BIGINT) USING lakehouse "
+        f"LOCATION '{path}' TBLPROPERTIES (merge_key='k', cdf='true')"
+    )
+    spark.range(0, 12).selectExpr(
+        "id AS k", "id * 10 AS v"
+    ).createOrReplaceTempView("r15_sf_seed")
+    cat.sql("INSERT INTO r15_sfeed SELECT k, v FROM r15_sf_seed")
+    cat.sql("UPDATE r15_sfeed SET v = v + 1 WHERE k < 3")
+    cat.sql("OPTIMIZE r15_sfeed ZORDER BY (k)")  # v3: no change data
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    q = (
+        spark.readStream.format("lakehouse")
+        .schema(cdf_read_schema(path))
+        .option("path", path)
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    try:
+        with pytest.raises(Exception, match="no change data"):
+            q.processAllAvailable()
+    finally:
+        q.stop()

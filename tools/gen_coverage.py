@@ -180,6 +180,10 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
         ("S28c", "MERGE WHEN NOT MATCHED BY SOURCE THEN UPDATE: ordered "
          "conditional by-source clauses (update + delete forms)",
          ["q_sql_merge_nmbs"]),
+        ("ST19", "the change feed as a streaming source "
+         "(readChangeFeed=true): per-commit typed events, v1 snapshot "
+         "as inserts, loud failure on feed-less versions",
+         ["q_stream_cdc_cow"]),
     ]),
     ("2.2 Projections / filters", [
         ("P1", "projection + rename", ["q_project_rename"]),

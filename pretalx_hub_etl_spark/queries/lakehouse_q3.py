@@ -594,3 +594,110 @@ def q_stream_cdc_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
     got = spark.read.parquet(out).localCheckpoint(eager=True)
     shutil.rmtree(root, ignore_errors=True)
     return got
+
+
+# --- ST20: CDC replication — apply the change feed to a downstream replica ----
+
+
+@query(
+    "q_pipeline_cdc_replica",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT k,
+           CASE WHEN k % 10 = 0 THEN cents + 7 ELSE cents END AS cents
+    FROM base
+    WHERE k % 3 = 0 AND k % 7 <> 0
+    """,
+)
+def q_pipeline_cdc_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ST20: the canonical downstream-sync pipeline — a CoW source table
+    # with cdf='true' replicates into a MoR REPLICA by streaming the
+    # change feed (ST19) through foreachBatch: per batch, events dedupe
+    # to the LATEST per key (a batch may span commits), then apply as
+    # one MoR delta (upserts from post-images, tombstones from
+    # deletes). Incremental cost: the feed files + one delta per batch
+    # — the replica never rescans the source. The oracle recomputes the
+    # source's final state from orders; replica == source after the
+    # stream drains, so a lost event, a misordered apply, or a
+    # resurrected delete hash-fails.
+    import shutil
+
+    from pyspark.sql.window import Window
+
+    from ..plans.lakehouse_sql import LakehouseSqlCatalog
+    from ..sinks.mor import MorTable
+    from ..sources.lakehouse_ds import (
+        cdf_read_schema,
+        pin_active_session,
+        register,
+    )
+
+    register(spark)
+    pin_active_session(spark)
+    base = Catalog(spark, sf_dir).orders.select(
+        F.col("o_orderkey").alias("k"),
+        fixed_cents(F.col("o_totalprice")).alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="phe_cdc_replica_")
+    src_t, rep_t, ckpt = (
+        os.path.join(root, d) for d in ("src", "rep", "ck")
+    )
+    cat = LakehouseSqlCatalog(spark)
+    cat.sql(
+        f"CREATE TABLE cdcr_src (k BIGINT, cents BIGINT) USING "
+        f"lakehouse LOCATION '{src_t}' "
+        f"TBLPROPERTIES (merge_key='k', cdf='true')"
+    )
+    base.filter(F.col("k") % 3 == 0).createOrReplaceTempView("cdcr_s0")
+    cat.sql("INSERT INTO cdcr_src SELECT k, cents FROM cdcr_s0")  # v1
+    cat.sql("UPDATE cdcr_src SET cents = cents + 7 WHERE k % 10 = 0")
+    cat.sql("DELETE FROM cdcr_src WHERE k % 7 = 0")  # v3
+    replica = MorTable(rep_t, key="k")
+    replica.init(base.limit(0))  # empty typed replica
+
+    def apply_batch(batch: DataFrame, _bid: int) -> None:
+        if batch.isEmpty():
+            return
+        # a batch may span commits: keep the LATEST event per key
+        w = Window.partitionBy("k").orderBy(
+            F.col("_commit_version").desc()
+        )
+        latest = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        ups = latest.filter(F.col("change") != "delete").select(
+            "k", F.col("new.cents").alias("cents")
+        )
+        dels = latest.filter(F.col("change") == "delete").select("k")
+        replica.merge(
+            batch.sparkSession,
+            source=ups if not ups.isEmpty() else None,
+            deletes=dels if not dels.isEmpty() else None,
+        )
+
+    q = (
+        spark.readStream.format("lakehouse")
+        .schema(cdf_read_schema(src_t))
+        .option("path", src_t)
+        .option("readChangeFeed", "true")
+        .option("maxVersionsPerTrigger", "1")  # several small batches
+        .load()
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = replica.read(spark).select("k", "cents").localCheckpoint(
+        eager=True
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -184,6 +184,10 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          "(readChangeFeed=true): per-commit typed events, v1 snapshot "
          "as inserts, loud failure on feed-less versions",
          ["q_stream_cdc_cow"]),
+        ("ST20", "CDC replication pipeline: stream the change feed into "
+         "a MoR replica via foreachBatch (latest-per-key dedupe, one "
+         "delta per batch; replica == source)",
+         ["q_pipeline_cdc_replica"]),
     ]),
     ("2.2 Projections / filters", [
         ("P1", "projection + rename", ["q_project_rename"]),

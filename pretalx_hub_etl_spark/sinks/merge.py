@@ -1732,13 +1732,22 @@ class MergeSink:
 
         log = CommitLog(self.path)
         src_manifest = log.manifest(version)  # raises if retired
+        props_r = log.table_props()
         vdir = os.path.join(self.path, f"v{version}")
+        # change-data members describe THEIR commit, never table state:
+        # relinking the source version's cdf/ would make the feed serve
+        # its events a second time under the restore's version number
+        keep = [
+            e
+            for e in src_manifest["files"]
+            if e.get("role", "data") == "data"
+        ]
         for _ in range(max_retries):
             _base, claim = _base_and_claim(self.path)
             stage = os.path.join(self.path, f".stage-{uuid.uuid4().hex}")
             os.makedirs(stage)
             try:
-                for ent in src_manifest["files"]:
+                for ent in keep:
                     dst = os.path.join(stage, ent["path"])
                     os.makedirs(os.path.dirname(dst), exist_ok=True)
                     src = os.path.join(vdir, ent["path"])
@@ -1746,20 +1755,39 @@ class MergeSink:
                         os.link(src, dst)
                     except OSError:
                         shutil.copy2(src, dst)
+                manifest = {
+                    "version": claim,
+                    "checkpoint": bool(src_manifest.get("checkpoint")),
+                    "files": keep,
+                    "restored_from": version,
+                    "op": "restore",
+                }
+                if cdf_enabled(props_r) and _base > 0:
+                    # the rollback IS a change: feed consumers see the
+                    # net diff current -> restored (the Delta RESTORE
+                    # CDF rule), so the feed survives rollbacks instead
+                    # of breaking the span
+                    ev = _diff_frames(
+                        self.read_version(spark, _base),
+                        self.read_version(spark, version),
+                        self.key,
+                    )
+                    ev.write.mode("errorifexists").parquet(
+                        os.path.join(stage, "cdf")
+                    )
+                    manifest["cdf"] = True
+                    manifest["files"] = keep + [
+                        e
+                        for e in build_manifest(claim, stage)["files"]
+                        if e.get("role") == "cdf"
+                    ]
                 open(os.path.join(stage, "_SUCCESS"), "w").close()
                 try:
                     os.rename(stage, os.path.join(self.path, f"v{claim}"))
                 except OSError:
                     _heal_claim(self.path, claim)
                     continue  # lost the race: re-claim
-                log.publish(
-                    {
-                        "version": claim,
-                        "checkpoint": bool(src_manifest.get("checkpoint")),
-                        "files": src_manifest["files"],
-                        "restored_from": version,
-                    }
-                )
+                log.publish(manifest)
                 return claim
             finally:
                 shutil.rmtree(stage, ignore_errors=True)

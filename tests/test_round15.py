@@ -681,3 +681,279 @@ def test_cdf_stream_raises_on_feedless_version(spark, tmp_path):
             q.processAllAvailable()
     finally:
         q.stop()
+
+
+def test_file_granular_dml_on_partitioned_table(spark, tmp_path):
+    """S50 on a hive-partitioned table: partition-disjoint files
+    relink, the rewrite honors the stored layout, and values stay
+    bound to the DECLARED column order."""
+    from pretalx_hub_etl_spark.plans.lakehouse_sql import (
+        LakehouseSqlCatalog,
+    )
+
+    path = str(tmp_path / "t")
+    cat = LakehouseSqlCatalog(spark)
+    cat.sql(
+        f"CREATE TABLE r15_pdml (k BIGINT, p BIGINT, v BIGINT) USING "
+        f"lakehouse LOCATION '{path}' TBLPROPERTIES (merge_key='k', "
+        f"partition_by='p')"
+    )
+    spark.range(0, 40).selectExpr(
+        "id AS k", "id % 4 AS p", "id * 10 AS v"
+    ).createOrReplaceTempView("r15_pdml_src")
+    cat.sql("INSERT INTO r15_pdml SELECT k, p, v FROM r15_pdml_src")
+    cat.sql("DELETE FROM r15_pdml WHERE p = 1")
+    cat.sql("UPDATE r15_pdml SET v = v + 5 WHERE p = 2")
+    hist = {
+        r.version: r
+        for r in cat.sql("DESCRIBE HISTORY r15_pdml").collect()
+    }
+    # partition pruning makes both DMLs file-granular
+    assert hist[2].operation == "delete" and hist[2].files_relinked >= 2
+    assert hist[3].operation == "update" and hist[3].files_relinked >= 2
+    got = {
+        r["k"]: (r["p"], r["v"])
+        for r in cat.sql("SELECT k, p, v FROM r15_pdml").collect()
+    }
+    exp = {
+        k: (k % 4, k * 10 + (5 if k % 4 == 2 else 0))
+        for k in range(40)
+        if k % 4 != 1
+    }
+    assert got == exp, got
+
+
+def test_file_granular_update_on_renamed_column(spark, tmp_path):
+    """S50 + S46: the predicate and SET reference the LOGICAL (renamed)
+    name; prune translation reaches old-name stats and old files'
+    values survive the rewrite."""
+    from pretalx_hub_etl_spark.plans.lakehouse_sql import (
+        LakehouseSqlCatalog,
+    )
+
+    path = str(tmp_path / "t")
+    _mk(spark, path, 0, 20)  # columns (k, v)
+    cat = LakehouseSqlCatalog(spark)
+    cat.register_path("r15_rdml", path)
+    cat.sql("ALTER TABLE r15_rdml RENAME COLUMN v TO amount")
+    cat.sql("UPDATE r15_rdml SET amount = amount + 3 WHERE k < 5")
+    cat.sql("DELETE FROM r15_rdml WHERE amount >= 150")
+    got = {
+        r["k"]: r["amount"]
+        for r in cat.sql("SELECT k, amount FROM r15_rdml").collect()
+    }
+    exp = {
+        k: k * 10 + (3 if k < 5 else 0)
+        for k in range(20)
+        if k * 10 + (3 if k < 5 else 0) < 150
+    }
+    assert got == exp, got
+
+
+def test_cdf_reconstruction_equals_snapshot_diff_randomized(
+    spark, tmp_path
+):
+    """S51 equivalence property: for random DML lifecycles, the net
+    diff reconstructed from per-commit feed files EQUALS the snapshot
+    full-outer diff — same keys, same classification, same images."""
+    import random
+
+    from pretalx_hub_etl_spark.plans.lakehouse_sql import (
+        LakehouseSqlCatalog,
+    )
+    from pretalx_hub_etl_spark.sinks.merge import (
+        MergeSink,
+        _diff_frames,
+        version_diff,
+    )
+
+    rng = random.Random(4151)
+    for trial in range(3):
+        path = str(tmp_path / f"t{trial}")
+        cat = LakehouseSqlCatalog(spark)
+        name = f"r15_eq{trial}"
+        cat.sql(
+            f"CREATE TABLE {name} (k BIGINT, v BIGINT) USING lakehouse "
+            f"LOCATION '{path}' TBLPROPERTIES (merge_key='k', "
+            f"cdf='true')"
+        )
+        spark.range(0, 40).selectExpr(
+            "id AS k", "id * 10 AS v"
+        ).createOrReplaceTempView(f"r15_eq_seed{trial}")
+        cat.sql(
+            f"INSERT INTO {name} SELECT k, v FROM r15_eq_seed{trial}"
+        )
+        sink = MergeSink(path, key="k")
+        for _c in range(4):
+            op = rng.choice(["update", "delete", "merge", "insert"])
+            a, b = sorted(rng.sample(range(0, 60), 2))
+            if op == "update":
+                cat.sql(
+                    f"UPDATE {name} SET v = v + {rng.randint(1, 9)} "
+                    f"WHERE k BETWEEN {a} AND {b}"
+                )
+            elif op == "delete":
+                cat.sql(
+                    f"DELETE FROM {name} WHERE k BETWEEN {a} AND {b}"
+                )
+            elif op == "insert":
+                spark.range(a + 60, a + 66).selectExpr(
+                    "id AS k", "id * 7 AS v"
+                ).createOrReplaceTempView(f"r15_eq_ins{trial}")
+                cat.sql(
+                    f"INSERT INTO {name} SELECT k, v "
+                    f"FROM r15_eq_ins{trial}"
+                )
+            else:
+                sink.merge(
+                    spark,
+                    spark.range(a, a + 8).selectExpr(
+                        "id AS k", f"id * 13 + {_c} AS v"
+                    ),
+                )
+        log = CommitLog(path)
+        hi = log.current_version()
+        fast = version_diff(spark, path, "k", 1, hi)
+        assert fast.inputFiles() and all(
+            "/cdf/" in f for f in fast.inputFiles()
+        ), "expected the feed fast path"
+        slow = _diff_frames(
+            sink.read_version(spark, 1),
+            sink.read_version(spark, hi),
+            "k",
+        )
+        f_rows = {
+            r["k"]: (r["change"], r["old"], r["new"])
+            for r in fast.collect()
+        }
+        s_rows = {
+            r["k"]: (r["change"], r["old"], r["new"])
+            for r in slow.collect()
+        }
+        assert f_rows == s_rows, (
+            trial,
+            {k: (f_rows.get(k), s_rows.get(k))
+             for k in set(f_rows) ^ set(s_rows) or set(
+                 k for k in f_rows if f_rows[k] != s_rows.get(k)
+             )},
+        )
+
+
+def test_cdf_stream_restart_resumes_without_duplicates(
+    spark, tmp_path
+):
+    """ST19: a stopped change-feed stream resumes from its checkpoint —
+    later commits stream exactly once, nothing replays."""
+    from pretalx_hub_etl_spark.plans.lakehouse_sql import (
+        LakehouseSqlCatalog,
+    )
+    from pretalx_hub_etl_spark.sources.lakehouse_ds import (
+        cdf_read_schema,
+        pin_active_session,
+        register,
+    )
+
+    register(spark)
+    pin_active_session(spark)
+    path = str(tmp_path / "t")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    cat = LakehouseSqlCatalog(spark)
+    cat.sql(
+        f"CREATE TABLE r15_sres (k BIGINT, v BIGINT) USING lakehouse "
+        f"LOCATION '{path}' TBLPROPERTIES (merge_key='k', cdf='true')"
+    )
+    spark.range(0, 10).selectExpr(
+        "id AS k", "id * 10 AS v"
+    ).createOrReplaceTempView("r15_sres_seed")
+    cat.sql("INSERT INTO r15_sres SELECT k, v FROM r15_sres_seed")
+    cat.sql("UPDATE r15_sres SET v = v + 1 WHERE k < 3")
+
+    def run_once():
+        q = (
+            spark.readStream.format("lakehouse")
+            .schema(cdf_read_schema(path))
+            .option("path", path)
+            .option("readChangeFeed", "true")
+            .load()
+            .selectExpr("k", "change", "_commit_version AS cv")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()  # drains v1 (seed inserts) + v2 (updates)
+    cat.sql("DELETE FROM r15_sres WHERE k >= 8")  # v3 after the stop
+    run_once()  # must serve ONLY v3
+    rows = [
+        (r["k"], r["change"], r["cv"])
+        for r in spark.read.parquet(out).collect()
+    ]
+    exp = (
+        [(k, "insert", 1) for k in range(10)]
+        + [(k, "update", 2) for k in range(3)]
+        + [(k, "delete", 3) for k in (8, 9)]
+    )
+    assert sorted(rows) == sorted(exp), sorted(rows)
+
+
+def test_restore_writes_cdf_and_never_replays_source_feed(
+    spark, tmp_path
+):
+    """S51 on RESTORE: the rollback emits its own net-diff events and
+    NEVER carries the restored version's cdf/ member forward (which
+    would double-serve that commit's events)."""
+    from pretalx_hub_etl_spark.plans.lakehouse_sql import (
+        LakehouseSqlCatalog,
+    )
+    from pretalx_hub_etl_spark.sinks.merge import (
+        MergeSink,
+        version_diff,
+    )
+
+    path = str(tmp_path / "t")
+    cat = LakehouseSqlCatalog(spark)
+    cat.sql(
+        f"CREATE TABLE r15_rst (k BIGINT, v BIGINT) USING lakehouse "
+        f"LOCATION '{path}' TBLPROPERTIES (merge_key='k', cdf='true')"
+    )
+    spark.range(0, 12).selectExpr(
+        "id AS k", "id * 10 AS v"
+    ).createOrReplaceTempView("r15_rst_seed")
+    cat.sql("INSERT INTO r15_rst SELECT k, v FROM r15_rst_seed")  # v1
+    cat.sql("UPDATE r15_rst SET v = v + 1 WHERE k < 4")  # v2 (cdf)
+    cat.sql("DELETE FROM r15_rst WHERE k >= 10")  # v3 (cdf)
+    MergeSink(path, key="k").restore(spark, 2)  # v4: back to post-update
+    log = CommitLog(path)
+    m4 = log.manifest(4)
+    assert m4.get("cdf") and m4.get("op") == "restore"
+    # v4's events are the UNDO of v3 only (k 10, 11 re-inserted)
+    d = version_diff(spark, path, "k", 3, 4)
+    rows = {r["k"]: r["change"] for r in d.collect()}
+    assert rows == {10: "insert", 11: "insert"}, rows
+    # the whole feed span nets correctly across the restore
+    d_all = version_diff(spark, path, "k", 1, 4)
+    assert d_all.inputFiles() and all(
+        "/cdf/" in f for f in d_all.inputFiles()
+    )
+    rows_all = {r["k"]: (r["change"], r["new"]["v"])
+                for r in d_all.collect()}
+    assert rows_all == {k: ("update", k * 10 + 1) for k in range(4)}, (
+        rows_all
+    )
+    # no duplicated v2 member inside v4's file set
+    assert all(
+        e.get("role", "data") == "data" or "/v4/" not in e["path"]
+        for e in m4["files"]
+    )
+    got = {
+        r["k"]: r["v"]
+        for r in cat.sql("SELECT k, v FROM r15_rst").collect()
+    }
+    exp = {k: k * 10 + (1 if k < 4 else 0) for k in range(12)}
+    assert got == exp, got

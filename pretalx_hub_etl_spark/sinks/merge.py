@@ -2302,6 +2302,15 @@ class MergeSink:
         os.makedirs(dest, exist_ok=True)
         stage = os.path.join(dest, f".stage-{uuid.uuid4().hex}")
         os.makedirs(stage)
+        # change-data members (S51) describe the SOURCE's commit, not
+        # table state: a clone starts a fresh history and must not
+        # carry them (its feed would misattribute the source's events)
+        src_manifest = dict(src_manifest)
+        src_manifest["files"] = [
+            e
+            for e in src_manifest["files"]
+            if e.get("role", "data") == "data"
+        ]
         try:
             for ent in src_manifest["files"]:
                 dst = os.path.join(stage, ent["path"])

@@ -957,3 +957,86 @@ def test_restore_writes_cdf_and_never_replays_source_feed(
     }
     exp = {k: k * 10 + (1 if k < 4 else 0) for k in range(12)}
     assert got == exp, got
+
+
+def test_widen_matrix_edges(spark, tmp_path):
+    """S52: float->double widens; cross-family and narrowing refuse."""
+    from pretalx_hub_etl_spark.plans.lakehouse_sql import (
+        LakehouseSqlCatalog,
+    )
+
+    path = str(tmp_path / "t")
+    cat = LakehouseSqlCatalog(spark)
+    cat.sql(
+        f"CREATE TABLE r15_wm (k BIGINT, f FLOAT, s STRING) USING "
+        f"lakehouse LOCATION '{path}' TBLPROPERTIES (merge_key='k')"
+    )
+    spark.sql(
+        "SELECT id AS k, CAST(id AS FLOAT) / 4 AS f, "
+        "CAST(id AS STRING) AS s FROM range(8)"
+    ).createOrReplaceTempView("r15_wm_src")
+    cat.sql("INSERT INTO r15_wm SELECT k, f, s FROM r15_wm_src")
+    cat.sql("ALTER TABLE r15_wm ALTER COLUMN f TYPE DOUBLE")
+    cur = cat.sql("SELECT * FROM r15_wm")
+    assert cur.schema["f"].dataType.simpleString() == "double"
+    assert cur.count() == 8
+    for bad in (
+        "ALTER TABLE r15_wm ALTER COLUMN s TYPE BIGINT",  # cross-family
+        "ALTER TABLE r15_wm ALTER COLUMN f TYPE FLOAT",  # narrowing
+        "ALTER TABLE r15_wm ALTER COLUMN k TYPE INT",  # narrowing
+    ):
+        with pytest.raises(ValueError, match="not a widening"):
+            cat.sql(bad)
+
+
+def test_file_granular_update_matches_ground_truth_randomized(
+    spark, tmp_path
+):
+    """S50 equivalence property: random ranged UPDATEs/DELETEs through
+    the file-granular route match an independently computed ground
+    truth (dict replay)."""
+    import random
+
+    from pretalx_hub_etl_spark.plans.lakehouse_sql import (
+        LakehouseSqlCatalog,
+    )
+    from pretalx_hub_etl_spark.sinks.merge import MergeSink
+
+    rng = random.Random(515)
+    path = str(tmp_path / "t")
+    MergeSink(path, key="k", cluster_by=("k", 6)).init(
+        spark.range(0, 120).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+    )
+    cat = LakehouseSqlCatalog(spark)
+    cat.register_path("r15_fuzz", path)
+    truth = {k: k * 10 for k in range(120)}
+    for _ in range(6):
+        a, b = sorted(rng.sample(range(0, 120), 2))
+        if rng.random() < 0.5:
+            m = rng.randint(1, 9)
+            cat.sql(
+                f"UPDATE r15_fuzz SET v = v * 2 + {m} "
+                f"WHERE k BETWEEN {a} AND {b}"
+            )
+            for k in list(truth):
+                if a <= k <= b:
+                    truth[k] = truth[k] * 2 + m
+        else:
+            cat.sql(
+                f"DELETE FROM r15_fuzz WHERE k BETWEEN {a} AND {b} "
+                f"AND v % 2 = 1"
+            )
+            for k in list(truth):
+                if a <= k <= b and truth[k] % 2 == 1:
+                    del truth[k]
+    got = {
+        r["k"]: r["v"]
+        for r in cat.sql("SELECT k, v FROM r15_fuzz").collect()
+    }
+    assert got == truth, {
+        k: (got.get(k), truth.get(k))
+        for k in set(got) ^ set(truth)
+        or [k for k in got if got[k] != truth.get(k)][:5]
+    }

@@ -171,6 +171,8 @@ QUERIES = [
     "q_sql_merge_nmbs",
     "q_sql_txn_identity",
     "q_sql_optimize_where_mor",
+    "q_stream_cdc_cow",
+    "q_pipeline_cdc_replica",
     "q_sql_optimize_where",
 ]
 

@@ -1373,6 +1373,7 @@ class MergeSink:
             )
             try:
                 replacement: DataFrame | None = None
+                ev: DataFrame | None = None
                 if rewrite_rels:
                     reader = self._physical_reader(spark, props, base)
                     scanned = reader.option("basePath", vdir).parquet(
@@ -1416,7 +1417,6 @@ class MergeSink:
                         ),
                     )
                     cond_c = F.col("__match")
-                    ev: DataFrame | None = None
                     track_cdf = cdf_on and self.key in scanned.columns
                     if track_cdf:
                         scanned = scanned.withColumn(
@@ -1548,7 +1548,11 @@ class MergeSink:
                     manifest = build_manifest(
                         claim, work, bloom_on=bloom_on
                     )
-                    if cdf_on:
+                    if cdf_on and (ev is not None or not rewrite_rels):
+                        # flag ONLY when the change set was actually
+                        # recorded (or provably empty): a keyless
+                        # rewrite without events must not present the
+                        # commit as feed-complete
                         manifest["cdf"] = True
                     manifest["op"] = op
                     manifest["metrics"] = {

@@ -26,6 +26,54 @@ from ..functions.core import fixed_cents
 from . import query
 
 
+def _table_evidence(path: str) -> dict:
+    """Forensic snapshot of one table root: ``_manifest/`` listing, the
+    ``_latest`` hint, every published manifest (parsed), and this
+    process's committed floor — the evidence block shared by the RYOW
+    probes and the final-frame self-oracle."""
+    import json
+
+    from ..sinks.manifest import committed_floor
+
+    mdir = os.path.join(path, "_manifest")
+    ev: dict = {"path": path, "committed_floor": committed_floor(path)}
+    try:
+        ev["listing"] = sorted(os.listdir(mdir))
+    except OSError as exc:
+        ev["listing"] = f"<listdir failed: {exc}>"
+    try:
+        with open(os.path.join(mdir, "_latest")) as fh:
+            ev["latest_hint"] = fh.read().strip()
+    except OSError as exc:
+        ev["latest_hint"] = f"<{exc}>"
+    ev["manifests"] = {}
+    for n in ev.get("listing") or []:
+        if isinstance(n, str) and n.endswith(".json"):
+            try:
+                with open(os.path.join(mdir, n)) as fh:
+                    ev["manifests"][n] = json.load(fh)
+            except (OSError, ValueError) as exc:
+                ev["manifests"][n] = f"<{exc}>"
+    return ev
+
+
+def _dump_diag(fname: str, diag: dict) -> str:
+    """Write a diagnostic artifact next to the repo root (NOT the cwd —
+    the driver may run from anywhere); returns the path actually used."""
+    import json
+
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    out = os.path.join(repo, fname)
+    try:
+        with open(out, "w") as fh:
+            json.dump(diag, fh, indent=1, default=str)
+    except OSError:
+        out = "<unwritable>"
+    return out
+
+
 def _ryow_diag(tag: str, path: str, detail: str) -> None:
     """At-failure evidence capture for the driver-red pair (RACE_r14's
     promised diagnostics): dump the table's ``_manifest/`` listing, the
@@ -33,41 +81,78 @@ def _ryow_diag(tag: str, path: str, detail: str) -> None:
     a side artifact next to the repo root, then raise — turning a
     silent hash-red (a read that served a snapshot below a completed
     commit) into a loud error naming the mechanism."""
-    import json
     import time
 
-    mdir = os.path.join(path, "_manifest")
-    diag: dict = {"tag": tag, "path": path, "detail": detail,
+    diag: dict = {"tag": tag, "detail": detail,
                   "wall_ms": int(time.time() * 1000)}
-    try:
-        diag["listing"] = sorted(os.listdir(mdir))
-    except OSError as exc:
-        diag["listing"] = f"<listdir failed: {exc}>"
-    try:
-        with open(os.path.join(mdir, "_latest")) as fh:
-            diag["latest_hint"] = fh.read().strip()
-    except OSError as exc:
-        diag["latest_hint"] = f"<{exc}>"
-    diag["manifests"] = {}
-    for n in diag.get("listing") or []:
-        if isinstance(n, str) and n.endswith(".json"):
-            try:
-                with open(os.path.join(mdir, n)) as fh:
-                    diag["manifests"][n] = json.load(fh)
-            except (OSError, ValueError) as exc:
-                diag["manifests"][n] = f"<{exc}>"
-    repo = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
-    out = os.path.join(repo, f"RYOW_DIAG_{tag}.json")
-    try:
-        with open(out, "w") as fh:
-            json.dump(diag, fh, indent=1, default=str)
-    except OSError:
-        out = "<unwritable>"
+    diag.update(_table_evidence(path))
+    out = _dump_diag(f"RYOW_DIAG_{tag}.json", diag)
     raise RuntimeError(
         f"{tag}: read served a snapshot inconsistent with the "
         f"just-completed commit ({detail}); evidence dumped to {out}"
+    )
+
+
+def _self_oracle_gate(
+    tag: str, got: DataFrame, exp: DataFrame, path: str
+) -> DataFrame:
+    """Final-frame self-oracle (VERDICT r15 item 1, the decisive
+    experiment for the S43/S46 driver hash-reds): ``exp`` is the
+    expected result recomputed IN-PROCESS from the already-pinned base
+    frame with pure DataFrame arithmetic — no lakehouse reads, no
+    catalog, no temp views — and ``got`` is the frame about to be
+    returned for driver hashing. Both are materialized here
+    (localCheckpoint) and compared row-for-row via ``exceptAll`` in
+    both directions. On ANY divergence the named divergent rows, both
+    counts, the table's full manifest state, and the process/thread/
+    session identity are dumped to a repo-root artifact and the query
+    RAISES — so a driver red is either LOUD engine-side (with the
+    exact rows) or it localizes to the driver's hashing of a
+    provably self-consistent output. Returns the checkpointed ``got``
+    (the verified frame IS the hashed frame — derived once, no second
+    read between verification and return)."""
+    import threading
+    import time
+
+    got = got.localCheckpoint(eager=True)
+    # mirror got's column order and exact types so exceptAll compares
+    # values, not representation (all columns here are integral; the
+    # casts are lossless)
+    exp = exp.select(
+        [F.col(c).cast(got.schema[c].dataType).alias(c) for c in got.columns]
+    ).localCheckpoint(eager=True)
+    missing = exp.exceptAll(got).localCheckpoint(eager=True)
+    unexpected = got.exceptAll(exp).localCheckpoint(eager=True)
+    n_missing, n_unexpected = missing.count(), unexpected.count()
+    if n_missing == 0 and n_unexpected == 0:
+        return got
+    sess = got.sparkSession
+    diag: dict = {
+        "tag": tag,
+        "wall_ms": int(time.time() * 1000),
+        "pid": os.getpid(),
+        "thread": f"{threading.current_thread().name}"
+        f"/{threading.get_ident()}",
+        "spark_app_id": sess.sparkContext.applicationId,
+        "spark_session_pyid": id(sess),
+        "got_rows": got.count(),
+        "exp_rows": exp.count(),
+        "missing_from_result": [
+            r.asDict() for r in missing.limit(100).collect()
+        ],
+        "unexpected_in_result": [
+            r.asDict() for r in unexpected.limit(100).collect()
+        ],
+        "n_missing": n_missing,
+        "n_unexpected": n_unexpected,
+    }
+    diag.update(_table_evidence(path))
+    out = _dump_diag(f"SELF_ORACLE_DIAG_{tag}.json", diag)
+    raise RuntimeError(
+        f"{tag}: the final frame diverges from the in-process "
+        f"recomputation of the same lifecycle ({n_missing} rows "
+        f"missing, {n_unexpected} unexpected); full diff dumped to "
+        f"{out}"
     )
 
 # --- S28: SQL MERGE INTO (CoW routing, full clause surface) ------------------
@@ -994,35 +1079,51 @@ def q_sql_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the same warehouse serves both by name. The oracle recomputes
     # filter+aggregate over base+insert: a stale snapshot-bound view or
     # a lost nested definition hash-fails.
+    #
+    # Driver-red hardening (VERDICT r15 item 1, after r13-r15 silent
+    # hash-reds): (a) every catalog object name is UNIQUE per
+    # invocation — no fixed-name temp view can be clobbered by a
+    # concurrent run of this query in a shared session; (b) the final
+    # frame passes _self_oracle_gate, which recomputes the expected
+    # answer from the pinned base frame with pure DataFrame arithmetic
+    # and raises with a full diff artifact on ANY divergence — a
+    # silent wrong-value return is structurally impossible.
     import shutil
+    import uuid as _uuid
 
     from ..plans.lakehouse_sql import LakehouseSqlCatalog
     from ..sinks.merge import MergeSink
 
-    base = Catalog(spark, sf_dir).orders.select(
-        F.col("o_orderkey").alias("k"),
-        F.col("o_custkey").alias("ck"),
-        fixed_cents(F.col("o_totalprice")).alias("cents"),
+    base = (
+        Catalog(spark, sf_dir)
+        .orders.select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_custkey").alias("ck"),
+            fixed_cents(F.col("o_totalprice")).alias("cents"),
+        )
+        .localCheckpoint(eager=True)  # pin: lifecycle + self-oracle share it
     )
     mk = base.agg(F.max("k")).first()[0]
+    u = _uuid.uuid4().hex[:8]
+    t, vh, va = f"view_t_{u}", f"v_high_{u}", f"v_agg_{u}"
     root = tempfile.mkdtemp(prefix="phe_sql_view_")
     path = os.path.join(root, "t")
     wh = os.path.join(root, "wh")
     MergeSink(path, key="k").init(base)
     cat = LakehouseSqlCatalog(spark, warehouse=wh)
-    cat.register_path("view_t", path)
+    cat.register_path(t, path)
     cat.sql(
-        "CREATE VIEW v_high AS "
-        "SELECT k, ck, cents FROM view_t WHERE cents > 100000"
+        f"CREATE VIEW {vh} AS "
+        f"SELECT k, ck, cents FROM {t} WHERE cents > 100000"
     )
     cat.sql(
-        "CREATE VIEW v_agg AS "
-        "SELECT ck, count(*) AS n, sum(cents) AS total "
-        "FROM v_high GROUP BY ck"
+        f"CREATE VIEW {va} AS "
+        f"SELECT ck, count(*) AS n, sum(cents) AS total "
+        f"FROM {vh} GROUP BY ck"
     )
     # late binding: this row lands AFTER both CREATE VIEWs and must be
     # visible through them
-    cat.sql(f"INSERT INTO view_t VALUES ({mk} + 1, 7, 123456)")
+    cat.sql(f"INSERT INTO {t} VALUES ({mk} + 1, 7, 123456)")
     fresh = LakehouseSqlCatalog(spark, warehouse=wh)  # new session
     assert fresh.sql("SHOW VIEWS").count() == 2
     # read-your-own-writes probe (RACE_r14's promised diagnostics):
@@ -1030,7 +1131,7 @@ def q_sql_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     # catalog's read path — a stale snapshot here is exactly the
     # r13/r14 driver hash-red; capture evidence instead of hashing red
     seen = fresh.sql(
-        f"SELECT count(*) AS c FROM view_t WHERE k = {mk} + 1"
+        f"SELECT count(*) AS c FROM {t} WHERE k = {mk} + 1"
     ).first()[0]
     if seen != 1:
         from ..sinks.manifest import CommitLog as _CLd
@@ -1042,9 +1143,18 @@ def q_sql_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"fresh-catalog read (main-process current_version="
             f"{_CLd(path).current_version()})",
         )
-    out = fresh.sql("SELECT ck, n, total FROM v_agg").localCheckpoint(
-        eager=True
+    got = fresh.sql(f"SELECT ck, n, total FROM {va}")
+    # expected answer from the SAME pinned base + the inserted row,
+    # pure DataFrame arithmetic (no lakehouse read anywhere in lineage)
+    exp = (
+        base.unionByName(
+            spark.createDataFrame([(mk + 1, 7, 123456)], base.schema)
+        )
+        .filter(F.col("cents") > 100000)
+        .groupBy("ck")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("total"))
     )
+    out = _self_oracle_gate("q_sql_view", got, exp, path)
     shutil.rmtree(root, ignore_errors=True)
     return out
 
@@ -1457,38 +1567,49 @@ def q_sql_alter_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in-line; the oracle recomputes both eras from orders — a lost
     # old-file value, a stale rename, or a resurrected dropped column
     # hash-fails).
+    # Driver-red hardening (VERDICT r15 item 1): unique-per-invocation
+    # object names + the final-frame self-oracle — the returned frame
+    # (current state AND the VERSION AS OF 1 witness columns, which the
+    # r15 probes never covered) is recomputed from the pinned base with
+    # pure DataFrame arithmetic and compared row-for-row; divergence
+    # dumps a full diff artifact and raises instead of hashing red.
     import shutil
+    import uuid as _uuid
 
     from ..plans.lakehouse_sql import LakehouseSqlCatalog
     from ..sinks.merge import MergeSink
 
-    base = Catalog(spark, sf_dir).orders.select(
-        F.col("o_orderkey").alias("k"),
-        F.col("o_custkey").alias("ck"),
-        fixed_cents(F.col("o_totalprice")).alias("cents"),
+    base = (
+        Catalog(spark, sf_dir)
+        .orders.select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_custkey").alias("ck"),
+            fixed_cents(F.col("o_totalprice")).alias("cents"),
+        )
+        .localCheckpoint(eager=True)  # pin: lifecycle + self-oracle share it
     )
+    u = _uuid.uuid4().hex[:8]
+    t, src = f"altcol_t_{u}", f"altcol_src_{u}"
     root = tempfile.mkdtemp(prefix="phe_sql_altcol_")
     path = os.path.join(root, "t")
     MergeSink(path, key="k").init(base.filter(F.col("k") % 3 == 0))
     cat = LakehouseSqlCatalog(spark)
-    cat.register_path("altcol_t", path)
-    base.filter(F.col("k") % 3 != 0).createOrReplaceTempView(
-        "altcol_src"
-    )
-    cat.sql("INSERT INTO altcol_t SELECT k, ck, cents FROM altcol_src")
-    cat.sql("ALTER TABLE altcol_t RENAME COLUMN cents TO amount")
+    cat.register_path(t, path)
+    base.filter(F.col("k") % 3 != 0).createOrReplaceTempView(src)
+    cat.sql(f"INSERT INTO {t} SELECT k, ck, cents FROM {src}")
+    cat.sql(f"ALTER TABLE {t} RENAME COLUMN cents TO amount")
     # pre-UPDATE witness for the read-your-own-writes probe below
     pre = cat.sql(
-        "SELECT sum(amount) AS s, count(*) AS n10 FROM altcol_t "
+        f"SELECT sum(amount) AS s, count(*) AS n10 FROM {t} "
         "WHERE k % 10 = 0"
     ).first()
-    cat.sql("UPDATE altcol_t SET amount = amount + 7 WHERE k % 10 = 0")
+    cat.sql(f"UPDATE {t} SET amount = amount + 7 WHERE k % 10 = 0")
     # RYOW probe (RACE_r14's promised diagnostics): the UPDATE's exact
     # arithmetic must be visible through the catalog read — a stale
     # snapshot (old amounts, same row count) is exactly the r14 driver
     # hash-red shape; capture evidence instead of hashing red
     post = cat.sql(
-        "SELECT sum(amount) AS s FROM altcol_t WHERE k % 10 = 0"
+        f"SELECT sum(amount) AS s FROM {t} WHERE k % 10 = 0"
     ).first()[0]
     if post != pre[0] + 7 * pre[1]:
         from ..sinks.manifest import CommitLog as _CLd
@@ -1500,20 +1621,29 @@ def q_sql_alter_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{pre[1]} = {pre[0] + 7 * pre[1]} (main-process "
             f"current_version={_CLd(path).current_version()})",
         )
-    cat.sql("ALTER TABLE altcol_t DROP COLUMN ck")
+    cat.sql(f"ALTER TABLE {t} DROP COLUMN ck")
     # time travel below the anchors: the ORIGINAL column set
-    old = cat.sql("SELECT * FROM altcol_t VERSION AS OF 1")
+    old = cat.sql(f"SELECT * FROM {t} VERSION AS OF 1")
     assert sorted(old.columns) == ["cents", "ck", "k"], old.columns
-    cur = cat.sql("SELECT * FROM altcol_t")
+    cur = cat.sql(f"SELECT * FROM {t}")
     assert sorted(cur.columns) == ["amount", "k"], cur.columns
     old_snap = old.agg(
         F.count(F.lit(1)).alias("n_old"), F.sum("cents").alias("sum_old")
     )
-    out = (
-        cat.sql("SELECT k, amount FROM altcol_t")
-        .crossJoin(old_snap)
-        .localCheckpoint(eager=True)
+    got = cat.sql(f"SELECT k, amount FROM {t}").crossJoin(old_snap)
+    # expected answer from the SAME pinned base, pure arithmetic: the
+    # post-UPDATE amounts AND the v1 witness columns (base % 3 == 0)
+    exp_old = base.filter(F.col("k") % 3 == 0).agg(
+        F.count(F.lit(1)).alias("n_old"),
+        F.sum("cents").alias("sum_old"),
     )
+    exp = base.select(
+        "k",
+        F.when(F.col("k") % 10 == 0, F.col("cents") + 7)
+        .otherwise(F.col("cents"))
+        .alias("amount"),
+    ).crossJoin(exp_old)
+    out = _self_oracle_gate("q_sql_alter_columns", got, exp, path)
     shutil.rmtree(root, ignore_errors=True)
     return out
 

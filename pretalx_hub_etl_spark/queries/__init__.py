@@ -142,6 +142,10 @@ FORCE_REVERIFY: set[str] = {
     # r12: PQ witness per-subspace training coalesce
     "q_sim_topk_pq_exact",
     "q_sim_topk_pq",
+    # r16: final-frame self-oracle restructure of the driver-red pair —
+    # MUST be in this round's driver sample for the experiment to decide
+    "q_sql_view",
+    "q_sql_alter_columns",
 }
 
 VERIFIED_PRIOR_ROUNDS: dict[str, int] = {

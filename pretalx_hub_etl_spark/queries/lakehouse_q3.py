@@ -596,6 +596,104 @@ def q_stream_cdc_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got
 
 
+# --- ST19b: the change feed crosses maintenance commits ------------------------
+
+
+@query(
+    "q_stream_cdc_optimize",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT k, 'insert' AS change, CAST(NULL AS BIGINT) AS old_cents,
+           cents AS new_cents, 1 AS commit_v
+    FROM base WHERE k % 3 = 0
+    UNION ALL
+    SELECT k, 'update', cents, cents + 7, 2
+    FROM base WHERE k % 3 = 0 AND k % 10 = 0
+    UNION ALL
+    SELECT k, 'delete',
+           CASE WHEN k % 10 = 0 THEN cents + 7 ELSE cents END,
+           CAST(NULL AS BIGINT), 4
+    FROM base WHERE k % 3 = 0 AND k % 7 = 0
+    """,
+)
+def q_stream_cdc_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ST19b (r15 VERDICT item 5 / ADVICE): a LIVE change-feed stream
+    # crosses an OPTIMIZE ZORDER commit without dying and without
+    # re-emitting the rewritten rows — the maintenance rewrite stamps
+    # ``data_change: false`` (the Delta dataChange marker) and the
+    # source serves it as ZERO events; DML before and after it streams
+    # normally. The oracle recomputes every event of the 4-commit
+    # lifecycle with NO event at the optimize version — a re-emitted
+    # rewrite (thousands of spurious inserts) or a broken stream
+    # hash-fails. Feed-less commits that DID change data still fail
+    # loudly by default (skipChangeCommits=true is the explicit opt-out,
+    # pinned in tests/test_round16.py).
+    import shutil
+
+    from ..plans.lakehouse_sql import LakehouseSqlCatalog
+    from ..sinks.manifest import CommitLog
+    from ..sources.lakehouse_ds import (
+        cdf_read_schema,
+        pin_active_session,
+        register,
+    )
+
+    register(spark)
+    pin_active_session(spark)
+    base = Catalog(spark, sf_dir).orders.select(
+        F.col("o_orderkey").alias("k"),
+        fixed_cents(F.col("o_totalprice")).alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="phe_stream_cdc_opt_")
+    table, out, ckpt = (
+        os.path.join(root, d) for d in ("t", "out", "ck")
+    )
+    cat = LakehouseSqlCatalog(spark)
+    cat.sql(
+        f"CREATE TABLE scdo_t (k BIGINT, cents BIGINT) USING lakehouse "
+        f"LOCATION '{table}' TBLPROPERTIES (merge_key='k', cdf='true')"
+    )
+    base.filter(F.col("k") % 3 == 0).createOrReplaceTempView("scdo_s0")
+    cat.sql("INSERT INTO scdo_t SELECT k, cents FROM scdo_s0")  # v1
+    cat.sql("UPDATE scdo_t SET cents = cents + 7 WHERE k % 10 = 0")
+    opt_v = cat.sql("OPTIMIZE scdo_t ZORDER BY (k)").first().version  # v3
+    m = CommitLog(table).manifest(opt_v)
+    assert m.get("data_change") is False and not m.get("cdf"), m
+    cat.sql("DELETE FROM scdo_t WHERE k % 7 = 0")  # v4
+    q = (
+        spark.readStream.format("lakehouse")
+        .schema(cdf_read_schema(table))
+        .option("path", table)
+        .option("readChangeFeed", "true")
+        .load()
+        .selectExpr(
+            "k",
+            "change",
+            "old.cents AS old_cents",
+            "new.cents AS new_cents",
+            "CAST(_commit_version AS INT) AS commit_v",
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.read.parquet(out).localCheckpoint(eager=True)
+    assert got.filter(F.col("commit_v") == opt_v).count() == 0, (
+        "the dataChange=false optimize commit emitted events"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return got
+
+
 # --- ST20: CDC replication — apply the change feed to a downstream replica ----
 
 

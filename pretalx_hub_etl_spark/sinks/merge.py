@@ -376,7 +376,15 @@ def version_diff(
             span
             and len(span) == v_to - v_from  # no retired holes mid-span
             and not _cev(log.table_props())
-            and all(log.manifest(v).get("cdf") for v in span)
+            and all(
+                # feed-complete: recorded change data, OR provably no
+                # data change (metadata anchors, dataChange=false
+                # maintenance rewrites — zero events by definition)
+                m.get("cdf")
+                or m.get("metadata_only")
+                or m.get("data_change") is False
+                for m in (log.manifest(v) for v in span)
+            )
         ):
             return _diff_from_cdf(spark, path, key, span, v_to)
         # manifest reads: mergeSchema for declared mixed versions, and
@@ -1710,7 +1718,14 @@ class MergeSink:
                 col, n = spec
                 state = state.repartitionByRange(n, F.col(col))
             try:
-                self._write(state, claim)
+                # dataChange=false (the Delta marker): same logical
+                # content, new layout — streams and the change feed
+                # serve this commit as zero events instead of breaking
+                self._write(
+                    state,
+                    claim,
+                    manifest_extra={"op": "optimize", "data_change": False},
+                )
             except FileExistsError:
                 _heal_claim(self.path, claim)
                 continue  # a merge slipped in: recluster the NEW state
@@ -1878,6 +1893,7 @@ class MergeSink:
                         state, dims, bits, num_partitions=n_files
                     ).drop(*[d for d in dims if d.startswith("__zn_")]),
                     claim,
+                    manifest_extra={"op": "zorder", "data_change": False},
                 )
             except FileExistsError:
                 _heal_claim(self.path, claim)
@@ -2044,6 +2060,8 @@ class MergeSink:
                     manifest = build_manifest(
                         claim, workdir, bloom_on=bloom_on
                     )
+                    manifest["op"] = "zorder_incremental"
+                    manifest["data_change"] = False
                     inherited = inherit_pending(log, claim)
                     if inherited:
                         manifest["txn_inherited"] = inherited
@@ -2245,6 +2263,8 @@ class MergeSink:
                     manifest = build_manifest(
                         claim, workdir, bloom_on=bloom_on
                     )
+                    manifest["op"] = "optimize_where"
+                    manifest["data_change"] = False
                     inherited = inherit_pending(log, claim)
                     if inherited:
                         manifest["txn_inherited"] = inherited
@@ -2620,7 +2640,11 @@ class MergeSink:
         )
 
     def _write(
-        self, df: DataFrame, version: int, cdf_df: DataFrame | None = None
+        self,
+        df: DataFrame,
+        version: int,
+        cdf_df: DataFrame | None = None,
+        manifest_extra: dict | None = None,
     ) -> None:
         """Stage to a hidden dir, then atomically rename onto ``v<N>``,
         then publish the commit's manifest.
@@ -2662,6 +2686,8 @@ class MergeSink:
         manifest = build_manifest(version, stage, bloom_on=self.bloom_on)
         if cdf_df is not None:
             manifest["cdf"] = True
+        if manifest_extra:
+            manifest.update(manifest_extra)
         # visibility inheritance (sinks/txn.py): built on a pending
         # multi-table-txn base -> invisible until that txn commits
         from .txn import inherit_pending

@@ -1438,6 +1438,17 @@ def build_lakehouse_source():
             self.change_feed = (
                 str(options.get("readchangefeed", "")).lower() == "true"
             )
+            # skipChangeCommits (the Delta option name): a change-feed
+            # stream crossing a commit that changed data WITHOUT
+            # recording change events (pre-CDF history, RESTORE before
+            # cdf, out-of-band rewrites) serves that commit as zero
+            # events instead of dying — the operator escape hatch; OFF
+            # by default because skipped commits are real changes the
+            # consumer silently misses
+            self.skip_change_commits = (
+                str(options.get("skipchangecommits", "")).lower()
+                == "true"
+            )
             if self.change_feed:
                 self.cdf_key, self.cdf_schema = _cdf_schema_arrow(
                     self.path
@@ -1535,6 +1546,13 @@ def build_lakehouse_source():
                         f"{v} of {self.path}, which was removed by "
                         "vacuum; restart from a retained offset"
                     ) from None
+                if m.get("data_change") is False:
+                    # dataChange=false maintenance rewrite (OPTIMIZE /
+                    # ZORDER): identical rows in a new layout — the
+                    # Delta streaming rule is to skip it outright, no
+                    # option needed (serving its files would re-emit
+                    # every rewritten row)
+                    continue
                 vdir = os.path.join(self.path, f"v{v}")
                 entries = []
                 cur = set()
@@ -1636,15 +1654,22 @@ def build_lakehouse_source():
                                 self.cdf_schema,
                             )
                         )
-                elif m.get("metadata_only"):
-                    continue  # schema anchor: no data change, no events
+                elif m.get("metadata_only") or m.get("data_change") is False:
+                    # schema anchor or dataChange=false maintenance
+                    # rewrite (OPTIMIZE/ZORDER): same logical content,
+                    # zero change events — the feed crosses it intact
+                    continue
+                elif self.skip_change_commits:
+                    continue  # operator opt-in: serve as zero events
                 else:
                     raise RuntimeError(
                         f"version {v} of {self.path} carries no change "
-                        "data (committed before cdf='true', or a "
-                        "maintenance rewrite) — readChangeFeed cannot "
-                        "serve it; start from a later startingVersion "
-                        "or consume table_changes()/snapshots instead"
+                        "data (committed before cdf='true', or an "
+                        "out-of-band rewrite) — readChangeFeed cannot "
+                        "serve it; start from a later startingVersion, "
+                        "pass skipChangeCommits=true to cross it as "
+                        "zero events, or consume "
+                        "table_changes()/snapshots instead"
                     )
             return parts or [
                 _CdfPart("", 0, False, self.cdf_key, self.cdf_schema)

@@ -477,10 +477,11 @@ def test_racing_txns_never_mint_same_identity(spark, tmp_path):
     assert row.n == row.d == 50 and row.mx == 50, row
 
 
-def test_cdf_span_with_maintenance_commit_falls_back(spark, tmp_path):
-    """S51: a span containing a commit WITHOUT change data (OPTIMIZE)
-    must not serve from the feed — version_diff falls back to the
-    snapshot diff and still answers correctly."""
+def test_cdf_span_with_maintenance_commit_stays_on_feed(spark, tmp_path):
+    """S51 + r16: a span containing an OPTIMIZE commit stays on the
+    O(changes) feed fast path — the maintenance rewrite is stamped
+    ``data_change: false`` (same logical content), so it contributes
+    zero events instead of forcing the O(table) snapshot fallback."""
     from pretalx_hub_etl_spark.plans.lakehouse_sql import (
         LakehouseSqlCatalog,
     )
@@ -497,17 +498,18 @@ def test_cdf_span_with_maintenance_commit_falls_back(spark, tmp_path):
     ).createOrReplaceTempView("r15_cdf_seed")
     cat.sql("INSERT INTO r15_cdf SELECT k, v FROM r15_cdf_seed")  # v1
     cat.sql("UPDATE r15_cdf SET v = v + 1 WHERE k % 5 = 0")  # v2 (cdf)
-    cat.sql("OPTIMIZE r15_cdf ZORDER BY (k)")  # v3: no change data
+    cat.sql("OPTIMIZE r15_cdf ZORDER BY (k)")  # v3: data_change=false
     cat.sql("DELETE FROM r15_cdf WHERE k >= 25")  # v4 (cdf)
     diff = version_diff(spark, path, "k", 1, 4)
     rows = {r["k"]: r["change"] for r in diff.collect()}
     exp = {k: "update" for k in range(0, 25, 5)}
     exp.update({k: "delete" for k in range(25, 30)})
     assert rows == exp, rows
-    # fast path still serves a clean sub-span from the feed only
-    sub = version_diff(spark, path, 1, 2) if False else version_diff(
-        spark, path, "k", 1, 2
-    )
+    # the whole span (maintenance commit included) serves feed-only
+    files = diff.inputFiles()
+    assert files and all("/cdf/" in f for f in files), files[:3]
+    # and a clean sub-span still does too
+    sub = version_diff(spark, path, "k", 1, 2)
     files = sub.inputFiles()
     assert files and all("/cdf/" in f for f in files), files[:3]
 
@@ -638,11 +640,15 @@ def test_widen_pruning_stays_sound_and_effective(spark, tmp_path):
 
 
 def test_cdf_stream_raises_on_feedless_version(spark, tmp_path):
-    """ST19: a mid-stream version without change data (maintenance
-    rewrite) fails LOUDLY — silently skipping it would drop changes."""
+    """ST19: a mid-stream version that CHANGED DATA without recording
+    change events (here: a commit from before cdf='true' was enabled)
+    fails LOUDLY — silently skipping it would drop changes. (An
+    OPTIMIZE no longer triggers this: it is data_change=false and
+    crosses as zero events — r16, pinned in test_round16.py.)"""
     from pretalx_hub_etl_spark.plans.lakehouse_sql import (
         LakehouseSqlCatalog,
     )
+    from pretalx_hub_etl_spark.sinks.manifest import CommitLog
     from pretalx_hub_etl_spark.sources.lakehouse_ds import (
         cdf_read_schema,
         pin_active_session,
@@ -655,14 +661,18 @@ def test_cdf_stream_raises_on_feedless_version(spark, tmp_path):
     cat = LakehouseSqlCatalog(spark)
     cat.sql(
         f"CREATE TABLE r15_sfeed (k BIGINT, v BIGINT) USING lakehouse "
-        f"LOCATION '{path}' TBLPROPERTIES (merge_key='k', cdf='true')"
+        f"LOCATION '{path}' TBLPROPERTIES (merge_key='k')"
     )
     spark.range(0, 12).selectExpr(
         "id AS k", "id * 10 AS v"
     ).createOrReplaceTempView("r15_sf_seed")
-    cat.sql("INSERT INTO r15_sfeed SELECT k, v FROM r15_sf_seed")
-    cat.sql("UPDATE r15_sfeed SET v = v + 1 WHERE k < 3")
-    cat.sql("OPTIMIZE r15_sfeed ZORDER BY (k)")  # v3: no change data
+    cat.sql("INSERT INTO r15_sfeed SELECT k, v FROM r15_sf_seed")  # v1
+    cat.sql("UPDATE r15_sfeed SET v = v + 1 WHERE k < 3")  # v2: no feed
+    log = CommitLog(path)
+    props = log.table_props()
+    props["cdf"] = "true"  # enabled AFTER history exists
+    log.write_table_props(props)
+    cat.sql("UPDATE r15_sfeed SET v = v + 1 WHERE k >= 9")  # v3 (cdf)
     out = str(tmp_path / "out")
     ck = str(tmp_path / "ck")
     q = (
@@ -670,6 +680,7 @@ def test_cdf_stream_raises_on_feedless_version(spark, tmp_path):
         .schema(cdf_read_schema(path))
         .option("path", path)
         .option("readChangeFeed", "true")
+        .option("startingVersion", "2")  # v2 changed data, no events
         .load()
         .writeStream.format("parquet")
         .option("path", out)

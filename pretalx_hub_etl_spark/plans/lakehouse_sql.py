@@ -1884,7 +1884,14 @@ class LakehouseSqlCatalog:
         # anchor: time travel below `since` serves the original type
         since = commit_metadata_version(path)
         evs = list(props.get("column_events") or [])
-        evs.append({"op": "widen", "name": col, "to": to, "since": since})
+        evs.append(
+            # "from" records the pre-widen declared type so time-travel
+            # reads BETWEEN two widen anchors can reconstruct this
+            # era's exact declared type (r15 ADVICE: schema_ddl alone
+            # is the CURRENT era and over-widens earlier ones)
+            {"op": "widen", "name": col, "to": to, "from": cur,
+             "since": since}
+        )
         props["column_events"] = evs
         from pyspark.sql.types import StructType
 

@@ -178,7 +178,9 @@ def _stamp_inherited(work: str, inherited) -> None:
             _json.dump({"txn_inherited": inherited}, fh)
 
 
-def _dense_seq(df: DataFrame) -> DataFrame:
+def _dense_seq(
+    df: DataFrame, out_pinned: list | None = None
+) -> DataFrame:
     """Attach ``__seq``, a DENSE 1..n numbering (per-partition counts
     -> prefix offsets -> per-partition row_number) — the identity-value
     basis that replaced ``monotonically_increasing_id()``: mid packs
@@ -192,11 +194,15 @@ def _dense_seq(df: DataFrame) -> DataFrame:
     the consuming write job see the SAME partitioning; the counts
     collect is bounded by the PARTITION count, never the row count,
     and the only shuffle is the per-partition-id window (payload-sized
-    — identity assignment runs on INSERT/MERGE payloads, not the
-    table)."""
+    — identity assignment runs on INSERT/MERGE payloads' NULL-id
+    slices, not the table). ``out_pinned`` (when given) receives the
+    checkpointed frame so an OCC retry loop can unpersist the stale
+    attempt's blocks instead of accumulating them."""
     from pyspark.sql.window import Window
 
     pinned = df.localCheckpoint(eager=True)
+    if out_pinned is not None:
+        out_pinned.append(pinned)
     counts = sorted(
         (r[0], r[1])
         for r in pinned.groupBy(F.spark_partition_id().alias("__pid"))
@@ -612,7 +618,11 @@ class MergeSink:
                 and int(e.get("since", 0)) > version
             ]
             if not any(e["op"] in ("rename", "drop") for e in later):
-                from pyspark.sql.types import StructField, StructType
+                from pyspark.sql.types import (
+                    StructField,
+                    StructType,
+                    _parse_datatype_string,
+                )
 
                 pby = props.get("partition_by") or []
                 if isinstance(pby, str):
@@ -620,15 +630,31 @@ class MergeSink:
                         p.strip() for p in pby.split(",") if p.strip()
                     ]
                 pl = {p.lower() for p in pby}
+                # per-version declared types: schema_ddl is the CURRENT
+                # era — a time-travel read between two widen anchors
+                # must serve THIS era's type, so undo (newest-first)
+                # every widen ABOVE the read version via its recorded
+                # "from" type (r15 ADVICE; pre-"from" legacy events keep
+                # the wider type — values identical, type best-effort)
+                era: dict[str, object] = {
+                    f.name.lower(): f.dataType
+                    for f in StructType.fromDDL(
+                        props["schema_ddl"]
+                    ).fields
+                }
+                for e in reversed(later):
+                    if e["op"] == "widen" and e.get("from"):
+                        n = e["name"].lower()
+                        if n in era:
+                            era[n] = _parse_datatype_string(e["from"])
                 fields: list[StructField] = []
                 for f in StructType.fromDDL(props["schema_ddl"]).fields:
                     if f.name.lower() in pl:
                         continue
-                    fields.append(StructField(f.name, f.dataType, True))
+                    typ = era[f.name.lower()]
+                    fields.append(StructField(f.name, typ, True))
                     for prior in prior_physical_names(props, f.name):
-                        fields.append(
-                            StructField(prior, f.dataType, True)
-                        )
+                        fields.append(StructField(prior, typ, True))
                 return reader.schema(StructType(fields))
         if props.get("schema_ddl"):
             reader = reader.option("mergeSchema", "true")
@@ -2579,6 +2605,7 @@ class MergeSink:
                     k,
                     "left_anti",
                 )
+            _id_pins: list = []
             id_all = [c for c in _idc(_props_m) if c in target.columns]
             if id_all:
                 # inserted rows carry NULL in the identity columns
@@ -2594,17 +2621,26 @@ class MergeSink:
                 # non-NULL rows leave gaps in the seq, which identity
                 # permits (uniqueness, not density, is the contract)
                 hwm = self._identity_hwm_for(spark, base, id_all)
-                merged = _dense_seq(merged)
+                # number ONLY the rows that need new ids (any identity
+                # column NULL — the insert branch): _dense_seq pins and
+                # window-shuffles its input, so feeding it the whole
+                # merged state would cost O(table) per OCC attempt;
+                # the null slice is payload-sized (r15 ADVICE)
+                need_id = F.lit(False)
+                for c in id_all:
+                    need_id = need_id | F.col(c).isNull()
+                keep = merged.filter(~need_id)
+                ins = _dense_seq(merged.filter(need_id), _id_pins)
                 for c in id_all:
                     typ = target.schema[c].dataType
-                    merged = merged.withColumn(
+                    ins = ins.withColumn(
                         c,
                         F.when(
                             F.col(c).isNull(),
                             (F.lit(hwm[c]) + F.col("__seq")).cast(typ),
                         ).otherwise(F.col(c)),
                     )
-                merged = merged.drop("__seq")
+                merged = keep.unionByName(ins.drop("__seq"))
             cdf_df = None
             if cdf_enabled(_props_m):
                 from .colmap import column_events as _cev_m
@@ -2631,7 +2667,14 @@ class MergeSink:
             except FileExistsError:
                 # lost the version race: if the winner crashed before
                 # publishing its manifest, publish it for them so base
-                # advances, then recompute vs the new current state
+                # advances, then recompute vs the new current state —
+                # dropping this attempt's identity-seq checkpoint blocks
+                # first (they would otherwise accumulate across retries)
+                for p in _id_pins:
+                    try:
+                        p.unpersist()
+                    except Exception:
+                        pass
                 _heal_claim(self.path, claim)
                 continue
             return self.read(spark)

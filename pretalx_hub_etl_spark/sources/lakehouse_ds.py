@@ -157,8 +157,21 @@ def build_lakehouse_source():
             out = tbl.select([f.name for f in sch])
         try:
             out = out.cast(sch)
-        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
-            pass  # positional match is already exact in-lifecycle
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError) as exc:
+            # a cast failure means this commit's event layout genuinely
+            # diverged from the stream's pinned schema (mid-stream
+            # schema evolution): passing the batches through unverified
+            # would misalign struct fields POSITIONALLY downstream —
+            # fail here, naming the version and both schemas (r15
+            # ADVICE)
+            raise RuntimeError(
+                f"change-feed version {partition.version} "
+                f"({partition.path}) does not cast to the stream's "
+                f"pinned event schema — the table's payload schema "
+                f"evolved mid-stream; restart the stream to pick up "
+                f"the new schema. file schema: {out.schema}; pinned: "
+                f"{sch}"
+            ) from exc
         yield from out.to_batches()
 
     def _cdf_schema_arrow(path: str):
@@ -711,6 +724,12 @@ def build_lakehouse_source():
 
             self.path = options["path"]
             self.overwrite = overwrite
+            # commit_receipt: a caller-supplied file path where commit()
+            # records the EXACT version it published — write_table's
+            # read-your-own-writes fence keys on it (fencing on pre+1
+            # alone is satisfied by a CONCURRENT writer's commit while
+            # our own higher version is still invisible — r15 ADVICE)
+            self.receipt = options.get("commit_receipt")
             os.makedirs(self.path, exist_ok=True)
             self.stage = os.path.join(
                 self.path, f".stage-{uuid.uuid4().hex}"
@@ -739,15 +758,24 @@ def build_lakehouse_source():
             return _WroteFile(rel=rel, rows=rows)
 
         def commit(self, messages):
+            import os
             import shutil
 
             try:
                 new_rels = [
                     m.rel for m in messages if m is not None and m.rel
                 ]
-                _commit_version(
+                v = _commit_version(
                     self.path, self.stage, new_rels, self.overwrite
                 )
+                if self.receipt:
+                    # atomic receipt publish (tmp + rename): the caller
+                    # polls for the file, so it must never be readable
+                    # half-written
+                    tmp = f"{self.receipt}.tmp-{os.getpid()}"
+                    with open(tmp, "w") as fh:
+                        fh.write(str(v))
+                    os.rename(tmp, self.receipt)
             finally:
                 shutil.rmtree(self.stage, ignore_errors=True)
 
@@ -1931,6 +1959,8 @@ def write_table(df, path: str, mode: str = "append") -> None:
     applied (see :func:`pin_active_session`) — the supported write
     entry point; ``format("lakehouse")`` directly is fine from the
     session's own thread."""
+    import os
+
     spark = df.sparkSession
     register(spark)
     pin_active_session(spark)
@@ -1945,12 +1975,37 @@ def write_table(df, path: str, mode: str = "append") -> None:
     df = apply_invariants(apply_generated(df, _props), _props)
     log = CommitLog(path)
     pre = log._probe_version()
-    df.write.format("lakehouse").option("path", path).mode(mode).save()
-    # the COMMIT above ran in a separate Python worker process:
-    # fence this (writing) process's view forward to the new version
-    # before returning, so the caller's next read can never resolve
-    # below its own completed write (read-your-own-writes)
-    log.await_min_version(pre + 1)
+    # commit receipt: the writer's commit() runs in a separate Python
+    # worker process and records the EXACT version it published here —
+    # fencing on pre+1 alone is satisfied by a CONCURRENT writer's
+    # commit while our own (higher) version is still invisible, and the
+    # worker's commit never updates this process's committed floor
+    # (r15 ADVICE)
+    import tempfile as _tf
+    import uuid as _uuid
+
+    rcpt = os.path.join(
+        _tf.gettempdir(), f"lakehouse-rcpt-{_uuid.uuid4().hex}"
+    )
+    try:
+        (
+            df.write.format("lakehouse")
+            .option("path", path)
+            .option("commit_receipt", rcpt)
+            .mode(mode)
+            .save()
+        )
+        try:
+            with open(rcpt) as fh:
+                committed = int(fh.read().strip())
+        except (OSError, ValueError):
+            committed = pre + 1  # no receipt (older worker): best floor
+        log.await_min_version(committed)
+    finally:
+        try:
+            os.remove(rcpt)
+        except OSError:
+            pass
 
 
 def register(spark) -> None:

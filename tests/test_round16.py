@@ -153,6 +153,46 @@ def test_append_stream_skips_data_change_false_commit(spark, tmp_path):
     )
 
 
+def test_time_travel_between_widen_anchors_serves_era_type(
+    spark, tmp_path
+):
+    """S52 + r16: with TWO widen anchors on one column, a time-travel
+    read BETWEEN them serves the FIRST widen's type (the era's declared
+    type), not the current (widest) one — widen events record their
+    "from" type and later widens are undone for older eras."""
+    path = str(tmp_path / "t")
+    cat = _mk_catalog(spark)
+    cat.sql(
+        f"CREATE TABLE r16_widen2 (k BIGINT, c SMALLINT) USING "
+        f"lakehouse LOCATION '{path}' TBLPROPERTIES (merge_key='k')"
+    )
+    spark.sql(
+        "SELECT id AS k, CAST(id AS SMALLINT) AS c FROM range(6)"
+    ).createOrReplaceTempView("r16_w2_src")
+    cat.sql("INSERT INTO r16_widen2 SELECT k, c FROM r16_w2_src")  # v1
+    cat.sql("ALTER TABLE r16_widen2 ALTER COLUMN c TYPE INT")  # anchor v2
+    spark.sql(
+        "SELECT id AS k, CAST(id AS INT) AS c FROM range(6, 9)"
+    ).createOrReplaceTempView("r16_w2_src2")
+    cat.sql("INSERT INTO r16_widen2 SELECT k, c FROM r16_w2_src2")  # v3
+    cat.sql(
+        "ALTER TABLE r16_widen2 ALTER COLUMN c TYPE BIGINT"
+    )  # anchor v4
+    sink = MergeSink(path, key="k")
+    between = sink.read_version(spark, 3)
+    assert between.schema["c"].dataType.simpleString() == "int", (
+        between.schema
+    )
+    assert between.count() == 9
+    assert (
+        sink.read_version(spark, 1).schema["c"].dataType.simpleString()
+        == "smallint"
+    )
+    cur = cat.sql("SELECT * FROM r16_widen2")
+    assert cur.schema["c"].dataType.simpleString() == "bigint"
+    assert cur.count() == 9
+
+
 def test_self_oracle_gate_raises_with_diff_artifact(spark, tmp_path):
     """The S43/S46 final-frame self-oracle: a divergent frame raises
     and dumps the named divergent rows; an equal frame passes through

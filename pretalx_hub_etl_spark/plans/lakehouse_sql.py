@@ -913,7 +913,6 @@ class LakehouseSqlCatalog:
         if self._txn is not None:
             head = (query.strip().split(None, 1) or [""])[0].upper()
             if head in (
-                "MERGE",
                 "CREATE",
                 "COPY",
                 "VACUUM",
@@ -927,9 +926,10 @@ class LakehouseSqlCatalog:
             ):
                 raise ValueError(
                     f"{head} is not allowed inside BEGIN TRANSACTION "
-                    "(transaction scope: INSERT into CoW/MoR tables and "
-                    "MoR UPDATE/DELETE — the S45 append/delta contract; "
-                    "reads serve the pre-transaction snapshot)"
+                    "(transaction scope: INSERT / MERGE / UPDATE / "
+                    "DELETE on CoW and MoR tables — the S45/S53 "
+                    "append+keyed-delta contract; reads serve the "
+                    "pre-transaction snapshot)"
                 )
         for handler in (
             self._try_merge,
@@ -973,9 +973,12 @@ class LakehouseSqlCatalog:
         discards the stages. Statements inside the transaction read the
         PRE-transaction snapshot (staged data is invisible until
         COMMIT, including to the transaction's own reads — the S45
-        staging contract). Scope: INSERT into CoW/MoR tables and MoR
-        UPDATE/DELETE; CoW full-state rewrites are the documented S45
-        non-goal and are refused."""
+        staging contract). Scope: INSERT / MERGE / UPDATE / DELETE on
+        CoW and MoR tables (S53: CoW DML stages its reduced keyed
+        delta and applies under the claim at COMMIT); DDL and
+        maintenance statements are refused, and one keyed-delta
+        statement per table per transaction (a second one's evaluation
+        could not see the first's staged effect)."""
         q = query.strip().rstrip(";").strip()
         if _HEAL_TXN_RE.match(q):
             # crash recovery from SQL: complete every prepared-but-
@@ -1440,6 +1443,31 @@ class LakehouseSqlCatalog:
         from ..sinks.merge import _versions as _committed_versions
 
         empty_target = not _committed_versions(path)
+        if self._txn is not None:
+            # S53: MERGE inside BEGIN TRANSACTION — stage the reduced
+            # keyed delta (upsert rows + delete keys); it applies at
+            # COMMIT through the publish-time OCC loop, atomically with
+            # every other staged statement
+            if empty_target:
+                raise ValueError(
+                    "MERGE into an empty DDL-created table inside "
+                    "BEGIN TRANSACTION is not supported (the first "
+                    "commit is an init) — INSERT INTO it instead"
+                )
+            if kind == "cow":
+                self._txn.stage_cow_delta(
+                    path,
+                    source=upserts,
+                    deletes=delete_keys,
+                    allow_evolution=evo,
+                )
+            else:
+                self._txn.stage_mor_upsert(
+                    path, source=upserts, deletes=delete_keys
+                )
+            return self._summary(
+                "merge_staged", name, self._current_version(name)
+            )
         if kind == "cow":
             from ..sinks.merge import MergeSink
 
@@ -1781,12 +1809,15 @@ class LakehouseSqlCatalog:
                 matched = matched.withColumn(gcol, F.expr(gexpr))
         if self._txn is not None:
             if kind == "cow":
-                raise ValueError(
-                    "UPDATE on a CoW table inside BEGIN TRANSACTION is "
-                    "not supported (full-state rewrite — the documented "
-                    "S45 non-goal); use a MoR table or commit first"
+                # S53: stage the recomputed matched rows as a keyed
+                # delta — applied under the claim at COMMIT
+                self._txn.stage_cow_delta(
+                    path,
+                    source=matched,
+                    allow_evolution=self._has_declared_schema(path),
                 )
-            self._txn.stage_mor_upsert(path, source=matched)
+            else:
+                self._txn.stage_mor_upsert(path, source=matched)
             return self._summary(
                 "update_staged", name, self._current_version(name)
             )
@@ -1931,16 +1962,12 @@ class LakehouseSqlCatalog:
         kind, path, _ = self._require(name)
         key = self._require_key(name)
         if self._txn is not None:
+            keys = self._dml_matched(name, cond).select(key)
             if kind == "cow":
-                raise ValueError(
-                    "DELETE on a CoW table inside BEGIN TRANSACTION is "
-                    "not supported (full-state rewrite — the documented "
-                    "S45 non-goal); use a MoR table or commit first"
-                )
-            self._txn.stage_mor_upsert(
-                path,
-                deletes=self._dml_matched(name, cond).select(key),
-            )
+                # S53: stage the matched keys as a keyed-delta DELETE
+                self._txn.stage_cow_delta(path, deletes=keys)
+            else:
+                self._txn.stage_mor_upsert(path, deletes=keys)
             return self._summary(
                 "delete_staged", name, self._current_version(name)
             )

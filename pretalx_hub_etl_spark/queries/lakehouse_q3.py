@@ -799,3 +799,95 @@ def q_pipeline_cdc_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# --- S53: MERGE / CoW DML inside SQL transactions -------------------------------
+
+
+@query(
+    "q_sql_txn_merge",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT 'a' AS src, k,
+           CASE WHEN k % 4 = 0 THEN cents + 7 ELSE cents END AS cents
+    FROM base WHERE k % 2 = 0
+    UNION ALL
+    SELECT 'a', k, cents + 1 FROM base WHERE k % 2 = 1
+    UNION ALL
+    SELECT 'b', k, cents FROM base WHERE k % 3 = 0 OR k % 3 = 1
+    """,
+)
+def q_sql_txn_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S53 (r15 VERDICT item 2): `BEGIN TRANSACTION; MERGE INTO t1 ...;
+    # INSERT INTO t2 ...; COMMIT` — the MERGE stages its REDUCED KEYED
+    # DELTA (upsert rows + delete keys) and applies it at COMMIT
+    # through MergeSink.merge's OCC loop under the claim (the S49b
+    # publish-time pattern), with the txn marker keeping the result
+    # invisible until the committed flip. Mid-transaction both tables
+    # still serve their pre-txn state (asserted: counts AND the merge's
+    # arithmetic absent); after COMMIT both flip AT ONCE. The oracle
+    # recomputes both final states — a torn commit, a leaked staged
+    # row, or a lost MERGE branch hash-fails.
+    import shutil
+
+    from ..plans.lakehouse_sql import LakehouseSqlCatalog
+    from ..sinks.merge import MergeSink
+    from ..sinks.mor import MorTable
+
+    base = Catalog(spark, sf_dir).orders.select(
+        F.col("o_orderkey").alias("k"),
+        fixed_cents(F.col("o_totalprice")).alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="phe_sql_txn_merge_")
+    pa_, pb = os.path.join(root, "a"), os.path.join(root, "b")
+    wh = os.path.join(root, "wh")
+    MergeSink(pa_, key="k").init(base.filter(F.col("k") % 2 == 0))
+    MorTable(pb, key="k").init(base.filter(F.col("k") % 3 == 0))
+    cat = LakehouseSqlCatalog(spark, warehouse=wh)
+    cat.register_path("txnm_a", pa_)
+    cat.register_path("txnm_b", pb)
+    base.createOrReplaceTempView("txnm_base")
+    spark.sql(
+        "SELECT k, cents + 7 AS cents FROM txnm_base WHERE k % 4 = 0 "
+        "UNION ALL "
+        "SELECT k, cents + 1 AS cents FROM txnm_base WHERE k % 2 = 1"
+    ).createOrReplaceTempView("txnm_src")
+    n_a0 = cat.sql("SELECT count(*) AS n FROM txnm_a").first()["n"]
+    s_a0 = cat.sql("SELECT sum(cents) AS s FROM txnm_a").first()["s"]
+    n_b0 = cat.sql("SELECT count(*) AS n FROM txnm_b").first()["n"]
+    cat.sql("BEGIN TRANSACTION")
+    cat.sql(
+        "MERGE INTO txnm_a t USING txnm_src s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET cents = s.cents "
+        "WHEN NOT MATCHED THEN INSERT (k, cents) VALUES (s.k, s.cents)"
+    )
+    cat.sql(
+        "INSERT INTO txnm_b SELECT k, cents FROM txnm_base "
+        "WHERE k % 3 = 1"
+    )
+    # staged DML is invisible mid-transaction — count AND values
+    assert cat.sql("SELECT count(*) AS n FROM txnm_a").first()["n"] == n_a0
+    assert cat.sql("SELECT sum(cents) AS s FROM txnm_a").first()["s"] == s_a0
+    assert cat.sql("SELECT count(*) AS n FROM txnm_b").first()["n"] == n_b0
+    cat.sql("COMMIT")
+    # abort path: a rolled-back MERGE never lands
+    cat.sql("BEGIN TRANSACTION")
+    cat.sql(
+        "MERGE INTO txnm_a t USING (SELECT -1 AS k, 0 AS cents) s "
+        "ON t.k = s.k "
+        "WHEN NOT MATCHED THEN INSERT (k, cents) VALUES (s.k, s.cents)"
+    )
+    cat.sql("ROLLBACK")
+    out = (
+        cat.sql(
+            "SELECT 'a' AS src, k, cents FROM txnm_a UNION ALL "
+            "SELECT 'b' AS src, k, cents FROM txnm_b"
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out

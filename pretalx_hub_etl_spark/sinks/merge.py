@@ -2487,6 +2487,7 @@ class MergeSink:
         deletes: DataFrame | None = None,
         max_retries: int = 20,
         allow_evolution: bool = False,
+        manifest_extra: dict | None = None,
     ) -> DataFrame:
         """Apply source-wins upserts (and optional key deletes); return the
         new state DataFrame (already durable when this returns).
@@ -2663,7 +2664,10 @@ class MergeSink:
                             )
                     cdf_df = _diff_frames(lo_al, hi_al, k)
             try:
-                self._write(merged, claim, cdf_df=cdf_df)
+                self._write(
+                    merged, claim, cdf_df=cdf_df,
+                    manifest_extra=manifest_extra,
+                )
             except FileExistsError:
                 # lost the version race: if the winner crashed before
                 # publishing its manifest, publish it for them so base
@@ -2736,9 +2740,32 @@ class MergeSink:
         from .txn import inherit_pending
 
         inherited = inherit_pending(log, version)
+        own_txn = (manifest_extra or {}).get("txn")
+        if own_txn:
+            # a commit published FOR a transaction (S53 cow_delta) does
+            # not "inherit" its own marker
+            inherited = [
+                t for t in inherited if t.get("id") != own_txn.get("id")
+            ]
         if inherited:
             manifest["txn_inherited"] = inherited
-            _stamp_inherited(stage, inherited)
+        stamp: dict = {}
+        if own_txn:
+            stamp["txn"] = own_txn
+        if inherited:
+            stamp["txn_inherited"] = inherited
+        if stamp:
+            # persist the txn identity WITH the staged files (the _TXN
+            # stamp build_manifest restores): a crash between the
+            # rename claim and publish is healed from the directory —
+            # without the stamp the healed manifest would lose the
+            # marker and leak pending data into visibility
+            import json as _json
+
+            from .manifest import _TXN_STAMP
+
+            with open(os.path.join(stage, _TXN_STAMP), "w") as fh:
+                _json.dump(stamp, fh, separators=(",", ":"))
         final = os.path.join(self.path, f"v{version}")
         try:
             os.rename(stage, final)

@@ -42,12 +42,18 @@ limitation, same contract as the modeled formats' external coordinated
 commits).
 
 Scope: operations whose staged content is valid regardless of
-interleaved commits — CoW APPENDS and MoR DELTAS (upsert/delete).
-Full-state CoW MERGE inside a transaction would require holding out
-every other writer of the table (a lock, not a protocol), which is the
-documented non-goal; pipelines that need cross-table atomicity are
-fan-out shaped (one batch appended/upserted into N tables), which this
-covers exactly.
+interleaved commits — CoW APPENDS, MoR DELTAS (upsert/delete), and
+(S53) CoW KEYED DELTAS (the reduced form of MERGE / UPDATE / DELETE:
+upsert rows + delete keys, applied through ``MergeSink.merge``'s OCC
+loop at publish time, so the full-state rewrite happens under the
+claim and recomputes on every lost race — never against a stale base).
+What this is NOT: serializable read-write transactions — a delta's
+ROWS are evaluated against the snapshot its statement read, and apply
+keyed last-writer-wins (the same contract MoR deltas always had); one
+keyed-delta entry per table per transaction keeps that contract honest.
+Pipelines that need cross-table atomicity are fan-out shaped (one
+batch appended/upserted/merged into N tables), which this covers
+exactly.
 
 No reference counterpart; the intent/roll-forward shape follows the
 public two-phase lakehouse-commit discussions (Delta multi-table
@@ -275,6 +281,77 @@ class LakehouseTransaction:
             ent["copy_files"] = copy_files
         self._entries.append(ent)
 
+    def stage_cow_delta(
+        self,
+        table_path: str,
+        source: DataFrame | None = None,
+        deletes: DataFrame | None = None,
+        allow_evolution: bool = False,
+    ) -> None:
+        """Stage a KEYED DELTA against a CoW table (S53: MERGE / UPDATE
+        / DELETE inside a transaction) — upsert rows and/or delete
+        keys, exactly the shape SQL MERGE reduces to. The delta is
+        applied at PUBLISH time through ``MergeSink.merge``'s own OCC
+        loop (the S49b publish-under-the-claim pattern): a commit that
+        lands between stage and publish is recomputed against, never
+        lost, and the published manifest carries the txn marker so the
+        result stays invisible until the transaction commits.
+
+        Semantics contract (the same one S45 already gives MoR deltas):
+        the delta's ROWS were evaluated against the snapshot the caller
+        read — application is keyed last-writer-wins. One keyed-delta
+        entry per table per transaction: a second DML whose evaluation
+        could not see the first's staged effect refuses loudly instead
+        of applying against a state the statement never saw."""
+        self._check_open()
+        if source is None and deletes is None:
+            raise ValueError("stage_cow_delta needs source or deletes")
+        props = CommitLog(table_path).table_props()
+        if props.get("kind", "cow") != "cow":
+            raise ValueError(
+                f"stage_cow_delta targets CoW tables; {table_path} is "
+                f"{props.get('kind')} (use stage_mor_upsert)"
+            )
+        key = props.get("merge_key")
+        if not key:
+            raise ValueError(f"{table_path} has no stored merge key")
+        ap = os.path.abspath(table_path)
+        for e in self._entries:
+            if e["path"] == ap:
+                raise ValueError(
+                    f"transaction already stages {e['op']} into "
+                    f"{table_path}: a keyed delta evaluated before "
+                    "that entry publishes would apply against a state "
+                    "it never read — commit first, or combine the "
+                    "statements"
+                )
+        stage = self._stage_dir(table_path)
+        try:
+            if source is not None:
+                self._guarded(source, table_path).write.mode(
+                    "errorifexists"
+                ).parquet(os.path.join(stage, "data"))
+            if deletes is not None:
+                from pyspark.sql import functions as F
+
+                deletes.select(
+                    F.col(deletes.columns[0]).alias(key)
+                ).write.mode("errorifexists").parquet(
+                    os.path.join(stage, "deletes")
+                )
+        except BaseException:
+            shutil.rmtree(stage, ignore_errors=True)
+            raise
+        ent: dict[str, Any] = {
+            "path": ap,
+            "op": "cow_delta",
+            "stage": stage,
+            "base_at_prepare": CommitLog(table_path).current_version(),
+        }
+        if allow_evolution:
+            ent["evo"] = True
+        self._entries.append(ent)
+
     # -- terminal states -------------------------------------------------------
 
     def abort(self) -> None:
@@ -472,6 +549,57 @@ def _publish_one(
         raise FileNotFoundError(
             f"txn {txn_id} entry {idx}: staged data missing at {probe}"
         )
+    if op == "cow_delta":
+        # S53: apply the staged keyed delta through MergeSink.merge's
+        # own OCC loop — the merge recomputes against the CLAIMED base
+        # on every lost race (the S49b publish-time pattern), and the
+        # manifest_extra txn marker keeps the result invisible until
+        # the transaction's committed flip. Needs a live session, same
+        # contract as identity assignment.
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession() or getattr(
+            SparkSession, "_instantiatedSession", None
+        )
+        if spark is None:
+            raise RuntimeError(
+                f"transaction publish into {path}: cow_delta needs an "
+                "active SparkSession (commit/heal from a live session)"
+            )
+        from .merge import MergeSink
+
+        sink = MergeSink(path, key=props.get("merge_key") or "_")
+        src_dir = os.path.join(stage, "data")
+        del_dir = os.path.join(stage, "deletes")
+        source = (
+            spark.read.parquet(src_dir)
+            if os.path.isdir(src_dir)
+            else sink.read(spark).limit(0)
+        )
+        deletes = (
+            spark.read.parquet(del_dir)
+            if os.path.isdir(del_dir)
+            else None
+        )
+        sink.merge(
+            spark,
+            source,
+            deletes=deletes,
+            allow_evolution=bool(ent.get("evo")),
+            manifest_extra={
+                "txn": {"id": txn_id, "coord": coord, "entry": idx}
+            },
+        )
+        v = _already_published(log, txn_id, idx, ent["base_at_prepare"])
+        if v is None:
+            raise RuntimeError(
+                f"txn {txn_id} entry {idx}: cow_delta merge returned "
+                "but no manifest carries its marker"
+            )
+        shutil.rmtree(stage, ignore_errors=True)
+        with open(done, "w") as fh:
+            fh.write(str(v))
+        return v
     from .merge import _versions
 
     for _ in range(50):

@@ -222,3 +222,141 @@ def test_self_oracle_gate_raises_with_diff_artifact(spark, tmp_path):
     assert diag["n_missing"] == 1 and diag["n_unexpected"] == 1, diag
     assert diag["missing_from_result"][0]["k"] == 3
     os.remove(art)
+
+
+def _init_cow(spark, path, n=10):
+    MergeSink(path, key="k").init(
+        spark.range(0, n).selectExpr("id AS k", "id * 10 AS v")
+    )
+
+
+def test_txn_cow_merge_racing_writer_preserved(spark, tmp_path):
+    """S53 equivalence pin: a writer that commits to the MERGE's target
+    BETWEEN stage and COMMIT is never lost — the keyed delta applies
+    under the claim against the racer's state (publish-time recompute),
+    so the final state equals racer-then-merge serial order."""
+    from pretalx_hub_etl_spark.plans.lakehouse_sql import (
+        LakehouseSqlCatalog,
+    )
+
+    path = str(tmp_path / "t")
+    _init_cow(spark, path)
+    cat = LakehouseSqlCatalog(spark, warehouse=str(tmp_path / "wh"))
+    cat.register_path("r16_race_t", path)
+    cat.sql("BEGIN TRANSACTION")
+    cat.sql("UPDATE r16_race_t SET v = v + 1 WHERE k < 5")
+    # racing writer commits while the delta is staged
+    MergeSink(path, key="k").append(
+        spark.createDataFrame([(100, 1000)], "k BIGINT, v BIGINT")
+    )
+    cat.sql("COMMIT")
+    rows = {
+        r["k"]: r["v"] for r in cat.sql(
+            "SELECT k, v FROM r16_race_t"
+        ).collect()
+    }
+    exp = {k: k * 10 + (1 if k < 5 else 0) for k in range(10)}
+    exp[100] = 1000  # the racer's row survives the txn's merge
+    assert rows == exp, rows
+
+
+def test_txn_cow_merge_invisible_until_commit_and_heals(
+    spark, tmp_path
+):
+    """S53 through the crash window: with the intent written and the
+    cow_delta entry PUBLISHED but the committed marker absent, every
+    read still serves the pre-txn state; heal() rolls forward and the
+    merge + the sibling append flip visible at once."""
+    import json
+
+    from pretalx_hub_etl_spark.sinks.txn import (
+        LakehouseTransaction,
+        _publish_one,
+        heal,
+    )
+
+    pa_ = str(tmp_path / "a")
+    pb = str(tmp_path / "b")
+    coord = str(tmp_path / "_txn")
+    _init_cow(spark, pa_)
+    _init_cow(spark, pb)
+    txn = LakehouseTransaction(coord)
+    txn.stage_cow_delta(
+        pa_,
+        source=spark.createDataFrame(
+            [(1, 999), (50, 500)], "k BIGINT, v BIGINT"
+        ),
+        deletes=spark.createDataFrame([(2,)], "k BIGINT"),
+    )
+    txn.stage_append(
+        pb, spark.createDataFrame([(60, 600)], "k BIGINT, v BIGINT")
+    )
+    os.makedirs(coord, exist_ok=True)
+    with open(os.path.join(coord, f"{txn.id}.json"), "x") as fh:
+        json.dump({"id": txn.id, "entries": txn._entries}, fh)
+    _publish_one(coord, txn.id, 0, txn._entries[0])
+    # published but uncommitted: both tables serve pre-txn state
+    a = MergeSink(pa_, key="k").read(spark)
+    assert a.count() == 10 and a.filter("k = 50").count() == 0
+    assert MergeSink(pb, key="k").read(spark).count() == 10
+    heal(coord)  # roll-forward completes the transaction
+    rows = {
+        r["k"]: r["v"]
+        for r in MergeSink(pa_, key="k").read(spark).collect()
+    }
+    exp = {k: k * 10 for k in range(10) if k != 2}
+    exp[1] = 999
+    exp[50] = 500
+    assert rows == exp, rows
+    assert MergeSink(pb, key="k").read(spark).filter(
+        "k = 60"
+    ).count() == 1
+
+
+def test_txn_second_dml_on_same_table_refuses(spark, tmp_path):
+    """One keyed-delta statement per table per transaction: a second
+    DML whose evaluation cannot see the first's staged effect refuses
+    loudly instead of applying against a state it never read."""
+    from pretalx_hub_etl_spark.plans.lakehouse_sql import (
+        LakehouseSqlCatalog,
+    )
+
+    path = str(tmp_path / "t")
+    _init_cow(spark, path)
+    cat = LakehouseSqlCatalog(spark, warehouse=str(tmp_path / "wh"))
+    cat.register_path("r16_two_t", path)
+    cat.sql("BEGIN TRANSACTION")
+    cat.sql("UPDATE r16_two_t SET v = v + 1 WHERE k < 5")
+    with pytest.raises(ValueError, match="already stages"):
+        cat.sql("UPDATE r16_two_t SET v = v + 1 WHERE k < 5")
+    cat.sql("ROLLBACK")
+
+
+def test_txn_cow_delete_and_update_stage_and_commit(spark, tmp_path):
+    """S53 SQL surface: CoW UPDATE and DELETE inside a transaction
+    stage keyed deltas on TWO tables and flip atomically at COMMIT."""
+    from pretalx_hub_etl_spark.plans.lakehouse_sql import (
+        LakehouseSqlCatalog,
+    )
+
+    pa_ = str(tmp_path / "a")
+    pb = str(tmp_path / "b")
+    _init_cow(spark, pa_)
+    _init_cow(spark, pb)
+    cat = LakehouseSqlCatalog(spark, warehouse=str(tmp_path / "wh"))
+    cat.register_path("r16_u_t", pa_)
+    cat.register_path("r16_d_t", pb)
+    cat.sql("BEGIN TRANSACTION")
+    cat.sql("UPDATE r16_u_t SET v = v * 2 WHERE k % 2 = 0")
+    cat.sql("DELETE FROM r16_d_t WHERE k >= 8")
+    assert cat.sql("SELECT sum(v) AS s FROM r16_u_t").first()["s"] == 450
+    assert cat.sql("SELECT count(*) AS n FROM r16_d_t").first()["n"] == 10
+    cat.sql("COMMIT")
+    got_u = {
+        r["k"]: r["v"]
+        for r in cat.sql("SELECT k, v FROM r16_u_t").collect()
+    }
+    assert got_u == {
+        k: k * 10 * (2 if k % 2 == 0 else 1) for k in range(10)
+    }, got_u
+    assert cat.sql("SELECT count(*) AS n FROM r16_d_t").first()["n"] == 8

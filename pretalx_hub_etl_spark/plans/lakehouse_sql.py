@@ -1857,11 +1857,14 @@ class LakehouseSqlCatalog:
         exactly into the new type or the cast-on-read overlay would be
         lossy."""
         kind, path, key = self._require(name)
-        if kind != "cow":
-            raise ValueError(
-                "ALTER COLUMN TYPE is CoW-only for now (the MoR chain "
-                "resolver does not apply widen overlays)"
-            )
+        # CoW: old files keep their narrow physical type; reads use an
+        # explicit upcast schema (SPARK-40876) + the widen overlay.
+        # MoR (r15 VERDICT item 3): each chain commit's delta scan is
+        # single-era by construction (a delta's files are written at
+        # its commit's era; relink maintenance copies one era whole),
+        # the chain union widens int-family types (WidenSetOperation
+        # coercion), and the read-side overlay casts to the declared
+        # type — so the same anchor + event mechanism serves both kinds.
         from ..sinks.manifest import CommitLog
         from ..sinks.merge import commit_metadata_version
 

@@ -891,3 +891,74 @@ def q_sql_txn_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# --- S52b: type widening on MoR tables ------------------------------------------
+
+
+@query(
+    "q_sql_widen_mor",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS k, CAST(o_custkey AS BIGINT) AS ck,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT k, ck + CASE WHEN k % 10 = 0 THEN 1 ELSE 0 END AS v
+    FROM base WHERE k % 2 = 0
+    UNION ALL
+    SELECT k, cents + 5000000000 AS v FROM base WHERE k % 2 = 1
+    """,
+)
+def q_sql_widen_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S52b (r15 VERDICT item 3): ALTER COLUMN TYPE on a MoR table — the
+    # same metadata-only anchor + widen event as CoW, with NO overlay
+    # machinery in the chain resolver: each delta commit's scan is
+    # single-era by construction (a delta's files are written at its
+    # era), the chain union widens int-family types (Spark's set-op
+    # coercion), and the read-side event cast pins the declared type.
+    # The post-widen UPDATE writes wide values for PRE-widen keys, so
+    # latest-wins resolution crosses the era boundary per key. Time
+    # travel below the anchor serves the ORIGINAL int type and
+    # narrowing refuses (asserted in-line). The oracle recomputes both
+    # eras' values — a lossy cast, a misresolved cross-era key, or a
+    # truncated wide value hash-fails.
+    import shutil
+
+    from ..plans.lakehouse_sql import LakehouseSqlCatalog
+
+    base = Catalog(spark, sf_dir).orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").cast("bigint").alias("ck"),
+        fixed_cents(F.col("o_totalprice")).alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="phe_sql_widen_mor_")
+    path = os.path.join(root, "t")
+    cat = LakehouseSqlCatalog(spark)
+    cat.sql(
+        f"CREATE TABLE wmor_t (k BIGINT, v INT) USING lakehouse "
+        f"LOCATION '{path}' TBLPROPERTIES (merge_key='k', kind='mor')"
+    )
+    base.filter(F.col("k") % 2 == 0).selectExpr(
+        "k", "CAST(ck AS INT) AS v"
+    ).createOrReplaceTempView("wmor_narrow")
+    cat.sql("INSERT INTO wmor_t SELECT k, v FROM wmor_narrow")  # v1
+    cat.sql("ALTER TABLE wmor_t ALTER COLUMN v TYPE BIGINT")  # anchor v2
+    base.filter(F.col("k") % 2 == 1).selectExpr(
+        "k", "cents + 5000000000 AS v"
+    ).createOrReplaceTempView("wmor_wide")
+    cat.sql("INSERT INTO wmor_t SELECT k, v FROM wmor_wide")  # v3 delta
+    # cross-era per-key resolution: wide UPDATE of pre-widen keys
+    cat.sql("UPDATE wmor_t SET v = v + 1 WHERE k % 10 = 0")  # v4 delta
+    cur = cat.sql("SELECT k, v FROM wmor_t")
+    assert cur.schema["v"].dataType.simpleString() == "bigint", cur.schema
+    old = cat.sql("SELECT * FROM wmor_t VERSION AS OF 1")
+    assert old.schema["v"].dataType.simpleString() == "int", old.schema
+    try:
+        cat.sql("ALTER TABLE wmor_t ALTER COLUMN v TYPE INT")
+        raise AssertionError("narrowing must refuse")
+    except ValueError:
+        pass
+    out = cur.localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -266,6 +266,42 @@ class MorTable:
         has_dv = provenance or any(
             views[v][2] is not None for v in chain
         )
+        # S52b type widening: a maintenance commit can mix ERAS in one
+        # file set (optimize_where relinks pre-widen files next to
+        # rewritten wide ones), and parquet schema inference over mixed
+        # int32/int64 footers is footer-order-dependent (narrow-first
+        # errors on the wide file). With widen events in play, scan
+        # each commit under an EXPLICIT schema: its own first footer's
+        # columns with every widened column forced to the era's
+        # declared type — SPARK-40876 upcasts narrow files per file.
+        widen_types = self._era_widen_types(max(chain)) if chain else {}
+
+        def _scan(files: list[str]) -> DataFrame:
+            if not widen_types:
+                return spark.read.parquet(*files)
+            import pyarrow.parquet as pq
+            from pyspark.sql.pandas.types import from_arrow_schema
+            from pyspark.sql.types import (
+                StructField,
+                StructType,
+                _parse_datatype_string,
+            )
+
+            donor = from_arrow_schema(
+                pq.ParquetFile(sorted(files)[0]).schema_arrow
+            )
+            fields = [
+                StructField(
+                    f.name,
+                    _parse_datatype_string(widen_types[f.name.lower()]),
+                    True,
+                )
+                if f.name.lower() in widen_types
+                else StructField(f.name, f.dataType, True)
+                for f in donor.fields
+            ]
+            return spark.read.schema(StructType(fields)).parquet(*files)
+
         saw_data = False
         frames: list[DataFrame] = []
         dv_frames: list[DataFrame] = []
@@ -273,7 +309,7 @@ class MorTable:
             data_files, del_files, pos_files, _ = views[v]
             if data_files is not None:
                 saw_data = True
-                d = spark.read.parquet(*data_files)
+                d = _scan(data_files)
                 if has_dv:
                     # row provenance so position deletes can target this
                     # commit's physical rows: (file URI, row index) —
@@ -298,7 +334,7 @@ class MorTable:
                     )
             if del_files is not None:
                 frames.append(
-                    spark.read.parquet(*del_files).select(
+                    _scan(del_files).select(
                         F.col(self.key),
                         F.lit(v).alias("__v"),
                         F.lit("d").alias("__kind"),
@@ -357,6 +393,43 @@ class MorTable:
         if has_dv and not provenance:
             resolved = resolved.drop("__fp", "__ri")
         return resolved
+
+    def _era_widen_types(self, version: int) -> dict[str, str]:
+        """Declared type (simpleString) per WIDENED column as of
+        ``version`` — schema_ddl's current types with widens ABOVE the
+        version undone via their recorded "from" (the same era logic as
+        the CoW ``_physical_reader``). Empty when the table has no
+        widen events (the common case: zero cost)."""
+        from .colmap import column_events
+
+        log = CommitLog(self.path)
+        if not log.exists():
+            return {}
+        props = log.table_props()
+        evs = column_events(props)
+        widened = [e for e in evs if e["op"] == "widen"]
+        if not widened or not props.get("schema_ddl"):
+            return {}
+        from pyspark.sql.types import StructType
+
+        era = {
+            f.name.lower(): f.dataType.simpleString()
+            for f in StructType.fromDDL(props["schema_ddl"]).fields
+        }
+        for e in reversed(
+            [x for x in evs if int(x.get("since", 0)) > version]
+        ):
+            if (
+                e["op"] == "widen"
+                and e.get("from")
+                and e["name"].lower() in era
+            ):
+                era[e["name"].lower()] = e["from"]
+        return {
+            e["name"].lower(): era[e["name"].lower()]
+            for e in widened
+            if e["name"].lower() in era
+        }
 
     # -- read path ----------------------------------------------------------
 
@@ -748,6 +821,8 @@ class MorTable:
                             "need a full OPTIMIZE (they name physical "
                             "rows of files this op would relink)"
                         )
+                    if ent.get("rows") == 0:
+                        continue  # empty part file: holds no keys
                     st = ent.get("columns", {}).get(self.key)
                     mn = None if st is None else st.get("min")
                     mx = None if st is None else st.get("max")

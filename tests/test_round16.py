@@ -360,3 +360,53 @@ def test_txn_cow_delete_and_update_stage_and_commit(spark, tmp_path):
         k: k * 10 * (2 if k % 2 == 0 else 1) for k in range(10)
     }, got_u
     assert cat.sql("SELECT count(*) AS n FROM r16_d_t").first()["n"] == 8
+
+
+def test_mor_widen_chain_maintenance_and_time_travel(spark, tmp_path):
+    """S52b: widen on a MoR chain — cross-era latest-wins resolution,
+    a MIXED-era maintenance commit (optimize_where relinks pre-widen
+    files next to rewritten wide ones: the scan must not depend on
+    footer-inference order), compaction, and time travel below the
+    anchor serving the original type."""
+    from pretalx_hub_etl_spark.sinks.mor import MorTable
+
+    path = str(tmp_path / "t")
+    t = MorTable(path, key="k")
+    t.init(
+        spark.sql(
+            "SELECT id AS k, CAST(id * 10 AS INT) AS v FROM range(10)"
+        ).repartitionByRange(4, "k")
+    )
+    cat = _mk_catalog(spark)
+    cat.register_path("r16_wmor", path)
+    cat.sql("ALTER TABLE r16_wmor ALTER COLUMN v TYPE BIGINT")  # v2
+    t.merge(
+        spark,
+        source=spark.sql(
+            "SELECT id AS k, CAST(id * 10 + 5000000000 AS BIGINT) AS v "
+            "FROM range(8, 12)"
+        ).coalesce(1),
+    )  # v3: wide delta, keys 8..11 (8, 9 shadow pre-widen rows)
+    exp = {k: k * 10 for k in range(8)}
+    exp.update({k: k * 10 + 5000000000 for k in range(8, 12)})
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert got == exp, got
+    assert (
+        t.read(spark).schema["v"].dataType.simpleString() == "bigint"
+    )
+    # time travel below the anchor: original type, original values
+    old = t.read(spark, as_of=1)
+    assert old.schema["v"].dataType.simpleString() == "int"
+    assert {r["k"]: r["v"] for r in old.collect()} == {
+        k: k * 10 for k in range(10)
+    }
+    # mixed-era maintenance commit: narrow relinks + wide rewrites in
+    # ONE file set — the explicit era schema makes the scan order-proof
+    res = t.optimize_where(spark, "k >= 8 AND k <= 20")
+    assert res["files_relinked"] >= 1 and res["files_rewritten"] >= 1, res
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert got == exp, got
+    # full compaction rewrites one era; reads stay identical
+    t.compact(spark)
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert got == exp, got

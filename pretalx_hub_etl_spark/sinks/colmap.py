@@ -158,3 +158,75 @@ def retired_names(props: dict[str, Any]) -> set[str]:
         if e["op"] in ("rename", "drop"):
             out.add((e.get("old") or e.get("name")).lower())
     return out
+
+
+def apply_events_cdf(df, events: list[dict[str, Any]]):
+    """Overlay the events on a CHANGE-DATA frame ``(key, change, old
+    struct, new struct, ...)`` written at one commit's era: top-level
+    renames apply directly (the key column carries its era's name) and
+    rename/widen/drop apply INSIDE the pre/post-image structs —
+    preserving struct NULL-ness, so an insert's ``old`` stays NULL
+    rather than becoming a struct of NULLs (which would flip its
+    classification). Makes per-commit feed members from BEFORE a
+    RENAME/DROP/WIDEN serve under the CURRENT logical schema — the
+    O(changes) ``table_changes()`` fast path survives schema evolution
+    instead of falling back to the O(table) snapshot diff."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    for e in events:
+        have = {c.lower(): c for c in df.columns}
+        if e["op"] == "rename":
+            o = have.get(e["old"].lower())
+            if o is not None and have.get(e["new"].lower()) is None:
+                df = df.withColumnRenamed(o, e["new"])
+
+    def _overlay(sc: str):
+        nonlocal df
+        dt = df.schema[sc].dataType
+        if not isinstance(dt, StructType):
+            return
+        cols: dict[str, tuple[str, Any]] = {
+            f.name.lower(): (f.name, F.col(sc)[f.name])
+            for f in dt.fields
+        }
+        order = [f.name.lower() for f in dt.fields]
+        changed = False
+        for e in events:
+            if e["op"] == "rename":
+                ol, nl = e["old"].lower(), e["new"].lower()
+                if ol in cols and nl in cols:
+                    _, oexpr = cols[ol]
+                    _, nexpr = cols[nl]
+                    cols[nl] = (e["new"], F.coalesce(nexpr, oexpr))
+                    del cols[ol]
+                    order.remove(ol)
+                    changed = True
+                elif ol in cols:
+                    _, oexpr = cols.pop(ol)
+                    cols[nl] = (e["new"], oexpr)
+                    order[order.index(ol)] = nl
+                    changed = True
+            elif e["op"] == "widen":
+                nl = e["name"].lower()
+                if nl in cols:
+                    name, expr = cols[nl]
+                    cols[nl] = (name, expr.cast(e["to"]))
+                    changed = True
+            else:  # drop
+                nl = e["name"].lower()
+                if nl in cols:
+                    del cols[nl]
+                    order.remove(nl)
+                    changed = True
+        if not changed or not order:
+            return
+        rebuilt = F.when(
+            F.col(sc).isNotNull(),
+            F.struct(*[cols[n][1].alias(cols[n][0]) for n in order]),
+        )
+        df = df.withColumn(sc, rebuilt)
+
+    _overlay("old")
+    _overlay("new")
+    return df

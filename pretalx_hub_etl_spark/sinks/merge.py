@@ -375,13 +375,10 @@ def version_diff(
         # CDC read touches only the feed files; the snapshot
         # full-outer-join below remains the fallback for pre-CDF
         # commits, maintenance commits, and column-mapped tables.
-        from .colmap import column_events as _cev
-
         span = log.versions(v_from + 1, v_to)
         if (
             span
             and len(span) == v_to - v_from  # no retired holes mid-span
-            and not _cev(log.table_props())
             and all(
                 # feed-complete: recorded change data, OR provably no
                 # data change (metadata anchors, dataChange=false
@@ -496,20 +493,34 @@ def _diff_from_cdf(
     v_to: int,
 ) -> DataFrame:
     """Reconstruct the (v_from, v_to] net diff from per-commit change
-    data: union the span's ``cdf/`` files (ONE scan; the commit number
-    derives from the version directory in each file path), then per key
-    keep the FIRST event's old and the LAST event's new — classify and
-    drop no-net-change churn exactly like :func:`_diff_frames`. GroupBy
+    data: scan each commit's ``cdf/`` files (per-commit — one era per
+    scan, so a WIDEN between commits never trips parquet's
+    int-vs-bigint merge refusal), overlay column-mapping events so
+    pre-RENAME/DROP/WIDEN members serve under the CURRENT logical
+    schema (colmap.apply_events_cdf), union, then per key keep the
+    FIRST event's old and the LAST event's new — classify and drop
+    no-net-change churn exactly like :func:`_diff_frames`. GroupBy
     cardinality = changed keys in the span, not table rows."""
+    from .colmap import apply_events_cdf, column_events
+
     log = CommitLog(path)
-    paths: list[str] = []
+    cevs = column_events(log.table_props())
+    frames: list[DataFrame] = []
     for v in span:
-        for ent in log.manifest(v)["files"]:
-            if ent.get("role") == "cdf":
-                paths.append(
-                    os.path.join(path, f"v{v}", ent["path"])
-                )
-    if not paths:
+        vpaths = [
+            os.path.join(path, f"v{v}", ent["path"])
+            for ent in log.manifest(v)["files"]
+            if ent.get("role") == "cdf"
+        ]
+        if not vpaths:
+            continue
+        f = spark.read.parquet(*sorted(vpaths)).withColumn(
+            "__commit", F.lit(int(v))
+        )
+        if cevs:
+            f = apply_events_cdf(f, cevs)
+        frames.append(f)
+    if not frames:
         # every commit recorded changes and none had any: empty feed
         # under the CURRENT event schema (derived from one footer)
         snap = MergeSink(path, key=key).read_version(spark, v_to)
@@ -517,16 +528,11 @@ def _diff_from_cdf(
         return probe.select(
             key, "change", "old", "new"
         )
-    ev = (
-        spark.read.option("mergeSchema", "true")
-        .parquet(*sorted(paths))
-        .withColumn(
-            "__commit",
-            F.regexp_extract(
-                F.input_file_name(), r"/v(\d+)/cdf/", 1
-            ).cast("int"),
-        )
-    )
+    ev = frames[0]
+    for f in frames[1:]:
+        # nested allowMissingColumns: a mid-span ADD COLUMNS era
+        # NULL-fills the struct fields it predates
+        ev = ev.unionByName(f, allowMissingColumns=True)
     first = F.min(
         F.struct(F.col("__commit").alias("c"), F.col("old").alias("o"))
     )["o"]
@@ -2644,25 +2650,26 @@ class MergeSink:
                 merged = keep.unionByName(ins.drop("__seq"))
             cdf_df = None
             if cdf_enabled(_props_m):
-                from .colmap import column_events as _cev_m
-
-                if not _cev_m(_props_m):
-                    # S51: the commit's change rows — one extra diff
-                    # join against the base state (the documented CDF
-                    # write amplification; off unless the table opted
-                    # in), aligned for evolution like version_diff
-                    lo_al, hi_al = target, merged
-                    for f in hi_al.schema.fields:
-                        if f.name not in lo_al.columns:
-                            lo_al = lo_al.withColumn(
-                                f.name, F.lit(None).cast(f.dataType)
-                            )
-                    for f in lo_al.schema.fields:
-                        if f.name not in hi_al.columns:
-                            hi_al = hi_al.withColumn(
-                                f.name, F.lit(None).cast(f.dataType)
-                            )
-                    cdf_df = _diff_frames(lo_al, hi_al, k)
+                # S51: the commit's change rows — one extra diff join
+                # against the base state (the documented CDF write
+                # amplification; off unless the table opted in),
+                # aligned for evolution like version_diff. Both sides
+                # are LOGICAL reads (column-mapping events applied), so
+                # renamed/widened tables record events under current
+                # names — the r16 apply_events_cdf read overlay handles
+                # the members written before the events.
+                lo_al, hi_al = target, merged
+                for f in hi_al.schema.fields:
+                    if f.name not in lo_al.columns:
+                        lo_al = lo_al.withColumn(
+                            f.name, F.lit(None).cast(f.dataType)
+                        )
+                for f in lo_al.schema.fields:
+                    if f.name not in hi_al.columns:
+                        hi_al = hi_al.withColumn(
+                            f.name, F.lit(None).cast(f.dataType)
+                        )
+                cdf_df = _diff_frames(lo_al, hi_al, k)
             try:
                 self._write(
                     merged, claim, cdf_df=cdf_df,

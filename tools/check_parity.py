@@ -63,18 +63,18 @@ def _first_line(exc: Exception) -> str:
 
 
 def rotating_sample(names: list[str], n: int) -> list[str]:
-    """Deterministic per-round rotating sample (round-9 review, Next #9).
+    """Deterministic per-round rotating sample (round-9 review, Next
+    #9; r15 VERDICT item 7 bias).
 
     The driver's own 50-query CORRECTNESS sample follows load_all()'s
     stalest-verified-first order; this flag gives the BUILDER's
-    insurance runs a complementary rotation: round r (derived from the
-    committed CORRECTNESS_r*.json artifacts, so it can't be forgotten)
-    walks the alphabetical registry from offset (r*n) % total, skipping
-    anything the LATEST driver sample already covered — so the builder
-    sample is DISJOINT from the most recent driver verification by
-    construction, the windows of consecutive rounds advance through the
-    registry, and every query is independently re-verified at least
-    once per ~ceil(total/n) rounds.
+    insurance runs a complementary window biased toward the rows the
+    driver gate has seen LEAST: queries that have NEVER appeared in any
+    CORRECTNESS_r*.json artifact come first (rotated by round for
+    determinism-with-coverage), then the rest ordered by the round they
+    last appeared in (oldest first) — always skipping whatever the
+    LATEST driver sample already covered, so the builder sample stays
+    disjoint from the most recent driver verification by construction.
     """
     import glob
     import json as _json
@@ -88,18 +88,29 @@ def rotating_sample(names: list[str], n: int) -> list[str]:
     }
     r = (max(arts) + 1) if arts else 1
     covered: set[str] = set()
-    if arts:
+    last_sampled: dict[str, int] = {}
+    for rnd in sorted(arts):
         try:
-            with open(arts[max(arts)]) as fh:
-                covered = set(_json.load(fh))
+            with open(arts[rnd]) as fh:
+                data = _json.load(fh)
         except (OSError, ValueError):
-            pass
+            continue
+        for q in data:
+            last_sampled[q] = max(rnd, last_sampled.get(q, 0))
+        if rnd == max(arts):
+            covered = set(data)
     s = sorted(names)
-    start = (r * n) % len(s)
-    ring = (s + s)[start:] + s[:start]
-    window = [q for q in ring if q not in covered][:n]
+    never = [q for q in s if q not in last_sampled and q not in covered]
+    start = (r * n) % max(len(never), 1)
+    never = never[start:] + never[:start]
+    stale = sorted(
+        (q for q in s if q in last_sampled and q not in covered),
+        key=lambda q: (last_sampled[q], q),
+    )
+    window = (never + stale)[:n]
     print(
-        f"rotating sample: round {r}, offset {start}, n {len(window)}, "
+        f"rotating sample: round {r}, n {len(window)} "
+        f"({len(never)} never-driver-sampled first), "
         f"skipping {len(covered)} driver-covered"
     )
     return window

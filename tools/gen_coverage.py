@@ -188,6 +188,19 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          "a MoR replica via foreachBatch (latest-per-key dedupe, one "
          "delta per batch; replica == source)",
          ["q_pipeline_cdc_replica"]),
+        ("S52b", "type widening on MoR chains: era-typed per-commit "
+         "delta scans (mixed-era maintenance commits read order-proof), "
+         "cross-era latest-wins, time travel serves the original type",
+         ["q_sql_widen_mor"]),
+        ("S53", "MERGE / CoW UPDATE / DELETE inside SQL transactions: "
+         "the statement's reduced keyed delta stages and applies under "
+         "the claim at COMMIT (publish-time OCC recompute), atomic with "
+         "the transaction's other tables",
+         ["q_sql_txn_merge"]),
+        ("ST19b", "the change feed across maintenance commits: "
+         "dataChange=false rewrites serve as zero events; "
+         "skipChangeCommits=true opt-in for feed-less data changes",
+         ["q_stream_cdc_optimize"]),
     ]),
     ("2.2 Projections / filters", [
         ("P1", "projection + rename", ["q_project_rename"]),

@@ -2010,7 +2010,15 @@ def write_table(df, path: str, mode: str = "append") -> None:
 
 def register(spark) -> None:
     """Idempotently register the ``lakehouse`` batch source (same
-    inherited-session caveat as pyds.register)."""
+    inherited-session caveat as pyds.register).
+
+    Truly once per session: Spark 4.1's ``dataSource.register`` of an
+    existing name REPLACES it (with a warning) rather than raising —
+    in a shared multi-threaded session every query re-registering on
+    entry would churn the DataSourceManager mid-flight, so a session-
+    local sentinel skips the call after the first."""
+    if getattr(spark, "_phe_lakehouse_registered", False):
+        return
     from pyspark.errors.exceptions.captured import AnalysisException
 
     # runtime-settable SQL conf; without it Spark refuses to plan a
@@ -2022,3 +2030,4 @@ def register(spark) -> None:
     except AnalysisException as e:
         if "DATA_SOURCE_ALREADY_EXISTS" not in str(e):
             raise
+    spark._phe_lakehouse_registered = True

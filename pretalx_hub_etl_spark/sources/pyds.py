@@ -385,7 +385,12 @@ def register(spark) -> None:
     Re-registering on the SAME session replaces silently, but a child
     session (``newSession``) inherits the parent's registration and
     raises DATA_SOURCE_ALREADY_EXISTS on a second register — swallow
-    exactly that case (the inherited source is the one we wanted)."""
+    exactly that case (the inherited source is the one we wanted).
+    A session-local sentinel skips the call entirely after the first
+    (replacement churns the DataSourceManager mid-flight in a shared
+    multi-threaded session)."""
+    if getattr(spark, "_phe_pyds_registered", False):
+        return
     from pyspark.errors.exceptions.captured import AnalysisException
 
     try:
@@ -398,3 +403,4 @@ def register(spark) -> None:
     except AnalysisException as e:
         if "DATA_SOURCE_ALREADY_EXISTS" not in str(e):
             raise
+    spark._phe_pyds_registered = True

@@ -174,6 +174,14 @@ QUERIES = [
     "q_stream_cdc_cow",
     "q_pipeline_cdc_replica",
     "q_sql_optimize_where",
+    # round-16 additions: same replicated-1x orders fixture — the txn
+    # MERGE pays the keyed-delta stage + one publish-time merge, MoR
+    # widen pays per-commit era-schema scans (footer reads bounded by
+    # chain length), the maintenance-crossing feed adds one ZORDER
+    # rewrite to the ST19 lifecycle
+    "q_sql_txn_merge",
+    "q_sql_widen_mor",
+    "q_stream_cdc_optimize",
 ]
 
 # inherently super-linear OUTPUT at fixed parameters (not a plan defect)
@@ -200,6 +208,9 @@ WORKLOAD_NOTES = {
     "q_sql_zorder_mor": _ORDERS_FIXTURE_NOTE,
     "q_sql_zorder_inc": _ORDERS_FIXTURE_NOTE,
     "q_sql_optimize_where": _ORDERS_FIXTURE_NOTE,
+    "q_sql_txn_merge": _ORDERS_FIXTURE_NOTE,
+    "q_sql_widen_mor": _ORDERS_FIXTURE_NOTE,
+    "q_stream_cdc_optimize": _ORDERS_FIXTURE_NOTE,
     "q_spatial_pairs": "output grows ~density^2 at fixed radius "
     "(verified: 10x input -> 100.6x output pairs) — an output-linear plan "
     "necessarily shows exponent ~2 here",

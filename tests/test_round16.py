@@ -457,3 +457,118 @@ def test_table_changes_stays_on_feed_across_rename_and_widen(
         "SELECT count(*) AS n FROM table_changes('r16_cmcdf', 1)"
     ).first()["n"]
     assert n == 2
+
+
+def test_cdf_feed_equals_snapshot_diff_across_schema_events(
+    spark, tmp_path
+):
+    """r16 equivalence property: random DML lifecycles INTERLEAVED with
+    RENAME COLUMN and ALTER COLUMN TYPE — the net diff reconstructed
+    from per-commit feed files (with the struct overlay mapping old-era
+    members to current logical names) EQUALS the snapshot full-outer
+    diff over era-mapped reads: same keys, same classification, same
+    images, and the fast path stays on feed files only."""
+    import random
+
+    from pretalx_hub_etl_spark.sinks.colmap import (
+        apply_events_df,
+        column_events,
+    )
+    from pretalx_hub_etl_spark.sinks.merge import (
+        MergeSink,
+        _diff_frames,
+        version_diff,
+    )
+
+    rng = random.Random(1616)
+    for trial in range(3):
+        path = str(tmp_path / f"t{trial}")
+        cat = _mk_catalog(spark)
+        name = f"r16_eqcm{trial}"
+        cat.sql(
+            f"CREATE TABLE {name} (k BIGINT, v INT) USING lakehouse "
+            f"LOCATION '{path}' TBLPROPERTIES (merge_key='k', "
+            f"cdf='true')"
+        )
+        spark.range(0, 40).selectExpr(
+            "id AS k", "CAST(id * 10 AS INT) AS v"
+        ).createOrReplaceTempView(f"r16_eqcm_seed{trial}")
+        cat.sql(
+            f"INSERT INTO {name} SELECT k, v FROM r16_eqcm_seed{trial}"
+        )
+        sink = MergeSink(path, key="k")
+        col = "v"
+        widened = False
+        ops = ["update", "delete", "insert", "rename", "widen"]
+        for _c in range(5):
+            op = rng.choice(ops)
+            a, b = sorted(rng.sample(range(0, 60), 2))
+            if op == "update":
+                cat.sql(
+                    f"UPDATE {name} SET {col} = {col} + "
+                    f"{rng.randint(1, 9)} WHERE k BETWEEN {a} AND {b}"
+                )
+            elif op == "delete":
+                cat.sql(
+                    f"DELETE FROM {name} WHERE k BETWEEN {a} AND {b}"
+                )
+            elif op == "insert":
+                spark.range(a + 60, a + 66).selectExpr(
+                    "id AS k", f"CAST(id * 7 AS INT) AS {col}"
+                ).createOrReplaceTempView(f"r16_eqcm_ins{trial}")
+                cat.sql(
+                    f"INSERT INTO {name} SELECT k, {col} "
+                    f"FROM r16_eqcm_ins{trial}"
+                )
+            elif op == "rename":
+                new = "w" if col == "v" else "v"
+                cat.sql(
+                    f"ALTER TABLE {name} RENAME COLUMN {col} TO {new}"
+                )
+                col = new
+            else:  # widen
+                if widened:
+                    continue
+                cat.sql(
+                    f"ALTER TABLE {name} ALTER COLUMN {col} TYPE BIGINT"
+                )
+                widened = True
+        # guarantee the property is exercised: at least one rename AND
+        # one widen must sit mid-lifecycle with DML after them
+        if col == "v":
+            cat.sql(f"ALTER TABLE {name} RENAME COLUMN v TO w")
+            col = "w"
+        if not widened:
+            cat.sql(f"ALTER TABLE {name} ALTER COLUMN {col} TYPE BIGINT")
+        cat.sql(f"UPDATE {name} SET {col} = {col} + 1 WHERE k < 5")
+        log = CommitLog(path)
+        hi = log.current_version()
+        fast = version_diff(spark, path, "k", 1, hi)
+        assert fast.inputFiles() and all(
+            "/cdf/" in f for f in fast.inputFiles()
+        ), "expected the feed fast path"
+        evs = column_events(log.table_props())
+        assert evs, "lifecycle produced no column events"
+
+        def logical(v: int):
+            df = sink.read_version(spark, v)
+            later = [e for e in evs if int(e.get("since", 0)) > v]
+            return apply_events_df(df, later) if later else df
+
+        slow = _diff_frames(logical(1), logical(hi), "k")
+        f_rows = {
+            r["k"]: (r["change"], r["old"], r["new"])
+            for r in fast.collect()
+        }
+        s_rows = {
+            r["k"]: (r["change"], r["old"], r["new"])
+            for r in slow.collect()
+        }
+        assert f_rows == s_rows, (
+            trial,
+            {
+                k: (f_rows.get(k), s_rows.get(k))
+                for k in (set(f_rows) ^ set(s_rows))
+                or {k for k in f_rows if f_rows[k] != s_rows.get(k)}
+            },
+        )

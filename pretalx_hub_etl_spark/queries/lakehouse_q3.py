@@ -962,3 +962,106 @@ def q_sql_widen_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = cur.localCheckpoint(eager=True)
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# --- ST19c: the change feed across RENAME / WIDEN anchors ----------------------
+
+
+@query(
+    "q_stream_cdc_rename",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) % 100000
+                   AS cents
+        FROM orders
+    )
+    SELECT k, 'insert' AS change, CAST(NULL AS BIGINT) AS old_amount,
+           cents AS new_amount, 1 AS commit_v
+    FROM base WHERE k % 3 = 0
+    UNION ALL
+    SELECT k, 'update', cents, cents + 7, 2
+    FROM base WHERE k % 3 = 0 AND k % 10 = 0
+    UNION ALL
+    SELECT k, 'update',
+           CASE WHEN k % 10 = 0 THEN cents + 7 ELSE cents END,
+           CASE WHEN k % 10 = 0 THEN cents + 7 ELSE cents END
+               + 5000000000, 5
+    FROM base WHERE k % 3 = 0 AND k % 9 = 0
+    """,
+)
+def q_stream_cdc_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ST19c (r16): a change-feed stream started AFTER a RENAME COLUMN
+    # and a type WIDEN serves the WHOLE history — including members
+    # written before the anchors — under the CURRENT logical schema:
+    # the pinned event schema maps the donor footer's era names through
+    # the column events, and each member's era-written columns conform
+    # field-by-field (rename chains replayed, widen upcast, struct
+    # null-ness preserved). Without the mapping, a restarted CDC
+    # consumer on a renamed table got NULL payloads for pre-rename
+    # events (the r16 latent bug this closes). The oracle recomputes
+    # every event of the lifecycle under the final names/types.
+    import shutil
+
+    from ..plans.lakehouse_sql import LakehouseSqlCatalog
+    from ..sources.lakehouse_ds import (
+        cdf_read_schema,
+        pin_active_session,
+        register,
+    )
+
+    register(spark)
+    pin_active_session(spark)
+    base = Catalog(spark, sf_dir).orders.select(
+        F.col("o_orderkey").alias("k"),
+        (fixed_cents(F.col("o_totalprice")) % 100000).alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="phe_stream_cdc_ren_")
+    table, out, ckpt = (
+        os.path.join(root, d) for d in ("t", "out", "ck")
+    )
+    cat = LakehouseSqlCatalog(spark)
+    cat.sql(
+        f"CREATE TABLE scdr_t (k BIGINT, cents INT) USING lakehouse "
+        f"LOCATION '{table}' TBLPROPERTIES (merge_key='k', cdf='true')"
+    )
+    base.filter(F.col("k") % 3 == 0).selectExpr(
+        "k", "CAST(cents AS INT) AS cents"
+    ).createOrReplaceTempView("scdr_s0")
+    cat.sql("INSERT INTO scdr_t SELECT k, cents FROM scdr_s0")  # v1
+    cat.sql("UPDATE scdr_t SET cents = cents + 7 WHERE k % 10 = 0")
+    cat.sql("ALTER TABLE scdr_t RENAME COLUMN cents TO amount")  # v3
+    cat.sql("ALTER TABLE scdr_t ALTER COLUMN amount TYPE BIGINT")  # v4
+    cat.sql(
+        "UPDATE scdr_t SET amount = amount + 5000000000 WHERE k % 9 = 0"
+    )  # v5
+    q = (
+        spark.readStream.format("lakehouse")
+        .schema(cdf_read_schema(table))
+        .option("path", table)
+        .option("readChangeFeed", "true")
+        .load()
+        .selectExpr(
+            "k",
+            "change",
+            "old.amount AS old_amount",
+            "new.amount AS new_amount",
+            "CAST(_commit_version AS INT) AS commit_v",
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.read.parquet(out).localCheckpoint(eager=True)
+    # the pre-rename events serve REAL payloads under the new name
+    pre = got.filter(F.col("commit_v") <= 2)
+    assert pre.filter(F.col("new_amount").isNull()).count() == 0, (
+        "pre-rename members served NULL payloads"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return got

@@ -105,12 +105,83 @@ def build_lakehouse_source():
         """One change-feed file (or, for the v1 seed, one data file
         served as insert events) of the ST19 readChangeFeed stream."""
 
-        def __init__(self, path, version, seed, key, schema):
+        def __init__(self, path, version, seed, key, schema, events=None):
             self.path = path
             self.version = version
             self.seed = seed  # v1 initial snapshot -> insert events
             self.key = key
             self.schema = schema  # target pyarrow schema (5 columns)
+            # column-mapping events (RENAME/DROP/WIDEN) replayed over
+            # era-written member columns so pre-event feed files serve
+            # under the stream's CURRENT logical schema
+            self.events = events or []
+
+    def _cdf_current_names(names, events):
+        """Era-written column name -> CURRENT logical name (None =
+        dropped), by ordered replay of the column-mapping events. A
+        member written at era v carries exactly one spelling of each
+        column, so replaying the FULL list is exact: a rename whose old
+        name is absent no-ops, and chains (v->w->v) resolve in order."""
+        cur = {n: n for n in names}
+        for e in events:
+            op = e.get("op")
+            if op == "rename":
+                for phys, log in cur.items():
+                    if (
+                        log is not None
+                        and log.lower() == e["old"].lower()
+                    ):
+                        cur[phys] = e["new"]
+            elif op == "drop":
+                for phys, log in cur.items():
+                    if (
+                        log is not None
+                        and log.lower() == e["name"].lower()
+                    ):
+                        cur[phys] = None
+        return cur
+
+    def _conform_struct(col, events, target_type, version, path):
+        """One era's pre/post-image StructArray conformed to the pinned
+        target struct: fields matched by CURRENT logical name (events
+        replayed), cast per field (the widen upcast), NULL-filled when
+        the member predates a field, struct NULL-ness preserved (an
+        insert's old image stays NULL — never a struct of NULLs). A
+        field mapping to a name the pinned schema lacks means the table
+        evolved PAST this running stream's pinned schema -> loud."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        arr = col.combine_chunks()
+        names = [f.name for f in arr.type]
+        mapping = _cdf_current_names(names, events)
+        tnames = {f.name.lower() for f in target_type}
+        by_tgt = {}
+        for i, n in enumerate(names):
+            t = mapping.get(n)
+            if t is None:
+                continue  # dropped column: projected out
+            if t.lower() not in tnames:
+                raise RuntimeError(
+                    f"change-feed version {version} ({path}): column "
+                    f"{n!r} maps to {t!r}, which the stream's pinned "
+                    "event schema does not carry — the table's schema "
+                    "evolved past this stream; restart the stream to "
+                    "re-pin the current schema"
+                )
+            by_tgt[t.lower()] = arr.field(i)
+        arrays = []
+        for f in target_type:
+            src = by_tgt.get(f.name.lower())
+            arrays.append(
+                pa.nulls(len(arr), type=f.type)
+                if src is None
+                else src.cast(f.type)
+            )
+        mask = pc.is_null(arr) if arr.null_count else None
+        return pa.StructArray.from_arrays(
+            arrays, [f.name for f in target_type], mask=mask
+        )
 
     def _read_cdf_part(partition):
         import pyarrow as pa
@@ -120,29 +191,93 @@ def build_lakehouse_source():
             return
         sch = partition.schema
         struct_t = sch.field("old").type
+        evs = getattr(partition, "events", None) or []
+        key_l = partition.key.lower()
         if partition.seed:
             # v1 data file -> insert events (the Delta initial-snapshot
-            # rule for readChangeFeed from the beginning)
+            # rule for readChangeFeed from the beginning); era column
+            # names map to current logical names first — a stream
+            # (re)started from v1 on a renamed table must serve real
+            # payloads, not silent NULLs
             tbl = pq.read_table(partition.path).combine_chunks()
             n = tbl.num_rows
+            mapping = _cdf_current_names(tbl.column_names, evs)
+            by_cur = {}
+            for cname in tbl.column_names:
+                t = mapping.get(cname)
+                if t is not None:
+                    by_cur[t.lower()] = tbl.column(cname)
+            if key_l not in by_cur:
+                raise RuntimeError(
+                    f"change-feed version {partition.version} "
+                    f"({partition.path}): the merge key "
+                    f"{partition.key!r} is not present under any era "
+                    f"name (columns: {tbl.column_names})"
+                )
             arrays, names = [], []
             for f in struct_t:
-                if f.name in tbl.column_names:
-                    arrays.append(
-                        tbl.column(f.name).combine_chunks().cast(f.type)
-                    )
-                else:
-                    arrays.append(pa.nulls(n, type=f.type))
+                src = by_cur.get(f.name.lower())
+                arrays.append(
+                    src.combine_chunks().cast(f.type)
+                    if src is not None
+                    else pa.nulls(n, type=f.type)
+                )
                 names.append(f.name)
             new_col = pa.StructArray.from_arrays(arrays, names)
             out = pa.table(
                 {
-                    partition.key: tbl.column(partition.key)
+                    partition.key: by_cur[key_l]
                     .combine_chunks()
                     .cast(sch.field(partition.key).type),
                     "change": pa.array(["insert"] * n),
                     "old": pa.nulls(n, type=struct_t),
                     "new": new_col,
+                    "_commit_version": pa.array(
+                        [partition.version] * n, type=pa.int64()
+                    ),
+                }
+            )
+        elif evs:
+            # era-mapped member read: key under its era name, pre/post
+            # structs conformed field-by-field to the pinned schema
+            tbl = pq.read_table(partition.path).combine_chunks()
+            n = tbl.num_rows
+            top = [
+                c
+                for c in tbl.column_names
+                if c.lower() not in ("change", "old", "new")
+            ]
+            mapping = _cdf_current_names(top, evs)
+            key_src = None
+            for cname in top:
+                t = mapping.get(cname)
+                if t is not None and t.lower() == key_l:
+                    key_src = tbl.column(cname)
+            if key_src is None:
+                raise RuntimeError(
+                    f"change-feed version {partition.version} "
+                    f"({partition.path}): the merge key "
+                    f"{partition.key!r} is not present under any era "
+                    f"name (columns: {tbl.column_names})"
+                )
+            out = pa.table(
+                {
+                    partition.key: key_src,
+                    "change": tbl.column("change"),
+                    "old": _conform_struct(
+                        tbl.column("old"),
+                        evs,
+                        struct_t,
+                        partition.version,
+                        partition.path,
+                    ),
+                    "new": _conform_struct(
+                        tbl.column("new"),
+                        evs,
+                        sch.field("new").type,
+                        partition.version,
+                        partition.path,
+                    ),
                     "_commit_version": pa.array(
                         [partition.version] * n, type=pa.int64()
                     ),
@@ -156,7 +291,7 @@ def build_lakehouse_source():
             )
             out = tbl.select([f.name for f in sch])
         try:
-            out = out.cast(sch)
+            out = out.select([f.name for f in sch]).cast(sch)
         except (pa.ArrowInvalid, pa.ArrowNotImplementedError) as exc:
             # a cast failure means this commit's event layout genuinely
             # diverged from the stream's pinned schema (mid-stream
@@ -210,13 +345,35 @@ def build_lakehouse_source():
                 f"readChangeFeed on {path}: no data file to derive the "
                 "event schema from"
             )
-        payload = [
-            pa.field(f.name, f.type, nullable=True)
-            for f in donor
-            if f.name.lower() != key.lower()
-        ]
+        # the donor footer carries the file's ERA names/types (a rename
+        # or widen is metadata-only — no rewrite): map to the CURRENT
+        # logical schema so the pinned event schema matches what the
+        # era-mapped member reads serve
+        cevs = props.get("column_events") or []
+        mapping = _cdf_current_names(
+            [f.name for f in donor], cevs
+        )
+        widened: dict[str, str] = {}
+        for e in cevs:
+            if e.get("op") == "widen":
+                widened[e["name"].lower()] = e["to"]
+        _wt = {
+            "int": pa.int32(), "integer": pa.int32(),
+            "bigint": pa.int64(), "long": pa.int64(),
+            "smallint": pa.int16(), "short": pa.int16(),
+            "tinyint": pa.int8(), "byte": pa.int8(),
+            "float": pa.float32(), "double": pa.float64(),
+        }
+        fields = []
+        for f in donor:
+            cur = mapping.get(f.name)
+            if cur is None:
+                continue  # dropped column
+            typ = _wt.get(widened.get(cur.lower(), ""), f.type)
+            fields.append(pa.field(cur, typ, nullable=True))
+        payload = [f for f in fields if f.name.lower() != key.lower()]
         keyf = next(
-            f for f in donor if f.name.lower() == key.lower()
+            f for f in fields if f.name.lower() == key.lower()
         )
         struct_t = pa.struct(payload)
         return key, pa.schema(
@@ -1632,8 +1789,18 @@ def build_lakehouse_source():
             ]
 
         def _cdf_partitions(self, lo: int, hi: int):
+            import json as _json
             import os
 
+            # column-mapping events (inline props read — worker
+            # context): era-written members map to current names
+            try:
+                with open(
+                    os.path.join(self.path, "_manifest", "_table.json")
+                ) as fh:
+                    cevs = _json.load(fh).get("column_events") or []
+            except (FileNotFoundError, ValueError):
+                cevs = []
             parts = []
             for v in range(lo + 1, hi + 1):
                 try:
@@ -1657,6 +1824,7 @@ def build_lakehouse_source():
                                     False,
                                     self.cdf_key,
                                     self.cdf_schema,
+                                    events=cevs,
                                 )
                             )
                 elif v == 1:
@@ -1680,6 +1848,7 @@ def build_lakehouse_source():
                                 True,
                                 self.cdf_key,
                                 self.cdf_schema,
+                                events=cevs,
                             )
                         )
                 elif m.get("metadata_only") or m.get("data_change") is False:
@@ -1920,12 +2089,43 @@ def cdf_read_schema(path: str):
             f"readChangeFeed on {path}: no data file to derive the "
             "event schema from"
         )
-    payload = [
-        pa.field(f.name, f.type, nullable=True)
-        for f in donor
-        if f.name.lower() != key.lower()
-    ]
-    keyf = next(f for f in donor if f.name.lower() == key.lower())
+    # the donor footer carries its ERA's names/types (renames/widens
+    # are metadata-only): map to the CURRENT logical schema — mirror of
+    # the inline _cdf_schema_arrow
+    props = log.table_props()
+    cevs = props.get("column_events") or []
+    cur_names = {f.name: f.name for f in donor}
+    for e in cevs:
+        op = e.get("op")
+        if op == "rename":
+            for phys, logn in cur_names.items():
+                if logn is not None and logn.lower() == e["old"].lower():
+                    cur_names[phys] = e["new"]
+        elif op == "drop":
+            for phys, logn in cur_names.items():
+                if logn is not None and logn.lower() == e["name"].lower():
+                    cur_names[phys] = None
+    widened = {
+        e["name"].lower(): e["to"]
+        for e in cevs
+        if e.get("op") == "widen"
+    }
+    _wt = {
+        "int": pa.int32(), "integer": pa.int32(),
+        "bigint": pa.int64(), "long": pa.int64(),
+        "smallint": pa.int16(), "short": pa.int16(),
+        "tinyint": pa.int8(), "byte": pa.int8(),
+        "float": pa.float32(), "double": pa.float64(),
+    }
+    fields = []
+    for f in donor:
+        cur = cur_names.get(f.name)
+        if cur is None:
+            continue
+        typ = _wt.get(widened.get(cur.lower(), ""), f.type)
+        fields.append(pa.field(cur, typ, nullable=True))
+    payload = [f for f in fields if f.name.lower() != key.lower()]
+    keyf = next(f for f in fields if f.name.lower() == key.lower())
     struct_t = pa.struct(payload)
     return from_arrow_schema(
         pa.schema(

@@ -572,3 +572,114 @@ def test_cdf_feed_equals_snapshot_diff_across_schema_events(
                 or {k for k in f_rows if f_rows[k] != s_rows.get(k)}
             },
         )
+
+
+def test_cdf_stream_seed_serves_payloads_across_rename(spark, tmp_path):
+    """ST19c seed branch: a change-feed stream from v1 where v1
+    PRE-DATES cdf (served as snapshot insert events from its data
+    files) on a since-RENAMED + WIDENED table maps the era columns —
+    pre-fix, the seed built the payload struct by CURRENT name against
+    OLD-name files and silently emitted NULL payloads."""
+    from pretalx_hub_etl_spark.sources.lakehouse_ds import (
+        cdf_read_schema,
+        pin_active_session,
+        register,
+    )
+
+    register(spark)
+    pin_active_session(spark)
+    path = str(tmp_path / "t")
+    MergeSink(path, key="k").init(
+        spark.sql(
+            "SELECT id AS k, CAST(id * 10 AS INT) AS cents FROM range(8)"
+        )
+    )  # v1: no cdf member
+    log = CommitLog(path)
+    props = log.table_props()
+    props["cdf"] = "true"
+    log.write_table_props(props)
+    cat = _mk_catalog(spark)
+    cat.register_path("r16_seedren", path)
+    cat.sql("ALTER TABLE r16_seedren RENAME COLUMN cents TO amount")
+    cat.sql(
+        "ALTER TABLE r16_seedren ALTER COLUMN amount TYPE BIGINT"
+    )
+    cat.sql(
+        "UPDATE r16_seedren SET amount = amount + 5000000000 "
+        "WHERE k = 3"
+    )
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    q = (
+        spark.readStream.format("lakehouse")
+        .schema(cdf_read_schema(path))
+        .option("path", path)
+        .option("readChangeFeed", "true")
+        .load()
+        .selectExpr(
+            "k", "change", "new.amount AS new_amount",
+            "CAST(_commit_version AS INT) AS commit_v",
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.read.parquet(out).collect()
+    seed = {
+        r["k"]: r["new_amount"] for r in rows if r["commit_v"] == 1
+    }
+    assert seed == {k: k * 10 for k in range(8)}, seed
+    upd = [r for r in rows if r["change"] == "update"]
+    assert len(upd) == 1 and upd[0]["new_amount"] == 30 + 5000000000
+
+
+def test_cdf_stream_raises_when_schema_evolves_past_pinned(
+    spark, tmp_path
+):
+    """A member whose columns map PAST the running stream's pinned
+    schema (rename AFTER stream start) fails loudly naming the restart
+    remedy — never silently NULL-fills or misaligns."""
+    from pretalx_hub_etl_spark.sources.lakehouse_ds import (
+        cdf_read_schema,
+        pin_active_session,
+        register,
+    )
+
+    register(spark)
+    pin_active_session(spark)
+    path = str(tmp_path / "t")
+    cat = _mk_catalog(spark)
+    cat.sql(
+        f"CREATE TABLE r16_evolve (k BIGINT, v BIGINT) USING lakehouse "
+        f"LOCATION '{path}' TBLPROPERTIES (merge_key='k', cdf='true')"
+    )
+    spark.range(0, 6).selectExpr(
+        "id AS k", "id * 10 AS v"
+    ).createOrReplaceTempView("r16_ev_seed")
+    cat.sql("INSERT INTO r16_evolve SELECT k, v FROM r16_ev_seed")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    q = (
+        spark.readStream.format("lakehouse")
+        .schema(cdf_read_schema(path))  # pins the 'v' era
+        .option("path", path)
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # drains v1 under the pinned schema
+        cat.sql("ALTER TABLE r16_evolve RENAME COLUMN v TO w")
+        cat.sql("UPDATE r16_evolve SET w = w + 1 WHERE k = 2")
+        with pytest.raises(Exception, match="restart the stream"):
+            q.processAllAvailable()
+    finally:
+        q.stop()

@@ -201,6 +201,11 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          "dataChange=false rewrites serve as zero events; "
          "skipChangeCommits=true opt-in for feed-less data changes",
          ["q_stream_cdc_optimize"]),
+        ("ST19c", "the change feed across RENAME/WIDEN anchors: "
+         "era-written members (and the v1 seed) conform to the current "
+         "logical schema by replaying the column events; evolution "
+         "past a RUNNING stream's pinned schema fails loudly",
+         ["q_stream_cdc_rename"]),
     ]),
     ("2.2 Projections / filters", [
         ("P1", "projection + rename", ["q_project_rename"]),

@@ -182,6 +182,7 @@ QUERIES = [
     "q_sql_txn_merge",
     "q_sql_widen_mor",
     "q_stream_cdc_optimize",
+    "q_stream_cdc_rename",
 ]
 
 # inherently super-linear OUTPUT at fixed parameters (not a plan defect)
@@ -211,6 +212,7 @@ WORKLOAD_NOTES = {
     "q_sql_txn_merge": _ORDERS_FIXTURE_NOTE,
     "q_sql_widen_mor": _ORDERS_FIXTURE_NOTE,
     "q_stream_cdc_optimize": _ORDERS_FIXTURE_NOTE,
+    "q_stream_cdc_rename": _ORDERS_FIXTURE_NOTE,
     "q_spatial_pairs": "output grows ~density^2 at fixed radius "
     "(verified: 10x input -> 100.6x output pairs) — an output-linear plan "
     "necessarily shows exponent ~2 here",

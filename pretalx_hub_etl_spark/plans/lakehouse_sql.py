@@ -2430,11 +2430,24 @@ class LakehouseSqlCatalog:
                 # spec: bare OPTIMIZE re-applies it (the Delta shape)
                 sink.optimize_zorder(self.spark, list(zcols))
             elif sink.cluster_by is None:
-                raise ValueError(
-                    f"OPTIMIZE {name}: the registered CoW handle carries "
-                    "no cluster spec; run OPTIMIZE ... ZORDER BY (...) or "
-                    "MergeSink.optimize(cluster_by=...) through the "
-                    "engine API"
+                # LAY6: no layout spec at all — bare OPTIMIZE is
+                # BINPACKING (the Delta default): coalesce the small
+                # files toward the target size, relink the rest
+                stats = sink.compact_small(self.spark)
+                return self.spark.createDataFrame(
+                    [
+                        (
+                            "optimize_compact",
+                            name,
+                            stats["version"],
+                            stats["files_relinked"],
+                            stats["files_rewritten"],
+                            stats["files_out"],
+                        )
+                    ],
+                    "operation string, table string, version int, "
+                    "files_relinked int, files_rewritten int, "
+                    "files_out int",
                 )
             else:
                 sink.optimize(self.spark)

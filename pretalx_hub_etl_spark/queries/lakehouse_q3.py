@@ -1065,3 +1065,83 @@ def q_stream_cdc_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(root, ignore_errors=True)
     return got
+
+
+# --- LAY6: bare OPTIMIZE = binpacking compaction on unclustered CoW ------------
+
+
+@query(
+    "q_sql_optimize_compact",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT k, CASE WHEN k % 10 = 0 THEN cents + 7 ELSE cents END AS cents
+    FROM base
+    WHERE k % 5 IN (0, 1, 2) AND k % 7 <> 0
+    """,
+)
+def q_sql_optimize_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # LAY6 (r16): bare `OPTIMIZE t` on an UNCLUSTERED CoW table is
+    # BINPACKING (the Delta default) — the streaming-ingest small-file
+    # cure: small files coalesce toward the target size per partition
+    # directory, files already at size relink byte-identical, content
+    # is untouched and the commit stamps dataChange=false, so the
+    # change feed CROSSES it (table_changes over the whole lifecycle
+    # still reads feed files only — asserted in-line, with the file
+    # count strictly reduced and DESCRIBE HISTORY carrying the
+    # metrics). A post-OPTIMIZE DELETE proves DML composes on the
+    # compacted layout. The oracle recomputes the final state — a lost
+    # row, a duplicated row, or a corrupted compacted file hash-fails.
+    import shutil
+
+    from ..plans.lakehouse_sql import LakehouseSqlCatalog
+    from ..sinks.manifest import CommitLog
+
+    base = Catalog(spark, sf_dir).orders.select(
+        F.col("o_orderkey").alias("k"),
+        fixed_cents(F.col("o_totalprice")).alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="phe_sql_binpack_")
+    path = os.path.join(root, "t")
+    cat = LakehouseSqlCatalog(spark)
+    cat.sql(
+        f"CREATE TABLE bp_t (k BIGINT, cents BIGINT) USING lakehouse "
+        f"LOCATION '{path}' TBLPROPERTIES (merge_key='k', cdf='true')"
+    )
+    for i in range(3):  # three small appends -> small-file buildup
+        base.filter(F.col("k") % 5 == i).createOrReplaceTempView(
+            f"bp_s{i}"
+        )
+        cat.sql(f"INSERT INTO bp_t SELECT k, cents FROM bp_s{i}")
+    cat.sql("UPDATE bp_t SET cents = cents + 7 WHERE k % 10 = 0")  # v4
+    log = CommitLog(path)
+    n_before = len(
+        [
+            e
+            for e in log.manifest(log.current_version())["files"]
+            if e.get("role", "data") == "data"
+        ]
+    )
+    row = cat.sql("OPTIMIZE bp_t").first()  # v5: binpack
+    assert row.operation == "optimize_compact", row
+    assert row.files_out < n_before, (row, n_before)
+    m = log.manifest(row.version)
+    assert m.get("data_change") is False and m.get("op") == (
+        "optimize_compact"
+    ), m
+    cat.sql("DELETE FROM bp_t WHERE k % 7 = 0")  # v6 on the new layout
+    # the feed crosses the binpack commit: whole-span CDC stays on
+    # feed files only (the dataChange=false zero-event rule)
+    ch = cat.sql("SELECT * FROM table_changes('bp_t', 1)")
+    files = ch.inputFiles()
+    assert files and all(os.sep + "cdf" + os.sep in f for f in files), (
+        files[:5]
+    )
+    out = cat.sql("SELECT k, cents FROM bp_t").localCheckpoint(
+        eager=True
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out

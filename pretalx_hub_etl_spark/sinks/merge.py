@@ -1767,6 +1767,160 @@ class MergeSink:
             f"at {self.path}"
         )
 
+    def compact_small(
+        self,
+        spark: SparkSession,
+        target_bytes: int = 128 * 1024 * 1024,
+        max_retries: int = 20,
+    ) -> dict:
+        """Bare ``OPTIMIZE`` on an UNCLUSTERED CoW table (LAY6 — the
+        Delta binpacking default): coalesce SMALL files (< half the
+        target) toward ``target_bytes`` outputs, grouped per hive
+        partition directory; every file already at-or-above the
+        threshold RELINKS byte-identical (never decoded). Content is
+        unchanged, so the commit stamps ``data_change: false`` —
+        streams and the change feed cross it as zero events. This is
+        the maintenance op for streaming-ingest small-file buildup: at
+        100 TB the nightly run reads only the small tail, not the
+        table. Column-mapped tables refuse (a compaction would have to
+        materialize the rename overlay into mixed-era groups — run the
+        clustered OPTIMIZE paths instead). Returns {version,
+        files_relinked, files_rewritten, files_out}."""
+        import uuid as _uuid
+
+        from .colmap import column_events
+
+        log = CommitLog(self.path)
+        props = log.table_props()
+        if column_events(props):
+            raise ValueError(
+                f"OPTIMIZE (binpack) on {self.path}: table carries "
+                "column-mapping events (RENAME/DROP/WIDEN) — compact "
+                "through OPTIMIZE ... ZORDER BY / a clustered spec, "
+                "which rewrites under the logical schema"
+            )
+        bloom_on = self.bloom_on or props.get("bloom_on")
+        for _ in range(max_retries):
+            base, claim = _base_and_claim(self.path)
+            m = log.manifest(base)
+            vdir = os.path.join(self.path, f"v{base}")
+            data = [
+                e for e in m["files"] if e.get("role", "data") == "data"
+            ]
+            groups: dict[str, list[dict]] = {}
+            relink: list[dict] = []
+            for ent in data:
+                if int(ent.get("bytes") or 0) >= target_bytes // 2:
+                    relink.append(ent)
+                else:
+                    groups.setdefault(
+                        os.path.dirname(ent["path"]), []
+                    ).append(ent)
+            # singleton small files have nothing to merge with: relink
+            rewrite: dict[str, list[dict]] = {}
+            for d, ents in groups.items():
+                if len(ents) >= 2:
+                    rewrite[d] = ents
+                else:
+                    relink.extend(ents)
+            if not rewrite:
+                return {
+                    "version": base,
+                    "files_relinked": len(data),
+                    "files_rewritten": 0,
+                    "files_out": len(data),
+                }
+            stage = os.path.join(
+                self.path, f".stage-binpack-{_uuid.uuid4().hex}"
+            )
+            work = os.path.join(
+                self.path, f".stage-binpackpub-{_uuid.uuid4().hex}"
+            )
+            try:
+                reader = self._physical_reader(spark, props, base)
+                n_new = 0
+                for d, ents in sorted(rewrite.items()):
+                    total = sum(int(e.get("bytes") or 0) for e in ents)
+                    n_out = max(
+                        1, (total + target_bytes - 1) // target_bytes
+                    )
+                    df = reader.parquet(
+                        *sorted(
+                            os.path.join(vdir, e["path"]) for e in ents
+                        )
+                    )
+                    df.coalesce(int(n_out)).write.mode(
+                        "errorifexists"
+                    ).parquet(os.path.join(stage, d or "_root"))
+                os.makedirs(work, exist_ok=True)
+                for ent in relink:
+                    dst = os.path.join(work, ent["path"])
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    os.link(os.path.join(vdir, ent["path"]), dst)
+                for d in sorted(rewrite):
+                    srcdir = os.path.join(stage, d or "_root")
+                    ddir = os.path.join(work, d) if d else work
+                    os.makedirs(ddir, exist_ok=True)
+                    for fn in sorted(os.listdir(srcdir)):
+                        if not fn.endswith(".parquet"):
+                            continue
+                        os.link(
+                            os.path.join(srcdir, fn),
+                            os.path.join(
+                                ddir,
+                                f"bp-{_uuid.uuid4().hex[:8]}-{fn}",
+                            ),
+                        )
+                        n_new += 1
+                with open(os.path.join(work, "_SUCCESS"), "w") as fh:
+                    fh.write("")
+                manifest = build_manifest(
+                    claim, work, bloom_on=bloom_on
+                )
+                manifest["op"] = "optimize_compact"
+                manifest["data_change"] = False
+                manifest["metrics"] = {
+                    "files_rewritten": sum(
+                        len(v) for v in rewrite.values()
+                    ),
+                    "files_relinked": len(relink),
+                    "files_out": len(relink) + n_new,
+                }
+                from .txn import inherit_pending
+
+                inherited = inherit_pending(log, claim)
+                if inherited:
+                    manifest["txn_inherited"] = inherited
+                    _stamp_inherited(work, inherited)
+            except BaseException:
+                shutil.rmtree(work, ignore_errors=True)
+                shutil.rmtree(stage, ignore_errors=True)
+                raise
+            shutil.rmtree(stage, ignore_errors=True)
+            try:
+                os.rename(work, os.path.join(self.path, f"v{claim}"))
+            except OSError as exc:
+                import errno
+
+                shutil.rmtree(work, ignore_errors=True)
+                if exc.errno in (errno.EEXIST, errno.ENOTEMPTY):
+                    _heal_claim(self.path, claim)
+                    continue  # lost the race: rebin against new base
+                raise
+            log.publish(manifest)
+            return {
+                "version": claim,
+                "files_relinked": len(relink),
+                "files_rewritten": sum(
+                    len(v) for v in rewrite.values()
+                ),
+                "files_out": len(relink) + n_new,
+            }
+        raise RuntimeError(
+            f"binpack optimize lost the version race {max_retries} "
+            f"times at {self.path}"
+        )
+
     def restore(self, spark: SparkSession, version: int, max_retries: int = 20) -> int:
         """RESTORE TO VERSION AS OF ``version`` (the Delta RESTORE
         shape): commit a NEW version whose content is exactly the old

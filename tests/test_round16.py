@@ -683,3 +683,71 @@ def test_cdf_stream_raises_when_schema_evolves_past_pinned(
             q.processAllAvailable()
     finally:
         q.stop()
+
+
+def test_binpack_relinks_big_files_and_groups_per_partition(
+    spark, tmp_path
+):
+    """LAY6 mechanics: with a small target, files at-or-above half the
+    target RELINK byte-identical (inode-asserted), small files merge
+    PER PARTITION DIRECTORY (never across), and a column-mapped table
+    refuses."""
+    path = str(tmp_path / "t")
+    sink = MergeSink(path, key="k", partition_by=["p"])
+    sink.init(
+        spark.sql(
+            "SELECT id AS k, CAST(id % 2 AS INT) AS p, "
+            "CAST(id * 10 AS BIGINT) AS v FROM range(20000)"
+        ).repartition(2)
+    )
+    for lo in (20000, 20010):  # two tiny appends per partition dir
+        sink.append(
+            spark.sql(
+                f"SELECT id AS k, CAST(id % 2 AS INT) AS p, "
+                f"CAST(id * 10 AS BIGINT) AS v "
+                f"FROM range({lo}, {lo + 10})"
+            ).coalesce(1)
+        )
+    log = CommitLog(path)
+    v_before = log.current_version()
+    before = log.manifest(v_before)["files"]
+    sizes = sorted(int(e.get("bytes") or 0) for e in before)
+    # target = largest file size: the big init files sit above the
+    # half-target threshold and relink; the tiny append files merge
+    target = sizes[-1]
+    big = [e for e in before if int(e["bytes"]) >= target // 2]
+    small = [e for e in before if int(e["bytes"]) < target // 2]
+    assert big and len(small) >= 4, sizes
+    res = sink.compact_small(spark, target_bytes=target)
+    assert res["files_rewritten"] >= 4 and res["files_relinked"] >= 2, (
+        res
+    )
+    assert res["files_out"] < len(before), (res, len(before))
+    after = log.manifest(res["version"])["files"]
+    by_rel = {e["path"]: e for e in after}
+    vdir_b = os.path.join(path, f"v{v_before}")
+    for e in big:
+        assert e["path"] in by_rel, e["path"]
+        a = os.stat(
+            os.path.join(path, f"v{res['version']}", e["path"])
+        )
+        b = os.stat(os.path.join(vdir_b, e["path"]))
+        assert a.st_ino == b.st_ino, e["path"]
+    # merged outputs stay inside their partition directories
+    for e in after:
+        assert e["path"].split(os.sep)[0].startswith("p="), e["path"]
+    got = {
+        (r["k"], r["p"], r["v"])
+        for r in sink.read(spark).collect()
+    }
+    assert got == {(k, k % 2, k * 10) for k in range(20020)}, len(got)
+    # column-mapped tables refuse the binpack route
+    cat = _mk_catalog(spark)
+    p2 = str(tmp_path / "t2")
+    MergeSink(p2, key="k").init(
+        spark.range(5).selectExpr("id AS k", "id AS c")
+    )
+    cat.register_path("r16_bp_cm", p2)
+    cat.sql("ALTER TABLE r16_bp_cm RENAME COLUMN c TO d")
+    with pytest.raises(ValueError, match="column-mapping"):
+        MergeSink(p2, key="k").compact_small(spark)

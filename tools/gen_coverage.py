@@ -311,6 +311,10 @@ SECTIONS: list[tuple[str, list[tuple[str, str, list[str]]]]] = [
          "scoped checkpoint — disjoint checkpoint files relink, only "
          "the in-range key slice resolves; out-of-range deltas refuse",
          ["q_sql_optimize_where_mor"]),
+        ("LAY6", "bare OPTIMIZE = binpacking on unclustered CoW (the "
+         "Delta default): small files coalesce toward the target per "
+         "partition dir, at-size files relink, dataChange=false",
+         ["q_sql_optimize_compact"]),
     ]),
     ("2.6 Sorts / limits", [
         ("O1", "multi-key sort", ["q_sort_multi_key"]),

@@ -183,6 +183,7 @@ QUERIES = [
     "q_sql_widen_mor",
     "q_stream_cdc_optimize",
     "q_stream_cdc_rename",
+    "q_sql_optimize_compact",
 ]
 
 # inherently super-linear OUTPUT at fixed parameters (not a plan defect)
@@ -213,6 +214,7 @@ WORKLOAD_NOTES = {
     "q_sql_widen_mor": _ORDERS_FIXTURE_NOTE,
     "q_stream_cdc_optimize": _ORDERS_FIXTURE_NOTE,
     "q_stream_cdc_rename": _ORDERS_FIXTURE_NOTE,
+    "q_sql_optimize_compact": _ORDERS_FIXTURE_NOTE,
     "q_spatial_pairs": "output grows ~density^2 at fixed radius "
     "(verified: 10x input -> 100.6x output pairs) — an output-linear plan "
     "necessarily shows exponent ~2 here",

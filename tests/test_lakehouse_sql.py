@@ -508,8 +508,11 @@ def test_sql_dml_errors(spark, tmp_path):
     cat.register_cow("de2", path, key="k")
     with pytest.raises(ValueError, match="malformed SET"):
         cat.sql("UPDATE de2 SET nonsense WHERE k = 1")
-    with pytest.raises(ValueError, match="cluster spec"):
-        cat.sql("OPTIMIZE de2")
+    # r16 LAY6: bare OPTIMIZE without a layout spec no longer refuses —
+    # it binpacks (the Delta default); a tiny single-file table is a
+    # relink-only no-op commit
+    row = cat.sql("OPTIMIZE de2").first()
+    assert row.operation == "optimize_compact", row
 
 
 def test_mor_table_through_sql_catalog(spark, tmp_path):

@@ -1067,7 +1067,7 @@ def q_sql_copy_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), v_high AS (
         SELECT k, ck, cents FROM state WHERE cents > 100000
     )
-    SELECT ck, count(*) AS n, sum(cents) AS total
+    SELECT ck, count(*) AS n, CAST(sum(cents) AS BIGINT) AS total
     FROM v_high GROUP BY ck
     """,
 )
@@ -1549,7 +1549,7 @@ def q_stream_txn_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN k % 10 = 0 THEN cents + 7 ELSE cents END AS amount
         FROM base
     ), old_snap AS (
-        SELECT count(*) AS n_old, sum(cents) AS sum_old
+        SELECT count(*) AS n_old, CAST(sum(cents) AS BIGINT) AS sum_old
         FROM base WHERE k % 3 = 0
     )
     SELECT u.k, u.amount, o.n_old, o.sum_old

@@ -13,12 +13,19 @@ assignment itself must be reproducible/auditable (dataset curation
 lineage, IVF list stability across rebuilds); use MLlib when you want
 kmeans|| init and don't need determinism.
 
-Per iteration: ONE broadcast of the K centroids onto the corpus (the
-n×K distance table never shuffles raw vectors), one vec_id-partitioned
-window for the argmin, and one (cid, dim)-keyed map-side-combined sum
-for the update — all hashing on high-cardinality or K·dim-sized keys,
-no single-reducer stage.  Centroid tables are K×dim rows
-(data-size-independent).
+Execution shape (round-17 optimization): the centroid table is K×dim
+integers — metadata-scale — so the Lloyd loop holds it on the DRIVER
+and compiles each assignment into a scan-fused ``array_min`` argmin
+over K literal distance expressions.  Per iteration that costs exactly
+ONE Spark job (the (cluster, dim)-keyed map-side-combined mean
+aggregation, K·dim result rows collected to fold the update); the
+previous shape paid a centroid broadcast, an n×K cross join, a
+vec_id-hashed EXCHANGE and a per-vector sort/window for every
+assignment, plus checkpoint jobs to pin the loop depth.  The dataflow
+the corpus sees is unchanged — one fused pass per iteration — and every
+distance/mean is the same exact integer arithmetic, so assignments are
+bit-identical (ties still break to the lowest centroid id:
+``array_min`` on ``struct(d2, cid)`` orders by d2 then cid).
 
 Negative components are handled by a constant OFFSET added at
 quantization: distances are translation-invariant, and all-positive
@@ -29,11 +36,16 @@ sidestepped entirely).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from ..operators.partitioning import fan_out
 
 SCALE = 1_000_000
 OFFSET = 10_000_000  # > SCALE * max|component|; keeps everything positive
+
+#: driver-held centroids: [(cid, [component, ...]), ...] — K×dim ints
+Centroids = list[tuple[int, list[int]]]
 
 
 def _quantize(vec: Column) -> Column:
@@ -74,67 +86,99 @@ def _dist2(a: Column, b: Column) -> Column:
     )
 
 
-def _init_centroids(q: DataFrame, k: int) -> DataFrame:
-    w0 = Window.orderBy(F.col("vec_id").asc())
-    return (
-        q.orderBy(F.col("vec_id").asc())
-        .limit(k)
-        .select(
-            (F.row_number().over(w0) - 1).cast("long").alias("cid"),
-            F.col("q").alias("qc"),
-        )
+def _lit_vec(qc: list[int]) -> Column:
+    return F.array(*[F.lit(int(v)) for v in qc]).cast("array<bigint>")
+
+
+def _scored(q: Column, cents: Centroids) -> Column:
+    """``array<struct<d2, cid>>`` of exact distances to every literal
+    centroid.  ONE shared distance lambda over a literal
+    array-of-centroid-arrays — K separate ``aggregate(zip_with(...))``
+    subtrees made Catalyst analysis + Janino compilation the dominant
+    per-iteration cost (each Lloyd iteration is a fresh plan with fresh
+    literals, so nothing amortizes across iterations)."""
+    carr = F.array(*[_lit_vec(qc) for _, qc in cents])
+    cids = F.array(
+        *[F.lit(int(cid)).cast("long") for cid, _ in cents]
+    )
+    return F.zip_with(
+        carr,
+        cids,
+        lambda c, i: F.named_struct(
+            F.lit("d2"), _dist2(q, c), F.lit("cid"), i
+        ),
     )
 
 
-def _assign(q: DataFrame, cents: DataFrame) -> DataFrame:
-    """(vec_id, q, cluster, d2): each vector's exact-integer nearest
-    centroid, ties to the lowest cid."""
-    scored = q.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "q", "cid", _dist2(F.col("q"), F.col("qc")).alias("d2")
-    )
-    wa = Window.partitionBy("vec_id").orderBy(
-        F.col("d2").asc(), F.col("cid").asc()
-    )
-    return (
-        scored.withColumn("__r", F.row_number().over(wa))
-        .filter(F.col("__r") == 1)
-        .select("vec_id", "q", F.col("cid").alias("cluster"), "d2")
-    )
+def _nearest(q: Column, cents: Centroids) -> Column:
+    """``struct(d2, cid)`` of the exact nearest literal centroid, ties
+    to the lowest cid (``array_min`` orders structs field by field —
+    exactly the old ``row_number() OVER (ORDER BY d2, cid) = 1``)."""
+    return F.array_min(_scored(q, cents))
 
 
-def _train(q: DataFrame, k: int, iterations: int) -> DataFrame:
-    """Lloyd loop over pre-quantized vectors -> final (cid, qc) table."""
+def _ranked(q: Column, cents: Centroids, n: int) -> Column:
+    """The ``n`` nearest literal centroids as a sorted struct array —
+    the probe-list form of :func:`_nearest` (d2 asc, cid asc)."""
+    return F.slice(F.array_sort(_scored(q, cents)), 1, n)
+
+
+def _init_centroids(q: DataFrame, k: int) -> Centroids:
+    """The ``k`` lowest-``vec_id`` quantized vectors, cids 0..k-1."""
+    rows = q.orderBy(F.col("vec_id").asc()).limit(k).collect()
+    return [(i, list(r["q"])) for i, r in enumerate(rows)]
+
+
+def _train(q: DataFrame, k: int, iterations: int) -> Centroids:
+    """Lloyd loop over pre-quantized vectors -> final (cid, qc) list.
+
+    One job per iteration: assign via the literal argmin (scan-fused),
+    aggregate (cluster, dim) sums map-side, collect K·dim rows, fold
+    the exact floor mean on the driver.  Empty clusters keep their
+    previous centroid, as before.
+    """
     cents = _init_centroids(q, k)
+    if not cents:
+        return cents
+    dim = len(cents[0][1])
     for _ in range(iterations):
-        members = _assign(q, cents)
-        per_dim = (
-            members.select("cluster", F.posexplode("q").alias("idx", "val"))
-            .groupBy("cluster", "idx")
-            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("cnt"))
-        )
-        # exact floor mean of POSITIVE ints: subtract the remainder so
-        # the double division is exact (operators/graph.py:_fdiv shape)
-        mean = (
-            (F.col("s") - F.pmod(F.col("s"), F.col("cnt"))) / F.col("cnt")
-        ).cast("long")
-        upd = (
-            per_dim.select("cluster", "idx", mean.alias("mv"))
+        # per-dim sums as STATIC GetArrayItem columns (one codegen'd
+        # hash agg to K rows × dim columns) — never posexplode: a
+        # generator multiplies the rows 64× and re-evaluates the argmin
+        # grouping expression per exploded row (measured 15 s/iteration
+        # vs <1 s for this form at sf0.1)
+        per = (
+            q.select(
+                _nearest(F.col("q"), cents).getField("cid").alias("cluster"),
+                "q",
+            )
             .groupBy("cluster")
             .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("idx", "mv"))),
-                    lambda x: x.getField("mv"),
-                ).alias("qc_new")
+                F.count(F.lit(1)).alias("cnt"),
+                *[
+                    F.sum(F.col("q").getItem(d)).alias(f"s{d}")
+                    for d in range(dim)
+                ],
             )
-            .select(F.col("cluster").alias("cid"), "qc_new")
         )
-        cents = (
-            cents.join(upd, "cid", "left")
-            .select(
-                "cid", F.coalesce(F.col("qc_new"), F.col("qc")).alias("qc")
+        sums = {
+            r["cluster"]: (
+                r["cnt"],
+                [r[f"s{d}"] for d in range(dim)],
             )
-            .localCheckpoint(eager=False)  # K×dim rows; pins the loop depth
-        )
+            for r in per.collect()  # K rows — metadata-scale
+        }
+        # exact floor mean of POSITIVE ints: Python // == the engine's
+        # (s - pmod(s, cnt)) / cnt form == DuckDB's s // cnt
+        cents = [
+            (
+                cid,
+                [s // by[0] for s in by[1]]
+                if (by := sums.get(cid)) is not None
+                else qc,
+            )
+            for cid, qc in cents
+        ]
     return cents
 
 
@@ -159,16 +203,22 @@ def kmeans_exact(
     members (empty clusters keep their previous centroid).  ``d2``
     is the final exact integer distance in (micro-unit)² space.
     """
-    q = _quantized(df, vec_col, id_col)
+    wide = fan_out(df)
+    q = _quantized(wide, vec_col, id_col)
     q = q.persist()  # scanned once per iteration
-    # eager checkpoint of the K-row result releases the corpus cache
-    # immediately (round-6 advice: harness sessions accumulate persists);
-    # the final assignment re-derives q lazily — one extra scan+quantize,
-    # deterministic, instead of a corpus-sized cache pinned forever
-    cents = _train(q, k, iterations).localCheckpoint()
+    cents = _train(q, k, iterations)
     q.unpersist()
-    return _assign(_quantized(df, vec_col, id_col), cents).select(
-        "vec_id", "cluster", "d2"
+    # final assignment: a single scan-fused projection (no join, no
+    # exchange, no window) — CollapseProject keeps the struct argmin
+    # evaluated once (it never duplicates non-cheap expressions)
+    return (
+        _quantized(wide, vec_col, id_col)
+        .select("vec_id", _nearest(F.col("q"), cents).alias("__nc"))
+        .select(
+            "vec_id",
+            F.col("__nc").getField("cid").alias("cluster"),
+            F.col("__nc").getField("d2").alias("d2"),
+        )
     )
 
 
@@ -184,9 +234,13 @@ def kmeans_centroid_table(
     than wanting per-vector assignments.  Same ``_train`` loop, one
     implementation."""
     q = _quantized(df, vec_col, id_col).persist()
-    cents = _train(q, k, iterations).localCheckpoint()  # K×dim rows
+    cents = _train(q, k, iterations)
     q.unpersist()
-    return cents
+    spark = SparkSession.getActiveSession() or df.sparkSession
+    return spark.createDataFrame(
+        [(int(cid), [int(v) for v in qc]) for cid, qc in cents],
+        "cid bigint, qc array<bigint>",
+    )
 
 
 def ivf_exact_topk(
@@ -209,39 +263,33 @@ def ivf_exact_topk(
     value-hashes — the witness for the float IVF paths
     (``similarity.py:ivf_cosine_topk`` and the materialized index).
 
-    Scale shape identical to production IVF: centroids broadcast (K
-    rows), corpus scored against K centroids in one fused pass, probe
-    lists bound candidates to ~n_probe/K of the corpus, rerank joins
-    vectors once per candidate.
+    Scale shape identical to production IVF: centroids are literal
+    K-row metadata compiled into the corpus/query scans (one fused
+    pass each, no exchange), probe lists bound candidates to
+    ~n_probe/K of the corpus, rerank joins vectors once per candidate.
     """
     from ..functions.core import fixed_point
     from .similarity import cosine
 
-    qc = _quantized(corpus, vec_col, id_col).persist()
-    # eager K-row checkpoint, then release the corpus cache (the list
-    # assignment below re-derives qc lazily — one extra deterministic
-    # scan instead of a forever-pinned corpus cache)
-    cents = _train(qc, n_centroids, iterations).localCheckpoint()
+    wide = fan_out(corpus)
+    qc = _quantized(wide, vec_col, id_col).persist()
+    cents = _train(qc, n_centroids, iterations)
     qc.unpersist()
-    lists = _assign(_quantized(corpus, vec_col, id_col), cents).select(
-        "vec_id", "cluster"
+    lists = _quantized(wide, vec_col, id_col).select(
+        "vec_id",
+        _nearest(F.col("q"), cents).getField("cid").alias("cluster"),
     )
 
-    qq = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        _quantize(F.col(vec_col)).alias("q"),
-    )
-    wp = Window.partitionBy("query_id").orderBy(
-        F.col("d2").asc(), F.col("cid").asc()
-    )
     probes = (
-        qq.crossJoin(F.broadcast(cents))
-        .select(
-            "query_id", "cid", _dist2(F.col("q"), F.col("qc")).alias("d2")
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            _quantize(F.col(vec_col)).alias("q"),
         )
-        .withColumn("__r", F.row_number().over(wp))
-        .filter(F.col("__r") <= n_probe)
-        .select("query_id", F.col("cid").alias("cluster"))
+        .select(
+            "query_id",
+            F.explode(_ranked(F.col("q"), cents, n_probe)).alias("__p"),
+        )
+        .select("query_id", F.col("__p").getField("cid").alias("cluster"))
     )
     cand = lists.join(F.broadcast(probes), "cluster").select(
         "query_id", "vec_id"
@@ -286,16 +334,20 @@ def pq_exact_topk(
 ) -> DataFrame:
     """Product-quantization ANN with every stage exact and replayable:
     per-subspace codebooks from the SAME deterministic Lloyd loop
-    (:func:`_train` on sliced subvectors), integer code assignment,
-    integer ADC lookup-sum, fixed-point cosine rerank of ``refine·k``
-    candidates — the witness for the float production PQ (``llm/pq.py``,
-    numpy codebooks + Arrow encode).
+    (sliced subvectors), integer code assignment, integer ADC
+    lookup-sum, fixed-point cosine rerank of ``refine·k`` candidates —
+    the witness for the float production PQ (``llm/pq.py``, numpy
+    codebooks + Arrow encode).
 
-    Scale shape mirrors production PQ: codebook training is per-subspace
-    Lloyd (sample it at 100 TB, as pq_train does); encoding scores each
-    vector against K sub-centroids per subspace (broadcast); ADC joins
-    the melted codes against a |queries|·m·K distance table (broadcast);
-    only refine·k candidate ids per query touch the full vectors.
+    Scale shape mirrors production PQ, with the codebooks (m·K·dsub
+    integers — metadata-scale) held on the driver: ALL m subspaces
+    train in one fused Lloyd loop (one corpus-scan job per iteration,
+    not one per subspace), encoding is a single projection computing
+    every subspace's argmin code in one pass, the ADC distance table is
+    a query-side projection, and only refine·k candidate ids per query
+    touch the full vectors.  (Round-17: the previous shape paid per-
+    subspace broadcast joins, windows and checkpoints — m·iterations
+    extra shuffles for identical integer results.)
     """
     from ..functions.core import fixed_point
     from .similarity import _probe_dim, cosine
@@ -305,60 +357,103 @@ def pq_exact_topk(
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
 
-    qc = _quantized(corpus, vec_col, id_col).persist()
+    qc = _quantized(fan_out(corpus), vec_col, id_col).persist()
+
+    # one Lloyd loop for ALL subspaces: the k_codes lowest-id vectors
+    # seed every subspace's codebook (identical to training each
+    # subspace separately — init and updates are per-subspace either
+    # way), and each iteration runs ONE corpus scan whose per-dim sums
+    # fold into every codebook on the driver.
+    init_rows = qc.orderBy(F.col("vec_id").asc()).limit(k_codes).collect()
+    books: dict[int, Centroids] = {
+        j: [
+            (c, list(r["q"])[j * dsub : (j + 1) * dsub])
+            for c, r in enumerate(init_rows)
+        ]
+        for j in range(m)
+    }
+
+    def _sub(j: int) -> Column:
+        return F.slice(F.col("q"), j * dsub + 1, dsub)
+
+    for _ in range(iterations):
+        new_books: dict[int, Centroids] = {}
+        for j in range(m):
+            # per-subspace update: one codegen'd hash agg to K rows ×
+            # dsub static GetArrayItem sum columns (no posexplode — a
+            # generator re-evaluates the argmin grouping expression per
+            # exploded row, see _train)
+            per = (
+                qc.select(
+                    _nearest(_sub(j), books[j])
+                    .getField("cid")
+                    .alias("code"),
+                    "q",
+                )
+                .groupBy("code")
+                .agg(
+                    F.count(F.lit(1)).alias("cnt"),
+                    *[
+                        F.sum(
+                            F.col("q").getItem(j * dsub + d)
+                        ).alias(f"s{d}")
+                        for d in range(dsub)
+                    ],
+                )
+            )
+            sums = {
+                r["code"]: (r["cnt"], [r[f"s{d}"] for d in range(dsub)])
+                for r in per.collect()  # K rows — metadata-scale
+            }
+            new_books[j] = [
+                (
+                    cid,
+                    [s // by[0] for s in by[1]]
+                    if (by := sums.get(cid)) is not None
+                    else qv,
+                )
+                for cid, qv in books[j]
+            ]
+        books = new_books
+
+    # integer code assignment: every subspace's argmin in ONE projection
+    codes = qc.select(
+        "vec_id",
+        *[
+            _nearest(_sub(j), books[j])
+            .getField("cid")
+            .alias(f"code_{j}")
+            for j in range(m)
+        ],
+    )
+
+    # ADC distance table: |queries|·m·k_codes rows from a query-side
+    # projection (literal codebooks — no cross join, no checkpoint)
     qq = queries.select(
         F.col(query_id_col).alias("query_id"),
         _quantize(F.col(vec_col)).alias("q"),
-    ).persist()
+    )
+    def _dt_entry(jj: int):
+        # single-arg lambda: a second parameter would make PySpark pass
+        # the ARRAY INDEX into it (the (element, index) transform form)
+        return lambda s: F.named_struct(
+            F.lit("j"), F.lit(jj),
+            F.lit("code"), s.getField("cid"),
+            F.lit("d2"), s.getField("d2"),
+        )
 
-    # Per-subspace intermediates are EAGERLY checkpointed so their
-    # vec-sized caches can be released inside the loop (round-6 advice:
-    # the old shape persisted m+2 DataFrames per call and never
-    # unpersisted, accumulating cached partitions across a long-lived
-    # harness session). cents_j is k_codes×dsub rows; assign_j is one
-    # (vec_id, code) pair per corpus row — both are what the lazy plan
-    # would compute anyway, materialized once instead of cached forever.
-    codes = None
-    dts = []
-    for j in range(m):
-        sub = F.slice(F.col("q"), j * dsub + 1, dsub)
-        # ONE partition per subspace frame: this is the WITNESS path —
-        # the production trainer (llm/pq.py pq_train) samples its
-        # training set first, so the Lloyd input here is sample-sized
-        # by contract, and each of the loop's m·(iterations+1) tiny
-        # jobs otherwise pays a full shuffle-partition fan-out it
-        # cannot use (the r11 IVF-quantizer coalesce, applied to PQ:
-        # measured 18.2 -> ~8 s on the parity fixture, values
-        # hash-identical)
-        qj = qc.select("vec_id", sub.alias("q")).coalesce(1).persist()
-        cents_j = _train(qj, k_codes, iterations).localCheckpoint()
-        assign_j = (
-            _assign(qj, cents_j)
-            .select("vec_id", F.col("cluster").alias(f"code_{j}"))
-            .localCheckpoint()
-        )
-        qj.unpersist()
-        codes = (
-            assign_j if codes is None else codes.join(assign_j, "vec_id")
-        )
-        dts.append(
-            qq.select("query_id", sub.alias("q"))
-            .crossJoin(F.broadcast(cents_j))
-            .select(
-                "query_id",
-                F.lit(j).alias("j"),
-                F.col("cid").alias("code"),
-                _dist2(F.col("q"), F.col("qc")).alias("d2"),
+    dt = qq.select(
+        "query_id",
+        F.explode(
+            F.concat(
+                *[
+                    F.transform(_scored(_sub(j), books[j]), _dt_entry(j))
+                    for j in range(m)
+                ]
             )
-        )
-    dt = dts[0]
-    for d in dts[1:]:
-        dt = dt.unionByName(d)
-    # |queries|·m·k_codes rows (query-count-sized); materializing it
-    # releases the quantized corpus/query caches for good
-    dt = dt.localCheckpoint()
+        ).alias("__e"),
+    ).select("query_id", "__e.j", "__e.code", "__e.d2")
     qc.unpersist()
-    qq.unpersist()
 
     melted = codes.select(
         "vec_id",

@@ -35,8 +35,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.core import fixed_point
-from .kmeans import kmeans_exact
-from .similarity import cosine
+from ..operators.partitioning import fan_out
+from .kmeans import _nearest, _quantize, _quantized, _train
+from .similarity import _dot, _norm
 
 
 def semantic_dedup(
@@ -51,26 +52,61 @@ def semantic_dedup(
 
     ``kept = false`` iff a lower-id member of the same k-means cluster
     has fixed-point cosine ≥ ``cosine_threshold``.
+
+    Execution shape (round-17): the trained centroids are K×dim
+    literals, so membership is ONE scan-fused projection over the
+    corpus — (id, vector, norm, cluster) with no assignment join.  The
+    cluster-local pair join is salted when K < cluster cores: the
+    id_b side buckets by ``pmod(xxhash64(id_b), S)`` and the id_a side
+    replicates S ways, so the quadratic verify work spreads over K·S ≈
+    cores tasks instead of K (each (a, b) pair still meets exactly
+    once, at b's salt).  S = ceil(cores / K) degrades to 1 — byte-
+    identical to the unsalted join — as K grows with the corpus (the
+    documented K∝n contract), so at scale the salt is a no-op and the
+    replication factor is bounded by cores/K.  Norms are computed once
+    per member, not once per pair (bit-identical float result).
     """
-    assign = kmeans_exact(
-        corpus, vec_col, id_col, k=n_centroids, iterations=iterations
-    ).select(F.col("vec_id").alias(id_col), "cluster")
-    vecs = corpus.select(F.col(id_col), F.col(vec_col))
-    members = assign.join(vecs, id_col).select(
-        "cluster", F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    wide = fan_out(corpus)  # 1-split scans must widen BEFORE the
+    # scan-fused argmin/explode passes (no exchange creates width now)
+    q = _quantized(wide, vec_col, id_col).persist()
+    cents = _train(q, n_centroids, iterations)
+    q.unpersist()
+    members = wide.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("n"),
+        _nearest(_quantize(F.col(vec_col)), cents)
+        .getField("cid")
+        .alias("cluster"),
     )
-    # cluster-local pair join, ids only ride the exchange once each side
+    assign = members.select(F.col("id").alias(id_col), "cluster")
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    n_salts = max(1, -(-par // max(1, n_centroids)))
     a = members.select(
-        "cluster", F.col("id").alias("id_a"), F.col("v").alias("__va")
+        "cluster",
+        F.col("id").alias("id_a"),
+        F.col("v").alias("__va"),
+        F.col("n").alias("__na"),
+        F.explode(
+            F.array(*[F.lit(s) for s in range(n_salts)])
+        ).alias("__salt"),
     )
     b = members.select(
-        "cluster", F.col("id").alias("id_b"), F.col("v").alias("__vb")
+        "cluster",
+        F.col("id").alias("id_b"),
+        F.col("v").alias("__vb"),
+        F.col("n").alias("__nb"),
+        F.pmod(F.xxhash64(F.col("id")), F.lit(n_salts)).alias("__salt"),
     )
     dropped = (
-        a.join(b, "cluster")
+        a.join(b, ["cluster", "__salt"])
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(
-            fixed_point(cosine(F.col("__va"), F.col("__vb")), 6)
+            fixed_point(
+                _dot(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb")),
+                6,
+            )
             >= F.lit(cosine_threshold)
         )
         .select(F.col("id_b").alias(id_col))

@@ -306,6 +306,16 @@ def embedding_near_duplicates(
     # pair. Candidates are deduped first, then vectors join back exactly once
     # per verified pair — the same shape as the MinHash twin
     # (dedup.py minhash_near_duplicates).
+    # One exchange serves both the pair dedup and the verify stage: the
+    # ids-only pair stream is hash-partitioned on id_a at cluster
+    # parallelism (compute-bound verify stage: partitions ≈ cores), and
+    # hashpartitioning(id_a) already satisfies the (id_a, id_b) dedup's
+    # clustering, so dropDuplicates adds NO second exchange — and AQE
+    # cannot coalesce the verify stage below the cluster width the
+    # per-pair cosine needs (guide §2.4; round-17: the old shape let AQE
+    # shrink the few-MB pair shuffle to a handful of tasks while 30+
+    # cores idled under the dominant cosine work).
+    par = corpus.sparkSession.sparkContext.defaultParallelism
     candidates = (
         bucketed.select(F.col(id_col).alias("id_a"), "table_id", "bucket")
         .join(
@@ -314,24 +324,42 @@ def embedding_near_duplicates(
         )
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
+        .repartition(par, "id_a")
         .dropDuplicates(["id_a", "id_b"])
     )
+    # per-vector norms computed ONCE per side (n rows) instead of once
+    # per candidate pair (the dot is per-pair work either way, but the
+    # two norms were ~2/3 of the per-pair lambda evaluations); the float
+    # result is bit-identical — same expression over the same vector,
+    # evaluated earlier (guide §2.3 "shuffle keys and metadata", applied
+    # to re-computation)
     vecs = corpus.select(F.col(id_col), F.col(vec_col))
     paired = candidates.join(
-        vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")),
+        vecs.select(
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("__va"),
+            _norm(F.col(vec_col)).alias("__na"),
+        ),
         "id_a",
     ).join(
-        vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")),
+        vecs.select(
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("__vb"),
+            _norm(F.col(vec_col)).alias("__nb"),
+        ),
         "id_b",
+    )
+    raw_sim = _dot(F.col("__va"), F.col("__vb")) / (
+        F.col("__na") * F.col("__nb")
     )
     if portable:
         from ..functions.core import fixed_point
 
         # fixed_point, not round(): the quantized cosine is compared to
         # the oracle's identical floor(x*1e6+0.5)/1e6
-        sim = fixed_point(cosine(F.col("__va"), F.col("__vb")), 6)
+        sim = fixed_point(raw_sim, 6)
     else:
-        sim = F.round(cosine(F.col("__va"), F.col("__vb")), 6)
+        sim = F.round(raw_sim, 6)
     return (
         paired.select("id_a", "id_b", sim.alias("cos_sim"))
         .filter(F.col("cos_sim") >= cosine_threshold)
@@ -741,15 +769,35 @@ def knn_graph(
     b = bucketed.select(
         "table_id", "bucket", F.col(id_col).alias("dst")
     )
+    # ONE exchange keyed on src serves three consumers: the (src, dst)
+    # candidate dedup (hashpartitioning(src) satisfies its clustering),
+    # the cosine verify stage (kept at cluster width — AQE would
+    # otherwise coalesce the few-MB ids-only shuffle to a handful of
+    # tasks under the dominant per-pair scoring), and the per-src top-k
+    # window, which reuses the partitioning shuffle-free (guide §2.4).
+    par = corpus.sparkSession.sparkContext.defaultParallelism
     cand = (
         a.join(b, ["table_id", "bucket"])
         .filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
+        .repartition(par, "src")
         .dropDuplicates(["src", "dst"])
     )
-    va = corpus.select(F.col(id_col).alias("src"), F.col(vec_col).alias("__vs"))
-    vb = corpus.select(F.col(id_col).alias("dst"), F.col(vec_col).alias("__vd"))
-    sim = cosine(F.col("__vs"), F.col("__vd"))
+    # norms once per vector, not once per candidate pair (bit-identical
+    # float result; the two norms were ~2/3 of the per-pair lambda work)
+    va = corpus.select(
+        F.col(id_col).alias("src"),
+        F.col(vec_col).alias("__vs"),
+        _norm(F.col(vec_col)).alias("__ns"),
+    )
+    vb = corpus.select(
+        F.col(id_col).alias("dst"),
+        F.col(vec_col).alias("__vd"),
+        _norm(F.col(vec_col)).alias("__nd"),
+    )
+    sim = _dot(F.col("__vs"), F.col("__vd")) / (
+        F.col("__ns") * F.col("__nd")
+    )
     sim = fixed_point(sim, 6) if portable else F.round(sim, 6)
     scored = (
         cand.join(va, "src")

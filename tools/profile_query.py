@@ -47,7 +47,14 @@ def main() -> None:
         "noop"
     ).save()
 
+    runs = 2 if "--twice" in sys.argv else 1
     for name in names:
+        for _ in range(runs - 1):
+            # warm run: JIT/codegen + Python worker pool, discarded
+            spark.catalog.clearCache()
+            registry[name].fn(spark, sf_dir).write.mode(
+                "overwrite"
+            ).format("noop").save()
         spark.catalog.clearCache()
         before_jobs = {j["jobId"] for j in _get(base, "/jobs")}
         sc.setJobDescription(name)
@@ -95,6 +102,10 @@ def main() -> None:
                     "tasks": s["numCompleteTasks"],
                     "run_sec": round(s["executorRunTime"] / 1000.0, 3),
                     "cpu_sec": round(s.get("executorCpuTime", 0) / 1e9, 3),
+                    "gc_sec": round(s.get("jvmGcTime", 0) / 1000.0, 3),
+                    "fetch_sec": round(
+                        s.get("shuffleFetchWaitTime", 0) / 1000.0, 3
+                    ),
                     "sh_read_mb": round(s["shuffleReadBytes"] / 1e6, 2),
                     "sh_write_mb": round(s["shuffleWriteBytes"] / 1e6, 2),
                     "in_mb": round(s["inputBytes"] / 1e6, 2),

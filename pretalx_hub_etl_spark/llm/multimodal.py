@@ -80,13 +80,24 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 
+def _widen(df: DataFrame) -> DataFrame:
+    # every attach_* synthesizes payloads in a pandas UDF, so its
+    # parallelism is the id frame's split count — a few-MB documents
+    # scan is ONE split and every encode+decode chain ran in one Python
+    # worker (r17). Widening BEFORE the payload exists moves only ids
+    # (guide §8: move heavy bytes once — here, never); no-op when wide.
+    from ..operators.partitioning import fan_out
+
+    return fan_out(df)
+
+
 def attach_fake_media(df: DataFrame, id_col: str) -> DataFrame:
     """Derive a deterministic opaque binary payload column from an id.
 
     Stands in for real encoded media so the binary-column plumbing
     (schema, shuffle, UDF batch shapes) is exercised end-to-end.
     """
-    return df.withColumn(
+    return _widen(df).withColumn(
         "payload", F.encode(F.concat(F.lit("mediabytes:"), F.col(id_col).cast("string")), "UTF-8")
     ).withColumn("kind", F.lit("image")).withColumn("mime", F.lit("image/fake"))
 
@@ -120,7 +131,7 @@ def attach_png_media(df: DataFrame, id_col: str) -> DataFrame:
         return pd.Series(out)
 
     return (
-        df.withColumn("payload", gen(F.col(id_col)))
+        _widen(df).withColumn("payload", gen(F.col(id_col)))
         .withColumn("kind", F.lit("image"))
         .withColumn("mime", F.lit("image/png"))
     )
@@ -157,7 +168,7 @@ def attach_jpeg_media(df: DataFrame, id_col: str) -> DataFrame:
         return pd.Series(out)
 
     return (
-        df.withColumn("payload", gen(F.col(id_col)))
+        _widen(df).withColumn("payload", gen(F.col(id_col)))
         .withColumn("kind", F.lit("image"))
         .withColumn("mime", F.lit("image/jpeg"))
     )
@@ -472,7 +483,7 @@ def attach_wav_media(df: DataFrame, id_col: str) -> DataFrame:
         return pd.Series(out)
 
     return (
-        df.withColumn("payload", gen(F.col(id_col)))
+        _widen(df).withColumn("payload", gen(F.col(id_col)))
         .withColumn("kind", F.lit("audio"))
         .withColumn("mime", F.lit("audio/wav"))
     )
@@ -586,7 +597,7 @@ def attach_avi_media(df: DataFrame, id_col: str) -> DataFrame:
         return pd.Series(out)
 
     return (
-        df.withColumn("payload", gen(F.col(id_col)))
+        _widen(df).withColumn("payload", gen(F.col(id_col)))
         .withColumn("kind", F.lit("video"))
         .withColumn("mime", F.lit("video/x-msvideo"))
     )

@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..operators.partitioning import fan_out
+
 
 def _tokens(text_col: str) -> F.Column:
     return F.filter(
@@ -57,7 +59,11 @@ def gram_postings(
     grams = F.transform(
         idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k)))
     )
-    return df.select(
+    # the sliding-window md5 work is scan-fused, so its parallelism is
+    # the INPUT's split count — a few-MB documents table is one split
+    # and the whole gram pass ran on one core (r17; fan_out no-ops on
+    # wide corpora)
+    return fan_out(df).select(
         F.col(id_col).alias("doc_id"), F.posexplode(grams).alias("p0", "g")
     ).select("doc_id", (F.col("p0") + 1).cast("long").alias("pos"), "g")
 
@@ -169,7 +175,7 @@ def remove_duplicate_spans(
         "doc_id", F.explode(F.sequence("s", "e")).alias("p")
     ).distinct()
 
-    base = df.select(
+    base = fan_out(df).select(
         F.col(id_col).alias("doc_id"), _tokens(text_col).alias("t")
     )
     base = base.persist()  # token explode + final left join

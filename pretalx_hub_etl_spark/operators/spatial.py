@@ -47,7 +47,12 @@ def grid_distance_self_join(
     (offset, home) combination — no post-dedup. The ``id_a < id_b``
     filter keeps one orientation of each pair.
     """
-    p = points.select(
+    from .partitioning import fan_out
+
+    # cell assignment + neighborhood explode are scan-fused: a one-split
+    # points table would run the whole grid join on one core (r17;
+    # no-op on wide inputs)
+    p = fan_out(points).select(
         F.col(id_col).alias("id"),
         F.col(x_col).cast("long").alias("x"),
         F.col(y_col).cast("long").alias("y"),

@@ -85,6 +85,14 @@ def q_fn_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.unix_timestamp("ts").cast("long").alias("ts_s"),
     )
+    # pre-partition the table argument on the UDTF's PARTITION BY key at
+    # cluster parallelism: the TABLE(...) contract's own exchange is
+    # satisfied by this partitioning (no second shuffle), and the pinned
+    # width stops AQE coalescing the few-MB exchange to one task under
+    # the row-at-a-time Python UDTF — the query's dominant cost (r17)
+    ev = ev.repartition(
+        spark.sparkContext.defaultParallelism, "user_id"
+    )
     view = f"__udtf_tbl_{uuid.uuid4().hex}"
     ev.createOrReplaceTempView(view)
     return spark.sql(
@@ -129,15 +137,17 @@ def q_stream_pyds_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 6 pages at 2 pages/batch -> 3 genuinely multi-partition batches.
     from ..sources.paginated import parquet_key_upper_bound
     from ..sources.pyds import register
-    from ..streaming.structured import run_to_memory
+    from ..streaming.structured import fixture_session, run_to_memory
 
-    # main session, same constraint as q_stream_pyds: Python DataSource
-    # registration does not survive into a newSession's lookup path
-    register(spark)
+    # fixture_session (r17): the stateful complete-mode agg sizes its
+    # state-store count from shuffle partitions — the fixture convention
+    # (see q_stream_pyds); registration on the child session works.
+    s2 = fixture_session(spark)
+    register(s2)
     path = f"{sf_dir.rstrip('/')}/orders.parquet"
     upper = parquet_key_upper_bound(path, "o_orderkey")
     stream = (
-        spark.readStream.format("paged_parquet_par")
+        s2.readStream.format("paged_parquet_par")
         .option("path", path)
         .option("key", "o_orderkey")
         .option("page_size", str(max(1, upper // 6 + 1)))
@@ -151,7 +161,7 @@ def q_stream_pyds_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"pydspar_{uuid.uuid4().hex}"
     run_to_memory(agg, name, output_mode="complete")
-    return spark.table(name)
+    return s2.table(name)
 
 
 # --- ST15: streaming CDC source over the MoR table ---------------------------

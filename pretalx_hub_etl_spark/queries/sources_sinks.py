@@ -762,16 +762,21 @@ def q_stream_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.pyds import register
     from ..streaming.structured import run_to_memory
 
-    # NOTE: runs on the MAIN session - Python DataSource registration
-    # does not survive into a newSession's lookup path (register on the
-    # child raises ALREADY_EXISTS from the shared manager, yet the
-    # child's format() resolution then fails NOT_FOUND), so this is the
-    # one streaming fixture that keeps the session-default partitions
-    register(spark)
+    # fixture_session (r17): the complete-mode agg is STATEFUL, so its
+    # shuffle-partition count is the state-store count per microbatch —
+    # the engine's streaming fixtures all size it via fixture_session
+    # (state partitions track state volume, not cluster width). The old
+    # claim that Python DataSource registration doesn't survive into a
+    # newSession no longer reproduces on Spark 4.1: register(s2) + the
+    # child's format() lookup both work (pinned in test_round10.py).
+    from ..streaming.structured import fixture_session
+
+    s2 = fixture_session(spark)
+    register(s2)
     path = f"{sf_dir.rstrip('/')}/orders.parquet"
     upper = parquet_key_upper_bound(path, "o_orderkey")
     stream = (
-        spark.readStream.format("paged_parquet")
+        s2.readStream.format("paged_parquet")
         .option("path", path)
         .option("key", "o_orderkey")
         .option("page_size", str(max(1, upper // 3 + 1)))
@@ -784,7 +789,7 @@ def q_stream_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"pyds_{uuid.uuid4().hex}"
     run_to_memory(agg, name, output_mode="complete")
-    return spark.table(name)
+    return s2.table(name)
 
 
 @query(

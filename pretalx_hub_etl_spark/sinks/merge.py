@@ -55,6 +55,28 @@ from .manifest import CommitLog, build_manifest
 _V_RE = re.compile(r"^v(\d+)$")
 
 
+def donor_schema(files: list[str]):
+    """Spark schema of ``sorted(files)[0]``'s parquet footer, read
+    DRIVER-SIDE via pyarrow — the explicit-schema replacement for the
+    schema-inference JOB a bare ``spark.read.parquet`` fires per call
+    (r17: the lakehouse fixtures paid one such job per statement per
+    commit view). Only sound for ENGINE-WRITTEN file sets that share one
+    writer schema (a commit's data files); returns None on any surprise
+    so callers fall back to inference."""
+    if not files:
+        return None
+    try:
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        path = sorted(files)[0]
+        if path.startswith("file:"):
+            path = path[len("file:"):]
+        return from_arrow_schema(pq.ParquetFile(path).schema_arrow)
+    except Exception:
+        return None
+
+
 def _versions(path: str) -> list[int]:
     """Committed versions. Manifest tables answer from the commit log
     (single-file probes, no listing); legacy tables fall back to the
@@ -593,7 +615,11 @@ class MergeSink:
         self.bloom_on = bloom_on
 
     def _physical_reader(
-        self, spark: SparkSession, props: dict, version: int | None
+        self,
+        spark: SparkSession,
+        props: dict,
+        version: int | None,
+        current: bool = False,
     ):
         """Configured reader for this table's PHYSICAL parquet files.
 
@@ -614,7 +640,15 @@ class MergeSink:
 
         reader = spark.read
         evs = events_upto(props, version)
-        if any(e["op"] == "widen" for e in evs) and props.get(
+        # r17: CURRENT-version reads of declared tables take the
+        # explicit-schema path even without widen events — mergeSchema
+        # fires a distributed footer-union job on EVERY read, and the
+        # declared schema (+ prior physical names) already describes the
+        # current file set exactly. Historical reads keep mergeSchema
+        # unless widened (a time-travel below an ALTER ADD must not
+        # resurrect the later column; rename/drop anchors are handled by
+        # the `later` guard below either way).
+        if (current or any(e["op"] == "widen" for e in evs)) and props.get(
             "schema_ddl"
         ):
             later = [
@@ -686,7 +720,28 @@ class MergeSink:
         # tables, so unevolved reads never pay the extra footer pass;
         # widened tables read under an explicit upcast schema instead
         props = log.table_props()
-        reader = self._physical_reader(spark, props, version)
+        try:
+            is_current = version == log.visible_version()
+        except Exception:
+            is_current = False
+        reader = self._physical_reader(
+            spark, props, version, current=is_current
+        )
+        if (
+            not props.get("schema_ddl")
+            and files
+            # hive-partitioned layouts derive partition columns from the
+            # directory names — leave those on the inference path
+            and not any(
+                "=" in os.path.basename(os.path.dirname(f)) for f in files
+            )
+        ):
+            # DDL-less tables: a bare .parquet() fires a schema-inference
+            # job per read — one driver-side footer read serves the same
+            # schema (engine-written files of one version share it)
+            donor = donor_schema(files)
+            if donor is not None:
+                reader = spark.read.schema(donor)
         # column mapping (S46): RENAME/DROP COLUMN events at-or-below
         # the read version overlay the physical scan (old files keep
         # their original column names forever — metadata-only evolution)

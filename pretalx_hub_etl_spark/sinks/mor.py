@@ -45,6 +45,20 @@ from .merge import _base_and_claim, _heal_claim, _versions
 _CKPT = "_CHECKPOINT"
 
 
+def _rp(spark, *files):
+    """spark.read of engine-written parquet files under an explicit
+    driver-side footer schema (merge.donor_schema) — skips the
+    schema-inference job a bare .parquet() fires per call (r17);
+    falls back to inference whenever the footer probe declines."""
+    from .merge import donor_schema
+
+    donor = donor_schema([f for f in files if isinstance(f, str)])
+    if donor is not None:
+        return spark.read.schema(donor).parquet(*files)
+    return spark.read.parquet(*files)
+
+
+
 class MorTable:
     """Versioned parquet table with merge-on-read upserts/deletes."""
 
@@ -278,7 +292,11 @@ class MorTable:
 
         def _scan(files: list[str]) -> DataFrame:
             if not widen_types:
-                return spark.read.parquet(*files)
+                # explicit driver-side footer schema: a bare .parquet()
+                # fires a schema-inference job per commit view per read
+                # (r17; each SQL statement resolving a V-deep chain paid
+                # V such jobs)
+                return _rp(spark, *files)
             import pyarrow.parquet as pq
             from pyspark.sql.pandas.types import from_arrow_schema
             from pyspark.sql.types import (
@@ -342,7 +360,7 @@ class MorTable:
                 )
             if pos_files is not None:
                 dv_frames.append(
-                    spark.read.parquet(*pos_files).select(
+                    _rp(spark, *pos_files).select(
                         "__file", "__pos", F.lit(v).alias("__dv_v")
                     )
                 )
@@ -867,7 +885,7 @@ class MorTable:
             ev = None
             out_rng = None
             if rewrite:
-                base_df = spark.read.parquet(
+                base_df = _rp(spark, 
                     *[os.path.join(sdir, r) for r in rewrite]
                 )
                 out_rng = base_df.filter(~rng)
@@ -880,7 +898,7 @@ class MorTable:
                 data, dels, _pos, _ck = self._commit_view(v)
                 if data:
                     d = (
-                        spark.read.parquet(*data)
+                        _rp(spark, *data)
                         .withColumn("__v", F.lit(v))
                         .withColumn("__kind", F.lit("u"))
                     )
@@ -889,7 +907,7 @@ class MorTable:
                     )
                 if dels:
                     t = (
-                        spark.read.parquet(*dels)
+                        _rp(spark, *dels)
                         .select(F.col(self.key))
                         .withColumn("__v", F.lit(v))
                         .withColumn("__kind", F.lit("d"))
@@ -1077,7 +1095,7 @@ class MorTable:
             dfiles = views[v][0]
             if dfiles is not None:
                 anchor = (
-                    spark.read.parquet(*dfiles)
+                    _rp(spark, *dfiles)
                     .limit(0)
                     .select(
                         F.lit("upsert").alias("__op"),
@@ -1095,7 +1113,7 @@ class MorTable:
             )
             if dfiles is not None:
                 frames.append(
-                    spark.read.parquet(*dfiles).select(
+                    _rp(spark, *dfiles).select(
                         F.lit("upsert").alias("__op"),
                         F.lit(v).cast("long").alias("__commit"),
                         "*",
@@ -1103,7 +1121,7 @@ class MorTable:
                 )
             if tfiles is not None:
                 frames.append(
-                    spark.read.parquet(*tfiles).select(
+                    _rp(spark, *tfiles).select(
                         F.lit("delete").alias("__op"),
                         F.lit(v).cast("long").alias("__commit"),
                         F.col(self.key),
@@ -1116,13 +1134,13 @@ class MorTable:
                 # scan is bounded by the files the DV names, not the
                 # table): read them with row provenance, keep targeted
                 # rows, emit their keys as delete events at this commit
-                dv = spark.read.parquet(*pfiles)
+                dv = _rp(spark, *pfiles)
                 refs = [
                     r["__file"]
                     for r in dv.select("__file").distinct().collect()
                 ]
                 targeted = (
-                    spark.read.parquet(*refs)
+                    _rp(spark, *refs)
                     .select(
                         F.col(self.key),
                         F.col("_metadata.file_path").alias("__fp"),

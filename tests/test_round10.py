@@ -158,3 +158,29 @@ def test_salted_topk_empty_tiebreak_matches_plain_window_values(spark):
         top = sorted(grp, key=lambda r: -r.score)[:4]
         want |= {(g, r.score) for r in top}
     assert got == want
+
+
+def test_pyds_register_and_read_work_on_child_session(spark):
+    # r17 pin: q_stream_pyds / q_stream_pyds_parallel moved onto
+    # fixture_session so their stateful complete-mode aggs run with the
+    # fixture state-store count instead of the session default. That is
+    # only sound if Python DataSource registration works on a
+    # newSession child — an older round recorded the child's format()
+    # lookup failing NOT_FOUND; this pins the behavior the queries now
+    # rely on (register on the child, batch-read through the child).
+    from pretalx_hub_etl_spark.sources.pyds import register
+    from pretalx_hub_etl_spark.streaming.structured import fixture_session
+
+    s2 = fixture_session(spark)
+    register(s2)
+    path = "/root/testdata/sf0.001/orders.parquet"
+    got = (
+        s2.read.format("paged_parquet")
+        .option("path", path)
+        .option("key", "o_orderkey")
+        .option("page_size", "1000")
+        .option("columns", "o_orderkey")
+        .load()
+        .count()
+    )
+    assert got == 1500

@@ -765,10 +765,11 @@ def q_stream_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixture_session (r17): the complete-mode agg is STATEFUL, so its
     # shuffle-partition count is the state-store count per microbatch —
     # the engine's streaming fixtures all size it via fixture_session
-    # (state partitions track state volume, not cluster width). The old
-    # claim that Python DataSource registration doesn't survive into a
-    # newSession no longer reproduces on Spark 4.1: register(s2) + the
-    # child's format() lookup both work (pinned in test_round10.py).
+    # (state partitions track state volume, not cluster width).
+    # register(s2) lands in the CHILD's own DataSourceManager even when
+    # a sibling session registered the name first (sources/registry.py;
+    # pinned in test_round10.py — the r17 swallow-ALREADY_EXISTS path
+    # left the child unable to resolve the source in that order).
     from ..streaming.structured import fixture_session
 
     s2 = fixture_session(spark)

@@ -2219,15 +2219,11 @@ def register(spark) -> None:
     local sentinel skips the call after the first."""
     if getattr(spark, "_phe_lakehouse_registered", False):
         return
-    from pyspark.errors.exceptions.captured import AnalysisException
+    from .registry import ensure_registered
 
     # runtime-settable SQL conf; without it Spark refuses to plan a
     # reader that implements pushFilters (also in session.RUNTIME_CONF —
     # set here too so externally-built sessions work after register)
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    try:
-        spark.dataSource.register(build_lakehouse_source())
-    except AnalysisException as e:
-        if "DATA_SOURCE_ALREADY_EXISTS" not in str(e):
-            raise
+    ensure_registered(spark, build_lakehouse_source())
     spark._phe_lakehouse_registered = True

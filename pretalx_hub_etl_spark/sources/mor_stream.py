@@ -253,12 +253,8 @@ def build_mor_cdc_stream_source():
 
 
 def register(spark) -> None:
-    """Idempotently register mor_cdc (same inherited-session caveat as
-    pyds.register)."""
-    from pyspark.errors.exceptions.captured import AnalysisException
+    """Idempotently register mor_cdc on THIS session (see
+    sources/registry.py for the cross-session caveat)."""
+    from .registry import ensure_registered
 
-    try:
-        spark.dataSource.register(build_mor_cdc_stream_source())
-    except AnalysisException as e:
-        if "DATA_SOURCE_ALREADY_EXISTS" not in str(e):
-            raise
+    ensure_registered(spark, build_mor_cdc_stream_source())

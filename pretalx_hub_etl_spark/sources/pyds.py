@@ -380,27 +380,19 @@ def build_paged_parquet_parallel_source():
 
 
 def register(spark) -> None:
-    """Idempotently register the source on a session.
+    """Idempotently register the sources on THIS session.
 
-    Re-registering on the SAME session replaces silently, but a child
-    session (``newSession``) inherits the parent's registration and
-    raises DATA_SOURCE_ALREADY_EXISTS on a second register — swallow
-    exactly that case (the inherited source is the one we wanted).
-    A session-local sentinel skips the call entirely after the first
-    (replacement churns the DataSourceManager mid-flight in a shared
-    multi-threaded session)."""
+    ``newSession`` children do NOT inherit the parent's registration
+    (each session owns a fresh DataSourceManager), and Spark 4.1's
+    ``dataSource.register`` refuses a name any OTHER session holds —
+    ``sources/registry.py`` documents the asymmetry and registers
+    directly into this session's manager, so the source is resolvable
+    here no matter what sibling sessions did. A session-local sentinel
+    skips the (cheap) existence probes after the first call."""
     if getattr(spark, "_phe_pyds_registered", False):
         return
-    from pyspark.errors.exceptions.captured import AnalysisException
+    from .registry import ensure_registered
 
-    try:
-        spark.dataSource.register(build_paged_parquet_source())
-    except AnalysisException as e:
-        if "DATA_SOURCE_ALREADY_EXISTS" not in str(e):
-            raise
-    try:
-        spark.dataSource.register(build_paged_parquet_parallel_source())
-    except AnalysisException as e:
-        if "DATA_SOURCE_ALREADY_EXISTS" not in str(e):
-            raise
+    ensure_registered(spark, build_paged_parquet_source())
+    ensure_registered(spark, build_paged_parquet_parallel_source())
     spark._phe_pyds_registered = True

@@ -171,8 +171,21 @@ def test_pyds_register_and_read_work_on_child_session(spark):
     from pretalx_hub_etl_spark.sources.pyds import register
     from pretalx_hub_etl_spark.streaming.structured import fixture_session
 
+    # r18 pin (the plan-sweep py4j failure): register on the MAIN
+    # session FIRST. Spark 4.1's pre-register probe is global (a name
+    # held by any session vetoes `dataSource.register`) while resolution
+    # is session-local (newSession children inherit NOTHING), so the old
+    # swallow-ALREADY_EXISTS register() left a child that could never
+    # resolve the source once any sibling had registered it. The
+    # sources/registry.py path registers directly into the child's own
+    # DataSourceManager instead.
+    register(spark)
     s2 = fixture_session(spark)
     register(s2)
+    mgr = s2._jsparkSession.sessionState().dataSourceManager()
+    assert mgr.dataSourceExists("paged_parquet"), (
+        "register(child) did not land in the child's DataSourceManager"
+    )
     path = "/root/testdata/sf0.001/orders.parquet"
     got = (
         s2.read.format("paged_parquet")

@@ -122,8 +122,10 @@ def merge_table(spark, merges: list[tuple[str, str]]) -> DataFrame:
     rows = [
         (i + 1, a, b, a + b) for i, (a, b) in enumerate(merges)
     ]
-    return spark.createDataFrame(
-        rows, "rank long, left string, right string, merged string"
+    from ..operators.partitioning import local_rows
+
+    return local_rows(
+        spark, rows, "rank long, left string, right string, merged string"
     )
 
 

@@ -32,6 +32,21 @@ quantization: distances are translation-invariant, and all-positive
 integers make the floor-division mean identical across engines
 (negative integer division truncates differently between conventions —
 sidestepped entirely).
+
+K ceiling of the literal-argmin shape (r17 ADVICE): every assignment
+plan embeds K·dim long literals, so the DRIVER-side analysis/codegen
+cost grows superlinearly with K·dim while execution stays scan-linear.
+Measured (r18, Spark 4.1, dim=64): K·dim = 4k ≈ negligible, 16k ≈
+5 s, 65k ≈ 35 s, 131k ≈ 85 s of added per-plan driver time — no
+Janino/constant-pool failure up to 131k (codegen splits; the
+interpreted path backstops), i.e. a soft cost cliff, not a crash.
+Keep K·dim ≲ 16,384 per plan (K ≤ 256 at dim 64); past that, prefer a
+broadcast-join assignment (join the corpus against a K-row centroid
+table and take the window/row_number min — the pre-r17 shape) whose
+plan size is O(1) in K. Under the SemDeDup K∝n contract the Lloyd
+trainer here is for metadata-scale K; production coarse quantizers
+with large K should train via ``similarity.kmeans_centroids`` (MLlib)
+instead.
 """
 
 from __future__ import annotations
@@ -39,7 +54,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.partitioning import fan_out
+from ..operators.partitioning import fan_out, local_rows
 
 SCALE = 1_000_000
 OFFSET = 10_000_000  # > SCALE * max|component|; keeps everything positive
@@ -237,7 +252,8 @@ def kmeans_centroid_table(
     cents = _train(q, k, iterations)
     q.unpersist()
     spark = SparkSession.getActiveSession() or df.sparkSession
-    return spark.createDataFrame(
+    return local_rows(
+        spark,
         [(int(cid), [int(v) for v in qc]) for cid, qc in cents],
         "cid bigint, qc array<bigint>",
     )

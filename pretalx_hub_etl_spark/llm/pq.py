@@ -144,8 +144,10 @@ def pq_topk(
         q = np.asarray(row[1], dtype=np.float64).reshape(m, 1, dsub)
         dt = ((q - codebooks) ** 2).sum(axis=2)  # (m, k)
         table_rows.append((row[0], [list(map(float, r)) for r in dt]))
-    tables = spark.createDataFrame(
-        table_rows, f"{query_id_col} long, dt array<array<double>>"
+    from ..operators.partitioning import local_rows
+
+    tables = local_rows(
+        spark, table_rows, f"{query_id_col} long, dt array<array<double>>"
     )
     # ADC: zip each code with its subspace index, look both up in the
     # broadcast table, sum — m interpreted lookups per (row, query),

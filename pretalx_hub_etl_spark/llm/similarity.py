@@ -20,7 +20,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..operators.partitioning import fan_out
+from ..operators.partitioning import fan_out, local_rows
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -406,8 +406,8 @@ def kmeans_centroids(
     centers = [
         (i + 1, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
     ]
-    return corpus.sparkSession.createDataFrame(
-        centers, "centroid_id int, __cent array<double>"
+    return local_rows(
+        corpus.sparkSession, centers, "centroid_id int, __cent array<double>"
     )
 
 

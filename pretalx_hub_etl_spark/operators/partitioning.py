@@ -126,3 +126,25 @@ def fan_out(
     if by is not None:
         return df.repartition(target, F.col(by))
     return df.repartition(target)
+
+
+def local_rows(spark, data, schema) -> DataFrame:
+    """Single-partition DataFrame from driver-held literal rows.
+
+    pyspark's ``createDataFrame`` parallelizes local data into
+    ``defaultParallelism`` slices, so a 1-row seed/status frame becomes
+    a 32-partition PythonRDD at local[32]: every ``first()``/
+    ``collect()`` then pays an executeTake ramp (jobs of 1 -> 4 -> 20
+    -> ... tasks of zero work), every write or broadcast of it pays
+    cluster-width tasks, and EVERY one of those tasks is a Python-worker
+    round trip (profiled r18 on q_sql_show_create: 23 jobs, 3 take
+    ramps, a 32-task broadcast — all over frames of < 200 rows).
+    Metadata-scale frames should cost metadata-scale jobs (guide
+    §2/§5). Parallelizing into ONE slice up front is the only cheap
+    shape: a later ``coalesce(1)`` still computes all 32 parent slices
+    SEQUENTIALLY through the Python worker (measured 4x slower per
+    action than this form).
+    """
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(data, 1), schema
+    )

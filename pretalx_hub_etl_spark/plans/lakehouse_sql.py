@@ -399,6 +399,15 @@ def _split_assignments(s: str) -> list[tuple[str, str]]:
 class LakehouseSqlCatalog:
     """Session-scoped SQL namespace over CoW/MoR lakehouse tables."""
 
+    def _df(self, data, schema=None):
+        """Statement-result / seed frame from driver-held literal rows:
+        single partition (operators.partitioning.local_rows) — the r18
+        take-ramp/width fix; every frame built here is metadata-scale
+        by construction (status rows, VALUES literals, empty seeds)."""
+        from ..operators.partitioning import local_rows
+
+        return local_rows(self.spark, data, schema)
+
     def __init__(self, spark: SparkSession, warehouse: str | None = None):
         self.spark = spark
         self._tables: dict[str, tuple[str, str, str | None]] = {}
@@ -646,7 +655,7 @@ class LakehouseSqlCatalog:
             return None
         from pyspark.sql.types import StructType
 
-        return self.spark.createDataFrame([], StructType.fromDDL(ddl))
+        return self._df([], StructType.fromDDL(ddl))
 
     def _rewrite_pruned_scans(
         self, statement: str
@@ -998,7 +1007,7 @@ class LakehouseSqlCatalog:
                 (txn_id, len(tables))
                 for txn_id, tables in sorted(healed.items())
             ] or []
-            return self.spark.createDataFrame(
+            return self._df(
                 rows, "txn_id string, tables int"
             )
         if _BEGIN_TXN_RE.match(q):
@@ -1008,7 +1017,7 @@ class LakehouseSqlCatalog:
                     "TRANSACTION is not supported)"
                 )
             self._txn = self.transaction()  # warehouse-backed coordinator
-            return self.spark.createDataFrame(
+            return self._df(
                 [("begin_transaction", self._txn.id)],
                 "operation string, txn_id string",
             )
@@ -1024,7 +1033,7 @@ class LakehouseSqlCatalog:
                 from ..sinks.txn import gc as _txn_gc
 
                 _txn_gc(txn.coord)
-            return self.spark.createDataFrame(
+            return self._df(
                 [
                     (
                         "commit",
@@ -1039,13 +1048,13 @@ class LakehouseSqlCatalog:
                 raise ValueError("ROLLBACK without an open transaction")
             txn, self._txn = self._txn, None
             txn.abort()
-            return self.spark.createDataFrame(
+            return self._df(
                 [("rollback", txn.id)], "operation string, txn_id string"
             )
         return None
 
     def _summary(self, op: str, name: str, version: int) -> DataFrame:
-        return self.spark.createDataFrame(
+        return self._df(
             [(op, name, version)], "operation string, table string, version int"
         )
 
@@ -1478,17 +1487,52 @@ class LakehouseSqlCatalog:
                 sink.init(
                     upserts
                     if upserts is not None
-                    else self.spark.createDataFrame([], target.schema)
+                    else self._df([], target.schema)
                 )
             else:
                 sink.merge(
                     self.spark,
                     upserts
                     if upserts is not None
-                    else self.spark.createDataFrame([], target.schema),
+                    else self._df([], target.schema),
                     deletes=delete_keys,
                     allow_evolution=evo,
                 )
+                if evo and upserts is not None:
+                    # WITH SCHEMA EVOLUTION on a DECLARED table must
+                    # also evolve the declaration (r17 ADVICE): the
+                    # explicit-schema current-read fast path serves
+                    # exactly schema_ddl + prior physical names, so a
+                    # physical column the DDL does not know about would
+                    # silently vanish from current reads. Mirrors the
+                    # ALTER TABLE ADD COLUMNS bookkeeping.
+                    from ..sinks.manifest import CommitLog as _CL
+
+                    _log = _CL(path)
+                    _props = _log.table_props()
+                    _ddl = _props.get("schema_ddl")
+                    if _ddl:
+                        from pyspark.sql.types import StructType as _ST
+
+                        _declared = {
+                            f.name.lower()
+                            for f in _ST.fromDDL(_ddl).fields
+                        }
+                        _new = [
+                            f
+                            for f in upserts.schema.fields
+                            if f.name.lower() not in _declared
+                        ]
+                        if _new:
+                            _props["schema_ddl"] = ", ".join(
+                                [_ddl]
+                                + [
+                                    f"{f.name} "
+                                    f"{f.dataType.simpleString()}"
+                                    for f in _new
+                                ]
+                            )
+                            _log.write_table_props(_props)
         else:
             from ..sinks.mor import MorTable
 
@@ -1497,7 +1541,7 @@ class LakehouseSqlCatalog:
                 t.init(
                     upserts
                     if upserts is not None
-                    else self.spark.createDataFrame([], target.schema)
+                    else self._df([], target.schema)
                 )
             else:
                 t.merge(self.spark, source=upserts, deletes=delete_keys)
@@ -1564,7 +1608,7 @@ class LakehouseSqlCatalog:
         stats = MergeSink(path, key=key or "_").replace_where(
             df, condition
         )
-        return self.spark.createDataFrame(
+        return self._df(
             [
                 (
                     "replace_where",
@@ -1989,7 +2033,7 @@ class LakehouseSqlCatalog:
                 state = self._frame(name, None)
                 sink.merge(
                     self.spark,
-                    self.spark.createDataFrame([], state.schema),
+                    self._df([], state.schema),
                     deletes=self._dml_matched(name, cond).select(key),
                     allow_evolution=self._has_declared_schema(path),
                 )
@@ -2224,7 +2268,7 @@ class LakehouseSqlCatalog:
     def _copy_summary(
         self, name: str, loaded: int, skipped: int, rows: int
     ) -> DataFrame:
-        return self.spark.createDataFrame(
+        return self._df(
             [("copy", name, self._current_version(name), loaded, skipped, rows)],
             "operation string, table string, version int, "
             "files_loaded int, files_skipped int, rows_loaded long",
@@ -2256,7 +2300,7 @@ class LakehouseSqlCatalog:
             if dry:
                 # `VACUUM ... DRY RUN` (the Delta shape): report the
                 # victim versions, delete nothing — one row per victim
-                return self.spark.createDataFrame(
+                return self._df(
                     [("vacuum_dry_run", name, v) for v in victims]
                     or [("vacuum_dry_run", name, None)],
                     "operation string, table string, version int",
@@ -2313,7 +2357,7 @@ class LakehouseSqlCatalog:
                 s = MorTable(path, key=key).optimize_where(
                     self.spark, cond
                 )
-                return self.spark.createDataFrame(
+                return self._df(
                     [
                         (
                             "optimize_where",
@@ -2333,7 +2377,7 @@ class LakehouseSqlCatalog:
             stats = MergeSink(path, key=key or "_").optimize_where(
                 self.spark, cond, cols=cols
             )
-            return self.spark.createDataFrame(
+            return self._df(
                 [
                     (
                         "optimize_where",
@@ -2371,7 +2415,7 @@ class LakehouseSqlCatalog:
             stats = MergeSink(
                 path, key=key or "_"
             ).optimize_zorder_incremental(self.spark, cols)
-            return self.spark.createDataFrame(
+            return self._df(
                 [
                     (
                         "optimize_incremental",
@@ -2434,7 +2478,7 @@ class LakehouseSqlCatalog:
                 # BINPACKING (the Delta default): coalesce the small
                 # files toward the target size, relink the rest
                 stats = sink.compact_small(self.spark)
-                return self.spark.createDataFrame(
+                return self._df(
                     [
                         (
                             "optimize_compact",
@@ -2764,7 +2808,9 @@ class LakehouseSqlCatalog:
                     f.name.lower(): f.dataType for f in schema.fields
                 }[c.lower()]
                 try:
-                    val = self.spark.range(1).select(
+                    # numPartitions=1: a scalar probe, not a scan —
+                    # range(1) otherwise fans to defaultParallelism
+                    val = self.spark.range(0, 1, 1, 1).select(
                         F.expr(e).cast(typ).alias("v"),
                         F.expr(e).isNull().alias("src_null"),
                     ).first()
@@ -3306,7 +3352,7 @@ class LakehouseSqlCatalog:
             raise
         if self._warehouse:
             self._catalog_update(name, {"kind": "view", "sql": body})
-        return self.spark.createDataFrame(
+        return self._df(
             [("create_view", name)], "operation string, view string"
         )
 
@@ -3317,7 +3363,7 @@ class LakehouseSqlCatalog:
         if_exists, name = m.group(1), m.group(2)
         if name not in self._views:
             if if_exists:
-                return self.spark.createDataFrame(
+                return self._df(
                     [("drop_view", name)], "operation string, view string"
                 )
             raise ValueError(f"no view {name!r} (use DROP VIEW IF EXISTS)")
@@ -3325,7 +3371,7 @@ class LakehouseSqlCatalog:
         self.spark.catalog.dropTempView(name)
         if self._warehouse:
             self._catalog_update(name, None)
-        return self.spark.createDataFrame(
+        return self._df(
             [("drop_view", name)], "operation string, view string"
         )
 
@@ -3334,8 +3380,8 @@ class LakehouseSqlCatalog:
             return None
         rows = sorted(self._views.items())
         if not rows:
-            return self.spark.createDataFrame([], "view string, sql string")
-        return self.spark.createDataFrame(rows, "view string, sql string")
+            return self._df([], "view string, sql string")
+        return self._df(rows, "view string, sql string")
 
     def _try_show_create(self, query: str) -> DataFrame | None:
         m = _SHOW_CREATE_RE.match(query)
@@ -3350,7 +3396,7 @@ class LakehouseSqlCatalog:
         name = m.group(1)
         if name in self._views:
             stmt = f"CREATE VIEW {name} AS {self._views[name]}"
-            return self.spark.createDataFrame(
+            return self._df(
                 [(stmt,)], "createtab_stmt string"
             )
         _kind, path, _key = self._require(name)
@@ -3431,7 +3477,7 @@ class LakehouseSqlCatalog:
                 f"{k}={_quote_prop(v)}" for k, v in tprops.items()
             )
             stmt += f" TBLPROPERTIES ({body})"
-        return self.spark.createDataFrame(
+        return self._df(
             [(stmt,)], "createtab_stmt string"
         )
 
@@ -3451,7 +3497,7 @@ class LakehouseSqlCatalog:
         from ..sinks.mor import MorTable
 
         state = self._frame(name, None)
-        empty = self.spark.createDataFrame([], state.schema).repartition(1)
+        empty = self._df([], state.schema)
         log = CommitLog(path)
         for _ in range(20):
             if (
@@ -3492,7 +3538,7 @@ class LakehouseSqlCatalog:
             (name, kind, path, key, CommitLog(path).current_version())
             for name, (kind, path, key) in sorted(self._tables.items())
         ]
-        return self.spark.createDataFrame(
+        return self._df(
             rows,
             "table string, kind string, location string, "
             "merge_key string, current_version int",
@@ -3577,7 +3623,7 @@ class LakehouseSqlCatalog:
             st.get("created_at"),
             st.get("committed_at"),
         )
-        return self.spark.createDataFrame(
+        return self._df(
             [row],
             "name string, format string, kind string, location string, "
             "merge_key string, partition_by string, zorder_by string, "
@@ -3678,7 +3724,7 @@ class LakehouseSqlCatalog:
             )
             for c in cols
         ]
-        return self.spark.createDataFrame(
+        return self._df(
             rows,
             "table string, column string, min string, max string, "
             "null_count long, approx_ndv long, bounds_are_chain boolean",
@@ -3697,7 +3743,7 @@ class LakehouseSqlCatalog:
         # difference between a metadata query and a job)
         name = m.group(1)
         st = self._table_stats(name)
-        return self.spark.createDataFrame(
+        return self._df(
             [
                 (
                     name,
@@ -3731,7 +3777,7 @@ class LakehouseSqlCatalog:
             rows.append(("# merge_key", key, None))
         for p in props.get("partition_by", []) or []:
             rows.append(("# partition_by", p, None))
-        return self.spark.createDataFrame(
+        return self._df(
             rows, "col_name string, data_type string, comment string"
         )
 
@@ -3788,7 +3834,7 @@ class LakehouseSqlCatalog:
                     met.get("files_relinked"),
                 )
             )
-        return self.spark.createDataFrame(
+        return self._df(
             rows,
             "version int, committed_at timestamp, operation string, "
             "roles string, n_files int, "

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import Catalog
+from ..operators.partitioning import local_rows
 from ..functions.core import fixed_cents
 from . import query
 
@@ -83,7 +84,7 @@ def q_sink_manifest_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )  # v2: update
     sink.merge(
         spark,
-        spark.createDataFrame([], base.schema),
+        local_rows(spark, [], base.schema),
         deletes=base.filter(F.col("o_orderkey") % 100 == 50).select(
             "o_orderkey"
         ),

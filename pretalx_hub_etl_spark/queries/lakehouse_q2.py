@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import Catalog
+from ..operators.partitioning import local_rows
 from ..functions.core import fixed_cents
 from . import query
 
@@ -789,7 +790,7 @@ def q_sink_bloom_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.merge(
         spark,
-        deletes=spark.createDataFrame([(keys[1],)], "o_orderkey long"),
+        deletes=local_rows(spark, [(keys[1],)], "o_orderkey long"),
     )
     out = None
     for k in keys:
@@ -1148,7 +1149,7 @@ def q_sql_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pure DataFrame arithmetic (no lakehouse read anywhere in lineage)
     exp = (
         base.unionByName(
-            spark.createDataFrame([(mk + 1, 7, 123456)], base.schema)
+            local_rows(spark, [(mk + 1, 7, 123456)], base.schema)
         )
         .filter(F.col("cents") > 100000)
         .groupBy("ck")
@@ -1272,10 +1273,10 @@ def q_txn_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     txn = LakehouseTransaction(coord)
     txn.stage_append(
-        a, spark.createDataFrame([(mka + 1, 777)], "k INT, cents BIGINT")
+        a, local_rows(spark, [(mka + 1, 777)], "k INT, cents BIGINT")
     )
     txn.stage_mor_upsert(
-        b, spark.createDataFrame([(mkb + 1, 888)], "k INT, nk INT")
+        b, local_rows(spark, [(mkb + 1, 888)], "k INT, nk INT")
     )
     # drive the protocol through its crash window: intent + ONE table
     # published, no committed marker
@@ -1488,7 +1489,7 @@ def q_stream_txn_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     silver = os.path.join(root, "silver")
     ckpt = os.path.join(root, "ckpt")
     src_rows.write.parquet(src)
-    seed = spark.createDataFrame([(-1, 0)], "k BIGINT, cents BIGINT")
+    seed = local_rows(spark, [(-1, 0)], "k BIGINT, cents BIGINT")
     MergeSink(bronze, key="k").init(seed)
     MorTable(silver, key="k").init(seed)
     sink = fanout_sink(

@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import Catalog
+from ..operators.partitioning import local_rows
 from ..functions.core import fixed_cents
 from . import query
 
@@ -477,7 +478,7 @@ def q_stream_merge_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         s2, src_dir, e.schema, max_files_per_trigger=1
     ).withColumn("ord", F.struct("ts", "event_id"))
     sink = MergeSink(os.path.join(tmp, "state"), key="user_id")
-    sink.init(spark.createDataFrame([], stream.schema))
+    sink.init(local_rows(spark, [], stream.schema))
     q = merge_stream_into(
         stream, sink, name="q_stream_merge_equiv", order_by="ord"
     )
@@ -553,7 +554,7 @@ def q_stream_mor_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         s2, src_dir, e.schema, max_files_per_trigger=1
     )
     t = MorTable(os.path.join(tmp, "state"), "user_id")
-    t.init(spark.createDataFrame([], e.schema))
+    t.init(local_rows(spark, [], e.schema))
 
     def commit_delta(bdf, _bid):
         w = Window.partitionBy("user_id").orderBy(

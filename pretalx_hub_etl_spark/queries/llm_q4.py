@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import Catalog
+from ..operators.partitioning import local_rows
 from . import query
 
 # --- L40: rejection sampling (verifier-gated best-of-n) ---------------------
@@ -212,7 +213,8 @@ def q_dq_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(tempfile.mkdtemp(prefix="phe_observe_"), "sink")
     observed.write.parquet(out)  # the action that populates obs
     m = obs.get
-    return spark.createDataFrame(
+    return local_rows(
+        spark,
         [
             (
                 int(m["n_rows"]),

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..catalog import Catalog
+from ..operators.partitioning import local_rows
 from ..functions.core import fixed_cents
 from . import query
 
@@ -744,7 +745,7 @@ def q_sink_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey", (F.col("bal_cents") + 5000).alias("bal_cents")
         ),
     )  # v2
-    empty = spark.createDataFrame([], base.schema)
+    empty = local_rows(spark, [], base.schema)
     sink.merge(
         spark,
         empty,

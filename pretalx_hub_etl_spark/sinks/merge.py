@@ -77,6 +77,32 @@ def donor_schema(files: list[str]):
         return None
 
 
+def manifest_min_fold(entries, cols) -> dict:
+    """Per-column min folded across manifest ``files`` entries (data
+    role only) — the zero-job source for zorder_normalize's sign probe
+    (r18; the CoW optimize_zorder had this inline, the MoR/incremental
+    paths each paid one full-scan agg job per integral column instead).
+    ``None`` marks a column with any missing stats: the caller routes
+    it to the bucket path (a layout choice, never a value change)."""
+    mins: dict = {}
+    for ent in entries:
+        if ent.get("role", "data") != "data":
+            continue
+        for c in cols:
+            st = ent.get("columns", {}).get(c)
+            mn = None if st is None else st.get("min")
+            if mn is None:
+                mins[c] = None
+            elif c not in mins:
+                mins[c] = mn
+            elif mins[c] is not None:
+                try:
+                    mins[c] = min(mins[c], mn)
+                except TypeError:
+                    mins[c] = None
+    return mins
+
+
 def _versions(path: str) -> list[int]:
     """Committed versions. Manifest tables answer from the commit log
     (single-file probes, no listing); legacy tables fall back to the
@@ -807,8 +833,10 @@ class MergeSink:
                 if ddl:
                     from pyspark.sql.types import StructType
 
-                    return spark.createDataFrame(
-                        [], StructType.fromDDL(ddl)
+                    from ..operators.partitioning import local_rows
+
+                    return local_rows(
+                        spark, [], StructType.fromDDL(ddl)
                     )
                 raise FileNotFoundError(
                     f"{self.path} has no VISIBLE version yet (every "
@@ -2104,23 +2132,11 @@ class MergeSink:
             # per-column mins from the manifest stats (one JSON already
             # in hand) — the sign probe zorder_normalize would otherwise
             # answer with a full-scan agg job per integral column
-            known_mins: dict[str, object] = {}
-            if log.exists():
-                for ent in log.manifest(base)["files"]:
-                    if ent.get("role", "data") != "data":
-                        continue
-                    for c in cols:
-                        st = ent.get("columns", {}).get(c)
-                        mn = None if st is None else st.get("min")
-                        if mn is None:
-                            known_mins[c] = None  # unknown: bucket path
-                        elif c not in known_mins:
-                            known_mins[c] = mn
-                        elif known_mins[c] is not None:
-                            try:
-                                known_mins[c] = min(known_mins[c], mn)
-                            except TypeError:
-                                known_mins[c] = None
+            known_mins: dict[str, object] = (
+                manifest_min_fold(log.manifest(base)["files"], cols)
+                if log.exists()
+                else {}
+            )
             # arbitrary domains (strings, floats, negative ints)
             # normalize to equi-depth range buckets first — without
             # this a string dimension casts to NULL and the whole
@@ -2249,7 +2265,22 @@ class MergeSink:
                     f"({state.columns})"
                 )
             rcols = [by_lower[c.lower()] for c in cols]
-            state, dims = zorder_normalize(state, rcols, bits)
+            # manifest-served sign probe (r18): entries for the WORK
+            # files are already in hand — zero extra scan jobs
+            work_set = set(work)
+            state, dims = zorder_normalize(
+                state,
+                rcols,
+                bits,
+                known_mins=manifest_min_fold(
+                    [
+                        e
+                        for e in log.manifest(base)["files"]
+                        if e["path"] in work_set
+                    ],
+                    rcols,
+                ),
+            )
             layer = cluster_by_zorder(
                 state, dims, bits, num_partitions=max(len(work), 1)
             ).drop(*[d for d in dims if d.startswith("__zn_")])
@@ -2448,7 +2479,21 @@ class MergeSink:
                         f"({state.columns})"
                     )
                 rcols = [by_lower[c.lower()] for c in spec]
-                state, dims = zorder_normalize(state, rcols, bits)
+                # manifest-served sign probe (r18): same zero-job fold
+                # as optimize_zorder, over the rewrite set's entries
+                state, dims = zorder_normalize(
+                    state,
+                    rcols,
+                    bits,
+                    known_mins=manifest_min_fold(
+                        [
+                            e
+                            for e in all_ents
+                            if e["path"] in rewrite_rels
+                        ],
+                        rcols,
+                    ),
+                )
                 out_frame = cluster_by_zorder(
                     state, dims, bits, num_partitions=n_out
                 ).drop(*[d for d in dims if d.startswith("__zn_")])

@@ -49,13 +49,82 @@ def _rp(spark, *files):
     """spark.read of engine-written parquet files under an explicit
     driver-side footer schema (merge.donor_schema) — skips the
     schema-inference job a bare .parquet() fires per call (r17);
-    falls back to inference whenever the footer probe declines."""
+    falls back to inference whenever the footer probe declines.
+
+    Multi-commit file sets (r17 ADVICE): some call sites read files
+    spanning several versions (e.g. DV-referenced files), where a later
+    commit may have widened a type — the oldest-file donor would force
+    a downcast read that fails EXECUTOR-side, past the driver-side
+    try/except. When the file set spans more than one version
+    directory, verify every footer equals the donor's (cheap
+    driver-side loop over metadata-scale file lists); on a mismatch,
+    reconcile with the field-wise WIDEST integral/float type (Spark
+    upcasts narrower parquet files to an explicitly wider read schema,
+    SPARK-40876 — exactly the widen overlay's cast-on-read), and only
+    when no numeric widening covers the difference fall back to bare
+    inference (the pre-r17 behavior: fails loudly, never serves wrong
+    data). Single-directory sets share one writer schema by
+    construction and skip the loop."""
     from .merge import donor_schema
 
-    donor = donor_schema([f for f in files if isinstance(f, str)])
+    paths = [f for f in files if isinstance(f, str)]
+    donor = donor_schema(paths)
+    if donor is not None and len({os.path.dirname(p) for p in paths}) > 1:
+        try:
+            import pyarrow.parquet as pq
+            from pyspark.sql.pandas.types import from_arrow_schema
+
+            schemas = []
+            for p in sorted(paths):
+                sch = pq.ParquetFile(
+                    p[len("file:"):] if p.startswith("file:") else p
+                ).schema_arrow
+                if not schemas or sch != schemas[-1]:
+                    schemas.append(sch)
+            if len(schemas) > 1:
+                donor = _widen_footers(
+                    [from_arrow_schema(s) for s in schemas]
+                )
+        except Exception:
+            donor = None
     if donor is not None:
         return spark.read.schema(donor).parquet(*files)
     return spark.read.parquet(*files)
+
+
+#: numeric widening lattice for _widen_footers: rank by containment
+_WIDTH_RANK = {"byte": 0, "short": 1, "integer": 2, "long": 3}
+_FLOAT_RANK = {"float": 0, "double": 1}
+
+
+def _widen_footers(structs):
+    """Field-wise widest StructType across footer schemas, or None when
+    the difference is not a pure numeric widening (caller falls back to
+    inference). Field order: first appearance; fields missing from some
+    files read as NULL there (parquet scan semantics)."""
+    fields: dict[str, object] = {}
+    order: list[str] = []
+    for st in structs:
+        for f in st.fields:
+            cur = fields.get(f.name)
+            if cur is None:
+                fields[f.name] = f.dataType
+                order.append(f.name)
+            elif cur != f.dataType:
+                a, b = cur.typeName(), f.dataType.typeName()
+                if a in _WIDTH_RANK and b in _WIDTH_RANK:
+                    if _WIDTH_RANK[b] > _WIDTH_RANK[a]:
+                        fields[f.name] = f.dataType
+                elif a in _FLOAT_RANK and b in _FLOAT_RANK:
+                    if _FLOAT_RANK[b] > _FLOAT_RANK[a]:
+                        fields[f.name] = f.dataType
+                else:
+                    return None
+    from pyspark.sql.types import StructField, StructType
+
+    return StructType(
+        [StructField(n, fields[n], True) for n in order]
+    )
 
 
 
@@ -727,7 +796,31 @@ class MorTable:
             for v in chain:
                 data, _d, _p, _ck = self._commit_view(v)
                 n_files += len(data or [])
-            state, dims = zorder_normalize(state, rcols, bits)
+            # per-column mins folded from the CHAIN manifests (r18 —
+            # the CoW optimize_zorder already does this): the sign
+            # probe in zorder_normalize otherwise fires one full
+            # chain-resolve + scan agg job PER integral column
+            # (profiled: the two largest stages of q_sql_zorder_mor,
+            # ~2.5 s CPU each). Chain mins include deleted rows, i.e.
+            # a conservative LOWER bound — sound for the >= 0 probe:
+            # chain-min >= 0 implies resolved-state min >= 0, and a
+            # falsely-negative bound only routes that column to the
+            # bucket path (layout choice, never a value change).
+            known_mins: dict[str, object] = {}
+            if log.exists():
+                from .merge import manifest_min_fold
+
+                known_mins = manifest_min_fold(
+                    [
+                        ent
+                        for v in chain
+                        for ent in log.manifest(v)["files"]
+                    ],
+                    rcols,
+                )
+            state, dims = zorder_normalize(
+                state, rcols, bits, known_mins=known_mins or None
+            )
             clustered = cluster_by_zorder(
                 state, dims, bits, num_partitions=max(n_files, 1)
             ).drop(*[d for d in dims if d.startswith("__zn_")])

@@ -116,11 +116,61 @@ def rotating_sample(names: list[str], n: int) -> list[str]:
     return window
 
 
+def lint_oracles(sf_dir: str) -> int:
+    """Oracle-dtype lint (VERDICT r16 item 2 / r17 item 9): DESCRIBE
+    every oracle in DuckDB and fail on any HUGEINT/UHUGEINT output
+    column. DuckDB widens ``sum(BIGINT)`` to HUGEINT, which surfaces as
+    decimal128(38,0) through Arrow-based oracle fetches and reds the
+    driver's type-tagged value hash even when every value matches (the
+    2fe091d bug class) — the oracle text must CAST such sums back to
+    BIGINT. Zero Spark involvement: pure driver-side DESCRIBE, runs in
+    seconds over all oracles."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    bad: dict[str, list[str]] = {}
+    n = 0
+    for name, sql in entrymod.oracle_sql().items():
+        n += 1
+        try:
+            rows = con.execute(
+                f"DESCRIBE SELECT * FROM ({sql}) AS __q"
+            ).fetchall()
+        except Exception as exc:
+            bad[name] = [f"describe error: {_first_line(exc)}"]
+            continue
+        hits = [
+            f"{cname}: {ctype}"
+            for cname, ctype, *_ in rows
+            if "HUGEINT" in str(ctype).upper()
+        ]
+        if hits:
+            bad[name] = hits
+    if bad:
+        for name, hits in sorted(bad.items()):
+            print(f"LINT {name}: {'; '.join(hits)}")
+        print(f"\n{len(bad)} oracle(s) with hash-unsafe dtypes (of {n})")
+        return 1
+    print(f"lint green: {n} oracles, no HUGEINT outputs")
+    return 0
+
+
 def main() -> int:
     argv = sys.argv[1:]
     json_out = None
     jobs = 1
     sample_n = 0
+    if argv and argv[0] == "--lint":
+        return lint_oracles(argv[1] if len(argv) > 1 else "/root/testdata/sf0.01")
     while argv and argv[0] in ("--json", "--jobs", "--sample"):
         flag = argv[0]
         if len(argv) < 2:

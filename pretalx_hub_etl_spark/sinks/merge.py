@@ -62,7 +62,15 @@ def donor_schema(files: list[str]):
     (r17: the lakehouse fixtures paid one such job per statement per
     commit view). Only sound for ENGINE-WRITTEN file sets that share one
     writer schema (a commit's data files); returns None on any surprise
-    so callers fall back to inference."""
+    so callers fall back to inference.
+
+    ``PHE_DISABLE_DONOR=1`` disables the fast path (schema-inference
+    everywhere) — the attribution knob behind the r18 A/B that measured
+    it at 1.05-1.43x per query across the lakehouse read family
+    (OPTIMIZATION_r18.md WP6); never set in production or by the bench.
+    """
+    if os.environ.get("PHE_DISABLE_DONOR"):
+        return None
     if not files:
         return None
     try:
@@ -674,6 +682,9 @@ class MergeSink:
         # unless widened (a time-travel below an ALTER ADD must not
         # resurrect the later column; rename/drop anchors are handled by
         # the `later` guard below either way).
+        # PHE_DISABLE_DONOR: see donor_schema — the r18 attribution knob
+        if os.environ.get("PHE_DISABLE_DONOR"):
+            current = False
         if (current or any(e["op"] == "widen" for e in evs)) and props.get(
             "schema_ddl"
         ):
